@@ -1,0 +1,232 @@
+package graft.queries
+
+import graft.core.Tables
+import org.apache.spark.sql.functions._
+
+/** Core relational surface: scan/filter/project/aggregate/sort/top-K/limit
+  * (SURVEY.md §2.2) plus the join/set-op superset a Spark-native engine gets
+  * for free. TPC-H-ish tables from the driver test data.
+  *
+  * Scale notes (100 TB): every query here is a single scan + at most one
+  * shuffle; dimension joins are explicit `broadcast()`; top-K compiles to
+  * `TakeOrderedAndProject` (no global sort); aggregations are partial+final
+  * hash aggregates.
+  */
+object Relational {
+
+  def qs: Seq[Q] = Seq(
+    Q("q_onerow",
+      (s, _) => s.sql("SELECT 1 AS one"),
+      Some("SELECT 1 AS one")),
+
+    Q("q_scan_filter_project",
+      (s, dir) =>
+        Tables.lineitem(s, dir)
+          .filter(col("l_quantity") > 45 && col("l_shipdate") < lit("1997-01-01").cast("timestamp"))
+          .select(col("l_orderkey"), col("l_linenumber"), col("l_quantity"), col("l_extendedprice"))
+          .orderBy(col("l_orderkey"), col("l_linenumber")),
+      Some("""SELECT l_orderkey, l_linenumber, l_quantity, l_extendedprice
+             |FROM lineitem
+             |WHERE l_quantity > 45 AND l_shipdate < TIMESTAMP '1997-01-01'
+             |ORDER BY l_orderkey, l_linenumber""".stripMargin)),
+
+    Q("q_agg_global",
+      (s, dir) =>
+        Tables.lineitem(s, dir).agg(
+          round(avg(col("l_quantity")), 4).as("avg_qty"),
+          round(sum(col("l_extendedprice")), 4).as("sum_price"),
+          count(lit(1)).as("n_rows"),
+          count(col("l_quantity")).as("n_qty"),
+          round(min(col("l_quantity")), 4).as("min_qty"),
+          round(max(col("l_quantity")), 4).as("max_qty")),
+      Some("""SELECT round(avg(l_quantity), 4) AS avg_qty,
+             |       round(sum(l_extendedprice), 4) AS sum_price,
+             |       count(*) AS n_rows,
+             |       count(l_quantity) AS n_qty,
+             |       round(min(l_quantity), 4) AS min_qty,
+             |       round(max(l_quantity), 4) AS max_qty
+             |FROM lineitem""".stripMargin)),
+
+    Q("q_agg_group",
+      (s, dir) =>
+        Tables.lineitem(s, dir)
+          .groupBy(col("l_returnflag"), col("l_linestatus"))
+          .agg(
+            round(sum(col("l_quantity")), 4).as("sum_qty"),
+            round(avg(col("l_extendedprice")), 4).as("avg_price"),
+            count(lit(1)).as("n"))
+          .orderBy(col("l_returnflag"), col("l_linestatus")),
+      Some("""SELECT l_returnflag, l_linestatus,
+             |       round(sum(l_quantity), 4) AS sum_qty,
+             |       round(avg(l_extendedprice), 4) AS avg_price,
+             |       count(*) AS n
+             |FROM lineitem
+             |GROUP BY l_returnflag, l_linestatus
+             |ORDER BY l_returnflag, l_linestatus""".stripMargin),
+      bench = true),
+
+    // TPC-H Q1 shape: the flagship pricing summary.
+    Q("q_pricing_summary",
+      (s, dir) =>
+        Tables.lineitem(s, dir)
+          .filter(col("l_shipdate") <= lit("1998-09-02").cast("timestamp"))
+          .groupBy(col("l_returnflag"), col("l_linestatus"))
+          .agg(
+            round(sum(col("l_quantity")), 4).as("sum_qty"),
+            round(sum(col("l_extendedprice")), 4).as("sum_base_price"),
+            round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 4).as("sum_disc_price"),
+            round(sum(col("l_extendedprice") * (lit(1) - col("l_discount")) * (lit(1) + col("l_tax"))), 4).as("sum_charge"),
+            round(avg(col("l_quantity")), 4).as("avg_qty"),
+            round(avg(col("l_extendedprice")), 4).as("avg_price"),
+            round(avg(col("l_discount")), 4).as("avg_disc"),
+            count(lit(1)).as("count_order"))
+          .orderBy(col("l_returnflag"), col("l_linestatus")),
+      Some("""SELECT l_returnflag, l_linestatus,
+             |       round(sum(l_quantity), 4) AS sum_qty,
+             |       round(sum(l_extendedprice), 4) AS sum_base_price,
+             |       round(sum(l_extendedprice * (1 - l_discount)), 4) AS sum_disc_price,
+             |       round(sum(l_extendedprice * (1 - l_discount) * (1 + l_tax)), 4) AS sum_charge,
+             |       round(avg(l_quantity), 4) AS avg_qty,
+             |       round(avg(l_extendedprice), 4) AS avg_price,
+             |       round(avg(l_discount), 4) AS avg_disc,
+             |       count(*) AS count_order
+             |FROM lineitem
+             |WHERE l_shipdate <= TIMESTAMP '1998-09-02'
+             |GROUP BY l_returnflag, l_linestatus
+             |ORDER BY l_returnflag, l_linestatus""".stripMargin),
+      bench = true),
+
+    Q("q_sort_limit_offset",
+      (s, dir) =>
+        Tables.orders(s, dir)
+          .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+          .select(col("o_orderkey"), col("o_totalprice"))
+          .offset(10).limit(50),
+      Some("""SELECT o_orderkey, o_totalprice FROM orders
+             |ORDER BY o_totalprice DESC, o_orderkey
+             |LIMIT 50 OFFSET 10""".stripMargin)),
+
+    // Compiles to TakeOrderedAndProject: bounded-memory per-partition top-K
+    // + driver merge — the Catalyst twin of the reference's fused
+    // sort+limit (/root/reference/src/sydra/query/operator.zig:204-210).
+    Q("q_topk",
+      (s, dir) =>
+        Tables.lineitem(s, dir)
+          .orderBy(col("l_extendedprice").desc, col("l_orderkey"), col("l_linenumber"))
+          .select(col("l_orderkey"), col("l_linenumber"), col("l_extendedprice"))
+          .limit(100),
+      Some("""SELECT l_orderkey, l_linenumber, l_extendedprice FROM lineitem
+             |ORDER BY l_extendedprice DESC, l_orderkey, l_linenumber
+             |LIMIT 100""".stripMargin),
+      bench = true),
+
+    Q("q_join_broadcast",
+      (s, dir) => {
+        val li = Tables.lineitem(s, dir)
+        val p = Tables.part(s, dir)
+        li.join(broadcast(p), li("l_partkey") === p("p_partkey"))
+          .groupBy(col("p_brand"))
+          .agg(round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 4).as("revenue"),
+            count(lit(1)).as("n"))
+          .orderBy(col("p_brand"))
+      },
+      Some("""SELECT p_brand,
+             |       round(sum(l_extendedprice * (1 - l_discount)), 4) AS revenue,
+             |       count(*) AS n
+             |FROM lineitem JOIN part ON l_partkey = p_partkey
+             |GROUP BY p_brand ORDER BY p_brand""".stripMargin),
+      bench = true),
+
+    Q("q_join_3way",
+      (s, dir) => {
+        val c = Tables.customer(s, dir)
+        val o = Tables.orders(s, dir)
+        val li = Tables.lineitem(s, dir)
+        li.join(o, li("l_orderkey") === o("o_orderkey"))
+          .join(broadcast(c), o("o_custkey") === c("c_custkey"))
+          .groupBy(col("c_mktsegment"))
+          .agg(round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 4).as("revenue"),
+            count(lit(1)).as("n"))
+          .orderBy(col("c_mktsegment"))
+      },
+      Some("""SELECT c_mktsegment,
+             |       round(sum(l_extendedprice * (1 - l_discount)), 4) AS revenue,
+             |       count(*) AS n
+             |FROM lineitem
+             |JOIN orders ON l_orderkey = o_orderkey
+             |JOIN customer ON o_custkey = c_custkey
+             |GROUP BY c_mktsegment ORDER BY c_mktsegment""".stripMargin),
+      bench = true),
+
+    Q("q_semi_join",
+      (s, dir) => {
+        val c = Tables.customer(s, dir)
+        val o = Tables.orders(s, dir).filter(col("o_totalprice") > 300000)
+        c.join(o, c("c_custkey") === o("o_custkey"), "left_semi")
+          .select(col("c_custkey"), col("c_name"))
+          .orderBy(col("c_custkey"))
+      },
+      Some("""SELECT c_custkey, c_name FROM customer
+             |WHERE c_custkey IN (SELECT o_custkey FROM orders WHERE o_totalprice > 300000)
+             |ORDER BY c_custkey""".stripMargin)),
+
+    Q("q_anti_join",
+      (s, dir) => {
+        val c = Tables.customer(s, dir)
+        val o = Tables.orders(s, dir)
+        c.join(o, c("c_custkey") === o("o_custkey"), "left_anti")
+          .select(col("c_custkey"), col("c_name"))
+          .orderBy(col("c_custkey"))
+      },
+      Some("""SELECT c_custkey, c_name FROM customer
+             |WHERE c_custkey NOT IN (SELECT o_custkey FROM orders)
+             |ORDER BY c_custkey""".stripMargin)),
+
+    Q("q_distinct",
+      (s, dir) =>
+        Tables.orders(s, dir)
+          .select(col("o_orderstatus"), col("o_orderpriority")).distinct()
+          .orderBy(col("o_orderstatus"), col("o_orderpriority")),
+      Some("""SELECT DISTINCT o_orderstatus, o_orderpriority FROM orders
+             |ORDER BY o_orderstatus, o_orderpriority""".stripMargin)),
+
+    Q("q_union",
+      (s, dir) => {
+        val o = Tables.orders(s, dir)
+        o.filter(col("o_totalprice") > 400000).select(col("o_orderkey"))
+          .union(o.filter(col("o_orderpriority") === "1-URGENT").select(col("o_orderkey")))
+          .distinct()
+          .orderBy(col("o_orderkey"))
+      },
+      Some("""SELECT o_orderkey FROM orders WHERE o_totalprice > 400000
+             |UNION
+             |SELECT o_orderkey FROM orders WHERE o_orderpriority = '1-URGENT'
+             |ORDER BY o_orderkey""".stripMargin)),
+
+    Q("q_having",
+      (s, dir) =>
+        Tables.orders(s, dir)
+          .groupBy(col("o_custkey"))
+          .agg(round(sum(col("o_totalprice")), 4).as("total"), count(lit(1)).as("n"))
+          .filter(col("n") >= 15)
+          .orderBy(col("o_custkey")),
+      Some("""SELECT o_custkey, round(sum(o_totalprice), 4) AS total, count(*) AS n
+             |FROM orders GROUP BY o_custkey HAVING count(*) >= 15
+             |ORDER BY o_custkey""".stripMargin)),
+
+    Q("q_case_expr",
+      (s, dir) =>
+        Tables.orders(s, dir)
+          .groupBy(
+            when(col("o_totalprice") < 100000, lit("small"))
+              .when(col("o_totalprice") < 300000, lit("medium"))
+              .otherwise(lit("large")).as("size_class"))
+          .agg(count(lit(1)).as("n"), round(avg(col("o_totalprice")), 4).as("avg_price"))
+          .orderBy(col("size_class")),
+      Some("""SELECT CASE WHEN o_totalprice < 100000 THEN 'small'
+             |            WHEN o_totalprice < 300000 THEN 'medium'
+             |            ELSE 'large' END AS size_class,
+             |       count(*) AS n, round(avg(o_totalprice), 4) AS avg_price
+             |FROM orders GROUP BY 1 ORDER BY size_class""".stripMargin))
+  )
+}

@@ -1,0 +1,241 @@
+package graft.queries
+
+import graft.core.{Functions => F, Tables}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Time-series operator surface over the `events` table mapped to the
+  * reference's series model (SURVEY.md §1.1, §2): range scans with time
+  * bounds, time_bucket grouping, tag grouping, first/last, percentile,
+  * regex selectors, last-wins dedup (compaction semantics), lag/lead and
+  * moving windows.
+  *
+  * Oracle mirror: the series view is re-declared in each oracle as a WITH
+  * clause over the same parquet (`epoch_ns(ts) // 1000000000` == Spark's
+  * integer `ts / 1e9` on LONG nanos).
+  *
+  * Scale notes: scans filter on `time` (parquet row-group pruning; on the
+  * storage layer's hour-partitioned table this is partition pruning);
+  * window functions partition by series — the natural shuffle key;
+  * aggregations are partial+final.
+  */
+object TimeSeries {
+
+  // Canonical query window: [2024-01-03, 2024-01-10) UTC.
+  val T0 = 1704067200L + 2 * 86400
+  val T1 = 1704067200L + 9 * 86400
+
+  /** events + epoch-second `time` + series columns (ns ts kept for
+    * deterministic intra-second ordering).
+    */
+  private def ev(s: SparkSession, dir: String): DataFrame =
+    Tables.events(s, dir).select(
+      col("event_id"),
+      col("event_type").as("series"),
+      (col("user_id") % 8).cast("string").as("tag_user"),
+      col("ts").as("ts_ns"),
+      (col("ts") / lit(1000000000L)).cast("long").as("time"),
+      col("value"))
+
+  private val svSql =
+    """WITH sv AS (
+      |  SELECT event_id, event_type AS series,
+      |         CAST(user_id % 8 AS VARCHAR) AS tag_user,
+      |         epoch_ns(ts) AS ts_ns,
+      |         epoch_ns(ts) // 1000000000 AS time,
+      |         value
+      |  FROM events
+      |)""".stripMargin
+
+  def qs: Seq[Q] = Seq(
+
+    // select time, value from click where time >= T0 and time < T1
+    Q("q_ts_scan_range",
+      (s, dir) =>
+        ev(s, dir).filter(col("series") === "click" && col("time") >= T0 && col("time") < T1)
+          .select(col("time"), col("value"))
+          .orderBy(col("time"), col("value")),
+      Some(s"""$svSql
+              |SELECT time, value FROM sv
+              |WHERE series = 'click' AND time >= $T0 AND time < $T1
+              |ORDER BY time, value""".stripMargin)),
+
+    // group by time_bucket(3600, time) per series
+    Q("q_ts_bucket_agg",
+      (s, dir) =>
+        ev(s, dir).filter(col("time") >= T0 && col("time") < T1)
+          .groupBy(col("series"), F.timeBucket(lit(3600), col("time")).as("bucket"))
+          .agg(
+            round(avg(col("value")), 4).as("avg_value"),
+            round(sum(col("value")), 4).as("sum_value"),
+            count(col("value")).as("n"),
+            round(min(col("value")), 4).as("min_value"),
+            round(max(col("value")), 4).as("max_value"))
+          .orderBy(col("series"), col("bucket")),
+      Some(s"""$svSql
+              |SELECT series,
+              |       CAST(floor(time / 3600.0) AS BIGINT) * 3600 AS bucket,
+              |       round(avg(value), 4) AS avg_value,
+              |       round(sum(value), 4) AS sum_value,
+              |       count(value) AS n,
+              |       round(min(value), 4) AS min_value,
+              |       round(max(value), 4) AS max_value
+              |FROM sv WHERE time >= $T0 AND time < $T1
+              |GROUP BY series, bucket
+              |ORDER BY series, bucket""".stripMargin),
+      bench = true),
+
+    // group by tag (tag.user identifiers ride in WHERE/GROUP BY — SURVEY §2.1)
+    Q("q_ts_group_tag",
+      (s, dir) =>
+        ev(s, dir).filter(col("time") >= T0 && col("time") < T1)
+          .groupBy(col("series"), col("tag_user"))
+          .agg(round(avg(col("value")), 4).as("avg_value"), count(lit(1)).as("n"))
+          .orderBy(col("series"), col("tag_user")),
+      Some(s"""$svSql
+              |SELECT series, tag_user, round(avg(value), 4) AS avg_value, count(*) AS n
+              |FROM sv WHERE time >= $T0 AND time < $T1
+              |GROUP BY series, tag_user ORDER BY series, tag_user""".stripMargin)),
+
+    // first/last per (series, day): time-ordered aggregates
+    // (/root/reference/src/sydra/query/functions.zig:239-252; design doc
+    // fixes first/last = earliest/latest by time). Ordered by ns ts, which
+    // is unique in the data, so the result is deterministic.
+    Q("q_ts_first_last",
+      (s, dir) =>
+        ev(s, dir).filter(col("time") >= T0 && col("time") < T1)
+          .groupBy(col("series"), F.timeBucket(lit(86400), col("time")).as("day"))
+          .agg(
+            round(min_by(col("value"), col("ts_ns")), 4).as("first_value"),
+            round(max_by(col("value"), col("ts_ns")), 4).as("last_value"),
+            round(max(col("value")) - min(col("value")), 4).as("spread"))
+          .orderBy(col("series"), col("day")),
+      Some(s"""$svSql
+              |SELECT series, CAST(floor(time / 86400.0) AS BIGINT) * 86400 AS day,
+              |       round(arg_min(value, ts_ns), 4) AS first_value,
+              |       round(arg_max(value, ts_ns), 4) AS last_value,
+              |       round(max(value) - min(value), 4) AS spread
+              |FROM sv WHERE time >= $T0 AND time < $T1
+              |GROUP BY series, day ORDER BY series, day""".stripMargin)),
+
+    // exact interpolated percentile (functions.zig:253-262; exact, not
+    // approx, for oracle parity — percentile_approx is the 100 TB path)
+    Q("q_ts_percentile",
+      (s, dir) =>
+        ev(s, dir).filter(col("time") >= T0 && col("time") < T1)
+          .groupBy(col("series"))
+          .agg(
+            round(percentile(col("value"), lit(0.5)), 4).as("p50"),
+            round(percentile(col("value"), lit(0.95)), 4).as("p95"),
+            round(percentile(col("value"), lit(0.99)), 4).as("p99"))
+          .orderBy(col("series")),
+      Some(s"""$svSql
+              |SELECT series,
+              |       round(quantile_cont(value, 0.5), 4) AS p50,
+              |       round(quantile_cont(value, 0.95), 4) AS p95,
+              |       round(quantile_cont(value, 0.99), 4) AS p99
+              |FROM sv WHERE time >= $T0 AND time < $T1
+              |GROUP BY series ORDER BY series""".stripMargin)),
+
+    // regex selector: series =~ 'cl.*k|err.*' (declared surface —
+    // parser.zig:408-424 parses =~/!~; exec never ran it; we run it)
+    Q("q_ts_regex",
+      (s, dir) =>
+        ev(s, dir).filter(col("time") >= T0 && col("time") < T1)
+          .filter(col("series").rlike("^(cl.*k|err.*)$"))
+          .groupBy(col("series")).agg(count(lit(1)).as("n"))
+          .orderBy(col("series")),
+      Some(s"""$svSql
+              |SELECT series, count(*) AS n FROM sv
+              |WHERE time >= $T0 AND time < $T1
+              |  AND regexp_matches(series, '^(cl.*k|err.*)$$')
+              |GROUP BY series ORDER BY series""".stripMargin)),
+
+    // compaction semantics: dedup (series, minute-bucket) keeping the
+    // latest point — /root/reference/src/sydra/storage/compact.zig:36-50
+    // (last wins), expressed as max_by over the unique ns timestamp.
+    Q("q_ts_compact_dedup",
+      (s, dir) =>
+        ev(s, dir).filter(col("time") >= T0 && col("time") < T1)
+          .groupBy(col("series"), F.timeBucket(lit(60), col("time")).as("t60"))
+          .agg(round(max_by(col("value"), col("ts_ns")), 4).as("value"),
+            count(lit(1)).as("n_raw"))
+          .orderBy(col("series"), col("t60")),
+      Some(s"""$svSql
+              |SELECT series, CAST(floor(time / 60.0) AS BIGINT) * 60 AS t60,
+              |       round(arg_max(value, ts_ns), 4) AS value, count(*) AS n_raw
+              |FROM sv WHERE time >= $T0 AND time < $T1
+              |GROUP BY series, t60 ORDER BY series, t60""".stripMargin)),
+
+    // tag-find set algebra (http.zig:832-912): AND = all tags match,
+    // OR = any; result = matching distinct series keys.
+    Q("q_ts_tag_find_and",
+      (s, dir) =>
+        ev(s, dir).select(col("series"), col("tag_user")).distinct()
+          .filter(col("tag_user") === "3" && col("series").isin("click", "view"))
+          .orderBy(col("series"), col("tag_user")),
+      Some(s"""$svSql
+              |SELECT DISTINCT series, tag_user FROM sv
+              |WHERE tag_user = '3' AND series IN ('click', 'view')
+              |ORDER BY series, tag_user""".stripMargin)),
+
+    Q("q_ts_tag_find_or",
+      (s, dir) =>
+        ev(s, dir).select(col("series"), col("tag_user")).distinct()
+          .filter(col("tag_user") === "3" || col("series") === "error")
+          .orderBy(col("series"), col("tag_user")),
+      Some(s"""$svSql
+              |SELECT DISTINCT series, tag_user FROM sv
+              |WHERE tag_user = '3' OR series = 'error'
+              |ORDER BY series, tag_user""".stripMargin)),
+
+    // null handling + sort order: NULLs first under ASC
+    // (operator.zig compareValuesForSort: null < any)
+    Q("q_ts_sort_nulls",
+      (s, dir) =>
+        ev(s, dir).filter(col("series") === "error" && col("time") >= T0 && col("time") < T0 + 86400)
+          .select(col("event_id"), when(col("value") < 1.0, lit(null)).otherwise(col("value")).as("v"))
+          .orderBy(col("v").asc_nulls_first, col("event_id"))
+          .limit(200),
+      Some(s"""$svSql
+              |SELECT event_id, CASE WHEN value < 1.0 THEN NULL ELSE value END AS v
+              |FROM sv WHERE series = 'error' AND time >= $T0 AND time < ${T0 + 86400}
+              |ORDER BY v ASC NULLS FIRST, event_id
+              |LIMIT 200""".stripMargin)),
+
+    // lag/lead per series ordered by (unique) ns time — SURVEY §2.7
+    Q("q_ts_lag_lead",
+      (s, dir) => {
+        val w = Window.partitionBy(col("series")).orderBy(col("ts_ns"))
+        ev(s, dir).filter(col("time") >= T0 && col("time") < T0 + 2 * 86400)
+          .select(col("event_id"), col("series"), col("time"), col("value"),
+            round(lag(col("value"), 1).over(w), 4).as("prev_value"),
+            round(lead(col("value"), 1).over(w), 4).as("next_value"))
+          .orderBy(col("series"), col("event_id"))
+      },
+      Some(s"""$svSql
+              |SELECT event_id, series, time, value,
+              |       round(lag(value, 1) OVER (PARTITION BY series ORDER BY ts_ns), 4) AS prev_value,
+              |       round(lead(value, 1) OVER (PARTITION BY series ORDER BY ts_ns), 4) AS next_value
+              |FROM sv WHERE time >= $T0 AND time < ${T0 + 2 * 86400}
+              |ORDER BY series, event_id""".stripMargin)),
+
+    // moving_avg(value, 600s) — RANGE frame over epoch seconds
+    // (functions.zig:373-382)
+    Q("q_ts_moving_avg",
+      (s, dir) => {
+        val w = Window.partitionBy(col("series")).orderBy(col("time")).rangeBetween(-600, 0)
+        ev(s, dir).filter(col("time") >= T0 && col("time") < T0 + 2 * 86400)
+          .select(col("event_id"), col("series"), col("time"),
+            round(avg(col("value")).over(w), 4).as("mavg"))
+          .orderBy(col("series"), col("event_id"))
+      },
+      Some(s"""$svSql
+              |SELECT event_id, series, time,
+              |       round(avg(value) OVER (PARTITION BY series ORDER BY time
+              |             RANGE BETWEEN 600 PRECEDING AND CURRENT ROW), 4) AS mavg
+              |FROM sv WHERE time >= $T0 AND time < ${T0 + 2 * 86400}
+              |ORDER BY series, event_id""".stripMargin))
+  )
+}
