@@ -1,8 +1,259 @@
 package graft.queries
 
-/** Queries routed through the sydraQL front-end (lexer→parser→validator→
-  * DataFrame compiler) — filled in as the front-end lands.
+import graft.core.Tables
+import graft.sydraql.{CompileOptions, Engine}
+import org.apache.spark.sql.functions.{col, round}
+
+/** Queries routed end-to-end through the sydraQL front-end
+  * (lexer→parser→validator→DataFrame compiler) against the events series
+  * view, each hash-checked against a DuckDB oracle — so the whole language
+  * pipeline sits inside the correctness gate.
+  *
+  * `roundCols` post-rounds float aggregates on the Spark side (the oracle
+  * SQL rounds identically): sydraQL's `round()` is 0-decimal, and raw
+  * engine-vs-engine double aggregation differs in the last ulp.
   */
 object SydraQlQueries {
-  def qs: Seq[Q] = Seq()
+
+  import TimeSeries.{T0, T1}
+
+  // Pinned now() for determinism (2024-01-10 00:00:00 UTC).
+  private val NOW = 1704844800L
+
+  private def sq(name: String, sydraql: String, oracle: String, roundCols: Seq[String] = Nil, bench: Boolean = false): Q =
+    Q(name,
+      (s, dir) => {
+        val df = Engine.sql(s, Tables.seriesView(s, dir), sydraql, CompileOptions(now = NOW))
+        roundCols.foldLeft(df)((d, c) => d.withColumn(c, round(col(c), 4)))
+      },
+      Some(oracle),
+      bench = bench)
+
+  private val svSql =
+    """WITH sv AS (
+      |  SELECT event_type AS series,
+      |         CAST(user_id % 8 AS VARCHAR) AS tag_user,
+      |         epoch_ns(ts) // 1000000000 AS time,
+      |         value
+      |  FROM events
+      |)""".stripMargin
+
+  /** first/last/irate need a total per-bucket order; both sides sort by
+    * (time, value) — ties at second granularity exist in the data.
+    */
+  private def ptsSql(step: Long, series: String, t0: Long = T0, t1: Long = T1): String =
+    s"""$svSql, pts AS (
+       |  SELECT CAST(floor(time / $step.0) AS BIGINT) * $step AS bucket, time, value,
+       |         row_number() OVER (PARTITION BY CAST(floor(time / $step.0) AS BIGINT) ORDER BY time, value) AS rn_a,
+       |         row_number() OVER (PARTITION BY CAST(floor(time / $step.0) AS BIGINT) ORDER BY time DESC, value DESC) AS rn_d,
+       |         count(*) OVER (PARTITION BY CAST(floor(time / $step.0) AS BIGINT)) AS cnt
+       |  FROM sv WHERE series = '$series' AND time >= $t0 AND time < $t1
+       |)""".stripMargin
+
+  def qs: Seq[Q] = Seq(
+
+    sq("q_sql_onerow",
+      "select 1 as one, 2 * 3 as six, 'ok' as tag",
+      "SELECT CAST(1 AS BIGINT) AS one, CAST(6.0 AS DOUBLE) AS six, 'ok' AS tag"),
+
+    sq("q_sql_scan",
+      s"select time, value from click where time >= $T0 and time < $T1 order by time, value",
+      s"""$svSql
+         |SELECT time, value FROM sv
+         |WHERE series = 'click' AND time >= $T0 AND time < $T1
+         |ORDER BY time, value""".stripMargin),
+
+    sq("q_sql_filter_arith",
+      s"select time, value * 2 + 1 as v2 from view where time >= $T0 and time < $T1 and value > 5 order by time, v2",
+      s"""$svSql
+         |SELECT time, value * 2 + 1 AS v2 FROM sv
+         |WHERE series = 'view' AND time >= $T0 AND time < $T1 AND value > 5
+         |ORDER BY time, v2""".stripMargin),
+
+    sq("q_sql_bucket_avg",
+      s"select time_bucket(3600, time) as bucket, avg(value) as avg_value, count(value) as n " +
+        s"from click where time >= $T0 and time < $T1 group by time_bucket(3600, time) order by bucket",
+      s"""$svSql
+         |SELECT CAST(floor(time / 3600.0) AS BIGINT) * 3600 AS bucket,
+         |       round(avg(value), 4) AS avg_value, count(value) AS n
+         |FROM sv WHERE series = 'click' AND time >= $T0 AND time < $T1
+         |GROUP BY bucket ORDER BY bucket""".stripMargin,
+      roundCols = Seq("avg_value"), bench = true),
+
+    sq("q_sql_tag_group",
+      s"select tag.user as usr, avg(value) as avg_value, sum(value) as sum_value, count() as n " +
+        s"from click where time >= $T0 and time < $T1 group by tag.user order by usr",
+      s"""$svSql
+         |SELECT tag_user AS usr, round(avg(value), 4) AS avg_value,
+         |       round(sum(value), 4) AS sum_value, count(*) AS n
+         |FROM sv WHERE series = 'click' AND time >= $T0 AND time < $T1
+         |GROUP BY tag_user ORDER BY usr""".stripMargin,
+      roundCols = Seq("avg_value", "sum_value")),
+
+    sq("q_sql_minmax_fl",
+      s"select min(value) as mn, max(value) as mx, first(value) as fv, last(value) as lv " +
+        s"from error where time >= $T0 and time < $T1",
+      s"""${ptsSql(1000000000L, "error")}
+         |SELECT min(value) AS mn, max(value) AS mx,
+         |       min(CASE WHEN rn_a = 1 THEN value END) AS fv,
+         |       min(CASE WHEN rn_d = 1 THEN value END) AS lv
+         |FROM pts""".stripMargin),
+
+    sq("q_sql_topk",
+      s"select time, value from error where time >= $T0 and time < $T1 order by value desc, time asc limit 20",
+      s"""$svSql
+         |SELECT time, value FROM sv
+         |WHERE series = 'error' AND time >= $T0 AND time < $T1
+         |ORDER BY value DESC, time ASC LIMIT 20""".stripMargin),
+
+    sq("q_sql_limit_offset",
+      s"select time, value from view where time >= $T0 and time < $T1 order by time asc, value asc limit 100 offset 50",
+      s"""$svSql
+         |SELECT time, value FROM sv
+         |WHERE series = 'view' AND time >= $T0 AND time < $T1
+         |ORDER BY time ASC, value ASC LIMIT 100 OFFSET 50""".stripMargin),
+
+    sq("q_sql_regex",
+      s"select time, value from click where time >= $T0 and time < ${T0 + 86400} and tag.user =~ '^[0-3]$$' order by time, value",
+      s"""$svSql
+         |SELECT time, value FROM sv
+         |WHERE series = 'click' AND time >= $T0 AND time < ${T0 + 86400}
+         |  AND regexp_matches(tag_user, '^[0-3]$$')
+         |ORDER BY time, value""".stripMargin),
+
+    sq("q_sql_scalar_fns",
+      s"select time, abs(value - 10) as a, round(sqrt(abs(value))) as r, pow(value, 2) as p2, " +
+        s"floor(value / 10) as f, ceil(value / 10) as c " +
+        s"from view where time >= $T0 and time < ${T0 + 86400} order by time, a",
+      s"""$svSql
+         |SELECT time, abs(value - 10) AS a, round(sqrt(abs(value)), 0) AS r,
+         |       pow(value, 2) AS p2,
+         |       floor(value / 10) AS f, ceil(value / 10) AS c
+         |FROM sv WHERE series = 'view' AND time >= $T0 AND time < ${T0 + 86400}
+         |ORDER BY time, a""".stripMargin,
+      roundCols = Seq("p2")),
+
+    sq("q_sql_now_bucket",
+      "select time_bucket(60, now()) as b, now() as t",
+      s"SELECT CAST($NOW - $NOW % 60 AS BIGINT) AS b, CAST($NOW AS BIGINT) AS t"),
+
+    sq("q_sql_fill_prev",
+      s"select time_bucket(1800, time) as bucket, avg(value) as avg_value " +
+        s"from error where time >= $T0 and time < ${T0 + 2 * 86400} " +
+        s"group by time_bucket(1800, time) fill(previous) order by bucket",
+      s"""$svSql, agg AS (
+         |  SELECT CAST(floor(time / 1800.0) AS BIGINT) * 1800 AS bucket, avg(value) AS avg_value
+         |  FROM sv WHERE series = 'error' AND time >= $T0 AND time < ${T0 + 2 * 86400}
+         |  GROUP BY bucket
+         |), spine AS (
+         |  SELECT unnest(generate_series(min(bucket), max(bucket), 1800)) AS bucket FROM agg
+         |)
+         |SELECT s.bucket,
+         |       round(last_value(a.avg_value IGNORE NULLS)
+         |             OVER (ORDER BY s.bucket ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 4) AS avg_value
+         |FROM spine s LEFT JOIN agg a ON s.bucket = a.bucket
+         |ORDER BY s.bucket""".stripMargin,
+      roundCols = Seq("avg_value")),
+
+    sq("q_sql_fill_const",
+      s"select time_bucket(1800, time) as bucket, avg(value) as avg_value " +
+        s"from error where time >= $T0 and time < ${T0 + 2 * 86400} " +
+        s"group by time_bucket(1800, time) fill(0) order by bucket",
+      s"""$svSql, agg AS (
+         |  SELECT CAST(floor(time / 1800.0) AS BIGINT) * 1800 AS bucket, avg(value) AS avg_value
+         |  FROM sv WHERE series = 'error' AND time >= $T0 AND time < ${T0 + 2 * 86400}
+         |  GROUP BY bucket
+         |), spine AS (
+         |  SELECT unnest(generate_series(min(bucket), max(bucket), 1800)) AS bucket FROM agg
+         |)
+         |SELECT s.bucket, round(coalesce(a.avg_value, 0), 4) AS avg_value
+         |FROM spine s LEFT JOIN agg a ON s.bucket = a.bucket
+         |ORDER BY s.bucket""".stripMargin,
+      roundCols = Seq("avg_value")),
+
+    sq("q_sql_fill_linear",
+      s"select time_bucket(1800, time) as bucket, avg(value) as avg_value " +
+        s"from error where time >= $T0 and time < ${T0 + 2 * 86400} " +
+        s"group by time_bucket(1800, time) fill(linear) order by bucket",
+      s"""$svSql, agg AS (
+         |  SELECT CAST(floor(time / 1800.0) AS BIGINT) * 1800 AS bucket, avg(value) AS avg_value
+         |  FROM sv WHERE series = 'error' AND time >= $T0 AND time < ${T0 + 2 * 86400}
+         |  GROUP BY bucket
+         |), spine AS (
+         |  SELECT unnest(generate_series(min(bucket), max(bucket), 1800)) AS bucket FROM agg
+         |), j AS (
+         |  SELECT s.bucket, a.avg_value,
+         |         last_value(a.avg_value IGNORE NULLS) OVER (ORDER BY s.bucket ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS pv,
+         |         last_value(CASE WHEN a.avg_value IS NOT NULL THEN s.bucket END IGNORE NULLS)
+         |           OVER (ORDER BY s.bucket ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS pb,
+         |         first_value(a.avg_value IGNORE NULLS) OVER (ORDER BY s.bucket ROWS BETWEEN 1 FOLLOWING AND UNBOUNDED FOLLOWING) AS nv,
+         |         first_value(CASE WHEN a.avg_value IS NOT NULL THEN s.bucket END IGNORE NULLS)
+         |           OVER (ORDER BY s.bucket ROWS BETWEEN 1 FOLLOWING AND UNBOUNDED FOLLOWING) AS nb
+         |  FROM spine s LEFT JOIN agg a ON s.bucket = a.bucket
+         |)
+         |SELECT bucket,
+         |       round(CASE WHEN avg_value IS NOT NULL THEN avg_value
+         |                  WHEN pv IS NOT NULL AND nv IS NOT NULL
+         |                       THEN pv + (nv - pv) * (bucket - pb) / (nb - pb)
+         |             END, 4) AS avg_value
+         |FROM j ORDER BY bucket""".stripMargin,
+      roundCols = Seq("avg_value")),
+
+    sq("q_sql_rate_delta",
+      s"select time_bucket(3600, time) as bucket, rate(value) as rate_v, delta(value) as delta_v, " +
+        s"irate(value) as irate_v from click where time >= $T0 and time < $T1 " +
+        s"group by time_bucket(3600, time) order by bucket",
+      s"""${ptsSql(3600L, "click")}
+         |SELECT bucket,
+         |       round(CASE WHEN cnt >= 2 AND max(time) - min(time) > 0
+         |             THEN (min(CASE WHEN rn_d = 1 THEN value END) - min(CASE WHEN rn_a = 1 THEN value END))
+         |                  / (max(time) - min(time)) END, 4) AS rate_v,
+         |       round(min(CASE WHEN rn_d = 1 THEN value END) - min(CASE WHEN rn_a = 1 THEN value END), 4) AS delta_v,
+         |       round(CASE WHEN cnt >= 2 AND min(CASE WHEN rn_d = 1 THEN time END) - min(CASE WHEN rn_d = 2 THEN time END) > 0
+         |             THEN (min(CASE WHEN rn_d = 1 THEN value END) - min(CASE WHEN rn_d = 2 THEN value END))
+         |                  / (min(CASE WHEN rn_d = 1 THEN time END) - min(CASE WHEN rn_d = 2 THEN time END)) END, 4) AS irate_v
+         |FROM pts GROUP BY bucket, cnt ORDER BY bucket""".stripMargin,
+      roundCols = Seq("rate_v", "delta_v", "irate_v")),
+
+    sq("q_sql_integral",
+      s"select time_bucket(86400, time) as day, integral(value) as area " +
+        s"from click where time >= $T0 and time < $T1 group by time_bucket(86400, time) order by day",
+      s"""${ptsSql(86400L, "click")}, pairs AS (
+         |  SELECT bucket, time, value,
+         |         lag(time) OVER (PARTITION BY bucket ORDER BY time, value) AS pt,
+         |         lag(value) OVER (PARTITION BY bucket ORDER BY time, value) AS pv
+         |  FROM pts
+         |)
+         |SELECT bucket AS day,
+         |       round(coalesce(sum((time - pt) * (value + pv) / 2), 0), 4) AS area
+         |FROM pairs GROUP BY bucket ORDER BY day""".stripMargin,
+      roundCols = Seq("area")),
+
+    sq("q_sql_ema",
+      s"select time_bucket(86400, time) as day, ema(value, 60, 0.5) as ema_v " +
+        s"from error where time >= $T0 and time < ${T0 + 3 * 86400} group by time_bucket(86400, time) order by day",
+      s"""$svSql
+         |SELECT CAST(floor(time / 86400.0) AS BIGINT) * 86400 AS day,
+         |       round(list_reduce(list(value ORDER BY time, value), (acc, x) -> 0.5 * x + 0.5 * acc), 4) AS ema_v
+         |FROM sv WHERE series = 'error' AND time >= $T0 AND time < ${T0 + 3 * 86400}
+         |GROUP BY day ORDER BY day""".stripMargin,
+      roundCols = Seq("ema_v")),
+
+    // by_id selector: the physical scan path (operator.zig:242-245) — the
+    // id is resolved from the series catalog exactly like a client would.
+    Q("q_sql_by_id",
+      (s, dir) => {
+        val sv = Tables.seriesView(s, dir)
+        val id = sv.filter(col("series") === "click" && col("tags")("user") === "3")
+          .select("series_id").head().getLong(0)
+        val df = Engine.sql(s, sv,
+          s"select time, value from by_id($id) where time >= $T0 and time < $T1 order by time, value",
+          CompileOptions(now = NOW))
+        df
+      },
+      Some(s"""$svSql
+              |SELECT time, value FROM sv
+              |WHERE series = 'click' AND tag_user = '3' AND time >= $T0 AND time < $T1
+              |ORDER BY time, value""".stripMargin))
+  )
 }

@@ -1,0 +1,418 @@
+package graft.sydraql
+
+import Ast._
+import graft.core.{Functions => F}
+import graft.operators.Fill
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.{Window, WindowSpec}
+import org.apache.spark.sql.functions._
+
+/** Compilation options.
+  * @param now epoch-seconds value for `now()` — pinned per query for
+  *            determinism (`exec` evaluates it once in the reference model).
+  */
+final case class CompileOptions(now: Long = System.currentTimeMillis() / 1000L)
+
+/** AST → DataFrame compiler. This replaces the reference's logical/physical
+  * planner + Volcano pipeline wholesale (SURVEY.md §3-4): the SELECT clauses
+  * become declarative DataFrame transforms and Catalyst supplies every
+  * rewrite the reference hand-rolls (predicate pushdown, project collapse,
+  * time-bound extraction → parquet row-group/partition pruning, top-K
+  * fusion) plus the ones it lacks (constant folding, codegen, partial aggs).
+  *
+  * The source DataFrame is the canonical series scan: columns
+  * `series STRING, series_id LONG, tags MAP<STRING,STRING>, time LONG,
+  * value DOUBLE` (FIXTURES.md §2).
+  *
+  * Numeric semantics ported from the executed reference
+  * (`/root/reference/src/sydra/query/expression.zig:95-156`):
+  * all-float `+ - * /`, integer-only `%`, float `abs`, `time_bucket` floor
+  * arithmetic. Division by zero raises an error under Spark's default ANSI
+  * mode — exact parity with the reference's DivisionByZero
+  * (`expression.zig:119-123`).
+  */
+final class Compiler(spark: SparkSession, source: DataFrame, options: CompileOptions = CompileOptions()) {
+
+  private val wSeries: WindowSpec =
+    Window.partitionBy(col("series_id")).orderBy(col("time"))
+
+  def compile(stmt: Statement): DataFrame = stmt match {
+    case s: Select => compileSelect(s)
+    case Explain(inner) => {
+      import spark.implicits._
+      val plan = compile(inner) match {
+        case df => df.queryExecution.explainString(org.apache.spark.sql.execution.ExplainMode.fromString("formatted"))
+      }
+      Seq(plan).toDF("plan")
+    }
+    case _: Insert =>
+      throw QueryError(QueryError.Unimplemented,
+        "INSERT executes through graft.storage.Ingest (Engine routes it)")
+    case _: Delete =>
+      throw QueryError(QueryError.Unimplemented,
+        "DELETE executes through graft.storage.Retention (Engine routes it)")
+  }
+
+  private def compileSelect(s: Select): DataFrame = {
+    // Output-alias references (`select tag.host as site ... where site='web'`
+    // — parser.zig test corpus) resolve by AST substitution.
+    val aliasMap: Map[String, Expr] = s.projections.collect {
+      case Projection(e, Some(a)) => a.toLowerCase -> e
+    }.toMap
+    def subst(e: Expr): Expr = e match {
+      case id: Ident if aliasMap.contains(id.full.toLowerCase) => aliasMap(id.full.toLowerCase)
+      case Binary(op, l, r) => Binary(op, subst(l), subst(r))
+      case Unary(op, o) => Unary(op, subst(o))
+      case Call(n, args) => Call(n, args.map(subst))
+      case other => other
+    }
+
+    val where = s.where.map(subst)
+    val groupBy = s.groupBy.map(subst)
+
+    val base: DataFrame = s.from match {
+      case None =>
+        spark.range(1).toDF("__one")
+      case Some(ById(id)) => source.filter(col("series_id") === id)
+      case Some(ByName(name)) => source.filter(col("series") === name)
+    }
+
+    val filtered = where.map(w => base.filter(scalar(w))).getOrElse(base)
+
+    val needsAgg = groupBy.nonEmpty || s.projections.exists(p => containsAggregate(p.expr))
+
+    val projected: DataFrame =
+      if (needsAgg) compileAggregate(filtered, s, groupBy)
+      else {
+        val cols = s.projections.zipWithIndex.map { case (p, i) =>
+          scalar(p.expr).as(outName(p, i))
+        }
+        filtered.select(cols: _*)
+      }
+
+    // ORDER BY: resolve against output columns first (projection-structural
+    // or alias match; `time` resolves to the time_bucket group key after
+    // aggregation — reference corpus `... fill(previous) order by time desc`).
+    val ordered =
+      if (s.orderBy.isEmpty) projected
+      else {
+        val sortCols = s.orderBy.map { sk =>
+          val e = sk.expr
+          val name = s.projections.zipWithIndex.collectFirst {
+            case (p, i) if subst(p.expr) == subst(e) || p.alias.exists(a => e == Ident(Seq(a.toLowerCase))) =>
+              outName(p, i)
+          }.orElse {
+            e match {
+              case id: Ident if id.trailing == "time" && needsAgg =>
+                bucketKeyInfo(s, groupBy).map(_._1)
+              case _ => None
+            }
+          }
+          val c = name.map(col).getOrElse(scalar(subst(e)))
+          if (sk.ascending) c.asc_nulls_first else c.desc_nulls_last
+        }
+        projected.orderBy(sortCols: _*)
+      }
+
+    val withOffset = s.offset.map(o => ordered.offset(o.toInt)).getOrElse(ordered)
+    s.limit.map(n => withOffset.limit(n.toInt)).getOrElse(withOffset)
+  }
+
+  /** Find the time_bucket group key: (output name, step). */
+  private def bucketKeyInfo(s: Select, groupBy: Seq[Expr]): Option[(String, Long)] =
+    groupBy.zipWithIndex.collectFirst {
+      case (c @ Call("time_bucket", args), i) =>
+        val step = args.head match {
+          case IntLit(v) => v
+          case FloatLit(v) => v.toLong
+          case _ => throw QueryError(QueryError.UnsupportedFillPolicy,
+            "fill requires a literal time_bucket step")
+        }
+        (groupKeyName(s, groupBy, c, i), step)
+    }
+
+  private def outName(p: Projection, idx: Int): String = p.alias.getOrElse(p.expr match {
+    case id: Ident => id.trailing
+    case Call(f, _) => s"${f}_$idx" // generated names per plan.zig:237-247
+    case _ => s"_col$idx"
+  })
+
+  private def groupKeyName(s: Select, groupBy: Seq[Expr], g: Expr, i: Int): String =
+    s.projections.zipWithIndex.collectFirst {
+      case (p, pi) if stripAlias(s, p.expr) == g => outName(p, pi)
+    }.getOrElse(s"__g$i")
+
+  private def stripAlias(s: Select, e: Expr): Expr = e
+
+  private def compileAggregate(df: DataFrame, s: Select, groupBy: Seq[Expr]): DataFrame = {
+    val groupNames = groupBy.zipWithIndex.map { case (g, i) => groupKeyName(s, groupBy, g, i) }
+    val groupCols = groupBy.zip(groupNames).map { case (g, n) => scalar(g).as(n) }
+    val groupIndex: Map[Expr, String] = groupBy.zip(groupNames).toMap
+
+    val projNames = s.projections.zipWithIndex.map { case (p, i) => outName(p, i) }
+    val aggExprs = s.projections.zipWithIndex.flatMap { case (p, i) =>
+      if (groupIndex.contains(p.expr)) None
+      else Some(aggExpr(p.expr, groupIndex).as(outName(p, i)))
+    }
+
+    val grouped =
+      if (aggExprs.nonEmpty)
+        df.groupBy(groupCols: _*).agg(aggExprs.head, aggExprs.tail: _*)
+      else
+        df.groupBy(groupCols: _*).agg(count(lit(1)).as("__cnt"))
+
+    // fill(...) between aggregation and final projection (design doc §2.11)
+    val filledDf = s.fill match {
+      case None => grouped
+      case Some(policy) =>
+        val (bucketName, step) = bucketKeyInfo(s, groupBy).getOrElse(
+          throw QueryError(QueryError.UnsupportedFillPolicy,
+            "fill(...) requires group by time_bucket(step, time)"))
+        val keyCols = groupNames.filterNot(_ == bucketName)
+        val valueCols = grouped.columns.filterNot(groupNames.contains).filterNot(_ == "__cnt").toSeq
+        policy match {
+          case FillConst(e) =>
+            Fill.applyConst(grouped, bucketName, keyCols, step, scalar(e), valueCols)
+          case p => Fill(grouped, bucketName, keyCols, step, p, valueCols)
+        }
+    }
+
+    val outCols = s.projections.zipWithIndex.map { case (p, i) =>
+      groupIndex.get(p.expr) match {
+        case Some(gname) => col(gname).as(outName(p, i))
+        case None => col(outName(p, i))
+      }
+    }
+    filledDf.select(outCols: _*)
+  }
+
+  /** `ema` counts as an aggregate: the reference plans window-kind calls
+    * into its Aggregate node (`plan.zig:339-348`), and a final smoothed
+    * value per group is the only bounded-state reading.
+    */
+  private def containsAggregate(e: Expr): Boolean = e match {
+    case Call(n, args) =>
+      FunctionRegistry.isAggregate(n) || n == "ema" || args.exists(containsAggregate)
+    case Binary(_, l, r) => containsAggregate(l) || containsAggregate(r)
+    case Unary(_, o) => containsAggregate(o)
+    case _ => false
+  }
+
+  // ---------------------------------------------------------------- scalar
+
+  private def dbl(c: Column): Column = c.cast("double")
+
+  def scalar(e: Expr): Column = e match {
+    case IntLit(v) => lit(v)
+    case FloatLit(v) => lit(v)
+    case StringLit(v) => lit(v)
+    case BoolLit(v) => lit(v)
+    case NullLit => lit(null)
+    case id: Ident => identCol(id)
+    case Call(name, args) => scalarCall(name, args, agg = false)
+    case Binary(op, l, r) => binary(op, scalar(l), scalar(r))
+    case Unary(Not, o) => !scalar(o)
+    case Unary(Neg, o) => -dbl(scalar(o))
+    case Unary(Pos, o) => dbl(scalar(o))
+  }
+
+  /** Identifier typing rules (`type_inference.zig:85-100`): trailing `time`
+    * → the time column; `tag.<key>` → tags lookup (string, nullable);
+    * `value` → value; `series` → series name.
+    */
+  private def identCol(id: Ident): Column = id.trailing match {
+    case "time" => col("time")
+    case "value" => col("value")
+    case "series" => col("series")
+    case "series_id" => col("series_id")
+    // try_element_at: a missing tag key is NULL (string nullable,
+    // type_inference.zig:92-100), not an ANSI error
+    case k if id.isTag => try_element_at(col("tags"), lit(id.parts.last))
+    case other =>
+      if (source.columns.map(_.toLowerCase).contains(other)) col(other)
+      else try_element_at(col("tags"), lit(other)) // loose fallback: bare tag name
+  }
+
+  private def binary(op: BinOp, l: Column, r: Column): Column = op match {
+    case Add => dbl(l) + dbl(r)
+    case Sub => dbl(l) - dbl(r)
+    case Mul => dbl(l) * dbl(r)
+    case Div => dbl(l) / dbl(r)
+    case Mod => l.cast("long") % r.cast("long") // integer-only (expression.zig:113)
+    case Eq => l === r
+    case Ne => l =!= r
+    case Lt => l < r
+    case Le => l <= r
+    case Gt => l > r
+    case Ge => l >= r
+    case RegexMatch => regexp_like(l.cast("string"), r.cast("string"))
+    case RegexNotMatch => !regexp_like(l.cast("string"), r.cast("string"))
+    case And => l && r
+    case Or => l || r
+  }
+
+  private def scalarCall(name: String, args: Seq[Expr], agg: Boolean): Column = {
+    def a(i: Int): Column = if (agg) aggOrScalar(args(i)) else scalar(args(i))
+    name match {
+      case "abs" => abs(dbl(a(0)))
+      case "ceil" => ceil(dbl(a(0))).cast("double") // declared float return
+      case "floor" => floor(dbl(a(0))).cast("double")
+      case "round" => round(dbl(a(0))).cast("double")
+      case "pow" => pow(dbl(a(0)), dbl(a(1)))
+      case "ln" => log(dbl(a(0)))
+      case "sqrt" => sqrt(dbl(a(0)))
+      case "now" => lit(options.now)
+      case "time_bucket" =>
+        if (args.length == 2) F.timeBucket(a(0), a(1))
+        else F.timeBucket(a(0), a(1), a(2))
+      case "coalesce" => coalesce(args.indices.map(a): _*)
+      case "fill_forward" =>
+        last(a(0), ignoreNulls = true).over(wSeries.rowsBetween(Window.unboundedPreceding, 0))
+      case "lag" =>
+        val n = args.lift(1).collect { case IntLit(v) => v.toInt }.getOrElse(1)
+        lag(a(0), n).over(wSeries)
+      case "lead" =>
+        val n = args.lift(1).collect { case IntLit(v) => v.toInt }.getOrElse(1)
+        lead(a(0), n).over(wSeries)
+      case "moving_avg" =>
+        val dur = args(1) match {
+          case IntLit(v) => v
+          case FloatLit(v) => v.toLong
+          case _ => throw QueryError(QueryError.InvalidSyntax, "moving_avg duration must be a literal")
+        }
+        avg(dbl(a(0))).over(Window.partitionBy(col("series_id")).orderBy(col("time").cast("long")).rangeBetween(-dur, 0))
+      case other =>
+        throw QueryError(QueryError.UnknownFunction, s"unknown function '$other'")
+    }
+  }
+
+  private def alphaLit(e: Expr): Double = e match {
+    case FloatLit(v) => v
+    case IntLit(v) => v.toDouble
+    case _ => throw QueryError(QueryError.InvalidSyntax, "ema alpha must be a literal")
+  }
+
+  private def emaOverPts(pts: Column, alphaExpr: Expr): Column = {
+    val alpha = alphaLit(alphaExpr)
+    when(size(pts) >= 1,
+      aggregate(
+        slice(pts, lit(2), greatest(size(pts) - 1, lit(0))),
+        element_at(pts, 1).getField("v"),
+        (acc, x) => lit(alpha) * x.getField("v") + lit(1.0 - alpha) * acc))
+  }
+
+  // ------------------------------------------------------------- aggregate
+
+  private def aggOrScalar(e: Expr): Column =
+    if (containsAggregate(e)) aggExpr(e, Map.empty) else scalar(e)
+
+  /** Compile a projection in aggregation context: aggregate calls become agg
+    * Columns; group-matching subtrees become group column refs; arithmetic
+    * over agg results is allowed (superset of the reference, which rejects
+    * `avg(v)*2` — operator.zig:407-429).
+    */
+  def aggExpr(e: Expr, groupIndex: Map[Expr, String]): Column = {
+    if (groupIndex.contains(e)) return col(groupIndex(e))
+    e match {
+      case IntLit(v) => lit(v)
+      case FloatLit(v) => lit(v)
+      case StringLit(v) => lit(v)
+      case BoolLit(v) => lit(v)
+      case NullLit => lit(null)
+      case Call(name, args) if FunctionRegistry.isAggregate(name) || name == "ema" =>
+        aggCall(name, args)
+      case Call(name, args) =>
+        // scalar over aggregate results, e.g. round(avg(v))
+        scalarCallAgg(name, args, groupIndex)
+      case Binary(op, l, r) => binary(op, aggExpr(l, groupIndex), aggExpr(r, groupIndex))
+      case Unary(Not, o) => !aggExpr(o, groupIndex)
+      case Unary(Neg, o) => -dbl(aggExpr(o, groupIndex))
+      case Unary(Pos, o) => dbl(aggExpr(o, groupIndex))
+      case id: Ident =>
+        throw QueryError(QueryError.InvalidSyntax,
+          s"'${id.full}' must appear in GROUP BY or inside an aggregate")
+    }
+  }
+
+  private def scalarCallAgg(name: String, args: Seq[Expr], groupIndex: Map[Expr, String]): Column = {
+    def a(i: Int): Column = aggExpr(args(i), groupIndex)
+    name match {
+      case "abs" => abs(dbl(a(0)))
+      case "ceil" => ceil(dbl(a(0))).cast("double")
+      case "floor" => floor(dbl(a(0))).cast("double")
+      case "round" => round(dbl(a(0))).cast("double")
+      case "pow" => pow(dbl(a(0)), dbl(a(1)))
+      case "ln" => log(dbl(a(0)))
+      case "sqrt" => sqrt(dbl(a(0)))
+      case "now" => lit(options.now)
+      case "coalesce" => coalesce(args.indices.map(a): _*)
+      case "time_bucket" =>
+        throw QueryError(QueryError.InvalidSyntax,
+          "time_bucket in an aggregated projection must be a GROUP BY key")
+      case other =>
+        throw QueryError(QueryError.UnknownFunction, s"unknown function '$other' in aggregate context")
+    }
+  }
+
+  /** Sorted (t, v) points for the order-sensitive aggregates. NULL values
+    * are dropped before collection (`when` without otherwise → NULL entries
+    * skipped by collect_list).
+    */
+  private def sortedPts(arg: Expr): Column = {
+    val v = scalar(arg)
+    sort_array(collect_list(when(v.isNotNull, struct(col("time").cast("long").as("t"), dbl(v).as("v")))))
+  }
+
+  private def aggCall(name: String, args: Seq[Expr]): Column = name match {
+    case "avg" => avg(dbl(scalar(args.head)))
+    case "sum" => sum(dbl(scalar(args.head))) // executed parity: float sum (operator.zig:781-790)
+    case "min" => min(scalar(args.head))
+    case "max" => max(scalar(args.head))
+    case "count" =>
+      if (args.isEmpty) count(lit(1)) // zero-arg counts rows (functions.zig:234-238)
+      else count(scalar(args.head)) // count(expr) skips NULLs
+    // earliest/latest by time (sydraql-design.md:126); ties at equal time
+    // break on the value itself so the result is deterministic
+    case "first" => min_by(scalar(args.head), struct(col("time"), dbl(scalar(args.head))))
+    case "last" => max_by(scalar(args.head), struct(col("time"), dbl(scalar(args.head))))
+    case "percentile" =>
+      val p = args(1) match {
+        case FloatLit(v) => v
+        case IntLit(v) => v.toDouble
+        case _ => throw QueryError(QueryError.InvalidSyntax, "percentile p must be a literal")
+      }
+      percentile(dbl(scalar(args.head)), lit(p))
+    case "delta" =>
+      // last - first (functions.zig:359-365; Prometheus-style)
+      val pts = sortedPts(args.head)
+      when(size(pts) >= 1,
+        element_at(pts, -1).getField("v") - element_at(pts, 1).getField("v"))
+    case "rate" =>
+      // (last-first)/(t_last-t_first) per bucket; NULL when <2 points or
+      // zero time span (semantics chosen & documented — the reference
+      // registers but never executes rate, SURVEY.md §7.4)
+      val pts = sortedPts(args.head)
+      val dt = element_at(pts, -1).getField("t") - element_at(pts, 1).getField("t")
+      when(size(pts) >= 2 && dt > 0,
+        (element_at(pts, -1).getField("v") - element_at(pts, 1).getField("v")) / dt.cast("double"))
+    case "irate" =>
+      // last two samples (functions.zig:352-358)
+      val pts = sortedPts(args.head)
+      val dt = element_at(pts, -1).getField("t") - element_at(pts, -2).getField("t")
+      when(size(pts) >= 2 && dt > 0,
+        (element_at(pts, -1).getField("v") - element_at(pts, -2).getField("v")) / dt.cast("double"))
+    case "integral" =>
+      // trapezoid over sorted points (functions.zig:366-372)
+      val pts = sortedPts(args.head)
+      when(size(pts) >= 2,
+        aggregate(sequence(lit(2), size(pts)), lit(0.0),
+          (acc, i) => acc +
+            (element_at(pts, i).getField("t") - element_at(pts, i - 1).getField("t")).cast("double") *
+            (element_at(pts, i).getField("v") + element_at(pts, i - 1).getField("v")) / 2.0))
+        .otherwise(lit(0.0))
+    case "ema" =>
+      emaOverPts(sortedPts(args.head), args(2))
+    case other =>
+      throw QueryError(QueryError.UnknownFunction, s"unknown aggregate '$other'")
+  }
+}

@@ -1,0 +1,68 @@
+package graft.sydraql
+
+import Ast._
+
+/** Semantic analyzer, ported from
+  * `/root/reference/src/sydra/query/validator.zig`:
+  *  - any SELECT/DELETE with a FROM selector requires a time predicate in
+  *    WHERE (:57-66, :96-105);
+  *  - unknown functions rejected, arity checked (:124-139).
+  */
+object Validator {
+
+  def validate(stmt: Statement): Unit = stmt match {
+    case s: Select =>
+      (s.projections.map(_.expr) ++ s.where ++ s.groupBy ++ s.orderBy.map(_.expr))
+        .foreach(checkFunctions)
+      if (s.from.isDefined && !s.where.exists(hasTimePredicate))
+        throw QueryError(QueryError.TimeRangeRequired,
+          "queries over a series require a time predicate in WHERE")
+      s.fill.foreach {
+        case FillConst(e) => checkFunctions(e)
+        case _ => ()
+      }
+      if (s.fill.isDefined) {
+        val isBucketed = s.groupBy.exists {
+          case Call("time_bucket", _) => true
+          case _ => false
+        }
+        if (!isBucketed)
+          throw QueryError(QueryError.UnsupportedFillPolicy,
+            "fill(...) requires group by time_bucket(step, time)")
+      }
+    case d: Delete =>
+      d.where.foreach(checkFunctions)
+      if (!d.where.exists(hasTimePredicate))
+        throw QueryError(QueryError.TimeRangeRequired,
+          "delete requires a time predicate in WHERE")
+    case i: Insert =>
+      i.values.flatten.foreach(checkFunctions)
+    case Explain(inner) => validate(inner)
+  }
+
+  /** A time predicate is a comparison conjunct with the `time` identifier on
+    * either side. ORs don't establish bounds, so only the AND-spine counts
+    * (mirrors the reference's conjunct walk, `physical.zig:138-264`).
+    */
+  def hasTimePredicate(e: Expr): Boolean = e match {
+    case Binary(And, l, r) => hasTimePredicate(l) || hasTimePredicate(r)
+    case Binary(op, l, r)
+        if Seq(Lt, Le, Gt, Ge, Eq).contains(op) =>
+      isTimeIdent(l) || isTimeIdent(r)
+    case _ => false
+  }
+
+  private def isTimeIdent(e: Expr): Boolean = e match {
+    case id: Ident => id.trailing == "time"
+    case _ => false
+  }
+
+  private def checkFunctions(e: Expr): Unit = e match {
+    case Call(name, args) =>
+      FunctionRegistry.checkArity(name, args.length)
+      args.foreach(checkFunctions)
+    case Binary(_, l, r) => checkFunctions(l); checkFunctions(r)
+    case Unary(_, o) => checkFunctions(o)
+    case _ => ()
+  }
+}

@@ -1,0 +1,183 @@
+package graft
+
+import graft.sydraql._
+import graft.sydraql.Ast._
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Golden corpus from the reference's own tests (FIXTURES.md §4 —
+  * parser/plan/physical/optimizer/validator.zig test queries).
+  */
+class SydraqlSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+
+  val mustParse = Seq(
+    "select 1",
+    "select value from metrics where time > 1 limit 10",
+    "select value from metrics where time >= 0 and value > 5",
+    "select value from metrics where time >= 10 and time < 20",
+    "select value from metrics where time > 0 order by time asc limit 5",
+    "select tag.host as site from metrics where time > 0",
+    "select tag.host from metrics where time > 0 and tag.host = 'web' group by tag.host",
+    "select tag.host as site from metrics where time > 0 and site = 'web' group by tag.host",
+    "select avg(value) from metrics where time >= 0 group by time_bucket(60, time)",
+    "select avg(value) from metrics where time > 0 group by tag.host",
+    "select time_bucket(60, time) as bucket from metrics where bucket > time_bucket(60, now()) and time > 0 group by time_bucket(60, time)",
+    "select avg(value) from metrics where time >= 0 group by time_bucket(300, time) fill(previous) order by time desc",
+    "select value from by_id(12345) where time >= 0",
+    "insert into metrics values (now(), 42, 'ok')",
+    "explain select value from metrics where time > 0",
+    "delete from metrics where time < 100")
+
+  test("reference corpus parses and validates") {
+    mustParse.foreach { q =>
+      val ast = Parser.parse(q)
+      Validator.validate(ast)
+      assert(ast != null, q)
+    }
+  }
+
+  test("time_range_required: select without time predicate fails") {
+    val e = intercept[QueryError](Validator.validate(Parser.parse("select value from metrics")))
+    assert(e.code === QueryError.TimeRangeRequired)
+  }
+
+  test("time_range_required: delete without time predicate fails") {
+    val e = intercept[QueryError](Validator.validate(Parser.parse("delete from metrics where value > 10")))
+    assert(e.code === QueryError.TimeRangeRequired)
+  }
+
+  test("unknown function rejected") {
+    val e = intercept[QueryError](Validator.validate(Parser.parse("select foo(value) from metrics where time > 0")))
+    assert(e.code === QueryError.UnknownFunction)
+  }
+
+  test("arity checked") {
+    val e = intercept[QueryError](Validator.validate(Parser.parse("select avg(value, 2) from metrics where time > 0")))
+    assert(e.code === QueryError.InvalidFunctionArity)
+  }
+
+  test("or-only time predicate does not satisfy the time-range rule") {
+    val e = intercept[QueryError](
+      Validator.validate(Parser.parse("select value from metrics where time > 0 or value > 5")))
+    assert(e.code === QueryError.TimeRangeRequired)
+  }
+
+  test("string escapes and precedence") {
+    val ast = Parser.parse("select 'it''s' as s, 1 + 2 * 3 as e where 1 = 1")
+      .asInstanceOf[Select]
+    assert(ast.projections.head.expr === StringLit("it's"))
+    assert(ast.projections(1).expr ===
+      Binary(Add, IntLit(1), Binary(Mul, IntLit(2), IntLit(3))))
+  }
+
+  test("&& and || lex as and/or") {
+    val ast = Parser.parse("select value from m where time > 0 && value > 1 || value < 0")
+    assert(ast.isInstanceOf[Select])
+  }
+
+  // ---- execution against a tiny in-memory series ----
+
+  private def tinySource = {
+    val s = spark
+    import s.implicits._
+    Seq(
+      ("m", 1L, Map("host" -> "a"), 0L, 1.0),
+      ("m", 1L, Map("host" -> "a"), 60L, 2.0),
+      ("m", 1L, Map("host" -> "a"), 120L, 4.0),
+      ("m", 1L, Map("host" -> "a"), 300L, 10.0), // gap: buckets 180, 240 missing
+      ("n", 2L, Map("host" -> "b"), 0L, 100.0))
+      .toDF("series", "series_id", "tags", "time", "value")
+  }
+
+  private def run(q: String): Array[org.apache.spark.sql.Row] =
+    Engine.sql(spark, tinySource, q, CompileOptions(now = 1000L)).collect()
+
+  test("bucketed avg") {
+    val rows = run("select time_bucket(120, time) as b, avg(value) as a from m where time >= 0 group by time_bucket(120, time) order by b")
+    assert(rows.map(r => (r.getLong(0), r.getDouble(1))).toSeq ===
+      Seq((0L, 1.5), (120L, 4.0), (240L, 10.0)))
+  }
+
+  test("fill(previous) fills interior gaps") {
+    val rows = run("select time_bucket(60, time) as b, avg(value) as a from m where time >= 0 group by time_bucket(60, time) fill(previous) order by b")
+    assert(rows.map(r => (r.getLong(0), r.getDouble(1))).toSeq ===
+      Seq((0L, 1.0), (60L, 2.0), (120L, 4.0), (180L, 4.0), (240L, 4.0), (300L, 10.0)))
+  }
+
+  test("fill(linear) interpolates") {
+    val rows = run("select time_bucket(60, time) as b, avg(value) as a from m where time >= 0 group by time_bucket(60, time) fill(linear) order by b")
+    assert(rows.map(r => (r.getLong(0), r.getDouble(1))).toSeq ===
+      Seq((0L, 1.0), (60L, 2.0), (120L, 4.0), (180L, 6.0), (240L, 8.0), (300L, 10.0)))
+  }
+
+  test("fill(const)") {
+    val rows = run("select time_bucket(60, time) as b, avg(value) as a from m where time >= 0 group by time_bucket(60, time) fill(-1) order by b")
+    assert(rows.map(r => (r.getLong(0), r.getDouble(1))).toSeq ===
+      Seq((0L, 1.0), (60L, 2.0), (120L, 4.0), (180L, -1.0), (240L, -1.0), (300L, 10.0)))
+  }
+
+  test("rate/delta/integral over a whole series") {
+    val rows = run("select rate(value) as r, delta(value) as d, integral(value) as i from m where time >= 0")
+    val r = rows.head
+    assert(r.getDouble(0) === 9.0 / 300.0) // (10-1)/(300-0)
+    assert(r.getDouble(1) === 9.0)
+    // trapezoid: 60*(1+2)/2 + 60*(2+4)/2 + 180*(4+10)/2 = 90+180+1260
+    assert(r.getDouble(2) === 1530.0)
+  }
+
+  test("last/first/irate") {
+    val rows = run("select first(value) as f, last(value) as l, irate(value) as ir from m where time >= 0")
+    val r = rows.head
+    assert(r.getDouble(0) === 1.0)
+    assert(r.getDouble(1) === 10.0)
+    assert(r.getDouble(2) === 6.0 / 180.0) // (10-4)/(300-120)
+  }
+
+  test("ema aggregate") {
+    val rows = run("select ema(value, 60, 0.5) as e from m where time >= 0")
+    // fold: 1 → .5*2+.5*1=1.5 → .5*4+.5*1.5=2.75 → .5*10+.5*2.75=6.375
+    assert(rows.head.getDouble(0) === 6.375)
+  }
+
+  test("div-by-zero raises, matching the reference's DivisionByZero (expression.zig:119-123)") {
+    val e = intercept[Exception](run("select value / 0 as d from m where time >= 0 limit 1"))
+    assert(e.getMessage.contains("DIVIDE_BY_ZERO") || e.getCause != null)
+  }
+
+  test("missing tag key is NULL, not an error") {
+    val rows = run("select tag.nosuch as t from m where time >= 0 limit 1")
+    assert(rows.head.isNullAt(0))
+  }
+
+  test("mod is integer-only") {
+    val rows = run("select 7 % 3 as m")
+    assert(rows.head.getLong(0) === 1L)
+  }
+
+  test("explain returns a plan") {
+    val rows = run("explain select avg(value) from m where time >= 0 group by time_bucket(60, time)")
+    assert(rows.head.getString(0).contains("Physical Plan"))
+  }
+
+  test("tag predicate + alias reference in where") {
+    val rows = run("select tag.host as site, count() as n from m where time >= 0 and site = 'a' group by tag.host")
+    assert(rows.map(r => (r.getString(0), r.getLong(1))).toSeq === Seq(("a", 4L)))
+  }
+
+  test("moving_avg window") {
+    val rows = run("select time, moving_avg(value, 60) as m from m where time >= 0 order by time")
+    assert(rows.map(_.getDouble(1)).toSeq === Seq(1.0, 1.5, 3.0, 10.0))
+  }
+
+  test("lag/lead window") {
+    val rows = run("select time, lag(value) as p, lead(value) as nx from m where time >= 0 order by time")
+    assert(rows.map(r => Option(r.get(1))).toSeq === Seq(None, Some(1.0), Some(2.0), Some(4.0)))
+    assert(rows.map(r => Option(r.get(2))).toSeq === Seq(Some(2.0), Some(4.0), Some(10.0), None))
+  }
+
+  test("stats populated") {
+    val res = Engine.execute(spark, tinySource, "select 1")
+    assert(res.stats.parseUs >= 0 && res.stats.traceId.length === 13)
+  }
+}
