@@ -1,0 +1,132 @@
+package graft.pipeline
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Deduplication operators for training-data pipelines:
+  * exact, n-gram Jaccard (brute force), MinHash+LSH (scale path), SimHash.
+  *
+  * All similarity outputs are *verified* pairs: LSH/banding only generates
+  * candidates; the emitted pair set is filtered by exact Jaccard, so the
+  * result is well-defined independent of hashing internals (and
+  * oracle-checkable by brute force).
+  *
+  * Scale notes (100 TB): exact dedup is one hash-shuffle on a 16-byte
+  * digest, not the document body; MinHash banding turns the O(n²) pair
+  * space into per-bucket joins (shuffle key = band hash); verification
+  * joins shingle sets only for candidate pairs. SimHash packs to one
+  * BIGINT — band by prefix for candidate generation at scale.
+  */
+object Dedup {
+
+  import TextAnalysis.{hash31, shingles}
+
+  /** Exact dedup on normalized text (lowercase, collapsed whitespace):
+    * keeper = min doc_id per digest group.
+    */
+  def exact(docs: DataFrame): DataFrame = {
+    val norm = regexp_replace(trim(lower(col("text"))), "\\s+", " ")
+    docs.select(col("doc_id"), md5(norm).as("digest"))
+      .groupBy("digest")
+      .agg(min("doc_id").as("keep_id"), count(lit(1)).as("n_copies"))
+  }
+
+  /** Shingle-hash sets per doc: (doc_id, hs ARRAY<LONG> sorted distinct). */
+  private def shingleHashes(docs: DataFrame, n: Int): DataFrame =
+    docs.select(col("doc_id"),
+      array_sort(array_distinct(transform(shingles(col("text"), n), s => hash31(s)))).as("hs"))
+
+  private def jaccard(a: Column, b: Column): Column = {
+    val inter = size(array_intersect(a, b)).cast("double")
+    inter / (size(a) + size(b) - size(array_intersect(a, b))).cast("double")
+  }
+
+  /** Brute-force n-gram Jaccard near-dup pairs (the oracle algorithm as an
+    * operator; quadratic — small inputs or within-bucket use only).
+    * Pair generation uses an inverted shingle index (explode + self-join),
+    * not a cross join, so only docs sharing ≥1 shingle meet.
+    */
+  def ngramJaccardPairs(docs: DataFrame, threshold: Double, n: Int = 3): DataFrame = {
+    val sh = shingleHashes(docs, n).cache()
+    val ex = sh.select(col("doc_id"), explode(col("hs")).as("h"))
+    val cand = ex.as("a").join(ex.as("b"),
+        col("a.h") === col("b.h") && col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+      .distinct()
+    verifyPairs(cand, sh, threshold)
+  }
+
+  private def verifyPairs(cand: DataFrame, sh: DataFrame, threshold: Double): DataFrame =
+    cand
+      .join(sh.withColumnRenamed("doc_id", "doc_a").withColumnRenamed("hs", "hs_a"), "doc_a")
+      .join(sh.withColumnRenamed("doc_id", "doc_b").withColumnRenamed("hs", "hs_b"), "doc_b")
+      .select(col("doc_a"), col("doc_b"),
+        round(jaccard(col("hs_a"), col("hs_b")), 4).as("jaccard"))
+      .filter(col("jaccard") >= threshold)
+
+  /** MinHash+LSH near-dup pairs: signature → band buckets → candidate
+    * pairs → exact-Jaccard verification.
+    *
+    * numHashes = bands * rowsPerBand. Default 16 bands × 2 rows: candidate
+    * probability 1-(1-j²)^16 ≈ 1-8e-8 at j=0.8 — recall ≈ 1 at the 0.8
+    * threshold this ships with.
+    */
+  def minhashLshPairs(
+      docs: DataFrame,
+      threshold: Double,
+      bands: Int = 16,
+      rowsPerBand: Int = 2,
+      n: Int = 3): DataFrame = {
+    val P = 2147483647L // 2^31-1; (a*x+b) stays < 2^62: no BIGINT overflow anywhere
+    val numHashes = bands * rowsPerBand
+    // deterministic coefficient schedule (public splitmix-style constants)
+    val coeffs = (0 until numHashes).map { i =>
+      val a = 1L + ((i * 2654435761L + 104729L) % (P - 1))
+      val b = (i * 40503L + 15485863L) % P
+      (a, b)
+    }
+    val sh = shingleHashes(docs, n).cache()
+    val sig = sh.select(col("doc_id"), col("hs"),
+      array(coeffs.map { case (a, b) =>
+        array_min(transform(col("hs"), x => (lit(a) * x + lit(b)) % lit(P)))
+      }: _*).as("sig"))
+    // band key: (band index, hash of the band's signature slice)
+    val bandsDf = sig.select(col("doc_id"),
+      posexplode(transform(sequence(lit(0), lit(bands - 1)), bi =>
+        md5(concat_ws(",", (0 until rowsPerBand).map(r =>
+          element_at(col("sig"), (bi * rowsPerBand + r + 1).cast("int"))): _*)))))
+      .withColumnsRenamed(Map("pos" -> "band", "col" -> "bkey"))
+    val cand = bandsDf.as("a").join(bandsDf.as("b"),
+        col("a.band") === col("b.band") && col("a.bkey") === col("b.bkey") &&
+          col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+      .distinct()
+    verifyPairs(cand, sh, threshold)
+  }
+
+  /** SimHash: 60-bit signature from per-bit votes of word-hash bits
+    * (multiplicity-weighted). Emits pairs with Hamming distance <=
+    * maxHamming plus the packed signatures.
+    */
+  def simhash(docs: DataFrame): DataFrame = {
+    val w = TextAnalysis.words(col("text"))
+    val hashes = transform(w, x => TextAnalysis.hash60(x))
+    // votes[b] = sum over words of (bit b set ? +1 : -1)
+    val sim = aggregate(
+      sequence(lit(0), lit(59)), lit(0L),
+      (acc, b) => {
+        val votes = aggregate(hashes, lit(0),
+          (vacc, h) => vacc + when(call_function("shiftright", h, b.cast("int")).bitwiseAND(1) === 1, 1).otherwise(-1))
+        acc + when(votes > 0, pow(lit(2.0), b).cast("long")).otherwise(0L)
+      })
+    docs.select(col("doc_id"), sim.as("simhash"))
+  }
+
+  def simhashPairs(docs: DataFrame, maxHamming: Int): DataFrame = {
+    val s = simhash(docs).cache()
+    s.as("a").join(s.as("b"), col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"),
+        bit_count(col("a.simhash").bitwiseXOR(col("b.simhash"))).as("hamming"))
+      .filter(col("hamming") <= maxHamming)
+  }
+}

@@ -1,0 +1,101 @@
+package graft.pipeline
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Similarity search over an embedding column (ARRAY<FLOAT>).
+  *
+  * All arithmetic is double-precision with a fixed left-to-right summation
+  * order (`aggregate` HOF over `zip_with` products), so results are
+  * bit-reproducible across engines that fold the same way.
+  *
+  * Scale notes (100 TB): brute-force top-k broadcasts the (small) query
+  * set and computes per-partition local top-k before the final merge —
+  * one narrow pass over the corpus, no corpus shuffle. The IVF variant
+  * assigns each vector to a hyperplane-sign bucket; probing `nprobe`
+  * buckets prunes the corpus scan to matching partitions (bucket column =
+  * partition key on a real table). nprobe = all buckets ⇒ exact.
+  */
+object Similarity {
+
+  /** Double-cast embedding. */
+  private def vec(c: Column): Column = c.cast("array<double>")
+
+  private def dot(a: Column, b: Column): Column =
+    aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0), (acc, x) => acc + x)
+
+  private def norm(a: Column): Column =
+    sqrt(aggregate(transform(a, x => x * x), lit(0.0), (acc, x) => acc + x))
+
+  def cosine(a: Column, b: Column): Column = dot(a, b) / (norm(a) * norm(b))
+
+  /** Exact brute-force top-k cosine neighbors for each query vector.
+    * Output: (q_id, vec_id, rank, cos round 6), ties broken by vec_id.
+    */
+  def bruteForceTopK(corpus: DataFrame, queries: DataFrame, k: Int): DataFrame = {
+    val c = corpus.select(col("vec_id"), vec(col("embedding")).as("v"))
+    val q = queries.select(col("vec_id").as("q_id"), vec(col("embedding")).as("qv"))
+    val scored = c.join(broadcast(q), col("q_id") =!= col("vec_id"))
+      .select(col("q_id"), col("vec_id"), cosine(col("qv"), col("v")).as("cos"))
+    val w = Window.partitionBy(col("q_id")).orderBy(col("cos").desc, col("vec_id"))
+    scored.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("q_id"), col("vec_id"), col("rank"), round(col("cos"), 6).as("cos"))
+  }
+
+  /** Deterministic pseudo-random hyperplanes (no RNG dependency: public
+    * Knuth multiplicative-hash constants).
+    */
+  private def hyperplane(j: Int, dim: Int): Seq[Double] =
+    (0 until dim).map(d => (((j * dim + d) * 2654435761L) % 1999L).toDouble / 1999.0 - 0.5)
+
+  /** Bucket id = sign bits of projections onto `nPlanes` fixed hyperplanes
+    * (2^nPlanes buckets).
+    */
+  def bucketed(corpus: DataFrame, nPlanes: Int = 4, dim: Int = 64): DataFrame = {
+    val v = vec(col("embedding"))
+    val bucket = (0 until nPlanes).map { j =>
+      val plane = array(hyperplane(j, dim).map(lit): _*)
+      when(dot(v, plane) > 0, 1 << j).otherwise(0)
+    }.reduce((a, b) => a + b)
+    corpus.select(col("vec_id"), v.as("v"), bucket.as("bucket"))
+  }
+
+  /** IVF/LSH-bucketed top-k: per query, probe the `nprobe` buckets whose
+    * sign-pattern is nearest the query's own bucket (by Hamming distance on
+    * sign bits), then exact cosine within the probed subset. With
+    * nprobe = 2^nPlanes this equals brute force (the oracle-checked mode);
+    * smaller nprobe trades recall for a pruned scan.
+    */
+  def ivfTopK(corpus: DataFrame, queries: DataFrame, k: Int,
+      nPlanes: Int = 4, nprobe: Int = 16, dim: Int = 64): DataFrame = {
+    val nBuckets = 1 << nPlanes
+    val c = bucketed(corpus, nPlanes, dim)
+    val q = bucketed(queries, nPlanes, dim)
+      .select(col("vec_id").as("q_id"), col("v").as("qv"), col("bucket").as("qbucket"))
+    // probe set: nprobe buckets ranked by Hamming distance to qbucket
+    val probes = q.select(col("q_id"), col("qv"), explode(
+      slice(
+        array_sort(transform(sequence(lit(0), lit(nBuckets - 1)), b =>
+          struct(bit_count(b.bitwiseXOR(col("qbucket"))).as("d"), b.as("b")))),
+        1, nprobe).getField("b")).as("bucket"))
+    val scored = c.join(broadcast(probes), Seq("bucket"))
+      .filter(col("q_id") =!= col("vec_id"))
+      .select(col("q_id"), col("vec_id"), cosine(col("qv"), col("v")).as("cos"))
+    val w = Window.partitionBy(col("q_id")).orderBy(col("cos").desc, col("vec_id"))
+    scored.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("q_id"), col("vec_id"), col("rank"), round(col("cos"), 6).as("cos"))
+  }
+
+  /** Embedding-cosine near-duplicate pairs (threshold on cosine). */
+  def cosinePairs(corpus: DataFrame, threshold: Double): DataFrame = {
+    val c = corpus.select(col("vec_id"), vec(col("embedding")).as("v"))
+    c.as("a").join(c.as("b"), col("a.vec_id") < col("b.vec_id"))
+      .select(col("a.vec_id").as("vec_a"), col("b.vec_id").as("vec_b"),
+        cosine(col("a.v"), col("b.v")).as("cos"))
+      .filter(col("cos") >= threshold)
+      .select(col("vec_a"), col("vec_b"), round(col("cos"), 6).as("cos"))
+  }
+}

@@ -1,0 +1,103 @@
+package graft.pipeline
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Text analysis for large-scale training-data pipelines: tokenization,
+  * language ID, quality scoring, fingerprinting.
+  *
+  * Everything here is pure narrow (per-row) Column arithmetic — no shuffle,
+  * no UDFs, whole-stage-codegen friendly — so it scales linearly with input
+  * splits at 100 TB. Hashing is md5-based (first 15 hex digits → 60-bit
+  * int) so oracles in any SQL engine can reproduce it exactly.
+  */
+object TextAnalysis {
+
+  /** Portable 60-bit hash: int(md5(s)[0:15], 16). */
+  def hash60(c: Column): Column =
+    conv(substring(md5(c.cast("string")), 1, 15), 16, 10).cast("long")
+
+  /** 31-bit variant for modular arithmetic that must not overflow in
+    * engines with checked BIGINT multiplication.
+    */
+  def hash31(c: Column): Column = hash60(c) % 2147483647L
+
+  /** Whitespace word list, lowercased. */
+  def words(text: Column): Column = split(lower(text), "\\s+")
+
+  /** Word n-gram shingles (distinct). */
+  def shingles(text: Column, n: Int = 3): Column = {
+    val w = words(text)
+    array_distinct(transform(sequence(lit(0), size(w) - n), i =>
+      concat_ws(" ", (0 until n).map(j => element_at(w, i + j + 1)): _*)))
+  }
+
+  /** BPE-ish token pattern: letter runs, digit runs, single other glyphs. */
+  val TokenPattern = "[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]"
+
+  /** doc_id, n_chars, n_words, n_tokens, avg_word_len. */
+  def tokenStats(docs: DataFrame): DataFrame = {
+    val w = words(col("text"))
+    docs.select(
+      col("doc_id"),
+      length(col("text")).as("n_chars"),
+      size(w).as("n_words"),
+      size(regexp_extract_all(col("text"), lit(TokenPattern), lit(0))).as("n_tokens"),
+      round(length(regexp_replace(col("text"), "\\s+", "")).cast("double") / size(w), 4).as("avg_word_len"))
+  }
+
+  // Tiny fixed stopword lexicons (public-knowledge function words).
+  val Lexicons: Seq[(String, Seq[String])] = Seq(
+    "en" -> Seq("the", "and", "of", "to", "in", "is", "it", "for", "on", "with", "a"),
+    "de" -> Seq("der", "die", "und", "das", "nicht", "ist", "ich", "ein", "zu", "den"),
+    "es" -> Seq("el", "los", "y", "en", "que", "un", "para", "es", "una", "las"),
+    "fr" -> Seq("le", "la", "et", "les", "des", "une", "est", "pour", "que", "dans"))
+
+  private def lexScore(w: Column, lex: Seq[String]): Column =
+    round(size(filter(w, x => x.isin(lex.map(lit): _*))).cast("double") / size(w), 4)
+
+  /** n-gram/stopword heuristic language ID. Ties resolve in Lexicons order;
+    * all-zero scores → 'und'.
+    */
+  def langId(docs: DataFrame): DataFrame = {
+    val w = words(col("text"))
+    val scored = docs.select(
+      (col("doc_id") +: Lexicons.map { case (l, lex) => lexScore(w, lex).as(s"score_$l") }): _*)
+    // first lang (in Lexicons order) with a positive score >= all others
+    val best = Lexicons.map(_._1).foldRight(lit("und"): Column) { (l, acc) =>
+      val dominates = Lexicons.map(_._1).filter(_ != l)
+        .map(o => col(s"score_$l") >= col(s"score_$o")).reduce(_ && _)
+      when(col(s"score_$l") > 0 && dominates, lit(l)).otherwise(acc)
+    }
+    scored.withColumn("pred_lang", best)
+  }
+
+  /** Quality score in [0,1]: length, stopword ratio, punctuation ratio,
+    * word-length sanity. Deterministic arithmetic, mirrored in oracles.
+    */
+  def qualityScore(docs: DataFrame): DataFrame = {
+    val w = words(col("text"))
+    val nWords = size(w).cast("double")
+    val stopRatio = size(filter(w, x => x.isin(Lexicons.flatMap(_._2).distinct.map(lit): _*))).cast("double") / nWords
+    val punct = size(regexp_extract_all(col("text"), lit("[^A-Za-z0-9\\s]"), lit(0))).cast("double")
+    val punctRatio = punct / length(col("text")).cast("double")
+    val awl = length(regexp_replace(col("text"), "\\s+", "")).cast("double") / nWords
+    docs.select(
+      col("doc_id"),
+      round(least(nWords / 100.0, lit(1.0)) * 0.3
+        + least(stopRatio * 5.0, lit(1.0)) * 0.3
+        + (lit(1.0) - least(punctRatio * 10.0, lit(1.0))) * 0.2
+        + least(awl / 8.0, lit(1.0)) * 0.2, 4).as("quality"))
+  }
+
+  /** Document fingerprint: k smallest distinct 31-bit shingle hashes,
+    * dash-joined (a winnowing-style k-min sketch). Identical docs → equal
+    * fingerprints; near-dups share most components.
+    */
+  def fingerprint(docs: DataFrame, k: Int = 5, n: Int = 3): DataFrame = {
+    val hs = array_sort(array_distinct(transform(shingles(col("text"), n), s => hash31(s))))
+    docs.select(
+      col("doc_id"),
+      concat_ws("-", slice(hs, 1, k)).as("fp"))
+  }
+}

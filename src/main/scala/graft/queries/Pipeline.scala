@@ -1,8 +1,207 @@
 package graft.queries
 
-/** Training-data pipeline operators (dedup / similarity / text analysis /
-  * multimodal) — filled in by graft.pipeline.
+import graft.core.Tables
+import graft.pipeline.{Dedup, Multimodal, Similarity, TextAnalysis}
+import org.apache.spark.sql.functions._
+
+/** Training-data pipeline operators in the correctness gate. The DuckDB
+  * oracles reproduce the exact algorithms (same md5-derived hashes, same
+  * fold order for float sums), so these hash-match rather than just
+  * row-count-match.
   */
 object Pipeline {
-  def qs: Seq[Q] = Seq()
+
+  // ---- shared DuckDB CTE fragments -------------------------------------
+
+  /** words per doc (lowercased whitespace split). */
+  private val wordsCte =
+    """words AS (
+      |  SELECT doc_id, text, string_split_regex(lower(text), '\s+') AS w
+      |  FROM documents
+      |)""".stripMargin
+
+  /** portable hash31 of an expression (must mirror TextAnalysis.hash31). */
+  private def h31(e: String): String =
+    s"CAST(concat('0x', substr(md5($e), 1, 15)) AS BIGINT) % 2147483647"
+
+  /** distinct sorted 3-gram shingle hash sets per doc. */
+  private val shinglesCte =
+    s"""sh AS (
+       |  SELECT doc_id,
+       |         list_sort(list_distinct([${h31("w[i] || ' ' || w[i+1] || ' ' || w[i+2]")}
+       |                    for i in range(1, len(w) - 1)])) AS hs
+       |  FROM words
+       |)""".stripMargin
+
+  private val jaccardOracle =
+    s"""WITH $wordsCte, $shinglesCte,
+       |ex AS (SELECT doc_id, unnest(hs) AS h FROM sh),
+       |pairs AS (
+       |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS inter
+       |  FROM ex a JOIN ex b ON a.h = b.h AND a.doc_id < b.doc_id
+       |  GROUP BY 1, 2
+       |),
+       |sizes AS (SELECT doc_id, len(hs) AS n FROM sh)
+       |SELECT doc_a, doc_b,
+       |       round(inter * 1.0 / (sa.n + sb.n - inter), 4) AS jaccard
+       |FROM pairs
+       |JOIN sizes sa ON doc_a = sa.doc_id
+       |JOIN sizes sb ON doc_b = sb.doc_id
+       |WHERE round(inter * 1.0 / (sa.n + sb.n - inter), 4) >= 0.8
+       |ORDER BY doc_a, doc_b""".stripMargin
+
+  /** cosine with the same fold order as Similarity (left-to-right sum). */
+  private val embCte =
+    """e AS (SELECT vec_id, [CAST(x AS DOUBLE) for x in embedding] AS v FROM embeddings)"""
+  private def dotSql(a: String, b: String) =
+    s"list_reduce([$a[i] * $b[i] for i in range(1, len($a) + 1)], (x, y) -> x + y)"
+  private def normSql(a: String) =
+    s"sqrt(list_reduce([x * x for x in $a], (x, y) -> x + y))"
+  private def cosSql(a: String, b: String) =
+    s"${dotSql(a, b)} / (${normSql(a)} * ${normSql(b)})"
+
+  private val annOracle =
+    s"""WITH $embCte,
+       |q AS (SELECT vec_id AS q_id, v AS qv FROM e WHERE vec_id < 10),
+       |scored AS (
+       |  SELECT q_id, vec_id, ${cosSql("qv", "v")} AS cos,
+       |         row_number() OVER (PARTITION BY q_id ORDER BY ${cosSql("qv", "v")} DESC, vec_id) AS rank
+       |  FROM e CROSS JOIN q WHERE vec_id != q_id
+       |)
+       |SELECT q_id, vec_id, rank, round(cos, 6) AS cos
+       |FROM scored WHERE rank <= 5 ORDER BY q_id, rank""".stripMargin
+
+  def qs: Seq[Q] = Seq(
+
+    Q("q_pl_token_stats",
+      (s, dir) => TextAnalysis.tokenStats(Tables.documents(s, dir)).orderBy("doc_id"),
+      Some(s"""WITH $wordsCte
+              |SELECT doc_id, length(text) AS n_chars, len(w) AS n_words,
+              |       len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]')) AS n_tokens,
+              |       round(length(regexp_replace(text, '\\s+', '', 'g')) * 1.0 / len(w), 4) AS avg_word_len
+              |FROM words ORDER BY doc_id""".stripMargin),
+      bench = true),
+
+    Q("q_pl_lang_id",
+      (s, dir) => TextAnalysis.langId(Tables.documents(s, dir)).orderBy("doc_id"),
+      Some {
+        val lex = TextAnalysis.Lexicons
+        val scores = lex.map { case (l, ws) =>
+          s"round(len([x for x in w if x IN (${ws.map(x => s"'$x'").mkString(",")})]) * 1.0 / len(w), 4) AS score_$l"
+        }.mkString(",\n       ")
+        val langs = lex.map(_._1)
+        val caseChain = langs.reverse.foldLeft("'und'") { (acc, l) =>
+          val dom = langs.filter(_ != l).map(o => s"score_$l >= score_$o").mkString(" AND ")
+          s"CASE WHEN score_$l > 0 AND $dom THEN '$l' ELSE $acc END"
+        }
+        s"""WITH $wordsCte, scored AS (
+           |  SELECT doc_id, $scores
+           |  FROM words
+           |)
+           |SELECT doc_id, ${langs.map(l => s"score_$l").mkString(", ")}, $caseChain AS pred_lang
+           |FROM scored ORDER BY doc_id""".stripMargin
+      }),
+
+    Q("q_pl_quality",
+      (s, dir) => TextAnalysis.qualityScore(Tables.documents(s, dir)).orderBy("doc_id"),
+      Some {
+        val stop = TextAnalysis.Lexicons.flatMap(_._2).distinct.map(x => s"'$x'").mkString(",")
+        s"""WITH $wordsCte
+           |SELECT doc_id,
+           |       round(least(len(w) / 100.0, 1.0) * 0.3
+           |           + least((len([x for x in w if x IN ($stop)]) * 1.0 / len(w)) * 5.0, 1.0) * 0.3
+           |           + (1.0 - least((len(regexp_extract_all(text, '[^A-Za-z0-9\\s]')) * 1.0 / length(text)) * 10.0, 1.0)) * 0.2
+           |           + least((length(regexp_replace(text, '\\s+', '', 'g')) * 1.0 / len(w)) / 8.0, 1.0) * 0.2, 4) AS quality
+           |FROM words ORDER BY doc_id""".stripMargin
+      }),
+
+    Q("q_pl_fingerprint",
+      (s, dir) => TextAnalysis.fingerprint(Tables.documents(s, dir)).orderBy("doc_id"),
+      Some(s"""WITH $wordsCte, $shinglesCte
+              |SELECT doc_id, array_to_string(hs[1:5], '-') AS fp
+              |FROM sh ORDER BY doc_id""".stripMargin)),
+
+    Q("q_pl_dedup_exact",
+      (s, dir) => Dedup.exact(Tables.documents(s, dir)).orderBy("keep_id"),
+      Some("""SELECT md5(regexp_replace(trim(lower(text)), '\s+', ' ', 'g')) AS digest,
+             |       min(doc_id) AS keep_id, count(*) AS n_copies
+             |FROM documents GROUP BY 1 ORDER BY keep_id""".stripMargin)),
+
+    Q("q_pl_ngram_jaccard",
+      (s, dir) => Dedup.ngramJaccardPairs(Tables.documents(s, dir), 0.8)
+        .orderBy("doc_a", "doc_b"),
+      Some(jaccardOracle),
+      bench = true),
+
+    // Same verified-pair output as above; candidate generation goes through
+    // minhash signatures + LSH banding (the 100 TB path).
+    Q("q_pl_minhash_lsh",
+      (s, dir) => Dedup.minhashLshPairs(Tables.documents(s, dir), 0.8)
+        .orderBy("doc_a", "doc_b"),
+      Some(jaccardOracle),
+      bench = true),
+
+    Q("q_pl_simhash",
+      (s, dir) => Dedup.simhashPairs(Tables.documents(s, dir), 10)
+        .orderBy("doc_a", "doc_b"),
+      Some {
+        val h60 = "CAST(concat('0x', substr(md5(x), 1, 15)) AS BIGINT)"
+        s"""WITH $wordsCte, hv AS (
+           |  SELECT doc_id, [$h60 for x in w] AS hs FROM words
+           |), sim AS (
+           |  SELECT doc_id, CAST(list_sum(
+           |    [CASE WHEN list_sum([CASE WHEN (h >> b) & 1 = 1 THEN 1 ELSE -1 END for h in hs]) > 0
+           |          THEN (CAST(1 AS BIGINT) << b) ELSE 0 END
+           |     for b in range(0, 60)]) AS BIGINT) AS sh
+           |  FROM hv
+           |)
+           |SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+           |       bit_count(xor(a.sh, b.sh)) AS hamming
+           |FROM sim a JOIN sim b ON a.doc_id < b.doc_id
+           |WHERE bit_count(xor(a.sh, b.sh)) <= 10
+           |ORDER BY doc_a, doc_b""".stripMargin
+      }),
+
+    Q("q_pl_cos_pairs",
+      (s, dir) => Similarity.cosinePairs(Tables.embeddings(s, dir), 0.45)
+        .orderBy("vec_a", "vec_b"),
+      Some(s"""WITH $embCte
+              |SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+              |       round(${cosSql("a.v", "b.v")}, 6) AS cos
+              |FROM e a JOIN e b ON a.vec_id < b.vec_id
+              |WHERE ${cosSql("a.v", "b.v")} >= 0.45
+              |ORDER BY vec_a, vec_b""".stripMargin)),
+
+    Q("q_ann_brute",
+      (s, dir) => {
+        val emb = Tables.embeddings(s, dir)
+        Similarity.bruteForceTopK(emb, emb.filter(col("vec_id") < 10), 5)
+          .orderBy("q_id", "rank")
+      },
+      Some(annOracle),
+      bench = true),
+
+    // nprobe = all buckets ⇒ exact (same oracle); smaller nprobe is the
+    // recall/scan tradeoff knob.
+    Q("q_ann_ivf",
+      (s, dir) => {
+        val emb = Tables.embeddings(s, dir)
+        Similarity.ivfTopK(emb, emb.filter(col("vec_id") < 10), 5)
+          .orderBy("q_id", "rank")
+      },
+      Some(annOracle)),
+
+    Q("q_multimodal_meta",
+      (s, dir) => Multimodal.decodeMeta(s, Multimodal.mediaTable(Tables.documents(s, dir)))
+        .toDF().orderBy("doc_id"),
+      Some("""SELECT doc_id,
+             |       CASE WHEN doc_id % 3 = 0 THEN 'image'
+             |            WHEN doc_id % 3 = 1 THEN 'audio' ELSE 'video' END AS media_type,
+             |       octet_length(encode(text)) AS n_bytes,
+             |       md5(text) AS digest,
+             |       CAST(octet_length(encode(text)) % 640 AS INTEGER) AS width,
+             |       CAST(octet_length(encode(text)) * 7 % 480 AS INTEGER) AS height,
+             |       CAST(CASE WHEN doc_id % 3 = 2 THEN octet_length(encode(text)) % 16 ELSE 1 END AS INTEGER) AS n_frames
+             |FROM documents ORDER BY doc_id""".stripMargin))
+  )
 }

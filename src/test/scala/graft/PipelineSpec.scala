@@ -1,0 +1,79 @@
+package graft
+
+import graft.pipeline.{Dedup, Similarity, TextAnalysis}
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+class PipelineSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  val sf = "/root/testdata/sf0.001"
+  lazy val docs = graft.core.Tables.documents(spark, sf)
+  lazy val emb = graft.core.Tables.embeddings(spark, sf)
+
+  test("hash60 is the md5-prefix integer (portable across engines)") {
+    val got = Seq("abc").toDF("s").select(TextAnalysis.hash60(col("s"))).as[Long].head()
+    assert(got === 648541476951500027L) // int(md5('abc')[0:15], 16)
+  }
+
+  test("minhash LSH finds the same verified pairs as brute-force jaccard") {
+    val brute = Dedup.ngramJaccardPairs(docs, 0.8)
+      .select("doc_a", "doc_b").as[(Long, Long)].collect().toSet
+    val lsh = Dedup.minhashLshPairs(docs, 0.8)
+      .select("doc_a", "doc_b").as[(Long, Long)].collect().toSet
+    assert(lsh === brute)
+    assert(brute.nonEmpty, "test data should contain planted near-dups")
+  }
+
+  test("ivf with nprobe=all equals brute force") {
+    val q = emb.filter(col("vec_id") < 5)
+    val brute = Similarity.bruteForceTopK(emb, q, 3)
+      .select("q_id", "vec_id", "rank").as[(Long, Long, Int)].collect().toSet
+    val ivf = Similarity.ivfTopK(emb, q, 3)
+      .select("q_id", "vec_id", "rank").as[(Long, Long, Int)].collect().toSet
+    assert(ivf === brute)
+  }
+
+  test("ivf with nprobe=1 still returns k rows per query (reduced recall)") {
+    val q = emb.filter(col("vec_id") < 5)
+    val res = Similarity.ivfTopK(emb, q, 3, nprobe = 1)
+    val counts = res.groupBy("q_id").count().as[(Long, Long)].collect().toMap
+    assert(counts.values.forall(_ <= 3))
+    assert(counts.nonEmpty)
+  }
+
+  test("simhash of near-identical docs is closer than random pairs") {
+    val pairs = Dedup.simhashPairs(docs, 60).cache() // all pairs
+    val nearDup = Dedup.ngramJaccardPairs(docs, 0.8).select("doc_a", "doc_b")
+    val nd = pairs.join(nearDup, Seq("doc_a", "doc_b"), "left_semi")
+      .agg(avg("hamming")).as[Double].head()
+    val all = pairs.agg(avg("hamming")).as[Double].head()
+    assert(nd < all, s"near-dup hamming $nd should beat average $all")
+  }
+
+  test("exact dedup keeps one row per distinct normalized text") {
+    val n = docs.count()
+    val d = Dedup.exact(docs).count()
+    assert(d <= n && d > 0)
+  }
+
+  test("langid scores are in [0,1] and pred_lang is from the lexicon set") {
+    val langs = TextAnalysis.langId(docs).select("pred_lang").distinct()
+      .as[String].collect().toSet
+    assert(langs.subsetOf(Set("en", "de", "es", "fr", "und")))
+  }
+
+  test("quality score bounded in [0,1]") {
+    val mm = TextAnalysis.qualityScore(docs)
+      .agg(min("quality"), max("quality")).as[(Double, Double)].head()
+    assert(mm._1 >= 0.0 && mm._2 <= 1.0)
+  }
+
+  test("multimodal decode runs partition-batched with stable schema") {
+    val meta = graft.pipeline.Multimodal.decodeMeta(spark,
+      graft.pipeline.Multimodal.mediaTable(docs))
+    assert(meta.columns.toSeq === Seq("doc_id", "media_type", "n_bytes", "digest", "width", "height", "n_frames"))
+    assert(meta.count() === docs.count())
+  }
+}
