@@ -70,5 +70,7 @@ object Tables {
     * scale.
     */
   def seriesCatalog(spark: SparkSession, dir: String): DataFrame =
-    seriesView(spark, dir).select("series", "series_id", "tags").distinct()
+    seriesView(spark, dir).groupBy("series_id")
+      .agg(first("series").as("series"), first("tags").as("tags"))
+      .select("series", "series_id", "tags")
 }

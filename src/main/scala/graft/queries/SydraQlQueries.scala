@@ -239,6 +239,34 @@ object SydraQlQueries {
          |GROUP BY day ORDER BY day""".stripMargin,
       roundCols = Seq("ema_v")),
 
+    // Full storage round-trip inside the gate: events → hour-partitioned
+    // store (append: series_id hash, hour bucketing, partition write) →
+    // sydraQL over the store's scan → oracle on the raw parquet.
+    Q("q_store_roundtrip",
+      (s, dir) => {
+        import org.apache.spark.sql.functions.{col, lit, map}
+        val tmp = java.nio.file.Files.createTempDirectory("graft-gate-store").toString
+        val store = new graft.storage.SeriesStore(s, tmp)
+        val pts = Tables.events(s, dir).select(
+          col("event_type").as("series"),
+          map(lit("user"), (col("user_id") % 8).cast("string")).as("tags"),
+          (col("ts") / lit(1000000000L)).cast("long").as("time"),
+          col("value"))
+          .filter(col("time") >= T0 && col("time") < T0 + 2 * 86400)
+        store.append(pts)
+        val df = Engine.executeOnStore(store,
+          s"select time_bucket(3600, time) as bucket, avg(value) as avg_value, count() as n " +
+            s"from click where time >= $T0 and time < ${T0 + 2 * 86400} " +
+            "group by time_bucket(3600, time) order by bucket",
+          CompileOptions(now = NOW)).df
+        df.withColumn("avg_value", round(col("avg_value"), 4))
+      },
+      Some(s"""$svSql
+              |SELECT CAST(floor(time / 3600.0) AS BIGINT) * 3600 AS bucket,
+              |       round(avg(value), 4) AS avg_value, count(*) AS n
+              |FROM sv WHERE series = 'click' AND time >= $T0 AND time < ${T0 + 2 * 86400}
+              |GROUP BY bucket ORDER BY bucket""".stripMargin)),
+
     // by_id selector: the physical scan path (operator.zig:242-245) — the
     // id is resolved from the series catalog exactly like a client would.
     Q("q_sql_by_id",

@@ -1,0 +1,110 @@
+package graft.storage
+
+import graft.core.{Functions => F}
+import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** The hour-partitioned Parquet series table — the Spark rebuild of the
+  * reference's segment store (per-(series, UTC-hour) immutable columnar
+  * files, `/root/reference/src/sydra/engine.zig:317-374`,
+  * `storage/segment.zig`).
+  *
+  * Layout: `{root}/segments/hour_bucket=<epoch-hour>/part-*.parquet` with
+  * columns series STRING, series_id LONG, tags MAP<STRING,STRING>,
+  * time LONG (epoch seconds), value DOUBLE, seq LONG (monotone ingest
+  * sequence — the arrival-order tiebreak compaction's last-wins dedup
+  * needs, standing in for the reference's manifest file order).
+  *
+  * Scale design:
+  *  - hour partitioning ⇒ time predicates become partition pruning (the
+  *    reference's TimeBounds extraction, `physical.zig:138-264`, for free);
+  *  - within a partition files are sorted by (series_id, time) ⇒ parquet
+  *    row-group min/max stats prune series scans;
+  *  - writes repartition by hour so each partition dir is written by one
+  *    task (no small-file explosion at 1000 executors);
+  *  - retention = partition-dir drop (metadata-only, no rewrite).
+  */
+final class SeriesStore(val spark: SparkSession, val root: String) {
+
+  private def segDir = s"$root/segments"
+
+  val schema: StructType = StructType(Seq(
+    StructField("series", StringType, nullable = false),
+    StructField("series_id", LongType, nullable = false),
+    StructField("tags", MapType(StringType, StringType), nullable = true),
+    StructField("time", LongType, nullable = false),
+    StructField("value", DoubleType, nullable = true),
+    StructField("seq", LongType, nullable = false)))
+
+  /** Append points. Input needs (series, tags, time, value); series_id/seq
+    * derived here. Mirrors flush: per-series sort by ts, hour bucketing
+    * (`engine.zig:317-369`).
+    */
+  def append(points: DataFrame): Unit = {
+    val seqBase = System.currentTimeMillis() << 20
+    val df = points
+      .withColumn("series_id", F.seriesId(col("series"), col("tags")))
+      .withColumn("seq", lit(seqBase) + monotonically_increasing_id())
+      .withColumn("hour_bucket", (col("time") - pmod(col("time"), lit(3600L))).cast("long"))
+      .repartition(col("hour_bucket"))
+      .sortWithinPartitions(col("series_id"), col("time"))
+      .select("series", "series_id", "tags", "time", "value", "seq", "hour_bucket")
+    df.write.mode(SaveMode.Append).partitionBy("hour_bucket").parquet(segDir)
+  }
+
+  def isEmpty: Boolean = !new java.io.File(segDir).exists()
+
+  private def fullSchema = StructType(schema.fields :+ StructField("hour_bucket", LongType))
+
+  /** Full scan (partition column `hour_bucket` included); empty frame for a
+    * store with no flushed segments yet.
+    */
+  def scan(): DataFrame =
+    if (isEmpty) spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], fullSchema)
+    else spark.read.schema(fullSchema).parquet(segDir)
+
+  /** Range scan with explicit partition pruning on hour_bucket + row-group
+    * pruning on time (inclusive bounds, `segment.zig:156,172`).
+    */
+  def scanRange(startTs: Long, endTs: Long): DataFrame =
+    scan().filter(
+      col("hour_bucket") >= (startTs - startTs % 3600) &&
+        col("hour_bucket") <= endTs &&
+        col("time") >= startTs && col("time") <= endTs)
+
+  /** The sydraQL source view (series, series_id, tags, time, value). */
+  def source(): DataFrame = scan().select("series", "series_id", "tags", "time", "value")
+
+  /** Distinct series catalog — replaces the inverted tag index
+    * (`storage/tags.zig`): a small dimension the optimizer broadcasts.
+    */
+  def catalog(): DataFrame =
+    // series_id functionally determines (series, tags); MAP columns don't
+    // support set-op distinct, so dedupe by id
+    scan().groupBy("series_id")
+      .agg(first("series").as("series"), first("tags").as("tags"))
+      .select("series", "series_id", "tags")
+
+  /** Tag find (`http.zig:832-912`): AND = every (k,v) matches, OR = any. */
+  def findSeries(tags: Map[String, String], op: String = "and"): DataFrame = {
+    require(tags.nonEmpty, "tag find requires at least one tag")
+    val preds = tags.toSeq.map { case (k, v) => try_element_at(col("tags"), lit(k)) === v }
+    val pred = op.toLowerCase match {
+      case "and" => preds.reduce(_ && _)
+      case "or" => preds.reduce(_ || _)
+      case other => throw new IllegalArgumentException(s"op must be and|or, got $other")
+    }
+    catalog().filter(pred).select("series_id")
+  }
+
+  /** Hour partitions present on disk. */
+  def partitions(): Seq[Long] = {
+    val d = new java.io.File(segDir)
+    if (!d.exists()) Seq.empty
+    else d.listFiles().toSeq
+      .filter(f => f.isDirectory && f.getName.startsWith("hour_bucket="))
+      .map(_.getName.stripPrefix("hour_bucket=").toLong)
+      .sorted
+  }
+}

@@ -52,4 +52,58 @@ object Engine {
   def sql(spark: SparkSession, source: DataFrame, sydraql: String,
       options: CompileOptions = CompileOptions()): DataFrame =
     execute(spark, source, sydraql, options).df
+
+  /** Execute against a [[graft.storage.SeriesStore]]: SELECT/EXPLAIN read
+    * the store's source view; INSERT appends; DELETE rewrites affected
+    * hour partitions. The reference parses+validates INSERT/DELETE but
+    * never plans them (`plan.zig:99-104`) — here they run.
+    */
+  def executeOnStore(
+      store: graft.storage.SeriesStore,
+      sydraql: String,
+      options: CompileOptions = CompileOptions()): QueryResult = {
+    import graft.storage.Maintenance
+    import org.apache.spark.sql.functions._
+    val spark = store.spark
+    val ast = Parser.parse(sydraql)
+    Validator.validate(ast)
+    ast match {
+      case _: Ast.Select | _: Ast.Explain =>
+        execute(spark, store.source(), sydraql, options)
+      case Ast.Insert(series, cols, rows) =>
+        val compiler = new Compiler(spark, store.source(), options)
+        val colNames = if (cols.isEmpty) Seq("time", "value") else cols.map(_.toLowerCase)
+        if (!colNames.contains("time") || !colNames.contains("value"))
+          throw QueryError(QueryError.InvalidSyntax, "insert columns must include time and value")
+        val rowDfs = rows.map { vals =>
+          if (vals.length != colNames.length)
+            throw QueryError(QueryError.InvalidFunctionArity,
+              s"insert row has ${vals.length} values for ${colNames.length} columns")
+          val exprs = colNames.zip(vals).map { case (n, e) => compiler.scalar(e).as(n) }
+          val tagCols = colNames.filterNot(Seq("time", "value").contains)
+          spark.range(1).select(exprs: _*).select(
+            lit(series).as("series"),
+            (if (tagCols.isEmpty) map().cast("map<string,string>")
+             else map(tagCols.flatMap(t => Seq(lit(t), col(t).cast("string"))): _*)).as("tags"),
+            col("time").cast("long").as("time"),
+            col("value").cast("double").as("value"))
+        }
+        val pts = rowDfs.reduce(_ union _)
+        store.append(pts)
+        import spark.implicits._
+        QueryResult(Seq(rows.length.toLong).toDF("inserted"),
+          QueryStats(0, 0, 0, traceId()))
+      case Ast.Delete(sel, where) =>
+        val compiler = new Compiler(spark, store.source(), options)
+        val selPred = sel match {
+          case Ast.ById(id) => col("series_id") === id
+          case Ast.ByName(n) => col("series") === n
+        }
+        val pred = where.map(w => selPred && compiler.scalar(w)).getOrElse(selPred)
+        val n = store.scan().filter(pred).count()
+        Maintenance.deleteRows(store, pred)
+        import spark.implicits._
+        QueryResult(Seq(n).toDF("deleted"), QueryStats(0, 0, 0, traceId()))
+    }
+  }
 }

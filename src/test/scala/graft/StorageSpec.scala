@@ -1,0 +1,112 @@
+package graft
+
+import graft.storage.{Ingest, Maintenance, SeriesStore}
+import graft.sydraql.{CompileOptions, Engine}
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import java.nio.file.Files
+
+/** Engine round-trip fixtures from the reference's tests (FIXTURES.md §3:
+  * engine.zig:452-541) on the Spark storage layer.
+  */
+class StorageSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+
+  private def tmp(): String = Files.createTempDirectory("graft-store").toString
+
+  private def writeNdjson(lines: Seq[String]): String = {
+    val d = Files.createTempDirectory("graft-ndjson")
+    Files.write(d.resolve("in.ndjson"), lines.mkString("\n").getBytes)
+    d.toString
+  }
+
+  test("ingest -> flush -> range query round-trip with tags (engine.zig:452-495)") {
+    val store = new SeriesStore(spark, tmp())
+    val n = Ingest.batch(store, writeNdjson(Seq(
+      """{"series":"cpu.total","ts":1000,"value":1.5,"tags":{"host":"a"}}""",
+      """{"series":"cpu.total","ts":1500,"value":2.25,"tags":{"host":"a"}}""")))
+    assert(n === 2)
+    val got = store.scanRange(0, 10000).orderBy("time")
+      .select("time", "value").collect().map(r => (r.getLong(0), r.getDouble(1)))
+    assert(got.toSeq === Seq((1000L, 1.5), (1500L, 2.25)))
+    // tag find -> one series id
+    assert(store.findSeries(Map("host" -> "a")).count() === 1)
+    assert(store.findSeries(Map("host" -> "nope")).count() === 0)
+    assert(store.findSeries(Map("host" -> "nope", "x" -> "y"), "or").count() === 0)
+  }
+
+  test("value fallback: fields first-numeric, else 0 (http.zig:683-699)") {
+    val store = new SeriesStore(spark, tmp())
+    Ingest.batch(store, writeNdjson(Seq(
+      """{"series":"cpu.x","ts":10,"fields":{"usage":0.93,"idle":0.07}}""",
+      """{"series":"cpu.x","ts":20}""")))
+    val got = store.source().orderBy("time").select("value").collect().map(_.getDouble(0))
+    assert(got.toSeq === Seq(0.93, 0.0))
+  }
+
+  test("hour partitioning + retention partition drop (retention.zig:4-20)") {
+    val store = new SeriesStore(spark, tmp())
+    Ingest.batch(store, writeNdjson(Seq(
+      """{"series":"m","ts":100,"value":1}""",
+      """{"series":"m","ts":4000,"value":2}""",
+      """{"series":"m","ts":8000,"value":3}""")))
+    assert(store.partitions() === Seq(0L, 3600L, 7200L))
+    val dropped = Maintenance.applyRetention(store, cutoffTs = 4000)
+    assert(dropped === Seq(0L))
+    assert(store.partitions() === Seq(3600L, 7200L))
+    assert(store.source().count() === 2)
+  }
+
+  test("compaction dedups identical (series,ts) keeping last write (compact.zig:36-50)") {
+    val store = new SeriesStore(spark, tmp())
+    Ingest.batch(store, writeNdjson(Seq("""{"series":"m","ts":100,"value":1.0}""")))
+    Ingest.batch(store, writeNdjson(Seq("""{"series":"m","ts":100,"value":9.0}"""))) // later write wins
+    assert(store.source().count() === 2)
+    Maintenance.compact(store)
+    val rows = store.source().collect()
+    assert(rows.length === 1)
+    assert(rows.head.getAs[Double]("value") === 9.0)
+  }
+
+  test("sydraQL INSERT and DELETE execute against the store") {
+    val store = new SeriesStore(spark, tmp())
+    val opts = CompileOptions(now = 5000L)
+    Engine.executeOnStore(store, "insert into metrics values (1000, 42.0), (2000, 43.5)", opts)
+    Engine.executeOnStore(store, "insert into metrics (time, value, host) values (3000, 44.0, 'web')", opts)
+    val q = Engine.executeOnStore(store,
+      "select time, value from metrics where time >= 0 order by time", opts)
+    assert(q.df.collect().map(_.getLong(0)).toSeq === Seq(1000L, 2000L, 3000L))
+    // tagged row findable
+    assert(store.findSeries(Map("host" -> "web")).count() === 1)
+    val del = Engine.executeOnStore(store, "delete from metrics where time < 1500", opts)
+    assert(del.df.head().getLong(0) === 1L)
+    val after = Engine.executeOnStore(store,
+      "select time from metrics where time >= 0 order by time", opts)
+    assert(after.df.collect().map(_.getLong(0)).toSeq === Seq(2000L, 3000L))
+  }
+
+  test("streaming ingest: NDJSON dir -> micro-batches -> store (AvailableNow)") {
+    val store = new SeriesStore(spark, tmp())
+    val dir = writeNdjson(Seq(
+      """{"series":"s.a","ts":100,"value":1.0}""",
+      """{"series":"s.a","ts":200,"value":2.0}"""))
+    val ckpt = tmp() + "/ckpt"
+    val q = Ingest.stream(store, dir, ckpt)
+    q.awaitTermination(60000)
+    assert(store.source().count() === 2)
+    // WAL-replay analog (engine.zig:406-437): restart from the same
+    // checkpoint processes nothing new — no duplicate points
+    val q2 = Ingest.stream(store, dir, ckpt)
+    q2.awaitTermination(60000)
+    assert(store.source().count() === 2)
+  }
+
+  test("snapshot copies a queryable store") {
+    val store = new SeriesStore(spark, tmp())
+    Ingest.batch(store, writeNdjson(Seq("""{"series":"m","ts":100,"value":1.0}""")))
+    val dest = tmp() + "/snap"
+    Maintenance.snapshot(store, dest)
+    val restored = new SeriesStore(spark, dest)
+    assert(restored.source().count() === 1)
+  }
+}
