@@ -19,7 +19,7 @@ import org.apache.spark.sql.functions._
   */
 object Dedup {
 
-  import TextAnalysis.{hash31, shingles}
+  import TextAnalysis.hash31
 
   /** Exact dedup on normalized text (lowercase, collapsed whitespace):
     * keeper = min doc_id per digest group.
@@ -33,22 +33,24 @@ object Dedup {
 
   /** Shingle-hash sets per doc: (doc_id, hs ARRAY<LONG> sorted distinct). */
   private def shingleHashes(docs: DataFrame, n: Int): DataFrame =
-    docs.select(col("doc_id"),
-      array_sort(array_distinct(transform(shingles(col("text"), n), s => hash31(s)))).as("hs"))
+    TextAnalysis.shingleSets(docs, n)
 
   private def jaccard(a: Column, b: Column): Column = {
     val inter = size(array_intersect(a, b)).cast("double")
     inter / (size(a) + size(b) - size(array_intersect(a, b))).cast("double")
   }
 
-  /** Brute-force n-gram Jaccard near-dup pairs (the oracle algorithm as an
-    * operator; quadratic — small inputs or within-bucket use only).
-    * Pair generation uses an inverted shingle index (explode + self-join),
-    * not a cross join, so only docs sharing ≥1 shingle meet.
+  /** Exact n-gram Jaccard near-dup pairs with PPJoin-style prefix
+    * filtering: J(A,B) >= t implies |A∩B| >= t·|A|, so A and B must share
+    * a hash within each one's `|X| - ceil(t·|X|) + 1` smallest hashes —
+    * candidate generation explodes only that prefix of the (sorted) sets.
+    * Lossless vs the naive inverted index, ~(1-t)² of its join volume.
     */
   def ngramJaccardPairs(docs: DataFrame, threshold: Double, n: Int = 3): DataFrame = {
     val sh = shingleHashes(docs, n).cache()
-    val ex = sh.select(col("doc_id"), explode(col("hs")).as("h"))
+    val prefixLen = (size(col("hs")) - ceil(lit(threshold) * size(col("hs"))).cast("int") + 1)
+    val ex = sh.select(col("doc_id"),
+      explode(slice(col("hs"), lit(1), prefixLen)).as("h"))
     val cand = ex.as("a").join(ex.as("b"),
         col("a.h") === col("b.h") && col("a.doc_id") < col("b.doc_id"))
       .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
@@ -109,8 +111,9 @@ object Dedup {
     * maxHamming plus the packed signatures.
     */
   def simhash(docs: DataFrame): DataFrame = {
-    val w = TextAnalysis.words(col("text"))
-    val hashes = transform(w, x => TextAnalysis.hash60(x))
+    // bind the word-hash array before the per-bit lambdas reference it
+    // (expression trees inside HOF lambdas re-evaluate per element)
+    val hashes = col("__h")
     // votes[b] = sum over words of (bit b set ? +1 : -1)
     val sim = aggregate(
       sequence(lit(0), lit(59)), lit(0L),
@@ -119,7 +122,9 @@ object Dedup {
           (vacc, h) => vacc + when(call_function("shiftright", h, b.cast("int")).bitwiseAND(1) === 1, 1).otherwise(-1))
         acc + when(votes > 0, pow(lit(2.0), b).cast("long")).otherwise(0L)
       })
-    docs.select(col("doc_id"), sim.as("simhash"))
+    docs.withColumn("__w", TextAnalysis.words(col("text")))
+      .withColumn("__h", transform(col("__w"), x => TextAnalysis.hash60(x)))
+      .select(col("doc_id"), sim.as("simhash"))
   }
 
   def simhashPairs(docs: DataFrame, maxHamming: Int): DataFrame = {

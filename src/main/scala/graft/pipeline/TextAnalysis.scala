@@ -10,6 +10,11 @@ import org.apache.spark.sql.functions._
   * no UDFs, whole-stage-codegen friendly — so it scales linearly with input
   * splits at 100 TB. Hashing is md5-based (first 15 hex digits → 60-bit
   * int) so oracles in any SQL engine can reproduce it exactly.
+  *
+  * Perf note: the word array is always materialized (`withColumn`) before
+  * any lambda references it — an expression tree referenced inside a
+  * higher-order-function lambda is re-evaluated per element, so e.g.
+  * `split()` inside a shingle transform would go quadratic in words/doc.
   */
 object TextAnalysis {
 
@@ -25,26 +30,36 @@ object TextAnalysis {
   /** Whitespace word list, lowercased. */
   def words(text: Column): Column = split(lower(text), "\\s+")
 
-  /** Word n-gram shingles (distinct). */
-  def shingles(text: Column, n: Int = 3): Column = {
-    val w = words(text)
-    array_distinct(transform(sequence(lit(0), size(w) - n), i =>
-      concat_ws(" ", (0 until n).map(j => element_at(w, i + j + 1)): _*)))
-  }
+  /** Word n-gram shingles (distinct) from a *materialized* words column. */
+  def shinglesOf(w: Column, n: Int = 3): Column =
+    when(size(w) >= n,
+      array_distinct(transform(sequence(lit(0), size(w) - n), i =>
+        concat_ws(" ", (0 until n).map(j => element_at(w, i + j + 1)): _*))))
+      .otherwise(array().cast("array<string>"))
+
+  /** Sorted distinct 31-bit shingle-hash set from a words column (distinct
+    * applied to the hashes — mirrors the oracle exactly even under hash
+    * collisions).
+    */
+  def shingleHashesOf(w: Column, n: Int = 3): Column =
+    array_sort(array_distinct(transform(shinglesOf(w, n), s => hash31(s))))
+
+  /** (doc_id, hs ARRAY<LONG>) shingle-hash sets, words bound first. */
+  def shingleSets(docs: DataFrame, n: Int = 3): DataFrame =
+    docs.withColumn("__w", words(col("text")))
+      .select(col("doc_id"), shingleHashesOf(col("__w"), n).as("hs"))
 
   /** BPE-ish token pattern: letter runs, digit runs, single other glyphs. */
   val TokenPattern = "[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]"
 
   /** doc_id, n_chars, n_words, n_tokens, avg_word_len. */
-  def tokenStats(docs: DataFrame): DataFrame = {
-    val w = words(col("text"))
-    docs.select(
+  def tokenStats(docs: DataFrame): DataFrame =
+    docs.withColumn("__w", words(col("text"))).select(
       col("doc_id"),
       length(col("text")).as("n_chars"),
-      size(w).as("n_words"),
+      size(col("__w")).as("n_words"),
       size(regexp_extract_all(col("text"), lit(TokenPattern), lit(0))).as("n_tokens"),
-      round(length(regexp_replace(col("text"), "\\s+", "")).cast("double") / size(w), 4).as("avg_word_len"))
-  }
+      round(length(regexp_replace(col("text"), "\\s+", "")).cast("double") / size(col("__w")), 4).as("avg_word_len"))
 
   // Tiny fixed stopword lexicons (public-knowledge function words).
   val Lexicons: Seq[(String, Seq[String])] = Seq(
@@ -60,9 +75,8 @@ object TextAnalysis {
     * all-zero scores → 'und'.
     */
   def langId(docs: DataFrame): DataFrame = {
-    val w = words(col("text"))
-    val scored = docs.select(
-      (col("doc_id") +: Lexicons.map { case (l, lex) => lexScore(w, lex).as(s"score_$l") }): _*)
+    val scored = docs.withColumn("__w", words(col("text"))).select(
+      (col("doc_id") +: Lexicons.map { case (l, lex) => lexScore(col("__w"), lex).as(s"score_$l") }): _*)
     // first lang (in Lexicons order) with a positive score >= all others
     val best = Lexicons.map(_._1).foldRight(lit("und"): Column) { (l, acc) =>
       val dominates = Lexicons.map(_._1).filter(_ != l)
@@ -76,13 +90,13 @@ object TextAnalysis {
     * word-length sanity. Deterministic arithmetic, mirrored in oracles.
     */
   def qualityScore(docs: DataFrame): DataFrame = {
-    val w = words(col("text"))
+    val w = col("__w")
     val nWords = size(w).cast("double")
     val stopRatio = size(filter(w, x => x.isin(Lexicons.flatMap(_._2).distinct.map(lit): _*))).cast("double") / nWords
     val punct = size(regexp_extract_all(col("text"), lit("[^A-Za-z0-9\\s]"), lit(0))).cast("double")
     val punctRatio = punct / length(col("text")).cast("double")
     val awl = length(regexp_replace(col("text"), "\\s+", "")).cast("double") / nWords
-    docs.select(
+    docs.withColumn("__w", words(col("text"))).select(
       col("doc_id"),
       round(least(nWords / 100.0, lit(1.0)) * 0.3
         + least(stopRatio * 5.0, lit(1.0)) * 0.3
@@ -94,10 +108,8 @@ object TextAnalysis {
     * dash-joined (a winnowing-style k-min sketch). Identical docs → equal
     * fingerprints; near-dups share most components.
     */
-  def fingerprint(docs: DataFrame, k: Int = 5, n: Int = 3): DataFrame = {
-    val hs = array_sort(array_distinct(transform(shingles(col("text"), n), s => hash31(s))))
-    docs.select(
+  def fingerprint(docs: DataFrame, k: Int = 5, n: Int = 3): DataFrame =
+    shingleSets(docs, n).select(
       col("doc_id"),
-      concat_ws("-", slice(hs, 1, k)).as("fp"))
-  }
+      concat_ws("-", slice(col("hs"), 1, k)).as("fp"))
 }

@@ -1,5 +1,7 @@
 package graft.tools
 
+import graft.core.Tables
+import graft.pipeline.TextAnalysis
 import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.functions._
 
@@ -7,21 +9,25 @@ import org.apache.spark.sql.functions._
 object Probe {
   def main(args: Array[String]): Unit = {
     val spark = SparkSession.builder()
-      .master("local[2]")
-      .config("spark.sql.shuffle.partitions", "2")
+      .master("local[32]")
+      .config("spark.sql.shuffle.partitions", "32")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
-    import spark.implicits._
-    val df = Seq((1L, 1.0), (60L, 2.0), (120L, 4.0), (300L, 10.0)).toDF("t", "v")
-    val pts = sort_array(collect_list(when(col("v").isNotNull, struct(col("t").as("t"), col("v").as("v")))))
-    val agg = df.agg(pts.as("pts"))
-    agg.select(size(col("pts")).as("n"),
-      slice(col("pts"), lit(2), greatest(size(col("pts")) - 1, lit(0))).as("sl")).show(false)
-    agg.select(aggregate(
-      slice(col("pts"), lit(2), greatest(size(col("pts")) - 1, lit(0))),
-      element_at(col("pts"), 1).getField("v"),
-      (acc, x) => lit(0.5) * x.getField("v") + lit(0.5) * acc).as("ema")).show(false)
+    val dir = "/root/testdata/sf0.1"
+    val docs = Tables.documents(spark, dir)
+    val t0 = System.nanoTime()
+    val sh = TextAnalysis.shingleSets(docs, 3).cache()
+    println(s"docs=${docs.count()} shingled=${sh.count()} t=${(System.nanoTime()-t0)/1e9}")
+    val t1 = System.nanoTime()
+    val prefixLen = (size(col("hs")) - ceil(lit(0.8) * size(col("hs"))).cast("int") + 1)
+    val ex = sh.select(col("doc_id"), explode(slice(col("hs"), lit(1), prefixLen)).as("h"))
+    println(s"prefix tokens=${ex.count()} t=${(System.nanoTime()-t1)/1e9}")
+    val t2 = System.nanoTime()
+    val cand = ex.as("a").join(ex.as("b"),
+      col("a.h") === col("b.h") && col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b")).distinct().cache()
+    println(s"candidates=${cand.count()} t=${(System.nanoTime()-t2)/1e9}")
     spark.stop()
   }
 }
