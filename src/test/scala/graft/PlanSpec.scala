@@ -1,0 +1,87 @@
+package graft
+
+import graft.storage.{Ingest, SeriesStore}
+import org.scalatest.funsuite.AnyFunSuite
+import java.nio.file.Files
+
+/** Physical-plan shape checks: the properties that matter at 100 TB.
+  * `.explain` output is asserted, not eyeballed.
+  */
+class PlanSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+
+  val sf = "/root/testdata/sf0.001"
+
+  private def plan(name: String): String =
+    SparkEntry.queries(name)(spark, sf).queryExecution.explainString(
+      org.apache.spark.sql.execution.ExplainMode.fromString("formatted"))
+
+  test("filters are pushed to the parquet scan") {
+    val p = plan("q_scan_filter_project")
+    assert(p.contains("PushedFilters:"), p.take(500))
+    assert(p.contains("GreaterThan(l_quantity,45"), "l_quantity filter should reach parquet")
+  }
+
+  test("column pruning: scan reads only needed columns") {
+    val p = plan("q_scan_filter_project")
+    val readSchema = p.linesIterator.find(_.trim.startsWith("ReadSchema")).getOrElse("")
+    assert(!readSchema.contains("l_comment") && !readSchema.contains("l_tax"),
+      s"scan should prune unused columns: $readSchema")
+  }
+
+  test("small-dimension join broadcasts") {
+    val p = plan("q_join_broadcast")
+    assert(p.contains("BroadcastHashJoin"), p.take(800))
+  }
+
+  test("top-K compiles to TakeOrderedAndProject (no global sort)") {
+    val p = plan("q_topk")
+    assert(p.contains("TakeOrderedAndProject"), p.take(800))
+  }
+
+  test("aggregation is partial+final hash aggregate (map-side combine)") {
+    val p = plan("q_pricing_summary")
+    assert(p.contains("HashAggregate"))
+    assert(p.contains("partial_sum") || p.contains("partial_avg"), "expect partial aggregation")
+  }
+
+  test("whole-stage codegen covers the aggregation pipeline") {
+    // AQE finalizes the plan on execution; WholeStageCodegen spans print
+    // as *(N) prefixes in the executed plan
+    val df = SparkEntry.queries("q_pricing_summary")(spark, sf)
+    df.collect()
+    val p = df.queryExecution.executedPlan.toString
+    assert(p.contains("*("), p.take(800))
+  }
+
+  test("sydraQL time predicates prune store partitions (hour_bucket)") {
+    val store = new SeriesStore(spark, Files.createTempDirectory("graft-plan").toString)
+    Ingest.batch(store, {
+      val d = Files.createTempDirectory("graft-plan-nd")
+      Files.write(d.resolve("in.ndjson"),
+        (0 until 50).map(i => s"""{"series":"m","ts":${i * 600},"value":$i}""").mkString("\n").getBytes)
+      d.toString
+    })
+    assert(store.partitions().size > 1)
+    val df = store.scanRange(0, 3599)
+    val p = df.queryExecution.explainString(
+      org.apache.spark.sql.execution.ExplainMode.fromString("formatted"))
+    // partition filters on hour_bucket must be in the scan node (these are
+    // evaluated against the partition index, never touching file contents),
+    // and the time bounds must be pushed to parquet for row-group pruning
+    val scanSection = p.linesIterator.dropWhile(l => !l.contains("Scan parquet")).take(12).mkString("\n")
+    assert(scanSection.contains("PartitionFilters") && scanSection.contains("hour_bucket"), p.take(1200))
+    assert(p.contains("GreaterThanOrEqual(time,0"), "time lower bound should reach parquet")
+    // and the pruned result is correct: only hour 0 rows survive
+    assert(df.count() === 6) // ts = 0, 600, ..., 3000
+  }
+
+  test("sydraQL compile produces a pushed-down scan filter for series") {
+    val src = graft.core.Tables.seriesView(spark, sf)
+    val df = graft.sydraql.Engine.sql(spark, src,
+      "select time, value from click where time >= 0 and time < 100000000000")
+    val p = df.queryExecution.explainString(
+      org.apache.spark.sql.execution.ExplainMode.fromString("formatted"))
+    assert(p.contains("EqualTo(event_type,click)"), "series selector should push to parquet scan")
+  }
+}
