@@ -122,7 +122,7 @@ object Dedup {
           (vacc, h) => vacc + when(call_function("shiftright", h, b.cast("int")).bitwiseAND(1) === 1, 1).otherwise(-1))
         acc + when(votes > 0, pow(lit(2.0), b).cast("long")).otherwise(0L)
       })
-    docs.withColumn("__w", TextAnalysis.words(col("text")))
+    TextAnalysis.spread(docs).withColumn("__w", TextAnalysis.words(col("text")))
       .withColumn("__h", transform(col("__w"), x => TextAnalysis.hash60(x)))
       .select(col("doc_id"), sim.as("simhash"))
   }

@@ -18,6 +18,16 @@ import org.apache.spark.sql.functions._
   */
 object TextAnalysis {
 
+  /** Small inputs arrive as one parquet split, but the per-doc HOF work
+    * (hashing, shingling, regex) is CPU-bound — spread it across cores.
+    * (At 100 TB inputs come pre-split; repartition of a small corpus is a
+    * trivial shuffle next to the compute it parallelizes.)
+    */
+  private[pipeline] def spread(df: DataFrame): DataFrame = {
+    val target = df.sparkSession.sparkContext.defaultParallelism
+    if (df.rdd.getNumPartitions >= target) df else df.repartition(target)
+  }
+
   /** Portable 60-bit hash: int(md5(s)[0:15], 16). */
   def hash60(c: Column): Column =
     conv(substring(md5(c.cast("string")), 1, 15), 16, 10).cast("long")
@@ -37,24 +47,40 @@ object TextAnalysis {
         concat_ws(" ", (0 until n).map(j => element_at(w, i + j + 1)): _*))))
       .otherwise(array().cast("array<string>"))
 
-  /** Sorted distinct 31-bit shingle-hash set from a words column (distinct
-    * applied to the hashes — mirrors the oracle exactly even under hash
-    * collisions).
+  /** Shingle-hash combination constants (public-knowledge primes; any SQL
+    * engine reproduces the arithmetic — all products stay < 2^62).
     */
-  def shingleHashesOf(w: Column, n: Int = 3): Column =
-    array_sort(array_distinct(transform(shinglesOf(w, n), s => hash31(s))))
+  val ShingleA = 1000003L
+  val ShingleB = 999983L
+  val ShingleP = 2147483647L
 
-  /** (doc_id, hs ARRAY<LONG>) shingle-hash sets, words bound first. */
+  /** Sorted distinct 31-bit shingle-hash set from a *word-hash* column
+    * (ARRAY<LONG> of per-word [[hash31]] values): the shingle hash is an
+    * arithmetic combination of the n word hashes, so md5 runs once per
+    * word, not once per shingle — ~n× fewer digests on the hot path.
+    */
+  def shingleHashesFromWordHashes(wh: Column, n: Int = 3): Column = {
+    require(n == 3, "arithmetic shingle combination is defined for n=3")
+    when(size(wh) >= n,
+      array_sort(array_distinct(transform(sequence(lit(0), size(wh) - n), i =>
+        (element_at(wh, i + 1) * ShingleA % ShingleP * ShingleA % ShingleP
+          + element_at(wh, i + 2) * ShingleB % ShingleP
+          + element_at(wh, i + 3)) % ShingleP))))
+      .otherwise(array().cast("array<long>"))
+  }
+
+  /** (doc_id, hs ARRAY<LONG>) shingle-hash sets, word hashes bound first. */
   def shingleSets(docs: DataFrame, n: Int = 3): DataFrame =
-    docs.withColumn("__w", words(col("text")))
-      .select(col("doc_id"), shingleHashesOf(col("__w"), n).as("hs"))
+    spread(docs).withColumn("__w", words(col("text")))
+      .withColumn("__wh", transform(col("__w"), x => hash31(x)))
+      .select(col("doc_id"), shingleHashesFromWordHashes(col("__wh"), n).as("hs"))
 
   /** BPE-ish token pattern: letter runs, digit runs, single other glyphs. */
   val TokenPattern = "[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]"
 
   /** doc_id, n_chars, n_words, n_tokens, avg_word_len. */
   def tokenStats(docs: DataFrame): DataFrame =
-    docs.withColumn("__w", words(col("text"))).select(
+    spread(docs).withColumn("__w", words(col("text"))).select(
       col("doc_id"),
       length(col("text")).as("n_chars"),
       size(col("__w")).as("n_words"),
@@ -75,7 +101,7 @@ object TextAnalysis {
     * all-zero scores → 'und'.
     */
   def langId(docs: DataFrame): DataFrame = {
-    val scored = docs.withColumn("__w", words(col("text"))).select(
+    val scored = spread(docs).withColumn("__w", words(col("text"))).select(
       (col("doc_id") +: Lexicons.map { case (l, lex) => lexScore(col("__w"), lex).as(s"score_$l") }): _*)
     // first lang (in Lexicons order) with a positive score >= all others
     val best = Lexicons.map(_._1).foldRight(lit("und"): Column) { (l, acc) =>
@@ -96,7 +122,7 @@ object TextAnalysis {
     val punct = size(regexp_extract_all(col("text"), lit("[^A-Za-z0-9\\s]"), lit(0))).cast("double")
     val punctRatio = punct / length(col("text")).cast("double")
     val awl = length(regexp_replace(col("text"), "\\s+", "")).cast("double") / nWords
-    docs.withColumn("__w", words(col("text"))).select(
+    spread(docs).withColumn("__w", words(col("text"))).select(
       col("doc_id"),
       round(least(nWords / 100.0, lit(1.0)) * 0.3
         + least(stopRatio * 5.0, lit(1.0)) * 0.3

@@ -24,13 +24,21 @@ object Pipeline {
   private def h31(e: String): String =
     s"CAST(concat('0x', substr(md5($e), 1, 15)) AS BIGINT) % 2147483647"
 
-  /** distinct sorted 3-gram shingle hash sets per doc. */
+  /** distinct sorted 3-gram shingle hash sets per doc: md5 per word, then
+    * the same arithmetic combination as
+    * TextAnalysis.shingleHashesFromWordHashes (identical precedence).
+    */
   private val shinglesCte =
-    s"""sh AS (
+    s"""wh AS (
+       |  SELECT doc_id, [${h31("x")} for x in w] AS wh FROM words
+       |), sh AS (
        |  SELECT doc_id,
-       |         list_sort(list_distinct([${h31("w[i] || ' ' || w[i+1] || ' ' || w[i+2]")}
-       |                    for i in range(1, len(w) - 1)])) AS hs
-       |  FROM words
+       |         list_sort(list_distinct(
+       |           [(wh[i] * 1000003 % 2147483647 * 1000003 % 2147483647
+       |             + wh[i+1] * 999983 % 2147483647
+       |             + wh[i+2]) % 2147483647
+       |            for i in range(1, len(wh) - 1)])) AS hs
+       |  FROM wh
        |)""".stripMargin
 
   private val jaccardOracle =

@@ -1,7 +1,7 @@
 package graft.tools
 
 import graft.core.Tables
-import graft.pipeline.TextAnalysis
+import graft.pipeline.{Dedup, TextAnalysis}
 import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.functions._
 
@@ -18,16 +18,13 @@ object Probe {
     val docs = Tables.documents(spark, dir)
     val t0 = System.nanoTime()
     val sh = TextAnalysis.shingleSets(docs, 3).cache()
-    println(s"docs=${docs.count()} shingled=${sh.count()} t=${(System.nanoTime()-t0)/1e9}")
-    val t1 = System.nanoTime()
-    val prefixLen = (size(col("hs")) - ceil(lit(0.8) * size(col("hs"))).cast("int") + 1)
-    val ex = sh.select(col("doc_id"), explode(slice(col("hs"), lit(1), prefixLen)).as("h"))
-    println(s"prefix tokens=${ex.count()} t=${(System.nanoTime()-t1)/1e9}")
-    val t2 = System.nanoTime()
-    val cand = ex.as("a").join(ex.as("b"),
-      col("a.h") === col("b.h") && col("a.doc_id") < col("b.doc_id"))
-      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b")).distinct().cache()
-    println(s"candidates=${cand.count()} t=${(System.nanoTime()-t2)/1e9}")
+    println(s"shingled=${sh.count()} t=${(System.nanoTime()-t0)/1e9}")
+    val t3 = System.nanoTime()
+    val n = Dedup.ngramJaccardPairs(docs, 0.8).count()
+    println(s"full ngram pairs=$n t=${(System.nanoTime()-t3)/1e9}")
+    val t4 = System.nanoTime()
+    val m = Dedup.minhashLshPairs(docs, 0.8).count()
+    println(s"full minhash pairs=$m t=${(System.nanoTime()-t4)/1e9}")
     spark.stop()
   }
 }
