@@ -139,7 +139,8 @@ final class HttpApi(store: SeriesStore, token: Option[String] = None, maxRows: I
   private def respondQuery(ex: HttpExchange, sydraql: String): Unit = {
     val t0 = System.nanoTime()
     val res = Engine.executeOnStore(store, sydraql, CompileOptions())
-    val rows = res.df.limit(maxRows).collect()
+    val limited = res.df.limit(maxRows)
+    val rows = limited.collect()
     val pipelineUs = (System.nanoTime() - t0) / 1000
     queryTotal.incrementAndGet()
     val out: ObjectNode = mapper.createObjectNode()
@@ -154,6 +155,17 @@ final class HttpApi(store: SeriesStore, token: Option[String] = None, maxRows: I
     stats.put("pipeline_us", pipelineUs)
     stats.put("rows_emitted", rows.length)
     stats.put("trace_id", res.stats.traceId)
+    // per-operator instrumentation (reference: operator.zig:30-48 snapshots)
+    try {
+      val ops = stats.putArray("operators")
+      org.apache.spark.sql.graftshim.GraftShim
+        .operatorStats(limited.asInstanceOf[org.apache.spark.sql.classic.DataFrame])
+        .foreach { case (name, rowsOut) =>
+          val o = ops.addObject()
+          o.put("name", name)
+          o.put("rows_out", rowsOut)
+        }
+    } catch { case _: Throwable => () } // stats are best-effort
     respond(ex, 200, mapper.writeValueAsString(out))
   }
 

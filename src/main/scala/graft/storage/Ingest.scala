@@ -46,6 +46,33 @@ object Ingest {
     pts.count()
   }
 
+  /** CSV ingest (`series,ts,value` header or headerless in that order) —
+    * the reference's `sydra-csv` tool is an empty stub
+    * (`cmd/sydra-csv/main.zig:1`); this is the working Spark version.
+    */
+  def csv(store: SeriesStore, path: String, header: Boolean = true): Long = {
+    val raw = store.spark.read
+      .option("header", header.toString)
+      .schema("series STRING, ts LONG, value DOUBLE")
+      .csv(path)
+    val pts = raw
+      .filter(col("series").isNotNull && col("ts").isNotNull)
+      .select(col("series"), map().cast("map<string,string>").as("tags"),
+        col("ts").as("time"), coalesce(col("value"), lit(0.0)).as("value"))
+    store.append(pts)
+    pts.count()
+  }
+
+  /** CLI stdin ingest (`sydradb ingest`, `server.zig:82-115`): NDJSON on
+    * stdin, tags default empty.
+    */
+  def stdin(store: SeriesStore, in: java.io.InputStream = System.in): Long = {
+    val tmp = java.nio.file.Files.createTempFile("graft-stdin", ".ndjson")
+    java.nio.file.Files.copy(in, tmp, java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+    try batch(store, tmp.toString)
+    finally { java.nio.file.Files.delete(tmp); () }
+  }
+
   /** Streaming ingest: watch a directory of NDJSON files, append to the
     * store per micro-batch. `Trigger.AvailableNow` drains and stops (used
     * by tests); pass a processing-time trigger for a long-lived job.

@@ -16,4 +16,26 @@ import org.apache.spark.sql.classic.ExpressionUtils
 object GraftShim {
   def column(e: Expression): Column = ExpressionUtils.column(e)
   def expression(c: Column): Expression = ExpressionUtils.expression(c)
+
+  /** Post-execution per-operator stats `(nodeName, numOutputRows)` — the
+    * Spark analog of the reference's per-operator instrumentation
+    * (`operator.zig:30-48`, surfaced in API responses `http.zig:335-395`).
+    * AQE wrappers and query stages are unwrapped to the executed nodes.
+    */
+  def operatorStats(df: org.apache.spark.sql.classic.DataFrame): Seq[(String, Long)] = {
+    import org.apache.spark.sql.execution.SparkPlan
+    import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec, QueryStageExec}
+    def unwrap(p: SparkPlan): SparkPlan = p match {
+      case a: AdaptiveSparkPlanExec => unwrap(a.executedPlan)
+      case q: QueryStageExec => unwrap(q.plan)
+      case other => other
+    }
+    def walk(p: SparkPlan): Seq[SparkPlan] = {
+      val u = unwrap(p)
+      u +: u.children.flatMap(walk)
+    }
+    walk(df.queryExecution.executedPlan).map { p =>
+      (p.nodeName, p.metrics.get("numOutputRows").map(_.value).getOrElse(-1L))
+    }
+  }
 }

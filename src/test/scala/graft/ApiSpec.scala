@@ -93,6 +93,11 @@ class ApiSpec extends AnyFunSuite {
       assert(q.statusCode() === 200)
       assert(q.body().contains("\"columns\":[\"time\",\"value\"]"))
       assert(q.body().contains("trace_id"))
+      // per-operator instrumentation present with live metrics
+      // (operator.zig:30-48 analog)
+      assert(q.body().contains("\"operators\":["), q.body().take(400))
+      val rowsOut = """"rows_out":(\d+)""".r.findAllMatchIn(q.body()).map(_.group(1).toLong).toSeq
+      assert(rowsOut.exists(_ > 0), s"expected live operator metrics: $rowsOut")
 
       val sql = post(port, "/api/v1/sql",
         """{"query":"SELECT value FROM cpu.total WHERE time >= 0"}""")

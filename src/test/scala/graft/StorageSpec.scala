@@ -101,6 +101,24 @@ class StorageSpec extends AnyFunSuite {
     assert(store.source().count() === 2)
   }
 
+  test("CSV ingest (series,ts,value)") {
+    val store = new SeriesStore(spark, tmp())
+    val d = Files.createTempDirectory("graft-csv")
+    Files.write(d.resolve("in.csv"), "series,ts,value\nm,100,1.5\nm,200,\n".getBytes)
+    val n = Ingest.csv(store, d.toString)
+    assert(n === 2)
+    val got = store.source().orderBy("time").select("value").collect().map(_.getDouble(0))
+    assert(got.toSeq === Seq(1.5, 0.0)) // missing value -> 0 like NDJSON
+  }
+
+  test("CLI stdin ingest (server.zig:82-115)") {
+    val store = new SeriesStore(spark, tmp())
+    val in = new java.io.ByteArrayInputStream(
+      """{"series":"cli.m","ts":50,"value":7.0}""".getBytes)
+    assert(Ingest.stdin(store, in) === 1)
+    assert(store.source().head().getAs[Double]("value") === 7.0)
+  }
+
   test("snapshot copies a queryable store") {
     val store = new SeriesStore(spark, tmp())
     Ingest.batch(store, writeNdjson(Seq("""{"series":"m","ts":100,"value":1.0}""")))

@@ -176,6 +176,22 @@ class SydraqlSpec extends AnyFunSuite {
     assert(rows.map(r => Option(r.get(2))).toSeq === Seq(Some(2.0), Some(4.0), Some(10.0), None))
   }
 
+  test("fill_forward carries last non-null forward; coalesce fills straight") {
+    val s = spark
+    import s.implicits._
+    val src = Seq(
+      ("m", 1L, Map.empty[String, String], 0L, Option(1.0)),
+      ("m", 1L, Map.empty[String, String], 60L, None),
+      ("m", 1L, Map.empty[String, String], 120L, None),
+      ("m", 1L, Map.empty[String, String], 180L, Option(5.0)))
+      .toDF("series", "series_id", "tags", "time", "value")
+    val got = Engine.sql(spark, src,
+      "select time, fill_forward(value) as f, coalesce(value, 0 - 1) as c from m where time >= 0 order by time")
+      .collect()
+    assert(got.map(_.getDouble(1)).toSeq === Seq(1.0, 1.0, 1.0, 5.0))
+    assert(got.map(_.getDouble(2)).toSeq === Seq(1.0, -1.0, -1.0, 5.0))
+  }
+
   test("stats populated") {
     val res = Engine.execute(spark, tinySource, "select 1")
     assert(res.stats.parseUs >= 0 && res.stats.traceId.length === 13)
