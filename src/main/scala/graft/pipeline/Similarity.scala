@@ -25,10 +25,11 @@ object Similarity {
   private def dot(a: Column, b: Column): Column =
     aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0), (acc, x) => acc + x)
 
-  private def norm(a: Column): Column =
-    sqrt(aggregate(transform(a, x => x * x), lit(0.0), (acc, x) => acc + x))
-
-  def cosine(a: Column, b: Column): Column = dot(a, b) / (norm(a) * norm(b))
+  /** Fused codegen'd kernel (bit-identical to the HOF composition —
+    * same left-to-right summation; see graft.functions.CosineSimilarity).
+    */
+  def cosine(a: Column, b: Column): Column =
+    graft.functions.CosineSimilarity(a, b)
 
   /** Exact brute-force top-k cosine neighbors for each query vector.
     * Output: (q_id, vec_id, rank, cos round 6), ties broken by vec_id.

@@ -1,0 +1,76 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+
+/** Stream-query operators over the series model. The reference has no
+  * stream-query surface (SURVEY.md §2.12 — its "streaming" is only the
+  * ingest pipeline); these are the standard Structured Streaming
+  * capabilities a training-data/metrics pipeline needs on top:
+  * watermarked windowed aggregation and custom keyed state.
+  *
+  * Scale notes: windowed aggregation shuffles on (series, window) with
+  * partial aggregation and watermark-driven state eviction; keyed state is
+  * per-series (the natural shard key) and O(1) per key.
+  */
+object StreamOps {
+
+  final case class SeriesPoint(series: String, time: Long, value: Double)
+  final case class SeriesEma(series: String, ema: Double, n: Long)
+
+  /** Tumbling-window aggregates with a watermark: late points beyond
+    * `watermarkDelay` are dropped (in append mode) instead of growing
+    * state forever. Works on a streaming or batch frame with
+    * (series, time LONG epoch-secs, value).
+    */
+  def windowedAgg(
+      points: DataFrame,
+      windowDur: String = "1 hour",
+      watermarkDelay: String = "10 minutes"): DataFrame =
+    points
+      .withColumn("event_time", col("time").cast("timestamp"))
+      .withWatermark("event_time", watermarkDelay)
+      .groupBy(col("series"), window(col("event_time"), windowDur))
+      .agg(
+        avg(col("value")).as("avg_value"),
+        count(col("value")).as("n"),
+        min(col("value")).as("min_value"),
+        max(col("value")).as("max_value"))
+      .select(
+        col("series"),
+        col("window.start").cast("long").as("window_start"),
+        col("avg_value"), col("n"), col("min_value"), col("max_value"))
+
+  /** Per-series running EMA as custom keyed state
+    * (`flatMapGroupsWithState`): state = (ema, n); each batch folds its
+    * points in time order into the carried state. State survives restarts
+    * via the query checkpoint.
+    */
+  def emaState(
+      spark: SparkSession,
+      points: DataFrame,
+      alpha: Double): Dataset[SeriesEma] = {
+    import spark.implicits._
+    points.select(col("series"), col("time").cast("long"), col("value").cast("double"))
+      .as[SeriesPoint]
+      .groupByKey(_.series)
+      .flatMapGroupsWithState[SeriesEma, SeriesEma](
+        OutputMode.Update, GroupStateTimeout.NoTimeout) {
+        (series: String, it: Iterator[SeriesPoint], state: GroupState[SeriesEma]) =>
+          val sorted = it.toSeq.sortBy(p => (p.time, p.value))
+          if (sorted.isEmpty) Iterator.empty
+          else {
+            val init = state.getOption.getOrElse(SeriesEma(series, sorted.head.value, 0L))
+            var ema = if (state.exists) init.ema else sorted.head.value
+            var n = init.n
+            val rest = if (state.exists) sorted else sorted.tail
+            if (!state.exists) n += 1
+            rest.foreach { p => ema = alpha * p.value + (1 - alpha) * ema; n += 1 }
+            val out = SeriesEma(series, ema, n)
+            state.update(out)
+            Iterator.single(out)
+          }
+      }
+  }
+}

@@ -354,13 +354,28 @@ final class Compiler(spark: SparkSession, source: DataFrame, options: CompileOpt
     }
   }
 
-  /** Sorted (t, v) points for the order-sensitive aggregates. NULL values
-    * are dropped before collection (`when` without otherwise → NULL entries
-    * skipped by collect_list).
+  /** Sorted (t, v) points for the aggregates that genuinely need every
+    * point (irate's second-to-last, integral's trapezoid, ema's recursion).
+    * NULL values are dropped before collection (`when` without otherwise →
+    * NULL entries skipped by collect_list). State is O(bucket size): fine
+    * for time-bucketed groups (bounded by bucket duration × sample rate);
+    * rate/delta/first/last use the O(1) [[orderedExtremes]] path instead.
     */
   private def sortedPts(arg: Expr): Column = {
     val v = scalar(arg)
     sort_array(collect_list(when(v.isNotNull, struct(col("time").cast("long").as("t"), dbl(v).as("v")))))
+  }
+
+  /** O(1)-state first/last extremes in (t, v) order, null values skipped
+    * (min_by/max_by ignore rows with a NULL ordering key):
+    * (firstV, lastV, firstT, lastT, nonNullCount).
+    */
+  private def orderedExtremes(arg: Expr): (Column, Column, Column, Column, Column) = {
+    val v = dbl(scalar(arg))
+    val ord = when(v.isNotNull, struct(col("time").cast("long").as("t"), v.as("v")))
+    (min_by(v, ord), max_by(v, ord),
+      min_by(col("time").cast("long"), ord), max_by(col("time").cast("long"), ord),
+      count(v))
   }
 
   private def aggCall(name: String, args: Seq[Expr]): Column = name match {
@@ -383,18 +398,18 @@ final class Compiler(spark: SparkSession, source: DataFrame, options: CompileOpt
       }
       percentile(dbl(scalar(args.head)), lit(p))
     case "delta" =>
-      // last - first (functions.zig:359-365; Prometheus-style)
-      val pts = sortedPts(args.head)
-      when(size(pts) >= 1,
-        element_at(pts, -1).getField("v") - element_at(pts, 1).getField("v"))
+      // last - first (functions.zig:359-365; Prometheus-style). Bounded
+      // O(1) aggregation state: min_by/max_by over the (t, v) order — no
+      // point materialization, safe for arbitrarily large buckets.
+      val (firstV, lastV, _, _, n) = orderedExtremes(args.head)
+      when(n >= 1, lastV - firstV)
     case "rate" =>
       // (last-first)/(t_last-t_first) per bucket; NULL when <2 points or
       // zero time span (semantics chosen & documented — the reference
-      // registers but never executes rate, SURVEY.md §7.4)
-      val pts = sortedPts(args.head)
-      val dt = element_at(pts, -1).getField("t") - element_at(pts, 1).getField("t")
-      when(size(pts) >= 2 && dt > 0,
-        (element_at(pts, -1).getField("v") - element_at(pts, 1).getField("v")) / dt.cast("double"))
+      // registers but never executes rate, SURVEY.md §7.4). Bounded state.
+      val (firstV, lastV, firstT, lastT, n) = orderedExtremes(args.head)
+      val dt = lastT - firstT
+      when(n >= 2 && dt > 0, (lastV - firstV) / dt.cast("double"))
     case "irate" =>
       // last two samples (functions.zig:352-358)
       val pts = sortedPts(args.head)

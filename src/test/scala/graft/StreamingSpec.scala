@@ -1,0 +1,66 @@
+package graft
+
+import graft.storage.Ingest
+import graft.streaming.StreamOps
+import org.scalatest.funsuite.AnyFunSuite
+import java.nio.file.Files
+
+class StreamingSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+
+  private def ndjsonDir(lines: Seq[String], dir: java.nio.file.Path = null, name: String = "a.ndjson"): java.nio.file.Path = {
+    val d = if (dir == null) Files.createTempDirectory("graft-stream") else dir
+    Files.write(d.resolve(name), lines.mkString("\n").getBytes)
+    d
+  }
+
+  private def streamPoints(dir: java.nio.file.Path) =
+    Ingest.normalize(spark.readStream.schema(Ingest.ndjsonSchema).json(dir.toString))
+
+  test("watermarked windowed aggregation over a stream") {
+    val d = ndjsonDir(Seq(
+      """{"series":"m","ts":0,"value":1.0}""",
+      """{"series":"m","ts":1800,"value":3.0}""",
+      """{"series":"m","ts":3600,"value":10.0}""",
+      """{"series":"n","ts":0,"value":5.0}"""))
+    val agg = StreamOps.windowedAgg(streamPoints(d), windowDur = "1 hour")
+    assert(agg.isStreaming)
+    // watermark node present in the logical plan
+    assert(agg.queryExecution.logical.toString.contains("EventTimeWatermark"))
+    val q = agg.writeStream.outputMode("complete").format("memory").queryName("winagg").start()
+    try {
+      q.processAllAvailable()
+      val rows = spark.sql("select * from winagg order by series, window_start").collect()
+      assert(rows.map(r => (r.getString(0), r.getLong(1), r.getDouble(2), r.getLong(3))).toSeq ===
+        Seq(("m", 0L, 2.0, 2L), ("m", 3600L, 10.0, 1L), ("n", 0L, 5.0, 1L)))
+    } finally q.stop()
+  }
+
+  test("keyed EMA state carries across micro-batches and restarts") {
+    val d = ndjsonDir(Seq(
+      """{"series":"m","ts":0,"value":1.0}""",
+      """{"series":"m","ts":60,"value":2.0}"""))
+    val ckpt = Files.createTempDirectory("graft-stream-ckpt").toString
+    val results = scala.collection.concurrent.TrieMap[String, (Double, Long)]()
+    def run(): Map[String, (Double, Long)] = {
+      val out = StreamOps.emaState(spark, streamPoints(d).toDF(), alpha = 0.5)
+      val q = out.writeStream.outputMode("update")
+        .option("checkpointLocation", ckpt)
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .foreachBatch { (b: org.apache.spark.sql.Dataset[StreamOps.SeriesEma], _: Long) =>
+          b.collect().foreach(e => results.put(e.series, (e.ema, e.n)))
+        }
+        .start()
+      try { q.awaitTermination(60000); () } finally q.stop()
+      results.toMap
+    }
+    val first = run()
+    // batch 1: init 1.0, then 0.5*2 + 0.5*1 = 1.5
+    assert(first("m") === ((1.5, 2L)))
+    // add a second file; restart from the same checkpoint: state carries
+    ndjsonDir(Seq("""{"series":"m","ts":120,"value":4.0}"""), d, "b.ndjson")
+    val second = run()
+    // 0.5*4 + 0.5*1.5 = 2.75, n = 3
+    assert(second("m") === ((2.75, 3L)))
+  }
+}
