@@ -42,7 +42,7 @@ object Similarity {
     val w = Window.partitionBy(col("q_id")).orderBy(col("cos").desc, col("vec_id"))
     scored.withColumn("rank", row_number().over(w))
       .filter(col("rank") <= k)
-      .select(col("q_id"), col("vec_id"), col("rank"), round(col("cos"), 6).as("cos"))
+      .select(col("q_id"), col("vec_id"), col("rank").cast("long").as("rank"), round(col("cos"), 6).as("cos"))
   }
 
   /** Deterministic pseudo-random hyperplanes (no RNG dependency: public
@@ -87,7 +87,7 @@ object Similarity {
     val w = Window.partitionBy(col("q_id")).orderBy(col("cos").desc, col("vec_id"))
     scored.withColumn("rank", row_number().over(w))
       .filter(col("rank") <= k)
-      .select(col("q_id"), col("vec_id"), col("rank"), round(col("cos"), 6).as("cos"))
+      .select(col("q_id"), col("vec_id"), col("rank").cast("long").as("rank"), round(col("cos"), 6).as("cos"))
   }
 
   /** Embedding-cosine near-duplicate pairs (threshold on cosine). */

@@ -82,9 +82,9 @@ object TextAnalysis {
   def tokenStats(docs: DataFrame): DataFrame =
     spread(docs).withColumn("__w", words(col("text"))).select(
       col("doc_id"),
-      length(col("text")).as("n_chars"),
-      size(col("__w")).as("n_words"),
-      size(regexp_extract_all(col("text"), lit(TokenPattern), lit(0))).as("n_tokens"),
+      length(col("text")).cast("long").as("n_chars"),
+      size(col("__w")).cast("long").as("n_words"),
+      regexp_count(col("text"), lit(TokenPattern)).cast("long").as("n_tokens"),
       round(length(regexp_replace(col("text"), "\\s+", "")).cast("double") / size(col("__w")), 4).as("avg_word_len"))
 
   // Tiny fixed stopword lexicons (public-knowledge function words).
@@ -119,7 +119,7 @@ object TextAnalysis {
     val w = col("__w")
     val nWords = size(w).cast("double")
     val stopRatio = size(filter(w, x => x.isin(Lexicons.flatMap(_._2).distinct.map(lit): _*))).cast("double") / nWords
-    val punct = size(regexp_extract_all(col("text"), lit("[^A-Za-z0-9\\s]"), lit(0))).cast("double")
+    val punct = regexp_count(col("text"), lit("[^A-Za-z0-9\\s]")).cast("double")
     val punctRatio = punct / length(col("text")).cast("double")
     val awl = length(regexp_replace(col("text"), "\\s+", "")).cast("double") / nWords
     spread(docs).withColumn("__w", words(col("text"))).select(

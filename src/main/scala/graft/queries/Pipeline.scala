@@ -164,7 +164,7 @@ object Pipeline {
            |  FROM hv
            |)
            |SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
-           |       bit_count(xor(a.sh, b.sh)) AS hamming
+           |       CAST(bit_count(xor(a.sh, b.sh)) AS BIGINT) AS hamming
            |FROM sim a JOIN sim b ON a.doc_id < b.doc_id
            |WHERE bit_count(xor(a.sh, b.sh)) <= 10
            |ORDER BY doc_a, doc_b""".stripMargin

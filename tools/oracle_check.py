@@ -60,6 +60,7 @@ def main():
         try:
             got = con.sql(f"SELECT * FROM parquet_scan('{out}/{name}/*.parquet')")
             gcols, grows = [d[0] for d in got.description], got.fetchall()
+            gtypes = dict(zip(gcols, [str(t) for t in got.types]))
         except Exception as e:
             print(f"FAIL {name}: spark output unreadable: {e}")
             nfail += 1
@@ -67,6 +68,7 @@ def main():
         try:
             want = con.sql(oracle[name])
             wcols, wrows = [d[0] for d in want.description], want.fetchall()
+            wtypes = dict(zip(wcols, [str(t) for t in want.types]))
         except Exception as e:
             print(f"FAIL {name}: oracle SQL error: {e}")
             nfail += 1
@@ -74,6 +76,10 @@ def main():
         problems = []
         if sorted(gcols) != sorted(wcols):
             problems.append(f"cols spark={sorted(gcols)} oracle={sorted(wcols)}")
+        else:
+            tmis = {c: (gtypes[c], wtypes[c]) for c in gcols if gtypes[c] != wtypes[c]}
+            if tmis:
+                problems.append(f"types {tmis}")
         if len(grows) != len(wrows):
             problems.append(f"rows spark={len(grows)} oracle={len(wrows)}")
         if not problems:
