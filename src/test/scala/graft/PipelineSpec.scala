@@ -29,9 +29,9 @@ class PipelineSpec extends AnyFunSuite {
   test("ivf with nprobe=all equals brute force") {
     val q = emb.filter(col("vec_id") < 5)
     val brute = Similarity.bruteForceTopK(emb, q, 3)
-      .select("q_id", "vec_id", "rank").as[(Long, Long, Int)].collect().toSet
+      .select("q_id", "vec_id", "rank").as[(Long, Long, Long)].collect().toSet
     val ivf = Similarity.ivfTopK(emb, q, 3)
-      .select("q_id", "vec_id", "rank").as[(Long, Long, Int)].collect().toSet
+      .select("q_id", "vec_id", "rank").as[(Long, Long, Long)].collect().toSet
     assert(ivf === brute)
   }
 
