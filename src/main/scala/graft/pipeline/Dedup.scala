@@ -63,7 +63,7 @@ object Dedup {
       .join(sh.withColumnRenamed("doc_id", "doc_a").withColumnRenamed("hs", "hs_a"), "doc_a")
       .join(sh.withColumnRenamed("doc_id", "doc_b").withColumnRenamed("hs", "hs_b"), "doc_b")
       .select(col("doc_a"), col("doc_b"),
-        round(jaccard(col("hs_a"), col("hs_b")), 4).as("jaccard"))
+        (floor((jaccard(col("hs_a"), col("hs_b"))) * 1e4 + 0.5) / 1e4).as("jaccard"))
       .filter(col("jaccard") >= threshold)
 
   /** MinHash+LSH near-dup pairs: signature → band buckets → candidate

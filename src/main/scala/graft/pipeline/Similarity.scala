@@ -42,7 +42,7 @@ object Similarity {
     val w = Window.partitionBy(col("q_id")).orderBy(col("cos").desc, col("vec_id"))
     scored.withColumn("rank", row_number().over(w))
       .filter(col("rank") <= k)
-      .select(col("q_id"), col("vec_id"), col("rank").cast("long").as("rank"), round(col("cos"), 6).as("cos"))
+      .select(col("q_id"), col("vec_id"), col("rank").cast("long").as("rank"), (floor((col("cos")) * 1e6 + 0.5) / 1e6).as("cos"))
   }
 
   /** Deterministic pseudo-random hyperplanes (no RNG dependency: public
@@ -87,7 +87,7 @@ object Similarity {
     val w = Window.partitionBy(col("q_id")).orderBy(col("cos").desc, col("vec_id"))
     scored.withColumn("rank", row_number().over(w))
       .filter(col("rank") <= k)
-      .select(col("q_id"), col("vec_id"), col("rank").cast("long").as("rank"), round(col("cos"), 6).as("cos"))
+      .select(col("q_id"), col("vec_id"), col("rank").cast("long").as("rank"), (floor((col("cos")) * 1e6 + 0.5) / 1e6).as("cos"))
   }
 
   /** Embedding-cosine near-duplicate pairs (threshold on cosine). */
@@ -97,6 +97,6 @@ object Similarity {
       .select(col("a.vec_id").as("vec_a"), col("b.vec_id").as("vec_b"),
         cosine(col("a.v"), col("b.v")).as("cos"))
       .filter(col("cos") >= threshold)
-      .select(col("vec_a"), col("vec_b"), round(col("cos"), 6).as("cos"))
+      .select(col("vec_a"), col("vec_b"), (floor((col("cos")) * 1e6 + 0.5) / 1e6).as("cos"))
   }
 }

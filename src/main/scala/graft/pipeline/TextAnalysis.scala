@@ -85,7 +85,7 @@ object TextAnalysis {
       length(col("text")).cast("long").as("n_chars"),
       size(col("__w")).cast("long").as("n_words"),
       regexp_count(col("text"), lit(TokenPattern)).cast("long").as("n_tokens"),
-      round(length(regexp_replace(col("text"), "\\s+", "")).cast("double") / size(col("__w")), 4).as("avg_word_len"))
+      (floor((length(regexp_replace(col("text"), "\\s+", "")).cast("double") / size(col("__w"))) * 1e4 + 0.5) / 1e4).as("avg_word_len"))
 
   // Tiny fixed stopword lexicons (public-knowledge function words).
   val Lexicons: Seq[(String, Seq[String])] = Seq(
@@ -95,7 +95,7 @@ object TextAnalysis {
     "fr" -> Seq("le", "la", "et", "les", "des", "une", "est", "pour", "que", "dans"))
 
   private def lexScore(w: Column, lex: Seq[String]): Column =
-    round(size(filter(w, x => x.isin(lex.map(lit): _*))).cast("double") / size(w), 4)
+    floor((size(filter(w, x => x.isin(lex.map(lit): _*))).cast("double") / size(w)) * 1e4 + 0.5) / 1e4
 
   /** n-gram/stopword heuristic language ID. Ties resolve in Lexicons order;
     * all-zero scores → 'und'.
@@ -124,10 +124,10 @@ object TextAnalysis {
     val awl = length(regexp_replace(col("text"), "\\s+", "")).cast("double") / nWords
     spread(docs).withColumn("__w", words(col("text"))).select(
       col("doc_id"),
-      round(least(nWords / 100.0, lit(1.0)) * 0.3
+      (floor((least(nWords / 100.0, lit(1.0)) * 0.3
         + least(stopRatio * 5.0, lit(1.0)) * 0.3
         + (lit(1.0) - least(punctRatio * 10.0, lit(1.0))) * 0.2
-        + least(awl / 8.0, lit(1.0)) * 0.2, 4).as("quality"))
+        + least(awl / 8.0, lit(1.0)) * 0.2) * 1e4 + 0.5) / 1e4).as("quality"))
   }
 
   /** Document fingerprint: k smallest distinct 31-bit shingle hashes,

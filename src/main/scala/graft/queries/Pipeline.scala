@@ -51,11 +51,11 @@ object Pipeline {
        |),
        |sizes AS (SELECT doc_id, len(hs) AS n FROM sh)
        |SELECT doc_a, doc_b,
-       |       round(inter * 1.0 / (sa.n + sb.n - inter), 4) AS jaccard
+       |       floor((inter * 1.0 / (sa.n + sb.n - inter)) * 1e4 + 0.5) / 1e4 AS jaccard
        |FROM pairs
        |JOIN sizes sa ON doc_a = sa.doc_id
        |JOIN sizes sb ON doc_b = sb.doc_id
-       |WHERE round(inter * 1.0 / (sa.n + sb.n - inter), 4) >= 0.8
+       |WHERE floor((inter * 1.0 / (sa.n + sb.n - inter)) * 1e4 + 0.5) / 1e4 >= 0.8
        |ORDER BY doc_a, doc_b""".stripMargin
 
   /** cosine with the same fold order as Similarity (left-to-right sum). */
@@ -76,7 +76,7 @@ object Pipeline {
        |         row_number() OVER (PARTITION BY q_id ORDER BY ${cosSql("qv", "v")} DESC, vec_id) AS rank
        |  FROM e CROSS JOIN q WHERE vec_id != q_id
        |)
-       |SELECT q_id, vec_id, rank, round(cos, 6) AS cos
+       |SELECT q_id, vec_id, rank, floor((cos) * 1e6 + 0.5) / 1e6 AS cos
        |FROM scored WHERE rank <= 5 ORDER BY q_id, rank""".stripMargin
 
   def qs: Seq[Q] = Seq(
@@ -86,7 +86,7 @@ object Pipeline {
       Some(s"""WITH $wordsCte
               |SELECT doc_id, length(text) AS n_chars, len(w) AS n_words,
               |       len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]')) AS n_tokens,
-              |       round(length(regexp_replace(text, '\\s+', '', 'g')) * 1.0 / len(w), 4) AS avg_word_len
+              |       floor((length(regexp_replace(text, '\\s+', '', 'g')) * 1.0 / len(w)) * 1e4 + 0.5) / 1e4 AS avg_word_len
               |FROM words ORDER BY doc_id""".stripMargin),
       bench = true),
 
@@ -95,7 +95,7 @@ object Pipeline {
       Some {
         val lex = TextAnalysis.Lexicons
         val scores = lex.map { case (l, ws) =>
-          s"round(len([x for x in w if x IN (${ws.map(x => s"'$x'").mkString(",")})]) * 1.0 / len(w), 4) AS score_$l"
+          s"floor((len([x for x in w if x IN (${ws.map(x => s"'$x'").mkString(",")})]) * 1.0 / len(w)) * 1e4 + 0.5) / 1e4 AS score_$l"
         }.mkString(",\n       ")
         val langs = lex.map(_._1)
         val caseChain = langs.reverse.foldLeft("'und'") { (acc, l) =>
@@ -116,10 +116,10 @@ object Pipeline {
         val stop = TextAnalysis.Lexicons.flatMap(_._2).distinct.map(x => s"'$x'").mkString(",")
         s"""WITH $wordsCte
            |SELECT doc_id,
-           |       round(least(len(w) / 100.0, 1.0) * 0.3
+           |       floor((least(len(w) / 100.0, 1.0) * 0.3
            |           + least((len([x for x in w if x IN ($stop)]) * 1.0 / len(w)) * 5.0, 1.0) * 0.3
            |           + (1.0 - least((len(regexp_extract_all(text, '[^A-Za-z0-9\\s]')) * 1.0 / length(text)) * 10.0, 1.0)) * 0.2
-           |           + least((length(regexp_replace(text, '\\s+', '', 'g')) * 1.0 / len(w)) / 8.0, 1.0) * 0.2, 4) AS quality
+           |           + least((length(regexp_replace(text, '\\s+', '', 'g')) * 1.0 / len(w)) / 8.0, 1.0) * 0.2) * 1e4 + 0.5) / 1e4 AS quality
            |FROM words ORDER BY doc_id""".stripMargin
       }),
 
@@ -175,7 +175,7 @@ object Pipeline {
         .orderBy("vec_a", "vec_b"),
       Some(s"""WITH $embCte
               |SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
-              |       round(${cosSql("a.v", "b.v")}, 6) AS cos
+              |       floor((${cosSql("a.v", "b.v")}) * 1e6 + 0.5) / 1e6 AS cos
               |FROM e a JOIN e b ON a.vec_id < b.vec_id
               |WHERE ${cosSql("a.v", "b.v")} >= 0.45
               |ORDER BY vec_a, vec_b""".stripMargin)),

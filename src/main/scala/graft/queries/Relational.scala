@@ -33,18 +33,18 @@ object Relational {
     Q("q_agg_global",
       (s, dir) =>
         Tables.lineitem(s, dir).agg(
-          round(avg(col("l_quantity")), 4).as("avg_qty"),
-          round(sum(col("l_extendedprice")), 4).as("sum_price"),
+          (floor((avg(col("l_quantity"))) * 1e4 + 0.5) / 1e4).as("avg_qty"),
+          (floor((sum(col("l_extendedprice"))) * 1e4 + 0.5) / 1e4).as("sum_price"),
           count(lit(1)).as("n_rows"),
           count(col("l_quantity")).as("n_qty"),
-          round(min(col("l_quantity")), 4).as("min_qty"),
-          round(max(col("l_quantity")), 4).as("max_qty")),
-      Some("""SELECT round(avg(l_quantity), 4) AS avg_qty,
-             |       round(sum(l_extendedprice), 4) AS sum_price,
+          (floor((min(col("l_quantity"))) * 1e4 + 0.5) / 1e4).as("min_qty"),
+          (floor((max(col("l_quantity"))) * 1e4 + 0.5) / 1e4).as("max_qty")),
+      Some("""SELECT floor((avg(l_quantity)) * 1e4 + 0.5) / 1e4 AS avg_qty,
+             |       floor((sum(l_extendedprice)) * 1e4 + 0.5) / 1e4 AS sum_price,
              |       count(*) AS n_rows,
              |       count(l_quantity) AS n_qty,
-             |       round(min(l_quantity), 4) AS min_qty,
-             |       round(max(l_quantity), 4) AS max_qty
+             |       floor((min(l_quantity)) * 1e4 + 0.5) / 1e4 AS min_qty,
+             |       floor((max(l_quantity)) * 1e4 + 0.5) / 1e4 AS max_qty
              |FROM lineitem""".stripMargin)),
 
     Q("q_agg_group",
@@ -52,13 +52,13 @@ object Relational {
         Tables.lineitem(s, dir)
           .groupBy(col("l_returnflag"), col("l_linestatus"))
           .agg(
-            round(sum(col("l_quantity")), 4).as("sum_qty"),
-            round(avg(col("l_extendedprice")), 4).as("avg_price"),
+            (floor((sum(col("l_quantity"))) * 1e4 + 0.5) / 1e4).as("sum_qty"),
+            (floor((avg(col("l_extendedprice"))) * 1e4 + 0.5) / 1e4).as("avg_price"),
             count(lit(1)).as("n"))
           .orderBy(col("l_returnflag"), col("l_linestatus")),
       Some("""SELECT l_returnflag, l_linestatus,
-             |       round(sum(l_quantity), 4) AS sum_qty,
-             |       round(avg(l_extendedprice), 4) AS avg_price,
+             |       floor((sum(l_quantity)) * 1e4 + 0.5) / 1e4 AS sum_qty,
+             |       floor((avg(l_extendedprice)) * 1e4 + 0.5) / 1e4 AS avg_price,
              |       count(*) AS n
              |FROM lineitem
              |GROUP BY l_returnflag, l_linestatus
@@ -72,23 +72,23 @@ object Relational {
           .filter(col("l_shipdate") <= lit("1998-09-02").cast("timestamp"))
           .groupBy(col("l_returnflag"), col("l_linestatus"))
           .agg(
-            round(sum(col("l_quantity")), 4).as("sum_qty"),
-            round(sum(col("l_extendedprice")), 4).as("sum_base_price"),
-            round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 4).as("sum_disc_price"),
-            round(sum(col("l_extendedprice") * (lit(1) - col("l_discount")) * (lit(1) + col("l_tax"))), 4).as("sum_charge"),
-            round(avg(col("l_quantity")), 4).as("avg_qty"),
-            round(avg(col("l_extendedprice")), 4).as("avg_price"),
-            round(avg(col("l_discount")), 4).as("avg_disc"),
+            (floor((sum(col("l_quantity"))) * 1e4 + 0.5) / 1e4).as("sum_qty"),
+            (floor((sum(col("l_extendedprice"))) * 1e4 + 0.5) / 1e4).as("sum_base_price"),
+            (floor((sum(col("l_extendedprice") * (lit(1) - col("l_discount")))) * 1e4 + 0.5) / 1e4).as("sum_disc_price"),
+            (floor((sum(col("l_extendedprice") * (lit(1) - col("l_discount")) * (lit(1) + col("l_tax")))) * 1e4 + 0.5) / 1e4).as("sum_charge"),
+            (floor((avg(col("l_quantity"))) * 1e4 + 0.5) / 1e4).as("avg_qty"),
+            (floor((avg(col("l_extendedprice"))) * 1e4 + 0.5) / 1e4).as("avg_price"),
+            (floor((avg(col("l_discount"))) * 1e4 + 0.5) / 1e4).as("avg_disc"),
             count(lit(1)).as("count_order"))
           .orderBy(col("l_returnflag"), col("l_linestatus")),
       Some("""SELECT l_returnflag, l_linestatus,
-             |       round(sum(l_quantity), 4) AS sum_qty,
-             |       round(sum(l_extendedprice), 4) AS sum_base_price,
-             |       round(sum(l_extendedprice * (1 - l_discount)), 4) AS sum_disc_price,
-             |       round(sum(l_extendedprice * (1 - l_discount) * (1 + l_tax)), 4) AS sum_charge,
-             |       round(avg(l_quantity), 4) AS avg_qty,
-             |       round(avg(l_extendedprice), 4) AS avg_price,
-             |       round(avg(l_discount), 4) AS avg_disc,
+             |       floor((sum(l_quantity)) * 1e4 + 0.5) / 1e4 AS sum_qty,
+             |       floor((sum(l_extendedprice)) * 1e4 + 0.5) / 1e4 AS sum_base_price,
+             |       floor((sum(l_extendedprice * (1 - l_discount))) * 1e4 + 0.5) / 1e4 AS sum_disc_price,
+             |       floor((sum(l_extendedprice * (1 - l_discount) * (1 + l_tax))) * 1e4 + 0.5) / 1e4 AS sum_charge,
+             |       floor((avg(l_quantity)) * 1e4 + 0.5) / 1e4 AS avg_qty,
+             |       floor((avg(l_extendedprice)) * 1e4 + 0.5) / 1e4 AS avg_price,
+             |       floor((avg(l_discount)) * 1e4 + 0.5) / 1e4 AS avg_disc,
              |       count(*) AS count_order
              |FROM lineitem
              |WHERE l_shipdate <= TIMESTAMP '1998-09-02'
@@ -126,12 +126,12 @@ object Relational {
         val p = Tables.part(s, dir)
         li.join(broadcast(p), li("l_partkey") === p("p_partkey"))
           .groupBy(col("p_brand"))
-          .agg(round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 4).as("revenue"),
+          .agg((floor((sum(col("l_extendedprice") * (lit(1) - col("l_discount")))) * 1e4 + 0.5) / 1e4).as("revenue"),
             count(lit(1)).as("n"))
           .orderBy(col("p_brand"))
       },
       Some("""SELECT p_brand,
-             |       round(sum(l_extendedprice * (1 - l_discount)), 4) AS revenue,
+             |       floor((sum(l_extendedprice * (1 - l_discount))) * 1e4 + 0.5) / 1e4 AS revenue,
              |       count(*) AS n
              |FROM lineitem JOIN part ON l_partkey = p_partkey
              |GROUP BY p_brand ORDER BY p_brand""".stripMargin),
@@ -145,12 +145,12 @@ object Relational {
         li.join(o, li("l_orderkey") === o("o_orderkey"))
           .join(broadcast(c), o("o_custkey") === c("c_custkey"))
           .groupBy(col("c_mktsegment"))
-          .agg(round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 4).as("revenue"),
+          .agg((floor((sum(col("l_extendedprice") * (lit(1) - col("l_discount")))) * 1e4 + 0.5) / 1e4).as("revenue"),
             count(lit(1)).as("n"))
           .orderBy(col("c_mktsegment"))
       },
       Some("""SELECT c_mktsegment,
-             |       round(sum(l_extendedprice * (1 - l_discount)), 4) AS revenue,
+             |       floor((sum(l_extendedprice * (1 - l_discount))) * 1e4 + 0.5) / 1e4 AS revenue,
              |       count(*) AS n
              |FROM lineitem
              |JOIN orders ON l_orderkey = o_orderkey
@@ -207,10 +207,10 @@ object Relational {
       (s, dir) =>
         Tables.orders(s, dir)
           .groupBy(col("o_custkey"))
-          .agg(round(sum(col("o_totalprice")), 4).as("total"), count(lit(1)).as("n"))
+          .agg((floor((sum(col("o_totalprice"))) * 1e4 + 0.5) / 1e4).as("total"), count(lit(1)).as("n"))
           .filter(col("n") >= 15)
           .orderBy(col("o_custkey")),
-      Some("""SELECT o_custkey, round(sum(o_totalprice), 4) AS total, count(*) AS n
+      Some("""SELECT o_custkey, floor((sum(o_totalprice)) * 1e4 + 0.5) / 1e4 AS total, count(*) AS n
              |FROM orders GROUP BY o_custkey HAVING count(*) >= 15
              |ORDER BY o_custkey""".stripMargin)),
 
@@ -221,12 +221,12 @@ object Relational {
             when(col("o_totalprice") < 100000, lit("small"))
               .when(col("o_totalprice") < 300000, lit("medium"))
               .otherwise(lit("large")).as("size_class"))
-          .agg(count(lit(1)).as("n"), round(avg(col("o_totalprice")), 4).as("avg_price"))
+          .agg(count(lit(1)).as("n"), (floor((avg(col("o_totalprice"))) * 1e4 + 0.5) / 1e4).as("avg_price"))
           .orderBy(col("size_class")),
       Some("""SELECT CASE WHEN o_totalprice < 100000 THEN 'small'
              |            WHEN o_totalprice < 300000 THEN 'medium'
              |            ELSE 'large' END AS size_class,
-             |       count(*) AS n, round(avg(o_totalprice), 4) AS avg_price
+             |       count(*) AS n, floor((avg(o_totalprice)) * 1e4 + 0.5) / 1e4 AS avg_price
              |FROM orders GROUP BY 1 ORDER BY size_class""".stripMargin))
   )
 }

@@ -2,7 +2,7 @@ package graft.queries
 
 import graft.core.Tables
 import graft.sydraql.{CompileOptions, Engine}
-import org.apache.spark.sql.functions.{col, round}
+import org.apache.spark.sql.functions._
 
 /** Queries routed end-to-end through the sydraQL front-end
   * (lexer→parser→validator→DataFrame compiler) against the events series
@@ -24,7 +24,7 @@ object SydraQlQueries {
     Q(name,
       (s, dir) => {
         val df = Engine.sql(s, Tables.seriesView(s, dir), sydraql, CompileOptions(now = NOW))
-        roundCols.foldLeft(df)((d, c) => d.withColumn(c, round(col(c), 4)))
+        roundCols.foldLeft(df)((d, c) => d.withColumn(c, floor((col(c)) * 1e4 + 0.5) / 1e4))
       },
       Some(oracle),
       bench = bench)
@@ -75,7 +75,7 @@ object SydraQlQueries {
         s"from click where time >= $T0 and time < $T1 group by time_bucket(3600, time) order by bucket",
       s"""$svSql
          |SELECT CAST(floor(time / 3600.0) AS BIGINT) * 3600 AS bucket,
-         |       round(avg(value), 4) AS avg_value, count(value) AS n
+         |       floor((avg(value)) * 1e4 + 0.5) / 1e4 AS avg_value, count(value) AS n
          |FROM sv WHERE series = 'click' AND time >= $T0 AND time < $T1
          |GROUP BY bucket ORDER BY bucket""".stripMargin,
       roundCols = Seq("avg_value"), bench = true),
@@ -84,8 +84,8 @@ object SydraQlQueries {
       s"select tag.user as usr, avg(value) as avg_value, sum(value) as sum_value, count() as n " +
         s"from click where time >= $T0 and time < $T1 group by tag.user order by usr",
       s"""$svSql
-         |SELECT tag_user AS usr, round(avg(value), 4) AS avg_value,
-         |       round(sum(value), 4) AS sum_value, count(*) AS n
+         |SELECT tag_user AS usr, floor((avg(value)) * 1e4 + 0.5) / 1e4 AS avg_value,
+         |       floor((sum(value)) * 1e4 + 0.5) / 1e4 AS sum_value, count(*) AS n
          |FROM sv WHERE series = 'click' AND time >= $T0 AND time < $T1
          |GROUP BY tag_user ORDER BY usr""".stripMargin,
       roundCols = Seq("avg_value", "sum_value")),
@@ -149,8 +149,8 @@ object SydraQlQueries {
          |  SELECT unnest(generate_series(min(bucket), max(bucket), 1800)) AS bucket FROM agg
          |)
          |SELECT s.bucket,
-         |       round(last_value(a.avg_value IGNORE NULLS)
-         |             OVER (ORDER BY s.bucket ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 4) AS avg_value
+         |       floor((last_value(a.avg_value IGNORE NULLS)
+         |             OVER (ORDER BY s.bucket ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)) * 1e4 + 0.5) / 1e4 AS avg_value
          |FROM spine s LEFT JOIN agg a ON s.bucket = a.bucket
          |ORDER BY s.bucket""".stripMargin,
       roundCols = Seq("avg_value")),
@@ -166,7 +166,7 @@ object SydraQlQueries {
          |), spine AS (
          |  SELECT unnest(generate_series(min(bucket), max(bucket), 1800)) AS bucket FROM agg
          |)
-         |SELECT s.bucket, round(coalesce(a.avg_value, 0), 4) AS avg_value
+         |SELECT s.bucket, floor((coalesce(a.avg_value, 0)) * 1e4 + 0.5) / 1e4 AS avg_value
          |FROM spine s LEFT JOIN agg a ON s.bucket = a.bucket
          |ORDER BY s.bucket""".stripMargin,
       roundCols = Seq("avg_value")),
@@ -192,10 +192,10 @@ object SydraQlQueries {
          |  FROM spine s LEFT JOIN agg a ON s.bucket = a.bucket
          |)
          |SELECT bucket,
-         |       round(CASE WHEN avg_value IS NOT NULL THEN avg_value
+         |       floor((CASE WHEN avg_value IS NOT NULL THEN avg_value
          |                  WHEN pv IS NOT NULL AND nv IS NOT NULL
          |                       THEN pv + (nv - pv) * (bucket - pb) / (nb - pb)
-         |             END, 4) AS avg_value
+         |             END) * 1e4 + 0.5) / 1e4 AS avg_value
          |FROM j ORDER BY bucket""".stripMargin,
       roundCols = Seq("avg_value")),
 
@@ -205,13 +205,13 @@ object SydraQlQueries {
         s"group by time_bucket(3600, time) order by bucket",
       s"""${ptsSql(3600L, "click")}
          |SELECT bucket,
-         |       round(CASE WHEN cnt >= 2 AND max(time) - min(time) > 0
+         |       floor((CASE WHEN cnt >= 2 AND max(time) - min(time) > 0
          |             THEN (min(CASE WHEN rn_d = 1 THEN value END) - min(CASE WHEN rn_a = 1 THEN value END))
-         |                  / (max(time) - min(time)) END, 4) AS rate_v,
-         |       round(min(CASE WHEN rn_d = 1 THEN value END) - min(CASE WHEN rn_a = 1 THEN value END), 4) AS delta_v,
-         |       round(CASE WHEN cnt >= 2 AND min(CASE WHEN rn_d = 1 THEN time END) - min(CASE WHEN rn_d = 2 THEN time END) > 0
+         |                  / (max(time) - min(time)) END) * 1e4 + 0.5) / 1e4 AS rate_v,
+         |       floor((min(CASE WHEN rn_d = 1 THEN value END) - min(CASE WHEN rn_a = 1 THEN value END)) * 1e4 + 0.5) / 1e4 AS delta_v,
+         |       floor((CASE WHEN cnt >= 2 AND min(CASE WHEN rn_d = 1 THEN time END) - min(CASE WHEN rn_d = 2 THEN time END) > 0
          |             THEN (min(CASE WHEN rn_d = 1 THEN value END) - min(CASE WHEN rn_d = 2 THEN value END))
-         |                  / (min(CASE WHEN rn_d = 1 THEN time END) - min(CASE WHEN rn_d = 2 THEN time END)) END, 4) AS irate_v
+         |                  / (min(CASE WHEN rn_d = 1 THEN time END) - min(CASE WHEN rn_d = 2 THEN time END)) END) * 1e4 + 0.5) / 1e4 AS irate_v
          |FROM pts GROUP BY bucket, cnt ORDER BY bucket""".stripMargin,
       roundCols = Seq("rate_v", "delta_v", "irate_v")),
 
@@ -225,7 +225,7 @@ object SydraQlQueries {
          |  FROM pts
          |)
          |SELECT bucket AS day,
-         |       round(coalesce(sum((time - pt) * (value + pv) / 2), 0), 4) AS area
+         |       floor((coalesce(sum((time - pt) * (value + pv) / 2), 0)) * 1e4 + 0.5) / 1e4 AS area
          |FROM pairs GROUP BY bucket ORDER BY day""".stripMargin,
       roundCols = Seq("area")),
 
@@ -234,7 +234,7 @@ object SydraQlQueries {
         s"from error where time >= $T0 and time < ${T0 + 3 * 86400} group by time_bucket(86400, time) order by day",
       s"""$svSql
          |SELECT CAST(floor(time / 86400.0) AS BIGINT) * 86400 AS day,
-         |       round(list_reduce(list(value ORDER BY time, value), (acc, x) -> 0.5 * x + 0.5 * acc), 4) AS ema_v
+         |       floor((list_reduce(list(value ORDER BY time, value), (acc, x) -> 0.5 * x + 0.5 * acc)) * 1e4 + 0.5) / 1e4 AS ema_v
          |FROM sv WHERE series = 'error' AND time >= $T0 AND time < ${T0 + 3 * 86400}
          |GROUP BY day ORDER BY day""".stripMargin,
       roundCols = Seq("ema_v")),
@@ -259,11 +259,11 @@ object SydraQlQueries {
             s"from click where time >= $T0 and time < ${T0 + 2 * 86400} " +
             "group by time_bucket(3600, time) order by bucket",
           CompileOptions(now = NOW)).df
-        df.withColumn("avg_value", round(col("avg_value"), 4))
+        df.withColumn("avg_value", floor((col("avg_value")) * 1e4 + 0.5) / 1e4)
       },
       Some(s"""$svSql
               |SELECT CAST(floor(time / 3600.0) AS BIGINT) * 3600 AS bucket,
-              |       round(avg(value), 4) AS avg_value, count(*) AS n
+              |       floor((avg(value)) * 1e4 + 0.5) / 1e4 AS avg_value, count(*) AS n
               |FROM sv WHERE series = 'click' AND time >= $T0 AND time < ${T0 + 2 * 86400}
               |GROUP BY bucket ORDER BY bucket""".stripMargin)),
 

@@ -67,20 +67,20 @@ object TimeSeries {
         ev(s, dir).filter(col("time") >= T0 && col("time") < T1)
           .groupBy(col("series"), F.timeBucket(lit(3600), col("time")).as("bucket"))
           .agg(
-            round(avg(col("value")), 4).as("avg_value"),
-            round(sum(col("value")), 4).as("sum_value"),
+            (floor((avg(col("value"))) * 1e4 + 0.5) / 1e4).as("avg_value"),
+            (floor((sum(col("value"))) * 1e4 + 0.5) / 1e4).as("sum_value"),
             count(col("value")).as("n"),
-            round(min(col("value")), 4).as("min_value"),
-            round(max(col("value")), 4).as("max_value"))
+            (floor((min(col("value"))) * 1e4 + 0.5) / 1e4).as("min_value"),
+            (floor((max(col("value"))) * 1e4 + 0.5) / 1e4).as("max_value"))
           .orderBy(col("series"), col("bucket")),
       Some(s"""$svSql
               |SELECT series,
               |       CAST(floor(time / 3600.0) AS BIGINT) * 3600 AS bucket,
-              |       round(avg(value), 4) AS avg_value,
-              |       round(sum(value), 4) AS sum_value,
+              |       floor((avg(value)) * 1e4 + 0.5) / 1e4 AS avg_value,
+              |       floor((sum(value)) * 1e4 + 0.5) / 1e4 AS sum_value,
               |       count(value) AS n,
-              |       round(min(value), 4) AS min_value,
-              |       round(max(value), 4) AS max_value
+              |       floor((min(value)) * 1e4 + 0.5) / 1e4 AS min_value,
+              |       floor((max(value)) * 1e4 + 0.5) / 1e4 AS max_value
               |FROM sv WHERE time >= $T0 AND time < $T1
               |GROUP BY series, bucket
               |ORDER BY series, bucket""".stripMargin),
@@ -91,10 +91,10 @@ object TimeSeries {
       (s, dir) =>
         ev(s, dir).filter(col("time") >= T0 && col("time") < T1)
           .groupBy(col("series"), col("tag_user"))
-          .agg(round(avg(col("value")), 4).as("avg_value"), count(lit(1)).as("n"))
+          .agg((floor((avg(col("value"))) * 1e4 + 0.5) / 1e4).as("avg_value"), count(lit(1)).as("n"))
           .orderBy(col("series"), col("tag_user")),
       Some(s"""$svSql
-              |SELECT series, tag_user, round(avg(value), 4) AS avg_value, count(*) AS n
+              |SELECT series, tag_user, floor((avg(value)) * 1e4 + 0.5) / 1e4 AS avg_value, count(*) AS n
               |FROM sv WHERE time >= $T0 AND time < $T1
               |GROUP BY series, tag_user ORDER BY series, tag_user""".stripMargin)),
 
@@ -107,15 +107,15 @@ object TimeSeries {
         ev(s, dir).filter(col("time") >= T0 && col("time") < T1)
           .groupBy(col("series"), F.timeBucket(lit(86400), col("time")).as("day"))
           .agg(
-            round(min_by(col("value"), col("ts_ns")), 4).as("first_value"),
-            round(max_by(col("value"), col("ts_ns")), 4).as("last_value"),
-            round(max(col("value")) - min(col("value")), 4).as("spread"))
+            (floor((min_by(col("value"), col("ts_ns"))) * 1e4 + 0.5) / 1e4).as("first_value"),
+            (floor((max_by(col("value"), col("ts_ns"))) * 1e4 + 0.5) / 1e4).as("last_value"),
+            (floor((max(col("value")) - min(col("value"))) * 1e4 + 0.5) / 1e4).as("spread"))
           .orderBy(col("series"), col("day")),
       Some(s"""$svSql
               |SELECT series, CAST(floor(time / 86400.0) AS BIGINT) * 86400 AS day,
-              |       round(arg_min(value, ts_ns), 4) AS first_value,
-              |       round(arg_max(value, ts_ns), 4) AS last_value,
-              |       round(max(value) - min(value), 4) AS spread
+              |       floor((arg_min(value, ts_ns)) * 1e4 + 0.5) / 1e4 AS first_value,
+              |       floor((arg_max(value, ts_ns)) * 1e4 + 0.5) / 1e4 AS last_value,
+              |       floor((max(value) - min(value)) * 1e4 + 0.5) / 1e4 AS spread
               |FROM sv WHERE time >= $T0 AND time < $T1
               |GROUP BY series, day ORDER BY series, day""".stripMargin)),
 
@@ -126,15 +126,15 @@ object TimeSeries {
         ev(s, dir).filter(col("time") >= T0 && col("time") < T1)
           .groupBy(col("series"))
           .agg(
-            round(percentile(col("value"), lit(0.5)), 4).as("p50"),
-            round(percentile(col("value"), lit(0.95)), 4).as("p95"),
-            round(percentile(col("value"), lit(0.99)), 4).as("p99"))
+            (floor((percentile(col("value"), lit(0.5))) * 1e4 + 0.5) / 1e4).as("p50"),
+            (floor((percentile(col("value"), lit(0.95))) * 1e4 + 0.5) / 1e4).as("p95"),
+            (floor((percentile(col("value"), lit(0.99))) * 1e4 + 0.5) / 1e4).as("p99"))
           .orderBy(col("series")),
       Some(s"""$svSql
               |SELECT series,
-              |       round(quantile_cont(value, 0.5), 4) AS p50,
-              |       round(quantile_cont(value, 0.95), 4) AS p95,
-              |       round(quantile_cont(value, 0.99), 4) AS p99
+              |       floor((quantile_cont(value, 0.5)) * 1e4 + 0.5) / 1e4 AS p50,
+              |       floor((quantile_cont(value, 0.95)) * 1e4 + 0.5) / 1e4 AS p95,
+              |       floor((quantile_cont(value, 0.99)) * 1e4 + 0.5) / 1e4 AS p99
               |FROM sv WHERE time >= $T0 AND time < $T1
               |GROUP BY series ORDER BY series""".stripMargin)),
 
@@ -159,12 +159,12 @@ object TimeSeries {
       (s, dir) =>
         ev(s, dir).filter(col("time") >= T0 && col("time") < T1)
           .groupBy(col("series"), F.timeBucket(lit(60), col("time")).as("t60"))
-          .agg(round(max_by(col("value"), col("ts_ns")), 4).as("value"),
+          .agg((floor((max_by(col("value"), col("ts_ns"))) * 1e4 + 0.5) / 1e4).as("value"),
             count(lit(1)).as("n_raw"))
           .orderBy(col("series"), col("t60")),
       Some(s"""$svSql
               |SELECT series, CAST(floor(time / 60.0) AS BIGINT) * 60 AS t60,
-              |       round(arg_max(value, ts_ns), 4) AS value, count(*) AS n_raw
+              |       floor((arg_max(value, ts_ns)) * 1e4 + 0.5) / 1e4 AS value, count(*) AS n_raw
               |FROM sv WHERE time >= $T0 AND time < $T1
               |GROUP BY series, t60 ORDER BY series, t60""".stripMargin)),
 
@@ -210,14 +210,14 @@ object TimeSeries {
         val w = Window.partitionBy(col("series")).orderBy(col("ts_ns"))
         ev(s, dir).filter(col("time") >= T0 && col("time") < T0 + 2 * 86400)
           .select(col("event_id"), col("series"), col("time"), col("value"),
-            round(lag(col("value"), 1).over(w), 4).as("prev_value"),
-            round(lead(col("value"), 1).over(w), 4).as("next_value"))
+            (floor((lag(col("value"), 1).over(w)) * 1e4 + 0.5) / 1e4).as("prev_value"),
+            (floor((lead(col("value"), 1).over(w)) * 1e4 + 0.5) / 1e4).as("next_value"))
           .orderBy(col("series"), col("event_id"))
       },
       Some(s"""$svSql
               |SELECT event_id, series, time, value,
-              |       round(lag(value, 1) OVER (PARTITION BY series ORDER BY ts_ns), 4) AS prev_value,
-              |       round(lead(value, 1) OVER (PARTITION BY series ORDER BY ts_ns), 4) AS next_value
+              |       floor((lag(value, 1) OVER (PARTITION BY series ORDER BY ts_ns)) * 1e4 + 0.5) / 1e4 AS prev_value,
+              |       floor((lead(value, 1) OVER (PARTITION BY series ORDER BY ts_ns)) * 1e4 + 0.5) / 1e4 AS next_value
               |FROM sv WHERE time >= $T0 AND time < ${T0 + 2 * 86400}
               |ORDER BY series, event_id""".stripMargin)),
 
@@ -228,14 +228,20 @@ object TimeSeries {
         val w = Window.partitionBy(col("series")).orderBy(col("time")).rangeBetween(-600, 0)
         ev(s, dir).filter(col("time") >= T0 && col("time") < T0 + 2 * 86400)
           .select(col("event_id"), col("series"), col("time"),
-            round(avg(col("value")).over(w), 4).as("mavg"))
+            (floor((avg(col("value")).over(w)) * 1e4 + 0.5) / 1e4).as("mavg"))
           .orderBy(col("series"), col("event_id"))
       },
+      // Oracle folds each frame's list linearly (matching Spark's fresh
+      // per-frame accumulation); DuckDB's native windowed avg() uses
+      // segment-tree aggregation whose different summation tree drifts
+      // ~1e-9 on long partitions — enough to straddle rounding boundaries.
       Some(s"""$svSql
               |SELECT event_id, series, time,
-              |       round(avg(value) OVER (PARTITION BY series ORDER BY time
-              |             RANGE BETWEEN 600 PRECEDING AND CURRENT ROW), 4) AS mavg
+              |       floor((list_reduce(list(value) OVER w, (x, y) -> x + y)
+              |              / count(value) OVER w) * 1e4 + 0.5) / 1e4 AS mavg
               |FROM sv WHERE time >= $T0 AND time < ${T0 + 2 * 86400}
+              |WINDOW w AS (PARTITION BY series ORDER BY time
+              |             RANGE BETWEEN 600 PRECEDING AND CURRENT ROW)
               |ORDER BY series, event_id""".stripMargin))
   )
 }
