@@ -113,6 +113,16 @@ object SydraQlQueries {
          |WHERE series = 'view' AND time >= $T0 AND time < $T1
          |ORDER BY time ASC, value ASC LIMIT 100 OFFSET 50""".stripMargin),
 
+    // boolean ops: not, !~, integer-only %, != (expression.zig:95-133)
+    sq("q_sql_bool_ops",
+      s"select time, value from click where time >= $T0 and time < ${T0 + 86400} " +
+        s"and not (tag.user =~ '^[0-4]$$') and time % 2 = 0 and value != 0 order by time, value",
+      s"""$svSql
+         |SELECT time, value FROM sv
+         |WHERE series = 'click' AND time >= $T0 AND time < ${T0 + 86400}
+         |  AND NOT regexp_matches(tag_user, '^[0-4]$$') AND time % 2 = 0 AND value != 0
+         |ORDER BY time, value""".stripMargin),
+
     sq("q_sql_regex",
       s"select time, value from click where time >= $T0 and time < ${T0 + 86400} and tag.user =~ '^[0-3]$$' order by time, value",
       s"""$svSql
