@@ -47,6 +47,26 @@ object Maintenance {
     spark.catalog.clearCache()
   }
 
+  /** Compact selected hour partitions independently — one read+dedup+
+    * rewrite per partition dir, no global shuffle; at scale each hour is
+    * its own job (embarrassingly parallel, mirrors the reference's
+    * per-(series,hour) compaction unit).
+    */
+  def compactPartitions(store: SeriesStore, hours: Seq[Long]): Unit = hours.foreach { h =>
+    val dir = s"${store.root}/segments/hour_bucket=$h"
+    if (new java.io.File(dir).exists()) {
+      val deduped = dedupLastWins(
+        store.spark.read.schema(store.schema).parquet(dir))
+        .sortWithinPartitions(col("series_id"), col("time"))
+        .cache()
+      deduped.count()
+      deduped.write.mode(SaveMode.Overwrite).parquet(s"$dir.new")
+      deleteRecursively(new java.io.File(dir))
+      new java.io.File(s"$dir.new").renameTo(new java.io.File(dir))
+      store.spark.catalog.clearCache()
+    }
+  }
+
   /** Drop hour partitions strictly older than `cutoffTs` (epoch seconds).
     * Pure directory delete — no data rewrite, constant-time per partition.
     */

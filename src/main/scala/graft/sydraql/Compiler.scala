@@ -144,10 +144,50 @@ final class Compiler(spark: SparkSession, source: DataFrame, options: CompileOpt
 
   private def stripAlias(s: Select, e: Expr): Expr = e
 
-  private def compileAggregate(df: DataFrame, s: Select, groupBy: Seq[Expr]): DataFrame = {
+  /** integral/irate args that get a window pre-pass: arg AST → column
+    * prefix for the lag/rank helper columns. Set per compileAggregate call
+    * (the Compiler is single-use per statement).
+    */
+  private var windowPre: Map[Expr, String] = Map.empty
+
+  private def collectCalls(e: Expr, names: Set[String]): Seq[Expr] = e match {
+    case Call(n, args) if names.contains(n) => Seq(e)
+    case Call(_, args) => args.flatMap(collectCalls(_, names))
+    case Binary(_, l, r) => collectCalls(l, names) ++ collectCalls(r, names)
+    case Unary(_, o) => collectCalls(o, names)
+    case _ => Seq.empty
+  }
+
+  private def compileAggregate(df0: DataFrame, s: Select, groupBy: Seq[Expr]): DataFrame = {
     val groupNames = groupBy.zipWithIndex.map { case (g, i) => groupKeyName(s, groupBy, g, i) }
     val groupCols = groupBy.zip(groupNames).map { case (g, n) => scalar(g).as(n) }
     val groupIndex: Map[Expr, String] = groupBy.zip(groupNames).toMap
+
+    // Window pre-pass for the order-sensitive aggregates that would
+    // otherwise materialize every point per group (collect_list): integral
+    // needs consecutive-pair trapezoids (lag), irate the last two samples
+    // (row_number desc). The window partitions on the same keys as the
+    // aggregation, so Catalyst reuses one exchange; the sort is spill-safe.
+    val preCalls = s.projections.flatMap(p => collectCalls(p.expr, Set("integral", "irate")))
+      .distinct
+    var df = df0
+    windowPre = Map.empty
+    preCalls.zipWithIndex.foreach { case (c @ Call(fn, args), i) =>
+      val prefix = s"__wp$i"
+      val v = dbl(scalar(args.head))
+      val t = col("time").cast("long")
+      val w = Window.partitionBy(groupBy.map(scalar): _*).orderBy(t, v)
+      fn match {
+        case "integral" =>
+          df = df.withColumn(s"${prefix}_lt", lag(t, 1).over(w))
+            .withColumn(s"${prefix}_lv", lag(v, 1).over(w))
+        case "irate" =>
+          df = df.withColumn(s"${prefix}_rn",
+            row_number().over(Window.partitionBy(groupBy.map(scalar): _*).orderBy(t.desc, v.desc)))
+        case _ => ()
+      }
+      windowPre += (c: Expr) -> prefix
+    }
 
     val projNames = s.projections.zipWithIndex.map { case (p, i) => outName(p, i) }
     val aggExprs = s.projections.zipWithIndex.flatMap { case (p, i) =>
@@ -319,8 +359,8 @@ final class Compiler(spark: SparkSession, source: DataFrame, options: CompileOpt
       case StringLit(v) => lit(v)
       case BoolLit(v) => lit(v)
       case NullLit => lit(null)
-      case Call(name, args) if FunctionRegistry.isAggregate(name) || name == "ema" =>
-        aggCall(name, args)
+      case c @ Call(name, args) if FunctionRegistry.isAggregate(name) || name == "ema" =>
+        aggCall(c)
       case Call(name, args) =>
         // scalar over aggregate results, e.g. round(avg(v))
         scalarCallAgg(name, args, groupIndex)
@@ -378,7 +418,12 @@ final class Compiler(spark: SparkSession, source: DataFrame, options: CompileOpt
       count(v))
   }
 
-  private def aggCall(name: String, args: Seq[Expr]): Column = name match {
+  private def aggCall(c: Call): Column = {
+    val Call(name, args) = c
+    aggCallImpl(c, name, args)
+  }
+
+  private def aggCallImpl(c: Call, name: String, args: Seq[Expr]): Column = name match {
     case "avg" => avg(dbl(scalar(args.head)))
     case "sum" => sum(dbl(scalar(args.head))) // executed parity: float sum (operator.zig:781-790)
     case "min" => min(scalar(args.head))
@@ -411,20 +456,29 @@ final class Compiler(spark: SparkSession, source: DataFrame, options: CompileOpt
       val dt = lastT - firstT
       when(n >= 2 && dt > 0, (lastV - firstV) / dt.cast("double"))
     case "irate" =>
-      // last two samples (functions.zig:352-358)
-      val pts = sortedPts(args.head)
-      val dt = element_at(pts, -1).getField("t") - element_at(pts, -2).getField("t")
-      when(size(pts) >= 2 && dt > 0,
-        (element_at(pts, -1).getField("v") - element_at(pts, -2).getField("v")) / dt.cast("double"))
+      // last two samples (functions.zig:352-358) via the windowPre rank
+      // column — O(1) aggregation state, no point materialization
+      val prefix = windowPre.getOrElse(c,
+        throw QueryError(QueryError.InvalidSyntax, "irate requires aggregation context"))
+      val rn = col(s"${prefix}_rn")
+      val v = dbl(scalar(args.head))
+      val t = col("time").cast("long")
+      val v1 = min(when(rn === 1, v))
+      val v2 = min(when(rn === 2, v))
+      val t1 = min(when(rn === 1, t))
+      val t2 = min(when(rn === 2, t))
+      when(count(v) >= 2 && t1 - t2 > 0, (v1 - v2) / (t1 - t2).cast("double"))
     case "integral" =>
-      // trapezoid over sorted points (functions.zig:366-372)
-      val pts = sortedPts(args.head)
-      when(size(pts) >= 2,
-        aggregate(sequence(lit(2), size(pts)), lit(0.0),
-          (acc, i) => acc +
-            (element_at(pts, i).getField("t") - element_at(pts, i - 1).getField("t")).cast("double") *
-            (element_at(pts, i).getField("v") + element_at(pts, i - 1).getField("v")) / 2.0))
-        .otherwise(lit(0.0))
+      // trapezoid (functions.zig:366-372) over windowPre lag columns:
+      // consecutive-pair areas summed by the hash aggregate — O(1) state,
+      // spill-safe sort instead of per-group arrays
+      val prefix = windowPre.getOrElse(c,
+        throw QueryError(QueryError.InvalidSyntax, "integral requires aggregation context"))
+      val lt = col(s"${prefix}_lt")
+      val lv = col(s"${prefix}_lv")
+      val v = dbl(scalar(args.head))
+      val t = col("time").cast("long")
+      coalesce(sum(when(lt.isNotNull, (t - lt).cast("double") * (v + lv) / 2.0)), lit(0.0))
     case "ema" =>
       emaOverPts(sortedPts(args.head), args(2))
     case other =>

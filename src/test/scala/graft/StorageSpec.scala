@@ -68,6 +68,24 @@ class StorageSpec extends AnyFunSuite {
     assert(rows.head.getAs[Double]("value") === 9.0)
   }
 
+  test("per-partition compaction dedups one hour, leaves others untouched") {
+    val store = new SeriesStore(spark, tmp())
+    Ingest.batch(store, writeNdjson(Seq(
+      """{"series":"m","ts":100,"value":1.0}""",
+      """{"series":"m","ts":4000,"value":2.0}""")))
+    Ingest.batch(store, writeNdjson(Seq(
+      """{"series":"m","ts":100,"value":9.0}""",
+      """{"series":"m","ts":4000,"value":8.0}""")))
+    assert(store.source().count() === 4)
+    Maintenance.compactPartitions(store, Seq(0L))
+    val byHour = store.scan().groupBy("hour_bucket").count()
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(byHour === Map(0L -> 1L, 3600L -> 2L)) // hour 0 deduped, hour 1 untouched
+    val kept = store.source().filter(org.apache.spark.sql.functions.col("time") === 100)
+      .head().getAs[Double]("value")
+    assert(kept === 9.0)
+  }
+
   test("sydraQL INSERT and DELETE execute against the store") {
     val store = new SeriesStore(spark, tmp())
     val opts = CompileOptions(now = 5000L)
