@@ -117,6 +117,31 @@ class SydraqlSpec extends AnyFunSuite {
       Seq((0L, 1.0), (60L, 2.0), (120L, 4.0), (180L, -1.0), (240L, -1.0), (300L, 10.0)))
   }
 
+  test("fill(previous) with extra group keys builds one spine per group") {
+    val s = spark
+    import s.implicits._
+    val src = Seq(
+      ("m", 1L, Map("host" -> "a"), 0L, 1.0),
+      ("m", 1L, Map("host" -> "a"), 120L, 3.0), // a: gap at 60
+      ("m", 2L, Map("host" -> "b"), 60L, 10.0),
+      ("m", 2L, Map("host" -> "b"), 240L, 40.0)) // b: gaps at 120, 180
+      .toDF("series", "series_id", "tags", "time", "value")
+    val rows = Engine.sql(spark, src,
+      "select tag.host as h, time_bucket(60, time) as b, avg(value) as a from m where time >= 0 " +
+        "group by tag.host, time_bucket(60, time) fill(previous) order by h, b").collect()
+    assert(rows.map(r => (r.getString(0), r.getLong(1), r.getDouble(2))).toSeq === Seq(
+      ("a", 0L, 1.0), ("a", 60L, 1.0), ("a", 120L, 3.0),
+      ("b", 60L, 10.0), ("b", 120L, 10.0), ("b", 180L, 10.0), ("b", 240L, 40.0)))
+  }
+
+  test("reference corpus fill query executes: fill(previous) order by time desc") {
+    val rows = run("select avg(value) as a, time_bucket(120, time) as b from m where time >= 0 " +
+      "group by time_bucket(120, time) fill(previous) order by time desc")
+    // buckets: 0 → avg(1,2)=1.5; 120 → 4.0; 240 (point at t=300) → 10.0
+    assert(rows.map(_.getLong(1)).toSeq === Seq(240L, 120L, 0L))
+    assert(rows.map(_.getDouble(0)).toSeq === Seq(10.0, 4.0, 1.5))
+  }
+
   test("rate/delta/integral over a whole series") {
     val rows = run("select rate(value) as r, delta(value) as d, integral(value) as i from m where time >= 0")
     val r = rows.head
