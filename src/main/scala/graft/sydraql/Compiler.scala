@@ -81,37 +81,51 @@ final class Compiler(spark: SparkSession, source: DataFrame, options: CompileOpt
 
     val needsAgg = groupBy.nonEmpty || s.projections.exists(p => containsAggregate(p.expr))
 
+    // ORDER BY keys resolve against output columns first (projection-
+    // structural or alias match; `time` resolves to the time_bucket group
+    // key after aggregation — reference corpus `... fill(previous) order by
+    // time desc`). A key matching no output (standard SQL's "order by a
+    // non-projected column", e.g. corpus `select value ... order by time`)
+    // rides along as a hidden column computed pre-projection and is dropped
+    // after the sort (only possible without aggregation).
+    val sortKeyNames: Seq[Option[String]] = s.orderBy.map { sk =>
+      s.projections.zipWithIndex.collectFirst {
+        case (p, i) if subst(p.expr) == subst(sk.expr) ||
+            p.alias.exists(a => sk.expr == Ident(Seq(a.toLowerCase))) =>
+          outName(p, i)
+      }.orElse {
+        sk.expr match {
+          case id: Ident if id.trailing == "time" && needsAgg =>
+            bucketKeyInfo(s, groupBy).map(_._1)
+          case _ => None
+        }
+      }
+    }
+    val hidden: Seq[(Int, String)] = sortKeyNames.zipWithIndex.collect {
+      case (None, i) if !needsAgg => i -> s"__sort$i"
+    }
+
     val projected: DataFrame =
       if (needsAgg) compileAggregate(filtered, s, groupBy)
       else {
         val cols = s.projections.zipWithIndex.map { case (p, i) =>
           scalar(p.expr).as(outName(p, i))
-        }
+        } ++ hidden.map { case (i, n) => scalar(subst(s.orderBy(i).expr)).as(n) }
         filtered.select(cols: _*)
       }
 
-    // ORDER BY: resolve against output columns first (projection-structural
-    // or alias match; `time` resolves to the time_bucket group key after
-    // aggregation — reference corpus `... fill(previous) order by time desc`).
     val ordered =
       if (s.orderBy.isEmpty) projected
       else {
-        val sortCols = s.orderBy.map { sk =>
-          val e = sk.expr
-          val name = s.projections.zipWithIndex.collectFirst {
-            case (p, i) if subst(p.expr) == subst(e) || p.alias.exists(a => e == Ident(Seq(a.toLowerCase))) =>
-              outName(p, i)
-          }.orElse {
-            e match {
-              case id: Ident if id.trailing == "time" && needsAgg =>
-                bucketKeyInfo(s, groupBy).map(_._1)
-              case _ => None
-            }
+        val hiddenByIdx = hidden.toMap
+        val sortCols = s.orderBy.zipWithIndex.map { case (sk, i) =>
+          val c = sortKeyNames(i).orElse(hiddenByIdx.get(i)) match {
+            case Some(n) => col(n)
+            case None => scalar(subst(sk.expr)) // post-agg fallback: Spark resolves or errors
           }
-          val c = name.map(col).getOrElse(scalar(subst(e)))
           if (sk.ascending) c.asc_nulls_first else c.desc_nulls_last
         }
-        projected.orderBy(sortCols: _*)
+        projected.orderBy(sortCols: _*).drop(hidden.map(_._2): _*)
       }
 
     val withOffset = s.offset.map(o => ordered.offset(o.toInt)).getOrElse(ordered)

@@ -37,6 +37,19 @@ class SydraqlSpec extends AnyFunSuite {
     }
   }
 
+  test("every corpus SELECT also compiles and executes") {
+    mustParse.filter(_.startsWith("select")).foreach { q =>
+      val rows = Engine.sql(spark, tinySource, q, CompileOptions(now = 1000L)).collect()
+      assert(rows != null, q)
+    }
+  }
+
+  test("order by a non-projected column (corpus: select value ... order by time)") {
+    val rows = run("select value from m where time > 0 order by time desc limit 2")
+    assert(rows.map(_.getDouble(0)).toSeq === Seq(10.0, 4.0))
+    assert(rows.head.schema.fieldNames.toSeq === Seq("value")) // hidden sort col dropped
+  }
+
   test("time_range_required: select without time predicate fails") {
     val e = intercept[QueryError](Validator.validate(Parser.parse("select value from metrics")))
     assert(e.code === QueryError.TimeRangeRequired)
