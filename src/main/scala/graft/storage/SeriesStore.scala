@@ -42,10 +42,14 @@ final class SeriesStore(val spark: SparkSession, val root: String) {
     * (`engine.zig:317-369`).
     */
   def append(points: DataFrame): Unit = {
-    val seqBase = System.currentTimeMillis() << 20
+    // seq is a strictly-increasing PER-BATCH constant: later appends always
+    // win compaction's last-wins dedup over earlier ones (the property the
+    // reference's WAL/manifest order provides). Order among duplicate keys
+    // WITHIN one parallel batch is explicitly undefined, as in any
+    // multi-writer ingest.
     val df = points
       .withColumn("series_id", F.seriesId(col("series"), col("tags")))
-      .withColumn("seq", lit(seqBase) + monotonically_increasing_id())
+      .withColumn("seq", lit(SeriesStore.nextBatchSeq()))
       .withColumn("hour_bucket", (col("time") - pmod(col("time"), lit(3600L))).cast("long"))
       .repartition(col("hour_bucket"))
       .sortWithinPartitions(col("series_id"), col("time"))
@@ -107,4 +111,14 @@ final class SeriesStore(val spark: SparkSession, val root: String) {
       .map(_.getName.stripPrefix("hour_bucket=").toLong)
       .sorted
   }
+}
+
+object SeriesStore {
+  private val lastSeq = new java.util.concurrent.atomic.AtomicLong()
+
+  /** Strictly increasing, wall-clock anchored (so ordering also holds
+    * across process restarts against an existing store).
+    */
+  private[storage] def nextBatchSeq(): Long =
+    lastSeq.updateAndGet(prev => math.max(prev + 1, System.currentTimeMillis()))
 }
