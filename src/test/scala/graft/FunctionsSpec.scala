@@ -41,6 +41,25 @@ class FunctionsSpec extends AnyFunSuite {
     assert(r === 1.0)
   }
 
+  test("approx percentile tracks exact within sketch tolerance") {
+    val sv = graft.core.Tables.seriesView(spark, "/root/testdata/sf0.01")
+    val exact = sv.groupBy("series").agg(percentile(col("value"), lit(0.95)).as("p"))
+      .collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
+    val approx = graft.functions.Approx.seriesQuantiles(sv, Seq(0.95))
+      .collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
+    exact.foreach { case (series, e) =>
+      assert(math.abs(approx(series) - e) / math.max(e, 1e-9) < 0.05,
+        s"$series: approx ${approx(series)} vs exact $e")
+    }
+  }
+
+  test("approx distinct tracks exact within rsd") {
+    val ev = graft.core.Tables.events(spark, "/root/testdata/sf0.01")
+    val exact = ev.select(countDistinct(col("user_id"))).head().getLong(0)
+    val approx = ev.select(graft.functions.Approx.distinctApprox(col("user_id"))).head().getLong(0)
+    assert(math.abs(approx - exact).toDouble / exact < 0.1, s"$approx vs $exact")
+  }
+
   test("codegen path actually engages (no fallback exceptions at scale)") {
     val emb = graft.core.Tables.embeddings(spark, "/root/testdata/sf0.001")
       .select(col("embedding").cast("array<double>").as("v"))
