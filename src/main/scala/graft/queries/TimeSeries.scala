@@ -138,6 +138,17 @@ object TimeSeries {
               |FROM sv WHERE time >= $T0 AND time < $T1
               |GROUP BY series ORDER BY series""".stripMargin)),
 
+    // sketch-based percentiles (the 100 TB path: bounded mergeable state
+    // vs the exact form's per-group sort). No oracle — sketch algorithms
+    // differ across engines; accuracy vs exact is test-asserted
+    // (FunctionsSpec), so this records as a rows-only check by design.
+    Q("q_ts_percentile_approx",
+      (s, dir) =>
+        graft.functions.Approx.seriesQuantiles(
+          Tables.seriesView(s, dir).filter(col("time") >= T0 && col("time") < T1))
+          .orderBy(col("series")),
+      None),
+
     // regex selector: series =~ 'cl.*k|err.*' (declared surface —
     // parser.zig:408-424 parses =~/!~; exec never ran it; we run it)
     Q("q_ts_regex",
