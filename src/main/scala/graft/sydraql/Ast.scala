@@ -35,6 +35,12 @@ object Ast {
   final case class FillConst(value: Expr) extends FillPolicy
 
   sealed trait Expr
+  /** `select *` — sugar for the canonical scan schema `[time, value]`
+    * (every sydraQL scan emits exactly those columns, plan.zig:255-280).
+    * Not in the reference grammar, but its SQL translator passes
+    * `select * from t` through verbatim, so the engine accepts it.
+    */
+  case object Star extends Expr
   final case class IntLit(v: Long) extends Expr
   final case class FloatLit(v: Double) extends Expr
   final case class StringLit(v: String) extends Expr

@@ -53,7 +53,13 @@ final class Compiler(spark: SparkSession, source: DataFrame, options: CompileOpt
         "DELETE executes through graft.storage.Retention (Engine routes it)")
   }
 
-  private def compileSelect(s: Select): DataFrame = {
+  private def compileSelect(s0: Select): DataFrame = {
+    // `select *` expands to the canonical scan columns [time, value]
+    val s = s0.copy(projections = s0.projections.flatMap {
+      case Projection(Star, _) =>
+        Seq(Projection(Ident(Seq("time")), None), Projection(Ident(Seq("value")), None))
+      case p => Seq(p)
+    })
     // Output-alias references (`select tag.host as site ... where site='web'`
     // — parser.zig test corpus) resolve by AST substitution.
     val aliasMap: Map[String, Expr] = s.projections.collect {

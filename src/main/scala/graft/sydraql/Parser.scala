@@ -86,6 +86,11 @@ final class Parser(tokens: Seq[Token]) {
     val out = Seq.newBuilder[Projection]
     var more = true
     while (more) {
+      if (isSym("*")) {
+        advance()
+        out += Projection(Star, None)
+        more = acceptSym(",")
+      } else {
       val e = parseExpr()
       val alias = peek match {
         case TKeyword("as", _) => advance(); Some(expectIdent())
@@ -94,6 +99,7 @@ final class Parser(tokens: Seq[Token]) {
       }
       out += Projection(e, alias)
       more = acceptSym(",")
+      }
     }
     out.result()
   }

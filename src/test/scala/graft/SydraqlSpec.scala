@@ -44,6 +44,12 @@ class SydraqlSpec extends AnyFunSuite {
     }
   }
 
+  test("select * expands to [time, value] (SQL-translator passthrough works end-to-end)") {
+    val rows = run("select * from m where time >= 0 order by time limit 2")
+    assert(rows.head.schema.fieldNames.toSeq === Seq("time", "value"))
+    assert(rows.map(r => (r.getLong(0), r.getDouble(1))).toSeq === Seq((0L, 1.0), (60L, 2.0)))
+  }
+
   test("order by a non-projected column (corpus: select value ... order by time)") {
     val rows = run("select value from m where time > 0 order by time desc limit 2")
     assert(rows.map(_.getDouble(0)).toSeq === Seq(10.0, 4.0))
