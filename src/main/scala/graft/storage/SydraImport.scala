@@ -1,0 +1,124 @@
+package graft.storage
+
+import graft.storage.codec.SegmentCodec
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Import a sydradb data directory (binary SYSEG2 segments + tags.json)
+  * into the Spark store.
+  *
+  * Decoding is distributed: `binaryFile` source → per-partition segment
+  * decode (one scan, no driver loop), so an arbitrarily large reference
+  * data dir imports in parallel. Series *names* don't exist in the
+  * reference's segment files (only hashed ids, `types.zig:16-22`), so
+  * imported rows carry a synthetic `sid:<id>` name plus the tag postings
+  * reconstructed from tags.json (`storage/tags.zig:52-75`:
+  * `{"k=v":[sid,...]}`).
+  */
+object SydraImport {
+
+  /** tags.json → series_id → Map(tag key → value). */
+  def loadTagIndex(path: String): Map[Long, Map[String, String]] = {
+    val f = new java.io.File(path)
+    if (!f.exists()) return Map.empty
+    val mapper = new com.fasterxml.jackson.databind.ObjectMapper()
+    val root = mapper.readTree(f)
+    val out = scala.collection.mutable.Map[Long, Map[String, String]]()
+    root.properties().forEach { e =>
+      val kv = e.getKey.split("=", 2)
+      if (kv.length == 2) {
+        e.getValue.forEach { idNode =>
+          val id = idNode.asLong()
+          out(id) = out.getOrElse(id, Map.empty) + (kv(0) -> kv(1))
+        }
+      }
+    }
+    out.toMap
+  }
+
+  /** Decode every `*.seg` under `dataDir/segments` into (series, series_id,
+    * tags, time, value) rows. The store's own append re-derives ids from
+    * (name|tags); imported rows keep the REFERENCE id so by_id queries
+    * against imported data match the original system.
+    */
+  def readDataDir(spark: SparkSession, dataDir: String): DataFrame = {
+    import spark.implicits._
+    val tagIndex = spark.sparkContext.broadcast(loadTagIndex(s"$dataDir/tags.json"))
+    val segs = spark.read.format("binaryFile")
+      .option("pathGlobFilter", "*.seg")
+      .option("recursiveFileLookup", "true")
+      .load(s"$dataDir/segments")
+      .select("content")
+      .as[Array[Byte]]
+    segs.flatMap { bytes =>
+      val seg = SegmentCodec.decode(bytes)
+      val tags = tagIndex.value.getOrElse(seg.seriesId, Map.empty)
+      seg.points.map { case (ts, v) =>
+        (s"sid:${seg.seriesId}", seg.seriesId, tags, ts, v)
+      }
+    }.toDF("series", "series_id", "tags", "time", "value")
+  }
+
+  /** Import into a store, preserving reference series ids. */
+  def importDataDir(store: SeriesStore, dataDir: String): Long = {
+    val df = readDataDir(store.spark, dataDir)
+    // append() re-derives series_id from (series|tags); bypass it to keep
+    // the reference ids byte-for-byte
+    val seq = lit(SeriesStore.nextBatchSeq())
+    val out = df
+      .withColumn("seq", seq)
+      .withColumn("hour_bucket", (col("time") - pmod(col("time"), lit(3600L))).cast("long"))
+      .repartition(col("hour_bucket"))
+      .sortWithinPartitions(col("series_id"), col("time"))
+      .select("series", "series_id", "tags", "time", "value", "seq", "hour_bucket")
+    out.write.mode(org.apache.spark.sql.SaveMode.Append)
+      .partitionBy("hour_bucket").parquet(s"${store.root}/segments")
+    store.scan().count()
+  }
+
+  /** Export a store's points back to SYSEG2 segment files + manifest
+    * (JSONL per `storage/manifest.zig`) — round-trip capability.
+    */
+  def exportDataDir(store: SeriesStore, destDir: String): Long = {
+    val rows = store.scan()
+      .select("series_id", "hour_bucket", "time", "value")
+      .collect() // export tool: driver-side is fine for snapshot-sized data
+      .groupBy(r => (r.getLong(0), r.getLong(1))) // (series_id, hour_bucket)
+    val dest = new java.io.File(destDir)
+    new java.io.File(dest, "segments").mkdirs()
+    val manifest = new StringBuilder
+    var n = 0L
+    rows.foreach { case ((sid, hour), rs) =>
+      val pts = rs.map(r => (r.getLong(2), r.getDouble(3))).sortBy(p => (p._1, p._2)).toSeq
+      val bytes = SegmentCodec.encode(SegmentCodec.Segment(sid, hour, pts))
+      val hourDir = new java.io.File(dest, s"segments/$hour")
+      hourDir.mkdirs()
+      val name = f"$sid%x-${pts.head._1}-${pts.last._1}-0.seg"
+      java.nio.file.Files.write(hourDir.toPath.resolve(name), bytes)
+      manifest.append(
+        s"""{"series_id":$sid,"hour_bucket":$hour,"start_ts":${pts.head._1},"end_ts":${pts.last._1},"count":${pts.length},"path":"segments/$hour/$name"}\n""")
+      n += pts.length
+    }
+    java.nio.file.Files.write(dest.toPath.resolve("MANIFEST"), manifest.toString.getBytes)
+    // tags.json (`storage/tags.zig:52-75`: {"k=v":[sid,...]}) — without it
+    // an import can only address series via by_id(); with it, tag filters
+    // work on the imported store too
+    val postings = scala.collection.mutable.Map[String, scala.collection.mutable.TreeSet[Long]]()
+    store.catalog().collect().foreach { r =>
+      val sid = r.getAs[Long]("series_id")
+      val tags = Option(r.getAs[scala.collection.Map[String, String]]("tags")).getOrElse(Map.empty)
+      tags.foreach { case (k, v) =>
+        postings.getOrElseUpdate(s"$k=$v", scala.collection.mutable.TreeSet[Long]()) += sid
+      }
+    }
+    val mapper = new com.fasterxml.jackson.databind.ObjectMapper()
+    val rootNode = mapper.createObjectNode()
+    postings.toSeq.sortBy(_._1).foreach { case (kv, ids) =>
+      val arr = rootNode.putArray(kv)
+      ids.foreach(arr.add)
+    }
+    java.nio.file.Files.write(dest.toPath.resolve("tags.json"),
+      mapper.writeValueAsBytes(rootNode))
+    n
+  }
+}
