@@ -62,8 +62,12 @@ final class HttpApi(store: SeriesStore, token: Option[String] = None, maxRows: I
       val value: java.lang.Double = Option(n.get("value")).map(v => Double.box(v.asDouble()))
         .orElse(firstNumericField(n.get("fields")))
         .getOrElse(Double.box(0.0))
+      // ListMap preserves JSON document key order: the reference hashes the
+      // tags JSON in document order (http.zig extractTagsJson), so a plain
+      // HashMap (>4 entries) would derive a different series_id
       val tags: Map[String, String] = Option(n.get("tags")).map(t =>
-        t.fields().asScala.map(e => e.getKey -> e.getValue.asText()).toMap).getOrElse(Map.empty)
+        scala.collection.immutable.ListMap(
+          t.fields().asScala.map(e => e.getKey -> e.getValue.asText()).toSeq: _*)).getOrElse(Map.empty)
       Row(series, tags, ts, value: java.lang.Double)
     }
     val schema = StructType(Seq(

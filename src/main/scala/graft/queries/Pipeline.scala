@@ -180,6 +180,44 @@ object Pipeline {
               |WHERE ${cosSql("a.v", "b.v")} >= 0.45
               |ORDER BY vec_a, vec_b""".stripMargin)),
 
+    // Sub-quadratic twin of q_pl_cos_pairs: sign-bit LSH banding generates
+    // candidates via an equi-join (the 100 TB path); exact cosine verifies
+    // each. The *algorithm* is the contract (like q_pl_simhash): the oracle
+    // mirrors the hyperplanes, sign bits, and 4-bit bands deterministically.
+    Q("q_pl_cos_pairs_lsh",
+      (s, dir) => Similarity.cosinePairsLsh(Tables.embeddings(s, dir), 0.45)
+        .orderBy("vec_a", "vec_b"),
+      Some {
+        // hyperplane(j)[d] = ((j*64+d) * 2654435761 % 1999) / 1999.0 - 0.5
+        // (mirrors Similarity.hyperplane exactly — integer arithmetic)
+        s"""WITH $embCte,
+           |planes AS (
+           |  SELECT j, [((j * 64 + d) * 2654435761 % 1999) / 1999.0 - 0.5
+           |             for d in range(0, 64)] AS p
+           |  FROM range(0, 16) t(j)
+           |),
+           |sigs AS (
+           |  SELECT vec_id,
+           |         CAST(sum(CASE WHEN ${dotSql("v", "p")} > 0
+           |                       THEN (CAST(1 AS BIGINT) << j) ELSE 0 END) AS BIGINT) AS sig
+           |  FROM e CROSS JOIN planes GROUP BY vec_id
+           |),
+           |bands AS (
+           |  SELECT vec_id, b AS band, (sig >> (b * 4)) & 15 AS bval
+           |  FROM sigs CROSS JOIN range(0, 4) t(b)
+           |),
+           |cand AS (
+           |  SELECT DISTINCT a.vec_id AS vec_a, b.vec_id AS vec_b
+           |  FROM bands a JOIN bands b
+           |    ON a.band = b.band AND a.bval = b.bval AND a.vec_id < b.vec_id
+           |)
+           |SELECT vec_a, vec_b,
+           |       floor((${cosSql("ea.v", "eb.v")}) * 1e6 + 0.5) / 1e6 AS cos
+           |FROM cand JOIN e ea ON vec_a = ea.vec_id JOIN e eb ON vec_b = eb.vec_id
+           |WHERE ${cosSql("ea.v", "eb.v")} >= 0.45
+           |ORDER BY vec_a, vec_b""".stripMargin
+      }),
+
     Q("q_ann_brute",
       (s, dir) => {
         val emb = Tables.embeddings(s, dir)

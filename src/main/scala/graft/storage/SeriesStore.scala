@@ -72,8 +72,11 @@ final class SeriesStore(val spark: SparkSession, val root: String) {
     * pruning on time (inclusive bounds, `segment.zig:156,172`).
     */
   def scanRange(startTs: Long, endTs: Long): DataFrame =
+    // floorDiv, not %: hour_bucket is written with pmod (floor semantics),
+    // so a negative (pre-1970) startTs must floor too or valid negative
+    // hour partitions get pruned away
     scan().filter(
-      col("hour_bucket") >= (startTs - startTs % 3600) &&
+      col("hour_bucket") >= Math.floorDiv(startTs, 3600L) * 3600L &&
         col("hour_bucket") <= endTs &&
         col("time") >= startTs && col("time") <= endTs)
 

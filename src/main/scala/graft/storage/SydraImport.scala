@@ -80,7 +80,9 @@ object SydraImport {
     * (JSONL per `storage/manifest.zig`) — round-trip capability.
     */
   def exportDataDir(store: SeriesStore, destDir: String): Long = {
-    val rows = store.scan()
+    // last-wins dedup first: exporting the raw scan would ship superseded
+    // writes alongside winners, losing arrival order (seq) on re-import
+    val rows = Maintenance.dedupLastWins(store.scan())
       .select("series_id", "hour_bucket", "time", "value")
       .collect() // export tool: driver-side is fine for snapshot-sized data
       .groupBy(r => (r.getLong(0), r.getLong(1))) // (series_id, hour_bucket)
@@ -95,8 +97,10 @@ object SydraImport {
       hourDir.mkdirs()
       val name = f"$sid%x-${pts.head._1}-${pts.last._1}-0.seg"
       java.nio.file.Files.write(hourDir.toPath.resolve(name), bytes)
+      // series_id is u64 in the reference (@intCast from i64 panics on
+      // negatives, manifest.zig:48) — emit the unsigned decimal form
       manifest.append(
-        s"""{"series_id":$sid,"hour_bucket":$hour,"start_ts":${pts.head._1},"end_ts":${pts.last._1},"count":${pts.length},"path":"segments/$hour/$name"}\n""")
+        s"""{"series_id":${java.lang.Long.toUnsignedString(sid)},"hour_bucket":$hour,"start_ts":${pts.head._1},"end_ts":${pts.last._1},"count":${pts.length},"path":"segments/$hour/$name"}\n""")
       n += pts.length
     }
     java.nio.file.Files.write(dest.toPath.resolve("MANIFEST"), manifest.toString.getBytes)
@@ -115,7 +119,9 @@ object SydraImport {
     val rootNode = mapper.createObjectNode()
     postings.toSeq.sortBy(_._1).foreach { case (kv, ids) =>
       val arr = rootNode.putArray(kv)
-      ids.foreach(arr.add)
+      // unsigned emission (tags.zig:25 @intCasts to u64); Jackson's asLong
+      // on the BigInteger node still round-trips the bit pattern on import
+      ids.foreach(id => arr.add(new java.math.BigInteger(java.lang.Long.toUnsignedString(id))))
     }
     java.nio.file.Files.write(dest.toPath.resolve("tags.json"),
       mapper.writeValueAsBytes(rootNode))

@@ -43,6 +43,36 @@ class PipelineSpec extends AnyFunSuite {
     assert(counts.nonEmpty)
   }
 
+  test("banded simhash pairs equal the all-pairs answer (pigeonhole losslessness)") {
+    val banded = Dedup.simhashPairs(docs, 10)
+      .select("doc_a", "doc_b", "hamming").as[(Long, Long, Long)].collect().toSet
+    val allPairs = Dedup.simhashPairs(docs, 60) // triangle-blocked exact path
+      .filter(col("hamming") <= 10)
+      .select("doc_a", "doc_b", "hamming").as[(Long, Long, Long)].collect().toSet
+    assert(banded === allPairs)
+  }
+
+  test("triangle-blocked cosine pairs equal the naive all-pairs answer") {
+    val naive = emb.as("a").join(emb.as("b"), col("a.vec_id") < col("b.vec_id"))
+      .select(col("a.vec_id").as("vec_a"), col("b.vec_id").as("vec_b"),
+        Similarity.cosine(col("a.embedding").cast("array<double>"),
+          col("b.embedding").cast("array<double>")).as("cos"))
+      .filter(col("cos") >= 0.4)
+      .select("vec_a", "vec_b").as[(Long, Long)].collect().toSet
+    val blocked = Similarity.cosinePairs(emb, 0.4)
+      .select("vec_a", "vec_b").as[(Long, Long)].collect().toSet
+    assert(blocked === naive)
+    assert(naive.nonEmpty, "threshold should admit some pairs at sf0.001")
+  }
+
+  test("LSH cosine pairs are a verified subset of the exact answer") {
+    val exact = Similarity.cosinePairs(emb, 0.4)
+      .select("vec_a", "vec_b").as[(Long, Long)].collect().toSet
+    val lsh = Similarity.cosinePairsLsh(emb, 0.4)
+      .select("vec_a", "vec_b").as[(Long, Long)].collect().toSet
+    assert(lsh.subsetOf(exact), "exact verification ⇒ precision 1")
+  }
+
   test("simhash of near-identical docs is closer than random pairs") {
     val pairs = Dedup.simhashPairs(docs, 60).cache() // all pairs
     val nearDup = Dedup.ngramJaccardPairs(docs, 0.8).select("doc_a", "doc_b")

@@ -54,6 +54,18 @@ class PlanSpec extends AnyFunSuite {
     assert(p.contains("*("), p.take(800))
   }
 
+  test("pair-generation queries never plan a nested-loop join") {
+    // the O(n²) scale-killers from round 2: candidate generation must be a
+    // hash/sort-merge equi-join (banding / triangle blocking), never a
+    // BroadcastNestedLoopJoin or CartesianProduct
+    for (q <- Seq("q_pl_simhash", "q_pl_cos_pairs", "q_pl_cos_pairs_lsh",
+        "q_pl_ngram_jaccard", "q_pl_minhash_lsh")) {
+      val p = plan(q)
+      assert(!p.contains("BroadcastNestedLoopJoin"), s"$q plans a nested-loop join")
+      assert(!p.contains("CartesianProduct"), s"$q plans a cartesian product")
+    }
+  }
+
   test("sydraQL time predicates prune store partitions (hour_bucket)") {
     val store = new SeriesStore(spark, Files.createTempDirectory("graft-plan").toString)
     Ingest.batch(store, {
