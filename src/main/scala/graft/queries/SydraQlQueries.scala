@@ -143,6 +143,40 @@ object SydraQlQueries {
          |ORDER BY time, a""".stripMargin,
       roundCols = Seq("p2")),
 
+    // Declared scalars without a prior gate row: ln, 3-arg time_bucket
+    // origin (functions.zig:314-324), coalesce, fill_forward (identity on
+    // the non-null series — exercises the window path end-to-end; null
+    // carry-forward is covered by SydraqlSpec fixtures and q_sql_fill_prev).
+    sq("q_sql_scalar_fns2",
+      s"select time, ln(abs(value) + 1) as lnv, time_bucket(3600, time, 900) as tb_o, " +
+        s"coalesce(value, 0 - 1) as cv, fill_forward(value) as ff " +
+        s"from view where time >= $T0 and time < ${T0 + 86400} order by time, lnv",
+      s"""$svSql
+         |SELECT time, floor((ln(abs(value) + 1)) * 1e4 + 0.5) / 1e4 AS lnv,
+         |       CAST(floor((time - 900) / 3600.0) AS BIGINT) * 3600 + 900 AS tb_o,
+         |       coalesce(value, CAST(-1 AS DOUBLE)) AS cv, value AS ff
+         |FROM sv WHERE series = 'view' AND time >= $T0 AND time < ${T0 + 86400}
+         |ORDER BY time, lnv""".stripMargin,
+      roundCols = Seq("lnv")),
+
+    // fill(null): spine densification with empty buckets left NULL
+    // (fill.zig nil policy; Fill.scala:57) — NULL rows cross the hash gate.
+    sq("q_sql_fill_null",
+      s"select time_bucket(1800, time) as bucket, avg(value) as avg_value " +
+        s"from error where time >= $T0 and time < ${T0 + 2 * 86400} " +
+        s"group by time_bucket(1800, time) fill(null) order by bucket",
+      s"""$svSql, agg AS (
+         |  SELECT CAST(floor(time / 1800.0) AS BIGINT) * 1800 AS bucket, avg(value) AS avg_value
+         |  FROM sv WHERE series = 'error' AND time >= $T0 AND time < ${T0 + 2 * 86400}
+         |  GROUP BY bucket
+         |), spine AS (
+         |  SELECT unnest(generate_series(min(bucket), max(bucket), 1800)) AS bucket FROM agg
+         |)
+         |SELECT s.bucket, floor((a.avg_value) * 1e4 + 0.5) / 1e4 AS avg_value
+         |FROM spine s LEFT JOIN agg a ON s.bucket = a.bucket
+         |ORDER BY s.bucket""".stripMargin,
+      roundCols = Seq("avg_value")),
+
     sq("q_sql_now_bucket",
       "select time_bucket(60, now()) as b, now() as t",
       s"SELECT CAST($NOW - $NOW % 60 AS BIGINT) AS b, CAST($NOW AS BIGINT) AS t"),
