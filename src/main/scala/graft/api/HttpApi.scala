@@ -38,6 +38,11 @@ final class HttpApi(store: SeriesStore, token: Option[String] = None, maxRows: I
     server.setExecutor(Executors.newFixedThreadPool(4))
     server.createContext("/status", (ex: HttpExchange) => respond(ex, 200, """{"status":"ok"}"""))
     server.createContext("/metrics", (ex: HttpExchange) => handleSafely(ex)(handleMetrics))
+    // debug endpoints (http.zig:87-119): compat stats + pg catalog dump
+    server.createContext("/debug/compat/stats", (ex: HttpExchange) =>
+      respond(ex, 200, s"""{"translations":${translations.get},"fallbacks":${fallbacks.get},"cache_hits":0}"""))
+    server.createContext("/debug/compat/catalog", (ex: HttpExchange) =>
+      handleSafely(ex)(e => respond(e, 200, mapper.writeValueAsString(PgCatalog.toJsonNode(mapper)))))
     server.createContext("/api/v1/ingest", (ex: HttpExchange) => handleSafely(ex)(handleIngest))
     server.createContext("/api/v1/query/range", (ex: HttpExchange) => handleSafely(ex)(handleRange))
     server.createContext("/api/v1/query/find", (ex: HttpExchange) => handleSafely(ex)(handleFind))

@@ -1,0 +1,263 @@
+package graft
+
+import java.io.{DataInputStream, DataOutputStream}
+import java.net.Socket
+import java.nio.charset.StandardCharsets.UTF_8
+import java.nio.file.Files
+
+import graft.api.PgWireServer
+import graft.storage.{Ingest, SeriesStore}
+import org.scalatest.BeforeAndAfterAll
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Socket-level pgwire protocol tests, porting the reference's handshake
+  * expectations (`wire/protocol.zig:253-323`, `session.zig:173-210`) and
+  * driving the simple-query path end-to-end against a real store.
+  */
+class PgWireSpec extends AnyFunSuite with BeforeAndAfterAll {
+  lazy val spark = TestSpark.spark
+
+  private var server: PgWireServer = _
+  private var port: Int = 0
+
+  override def beforeAll(): Unit = {
+    val dir = Files.createTempDirectory("graft-pgwire").toString
+    val store = new SeriesStore(spark, dir)
+    val ndjson = Files.createTempDirectory("graft-pgwire-in")
+    Files.write(ndjson.resolve("in.ndjson"), Seq(
+      """{"series":"m","ts":10,"value":1.5,"tags":{"host":"a"}}""",
+      """{"series":"m","ts":20,"value":2.0,"tags":{"host":"a"}}""",
+      """{"series":"m","ts":30,"value":2.5,"tags":{"host":"b"}}""").mkString("\n").getBytes)
+    Ingest.batch(store, ndjson.toString)
+    server = new PgWireServer(store)
+    port = server.start()
+  }
+
+  override def afterAll(): Unit = if (server != null) server.stop()
+
+  // --------------------------------------------------------- client helpers
+
+  private final class Client {
+    val sock = new Socket("127.0.0.1", port)
+    sock.setSoTimeout(60000)
+    val in = new DataInputStream(sock.getInputStream)
+    val out = new DataOutputStream(sock.getOutputStream)
+
+    def sendSslRequest(): Unit = { out.writeInt(8); out.writeInt(80877103); out.flush() }
+
+    def sendStartup(params: (String, String)*): Unit = {
+      val body = params.flatMap { case (k, v) =>
+        k.getBytes(UTF_8) ++ Array(0.toByte) ++ v.getBytes(UTF_8) ++ Array(0.toByte)
+      }.toArray :+ 0.toByte
+      out.writeInt(4 + 4 + body.length); out.writeInt(3 << 16); out.write(body); out.flush()
+    }
+
+    def sendQuery(sql: String): Unit = {
+      val b = sql.getBytes(UTF_8)
+      out.write('Q'); out.writeInt(4 + b.length + 1); out.write(b); out.write(0); out.flush()
+    }
+
+    def sendTerminate(): Unit = { out.write('X'); out.writeInt(4); out.flush() }
+
+    def readMessage(): (Char, Array[Byte]) = {
+      val t = in.readByte().toChar
+      val len = in.readInt()
+      val payload = new Array[Byte](len - 4)
+      in.readFully(payload)
+      (t, payload)
+    }
+
+    /** Collect messages until ReadyForQuery ('Z'), inclusive. */
+    def readUntilReady(): Vector[(Char, Array[Byte])] = {
+      val buf = Vector.newBuilder[(Char, Array[Byte])]
+      var done = false
+      while (!done) {
+        val m = readMessage()
+        buf += m
+        if (m._1 == 'Z') done = true
+      }
+      buf.result()
+    }
+
+    def handshake(params: (String, String)*): Vector[(Char, Array[Byte])] = {
+      sendStartup(params: _*)
+      readUntilReady()
+    }
+
+    def close(): Unit = sock.close()
+  }
+
+  private def cStr(b: Array[Byte], from: Int = 0): String = {
+    val end = b.indexOf(0.toByte, from)
+    new String(b, from, (if (end < 0) b.length else end) - from, UTF_8)
+  }
+
+  /** Parse a DataRow payload into column text values (None = NULL). */
+  private def parseDataRow(payload: Array[Byte]): Seq[Option[String]] = {
+    val in = new DataInputStream(new java.io.ByteArrayInputStream(payload))
+    val n = in.readShort()
+    (0 until n).map { _ =>
+      val len = in.readInt()
+      if (len < 0) None
+      else {
+        val b = new Array[Byte](len); in.readFully(b); Some(new String(b, UTF_8))
+      }
+    }
+  }
+
+  /** Parse error fields 'S'/'C'/'M' from an ErrorResponse payload. */
+  private def parseError(payload: Array[Byte]): Map[Char, String] = {
+    var idx = 0
+    val fields = Map.newBuilder[Char, String]
+    while (idx < payload.length && payload(idx) != 0) {
+      val tag = payload(idx).toChar
+      val s = cStr(payload, idx + 1)
+      fields += tag -> s
+      idx += 1 + s.getBytes(UTF_8).length + 1
+    }
+    fields.result()
+  }
+
+  // ------------------------------------------------------------- handshake
+
+  test("SSL request is declined with a single 'N' (protocol.zig:253-299)") {
+    val c = new Client
+    c.sendSslRequest()
+    assert(c.in.readByte().toChar === 'N')
+    // startup still proceeds on the same connection
+    val msgs = c.handshake("user" -> "sydra", "database" -> "sydradb", "application_name" -> "psql")
+    // R(auth=0) first, then ParameterStatus block, then Z('I') last
+    assert(msgs.head._1 === 'R')
+    assert(java.nio.ByteBuffer.wrap(msgs.head._2).getInt === 0)
+    val params = msgs.filter(_._1 == 'S').map(m => cStr(m._2) -> cStr(m._2, cStr(m._2).getBytes(UTF_8).length + 1)).toMap
+    assert(params("server_version") === "15.2")
+    assert(params("server_encoding") === "UTF8")
+    assert(params("application_name") === "psql")
+    assert(params("standard_conforming_strings") === "on")
+    assert(msgs.last._1 === 'Z')
+    assert(msgs.last._2(0).toChar === 'I')
+    c.close()
+  }
+
+  test("startup without user → FATAL 28000 (session.zig:88-91)") {
+    val c = new Client
+    c.sendStartup("database" -> "sydradb")
+    val (t, payload) = c.readMessage()
+    assert(t === 'E')
+    val fields = parseError(payload)
+    assert(fields('S') === "FATAL")
+    assert(fields('C') === "28000")
+    assert(fields('M') === "user parameter required")
+    c.close()
+  }
+
+  // ---------------------------------------------------------- simple query
+
+  test("SELECT 1 end-to-end: RowDescription, DataRow, CommandComplete") {
+    val c = new Client
+    c.handshake("user" -> "sydra")
+    c.sendQuery("SELECT 1")
+    val msgs = c.readUntilReady()
+    val types = msgs.map(_._1)
+    assert(types.contains('T'))
+    val rows = msgs.filter(_._1 == 'D').map(m => parseDataRow(m._2))
+    assert(rows === Vector(Seq(Some("1"))))
+    val complete = msgs.find(_._1 == 'C').get
+    assert(cStr(complete._2) === "SELECT 1")
+    assert(msgs.last._1 === 'Z')
+    c.close()
+  }
+
+  test("series query end-to-end matches engine output") {
+    val c = new Client
+    c.handshake("user" -> "sydra")
+    c.sendQuery("SELECT time, value FROM m WHERE time >= 0 and time < 100 order by time")
+    val msgs = c.readUntilReady()
+    // RowDescription: 2 columns, first named "time" with int8 oid
+    val desc = msgs.find(_._1 == 'T').get._2
+    val bb = java.nio.ByteBuffer.wrap(desc)
+    assert(bb.getShort === 2)
+    assert(cStr(desc, 2) === "time")
+    val afterName = 2 + "time".length + 1
+    assert(bb.getInt(afterName) === 0) // table oid
+    assert(bb.getInt(afterName + 6) === 20) // int8
+    val rows = msgs.filter(_._1 == 'D').map(m => parseDataRow(m._2))
+    assert(rows === Vector(
+      Seq(Some("10"), Some("1.5")),
+      Seq(Some("20"), Some("2")),
+      Seq(Some("30"), Some("2.5"))))
+    assert(cStr(msgs.find(_._1 == 'C').get._2) === "SELECT 3")
+    // observability NOTICEs: schema + trace_id + metrics (server.zig:294-312)
+    val notices = msgs.filter(_._1 == 'N').map(m => parseError(m._2)('M'))
+    assert(notices.exists(_.startsWith("schema=[")))
+    assert(notices.exists(_.startsWith("trace_id=")))
+    assert(notices.exists(_.startsWith("metrics rows=3 ")))
+    c.close()
+  }
+
+  test("INSERT through the wire persists and tags INSERT 0 n") {
+    val c = new Client
+    c.handshake("user" -> "sydra")
+    c.sendQuery("INSERT INTO wired(time, value) VALUES (42, 9.5)")
+    val msgs = c.readUntilReady()
+    assert(cStr(msgs.find(_._1 == 'C').get._2) === "INSERT 0 1")
+    c.sendQuery("SELECT time, value FROM wired WHERE time >= 0 and time < 100")
+    val rows = c.readUntilReady().filter(_._1 == 'D').map(m => parseDataRow(m._2))
+    assert(rows === Vector(Seq(Some("42"), Some("9.5"))))
+    c.close()
+  }
+
+  test("empty query → EmptyQueryResponse; unsupported SQL → 0A000; engine errors carry SQLSTATE") {
+    val c = new Client
+    c.handshake("user" -> "sydra")
+    c.sendQuery("   ")
+    val empty = c.readUntilReady()
+    assert(empty.map(_._1) === Vector('I', 'Z'))
+
+    c.sendQuery("UPDATE users SET name = 'rex'")
+    val upd = c.readUntilReady()
+    assert(parseError(upd.find(_._1 == 'E').get._2)('C') === "0A000")
+
+    // validation error surfaces its mapped SQLSTATE (22000 TimeRangeRequired)
+    c.sendQuery("SELECT value FROM m")
+    val noRange = c.readUntilReady()
+    assert(parseError(noRange.find(_._1 == 'E').get._2)('C') === "22000")
+
+    // connection stays usable after errors
+    c.sendQuery("SELECT 1")
+    assert(c.readUntilReady().count(_._1 == 'D') === 1)
+    c.close()
+  }
+
+  test("pg catalog shim answers connect-time probes (catalog.zig:60-112)") {
+    val c = new Client
+    c.handshake("user" -> "sydra")
+
+    c.sendQuery("SELECT version()")
+    val ver = c.readUntilReady().filter(_._1 == 'D').map(m => parseDataRow(m._2))
+    assert(ver.head.head.get.startsWith("PostgreSQL 15.2"))
+
+    c.sendQuery("SELECT typname, typlen FROM pg_type WHERE oid = 20")
+    val int8 = c.readUntilReady().filter(_._1 == 'D').map(m => parseDataRow(m._2))
+    assert(int8 === Vector(Seq(Some("int8"), Some("8"))))
+
+    // qualified names + a catalog join, the shape psql \d issues
+    c.sendQuery("SELECT c.relname, n.nspname FROM pg_catalog.pg_class c " +
+      "JOIN pg_catalog.pg_namespace n ON n.oid = c.relnamespace")
+    val rel = c.readUntilReady().filter(_._1 == 'D').map(m => parseDataRow(m._2))
+    assert(rel === Vector(Seq(Some("pg_type"), Some("pg_catalog"))))
+
+    c.sendQuery("SELECT attname FROM pg_attribute WHERE attrelid = 22000 AND attnum <= 2 ORDER BY attnum")
+    val attrs = c.readUntilReady().filter(_._1 == 'D').map(m => parseDataRow(m._2))
+    assert(attrs === Vector(Seq(Some("oid")), Seq(Some("typname"))))
+    c.close()
+  }
+
+  test("terminate ('X') closes the connection") {
+    val c = new Client
+    c.handshake("user" -> "sydra")
+    c.sendTerminate()
+    assert(c.in.read() === -1) // server closed its end
+    c.close()
+  }
+}
