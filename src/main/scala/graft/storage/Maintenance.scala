@@ -78,6 +78,42 @@ object Maintenance {
     dropped
   }
 
+  /** Per-namespace TTL retention (`config.zig:96-105` `retention.<ns>`
+    * overrides + `ttlForSeries`, `storage/retention.zig:4-20`): namespace
+    * is the series prefix before the first '.' (whole name if none,
+    * `config.zig:96-99`); `ttlDays == 0` keeps forever.
+    *
+    * Hour partitions mix namespaces, so namespace-dependent expiry needs a
+    * row-level rewrite — but only of partitions old enough to contain ANY
+    * expirable row. Two phases:
+    *  1. fast path: when every TTL is finite, partitions older than the
+    *     LONGEST TTL are expired for every namespace → constant-time
+    *     directory drop (the global-TTL path);
+    *  2. row-level: `deleteRows` with a per-row TTL predicate — touches
+    *     only partitions the predicate can match (all newer partitions
+    *     prune away), each rewritten independently, no global shuffle.
+    *
+    * Returns the fast-path-dropped partition hours.
+    */
+  def applyRetention(
+      store: SeriesStore,
+      defaultTtlDays: Long,
+      nsTtlDays: Map[String, Long],
+      nowTs: Long): Seq[Long] = {
+    if (store.isEmpty) return Nil
+    val ttls = defaultTtlDays +: nsTtlDays.values.toSeq
+    val dropped =
+      if (ttls.forall(_ > 0)) applyRetention(store, nowTs - ttls.max * 86400L)
+      else Nil
+    // namespaceOf(series): prefix before the first '.' (config.zig:96-99)
+    val ns = substring_index(col("series"), ".", 1)
+    val ttlCol = nsTtlDays.foldLeft(lit(defaultTtlDays)) {
+      case (acc, (n, d)) => when(ns === n, lit(d)).otherwise(acc)
+    }
+    deleteRows(store, ttlCol > 0 && col("time") < (lit(nowTs) - ttlCol * 86400L))
+    dropped
+  }
+
   /** Row-level delete for `DELETE FROM <sel> WHERE <pred>`: rewrite only
     * the hour partitions that may contain matches.
     */

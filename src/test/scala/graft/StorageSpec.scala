@@ -57,6 +57,27 @@ class StorageSpec extends AnyFunSuite {
     assert(store.source().count() === 2)
   }
 
+  test("per-namespace retention TTL (config.zig:96-105, retention.zig:4-20)") {
+    val now = 1704844800L
+    val store = new SeriesStore(spark, tmp())
+    Ingest.batch(store, writeNdjson(Seq(
+      s"""{"series":"cpu.total","ts":${now - 2 * 86400},"value":1.0}""",  // cpu ttl=1d → expired
+      s"""{"series":"cpu.total","ts":${now - 3600},"value":2.0}""",       // cpu fresh → kept
+      s"""{"series":"mem.used","ts":${now - 2 * 86400},"value":3.0}""",   // mem ttl=10d → kept
+      s"""{"series":"mem.used","ts":${now - 20 * 86400},"value":4.0}""")))// older than max ttl → partition drop
+    val dropped = Maintenance.applyRetention(store, defaultTtlDays = 10,
+      nsTtlDays = Map("cpu" -> 1L), nowTs = now)
+    // fast path dropped the 20-day-old partition (expired for EVERY ttl)
+    assert(dropped === Seq(Math.floorDiv(now - 20 * 86400, 3600L) * 3600L))
+    val left = store.source().orderBy("time").collect()
+      .map(r => (r.getAs[String]("series"), r.getAs[Double]("value"))).toSeq
+    assert(left === Seq(("mem.used", 3.0), ("cpu.total", 2.0)))
+    // ttl=0 keeps forever: nothing else expires even at a far-future now
+    assert(Maintenance.applyRetention(store, defaultTtlDays = 0,
+      nsTtlDays = Map.empty, nowTs = now + 365 * 86400L) === Nil)
+    assert(store.source().count() === 2)
+  }
+
   test("compaction dedups identical (series,ts) keeping last write (compact.zig:36-50)") {
     val store = new SeriesStore(spark, tmp())
     Ingest.batch(store, writeNdjson(Seq("""{"series":"m","ts":100,"value":1.0}""")))
