@@ -37,26 +37,56 @@ object SydraImport {
   }
 
   /** Decode every `*.seg` under `dataDir/segments` into (series, series_id,
-    * tags, time, value) rows. The store's own append re-derives ids from
-    * (name|tags); imported rows keep the REFERENCE id so by_id queries
-    * against imported data match the original system.
+    * tags, time, value) rows, then replay the WAL tail above each series'
+    * segment highwater — recovery semantics from the reference
+    * (`engine.zig:406-437`): a record applies only when its ts is strictly
+    * above the series' running highwater (max flushed ts, advanced by each
+    * applied record, so equal-ts WAL duplicates keep the first). The
+    * store's own append re-derives ids from (name|tags); imported rows
+    * keep the REFERENCE id so by_id queries against imported data match
+    * the original system.
     */
   def readDataDir(spark: SparkSession, dataDir: String): DataFrame = {
     import spark.implicits._
     val tagIndex = spark.sparkContext.broadcast(loadTagIndex(s"$dataDir/tags.json"))
-    val segs = spark.read.format("binaryFile")
-      .option("pathGlobFilter", "*.seg")
-      .option("recursiveFileLookup", "true")
-      .load(s"$dataDir/segments")
-      .select("content")
-      .as[Array[Byte]]
-    segs.flatMap { bytes =>
-      val seg = SegmentCodec.decode(bytes)
-      val tags = tagIndex.value.getOrElse(seg.seriesId, Map.empty)
-      seg.points.map { case (ts, v) =>
-        (s"sid:${seg.seriesId}", seg.seriesId, tags, ts, v)
+    val hasSegs = new java.io.File(dataDir, "segments").isDirectory
+    val segs: DataFrame =
+      if (!hasSegs) spark.emptyDataset[(String, Long, Map[String, String], Long, Double)].toDF(
+        "series", "series_id", "tags", "time", "value")
+      else spark.read.format("binaryFile")
+        .option("pathGlobFilter", "*.seg")
+        .option("recursiveFileLookup", "true")
+        .load(s"$dataDir/segments")
+        .select("content")
+        .as[Array[Byte]]
+        .flatMap { bytes =>
+          val seg = SegmentCodec.decode(bytes)
+          val tags = tagIndex.value.getOrElse(seg.seriesId, Map.empty)
+          seg.points.map { case (ts, v) =>
+            (s"sid:${seg.seriesId}", seg.seriesId, tags, ts, v)
+          }
+        }.toDF("series", "series_id", "tags", "time", "value")
+
+    val wal = codec.WalCodec.readDir(dataDir)
+    if (wal.isEmpty) return segs
+
+    // per-series flushed highwater; the WAL tail is rotation-capped
+    // (64 MiB, wal.zig:63) so the driver-side fold mirrors the
+    // reference's recover() hashmap at the same size class
+    val cached = segs.cache()
+    val highwater = scala.collection.mutable.Map[Long, Long]() ++=
+      cached.groupBy("series_id").agg(max("time"))
+        .collect().map(r => r.getLong(0) -> r.getLong(1))
+    val applied = Seq.newBuilder[(String, Long, Map[String, String], Long, Double)]
+    wal.foreach { r =>
+      if (highwater.get(r.seriesId).forall(r.ts > _)) {
+        applied += ((s"sid:${r.seriesId}", r.seriesId,
+          tagIndex.value.getOrElse(r.seriesId, Map.empty), r.ts, r.value))
+        highwater(r.seriesId) = r.ts
       }
-    }.toDF("series", "series_id", "tags", "time", "value")
+    }
+    cached.unionAll(
+      applied.result().toDF("series", "series_id", "tags", "time", "value"))
   }
 
   /** Import into a store, preserving reference series ids. */

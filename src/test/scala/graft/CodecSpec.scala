@@ -93,4 +93,44 @@ class CodecSpec extends AnyFunSuite {
     // tags survive via tags.json → tag find works on the imported store
     assert(restored.findSeries(Map("host" -> "a")).count() === 1)
   }
+
+  test("WAL golden bytes: record layout and crc (wal.zig:4-5)") {
+    import graft.storage.codec.WalCodec
+    val bytes = WalCodec.encode(Seq(WalCodec.Record(3L, 100L, 1.5)))
+    // [len=25 LE][type=1][sid=3 LE][ts=100 LE][1.5 bits LE][crc32 LE]
+    // crc32(payload) = 2468982817 (IEEE, computed with zlib)
+    assert(bytes.map("%02x".format(_)).mkString ===
+      "190000000103000000000000006400000000000000000000000000f83f21b02993")
+    assert(WalCodec.decode(bytes) === Seq(WalCodec.Record(3L, 100L, 1.5)))
+    // corruption detection: flipped payload byte fails crc
+    val bad = bytes.clone(); bad(10) = (bad(10) ^ 1).toByte
+    assertThrows[IllegalStateException](WalCodec.decode(bad))
+    // truncated tail record is corruption, not silence (wal.zig:121-131)
+    assertThrows[IllegalStateException](WalCodec.decode(bytes.dropRight(2)))
+  }
+
+  test("import replays WAL tail above the segment highwater (engine.zig:406-437)") {
+    import graft.storage.codec.{SegmentCodec, WalCodec}
+    val dir = Files.createTempDirectory("graft-waldir").toString
+    val sid = 7L
+    // flushed segment: ts 100, 200 → highwater 200
+    val segDir = new java.io.File(s"$dir/segments/0"); segDir.mkdirs()
+    Files.write(segDir.toPath.resolve(f"$sid%x-100-200-0.seg"),
+      SegmentCodec.encode(SegmentCodec.Segment(sid, 0L, Seq(100L -> 1.0, 200L -> 2.0))))
+    // WAL: rotated file + current; replay order = rotated first
+    val walDir = new java.io.File(s"$dir/wal"); walDir.mkdirs()
+    Files.write(walDir.toPath.resolve("1000.wal"), WalCodec.encode(Seq(
+      WalCodec.Record(sid, 150L, 9.0),   // ≤ highwater → skipped
+      WalCodec.Record(sid, 250L, 2.5)))) // above → applied, highwater := 250
+    Files.write(walDir.toPath.resolve("current.wal"), WalCodec.encode(Seq(
+      WalCodec.Record(sid, 250L, 8.0),   // duplicate ts → skipped (first wins)
+      WalCodec.Record(sid, 300L, 3.0),   // applied
+      WalCodec.Record(99L, 50L, 4.5))))  // unknown series: no highwater → applied
+    val got = SydraImport.readDataDir(spark, dir)
+      .orderBy("series_id", "time")
+      .collect().map(r => (r.getLong(1), r.getLong(3), r.getDouble(4))).toSeq
+    assert(got === Seq(
+      (7L, 100L, 1.0), (7L, 200L, 2.0), (7L, 250L, 2.5), (7L, 300L, 3.0),
+      (99L, 50L, 4.5)))
+  }
 }
