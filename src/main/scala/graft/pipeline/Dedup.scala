@@ -86,19 +86,14 @@ object Dedup {
       bands: Int = 16,
       rowsPerBand: Int = 2,
       n: Int = 3): DataFrame = {
-    val P = 2147483647L // 2^31-1; (a*x+b) stays < 2^62: no BIGINT overflow anywhere
     val numHashes = bands * rowsPerBand
-    // deterministic coefficient schedule (public splitmix-style constants)
-    val coeffs = (0 until numHashes).map { i =>
-      val a = 1L + ((i * 2654435761L + 104729L) % (P - 1))
-      val b = (i * 40503L + 15485863L) % P
-      (a, b)
-    }
     val sh = shingleHashes(docs, n).cache()
+    // one codegen'd pass computes every (a_i*x+b_i) % P minimum — the
+    // schedule lives in MinHashSignature.coefficients; the HOF equivalent
+    // (numHashes × array_min(transform(...))) walks the array per hash
+    // function through interpreted lambdas
     val sig = sh.select(col("doc_id"), col("hs"),
-      array(coeffs.map { case (a, b) =>
-        array_min(transform(col("hs"), x => (lit(a) * x + lit(b)) % lit(P)))
-      }: _*).as("sig"))
+      graft.functions.MinHashSignature(col("hs"), numHashes).as("sig"))
     // band key: (band index, hash of the band's signature slice)
     val bandsDf = sig.select(col("doc_id"),
       posexplode(transform(sequence(lit(0), lit(bands - 1)), bi =>

@@ -41,6 +41,27 @@ class FunctionsSpec extends AnyFunSuite {
     assert(r === 1.0)
   }
 
+  test("codegen minhash_sig is identical to the HOF composition") {
+    import graft.functions.MinHashSignature
+    val k = 32
+    val (as, bs) = MinHashSignature.coefficients(k)
+    val docs = graft.pipeline.TextAnalysis.shingleSets(
+      graft.core.Tables.documents(spark, "/root/testdata/sf0.001"), 3)
+    val hof = array((0 until k).map { i =>
+      array_min(transform(col("hs"), x => (lit(as(i)) * x + lit(bs(i))) % lit(MinHashSignature.P)))
+    }: _*)
+    val mismatches = docs
+      .select(MinHashSignature(col("hs"), k).as("kernel"), hof.as("hof"))
+      .filter(col("kernel") =!= col("hof"))
+      .count()
+    assert(mismatches === 0L, "kernel and HOF signatures must agree exactly")
+    // empty array → MaxValue sentinels (fold identity), not null
+    val empty = Seq(Seq.empty[Long]).toDF("hs")
+      .select(MinHashSignature(col("hs"), 4).as("sig"))
+      .head().getSeq[Long](0)
+    assert(empty === Seq.fill(4)(Long.MaxValue))
+  }
+
   test("approx percentile tracks exact within sketch tolerance") {
     val sv = graft.core.Tables.seriesView(spark, "/root/testdata/sf0.01")
     val exact = sv.groupBy("series").agg(percentile(col("value"), lit(0.95)).as("p"))
