@@ -25,7 +25,13 @@ object TextAnalysis {
     */
   private[pipeline] def spread(df: DataFrame): DataFrame = {
     val target = df.sparkSession.sparkContext.defaultParallelism
-    if (df.rdd.getNumPartitions >= target) df else df.repartition(target)
+    // logical-plan size estimate: no RDD lineage, no physical planning.
+    // Inputs under ~8 MB/core are the single-split small-corpus case worth
+    // a trivial shuffle; anything larger already arrives multi-split and
+    // must never be blanket-repartitioned (at 100 TB that shuffle IS the
+    // job)
+    val small = df.queryExecution.optimizedPlan.stats.sizeInBytes < (target.toLong << 23)
+    if (small) df.repartition(target) else df
   }
 
   /** Portable 60-bit hash: int(md5(s)[0:15], 16). */

@@ -110,29 +110,52 @@ object SydraImport {
     * (JSONL per `storage/manifest.zig`) — round-trip capability.
     */
   def exportDataDir(store: SeriesStore, destDir: String): Long = {
-    // last-wins dedup first: exporting the raw scan would ship superseded
-    // writes alongside winners, losing arrival order (seq) on re-import
-    val rows = Maintenance.dedupLastWins(store.scan())
-      .select("series_id", "hour_bucket", "time", "value")
-      .collect() // export tool: driver-side is fine for snapshot-sized data
-      .groupBy(r => (r.getLong(0), r.getLong(1))) // (series_id, hour_bucket)
+    import store.spark.implicits._
     val dest = new java.io.File(destDir)
     new java.io.File(dest, "segments").mkdirs()
+    // last-wins dedup first: exporting the raw scan would ship superseded
+    // writes alongside winners, losing arrival order (seq) on re-import.
+    // Segment encode + file write run on executors — each (series, hour)
+    // group is co-located by the repartition and contiguous after the
+    // sort; only the per-segment manifest metadata returns to the driver
+    val meta = Maintenance.dedupLastWins(store.scan())
+      .select(col("series_id"), col("hour_bucket"), col("time"), col("value"))
+      .repartition(col("series_id"), col("hour_bucket"))
+      .sortWithinPartitions(col("series_id"), col("hour_bucket"), col("time"), col("value"))
+      .as[(Long, Long, Long, Double)]
+      .mapPartitions { it =>
+        val out = Seq.newBuilder[(Long, Long, Long, Long, Int, String)]
+        val buf = scala.collection.mutable.ArrayBuffer[(Long, Double)]()
+        var key: (Long, Long) = null
+        def flush(): Unit = if (buf.nonEmpty) {
+          val (sid, hour) = key
+          val pts = buf.toSeq
+          val bytes = SegmentCodec.encode(SegmentCodec.Segment(sid, hour, pts))
+          val hourDir = new java.io.File(destDir, s"segments/$hour")
+          hourDir.mkdirs()
+          val name = f"$sid%x-${pts.head._1}-${pts.last._1}-0.seg"
+          java.nio.file.Files.write(hourDir.toPath.resolve(name), bytes)
+          out += ((sid, hour, pts.head._1, pts.last._1, pts.length, s"segments/$hour/$name"))
+          buf.clear()
+        }
+        it.foreach { case (sid, hour, ts, v) =>
+          if (key != ((sid, hour))) { flush(); key = (sid, hour) }
+          buf += ((ts, v))
+        }
+        flush()
+        out.result().iterator
+      }
+      .collect() // one row per (series, hour) segment — catalog-sized
     val manifest = new StringBuilder
     var n = 0L
-    rows.foreach { case ((sid, hour), rs) =>
-      val pts = rs.map(r => (r.getLong(2), r.getDouble(3))).sortBy(p => (p._1, p._2)).toSeq
-      val bytes = SegmentCodec.encode(SegmentCodec.Segment(sid, hour, pts))
-      val hourDir = new java.io.File(dest, s"segments/$hour")
-      hourDir.mkdirs()
-      val name = f"$sid%x-${pts.head._1}-${pts.last._1}-0.seg"
-      java.nio.file.Files.write(hourDir.toPath.resolve(name), bytes)
-      // series_id is u64 in the reference (@intCast from i64 panics on
-      // negatives, manifest.zig:48) — emit the unsigned decimal form
-      manifest.append(
-        s"""{"series_id":${java.lang.Long.toUnsignedString(sid)},"hour_bucket":$hour,"start_ts":${pts.head._1},"end_ts":${pts.last._1},"count":${pts.length},"path":"segments/$hour/$name"}\n""")
-      n += pts.length
-    }
+    meta.sortBy { case (sid, hour, _, _, _, _) => (hour, java.lang.Long.toUnsignedString(sid)) }
+      .foreach { case (sid, hour, startTs, endTs, count, path) =>
+        // series_id is u64 in the reference (@intCast from i64 panics on
+        // negatives, manifest.zig:48) — emit the unsigned decimal form
+        manifest.append(
+          s"""{"series_id":${java.lang.Long.toUnsignedString(sid)},"hour_bucket":$hour,"start_ts":$startTs,"end_ts":$endTs,"count":$count,"path":"$path"}\n""")
+        n += count
+      }
     java.nio.file.Files.write(dest.toPath.resolve("MANIFEST"), manifest.toString.getBytes)
     // tags.json (`storage/tags.zig:52-75`: {"k=v":[sid,...]}) — without it
     // an import can only address series via by_id(); with it, tag filters
