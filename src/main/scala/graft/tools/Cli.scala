@@ -1,0 +1,116 @@
+package graft.tools
+
+import graft.api.{HttpApi, PgWireServer}
+import graft.storage.{Config, Ingest, Maintenance, SeriesStore, SydraImport}
+import org.apache.spark.sql.SparkSession
+
+/** Unified CLI mirroring the reference's subcommand surface
+  * (`/root/reference/src/sydra/server.zig:9-31`):
+  *
+  * ```
+  * sbt "runMain graft.tools.Cli [serve]"            # HTTP + pgwire
+  * sbt "runMain graft.tools.Cli pgwire [addr] [port]"
+  * sbt "runMain graft.tools.Cli ingest"             # NDJSON on stdin
+  * sbt "runMain graft.tools.Cli query <series_id> <start_ts> <end_ts>"
+  * sbt "runMain graft.tools.Cli compact"
+  * sbt "runMain graft.tools.Cli snapshot <dest>"
+  * sbt "runMain graft.tools.Cli restore <src>"
+  * sbt "runMain graft.tools.Cli stats"
+  * ```
+  *
+  * Config comes from `sydradb.toml` in the working directory, defaults
+  * otherwise (`server.zig:34-48`); `retention_days` / `retention.<ns>`
+  * are applied on `serve` startup.
+  */
+object Cli {
+
+  def main(args: Array[String]): Unit = {
+    val cfg = Config.loadOrDefault()
+    val cmd = args.headOption.getOrElse("serve")
+    val spark = session()
+    val store = new SeriesStore(spark, cfg.dataDir)
+    try run(cmd, args.drop(1), cfg, store)
+    finally if (cmd != "serve" && cmd != "pgwire") spark.stop()
+  }
+
+  private[graft] def run(cmd: String, args: Array[String], cfg: Config, store: SeriesStore): Unit =
+    cmd match {
+      case "serve" =>
+        if (cfg.retentionDays > 0 || cfg.retentionNs.nonEmpty)
+          Maintenance.applyRetention(store, cfg.retentionDays, cfg.retentionNs,
+            System.currentTimeMillis() / 1000)
+        val api = new HttpApi(store, token = Option(cfg.authToken).filter(_.nonEmpty))
+        val httpPort = api.start(cfg.httpPort)
+        val pgPort = new PgWireServer(store).start(6432)
+        println(s"sydradbspark serve http=127.0.0.1:$httpPort pgwire=127.0.0.1:$pgPort data=${cfg.dataDir}")
+        Thread.currentThread().join()
+      case "pgwire" =>
+        // address arg accepted for parity; the JDK server binds loopback
+        val port = args.lift(1).map(_.toInt).getOrElse(6432)
+        val bound = new PgWireServer(store).start(port)
+        println(s"sydradb pgwire 127.0.0.1:$bound")
+        Thread.currentThread().join()
+      case "ingest" =>
+        val n = Ingest.stdin(store)
+        println(s"ingested $n points")
+      case "query" =>
+        // by-id range scan, CSV lines on stdout (server.zig:117-132)
+        val sid = java.lang.Long.parseUnsignedLong(args(0))
+        val (startTs, endTs) = (args(1).toLong, args(2).toLong)
+        store.scanRange(startTs, endTs)
+          .filter(org.apache.spark.sql.functions.col("series_id") === sid)
+          .orderBy("time")
+          .select("time", "value")
+          .toLocalIterator().forEachRemaining { r =>
+            println(s"${r.getLong(0)},${r.getDouble(1)}")
+          }
+      case "compact" => Maintenance.compact(store)
+      case "snapshot" => Maintenance.snapshot(store, args(0))
+      case "restore" =>
+        // restore = import the snapshot dir into the configured data dir
+        // (snapshot.zig restore copies files; parquet segments copy 1:1)
+        copyInto(new java.io.File(args(0)), new java.io.File(cfg.dataDir))
+        store.spark.catalog.clearCache()
+      case "stats" =>
+        val segs = countFiles(new java.io.File(cfg.dataDir, "segments"))
+        println(s"segments_total $segs")
+        // allocator-shard stats have no JVM analog (server.zig:168-193);
+        // report heap occupancy instead
+        val rt = Runtime.getRuntime
+        println(s"jvm.heap used=${rt.totalMemory - rt.freeMemory} max=${rt.maxMemory}")
+      case "export" => // bonus: SYSEG2 data-dir export for sydradb interop
+        val n = SydraImport.exportDataDir(store, args(0))
+        println(s"exported $n points")
+      case "import" => // bonus: sydradb data-dir import (segments + WAL tail)
+        val n = SydraImport.importDataDir(store, args(0))
+        println(s"imported $n rows")
+      case other =>
+        System.err.println(
+          s"unknown command '$other' (serve|pgwire|ingest|query|compact|snapshot|restore|stats|export|import)")
+        sys.exit(2)
+    }
+
+  private def countFiles(dir: java.io.File): Long =
+    if (!dir.exists()) 0L
+    else if (dir.isFile) 1L
+    else dir.listFiles().map(countFiles).sum
+
+  private def copyInto(src: java.io.File, dst: java.io.File): Unit = {
+    if (src.isDirectory) {
+      dst.mkdirs()
+      src.listFiles().foreach(c => copyInto(c, new java.io.File(dst, c.getName)))
+    } else {
+      java.nio.file.Files.copy(src.toPath, dst.toPath,
+        java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+      ()
+    }
+  }
+
+  private def session(): SparkSession =
+    graft.SparkEntry.configure(
+      SparkSession.builder()
+        .master(s"local[${sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")}]")
+        .config("spark.sql.shuffle.partitions", sys.env.getOrElse("SPARK_GRAFT_CPUS", "4"))
+        .config("spark.ui.enabled", "false"))
+      .getOrCreate()
+}

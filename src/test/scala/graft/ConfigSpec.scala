@@ -1,0 +1,88 @@
+package graft
+
+import graft.storage.{Config, Ingest, SeriesStore}
+import org.scalatest.funsuite.AnyFunSuite
+import java.nio.file.Files
+
+/** Config parser corpus (config.zig:35-105) + CLI command smoke tests. */
+class ConfigSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+
+  test("toml subset: all reference keys, quoting, comments, ns overrides") {
+    val cfg = Config.parse(
+      """# sydradb.toml
+        |data_dir = "/var/lib/sydra"
+        |http_port = 9090
+        |flush_interval_ms = 500
+        |memtable_max_bytes = 1048576
+        |retention_days = 30
+        |fsync = "always"
+        |mem_limit_bytes = 67108864
+        |auth_token = "sekrit"
+        |enable_influx = true
+        |enable_prom = false
+        |retention.cpu = 7
+        |retention.tmp = 1
+        |unknown_key = whatever
+        |""".stripMargin)
+    assert(cfg.dataDir === "/var/lib/sydra")
+    assert(cfg.httpPort === 9090)
+    assert(cfg.flushIntervalMs === 500)
+    assert(cfg.memtableMaxBytes === 1048576L)
+    assert(cfg.retentionDays === 30L)
+    assert(cfg.fsync === "always")
+    assert(cfg.memLimitBytes === 67108864L)
+    assert(cfg.authToken === "sekrit")
+    assert(cfg.enableInflux === true)
+    assert(cfg.enableProm === false)
+    assert(cfg.retentionNs === Map("cpu" -> 7L, "tmp" -> 1L))
+  }
+
+  test("ttlForSeries: namespace override else global (config.zig:96-105)") {
+    val cfg = Config(retentionDays = 30, retentionNs = Map("cpu" -> 7L))
+    assert(cfg.ttlForSeries("cpu.total") === 7L)
+    assert(cfg.ttlForSeries("cpu") === 7L) // no dot → whole name is the ns
+    assert(cfg.ttlForSeries("mem.used") === 30L)
+    assert(Config.namespaceOf("a.b.c") === "a")
+  }
+
+  test("defaults match the reference when sydradb.toml is absent (server.zig:34-48)") {
+    val cfg = Config.loadOrDefault("/nonexistent/sydradb.toml")
+    assert(cfg === Config())
+    assert(cfg.dataDir === "./data")
+    assert(cfg.httpPort === 8080)
+    assert(cfg.retentionDays === 0L)
+  }
+
+  test("cli: query prints id-scoped range; stats counts segments; snapshot/restore round-trip") {
+    val root = Files.createTempDirectory("graft-cli").toString
+    val store = new SeriesStore(spark, s"$root/data")
+    val nd = Files.createTempDirectory("graft-cli-nd")
+    Files.write(nd.resolve("in.ndjson"), Seq(
+      """{"series":"m","ts":10,"value":1.5}""",
+      """{"series":"m","ts":20,"value":2.5}""",
+      """{"series":"other","ts":15,"value":9.0}""").mkString("\n").getBytes)
+    Ingest.batch(store, nd.toString)
+    val sid = store.scan().filter(org.apache.spark.sql.functions.col("series") === "m")
+      .select("series_id").head().getLong(0)
+    val cfg = Config(dataDir = s"$root/data")
+
+    val out = new java.io.ByteArrayOutputStream()
+    Console.withOut(new java.io.PrintStream(out)) {
+      graft.tools.Cli.run("query", Array(java.lang.Long.toUnsignedString(sid), "0", "100"), cfg, store)
+    }
+    assert(out.toString.trim.linesIterator.toSeq === Seq("10,1.5", "20,2.5"))
+
+    val statsOut = new java.io.ByteArrayOutputStream()
+    Console.withOut(new java.io.PrintStream(statsOut)) {
+      graft.tools.Cli.run("stats", Array.empty, cfg, store)
+    }
+    assert(statsOut.toString.linesIterator.next().matches("segments_total \\d+"))
+
+    graft.tools.Cli.run("snapshot", Array(s"$root/snap"), cfg, store)
+    val cfg2 = Config(dataDir = s"$root/data2")
+    val store2 = new SeriesStore(spark, s"$root/data2")
+    graft.tools.Cli.run("restore", Array(s"$root/snap"), cfg2, store2)
+    assert(store2.scan().count() === 3)
+  }
+}
