@@ -29,8 +29,8 @@ final class HttpApi(store: SeriesStore, token: Option[String] = None, maxRows: I
   private val ingestTotal = new AtomicLong
   private val queryTotal = new AtomicLong
   private val errorTotal = new AtomicLong
-  private val translations = new AtomicLong
-  private val fallbacks = new AtomicLong
+  private def translations = TranslationLog.translations
+  private def fallbacks = TranslationLog.fallbacks
   private var server: HttpServer = _
 
   def start(port: Int = 0): Int = {
@@ -40,7 +40,7 @@ final class HttpApi(store: SeriesStore, token: Option[String] = None, maxRows: I
     server.createContext("/metrics", (ex: HttpExchange) => handleSafely(ex)(handleMetrics))
     // debug endpoints (http.zig:87-119): compat stats + pg catalog dump
     server.createContext("/debug/compat/stats", (ex: HttpExchange) =>
-      respond(ex, 200, s"""{"translations":${translations.get},"fallbacks":${fallbacks.get},"cache_hits":0}"""))
+      respond(ex, 200, s"""{"translations":${translations.get},"fallbacks":${fallbacks.get},"cache_hits":${TranslationLog.cacheHits.get}}"""))
     server.createContext("/debug/compat/catalog", (ex: HttpExchange) =>
       handleSafely(ex)(e => respond(e, 200, mapper.writeValueAsString(PgCatalog.toJsonNode(mapper)))))
     server.createContext("/api/v1/ingest", (ex: HttpExchange) => handleSafely(ex)(handleIngest))
@@ -135,12 +135,9 @@ final class HttpApi(store: SeriesStore, token: Option[String] = None, maxRows: I
   private def handleSql(ex: HttpExchange): Unit = {
     val q = Option(mapper.readTree(body(ex)).get("query")).map(_.asText())
       .getOrElse(throw QueryError(QueryError.InvalidSyntax, "query required"))
-    Translator.translate(q) match {
-      case Translator.Success(sydraql) =>
-        translations.incrementAndGet()
-        respondQuery(ex, sydraql)
+    TranslationLog.translate(q) match {
+      case Translator.Success(sydraql) => respondQuery(ex, sydraql)
       case Translator.Failure(state, msg) =>
-        fallbacks.incrementAndGet()
         respond(ex, 400, s"""{"sqlstate":"$state","error":"$msg"}""")
     }
   }

@@ -144,7 +144,7 @@ final class PgWireServer(store: SeriesStore, maxRows: Int = Int.MaxValue) {
       }
       return
     }
-    Translator.translate(sql) match {
+    TranslationLog.translate(sql) match {
       case Translator.Success(sydraql) => executeSydraql(out, sydraql)
       case Translator.Failure(state, msg) =>
         writeErrorResponse(out, "ERROR", state, if (msg.isEmpty) "translation failed" else msg)
@@ -180,7 +180,7 @@ final class PgWireServer(store: SeriesStore, maxRows: Int = Int.MaxValue) {
       return
     }
     val sql = new String(payload, firstNul + 1, secondNul - firstNul - 1, UTF_8).trim
-    Translator.translate(sql) match {
+    TranslationLog.translate(sql) match {
       case Translator.Success(_) =>
         writeErrorResponse(out, "ERROR", SqlState.FeatureNotSupported, "extended protocol not implemented yet")
       case Translator.Failure(state, msg) =>

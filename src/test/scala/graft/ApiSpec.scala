@@ -66,6 +66,26 @@ class ApiSpec extends AnyFunSuite {
     client.send(b.build(), HttpResponse.BodyHandlers.ofString())
   }
 
+  test("translation log: counters + sampled JSONL emission (compat/log.zig:4-53)") {
+    import graft.api.TranslationLog
+    val t0 = TranslationLog.translations.get
+    val f0 = TranslationLog.fallbacks.get
+    val err = new java.io.ByteArrayOutputStream()
+    Console.withErr(new java.io.PrintStream(err)) {
+      assert(TranslationLog.translate("SELECT 1").isInstanceOf[Translator.Success])
+      assert(TranslationLog.translate("UPDATE x SET y = 1").isInstanceOf[Translator.Failure])
+    }
+    assert(TranslationLog.translations.get === t0 + 1)
+    assert(TranslationLog.fallbacks.get === f0 + 1)
+    val lines = err.toString.trim.linesIterator.toSeq
+    assert(lines.length === 2)
+    val n = new com.fasterxml.jackson.databind.ObjectMapper().readTree(lines.head)
+    assert(n.get("event").asText() === "compat.translate")
+    assert(n.get("sydraql").asText() === "select 1")
+    assert(n.get("fallback").asBoolean() === false)
+    assert(n.get("duration_ns").asLong() >= 0)
+  }
+
   test("HTTP API: ingest -> range -> find -> sydraql -> sql -> metrics") {
     val store = new SeriesStore(spark, Files.createTempDirectory("graft-api").toString)
     val api = new HttpApi(store, token = Some("t0"))
