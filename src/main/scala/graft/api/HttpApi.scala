@@ -43,6 +43,13 @@ final class HttpApi(store: SeriesStore, token: Option[String] = None, maxRows: I
       respond(ex, 200, s"""{"translations":${translations.get},"fallbacks":${fallbacks.get},"cache_hits":${TranslationLog.cacheHits.get}}"""))
     server.createContext("/debug/compat/catalog", (ex: HttpExchange) =>
       handleSafely(ex)(e => respond(e, 200, mapper.writeValueAsString(PgCatalog.toJsonNode(mapper)))))
+    // allocator-shard stats have no JVM analog (http.zig:96-98); report
+    // heap occupancy in the same slot
+    server.createContext("/debug/alloc/stats", (ex: HttpExchange) => {
+      val rt = Runtime.getRuntime
+      respond(ex, 200,
+        s"""{"mode":"jvm","heap_used":${rt.totalMemory - rt.freeMemory},"heap_max":${rt.maxMemory}}""")
+    })
     server.createContext("/api/v1/ingest", (ex: HttpExchange) => handleSafely(ex)(handleIngest))
     server.createContext("/api/v1/query/range", (ex: HttpExchange) => handleSafely(ex)(handleRange))
     server.createContext("/api/v1/query/find", (ex: HttpExchange) => handleSafely(ex)(handleFind))

@@ -253,6 +253,30 @@ class PgWireSpec extends AnyFunSuite with BeforeAndAfterAll {
     c.close()
   }
 
+  test("concurrent connections are isolated (thread per connection, server.zig:31-41)") {
+    import java.util.concurrent.Executors
+    import scala.concurrent.{Await, ExecutionContext, Future}
+    import scala.concurrent.duration._
+    val ec = ExecutionContext.fromExecutorService(Executors.newFixedThreadPool(4))
+    try {
+      val futures = (0 until 4).map { i =>
+        Future {
+          val c = new Client
+          c.handshake("user" -> s"u$i")
+          val rows = (0 until 3).map { _ =>
+            c.sendQuery("SELECT time, value FROM m WHERE time >= 0 and time < 100 order by time")
+            c.readUntilReady().count(_._1 == 'D')
+          }
+          c.close()
+          rows
+        }(ec)
+      }
+      implicit val iec: ExecutionContext = ec
+      val results = Await.result(Future.sequence(futures), 120.seconds)
+      assert(results.flatten.forall(_ === 3), s"every query on every connection sees 3 rows: $results")
+    } finally ec.shutdown()
+  }
+
   test("terminate ('X') closes the connection") {
     val c = new Client
     c.handshake("user" -> "sydra")
