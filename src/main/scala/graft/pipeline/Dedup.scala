@@ -49,17 +49,25 @@ object Dedup {
     *  - length: J >= t implies min(|A|,|B|) >= t·max(|A|,|B|) (since
     *    |A∩B| <= min and |A∪B| >= max), so set sizes ride along the
     *    exploded prefixes and prune mismatched-size candidates during the
-    *    join probe, before the distinct/verify shuffle.
+    *    join probe, before the distinct/verify shuffle;
+    *  - positional: a match at (sorted) positions i,j bounds the overlap
+    *    by min(|A|-i, |B|-j), while J >= t needs |A∩B| >= t/(1+t)·(|A|+|B|)
+    *    — candidates whose matching prefix element sits too late in either
+    *    set are pruned in the same join probe.
     */
   def ngramJaccardPairs(docs: DataFrame, threshold: Double, n: Int = 3): DataFrame = {
     val sh = shingleHashes(docs, n).cache()
     val prefixLen = (size(col("hs")) - ceil(lit(threshold) * size(col("hs"))).cast("int") + 1)
     val ex = sh.select(col("doc_id"), size(col("hs")).as("sz"),
-      explode(slice(col("hs"), lit(1), prefixLen)).as("h"))
+      posexplode(slice(col("hs"), lit(1), prefixLen)))
+      .withColumnsRenamed(Map("pos" -> "i", "col" -> "h"))
+    val overlapBound = least(col("a.sz") - col("a.i"), col("b.sz") - col("b.i"))
+    val requiredOverlap = lit(threshold / (1.0 + threshold)) * (col("a.sz") + col("b.sz"))
     val cand = ex.as("a").join(ex.as("b"),
         col("a.h") === col("b.h") && col("a.doc_id") < col("b.doc_id") &&
           col("a.sz") * threshold <= col("b.sz") &&
-          col("b.sz") * threshold <= col("a.sz"))
+          col("b.sz") * threshold <= col("a.sz") &&
+          overlapBound.cast("double") >= requiredOverlap)
       .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
       .distinct()
     verifyPairs(cand, sh, threshold)
