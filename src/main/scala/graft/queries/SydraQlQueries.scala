@@ -38,6 +38,29 @@ object SydraQlQueries {
       |  FROM events
       |)""".stripMargin
 
+  /** Events → a temp hour-partitioned store (the q_store_roundtrip build,
+    * shared by every storage-lifecycle gate query below).
+    */
+  private def eventsStore(s: org.apache.spark.sql.SparkSession, dir: String,
+      t0: Long, t1: Long, dedup: Boolean = false): graft.storage.SeriesStore = {
+    import org.apache.spark.sql.functions.{col, lit, map, max => fmax}
+    val tmp = java.nio.file.Files.createTempDirectory("graft-gate-store").toString
+    val store = new graft.storage.SeriesStore(s, tmp)
+    var pts = Tables.events(s, dir).select(
+      col("event_type").as("series"),
+      map(lit("user"), (col("user_id") % 8).cast("string")).as("tags"),
+      (col("ts") / lit(1000000000L)).cast("long").as("time"),
+      col("value"))
+      .filter(col("time") >= t0 && col("time") < t1)
+    // deterministic pre-dedup for paths that run last-wins compaction:
+    // rows in one batch share a seq, so duplicate (series,time) seconds
+    // would pick an arbitrary winner — keep max(value) instead
+    if (dedup)
+      pts = pts.groupBy("series", "tags", "time").agg(fmax("value").as("value"))
+    store.append(pts)
+    store
+  }
+
   /** first/last/irate need a total per-bucket order; both sides sort by
     * (time, value) — ties at second granularity exist in the data.
     */
@@ -288,16 +311,7 @@ object SydraQlQueries {
     // sydraQL over the store's scan → oracle on the raw parquet.
     Q("q_store_roundtrip",
       (s, dir) => {
-        import org.apache.spark.sql.functions.{col, lit, map}
-        val tmp = java.nio.file.Files.createTempDirectory("graft-gate-store").toString
-        val store = new graft.storage.SeriesStore(s, tmp)
-        val pts = Tables.events(s, dir).select(
-          col("event_type").as("series"),
-          map(lit("user"), (col("user_id") % 8).cast("string")).as("tags"),
-          (col("ts") / lit(1000000000L)).cast("long").as("time"),
-          col("value"))
-          .filter(col("time") >= T0 && col("time") < T0 + 2 * 86400)
-        store.append(pts)
+        val store = eventsStore(s, dir, T0, T0 + 2 * 86400)
         val df = Engine.executeOnStore(store,
           s"select time_bucket(3600, time) as bucket, avg(value) as avg_value, count() as n " +
             s"from click where time >= $T0 and time < ${T0 + 2 * 86400} " +
@@ -326,6 +340,111 @@ object SydraQlQueries {
       Some(s"""$svSql
               |SELECT time, value FROM sv
               |WHERE series = 'click' AND tag_user = '3' AND time >= $T0 AND time < $T1
+              |ORDER BY time, value""".stripMargin)),
+
+    // Executed INSERT + DELETE lifecycle (Engine.executeOnStore write
+    // paths; the reference parses but never plans these, plan.zig:99-104):
+    // two inserted rows, then DELETE prunes odd-second rows, final state
+    // hash-checked against the oracle's reconstruction.
+    Q("q_sql_insert_delete",
+      (s, dir) => {
+        val store = eventsStore(s, dir, T0, T0 + 86400)
+        Engine.executeOnStore(store,
+          s"insert into click (time, value) values (${T0 + 10000}, 500.5), (${T0 + 20001}, 600.25)",
+          CompileOptions(now = NOW))
+        Engine.executeOnStore(store,
+          s"delete from click where time >= $T0 and time % 2 = 1",
+          CompileOptions(now = NOW))
+        Engine.executeOnStore(store,
+          s"select time_bucket(3600, time) as bucket, count() as n, sum(value) as sum_v " +
+            s"from click where time >= $T0 and time < ${T0 + 86400} " +
+            "group by time_bucket(3600, time) order by bucket",
+          CompileOptions(now = NOW)).df
+          .withColumn("sum_v", floor(col("sum_v") * 1e4 + 0.5) / 1e4)
+      },
+      Some(s"""$svSql, aug AS (
+              |  SELECT time, value FROM sv
+              |  WHERE series = 'click' AND time >= $T0 AND time < ${T0 + 86400}
+              |  UNION ALL SELECT CAST(${T0 + 10000} AS BIGINT), CAST(500.5 AS DOUBLE)
+              |  UNION ALL SELECT CAST(${T0 + 20001} AS BIGINT), CAST(600.25 AS DOUBLE)
+              |)
+              |SELECT CAST(floor(time / 3600.0) AS BIGINT) * 3600 AS bucket, count(*) AS n,
+              |       floor((sum(value)) * 1e4 + 0.5) / 1e4 AS sum_v
+              |FROM aug WHERE time % 2 = 0
+              |GROUP BY bucket ORDER BY bucket""".stripMargin)),
+
+    // Snapshot → restore → query on the restored store (snapshot.zig:3-47).
+    Q("q_snapshot_restore",
+      (s, dir) => {
+        val store = eventsStore(s, dir, T0, T0 + 86400)
+        val dest = java.nio.file.Files.createTempDirectory("graft-gate-snap").toString + "/snap"
+        graft.storage.Maintenance.snapshot(store, dest)
+        val restored = new graft.storage.SeriesStore(s, dest)
+        Engine.executeOnStore(restored,
+          s"select time_bucket(3600, time) as bucket, avg(value) as avg_value, count() as n " +
+            s"from click where time >= $T0 and time < ${T0 + 86400} " +
+            "group by time_bucket(3600, time) order by bucket",
+          CompileOptions(now = NOW)).df
+          .withColumn("avg_value", floor(col("avg_value") * 1e4 + 0.5) / 1e4)
+      },
+      Some(s"""$svSql
+              |SELECT CAST(floor(time / 3600.0) AS BIGINT) * 3600 AS bucket,
+              |       floor((avg(value)) * 1e4 + 0.5) / 1e4 AS avg_value, count(*) AS n
+              |FROM sv WHERE series = 'click' AND time >= $T0 AND time < ${T0 + 86400}
+              |GROUP BY bucket ORDER BY bucket""".stripMargin)),
+
+    // Per-namespace retention (config.zig:96-105, retention.zig:4-20):
+    // click expires after 1 day, every other series keeps its 30-day
+    // default — surviving rows per series hash-checked.
+    Q("q_ns_retention",
+      (s, dir) => {
+        val store = eventsStore(s, dir, T0, T0 + 2 * 86400)
+        graft.storage.Maintenance.applyRetention(store,
+          defaultTtlDays = 30, nsTtlDays = Map("click" -> 1L), nowTs = T0 + 2 * 86400)
+        store.scan()
+          .filter(col("time") >= T0 && col("time") < T0 + 2 * 86400)
+          .groupBy("series")
+          .agg(count(lit(1)).as("n"), (floor(sum("value") * 1e4 + 0.5) / 1e4).as("sum_v"))
+          .orderBy("series")
+      },
+      Some(s"""$svSql
+              |SELECT series, count(*) AS n,
+              |       floor((sum(value)) * 1e4 + 0.5) / 1e4 AS sum_v
+              |FROM sv
+              |WHERE time >= $T0 AND time < ${T0 + 2 * 86400}
+              |  AND (series != 'click' OR time >= ${T0 + 86400})
+              |GROUP BY series ORDER BY series""".stripMargin)),
+
+    // SYSEG2 export → WAL tail → import → by_id query: gates the binary
+    // segment codec, manifest/tags.json, WAL decode and highwater replay
+    // (segment.zig, wal.zig:4-156, engine.zig:406-437) in one lifecycle.
+    Q("q_export_import_wal",
+      (s, dir) => {
+        import graft.storage.codec.WalCodec
+        val store = eventsStore(s, dir, T0, T0 + 86400, dedup = true)
+        val sid = store.scan()
+          .filter(col("series") === "click" && col("tags")("user") === "3")
+          .select("series_id").head().getLong(0)
+        val dest = java.nio.file.Files.createTempDirectory("graft-gate-exp").toString + "/dd"
+        graft.storage.SydraImport.exportDataDir(store, dest)
+        val walDir = new java.io.File(dest, "wal"); walDir.mkdirs()
+        java.nio.file.Files.write(walDir.toPath.resolve("current.wal"), WalCodec.encode(Seq(
+          WalCodec.Record(sid, T0, 999.0),                 // ≤ highwater → skipped
+          WalCodec.Record(sid, T0 + 86400 + 100, 123.25)))) // tail → applied
+        val restored = new graft.storage.SeriesStore(s,
+          java.nio.file.Files.createTempDirectory("graft-gate-imp").toString)
+        graft.storage.SydraImport.importDataDir(restored, dest)
+        Engine.executeOnStore(restored,
+          s"select time, value from by_id($sid) where time >= $T0 and time < ${T0 + 2 * 86400} order by time, value",
+          CompileOptions(now = NOW)).df
+      },
+      Some(s"""$svSql
+              |SELECT time, value FROM (
+              |  SELECT time, max(value) AS value FROM sv
+              |  WHERE series = 'click' AND tag_user = '3' AND time >= $T0 AND time < ${T0 + 86400}
+              |  GROUP BY time
+              |  UNION ALL SELECT CAST(${T0 + 86400 + 100} AS BIGINT), CAST(123.25 AS DOUBLE)
+              |)
               |ORDER BY time, value""".stripMargin))
   )
 }
