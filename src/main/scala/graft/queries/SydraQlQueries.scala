@@ -342,6 +342,60 @@ object SydraQlQueries {
               |WHERE series = 'click' AND tag_user = '3' AND time >= $T0 AND time < $T1
               |ORDER BY time, value""".stripMargin)),
 
+    // Case-insensitive keywords + column identifiers through the whole
+    // language pipeline (expression.zig:64-80 namesEqual). Series NAMES
+    // stay case-sensitive — they are hashed data, not identifiers.
+    sq("q_sql_case_insensitive",
+      s"SELECT Time, VALUE AS v FROM click WHERE TIME >= $T0 AND time < ${T0 + 86400} ORDER BY tImE, V",
+      s"""$svSql
+         |SELECT time, value AS v FROM sv
+         |WHERE series = 'click' AND time >= $T0 AND time < ${T0 + 86400}
+         |ORDER BY time, v""".stripMargin),
+
+    // The pg-compat path in the data plane: SQL → Translator → sydraQL →
+    // engine (translator.zig:77-264); oracle runs the SQL directly.
+    Q("q_compat_translate",
+      (s, dir) => {
+        val sql = s"SELECT time, value FROM view WHERE time >= $T0 and time < ${T0 + 86400} and value > 50 order by time, value"
+        val sydraql = graft.api.Translator.translate(sql) match {
+          case graft.api.Translator.Success(q) => q
+          case f => throw new IllegalStateException(s"translation failed: $f")
+        }
+        Engine.sql(s, Tables.seriesView(s, dir), sydraql, CompileOptions(now = NOW))
+      },
+      Some(s"""$svSql
+              |SELECT time, value FROM sv
+              |WHERE series = 'view' AND time >= $T0 AND time < ${T0 + 86400} AND value > 50
+              |ORDER BY time, value""".stripMargin)),
+
+    // CSV ingest path (series,ts,value; the reference's sydra-csv tool is
+    // an empty stub — this one works): events → CSV → store → query.
+    Q("q_csv_ingest",
+      (s, dir) => {
+        import org.apache.spark.sql.functions.{col, lit}
+        val csvDir = java.nio.file.Files.createTempDirectory("graft-gate-csv").toString + "/in"
+        Tables.events(s, dir)
+          .filter(col("event_type") === "error")
+          .select(col("event_type").as("series"),
+            (col("ts") / lit(1000000000L)).cast("long").as("ts"), col("value"))
+          .filter(col("ts") >= T0 && col("ts") < T0 + 86400)
+          .write.option("header", "true").csv(csvDir)
+        val store = new graft.storage.SeriesStore(s,
+          java.nio.file.Files.createTempDirectory("graft-gate-csvstore").toString)
+        graft.storage.Ingest.csv(store, csvDir)
+        Engine.executeOnStore(store,
+          s"select time_bucket(3600, time) as bucket, count() as n, sum(value) as sum_v " +
+            s"from error where time >= $T0 and time < ${T0 + 86400} " +
+            "group by time_bucket(3600, time) order by bucket",
+          CompileOptions(now = NOW)).df
+          .withColumn("sum_v", floor(col("sum_v") * 1e4 + 0.5) / 1e4)
+      },
+      Some(s"""$svSql
+              |SELECT CAST(floor(time / 3600.0) AS BIGINT) * 3600 AS bucket, count(*) AS n,
+              |       floor((sum(value)) * 1e4 + 0.5) / 1e4 AS sum_v
+              |FROM sv WHERE series = 'error' AND time >= $T0 AND time < ${T0 + 86400}
+              |GROUP BY bucket ORDER BY bucket""".stripMargin)),
+
     // Executed INSERT + DELETE lifecycle (Engine.executeOnStore write
     // paths; the reference parses but never plans these, plan.zig:99-104):
     // two inserted rows, then DELETE prunes odd-second rows, final state
