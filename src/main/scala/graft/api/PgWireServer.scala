@@ -11,17 +11,24 @@ import org.apache.spark.sql.DataFrame
 
 import PgProtocol._
 
-/** `psql`-compatible wire server: startup handshake, simple-query ('Q')
-  * SQL → sydraQL → engine → RowDescription/DataRow/CommandComplete, with
-  * the reference's observability NOTICEs (schema, trace id, per-operator
-  * stats, metrics). Mirrors
-  * `/root/reference/src/sydra/compat/wire/server.zig:24-318` and
-  * `session.zig:75-140` on JDK sockets — one thread per connection; the
-  * Spark session itself is thread-safe for concurrent query execution.
+/** `psql`- and driver-compatible wire server.
   *
-  * Rows stream to the client via `toLocalIterator` (one partition resident
-  * on the driver at a time), so a large result doesn't materialize
-  * driver-side — the wire is the bottleneck, not memory.
+  * Simple query ('Q') mirrors the reference
+  * (`/root/reference/src/sydra/compat/wire/server.zig:24-318`,
+  * `session.zig:75-140`): SQL → sydraQL translator → engine →
+  * RowDescription/DataRow/CommandComplete with the reference's
+  * observability NOTICEs (schema, trace id, per-operator stats, metrics).
+  *
+  * Beyond the reference (which declines it, server.zig:184-247), the
+  * extended query protocol is implemented for real drivers (JDBC/psycopg
+  * default to it): Parse/Bind/Describe/Execute/Close/Flush/Sync with
+  * text-format `$n` parameters, plus the SET/BEGIN/COMMIT/ROLLBACK
+  * no-op shims drivers issue at connect. Per the protocol, an error in an
+  * extended-protocol message skips everything until Sync.
+  *
+  * One thread per connection; the Spark session is thread-safe for
+  * concurrent query execution. Rows stream via `toLocalIterator` (one
+  * partition resident on the driver at a time).
   */
 final class PgWireServer(store: SeriesStore, maxRows: Int = Int.MaxValue) {
 
@@ -60,6 +67,13 @@ final class PgWireServer(store: SeriesStore, maxRows: Int = Int.MaxValue) {
 
   // ------------------------------------------------------------- connection
 
+  /** Per-connection extended-protocol state. */
+  private final class WireState {
+    val statements = scala.collection.mutable.Map[String, (String, Seq[Int])]() // name -> (sql, param oids)
+    val portals = scala.collection.mutable.Map[String, String]() // name -> bound sql
+    var errorUntilSync = false
+  }
+
   private def handleConnection(sock: Socket): Unit = {
     val in = new DataInputStream(sock.getInputStream)
     val out = new DataOutputStream(new BufferedOutputStream(sock.getOutputStream))
@@ -91,11 +105,11 @@ final class PgWireServer(store: SeriesStore, maxRows: Int = Int.MaxValue) {
     writeReadyForQuery(out)
     out.flush()
 
-    messageLoop(in, out)
+    messageLoop(in, out, new WireState)
   }
 
-  /** server.zig:82-123. */
-  private def messageLoop(in: DataInputStream, out: DataOutputStream): Unit = {
+  /** server.zig:82-123 plus the extended-protocol messages. */
+  private def messageLoop(in: DataInputStream, out: DataOutputStream, st: WireState): Unit = {
     while (true) {
       val typeByte =
         try in.readByte()
@@ -109,9 +123,19 @@ final class PgWireServer(store: SeriesStore, maxRows: Int = Int.MaxValue) {
 
       typeByte.toChar match {
         case 'X' => return
-        case 'Q' => handleSimpleQuery(out, payload)
-        case 'P' => handleParseMessage(out, payload)
-        case 'S' => writeReadyForQuery(out)
+        case 'Q' =>
+          st.errorUntilSync = false
+          handleSimpleQuery(out, payload)
+        case 'S' => // Sync ends any error-skip state
+          st.errorUntilSync = false
+          writeReadyForQuery(out)
+        case 'H' => () // Flush — output flushes after every message below
+        case 'P' | 'B' | 'D' | 'E' | 'C' if st.errorUntilSync => () // skip until Sync
+        case 'P' => handleParse(out, payload, st)
+        case 'B' => handleBind(out, payload, st)
+        case 'D' => handleDescribe(out, payload, st)
+        case 'E' => handleExecute(out, payload, st)
+        case 'C' => handleClose(out, payload, st)
         case _ =>
           writeErrorResponse(out, "ERROR", SqlState.FeatureNotSupported, "message type not implemented")
           writeReadyForQuery(out)
@@ -120,7 +144,23 @@ final class PgWireServer(store: SeriesStore, maxRows: Int = Int.MaxValue) {
     }
   }
 
-  // ---------------------------------------------------------------- queries
+  // ------------------------------------------------------------ sql routing
+
+  /** Transaction/SET no-op shims: drivers issue these at connect; a
+    * time-series store has no transactions to open, so acknowledge and
+    * move on (the command tag is what the driver checks).
+    */
+  private def shimTag(sql: String): Option[String] = {
+    val first = sql.trim.split("[\\s;]+", 2).headOption.getOrElse("").toUpperCase
+    first match {
+      case "SET" => Some("SET")
+      case "BEGIN" | "START" => Some("BEGIN")
+      case "COMMIT" | "END" => Some("COMMIT")
+      case "ROLLBACK" | "ABORT" => Some("ROLLBACK")
+      case "RESET" => Some("RESET")
+      case _ => None
+    }
+  }
 
   /** server.zig:139-182. */
   private def handleSimpleQuery(out: DataOutputStream, payload: Array[Byte]): Unit = {
@@ -130,18 +170,25 @@ final class PgWireServer(store: SeriesStore, maxRows: Int = Int.MaxValue) {
       writeReadyForQuery(out)
       return
     }
+    shimTag(sql) match {
+      case Some(tag) =>
+        writeCommandComplete(out, tag)
+        writeReadyForQuery(out)
+        return
+      case None => ()
+    }
     if (PgCatalog.isCatalogQuery(sql)) {
       // connect-time catalog probes (psql/JDBC) route to Spark SQL over the
       // static catalog views — beyond the reference, whose wire server
       // cannot answer catalog SQL (catalog.zig is /debug-only there)
       try {
         val df = PgCatalog.execute(store.spark, sql, serverVersion)
-        streamResult(out, df)
+        streamRows(out, df, withRowDesc = true)
       } catch {
         case e: Throwable =>
           writeErrorResponse(out, "ERROR", SqlState.SyntaxError, String.valueOf(e.getMessage))
-          writeReadyForQuery(out)
       }
+      writeReadyForQuery(out)
       return
     }
     TranslationLog.translate(sql) match {
@@ -152,9 +199,195 @@ final class PgWireServer(store: SeriesStore, maxRows: Int = Int.MaxValue) {
     }
   }
 
-  /** Stream a DataFrame as RowDescription + DataRows + CommandComplete. */
-  private def streamResult(out: DataOutputStream, df: DataFrame): Long = {
-    writeRowDescription(out, df.schema)
+  // ------------------------------------------------------ extended protocol
+
+  private def extError(out: DataOutputStream, st: WireState, state: String, msg: String): Unit = {
+    writeErrorResponse(out, "ERROR", state, msg)
+    st.errorUntilSync = true // protocol: discard until Sync
+  }
+
+  /** Parse: [stmt name][query][u16 n][u32 param oid ...] → ParseComplete. */
+  private def handleParse(out: DataOutputStream, payload: Array[Byte], st: WireState): Unit = {
+    var cursor = 0
+    def cstr(): Option[String] = {
+      val end = payload.indexOf(0.toByte, cursor)
+      if (end < 0) None
+      else { val s = new String(payload, cursor, end - cursor, UTF_8); cursor = end + 1; Some(s) }
+    }
+    (cstr(), cstr()) match {
+      case (Some(name), Some(sql)) if payload.length >= cursor + 2 =>
+        val nParams = ((payload(cursor) & 0xff) << 8) | (payload(cursor + 1) & 0xff)
+        cursor += 2
+        if (payload.length < cursor + nParams * 4) {
+          extError(out, st, SqlState.ProtocolViolation, "parse message truncated"); return
+        }
+        val oids = (0 until nParams).map { i =>
+          val o = cursor + i * 4
+          ((payload(o) & 0xff) << 24) | ((payload(o + 1) & 0xff) << 16) |
+            ((payload(o + 2) & 0xff) << 8) | (payload(o + 3) & 0xff)
+        }
+        st.statements(name) = (sql.trim, oids)
+        out.write('1'); out.writeInt(4) // ParseComplete
+      case _ => extError(out, st, SqlState.ProtocolViolation, "malformed parse message")
+    }
+  }
+
+  /** Bind: substitute text-format `$n` parameters into the statement's SQL
+    * and store the portal → BindComplete.
+    */
+  private def handleBind(out: DataOutputStream, payload: Array[Byte], st: WireState): Unit = {
+    val buf = java.nio.ByteBuffer.wrap(payload)
+    def cstr(): String = {
+      val sb = new StringBuilder
+      var b = buf.get()
+      while (b != 0) { sb.append(b.toChar); b = buf.get() }
+      sb.toString
+    }
+    try {
+      val portal = cstr()
+      val stmtName = cstr()
+      val (sql, _) = st.statements.getOrElse(stmtName, {
+        extError(out, st, SqlState.InternalError, s"unknown prepared statement '$stmtName'"); return
+      })
+      val nFmt = buf.getShort.toInt
+      val fmts = (0 until nFmt).map(_ => buf.getShort.toInt)
+      val nParams = buf.getShort.toInt
+      val params = (0 until nParams).map { i =>
+        val len = buf.getInt
+        if (len < 0) null
+        else {
+          val b = new Array[Byte](len); buf.get(b)
+          val fmt = if (fmts.isEmpty) 0 else if (fmts.length == 1) fmts.head else fmts(i)
+          if (fmt == 1) { extError(out, st, SqlState.FeatureNotSupported, "binary parameters not supported"); return }
+          new String(b, UTF_8)
+        }
+      }
+      st.portals(portal) = substituteParams(sql, params)
+      out.write('2'); out.writeInt(4) // BindComplete
+    } catch {
+      case _: java.nio.BufferUnderflowException =>
+        extError(out, st, SqlState.ProtocolViolation, "malformed bind message")
+    }
+  }
+
+  /** `$n` → SQL literal: NULL, bare numerics, or quoted-and-escaped text. */
+  private def substituteParams(sql: String, params: Seq[String]): String =
+    "\\$(\\d+)".r.replaceAllIn(sql, m => {
+      val idx = m.group(1).toInt - 1
+      val lit =
+        if (idx < 0 || idx >= params.length) m.matched // out-of-range: leave as-is
+        else params(idx) match {
+          case null => "NULL"
+          case v if v.matches("-?\\d+(\\.\\d+)?") => v
+          case v => "'" + v.replace("'", "''") + "'"
+        }
+      scala.util.matching.Regex.quoteReplacement(lit)
+    })
+
+  /** Describe ('S' statement / 'P' portal): ParameterDescription (stmt
+    * only) then RowDescription or NoData. The schema comes from the lazy
+    * compile — no job runs.
+    */
+  private def handleDescribe(out: DataOutputStream, payload: Array[Byte], st: WireState): Unit = {
+    if (payload.isEmpty) { extError(out, st, SqlState.ProtocolViolation, "malformed describe"); return }
+    val kind = payload(0).toChar
+    val name = cString(payload.drop(1))
+    val sqlOpt = kind match {
+      case 'S' => st.statements.get(name).map(_._1)
+      case 'P' => st.portals.get(name)
+      case _ => None
+    }
+    val sql = sqlOpt.getOrElse {
+      extError(out, st, SqlState.InternalError, s"unknown ${if (kind == 'S') "statement" else "portal"} '$name'")
+      return
+    }
+    if (kind == 'S') {
+      val oids = st.statements(name)._2
+      out.write('t'); out.writeInt(4 + 2 + oids.length * 4) // ParameterDescription
+      out.writeShort(oids.length)
+      oids.foreach(out.writeInt)
+    }
+    describeSchema(sql) match {
+      case Some(schema) => writeRowDescription(out, schema)
+      case None => out.write('n'); out.writeInt(4) // NoData
+    }
+  }
+
+  /** Row schema of a statement without executing it: shims and writes have
+    * no rows; catalog and SELECT statements compile lazily.
+    */
+  private def describeSchema(sql: String): Option[org.apache.spark.sql.types.StructType] = {
+    if (shimTag(sql).isDefined) return None
+    if (PgCatalog.isCatalogQuery(sql))
+      return scala.util.Try(PgCatalog.execute(store.spark, sql, serverVersion).schema).toOption
+    Translator.translate(sql) match {
+      case Translator.Success(sydraql) =>
+        val verb = sydraql.trim.toLowerCase
+        if (verb.startsWith("insert") || verb.startsWith("delete")) None
+        else scala.util.Try(
+          Engine.execute(store.spark, store.source(), sydraql, CompileOptions()).df.schema).toOption
+      case _: Translator.Failure => None
+    }
+  }
+
+  /** Execute: run the portal, stream DataRows (RowDescription was sent by
+    * Describe), CommandComplete. No ReadyForQuery — that comes at Sync.
+    */
+  private def handleExecute(out: DataOutputStream, payload: Array[Byte], st: WireState): Unit = {
+    val portal = cString(payload)
+    val sql = st.portals.getOrElse(portal, {
+      extError(out, st, SqlState.InternalError, s"unknown portal '$portal'"); return
+    })
+    shimTag(sql) match {
+      case Some(tag) => writeCommandComplete(out, tag); return
+      case None => ()
+    }
+    if (PgCatalog.isCatalogQuery(sql)) {
+      try {
+        val df = PgCatalog.execute(store.spark, sql, serverVersion)
+        streamRows(out, df, withRowDesc = false)
+      } catch {
+        case e: Throwable => extError(out, st, SqlState.SyntaxError, String.valueOf(e.getMessage))
+      }
+      return
+    }
+    TranslationLog.translate(sql) match {
+      case Translator.Success(sydraql) =>
+        try {
+          val res = Engine.executeOnStore(store, sydraql, CompileOptions())
+          val verb = sydraql.trim.toLowerCase
+          if (verb.startsWith("insert") || verb.startsWith("delete")) {
+            val n = res.df.head().getLong(0)
+            writeCommandComplete(out, if (verb.startsWith("insert")) s"INSERT 0 $n" else s"DELETE $n")
+          } else streamRows(out, res.df, withRowDesc = false)
+        } catch {
+          case qe: QueryError => extError(out, st, SqlState.fromQueryError(qe.code), qe.message)
+          case e: Throwable => extError(out, st, SqlState.InternalError, String.valueOf(e.getMessage))
+        }
+      case Translator.Failure(state, msg) =>
+        extError(out, st, state, if (msg.isEmpty) "translation failed" else msg)
+    }
+  }
+
+  private def handleClose(out: DataOutputStream, payload: Array[Byte], st: WireState): Unit = {
+    if (payload.nonEmpty) {
+      val name = cString(payload.drop(1))
+      payload(0).toChar match {
+        case 'S' => st.statements.remove(name)
+        case 'P' => st.portals.remove(name)
+        case _ => ()
+      }
+    }
+    out.write('3'); out.writeInt(4) // CloseComplete
+  }
+
+  // --------------------------------------------------------- row streaming
+
+  /** Stream a DataFrame: optional RowDescription (simple protocol yes,
+    * Execute no — Describe already sent it), DataRows, CommandComplete.
+    */
+  private def streamRows(out: DataOutputStream, df: DataFrame, withRowDesc: Boolean): Long = {
+    if (withRowDesc) writeRowDescription(out, df.schema)
     var rowCount = 0L
     val it = df.toLocalIterator()
     while (it.hasNext && rowCount < maxRows) {
@@ -163,30 +396,7 @@ final class PgWireServer(store: SeriesStore, maxRows: Int = Int.MaxValue) {
       rowCount += 1
     }
     writeCommandComplete(out, s"SELECT $rowCount")
-    writeReadyForQuery(out)
     rowCount
-  }
-
-  /** Extended protocol: Parse is validated through the translator but
-    * execution is declined, exactly like the reference
-    * (server.zig:184-247).
-    */
-  private def handleParseMessage(out: DataOutputStream, payload: Array[Byte]): Unit = {
-    val firstNul = payload.indexOf(0.toByte)
-    val secondNul = if (firstNul < 0) -1 else payload.indexOf(0.toByte, firstNul + 1)
-    if (firstNul < 0 || secondNul < 0 || payload.length < secondNul + 3) {
-      writeErrorResponse(out, "ERROR", SqlState.ProtocolViolation, "malformed parse message")
-      writeReadyForQuery(out)
-      return
-    }
-    val sql = new String(payload, firstNul + 1, secondNul - firstNul - 1, UTF_8).trim
-    TranslationLog.translate(sql) match {
-      case Translator.Success(_) =>
-        writeErrorResponse(out, "ERROR", SqlState.FeatureNotSupported, "extended protocol not implemented yet")
-      case Translator.Failure(state, msg) =>
-        writeErrorResponse(out, "ERROR", state, if (msg.isEmpty) "translation failed" else msg)
-    }
-    writeReadyForQuery(out)
   }
 
   /** server.zig:249-318: execute, stream rows, then the NOTICE block

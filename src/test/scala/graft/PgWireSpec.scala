@@ -59,6 +59,42 @@ class PgWireSpec extends AnyFunSuite with BeforeAndAfterAll {
 
     def sendTerminate(): Unit = { out.write('X'); out.writeInt(4); out.flush() }
 
+    // ---- extended protocol ----
+
+    def sendParse(stmt: String, sql: String): Unit = {
+      val s = stmt.getBytes(UTF_8); val q = sql.getBytes(UTF_8)
+      out.write('P'); out.writeInt(4 + s.length + 1 + q.length + 1 + 2)
+      out.write(s); out.write(0); out.write(q); out.write(0); out.writeShort(0)
+      out.flush()
+    }
+
+    def sendBind(portal: String, stmt: String, params: Seq[String]): Unit = {
+      val p = portal.getBytes(UTF_8); val s = stmt.getBytes(UTF_8)
+      val encoded = params.map(_.getBytes(UTF_8))
+      out.write('B')
+      out.writeInt(4 + p.length + 1 + s.length + 1 + 2 + 2 + encoded.map(_.length + 4).sum + 2)
+      out.write(p); out.write(0); out.write(s); out.write(0)
+      out.writeShort(0) // all-text format
+      out.writeShort(params.length)
+      encoded.foreach { b => out.writeInt(b.length); out.write(b) }
+      out.writeShort(0) // result formats
+      out.flush()
+    }
+
+    def sendDescribe(kind: Char, name: String): Unit = {
+      val n = name.getBytes(UTF_8)
+      out.write('D'); out.writeInt(4 + 1 + n.length + 1)
+      out.write(kind); out.write(n); out.write(0); out.flush()
+    }
+
+    def sendExecute(portal: String): Unit = {
+      val p = portal.getBytes(UTF_8)
+      out.write('E'); out.writeInt(4 + p.length + 1 + 4)
+      out.write(p); out.write(0); out.writeInt(0); out.flush()
+    }
+
+    def sendSync(): Unit = { out.write('S'); out.writeInt(4); out.flush() }
+
     def readMessage(): (Char, Array[Byte]) = {
       val t = in.readByte().toChar
       val len = in.readInt()
@@ -250,6 +286,61 @@ class PgWireSpec extends AnyFunSuite with BeforeAndAfterAll {
     c.sendQuery("SELECT attname FROM pg_attribute WHERE attrelid = 22000 AND attnum <= 2 ORDER BY attnum")
     val attrs = c.readUntilReady().filter(_._1 == 'D').map(m => parseDataRow(m._2))
     assert(attrs === Vector(Seq(Some("oid")), Seq(Some("typname"))))
+    c.close()
+  }
+
+  test("extended protocol: Parse/Bind/Describe/Execute/Sync with $n text parameters") {
+    val c = new Client
+    c.handshake("user" -> "sydra")
+    c.sendParse("s1", "SELECT time, value FROM m WHERE time >= $1 and time < $2 order by time")
+    c.sendBind("", "s1", Seq("15", "100"))
+    c.sendDescribe('P', "")
+    c.sendExecute("")
+    c.sendSync()
+    val msgs = c.readUntilReady()
+    val types = msgs.map(_._1)
+    assert(types.startsWith(Vector('1', '2', 'T'))) // ParseComplete, BindComplete, RowDescription
+    val rows = msgs.filter(_._1 == 'D').map(m => parseDataRow(m._2))
+    assert(rows === Vector(Seq(Some("20"), Some("2")), Seq(Some("30"), Some("2.5"))))
+    assert(cStr(msgs.find(_._1 == 'C').get._2) === "SELECT 2")
+    assert(msgs.last._1 === 'Z')
+
+    // string parameter round-trips with quoting (INSERT via extended path)
+    c.sendParse("ins", "INSERT INTO extm(time, value) VALUES ($1, $2)")
+    c.sendBind("", "ins", Seq("77", "3.25"))
+    c.sendExecute("")
+    c.sendSync()
+    val ins = c.readUntilReady()
+    assert(cStr(ins.find(_._1 == 'C').get._2) === "INSERT 0 1")
+    c.sendQuery("SELECT time, value FROM extm WHERE time >= 0 and time < 100")
+    val back = c.readUntilReady().filter(_._1 == 'D').map(m => parseDataRow(m._2))
+    assert(back === Vector(Seq(Some("77"), Some("3.25"))))
+    c.close()
+  }
+
+  test("extended protocol: driver shims and error-until-Sync recovery") {
+    val c = new Client
+    c.handshake("user" -> "sydra")
+    // connect-time shims drivers issue
+    c.sendQuery("SET extra_float_digits = 3")
+    assert(cStr(c.readUntilReady().find(_._1 == 'C').get._2) === "SET")
+    c.sendQuery("BEGIN")
+    assert(cStr(c.readUntilReady().find(_._1 == 'C').get._2) === "BEGIN")
+    c.sendQuery("COMMIT")
+    assert(cStr(c.readUntilReady().find(_._1 == 'C').get._2) === "COMMIT")
+
+    // Bind to an unknown statement errors; Execute is skipped until Sync
+    c.sendBind("", "nope", Seq.empty)
+    c.sendExecute("")
+    c.sendSync()
+    val msgs = c.readUntilReady()
+    assert(msgs.count(_._1 == 'E') === 1) // one error, no second for the skipped Execute
+    assert(parseError(msgs.find(_._1 == 'E').get._2)('C') === "XX000")
+    assert(msgs.last._1 === 'Z')
+
+    // connection still usable afterwards
+    c.sendQuery("SELECT 1")
+    assert(c.readUntilReady().count(_._1 == 'D') === 1)
     c.close()
   }
 
