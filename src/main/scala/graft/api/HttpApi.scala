@@ -165,6 +165,15 @@ final class HttpApi(store: SeriesStore, token: Option[String] = None, maxRows: I
     stats.put("parse_us", res.stats.parseUs)
     stats.put("validate_us", res.stats.validateUs)
     stats.put("compile_us", res.stats.compileUs)
+    // Catalyst phase timings (QueryPlanningTracker) — the analog of the
+    // reference's optimize_ms/physical_ms stages (exec.zig:48-58)
+    try {
+      val phases = limited.queryExecution.tracker.phases
+      def us(k: String): Long =
+        phases.get(k).map(p => (p.endTimeMs - p.startTimeMs) * 1000).getOrElse(0L)
+      stats.put("optimize_us", us("optimization"))
+      stats.put("physical_us", us("planning"))
+    } catch { case _: Throwable => () }
     stats.put("pipeline_us", pipelineUs)
     stats.put("rows_emitted", rows.length)
     stats.put("trace_id", res.stats.traceId)
