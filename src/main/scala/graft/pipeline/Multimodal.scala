@@ -69,4 +69,54 @@ object Multimodal {
       it.map(DecodeStub.decode)
     }
   }
+
+  /** Frame sampling: fixed-size byte windows over the payload, every k-th
+    * frame, videos only. Pure Column arithmetic (sequence + substr) —
+    * narrow, codegen-friendly, no decoder needed for window extraction;
+    * a real build would decode each frame window afterwards.
+    */
+  def frameSample(media: DataFrame, frameBytes: Int = 256, everyK: Int = 2): DataFrame = {
+    val nFrames = ceil(length(col("blob")).cast("double") / frameBytes).cast("int")
+    media.filter(col("media_type") === "video" && length(col("blob")) > 0)
+      .withColumn("frame_idx",
+        explode(filter(sequence(lit(0), nFrames - 1), i => i % everyK === 0)))
+      .select(col("doc_id"), col("frame_idx").cast("long").as("frame_idx"),
+        col("blob").substr(col("frame_idx") * frameBytes + 1, lit(frameBytes)).as("frame"))
+  }
+
+  final case class ResizedBlob(doc_id: Long, media_type: String, width: Int, height: Int, blob: Array[Byte])
+
+  /** STUB resize (images): a real codec decodes, scales, re-encodes; the
+    * stub keeps a deterministic payload prefix proportional to the target
+    * area so sizes shrink like a real resize would. Partition-batched like
+    * decode.
+    */
+  def resizeStub(spark: SparkSession, media: DataFrame, width: Int, height: Int): Dataset[ResizedBlob] = {
+    import spark.implicits._
+    media.filter(col("media_type") === "image").as[MediaBlob].mapPartitions { it =>
+      it.map { b =>
+        // ??? real codec resize goes here
+        val keep = math.min(b.blob.length, math.max(1, width * height / 64))
+        ResizedBlob(b.doc_id, b.media_type, width, height, b.blob.take(keep))
+      }
+    }
+  }
+
+  final case class MediaEmbedding(doc_id: Long, embedding: Array[Float])
+
+  /** STUB feature extraction: deterministic embedding from the payload
+    * digest (a real build runs a vision/audio encoder here). Output shape
+    * matches the `embeddings` table (`Array[Float]`), so the ANN operators
+    * (`Similarity`) compose directly. Partition-batched.
+    */
+  def embedStub(spark: SparkSession, media: DataFrame, dim: Int = 16): Dataset[MediaEmbedding] = {
+    import spark.implicits._
+    media.as[MediaBlob].mapPartitions { it =>
+      val md = java.security.MessageDigest.getInstance("MD5") // one init per partition
+      it.map { b =>
+        val d = md.digest(b.blob)
+        MediaEmbedding(b.doc_id, Array.tabulate(dim)(i => (d(i % 16) & 0xff) / 127.5f - 1.0f))
+      }
+    }
+  }
 }

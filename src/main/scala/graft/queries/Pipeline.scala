@@ -248,6 +248,27 @@ object Pipeline {
              |       CAST(octet_length(encode(text)) % 640 AS INTEGER) AS width,
              |       CAST(octet_length(encode(text)) * 7 % 480 AS INTEGER) AS height,
              |       CAST(CASE WHEN doc_id % 3 = 2 THEN octet_length(encode(text)) % 16 ELSE 1 END AS INTEGER) AS n_frames
-             |FROM documents ORDER BY doc_id""".stripMargin))
+             |FROM documents ORDER BY doc_id""".stripMargin)),
+
+    // Frame sampling over video payloads: every 2nd 256-byte window,
+    // hex-compared (Spark's base64 inserts MIME CRLF breaks; hex is
+    // identical across engines; documents text is pure ASCII, so byte
+    // offsets equal character offsets in the oracle's substr).
+    Q("q_multimodal_frames",
+      (s, dir) => Multimodal.frameSample(
+          Multimodal.mediaTable(Tables.documents(s, dir)), frameBytes = 256, everyK = 2)
+        .select(col("doc_id"), col("frame_idx"), hex(col("frame")).as("frame_hex"))
+        .orderBy("doc_id", "frame_idx"),
+      Some("""WITH m AS (
+             |  SELECT doc_id, text,
+             |         CAST(ceil(octet_length(encode(text)) / 256.0) AS BIGINT) AS nf
+             |  FROM documents WHERE doc_id % 3 = 2 AND length(text) > 0
+             |), f AS (
+             |  SELECT doc_id, unnest(range(0, nf)) AS frame_idx, text FROM m
+             |)
+             |SELECT doc_id, frame_idx,
+             |       upper(hex(encode(substr(text, CAST(frame_idx * 256 + 1 AS INT), 256)))) AS frame_hex
+             |FROM f WHERE frame_idx % 2 = 0
+             |ORDER BY doc_id, frame_idx""".stripMargin))
   )
 }

@@ -106,4 +106,35 @@ class PipelineSpec extends AnyFunSuite {
     assert(meta.columns.toSeq === Seq("doc_id", "media_type", "n_bytes", "digest", "width", "height", "n_frames"))
     assert(meta.count() === docs.count())
   }
+
+  test("frame sampling: every-k windows reassemble the payload at k=1") {
+    import org.apache.spark.sql.functions._
+    val media = graft.pipeline.Multimodal.mediaTable(docs)
+    val all = graft.pipeline.Multimodal.frameSample(media, frameBytes = 64, everyK = 1)
+    // concatenating all k=1 frames in order reconstructs the original blob
+    // (collect_list has no order guarantee — sort by frame_idx explicitly)
+    val reassembled = all
+      .groupBy("doc_id").agg(concat_ws("", transform(
+        array_sort(collect_list(struct(col("frame_idx"), col("frame").cast("string").as("s")))),
+        x => x("s"))).as("rebuilt"))
+    val joined = media.filter(col("media_type") === "video")
+      .join(reassembled, "doc_id")
+      .filter(col("blob").cast("string") =!= col("rebuilt"))
+    assert(joined.count() === 0)
+    // k=2 keeps only even frame indices
+    val sampled = graft.pipeline.Multimodal.frameSample(media, frameBytes = 64, everyK = 2)
+    assert(sampled.filter(col("frame_idx") % 2 =!= 0).count() === 0)
+  }
+
+  test("resize stub bounds payload size; embed stub is deterministic with fixed dim") {
+    val media = graft.pipeline.Multimodal.mediaTable(docs)
+    val resized = graft.pipeline.Multimodal.resizeStub(spark, media, 64, 48).collect()
+    assert(resized.nonEmpty)
+    assert(resized.forall(r => r.blob.length <= math.max(1, 64 * 48 / 64)))
+    val e1 = graft.pipeline.Multimodal.embedStub(spark, media, dim = 16).collect().sortBy(_.doc_id)
+    val e2 = graft.pipeline.Multimodal.embedStub(spark, media, dim = 16).collect().sortBy(_.doc_id)
+    assert(e1.forall(_.embedding.length === 16))
+    assert(e1.zip(e2).forall { case (a, b) => a.embedding.sameElements(b.embedding) })
+    assert(e1.forall(_.embedding.forall(v => v >= -1.0f && v <= 1.0f)))
+  }
 }
