@@ -77,11 +77,13 @@ object PgCatalog {
     ("typbasetype", 23, false),
     ("typcollation", 23, false))
 
-  @volatile private var registered = false
-
-  /** Register the catalog temp views once per session (idempotent). */
-  def ensureViews(spark: SparkSession): Unit = if (!registered) synchronized {
-    if (!registered) {
+  /** Register the catalog temp views once per session (idempotent).
+    * Temp views are session-scoped, so the guard must be too — a
+    * process-global flag would leave a second SparkSession without views.
+    */
+  def ensureViews(spark: SparkSession): Unit =
+    if (!spark.catalog.tableExists("pg_type")) synchronized {
+      if (!spark.catalog.tableExists("pg_type")) {
       import spark.implicits._
       namespaces.toDF("oid", "nspname").createOrReplaceTempView("pg_namespace")
       classes
@@ -102,18 +104,18 @@ object PgCatalog {
         .toDF("attrelid", "attname", "atttypid", "attnum", "attnotnull",
           "atthasdef", "attisdropped")
         .createOrReplaceTempView("pg_attribute")
-      registered = true
+      }
     }
-  }
 
   private val CatalogTable = "(?i).*\\bpg_(?:type|class|namespace|attribute)\\b.*".r
 
   /** True when the SQL reads the pg catalog (or a connect-time builtin like
     * `version()`), so the wire server routes it to Spark SQL instead of the
-    * sydraQL translator.
+    * sydraQL translator. Schema-qualified forms (`pg_catalog.version()`,
+    * drivers qualify builtins) are normalized before matching.
     */
   def isCatalogQuery(sql: String): Boolean = {
-    val t = sql.trim.replaceAll("[;\\s]+$", "")
+    val t = sql.trim.replaceAll("[;\\s]+$", "").replaceAll("(?i)\\bpg_catalog\\.", "")
     val lower = t.toLowerCase
     CatalogTable.matches(t.replace('\n', ' ')) ||
       lower.startsWith("select version()") ||

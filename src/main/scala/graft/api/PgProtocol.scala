@@ -44,6 +44,8 @@ object PgProtocol {
     while (true) {
       val totalLen = in.readInt()
       if (totalLen < 8) throw WireError("InvalidStartupLength")
+      // pre-auth allocation cap: the length is untrusted client input
+      if (totalLen - 4 > MaxMessageSize) throw WireError("StartupTooLarge")
       val body = new Array[Byte](totalLen - 4)
       in.readFully(body)
       val protocol = ((body(0) & 0xff) << 24) | ((body(1) & 0xff) << 16) |

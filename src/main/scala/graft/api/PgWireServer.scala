@@ -67,11 +67,24 @@ final class PgWireServer(store: SeriesStore, maxRows: Int = Int.MaxValue) {
 
   // ------------------------------------------------------------- connection
 
-  /** Per-connection extended-protocol state. */
+  /** Per-connection extended-protocol state. Cursors survive Sync so a
+    * driver in cursor-mode fetch (repeated Execute on one portal) resumes
+    * where it left off; they drop on Close or portal rebind.
+    */
   private final class WireState {
     val statements = scala.collection.mutable.Map[String, (String, Seq[Int])]() // name -> (sql, param oids)
     val portals = scala.collection.mutable.Map[String, String]() // name -> bound sql
+    val cursors = scala.collection.mutable.Map[String, java.util.Iterator[org.apache.spark.sql.Row]]()
     var errorUntilSync = false
+  }
+
+  /** Engine/runtime exceptions → SQLSTATE (ANSI division errors keep the
+    * reference's 22012 mapping).
+    */
+  private def sqlStateFor(e: Throwable): String = {
+    val msg = String.valueOf(e.getMessage)
+    if (msg.contains("DIVIDE_BY_ZERO") || msg.contains("division by zero")) SqlState.DivisionByZero
+    else SqlState.InternalError
   }
 
   private def handleConnection(sock: Socket): Unit = {
@@ -252,6 +265,12 @@ final class PgWireServer(store: SeriesStore, maxRows: Int = Int.MaxValue) {
       val nFmt = buf.getShort.toInt
       val fmts = (0 until nFmt).map(_ => buf.getShort.toInt)
       val nParams = buf.getShort.toInt
+      // protocol: format-code count must be 0 (all text), 1 (applies to
+      // all), or exactly one per parameter
+      if (nFmt > 1 && nFmt != nParams) {
+        extError(out, st, SqlState.ProtocolViolation, "format code count must be 0, 1, or parameter count")
+        return
+      }
       val params = (0 until nParams).map { i =>
         val len = buf.getInt
         if (len < 0) null
@@ -263,6 +282,7 @@ final class PgWireServer(store: SeriesStore, maxRows: Int = Int.MaxValue) {
         }
       }
       st.portals(portal) = substituteParams(sql, params)
+      st.cursors.remove(portal) // rebinding a portal restarts its result
       out.write('2'); out.writeInt(4) // BindComplete
     } catch {
       case _: java.nio.BufferUnderflowException =>
@@ -330,42 +350,82 @@ final class PgWireServer(store: SeriesStore, maxRows: Int = Int.MaxValue) {
     }
   }
 
-  /** Execute: run the portal, stream DataRows (RowDescription was sent by
-    * Describe), CommandComplete. No ReadyForQuery — that comes at Sync.
+  /** Execute: run the portal, stream up to the message's max-row count
+    * (0 = all), PortalSuspended ('s') when rows remain, else
+    * CommandComplete. RowDescription was sent by Describe; ReadyForQuery
+    * comes at Sync. Repeated Execute on the same portal resumes its
+    * cursor — pgjdbc's fetch-size mode.
     */
   private def handleExecute(out: DataOutputStream, payload: Array[Byte], st: WireState): Unit = {
-    val portal = cString(payload)
+    val nameEnd = payload.indexOf(0.toByte)
+    val portal = if (nameEnd <= 0) "" else new String(payload, 0, nameEnd, UTF_8)
+    val limit =
+      if (nameEnd >= 0 && payload.length >= nameEnd + 5)
+        java.nio.ByteBuffer.wrap(payload, nameEnd + 1, 4).getInt
+      else 0
     val sql = st.portals.getOrElse(portal, {
       extError(out, st, SqlState.InternalError, s"unknown portal '$portal'"); return
     })
-    shimTag(sql) match {
-      case Some(tag) => writeCommandComplete(out, tag); return
-      case None => ()
-    }
-    if (PgCatalog.isCatalogQuery(sql)) {
-      try {
-        val df = PgCatalog.execute(store.spark, sql, serverVersion)
-        streamRows(out, df, withRowDesc = false)
-      } catch {
-        case e: Throwable => extError(out, st, SqlState.SyntaxError, String.valueOf(e.getMessage))
-      }
-      return
-    }
-    TranslationLog.translate(sql) match {
-      case Translator.Success(sydraql) =>
-        try {
-          val res = Engine.executeOnStore(store, sydraql, CompileOptions())
-          val verb = sydraql.trim.toLowerCase
-          if (verb.startsWith("insert") || verb.startsWith("delete")) {
-            val n = res.df.head().getLong(0)
-            writeCommandComplete(out, if (verb.startsWith("insert")) s"INSERT 0 $n" else s"DELETE $n")
-          } else streamRows(out, res.df, withRowDesc = false)
-        } catch {
-          case qe: QueryError => extError(out, st, SqlState.fromQueryError(qe.code), qe.message)
-          case e: Throwable => extError(out, st, SqlState.InternalError, String.valueOf(e.getMessage))
+    st.cursors.get(portal) match {
+      case Some(it) => streamCursor(out, st, portal, it, limit)
+      case None =>
+        shimTag(sql) match {
+          case Some(tag) => writeCommandComplete(out, tag); return
+          case None => ()
         }
-      case Translator.Failure(state, msg) =>
-        extError(out, st, state, if (msg.isEmpty) "translation failed" else msg)
+        if (PgCatalog.isCatalogQuery(sql)) {
+          try {
+            val it = PgCatalog.execute(store.spark, sql, serverVersion).toLocalIterator()
+            st.cursors(portal) = it
+            streamCursor(out, st, portal, it, limit)
+          } catch {
+            case e: Throwable => extError(out, st, SqlState.SyntaxError, String.valueOf(e.getMessage))
+          }
+          return
+        }
+        TranslationLog.translate(sql) match {
+          case Translator.Success(sydraql) =>
+            try {
+              val res = Engine.executeOnStore(store, sydraql, CompileOptions())
+              val verb = sydraql.trim.toLowerCase
+              if (verb.startsWith("insert") || verb.startsWith("delete")) {
+                val n = res.df.head().getLong(0)
+                writeCommandComplete(out, if (verb.startsWith("insert")) s"INSERT 0 $n" else s"DELETE $n")
+              } else {
+                val it = res.df.toLocalIterator()
+                st.cursors(portal) = it
+                streamCursor(out, st, portal, it, limit)
+              }
+            } catch {
+              case qe: QueryError => extError(out, st, SqlState.fromQueryError(qe.code), qe.message)
+              case e: Throwable => extError(out, st, sqlStateFor(e), String.valueOf(e.getMessage))
+            }
+          case Translator.Failure(state, msg) =>
+            extError(out, st, state, if (msg.isEmpty) "translation failed" else msg)
+        }
+    }
+  }
+
+  /** Drain a portal cursor up to `limit` rows (0 = unbounded). */
+  private def streamCursor(out: DataOutputStream, st: WireState, portal: String,
+      it: java.util.Iterator[org.apache.spark.sql.Row], limit: Int): Unit = {
+    var n = 0L
+    try {
+      while (it.hasNext && (limit <= 0 || n < limit) && n < maxRows) {
+        val r = it.next()
+        writeDataRow(out, (0 until r.length).map(i => formatValue(r.get(i))))
+        n += 1
+      }
+      if (it.hasNext && limit > 0 && n >= limit) {
+        out.write('s'); out.writeInt(4) // PortalSuspended
+      } else {
+        st.cursors.remove(portal)
+        writeCommandComplete(out, s"SELECT $n")
+      }
+    } catch {
+      case e: Throwable => // runtime error mid-stream (e.g. ANSI division)
+        st.cursors.remove(portal)
+        extError(out, st, sqlStateFor(e), String.valueOf(e.getMessage))
     }
   }
 
@@ -374,7 +434,7 @@ final class PgWireServer(store: SeriesStore, maxRows: Int = Int.MaxValue) {
       val name = cString(payload.drop(1))
       payload(0).toChar match {
         case 'S' => st.statements.remove(name)
-        case 'P' => st.portals.remove(name)
+        case 'P' => st.portals.remove(name); st.cursors.remove(name)
         case _ => ()
       }
     }
@@ -418,30 +478,38 @@ final class PgWireServer(store: SeriesStore, maxRows: Int = Int.MaxValue) {
           return
       }
 
-    // INSERT/DELETE (translator-normalized verbs): no row stream, just the
-    // postgres command tag — psql prints `INSERT 0 n` / `DELETE n`.
-    val verb = sydraql.trim.toLowerCase
-    if (verb.startsWith("insert") || verb.startsWith("delete")) {
-      val n = res.df.head().getLong(0)
-      writeCommandComplete(out, if (verb.startsWith("insert")) s"INSERT 0 $n" else s"DELETE $n")
-      writeReadyForQuery(out)
-      return
+    // the compile above is lazy; the Spark job runs inside this try —
+    // runtime errors (e.g. ANSI division) must produce an ErrorResponse +
+    // ReadyForQuery, not a dropped connection
+    try {
+      // INSERT/DELETE (translator-normalized verbs): no row stream, just
+      // the postgres command tag — psql prints `INSERT 0 n` / `DELETE n`.
+      val verb = sydraql.trim.toLowerCase
+      if (verb.startsWith("insert") || verb.startsWith("delete")) {
+        val n = res.df.head().getLong(0)
+        writeCommandComplete(out, if (verb.startsWith("insert")) s"INSERT 0 $n" else s"DELETE $n")
+        writeReadyForQuery(out)
+        return
+      }
+
+      val schema = res.df.schema
+      writeRowDescription(out, schema)
+
+      var rowCount = 0L
+      val it = res.df.toLocalIterator()
+      while (it.hasNext && rowCount < maxRows) {
+        val r = it.next()
+        writeDataRow(out, (0 until r.length).map(i => formatValue(r.get(i))))
+        rowCount += 1
+      }
+
+      writeNotices(out, res.df, schema, res.stats.traceId, rowCount, startNs,
+        planUs = res.stats.parseUs + res.stats.validateUs + res.stats.compileUs)
+      writeCommandComplete(out, s"SELECT $rowCount")
+    } catch {
+      case e: Throwable =>
+        writeErrorResponse(out, "ERROR", sqlStateFor(e), String.valueOf(e.getMessage))
     }
-
-    val schema = res.df.schema
-    writeRowDescription(out, schema)
-
-    var rowCount = 0L
-    val it = res.df.toLocalIterator()
-    while (it.hasNext && rowCount < maxRows) {
-      val r = it.next()
-      writeDataRow(out, (0 until r.length).map(i => formatValue(r.get(i))))
-      rowCount += 1
-    }
-
-    writeNotices(out, res.df, schema, res.stats.traceId, rowCount, startNs,
-      planUs = res.stats.parseUs + res.stats.validateUs + res.stats.compileUs)
-    writeCommandComplete(out, s"SELECT $rowCount")
     writeReadyForQuery(out)
   }
 

@@ -20,6 +20,9 @@ object TranslationLog {
   val fallbacks = new AtomicLong
   val cacheHits = new AtomicLong
 
+  // ObjectMapper is expensive to build and thread-safe to share
+  private val mapper = new com.fasterxml.jackson.databind.ObjectMapper()
+
   private def shouldRecord(): Boolean =
     enabled && counter.getAndIncrement() % math.max(sampleEvery, 1) == 0
 
@@ -41,7 +44,6 @@ object TranslationLog {
     if (fellBack) fallbacks.incrementAndGet() else translations.incrementAndGet()
     if (usedCache) cacheHits.incrementAndGet()
     if (shouldRecord()) {
-      val mapper = new com.fasterxml.jackson.databind.ObjectMapper()
       val o = mapper.createObjectNode()
       o.put("ts", System.currentTimeMillis())
       o.put("event", "compat.translate")

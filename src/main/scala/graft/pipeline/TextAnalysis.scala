@@ -25,13 +25,13 @@ object TextAnalysis {
     */
   private[pipeline] def spread(df: DataFrame): DataFrame = {
     val target = df.sparkSession.sparkContext.defaultParallelism
-    // logical-plan size estimate: no RDD lineage, no physical planning.
-    // Inputs under ~8 MB/core are the single-split small-corpus case worth
-    // a trivial shuffle; anything larger already arrives multi-split and
-    // must never be blanket-repartitioned (at 100 TB that shuffle IS the
-    // job)
-    val small = df.queryExecution.optimizedPlan.stats.sizeInBytes < (target.toLong << 23)
-    if (small) df.repartition(target) else df
+    // partition count via the internal RDD (no df.rdd deserialization
+    // lineage; physical planning is cached on queryExecution and happens
+    // anyway). Catches both the single-split small corpus AND a large
+    // non-splittable input (e.g. gzip) arriving as few partitions —
+    // already-well-split 100 TB inputs pass through untouched
+    if (df.queryExecution.toRdd.getNumPartitions >= target) df
+    else df.repartition(target)
   }
 
   /** Portable 60-bit hash: int(md5(s)[0:15], 16). */

@@ -87,10 +87,10 @@ class PgWireSpec extends AnyFunSuite with BeforeAndAfterAll {
       out.write(kind); out.write(n); out.write(0); out.flush()
     }
 
-    def sendExecute(portal: String): Unit = {
+    def sendExecute(portal: String, limit: Int = 0): Unit = {
       val p = portal.getBytes(UTF_8)
       out.write('E'); out.writeInt(4 + p.length + 1 + 4)
-      out.write(p); out.write(0); out.writeInt(0); out.flush()
+      out.write(p); out.write(0); out.writeInt(limit); out.flush()
     }
 
     def sendSync(): Unit = { out.write('S'); out.writeInt(4); out.flush() }
@@ -315,6 +315,43 @@ class PgWireSpec extends AnyFunSuite with BeforeAndAfterAll {
     c.sendQuery("SELECT time, value FROM extm WHERE time >= 0 and time < 100")
     val back = c.readUntilReady().filter(_._1 == 'D').map(m => parseDataRow(m._2))
     assert(back === Vector(Seq(Some("77"), Some("3.25"))))
+    c.close()
+  }
+
+  test("extended protocol: cursor-mode fetch suspends and resumes the portal") {
+    val c = new Client
+    c.handshake("user" -> "sydra")
+    c.sendParse("cur", "SELECT time, value FROM m WHERE time >= 0 and time < 100 order by time")
+    c.sendBind("p1", "cur", Seq.empty)
+    c.sendExecute("p1", limit = 2)
+    c.sendSync()
+    val first = c.readUntilReady()
+    assert(first.count(_._1 == 'D') === 2)
+    assert(first.exists(_._1 == 's'), "expected PortalSuspended after hitting the row limit")
+    assert(!first.exists(_._1 == 'C'))
+    // next Execute resumes the same cursor (pgjdbc fetch-size pattern)
+    c.sendExecute("p1", limit = 2)
+    c.sendSync()
+    val second = c.readUntilReady()
+    val rows = second.filter(_._1 == 'D').map(m => parseDataRow(m._2))
+    assert(rows === Vector(Seq(Some("30"), Some("2.5")))) // the remaining third row
+    assert(cStr(second.find(_._1 == 'C').get._2) === "SELECT 1")
+    c.close()
+  }
+
+  test("runtime errors mid-query produce ErrorResponse + ReadyForQuery, not a dropped connection") {
+    val c = new Client
+    c.handshake("user" -> "sydra")
+    // ANSI division by zero throws at row execution, after the lazy compile
+    c.sendQuery("SELECT value / 0 FROM m WHERE time >= 0 and time < 100")
+    val msgs = c.readUntilReady()
+    val err = msgs.find(_._1 == 'E')
+    assert(err.isDefined, s"expected ErrorResponse, got ${msgs.map(_._1)}")
+    assert(parseError(err.get._2)('C') === "22012") // DivisionByZero
+    assert(msgs.last._1 === 'Z')
+    // connection survives
+    c.sendQuery("SELECT 1")
+    assert(c.readUntilReady().count(_._1 == 'D') === 1)
     c.close()
   }
 
