@@ -136,6 +136,35 @@ object TextAnalysis {
         + least(awl / 8.0, lit(1.0)) * 0.2) * 1e4 + 0.5) / 1e4).as("quality"))
   }
 
+  /** Scrubbing for training corpora: redact URLs, emails, and IPv4
+    * addresses; optionally normalize digit runs to a `<num>` token.
+    * Patterns are RE2-compatible (no backreferences/lookaround) so any
+    * SQL engine's regex reproduces them; IPv4 runs before the number mask
+    * so octets aren't half-eaten. Pure narrow `regexp_replace` chain.
+    */
+  val UrlPattern = "https?://[^\\s]+"
+  val EmailPattern = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+  val Ipv4Pattern = "\\b[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\b"
+  val NumberPattern = "\\b[0-9]+\\b"
+
+  def scrub(docs: DataFrame, maskNumbers: Boolean = false): DataFrame = {
+    var t = regexp_replace(
+      regexp_replace(
+        regexp_replace(col("text"), UrlPattern, "<url>"),
+        EmailPattern, "<email>"),
+      Ipv4Pattern, "<ip>")
+    if (maskNumbers) t = regexp_replace(t, NumberPattern, "<num>")
+    docs.select(col("doc_id"), t.as("text"))
+  }
+
+  /** Boilerplate removal: drop repeated lines within a document, keeping
+    * the first occurrence in order (`array_distinct` preserves
+    * first-occurrence order). Narrow per-row array work.
+    */
+  def dedupLines(docs: DataFrame): DataFrame =
+    docs.select(col("doc_id"),
+      array_join(array_distinct(split(col("text"), "\n")), "\n").as("text"))
+
   /** Document fingerprint: k smallest distinct 31-bit shingle hashes,
     * dash-joined (a winnowing-style k-min sketch). Identical docs → equal
     * fingerprints; near-dups share most components.

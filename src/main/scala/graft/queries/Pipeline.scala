@@ -250,6 +250,26 @@ object Pipeline {
              |       CAST(CASE WHEN doc_id % 3 = 2 THEN octet_length(encode(text)) % 16 ELSE 1 END AS INTEGER) AS n_frames
              |FROM documents ORDER BY doc_id""".stripMargin)),
 
+    // Scrub + number normalization: cross-engine regex parity on the RE2-
+    // compatible patterns (DuckDB needs the 'g' flag; Spark replaces all
+    // by default).
+    Q("q_pl_scrub",
+      (s, dir) => TextAnalysis.scrub(Tables.documents(s, dir), maskNumbers = true)
+        .select(col("doc_id"), md5(col("text")).as("digest"),
+          length(col("text")).cast("long").as("n_chars"))
+        .orderBy("doc_id"),
+      Some {
+        // DuckDB single-quoted literals keep backslashes literal — embed
+        // the RE2 patterns verbatim
+        val scrubbed = "regexp_replace(regexp_replace(regexp_replace(regexp_replace(text, " +
+          s"'${TextAnalysis.UrlPattern}', '<url>', 'g'), " +
+          s"'${TextAnalysis.EmailPattern}', '<email>', 'g'), " +
+          s"'${TextAnalysis.Ipv4Pattern}', '<ip>', 'g'), " +
+          s"'${TextAnalysis.NumberPattern}', '<num>', 'g')"
+        s"""SELECT doc_id, md5($scrubbed) AS digest, length($scrubbed) AS n_chars
+           |FROM documents ORDER BY doc_id""".stripMargin
+      }),
+
     // Frame sampling over video payloads: every 2nd 256-byte window,
     // hex-compared (Spark's base64 inserts MIME CRLF breaks; hex is
     // identical across engines; documents text is pure ASCII, so byte

@@ -126,6 +126,22 @@ class PipelineSpec extends AnyFunSuite {
     assert(sampled.filter(col("frame_idx") % 2 =!= 0).count() === 0)
   }
 
+  test("scrub redacts urls/emails/ips/numbers; dedupLines keeps first occurrence") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    val fixture = Seq(
+      (1L, "see https://example.com/x?y=1 or mail a.b+c@ex-ample.org now"),
+      (2L, "host 10.0.255.1 port 8080 and plain words"),
+      (3L, "l1\nl2\nl1\nl3\nl2")).toDF("doc_id", "text")
+    val scrubbed = graft.pipeline.TextAnalysis.scrub(fixture, maskNumbers = true)
+      .orderBy("doc_id").collect().map(_.getString(1))
+    assert(scrubbed(0) === "see <url> or mail <email> now")
+    assert(scrubbed(1) === "host <ip> port <num> and plain words")
+    val deduped = graft.pipeline.TextAnalysis.dedupLines(fixture)
+      .filter(col("doc_id") === 3L).head().getString(1)
+    assert(deduped === "l1\nl2\nl3")
+  }
+
   test("resize stub bounds payload size; embed stub is deterministic with fixed dim") {
     val media = graft.pipeline.Multimodal.mediaTable(docs)
     val resized = graft.pipeline.Multimodal.resizeStub(spark, media, 64, 48).collect()
