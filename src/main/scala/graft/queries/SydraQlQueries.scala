@@ -396,6 +396,37 @@ object SydraQlQueries {
               |FROM sv WHERE series = 'error' AND time >= $T0 AND time < ${T0 + 86400}
               |GROUP BY bucket ORDER BY bucket""".stripMargin)),
 
+    // EXPLAIN surface (plan text is engine-specific → rows-only gate).
+    Q("q_sql_explain",
+      (s, dir) => Engine.sql(s, Tables.seriesView(s, dir),
+        s"explain select time_bucket(3600, time) as b, avg(value) as a from click " +
+          s"where time >= $T0 and time < $T1 group by time_bucket(3600, time)",
+        CompileOptions(now = NOW)),
+      None),
+
+    // Streaming windowed aggregation executed in batch mode (watermark is
+    // a no-op on a static frame — same plan shape Structured Streaming
+    // runs incrementally; StreamingSpec covers the incremental/late-data
+    // path).
+    Q("q_stream_window_agg",
+      (s, dir) => graft.streaming.StreamOps.windowedAgg(
+          Tables.seriesView(s, dir)
+            .filter(col("time") >= T0 && col("time") < T0 + 2 * 86400)
+            .select(col("series"), col("time"), col("value")),
+          windowDur = "1 hour")
+        .withColumn("avg_value", floor(col("avg_value") * 1e4 + 0.5) / 1e4)
+        .withColumn("min_value", floor(col("min_value") * 1e4 + 0.5) / 1e4)
+        .withColumn("max_value", floor(col("max_value") * 1e4 + 0.5) / 1e4)
+        .orderBy("series", "window_start"),
+      Some(s"""$svSql
+              |SELECT series, CAST(floor(time / 3600.0) AS BIGINT) * 3600 AS window_start,
+              |       floor((avg(value)) * 1e4 + 0.5) / 1e4 AS avg_value, count(value) AS n,
+              |       floor((min(value)) * 1e4 + 0.5) / 1e4 AS min_value,
+              |       floor((max(value)) * 1e4 + 0.5) / 1e4 AS max_value
+              |FROM sv WHERE time >= $T0 AND time < ${T0 + 2 * 86400}
+              |GROUP BY series, window_start
+              |ORDER BY series, window_start""".stripMargin)),
+
     // Executed INSERT + DELETE lifecycle (Engine.executeOnStore write
     // paths; the reference parses but never plans these, plan.zig:99-104):
     // two inserted rows, then DELETE prunes odd-second rows, final state
