@@ -1,0 +1,44 @@
+package graft.pipeline
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Benchmark decontamination: flag training documents that overlap an
+  * evaluation/benchmark set by shared word n-grams (the GPT-3/PaLM-style
+  * published procedure — n-gram collision against held-out eval data).
+  *
+  * Shape for 100 TB: the benchmark side is small (eval suites are MBs) —
+  * its distinct n-gram hashes are explicitly `broadcast()`; the corpus
+  * side is one narrow shingle pass + explode, a broadcast hash semi-join
+  * (no shuffle of the corpus), and a final groupBy(doc_id) whose input is
+  * only the *hit* rows — tiny next to the scan. No all-pairs anything.
+  */
+object Decontam {
+
+  /** Per-doc overlap of word n-gram hash sets against `benchmark`:
+    * (doc_id, n_shingles, n_overlap, contam_frac, contaminated).
+    * Docs with no overlap are kept with n_overlap = 0 so the output is a
+    * total annotation, not just the flagged subset.
+    */
+  def contamination(
+      docs: DataFrame,
+      benchmark: DataFrame,
+      threshold: Double,
+      n: Int = 3): DataFrame = {
+    val corpusSh = TextAnalysis.shingleSets(docs, n)
+    val benchHashes = TextAnalysis.shingleSets(benchmark, n)
+      .select(explode(col("hs")).as("h")).distinct()
+    val hits = corpusSh.select(col("doc_id"), explode(col("hs")).as("h"))
+      .join(broadcast(benchHashes), Seq("h"), "left_semi")
+      .groupBy("doc_id").agg(count(lit(1)).as("n_overlap"))
+    corpusSh.select(col("doc_id"), size(col("hs")).cast("long").as("n_shingles"))
+      .join(hits, Seq("doc_id"), "left")
+      .select(
+        col("doc_id"), col("n_shingles"),
+        coalesce(col("n_overlap"), lit(0L)).as("n_overlap"),
+        when(col("n_shingles") === 0, lit(0.0))
+          .otherwise(floor(coalesce(col("n_overlap"), lit(0L)).cast("double")
+            / col("n_shingles").cast("double") * 1e4 + 0.5) / 1e4).as("contam_frac"))
+      .withColumn("contaminated", col("contam_frac") >= threshold)
+  }
+}

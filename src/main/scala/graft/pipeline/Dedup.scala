@@ -179,4 +179,47 @@ object Dedup {
       .filter(col("hamming") <= maxHamming)
       .distinct() // a pair can share several clean bands
   }
+
+  /** Near-dup CLUSTERS from a pair list: connected components by iterative
+    * min-label propagation, then canonical-doc selection (min doc_id per
+    * component — the doc a dedup pass would keep).
+    *
+    * Each iteration is one hash-join + min-aggregate on the *edge* set
+    * (dup pairs ≪ corpus at 100 TB), converging in O(component diameter)
+    * rounds — near-dup clusters are shallow (stars/chains of a few hops),
+    * so this is a handful of shuffles over a small frame, the standard
+    * distributed-CC shape. `localCheckpoint` truncates lineage per round so
+    * plans don't grow with iteration count. Docs in no pair never enter the
+    * loop and come back as their own singleton cluster via the final left
+    * join.
+    *
+    * @param pairs (doc_a, doc_b) near-dup pairs, e.g. [[minhashLshPairs]]
+    */
+  def dupClusters(docs: DataFrame, pairs: DataFrame, maxIters: Int = 50): DataFrame = {
+    val edges = pairs.select(col("doc_a").as("src"), col("doc_b").as("dst"))
+      .union(pairs.select(col("doc_b").as("src"), col("doc_a").as("dst")))
+      .distinct().cache()
+    var labels = edges.select(col("src").as("doc_id")).distinct()
+      .select(col("doc_id"), col("doc_id").as("label"))
+    var changed = 1L
+    var iter = 0
+    while (changed > 0 && iter < maxIters) {
+      val neighborMin = edges
+        .join(labels.select(col("doc_id").as("dst"), col("label").as("nlabel")), "dst")
+        .groupBy(col("src").as("doc_id")).agg(min("nlabel").as("nmin"))
+      val upd = labels.join(neighborMin, Seq("doc_id"), "left")
+        .select(col("doc_id"), col("label").as("old"),
+          least(col("label"), coalesce(col("nmin"), col("label"))).as("label"))
+        .localCheckpoint()
+      changed = upd.filter(col("label") < col("old")).count()
+      labels = upd.select("doc_id", "label")
+      iter += 1
+    }
+    edges.unpersist()
+    docs.select(col("doc_id"))
+      .join(labels, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("label"), col("doc_id")).as("cluster_id"))
+      .withColumn("is_canonical", col("doc_id") === col("cluster_id"))
+  }
 }

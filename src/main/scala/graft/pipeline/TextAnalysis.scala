@@ -165,6 +165,56 @@ object TextAnalysis {
     docs.select(col("doc_id"),
       array_join(array_distinct(split(col("text"), "\n")), "\n").as("text"))
 
+  /** Gopher-style repetition filters (Rae et al. 2021, public): per-doc
+    * fractions of repeated lines / word n-grams that flag low-quality,
+    * templated, or machine-generated text.
+    *
+    *  - `dup_line_frac`: fraction of non-empty (trimmed) lines that are
+    *    repeats of an earlier line;
+    *  - `top_bigram_frac`: fraction of all word 2-grams taken by the most
+    *    frequent one;
+    *  - `dup_trigram_frac`: fraction of word 3-gram occurrences that are
+    *    duplicates.
+    *
+    * Narrow per-row array arithmetic (no shuffle). The mode count is
+    * O(distinct·n) per doc via HOFs — documents are bounded (segment-split
+    * upstream), so this stays per-row CPU, not a shuffle. Arrays are
+    * materialized before any lambda references them.
+    */
+  def repetitionStats(docs: DataFrame): DataFrame = {
+    val round4 = (c: Column) => floor(c * 1e4 + 0.5) / 1e4
+    val frac = (num: Column, den: Column) =>
+      when(den === 0, lit(0.0)).otherwise(round4(num.cast("double") / den.cast("double")))
+    val lines = col("__lines")
+    val bg = col("__bg")
+    val tg = col("__tg")
+    spread(docs)
+      .withColumn("__w", words(col("text")))
+      .withColumn("__lines",
+        filter(transform(split(col("text"), "\n"), l => trim(l)), l => length(l) > 0))
+      .withColumn("__bg", ngramsOf(col("__w"), 2))
+      .withColumn("__tg", ngramsOf(col("__w"), 3))
+      .select(
+        col("doc_id"),
+        size(lines).cast("long").as("n_lines"),
+        frac(size(lines) - size(array_distinct(lines)), size(lines)).as("dup_line_frac"),
+        when(size(bg) === 0, lit(0.0)).otherwise(round4(
+          array_max(transform(array_distinct(bg), x =>
+            size(filter(bg, y => y === x)))).cast("double") / size(bg).cast("double")))
+          .as("top_bigram_frac"),
+        frac(size(tg) - size(array_distinct(tg)), size(tg)).as("dup_trigram_frac"))
+  }
+
+  /** Word n-grams (NON-distinct, order-preserving) from a materialized
+    * words column — repetition counting needs multiplicity, unlike
+    * [[shinglesOf]].
+    */
+  def ngramsOf(w: Column, n: Int): Column =
+    when(size(w) >= n,
+      transform(sequence(lit(0), size(w) - n), i =>
+        concat_ws(" ", (0 until n).map(j => element_at(w, i + j + 1)): _*)))
+      .otherwise(array().cast("array<string>"))
+
   /** Document fingerprint: k smallest distinct 31-bit shingle hashes,
     * dash-joined (a winnowing-style k-min sketch). Identical docs → equal
     * fingerprints; near-dups share most components.

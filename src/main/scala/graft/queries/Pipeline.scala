@@ -1,7 +1,7 @@
 package graft.queries
 
 import graft.core.Tables
-import graft.pipeline.{Dedup, Multimodal, Similarity, TextAnalysis}
+import graft.pipeline.{Decontam, Dedup, Multimodal, Sampling, Similarity, TextAnalysis}
 import org.apache.spark.sql.functions._
 
 /** Training-data pipeline operators in the correctness gate. The DuckDB
@@ -41,22 +41,27 @@ object Pipeline {
        |  FROM wh
        |)""".stripMargin
 
-  private val jaccardOracle =
-    s"""WITH $wordsCte, $shinglesCte,
-       |ex AS (SELECT doc_id, unnest(hs) AS h FROM sh),
-       |pairs AS (
+  /** brute-force verified near-dup pairs at threshold 0.8 → CTE `vp`. */
+  private val verifiedPairsCte =
+    s"""ex AS (SELECT doc_id, unnest(hs) AS h FROM sh),
+       |cnt AS (
        |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS inter
        |  FROM ex a JOIN ex b ON a.h = b.h AND a.doc_id < b.doc_id
        |  GROUP BY 1, 2
        |),
-       |sizes AS (SELECT doc_id, len(hs) AS n FROM sh)
-       |SELECT doc_a, doc_b,
-       |       floor((inter * 1.0 / (sa.n + sb.n - inter)) * 1e4 + 0.5) / 1e4 AS jaccard
-       |FROM pairs
-       |JOIN sizes sa ON doc_a = sa.doc_id
-       |JOIN sizes sb ON doc_b = sb.doc_id
-       |WHERE floor((inter * 1.0 / (sa.n + sb.n - inter)) * 1e4 + 0.5) / 1e4 >= 0.8
-       |ORDER BY doc_a, doc_b""".stripMargin
+       |sizes AS (SELECT doc_id, len(hs) AS n FROM sh),
+       |vp AS (
+       |  SELECT doc_a, doc_b,
+       |         floor((inter * 1.0 / (sa.n + sb.n - inter)) * 1e4 + 0.5) / 1e4 AS jaccard
+       |  FROM cnt
+       |  JOIN sizes sa ON doc_a = sa.doc_id
+       |  JOIN sizes sb ON doc_b = sb.doc_id
+       |  WHERE floor((inter * 1.0 / (sa.n + sb.n - inter)) * 1e4 + 0.5) / 1e4 >= 0.8
+       |)""".stripMargin
+
+  private val jaccardOracle =
+    s"""WITH $wordsCte, $shinglesCte, $verifiedPairsCte
+       |SELECT doc_a, doc_b, jaccard FROM vp ORDER BY doc_a, doc_b""".stripMargin
 
   /** cosine with the same fold order as Similarity (left-to-right sum). */
   private val embCte =
@@ -67,6 +72,26 @@ object Pipeline {
     s"sqrt(list_reduce([x * x for x in $a], (x, y) -> x + y))"
   private def cosSql(a: String, b: String) =
     s"${dotSql(a, b)} / (${normSql(a)} * ${normSql(b)})"
+
+  /** lang-ID stopword scores → CTE `scored` (mirrors TextAnalysis.langId). */
+  private val langScoredCte: String = {
+    val scores = TextAnalysis.Lexicons.map { case (l, ws) =>
+      s"floor((len([x for x in w if x IN (${ws.map(x => s"'$x'").mkString(",")})]) * 1.0 / len(w)) * 1e4 + 0.5) / 1e4 AS score_$l"
+    }.mkString(",\n       ")
+    s"""scored AS (
+       |  SELECT doc_id, $scores
+       |  FROM words
+       |)""".stripMargin
+  }
+
+  /** first-dominant-language CASE chain over the `scored` columns. */
+  private val langCaseSql: String = {
+    val langs = TextAnalysis.Lexicons.map(_._1)
+    langs.reverse.foldLeft("'und'") { (acc, l) =>
+      val dom = langs.filter(_ != l).map(o => s"score_$l >= score_$o").mkString(" AND ")
+      s"CASE WHEN score_$l > 0 AND $dom THEN '$l' ELSE $acc END"
+    }
+  }
 
   private val annOracle =
     s"""WITH $embCte,
@@ -92,23 +117,9 @@ object Pipeline {
 
     Q("q_pl_lang_id",
       (s, dir) => TextAnalysis.langId(Tables.documents(s, dir)).orderBy("doc_id"),
-      Some {
-        val lex = TextAnalysis.Lexicons
-        val scores = lex.map { case (l, ws) =>
-          s"floor((len([x for x in w if x IN (${ws.map(x => s"'$x'").mkString(",")})]) * 1.0 / len(w)) * 1e4 + 0.5) / 1e4 AS score_$l"
-        }.mkString(",\n       ")
-        val langs = lex.map(_._1)
-        val caseChain = langs.reverse.foldLeft("'und'") { (acc, l) =>
-          val dom = langs.filter(_ != l).map(o => s"score_$l >= score_$o").mkString(" AND ")
-          s"CASE WHEN score_$l > 0 AND $dom THEN '$l' ELSE $acc END"
-        }
-        s"""WITH $wordsCte, scored AS (
-           |  SELECT doc_id, $scores
-           |  FROM words
-           |)
-           |SELECT doc_id, ${langs.map(l => s"score_$l").mkString(", ")}, $caseChain AS pred_lang
-           |FROM scored ORDER BY doc_id""".stripMargin
-      }),
+      Some(s"""WITH $wordsCte, $langScoredCte
+              |SELECT doc_id, ${TextAnalysis.Lexicons.map(l => s"score_${l._1}").mkString(", ")}, $langCaseSql AS pred_lang
+              |FROM scored ORDER BY doc_id""".stripMargin)),
 
     Q("q_pl_quality",
       (s, dir) => TextAnalysis.qualityScore(Tables.documents(s, dir)).orderBy("doc_id"),
@@ -289,6 +300,95 @@ object Pipeline {
              |SELECT doc_id, frame_idx,
              |       upper(hex(encode(substr(text, CAST(frame_idx * 256 + 1 AS INT), 256)))) AS frame_hex
              |FROM f WHERE frame_idx % 2 = 0
-             |ORDER BY doc_id, frame_idx""".stripMargin))
+             |ORDER BY doc_id, frame_idx""".stripMargin)),
+
+    // Gopher-style repetition filters: duplicate-line fraction, most-common
+    // word-bigram share, duplicate-trigram fraction. Narrow per-doc arrays.
+    Q("q_pl_repetition",
+      (s, dir) => TextAnalysis.repetitionStats(Tables.documents(s, dir)).orderBy("doc_id"),
+      Some(s"""WITH $wordsCte, rep AS (
+              |  SELECT doc_id,
+              |         [x for x in [trim(l) for l in string_split(text, chr(10))] if length(x) > 0] AS lines,
+              |         [w[i] || ' ' || w[i+1] for i in range(1, len(w))] AS bg,
+              |         [w[i] || ' ' || w[i+1] || ' ' || w[i+2] for i in range(1, len(w) - 1)] AS tg
+              |  FROM words
+              |)
+              |SELECT doc_id, len(lines) AS n_lines,
+              |       CASE WHEN len(lines) = 0 THEN 0.0
+              |            ELSE floor((len(lines) - len(list_distinct(lines))) * 1.0 / len(lines) * 1e4 + 0.5) / 1e4 END AS dup_line_frac,
+              |       CASE WHEN len(bg) = 0 THEN 0.0
+              |            ELSE floor(list_max([len([y for y in bg if y = x]) for x in list_distinct(bg)]) * 1.0 / len(bg) * 1e4 + 0.5) / 1e4 END AS top_bigram_frac,
+              |       CASE WHEN len(tg) = 0 THEN 0.0
+              |            ELSE floor((len(tg) - len(list_distinct(tg))) * 1.0 / len(tg) * 1e4 + 0.5) / 1e4 END AS dup_trigram_frac
+              |FROM rep ORDER BY doc_id""".stripMargin)),
+
+    // Deterministic stratified sampling: per-language keep rates decided by
+    // a portable md5 hash of (salt, doc_id) — reproducible on any cluster
+    // size and mirrored exactly by the oracle.
+    Q("q_pl_sample",
+      (s, dir) => {
+        val lang = TextAnalysis.langId(Tables.documents(s, dir))
+          .select(col("doc_id"), col("pred_lang"))
+        Sampling.stratified(lang, "doc_id", "pred_lang",
+            Map("en" -> 0.8, "und" -> 0.2), 0.5, "r3")
+          .orderBy("doc_id")
+      },
+      Some {
+        val h = "CAST(concat('0x', substr(md5('r3:' || CAST(doc_id AS VARCHAR)), 1, 15)) AS BIGINT) % 1000000"
+        s"""WITH $wordsCte, $langScoredCte,
+           |lang AS (SELECT doc_id, $langCaseSql AS pred_lang FROM scored)
+           |SELECT doc_id, pred_lang FROM lang
+           |WHERE $h < CASE WHEN pred_lang = 'en' THEN 800000
+           |                WHEN pred_lang = 'und' THEN 200000 ELSE 500000 END
+           |ORDER BY doc_id""".stripMargin
+      }),
+
+    // Benchmark decontamination: held-out set = doc_id % 20 = 0; every
+    // remaining doc annotated with its 3-gram-hash overlap against it.
+    Q("q_pl_decontam",
+      (s, dir) => {
+        val docs = Tables.documents(s, dir)
+        Decontam.contamination(
+            docs.filter(col("doc_id") % 20 =!= 0),
+            docs.filter(col("doc_id") % 20 === 0), threshold = 0.5)
+          .orderBy("doc_id")
+      },
+      Some(s"""WITH $wordsCte, $shinglesCte,
+              |bench AS (SELECT DISTINCT unnest(hs) AS h FROM sh WHERE doc_id % 20 = 0),
+              |corpus AS (SELECT doc_id, hs FROM sh WHERE doc_id % 20 != 0),
+              |hits AS (
+              |  SELECT c.doc_id, count(*) AS n_overlap
+              |  FROM (SELECT doc_id, unnest(hs) AS h FROM corpus) c
+              |  JOIN bench USING (h) GROUP BY c.doc_id
+              |), ann AS (
+              |  SELECT corpus.doc_id, len(hs) AS n_shingles, coalesce(n_overlap, 0) AS n_overlap,
+              |         CASE WHEN len(hs) = 0 THEN 0.0
+              |              ELSE floor(coalesce(n_overlap, 0) * 1.0 / len(hs) * 1e4 + 0.5) / 1e4 END AS contam_frac
+              |  FROM corpus LEFT JOIN hits ON corpus.doc_id = hits.doc_id
+              |)
+              |SELECT doc_id, n_shingles, n_overlap, contam_frac, contam_frac >= 0.5 AS contaminated
+              |FROM ann ORDER BY doc_id""".stripMargin)),
+
+    // Near-dup clusters: connected components over the verified LSH pair
+    // set (min-label propagation in Spark; transitive closure via a
+    // recursive CTE in the oracle), canonical = min doc_id per component.
+    Q("q_pl_dup_clusters",
+      (s, dir) => {
+        val docs = Tables.documents(s, dir)
+        Dedup.dupClusters(docs, Dedup.minhashLshPairs(docs, 0.8)).orderBy("doc_id")
+      },
+      Some(s"""WITH RECURSIVE $wordsCte, $shinglesCte, $verifiedPairsCte,
+              |edges AS (SELECT doc_a AS s, doc_b AS d FROM vp
+              |          UNION SELECT doc_b, doc_a FROM vp),
+              |reach(s, d) AS (
+              |  SELECT s, d FROM edges
+              |  UNION
+              |  SELECT r.s, e.d FROM reach r JOIN edges e ON r.d = e.s
+              |),
+              |labels AS (SELECT s AS doc_id, least(s, min(d)) AS cluster_id FROM reach GROUP BY s)
+              |SELECT dd.doc_id, coalesce(l.cluster_id, dd.doc_id) AS cluster_id,
+              |       dd.doc_id = coalesce(l.cluster_id, dd.doc_id) AS is_canonical
+              |FROM documents dd LEFT JOIN labels l ON dd.doc_id = l.doc_id
+              |ORDER BY dd.doc_id""".stripMargin))
   )
 }

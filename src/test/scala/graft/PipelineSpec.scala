@@ -142,6 +142,65 @@ class PipelineSpec extends AnyFunSuite {
     assert(deduped === "l1\nl2\nl3")
   }
 
+  test("repetitionStats flags repeated lines and n-grams") {
+    val fixture = Seq(
+      (1L, "buy now\nbuy now\nunique line\nbuy now"), // 3 of 4 lines dup
+      (2L, "spam spam spam spam"), // one bigram repeated 3×/3
+      (3L, "all words here differ totally")).toDF("doc_id", "text")
+    val r = graft.pipeline.TextAnalysis.repetitionStats(fixture)
+      .orderBy("doc_id").collect()
+    assert(r(0).getAs[Long]("n_lines") === 4L)
+    assert(r(0).getAs[Double]("dup_line_frac") === 0.5) // 4 lines, 2 distinct
+    assert(r(1).getAs[Double]("top_bigram_frac") === 1.0) // all bigrams equal
+    assert(r(1).getAs[Double]("dup_trigram_frac") === 0.5) // 2 trigrams, 1 distinct
+    assert(r(2).getAs[Double]("dup_line_frac") === 0.0)
+    assert(r(2).getAs[Double]("dup_trigram_frac") === 0.0)
+  }
+
+  test("sampling is deterministic, rate-monotone, and stratified by column") {
+    val df = spark.range(0, 2000).toDF("doc_id")
+    val a = graft.pipeline.Sampling.bernoulli(df, "doc_id", 0.3, "s1").as[Long].collect().toSet
+    val b = graft.pipeline.Sampling.bernoulli(df.repartition(7), "doc_id", 0.3, "s1")
+      .as[Long].collect().toSet
+    assert(a === b, "same (salt,key) must decide identically across partitionings")
+    val wider = graft.pipeline.Sampling.bernoulli(df, "doc_id", 0.6, "s1").as[Long].collect().toSet
+    assert(a.subsetOf(wider), "raising the rate only adds rows (nested samples)")
+    assert(math.abs(a.size / 2000.0 - 0.3) < 0.05, s"rate off: ${a.size}")
+    val strat = graft.pipeline.Sampling.stratified(
+      df.withColumn("lang", when(col("doc_id") % 2 === 0, "en").otherwise("de")),
+      "doc_id", "lang", Map("en" -> 1.0, "de" -> 0.0), 0.5, "s2")
+    val langs = strat.select("lang").distinct().as[String].collect().toSet
+    assert(langs === Set("en"), "rate-0 stratum must vanish, rate-1 fully kept")
+    assert(strat.count() === 1000L)
+  }
+
+  test("contamination marks the benchmark overlap and keeps zero-overlap docs") {
+    val bench = Seq((100L, "the quick brown fox jumps over the lazy dog")).toDF("doc_id", "text")
+    val corpus = Seq(
+      (1L, "the quick brown fox jumps over the lazy dog"), // identical → frac 1.0
+      (2L, "entirely different words appear in this sentence"),
+      (3L, "the quick brown fox went home early yesterday evening")).toDF("doc_id", "text")
+    val r = graft.pipeline.Decontam.contamination(corpus, bench, 0.5)
+      .orderBy("doc_id").collect()
+    assert(r.length === 3, "zero-overlap docs must stay in the annotation")
+    assert(r(0).getAs[Double]("contam_frac") === 1.0 && r(0).getAs[Boolean]("contaminated"))
+    assert(r(1).getAs[Long]("n_overlap") === 0L && !r(1).getAs[Boolean]("contaminated"))
+    assert(r(2).getAs[Long]("n_overlap") === 2L) // shares the 2 leading 3-grams
+  }
+
+  test("dupClusters merges transitively and picks min doc_id as canonical") {
+    val allDocs = spark.range(1, 8).toDF("doc_id")
+    // chain 1-2-3 (transitive), pair 5-6, singletons 4 and 7
+    val pairs = Seq((2L, 3L), (1L, 2L), (5L, 6L)).toDF("doc_a", "doc_b")
+    val r = graft.pipeline.Dedup.dupClusters(allDocs, pairs)
+      .orderBy("doc_id")
+      .select("doc_id", "cluster_id", "is_canonical")
+      .as[(Long, Long, Boolean)].collect()
+    assert(r.toSeq === Seq(
+      (1L, 1L, true), (2L, 1L, false), (3L, 1L, false), (4L, 4L, true),
+      (5L, 5L, true), (6L, 5L, false), (7L, 7L, true)))
+  }
+
   test("resize stub bounds payload size; embed stub is deterministic with fixed dim") {
     val media = graft.pipeline.Multimodal.mediaTable(docs)
     val resized = graft.pipeline.Multimodal.resizeStub(spark, media, 64, 48).collect()
