@@ -389,6 +389,27 @@ object Pipeline {
               |SELECT dd.doc_id, coalesce(l.cluster_id, dd.doc_id) AS cluster_id,
               |       dd.doc_id = coalesce(l.cluster_id, dd.doc_id) AS is_canonical
               |FROM documents dd LEFT JOIN labels l ON dd.doc_id = l.doc_id
-              |ORDER BY dd.doc_id""".stripMargin))
+              |ORDER BY dd.doc_id""".stripMargin)),
+
+    // Concat-and-chunk sequence packing: global token offsets via the
+    // scale-safe two-pass prefix sum (range partition → local window →
+    // per-partition bases), 512-token context windows. Offsets are a pure
+    // function of the data, so the single-window oracle matches exactly.
+    Q("q_pl_pack",
+      (s, dir) => graft.pipeline.Packing.chunkAssignments(Tables.documents(s, dir), 512)
+        .orderBy("doc_id"),
+      Some("""WITH t AS (
+             |  SELECT doc_id,
+             |         CAST(len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]')) AS BIGINT) AS n_tokens
+             |  FROM documents
+             |), o AS (
+             |  SELECT doc_id, n_tokens,
+             |         CAST(sum(n_tokens) OVER (ORDER BY doc_id ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - n_tokens AS BIGINT) AS start_offset
+             |  FROM t
+             |)
+             |SELECT doc_id, n_tokens, start_offset,
+             |       CAST(floor(start_offset / 512) AS BIGINT) AS first_chunk,
+             |       CAST(floor((start_offset + greatest(n_tokens, 1) - 1) / 512) AS BIGINT) AS last_chunk
+             |FROM o ORDER BY doc_id""".stripMargin))
   )
 }

@@ -201,6 +201,34 @@ class PipelineSpec extends AnyFunSuite {
       (5L, 5L, true), (6L, 5L, false), (7L, 7L, true)))
   }
 
+  test("prefixSum matches sequential cumsum regardless of partitioning") {
+    val vals = Seq(5L, 0L, 12L, 3L, 3L, 700L, 1L, 42L, 9L, 11L)
+    val df = vals.zipWithIndex.map { case (v, i) => (i.toLong, v) }
+      .toDF("k", "v").repartition(7) // scrambled input partitioning
+    val expect = vals.scanLeft(0L)(_ + _).init
+    for (parts <- Seq(1, 3, 16)) {
+      val got = graft.pipeline.Packing.prefixSum(df, "k", "v", "off", parts)
+        .orderBy("k").select("off").as[Long].collect().toSeq
+      assert(got === expect, s"parts=$parts")
+    }
+  }
+
+  test("chunkAssignments spans chunk boundaries and pins empty docs") {
+    val fixture = Seq(
+      (1L, "a b c"), // 3 tokens, offset 0, chunk 0
+      (2L, ""), // 0 tokens: first_chunk == last_chunk
+      (3L, (1 to 6).map(_ => "w").mkString(" "))) // crosses the ctx=4 boundary
+      .toDF("doc_id", "text")
+    val r = graft.pipeline.Packing.chunkAssignments(fixture, ctxLen = 4)
+      .orderBy("doc_id")
+      .select("doc_id", "n_tokens", "start_offset", "first_chunk", "last_chunk")
+      .as[(Long, Long, Long, Long, Long)].collect()
+    assert(r.toSeq === Seq(
+      (1L, 3L, 0L, 0L, 0L),
+      (2L, 0L, 3L, 0L, 0L),
+      (3L, 6L, 3L, 0L, 2L))) // tokens 3..8 touch chunks 0,1,2
+  }
+
   test("resize stub bounds payload size; embed stub is deterministic with fixed dim") {
     val media = graft.pipeline.Multimodal.mediaTable(docs)
     val resized = graft.pipeline.Multimodal.resizeStub(spark, media, 64, 48).collect()
