@@ -46,4 +46,34 @@ object Sampling {
     }
     df.filter(hashUnit(col(keyCol), salt) < rate)
   }
+
+  /** Deterministic per-stratum cap: keep the `n` rows with the smallest
+    * salted hashes in each stratum (a reproducible uniform draw) — the
+    * standard per-domain document cap in web-corpus pipelines.
+    *
+    * Skew-proof at 100 TB: a hot stratum (one domain with billions of
+    * docs) would serialize a naive per-stratum `row_number` onto one
+    * reducer. Phase 1 ranks within (input partition, stratum) — the hot
+    * stratum stays spread across partitions — and keeps at most `n` rows
+    * per slice, so phase 2's true per-stratum rank sees at most
+    * n × partitions rows per stratum, never the raw stratum.
+    */
+  def capPerStratum(
+      df: DataFrame,
+      keyCol: String,
+      stratumCol: String,
+      n: Int,
+      salt: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val hashed = df.withColumn("__h", hashUnit(col(keyCol), salt))
+      .withColumn("__pid", spark_partition_id())
+    val local = Window.partitionBy(col("__pid"), col(stratumCol))
+      .orderBy(col("__h"), col(keyCol))
+    val global = Window.partitionBy(col(stratumCol))
+      .orderBy(col("__h"), col(keyCol))
+    hashed
+      .withColumn("__lrn", row_number().over(local)).filter(col("__lrn") <= n)
+      .withColumn("__rn", row_number().over(global)).filter(col("__rn") <= n)
+      .drop("__h", "__pid", "__lrn", "__rn")
+  }
 }

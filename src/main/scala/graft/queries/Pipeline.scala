@@ -410,6 +410,28 @@ object Pipeline {
              |SELECT doc_id, n_tokens, start_offset,
              |       CAST(floor(start_offset / 512) AS BIGINT) AS first_chunk,
              |       CAST(floor((start_offset + greatest(n_tokens, 1) - 1) / 512) AS BIGINT) AS last_chunk
-             |FROM o ORDER BY doc_id""".stripMargin))
+             |FROM o ORDER BY doc_id""".stripMargin)),
+
+    // Per-stratum cap (per-domain/language document cap): keep the 50
+    // smallest salted hashes per predicted language — deterministic, and
+    // skew-proof via the two-phase local→global rank.
+    Q("q_pl_cap",
+      (s, dir) => {
+        val lang = TextAnalysis.langId(Tables.documents(s, dir))
+          .select(col("doc_id"), col("pred_lang"))
+        Sampling.capPerStratum(lang, "doc_id", "pred_lang", 50, "cap3")
+          .orderBy("doc_id")
+      },
+      Some {
+        val h = "CAST(concat('0x', substr(md5('cap3:' || CAST(doc_id AS VARCHAR)), 1, 15)) AS BIGINT) % 1000000"
+        s"""WITH $wordsCte, $langScoredCte,
+           |lang AS (SELECT doc_id, $langCaseSql AS pred_lang FROM scored),
+           |r AS (
+           |  SELECT doc_id, pred_lang,
+           |         row_number() OVER (PARTITION BY pred_lang ORDER BY $h, doc_id) AS rn
+           |  FROM lang
+           |)
+           |SELECT doc_id, pred_lang FROM r WHERE rn <= 50 ORDER BY doc_id""".stripMargin
+      })
   )
 }

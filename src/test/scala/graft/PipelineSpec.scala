@@ -201,6 +201,25 @@ class PipelineSpec extends AnyFunSuite {
       (5L, 5L, true), (6L, 5L, false), (7L, 7L, true)))
   }
 
+  test("capPerStratum keeps the n smallest hashes per stratum, any partitioning") {
+    val df = spark.range(0, 500).toDF("doc_id")
+      .withColumn("lang", when(col("doc_id") % 10 === 0, "rare").otherwise("hot"))
+    val naive = df
+      .withColumn("__h", graft.pipeline.Sampling.hashUnit(col("doc_id"), "t"))
+      .withColumn("rn", row_number().over(org.apache.spark.sql.expressions.Window
+        .partitionBy("lang").orderBy(col("__h"), col("doc_id"))))
+      .filter(col("rn") <= 7).select("doc_id").as[Long].collect().toSet
+    for (parts <- Seq(1, 13)) {
+      val got = graft.pipeline.Sampling.capPerStratum(
+          df.repartition(parts), "doc_id", "lang", 7, "t")
+        .select("doc_id").as[Long].collect().toSet
+      assert(got === naive, s"parts=$parts")
+    }
+    val counts = graft.pipeline.Sampling.capPerStratum(df, "doc_id", "lang", 7, "t")
+      .groupBy("lang").count().as[(String, Long)].collect().toMap
+    assert(counts === Map("rare" -> 7L, "hot" -> 7L))
+  }
+
   test("prefixSum matches sequential cumsum regardless of partitioning") {
     val vals = Seq(5L, 0L, 12L, 3L, 3L, 700L, 1L, 42L, 9L, 11L)
     val df = vals.zipWithIndex.map { case (v, i) => (i.toLong, v) }
