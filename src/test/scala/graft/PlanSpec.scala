@@ -66,6 +66,19 @@ class PlanSpec extends AnyFunSuite {
     }
   }
 
+  test("decontamination corpus pass is a broadcast semi-join (no corpus shuffle)") {
+    val p = plan("q_pl_decontam")
+    assert(p.contains("BroadcastHashJoin LeftSemi"), "benchmark side must broadcast")
+    assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"))
+  }
+
+  test("per-stratum cap ranks get the group-limit pushdown in both phases") {
+    // WindowGroupLimit prunes each window partition to the top-n while
+    // sorting — without it the rank materializes every row per stratum
+    val p = plan("q_pl_cap")
+    assert("WindowGroupLimit".r.findAllIn(p).size >= 2, p.linesIterator.take(30).mkString("\n"))
+  }
+
   test("sydraQL time predicates prune store partitions (hour_bucket)") {
     val store = new SeriesStore(spark, Files.createTempDirectory("graft-plan").toString)
     Ingest.batch(store, {
