@@ -432,6 +432,30 @@ object Pipeline {
            |  FROM lang
            |)
            |SELECT doc_id, pred_lang FROM r WHERE rn <= 50 ORDER BY doc_id""".stripMargin
-      })
+      }),
+
+    // Scalar int8 embedding quantization + L2 reconstruction error:
+    // 4× smaller vectors for ANN storage; floor-rounding and explicit
+    // squaring keep the arithmetic bit-identical across engines.
+    Q("q_pl_quant",
+      (s, dir) => Similarity.quantize(Tables.embeddings(s, dir)).orderBy("vec_id"),
+      Some(s"""WITH $embCte, q AS (
+              |  SELECT vec_id, v, list_min(v) AS mn,
+              |         CASE WHEN list_max(v) = list_min(v) THEN 1.0
+              |              ELSE (list_max(v) - list_min(v)) / 255.0 END AS sc
+              |  FROM e
+              |), c AS (
+              |  SELECT vec_id, v, mn, sc,
+              |         [CAST(floor((x - mn) / sc + 0.5) AS INTEGER) for x in v] AS codes
+              |  FROM q
+              |)
+              |SELECT vec_id,
+              |       floor(mn * 1e6 + 0.5) / 1e6 AS qmin,
+              |       floor(sc * 1e6 + 0.5) / 1e6 AS qscale,
+              |       codes,
+              |       floor(sqrt(list_reduce(
+              |         [(v[i] - (mn + codes[i] * sc)) * (v[i] - (mn + codes[i] * sc))
+              |          for i in range(1, len(v) + 1)], (a, b) -> a + b)) * 1e6 + 0.5) / 1e6 AS recon_err
+              |FROM c ORDER BY vec_id""".stripMargin))
   )
 }

@@ -201,6 +201,23 @@ class PipelineSpec extends AnyFunSuite {
       (5L, 5L, true), (6L, 5L, false), (7L, 7L, true)))
   }
 
+  test("quantize bounds reconstruction error and handles constant vectors") {
+    val r = graft.pipeline.Similarity.quantize(emb).collect()
+    assert(r.nonEmpty)
+    r.foreach { row =>
+      val scale = row.getAs[Double]("qscale")
+      val err = row.getAs[Double]("recon_err")
+      val dim = row.getAs[Seq[Int]]("codes").length
+      // per-component error <= scale/2 → L2 error <= sqrt(dim)*scale/2
+      assert(err <= math.sqrt(dim) * scale / 2 + 1e-6, s"err $err vs scale $scale")
+      assert(row.getAs[Seq[Int]]("codes").forall(c => c >= 0 && c <= 255))
+    }
+    val const = Seq((1L, Array(0.5f, 0.5f, 0.5f))).toDF("vec_id", "embedding")
+    val c = graft.pipeline.Similarity.quantize(const).head()
+    assert(c.getAs[Seq[Int]]("codes") === Seq(0, 0, 0))
+    assert(c.getAs[Double]("recon_err") === 0.0)
+  }
+
   test("capPerStratum keeps the n smallest hashes per stratum, any partitioning") {
     val df = spark.range(0, 500).toDF("doc_id")
       .withColumn("lang", when(col("doc_id") % 10 === 0, "rare").otherwise("hot"))
