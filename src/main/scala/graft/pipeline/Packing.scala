@@ -39,16 +39,17 @@ object Packing {
     // pass 1: per-partition totals — n rows, driver cumsum is O(partitions)
     val totals = ranged.groupBy("__pid").agg(sum(col(valueCol)).as("t"))
       .collect().map(r => r.getInt(0) -> r.getLong(1)).sortBy(_._1)
-    val bases: Map[Int, Long] =
-      totals.map(_._1).zip(totals.scanLeft(0L)(_ + _._2).init).toMap
-    val baseExpr = bases.foldLeft(lit(0L)) { case (acc, (pid, base)) =>
-      when(col("__pid") === pid, lit(base)).otherwise(acc)
-    }
+    val bases: Seq[(Int, Long)] =
+      totals.map(_._1).zip(totals.scanLeft(0L)(_ + _._2).init)
+    // base offsets join back as a broadcast table — a when-chain literal
+    // would codegen one branch per partition (pathological at 10k splits)
+    val baseDf = spark.createDataFrame(bases).toDF("__pid", "__base")
     // pass 2: parallel per-partition running sum + broadcast base offset
     val w = Window.partitionBy("__pid").orderBy(keyCol)
     ranged
-      .withColumn(offsetCol, sum(col(valueCol)).over(w) - col(valueCol) + baseExpr)
-      .drop("__pid")
+      .join(broadcast(baseDf), Seq("__pid"))
+      .withColumn(offsetCol, sum(col(valueCol)).over(w) - col(valueCol) + col("__base"))
+      .drop("__pid", "__base")
   }
 
   /** Chunk assignments for concat-and-chunk packing with `ctxLen`-token
