@@ -42,6 +42,19 @@ object StreamOps {
         col("window.start").cast("long").as("window_start"),
         col("avg_value"), col("n"), col("min_value"), col("max_value"))
 
+  /** Streaming exact dedup on (series, time): duplicate points arriving
+    * within the watermark horizon are dropped; state for keys older than
+    * the watermark is evicted, so dedup memory is bounded by the horizon,
+    * not the stream's lifetime (`dropDuplicatesWithinWatermark` — the
+    * ingest-side twin of the batch compaction's last-wins dedup).
+    */
+  def dedupStream(points: DataFrame, watermarkDelay: String = "10 minutes"): DataFrame =
+    points
+      .withColumn("event_time", col("time").cast("timestamp"))
+      .withWatermark("event_time", watermarkDelay)
+      .dropDuplicatesWithinWatermark("series", "event_time")
+      .drop("event_time")
+
   /** Per-series running EMA as custom keyed state
     * (`flatMapGroupsWithState`): state = (ema, n); each batch folds its
     * points in time order into the carried state. State survives restarts

@@ -36,6 +36,25 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("streaming dedup drops same-(series,time) points within the watermark") {
+    // timestamps sit above epoch 0: the initial watermark is 0, and rows
+    // at/below the watermark are treated as expired state, not deduped
+    val d = ndjsonDir(Seq(
+      """{"series":"m","ts":86400,"value":1.0}""",
+      """{"series":"m","ts":86400,"value":1.0}""", // exact duplicate
+      """{"series":"m","ts":86460,"value":2.0}""",
+      """{"series":"n","ts":86400,"value":5.0}"""))
+    val deduped = StreamOps.dedupStream(streamPoints(d).toDF())
+    assert(deduped.isStreaming)
+    val q = deduped.writeStream.outputMode("append").format("memory").queryName("dedup").start()
+    try {
+      q.processAllAvailable()
+      val rows = spark.sql("select series, time from dedup order by series, time").collect()
+      assert(rows.map(r => (r.getString(0), r.getLong(1))).toSeq ===
+        Seq(("m", 86400L), ("m", 86460L), ("n", 86400L)))
+    } finally q.stop()
+  }
+
   test("keyed EMA state carries across micro-batches and restarts") {
     val d = ndjsonDir(Seq(
       """{"series":"m","ts":0,"value":1.0}""",
