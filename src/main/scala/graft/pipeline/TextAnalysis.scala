@@ -215,6 +215,23 @@ object TextAnalysis {
         concat_ws(" ", (0 until n).map(j => element_at(w, i + j + 1)): _*)))
       .otherwise(array().cast("array<string>"))
 
+  /** Split each document into consecutive `wordsPerChunk`-word chunks
+    * (the RAG/training text splitter): one output row per chunk, text
+    * re-joined with single spaces (whitespace-normalizing, so the chunk
+    * text is a pure function of the word sequence). Narrow explode — each
+    * doc's chunks materialize on the partition that scanned it.
+    */
+  def chunkText(docs: DataFrame, wordsPerChunk: Int): DataFrame = {
+    val w = col("__w")
+    spread(docs).withColumn("__w", words(col("text")))
+      .select(col("doc_id"),
+        posexplode(transform(
+          sequence(lit(0), ceil(size(w) / lit(wordsPerChunk.toDouble)).cast("int") - 1),
+          i => concat_ws(" ", slice(w, i * wordsPerChunk + 1, lit(wordsPerChunk))))))
+      .withColumnsRenamed(Map("pos" -> "chunk_idx", "col" -> "chunk_text"))
+      .withColumn("chunk_idx", col("chunk_idx").cast("long"))
+  }
+
   /** Document fingerprint: k smallest distinct 31-bit shingle hashes,
     * dash-joined (a winnowing-style k-min sketch). Identical docs → equal
     * fingerprints; near-dups share most components.

@@ -456,6 +456,22 @@ object Pipeline {
               |       floor(sqrt(list_reduce(
               |         [(v[i] - (mn + codes[i] * sc)) * (v[i] - (mn + codes[i] * sc))
               |          for i in range(1, len(v) + 1)], (a, b) -> a + b)) * 1e6 + 0.5) / 1e6 AS recon_err
-              |FROM c ORDER BY vec_id""".stripMargin))
+              |FROM c ORDER BY vec_id""".stripMargin)),
+
+    // Token-window text chunking (RAG/training splitter): 64-word chunks,
+    // one row per chunk, whitespace-normalized text.
+    Q("q_pl_chunk_text",
+      (s, dir) => TextAnalysis.chunkText(Tables.documents(s, dir), 64)
+        .orderBy("doc_id", "chunk_idx"),
+      Some("""WITH words AS (
+             |  SELECT doc_id, string_split_regex(lower(text), '\s+') AS w FROM documents
+             |), c AS (
+             |  SELECT doc_id, w, CAST(ceil(len(w) / 64.0) AS BIGINT) AS nc FROM words
+             |), x AS (
+             |  SELECT doc_id, unnest(range(0, nc)) AS chunk_idx, w FROM c
+             |)
+             |SELECT doc_id, chunk_idx,
+             |       array_to_string(w[chunk_idx * 64 + 1 : chunk_idx * 64 + 64], ' ') AS chunk_text
+             |FROM x ORDER BY doc_id, chunk_idx""".stripMargin))
   )
 }

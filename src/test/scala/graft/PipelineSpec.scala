@@ -201,6 +201,18 @@ class PipelineSpec extends AnyFunSuite {
       (5L, 5L, true), (6L, 5L, false), (7L, 7L, true)))
   }
 
+  test("chunkText splits on word windows and reassembles losslessly") {
+    val fixture = Seq((1L, (1 to 10).map(i => s"w$i").mkString(" ")), (2L, "solo"))
+      .toDF("doc_id", "text")
+    val r = graft.pipeline.TextAnalysis.chunkText(fixture, 4)
+      .orderBy("doc_id", "chunk_idx")
+      .select("doc_id", "chunk_idx", "chunk_text")
+      .as[(Long, Long, String)].collect()
+    assert(r.toSeq === Seq(
+      (1L, 0L, "w1 w2 w3 w4"), (1L, 1L, "w5 w6 w7 w8"), (1L, 2L, "w9 w10"),
+      (2L, 0L, "solo")))
+  }
+
   test("quantize bounds reconstruction error and handles constant vectors") {
     val r = graft.pipeline.Similarity.quantize(emb).collect()
     assert(r.nonEmpty)
