@@ -215,6 +215,25 @@ object TextAnalysis {
         concat_ws(" ", (0 until n).map(j => element_at(w, i + j + 1)): _*)))
       .otherwise(array().cast("array<string>"))
 
+  /** Per-column corpus profile in one aggregation pass: total rows, null
+    * count, and exact distinct count per listed column, unpivoted to one
+    * row per column. Exact distincts are the oracle-parity path; swap in
+    * `approx_count_distinct` (HLL, mergeable) when profiling 100 TB where
+    * a ±2% estimate is fine.
+    */
+  def profile(df: DataFrame, columns: Seq[String]): DataFrame = {
+    val aggs = count(lit(1)).as("__total") +: columns.flatMap(c => Seq(
+      count(col(c)).as(s"__n_$c"),
+      countDistinct(col(c)).as(s"__d_$c")))
+    df.agg(aggs.head, aggs.tail: _*)
+      .select(explode(array(columns.map(c => struct(
+        lit(c).as("column"),
+        col("__total").as("n_rows"),
+        (col("__total") - col(s"__n_$c")).as("n_null"),
+        col(s"__d_$c").as("n_distinct"))): _*)).as("p"))
+      .select("p.*")
+  }
+
   /** Split each document into consecutive `wordsPerChunk`-word chunks
     * (the RAG/training text splitter): one output row per chunk, text
     * re-joined with single spaces (whitespace-normalizing, so the chunk

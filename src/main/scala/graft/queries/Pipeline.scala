@@ -472,6 +472,21 @@ object Pipeline {
              |)
              |SELECT doc_id, chunk_idx,
              |       array_to_string(w[chunk_idx * 64 + 1 : chunk_idx * 64 + 64], ' ') AS chunk_text
-             |FROM x ORDER BY doc_id, chunk_idx""".stripMargin))
+             |FROM x ORDER BY doc_id, chunk_idx""".stripMargin)),
+
+    // Corpus profile: per-column row/null/exact-distinct counts over the
+    // events table (the widest gate table), one aggregation pass.
+    Q("q_pl_profile",
+      (s, dir) => TextAnalysis.profile(
+          Tables.events(s, dir), Seq("event_type", "user_id", "props"))
+        .orderBy("column"),
+      Some("""SELECT 'event_type' AS "column", count(*) AS n_rows,
+             |       count(*) - count(event_type) AS n_null, count(DISTINCT event_type) AS n_distinct
+             |FROM events
+             |UNION ALL
+             |SELECT 'user_id', count(*), count(*) - count(user_id), count(DISTINCT user_id) FROM events
+             |UNION ALL
+             |SELECT 'props', count(*), count(*) - count(props), count(DISTINCT props) FROM events
+             |ORDER BY "column"""".stripMargin))
   )
 }

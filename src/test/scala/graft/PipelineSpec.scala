@@ -201,6 +201,17 @@ class PipelineSpec extends AnyFunSuite {
       (5L, 5L, true), (6L, 5L, false), (7L, 7L, true)))
   }
 
+  test("profile counts rows, nulls, and exact distincts per column") {
+    val fixture = Seq(
+      (Some("a"), Some(1)), (Some("a"), None), (None, Some(2)), (Some("b"), Some(2)))
+      .toDF("s", "i")
+    val p = graft.pipeline.TextAnalysis.profile(fixture, Seq("s", "i"))
+      .orderBy("column")
+      .select("column", "n_rows", "n_null", "n_distinct")
+      .as[(String, Long, Long, Long)].collect()
+    assert(p.toSeq === Seq(("i", 4L, 1L, 2L), ("s", 4L, 1L, 2L)))
+  }
+
   test("chunkText splits on word windows and reassembles losslessly") {
     val fixture = Seq((1L, (1 to 10).map(i => s"w$i").mkString(" ")), (2L, "solo"))
       .toDF("doc_id", "text")
