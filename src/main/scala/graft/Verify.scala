@@ -11,6 +11,11 @@ object Verify {
     val Array(sfDir, outDir, rest @ _*) = args
     // optional 3rd arg: comma-separated query names (dev subset runs)
     val only: Option[Set[String]] = rest.headOption.map(_.split(',').toSet)
+    only.foreach { names =>
+      val unknown = names -- SparkEntry.queries.keySet
+      require(unknown.isEmpty,
+        s"unknown queries: ${unknown.toSeq.sorted.mkString(", ")} — a typo would otherwise run nothing and look like a pass")
+    }
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
     val spark = SparkEntry.configure(
       SparkSession.builder()

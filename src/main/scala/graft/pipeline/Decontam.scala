@@ -9,9 +9,13 @@ import org.apache.spark.sql.functions._
   *
   * Shape for 100 TB: the benchmark side is small (eval suites are MBs) —
   * its distinct n-gram hashes are explicitly `broadcast()`; the corpus
-  * side is one narrow shingle pass + explode, a broadcast hash semi-join
+  * side is narrow shingle passes + explode, a broadcast hash semi-join
   * (no shuffle of the corpus), and a final groupBy(doc_id) whose input is
   * only the *hit* rows — tiny next to the scan. No all-pairs anything.
+  * The corpus shingle pass runs twice (once for the semi-join, once for
+  * the per-doc sizes) — a deliberate trade: two linear CPU-bound map
+  * passes beat shuffling every exploded n-gram through the doc_id
+  * aggregate, which the single-pass formulation would require.
   */
 object Decontam {
 

@@ -203,7 +203,13 @@ object Dedup {
       .select(col("doc_id"), col("doc_id").as("label"))
     var changed = 1L
     var iter = 0
-    while (changed > 0 && iter < maxIters) {
+    while (changed > 0) {
+      if (iter >= maxIters)
+        // un-converged labels would silently split one component into
+        // several "canonical" docs — fail loudly instead
+        throw new IllegalStateException(
+          s"dupClusters did not converge in $maxIters rounds ($changed labels still " +
+            "dropping); raise maxIters — component diameter exceeds it")
       val neighborMin = edges
         .join(labels.select(col("doc_id").as("dst"), col("label").as("nlabel")), "dst")
         .groupBy(col("src").as("doc_id")).agg(min("nlabel").as("nmin"))

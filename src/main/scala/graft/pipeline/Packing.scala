@@ -36,8 +36,10 @@ object Packing {
     val ranged = df.repartitionByRange(n, col(keyCol))
       .withColumn("__pid", spark_partition_id())
       .localCheckpoint() // pin partition ids across the two passes
-    // pass 1: per-partition totals — n rows, driver cumsum is O(partitions)
-    val totals = ranged.groupBy("__pid").agg(sum(col(valueCol)).as("t"))
+    // pass 1: per-partition totals — n rows, driver cumsum is O(partitions).
+    // cast+coalesce: works for any integral valueCol and all-null partitions
+    val totals = ranged.groupBy("__pid")
+      .agg(coalesce(sum(col(valueCol)), lit(0L)).cast("long").as("t"))
       .collect().map(r => r.getInt(0) -> r.getLong(1)).sortBy(_._1)
     val bases: Seq[(Int, Long)] =
       totals.map(_._1).zip(totals.scanLeft(0L)(_ + _._2).init)

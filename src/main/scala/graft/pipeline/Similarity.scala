@@ -174,7 +174,10 @@ object Similarity {
         (floor(mn * 1e6 + 0.5) / 1e6).as("qmin"),
         (floor(sc * 1e6 + 0.5) / 1e6).as("qscale"),
         codes,
-        (floor(sqrt(aggregate(sequence(lit(1), size(v)), lit(0.0),
-          (acc, i) => acc + diff(i) * diff(i))) * 1e6 + 0.5) / 1e6).as("recon_err"))
+        // guard: sequence(1, 0) would DESCEND for an empty vector and the
+        // lambda would index past the array under ANSI
+        when(size(v) === 0, lit(0.0))
+          .otherwise(floor(sqrt(aggregate(sequence(lit(1), size(v)), lit(0.0),
+            (acc, i) => acc + diff(i) * diff(i))) * 1e6 + 0.5) / 1e6).as("recon_err"))
   }
 }

@@ -72,7 +72,9 @@ object TextAnalysis {
         (element_at(wh, i + 1) * ShingleA % ShingleP * ShingleA % ShingleP
           + element_at(wh, i + 2) * ShingleB % ShingleP
           + element_at(wh, i + 3)) % ShingleP))))
-      .otherwise(array().cast("array<long>"))
+      // NULL word-hash list (null text) → NULL set, matching the oracles'
+      // comprehension-over-NULL semantics (len(hs) IS NULL, not 0)
+      .otherwise(when(wh.isNotNull, array().cast("array<long>")))
   }
 
   /** (doc_id, hs ARRAY<LONG>) shingle-hash sets, word hashes bound first. */
@@ -213,7 +215,9 @@ object TextAnalysis {
     when(size(w) >= n,
       transform(sequence(lit(0), size(w) - n), i =>
         concat_ws(" ", (0 until n).map(j => element_at(w, i + j + 1)): _*)))
-      .otherwise(array().cast("array<string>"))
+      // NULL input (null text) propagates as NULL, matching SQL-engine
+      // comprehension semantics; only a real-but-short word list is empty
+      .otherwise(when(w.isNotNull, array().cast("array<string>")))
 
   /** Per-column corpus profile in one aggregation pass: total rows, null
     * count, and exact distinct count per listed column, unpivoted to one

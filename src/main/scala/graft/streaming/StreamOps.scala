@@ -42,18 +42,27 @@ object StreamOps {
         col("window.start").cast("long").as("window_start"),
         col("avg_value"), col("n"), col("min_value"), col("max_value"))
 
-  /** Streaming exact dedup on (series, time): duplicate points arriving
-    * within the watermark horizon are dropped; state for keys older than
-    * the watermark is evicted, so dedup memory is bounded by the horizon,
-    * not the stream's lifetime (`dropDuplicatesWithinWatermark` — the
-    * ingest-side twin of the batch compaction's last-wins dedup).
+  /** Streaming exact dedup on point identity within the watermark
+    * horizon: the dedup key is (series_id, time) where series_id is the
+    * same XXH64(series + tags) the store uses — two same-named series
+    * with different tags are distinct points, exactly as in batch
+    * ingest/compaction. State older than the watermark is evicted, so
+    * dedup memory is bounded by the horizon, not the stream's lifetime.
+    * First arrival wins (batch compaction's last-wins needs a total seq
+    * order, which a stream doesn't have until flush).
     */
-  def dedupStream(points: DataFrame, watermarkDelay: String = "10 minutes"): DataFrame =
+  def dedupStream(points: DataFrame, watermarkDelay: String = "10 minutes"): DataFrame = {
+    val sid =
+      if (points.columns.contains("tags"))
+        graft.core.Functions.seriesId(col("series"), col("tags"))
+      else graft.core.Functions.seriesIdBare(col("series"))
     points
+      .withColumn("__sid", sid)
       .withColumn("event_time", col("time").cast("timestamp"))
       .withWatermark("event_time", watermarkDelay)
-      .dropDuplicatesWithinWatermark("series", "event_time")
-      .drop("event_time")
+      .dropDuplicatesWithinWatermark("__sid", "event_time")
+      .drop("event_time", "__sid")
+  }
 
   /** Per-series running EMA as custom keyed state
     * (`flatMapGroupsWithState`): state = (ema, n); each batch folds its

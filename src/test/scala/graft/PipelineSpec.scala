@@ -201,6 +201,23 @@ class PipelineSpec extends AnyFunSuite {
       (5L, 5L, true), (6L, 5L, false), (7L, 7L, true)))
   }
 
+  test("null text propagates as NULL stats (oracle comprehension semantics)") {
+    val fixture = Seq((1L, "some real text here"), (2L, null))
+      .toDF("doc_id", "text")
+    val rep = graft.pipeline.TextAnalysis.repetitionStats(fixture)
+      .orderBy("doc_id").collect()
+    assert(!rep(0).isNullAt(rep(0).fieldIndex("top_bigram_frac")))
+    assert(rep(1).isNullAt(rep(1).fieldIndex("n_lines")))
+    assert(rep(1).isNullAt(rep(1).fieldIndex("top_bigram_frac")))
+    assert(rep(1).isNullAt(rep(1).fieldIndex("dup_trigram_frac")))
+    val bench = Seq((100L, "a b c d")).toDF("doc_id", "text")
+    val con = graft.pipeline.Decontam.contamination(fixture, bench, 0.5)
+      .orderBy("doc_id").collect()
+    assert(con.length === 2)
+    assert(con(1).isNullAt(con(1).fieldIndex("n_shingles")))
+    assert(con(1).isNullAt(con(1).fieldIndex("contaminated")))
+  }
+
   test("profile counts rows, nulls, and exact distincts per column") {
     val fixture = Seq(
       (Some("a"), Some(1)), (Some("a"), None), (None, Some(2)), (Some("b"), Some(2)))

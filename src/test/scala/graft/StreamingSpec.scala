@@ -42,6 +42,7 @@ class StreamingSpec extends AnyFunSuite {
     val d = ndjsonDir(Seq(
       """{"series":"m","ts":86400,"value":1.0}""",
       """{"series":"m","ts":86400,"value":1.0}""", // exact duplicate
+      """{"series":"m","tags":{"host":"a"},"ts":86400,"value":3.0}""", // distinct series_id
       """{"series":"m","ts":86460,"value":2.0}""",
       """{"series":"n","ts":86400,"value":5.0}"""))
     val deduped = StreamOps.dedupStream(streamPoints(d).toDF())
@@ -49,9 +50,9 @@ class StreamingSpec extends AnyFunSuite {
     val q = deduped.writeStream.outputMode("append").format("memory").queryName("dedup").start()
     try {
       q.processAllAvailable()
-      val rows = spark.sql("select series, time from dedup order by series, time").collect()
-      assert(rows.map(r => (r.getString(0), r.getLong(1))).toSeq ===
-        Seq(("m", 86400L), ("m", 86460L), ("n", 86400L)))
+      val rows = spark.sql("select series, time, value from dedup order by series, time, value").collect()
+      assert(rows.map(r => (r.getString(0), r.getLong(1), r.getDouble(2))).toSeq ===
+        Seq(("m", 86400L, 1.0), ("m", 86400L, 3.0), ("m", 86460L, 2.0), ("n", 86400L, 5.0)))
     } finally q.stop()
   }
 
