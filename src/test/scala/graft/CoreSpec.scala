@@ -64,4 +64,13 @@ class CoreSpec extends AnyFunSuite {
     val again = graft.core.Tables.seriesView(spark, sf).select("series", "series_id").distinct().collect()
     assert(ids.map(_.toString).sorted.toSeq === again.map(_.toString).sorted.toSeq)
   }
+
+  test("gate registry names are unique (duplicates would shadow in SparkEntry.queries)") {
+    val names = graft.queries.Registry.all.map(_.name)
+    val dups = names.groupBy(identity).collect { case (n, g) if g.size > 1 => n }
+    assert(dups.isEmpty, s"duplicate gate names: ${dups.mkString(", ")}")
+    // every oracle belongs to a registered query, and bench ⊆ registered
+    assert(graft.SparkEntry.oracleSql.keySet.subsetOf(names.toSet))
+    assert(graft.SparkEntry.benchQueries.toSet.subsetOf(names.toSet))
+  }
 }
