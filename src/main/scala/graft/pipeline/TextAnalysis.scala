@@ -225,10 +225,15 @@ object TextAnalysis {
     * `approx_count_distinct` (HLL, mergeable) when profiling 100 TB where
     * a ±2% estimate is fine.
     */
-  def profile(df: DataFrame, columns: Seq[String]): DataFrame = {
+  def profile(df: DataFrame, columns: Seq[String], approx: Boolean = false): DataFrame = {
+    // exact distincts expand to one shuffle per column; the approx path
+    // (HLL sketches, mergeable, ±~2%) keeps 100 TB profiling to a single
+    // partial+final aggregate pass
+    val distinctOf: String => Column =
+      if (approx) c => approx_count_distinct(col(c)) else c => countDistinct(col(c))
     val aggs = count(lit(1)).as("__total") +: columns.flatMap(c => Seq(
       count(col(c)).as(s"__n_$c"),
-      countDistinct(col(c)).as(s"__d_$c")))
+      distinctOf(c).as(s"__d_$c")))
     df.agg(aggs.head, aggs.tail: _*)
       .select(explode(array(columns.map(c => struct(
         lit(c).as("column"),

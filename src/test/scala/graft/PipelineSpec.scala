@@ -227,6 +227,14 @@ class PipelineSpec extends AnyFunSuite {
       .select("column", "n_rows", "n_null", "n_distinct")
       .as[(String, Long, Long, Long)].collect()
     assert(p.toSeq === Seq(("i", 4L, 1L, 2L), ("s", 4L, 1L, 2L)))
+    // approx path (the 100 TB single-pass profile) stays within HLL error
+    val exact = graft.pipeline.TextAnalysis.profile(docs, Seq("doc_id", "text"))
+      .select("column", "n_distinct").as[(String, Long)].collect().toMap
+    val approx = graft.pipeline.TextAnalysis.profile(docs, Seq("doc_id", "text"), approx = true)
+      .select("column", "n_distinct").as[(String, Long)].collect().toMap
+    exact.foreach { case (c, d) =>
+      assert(math.abs(approx(c) - d).toDouble / d < 0.1, s"$c: approx ${approx(c)} vs $d")
+    }
   }
 
   test("chunkText splits on word windows and reassembles losslessly") {
