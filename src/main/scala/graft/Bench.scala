@@ -35,7 +35,20 @@ object Bench {
     val qs = results.map { case (k, v) => "\"" + k + f"\":$v%.3f" }
       .mkString("{", ",", "}")
     val total = results.map(_._2).sum
-    println(f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    // round-3 pipeline ops, timed but kept OUT of "total"/"queries" so the
+    // headline number stays comparable with the recorded baseline set
+    val extraNames = Seq("q_pl_dup_clusters", "q_pl_decontam", "q_pl_cap",
+      "q_pl_pack", "q_pl_repetition", "q_pl_quant", "q_pl_chunk_text")
+      .filter(SparkEntry.queries.contains)
+    val extras = extraNames.map { name =>
+      val t0 = System.nanoTime()
+      try SparkEntry.queries(name)(spark, sfDir).write.format("noop").mode("overwrite").save()
+      catch { case e: Throwable => System.err.println(s"[bench] $name failed: $e") }
+      name -> (System.nanoTime() - t0) / 1e9
+    }
+    val ex = extras.map { case (k, v) => "\"" + k + f"\":$v%.3f" }
+      .mkString("{", ",", "}")
+    println(f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"extra_queries":$ex,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

@@ -21,6 +21,13 @@ object SparkEntry {
     // engine's time axis is integer epoch seconds — SURVEY.md §1.2).
     .config("spark.sql.legacy.parquet.nanosAsLong", "true")
     .config("spark.sql.parquet.filterPushdown", "true")
+    // explode(expensive_hof(...)) infers a size(...)>0 filter whose pushdown
+    // below the binding projections re-inlines the HOF chain into every
+    // element_at — O(n²) re-evaluation per row (measured 12-50× on the
+    // shingle pipeline). The rule's only win (skipping empty arrays before
+    // a shuffle) is negligible here; drop it engine-wide.
+    .config("spark.sql.optimizer.excludedRules",
+      "org.apache.spark.sql.catalyst.optimizer.InferFiltersFromGenerate")
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =
