@@ -196,9 +196,12 @@ object Dedup {
     * @param pairs (doc_a, doc_b) near-dup pairs, e.g. [[minhashLshPairs]]
     */
   def dupClusters(docs: DataFrame, pairs: DataFrame, maxIters: Int = 50): DataFrame = {
+    // pre-partition the cached edge set on the per-round join key (dst):
+    // only the (small) labels frame shuffles each iteration, the edges'
+    // exchange is reused from cache
     val edges = pairs.select(col("doc_a").as("src"), col("doc_b").as("dst"))
       .union(pairs.select(col("doc_b").as("src"), col("doc_a").as("dst")))
-      .distinct().cache()
+      .distinct().repartition(col("dst")).cache()
     var labels = edges.select(col("src").as("doc_id")).distinct()
       .select(col("doc_id"), col("doc_id").as("label"))
     var changed = 1L
