@@ -72,6 +72,13 @@ class PlanSpec extends AnyFunSuite {
     assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"))
   }
 
+  test("packing's prefix-sum windows are partitioned (no global single-partition window)") {
+    val p = plan("q_pl_pack")
+    assert(p.contains("windowspecdefinition(__pid"),
+      "the running sum must window per range-partition, not globally")
+    assert(!p.contains("windowspecdefinition(time"), "no unpartitioned ordering window")
+  }
+
   test("per-stratum cap ranks get the group-limit pushdown in both phases") {
     // WindowGroupLimit prunes each window partition to the top-n while
     // sorting — without it the rank materializes every row per stratum

@@ -17,6 +17,31 @@ class PropertySpec extends AnyFunSuite {
   private def bucketRef(step: Long, ts: Long): Long =
     Math.floorDiv(ts, step) * step
 
+  test("mutated queries always fail with QueryError, never an internal crash") {
+    val base = "select time_bucket(3600, time) as b, avg(value) as a from click " +
+      "where time >= 0 and time < 7200 group by time_bucket(3600, time) order by b limit 5"
+    val mutation = for {
+      kind <- Gen.choose(0, 3)
+      at <- Gen.choose(0, base.length - 1)
+      len <- Gen.choose(1, 12)
+      junk <- Gen.listOfN(len, Gen.oneOf("()+*/,<>=~!.'\"%&|; abc123".toSeq)).map(_.mkString)
+    } yield kind match {
+      case 0 => base.substring(0, at) + base.substring(math.min(base.length, at + len)) // delete
+      case 1 => base.substring(0, at) + junk + base.substring(at) // insert
+      case 2 => base.substring(0, at) + junk // truncate + junk
+      case _ => base.take(at) // truncate
+    }
+    check(Prop.forAll(mutation) { (q: String) =>
+      try {
+        graft.sydraql.Validator.validate(Parser.parse(q))
+        true // mutants that stay grammatical are fine
+      } catch {
+        case _: graft.sydraql.QueryError => true // the contract
+        case _: Throwable => false // anything else is an internal crash
+      }
+    })
+  }
+
   test("time_bucket = floor division for any ts and positive step") {
     check(Prop.forAll(Gen.chooseNum(-4102444800L, 4102444800L), Gen.chooseNum(1L, 864000L)) {
       (ts: Long, step: Long) =>
