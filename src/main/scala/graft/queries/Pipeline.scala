@@ -487,6 +487,37 @@ object Pipeline {
              |SELECT 'user_id', count(*), count(*) - count(user_id), count(DISTINCT user_id) FROM events
              |UNION ALL
              |SELECT 'props', count(*), count(*) - count(props), count(DISTINCT props) FROM events
-             |ORDER BY "column"""".stripMargin))
+             |ORDER BY "column"""".stripMargin)),
+
+    // Gap-based sessionization of the event log (30-min gap): per-user
+    // session bounds, event count, value sum. Partitioned windows only —
+    // one shuffle on user_id.
+    Q("q_pl_sessions",
+      (s, dir) => {
+        val ev = Tables.events(s, dir).select(
+          col("user_id"),
+          (col("ts") / lit(1000000000L)).cast("long").as("t"),
+          col("value"))
+        graft.pipeline.Sessionize.sessions(ev, "user_id", "t", "value", 1800L)
+          .withColumn("total_value", floor(col("total_value") * 1e4 + 0.5) / 1e4)
+          .orderBy("user_id", "session_idx")
+      },
+      Some("""WITH e AS (
+             |  SELECT user_id, epoch_ns(ts) // 1000000000 AS t, value FROM events
+             |), b AS (
+             |  SELECT user_id, t, value,
+             |         CASE WHEN t - lag(t) OVER (PARTITION BY user_id ORDER BY t, value) > 1800
+             |              THEN 1 ELSE 0 END AS brk
+             |  FROM e
+             |), s AS (
+             |  SELECT user_id, t, value,
+             |         CAST(sum(brk) OVER (PARTITION BY user_id ORDER BY t, value
+             |              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS session_idx
+             |  FROM b
+             |)
+             |SELECT user_id, session_idx, min(t) AS session_start, max(t) AS session_end,
+             |       count(*) AS n_events,
+             |       floor(sum(value) * 1e4 + 0.5) / 1e4 AS total_value
+             |FROM s GROUP BY 1, 2 ORDER BY user_id, session_idx""".stripMargin))
   )
 }
