@@ -42,6 +42,27 @@ object StreamOps {
         col("window.start").cast("long").as("window_start"),
         col("avg_value"), col("n"), col("min_value"), col("max_value"))
 
+  /** Streaming sessionization: Spark's `session_window` merges events of
+    * one series into sessions separated by > `gap`; the watermark closes
+    * (and emits) sessions once no more late events can extend them. The
+    * batch twin with identical gap semantics for point events is
+    * `graft.pipeline.Sessionize.sessions`.
+    */
+  def sessionAgg(
+      points: DataFrame,
+      gap: String = "30 minutes",
+      watermarkDelay: String = "10 minutes"): DataFrame =
+    points
+      .withColumn("event_time", col("time").cast("timestamp"))
+      .withWatermark("event_time", watermarkDelay)
+      .groupBy(col("series"), session_window(col("event_time"), gap))
+      .agg(count(lit(1)).as("n_events"), sum(col("value")).as("total_value"))
+      .select(
+        col("series"),
+        col("session_window.start").cast("long").as("session_start"),
+        col("session_window.end").cast("long").as("session_end"),
+        col("n_events"), col("total_value"))
+
   /** Streaming exact dedup on point identity within the watermark
     * horizon: the dedup key is (series_id, time) where series_id is the
     * same XXH64(series + tags) the store uses — two same-named series

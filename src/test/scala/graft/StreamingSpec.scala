@@ -56,6 +56,25 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("streaming session windows merge by gap and close on watermark") {
+    val d = ndjsonDir(Seq(
+      """{"series":"m","ts":86400,"value":1.0}""",
+      """{"series":"m","ts":86500,"value":2.0}""", // gap 100 < 600 → same session
+      """{"series":"m","ts":90000,"value":4.0}""", // gap 3500 → new session
+      """{"series":"n","ts":86400,"value":8.0}"""))
+    val agg = StreamOps.sessionAgg(streamPoints(d).toDF(), gap = "10 minutes")
+    assert(agg.isStreaming)
+    val q = agg.writeStream.outputMode("complete").format("memory").queryName("sess").start()
+    try {
+      q.processAllAvailable()
+      val rows = spark.sql(
+        "select series, session_start, n_events, total_value from sess order by series, session_start")
+        .collect()
+      assert(rows.map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getDouble(3))).toSeq ===
+        Seq(("m", 86400L, 2L, 3.0), ("m", 90000L, 1L, 4.0), ("n", 86400L, 1L, 8.0)))
+    } finally q.stop()
+  }
+
   test("keyed EMA state carries across micro-batches and restarts") {
     val d = ndjsonDir(Seq(
       """{"series":"m","ts":0,"value":1.0}""",
