@@ -301,6 +301,15 @@ class PipelineSpec extends AnyFunSuite {
     assert(counts === Map("rare" -> 7L, "hot" -> 7L))
   }
 
+  test("dupClusters fails loudly when the iteration budget is too small") {
+    val allDocs = spark.range(1, 6).toDF("doc_id")
+    val chain = Seq((1L, 2L), (2L, 3L), (3L, 4L), (4L, 5L)).toDF("doc_a", "doc_b")
+    val e = intercept[IllegalStateException] {
+      graft.pipeline.Dedup.dupClusters(allDocs, chain, maxIters = 1).collect()
+    }
+    assert(e.getMessage.contains("did not converge"))
+  }
+
   test("prefixSum matches sequential cumsum regardless of partitioning") {
     val vals = Seq(5L, 0L, 12L, 3L, 3L, 700L, 1L, 42L, 9L, 11L)
     val df = vals.zipWithIndex.map { case (v, i) => (i.toLong, v) }
