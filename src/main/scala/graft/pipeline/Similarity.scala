@@ -146,6 +146,26 @@ object Similarity {
       .distinct()
   }
 
+  /** Top-k cosine search over QUANTIZED codes (asymmetric: full-precision
+    * query against reconstructed `qmin + code·qscale` corpus vectors) —
+    * what a 100 TB corpus actually serves, with 4× less memory/IO per
+    * vector. Same broadcast-query/narrow-corpus shape as
+    * [[bruteForceTopK]]; recall vs exact is bounded by the quantization
+    * error (PipelineSpec pins ≥ 0.9 on the test embeddings).
+    */
+  def quantizedTopK(corpus: DataFrame, queries: DataFrame, k: Int): DataFrame = {
+    val c = quantize(corpus).select(col("vec_id"),
+      transform(col("codes"), x => col("qmin") + x.cast("double") * col("qscale")).as("v"))
+    val q = queries.select(col("vec_id").as("q_id"), vec(col("embedding")).as("qv"))
+    val scored = c.join(broadcast(q), col("q_id") =!= col("vec_id"))
+      .select(col("q_id"), col("vec_id"), cosine(col("qv"), col("v")).as("cos"))
+    val w = Window.partitionBy(col("q_id")).orderBy(col("cos").desc, col("vec_id"))
+    scored.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("q_id"), col("vec_id"), col("rank").cast("long").as("rank"),
+        (floor((col("cos")) * 1e6 + 0.5) / 1e6).as("cos"))
+  }
+
   /** Scalar int8 quantization: per-vector affine codes
     * `code[i] = floor((v[i] - min) / scale + 0.5)` with
     * `scale = (max - min) / 255` (constant vectors get scale 1 → all-zero

@@ -265,6 +265,19 @@ class PipelineSpec extends AnyFunSuite {
       (2L, 0L, "solo")))
   }
 
+  test("quantized top-k search recovers >= 0.9 recall vs exact") {
+    val q = emb.filter(col("vec_id") < 10)
+    val exact = graft.pipeline.Similarity.bruteForceTopK(emb, q, 5)
+      .select("q_id", "vec_id").as[(Long, Long)].collect().groupBy(_._1)
+    val quant = graft.pipeline.Similarity.quantizedTopK(emb, q, 5)
+      .select("q_id", "vec_id").as[(Long, Long)].collect().groupBy(_._1)
+    val recalls = exact.map { case (qid, ex) =>
+      val got = quant.getOrElse(qid, Array.empty).map(_._2).toSet
+      ex.map(_._2).count(got.contains).toDouble / ex.length
+    }
+    assert(recalls.sum / recalls.size >= 0.9, s"mean recall ${recalls.sum / recalls.size}")
+  }
+
   test("quantize bounds reconstruction error and handles constant vectors") {
     val r = graft.pipeline.Similarity.quantize(emb).collect()
     assert(r.nonEmpty)
