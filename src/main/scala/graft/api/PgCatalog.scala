@@ -115,7 +115,11 @@ object PgCatalog {
     * drivers qualify builtins) are normalized before matching.
     */
   def isCatalogQuery(sql: String): Boolean = {
-    val t = sql.trim.replaceAll("[;\\s]+$", "").replaceAll("(?i)\\bpg_catalog\\.", "")
+    // blank out string literals first: a data query mentioning 'pg_class'
+    // in a WHERE literal must not be routed to the catalog engine
+    val t = sql.trim.replaceAll("[;\\s]+$", "")
+      .replaceAll("'(?:[^']|'')*'", "''")
+      .replaceAll("(?i)\\bpg_catalog\\.", "")
     val lower = t.toLowerCase
     CatalogTable.matches(t.replace('\n', ' ')) ||
       lower.startsWith("select version()") ||

@@ -37,6 +37,9 @@ final class PgWireServer(store: SeriesStore, maxRows: Int = Int.MaxValue) {
 
   @volatile private var server: ServerSocket = _
   private val pool = Executors.newCachedThreadPool()
+  // open connection sockets: blocking reads don't respond to interrupt, so
+  // stop() must close them or handler threads outlive shutdownNow forever
+  private val connections = java.util.concurrent.ConcurrentHashMap.newKeySet[Socket]()
 
   def start(port: Int = 0): Int = {
     server = new ServerSocket()
@@ -49,6 +52,7 @@ final class PgWireServer(store: SeriesStore, maxRows: Int = Int.MaxValue) {
 
   def stop(): Unit = {
     if (server != null) server.close()
+    connections.forEach(s => try s.close() catch { case _: Throwable => () })
     pool.shutdownNow()
   }
 
@@ -56,11 +60,12 @@ final class PgWireServer(store: SeriesStore, maxRows: Int = Int.MaxValue) {
     try {
       while (!server.isClosed) {
         val sock = server.accept()
+        connections.add(sock)
         pool.submit(new Runnable {
           def run(): Unit =
             try handleConnection(sock)
             catch { case _: Throwable => () } // connection-scoped; never kill the acceptor
-            finally sock.close()
+            finally { connections.remove(sock); sock.close() }
         })
       }
     } catch { case _: SocketException => () } // closed during stop()
@@ -75,6 +80,14 @@ final class PgWireServer(store: SeriesStore, maxRows: Int = Int.MaxValue) {
     val statements = scala.collection.mutable.Map[String, (String, Seq[Int])]() // name -> (sql, param oids)
     val portals = scala.collection.mutable.Map[String, String]() // name -> bound sql
     val cursors = scala.collection.mutable.Map[String, java.util.Iterator[org.apache.spark.sql.Row]]()
+    // portal -> zero-row completion tag: re-Execute of a finished portal
+    // must return an empty completed result, not re-run the statement
+    // (which would double-apply INSERTs)
+    val completedTag = scala.collection.mutable.Map[String, String]()
+    // per-connection Describe schema cache: pgjdbc's default flow is
+    // Describe+Execute per statement — without this every round compiles
+    // the query twice
+    val schemaCache = scala.collection.mutable.Map[String, Option[org.apache.spark.sql.types.StructType]]()
     var errorUntilSync = false
   }
 
@@ -143,15 +156,17 @@ final class PgWireServer(store: SeriesStore, maxRows: Int = Int.MaxValue) {
           st.errorUntilSync = false
           writeReadyForQuery(out)
         case 'H' => () // Flush — output flushes after every message below
-        case 'P' | 'B' | 'D' | 'E' | 'C' if st.errorUntilSync => () // skip until Sync
+        case c if st.errorUntilSync && c != 'Q' => () // skip until Sync (incl. unknown types)
         case 'P' => handleParse(out, payload, st)
         case 'B' => handleBind(out, payload, st)
         case 'D' => handleDescribe(out, payload, st)
         case 'E' => handleExecute(out, payload, st)
         case 'C' => handleClose(out, payload, st)
         case _ =>
-          writeErrorResponse(out, "ERROR", SqlState.FeatureNotSupported, "message type not implemented")
-          writeReadyForQuery(out)
+          // unknown type: enter the error state and hold ReadyForQuery
+          // until Sync — an immediate RFQ here would desync drivers that
+          // count RFQs to delimit request cycles
+          extError(out, st, SqlState.FeatureNotSupported, "message type not implemented")
       }
       out.flush()
     }
@@ -283,6 +298,7 @@ final class PgWireServer(store: SeriesStore, maxRows: Int = Int.MaxValue) {
       }
       st.portals(portal) = substituteParams(sql, params)
       st.cursors.remove(portal) // rebinding a portal restarts its result
+      st.completedTag.remove(portal)
       out.write('2'); out.writeInt(4) // BindComplete
     } catch {
       case _: java.nio.BufferUnderflowException =>
@@ -290,19 +306,63 @@ final class PgWireServer(store: SeriesStore, maxRows: Int = Int.MaxValue) {
     }
   }
 
-  /** `$n` → SQL literal: NULL, bare numerics, or quoted-and-escaped text. */
-  private def substituteParams(sql: String, params: Seq[String]): String =
-    "\\$(\\d+)".r.replaceAllIn(sql, m => {
-      val idx = m.group(1).toInt - 1
-      val lit =
-        if (idx < 0 || idx >= params.length) m.matched // out-of-range: leave as-is
-        else params(idx) match {
-          case null => "NULL"
-          case v if v.matches("-?\\d+(\\.\\d+)?") => v
-          case v => "'" + v.replace("'", "''") + "'"
+  /** `$n` → SQL literal: NULL, bare numerics, or quoted-and-escaped text.
+    * Quote-aware: a `$1` INSIDE a single-quoted literal is data, not a
+    * placeholder ('' is the escape for a literal quote).
+    */
+  private def substituteParams(sql: String, params: Seq[String]): String = {
+    val sb = new StringBuilder
+    var i = 0
+    var inQuote = false
+    while (i < sql.length) {
+      val c = sql.charAt(i)
+      if (inQuote) {
+        sb.append(c)
+        if (c == '\'') {
+          if (i + 1 < sql.length && sql.charAt(i + 1) == '\'') { sb.append('\''); i += 1 }
+          else inQuote = false
         }
-      scala.util.matching.Regex.quoteReplacement(lit)
-    })
+        i += 1
+      } else if (c == '\'') { inQuote = true; sb.append(c); i += 1 }
+      else if (c == '$' && i + 1 < sql.length && sql.charAt(i + 1).isDigit) {
+        var j = i + 1
+        while (j < sql.length && sql.charAt(j).isDigit) j += 1
+        val idx = sql.substring(i + 1, j).toInt - 1
+        sb.append(
+          if (idx < 0 || idx >= params.length) sql.substring(i, j) // out-of-range: leave as-is
+          else params(idx) match {
+            case null => "NULL"
+            case v if v.matches("-?\\d+(\\.\\d+)?") => v
+            case v => "'" + v.replace("'", "''") + "'"
+          })
+        i = j
+      } else { sb.append(c); i += 1 }
+    }
+    sb.toString
+  }
+
+  /** Highest `$n` placeholder index outside string literals (0 if none). */
+  private def maxParamIndex(sql: String): Int = {
+    var i = 0
+    var inQuote = false
+    var mx = 0
+    while (i < sql.length) {
+      val c = sql.charAt(i)
+      if (inQuote) {
+        if (c == '\'') {
+          if (i + 1 < sql.length && sql.charAt(i + 1) == '\'') i += 1 else inQuote = false
+        }
+        i += 1
+      } else if (c == '\'') { inQuote = true; i += 1 }
+      else if (c == '$' && i + 1 < sql.length && sql.charAt(i + 1).isDigit) {
+        var j = i + 1
+        while (j < sql.length && sql.charAt(j).isDigit) j += 1
+        mx = math.max(mx, sql.substring(i + 1, j).toInt)
+        i = j
+      } else i += 1
+    }
+    mx
+  }
 
   /** Describe ('S' statement / 'P' portal): ParameterDescription (stmt
     * only) then RowDescription or NoData. The schema comes from the lazy
@@ -327,28 +387,38 @@ final class PgWireServer(store: SeriesStore, maxRows: Int = Int.MaxValue) {
       out.writeShort(oids.length)
       oids.foreach(out.writeInt)
     }
-    describeSchema(sql) match {
+    describeSchema(sql, st) match {
       case Some(schema) => writeRowDescription(out, schema)
       case None => out.write('n'); out.writeInt(4) // NoData
     }
   }
 
   /** Row schema of a statement without executing it: shims and writes have
-    * no rows; catalog and SELECT statements compile lazily.
+    * no rows; catalog and SELECT statements compile lazily. Unbound `$n`
+    * placeholders (Describe on a statement before Bind) get dummy values —
+    * the schema doesn't depend on parameter values, and answering NoData
+    * for a statement that later streams DataRows would desync the driver.
+    * Cached per connection: the pgjdbc Describe+Execute flow would
+    * otherwise compile every statement twice.
     */
-  private def describeSchema(sql: String): Option[org.apache.spark.sql.types.StructType] = {
-    if (shimTag(sql).isDefined) return None
-    if (PgCatalog.isCatalogQuery(sql))
-      return scala.util.Try(PgCatalog.execute(store.spark, sql, serverVersion).schema).toOption
-    Translator.translate(sql) match {
-      case Translator.Success(sydraql) =>
-        val verb = sydraql.trim.toLowerCase
-        if (verb.startsWith("insert") || verb.startsWith("delete")) None
-        else scala.util.Try(
-          Engine.execute(store.spark, store.source(), sydraql, CompileOptions()).df.schema).toOption
-      case _: Translator.Failure => None
-    }
-  }
+  private def describeSchema(sql: String, st: WireState): Option[org.apache.spark.sql.types.StructType] =
+    st.schemaCache.getOrElseUpdate(sql, {
+      val bound = maxParamIndex(sql) match {
+        case 0 => sql
+        case n => substituteParams(sql, Seq.fill(n)("0"))
+      }
+      if (shimTag(bound).isDefined) None
+      else if (PgCatalog.isCatalogQuery(bound))
+        scala.util.Try(PgCatalog.execute(store.spark, bound, serverVersion).schema).toOption
+      else Translator.translate(bound) match {
+        case Translator.Success(sydraql) =>
+          val verb = sydraql.trim.toLowerCase
+          if (verb.startsWith("insert") || verb.startsWith("delete")) None
+          else scala.util.Try(
+            Engine.execute(store.spark, store.source(), sydraql, CompileOptions()).df.schema).toOption
+        case _: Translator.Failure => None
+      }
+    })
 
   /** Execute: run the portal, stream up to the message's max-row count
     * (0 = all), PortalSuspended ('s') when rows remain, else
@@ -366,6 +436,13 @@ final class PgWireServer(store: SeriesStore, maxRows: Int = Int.MaxValue) {
     val sql = st.portals.getOrElse(portal, {
       extError(out, st, SqlState.InternalError, s"unknown portal '$portal'"); return
     })
+    st.completedTag.get(portal) match {
+      // a finished portal answers an empty completed result — re-running
+      // the statement would double-apply INSERTs and replay SELECTs
+      case Some(tag) if !st.cursors.contains(portal) =>
+        writeCommandComplete(out, tag); return
+      case _ => ()
+    }
     st.cursors.get(portal) match {
       case Some(it) => streamCursor(out, st, portal, it, limit)
       case None =>
@@ -390,7 +467,9 @@ final class PgWireServer(store: SeriesStore, maxRows: Int = Int.MaxValue) {
               val verb = sydraql.trim.toLowerCase
               if (verb.startsWith("insert") || verb.startsWith("delete")) {
                 val n = res.df.head().getLong(0)
-                writeCommandComplete(out, if (verb.startsWith("insert")) s"INSERT 0 $n" else s"DELETE $n")
+                val isInsert = verb.startsWith("insert")
+                writeCommandComplete(out, if (isInsert) s"INSERT 0 $n" else s"DELETE $n")
+                st.completedTag(portal) = if (isInsert) "INSERT 0 0" else "DELETE 0"
               } else {
                 val it = res.df.toLocalIterator()
                 st.cursors(portal) = it
@@ -420,6 +499,7 @@ final class PgWireServer(store: SeriesStore, maxRows: Int = Int.MaxValue) {
         out.write('s'); out.writeInt(4) // PortalSuspended
       } else {
         st.cursors.remove(portal)
+        st.completedTag(portal) = "SELECT 0"
         writeCommandComplete(out, s"SELECT $n")
       }
     } catch {
@@ -434,7 +514,7 @@ final class PgWireServer(store: SeriesStore, maxRows: Int = Int.MaxValue) {
       val name = cString(payload.drop(1))
       payload(0).toChar match {
         case 'S' => st.statements.remove(name)
-        case 'P' => st.portals.remove(name); st.cursors.remove(name)
+        case 'P' => st.portals.remove(name); st.cursors.remove(name); st.completedTag.remove(name)
         case _ => ()
       }
     }
@@ -444,9 +524,11 @@ final class PgWireServer(store: SeriesStore, maxRows: Int = Int.MaxValue) {
   // --------------------------------------------------------- row streaming
 
   /** Stream a DataFrame: optional RowDescription (simple protocol yes,
-    * Execute no — Describe already sent it), DataRows, CommandComplete.
+    * Execute no — Describe already sent it), DataRows, `beforeComplete`
+    * (the NOTICE block slot), CommandComplete.
     */
-  private def streamRows(out: DataOutputStream, df: DataFrame, withRowDesc: Boolean): Long = {
+  private def streamRows(out: DataOutputStream, df: DataFrame, withRowDesc: Boolean,
+      beforeComplete: Long => Unit = _ => ()): Long = {
     if (withRowDesc) writeRowDescription(out, df.schema)
     var rowCount = 0L
     val it = df.toLocalIterator()
@@ -455,6 +537,7 @@ final class PgWireServer(store: SeriesStore, maxRows: Int = Int.MaxValue) {
       writeDataRow(out, (0 until r.length).map(i => formatValue(r.get(i))))
       rowCount += 1
     }
+    beforeComplete(rowCount)
     writeCommandComplete(out, s"SELECT $rowCount")
     rowCount
   }
@@ -492,20 +575,9 @@ final class PgWireServer(store: SeriesStore, maxRows: Int = Int.MaxValue) {
         return
       }
 
-      val schema = res.df.schema
-      writeRowDescription(out, schema)
-
-      var rowCount = 0L
-      val it = res.df.toLocalIterator()
-      while (it.hasNext && rowCount < maxRows) {
-        val r = it.next()
-        writeDataRow(out, (0 until r.length).map(i => formatValue(r.get(i))))
-        rowCount += 1
-      }
-
-      writeNotices(out, res.df, schema, res.stats.traceId, rowCount, startNs,
-        planUs = res.stats.parseUs + res.stats.validateUs + res.stats.compileUs)
-      writeCommandComplete(out, s"SELECT $rowCount")
+      streamRows(out, res.df, withRowDesc = true, beforeComplete = rowCount =>
+        writeNotices(out, res.df, res.df.schema, res.stats.traceId, rowCount, startNs,
+          planUs = res.stats.parseUs + res.stats.validateUs + res.stats.compileUs))
     } catch {
       case e: Throwable =>
         writeErrorResponse(out, "ERROR", sqlStateFor(e), String.valueOf(e.getMessage))

@@ -48,6 +48,11 @@ object SydraImport {
     */
   def readDataDir(spark: SparkSession, dataDir: String): DataFrame = {
     import spark.implicits._
+    // the WAL/tags decoders are local-filesystem readers — fail loudly on
+    // a remote URI rather than silently importing zero rows
+    require(!dataDir.matches("^[a-zA-Z][a-zA-Z0-9+.-]*://.*"),
+      s"readDataDir reads a local sydradb data dir; got URI '$dataDir' — copy it to local disk first")
+    require(new java.io.File(dataDir).isDirectory, s"no such data dir: $dataDir")
     val tagIndex = spark.sparkContext.broadcast(loadTagIndex(s"$dataDir/tags.json"))
     val hasSegs = new java.io.File(dataDir, "segments").isDirectory
     val segs: DataFrame =

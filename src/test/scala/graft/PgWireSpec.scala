@@ -318,6 +318,67 @@ class PgWireSpec extends AnyFunSuite with BeforeAndAfterAll {
     c.close()
   }
 
+  test("extended protocol: $n inside a string literal is data, not a placeholder") {
+    val c = new Client
+    c.handshake("user" -> "sydra")
+    // the '$1' inside the literal must NOT be substituted; the real $1 must.
+    // quote-blind substitution would turn the literal into 'a25b', making
+    // the NOT clause false and returning zero rows
+    c.sendParse("q", "SELECT time, value FROM m WHERE time >= $1 and time < 100 " +
+      "and not ('a$1b' = 'a25b') order by time")
+    c.sendBind("", "q", Seq("25"))
+    c.sendDescribe('P', "")
+    c.sendExecute("")
+    c.sendSync()
+    val rows = c.readUntilReady().filter(_._1 == 'D').map(m => parseDataRow(m._2))
+    assert(rows === Vector(Seq(Some("30"), Some("2.5"))))
+    c.close()
+  }
+
+  test("extended protocol: Describe('S') on a parameterized SELECT returns RowDescription") {
+    val c = new Client
+    c.handshake("user" -> "sydra")
+    c.sendParse("ds", "SELECT time, value FROM m WHERE time >= $1 and time < $2")
+    c.sendDescribe('S', "ds")
+    c.sendSync()
+    val msgs = c.readUntilReady()
+    assert(msgs.exists(_._1 == 't'), "expected ParameterDescription")
+    // NoData here followed by DataRows at Execute would desync real drivers
+    assert(msgs.exists(_._1 == 'T'), s"expected RowDescription, got ${msgs.map(_._1)}")
+    assert(!msgs.exists(_._1 == 'n'))
+    c.close()
+  }
+
+  test("extended protocol: Execute on a completed portal does not re-run the statement") {
+    val c = new Client
+    c.handshake("user" -> "sydra")
+    c.sendParse("once", "INSERT INTO reexec(time, value) VALUES (5, 1.5)")
+    c.sendBind("p", "once", Seq.empty)
+    c.sendExecute("p")
+    c.sendExecute("p") // completed portal: must NOT insert a second row
+    c.sendSync()
+    val msgs = c.readUntilReady()
+    val tags = msgs.filter(_._1 == 'C').map(m => cStr(m._2))
+    assert(tags === Vector("INSERT 0 1", "INSERT 0 0"), tags.toString)
+    c.sendQuery("SELECT time, value FROM reexec WHERE time >= 0 and time < 100")
+    val rows = c.readUntilReady().filter(_._1 == 'D')
+    assert(rows.length === 1, "re-Execute must not double-apply the INSERT")
+    c.close()
+  }
+
+  test("unknown message types enter the error state until Sync (one ReadyForQuery)") {
+    val c = new Client
+    c.handshake("user" -> "sydra")
+    c.out.write('F'); c.out.writeInt(4) // unimplemented FunctionCall
+    c.sendParse("x", "SELECT 1") // must be skipped (error state)
+    c.sendSync()
+    val msgs = c.readUntilReady()
+    assert(msgs.count(_._1 == 'E') === 1)
+    assert(!msgs.exists(_._1 == '1'), "Parse after the error must be skipped until Sync")
+    assert(msgs.count(_._1 == 'Z') === 1, "exactly one ReadyForQuery, at Sync")
+    c.close()
+  }
+
   test("extended protocol: cursor-mode fetch suspends and resumes the portal") {
     val c = new Client
     c.handshake("user" -> "sydra")
