@@ -51,7 +51,13 @@ object Cli {
         println(s"sydradb pgwire 127.0.0.1:$bound")
         Thread.currentThread().join()
       case "ingest" =>
-        val n = Ingest.stdin(store)
+        // stdin NDJSON by default; `ingest --csv <path>` / `ingest <path>`
+        // load files (CSV is a stub in the reference, cmd/sydra-csv)
+        val n = args.toList match {
+          case "--csv" :: path :: Nil => Ingest.csv(store, path)
+          case path :: Nil => Ingest.batch(store, path)
+          case _ => Ingest.stdin(store)
+        }
         println(s"ingested $n points")
       case "query" =>
         // by-id range scan, CSV lines on stdout (server.zig:117-132)
