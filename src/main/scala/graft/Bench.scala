@@ -26,29 +26,22 @@ object Bench {
     try SparkEntry.queries(names.head)(spark, sfDir).write.format("noop").mode("overwrite").save()
     catch { case _: Throwable => () }
 
-    val results = names.map { name =>
+    def time(qnames: Seq[String]): Seq[(String, Double)] = qnames.map { name =>
       val t0 = System.nanoTime()
       try SparkEntry.queries(name)(spark, sfDir).write.format("noop").mode("overwrite").save()
       catch { case e: Throwable => System.err.println(s"[bench] $name failed: $e") }
       name -> (System.nanoTime() - t0) / 1e9
     }
-    val qs = results.map { case (k, v) => "\"" + k + f"\":$v%.3f" }
-      .mkString("{", ",", "}")
+    def json(r: Seq[(String, Double)]): String =
+      r.map { case (k, v) => "\"" + k + f"\":$v%.3f" }.mkString("{", ",", "}")
+
+    val results = time(names)
     val total = results.map(_._2).sum
-    // round-3 pipeline ops, timed but kept OUT of "total"/"queries" so the
-    // headline number stays comparable with the recorded baseline set
-    val extraNames = Seq("q_pl_dup_clusters", "q_pl_decontam", "q_pl_cap",
-      "q_pl_pack", "q_pl_repetition", "q_pl_quant", "q_pl_chunk_text")
-      .filter(SparkEntry.queries.contains)
-    val extras = extraNames.map { name =>
-      val t0 = System.nanoTime()
-      try SparkEntry.queries(name)(spark, sfDir).write.format("noop").mode("overwrite").save()
-      catch { case e: Throwable => System.err.println(s"[bench] $name failed: $e") }
-      name -> (System.nanoTime() - t0) / 1e9
-    }
-    val ex = extras.map { case (k, v) => "\"" + k + f"\":$v%.3f" }
-      .mkString("{", ",", "}")
-    println(f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"extra_queries":$ex,"sf":"$sfDir"}""")
+    // registry-flagged pipeline ops, timed but kept OUT of "total"/
+    // "queries" so the headline number stays comparable with the recorded
+    // baseline set
+    val extras = time(SparkEntry.benchExtraQueries)
+    println(f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":${json(results)},"extra_queries":${json(extras)},"sf":"$sfDir"}""")
     spark.stop()
   }
 }

@@ -45,4 +45,9 @@ object SparkEntry {
 
   /** Headline subset for Bench. */
   def benchQueries: Seq[String] = Registry.all.filter(_.bench).map(_.name)
+
+  /** Ops timed by Bench under `extra_queries` (outside the
+    * baseline-comparable total) — the per-op regression watch.
+    */
+  def benchExtraQueries: Seq[String] = Registry.all.filter(_.benchExtra).map(_.name)
 }

@@ -61,6 +61,9 @@ final class PgWireServer(store: SeriesStore, maxRows: Int = Int.MaxValue) {
       while (!server.isClosed) {
         val sock = server.accept()
         connections.add(sock)
+        // close the race with stop(): if it swept `connections` between
+        // accept() and add(), this socket would otherwise leak its thread
+        if (server.isClosed) { try sock.close() catch { case _: Throwable => () }; return }
         pool.submit(new Runnable {
           def run(): Unit =
             try handleConnection(sock)
@@ -149,14 +152,15 @@ final class PgWireServer(store: SeriesStore, maxRows: Int = Int.MaxValue) {
 
       typeByte.toChar match {
         case 'X' => return
-        case 'Q' =>
-          st.errorUntilSync = false
-          handleSimpleQuery(out, payload)
         case 'S' => // Sync ends any error-skip state
           st.errorUntilSync = false
           writeReadyForQuery(out)
+        // protocol: after an extended-protocol error, EVERY message up to
+        // Sync is discarded — including simple Query and unknown types
+        case _ if st.errorUntilSync => ()
+        case 'Q' =>
+          handleSimpleQuery(out, payload)
         case 'H' => () // Flush — output flushes after every message below
-        case c if st.errorUntilSync && c != 'Q' => () // skip until Sync (incl. unknown types)
         case 'P' => handleParse(out, payload, st)
         case 'B' => handleBind(out, payload, st)
         case 'D' => handleDescribe(out, payload, st)
@@ -306,63 +310,59 @@ final class PgWireServer(store: SeriesStore, maxRows: Int = Int.MaxValue) {
     }
   }
 
-  /** `$n` → SQL literal: NULL, bare numerics, or quoted-and-escaped text.
-    * Quote-aware: a `$1` INSIDE a single-quoted literal is data, not a
-    * placeholder ('' is the escape for a literal quote).
+  /** `$n` placeholder spans outside quoted regions (single-quoted string
+    * literals with `''` escapes AND double-quoted identifiers): one shared
+    * scanner so substitution and parameter counting can't diverge.
+    * Returns (start, endExclusive, paramIndex0Based).
     */
-  private def substituteParams(sql: String, params: Seq[String]): String = {
-    val sb = new StringBuilder
+  private def placeholderSpans(sql: String): Seq[(Int, Int, Int)] = {
+    val spans = Seq.newBuilder[(Int, Int, Int)]
     var i = 0
-    var inQuote = false
+    var quote: Char = 0 // 0 = outside; '\'' or '"' = inside that quote kind
     while (i < sql.length) {
       val c = sql.charAt(i)
-      if (inQuote) {
-        sb.append(c)
-        if (c == '\'') {
-          if (i + 1 < sql.length && sql.charAt(i + 1) == '\'') { sb.append('\''); i += 1 }
-          else inQuote = false
+      if (quote != 0) {
+        if (c == quote) {
+          if (quote == '\'' && i + 1 < sql.length && sql.charAt(i + 1) == '\'') i += 1
+          else quote = 0
         }
         i += 1
-      } else if (c == '\'') { inQuote = true; sb.append(c); i += 1 }
+      } else if (c == '\'' || c == '"') { quote = c; i += 1 }
       else if (c == '$' && i + 1 < sql.length && sql.charAt(i + 1).isDigit) {
         var j = i + 1
         while (j < sql.length && sql.charAt(j).isDigit) j += 1
-        val idx = sql.substring(i + 1, j).toInt - 1
-        sb.append(
-          if (idx < 0 || idx >= params.length) sql.substring(i, j) // out-of-range: leave as-is
-          else params(idx) match {
-            case null => "NULL"
-            case v if v.matches("-?\\d+(\\.\\d+)?") => v
-            case v => "'" + v.replace("'", "''") + "'"
-          })
-        i = j
-      } else { sb.append(c); i += 1 }
-    }
-    sb.toString
-  }
-
-  /** Highest `$n` placeholder index outside string literals (0 if none). */
-  private def maxParamIndex(sql: String): Int = {
-    var i = 0
-    var inQuote = false
-    var mx = 0
-    while (i < sql.length) {
-      val c = sql.charAt(i)
-      if (inQuote) {
-        if (c == '\'') {
-          if (i + 1 < sql.length && sql.charAt(i + 1) == '\'') i += 1 else inQuote = false
-        }
-        i += 1
-      } else if (c == '\'') { inQuote = true; i += 1 }
-      else if (c == '$' && i + 1 < sql.length && sql.charAt(i + 1).isDigit) {
-        var j = i + 1
-        while (j < sql.length && sql.charAt(j).isDigit) j += 1
-        mx = math.max(mx, sql.substring(i + 1, j).toInt)
+        spans += ((i, j, sql.substring(i + 1, j).toInt - 1))
         i = j
       } else i += 1
     }
-    mx
+    spans.result()
   }
+
+  /** `$n` → SQL literal: NULL, bare numerics, or quoted-and-escaped text.
+    * A `$1` inside a string literal or quoted identifier is data, not a
+    * placeholder.
+    */
+  private def substituteParams(sql: String, params: Seq[String]): String = {
+    val sb = new StringBuilder
+    var last = 0
+    placeholderSpans(sql).foreach { case (start, end, idx) =>
+      sb.append(sql.substring(last, start))
+      sb.append(
+        if (idx < 0 || idx >= params.length) sql.substring(start, end) // out-of-range: leave as-is
+        else params(idx) match {
+          case null => "NULL"
+          case v if v.matches("-?\\d+(\\.\\d+)?") => v
+          case v => "'" + v.replace("'", "''") + "'"
+        })
+      last = end
+    }
+    sb.append(sql.substring(last))
+    sb.toString
+  }
+
+  /** Highest `$n` placeholder index outside quoted regions (0 if none). */
+  private def maxParamIndex(sql: String): Int =
+    placeholderSpans(sql).foldLeft(0) { case (mx, (_, _, idx)) => math.max(mx, idx + 1) }
 
   /** Describe ('S' statement / 'P' portal): ParameterDescription (stmt
     * only) then RowDescription or NoData. The schema comes from the lazy
@@ -401,7 +401,10 @@ final class PgWireServer(store: SeriesStore, maxRows: Int = Int.MaxValue) {
     * Cached per connection: the pgjdbc Describe+Execute flow would
     * otherwise compile every statement twice.
     */
-  private def describeSchema(sql: String, st: WireState): Option[org.apache.spark.sql.types.StructType] =
+  private def describeSchema(sql: String, st: WireState): Option[org.apache.spark.sql.types.StructType] = {
+    // cap: portal describes key on BOUND sql (unique per parameter set on
+    // the pgjdbc flow) — unbounded growth on a long-lived connection
+    if (st.schemaCache.size >= 256) st.schemaCache.clear()
     st.schemaCache.getOrElseUpdate(sql, {
       val bound = maxParamIndex(sql) match {
         case 0 => sql
@@ -419,6 +422,7 @@ final class PgWireServer(store: SeriesStore, maxRows: Int = Int.MaxValue) {
         case _: Translator.Failure => None
       }
     })
+  }
 
   /** Execute: run the portal, stream up to the message's max-row count
     * (0 = all), PortalSuspended ('s') when rows remain, else

@@ -5,10 +5,12 @@ import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Gap-based sessionization over an event log: consecutive events of the
-  * same key belong to one session while the inter-event gap stays under
-  * `gapSecs`; a larger gap starts a new session (the same semantics
-  * Spark's `session_window` merges to for point events, spelled as
-  * windows so the result is deterministic and oracle-mirrorable).
+  * same key belong to one session while the inter-event gap is STRICTLY
+  * under `gapSecs`; a gap >= `gapSecs` starts a new session — exactly the
+  * boundary Spark's `session_window` uses for point events (an event's
+  * window is [t, t+gap), so the next event merges iff it lands inside),
+  * spelled as windows so the result is deterministic and
+  * oracle-mirrorable.
   *
   * Scale shape: both windows partition on the key (user), so the work is
   * one hash shuffle on user_id and per-user sorted scans — no global
@@ -28,7 +30,7 @@ object Sessionize {
       gapSecs: Long): DataFrame = {
     val byTime = Window.partitionBy(keyCol).orderBy(col(timeCol), col(valueCol))
     val newSession =
-      when(col(timeCol) - lag(col(timeCol), 1).over(byTime) > gapSecs, 1)
+      when(col(timeCol) - lag(col(timeCol), 1).over(byTime) >= gapSecs, 1)
         .otherwise(0)
     events
       .select(col(keyCol), col(timeCol), col(valueCol))

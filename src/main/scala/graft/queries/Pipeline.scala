@@ -104,7 +104,22 @@ object Pipeline {
        |SELECT q_id, vec_id, rank, floor((cos) * 1e6 + 0.5) / 1e6 AS cos
        |FROM scored WHERE rank <= 5 ORDER BY q_id, rank""".stripMargin
 
-  def qs: Seq[Q] = Seq(
+  /** Round-3 ops timed by Bench outside the baseline-comparable total;
+    * validated against the registry below so a rename can't silently drop
+    * an op from the regression watch.
+    */
+  private val ExtraBench = Set(
+    "q_pl_dup_clusters", "q_pl_decontam", "q_pl_cap", "q_pl_pack",
+    "q_pl_repetition", "q_pl_quant", "q_pl_chunk_text", "q_pl_sessions")
+
+  def qs: Seq[Q] = {
+    val all = raw.map(q => if (ExtraBench(q.name)) q.copy(benchExtra = true) else q)
+    val missing = ExtraBench -- all.map(_.name).toSet
+    require(missing.isEmpty, s"ExtraBench names not in registry: ${missing.mkString(", ")}")
+    all
+  }
+
+  private def raw: Seq[Q] = Seq(
 
     Q("q_pl_token_stats",
       (s, dir) => TextAnalysis.tokenStats(Tables.documents(s, dir)).orderBy("doc_id"),
@@ -506,7 +521,7 @@ object Pipeline {
              |  SELECT user_id, epoch_ns(ts) // 1000000000 AS t, value FROM events
              |), b AS (
              |  SELECT user_id, t, value,
-             |         CASE WHEN t - lag(t) OVER (PARTITION BY user_id ORDER BY t, value) > 1800
+             |         CASE WHEN t - lag(t) OVER (PARTITION BY user_id ORDER BY t, value) >= 1800
              |              THEN 1 ELSE 0 END AS brk
              |  FROM e
              |), s AS (

@@ -15,7 +15,10 @@ final case class Q(
     name: String,
     run: (SparkSession, String) => DataFrame,
     oracle: Option[String],
-    bench: Boolean = false)
+    bench: Boolean = false,
+    // timed by Bench under "extra_queries" — outside the
+    // baseline-comparable total, watched for per-op regressions
+    benchExtra: Boolean = false)
 
 object Registry {
   def all: Seq[Q] =

@@ -52,11 +52,16 @@ object Cli {
         Thread.currentThread().join()
       case "ingest" =>
         // stdin NDJSON by default; `ingest --csv <path>` / `ingest <path>`
-        // load files (CSV is a stub in the reference, cmd/sydra-csv)
+        // load files (CSV is a stub in the reference, cmd/sydra-csv).
+        // Anything else is a usage error — falling through to stdin would
+        // block forever while the user thinks their file is loading
         val n = args.toList match {
+          case Nil => Ingest.stdin(store)
           case "--csv" :: path :: Nil => Ingest.csv(store, path)
-          case path :: Nil => Ingest.batch(store, path)
-          case _ => Ingest.stdin(store)
+          case path :: Nil if !path.startsWith("-") => Ingest.batch(store, path)
+          case other =>
+            System.err.println(s"usage: ingest [--csv <path> | <path>]  (got: ${other.mkString(" ")})")
+            sys.exit(2)
         }
         println(s"ingested $n points")
       case "query" =>

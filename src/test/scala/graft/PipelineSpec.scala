@@ -220,9 +220,10 @@ class PipelineSpec extends AnyFunSuite {
 
   test("sessionize splits on gaps and aggregates per session") {
     val ev = Seq(
-      (1L, 100L, 1.0), (1L, 200L, 2.0), // session 0 (gap 100 <= 300)
-      (1L, 1000L, 3.0), // gap 800 > 300 → session 1
-      (2L, 50L, 5.0)) // other user, own session 0
+      (1L, 100L, 1.0), (1L, 200L, 2.0), // session 0 (gap 100 < 300)
+      (1L, 1000L, 3.0), // gap 800 >= 300 → session 1
+      (2L, 50L, 5.0),
+      (2L, 350L, 6.0)) // gap exactly 300: session_window boundary → splits
       .toDF("user_id", "t", "value")
     val r = graft.pipeline.Sessionize.sessions(ev, "user_id", "t", "value", 300L)
       .orderBy("user_id", "session_idx")
@@ -231,7 +232,8 @@ class PipelineSpec extends AnyFunSuite {
     assert(r.toSeq === Seq(
       (1L, 0L, 100L, 200L, 2L, 3.0),
       (1L, 1L, 1000L, 1000L, 1L, 3.0),
-      (2L, 0L, 50L, 50L, 1L, 5.0)))
+      (2L, 0L, 50L, 50L, 1L, 5.0),
+      (2L, 1L, 350L, 350L, 1L, 6.0)))
   }
 
   test("profile counts rows, nulls, and exact distincts per column") {
