@@ -160,6 +160,39 @@ class DifferentialSpec extends AnyFunSuite {
     }
   }
 
+  test("random window functions (lag/lead/moving_avg) agree with Spark SQL") {
+    // window order must be total for a deterministic comparison: dedup to
+    // one row per (series_id, time) first, same frame on both sides
+    val dedup = Tables.seriesView(spark, sf)
+      .groupBy("series", "series_id", "time")
+      .agg(org.apache.spark.sql.functions.avg("value").as("value"))
+      .withColumn("tags", org.apache.spark.sql.functions.map()
+        .cast("map<string,string>"))
+      .select("series", "series_id", "tags", "time", "value")
+    dedup.createOrReplaceTempView("diff_dd")
+    val rnd = new scala.util.Random(777)
+    for (i <- 1 to 12) {
+      val series = seriesNames(rnd.nextInt(seriesNames.length))
+      val lo = t0 + rnd.nextInt(12) * 3600L
+      val hi = lo + (1 + rnd.nextInt(12)) * 3600L
+      val (sd, ansi) = rnd.nextInt(3) match {
+        case 0 => ("lag(value)", "lag(value) over (partition by series_id order by time)")
+        case 1 => ("lead(value, 2)", "lead(value, 2) over (partition by series_id order by time)")
+        case _ =>
+          val dur = Seq(300, 600, 1800)(rnd.nextInt(3))
+          (s"moving_avg(value, $dur)",
+            s"avg(value) over (partition by series_id order by time range between $dur preceding and current row)")
+      }
+      val got = rows(Engine.sql(spark, dedup,
+        s"select time, $sd as x from $series where time >= $lo and time < $hi",
+        CompileOptions(now = 2000000000L)), ordered = false)
+      val want = rows(spark.sql(
+        s"select time, $ansi as x from diff_dd where series = '$series' " +
+          s"and time >= $lo and time < $hi"), ordered = false)
+      assert(got === want, s"\nsydraql window: $sd  series=$series [$lo,$hi)")
+    }
+  }
+
   test("random global aggregations agree with Spark SQL") {
     val rnd = new scala.util.Random(99)
     for (i <- 1 to 10) {
