@@ -110,7 +110,10 @@ object Pipeline {
     */
   private val ExtraBench = Set(
     "q_pl_dup_clusters", "q_pl_decontam", "q_pl_cap", "q_pl_pack",
-    "q_pl_repetition", "q_pl_quant", "q_pl_chunk_text", "q_pl_sessions")
+    "q_pl_repetition", "q_pl_quant", "q_pl_chunk_text", "q_pl_sessions",
+    // the two banded-join ops — the declared 100 TB paths — plus the
+    // quantized ANN serving path, so all have per-op timing history
+    "q_pl_simhash", "q_pl_cos_pairs_lsh", "q_ann_quant")
 
   def qs: Seq[Q] = {
     val all = raw.map(q => if (ExtraBench(q.name)) q.copy(benchExtra = true) else q)
@@ -262,6 +265,40 @@ object Pipeline {
           .orderBy("q_id", "rank")
       },
       Some(annOracle)),
+
+    // Asymmetric int8-quantized serving path: full-precision queries vs
+    // reconstructed (qmin + code·qscale) corpus. Deterministic, so the
+    // oracle replays the quantization (rounded qmin/qscale exactly as
+    // Similarity.quantize emits them) and reproduces the ranking bit-for-bit.
+    Q("q_ann_quant",
+      (s, dir) => {
+        val emb = Tables.embeddings(s, dir)
+        Similarity.quantizedTopK(emb, emb.filter(col("vec_id") < 10), 5)
+          .orderBy("q_id", "rank")
+      },
+      Some(s"""WITH $embCte, q0 AS (
+              |  SELECT vec_id, v, list_min(v) AS mn,
+              |         CASE WHEN list_max(v) = list_min(v) THEN 1.0
+              |              ELSE (list_max(v) - list_min(v)) / 255.0 END AS sc
+              |  FROM e
+              |), cq AS (
+              |  SELECT vec_id,
+              |         floor(mn * 1e6 + 0.5) / 1e6 AS qmin,
+              |         floor(sc * 1e6 + 0.5) / 1e6 AS qscale,
+              |         [CAST(floor((x - mn) / sc + 0.5) AS INTEGER) for x in v] AS codes
+              |  FROM q0
+              |), r AS (
+              |  SELECT vec_id,
+              |         [qmin + codes[i] * qscale for i in range(1, len(codes) + 1)] AS v
+              |  FROM cq
+              |), q AS (SELECT vec_id AS q_id, v AS qv FROM e WHERE vec_id < 10),
+              |scored AS (
+              |  SELECT q_id, vec_id, ${cosSql("qv", "v")} AS cos,
+              |         row_number() OVER (PARTITION BY q_id ORDER BY ${cosSql("qv", "v")} DESC, vec_id) AS rank
+              |  FROM r CROSS JOIN q WHERE vec_id != q_id
+              |)
+              |SELECT q_id, vec_id, rank, floor((cos) * 1e6 + 0.5) / 1e6 AS cos
+              |FROM scored WHERE rank <= 5 ORDER BY q_id, rank""".stripMargin)),
 
     Q("q_multimodal_meta",
       (s, dir) => Multimodal.decodeMeta(s, Multimodal.mediaTable(Tables.documents(s, dir)))
@@ -452,8 +489,12 @@ object Pipeline {
     // Scalar int8 embedding quantization + L2 reconstruction error:
     // 4× smaller vectors for ANN storage; floor-rounding and explicit
     // squaring keep the arithmetic bit-identical across engines.
+    // Gate projection stringifies `codes` (the compare driver can only
+    // hash scalar columns); Similarity.quantize itself keeps the typed ARRAY.
     Q("q_pl_quant",
-      (s, dir) => Similarity.quantize(Tables.embeddings(s, dir)).orderBy("vec_id"),
+      (s, dir) => Similarity.quantize(Tables.embeddings(s, dir))
+        .withColumn("codes", array_join(col("codes"), ","))
+        .orderBy("vec_id"),
       Some(s"""WITH $embCte, q AS (
               |  SELECT vec_id, v, list_min(v) AS mn,
               |         CASE WHEN list_max(v) = list_min(v) THEN 1.0
@@ -467,7 +508,7 @@ object Pipeline {
               |SELECT vec_id,
               |       floor(mn * 1e6 + 0.5) / 1e6 AS qmin,
               |       floor(sc * 1e6 + 0.5) / 1e6 AS qscale,
-              |       codes,
+              |       array_to_string(codes, ',') AS codes,
               |       floor(sqrt(list_reduce(
               |         [(v[i] - (mn + codes[i] * sc)) * (v[i] - (mn + codes[i] * sc))
               |          for i in range(1, len(v) + 1)], (a, b) -> a + b)) * 1e6 + 0.5) / 1e6 AS recon_err

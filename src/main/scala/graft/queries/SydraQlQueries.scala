@@ -296,6 +296,30 @@ object SydraQlQueries {
          |FROM pairs GROUP BY bucket ORDER BY day""".stripMargin,
       roundCols = Seq("area")),
 
+    // UNGROUPED integral/irate: exercises the day-partitioned pre-pass with
+    // cross-day boundary correction (no single-partition window — PlanSpec
+    // asserts the plan shape). Oracle: one global lag-trapezoid / desc-rank
+    // pass over the full range.
+    sq("q_sql_integral_global",
+      s"select integral(value) as area, irate(value) as irate_v " +
+        s"from click where time >= $T0 and time < $T1",
+      s"""$svSql, f AS (
+         |  SELECT time, value FROM sv WHERE series = 'click' AND time >= $T0 AND time < $T1
+         |), pairs AS (
+         |  SELECT time, value,
+         |         lag(time) OVER (ORDER BY time, value) AS pt,
+         |         lag(value) OVER (ORDER BY time, value) AS pv,
+         |         row_number() OVER (ORDER BY time DESC, value DESC) AS rn_d,
+         |         count(*) OVER () AS cnt
+         |  FROM f
+         |)
+         |SELECT floor((coalesce(sum((time - pt) * (value + pv) / 2), 0)) * 1e4 + 0.5) / 1e4 AS area,
+         |       floor((CASE WHEN cnt >= 2 AND min(CASE WHEN rn_d = 1 THEN time END) - min(CASE WHEN rn_d = 2 THEN time END) > 0
+         |             THEN (min(CASE WHEN rn_d = 1 THEN value END) - min(CASE WHEN rn_d = 2 THEN value END))
+         |                  / (min(CASE WHEN rn_d = 1 THEN time END) - min(CASE WHEN rn_d = 2 THEN time END)) END) * 1e4 + 0.5) / 1e4 AS irate_v
+         |FROM pairs GROUP BY cnt""".stripMargin,
+      roundCols = Seq("area", "irate_v")),
+
     sq("q_sql_ema",
       s"select time_bucket(86400, time) as day, ema(value, 60, 0.5) as ema_v " +
         s"from error where time >= $T0 and time < ${T0 + 3 * 86400} group by time_bucket(86400, time) order by day",

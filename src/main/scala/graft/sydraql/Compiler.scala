@@ -196,15 +196,19 @@ final class Compiler(spark: SparkSession, source: DataFrame, options: CompileOpt
       val prefix = s"__wp$i"
       val v = dbl(scalar(args.head))
       val t = col("time").cast("long")
-      val w = Window.partitionBy(groupBy.map(scalar): _*).orderBy(t, v)
-      fn match {
-        case "integral" =>
-          df = df.withColumn(s"${prefix}_lt", lag(t, 1).over(w))
-            .withColumn(s"${prefix}_lv", lag(v, 1).over(w))
-        case "irate" =>
-          df = df.withColumn(s"${prefix}_rn",
-            row_number().over(Window.partitionBy(groupBy.map(scalar): _*).orderBy(t.desc, v.desc)))
-        case _ => ()
+      if (groupBy.nonEmpty) {
+        val w = Window.partitionBy(groupBy.map(scalar): _*).orderBy(t, v)
+        fn match {
+          case "integral" =>
+            df = df.withColumn(s"${prefix}_lt", lag(t, 1).over(w))
+              .withColumn(s"${prefix}_lv", lag(v, 1).over(w))
+          case "irate" =>
+            df = df.withColumn(s"${prefix}_rn",
+              row_number().over(Window.partitionBy(groupBy.map(scalar): _*).orderBy(t.desc, v.desc)))
+          case _ => ()
+        }
+      } else {
+        df = ungroupedPrePass(df, fn, prefix, v)
       }
       windowPre += (c: Expr) -> prefix
     }
@@ -244,6 +248,58 @@ final class Compiler(spark: SparkSession, source: DataFrame, options: CompileOpt
       }
     }
     filledDf.select(outCols: _*)
+  }
+
+  /** Pre-pass for UNGROUPED integral/irate. An empty `partitionBy` would
+    * move every scanned point into one task for the window sort — fine on a
+    * laptop, a scale-killer on a cluster. Instead: rows get a coarse day
+    * key (`time / 86400` — monotone in time, so day ranges are disjoint and
+    * (t, v) order within a day equals global order restricted to the day),
+    * the lag/rank windows run inside day partitions, and the cross-day
+    * boundary terms come from a per-day aggregate (one row per non-empty
+    * day — driver-small by construction) broadcast-joined back:
+    *  - integral: the first row of each day takes its lag (t, v) from the
+    *    previous non-empty day's last point;
+    *  - irate: global desc rank = within-day rank + total row count of all
+    *    later days.
+    * No exchange moves more than one day of data to a single task.
+    */
+  private def ungroupedPrePass(df0: DataFrame, fn: String, prefix: String, v: Column): DataFrame = {
+    val t = col("time").cast("long")
+    val gName = s"${prefix}_g"
+    val df = df0.withColumn(gName, t / lit(86400L))
+    fn match {
+      case "integral" =>
+        val wLocal = Window.partitionBy(col(gName)).orderBy(t, v)
+        val withLag = df
+          .withColumn(s"${prefix}_lt0", lag(t, 1).over(wLocal))
+          .withColumn(s"${prefix}_lv0", lag(v, 1).over(wLocal))
+        // last (t, v) per day, shifted to the next non-empty day; the
+        // un-partitioned window is over ≤ one row per day — driver-small
+        val lasts = df.groupBy(col(gName))
+          .agg(max(struct(t.as("t"), v.as("v"))).as(s"${prefix}_p"))
+        val prev = lasts
+          .withColumn(s"${prefix}_q", lag(col(s"${prefix}_p"), 1).over(Window.orderBy(col(gName))))
+          .select(col(gName),
+            col(s"${prefix}_q.t").as(s"${prefix}_pt"),
+            col(s"${prefix}_q.v").as(s"${prefix}_pv"))
+        withLag.join(broadcast(prev), Seq(gName), "left")
+          .withColumn(s"${prefix}_lt", coalesce(col(s"${prefix}_lt0"), col(s"${prefix}_pt")))
+          .withColumn(s"${prefix}_lv", coalesce(col(s"${prefix}_lv0"), col(s"${prefix}_pv")))
+      case "irate" =>
+        val wLocal = Window.partitionBy(col(gName)).orderBy(t.desc, v.desc)
+        val withRn = df.withColumn(s"${prefix}_lrn", row_number().over(wLocal).cast("long"))
+        val counts = df.groupBy(col(gName)).agg(count(lit(1)).as(s"${prefix}_n"))
+        val later = counts
+          .withColumn(s"${prefix}_later",
+            coalesce(sum(col(s"${prefix}_n")).over(
+              Window.orderBy(col(gName).desc).rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+          .select(col(gName), col(s"${prefix}_later"))
+        withRn.join(broadcast(later), Seq(gName), "left")
+          .withColumn(s"${prefix}_rn",
+            col(s"${prefix}_lrn") + coalesce(col(s"${prefix}_later"), lit(0L)))
+      case _ => df0
+    }
   }
 
   /** `ema` counts as an aggregate: the reference plans window-kind calls

@@ -30,6 +30,13 @@ object Validator {
           throw QueryError(QueryError.UnsupportedFillPolicy,
             "fill(...) requires group by time_bucket(step, time)")
       }
+      // ema's recursive fold buffers every point of its group; without a
+      // GROUP BY that is one unbounded global buffer — rejected loudly (the
+      // reference registers but never executes ungrouped ema; SURVEY §7.4).
+      if (s.groupBy.isEmpty &&
+          s.projections.map(_.expr).exists(containsCall(_, "ema")))
+        throw QueryError(QueryError.InvalidSyntax,
+          "ema requires a GROUP BY (e.g. time_bucket) to bound its state")
     case d: Delete =>
       d.where.foreach(checkFunctions)
       if (!d.where.exists(hasTimePredicate))
@@ -54,6 +61,13 @@ object Validator {
 
   private def isTimeIdent(e: Expr): Boolean = e match {
     case id: Ident => id.trailing == "time"
+    case _ => false
+  }
+
+  private def containsCall(e: Expr, name: String): Boolean = e match {
+    case Call(n, args) => n == name || args.exists(containsCall(_, name))
+    case Binary(_, l, r) => containsCall(l, name) || containsCall(r, name)
+    case Unary(_, o) => containsCall(o, name)
     case _ => false
   }
 

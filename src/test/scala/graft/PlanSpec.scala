@@ -86,6 +86,22 @@ class PlanSpec extends AnyFunSuite {
     assert("WindowGroupLimit".r.findAllIn(p).size >= 2, p.linesIterator.take(30).mkString("\n"))
   }
 
+  test("ungrouped integral/irate pre-pass windows are day-partitioned (no single-partition sort of the scan)") {
+    import org.apache.spark.sql.catalyst.plans.logical.{Aggregate, Window => LWindow}
+    val df = SparkEntry.queries("q_sql_integral_global")(spark, sf)
+    val wins = df.queryExecution.optimizedPlan.collect { case w: LWindow => w }
+    assert(wins.nonEmpty, "expected window pre-pass nodes")
+    // windows over the raw scan (no Aggregate below them) carry the full
+    // point volume — they must be partitioned; only the per-day boundary
+    // frames (above an Aggregate, ≤ one row per day) may be unpartitioned
+    val rawScanWins = wins.filter(w => w.child.collectFirst { case a: Aggregate => a }.isEmpty)
+    assert(rawScanWins.nonEmpty, "expected lag/rank windows over the scan")
+    rawScanWins.foreach { w =>
+      assert(w.partitionSpec.nonEmpty,
+        s"window over the raw scan must not be single-partition: $w")
+    }
+  }
+
   test("sydraQL time predicates prune store partitions (hour_bucket)") {
     val store = new SeriesStore(spark, Files.createTempDirectory("graft-plan").toString)
     Ingest.batch(store, {

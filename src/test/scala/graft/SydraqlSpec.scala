@@ -178,10 +178,17 @@ class SydraqlSpec extends AnyFunSuite {
     assert(r.getDouble(2) === 6.0 / 180.0) // (10-4)/(300-120)
   }
 
-  test("ema aggregate") {
-    val rows = run("select ema(value, 60, 0.5) as e from m where time >= 0")
-    // fold: 1 → .5*2+.5*1=1.5 → .5*4+.5*1.5=2.75 → .5*10+.5*2.75=6.375
+  test("ema aggregate (grouped)") {
+    // one wide bucket covers all four points, so the fold matches the old
+    // ungrouped expectation: 1 → .5*2+.5*1=1.5 → .5*4+.5*1.5=2.75 → 6.375
+    val rows = run("select ema(value, 60, 0.5) as e from m where time >= 0 group by time_bucket(100000, time)")
     assert(rows.head.getDouble(0) === 6.375)
+  }
+
+  test("ungrouped ema is rejected (unbounded state)") {
+    val e = intercept[QueryError](run("select ema(value, 60, 0.5) as e from m where time >= 0"))
+    assert(e.code === QueryError.InvalidSyntax)
+    assert(e.getMessage.contains("GROUP BY"))
   }
 
   test("div-by-zero raises, matching the reference's DivisionByZero (expression.zig:119-123)") {
