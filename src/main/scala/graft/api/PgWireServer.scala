@@ -269,11 +269,13 @@ final class PgWireServer(store: SeriesStore, maxRows: Int = Int.MaxValue) {
     */
   private def handleBind(out: DataOutputStream, payload: Array[Byte], st: WireState): Unit = {
     val buf = java.nio.ByteBuffer.wrap(payload)
+    // decode names as UTF-8 (matching handleParse) — byte-by-byte toChar
+    // would read multi-byte names as Latin-1 and never match Parse's store
     def cstr(): String = {
-      val sb = new StringBuilder
+      val bytes = new java.io.ByteArrayOutputStream
       var b = buf.get()
-      while (b != 0) { sb.append(b.toChar); b = buf.get() }
-      sb.toString
+      while (b != 0) { bytes.write(b); b = buf.get() }
+      new String(bytes.toByteArray, UTF_8)
     }
     try {
       val portal = cstr()
@@ -603,9 +605,9 @@ final class PgWireServer(store: SeriesStore, maxRows: Int = Int.MaxValue) {
     var rowsScanned = 0L
     try {
       val stats = org.apache.spark.sql.graftshim.GraftShim
-        .operatorStats(df.asInstanceOf[org.apache.spark.sql.classic.DataFrame])
-      stats.foreach { case (name, rowsOut) =>
-        writeNoticeResponse(out, s"operator=$name rows_out=$rowsOut elapsed_ms=0")
+        .operatorStatsTimed(df.asInstanceOf[org.apache.spark.sql.classic.DataFrame])
+      stats.foreach { case (name, rowsOut, elapsedUs) =>
+        writeNoticeResponse(out, s"operator=$name rows_out=$rowsOut elapsed_us=$elapsedUs")
         if (name.toLowerCase.contains("scan")) rowsScanned += math.max(rowsOut, 0L)
       }
     } catch { case _: Throwable => () } // stats are best-effort

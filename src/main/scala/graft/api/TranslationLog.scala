@@ -26,16 +26,34 @@ object TranslationLog {
   private def shouldRecord(): Boolean =
     enabled && counter.getAndIncrement() % math.max(sampleEvery, 1) == 0
 
-  /** Translate with timing, counters, and the sampled JSONL emission —
-    * the wrapper both servers call (`translator.zig:85-205` record sites).
+  /** Memoized translations keyed on the raw SQL text, mirroring the
+    * reference's compat cache + `cache_hits` counter
+    * (`/root/reference/src/sydra/compat/stats.zig:22-33`). Bounded: a full
+    * cache is flushed wholesale (translation is cheap; the cache exists for
+    * the hot repeated-statement path, not as a persistent store).
+    */
+  private val CacheMax = 1024
+  private val cache = new java.util.concurrent.ConcurrentHashMap[String, Translator.Result]()
+
+  /** Translate with caching, timing, counters, and the sampled JSONL
+    * emission — the wrapper both servers call (`translator.zig:85-205`
+    * record sites).
     */
   def translate(sql: String): Translator.Result = {
     val t0 = System.nanoTime()
-    val result = Translator.translate(sql)
+    val cached = cache.get(sql)
+    val result =
+      if (cached != null) cached
+      else {
+        val r = Translator.translate(sql)
+        if (cache.size >= CacheMax) cache.clear()
+        cache.put(sql, r)
+        r
+      }
     val durationNs = System.nanoTime() - t0
     result match {
-      case Translator.Success(sydraql) => record(sql, sydraql, usedCache = false, fellBack = false, durationNs)
-      case _: Translator.Failure => record(sql, "", usedCache = false, fellBack = true, durationNs)
+      case Translator.Success(sydraql) => record(sql, sydraql, usedCache = cached != null, fellBack = false, durationNs)
+      case _: Translator.Failure => record(sql, "", usedCache = cached != null, fellBack = true, durationNs)
     }
     result
   }

@@ -77,10 +77,12 @@ object SydraImport {
 
     // per-series flushed highwater; the WAL tail is rotation-capped
     // (64 MiB, wal.zig:63) so the driver-side fold mirrors the
-    // reference's recover() hashmap at the same size class
-    val cached = segs.cache()
+    // reference's recover() hashmap at the same size class. The segs frame
+    // is scanned exactly twice (here and by the caller) — recomputing is
+    // cheaper than a cache() that would leak executor storage across
+    // repeated imports in a long-lived server
     val highwater = scala.collection.mutable.Map[Long, Long]() ++=
-      cached.groupBy("series_id").agg(max("time"))
+      segs.groupBy("series_id").agg(max("time"))
         .collect().map(r => r.getLong(0) -> r.getLong(1))
     val applied = Seq.newBuilder[(String, Long, Map[String, String], Long, Double)]
     wal.foreach { r =>
@@ -90,7 +92,7 @@ object SydraImport {
         highwater(r.seriesId) = r.ts
       }
     }
-    cached.unionAll(
+    segs.unionAll(
       applied.result().toDF("series", "series_id", "tags", "time", "value"))
   }
 
@@ -116,6 +118,15 @@ object SydraImport {
     */
   def exportDataDir(store: SeriesStore, destDir: String): Long = {
     import store.spark.implicits._
+    // segment files are written executor-side to a plain java.io path while
+    // MANIFEST/tags.json are written on the driver — on a non-local master
+    // the segments would land on executor-local disks and the manifest
+    // would reference missing files. Fail loudly (mirror of readDataDir's
+    // local-dir guard); a cluster export needs a shared-filesystem writer.
+    require(store.spark.sparkContext.master.startsWith("local"),
+      s"exportDataDir writes segments from executors to local path '$destDir'; " +
+        s"master '${store.spark.sparkContext.master}' would splinter the export — " +
+        "run with a local master or copy via a shared filesystem")
     val dest = new java.io.File(destDir)
     new java.io.File(dest, "segments").mkdirs()
     // last-wins dedup first: exporting the raw scan would ship superseded

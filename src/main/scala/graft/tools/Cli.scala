@@ -65,23 +65,40 @@ object Cli {
         }
         println(s"ingested $n points")
       case "query" =>
-        // by-id range scan, CSV lines on stdout (server.zig:117-132)
-        val sid = java.lang.Long.parseUnsignedLong(args(0))
-        val (startTs, endTs) = (args(1).toLong, args(2).toLong)
-        store.scanRange(startTs, endTs)
-          .filter(org.apache.spark.sql.functions.col("series_id") === sid)
-          .orderBy("time")
-          .select("time", "value")
-          .toLocalIterator().forEachRemaining { r =>
-            println(s"${r.getLong(0)},${r.getDouble(1)}")
-          }
+        // by-id range scan, CSV lines on stdout (server.zig:117-132).
+        // Arity-checked like ingest: missing operands get a usage line, not
+        // an ArrayIndexOutOfBoundsException stack trace
+        args.toList match {
+          case sidStr :: startStr :: endStr :: Nil =>
+            val sid = java.lang.Long.parseUnsignedLong(sidStr)
+            store.scanRange(startStr.toLong, endStr.toLong)
+              .filter(org.apache.spark.sql.functions.col("series_id") === sid)
+              .orderBy("time")
+              .select("time", "value")
+              .toLocalIterator().forEachRemaining { r =>
+                println(s"${r.getLong(0)},${r.getDouble(1)}")
+              }
+          case other =>
+            System.err.println(s"usage: query <series_id> <start_ts> <end_ts>  (got: ${other.mkString(" ")})")
+            sys.exit(2)
+        }
       case "compact" => Maintenance.compact(store)
-      case "snapshot" => Maintenance.snapshot(store, args(0))
-      case "restore" =>
+      case "snapshot" => args.toList match {
+        case dest :: Nil => Maintenance.snapshot(store, dest)
+        case other =>
+          System.err.println(s"usage: snapshot <dest>  (got: ${other.mkString(" ")})")
+          sys.exit(2)
+      }
+      case "restore" => args.toList match {
         // restore = import the snapshot dir into the configured data dir
         // (snapshot.zig restore copies files; parquet segments copy 1:1)
-        copyInto(new java.io.File(args(0)), new java.io.File(cfg.dataDir))
-        store.spark.catalog.clearCache()
+        case src :: Nil =>
+          copyInto(new java.io.File(src), new java.io.File(cfg.dataDir))
+          store.spark.catalog.clearCache()
+        case other =>
+          System.err.println(s"usage: restore <src>  (got: ${other.mkString(" ")})")
+          sys.exit(2)
+      }
       case "stats" =>
         val segs = countFiles(new java.io.File(cfg.dataDir, "segments"))
         println(s"segments_total $segs")
@@ -89,12 +106,18 @@ object Cli {
         // report heap occupancy instead
         val rt = Runtime.getRuntime
         println(s"jvm.heap used=${rt.totalMemory - rt.freeMemory} max=${rt.maxMemory}")
-      case "export" => // bonus: SYSEG2 data-dir export for sydradb interop
-        val n = SydraImport.exportDataDir(store, args(0))
-        println(s"exported $n points")
-      case "import" => // bonus: sydradb data-dir import (segments + WAL tail)
-        val n = SydraImport.importDataDir(store, args(0))
-        println(s"imported $n rows")
+      case "export" => args.toList match { // bonus: SYSEG2 data-dir export for sydradb interop
+        case dest :: Nil => println(s"exported ${SydraImport.exportDataDir(store, dest)} points")
+        case other =>
+          System.err.println(s"usage: export <dest>  (got: ${other.mkString(" ")})")
+          sys.exit(2)
+      }
+      case "import" => args.toList match { // bonus: sydradb data-dir import (segments + WAL tail)
+        case src :: Nil => println(s"imported ${SydraImport.importDataDir(store, src)} rows")
+        case other =>
+          System.err.println(s"usage: import <src>  (got: ${other.mkString(" ")})")
+          sys.exit(2)
+      }
       case other =>
         System.err.println(
           s"unknown command '$other' (serve|pgwire|ingest|query|compact|snapshot|restore|stats|export|import)")

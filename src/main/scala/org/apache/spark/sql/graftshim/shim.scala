@@ -22,7 +22,16 @@ object GraftShim {
     * (`operator.zig:30-48`, surfaced in API responses `http.zig:335-395`).
     * AQE wrappers and query stages are unwrapped to the executed nodes.
     */
-  def operatorStats(df: org.apache.spark.sql.classic.DataFrame): Seq[(String, Long)] = {
+  def operatorStats(df: org.apache.spark.sql.classic.DataFrame): Seq[(String, Long)] =
+    operatorStatsTimed(df).map { case (name, rows, _) => (name, rows) }
+
+  /** Post-execution `(nodeName, numOutputRows, elapsedUs)`. Elapsed sums
+    * the node's executed timing metrics — Spark records "timing" metrics in
+    * milliseconds and "nsTiming" in nanoseconds — giving the closest Spark
+    * analog of the reference's per-operator `elapsed_us`
+    * (`operator.zig:30-48`). Nodes with no timing metrics report 0.
+    */
+  def operatorStatsTimed(df: org.apache.spark.sql.classic.DataFrame): Seq[(String, Long, Long)] = {
     import org.apache.spark.sql.execution.SparkPlan
     import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec, QueryStageExec}
     def unwrap(p: SparkPlan): SparkPlan = p match {
@@ -35,7 +44,14 @@ object GraftShim {
       u +: u.children.flatMap(walk)
     }
     walk(df.queryExecution.executedPlan).map { p =>
-      (p.nodeName, p.metrics.get("numOutputRows").map(_.value).getOrElse(-1L))
+      val elapsedUs = p.metrics.values.map { m =>
+        m.metricType match {
+          case "timing" if m.value > 0 => m.value * 1000L
+          case "nsTiming" if m.value > 0 => m.value / 1000L
+          case _ => 0L
+        }
+      }.sum
+      (p.nodeName, p.metrics.get("numOutputRows").map(_.value).getOrElse(-1L), elapsedUs)
     }
   }
 }

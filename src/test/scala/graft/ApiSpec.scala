@@ -86,6 +86,20 @@ class ApiSpec extends AnyFunSuite {
     assert(n.get("duration_ns").asLong() >= 0)
   }
 
+  test("translation cache: a repeated statement counts a cache hit (compat/stats.zig:22-33)") {
+    import graft.api.TranslationLog
+    val sql = s"SELECT value FROM cachehit_${System.nanoTime()} WHERE time > 0"
+    val h0 = TranslationLog.cacheHits.get
+    TranslationLog.enabled = false
+    try {
+      val first = TranslationLog.translate(sql)
+      assert(TranslationLog.cacheHits.get === h0, "first sight is a miss")
+      val second = TranslationLog.translate(sql)
+      assert(second === first, "cached result must be identical")
+      assert(TranslationLog.cacheHits.get === h0 + 1, "second identical statement hits the cache")
+    } finally TranslationLog.enabled = true
+  }
+
   test("HTTP API: ingest -> range -> find -> sydraql -> sql -> metrics") {
     val store = new SeriesStore(spark, Files.createTempDirectory("graft-api").toString)
     val api = new HttpApi(store, token = Some("t0"))

@@ -228,6 +228,13 @@ class PgWireSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(notices.exists(_.startsWith("schema=[")))
     assert(notices.exists(_.startsWith("trace_id=")))
     assert(notices.exists(_.startsWith("metrics rows=3 ")))
+    // per-operator diagnostics carry real elapsed time (operator.zig:30-48):
+    // at least the scan must report a nonzero elapsed_us
+    val opNotices = notices.filter(_.startsWith("operator="))
+    assert(opNotices.nonEmpty, "expected per-operator NOTICEs")
+    val scanElapsed = opNotices.filter(_.toLowerCase.contains("scan"))
+      .flatMap("elapsed_us=(\\d+)".r.findFirstMatchIn(_)).map(_.group(1).toLong)
+    assert(scanElapsed.exists(_ > 0), s"scan elapsed_us should be nonzero: $opNotices")
     c.close()
   }
 
