@@ -193,6 +193,50 @@ class DifferentialSpec extends AnyFunSuite {
     }
   }
 
+  test("random ungrouped integral/irate agree with a single-window Spark SQL pass") {
+    // exercises the day-partitioned pre-pass + cross-day boundary
+    // correction: ranges span up to 96 h (several 86400 s partitions), and
+    // the ANSI twin computes the same answer with one global window. A
+    // tie-free (deduped) source makes the window order total on both sides.
+    val dedup = Tables.seriesView(spark, sf)
+      .groupBy("series", "series_id", "time")
+      .agg(org.apache.spark.sql.functions.avg("value").as("value"))
+      .withColumn("tags", org.apache.spark.sql.functions.map()
+        .cast("map<string,string>"))
+      .select("series", "series_id", "tags", "time", "value")
+    dedup.createOrReplaceTempView("diff_gi")
+    val rnd = new scala.util.Random(31337)
+    for (i <- 1 to 12) {
+      val series = seriesNames(rnd.nextInt(seriesNames.length))
+      val lo = t0 + rnd.nextInt(24) * 3600L
+      val hi = lo + (1 + rnd.nextInt(96)) * 3600L
+      val integral = rnd.nextBoolean()
+      val (sd, ansi) =
+        if (integral)
+          ("integral(value)",
+            s"""with f as (select time, value from diff_gi where series = '$series'
+               |           and time >= $lo and time < $hi),
+               |p as (select time, value, lag(time) over (order by time) as pt,
+               |             lag(value) over (order by time) as pv from f)
+               |select coalesce(sum((time - pt) * (value + pv) / 2), 0.0) as x from p""".stripMargin)
+        else
+          ("irate(value)",
+            s"""with f as (select time, value from diff_gi where series = '$series'
+               |           and time >= $lo and time < $hi),
+               |r as (select time, value, row_number() over (order by time desc) as rn from f)
+               |select case when count(value) >= 2
+               |                 and max(case when rn = 1 then time end) > max(case when rn = 2 then time end)
+               |            then (max(case when rn = 1 then value end) - max(case when rn = 2 then value end))
+               |                 / (max(case when rn = 1 then time end) - max(case when rn = 2 then time end)) end as x
+               |from r""".stripMargin)
+      val got = rows(Engine.sql(spark, dedup,
+        s"select $sd as x from $series where time >= $lo and time < $hi",
+        CompileOptions(now = 2000000000L)), ordered = false)
+      val want = rows(spark.sql(ansi), ordered = false)
+      assert(got === want, s"\nsydraql: $sd  series=$series [$lo,$hi)")
+    }
+  }
+
   test("random global aggregations agree with Spark SQL") {
     val rnd = new scala.util.Random(99)
     for (i <- 1 to 10) {
