@@ -1,0 +1,73 @@
+package graft.pipeline
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Distributed k-means corpus clustering (Lloyd's algorithm) — the standard
+  * training-data curation primitive behind topic balancing, diversity
+  * sampling, and cluster-based dedup/pruning of web-scale corpora, and the
+  * coarse quantizer of a FAISS-style IVF index.
+  *
+  * Built deterministic so a SQL oracle can replay it exactly:
+  *  - seeding: the k vectors with the smallest vec_id (no RNG);
+  *  - assignment: argmin of the left-to-right squared-L2 fold, ties to the
+  *    lowest cluster index (struct-min);
+  *  - update: per-dim mean, rounded to 1e-4 (`floor(avg·1e4+0.5)/1e4`) so
+  *    the last-ulp difference between engines' summation orders cannot
+  *    change the next iteration's assignments;
+  *  - empty clusters keep their previous centroid.
+  *
+  * Scale shape (100 TB): each iteration is one narrow codegen assignment
+  * pass over the corpus plus one partial+final aggregate of k×dim cells;
+  * the driver holds only the k×dim centroid matrix (tiny). No shuffle
+  * carries vectors — only the per-cluster dimension sums move.
+  */
+object Clustering {
+
+  /** Squared L2 distance with a fixed left-to-right fold (bit-reproducible
+    * in any engine that folds the same way).
+    */
+  private def sqDist(v: Column, centroid: Seq[Double]): Column =
+    aggregate(
+      zip_with(v, array(centroid.map(lit): _*), (x, c) => (x - c) * (x - c)),
+      lit(0.0), (acc, x) => acc + x)
+
+  /** `struct(dist, cluster)` argmin over the current centroids. */
+  private def assignment(cs: Array[Seq[Double]]): Column =
+    array_min(array(cs.zipWithIndex.map { case (c, i) =>
+      struct(sqDist(col("v"), c).as("d"), lit(i).as("c"))
+    }: _*))
+
+  private def round4(x: Double): Double = math.floor(x * 1e4 + 0.5) / 1e4
+
+  /** Final assignments after `iters` Lloyd iterations:
+    * `(vec_id, cluster, dist)` with dist = squared L2 to the final centroid
+    * rounded to 1e-4. Input needs `(vec_id, embedding ARRAY<numeric>)`.
+    */
+  def kmeans(emb: DataFrame, k: Int = 8, iters: Int = 3): DataFrame = {
+    val e = emb.select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
+    val dim = e.select(size(col("v"))).head().getInt(0)
+
+    // deterministic seeds: the k smallest vec_ids (k rows to the driver)
+    var centroids: Array[Seq[Double]] = e.orderBy("vec_id").limit(k)
+      .collect().map(_.getSeq[Double](1))
+    require(centroids.length == k, s"need at least $k vectors, got ${centroids.length}")
+
+    for (_ <- 1 to iters) {
+      // one narrow pass + a k×dim-cell aggregate; k rows return to the driver
+      val means = e.withColumn("c", assignment(centroids).getField("c"))
+        .groupBy("c")
+        .agg(count(lit(1)).as("n"), (1 to dim).map(d =>
+          avg(element_at(col("v"), d)).as(s"m$d")): _*)
+        .collect()
+        .map(r => r.getInt(0) -> (1 to dim).map(d => round4(r.getDouble(d + 1))))
+        .toMap
+      centroids = centroids.indices.map(i => means.getOrElse(i, centroids(i)): Seq[Double]).toArray
+    }
+
+    val a = assignment(centroids)
+    e.select(col("vec_id"),
+      a.getField("c").cast("long").as("cluster"),
+      (floor(a.getField("d") * 1e4 + 0.5) / 1e4).as("dist"))
+  }
+}

@@ -93,6 +93,44 @@ object Pipeline {
     }
   }
 
+  /** DuckDB replay of Clustering.kmeans: same seeds (k smallest vec_ids),
+    * same left-to-right distance folds, same 1e-4 centroid rounding, same
+    * lowest-index tie-breaks — so assignments hash-match exactly.
+    */
+  private def kmeansOracle(k: Int, iters: Int, dim: Int): String = {
+    val ds =
+      s"""[list_reduce([(v[j] - cc[j]) * (v[j] - cc[j]) for j in range(1, $dim + 1)],
+         |  (a, b) -> a + b) for cc in cs]""".stripMargin
+    val iterCtes = (1 to iters).map { t =>
+      val prev = if (t == 1) "seeds" else s"c${t - 1}"
+      s"""a$t AS (
+         |  SELECT vec_id, v, list_indexof(ds, list_min(ds)) - 1 AS c
+         |  FROM (SELECT vec_id, v, $ds AS ds FROM e CROSS JOIN $prev)
+         |), c$t AS (
+         |  SELECT list(cv ORDER BY cluster) AS cs FROM (
+         |    SELECT r.cluster, coalesce(m.cv, prev.cs[CAST(r.cluster AS INT) + 1]) AS cv
+         |    FROM range(0, $k) r(cluster)
+         |    LEFT JOIN (
+         |      SELECT c AS cluster, list(mval ORDER BY d) AS cv FROM (
+         |        SELECT c, d, floor(avg(v[d]) * 1e4 + 0.5) / 1e4 AS mval
+         |        FROM a$t CROSS JOIN range(1, $dim + 1) t(d) GROUP BY c, d
+         |      ) GROUP BY c
+         |    ) m ON m.cluster = r.cluster
+         |    CROSS JOIN $prev prev
+         |  )
+         |)""".stripMargin
+    }.mkString(",\n")
+    s"""WITH $embCte,
+       |seeds AS (SELECT list(v ORDER BY vec_id) AS cs
+       |          FROM (SELECT vec_id, v FROM e ORDER BY vec_id LIMIT $k)),
+       |$iterCtes
+       |SELECT vec_id,
+       |       CAST(list_indexof(ds, list_min(ds)) - 1 AS BIGINT) AS cluster,
+       |       floor(list_min(ds) * 1e4 + 0.5) / 1e4 AS dist
+       |FROM (SELECT vec_id, v, $ds AS ds FROM e CROSS JOIN c$iters)
+       |ORDER BY vec_id""".stripMargin
+  }
+
   private val annOracle =
     s"""WITH $embCte,
        |q AS (SELECT vec_id AS q_id, v AS qv FROM e WHERE vec_id < 10),
@@ -113,7 +151,7 @@ object Pipeline {
     "q_pl_repetition", "q_pl_quant", "q_pl_chunk_text", "q_pl_sessions",
     // the two banded-join ops — the declared 100 TB paths — plus the
     // quantized ANN serving path, so all have per-op timing history
-    "q_pl_simhash", "q_pl_cos_pairs_lsh", "q_ann_quant")
+    "q_pl_simhash", "q_pl_cos_pairs_lsh", "q_ann_quant", "q_pl_kmeans")
 
   def qs: Seq[Q] = {
     val all = raw.map(q => if (ExtraBench(q.name)) q.copy(benchExtra = true) else q)
@@ -299,6 +337,15 @@ object Pipeline {
               |)
               |SELECT q_id, vec_id, rank, floor((cos) * 1e6 + 0.5) / 1e6 AS cos
               |FROM scored WHERE rank <= 5 ORDER BY q_id, rank""".stripMargin)),
+
+    // Distributed k-means corpus clustering (Lloyd's, deterministic seeds,
+    // 1e-4-rounded centroids): the topic-balancing / diversity-sampling /
+    // IVF-coarse-quantizer primitive. One narrow pass + a k×dim aggregate
+    // per iteration; only the centroid matrix reaches the driver.
+    Q("q_pl_kmeans",
+      (s, dir) => graft.pipeline.Clustering.kmeans(Tables.embeddings(s, dir), k = 8, iters = 3)
+        .orderBy("vec_id"),
+      Some(kmeansOracle(k = 8, iters = 3, dim = 64))),
 
     Q("q_multimodal_meta",
       (s, dir) => Multimodal.decodeMeta(s, Multimodal.mediaTable(Tables.documents(s, dir)))

@@ -309,6 +309,21 @@ class PipelineSpec extends AnyFunSuite {
     assert(recalls.sum / recalls.size >= 0.9, s"mean recall ${recalls.sum / recalls.size}")
   }
 
+  test("kmeans: iterations reduce within-cluster scatter; assignments deterministic") {
+    import graft.pipeline.Clustering
+    def wcss(iters: Int): Double =
+      Clustering.kmeans(emb, k = 4, iters = iters)
+        .agg(org.apache.spark.sql.functions.sum("dist")).head().getDouble(0)
+    val w1 = wcss(1)
+    val w3 = wcss(3)
+    assert(w3 <= w1 + 1e-6, s"Lloyd iterations must not increase scatter: $w3 vs $w1")
+    val a = Clustering.kmeans(emb, k = 4, iters = 2).collect().map(_.toSeq).toSeq
+    val b = Clustering.kmeans(emb, k = 4, iters = 2).collect().map(_.toSeq).toSeq
+    assert(a === b, "kmeans must be bit-deterministic across runs")
+    val used = a.map(_(1)).distinct.size
+    assert(used >= 2, s"expected multiple clusters in use, got $used")
+  }
+
   test("quantize bounds reconstruction error and handles constant vectors") {
     val r = graft.pipeline.Similarity.quantize(emb).collect()
     assert(r.nonEmpty)
