@@ -1,0 +1,136 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Scale-safe per-series window primitives.
+  *
+  * A plain `Window.partitionBy(series_id).orderBy(time)` moves EVERY point
+  * of a series into one task — and a single-series query (the common
+  * sydraQL shape) makes that the whole scan. Each primitive here instead
+  * runs the window inside (series_id, day) partitions and repairs the
+  * cross-day boundary from a per-(series, day) aggregate — one row per
+  * non-empty series-day, metadata-sized — broadcast-joined back. No
+  * exchange carries more than one series-day of points to a single task.
+  * (If the series×day frame ever outgrows broadcast size, drop the
+  * `broadcast` hint and let AQE pick a shuffle join — semantics hold.)
+  *
+  * Tie behavior matches the single-window originals: ordering is by `time`
+  * alone, so rows at equal timestamps resolve in partition order exactly
+  * as Spark's window would (gate sources are tie-free where determinism
+  * matters).
+  */
+object SeriesWindows {
+
+  private val DayW = 86400L
+
+  private def t: Column = col("time").cast("long")
+
+  /** Exact floor division (not truncation): monotone day key with uniform
+    * [d·W, (d+1)·W) intervals, needed for modular boundary arithmetic.
+    */
+  private def dayKey(w: Long): Column = ((t - pmod(t, lit(w))) / w).cast("long")
+
+  /** `lag(value, n)` over the whole series in time order. Within-day lag,
+    * plus the previous non-empty days' last-n tail for each day's first n
+    * rows. n is a small literal (grammar: `lag(v[, n])`).
+    */
+  def lagN(df: DataFrame, out: String, value: Column, n: Int): DataFrame = {
+    val d = s"${out}_d"
+    val vc = s"${out}_v"
+    val pt = s"${out}_pt"
+    val base = df.withColumn(d, dayKey(DayW)).withColumn(vc, value)
+    val v = col(vc)
+    val wDay = Window.partitionBy(col("series_id"), col(d)).orderBy(t)
+    val tails = base.groupBy(col("series_id"), col(d))
+      .agg(slice(sort_array(collect_list(struct(t.as("t"), v.as("v")))), -n, n).as(s"${out}_tl"))
+    val prev = tails
+      .withColumn(pt, slice(flatten(collect_list(col(s"${out}_tl")).over(
+        Window.partitionBy(col("series_id")).orderBy(col(d))
+          .rowsBetween(Window.unboundedPreceding, -1))), -n, n))
+      .select(col("series_id"), col(d), col(pt))
+    val rn = row_number().over(wDay)
+    val idx = size(col(pt)) - n + rn // history element for the day's r-th row
+    base.join(broadcast(prev), Seq("series_id", d), "left")
+      .withColumn(out,
+        when(rn > n, lag(v, n).over(wDay))
+          .otherwise(when(idx >= 1, element_at(col(pt), idx).getField("v"))))
+      .drop(d, vc, pt)
+  }
+
+  /** `lead(value, n)`: within-day lead, plus the following non-empty days'
+    * first-n head for each day's last n rows.
+    */
+  def leadN(df: DataFrame, out: String, value: Column, n: Int): DataFrame = {
+    val d = s"${out}_d"
+    val vc = s"${out}_v"
+    val nh = s"${out}_nh"
+    val base = df.withColumn(d, dayKey(DayW)).withColumn(vc, value)
+    val v = col(vc)
+    val wDay = Window.partitionBy(col("series_id"), col(d)).orderBy(t)
+    val heads = base.groupBy(col("series_id"), col(d))
+      .agg(slice(sort_array(collect_list(struct(t.as("t"), v.as("v")))), 1, n).as(s"${out}_hd"))
+    val next = heads
+      .withColumn(nh, slice(flatten(collect_list(col(s"${out}_hd")).over(
+        Window.partitionBy(col("series_id")).orderBy(col(d))
+          .rowsBetween(1, Window.unboundedFollowing))), 1, n))
+      .select(col("series_id"), col(d), col(nh))
+    val rn = row_number().over(wDay)
+    val cnt = count(lit(1)).over(Window.partitionBy(col("series_id"), col(d)))
+    val rnEnd = cnt - rn + 1 // rank from the day's end, same asc ordering
+    val idx = (lit(n) - rnEnd + 1).cast("int") // count() is BIGINT; element_at wants INT
+    base.join(broadcast(next), Seq("series_id", d), "left")
+      .withColumn(out,
+        when(rnEnd > n, lead(v, n).over(wDay))
+          .otherwise(when(idx <= size(col(nh)), element_at(col(nh), idx).getField("v"))))
+      .drop(d, vc, nh)
+  }
+
+  /** `fill_forward(value)`: last non-null so far in time order. Within-day
+    * running last, carried across days by a per-day last-non-null frame.
+    */
+  def fillForward(df: DataFrame, out: String, value: Column): DataFrame = {
+    val d = s"${out}_d"
+    val vc = s"${out}_v"
+    val pf = s"${out}_pf"
+    val base = df.withColumn(d, dayKey(DayW)).withColumn(vc, value)
+    val v = col(vc)
+    val local = last(v, ignoreNulls = true).over(
+      Window.partitionBy(col("series_id"), col(d)).orderBy(t)
+        .rowsBetween(Window.unboundedPreceding, 0))
+    val perDay = base.groupBy(col("series_id"), col(d))
+      .agg(max_by(v, when(v.isNotNull, struct(t.as("t"), v.as("v")))).as(s"${out}_lv"))
+    val carry = perDay
+      .withColumn(pf, last(col(s"${out}_lv"), ignoreNulls = true).over(
+        Window.partitionBy(col("series_id")).orderBy(col(d))
+          .rowsBetween(Window.unboundedPreceding, -1)))
+      .select(col("series_id"), col(d), col(pf))
+    base.join(broadcast(carry), Seq("series_id", d), "left")
+      .withColumn(out, coalesce(local, col(pf)))
+      .drop(d, vc, pf)
+  }
+
+  /** `moving_avg(value, dur)`: RANGE frame [-dur, 0] on time. Rows within
+    * `dur` of a day's end are duplicated as ghosts into the next day so
+    * every real row's frame is complete inside its own partition; ghosts
+    * are dropped after the window. Bucket width grows to `dur` when
+    * dur > 1 day, keeping the one-partition overlap invariant.
+    */
+  def movingAvg(df: DataFrame, out: String, value: Column, dur: Long): DataFrame = {
+    val w = math.max(DayW, dur)
+    val d = s"${out}_d"
+    val vc = s"${out}_v"
+    val g = s"${out}_g"
+    val base = df.withColumn(d, dayKey(w)).withColumn(vc, value)
+      .withColumn(g, lit(false))
+    val ghosts = base.filter(pmod(t, lit(w)) >= w - dur)
+      .withColumn(d, col(d) + 1).withColumn(g, lit(true))
+    val win = Window.partitionBy(col("series_id"), col(d)).orderBy(t)
+      .rangeBetween(-dur, 0)
+    base.unionByName(ghosts)
+      .withColumn(out, avg(col(vc)).over(win))
+      .filter(!col(g))
+      .drop(d, vc, g)
+  }
+}

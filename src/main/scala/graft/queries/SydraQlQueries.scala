@@ -296,6 +296,42 @@ object SydraQlQueries {
          |FROM pairs GROUP BY bucket ORDER BY day""".stripMargin,
       roundCols = Seq("area")),
 
+    // Scalar window functions THROUGH THE COMPILER (lag/lead/moving_avg/
+    // fill_forward): exercises the SeriesWindows day-partitioned pre-pass
+    // (within-day windows + broadcast boundary tails/heads/carry — no
+    // whole-series single-partition window) over a deduped store, where
+    // time is unique per series_id so the window order is total. The
+    // 600 s moving_avg frame and the lag/lead(2) offsets cross the day
+    // boundary inside the 2-day range.
+    Q("q_sql_window_fns",
+      (s, dir) => {
+        val store = eventsStore(s, dir, T0, T0 + 2 * 86400, dedup = true)
+        val df = Engine.executeOnStore(store,
+          s"select tag.user as usr, time, value, lag(value) as pv, lead(value, 2) as nv, " +
+            s"moving_avg(value, 600) as ma, fill_forward(value) as ff " +
+            s"from click where time >= $T0 and time < ${T0 + 2 * 86400} order by usr, time",
+          CompileOptions(now = NOW)).df
+        df.withColumn("ma", floor(col("ma") * 1e4 + 0.5) / 1e4)
+      },
+      // dd mirrors the dedup'd store (max(value) per series/tags/time);
+      // the ma fold is linear per frame (DuckDB's segment-tree windowed avg
+      // drifts vs Spark's per-frame sums — see q_ts_moving_avg)
+      Some(s"""$svSql, dd AS (
+              |  SELECT tag_user, time, max(value) AS value FROM sv
+              |  WHERE series = 'click' AND time >= $T0 AND time < ${T0 + 2 * 86400}
+              |  GROUP BY 1, 2
+              |)
+              |SELECT tag_user AS usr, time, value,
+              |       lag(value, 1) OVER (PARTITION BY tag_user ORDER BY time) AS pv,
+              |       lead(value, 2) OVER (PARTITION BY tag_user ORDER BY time) AS nv,
+              |       floor((list_reduce(list(value) OVER w, (x, y) -> x + y)
+              |              / count(value) OVER w) * 1e4 + 0.5) / 1e4 AS ma,
+              |       value AS ff
+              |FROM dd
+              |WINDOW w AS (PARTITION BY tag_user ORDER BY time
+              |             RANGE BETWEEN 600 PRECEDING AND CURRENT ROW)
+              |ORDER BY usr, time""".stripMargin)),
+
     // UNGROUPED integral/irate: exercises the day-partitioned pre-pass with
     // cross-day boundary correction (no single-partition window — PlanSpec
     // asserts the plan shape). Oracle: one global lag-trapezoid / desc-rank

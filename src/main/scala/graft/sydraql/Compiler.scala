@@ -114,10 +114,42 @@ final class Compiler(spark: SparkSession, source: DataFrame, options: CompileOpt
     val projected: DataFrame =
       if (needsAgg) compileAggregate(filtered, s, groupBy)
       else {
+        // scale-safe pre-pass for the per-series window functions: each
+        // call gets a helper column computed by SeriesWindows inside
+        // (series_id, day) partitions with boundary correction, replacing
+        // the whole-series single-partition window (scalarCall then just
+        // references the helper; see scalarWinPre)
+        val winCalls = (s.projections.map(_.expr) ++
+            hidden.map { case (i, _) => subst(s.orderBy(i).expr) })
+          .flatMap(collectCalls(_, Set("lag", "lead", "moving_avg", "fill_forward")))
+          .distinct
+        var frame = filtered
+        scalarWinPre = Map.empty
+        winCalls.zipWithIndex.foreach { case (c @ Call(fn, args), i) =>
+          val helper = s"__sw$i"
+          fn match {
+            case "lag" | "lead" =>
+              val n = args.lift(1).collect { case IntLit(v) => v.toInt }.getOrElse(1)
+              frame =
+                if (fn == "lag") graft.operators.SeriesWindows.lagN(frame, helper, scalar(args.head), n)
+                else graft.operators.SeriesWindows.leadN(frame, helper, scalar(args.head), n)
+            case "moving_avg" =>
+              val dur = args(1) match {
+                case IntLit(v) => v
+                case FloatLit(v) => v.toLong
+                case _ => throw QueryError(QueryError.InvalidSyntax, "moving_avg duration must be a literal")
+              }
+              frame = graft.operators.SeriesWindows.movingAvg(frame, helper, dbl(scalar(args.head)), dur)
+            case "fill_forward" =>
+              frame = graft.operators.SeriesWindows.fillForward(frame, helper, scalar(args.head))
+            case _ => ()
+          }
+          scalarWinPre += (c: Expr) -> helper
+        }
         val cols = s.projections.zipWithIndex.map { case (p, i) =>
           scalar(p.expr).as(outName(p, i))
         } ++ hidden.map { case (i, n) => scalar(subst(s.orderBy(i).expr)).as(n) }
-        filtered.select(cols: _*)
+        frame.select(cols: _*)
       }
 
     val ordered =
@@ -169,6 +201,14 @@ final class Compiler(spark: SparkSession, source: DataFrame, options: CompileOpt
     * (the Compiler is single-use per statement).
     */
   private var windowPre: Map[Expr, String] = Map.empty
+
+  /** Scalar window calls (lag/lead/moving_avg/fill_forward) resolved by
+    * the SeriesWindows pre-pass: call AST → helper column. Set per
+    * compileSelect; scalarCall falls back to the inline whole-series
+    * window only for exprs outside the pre-passed projection (e.g. WHERE,
+    * where a window is an error anyway).
+    */
+  private var scalarWinPre: Map[Expr, String] = Map.empty
 
   private def collectCalls(e: Expr, names: Set[String]): Seq[Expr] = e match {
     case Call(n, args) if names.contains(n) => Seq(e)
@@ -369,6 +409,10 @@ final class Compiler(spark: SparkSession, source: DataFrame, options: CompileOpt
 
   private def scalarCall(name: String, args: Seq[Expr], agg: Boolean): Column = {
     def a(i: Int): Column = if (agg) aggOrScalar(args(i)) else scalar(args(i))
+    // window calls covered by the SeriesWindows pre-pass resolve to their
+    // helper column (day-partitioned, boundary-corrected — never a
+    // whole-series single-partition window)
+    scalarWinPre.get(Call(name, args)).foreach(h => return col(h))
     name match {
       case "abs" => abs(dbl(a(0)))
       case "ceil" => ceil(dbl(a(0))).cast("double") // declared float return

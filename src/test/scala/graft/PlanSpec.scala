@@ -102,6 +102,25 @@ class PlanSpec extends AnyFunSuite {
     }
   }
 
+  test("scalar window functions are day-partitioned (lag/lead/moving_avg/fill_forward pre-pass)") {
+    import org.apache.spark.sql.catalyst.plans.logical.{Aggregate, Window => LWindow}
+    val df = SparkEntry.queries("q_sql_window_fns")(spark, sf)
+    val wins = df.queryExecution.optimizedPlan.collect { case w: LWindow => w }
+    assert(wins.nonEmpty, "expected SeriesWindows pre-pass nodes")
+    // the full-volume windows partition by BOTH series_id and the day key;
+    // only the per-day boundary frames (sitting above an Aggregate, ≤ one
+    // row per series-day) may partition by series_id alone — and nothing
+    // may run an unpartitioned window
+    wins.foreach { w =>
+      assert(w.partitionSpec.nonEmpty, s"unpartitioned window in plan: $w")
+      if (w.partitionSpec.size < 2)
+        assert(w.child.collectFirst { case a: Aggregate => a }.isDefined,
+          s"series-only window must be over a per-day aggregate frame: $w")
+    }
+    assert(wins.exists(_.partitionSpec.size >= 2),
+      "expected (series_id, day)-partitioned full-volume windows")
+  }
+
   test("sydraQL time predicates prune store partitions (hour_bucket)") {
     val store = new SeriesStore(spark, Files.createTempDirectory("graft-plan").toString)
     Ingest.batch(store, {
