@@ -25,34 +25,36 @@ object SeriesWindows {
 
   private val DayW = 86400L
 
-  private def t: Column = col("time").cast("long")
-
   /** Exact floor division (not truncation): monotone day key with uniform
     * [d·W, (d+1)·W) intervals, needed for modular boundary arithmetic.
     */
-  private def dayKey(w: Long): Column = ((t - pmod(t, lit(w))) / w).cast("long")
+  private def dayKey(t: Column, w: Long): Column = ((t - pmod(t, lit(w))) / w).cast("long")
 
   /** `lag(value, n)` over the whole series in time order. Within-day lag,
     * plus the previous non-empty days' last-n tail for each day's first n
     * rows. n is a small literal (grammar: `lag(v[, n])`).
     */
-  def lagN(df: DataFrame, out: String, value: Column, n: Int): DataFrame = {
+  def lagN(df: DataFrame, out: String, value: Column, n: Int,
+      keys: Seq[String] = Seq("series_id"), timeCol: String = "time",
+      bucket: Long = DayW): DataFrame = {
+    val t = col(timeCol).cast("long")
     val d = s"${out}_d"
     val vc = s"${out}_v"
     val pt = s"${out}_pt"
-    val base = df.withColumn(d, dayKey(DayW)).withColumn(vc, value)
+    val base = df.withColumn(d, dayKey(t, bucket)).withColumn(vc, value)
     val v = col(vc)
-    val wDay = Window.partitionBy(col("series_id"), col(d)).orderBy(t)
-    val tails = base.groupBy(col("series_id"), col(d))
+    val kc = keys.map(col)
+    val wDay = Window.partitionBy(kc :+ col(d): _*).orderBy(t)
+    val tails = base.groupBy(kc :+ col(d): _*)
       .agg(slice(sort_array(collect_list(struct(t.as("t"), v.as("v")))), -n, n).as(s"${out}_tl"))
     val prev = tails
       .withColumn(pt, slice(flatten(collect_list(col(s"${out}_tl")).over(
-        Window.partitionBy(col("series_id")).orderBy(col(d))
+        Window.partitionBy(kc: _*).orderBy(col(d))
           .rowsBetween(Window.unboundedPreceding, -1))), -n, n))
-      .select(col("series_id"), col(d), col(pt))
+      .select((kc :+ col(d) :+ col(pt)): _*)
     val rn = row_number().over(wDay)
     val idx = size(col(pt)) - n + rn // history element for the day's r-th row
-    base.join(broadcast(prev), Seq("series_id", d), "left")
+    base.join(broadcast(prev), keys :+ d, "left")
       .withColumn(out,
         when(rn > n, lag(v, n).over(wDay))
           .otherwise(when(idx >= 1, element_at(col(pt), idx).getField("v"))))
@@ -62,25 +64,29 @@ object SeriesWindows {
   /** `lead(value, n)`: within-day lead, plus the following non-empty days'
     * first-n head for each day's last n rows.
     */
-  def leadN(df: DataFrame, out: String, value: Column, n: Int): DataFrame = {
+  def leadN(df: DataFrame, out: String, value: Column, n: Int,
+      keys: Seq[String] = Seq("series_id"), timeCol: String = "time",
+      bucket: Long = DayW): DataFrame = {
+    val t = col(timeCol).cast("long")
     val d = s"${out}_d"
     val vc = s"${out}_v"
     val nh = s"${out}_nh"
-    val base = df.withColumn(d, dayKey(DayW)).withColumn(vc, value)
+    val base = df.withColumn(d, dayKey(t, bucket)).withColumn(vc, value)
     val v = col(vc)
-    val wDay = Window.partitionBy(col("series_id"), col(d)).orderBy(t)
-    val heads = base.groupBy(col("series_id"), col(d))
+    val kc = keys.map(col)
+    val wDay = Window.partitionBy(kc :+ col(d): _*).orderBy(t)
+    val heads = base.groupBy(kc :+ col(d): _*)
       .agg(slice(sort_array(collect_list(struct(t.as("t"), v.as("v")))), 1, n).as(s"${out}_hd"))
     val next = heads
       .withColumn(nh, slice(flatten(collect_list(col(s"${out}_hd")).over(
-        Window.partitionBy(col("series_id")).orderBy(col(d))
+        Window.partitionBy(kc: _*).orderBy(col(d))
           .rowsBetween(1, Window.unboundedFollowing))), 1, n))
-      .select(col("series_id"), col(d), col(nh))
+      .select((kc :+ col(d) :+ col(nh)): _*)
     val rn = row_number().over(wDay)
-    val cnt = count(lit(1)).over(Window.partitionBy(col("series_id"), col(d)))
+    val cnt = count(lit(1)).over(Window.partitionBy(kc :+ col(d): _*))
     val rnEnd = cnt - rn + 1 // rank from the day's end, same asc ordering
     val idx = (lit(n) - rnEnd + 1).cast("int") // count() is BIGINT; element_at wants INT
-    base.join(broadcast(next), Seq("series_id", d), "left")
+    base.join(broadcast(next), keys :+ d, "left")
       .withColumn(out,
         when(rnEnd > n, lead(v, n).over(wDay))
           .otherwise(when(idx <= size(col(nh)), element_at(col(nh), idx).getField("v"))))
@@ -90,23 +96,27 @@ object SeriesWindows {
   /** `fill_forward(value)`: last non-null so far in time order. Within-day
     * running last, carried across days by a per-day last-non-null frame.
     */
-  def fillForward(df: DataFrame, out: String, value: Column): DataFrame = {
+  def fillForward(df: DataFrame, out: String, value: Column,
+      keys: Seq[String] = Seq("series_id"), timeCol: String = "time",
+      bucket: Long = DayW): DataFrame = {
+    val t = col(timeCol).cast("long")
     val d = s"${out}_d"
     val vc = s"${out}_v"
     val pf = s"${out}_pf"
-    val base = df.withColumn(d, dayKey(DayW)).withColumn(vc, value)
+    val base = df.withColumn(d, dayKey(t, bucket)).withColumn(vc, value)
     val v = col(vc)
+    val kc = keys.map(col)
     val local = last(v, ignoreNulls = true).over(
-      Window.partitionBy(col("series_id"), col(d)).orderBy(t)
+      Window.partitionBy(kc :+ col(d): _*).orderBy(t)
         .rowsBetween(Window.unboundedPreceding, 0))
-    val perDay = base.groupBy(col("series_id"), col(d))
+    val perDay = base.groupBy(kc :+ col(d): _*)
       .agg(max_by(v, when(v.isNotNull, struct(t.as("t"), v.as("v")))).as(s"${out}_lv"))
     val carry = perDay
       .withColumn(pf, last(col(s"${out}_lv"), ignoreNulls = true).over(
-        Window.partitionBy(col("series_id")).orderBy(col(d))
+        Window.partitionBy(kc: _*).orderBy(col(d))
           .rowsBetween(Window.unboundedPreceding, -1)))
-      .select(col("series_id"), col(d), col(pf))
-    base.join(broadcast(carry), Seq("series_id", d), "left")
+      .select((kc :+ col(d) :+ col(pf)): _*)
+    base.join(broadcast(carry), keys :+ d, "left")
       .withColumn(out, coalesce(local, col(pf)))
       .drop(d, vc, pf)
   }
@@ -117,16 +127,19 @@ object SeriesWindows {
     * are dropped after the window. Bucket width grows to `dur` when
     * dur > 1 day, keeping the one-partition overlap invariant.
     */
-  def movingAvg(df: DataFrame, out: String, value: Column, dur: Long): DataFrame = {
-    val w = math.max(DayW, dur)
+  def movingAvg(df: DataFrame, out: String, value: Column, dur: Long,
+      keys: Seq[String] = Seq("series_id"), timeCol: String = "time",
+      minBucket: Long = DayW): DataFrame = {
+    val t = col(timeCol).cast("long")
+    val w = math.max(minBucket, dur)
     val d = s"${out}_d"
     val vc = s"${out}_v"
     val g = s"${out}_g"
-    val base = df.withColumn(d, dayKey(w)).withColumn(vc, value)
+    val base = df.withColumn(d, dayKey(t, w)).withColumn(vc, value)
       .withColumn(g, lit(false))
     val ghosts = base.filter(pmod(t, lit(w)) >= w - dur)
       .withColumn(d, col(d) + 1).withColumn(g, lit(true))
-    val win = Window.partitionBy(col("series_id"), col(d)).orderBy(t)
+    val win = Window.partitionBy(keys.map(col) :+ col(d): _*).orderBy(t)
       .rangeBetween(-dur, 0)
     base.unionByName(ghosts)
       .withColumn(out, avg(col(vc)).over(win))

@@ -215,14 +215,20 @@ object TimeSeries {
               |ORDER BY v ASC NULLS FIRST, event_id
               |LIMIT 200""".stripMargin)),
 
-    // lag/lead per series ordered by (unique) ns time — SURVEY §2.7
+    // lag/lead per series ordered by (unique) ns time — SURVEY §2.7 —
+    // through the day-partitioned SeriesWindows pre-pass (a plain
+    // partitionBy(series) would put each whole series in one task)
     Q("q_ts_lag_lead",
       (s, dir) => {
-        val w = Window.partitionBy(col("series")).orderBy(col("ts_ns"))
-        ev(s, dir).filter(col("time") >= T0 && col("time") < T0 + 2 * 86400)
-          .select(col("event_id"), col("series"), col("time"), col("value"),
-            (floor((lag(col("value"), 1).over(w)) * 1e4 + 0.5) / 1e4).as("prev_value"),
-            (floor((lead(col("value"), 1).over(w)) * 1e4 + 0.5) / 1e4).as("next_value"))
+        val nsDay = 86400L * 1000000000L
+        val base = ev(s, dir).filter(col("time") >= T0 && col("time") < T0 + 2 * 86400)
+        val withW = graft.operators.SeriesWindows.leadN(
+          graft.operators.SeriesWindows.lagN(base, "__pv", col("value"), 1,
+            keys = Seq("series"), timeCol = "ts_ns", bucket = nsDay),
+          "__nv", col("value"), 1, keys = Seq("series"), timeCol = "ts_ns", bucket = nsDay)
+        withW.select(col("event_id"), col("series"), col("time"), col("value"),
+            (floor((col("__pv")) * 1e4 + 0.5) / 1e4).as("prev_value"),
+            (floor((col("__nv")) * 1e4 + 0.5) / 1e4).as("next_value"))
           .orderBy(col("series"), col("event_id"))
       },
       Some(s"""$svSql
@@ -236,10 +242,11 @@ object TimeSeries {
     // (functions.zig:373-382)
     Q("q_ts_moving_avg",
       (s, dir) => {
-        val w = Window.partitionBy(col("series")).orderBy(col("time")).rangeBetween(-600, 0)
-        ev(s, dir).filter(col("time") >= T0 && col("time") < T0 + 2 * 86400)
+        val base = ev(s, dir).filter(col("time") >= T0 && col("time") < T0 + 2 * 86400)
+        graft.operators.SeriesWindows.movingAvg(base, "__ma", col("value"), 600,
+            keys = Seq("series"), timeCol = "time")
           .select(col("event_id"), col("series"), col("time"),
-            (floor((avg(col("value")).over(w)) * 1e4 + 0.5) / 1e4).as("mavg"))
+            (floor((col("__ma")) * 1e4 + 0.5) / 1e4).as("mavg"))
           .orderBy(col("series"), col("event_id"))
       },
       // Oracle folds each frame's list linearly (matching Spark's fresh

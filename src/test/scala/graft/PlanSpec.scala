@@ -79,6 +79,16 @@ class PlanSpec extends AnyFunSuite {
     assert(!p.contains("windowspecdefinition(time"), "no unpartitioned ordering window")
   }
 
+  test("ANN top-k rank filters get the window-group-limit pushdown (map-side top-k)") {
+    // rank<=k over the scored candidates must prune per-partition BEFORE
+    // the q_id shuffle — without WindowGroupLimit every (q_id, vec_id, cos)
+    // row of the corpus moves to one task per query
+    for (q <- Seq("q_ann_brute", "q_ann_quant")) {
+      val p = plan(q)
+      assert(p.contains("WindowGroupLimit"), s"$q should plan WindowGroupLimit")
+    }
+  }
+
   test("per-stratum cap ranks get the group-limit pushdown in both phases") {
     // WindowGroupLimit prunes each window partition to the top-n while
     // sorting — without it the rank materializes every row per stratum
