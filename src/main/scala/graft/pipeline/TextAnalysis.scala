@@ -268,4 +268,18 @@ object TextAnalysis {
     shingleSets(docs, n).select(
       col("doc_id"),
       concat_ws("-", slice(col("hs"), 1, k)).as("fp"))
+
+  /** Corpus vocabulary by document frequency: top-n words with the count of
+    * documents containing each (the vocab-building / stopword-discovery
+    * pass). Per-doc distinct before the explode keeps the exploded volume
+    * at Σ|vocab(doc)|; the (partial+final) count + TakeOrderedAndProject
+    * top-n mean only word-level aggregates shuffle.
+    */
+  def vocabTopK(docs: DataFrame, n: Int = 100): DataFrame =
+    spread(docs)
+      .select(explode(array_distinct(words(col("text")))).as("word"))
+      .filter(length(col("word")) > 0)
+      .groupBy("word").agg(count(lit(1)).as("doc_freq"))
+      .orderBy(col("doc_freq").desc, col("word"))
+      .limit(n)
 }

@@ -338,6 +338,15 @@ object Pipeline {
               |SELECT q_id, vec_id, rank, floor((cos) * 1e6 + 0.5) / 1e6 AS cos
               |FROM scored WHERE rank <= 5 ORDER BY q_id, rank""".stripMargin)),
 
+    // Corpus vocabulary by document frequency (vocab building / stopword
+    // discovery): per-doc distinct → explode → word-level count → top-100.
+    Q("q_pl_vocab",
+      (s, dir) => TextAnalysis.vocabTopK(Tables.documents(s, dir), 100),
+      Some(s"""WITH $wordsCte,
+              |x AS (SELECT doc_id, unnest(list_distinct(w)) AS word FROM words)
+              |SELECT word, count(*) AS doc_freq FROM x WHERE length(word) > 0
+              |GROUP BY word ORDER BY doc_freq DESC, word LIMIT 100""".stripMargin)),
+
     // Distributed k-means corpus clustering (Lloyd's, deterministic seeds,
     // 1e-4-rounded centroids): the topic-balancing / diversity-sampling /
     // IVF-coarse-quantizer primitive. One narrow pass + a k×dim aggregate
