@@ -45,12 +45,16 @@ object SeriesWindows {
     val v = col(vc)
     val kc = keys.map(col)
     val wDay = Window.partitionBy(kc :+ col(d): _*).orderBy(t)
+    // slice with a negative start returns EMPTY when the array is shorter
+    // than n — a day with < n points must keep its whole tail
+    def lastN(arr: Column): Column =
+      when(size(arr) > n, slice(arr, -n, n)).otherwise(arr)
     val tails = base.groupBy(kc :+ col(d): _*)
-      .agg(slice(sort_array(collect_list(struct(t.as("t"), v.as("v")))), -n, n).as(s"${out}_tl"))
+      .agg(lastN(sort_array(collect_list(struct(t.as("t"), v.as("v"))))).as(s"${out}_tl"))
     val prev = tails
-      .withColumn(pt, slice(flatten(collect_list(col(s"${out}_tl")).over(
+      .withColumn(pt, lastN(flatten(collect_list(col(s"${out}_tl")).over(
         Window.partitionBy(kc: _*).orderBy(col(d))
-          .rowsBetween(Window.unboundedPreceding, -1))), -n, n))
+          .rowsBetween(Window.unboundedPreceding, -1)))))
       .select((kc :+ col(d) :+ col(pt)): _*)
     val rn = row_number().over(wDay)
     val idx = size(col(pt)) - n + rn // history element for the day's r-th row

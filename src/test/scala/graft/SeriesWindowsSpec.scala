@@ -1,0 +1,86 @@
+package graft
+
+import graft.operators.SeriesWindows
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Randomized equivalence: the day-partitioned SeriesWindows primitives
+  * must produce exactly what a plain whole-series window produces, across
+  * adversarial layouts — points clustered at day boundaries, sparse/empty
+  * days, nulls (fill_forward), offsets n up to 3, RANGE durations shorter
+  * and longer than the bucket, and random physical repartitionings (the
+  * boundary-correction logic must not depend on partition placement).
+  */
+class SeriesWindowsSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+
+  private def dataset(rnd: scala.util.Random) = {
+    import spark.implicits._
+    val rows = (0 until 1 + rnd.nextInt(3)).flatMap { sid =>
+      val nDays = 1 + rnd.nextInt(4)
+      val times = scala.collection.mutable.Set[Long]()
+      val n = 5 + rnd.nextInt(40)
+      while (times.size < n) {
+        val day = rnd.nextInt(nDays).toLong
+        // half the points hug a day boundary — the hard case
+        val off =
+          if (rnd.nextBoolean())
+            if (rnd.nextBoolean()) rnd.nextInt(700).toLong
+            else 86400L - 1 - rnd.nextInt(700)
+          else rnd.nextInt(86400).toLong
+        times += day * 86400L + off
+      }
+      times.toSeq.map { t =>
+        val v: Option[Double] = if (rnd.nextInt(5) == 0) None else Some(rnd.nextInt(1000) / 10.0)
+        (s"s$sid", sid.toLong, t, v)
+      }
+    }
+    rows.toDF("series", "series_id", "time", "value")
+      .repartition(1 + rnd.nextInt(7)) // placement must not matter
+  }
+
+  private def rows(df: org.apache.spark.sql.DataFrame): Seq[Seq[Any]] =
+    df.select("series_id", "time", "x").orderBy("series_id", "time")
+      .collect().toSeq.map(_.toSeq)
+
+  test("lagN/leadN/fillForward equal the whole-series window on adversarial layouts") {
+    val rnd = new scala.util.Random(90210)
+    val wAll = Window.partitionBy(col("series_id")).orderBy(col("time"))
+    for (_ <- 1 to 6) {
+      val df = dataset(rnd)
+      val n = 1 + rnd.nextInt(3)
+      assert(rows(SeriesWindows.lagN(df, "x", col("value"), n)) ===
+        rows(df.withColumn("x", lag(col("value"), n).over(wAll))), s"lag($n)")
+      assert(rows(SeriesWindows.leadN(df, "x", col("value"), n)) ===
+        rows(df.withColumn("x", lead(col("value"), n).over(wAll))), s"lead($n)")
+      assert(rows(SeriesWindows.fillForward(df, "x", col("value"))) ===
+        rows(df.withColumn("x", last(col("value"), ignoreNulls = true)
+          .over(wAll.rowsBetween(Window.unboundedPreceding, 0)))), "fill_forward")
+    }
+  }
+
+  test("movingAvg equals the whole-series RANGE window (durations straddling the bucket)") {
+    val rnd = new scala.util.Random(31415)
+    for (dur <- Seq(60L, 5000L, 86400L, 90000L); _ <- 1 to 2) {
+      val df = dataset(rnd)
+      val want = df.withColumn("x", avg(col("value")).over(
+        Window.partitionBy(col("series_id")).orderBy(col("time").cast("long"))
+          .rangeBetween(-dur, 0)))
+      val got = SeriesWindows.movingAvg(df, "x", col("value"), dur)
+      val g = rows(got)
+      val w = rows(want)
+      assert(g.length === w.length, s"dur=$dur row count")
+      g.zip(w).foreach { case (a, b) =>
+        assert(a.take(2) === b.take(2), s"dur=$dur keys")
+        (a(2), b(2)) match {
+          case (null, null) => ()
+          case (x: Double, y: Double) =>
+            // same frame set; summation order may differ by partition → ulp
+            assert(math.abs(x - y) <= 1e-9 * math.max(1.0, math.abs(y)), s"dur=$dur: $x vs $y")
+          case other => fail(s"dur=$dur mismatched nullability: $other")
+        }
+      }
+    }
+  }
+}
