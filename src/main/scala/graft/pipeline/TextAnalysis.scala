@@ -282,4 +282,27 @@ object TextAnalysis {
       .groupBy("word").agg(count(lit(1)).as("doc_freq"))
       .orderBy(col("doc_freq").desc, col("word"))
       .limit(n)
+
+  /** Unigram-surprisal quality score: per-doc mean of `-log2(df/N)` over
+    * its tokens, where df = corpus document frequency and N = corpus size —
+    * the standard LM-rarity signal (high = rare/uncommon text, low =
+    * boilerplate). Two phases: a word→df dictionary aggregated from the
+    * corpus itself, then a token→dictionary equi-join + per-doc mean (the
+    * dictionary is vocabulary-sized; Catalyst broadcasts it when small and
+    * shuffle-joins otherwise — both correct). nDocs is passed in so the
+    * caller controls the one count() job.
+    */
+  def lmSurprisal(docs: DataFrame, nDocs: Long): DataFrame = {
+    val tok = spread(docs)
+      .select(col("doc_id"), explode(words(col("text"))).as("word"))
+      .filter(length(col("word")) > 0)
+    val dict = tok.select(col("doc_id"), col("word")).distinct()
+      .groupBy("word").agg(count(lit(1)).as("df"))
+    val scored = tok.join(dict, "word")
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_tokens"),
+        (floor(avg(-log2(col("df").cast("double") / nDocs)) * 1e4 + 0.5) / 1e4).as("surprisal"))
+    docs.select(col("doc_id")).join(scored, Seq("doc_id"), "left")
+      .withColumn("n_tokens", coalesce(col("n_tokens"), lit(0L)))
+  }
 }

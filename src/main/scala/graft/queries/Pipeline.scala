@@ -347,6 +347,26 @@ object Pipeline {
               |SELECT word, count(*) AS doc_freq FROM x WHERE length(word) > 0
               |GROUP BY word ORDER BY doc_freq DESC, word LIMIT 100""".stripMargin)),
 
+    // Unigram-surprisal quality scoring: per-doc mean -log2(df/N) over a
+    // corpus-derived document-frequency dictionary (LM-rarity signal).
+    Q("q_pl_lm_score",
+      (s, dir) => {
+        val docs = Tables.documents(s, dir)
+        TextAnalysis.lmSurprisal(docs, docs.count()).orderBy("doc_id")
+      },
+      Some(s"""WITH $wordsCte,
+              |tok AS (SELECT doc_id, unnest(w) AS word FROM words),
+              |tok2 AS (SELECT doc_id, word FROM tok WHERE length(word) > 0),
+              |dict AS (SELECT word, count(DISTINCT doc_id) AS df FROM tok2 GROUP BY word),
+              |sc AS (
+              |  SELECT t.doc_id, count(*) AS n_tokens,
+              |         floor(avg(-log2(df * 1.0 / (SELECT count(*) FROM documents))) * 1e4 + 0.5) / 1e4 AS surprisal
+              |  FROM tok2 t JOIN dict USING (word) GROUP BY t.doc_id
+              |)
+              |SELECT d.doc_id, coalesce(sc.n_tokens, 0) AS n_tokens, sc.surprisal
+              |FROM documents d LEFT JOIN sc ON d.doc_id = sc.doc_id
+              |ORDER BY d.doc_id""".stripMargin)),
+
     // Distributed k-means corpus clustering (Lloyd's, deterministic seeds,
     // 1e-4-rounded centroids): the topic-balancing / diversity-sampling /
     // IVF-coarse-quantizer primitive. One narrow pass + a k×dim aggregate
