@@ -151,7 +151,8 @@ object Pipeline {
     "q_pl_repetition", "q_pl_quant", "q_pl_chunk_text", "q_pl_sessions",
     // the two banded-join ops — the declared 100 TB paths — plus the
     // quantized ANN serving path, so all have per-op timing history
-    "q_pl_simhash", "q_pl_cos_pairs_lsh", "q_ann_quant", "q_pl_kmeans")
+    "q_pl_simhash", "q_pl_cos_pairs_lsh", "q_ann_quant", "q_pl_kmeans",
+    "q_pl_vocab", "q_pl_lm_score")
 
   def qs: Seq[Q] = {
     val all = raw.map(q => if (ExtraBench(q.name)) q.copy(benchExtra = true) else q)
