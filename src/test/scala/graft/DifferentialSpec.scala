@@ -138,13 +138,23 @@ class DifferentialSpec extends AnyFunSuite {
       val step = Seq(60L, 300L, 900L)(rnd.nextInt(3))
       val lo = t0 + rnd.nextInt(12) * 3600L
       val hi = lo + (1 + rnd.nextInt(12)) * 3600L
-      val (fillClause, filledExpr) =
-        if (rnd.nextBoolean()) {
+      val (fillClause, filledExpr) = rnd.nextInt(3) match {
+        case 0 =>
           val c = rnd.nextInt(50)
           (s"fill($c)", s"coalesce(a, cast($c as double))")
-        } else
+        case 1 =>
           ("fill(previous)",
             "last_value(a, true) over (order by b rows between unbounded preceding and current row)")
+        case _ =>
+          // linear interpolation between surrounding non-null buckets;
+          // edge gaps stay null (null propagation through pv/nv)
+          val pv = "last_value(a, true) over (order by b rows between unbounded preceding and 1 preceding)"
+          val pb = "last_value(case when a is not null then b end, true) over (order by b rows between unbounded preceding and 1 preceding)"
+          val nv = "first_value(a, true) over (order by b rows between 1 following and unbounded following)"
+          val nb = "first_value(case when a is not null then b end, true) over (order by b rows between 1 following and unbounded following)"
+          ("fill(linear)",
+            s"case when a is not null then a else ($pv) + (($nv) - ($pv)) * (b - ($pb)) / (($nb) - ($pb)) end")
+      }
       compare(
         s"select time_bucket($step, time) as b, avg(value) as a from $series " +
           s"where time >= $lo and time < $hi " +

@@ -191,6 +191,13 @@ class SydraqlSpec extends AnyFunSuite {
     assert(e.getMessage.contains("GROUP BY"))
   }
 
+  test("order by a non-projected window function rides the hidden sort column") {
+    // moving_avg per point: 1, 1.5, 3, 10 → desc order = t 300, 120, 60, 0;
+    // exercises the SeriesWindows pre-pass for an expr outside projections
+    val rows = run("select time from m where time >= 0 order by moving_avg(value, 60) desc")
+    assert(rows.map(_.getLong(0)) === Seq(300L, 120L, 60L, 0L))
+  }
+
   test("div-by-zero raises, matching the reference's DivisionByZero (expression.zig:119-123)") {
     val e = intercept[Exception](run("select value / 0 as d from m where time >= 0 limit 1"))
     assert(e.getMessage.contains("DIVIDE_BY_ZERO") || e.getCause != null)
