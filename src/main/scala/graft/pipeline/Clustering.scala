@@ -32,19 +32,18 @@ object Clustering {
       zip_with(v, array(centroid.map(lit): _*), (x, c) => (x - c) * (x - c)),
       lit(0.0), (acc, x) => acc + x)
 
-  /** `struct(dist, cluster)` argmin over the current centroids. */
-  private def assignment(cs: Array[Seq[Double]]): Column =
+  /** `struct(dist, cluster)` argmin of `v` over the centroids. */
+  def assignment(cs: Array[Seq[Double]], v: Column = col("v")): Column =
     array_min(array(cs.zipWithIndex.map { case (c, i) =>
-      struct(sqDist(col("v"), c).as("d"), lit(i).as("c"))
+      struct(sqDist(v, c).as("d"), lit(i).as("c"))
     }: _*))
 
   private def round4(x: Double): Double = math.floor(x * 1e4 + 0.5) / 1e4
 
-  /** Final assignments after `iters` Lloyd iterations:
-    * `(vec_id, cluster, dist)` with dist = squared L2 to the final centroid
-    * rounded to 1e-4. Input needs `(vec_id, embedding ARRAY<numeric>)`.
+  /** Lloyd-iterated centroids (see object doc for the determinism
+    * contract). The k×dim matrix is the only driver-side state.
     */
-  def kmeans(emb: DataFrame, k: Int = 8, iters: Int = 3): DataFrame = {
+  def fitCentroids(emb: DataFrame, k: Int, iters: Int): Array[Seq[Double]] = {
     val e = emb.select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
     val dim = e.select(size(col("v"))).head().getInt(0)
 
@@ -64,10 +63,19 @@ object Clustering {
         .toMap
       centroids = centroids.indices.map(i => means.getOrElse(i, centroids(i)): Seq[Double]).toArray
     }
+    centroids
+  }
 
+  /** Final assignments after `iters` Lloyd iterations:
+    * `(vec_id, cluster, dist)` with dist = squared L2 to the final centroid
+    * rounded to 1e-4. Input needs `(vec_id, embedding ARRAY<numeric>)`.
+    */
+  def kmeans(emb: DataFrame, k: Int = 8, iters: Int = 3): DataFrame = {
+    val centroids = fitCentroids(emb, k, iters)
     val a = assignment(centroids)
-    e.select(col("vec_id"),
-      a.getField("c").cast("long").as("cluster"),
-      (floor(a.getField("d") * 1e4 + 0.5) / 1e4).as("dist"))
+    emb.select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
+      .select(col("vec_id"),
+        a.getField("c").cast("long").as("cluster"),
+        (floor(a.getField("d") * 1e4 + 0.5) / 1e4).as("dist"))
   }
 }

@@ -102,6 +102,39 @@ object Similarity {
       .select(col("q_id"), col("vec_id"), col("rank").cast("long").as("rank"), (floor((col("cos")) * 1e6 + 0.5) / 1e6).as("cos"))
   }
 
+  /** FAISS-style IVF: a k-means coarse quantizer (data-dependent Voronoi
+    * cells, [[Clustering.fitCentroids]]) instead of fixed hyperplane sign
+    * bits. The corpus is assigned once (narrow pass; at rest this is the
+    * partition key of the index table); each query probes its `nprobe`
+    * nearest cells by centroid distance, then exact cosine within the
+    * probed subset. nprobe = nCells ⇒ exact (the oracle-checked mode);
+    * data-dependent cells beat fixed hyperplanes when the corpus is
+    * clustered — on uniform data both degrade to scan-fraction recall.
+    */
+  def kmeansIvfTopK(corpus: DataFrame, queries: DataFrame, k: Int,
+      nCells: Int = 16, iters: Int = 3, nprobe: Int = 16): DataFrame = {
+    val cs = Clustering.fitCentroids(corpus, nCells, iters)
+    val c = corpus.select(col("vec_id"), vec(col("embedding")).as("v"))
+      .withColumn("bucket", Clustering.assignment(cs).getField("c"))
+    val qs = queries.select(col("vec_id").as("q_id"), vec(col("embedding")).as("qv"))
+    // nprobe cells ranked by query→centroid distance (ties → lower cell id)
+    val probes = qs.select(col("q_id"), col("qv"), explode(
+      slice(
+        array_sort(array(cs.zipWithIndex.map { case (cent, i) =>
+          struct(Clustering.assignment(Array(cent), col("qv")).getField("d").as("d"),
+            lit(i).as("b"))
+        }: _*)),
+        1, nprobe).getField("b")).as("bucket"))
+    val scored = c.join(broadcast(probes), Seq("bucket"))
+      .filter(col("q_id") =!= col("vec_id"))
+      .select(col("q_id"), col("vec_id"), cosine(col("qv"), col("v")).as("cos"))
+    val w = Window.partitionBy(col("q_id")).orderBy(col("cos").desc, col("vec_id"))
+    scored.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("q_id"), col("vec_id"), col("rank").cast("long").as("rank"),
+        (floor((col("cos")) * 1e6 + 0.5) / 1e6).as("cos"))
+  }
+
   /** Embedding-cosine near-duplicate pairs (threshold on cosine), EXACT.
     *
     * Exact all-pairs at a low threshold is inherently Θ(n²) compares (the

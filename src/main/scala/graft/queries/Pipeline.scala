@@ -305,6 +305,17 @@ object Pipeline {
       },
       Some(annOracle)),
 
+    // FAISS-style IVF: k-means coarse quantizer (data-dependent Voronoi
+    // cells) instead of hyperplane sign bits; nprobe = all cells ⇒ exact,
+    // so the brute-force oracle applies regardless of the learned cells.
+    Q("q_ann_ivf_km",
+      (s, dir) => {
+        val emb = Tables.embeddings(s, dir)
+        Similarity.kmeansIvfTopK(emb, emb.filter(col("vec_id") < 10), 5)
+          .orderBy("q_id", "rank")
+      },
+      Some(annOracle)),
+
     // Asymmetric int8-quantized serving path: full-precision queries vs
     // reconstructed (qmin + code·qscale) corpus. Deterministic, so the
     // oracle replays the quantization (rounded qmin/qscale exactly as

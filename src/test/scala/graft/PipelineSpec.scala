@@ -70,6 +70,16 @@ class PipelineSpec extends AnyFunSuite {
     assert(atQuarter >= 0.5, s"nprobe=4 (25% scan) recall $atQuarter should be >= 2x coverage")
     val atThreeQuarters = meanRecall(12)
     assert(atThreeQuarters >= 0.85, s"nprobe=12 (75% scan) recall $atThreeQuarters")
+    // the k-means coarse quantizer must be at least as good as the
+    // sign-bit scheme at the same probe budget (cells are data-dependent)
+    val km = Similarity.kmeansIvfTopK(emb01, q, 5, nprobe = 4)
+      .select("q_id", "vec_id").as[(Long, Long)].collect().groupBy(_._1)
+    val kmRecalls = exact.map { case (qid, ex) =>
+      val got = km.getOrElse(qid, Array.empty).map(_._2).toSet
+      ex.map(_._2).count(got.contains).toDouble / ex.length
+    }
+    val kmMean = kmRecalls.sum / kmRecalls.size
+    assert(kmMean >= 0.5, s"kmeans-IVF nprobe=4 recall $kmMean")
   }
 
   test("banded simhash pairs equal the all-pairs answer (pigeonhole losslessness)") {
