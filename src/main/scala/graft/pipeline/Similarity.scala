@@ -31,18 +31,27 @@ object Similarity {
   def cosine(a: Column, b: Column): Column =
     graft.functions.CosineSimilarity(a, b)
 
+  /** Shared top-k tail: rank <= k with the (cos desc, vec_id) tie-break
+    * and 1e-6 floor rounding. Spark's WindowGroupLimit prunes each
+    * partition to the top-k BEFORE the q_id shuffle (PlanSpec asserts it),
+    * so this never moves the full scored set per query.
+    */
+  private def rankTopK(scored: DataFrame, k: Int): DataFrame = {
+    val w = Window.partitionBy(col("q_id")).orderBy(col("cos").desc, col("vec_id"))
+    scored.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("q_id"), col("vec_id"), col("rank").cast("long").as("rank"),
+        (floor((col("cos")) * 1e6 + 0.5) / 1e6).as("cos"))
+  }
+
   /** Exact brute-force top-k cosine neighbors for each query vector.
     * Output: (q_id, vec_id, rank, cos round 6), ties broken by vec_id.
     */
   def bruteForceTopK(corpus: DataFrame, queries: DataFrame, k: Int): DataFrame = {
     val c = corpus.select(col("vec_id"), vec(col("embedding")).as("v"))
     val q = queries.select(col("vec_id").as("q_id"), vec(col("embedding")).as("qv"))
-    val scored = c.join(broadcast(q), col("q_id") =!= col("vec_id"))
-      .select(col("q_id"), col("vec_id"), cosine(col("qv"), col("v")).as("cos"))
-    val w = Window.partitionBy(col("q_id")).orderBy(col("cos").desc, col("vec_id"))
-    scored.withColumn("rank", row_number().over(w))
-      .filter(col("rank") <= k)
-      .select(col("q_id"), col("vec_id"), col("rank").cast("long").as("rank"), (floor((col("cos")) * 1e6 + 0.5) / 1e6).as("cos"))
+    rankTopK(c.join(broadcast(q), col("q_id") =!= col("vec_id"))
+      .select(col("q_id"), col("vec_id"), cosine(col("qv"), col("v")).as("cos")), k)
   }
 
   /** Deterministic pseudo-random hyperplanes (no RNG dependency: public
@@ -93,13 +102,9 @@ object Similarity {
         array_sort(transform(sequence(lit(0), lit(nBuckets - 1)), b =>
           struct(score(b).as("d"), b.as("b")))),
         1, nprobe).getField("b")).as("bucket"))
-    val scored = c.join(broadcast(probes), Seq("bucket"))
+    rankTopK(c.join(broadcast(probes), Seq("bucket"))
       .filter(col("q_id") =!= col("vec_id"))
-      .select(col("q_id"), col("vec_id"), cosine(col("qv"), col("v")).as("cos"))
-    val w = Window.partitionBy(col("q_id")).orderBy(col("cos").desc, col("vec_id"))
-    scored.withColumn("rank", row_number().over(w))
-      .filter(col("rank") <= k)
-      .select(col("q_id"), col("vec_id"), col("rank").cast("long").as("rank"), (floor((col("cos")) * 1e6 + 0.5) / 1e6).as("cos"))
+      .select(col("q_id"), col("vec_id"), cosine(col("qv"), col("v")).as("cos")), k)
   }
 
   /** FAISS-style IVF: a k-means coarse quantizer (data-dependent Voronoi
@@ -112,8 +117,11 @@ object Similarity {
     * clustered — on uniform data both degrade to scan-fraction recall.
     */
   def kmeansIvfTopK(corpus: DataFrame, queries: DataFrame, k: Int,
-      nCells: Int = 16, iters: Int = 3, nprobe: Int = 16): DataFrame = {
-    val cs = Clustering.fitCentroids(corpus, nCells, iters)
+      nCells: Int = 16, iters: Int = 3, nprobe: Int = 16,
+      centroids: Option[Array[Seq[Double]]] = None): DataFrame = {
+    // serving reuses a fitted quantizer; fitting per call is the
+    // convenience path for one-shot jobs
+    val cs = centroids.getOrElse(Clustering.fitCentroids(corpus, nCells, iters))
     val c = corpus.select(col("vec_id"), vec(col("embedding")).as("v"))
       .withColumn("bucket", Clustering.assignment(cs).getField("c"))
     val qs = queries.select(col("vec_id").as("q_id"), vec(col("embedding")).as("qv"))
@@ -125,14 +133,9 @@ object Similarity {
             lit(i).as("b"))
         }: _*)),
         1, nprobe).getField("b")).as("bucket"))
-    val scored = c.join(broadcast(probes), Seq("bucket"))
+    rankTopK(c.join(broadcast(probes), Seq("bucket"))
       .filter(col("q_id") =!= col("vec_id"))
-      .select(col("q_id"), col("vec_id"), cosine(col("qv"), col("v")).as("cos"))
-    val w = Window.partitionBy(col("q_id")).orderBy(col("cos").desc, col("vec_id"))
-    scored.withColumn("rank", row_number().over(w))
-      .filter(col("rank") <= k)
-      .select(col("q_id"), col("vec_id"), col("rank").cast("long").as("rank"),
-        (floor((col("cos")) * 1e6 + 0.5) / 1e6).as("cos"))
+      .select(col("q_id"), col("vec_id"), cosine(col("qv"), col("v")).as("cos")), k)
   }
 
   /** Embedding-cosine near-duplicate pairs (threshold on cosine), EXACT.
@@ -202,13 +205,8 @@ object Similarity {
     val c = quantize(corpus).select(col("vec_id"),
       transform(col("codes"), x => col("qmin") + x.cast("double") * col("qscale")).as("v"))
     val q = queries.select(col("vec_id").as("q_id"), vec(col("embedding")).as("qv"))
-    val scored = c.join(broadcast(q), col("q_id") =!= col("vec_id"))
-      .select(col("q_id"), col("vec_id"), cosine(col("qv"), col("v")).as("cos"))
-    val w = Window.partitionBy(col("q_id")).orderBy(col("cos").desc, col("vec_id"))
-    scored.withColumn("rank", row_number().over(w))
-      .filter(col("rank") <= k)
-      .select(col("q_id"), col("vec_id"), col("rank").cast("long").as("rank"),
-        (floor((col("cos")) * 1e6 + 0.5) / 1e6).as("cos"))
+    rankTopK(c.join(broadcast(q), col("q_id") =!= col("vec_id"))
+      .select(col("q_id"), col("vec_id"), cosine(col("qv"), col("v")).as("cos")), k)
   }
 
   /** Scalar int8 quantization: per-vector affine codes

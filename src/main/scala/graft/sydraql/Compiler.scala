@@ -129,7 +129,7 @@ final class Compiler(spark: SparkSession, source: DataFrame, options: CompileOpt
           val helper = s"__sw$i"
           fn match {
             case "lag" | "lead" =>
-              val n = args.lift(1).collect { case IntLit(v) => v.toInt }.getOrElse(1)
+              val n = windowOffset(fn, args)
               frame =
                 if (fn == "lag") graft.operators.SeriesWindows.lagN(frame, helper, scalar(args.head), n)
                 else graft.operators.SeriesWindows.leadN(frame, helper, scalar(args.head), n)
@@ -210,12 +210,28 @@ final class Compiler(spark: SparkSession, source: DataFrame, options: CompileOpt
     */
   private var scalarWinPre: Map[Expr, String] = Map.empty
 
+  /** Post-order: a matched call's argument subtree is emitted BEFORE the
+    * call itself, so nested window calls (e.g. moving_avg(fill_forward(v)))
+    * get their helper columns built first and the outer call's value
+    * expression resolves to the inner helper instead of falling back to a
+    * whole-series window.
+    */
   private def collectCalls(e: Expr, names: Set[String]): Seq[Expr] = e match {
-    case Call(n, args) if names.contains(n) => Seq(e)
+    case Call(n, args) if names.contains(n) =>
+      args.flatMap(collectCalls(_, names)) :+ e
     case Call(_, args) => args.flatMap(collectCalls(_, names))
     case Binary(_, l, r) => collectCalls(l, names) ++ collectCalls(r, names)
     case Unary(_, o) => collectCalls(o, names)
     case _ => Seq.empty
+  }
+
+  /** lag/lead offset: literal int required (silently defaulting a
+    * non-literal to 1 would return wrong offsets without any error).
+    */
+  private def windowOffset(fn: String, args: Seq[Expr]): Int = args.lift(1) match {
+    case None => 1
+    case Some(IntLit(v)) => v.toInt
+    case Some(_) => throw QueryError(QueryError.InvalidSyntax, s"$fn offset must be an integer literal")
   }
 
   private def compileAggregate(df0: DataFrame, s: Select, groupBy: Seq[Expr]): DataFrame = {
@@ -307,7 +323,9 @@ final class Compiler(spark: SparkSession, source: DataFrame, options: CompileOpt
   private def ungroupedPrePass(df0: DataFrame, fn: String, prefix: String, v: Column): DataFrame = {
     val t = col("time").cast("long")
     val gName = s"${prefix}_g"
-    val df = df0.withColumn(gName, t / lit(86400L))
+    // exact floor division — Column `/` is DOUBLE division, which would
+    // make the key per-timestamp and the "per-day" frames dataset-sized
+    val df = df0.withColumn(gName, ((t - pmod(t, lit(86400L))) / lit(86400L)).cast("long"))
     fn match {
       case "integral" =>
         val wLocal = Window.partitionBy(col(gName)).orderBy(t, v)
@@ -428,12 +446,8 @@ final class Compiler(spark: SparkSession, source: DataFrame, options: CompileOpt
       case "coalesce" => coalesce(args.indices.map(a): _*)
       case "fill_forward" =>
         last(a(0), ignoreNulls = true).over(wSeries.rowsBetween(Window.unboundedPreceding, 0))
-      case "lag" =>
-        val n = args.lift(1).collect { case IntLit(v) => v.toInt }.getOrElse(1)
-        lag(a(0), n).over(wSeries)
-      case "lead" =>
-        val n = args.lift(1).collect { case IntLit(v) => v.toInt }.getOrElse(1)
-        lead(a(0), n).over(wSeries)
+      case "lag" => lag(a(0), windowOffset("lag", args)).over(wSeries)
+      case "lead" => lead(a(0), windowOffset("lead", args)).over(wSeries)
       case "moving_avg" =>
         val dur = args(1) match {
           case IntLit(v) => v

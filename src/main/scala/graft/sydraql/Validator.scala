@@ -33,8 +33,9 @@ object Validator {
       // ema's recursive fold buffers every point of its group; without a
       // GROUP BY that is one unbounded global buffer — rejected loudly (the
       // reference registers but never executes ungrouped ema; SURVEY §7.4).
+      // ORDER BY counts too: a hidden sort column would hit the same path.
       if (s.groupBy.isEmpty &&
-          s.projections.map(_.expr).exists(containsCall(_, "ema")))
+          (s.projections.map(_.expr) ++ s.orderBy.map(_.expr)).exists(containsCall(_, "ema")))
         throw QueryError(QueryError.InvalidSyntax,
           "ema requires a GROUP BY (e.g. time_bucket) to bound its state")
     case d: Delete =>

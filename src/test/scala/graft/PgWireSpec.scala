@@ -24,10 +24,14 @@ class PgWireSpec extends AnyFunSuite with BeforeAndAfterAll {
     val dir = Files.createTempDirectory("graft-pgwire").toString
     val store = new SeriesStore(spark, dir)
     val ndjson = Files.createTempDirectory("graft-pgwire-in")
-    Files.write(ndjson.resolve("in.ndjson"), Seq(
+    Files.write(ndjson.resolve("in.ndjson"), (Seq(
       """{"series":"m","ts":10,"value":1.5,"tags":{"host":"a"}}""",
       """{"series":"m","ts":20,"value":2.0,"tags":{"host":"a"}}""",
-      """{"series":"m","ts":30,"value":2.5,"tags":{"host":"b"}}""").mkString("\n").getBytes)
+      """{"series":"m","ts":30,"value":2.5,"tags":{"host":"b"}}""") ++
+      // a non-trivial series so timing assertions aren't at the mercy of
+      // millisecond-granularity metrics on a 3-row scan
+      (0 until 5000).map(i => s"""{"series":"big","ts":${i * 7},"value":$i.5}""")
+    ).mkString("\n").getBytes)
     Ingest.batch(store, ndjson.toString)
     server = new PgWireServer(store)
     port = server.start()
@@ -228,13 +232,25 @@ class PgWireSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(notices.exists(_.startsWith("schema=[")))
     assert(notices.exists(_.startsWith("trace_id=")))
     assert(notices.exists(_.startsWith("metrics rows=3 ")))
-    // per-operator diagnostics carry real elapsed time (operator.zig:30-48):
-    // at least the scan must report a nonzero elapsed_us
+    // per-operator diagnostics carry elapsed_us (operator.zig:30-48); a
+    // 3-row scan can legitimately round to 0 under Spark's ms-granularity
+    // timing metrics, so the nonzero assertion lives in the big-scan test
     val opNotices = notices.filter(_.startsWith("operator="))
     assert(opNotices.nonEmpty, "expected per-operator NOTICEs")
-    val scanElapsed = opNotices.filter(_.toLowerCase.contains("scan"))
+    assert(opNotices.forall(_.matches(".*elapsed_us=\\d+.*")), s"malformed: $opNotices")
+    c.close()
+  }
+
+  test("scan NOTICE reports nonzero elapsed_us on a non-trivial scan") {
+    val c = new Client
+    c.handshake("user" -> "sydra")
+    c.sendQuery("SELECT time, value FROM big WHERE time >= 0 and time < 100000 order by time limit 5")
+    val msgs = c.readUntilReady()
+    val notices = msgs.filter(_._1 == 'N').map(m => parseError(m._2)('M'))
+    val scanElapsed = notices.filter(_.startsWith("operator="))
+      .filter(_.toLowerCase.contains("scan"))
       .flatMap("elapsed_us=(\\d+)".r.findFirstMatchIn(_)).map(_.group(1).toLong)
-    assert(scanElapsed.exists(_ > 0), s"scan elapsed_us should be nonzero: $opNotices")
+    assert(scanElapsed.exists(_ > 0), s"expected nonzero scan elapsed: $notices")
     c.close()
   }
 

@@ -191,6 +191,22 @@ class SydraqlSpec extends AnyFunSuite {
     assert(e.getMessage.contains("GROUP BY"))
   }
 
+  test("lag/lead with a non-literal offset is rejected (not silently treated as 1)") {
+    val e = intercept[QueryError](run("select lag(value, 1 + 1) as p from m where time >= 0"))
+    assert(e.code === QueryError.InvalidSyntax)
+    assert(e.getMessage.contains("offset"))
+  }
+
+  test("nested window calls resolve innermost-first (moving_avg over fill_forward)") {
+    val rows = run("select time, moving_avg(fill_forward(value), 60) as ma from m where time >= 0 order by time")
+    assert(rows.map(_.getDouble(1)) === Seq(1.0, 1.5, 3.0, 10.0))
+  }
+
+  test("ungrouped ema in ORDER BY is rejected like in projections") {
+    val e = intercept[QueryError](run("select time from m where time >= 0 order by ema(value, 60, 0.5)"))
+    assert(e.code === QueryError.InvalidSyntax)
+  }
+
   test("order by a non-projected window function rides the hidden sort column") {
     // moving_avg per point: 1, 1.5, 3, 10 → desc order = t 300, 120, 60, 0;
     // exercises the SeriesWindows pre-pass for an expr outside projections
