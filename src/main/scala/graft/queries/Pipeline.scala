@@ -97,7 +97,11 @@ object Pipeline {
     * same left-to-right distance folds, same 1e-4 centroid rounding, same
     * lowest-index tie-breaks — so assignments hash-match exactly.
     */
-  private def kmeansOracle(k: Int, iters: Int, dim: Int): String = {
+  /** The WITH-body CTE chain replaying Clustering.kmeans up to a final
+    * `asg(vec_id, v, ds)` relation (ds = per-cell distance list against the
+    * final centroids) — shared by the kmeans gate and compositions on it.
+    */
+  private def kmeansCtes(k: Int, iters: Int, dim: Int): String = {
     val ds =
       s"""[list_reduce([(v[j] - cc[j]) * (v[j] - cc[j]) for j in range(1, $dim + 1)],
          |  (a, b) -> a + b) for cc in cs]""".stripMargin
@@ -120,16 +124,19 @@ object Pipeline {
          |  )
          |)""".stripMargin
     }.mkString(",\n")
-    s"""WITH $embCte,
+    s"""$embCte,
        |seeds AS (SELECT list(v ORDER BY vec_id) AS cs
        |          FROM (SELECT vec_id, v FROM e ORDER BY vec_id LIMIT $k)),
-       |$iterCtes
+       |$iterCtes,
+       |asg AS (SELECT vec_id, v, $ds AS ds FROM e CROSS JOIN c$iters)""".stripMargin
+  }
+
+  private def kmeansOracle(k: Int, iters: Int, dim: Int): String =
+    s"""WITH ${kmeansCtes(k, iters, dim)}
        |SELECT vec_id,
        |       CAST(list_indexof(ds, list_min(ds)) - 1 AS BIGINT) AS cluster,
        |       floor(list_min(ds) * 1e4 + 0.5) / 1e4 AS dist
-       |FROM (SELECT vec_id, v, $ds AS ds FROM e CROSS JOIN c$iters)
-       |ORDER BY vec_id""".stripMargin
-  }
+       |FROM asg ORDER BY vec_id""".stripMargin
 
   private val annOracle =
     s"""WITH $embCte,
@@ -358,6 +365,27 @@ object Pipeline {
               |x AS (SELECT doc_id, unnest(list_distinct(w)) AS word FROM words)
               |SELECT word, count(*) AS doc_freq FROM x WHERE length(word) > 0
               |GROUP BY word ORDER BY doc_freq DESC, word LIMIT 100""".stripMargin)),
+
+    // Cluster-balanced (diversity) sampling: kmeans cells as strata, the
+    // skew-proof per-stratum cap keeps a deterministic uniform draw of 30
+    // vectors per cell — two gated operators composed, oracle end-to-end.
+    Q("q_pl_cluster_balance",
+      (s, dir) => {
+        val cl = graft.pipeline.Clustering.kmeans(Tables.embeddings(s, dir), k = 8, iters = 3)
+          .select(col("vec_id"), col("cluster"))
+        Sampling.capPerStratum(cl, "vec_id", "cluster", 30, "bal4").orderBy("vec_id")
+      },
+      Some {
+        val h = "CAST(concat('0x', substr(md5('bal4:' || CAST(vec_id AS VARCHAR)), 1, 15)) AS BIGINT) % 1000000"
+        s"""WITH ${kmeansCtes(k = 8, iters = 3, dim = 64)},
+           |a AS (SELECT vec_id, CAST(list_indexof(ds, list_min(ds)) - 1 AS BIGINT) AS cluster FROM asg),
+           |r AS (
+           |  SELECT vec_id, cluster,
+           |         row_number() OVER (PARTITION BY cluster ORDER BY $h, vec_id) AS rn
+           |  FROM a
+           |)
+           |SELECT vec_id, cluster FROM r WHERE rn <= 30 ORDER BY vec_id""".stripMargin
+      }),
 
     // Unigram-surprisal quality scoring: per-doc mean -log2(df/N) over a
     // corpus-derived document-frequency dictionary (LM-rarity signal).
