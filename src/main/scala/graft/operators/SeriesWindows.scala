@@ -25,10 +25,13 @@ object SeriesWindows {
 
   private val DayW = 86400L
 
-  /** Exact floor division (not truncation): monotone day key with uniform
-    * [d·W, (d+1)·W) intervals, needed for modular boundary arithmetic.
+  /** Exact floor division (not truncation — and not Column `/`, which is
+    * DOUBLE division): monotone day key with uniform [d·W, (d+1)·W)
+    * intervals, needed for modular boundary arithmetic. Shared with the
+    * compiler's ungrouped integral/irate pre-pass.
     */
-  private def dayKey(t: Column, w: Long): Column = ((t - pmod(t, lit(w))) / w).cast("long")
+  private[graft] def dayKey(t: Column, w: Long): Column =
+    ((t - pmod(t, lit(w))) / w).cast("long")
 
   /** `lag(value, n)` over the whole series in time order. Within-day lag,
     * plus the previous non-empty days' last-n tail for each day's first n

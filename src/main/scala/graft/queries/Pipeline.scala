@@ -93,13 +93,11 @@ object Pipeline {
     }
   }
 
-  /** DuckDB replay of Clustering.kmeans: same seeds (k smallest vec_ids),
-    * same left-to-right distance folds, same 1e-4 centroid rounding, same
-    * lowest-index tie-breaks — so assignments hash-match exactly.
-    */
-  /** The WITH-body CTE chain replaying Clustering.kmeans up to a final
-    * `asg(vec_id, v, ds)` relation (ds = per-cell distance list against the
-    * final centroids) — shared by the kmeans gate and compositions on it.
+  /** The WITH-body CTE chain replaying Clustering.kmeans — same seeds (k
+    * smallest vec_ids), same left-to-right distance folds, same 1e-4
+    * centroid rounding, same lowest-index tie-breaks — up to a final
+    * `asg(vec_id, v, ds)` relation (ds = per-cell distance list against
+    * the final centroids); shared by the kmeans gate and compositions.
     */
   private def kmeansCtes(k: Int, iters: Int, dim: Int): String = {
     val ds =

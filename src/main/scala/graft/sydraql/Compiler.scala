@@ -225,13 +225,15 @@ final class Compiler(spark: SparkSession, source: DataFrame, options: CompileOpt
     case _ => Seq.empty
   }
 
-  /** lag/lead offset: literal int required (silently defaulting a
-    * non-literal to 1 would return wrong offsets without any error).
+  /** lag/lead offset: positive literal int required (silently defaulting a
+    * non-literal to 1 would return wrong offsets without any error, and
+    * n <= 0 would crash inside the pre-pass's slice arithmetic).
     */
   private def windowOffset(fn: String, args: Seq[Expr]): Int = args.lift(1) match {
     case None => 1
-    case Some(IntLit(v)) => v.toInt
-    case Some(_) => throw QueryError(QueryError.InvalidSyntax, s"$fn offset must be an integer literal")
+    case Some(IntLit(v)) if v >= 1 => v.toInt
+    case Some(_) => throw QueryError(QueryError.InvalidSyntax,
+      s"$fn offset must be a positive integer literal")
   }
 
   private def compileAggregate(df0: DataFrame, s: Select, groupBy: Seq[Expr]): DataFrame = {
@@ -323,9 +325,7 @@ final class Compiler(spark: SparkSession, source: DataFrame, options: CompileOpt
   private def ungroupedPrePass(df0: DataFrame, fn: String, prefix: String, v: Column): DataFrame = {
     val t = col("time").cast("long")
     val gName = s"${prefix}_g"
-    // exact floor division — Column `/` is DOUBLE division, which would
-    // make the key per-timestamp and the "per-day" frames dataset-sized
-    val df = df0.withColumn(gName, ((t - pmod(t, lit(86400L))) / lit(86400L)).cast("long"))
+    val df = df0.withColumn(gName, graft.operators.SeriesWindows.dayKey(t, 86400L))
     fn match {
       case "integral" =>
         val wLocal = Window.partitionBy(col(gName)).orderBy(t, v)

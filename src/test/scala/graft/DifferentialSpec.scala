@@ -222,18 +222,21 @@ class DifferentialSpec extends AnyFunSuite {
       val hi = lo + (1 + rnd.nextInt(96)) * 3600L
       val integral = rnd.nextBoolean()
       val (sd, ansi) =
+        // twin orders ties by (time, value) like the engine's pre-pass:
+        // dedup is per series_id, but the query spans all series_ids of
+        // one series name, so cross-user same-second ties still exist
         if (integral)
           ("integral(value)",
             s"""with f as (select time, value from diff_gi where series = '$series'
                |           and time >= $lo and time < $hi),
-               |p as (select time, value, lag(time) over (order by time) as pt,
-               |             lag(value) over (order by time) as pv from f)
+               |p as (select time, value, lag(time) over (order by time, value) as pt,
+               |             lag(value) over (order by time, value) as pv from f)
                |select coalesce(sum((time - pt) * (value + pv) / 2), 0.0) as x from p""".stripMargin)
         else
           ("irate(value)",
             s"""with f as (select time, value from diff_gi where series = '$series'
                |           and time >= $lo and time < $hi),
-               |r as (select time, value, row_number() over (order by time desc) as rn from f)
+               |r as (select time, value, row_number() over (order by time desc, value desc) as rn from f)
                |select case when count(value) >= 2
                |                 and max(case when rn = 1 then time end) > max(case when rn = 2 then time end)
                |            then (max(case when rn = 1 then value end) - max(case when rn = 2 then value end))

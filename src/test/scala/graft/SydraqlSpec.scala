@@ -197,6 +197,12 @@ class SydraqlSpec extends AnyFunSuite {
     assert(e.getMessage.contains("offset"))
   }
 
+  test("lag/lead with a non-positive offset is rejected (would crash slice arithmetic)") {
+    val e = intercept[QueryError](run("select lead(value, 0) as p from m where time >= 0"))
+    assert(e.code === QueryError.InvalidSyntax)
+    assert(e.getMessage.contains("positive"))
+  }
+
   test("nested window calls resolve innermost-first (moving_avg over fill_forward)") {
     val rows = run("select time, moving_avg(fill_forward(value), 60) as ma from m where time >= 0 order by time")
     assert(rows.map(_.getDouble(1)) === Seq(1.0, 1.5, 3.0, 10.0))
