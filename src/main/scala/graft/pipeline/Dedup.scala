@@ -120,22 +120,14 @@ object Dedup {
     * (multiplicity-weighted). Emits pairs with Hamming distance <=
     * maxHamming plus the packed signatures.
     */
-  def simhash(docs: DataFrame): DataFrame = {
-    // bind the word-hash array before the per-bit lambdas reference it
-    // (expression trees inside HOF lambdas re-evaluate per element)
-    val hashes = col("__h")
-    // votes[b] = sum over words of (bit b set ? +1 : -1)
-    val sim = aggregate(
-      sequence(lit(0), lit(59)), lit(0L),
-      (acc, b) => {
-        val votes = aggregate(hashes, lit(0),
-          (vacc, h) => vacc + when(call_function("shiftright", h, b.cast("int")).bitwiseAND(1) === 1, 1).otherwise(-1))
-        acc + when(votes > 0, pow(lit(2.0), b).cast("long")).otherwise(0L)
-      })
+  def simhash(docs: DataFrame): DataFrame =
+    // one fused codegen pass per doc (see graft.functions.SimHashSignature
+    // — bit-identical to the former 60-fold nested-HOF form, which paid
+    // 60 interpreted per-element folds per document)
     TextAnalysis.spread(docs).withColumn("__w", TextAnalysis.words(col("text")))
       .withColumn("__h", transform(col("__w"), x => TextAnalysis.hash60(x)))
-      .select(col("doc_id"), sim.as("simhash"))
-  }
+      .select(col("doc_id"),
+        graft.functions.SimHashSignature(col("__h")).as("simhash"))
 
   /** SimHash near-dup pairs via LOSSLESS pigeonhole banding: the 60-bit
     * signature splits into `maxHamming + 1` contiguous bands, so a pair at

@@ -62,6 +62,31 @@ class FunctionsSpec extends AnyFunSuite {
     assert(empty === Seq.fill(4)(Long.MaxValue))
   }
 
+  test("codegen simhash_sig is identical to the nested-HOF form") {
+    import graft.functions.SimHashSignature
+    val hashes = col("__h")
+    val hof = aggregate(
+      sequence(lit(0), lit(59)), lit(0L),
+      (acc, b) => {
+        val votes = aggregate(hashes, lit(0),
+          (vacc, h) => vacc + when(call_function("shiftright", h, b.cast("int")).bitwiseAND(1) === 1, 1).otherwise(-1))
+        acc + when(votes > 0, pow(lit(2.0), b).cast("long")).otherwise(0L)
+      })
+    val docs = graft.core.Tables.documents(spark, "/root/testdata/sf0.001")
+      .withColumn("__w", graft.pipeline.TextAnalysis.words(col("text")))
+      .withColumn("__h", transform(col("__w"), x => graft.pipeline.TextAnalysis.hash60(x)))
+    val mismatches = docs
+      .select(SimHashSignature(col("__h")).as("kernel"), hof.as("hof"))
+      .filter(col("kernel") =!= col("hof"))
+      .count()
+    assert(mismatches === 0L, "kernel and HOF simhash must agree exactly")
+    // empty array → 0 (no votes); null elements vote like h = 0
+    val edge = Seq((Seq.empty[Long], 0), (Seq(3L, 3L), 1)).toDF("hs", "tag")
+      .select(SimHashSignature(col("hs")).as("sig")).collect().map(_.getLong(0))
+    assert(edge(0) === 0L)
+    assert(edge(1) === 3L) // both words vote +1 on bits 0 and 1
+  }
+
   test("approx percentile tracks exact within sketch tolerance") {
     val sv = graft.core.Tables.seriesView(spark, "/root/testdata/sf0.01")
     val exact = sv.groupBy("series").agg(percentile(col("value"), lit(0.95)).as("p"))
