@@ -283,6 +283,29 @@ object TextAnalysis {
       .orderBy(col("doc_freq").desc, col("word"))
       .limit(n)
 
+  /** Per-doc top TF-IDF terms (keyword extraction): score = tf · ln(N/df)
+    * with the corpus-derived document frequencies; the ranking key is the
+    * 1e-4-rounded score (then the term) so cross-engine `ln` ulps cannot
+    * reorder near-ties. Shapes: one token aggregate, a vocabulary-sized
+    * dictionary join, and a per-doc rank that WindowGroupLimit prunes
+    * map-side — no whole-corpus sort.
+    */
+  def tfIdfTopTerms(docs: DataFrame, nDocs: Long, topN: Int = 3): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val tf = spread(docs)
+      .select(col("doc_id"), explode(words(col("text"))).as("term"))
+      .filter(length(col("term")) > 0)
+      .groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
+    val df = tf.groupBy("term").agg(count(lit(1)).as("df"))
+    val scored = tf.join(df, "term")
+      .withColumn("score",
+        floor(col("tf") * log(lit(nDocs.toDouble) / col("df")) * 1e4 + 0.5) / 1e4)
+    val w = Window.partitionBy(col("doc_id")).orderBy(col("score").desc, col("term"))
+    scored.withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") <= topN)
+      .select(col("doc_id"), col("rank"), col("term"), col("score"))
+  }
+
   /** Unigram-surprisal quality score: per-doc mean of `-log2(df/N)` over
     * its tokens, where df = corpus document frequency and N = corpus size —
     * the standard LM-rarity signal (high = rare/uncommon text, low =

@@ -157,7 +157,7 @@ object Pipeline {
     // the two banded-join ops — the declared 100 TB paths — plus the
     // quantized ANN serving path, so all have per-op timing history
     "q_pl_simhash", "q_pl_cos_pairs_lsh", "q_ann_quant", "q_pl_kmeans",
-    "q_pl_vocab", "q_pl_lm_score")
+    "q_pl_vocab", "q_pl_lm_score", "q_pl_tfidf")
 
   def qs: Seq[Q] = {
     val all = raw.map(q => if (ExtraBench(q.name)) q.copy(benchExtra = true) else q)
@@ -384,6 +384,30 @@ object Pipeline {
            |)
            |SELECT vec_id, cluster FROM r WHERE rn <= 30 ORDER BY vec_id""".stripMargin
       }),
+
+    // Per-doc top TF-IDF terms (keyword extraction), ranked on the rounded
+    // score so cross-engine ln() ulps cannot flip near-ties.
+    Q("q_pl_tfidf",
+      (s, dir) => {
+        val docs = Tables.documents(s, dir)
+        TextAnalysis.tfIdfTopTerms(docs, docs.count(), 3).orderBy("doc_id", "rank")
+      },
+      Some(s"""WITH $wordsCte,
+              |tok AS (SELECT doc_id, unnest(w) AS term FROM words),
+              |tf AS (SELECT doc_id, term, count(*) AS tf FROM tok
+              |       WHERE length(term) > 0 GROUP BY 1, 2),
+              |dfx AS (SELECT term, count(*) AS df FROM tf GROUP BY term),
+              |sc AS (
+              |  SELECT doc_id, term,
+              |         floor(tf * ln((SELECT count(*) FROM documents) * 1.0 / df) * 1e4 + 0.5) / 1e4 AS score
+              |  FROM tf JOIN dfx USING (term)
+              |), r AS (
+              |  SELECT doc_id, term, score,
+              |         row_number() OVER (PARTITION BY doc_id ORDER BY score DESC, term) AS rank
+              |  FROM sc
+              |)
+              |SELECT doc_id, rank, term, score FROM r WHERE rank <= 3
+              |ORDER BY doc_id, rank""".stripMargin)),
 
     // Unigram-surprisal quality scoring: per-doc mean -log2(df/N) over a
     // corpus-derived document-frequency dictionary (LM-rarity signal).
