@@ -157,7 +157,8 @@ object Pipeline {
     // the two banded-join ops — the declared 100 TB paths — plus the
     // quantized ANN serving path, so all have per-op timing history
     "q_pl_simhash", "q_pl_cos_pairs_lsh", "q_ann_quant", "q_pl_kmeans",
-    "q_pl_vocab", "q_pl_lm_score", "q_pl_tfidf")
+    "q_pl_vocab", "q_pl_lm_score", "q_pl_tfidf", "q_ann_ivf_km",
+    "q_pl_cluster_balance")
 
   def qs: Seq[Q] = {
     val all = raw.map(q => if (ExtraBench(q.name)) q.copy(benchExtra = true) else q)

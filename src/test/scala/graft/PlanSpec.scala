@@ -82,8 +82,9 @@ class PlanSpec extends AnyFunSuite {
   test("ANN top-k rank filters get the window-group-limit pushdown (map-side top-k)") {
     // rank<=k over the scored candidates must prune per-partition BEFORE
     // the q_id shuffle — without WindowGroupLimit every (q_id, vec_id, cos)
-    // row of the corpus moves to one task per query
-    for (q <- Seq("q_ann_brute", "q_ann_quant")) {
+    // row of the corpus moves to one task per query; same for TF-IDF's
+    // per-doc term rank
+    for (q <- Seq("q_ann_brute", "q_ann_quant", "q_pl_tfidf")) {
       val p = plan(q)
       assert(p.contains("WindowGroupLimit"), s"$q should plan WindowGroupLimit")
     }
