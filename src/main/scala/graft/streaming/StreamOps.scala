@@ -85,6 +85,29 @@ object StreamOps {
       .drop("event_time", "__sid")
   }
 
+  /** Streaming vocabulary counts: per-window word document-ish counts over
+    * a text stream (the incremental twin of the batch
+    * [[graft.pipeline.TextAnalysis.vocabTopK]] dictionary build — corpus
+    * stats that keep up with ingestion instead of re-scanning). Tokens
+    * shuffle on (window, word) with partial aggregation; watermark-driven
+    * eviction bounds state to the window horizon, not the stream lifetime.
+    * Input: (doc_id, time LONG epoch-secs, text).
+    */
+  def vocabCounts(
+      docs: DataFrame,
+      windowDur: String = "1 hour",
+      watermarkDelay: String = "10 minutes"): DataFrame =
+    docs
+      .withColumn("event_time", col("time").cast("timestamp"))
+      .withWatermark("event_time", watermarkDelay)
+      .select(col("event_time"),
+        explode(array_distinct(split(lower(col("text")), "\\s+"))).as("word"))
+      .filter(length(col("word")) > 0)
+      .groupBy(window(col("event_time"), windowDur), col("word"))
+      .agg(count(lit(1)).as("doc_freq"))
+      .select(col("window.start").cast("long").as("window_start"),
+        col("word"), col("doc_freq"))
+
   /** Per-series running EMA as custom keyed state
     * (`flatMapGroupsWithState`): state = (ema, n); each batch folds its
     * points in time order into the carried state. State survives restarts

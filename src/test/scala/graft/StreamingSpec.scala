@@ -75,6 +75,29 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("streaming vocabulary counts match the batch dictionary per window") {
+    import spark.implicits._
+    val d = Files.createTempDirectory("graft-stream-vocab")
+    Files.write(d.resolve("docs.json"), Seq(
+      """{"doc_id":1,"time":100,"text":"the cat sat"}""",
+      """{"doc_id":2,"time":200,"text":"the dog sat sat"}""",
+      """{"doc_id":3,"time":4000,"text":"the cat"}""").mkString("\n").getBytes)
+    val schema = "doc_id LONG, time LONG, text STRING"
+    val stream = spark.readStream.schema(schema).json(d.toString)
+    val vc = StreamOps.vocabCounts(stream, windowDur = "1 hour")
+    assert(vc.isStreaming)
+    val q = vc.writeStream.outputMode("complete").format("memory").queryName("vocab").start()
+    try {
+      q.processAllAvailable()
+      val rows = spark.sql("select * from vocab order by window_start, word").collect()
+        .map(r => (r.getLong(0), r.getString(1), r.getLong(2))).toSeq
+      // per-doc distinct: doc 2's double "sat" counts once
+      assert(rows === Seq(
+        (0L, "cat", 1L), (0L, "dog", 1L), (0L, "sat", 2L), (0L, "the", 2L),
+        (3600L, "cat", 1L), (3600L, "the", 1L)))
+    } finally q.stop()
+  }
+
   test("keyed EMA state carries across micro-batches and restarts") {
     val d = ndjsonDir(Seq(
       """{"series":"m","ts":0,"value":1.0}""",
