@@ -25,45 +25,65 @@ import org.apache.spark.sql.functions._
 object Clustering {
 
   /** Squared L2 distance with a fixed left-to-right fold (bit-reproducible
-    * in any engine that folds the same way).
+    * in any engine that folds the same way). Interpreted reference form —
+    * [[assignment]] is the codegen'd production path; FunctionsSpec pins
+    * their bit-equivalence.
     */
-  private def sqDist(v: Column, centroid: Seq[Double]): Column =
+  private[graft] def sqDistHof(v: Column, centroid: Seq[Double]): Column =
     aggregate(
       zip_with(v, array(centroid.map(lit): _*), (x, c) => (x - c) * (x - c)),
       lit(0.0), (acc, x) => acc + x)
 
-  /** `struct(dist, cluster)` argmin of `v` over the centroids. */
-  def assignment(cs: Array[Seq[Double]], v: Column = col("v")): Column =
+  /** Interpreted `struct(dist, cluster)` argmin (the pre-r5 form, kept as
+    * the equivalence-test reference for the fused kernel).
+    */
+  private[graft] def assignmentHof(cs: Array[Seq[Double]], v: Column = col("v")): Column =
     array_min(array(cs.zipWithIndex.map { case (c, i) =>
-      struct(sqDist(v, c).as("d"), lit(i).as("c"))
+      struct(sqDistHof(v, c).as("d"), lit(i).as("c"))
     }: _*))
+
+  /** `struct(dist, cluster)` argmin of `v` over the centroids — ONE fused
+    * codegen pass (elements outer, centroids inner, same left-to-right fold
+    * as the HOF form; graft.functions.KMeansAssign).
+    */
+  def assignment(cs: Array[Seq[Double]], v: Column = col("v")): Column =
+    graft.functions.KMeansAssign(v, cs)
 
   private def round4(x: Double): Double = math.floor(x * 1e4 + 0.5) / 1e4
 
+  private[pipeline] def parsed(emb: DataFrame): DataFrame =
+    emb.select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
+
   /** Lloyd-iterated centroids (see object doc for the determinism
-    * contract). The k×dim matrix is the only driver-side state.
+    * contract). The k×dim matrix is the only driver-side state. The parsed
+    * frame is persisted for the duration of the fit — the dim probe, the
+    * seed collect, and each Lloyd iteration read the cached vectors instead
+    * of re-scanning and re-casting the source per pass (the r4-flagged
+    * rescan cost of `q_pl_kmeans`).
     */
   def fitCentroids(emb: DataFrame, k: Int, iters: Int): Array[Seq[Double]] = {
-    val e = emb.select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
-    val dim = e.select(size(col("v"))).head().getInt(0)
+    val e = parsed(emb).persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      val dim = e.select(size(col("v"))).head().getInt(0)
 
-    // deterministic seeds: the k smallest vec_ids (k rows to the driver)
-    var centroids: Array[Seq[Double]] = e.orderBy("vec_id").limit(k)
-      .collect().map(_.getSeq[Double](1))
-    require(centroids.length == k, s"need at least $k vectors, got ${centroids.length}")
+      // deterministic seeds: the k smallest vec_ids (k rows to the driver)
+      var centroids: Array[Seq[Double]] = e.orderBy("vec_id").limit(k)
+        .collect().map(_.getSeq[Double](1))
+      require(centroids.length == k, s"need at least $k vectors, got ${centroids.length}")
 
-    for (_ <- 1 to iters) {
-      // one narrow pass + a k×dim-cell aggregate; k rows return to the driver
-      val means = e.withColumn("c", assignment(centroids).getField("c"))
-        .groupBy("c")
-        .agg(count(lit(1)).as("n"), (1 to dim).map(d =>
-          avg(element_at(col("v"), d)).as(s"m$d")): _*)
-        .collect()
-        .map(r => r.getInt(0) -> (1 to dim).map(d => round4(r.getDouble(d + 1))))
-        .toMap
-      centroids = centroids.indices.map(i => means.getOrElse(i, centroids(i)): Seq[Double]).toArray
-    }
-    centroids
+      for (_ <- 1 to iters) {
+        // one narrow pass + a k×dim-cell aggregate; k rows return to the driver
+        val means = e.withColumn("c", assignment(centroids).getField("c"))
+          .groupBy("c")
+          .agg(count(lit(1)).as("n"), (1 to dim).map(d =>
+            avg(element_at(col("v"), d)).as(s"m$d")): _*)
+          .collect()
+          .map(r => r.getInt(0) -> (1 to dim).map(d => round4(r.getDouble(d + 1))))
+          .toMap
+        centroids = centroids.indices.map(i => means.getOrElse(i, centroids(i)): Seq[Double]).toArray
+      }
+      centroids
+    } finally e.unpersist(blocking = false)
   }
 
   /** Final assignments after `iters` Lloyd iterations:
@@ -73,7 +93,7 @@ object Clustering {
   def kmeans(emb: DataFrame, k: Int = 8, iters: Int = 3): DataFrame = {
     val centroids = fitCentroids(emb, k, iters)
     val a = assignment(centroids)
-    emb.select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
+    parsed(emb)
       .select(col("vec_id"),
         a.getField("c").cast("long").as("cluster"),
         (floor(a.getField("d") * 1e4 + 0.5) / 1e4).as("dist"))

@@ -317,7 +317,11 @@ object Pipeline {
     Q("q_ann_ivf_km",
       (s, dir) => {
         val emb = Tables.embeddings(s, dir)
-        Similarity.kmeansIvfTopK(emb, emb.filter(col("vec_id") < 10), 5)
+        // serving shape: fit the coarse quantizer ONCE, then probe with the
+        // precomputed centroids (re-fitting per query was the r4 scale flag)
+        val cs = graft.pipeline.Clustering.fitCentroids(emb, 16, 3)
+        Similarity.kmeansIvfTopK(emb, emb.filter(col("vec_id") < 10), 5,
+            centroids = Some(cs))
           .orderBy("q_id", "rank")
       },
       Some(annOracle)),

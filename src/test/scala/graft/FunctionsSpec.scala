@@ -87,6 +87,36 @@ class FunctionsSpec extends AnyFunSuite {
     assert(edge(1) === 3L) // both words vote +1 on bits 0 and 1
   }
 
+  test("codegen kmeans_assign is bit-identical to the HOF struct-min form") {
+    import graft.pipeline.Clustering
+    val emb = graft.core.Tables.embeddings(spark, "/root/testdata/sf0.001")
+      .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
+    // centroids from a real fit so distances hit genuine near-ties
+    val cs = Clustering.fitCentroids(
+      graft.core.Tables.embeddings(spark, "/root/testdata/sf0.001"), 8, 2)
+    val kernel = Clustering.assignment(cs)
+    val hof = Clustering.assignmentHof(cs)
+    val mismatches = emb.select(
+        kernel.getField("c").as("kc"), hof.getField("c").as("hc"),
+        kernel.getField("d").as("kd"), hof.getField("d").as("hd"))
+      .filter(col("kc") =!= col("hc") || col("kd") =!= col("hd"))
+      .count()
+    assert(mismatches === 0L, "fused kernel and HOF assignment must agree bit-for-bit")
+    // edge cases: a 2-dim match computes; NULL array, null element, and
+    // dim mismatch (incl. empty) → NULL
+    val edge = Seq(
+      (1, Some(Seq[java.lang.Double](8.0, 8.0))),
+      (2, None),
+      (3, Some(Seq[java.lang.Double](1.0, null))),
+      (4, Some(Seq[java.lang.Double](1.0))),
+      (5, Some(Seq[java.lang.Double]())))
+      .toDF("id", "v")
+      .select(col("id"), Clustering.assignment(Array(Seq(0.0, 0.0), Seq(9.0, 9.0)), col("v").cast("array<double>")).as("a"))
+      .orderBy("id").collect()
+    assert(edge(0).getStruct(1).getDouble(0) === 2.0 && edge(0).getStruct(1).getInt(1) === 1)
+    assert(edge(1).isNullAt(1) && edge(2).isNullAt(1) && edge(3).isNullAt(1) && edge(4).isNullAt(1))
+  }
+
   test("approx percentile tracks exact within sketch tolerance") {
     val sv = graft.core.Tables.seriesView(spark, "/root/testdata/sf0.01")
     val exact = sv.groupBy("series").agg(percentile(col("value"), lit(0.95)).as("p"))
