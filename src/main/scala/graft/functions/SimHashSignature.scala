@@ -17,8 +17,12 @@ import org.apache.spark.sql.types.{ArrayType, DataType, LongType}
   *
   * Null elements vote like h = 0 (every bit −1), exactly as the HOF's
   * `when(... === 1, 1).otherwise(-1)` resolves a NULL comparison; an empty
-  * array yields 0; a NULL array yields NULL. The pigeonhole banding and
-  * the DuckDB oracle in q_pl_simhash pin the output unchanged.
+  * array yields 0. The raw expression yields NULL for a NULL array, but
+  * the Column API coalesces that to 0 — the HOF form's
+  * `when(votes > 0, ...).otherwise(0)` accumulates 0 from NULL votes, and
+  * a NULL signature would silently drop null-text docs from the banded
+  * pairing (r4 advice #1). The pigeonhole banding and the DuckDB oracle
+  * in q_pl_simhash pin the output unchanged.
   */
 case class SimHashSignature(child: Expression, bits: Int = 60)
     extends UnaryExpression {
@@ -86,8 +90,12 @@ case class SimHashSignature(child: Expression, bits: Int = 60)
 }
 
 object SimHashSignature {
-  /** Column API (60-bit default lives on the case-class constructor). */
+  /** Column API (60-bit default lives on the case-class constructor).
+    * NULL input → 0, matching the nested-HOF form it replaced.
+    */
   def apply(hs: Column): Column = apply(hs, 60)
   def apply(hs: Column, bits: Int): Column =
-    GraftShim.column(SimHashSignature(GraftShim.expression(hs), bits))
+    org.apache.spark.sql.functions.coalesce(
+      GraftShim.column(SimHashSignature(GraftShim.expression(hs), bits)),
+      org.apache.spark.sql.functions.lit(0L))
 }

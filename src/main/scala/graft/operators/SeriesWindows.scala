@@ -25,13 +25,17 @@ object SeriesWindows {
 
   private val DayW = 86400L
 
-  /** Exact floor division (not truncation — and not Column `/`, which is
-    * DOUBLE division): monotone day key with uniform [d·W, (d+1)·W)
-    * intervals, needed for modular boundary arithmetic. Shared with the
-    * compiler's ungrouped integral/irate pre-pass.
+  /** Exact floor division (not truncation): monotone day key with uniform
+    * [d·W, (d+1)·W) intervals, needed for modular boundary arithmetic.
+    * `t - pmod(t, w)` floors to the bucket start exactly; the quotient then
+    * uses SQL `div` — true INTEGRAL division on two LONGs, exact for every
+    * representable timestamp. (Column `/` is DOUBLE division: at ns-epoch
+    * magnitudes ~1.7e18 the numerator alone loses bits as a double — r4
+    * advice #2.) Shared with the compiler's ungrouped integral/irate
+    * pre-pass.
     */
   private[graft] def dayKey(t: Column, w: Long): Column =
-    ((t - pmod(t, lit(w))) / w).cast("long")
+    call_function("div", t - pmod(t, lit(w)), lit(w))
 
   /** `lag(value, n)` over the whole series in time order. Within-day lag,
     * plus the previous non-empty days' last-n tail for each day's first n

@@ -10,6 +10,8 @@ import Ast._
   */
 object Validator {
 
+  private val WindowFns = Seq("lag", "lead", "moving_avg", "fill_forward")
+
   def validate(stmt: Statement): Unit = stmt match {
     case s: Select =>
       (s.projections.map(_.expr) ++ s.where ++ s.groupBy ++ s.orderBy.map(_.expr))
@@ -38,6 +40,22 @@ object Validator {
           (s.projections.map(_.expr) ++ s.orderBy.map(_.expr)).exists(containsCall(_, "ema")))
         throw QueryError(QueryError.InvalidSyntax,
           "ema requires a GROUP BY (e.g. time_bucket) to bound its state")
+      // Window functions have no defined frame in WHERE / GROUP BY (the
+      // reference registers them only for projections — functions.zig:
+      // 326-393 never execute elsewhere), and compiling them there would
+      // need a whole-series window: the exact single-partition scan shape
+      // the SeriesWindows pre-pass exists to prevent. Rejected up front;
+      // the compiler's scalarCall backstop enforces the same invariant.
+      s.where.foreach { w =>
+        WindowFns.find(containsCall(w, _)).foreach(n =>
+          throw QueryError(QueryError.InvalidSyntax,
+            s"window function '$n' is not allowed in WHERE"))
+      }
+      s.groupBy.foreach { g =>
+        WindowFns.find(containsCall(g, _)).foreach(n =>
+          throw QueryError(QueryError.InvalidSyntax,
+            s"window function '$n' is not allowed in GROUP BY"))
+      }
     case d: Delete =>
       d.where.foreach(checkFunctions)
       if (!d.where.exists(hasTimePredicate))

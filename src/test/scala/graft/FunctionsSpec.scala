@@ -64,14 +64,14 @@ class FunctionsSpec extends AnyFunSuite {
 
   test("codegen simhash_sig is identical to the nested-HOF form") {
     import graft.functions.SimHashSignature
-    val hashes = col("__h")
-    val hof = aggregate(
+    def hofSimhash(hashes: org.apache.spark.sql.Column) = aggregate(
       sequence(lit(0), lit(59)), lit(0L),
       (acc, b) => {
         val votes = aggregate(hashes, lit(0),
           (vacc, h) => vacc + when(call_function("shiftright", h, b.cast("int")).bitwiseAND(1) === 1, 1).otherwise(-1))
         acc + when(votes > 0, pow(lit(2.0), b).cast("long")).otherwise(0L)
       })
+    val hof = hofSimhash(col("__h"))
     val docs = graft.core.Tables.documents(spark, "/root/testdata/sf0.001")
       .withColumn("__w", graft.pipeline.TextAnalysis.words(col("text")))
       .withColumn("__h", transform(col("__w"), x => graft.pipeline.TextAnalysis.hash60(x)))
@@ -85,6 +85,13 @@ class FunctionsSpec extends AnyFunSuite {
       .select(SimHashSignature(col("hs")).as("sig")).collect().map(_.getLong(0))
     assert(edge(0) === 0L)
     assert(edge(1) === 3L) // both words vote +1 on bits 0 and 1
+    // NULL array → 0, same as the HOF's otherwise(0) over NULL votes — a
+    // null-safe (<=>) check, since =!= is null-blind (r4 advice #1)
+    val nulls = Seq((1, Some(Seq(3L))), (2, None)).toDF("id", "hs")
+      .withColumn("hs", col("hs").cast("array<bigint>"))
+      .select(SimHashSignature(col("hs")).as("kernel"), hofSimhash(col("hs")).as("hof"))
+    assert(nulls.filter(!(col("kernel") <=> col("hof"))).count() === 0L)
+    assert(nulls.collect().map(_.getLong(0)).toSeq === Seq(3L, 0L))
   }
 
   test("codegen kmeans_assign is bit-identical to the HOF struct-min form") {

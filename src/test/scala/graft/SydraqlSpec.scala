@@ -203,6 +203,18 @@ class SydraqlSpec extends AnyFunSuite {
     assert(e.getMessage.contains("positive"))
   }
 
+  test("window functions in WHERE are rejected (no whole-series fallback window)") {
+    // pre-r5 this compiled through a Window.partitionBy(series_id) fallback
+    // — a single-partition scan for any single-series query (r4 verdict #2)
+    val e = intercept[QueryError](run("select value from m where time >= 0 and lag(value) > 0"))
+    assert(e.code === QueryError.InvalidSyntax)
+    assert(e.getMessage.contains("WHERE"))
+    val g = intercept[QueryError](
+      run("select avg(value) from m where time >= 0 group by fill_forward(value)"))
+    assert(g.code === QueryError.InvalidSyntax)
+    assert(g.getMessage.contains("GROUP BY"))
+  }
+
   test("nested window calls resolve innermost-first (moving_avg over fill_forward)") {
     val rows = run("select time, moving_avg(fill_forward(value), 60) as ma from m where time >= 0 order by time")
     assert(rows.map(_.getDouble(1)) === Seq(1.0, 1.5, 3.0, 10.0))
