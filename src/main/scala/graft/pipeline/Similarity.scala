@@ -36,7 +36,7 @@ object Similarity {
     * partition to the top-k BEFORE the q_id shuffle (PlanSpec asserts it),
     * so this never moves the full scored set per query.
     */
-  private def rankTopK(scored: DataFrame, k: Int): DataFrame = {
+  private[pipeline] def rankTopK(scored: DataFrame, k: Int): DataFrame = {
     val w = Window.partitionBy(col("q_id")).orderBy(col("cos").desc, col("vec_id"))
     scored.withColumn("rank", row_number().over(w))
       .filter(col("rank") <= k)
@@ -125,18 +125,25 @@ object Similarity {
     val c = corpus.select(col("vec_id"), vec(col("embedding")).as("v"))
       .withColumn("bucket", Clustering.assignment(cs).getField("c"))
     val qs = queries.select(col("vec_id").as("q_id"), vec(col("embedding")).as("qv"))
-    // nprobe cells ranked by query→centroid distance (ties → lower cell id)
-    val probes = qs.select(col("q_id"), col("qv"), explode(
+    rankTopK(c.join(broadcast(cellProbes(qs, cs, nprobe)), Seq("bucket"))
+      .filter(col("q_id") =!= col("vec_id"))
+      .select(col("q_id"), col("vec_id"), cosine(col("qv"), col("v")).as("cos")), k)
+  }
+
+  /** `(q_id, qv, bucket)` probe rows: each query's `nprobe` nearest
+    * quantizer cells by centroid distance, ties → lower cell id (the exact
+    * ordering the at-rest-index DuckDB oracle mirrors). Shared by the
+    * in-memory [[kmeansIvfTopK]] and the at-rest [[IvfIndex]].
+    */
+  private[pipeline] def cellProbes(qs: DataFrame, cs: Array[Seq[Double]],
+      nprobe: Int): DataFrame =
+    qs.select(col("q_id"), col("qv"), explode(
       slice(
         array_sort(array(cs.zipWithIndex.map { case (cent, i) =>
           struct(Clustering.assignment(Array(cent), col("qv")).getField("d").as("d"),
             lit(i).as("b"))
         }: _*)),
         1, nprobe).getField("b")).as("bucket"))
-    rankTopK(c.join(broadcast(probes), Seq("bucket"))
-      .filter(col("q_id") =!= col("vec_id"))
-      .select(col("q_id"), col("vec_id"), cosine(col("qv"), col("v")).as("cos")), k)
-  }
 
   /** Embedding-cosine near-duplicate pairs (threshold on cosine), EXACT.
     *

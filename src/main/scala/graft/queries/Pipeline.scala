@@ -158,7 +158,7 @@ object Pipeline {
     // quantized ANN serving path, so all have per-op timing history
     "q_pl_simhash", "q_pl_cos_pairs_lsh", "q_ann_quant", "q_pl_kmeans",
     "q_pl_vocab", "q_pl_lm_score", "q_pl_tfidf", "q_ann_ivf_km",
-    "q_pl_cluster_balance")
+    "q_pl_cluster_balance", "q_ann_ivf_at_rest")
 
   def qs: Seq[Q] = {
     val all = raw.map(q => if (ExtraBench(q.name)) q.copy(benchExtra = true) else q)
@@ -325,6 +325,42 @@ object Pipeline {
           .orderBy("q_id", "rank")
       },
       Some(annOracle)),
+
+    // The index AT REST: corpus written as parquet partitioned by its
+    // coarse-quantizer cell, probes served back from the pruned partitions
+    // (nprobe=4 of 8 cells — a REAL pruned read, not the exact mode). The
+    // oracle replays the whole chain: kmeans fit (kmeansCtes), corpus cell
+    // assignment, per-query probe ranking (distance then lower cell), then
+    // exact cosine top-k within the probed cells. PlanSpec asserts the
+    // probe scan carries bucket PartitionFilters.
+    Q("q_ann_ivf_at_rest",
+      (s, dir) => {
+        val emb = Tables.embeddings(s, dir)
+        val idx = java.nio.file.Files.createTempDirectory("graft-gate-ivf").toString + "/index"
+        val cs = graft.pipeline.IvfIndex.build(emb, idx, nCells = 8, iters = 3)
+        graft.pipeline.IvfIndex.topK(s, idx, emb.filter(col("vec_id") < 10), 5,
+            nprobe = 4, centroids = Some(cs))
+          .orderBy("q_id", "rank")
+      },
+      Some(s"""WITH ${kmeansCtes(k = 8, iters = 3, dim = 64)},
+              |cc AS (SELECT vec_id, v, list_indexof(ds, list_min(ds)) - 1 AS bucket FROM asg),
+              |pr AS (
+              |  SELECT q_id, qv, bucket FROM (
+              |    SELECT a.vec_id AS q_id, a.v AS qv, r.cell AS bucket,
+              |           row_number() OVER (PARTITION BY a.vec_id
+              |                              ORDER BY a.ds[CAST(r.cell AS INT) + 1], r.cell) AS prn
+              |    FROM asg a CROSS JOIN range(0, 8) r(cell)
+              |    WHERE a.vec_id < 10
+              |  ) WHERE prn <= 4
+              |),
+              |scored AS (
+              |  SELECT p.q_id, c.vec_id, ${cosSql("p.qv", "c.v")} AS cos,
+              |         row_number() OVER (PARTITION BY p.q_id
+              |                            ORDER BY ${cosSql("p.qv", "c.v")} DESC, c.vec_id) AS rank
+              |  FROM cc c JOIN pr p ON c.bucket = p.bucket AND c.vec_id != p.q_id
+              |)
+              |SELECT q_id, vec_id, rank, floor((cos) * 1e6 + 0.5) / 1e6 AS cos
+              |FROM scored WHERE rank <= 5 ORDER BY q_id, rank""".stripMargin)),
 
     // Asymmetric int8-quantized serving path: full-precision queries vs
     // reconstructed (qmin + code·qscale) corpus. Deterministic, so the

@@ -154,6 +154,31 @@ class PlanSpec extends AnyFunSuite {
     assert(df.count() === 6) // ts = 0, 600, ..., 3000
   }
 
+  test("at-rest IVF probe scan prunes index partitions; result matches the in-memory path") {
+    import graft.pipeline.{IvfIndex, Similarity}
+    import org.apache.spark.sql.functions.col
+    val emb = graft.core.Tables.embeddings(spark, sf)
+    val idx = Files.createTempDirectory("graft-plan-ivf").toString + "/index"
+    val cs = IvfIndex.build(emb, idx, nCells = 8, iters = 2)
+    // centroid sidecar round-trips bit-exactly
+    assert(IvfIndex.loadCentroids(spark, idx).toSeq === cs.toSeq)
+    val q = emb.filter(col("vec_id") < 3)
+    val df = IvfIndex.topK(spark, idx, q, 5, nprobe = 2, centroids = Some(cs))
+    val p = df.queryExecution.explainString(
+      org.apache.spark.sql.execution.ExplainMode.fromString("formatted"))
+    // the probed cells must reach the index scan as PartitionFilters —
+    // evaluated against the partition index, so non-probed partition
+    // directories are never read (THE at-rest IVF property)
+    assert(p.linesIterator.exists(l => l.contains("PartitionFilters") && l.contains("bucket")),
+      p.take(1500))
+    // and the pruned serve returns exactly what the in-memory path computes
+    // from the same fitted quantizer
+    val rest = df.orderBy("q_id", "rank").collect().toSeq
+    val mem = Similarity.kmeansIvfTopK(emb, q, 5, nprobe = 2, centroids = Some(cs))
+      .orderBy("q_id", "rank").collect().toSeq
+    assert(rest === mem)
+  }
+
   test("sydraQL compile produces a pushed-down scan filter for series") {
     val src = graft.core.Tables.seriesView(spark, sf)
     val df = graft.sydraql.Engine.sql(spark, src,
