@@ -6,10 +6,13 @@ import org.apache.spark.sql.functions._
 /** Multimodal column plumbing: media as opaque BINARY columns with typed
   * metadata, batch-decoded per partition.
   *
-  * The container has no image/audio codecs, so the decode step is a
-  * clearly-marked deterministic STUB ([[DecodeStub.decode]]); everything
-  * around it — schema, binary columns, partition-batched iteration, typed
-  * output — is the real Spark plumbing a codec would drop into.
+  * Image dimensions decode for REAL through the JDK's own
+  * `javax.imageio` readers (header-only — see [[ImageCodec]]); the
+  * container has no audio/video codecs, so those steps remain
+  * clearly-marked deterministic STUBs ([[DecodeStub.decode]] fallback,
+  * [[resizeStub]], [[embedStub]]). Everything around them — schema,
+  * binary columns, partition-batched iteration, typed output — is the
+  * real Spark plumbing a codec drops into.
   *
   * Scale notes: decode runs inside `mapPartitions` (the Scala analog of a
   * pandas-batch UDF): one decoder init per partition, streaming iterator,
@@ -39,14 +42,42 @@ object Multimodal {
         .otherwise("video").as("media_type"),
       col("text").cast("binary").as("blob"))
 
-  /** STUB decoder: a real build links an image/audio codec here. The fake
-    * derives deterministic "decoded" metadata from the payload bytes so the
-    * pipeline shape (and its oracle) is testable without codecs.
+  /** REAL pure-JVM image decode: the PNG/JPEG/GIF/BMP readers that ship
+    * with the JDK (`javax.imageio`), header-only — `ImageReader.getWidth/
+    * getHeight` read dimensions without materializing pixels, which is
+    * what a metadata pass over 100 TB of images should do. Returns None
+    * when the payload isn't a parseable image (then [[DecodeStub.decode]]
+    * falls back to its deterministic synthetic meta — the oracle-gated
+    * mode, since the gate's fake payloads are text bytes).
+    */
+  object ImageCodec {
+    def dimensions(blob: Array[Byte]): Option[(Int, Int)] = {
+      val in = javax.imageio.ImageIO.createImageInputStream(
+        new java.io.ByteArrayInputStream(blob))
+      try {
+        val readers = javax.imageio.ImageIO.getImageReaders(in)
+        if (!readers.hasNext) None
+        else {
+          val r = readers.next()
+          try {
+            r.setInput(in)
+            Some((r.getWidth(0), r.getHeight(0)))
+          } finally r.dispose()
+        }
+      } catch { case scala.util.control.NonFatal(_) => None } finally in.close()
+    }
+  }
+
+  /** Decoder: images go through the real [[ImageCodec]] header parse;
+    * audio/video (no JDK codec) and unparseable payloads derive
+    * deterministic STUB metadata from the bytes so the pipeline shape
+    * (and its oracle) is testable without external codec libraries.
     */
   object DecodeStub {
     def decode(b: MediaBlob): MediaMeta = {
       val n = b.blob.length.toLong
-      // ??? real codec goes here — e.g. javax.imageio / ffmpeg binding
+      val real: Option[(Int, Int)] =
+        if (b.media_type == "image") ImageCodec.dimensions(b.blob) else None
       MediaMeta(
         doc_id = b.doc_id,
         media_type = b.media_type,
@@ -55,8 +86,8 @@ object Multimodal {
           val md = java.security.MessageDigest.getInstance("MD5")
           md.digest(b.blob).map("%02x".format(_)).mkString
         },
-        width = (n % 640).toInt,
-        height = (n * 7 % 480).toInt,
+        width = real.map(_._1).getOrElse((n % 640).toInt),
+        height = real.map(_._2).getOrElse((n * 7 % 480).toInt),
         n_frames = if (b.media_type == "video") (n % 16).toInt else 1)
     }
   }

@@ -146,6 +146,27 @@ class PipelineSpec extends AnyFunSuite {
     assert(meta.count() === docs.count())
   }
 
+  test("a real PNG decodes real dimensions through the mapPartitions path") {
+    import graft.pipeline.Multimodal
+    import spark.implicits._
+    // a genuine 13x7 PNG, encoded in-memory through the JDK's own codec
+    val img = new java.awt.image.BufferedImage(13, 7, java.awt.image.BufferedImage.TYPE_INT_RGB)
+    img.setRGB(3, 2, 0xff8800)
+    val bos = new java.io.ByteArrayOutputStream()
+    assert(javax.imageio.ImageIO.write(img, "png", bos))
+    val png = bos.toByteArray
+    val media = Seq(
+      (1L, "image", png),                           // real image → real w/h
+      (2L, "image", "not an image".getBytes("UTF-8")), // unparseable → synthetic fallback
+      (3L, "audio", png))                           // non-image type → synthetic
+      .toDF("doc_id", "media_type", "blob")
+    val out = Multimodal.decodeMeta(spark, media).collect().sortBy(_.doc_id)
+    assert(out(0).width === 13 && out(0).height === 7 && out(0).n_frames === 1)
+    val n1 = "not an image".getBytes("UTF-8").length
+    assert(out(1).width === n1 % 640 && out(1).height === n1 * 7 % 480)
+    assert(out(2).width === (png.length % 640) && out(2).media_type === "audio")
+  }
+
   test("frame sampling: every-k windows reassemble the payload at k=1") {
     import org.apache.spark.sql.functions._
     val media = graft.pipeline.Multimodal.mediaTable(docs)
