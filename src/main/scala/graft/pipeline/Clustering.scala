@@ -54,21 +54,57 @@ object Clustering {
   private[pipeline] def parsed(emb: DataFrame): DataFrame =
     emb.select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
 
+  /** Deterministic k-means++-style farthest-point seeds over a parsed
+    * `(vec_id, v)` frame. The smallest-vec_id default seeding degrades on
+    * adversarial orderings (ids clustered by topic put every seed in one
+    * corner); this spreads them without RNG:
+    *  - seed 1: the vector with the smallest md5-salted hash of its id
+    *    (a fixed pseudo-random draw — same portable-hash primitive as
+    *    [[Sampling]]), ties → lowest vec_id;
+    *  - seeds 2..k: greedily the vector FARTHEST from its nearest chosen
+    *    seed (classic farthest-point / k-means++ mode), ties → lowest
+    *    vec_id.
+    * k narrow passes over the (persisted) frame, one row back to the
+    * driver per pick; distances use the same fused left-to-right fold as
+    * assignment, so an engine replaying the same rule picks the same
+    * seeds bit-for-bit.
+    */
+  private def farthestPointSeeds(e: DataFrame, k: Int): Array[Seq[Double]] = {
+    val salted = conv(substring(md5(concat(lit("seed:"), col("vec_id").cast("string"))), 1, 15), 16, 10).cast("long")
+    var seeds: Array[Seq[Double]] = e
+      .orderBy(salted, col("vec_id")).limit(1)
+      .collect().map(_.getSeq[Double](1))
+    require(seeds.nonEmpty, "need at least one vector to seed")
+    while (seeds.length < k) {
+      val next = e
+        .withColumn("__d", assignment(seeds).getField("d"))
+        .orderBy(col("__d").desc, col("vec_id")).limit(1)
+        .collect().map(_.getSeq[Double](1))
+      seeds = seeds ++ next
+    }
+    seeds
+  }
+
   /** Lloyd-iterated centroids (see object doc for the determinism
     * contract). The k×dim matrix is the only driver-side state. The parsed
     * frame is persisted for the duration of the fit — the dim probe, the
-    * seed collect, and each Lloyd iteration read the cached vectors instead
-    * of re-scanning and re-casting the source per pass (the r4-flagged
-    * rescan cost of `q_pl_kmeans`).
+    * seed collect(s), and each Lloyd iteration read the cached vectors
+    * instead of re-scanning and re-casting the source per pass (the
+    * r4-flagged rescan cost of `q_pl_kmeans`).
+    *
+    * `plusPlusSeeding = true` opts into [[farthestPointSeeds]]; the
+    * default stays the k smallest vec_ids (the oracle-gated contract).
     */
-  def fitCentroids(emb: DataFrame, k: Int, iters: Int): Array[Seq[Double]] = {
+  def fitCentroids(emb: DataFrame, k: Int, iters: Int,
+      plusPlusSeeding: Boolean = false): Array[Seq[Double]] = {
     val e = parsed(emb).persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     try {
       val dim = e.select(size(col("v"))).head().getInt(0)
 
       // deterministic seeds: the k smallest vec_ids (k rows to the driver)
-      var centroids: Array[Seq[Double]] = e.orderBy("vec_id").limit(k)
-        .collect().map(_.getSeq[Double](1))
+      var centroids: Array[Seq[Double]] =
+        if (plusPlusSeeding) farthestPointSeeds(e, k)
+        else e.orderBy("vec_id").limit(k).collect().map(_.getSeq[Double](1))
       require(centroids.length == k, s"need at least $k vectors, got ${centroids.length}")
 
       for (_ <- 1 to iters) {
@@ -90,8 +126,9 @@ object Clustering {
     * `(vec_id, cluster, dist)` with dist = squared L2 to the final centroid
     * rounded to 1e-4. Input needs `(vec_id, embedding ARRAY<numeric>)`.
     */
-  def kmeans(emb: DataFrame, k: Int = 8, iters: Int = 3): DataFrame = {
-    val centroids = fitCentroids(emb, k, iters)
+  def kmeans(emb: DataFrame, k: Int = 8, iters: Int = 3,
+      plusPlusSeeding: Boolean = false): DataFrame = {
+    val centroids = fitCentroids(emb, k, iters, plusPlusSeeding)
     val a = assignment(centroids)
     parsed(emb)
       .select(col("vec_id"),

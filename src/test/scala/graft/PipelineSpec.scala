@@ -146,6 +146,32 @@ class PipelineSpec extends AnyFunSuite {
     assert(meta.count() === docs.count())
   }
 
+  test("farthest-point (k-means++) seeding recovers clusters an adversarial id order hides") {
+    import graft.pipeline.Clustering
+    import spark.implicits._
+    // three well-separated 2-D clusters, 20 points each — with ids assigned
+    // so vec_ids 0..19 ALL sit in cluster A: smallest-id seeding plants
+    // every seed in one corner, farthest-point spreads them
+    val pts = (0 until 60).map { i =>
+      val (cx, cy) = if (i < 20) (0.0, 0.0) else if (i < 40) (100.0, 100.0) else (-100.0, 100.0)
+      (i.toLong, Seq(cx + (i % 5) * 0.1f, cy + (i % 7) * 0.1f).map(_.toFloat))
+    }.toDF("vec_id", "embedding")
+    // one Lloyd iteration: what the SEEDS alone buy (3+ iterations can
+    // eventually crawl out of the corner on a fixture this separated)
+    def sizes(plusPlus: Boolean): Seq[Long] =
+      Clustering.kmeans(pts, k = 3, iters = 1, plusPlusSeeding = plusPlus)
+        .groupBy("cluster").count().collect().map(_.getLong(1)).toSeq.sorted
+    val pp = sizes(plusPlus = true)
+    val ids = sizes(plusPlus = false)
+    assert(pp === Seq(20L, 20L, 20L), s"++ seeding should recover the 3 true clusters, got $pp")
+    // the adversarial order defeats smallest-id seeding: fewer clusters
+    // survive or they end up imbalanced
+    assert(ids.length < 3 || ids.last - ids.head > 0, s"fixture not adversarial: $ids")
+    // and determinism: the same fit twice is bit-identical
+    assert(Clustering.fitCentroids(pts, 3, 2, plusPlusSeeding = true).toSeq ===
+      Clustering.fitCentroids(pts, 3, 2, plusPlusSeeding = true).toSeq)
+  }
+
   test("a real PNG decodes real dimensions through the mapPartitions path") {
     import graft.pipeline.Multimodal
     import spark.implicits._
