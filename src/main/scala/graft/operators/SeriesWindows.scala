@@ -157,4 +157,63 @@ object SeriesWindows {
       .filter(!col(g))
       .drop(d, vc, g)
   }
+
+  /** Final `ema(alpha)` value over the whole frame in (time, value) order,
+    * as a ONE-ROW frame with the single double column `out`.
+    *
+    * The grouped ema folds a per-bucket point array — bounded by the bucket.
+    * Ungrouped, that buffer is the entire scan, so this path exploits that
+    * the recurrence y_i = α·x_i + (1-α)·y_{i-1} is an affine map per point
+    * and affine maps compose associatively:
+    *   phase 1 — each (day) partition folds its own sorted points into
+    *     (a, b) with y_dayEnd = a·y_dayStart + b: two doubles of state per
+    *     task, points never leave their day;
+    *   phase 2 — the per-day pairs (one row per non-empty day,
+    *     metadata-sized) compose in day order; the first day contributes
+    *     its all-but-first fold seeded by its first value (y_1 = x_1
+    *     exactly, same seed as the grouped fold).
+    * NULL values are skipped, matching the grouped path's sortedPts.
+    */
+  def emaGlobal(df: DataFrame, out: String, value: Column, alpha: Double,
+      timeCol: String = "time", bucket: Long = DayW): DataFrame = {
+    val t = col(timeCol).cast("long")
+    val al = lit(alpha)
+    val na = lit(1.0 - alpha)
+    val d = s"${out}_d"
+    val pts = sort_array(collect_list(when(value.isNotNull,
+      struct(t.as("t"), value.cast("double").as("v")))))
+    def fold(arr: Column): Column = aggregate(arr,
+      struct(lit(1.0).as("a"), lit(0.0).as("b")),
+      (acc, x) => struct(
+        (na * acc.getField("a")).as("a"),
+        (al * x.getField("v") + na * acc.getField("b")).as("b")))
+    def restOf(arr: Column): Column =
+      slice(arr, lit(2), greatest(size(arr) - 1, lit(0)))
+    val perDay = df
+      .groupBy(dayKey(t, bucket).as(d))
+      .agg(pts.as("__pts"))
+      .filter(size(col("__pts")) >= 1) // a day of all-NULL values contributes nothing
+      .select(
+        col(d),
+        element_at(col("__pts"), 1).getField("v").as("fv"),
+        fold(col("__pts")).as("all"),
+        fold(restOf(col("__pts"))).as("rst"))
+    val ds = sort_array(collect_list(struct(col(d).as("d"),
+      col("fv"), col("all"), col("rst"))))
+    perDay.agg(ds.as("__ds")).select(
+      when(size(col("__ds")) >= 1,
+        aggregate(
+          restOf(col("__ds")),
+          struct(
+            element_at(col("__ds"), 1).getField("fv").as("fv"),
+            element_at(col("__ds"), 1).getField("rst").getField("a").as("a"),
+            element_at(col("__ds"), 1).getField("rst").getField("b").as("b")),
+          (acc, x) => struct(
+            acc.getField("fv").as("fv"),
+            (x.getField("all").getField("a") * acc.getField("a")).as("a"),
+            (x.getField("all").getField("a") * acc.getField("b")
+              + x.getField("all").getField("b")).as("b")),
+          acc => acc.getField("a") * acc.getField("fv") + acc.getField("b")))
+        .as(out))
+  }
 }

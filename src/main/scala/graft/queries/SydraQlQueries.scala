@@ -366,6 +366,20 @@ object SydraQlQueries {
          |GROUP BY day ORDER BY day""".stripMargin,
       roundCols = Seq("ema_v")),
 
+    // UNGROUPED ema superset: the two-phase day-partitioned affine fold
+    // (SeriesWindows.emaGlobal, cross-day composition exercised over 3
+    // days) mixed with a plain aggregate through the broadcast cross-join.
+    // Oracle: DuckDB's sequential list_reduce — the associative regrouping
+    // drifts only at ulp level, absorbed by the shared 1e-4 rounding.
+    sq("q_sql_ema_global",
+      s"select ema(value, 60, 0.5) as ema_v, avg(value) as avg_v " +
+        s"from error where time >= $T0 and time < ${T0 + 3 * 86400}",
+      s"""$svSql
+         |SELECT floor((list_reduce(list(value ORDER BY time, value), (acc, x) -> 0.5 * x + 0.5 * acc)) * 1e4 + 0.5) / 1e4 AS ema_v,
+         |       floor((avg(value)) * 1e4 + 0.5) / 1e4 AS avg_v
+         |FROM sv WHERE series = 'error' AND time >= $T0 AND time < ${T0 + 3 * 86400}""".stripMargin,
+      roundCols = Seq("ema_v", "avg_v")),
+
     // Full storage round-trip inside the gate: events → hour-partitioned
     // store (append: series_id hash, hour bucketing, partition write) →
     // sydraQL over the store's scan → oracle on the raw parquet.

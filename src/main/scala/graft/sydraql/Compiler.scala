@@ -56,6 +56,7 @@ final class Compiler(spark: SparkSession, source: DataFrame, options: CompileOpt
     // reused instance would resolve to a helper column that doesn't exist
     scalarWinPre = Map.empty
     windowPre = Map.empty
+    emaPre = Map.empty
     // `select *` expands to the canonical scan columns [time, value]
     val s = s0.copy(projections = s0.projections.flatMap {
       case Projection(Star, _) =>
@@ -203,6 +204,12 @@ final class Compiler(spark: SparkSession, source: DataFrame, options: CompileOpt
     */
   private var windowPre: Map[Expr, String] = Map.empty
 
+  /** Ungrouped ema calls resolved by the two-phase [[graft.operators.SeriesWindows.emaGlobal]]
+    * pre-pass: call AST → the one-row helper column cross-joined onto the
+    * frame. Grouped ema keeps the per-bucket fold (bounded by the bucket).
+    */
+  private var emaPre: Map[Expr, String] = Map.empty
+
   /** Scalar window calls (lag/lead/moving_avg/fill_forward) resolved by
     * the SeriesWindows pre-pass: call AST → helper column. Reset at the
     * top of compileSelect; a call with no entry (WHERE, GROUP BY, fill
@@ -270,6 +277,22 @@ final class Compiler(spark: SparkSession, source: DataFrame, options: CompileOpt
         df = ungroupedPrePass(df, fn, prefix, v)
       }
       windowPre += (c: Expr) -> prefix
+    }
+
+    // UNGROUPED ema: the per-group fold would buffer the entire scan in one
+    // task. Instead each call gets a two-phase day-partitioned fold
+    // (SeriesWindows.emaGlobal — affine-map composition, two doubles of
+    // state per day task) whose one-row result is broadcast-cross-joined
+    // back as a constant column; aggCall then reads it with first().
+    if (groupBy.isEmpty) {
+      val emaCalls = s.projections.flatMap(p => collectCalls(p.expr, Set("ema"))).distinct
+      emaCalls.zipWithIndex.foreach { case (c @ Call(_, args), i) =>
+        val helper = s"__ema$i"
+        val one = graft.operators.SeriesWindows.emaGlobal(
+          df, helper, dbl(scalar(args.head)), alphaLit(args(2)))
+        df = df.crossJoin(broadcast(one))
+        emaPre += (c: Expr) -> helper
+      }
     }
 
     val projNames = s.projections.zipWithIndex.map { case (p, i) => outName(p, i) }
@@ -616,7 +639,12 @@ final class Compiler(spark: SparkSession, source: DataFrame, options: CompileOpt
       val t = col("time").cast("long")
       coalesce(sum(when(lt.isNotNull, (t - lt).cast("double") * (v + lv) / 2.0)), lit(0.0))
     case "ema" =>
-      emaOverPts(sortedPts(args.head), args(2))
+      emaPre.get(c) match {
+        // ungrouped: the pre-pass already folded the whole scan; the helper
+        // is a constant column from the broadcast one-row cross join
+        case Some(helper) => first(col(helper))
+        case None => emaOverPts(sortedPts(args.head), args(2))
+      }
     case other =>
       throw QueryError(QueryError.UnknownFunction, s"unknown aggregate '$other'")
   }

@@ -32,14 +32,18 @@ object Validator {
           throw QueryError(QueryError.UnsupportedFillPolicy,
             "fill(...) requires group by time_bucket(step, time)")
       }
-      // ema's recursive fold buffers every point of its group; without a
-      // GROUP BY that is one unbounded global buffer — rejected loudly (the
-      // reference registers but never executes ungrouped ema; SURVEY §7.4).
-      // ORDER BY counts too: a hidden sort column would hit the same path.
-      if (s.groupBy.isEmpty &&
-          (s.projections.map(_.expr) ++ s.orderBy.map(_.expr)).exists(containsCall(_, "ema")))
-        throw QueryError(QueryError.InvalidSyntax,
-          "ema requires a GROUP BY (e.g. time_bucket) to bound its state")
+      // Ungrouped ema is a superset (the reference registers but never
+      // executes it; SURVEY §7.4): projected calls compile through the
+      // two-phase day-partitioned fold (Compiler emaPre — bounded state).
+      // In ORDER BY it must reference a projected call: the result is one
+      // row, and a hidden sort column would need its own whole-scan fold
+      // for a meaningless single-row sort.
+      if (s.groupBy.isEmpty)
+        s.orderBy.map(_.expr).foreach { e =>
+          if (containsCall(e, "ema") && !s.projections.exists(_.expr == e))
+            throw QueryError(QueryError.InvalidSyntax,
+              "ungrouped ema in ORDER BY must also appear as a projection")
+        }
       // Window functions have no defined frame in WHERE / GROUP BY (the
       // reference registers them only for projections — functions.zig:
       // 326-393 never execute elsewhere), and compiling them there would

@@ -83,4 +83,30 @@ class SeriesWindowsSpec extends AnyFunSuite {
       }
     }
   }
+
+  test("emaGlobal equals the sequential driver-side fold on adversarial layouts") {
+    val rnd = new scala.util.Random(60601)
+    for (trial <- 1 to 8) {
+      val df = dataset(rnd)
+      val alpha = Seq(0.1, 0.3, 0.5, 0.9)(rnd.nextInt(4))
+      // sequential reference: (time, value) order, nulls skipped, y_1 = x_1
+      val pts = df.select("time", "value").collect().toSeq
+        .flatMap(r => Option(r.get(1)).map(v => (r.getLong(0), v.asInstanceOf[Double])))
+        .sorted
+      val want: Option[Double] = pts.map(_._2) match {
+        case Seq() => None
+        case vs => Some(vs.tail.foldLeft(vs.head)((acc, x) => alpha * x + (1 - alpha) * acc))
+      }
+      val got = SeriesWindows.emaGlobal(df, "x", col("value"), alpha).collect()
+      assert(got.length === 1, s"trial=$trial one row")
+      (Option(got.head.get(0)), want) match {
+        case (None, None) => ()
+        case (Some(g: Double), Some(w)) =>
+          // affine composition reassociates the arithmetic → ulp-level drift
+          assert(math.abs(g - w) <= 1e-9 * math.max(1.0, math.abs(w)),
+            s"trial=$trial alpha=$alpha: $g vs $w")
+        case other => fail(s"trial=$trial alpha=$alpha mismatched nullability: $other")
+      }
+    }
+  }
 }

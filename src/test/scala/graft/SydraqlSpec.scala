@@ -185,10 +185,20 @@ class SydraqlSpec extends AnyFunSuite {
     assert(rows.head.getDouble(0) === 6.375)
   }
 
-  test("ungrouped ema is rejected (unbounded state)") {
-    val e = intercept[QueryError](run("select ema(value, 60, 0.5) as e from m where time >= 0"))
-    assert(e.code === QueryError.InvalidSyntax)
-    assert(e.getMessage.contains("GROUP BY"))
+  test("ungrouped ema via the two-phase global fold (exact on dyadic data)") {
+    // sequential: 1 → .5*2+.5*1=1.5 → .5*4+.5*1.5=2.75 → .5*10+.5*2.75=6.375;
+    // all values and α=0.5 are dyadic, so the affine two-phase composition
+    // is bit-exact against the sequential fold
+    val rows = run("select ema(value, 60, 0.5) as e from m where time >= 0")
+    assert(rows.head.getDouble(0) === 6.375)
+  }
+
+  test("ungrouped ema mixes with plain aggregates (cross-joined constant)") {
+    val rows = run("select ema(value, 60, 0.5) as e, avg(value) as a, count() as n from m where time >= 0")
+    val r = rows.head
+    assert(r.getDouble(0) === 6.375)
+    assert(r.getDouble(1) === 17.0 / 4)
+    assert(r.getLong(2) === 4L)
   }
 
   test("lag/lead with a non-literal offset is rejected (not silently treated as 1)") {
@@ -220,9 +230,14 @@ class SydraqlSpec extends AnyFunSuite {
     assert(rows.map(_.getDouble(1)) === Seq(1.0, 1.5, 3.0, 10.0))
   }
 
-  test("ungrouped ema in ORDER BY is rejected like in projections") {
+  test("ungrouped ema in ORDER BY without a matching projection is rejected") {
     val e = intercept[QueryError](run("select time from m where time >= 0 order by ema(value, 60, 0.5)"))
     assert(e.code === QueryError.InvalidSyntax)
+    assert(e.getMessage.contains("projection"))
+    // ...but the structurally-matching projected call resolves to its
+    // output column (single-row sort, trivially ordered)
+    val ok = run("select ema(value, 60, 0.5) as e from m where time >= 0 order by ema(value, 60, 0.5)")
+    assert(ok.head.getDouble(0) === 6.375)
   }
 
   test("order by a non-projected window function rides the hidden sort column") {
