@@ -1,0 +1,99 @@
+package graft.pipeline
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Product quantization (PQ) for embedding ANN — the FAISS-style memory
+  * path for serving similarity search over corpora that cannot hold raw
+  * vectors: dim floats per vector compress to m one-byte codes (one per
+  * subvector block, each quantized by its own ksub-centroid codebook), and
+  * queries rank candidates with an asymmetric-distance (ADC) lookup —
+  * m table probes per candidate instead of a dim-element fold.
+  *
+  * Scale shape (100 TB): the fit touches only the bounded training frame
+  * (m small k-means fits over slices of the persisted parsed vectors);
+  * encoding is ONE narrow codegen pass (m fused KMeansAssign kernels per
+  * row) whose output is m bytes/vector — the at-rest representation; ADC
+  * serving broadcasts the per-query lookup tables (m×ksub doubles each)
+  * and scans only codes, never raw vectors. No shuffle carries vectors.
+  *
+  * Deterministic by the same contract as [[Clustering]] (smallest-vec_id
+  * seeds, left-to-right folds, 1e-4-rounded centroid updates, ties to the
+  * lowest index), so a SQL engine can replay fit, encode, and ADC ranking
+  * bit-for-bit.
+  */
+object Pq {
+
+  /** Per-block codebooks: `books(j)(c)` is centroid c of subvector block j
+    * (each block a dim/m slice). m sequential [[Clustering.fitCentroids]]
+    * fits over slices of the persisted parsed frame.
+    */
+  def fit(emb: DataFrame, m: Int, ksub: Int, iters: Int): Array[Array[Seq[Double]]] = {
+    val e = Clustering.parsed(emb)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      val dim = e.select(size(col("v"))).head().getInt(0)
+      require(dim % m == 0, s"dim $dim must divide into $m blocks")
+      val sub = dim / m
+      (0 until m).toArray.map { j =>
+        val block = e.select(col("vec_id"), slice(col("v"), j * sub + 1, sub).as("embedding"))
+        Clustering.fitCentroids(block, ksub, iters)
+      }
+    } finally e.unpersist(blocking = false)
+  }
+
+  /** `(vec_id, codes ARRAY<INT>)` — block j's code is the fused-kernel
+    * argmin of the j-th slice over codebook j. One narrow pass; the
+    * at-rest form is m small ints per vector.
+    */
+  def encode(emb: DataFrame, books: Array[Array[Seq[Double]]]): DataFrame = {
+    val sub = books(0)(0).length
+    val codes = array(books.zipWithIndex.map { case (cb, j) =>
+      Clustering.assignment(cb, slice(col("v"), j * sub + 1, sub)).getField("c")
+    }: _*)
+    Clustering.parsed(emb).select(col("vec_id"), codes.as("codes"))
+  }
+
+  /** ADC top-k: for each query, the k nearest corpus vectors by
+    * approximate squared L2 = Σ_j lut(j)(code_j), where each query's
+    * lookup table holds its exact squared distance to every codebook
+    * centroid (computed driver-side with the same left-to-right fold as
+    * the assignment kernel — the query batch is bounded by contract, like
+    * the brute-force path's broadcast). Ties break to the lowest vec_id.
+    * Returns `(q_id, vec_id, rank, adc_dist)` with adc_dist 1e-4-rounded.
+    */
+  def adcTopK(corpus: DataFrame, queries: DataFrame, books: Array[Array[Seq[Double]]],
+      k: Int): DataFrame = {
+    val spark = corpus.sparkSession
+    import spark.implicits._
+    val sub = books(0)(0).length
+    val qLuts: Seq[(Long, Seq[Seq[Double]])] =
+      Clustering.parsed(queries).collect().toSeq.map { r =>
+        val qv = r.getSeq[Double](1)
+        val lut: Seq[Seq[Double]] = books.toSeq.zipWithIndex.map { case (cb, j) =>
+          cb.toSeq.map { c =>
+            var acc = 0.0
+            var i = 0
+            while (i < sub) { val d = qv(j * sub + i) - c(i); acc = acc + d * d; i += 1 }
+            acc
+          }
+        }
+        (r.getLong(0), lut)
+      }
+    val q = qLuts.toDF("q_id", "lut")
+    val adc = aggregate(
+      zip_with(col("lut"), col("codes"), (l, c) => element_at(l, c.cast("int") + 1)),
+      lit(0.0), (acc, x) => acc + x)
+    val scored = encode(corpus, books)
+      .crossJoin(broadcast(q))
+      .filter(col("vec_id") =!= col("q_id"))
+      .withColumn("__adc", adc)
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("q_id").orderBy(col("__adc"), col("vec_id"))
+    scored
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("q_id"), col("vec_id"), col("rank").cast("long").as("rank"),
+        (floor(col("__adc") * 1e4 + 0.5) / 1e4).as("adc_dist"))
+  }
+}

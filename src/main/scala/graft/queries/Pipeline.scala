@@ -129,6 +129,69 @@ object Pipeline {
        |asg AS (SELECT vec_id, v, $ds AS ds FROM e CROSS JOIN c$iters)""".stripMargin
   }
 
+  /** Replays Pq.fit / Pq.encode / Pq.adcTopK: per subvector block j, the
+    * same deterministic kmeans CTE chain as [[kmeansCtes]] over the slice
+    * (smallest-vec_id seeds, left-to-right folds, 1e-4-rounded updates,
+    * first-index ties), then codes by argmin against the block books,
+    * per-query LUTs, and the left-to-right ADC sum — the ranking is
+    * bit-identical by construction.
+    */
+  private def pqOracle(m: Int, ksub: Int, iters: Int, dim: Int, nq: Int, k: Int): String = {
+    val sub = dim / m
+    val blocks = 0 until m
+    def ds(cs: String) =
+      s"""[list_reduce([(v[i] - cc[i]) * (v[i] - cc[i]) for i in range(1, $sub + 1)],
+         |  (a, b) -> a + b) for cc in $cs]""".stripMargin
+    val blockCtes = blocks.map { j =>
+      val lo = j * sub + 1
+      val hi = (j + 1) * sub
+      val iterCtes = (1 to iters).map { t =>
+        val prev = if (t == 1) s"s$j" else s"c${t - 1}_$j"
+        s"""a${t}_$j AS (
+           |  SELECT vec_id, v, list_indexof(ds, list_min(ds)) - 1 AS c
+           |  FROM (SELECT vec_id, v, ${ds("cs")} AS ds FROM e$j CROSS JOIN $prev)
+           |), c${t}_$j AS (
+           |  SELECT list(cv ORDER BY cluster) AS cs FROM (
+           |    SELECT r.cluster, coalesce(mm.cv, prev.cs[CAST(r.cluster AS INT) + 1]) AS cv
+           |    FROM range(0, $ksub) r(cluster)
+           |    LEFT JOIN (
+           |      SELECT c AS cluster, list(mval ORDER BY d) AS cv FROM (
+           |        SELECT c, d, floor(avg(v[d]) * 1e4 + 0.5) / 1e4 AS mval
+           |        FROM a${t}_$j CROSS JOIN range(1, $sub + 1) t(d) GROUP BY c, d
+           |      ) GROUP BY c
+           |    ) mm ON mm.cluster = r.cluster
+           |    CROSS JOIN $prev prev
+           |  )
+           |)""".stripMargin
+      }.mkString(",\n")
+      s"""e$j AS (SELECT vec_id, ev[$lo:$hi] AS v FROM e0all),
+         |s$j AS (SELECT list(v ORDER BY vec_id) AS cs
+         |        FROM (SELECT vec_id, v FROM e$j ORDER BY vec_id LIMIT $ksub)),
+         |$iterCtes,
+         |g$j AS (SELECT vec_id, list_indexof(ds, list_min(ds)) - 1 AS c
+         |        FROM (SELECT vec_id, ${ds("cs")} AS ds FROM e$j CROSS JOIN c${iters}_$j)),
+         |l$j AS (SELECT vec_id AS q_id, ${ds("cs")} AS lut
+         |        FROM e$j CROSS JOIN c${iters}_$j WHERE vec_id < $nq)""".stripMargin
+    }.mkString(",\n")
+    val codeJoins = blocks.tail.map(j => s"JOIN g$j USING (vec_id)").mkString(" ")
+    val lutJoins = blocks.tail.map(j => s"JOIN l$j USING (q_id)").mkString(" ")
+    val adcSum = blocks.map(j => s"q.lut$j[CAST(c.codes[${j + 1}] AS INT) + 1]").mkString(" + ")
+    s"""WITH e0all AS (SELECT vec_id, [CAST(x AS DOUBLE) for x in embedding] AS ev FROM embeddings),
+       |$blockCtes,
+       |codes AS (SELECT vec_id, [${blocks.map(j => s"g$j.c").mkString(", ")}] AS codes
+       |          FROM g0 $codeJoins),
+       |luts AS (SELECT q_id, ${blocks.map(j => s"l$j.lut AS lut$j").mkString(", ")}
+       |         FROM l0 $lutJoins),
+       |ranked AS (
+       |  SELECT q_id, vec_id, adc,
+       |         row_number() OVER (PARTITION BY q_id ORDER BY adc, vec_id) AS rank
+       |  FROM (SELECT q.q_id, c.vec_id, $adcSum AS adc
+       |        FROM codes c CROSS JOIN luts q WHERE c.vec_id != q.q_id)
+       |)
+       |SELECT q_id, vec_id, rank, floor(adc * 1e4 + 0.5) / 1e4 AS adc_dist
+       |FROM ranked WHERE rank <= $k ORDER BY q_id, rank""".stripMargin
+  }
+
   private def kmeansOracle(k: Int, iters: Int, dim: Int): String =
     s"""WITH ${kmeansCtes(k, iters, dim)}
        |SELECT vec_id,
@@ -158,7 +221,7 @@ object Pipeline {
     // quantized ANN serving path, so all have per-op timing history
     "q_pl_simhash", "q_pl_cos_pairs_lsh", "q_ann_quant", "q_pl_kmeans",
     "q_pl_vocab", "q_pl_lm_score", "q_pl_tfidf", "q_ann_ivf_km",
-    "q_pl_cluster_balance", "q_ann_ivf_at_rest")
+    "q_pl_cluster_balance", "q_ann_ivf_at_rest", "q_ann_pq")
 
   def qs: Seq[Q] = {
     val all = raw.map(q => if (ExtraBench(q.name)) q.copy(benchExtra = true) else q)
@@ -395,6 +458,20 @@ object Pipeline {
               |)
               |SELECT q_id, vec_id, rank, floor((cos) * 1e6 + 0.5) / 1e6 AS cos
               |FROM scored WHERE rank <= 5 ORDER BY q_id, rank""".stripMargin)),
+
+    // Product quantization (FAISS IVFPQ's memory path): 64-dim vectors →
+    // 4 one-byte codes (one 16-centroid codebook per 16-dim block), served
+    // by asymmetric-distance lookup — 4 table probes per candidate instead
+    // of a 64-element fold, and the at-rest corpus is 4 bytes/vector. The
+    // oracle replays fit, encode, and the ADC ranking bit-for-bit.
+    Q("q_ann_pq",
+      (s, dir) => {
+        val emb = Tables.embeddings(s, dir)
+        val books = graft.pipeline.Pq.fit(emb, m = 4, ksub = 16, iters = 1)
+        graft.pipeline.Pq.adcTopK(emb, emb.filter(col("vec_id") < 10), books, k = 5)
+          .orderBy("q_id", "rank")
+      },
+      Some(pqOracle(m = 4, ksub = 16, iters = 1, dim = 64, nq = 10, k = 5))),
 
     // Corpus vocabulary by document frequency (vocab building / stopword
     // discovery): per-doc distinct → explode → word-level count → top-100.

@@ -82,6 +82,37 @@ class PipelineSpec extends AnyFunSuite {
     assert(kmMean >= 0.5, s"kmeans-IVF nprobe=4 recall $kmMean")
   }
 
+  test("PQ codes are m small ints; ADC top-k is deterministic with useful recall") {
+    val emb01 = spark.read.parquet("/root/testdata/sf0.01/embeddings.parquet")
+    val books = graft.pipeline.Pq.fit(emb01, m = 4, ksub = 16, iters = 1)
+    assert(books.length === 4 && books.forall(_.length === 16)
+      && books.forall(_.forall(_.length === 16))) // 64/4 dims per block
+    val codes = graft.pipeline.Pq.encode(emb01, books)
+      .select("codes").as[Seq[Int]].collect()
+    assert(codes.forall(cs => cs.length == 4 && cs.forall(c => c >= 0 && c < 16)))
+    val q = emb01.filter(col("vec_id") < 10)
+    def run() = graft.pipeline.Pq.adcTopK(emb01, q, books, 5)
+      .select("q_id", "vec_id", "rank").as[(Long, Long, Long)].collect().toSeq.sorted
+    val first = run()
+    assert(first === run(), "ADC ranking must be bit-deterministic")
+    assert(first.groupBy(_._1).forall(_._2.length == 5))
+    // recall vs EXACT squared-L2 top-5 (PQ's own metric; the synthetic
+    // embeddings are near-random, so 16 bits/vector resolves ~0.3 —
+    // measured 0.30 — far above the 1% chance floor; bound leaves margin)
+    val all = emb01.select(col("vec_id"), col("embedding").cast("array<double>"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[Double](1)).toMap
+    def l2(a: Seq[Double], b: Seq[Double]) =
+      a.zip(b).map { case (x, y) => (x - y) * (x - y) }.sum
+    val got = first.groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+    val recalls = (0L until 10L).map { qid =>
+      val exact = all.filter(_._1 != qid).toSeq
+        .sortBy { case (id, v) => (l2(all(qid), v), id) }.take(5).map(_._1)
+      exact.count(got.getOrElse(qid, Set.empty).contains).toDouble / 5
+    }
+    val mean = recalls.sum / recalls.size
+    assert(mean >= 0.15, s"ADC recall@5 $mean should beat chance (0.01) comfortably")
+  }
+
   test("banded simhash pairs equal the all-pairs answer (pigeonhole losslessness)") {
     val banded = Dedup.simhashPairs(docs, 10)
       .select("doc_a", "doc_b", "hamming").as[(Long, Long, Long)].collect().toSet
