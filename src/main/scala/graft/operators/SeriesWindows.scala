@@ -158,28 +158,32 @@ object SeriesWindows {
       .drop(d, vc, g)
   }
 
-  /** Final `ema(alpha)` value over the whole frame in (time, value) order,
-    * as a ONE-ROW frame with the single double column `out`.
+  /** Final `ema(alpha)` value per key combination (one row per key; ONE
+    * row total when `keys` is empty), over each key's points in
+    * (time, value) order.
     *
-    * The grouped ema folds a per-bucket point array — bounded by the bucket.
-    * Ungrouped, that buffer is the entire scan, so this path exploits that
-    * the recurrence y_i = α·x_i + (1-α)·y_{i-1} is an affine map per point
-    * and affine maps compose associatively:
-    *   phase 1 — each (day) partition folds its own sorted points into
-    *     (a, b) with y_dayEnd = a·y_dayStart + b: two doubles of state per
-    *     task, points never leave their day;
-    *   phase 2 — the per-day pairs (one row per non-empty day,
-    *     metadata-sized) compose in day order; the first day contributes
-    *     its all-but-first fold seeded by its first value (y_1 = x_1
-    *     exactly, same seed as the grouped fold).
-    * NULL values are skipped, matching the grouped path's sortedPts.
+    * A per-group fold buffers the group's entire point array — unbounded
+    * for an ungrouped query or a non-time group key (a tag group holds its
+    * whole history). This path instead exploits that the recurrence
+    * y_i = α·x_i + (1-α)·y_{i-1} is an affine map per point and affine
+    * maps compose associatively:
+    *   phase 1 — each (keys, day) partition folds its own sorted points
+    *     into (a, b) with y_dayEnd = a·y_dayStart + b: two doubles of
+    *     state per task, points never leave their day;
+    *   phase 2 — the per-day pairs (one row per non-empty key-day,
+    *     metadata-sized) compose in day order per key; the first day
+    *     contributes its all-but-first fold seeded by its first value
+    *     (y_1 = x_1 exactly, same seed as a sequential fold).
+    * NULL values are skipped, matching the sequential fold's semantics.
+    * `keys` must name existing columns of `df`.
     */
-  def emaGlobal(df: DataFrame, out: String, value: Column, alpha: Double,
-      timeCol: String = "time", bucket: Long = DayW): DataFrame = {
+  def emaByKey(df: DataFrame, out: String, value: Column, alpha: Double,
+      keys: Seq[String], timeCol: String = "time", bucket: Long = DayW): DataFrame = {
     val t = col(timeCol).cast("long")
     val al = lit(alpha)
     val na = lit(1.0 - alpha)
     val d = s"${out}_d"
+    val kc = keys.map(col)
     val pts = sort_array(collect_list(when(value.isNotNull,
       struct(t.as("t"), value.cast("double").as("v")))))
     def fold(arr: Column): Column = aggregate(arr,
@@ -190,17 +194,17 @@ object SeriesWindows {
     def restOf(arr: Column): Column =
       slice(arr, lit(2), greatest(size(arr) - 1, lit(0)))
     val perDay = df
-      .groupBy(dayKey(t, bucket).as(d))
+      .groupBy(kc :+ dayKey(t, bucket).as(d): _*)
       .agg(pts.as("__pts"))
       .filter(size(col("__pts")) >= 1) // a day of all-NULL values contributes nothing
-      .select(
+      .select(kc ++ Seq(
         col(d),
         element_at(col("__pts"), 1).getField("v").as("fv"),
         fold(col("__pts")).as("all"),
-        fold(restOf(col("__pts"))).as("rst"))
+        fold(restOf(col("__pts"))).as("rst")): _*)
     val ds = sort_array(collect_list(struct(col(d).as("d"),
       col("fv"), col("all"), col("rst"))))
-    perDay.agg(ds.as("__ds")).select(
+    perDay.groupBy(kc: _*).agg(ds.as("__ds")).select(kc :+
       when(size(col("__ds")) >= 1,
         aggregate(
           restOf(col("__ds")),
@@ -214,6 +218,11 @@ object SeriesWindows {
             (x.getField("all").getField("a") * acc.getField("b")
               + x.getField("all").getField("b")).as("b")),
           acc => acc.getField("a") * acc.getField("fv") + acc.getField("b")))
-        .as(out))
+        .as(out): _*)
   }
+
+  /** [[emaByKey]] with no keys: one row for the whole frame. */
+  def emaGlobal(df: DataFrame, out: String, value: Column, alpha: Double,
+      timeCol: String = "time", bucket: Long = DayW): DataFrame =
+    emaByKey(df, out, value, alpha, Nil, timeCol, bucket)
 }

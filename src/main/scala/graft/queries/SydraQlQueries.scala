@@ -356,6 +356,46 @@ object SydraQlQueries {
          |FROM pairs GROUP BY cnt""".stripMargin,
       roundCols = Seq("area", "irate_v")),
 
+    // TAG-grouped integral/irate: a non-time group key means the group
+    // spans the whole range — the keyed day-partitioned pre-pass (window
+    // inside (tag, day), cross-day boundary join) replaces what would
+    // otherwise be one task per tag holding its full history.
+    sq("q_sql_integral_by_tag",
+      s"select tag.user as usr, integral(value) as area, irate(value) as irate_v " +
+        s"from click where time >= $T0 and time < ${T0 + 3 * 86400} group by tag.user order by usr",
+      s"""$svSql, f AS (
+         |  SELECT tag_user, time, value FROM sv
+         |  WHERE series = 'click' AND time >= $T0 AND time < ${T0 + 3 * 86400}
+         |), pairs AS (
+         |  SELECT tag_user, time, value,
+         |         lag(time) OVER (PARTITION BY tag_user ORDER BY time, value) AS pt,
+         |         lag(value) OVER (PARTITION BY tag_user ORDER BY time, value) AS pv,
+         |         row_number() OVER (PARTITION BY tag_user ORDER BY time DESC, value DESC) AS rn_d,
+         |         count(*) OVER (PARTITION BY tag_user) AS cnt
+         |  FROM f
+         |)
+         |SELECT tag_user AS usr,
+         |       floor((coalesce(sum((time - pt) * (value + pv) / 2), 0)) * 1e4 + 0.5) / 1e4 AS area,
+         |       floor((CASE WHEN max(cnt) >= 2 AND min(CASE WHEN rn_d = 1 THEN time END) - min(CASE WHEN rn_d = 2 THEN time END) > 0
+         |             THEN (min(CASE WHEN rn_d = 1 THEN value END) - min(CASE WHEN rn_d = 2 THEN value END))
+         |                  / (min(CASE WHEN rn_d = 1 THEN time END) - min(CASE WHEN rn_d = 2 THEN time END)) END) * 1e4 + 0.5) / 1e4 AS irate_v
+         |FROM pairs GROUP BY tag_user ORDER BY usr""".stripMargin,
+      roundCols = Seq("area", "irate_v")),
+
+    // TAG-grouped ema: the keyed two-phase fold (per-(tag, day) affine
+    // coefficients composed per tag) with the null-safe join-back; the
+    // oracle's sequential per-tag list_reduce agrees within the shared
+    // 1e-4 rounding.
+    sq("q_sql_ema_by_tag",
+      s"select tag.user as usr, ema(value, 60, 0.5) as ema_v " +
+        s"from click where time >= $T0 and time < ${T0 + 3 * 86400} group by tag.user order by usr",
+      s"""$svSql
+         |SELECT tag_user AS usr,
+         |       floor((list_reduce(list(value ORDER BY time, value), (acc, x) -> 0.5 * x + 0.5 * acc)) * 1e4 + 0.5) / 1e4 AS ema_v
+         |FROM sv WHERE series = 'click' AND time >= $T0 AND time < ${T0 + 3 * 86400}
+         |GROUP BY tag_user ORDER BY usr""".stripMargin,
+      roundCols = Seq("ema_v")),
+
     sq("q_sql_ema",
       s"select time_bucket(86400, time) as day, ema(value, 60, 0.5) as ema_v " +
         s"from error where time >= $T0 and time < ${T0 + 3 * 86400} group by time_bucket(86400, time) order by day",

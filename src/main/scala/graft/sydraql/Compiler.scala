@@ -260,39 +260,37 @@ final class Compiler(spark: SparkSession, source: DataFrame, options: CompileOpt
     windowPre = Map.empty
     preCalls.zipWithIndex.foreach { case (c @ Call(fn, args), i) =>
       val prefix = s"__wp$i"
-      val v = dbl(scalar(args.head))
-      val t = col("time").cast("long")
-      if (groupBy.nonEmpty) {
-        val w = Window.partitionBy(groupBy.map(scalar): _*).orderBy(t, v)
-        fn match {
-          case "integral" =>
-            df = df.withColumn(s"${prefix}_lt", lag(t, 1).over(w))
-              .withColumn(s"${prefix}_lv", lag(v, 1).over(w))
-          case "irate" =>
-            df = df.withColumn(s"${prefix}_rn",
-              row_number().over(Window.partitionBy(groupBy.map(scalar): _*).orderBy(t.desc, v.desc)))
-          case _ => ()
-        }
-      } else {
-        df = ungroupedPrePass(df, fn, prefix, v)
-      }
+      df = keyedPrePass(df, fn, prefix, dbl(scalar(args.head)), groupBy.map(scalar))
       windowPre += (c: Expr) -> prefix
     }
 
-    // UNGROUPED ema: the per-group fold would buffer the entire scan in one
-    // task. Instead each call gets a two-phase day-partitioned fold
-    // (SeriesWindows.emaGlobal — affine-map composition, two doubles of
-    // state per day task) whose one-row result is broadcast-cross-joined
-    // back as a constant column; aggCall then reads it with first().
-    if (groupBy.isEmpty) {
-      val emaCalls = s.projections.flatMap(p => collectCalls(p.expr, Set("ema"))).distinct
-      emaCalls.zipWithIndex.foreach { case (c @ Call(_, args), i) =>
-        val helper = s"__ema$i"
-        val one = graft.operators.SeriesWindows.emaGlobal(
-          df, helper, dbl(scalar(args.head)), alphaLit(args(2)))
-        df = df.crossJoin(broadcast(one))
-        emaPre += (c: Expr) -> helper
+    // ema: the per-group fold would buffer each group's entire point array
+    // — unbounded for an ungrouped query OR a non-time group key (a tag
+    // group holds its whole history in one buffer). Every call instead
+    // gets the two-phase day-partitioned fold (SeriesWindows.emaByKey —
+    // affine-map composition, two doubles of state per key-day task)
+    // joined back as a per-group constant column; aggCall reads it with
+    // first(). Ungrouped = the keys-empty one-row case, broadcast
+    // cross-joined.
+    val emaCalls = s.projections.flatMap(p => collectCalls(p.expr, Set("ema"))).distinct
+    emaCalls.zipWithIndex.foreach { case (c @ Call(_, args), i) =>
+      val helper = s"__ema$i"
+      val v = dbl(scalar(args.head))
+      val alpha = alphaLit(args(2))
+      if (groupBy.isEmpty) {
+        df = df.crossJoin(broadcast(
+          graft.operators.SeriesWindows.emaGlobal(df, helper, v, alpha)))
+      } else {
+        // materialize the group keys, fold per key, null-safe join-back
+        // (tag keys can be NULL and a NULL group must still find its fold)
+        val keyNames = groupBy.indices.map(j => s"${helper}_k$j")
+        groupBy.zip(keyNames).foreach { case (g, n) => df = df.withColumn(n, scalar(g)) }
+        val perKey = graft.operators.SeriesWindows.emaByKey(df, helper, v, alpha, keyNames)
+        val rhs = keyNames.foldLeft(perKey)((p, n) => p.withColumnRenamed(n, s"${n}_r"))
+        val cond = keyNames.map(n => df(n) <=> rhs(s"${n}_r")).reduce(_ && _)
+        df = df.join(rhs, cond, "left").drop(keyNames.map(n => s"${n}_r"): _*)
       }
+      emaPre += (c: Expr) -> helper
     }
 
     val projNames = s.projections.zipWithIndex.map { case (p, i) => outName(p, i) }
@@ -332,52 +330,73 @@ final class Compiler(spark: SparkSession, source: DataFrame, options: CompileOpt
     filledDf.select(outCols: _*)
   }
 
-  /** Pre-pass for UNGROUPED integral/irate. An empty `partitionBy` would
-    * move every scanned point into one task for the window sort — fine on a
-    * laptop, a scale-killer on a cluster. Instead: rows get a coarse day
-    * key (`time / 86400` — monotone in time, so day ranges are disjoint and
-    * (t, v) order within a day equals global order restricted to the day),
-    * the lag/rank windows run inside day partitions, and the cross-day
-    * boundary terms come from a per-day aggregate (one row per non-empty
-    * day — driver-small by construction) broadcast-joined back:
-    *  - integral: the first row of each day takes its lag (t, v) from the
-    *    previous non-empty day's last point;
-    *  - irate: global desc rank = within-day rank + total row count of all
-    *    later days.
-    * No exchange moves more than one day of data to a single task.
+  /** Pre-pass for integral/irate, keyed on the aggregation's group keys
+    * (empty for an ungrouped query). Partitioning the window by the group
+    * keys alone is bounded only when a key is time-derived (time_bucket);
+    * a pure tag group — or no group — would move a group's entire history
+    * into one task for the window sort: fine on a laptop, a scale-killer
+    * on a cluster (the r3 ungrouped-integral bug, one layer deeper).
+    * Instead rows ALWAYS get a coarse day key (`time div 86400` — monotone
+    * in time, so day ranges are disjoint and (t, v) order within a day
+    * equals group order restricted to the day), the lag/rank windows run
+    * inside (keys, day) partitions, and the cross-day boundary terms come
+    * from a per-(keys, day) aggregate (one row per non-empty key-day —
+    * metadata-sized) joined back null-safely (tag keys can be NULL):
+    *  - integral: the first row of each key-day takes its lag (t, v) from
+    *    the key's previous non-empty day's last point;
+    *  - irate: per-key desc rank = within-day rank + total row count of
+    *    the key's later days.
+    * No exchange moves more than one key-day of data to a single task.
+    * (The boundary frame is broadcast; if keys × days ever outgrows
+    * broadcast size, drop the hint and AQE picks a shuffle join —
+    * semantics hold.)
     */
-  private def ungroupedPrePass(df0: DataFrame, fn: String, prefix: String, v: Column): DataFrame = {
+  private def keyedPrePass(df0: DataFrame, fn: String, prefix: String, v: Column,
+      keys: Seq[Column]): DataFrame = {
     val t = col("time").cast("long")
     val gName = s"${prefix}_g"
-    val df = df0.withColumn(gName, graft.operators.SeriesWindows.dayKey(t, 86400L))
+    val keyNames = keys.indices.map(j => s"${prefix}_k$j")
+    var df = df0
+    keys.zip(keyNames).foreach { case (k, n) => df = df.withColumn(n, k) }
+    df = df.withColumn(gName, graft.operators.SeriesWindows.dayKey(t, 86400L))
+    val kc = keyNames.map(col)
+    val part = kc :+ col(gName)
+    // null-safe keyed join-back of a per-(keys, day) boundary frame
+    def joinBack(left: DataFrame, right: DataFrame): DataFrame = {
+      val rhs = (keyNames :+ gName).foldLeft(right)((p, n) => p.withColumnRenamed(n, s"${n}_r"))
+      val cond = (keyNames :+ gName).map(n => left(n) <=> rhs(s"${n}_r")).reduce(_ && _)
+      left.join(broadcast(rhs), cond, "left").drop((keyNames :+ gName).map(n => s"${n}_r"): _*)
+    }
     fn match {
       case "integral" =>
-        val wLocal = Window.partitionBy(col(gName)).orderBy(t, v)
+        val wLocal = Window.partitionBy(part: _*).orderBy(t, v)
         val withLag = df
           .withColumn(s"${prefix}_lt0", lag(t, 1).over(wLocal))
           .withColumn(s"${prefix}_lv0", lag(v, 1).over(wLocal))
-        // last (t, v) per day, shifted to the next non-empty day; the
-        // un-partitioned window is over ≤ one row per day — driver-small
-        val lasts = df.groupBy(col(gName))
+        // last (t, v) per key-day, shifted to the key's next non-empty day;
+        // the day-shift window is over ≤ one row per key-day
+        val lasts = df.groupBy(part: _*)
           .agg(max(struct(t.as("t"), v.as("v"))).as(s"${prefix}_p"))
         val prev = lasts
-          .withColumn(s"${prefix}_q", lag(col(s"${prefix}_p"), 1).over(Window.orderBy(col(gName))))
-          .select(col(gName),
+          .withColumn(s"${prefix}_q",
+            lag(col(s"${prefix}_p"), 1).over(Window.partitionBy(kc: _*).orderBy(col(gName))))
+          .select(part ++ Seq(
             col(s"${prefix}_q.t").as(s"${prefix}_pt"),
-            col(s"${prefix}_q.v").as(s"${prefix}_pv"))
-        withLag.join(broadcast(prev), Seq(gName), "left")
+            col(s"${prefix}_q.v").as(s"${prefix}_pv")): _*)
+        joinBack(withLag, prev)
           .withColumn(s"${prefix}_lt", coalesce(col(s"${prefix}_lt0"), col(s"${prefix}_pt")))
           .withColumn(s"${prefix}_lv", coalesce(col(s"${prefix}_lv0"), col(s"${prefix}_pv")))
       case "irate" =>
-        val wLocal = Window.partitionBy(col(gName)).orderBy(t.desc, v.desc)
+        val wLocal = Window.partitionBy(part: _*).orderBy(t.desc, v.desc)
         val withRn = df.withColumn(s"${prefix}_lrn", row_number().over(wLocal).cast("long"))
-        val counts = df.groupBy(col(gName)).agg(count(lit(1)).as(s"${prefix}_n"))
+        val counts = df.groupBy(part: _*).agg(count(lit(1)).as(s"${prefix}_n"))
         val later = counts
           .withColumn(s"${prefix}_later",
             coalesce(sum(col(s"${prefix}_n")).over(
-              Window.orderBy(col(gName).desc).rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
-          .select(col(gName), col(s"${prefix}_later"))
-        withRn.join(broadcast(later), Seq(gName), "left")
+              Window.partitionBy(kc: _*).orderBy(col(gName).desc)
+                .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+          .select(part :+ col(s"${prefix}_later"): _*)
+        joinBack(withRn, later)
           .withColumn(s"${prefix}_rn",
             col(s"${prefix}_lrn") + coalesce(col(s"${prefix}_later"), lit(0L)))
       case _ => df0
@@ -489,15 +508,6 @@ final class Compiler(spark: SparkSession, source: DataFrame, options: CompileOpt
     case FloatLit(v) => v
     case IntLit(v) => v.toDouble
     case _ => throw QueryError(QueryError.InvalidSyntax, "ema alpha must be a literal")
-  }
-
-  private def emaOverPts(pts: Column, alphaExpr: Expr): Column = {
-    val alpha = alphaLit(alphaExpr)
-    when(size(pts) >= 1,
-      aggregate(
-        slice(pts, lit(2), greatest(size(pts) - 1, lit(0))),
-        element_at(pts, 1).getField("v"),
-        (acc, x) => lit(alpha) * x.getField("v") + lit(1.0 - alpha) * acc))
   }
 
   // ------------------------------------------------------------- aggregate
@@ -639,12 +649,13 @@ final class Compiler(spark: SparkSession, source: DataFrame, options: CompileOpt
       val t = col("time").cast("long")
       coalesce(sum(when(lt.isNotNull, (t - lt).cast("double") * (v + lv) / 2.0)), lit(0.0))
     case "ema" =>
-      emaPre.get(c) match {
-        // ungrouped: the pre-pass already folded the whole scan; the helper
-        // is a constant column from the broadcast one-row cross join
-        case Some(helper) => first(col(helper))
-        case None => emaOverPts(sortedPts(args.head), args(2))
-      }
+      // the emaPre pre-pass already folded every projected call per group
+      // (two-phase day-partitioned — no per-group point buffer anywhere);
+      // the helper is a per-group constant column from the join-back
+      val helper = emaPre.getOrElse(c,
+        throw QueryError(QueryError.InvalidSyntax,
+          "ema is only supported in the projection of an aggregated query"))
+      first(col(helper))
     case other =>
       throw QueryError(QueryError.UnknownFunction, s"unknown aggregate '$other'")
   }

@@ -32,18 +32,17 @@ object Validator {
           throw QueryError(QueryError.UnsupportedFillPolicy,
             "fill(...) requires group by time_bucket(step, time)")
       }
-      // Ungrouped ema is a superset (the reference registers but never
-      // executes it; SURVEY §7.4): projected calls compile through the
-      // two-phase day-partitioned fold (Compiler emaPre — bounded state).
-      // In ORDER BY it must reference a projected call: the result is one
-      // row, and a hidden sort column would need its own whole-scan fold
-      // for a meaningless single-row sort.
-      if (s.groupBy.isEmpty)
-        s.orderBy.map(_.expr).foreach { e =>
-          if (containsCall(e, "ema") && !s.projections.exists(_.expr == e))
-            throw QueryError(QueryError.InvalidSyntax,
-              "ungrouped ema in ORDER BY must also appear as a projection")
-        }
+      // ema (grouped or not — ungrouped is a superset; the reference
+      // registers but never executes it, SURVEY §7.4) compiles through the
+      // two-phase day-partitioned fold (Compiler emaPre — bounded state),
+      // which collects calls from projections only. In ORDER BY it must
+      // reference a projected call, which then resolves to the output
+      // column; an unprojected one has no helper to resolve to.
+      s.orderBy.map(_.expr).foreach { e =>
+        if (containsCall(e, "ema") && !s.projections.exists(_.expr == e))
+          throw QueryError(QueryError.InvalidSyntax,
+            "ema in ORDER BY must also appear as a projection")
+      }
       // Window functions have no defined frame in WHERE / GROUP BY (the
       // reference registers them only for projections — functions.zig:
       // 326-393 never execute elsewhere), and compiling them there would

@@ -113,6 +113,24 @@ class PlanSpec extends AnyFunSuite {
     }
   }
 
+  test("tag-grouped integral/irate windows partition by (tag, day) — not the tag alone") {
+    import org.apache.spark.sql.catalyst.plans.logical.{Aggregate, Window => LWindow}
+    val df = SparkEntry.queries("q_sql_integral_by_tag")(spark, sf)
+    val wins = df.queryExecution.optimizedPlan.collect { case w: LWindow => w }
+    assert(wins.nonEmpty, "expected keyed window pre-pass nodes")
+    // a pure tag group spans the whole time range: a window partitioned by
+    // the tag alone would hold the tag's entire history in one task. The
+    // full-volume windows must carry BOTH the key and the day column; only
+    // the per-(tag, day) boundary frames (above an Aggregate, ≤ one row
+    // per tag-day) may partition by the key alone
+    wins.foreach { w =>
+      assert(w.partitionSpec.nonEmpty, s"unpartitioned window in plan: $w")
+      if (w.partitionSpec.size < 2)
+        assert(w.child.collectFirst { case a: Aggregate => a }.isDefined,
+          s"key-only window must be over a per-day aggregate frame: $w")
+    }
+  }
+
   test("scalar window functions are day-partitioned (lag/lead/moving_avg/fill_forward pre-pass)") {
     import org.apache.spark.sql.catalyst.plans.logical.{Aggregate, Window => LWindow}
     val df = SparkEntry.queries("q_sql_window_fns")(spark, sf)
