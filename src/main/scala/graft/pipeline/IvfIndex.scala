@@ -48,6 +48,67 @@ object IvfIndex {
     spark.read.parquet(s"$path/_centroids").orderBy("cell")
       .collect().map(_.getSeq[Double](1))
 
+  /** Full FAISS-style IVFPQ at rest: cells partition the parquet AND rows
+    * store only the m PQ codes — no raw vectors anywhere in the index, so
+    * the at-rest footprint is m bytes/vector plus the two metadata
+    * sidecars (`_centroids` coarse matrix, `_books` codebooks). Build is
+    * one coarse fit + one PQ fit + ONE narrow codegen pass emitting
+    * (vec_id, codes, bucket). Returns (coarse centroids, codebooks).
+    */
+  def buildPq(corpus: DataFrame, path: String, nCells: Int = 8, iters: Int = 3,
+      m: Int = 4, ksub: Int = 16, pqIters: Int = 1): (Array[Seq[Double]], Array[Array[Seq[Double]]]) = {
+    val cs = Clustering.fitCentroids(corpus, nCells, iters)
+    val books = Pq.fit(corpus, m, ksub, pqIters)
+    val sub = books(0)(0).length
+    val codes = array(books.zipWithIndex.map { case (cb, j) =>
+      Clustering.assignment(cb, slice(col("v"), j * sub + 1, sub)).getField("c")
+    }: _*)
+    Clustering.parsed(corpus)
+      .select(col("vec_id"), codes.as("codes"),
+        Clustering.assignment(cs).getField("c").as("bucket"))
+      .write.mode("overwrite").partitionBy("bucket").parquet(path)
+    val spark = corpus.sparkSession
+    import spark.implicits._
+    cs.toSeq.zipWithIndex.map { case (c, i) => (i, c) }.toDF("cell", "centroid")
+      .coalesce(1).write.mode("overwrite").parquet(s"$path/_centroids")
+    books.toSeq.zipWithIndex.flatMap { case (cb, j) =>
+      cb.zipWithIndex.map { case (c, i) => (j, i, c) }
+    }.toDF("block", "code", "centroid")
+      .coalesce(1).write.mode("overwrite").parquet(s"$path/_books")
+    (cs, books)
+  }
+
+  /** The m×ksub codebooks back from the index directory. */
+  def loadBooks(spark: SparkSession, path: String): Array[Array[Seq[Double]]] = {
+    val rows = spark.read.parquet(s"$path/_books").orderBy("block", "code").collect()
+    rows.groupBy(_.getInt(0)).toSeq.sortBy(_._1)
+      .map(_._2.map(_.getSeq[Double](2)).toArray).toArray
+  }
+
+  /** ADC top-k FROM THE IVFPQ INDEX AT REST: probe cells rank by coarse
+    * distance exactly as [[topK]], the probed set becomes a static
+    * `bucket IN (...)` partition filter, and candidates within the pruned
+    * partitions rank by the asymmetric-distance sum over their stored
+    * codes — the scan reads m codes per row and never a raw vector.
+    */
+  def topKPq(spark: SparkSession, path: String, queries: DataFrame, k: Int,
+      nprobe: Int, centroids: Option[Array[Seq[Double]]] = None,
+      books: Option[Array[Array[Seq[Double]]]] = None): DataFrame = {
+    val cs = centroids.getOrElse(loadCentroids(spark, path))
+    val bks = books.getOrElse(loadBooks(spark, path))
+    val qs = queries.select(col("vec_id").as("q_id"),
+      col("embedding").cast("array<double>").as("qv"))
+    val probes = Similarity.cellProbes(qs, cs, nprobe).select("q_id", "bucket")
+      .join(broadcast(Pq.lutFrame(queries, bks)), Seq("q_id"))
+    val buckets = probes.select("bucket").distinct().collect().map(_.getInt(0))
+    val c = spark.read.parquet(path).filter(col("bucket").isin(buckets.map(Int.box): _*))
+    Pq.rankAdcTopK(
+      c.join(broadcast(probes), Seq("bucket"))
+        .filter(col("q_id") =!= col("vec_id"))
+        .withColumn("__adc", Pq.adcColumn(col("lut"), col("codes"))),
+      k)
+  }
+
   /** Top-k cosine neighbors served FROM THE INDEX AT REST: ranks each
     * query's `nprobe` nearest cells (same deterministic ordering as
     * [[Similarity.kmeansIvfTopK]] — distance, then lower cell id), reduces

@@ -1,6 +1,6 @@
 package graft.pipeline
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
 /** Product quantization (PQ) for embedding ANN — the FAISS-style memory
@@ -62,32 +62,43 @@ object Pq {
     * the brute-force path's broadcast). Ties break to the lowest vec_id.
     * Returns `(q_id, vec_id, rank, adc_dist)` with adc_dist 1e-4-rounded.
     */
-  def adcTopK(corpus: DataFrame, queries: DataFrame, books: Array[Array[Seq[Double]]],
-      k: Int): DataFrame = {
-    val spark = corpus.sparkSession
+  /** `(q_id, lut ARRAY<ARRAY<DOUBLE>>)` — each query's exact squared
+    * distance to every codebook centroid, computed driver-side with the
+    * same left-to-right fold as the assignment kernel (the query batch is
+    * bounded by contract, like the brute-force path's broadcast).
+    */
+  private[pipeline] def lutFrame(queries: DataFrame,
+      books: Array[Array[Seq[Double]]]): DataFrame = {
+    val spark = queries.sparkSession
     import spark.implicits._
     val sub = books(0)(0).length
-    val qLuts: Seq[(Long, Seq[Seq[Double]])] =
-      Clustering.parsed(queries).collect().toSeq.map { r =>
-        val qv = r.getSeq[Double](1)
-        val lut: Seq[Seq[Double]] = books.toSeq.zipWithIndex.map { case (cb, j) =>
-          cb.toSeq.map { c =>
-            var acc = 0.0
-            var i = 0
-            while (i < sub) { val d = qv(j * sub + i) - c(i); acc = acc + d * d; i += 1 }
-            acc
-          }
+    Clustering.parsed(queries).collect().toSeq.map { r =>
+      val qv = r.getSeq[Double](1)
+      val lut: Seq[Seq[Double]] = books.toSeq.zipWithIndex.map { case (cb, j) =>
+        cb.toSeq.map { c =>
+          var acc = 0.0
+          var i = 0
+          while (i < sub) { val d = qv(j * sub + i) - c(i); acc = acc + d * d; i += 1 }
+          acc
         }
-        (r.getLong(0), lut)
       }
-    val q = qLuts.toDF("q_id", "lut")
-    val adc = aggregate(
-      zip_with(col("lut"), col("codes"), (l, c) => element_at(l, c.cast("int") + 1)),
+      (r.getLong(0), lut)
+    }.toDF("q_id", "lut")
+  }
+
+  /** ADC score: Σ_j lut(j)(code_j), left-to-right (init 0.0 + x₀ is
+    * exact, so the order matches a plain left-assoc sum).
+    */
+  private[pipeline] def adcColumn(lut: Column, codes: Column): Column =
+    aggregate(
+      zip_with(lut, codes, (l, c) => element_at(l, c.cast("int") + 1)),
       lit(0.0), (acc, x) => acc + x)
-    val scored = encode(corpus, books)
-      .crossJoin(broadcast(q))
-      .filter(col("vec_id") =!= col("q_id"))
-      .withColumn("__adc", adc)
+
+  /** Shared ADC top-k tail: rank ≤ k by (adc asc, vec_id), 1e-4 rounding
+    * on the reported distance. WindowGroupLimit prunes per-partition
+    * before the q_id shuffle, as in [[Similarity]]'s cosine tail.
+    */
+  private[pipeline] def rankAdcTopK(scored: DataFrame, k: Int): DataFrame = {
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy("q_id").orderBy(col("__adc"), col("vec_id"))
     scored
@@ -96,4 +107,13 @@ object Pq {
       .select(col("q_id"), col("vec_id"), col("rank").cast("long").as("rank"),
         (floor(col("__adc") * 1e4 + 0.5) / 1e4).as("adc_dist"))
   }
+
+  def adcTopK(corpus: DataFrame, queries: DataFrame, books: Array[Array[Seq[Double]]],
+      k: Int): DataFrame =
+    rankAdcTopK(
+      encode(corpus, books)
+        .crossJoin(broadcast(lutFrame(queries, books)))
+        .filter(col("vec_id") =!= col("q_id"))
+        .withColumn("__adc", adcColumn(col("lut"), col("codes"))),
+      k)
 }

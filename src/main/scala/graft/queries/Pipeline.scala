@@ -136,7 +136,14 @@ object Pipeline {
     * per-query LUTs, and the left-to-right ADC sum — the ranking is
     * bit-identical by construction.
     */
-  private def pqOracle(m: Int, ksub: Int, iters: Int, dim: Int, nq: Int, k: Int): String = {
+  private def pqAdcSum(m: Int): String =
+    (0 until m).map(j => s"q.lut$j[CAST(c.codes[${j + 1}] AS INT) + 1]").mkString(" + ")
+
+  /** CTE chain replaying Pq.fit / Pq.encode / Pq.lutFrame (shared by the
+    * PQ gate and the IVFPQ composition): per-block 1..iters-iteration
+    * kmeans over the slice, `codes(vec_id, codes)`, `luts(q_id, lut0..)`.
+    */
+  private def pqCtes(m: Int, ksub: Int, iters: Int, dim: Int, nq: Int): String = {
     val sub = dim / m
     val blocks = 0 until m
     def ds(cs: String) =
@@ -175,22 +182,55 @@ object Pipeline {
     }.mkString(",\n")
     val codeJoins = blocks.tail.map(j => s"JOIN g$j USING (vec_id)").mkString(" ")
     val lutJoins = blocks.tail.map(j => s"JOIN l$j USING (q_id)").mkString(" ")
-    val adcSum = blocks.map(j => s"q.lut$j[CAST(c.codes[${j + 1}] AS INT) + 1]").mkString(" + ")
-    s"""WITH e0all AS (SELECT vec_id, [CAST(x AS DOUBLE) for x in embedding] AS ev FROM embeddings),
+    s"""e0all AS (SELECT vec_id, [CAST(x AS DOUBLE) for x in embedding] AS ev FROM embeddings),
        |$blockCtes,
        |codes AS (SELECT vec_id, [${blocks.map(j => s"g$j.c").mkString(", ")}] AS codes
        |          FROM g0 $codeJoins),
        |luts AS (SELECT q_id, ${blocks.map(j => s"l$j.lut AS lut$j").mkString(", ")}
-       |         FROM l0 $lutJoins),
+       |         FROM l0 $lutJoins)""".stripMargin
+  }
+
+  private def pqOracle(m: Int, ksub: Int, iters: Int, dim: Int, nq: Int, k: Int): String =
+    s"""WITH ${pqCtes(m, ksub, iters, dim, nq)},
        |ranked AS (
        |  SELECT q_id, vec_id, adc,
        |         row_number() OVER (PARTITION BY q_id ORDER BY adc, vec_id) AS rank
-       |  FROM (SELECT q.q_id, c.vec_id, $adcSum AS adc
+       |  FROM (SELECT q.q_id, c.vec_id, ${pqAdcSum(m)} AS adc
        |        FROM codes c CROSS JOIN luts q WHERE c.vec_id != q.q_id)
        |)
        |SELECT q_id, vec_id, rank, floor(adc * 1e4 + 0.5) / 1e4 AS adc_dist
        |FROM ranked WHERE rank <= $k ORDER BY q_id, rank""".stripMargin
-  }
+
+  /** [[kmeansCtes]] (coarse cells) + [[pqCtes]] (codes/LUTs) + the probe
+    * ranking of the at-rest IVF oracle + ADC ranking within probed cells —
+    * the full IVFPQ chain replayed.
+    */
+  private def ivfpqOracle(nCells: Int, iters: Int, m: Int, ksub: Int, pqIters: Int,
+      dim: Int, nq: Int, nprobe: Int, k: Int): String =
+    s"""WITH ${kmeansCtes(nCells, iters, dim)},
+       |${pqCtes(m, ksub, pqIters, dim, nq)},
+       |cc AS (SELECT vec_id, list_indexof(ds, list_min(ds)) - 1 AS bucket FROM asg),
+       |pr AS (
+       |  SELECT q_id, bucket FROM (
+       |    SELECT a.vec_id AS q_id, r.cell AS bucket,
+       |           row_number() OVER (PARTITION BY a.vec_id
+       |                              ORDER BY a.ds[CAST(r.cell AS INT) + 1], r.cell) AS prn
+       |    FROM asg a CROSS JOIN range(0, $nCells) r(cell)
+       |    WHERE a.vec_id < $nq
+       |  ) WHERE prn <= $nprobe
+       |),
+       |ranked AS (
+       |  SELECT q_id, vec_id, adc,
+       |         row_number() OVER (PARTITION BY q_id ORDER BY adc, vec_id) AS rank
+       |  FROM (SELECT q.q_id, c.vec_id, ${pqAdcSum(m)} AS adc
+       |        FROM codes c
+       |        JOIN cc ON cc.vec_id = c.vec_id
+       |        JOIN pr p ON cc.bucket = p.bucket
+       |        JOIN luts q ON q.q_id = p.q_id
+       |        WHERE c.vec_id != p.q_id)
+       |)
+       |SELECT q_id, vec_id, rank, floor(adc * 1e4 + 0.5) / 1e4 AS adc_dist
+       |FROM ranked WHERE rank <= $k ORDER BY q_id, rank""".stripMargin
 
   private def kmeansOracle(k: Int, iters: Int, dim: Int): String =
     s"""WITH ${kmeansCtes(k, iters, dim)}
@@ -221,7 +261,7 @@ object Pipeline {
     // quantized ANN serving path, so all have per-op timing history
     "q_pl_simhash", "q_pl_cos_pairs_lsh", "q_ann_quant", "q_pl_kmeans",
     "q_pl_vocab", "q_pl_lm_score", "q_pl_tfidf", "q_ann_ivf_km",
-    "q_pl_cluster_balance", "q_ann_ivf_at_rest", "q_ann_pq")
+    "q_pl_cluster_balance", "q_ann_ivf_at_rest", "q_ann_pq", "q_ann_ivfpq_at_rest")
 
   def qs: Seq[Q] = {
     val all = raw.map(q => if (ExtraBench(q.name)) q.copy(benchExtra = true) else q)
@@ -472,6 +512,25 @@ object Pipeline {
           .orderBy("q_id", "rank")
       },
       Some(pqOracle(m = 4, ksub = 16, iters = 1, dim = 64, nq = 10, k = 5))),
+
+    // The full IVFPQ composition AT REST: cells partition the parquet, rows
+    // store ONLY the m PQ codes (no raw vectors in the index), probes prune
+    // at the partition index (nprobe=4 of 8) and rank by ADC over the
+    // stored codes. The oracle replays the entire chain: coarse fit, PQ
+    // fit, encoding, probe ranking, ADC. PlanSpec asserts the probe scan
+    // prunes partitions AND reads no vector column.
+    Q("q_ann_ivfpq_at_rest",
+      (s, dir) => {
+        val emb = Tables.embeddings(s, dir)
+        val idx = java.nio.file.Files.createTempDirectory("graft-gate-ivfpq").toString + "/index"
+        val (cs, books) = graft.pipeline.IvfIndex.buildPq(emb, idx, nCells = 8, iters = 3,
+          m = 4, ksub = 16, pqIters = 1)
+        graft.pipeline.IvfIndex.topKPq(s, idx, emb.filter(col("vec_id") < 10), 5,
+            nprobe = 4, centroids = Some(cs), books = Some(books))
+          .orderBy("q_id", "rank")
+      },
+      Some(ivfpqOracle(nCells = 8, iters = 3, m = 4, ksub = 16, pqIters = 1,
+        dim = 64, nq = 10, nprobe = 4, k = 5))),
 
     // Corpus vocabulary by document frequency (vocab building / stopword
     // discovery): per-doc distinct → explode → word-level count → top-100.

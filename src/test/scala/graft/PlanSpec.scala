@@ -197,6 +197,28 @@ class PlanSpec extends AnyFunSuite {
     assert(rest === mem)
   }
 
+  test("at-rest IVFPQ probe scan prunes partitions and reads codes, never vectors") {
+    import graft.pipeline.IvfIndex
+    import org.apache.spark.sql.functions.col
+    val emb = graft.core.Tables.embeddings(spark, sf)
+    val idx = Files.createTempDirectory("graft-plan-ivfpq").toString + "/index"
+    val (cs, books) = IvfIndex.buildPq(emb, idx, nCells = 8, iters = 2, m = 4, ksub = 16)
+    // both sidecars round-trip bit-exactly
+    assert(IvfIndex.loadCentroids(spark, idx).toSeq === cs.toSeq)
+    assert(IvfIndex.loadBooks(spark, idx).map(_.toSeq).toSeq === books.map(_.toSeq).toSeq)
+    // the index itself holds no raw vectors — its at-rest footprint is the
+    // m codes per row (THE PQ property)
+    assert(spark.read.parquet(idx).columns.sorted.toSeq === Seq("bucket", "codes", "vec_id"))
+    val q = emb.filter(col("vec_id") < 3)
+    val df = IvfIndex.topKPq(spark, idx, q, 5, nprobe = 2,
+      centroids = Some(cs), books = Some(books))
+    val p = df.queryExecution.explainString(
+      org.apache.spark.sql.execution.ExplainMode.fromString("formatted"))
+    assert(p.linesIterator.exists(l => l.contains("PartitionFilters") && l.contains("bucket")),
+      p.take(1500))
+    assert(df.count() > 0)
+  }
+
   test("sydraQL compile produces a pushed-down scan filter for series") {
     val src = graft.core.Tables.seriesView(spark, sf)
     val df = graft.sydraql.Engine.sql(spark, src,
