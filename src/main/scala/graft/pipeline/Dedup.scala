@@ -31,6 +31,40 @@ object Dedup {
       .agg(min("doc_id").as("keep_id"), count(lit(1)).as("n_copies"))
   }
 
+  /** Cross-document n-gram SPAN dedup stats — the exact-substring dedup
+    * signal of training-data curation (hash-approximated: a rolling
+    * n-token window per position, flagged when its digest occurs in ≥ 2
+    * distinct documents). Spans count per INSTANCE, not distinct — a doc
+    * repeating a cross-doc span twice has both instances flagged.
+    * Output: (doc_id, n_spans, n_dup_spans, dup_span_frac round 4); docs
+    * shorter than n tokens report 0 / 0.0.
+    *
+    * Scale (100 TB): the explode emits (digest, doc_id) — after hashing,
+    * no text moves; the digest dictionary aggregates distinct-doc counts
+    * by digest (vocabulary-sized) and joins back on the same key. One
+    * shuffle family keyed on the digest, one on doc_id.
+    */
+  def spanDupStats(docs: DataFrame, n: Int = 8): DataFrame = {
+    val w = TextAnalysis.words(col("text"))
+    val spans = when(size(w) >= n,
+      transform(sequence(lit(0), size(w) - n), i =>
+        md5(concat_ws(" ", (0 until n).map(j => element_at(w, i + j + 1)): _*))))
+      .otherwise(array().cast("array<string>"))
+    val sp = docs.select(col("doc_id"), explode(spans).as("dg"))
+    val dict = sp.groupBy("dg").agg(count_distinct(col("doc_id")).as("nd"))
+    val st = sp.join(dict, "dg")
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_spans"),
+        sum(when(col("nd") >= 2, 1L).otherwise(0L)).as("n_dup_spans"))
+    docs.select("doc_id").join(st, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("n_spans"), lit(0L)).as("n_spans"),
+        coalesce(col("n_dup_spans"), lit(0L)).as("n_dup_spans"),
+        (floor(when(coalesce(col("n_spans"), lit(0L)) === 0, lit(0.0))
+          .otherwise(col("n_dup_spans") / col("n_spans")) * 1e4 + 0.5) / 1e4)
+          .as("dup_span_frac"))
+  }
+
   /** Shingle-hash sets per doc: (doc_id, hs ARRAY<LONG> sorted distinct). */
   private def shingleHashes(docs: DataFrame, n: Int): DataFrame =
     TextAnalysis.shingleSets(docs, n)

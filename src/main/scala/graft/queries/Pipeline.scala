@@ -261,7 +261,8 @@ object Pipeline {
     // quantized ANN serving path, so all have per-op timing history
     "q_pl_simhash", "q_pl_cos_pairs_lsh", "q_ann_quant", "q_pl_kmeans",
     "q_pl_vocab", "q_pl_lm_score", "q_pl_tfidf", "q_ann_ivf_km",
-    "q_pl_cluster_balance", "q_ann_ivf_at_rest", "q_ann_pq", "q_ann_ivfpq_at_rest")
+    "q_pl_cluster_balance", "q_ann_ivf_at_rest", "q_ann_pq", "q_ann_ivfpq_at_rest",
+    "q_pl_span_dedup")
 
   def qs: Seq[Q] = {
     val all = raw.map(q => if (ExtraBench(q.name)) q.copy(benchExtra = true) else q)
@@ -311,6 +312,29 @@ object Pipeline {
       Some("""SELECT md5(regexp_replace(trim(lower(text)), '\s+', ' ', 'g')) AS digest,
              |       min(doc_id) AS keep_id, count(*) AS n_copies
              |FROM documents GROUP BY 1 ORDER BY keep_id""".stripMargin)),
+
+    // Cross-doc 8-gram span dedup: per-doc fraction of rolling token spans
+    // that occur in >= 2 documents (the exact-substring dedup signal,
+    // hash-approximated). Both engines hash the identically-tokenized
+    // joined span, so counts match exactly.
+    Q("q_pl_span_dedup",
+      (s, dir) => Dedup.spanDupStats(Tables.documents(s, dir)).orderBy("doc_id"),
+      Some(s"""WITH $wordsCte, sp AS (
+              |  SELECT doc_id, md5(list_aggregate(w[i:i+7], 'string_agg', ' ')) AS dg
+              |  FROM (SELECT doc_id, w, unnest(range(1, len(w) - 6)) AS i
+              |        FROM words WHERE len(w) >= 8)
+              |), d AS (
+              |  SELECT dg, count(DISTINCT doc_id) AS nd FROM sp GROUP BY 1
+              |), st AS (
+              |  SELECT sp.doc_id, count(*) AS n_spans,
+              |         CAST(sum(CASE WHEN d.nd >= 2 THEN 1 ELSE 0 END) AS BIGINT) AS n_dup_spans
+              |  FROM sp JOIN d USING (dg) GROUP BY sp.doc_id
+              |)
+              |SELECT doc_id, coalesce(n_spans, 0) AS n_spans,
+              |       coalesce(n_dup_spans, 0) AS n_dup_spans,
+              |       floor((CASE WHEN coalesce(n_spans, 0) = 0 THEN 0.0
+              |              ELSE n_dup_spans * 1.0 / n_spans END) * 1e4 + 0.5) / 1e4 AS dup_span_frac
+              |FROM documents LEFT JOIN st USING (doc_id) ORDER BY doc_id""".stripMargin)),
 
     Q("q_pl_ngram_jaccard",
       (s, dir) => Dedup.ngramJaccardPairs(Tables.documents(s, dir), 0.8)

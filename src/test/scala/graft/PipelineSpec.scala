@@ -82,6 +82,18 @@ class PipelineSpec extends AnyFunSuite {
     assert(kmMean >= 0.5, s"kmeans-IVF nprobe=4 recall $kmMean")
   }
 
+  test("span dedup finds cross-doc repeated 8-gram spans (non-trivial on planted near-dups)") {
+    val st = Dedup.spanDupStats(docs).collect()
+    assert(st.length === docs.count())
+    val dup = st.filter(_.getLong(2) > 0)
+    assert(dup.nonEmpty, "planted near-dups must share 8-gram spans")
+    st.foreach { r =>
+      assert(r.getLong(2) <= r.getLong(1), "dup spans cannot exceed total spans")
+      val frac = r.getDouble(3)
+      assert(frac >= 0.0 && frac <= 1.0)
+    }
+  }
+
   test("PQ codes are m small ints; ADC top-k is deterministic with useful recall") {
     val emb01 = spark.read.parquet("/root/testdata/sf0.01/embeddings.parquet")
     val books = graft.pipeline.Pq.fit(emb01, m = 4, ksub = 16, iters = 1)
