@@ -250,6 +250,63 @@ class DifferentialSpec extends AnyFunSuite {
     }
   }
 
+  test("random tag-grouped integral/irate/ema agree with keyed Spark SQL twins") {
+    // exercises the KEYED day-partitioned pre-pass (window inside
+    // (tag, day) + cross-day boundary join) and the keyed two-phase ema
+    // fold against per-tag single-window / sequential-fold ANSI twins.
+    import org.apache.spark.sql.functions._
+    val dedup = Tables.seriesView(spark, sf)
+      .withColumn("usr", col("tags")("user"))
+      .groupBy("series", "usr", "time")
+      .agg(avg("value").as("value"))
+    dedup.createOrReplaceTempView("diff_kg")
+    val src = dedup.select(col("series"), lit(0L).as("series_id"),
+      map(lit("user"), col("usr")).as("tags"), col("time"), col("value"))
+    val rnd = new scala.util.Random(777)
+    for (i <- 1 to 12) {
+      val series = seriesNames(rnd.nextInt(seriesNames.length))
+      val lo = t0 + rnd.nextInt(24) * 3600L
+      val hi = lo + (1 + rnd.nextInt(96)) * 3600L
+      val fCte = s"(select usr, time, value from diff_kg where series = '$series' " +
+        s"and time >= $lo and time < $hi)"
+      val (sd, ansi) = rnd.nextInt(3) match {
+        case 0 =>
+          ("integral(value)",
+            s"""with p as (select usr, time, value,
+               |             lag(time) over (partition by usr order by time, value) as pt,
+               |             lag(value) over (partition by usr order by time, value) as pv
+               |           from $fCte f)
+               |select usr, coalesce(sum((time - pt) * (value + pv) / 2), 0.0) as x
+               |from p group by usr""".stripMargin)
+        case 1 =>
+          ("irate(value)",
+            s"""with r as (select usr, time, value,
+               |             row_number() over (partition by usr order by time desc, value desc) as rn
+               |           from $fCte f)
+               |select usr, case when count(value) >= 2
+               |                 and max(case when rn = 1 then time end) > max(case when rn = 2 then time end)
+               |            then (max(case when rn = 1 then value end) - max(case when rn = 2 then value end))
+               |                 / (max(case when rn = 1 then time end) - max(case when rn = 2 then time end)) end as x
+               |from r group by usr""".stripMargin)
+        case _ =>
+          val alpha = Seq(0.2, 0.5, 0.8)(rnd.nextInt(3))
+          (s"ema(value, 60, $alpha)",
+            s"""select usr, aggregate(
+               |         slice(pts, 2, greatest(size(pts) - 1, 0)),
+               |         element_at(pts, 1).v,
+               |         (acc, x) -> cast($alpha as double) * x.v + cast(${1 - alpha} as double) * acc) as x
+               |from (select usr, array_sort(collect_list(struct(time as t, cast(value as double) as v))) as pts
+               |      from diff_kg where series = '$series' and time >= $lo and time < $hi
+               |      group by usr)""".stripMargin)
+      }
+      val got = rows(Engine.sql(spark, src,
+        s"select tag.user as usr, $sd as x from $series where time >= $lo and time < $hi group by tag.user",
+        CompileOptions(now = 2000000000L)), ordered = false)
+      val want = rows(spark.sql(ansi), ordered = false)
+      assert(got === want, s"\nsydraql: $sd  series=$series [$lo,$hi)")
+    }
+  }
+
   test("random global aggregations agree with Spark SQL") {
     val rnd = new scala.util.Random(99)
     for (i <- 1 to 10) {
