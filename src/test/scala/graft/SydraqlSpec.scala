@@ -230,6 +230,28 @@ class SydraqlSpec extends AnyFunSuite {
     assert(rows.map(_.getDouble(1)) === Seq(1.0, 1.5, 3.0, 10.0))
   }
 
+  test("multiple distinct ema calls resolve to independent helpers") {
+    // alpha=0.25: 1 -> 1.25 -> 1.9375 -> 3.953125 (dyadic, exact)
+    val r = run("select ema(value, 60, 0.5) as e1, ema(value, 60, 0.25) as e2 from m where time >= 0").head
+    assert(r.getDouble(0) === 6.375)
+    assert(r.getDouble(1) === 3.953125)
+  }
+
+  test("tag-grouped ema composes with the integral pre-pass in one query") {
+    val r = run("select tag.host as h, ema(value, 60, 0.5) as e, integral(value) as a " +
+      "from m where time >= 0 group by tag.host").head
+    assert(r.getString(0) === "a")
+    assert(r.getDouble(1) === 6.375)
+    assert(r.getDouble(2) === 1530.0) // 60*1.5 + 60*3 + 180*7
+  }
+
+  test("fill(previous) fills ema columns like any aggregate output") {
+    val rows = run("select time_bucket(60, time) as b, ema(value, 60, 0.5) as e " +
+      "from m where time >= 0 group by time_bucket(60, time) fill(previous) order by b")
+    assert(rows.map(r => (r.getLong(0), r.getDouble(1))).toSeq ===
+      Seq((0L, 1.0), (60L, 2.0), (120L, 4.0), (180L, 4.0), (240L, 4.0), (300L, 10.0)))
+  }
+
   test("ungrouped ema in ORDER BY without a matching projection is rejected") {
     val e = intercept[QueryError](run("select time from m where time >= 0 order by ema(value, 60, 0.5)"))
     assert(e.code === QueryError.InvalidSyntax)
