@@ -55,27 +55,45 @@ object IvfIndex {
     * one coarse fit + one PQ fit + ONE narrow codegen pass emitting
     * (vec_id, codes, bucket). Returns (coarse centroids, codebooks).
     */
-  def buildPq(corpus: DataFrame, path: String, nCells: Int = 8, iters: Int = 3,
-      m: Int = 4, ksub: Int = 16, pqIters: Int = 1): (Array[Seq[Double]], Array[Array[Seq[Double]]]) = {
-    val cs = Clustering.fitCentroids(corpus, nCells, iters)
-    val books = Pq.fit(corpus, m, ksub, pqIters)
+  /** The index-row projection shared by the batch build and streaming
+    * append: (vec_id, codes, bucket) in ONE narrow codegen pass. Works on
+    * a batch or STREAMING frame with (vec_id, embedding) — writing the
+    * result to the index path partitioned by bucket keeps the at-rest
+    * index current with ingestion (stateless narrow transform, no state
+    * or watermark; each micro-batch appends files into its cells'
+    * partition directories). Append through `foreachBatch { _.write
+    * .mode("append").partitionBy("bucket").parquet(path) }` — the direct
+    * file-stream sink writes a `_spark_metadata` log that SHADOWS any
+    * files it didn't write (a batch-built index would turn invisible).
+    */
+  def encodeForIndex(emb: DataFrame, cs: Array[Seq[Double]],
+      books: Array[Array[Seq[Double]]]): DataFrame = {
     val sub = books(0)(0).length
     val codes = array(books.zipWithIndex.map { case (cb, j) =>
       Clustering.assignment(cb, slice(col("v"), j * sub + 1, sub)).getField("c")
     }: _*)
-    Clustering.parsed(corpus)
+    Clustering.parsed(emb)
       .select(col("vec_id"), codes.as("codes"),
         Clustering.assignment(cs).getField("c").as("bucket"))
+  }
+
+  def buildPq(corpus: DataFrame, path: String, nCells: Int = 8, iters: Int = 3,
+      m: Int = 4, ksub: Int = 16, pqIters: Int = 1,
+      centroids: Option[Array[Seq[Double]]] = None,
+      books: Option[Array[Array[Seq[Double]]]] = None): (Array[Seq[Double]], Array[Array[Seq[Double]]]) = {
+    val cs = centroids.getOrElse(Clustering.fitCentroids(corpus, nCells, iters))
+    val bks = books.getOrElse(Pq.fit(corpus, m, ksub, pqIters))
+    encodeForIndex(corpus, cs, bks)
       .write.mode("overwrite").partitionBy("bucket").parquet(path)
     val spark = corpus.sparkSession
     import spark.implicits._
     cs.toSeq.zipWithIndex.map { case (c, i) => (i, c) }.toDF("cell", "centroid")
       .coalesce(1).write.mode("overwrite").parquet(s"$path/_centroids")
-    books.toSeq.zipWithIndex.flatMap { case (cb, j) =>
+    bks.toSeq.zipWithIndex.flatMap { case (cb, j) =>
       cb.zipWithIndex.map { case (c, i) => (j, i, c) }
     }.toDF("block", "code", "centroid")
       .coalesce(1).write.mode("overwrite").parquet(s"$path/_books")
-    (cs, books)
+    (cs, bks)
   }
 
   /** The m×ksub codebooks back from the index directory. */

@@ -125,4 +125,46 @@ class StreamingSpec extends AnyFunSuite {
     // 0.5*4 + 0.5*1.5 = 2.75, n = 3
     assert(second("m") === ((2.75, 3L)))
   }
+
+  test("streaming IVFPQ index append: streamed vectors serve identically to a batch build") {
+    import graft.pipeline.{Clustering, IvfIndex, Pq}
+    import org.apache.spark.sql.functions.col
+    val emb = graft.core.Tables.embeddings(spark, "/root/testdata/sf0.001")
+    // one quantizer for everything (the serving contract: fit once, then
+    // the index only ever encodes with the frozen quantizer)
+    val cs = Clustering.fitCentroids(emb, 8, 2)
+    val books = Pq.fit(emb, m = 4, ksub = 16, iters = 1)
+    val n = emb.count()
+    val split = n / 2
+    // batch-build the index from the first half...
+    val streamed = Files.createTempDirectory("graft-stream-ivfpq").toString + "/index"
+    IvfIndex.buildPq(emb.filter(col("vec_id") < split), streamed,
+      centroids = Some(cs), books = Some(books))
+    // ...stream the second half in through the SAME narrow encode
+    val srcDir = Files.createTempDirectory("graft-stream-ivfpq-src")
+    emb.filter(col("vec_id") >= split).write.mode("overwrite")
+      .json(srcDir.toString)
+    val stream = spark.readStream.schema(emb.schema).json(srcDir.toString)
+    val enc = IvfIndex.encodeForIndex(stream, cs, books)
+    assert(enc.isStreaming)
+    // foreachBatch batch-append, NOT the direct file sink: the file sink's
+    // _spark_metadata log would shadow the batch-built half of the index
+    val q = enc.writeStream.outputMode("append")
+      .option("checkpointLocation", Files.createTempDirectory("graft-stream-ivfpq-ck").toString)
+      .foreachBatch { (b: org.apache.spark.sql.DataFrame, _: Long) =>
+        b.write.mode("append").partitionBy("bucket").parquet(streamed)
+      }
+      .start()
+    try q.processAllAvailable() finally q.stop()
+    // the streamed index must serve exactly what a batch build over the
+    // full corpus (same frozen quantizer) serves
+    val batch = Files.createTempDirectory("graft-batch-ivfpq").toString + "/index"
+    IvfIndex.buildPq(emb, batch, centroids = Some(cs), books = Some(books))
+    val queries = emb.filter(col("vec_id") < 5)
+    def serve(path: String) =
+      IvfIndex.topKPq(spark, path, queries, 5, nprobe = 4,
+          centroids = Some(cs), books = Some(books))
+        .orderBy("q_id", "rank").collect().toSeq
+    assert(serve(streamed) === serve(batch))
+  }
 }
