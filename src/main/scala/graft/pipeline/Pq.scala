@@ -116,4 +116,54 @@ object Pq {
         .filter(col("vec_id") =!= col("q_id"))
         .withColumn("__adc", adcColumn(col("lut"), col("codes"))),
       k)
+
+  /** COSINE-metric ADC top-k — the same m-probe serving pattern aligned
+    * with the cosine contract of the rest of the ANN family:
+    * cos(q, x̂) = (Σ_j dot(q_j, c_{j,code_j})) / (‖q‖ · ‖x̂‖), and because
+    * the blocks are disjoint coordinate subsets, ‖x̂‖² = Σ_j ‖c_{j,code_j}‖²
+    * — so the reconstruction norm comes from a shared m×ksub norm table
+    * and NOTHING beyond the m codes is read per candidate. Per-query
+    * state: a dot LUT (m×ksub) and ‖q‖; both driver-computed with
+    * left-to-right folds, broadcast with the query batch.
+    * Output (q_id, vec_id, rank, cos round 1e-6), cos desc, ties to the
+    * lowest vec_id — the [[Similarity]] ranking contract.
+    */
+  def adcCosineTopK(corpus: DataFrame, queries: DataFrame,
+      books: Array[Array[Seq[Double]]], k: Int): DataFrame = {
+    val spark = corpus.sparkSession
+    import spark.implicits._
+    val sub = books(0)(0).length
+    val n2: Seq[Seq[Double]] = books.toSeq.map(_.toSeq.map { c =>
+      var acc = 0.0; var i = 0
+      while (i < sub) { acc = acc + c(i) * c(i); i += 1 }
+      acc
+    })
+    val qRows = Clustering.parsed(queries).collect().toSeq.map { r =>
+      val qv = r.getSeq[Double](1)
+      val lut: Seq[Seq[Double]] = books.toSeq.zipWithIndex.map { case (cb, j) =>
+        cb.toSeq.map { c =>
+          var acc = 0.0; var i = 0
+          while (i < sub) { acc = acc + qv(j * sub + i) * c(i); i += 1 }
+          acc
+        }
+      }
+      var qn = 0.0; var i = 0
+      while (i < qv.length) { qn = qn + qv(i) * qv(i); i += 1 }
+      (r.getLong(0), lut, math.sqrt(qn))
+    }
+    val q = qRows.toDF("q_id", "lut", "qnorm")
+    val num = adcColumn(col("lut"), col("codes"))
+    val den2 = adcColumn(typedLit(n2), col("codes"))
+    val scored = encode(corpus, books)
+      .crossJoin(broadcast(q))
+      .filter(col("vec_id") =!= col("q_id"))
+      .withColumn("cos", num / (col("qnorm") * sqrt(den2)))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("q_id").orderBy(col("cos").desc, col("vec_id"))
+    scored
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("q_id"), col("vec_id"), col("rank").cast("long").as("rank"),
+        (floor(col("cos") * 1e6 + 0.5) / 1e6).as("cos"))
+  }
 }

@@ -201,6 +201,45 @@ object Pipeline {
        |SELECT q_id, vec_id, rank, floor(adc * 1e4 + 0.5) / 1e4 AS adc_dist
        |FROM ranked WHERE rank <= $k ORDER BY q_id, rank""".stripMargin
 
+  /** Replays Pq.adcCosineTopK: dot LUTs + the shared per-centroid norm²
+    * table (block orthogonality: ‖x̂‖² = Σ_j ‖c_j‖²) + query norms, on top
+    * of the [[pqCtes]] fit/encode chain.
+    */
+  private def pqCosOracle(m: Int, ksub: Int, iters: Int, dim: Int, nq: Int, k: Int): String = {
+    val sub = dim / m
+    val blocks = 0 until m
+    val dotCtes = blocks.map { j =>
+      s"""ld$j AS (SELECT vec_id AS q_id,
+         |  [list_reduce([v[i] * cc[i] for i in range(1, $sub + 1)], (a, b) -> a + b) for cc in cs] AS lut
+         |  FROM e$j CROSS JOIN c${iters}_$j WHERE vec_id < $nq),
+         |nt$j AS (SELECT
+         |  [list_reduce([cc[i] * cc[i] for i in range(1, $sub + 1)], (a, b) -> a + b) for cc in cs] AS n2
+         |  FROM c${iters}_$j)""".stripMargin
+    }.mkString(",\n")
+    val dlutJoins = blocks.tail.map(j => s"JOIN ld$j USING (q_id)").mkString(" ")
+    val num = blocks.map(j => s"q.dlut$j[CAST(c.codes[${j + 1}] AS INT) + 1]").mkString(" + ")
+    val den2 = blocks.map(j => s"nt$j.n2[CAST(c.codes[${j + 1}] AS INT) + 1]").mkString(" + ")
+    val ntJoins = blocks.map(j => s"CROSS JOIN nt$j").mkString(" ")
+    s"""WITH ${pqCtes(m, ksub, iters, dim, nq)},
+       |$dotCtes,
+       |lds AS (SELECT q_id, ${blocks.map(j => s"ld$j.lut AS dlut$j").mkString(", ")}
+       |        FROM ld0 $dlutJoins),
+       |qn AS (SELECT vec_id AS q_id,
+       |         sqrt(list_reduce([x * x for x in ev], (a, b) -> a + b)) AS qnorm
+       |       FROM e0all WHERE vec_id < $nq),
+       |ranked AS (
+       |  SELECT q_id, vec_id, cos,
+       |         row_number() OVER (PARTITION BY q_id ORDER BY cos DESC, vec_id) AS rank
+       |  FROM (SELECT q.q_id, c.vec_id,
+       |               ($num) / (qn.qnorm * sqrt($den2)) AS cos
+       |        FROM codes c CROSS JOIN lds q $ntJoins
+       |        JOIN qn ON qn.q_id = q.q_id
+       |        WHERE c.vec_id != q.q_id)
+       |)
+       |SELECT q_id, vec_id, rank, floor(cos * 1e6 + 0.5) / 1e6 AS cos
+       |FROM ranked WHERE rank <= $k ORDER BY q_id, rank""".stripMargin
+  }
+
   /** [[kmeansCtes]] (coarse cells) + [[pqCtes]] (codes/LUTs) + the probe
     * ranking of the at-rest IVF oracle + ADC ranking within probed cells —
     * the full IVFPQ chain replayed.
@@ -262,7 +301,7 @@ object Pipeline {
     "q_pl_simhash", "q_pl_cos_pairs_lsh", "q_ann_quant", "q_pl_kmeans",
     "q_pl_vocab", "q_pl_lm_score", "q_pl_tfidf", "q_ann_ivf_km",
     "q_pl_cluster_balance", "q_ann_ivf_at_rest", "q_ann_pq", "q_ann_ivfpq_at_rest",
-    "q_pl_span_dedup")
+    "q_pl_span_dedup", "q_ann_pq_cos")
 
   def qs: Seq[Q] = {
     val all = raw.map(q => if (ExtraBench(q.name)) q.copy(benchExtra = true) else q)
@@ -536,6 +575,19 @@ object Pipeline {
           .orderBy("q_id", "rank")
       },
       Some(pqOracle(m = 4, ksub = 16, iters = 1, dim = 64, nq = 10, k = 5))),
+
+    // COSINE-metric ADC over the same codes: aligns PQ serving with the
+    // cosine contract of the rest of the ANN family; the reconstruction
+    // norm comes from the shared norm² table (block orthogonality), so
+    // nothing beyond the m codes is read per candidate.
+    Q("q_ann_pq_cos",
+      (s, dir) => {
+        val emb = Tables.embeddings(s, dir)
+        val books = graft.pipeline.Pq.fit(emb, m = 4, ksub = 16, iters = 1)
+        graft.pipeline.Pq.adcCosineTopK(emb, emb.filter(col("vec_id") < 10), books, k = 5)
+          .orderBy("q_id", "rank")
+      },
+      Some(pqCosOracle(m = 4, ksub = 16, iters = 1, dim = 64, nq = 10, k = 5))),
 
     // The full IVFPQ composition AT REST: cells partition the parquet, rows
     // store ONLY the m PQ codes (no raw vectors in the index), probes prune
