@@ -67,23 +67,38 @@ object IvfIndex {
     * files it didn't write (a batch-built index would turn invisible).
     */
   def encodeForIndex(emb: DataFrame, cs: Array[Seq[Double]],
-      books: Array[Array[Seq[Double]]]): DataFrame = {
+      books: Array[Array[Seq[Double]]], residual: Boolean = false): DataFrame = {
     val sub = books(0)(0).length
+    val src = if (residual) Pq.residualCol(col("v"), col("bucket"), cs) else col("v")
     val codes = array(books.zipWithIndex.map { case (cb, j) =>
-      Clustering.assignment(cb, slice(col("v"), j * sub + 1, sub)).getField("c")
+      Clustering.assignment(cb, slice(src, j * sub + 1, sub)).getField("c")
     }: _*)
     Clustering.parsed(emb)
-      .select(col("vec_id"), codes.as("codes"),
-        Clustering.assignment(cs).getField("c").as("bucket"))
+      .withColumn("bucket", Clustering.assignment(cs).getField("c"))
+      .select(col("vec_id"), codes.as("codes"), col("bucket"))
   }
 
+  /** `residual = true` is FAISS IndexIVFPQ proper: the codebooks fit and
+    * the codes quantize v − coarseCentroid(cell) instead of v — the
+    * quantization error drops to the residual's scale, at the cost of
+    * cell-specific query LUTs at serve time ([[topKPqResidual]]).
+    */
   def buildPq(corpus: DataFrame, path: String, nCells: Int = 8, iters: Int = 3,
       m: Int = 4, ksub: Int = 16, pqIters: Int = 1,
       centroids: Option[Array[Seq[Double]]] = None,
-      books: Option[Array[Array[Seq[Double]]]] = None): (Array[Seq[Double]], Array[Array[Seq[Double]]]) = {
+      books: Option[Array[Array[Seq[Double]]]] = None,
+      residual: Boolean = false): (Array[Seq[Double]], Array[Array[Seq[Double]]]) = {
     val cs = centroids.getOrElse(Clustering.fitCentroids(corpus, nCells, iters))
-    val bks = books.getOrElse(Pq.fit(corpus, m, ksub, pqIters))
-    encodeForIndex(corpus, cs, bks)
+    val bks = books.getOrElse {
+      if (residual) {
+        val r = Clustering.parsed(corpus)
+          .withColumn("bucket", Clustering.assignment(cs).getField("c"))
+          .select(col("vec_id"),
+            Pq.residualCol(col("v"), col("bucket"), cs).as("embedding"))
+        Pq.fit(r, m, ksub, pqIters)
+      } else Pq.fit(corpus, m, ksub, pqIters)
+    }
+    encodeForIndex(corpus, cs, bks, residual)
       .write.mode("overwrite").partitionBy("bucket").parquet(path)
     val spark = corpus.sparkSession
     import spark.implicits._
@@ -119,6 +134,52 @@ object IvfIndex {
     val probes = Similarity.cellProbes(qs, cs, nprobe).select("q_id", "bucket")
       .join(broadcast(Pq.lutFrame(queries, bks)), Seq("q_id"))
     val buckets = probes.select("bucket").distinct().collect().map(_.getInt(0))
+    val c = spark.read.parquet(path).filter(col("bucket").isin(buckets.map(Int.box): _*))
+    Pq.rankAdcTopK(
+      c.join(broadcast(probes), Seq("bucket"))
+        .filter(col("q_id") =!= col("vec_id"))
+        .withColumn("__adc", Pq.adcColumn(col("lut"), col("codes"))),
+      k)
+  }
+
+  /** ADC top-k from a RESIDUAL-encoded index ([[buildPq]] with
+    * `residual = true`): a candidate in cell c stores codes for
+    * v − centroid_c, so the query-side lookup table is cell-specific —
+    * lut(q, c)(j)(code) = ‖(q − centroid_c)_j − book_{j,code}‖². The
+    * driver computes each query's nprobe cell rankings (coarse distance
+    * then lower cell — the [[Similarity.cellProbes]] ordering, same
+    * folds) and one LUT per probed cell (nprobe × m × ksub doubles per
+    * query — metadata-sized), broadcast; candidates join on bucket and
+    * rank by the ADC sum over their stored codes.
+    */
+  def topKPqResidual(spark: SparkSession, path: String, queries: DataFrame, k: Int,
+      nprobe: Int, cs: Array[Seq[Double]],
+      books: Array[Array[Seq[Double]]]): DataFrame = {
+    import spark.implicits._
+    val sub = books(0)(0).length
+    val probeRows: Seq[(Long, Int, Seq[Seq[Double]])] =
+      Clustering.parsed(queries).collect().toSeq.flatMap { r =>
+        val qid = r.getLong(0)
+        val qv = r.getSeq[Double](1)
+        val ranked = cs.toSeq.zipWithIndex.map { case (c, b) =>
+          var d = 0.0; var i = 0
+          while (i < qv.length) { val t = qv(i) - c(i); d = d + t * t; i += 1 }
+          (d, b)
+        }.sorted.take(nprobe)
+        ranked.map { case (_, b) =>
+          val qr = qv.indices.map(i => qv(i) - cs(b)(i))
+          val lut: Seq[Seq[Double]] = books.toSeq.zipWithIndex.map { case (cb, j) =>
+            cb.toSeq.map { c =>
+              var acc = 0.0; var i = 0
+              while (i < sub) { val t = qr(j * sub + i) - c(i); acc = acc + t * t; i += 1 }
+              acc
+            }
+          }
+          (qid, b, lut)
+        }
+      }
+    val probes = probeRows.toDF("q_id", "bucket", "lut")
+    val buckets = probeRows.map(_._2).distinct
     val c = spark.read.parquet(path).filter(col("bucket").isin(buckets.map(Int.box): _*))
     Pq.rankAdcTopK(
       c.join(broadcast(probes), Seq("bucket"))

@@ -62,6 +62,14 @@ object Pq {
     * the brute-force path's broadcast). Ties break to the lowest vec_id.
     * Returns `(q_id, vec_id, rank, adc_dist)` with adc_dist 1e-4-rounded.
     */
+  /** Per-row residual vector v − coarseCentroid(bucket) — elementwise
+    * exact subtraction, so it is deterministic and replayable.
+    */
+  private[pipeline] def residualCol(v: Column, bucket: Column,
+      cs: Array[Seq[Double]]): Column =
+    zip_with(v, element_at(typedLit(cs.toSeq.map(_.toSeq)), bucket.cast("int") + 1),
+      (x, c) => x - c)
+
   /** `(q_id, lut ARRAY<ARRAY<DOUBLE>>)` — each query's exact squared
     * distance to every codebook centroid, computed driver-side with the
     * same left-to-right fold as the assignment kernel (the query batch is

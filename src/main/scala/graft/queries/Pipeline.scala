@@ -143,7 +143,8 @@ object Pipeline {
     * PQ gate and the IVFPQ composition): per-block 1..iters-iteration
     * kmeans over the slice, `codes(vec_id, codes)`, `luts(q_id, lut0..)`.
     */
-  private def pqCtes(m: Int, ksub: Int, iters: Int, dim: Int, nq: Int): String = {
+  private def pqCtes(m: Int, ksub: Int, iters: Int, dim: Int, nq: Int,
+      src: String = "e0all", vecExpr: String = "ev", withLuts: Boolean = true): String = {
     val sub = dim / m
     val blocks = 0 until m
     def ds(cs: String) =
@@ -171,23 +172,34 @@ object Pipeline {
            |  )
            |)""".stripMargin
       }.mkString(",\n")
-      s"""e$j AS (SELECT vec_id, ev[$lo:$hi] AS v FROM e0all),
+      val lutCte =
+        if (withLuts)
+          s""",
+             |l$j AS (SELECT vec_id AS q_id, ${ds("cs")} AS lut
+             |        FROM e$j CROSS JOIN c${iters}_$j WHERE vec_id < $nq)""".stripMargin
+        else ""
+      s"""e$j AS (SELECT vec_id, $vecExpr[$lo:$hi] AS v FROM $src),
          |s$j AS (SELECT list(v ORDER BY vec_id) AS cs
          |        FROM (SELECT vec_id, v FROM e$j ORDER BY vec_id LIMIT $ksub)),
          |$iterCtes,
          |g$j AS (SELECT vec_id, list_indexof(ds, list_min(ds)) - 1 AS c
-         |        FROM (SELECT vec_id, ${ds("cs")} AS ds FROM e$j CROSS JOIN c${iters}_$j)),
-         |l$j AS (SELECT vec_id AS q_id, ${ds("cs")} AS lut
-         |        FROM e$j CROSS JOIN c${iters}_$j WHERE vec_id < $nq)""".stripMargin
+         |        FROM (SELECT vec_id, ${ds("cs")} AS ds FROM e$j CROSS JOIN c${iters}_$j))$lutCte""".stripMargin
     }.mkString(",\n")
     val codeJoins = blocks.tail.map(j => s"JOIN g$j USING (vec_id)").mkString(" ")
     val lutJoins = blocks.tail.map(j => s"JOIN l$j USING (q_id)").mkString(" ")
-    s"""e0all AS (SELECT vec_id, [CAST(x AS DOUBLE) for x in embedding] AS ev FROM embeddings),
-       |$blockCtes,
+    val base =
+      if (src == "e0all")
+        "e0all AS (SELECT vec_id, [CAST(x AS DOUBLE) for x in embedding] AS ev FROM embeddings),\n"
+      else ""
+    val lutsCte =
+      if (withLuts)
+        s""",
+           |luts AS (SELECT q_id, ${blocks.map(j => s"l$j.lut AS lut$j").mkString(", ")}
+           |         FROM l0 $lutJoins)""".stripMargin
+      else ""
+    s"""$base$blockCtes,
        |codes AS (SELECT vec_id, [${blocks.map(j => s"g$j.c").mkString(", ")}] AS codes
-       |          FROM g0 $codeJoins),
-       |luts AS (SELECT q_id, ${blocks.map(j => s"l$j.lut AS lut$j").mkString(", ")}
-       |         FROM l0 $lutJoins)""".stripMargin
+       |          FROM g0 $codeJoins)$lutsCte""".stripMargin
   }
 
   private def pqOracle(m: Int, ksub: Int, iters: Int, dim: Int, nq: Int, k: Int): String =
@@ -237,6 +249,59 @@ object Pipeline {
        |        WHERE c.vec_id != q.q_id)
        |)
        |SELECT q_id, vec_id, rank, floor(cos * 1e6 + 0.5) / 1e6 AS cos
+       |FROM ranked WHERE rank <= $k ORDER BY q_id, rank""".stripMargin
+  }
+
+  /** Replays the RESIDUAL IVFPQ chain: coarse fit → residual frame
+    * (v − centroid(bucket), exact elementwise) → per-block codebooks fit
+    * over residual slices → residual codes → probe ranking → per-(query,
+    * probed-cell) residual LUTs → ADC ranking.
+    */
+  private def ivfpqResidualOracle(nCells: Int, iters: Int, m: Int, ksub: Int,
+      pqIters: Int, dim: Int, nq: Int, nprobe: Int, k: Int): String = {
+    val sub = dim / m
+    val blocks = 0 until m
+    val qlCtes = blocks.map { j =>
+      val lo = j * sub + 1
+      val hi = (j + 1) * sub
+      s"""ql$j AS (SELECT q_id, bucket,
+         |  [list_reduce([((qr[$lo:$hi])[i] - cc[i]) * ((qr[$lo:$hi])[i] - cc[i]) for i in range(1, $sub + 1)],
+         |    (a, b) -> a + b) for cc in cs] AS lut
+         |  FROM qres CROSS JOIN c${pqIters}_$j)""".stripMargin
+    }.mkString(",\n")
+    val qlJoins = blocks.tail.map(j => s"JOIN ql$j USING (q_id, bucket)").mkString(" ")
+    val adcSum = blocks.map(j => s"q.lut$j[CAST(c.codes[${j + 1}] AS INT) + 1]").mkString(" + ")
+    s"""WITH ${kmeansCtes(nCells, iters, dim)},
+       |cc AS (SELECT vec_id, list_indexof(ds, list_min(ds)) - 1 AS bucket FROM asg),
+       |rf AS (SELECT a.vec_id,
+       |         [a.v[i] - (cs[CAST(b.bucket AS INT) + 1])[i] for i in range(1, $dim + 1)] AS rv
+       |       FROM asg a JOIN cc b USING (vec_id) CROSS JOIN c$iters),
+       |${pqCtes(m, ksub, pqIters, dim, nq, src = "rf", vecExpr = "rv", withLuts = false)},
+       |pr AS (
+       |  SELECT q_id, bucket FROM (
+       |    SELECT a.vec_id AS q_id, r.cell AS bucket,
+       |           row_number() OVER (PARTITION BY a.vec_id
+       |                              ORDER BY a.ds[CAST(r.cell AS INT) + 1], r.cell) AS prn
+       |    FROM asg a CROSS JOIN range(0, $nCells) r(cell)
+       |    WHERE a.vec_id < $nq
+       |  ) WHERE prn <= $nprobe
+       |),
+       |qres AS (SELECT a.vec_id AS q_id, p.bucket,
+       |           [a.v[i] - (cs[CAST(p.bucket AS INT) + 1])[i] for i in range(1, $dim + 1)] AS qr
+       |         FROM asg a JOIN pr p ON a.vec_id = p.q_id CROSS JOIN c$iters),
+       |$qlCtes,
+       |qluts AS (SELECT q_id, bucket, ${blocks.map(j => s"ql$j.lut AS lut$j").mkString(", ")}
+       |          FROM ql0 $qlJoins),
+       |ranked AS (
+       |  SELECT q_id, vec_id, adc,
+       |         row_number() OVER (PARTITION BY q_id ORDER BY adc, vec_id) AS rank
+       |  FROM (SELECT q.q_id, c.vec_id, $adcSum AS adc
+       |        FROM codes c
+       |        JOIN cc ON cc.vec_id = c.vec_id
+       |        JOIN qluts q ON cc.bucket = q.bucket
+       |        WHERE c.vec_id != q.q_id)
+       |)
+       |SELECT q_id, vec_id, rank, floor(adc * 1e4 + 0.5) / 1e4 AS adc_dist
        |FROM ranked WHERE rank <= $k ORDER BY q_id, rank""".stripMargin
   }
 
@@ -301,7 +366,7 @@ object Pipeline {
     "q_pl_simhash", "q_pl_cos_pairs_lsh", "q_ann_quant", "q_pl_kmeans",
     "q_pl_vocab", "q_pl_lm_score", "q_pl_tfidf", "q_ann_ivf_km",
     "q_pl_cluster_balance", "q_ann_ivf_at_rest", "q_ann_pq", "q_ann_ivfpq_at_rest",
-    "q_pl_span_dedup", "q_ann_pq_cos")
+    "q_pl_span_dedup", "q_ann_pq_cos", "q_ann_ivfpq_residual")
 
   def qs: Seq[Q] = {
     val all = raw.map(q => if (ExtraBench(q.name)) q.copy(benchExtra = true) else q)
@@ -606,6 +671,22 @@ object Pipeline {
           .orderBy("q_id", "rank")
       },
       Some(ivfpqOracle(nCells = 8, iters = 3, m = 4, ksub = 16, pqIters = 1,
+        dim = 64, nq = 10, nprobe = 4, k = 5))),
+
+    // RESIDUAL IVFPQ (FAISS IndexIVFPQ proper): codebooks fit and codes
+    // quantize v − coarseCentroid(cell); serving uses per-(query, probed
+    // cell) LUTs. The oracle replays the full residual chain.
+    Q("q_ann_ivfpq_residual",
+      (s, dir) => {
+        val emb = Tables.embeddings(s, dir)
+        val idx = java.nio.file.Files.createTempDirectory("graft-gate-ivfpqr").toString + "/index"
+        val (cs, books) = graft.pipeline.IvfIndex.buildPq(emb, idx, nCells = 8, iters = 3,
+          m = 4, ksub = 16, pqIters = 1, residual = true)
+        graft.pipeline.IvfIndex.topKPqResidual(s, idx, emb.filter(col("vec_id") < 10), 5,
+            nprobe = 4, cs, books)
+          .orderBy("q_id", "rank")
+      },
+      Some(ivfpqResidualOracle(nCells = 8, iters = 3, m = 4, ksub = 16, pqIters = 1,
         dim = 64, nq = 10, nprobe = 4, k = 5))),
 
     // Corpus vocabulary by document frequency (vocab building / stopword

@@ -125,6 +125,35 @@ class PipelineSpec extends AnyFunSuite {
     assert(mean >= 0.15, s"ADC recall@5 $mean should beat chance (0.01) comfortably")
   }
 
+  test("residual PQ encoding cuts quantization error vs direct PQ") {
+    import graft.pipeline.{Clustering, IvfIndex, Pq}
+    val emb01 = spark.read.parquet("/root/testdata/sf0.01/embeddings.parquet")
+    val all = emb01.select(col("vec_id"), col("embedding").cast("array<double>"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[Double](1)).toMap
+    val cs = Clustering.fitCentroids(emb01, 8, 2)
+    def reconErr(residual: Boolean): Double = {
+      val idx = java.nio.file.Files.createTempDirectory("graft-recon").toString + "/i"
+      val (_, books) = IvfIndex.buildPq(emb01, idx, nCells = 8, iters = 2,
+        m = 4, ksub = 16, centroids = Some(cs), residual = residual)
+      val sub = books(0)(0).length
+      val rows = spark.read.parquet(idx).collect()
+      rows.map { r =>
+        val v = all(r.getLong(0))
+        val bucket = r.getInt(2)
+        val codes = r.getSeq[Int](1)
+        val recon = (0 until v.length).map { i =>
+          val block = i / sub
+          val c = books(block)(codes(block))(i % sub)
+          if (residual) cs(bucket)(i) + c else c
+        }
+        v.indices.map(i => { val d = v(i) - recon(i); d * d }).sum
+      }.sum / rows.length
+    }
+    val direct = reconErr(residual = false)
+    val res = reconErr(residual = true)
+    assert(res < direct, s"residual $res should beat direct $direct")
+  }
+
   test("banded simhash pairs equal the all-pairs answer (pigeonhole losslessness)") {
     val banded = Dedup.simhashPairs(docs, 10)
       .select("doc_a", "doc_b", "hamming").as[(Long, Long, Long)].collect().toSet
