@@ -382,6 +382,27 @@ object SydraQlQueries {
          |FROM pairs GROUP BY tag_user ORDER BY usr""".stripMargin,
       roundCols = Seq("area", "irate_v")),
 
+    // MULTI-key grouping (tag × day bucket): the keyed pre-pass carries
+    // both group keys plus the day column — pins the multi-key boundary
+    // join (within-bucket lag only; days inside a bucket compose).
+    sq("q_sql_integral_tag_bucket",
+      s"select tag.user as usr, time_bucket(86400, time) as day, integral(value) as area " +
+        s"from click where time >= $T0 and time < ${T0 + 3 * 86400} " +
+        "group by tag.user, time_bucket(86400, time) order by usr, day",
+      s"""$svSql, f AS (
+         |  SELECT tag_user, CAST(floor(time / 86400.0) AS BIGINT) * 86400 AS day, time, value
+         |  FROM sv WHERE series = 'click' AND time >= $T0 AND time < ${T0 + 3 * 86400}
+         |), pairs AS (
+         |  SELECT tag_user, day, time, value,
+         |         lag(time) OVER (PARTITION BY tag_user, day ORDER BY time, value) AS pt,
+         |         lag(value) OVER (PARTITION BY tag_user, day ORDER BY time, value) AS pv
+         |  FROM f
+         |)
+         |SELECT tag_user AS usr, day,
+         |       floor((coalesce(sum((time - pt) * (value + pv) / 2), 0)) * 1e4 + 0.5) / 1e4 AS area
+         |FROM pairs GROUP BY tag_user, day ORDER BY usr, day""".stripMargin,
+      roundCols = Seq("area")),
+
     // TAG-grouped ema: the keyed two-phase fold (per-(tag, day) affine
     // coefficients composed per tag) with the null-safe join-back; the
     // oracle's sequential per-tag list_reduce agrees within the shared
