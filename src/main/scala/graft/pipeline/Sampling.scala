@@ -58,6 +58,47 @@ object Sampling {
     * per slice, so phase 2's true per-stratum rank sees at most
     * n × partitions rows per stratum, never the raw stratum.
     */
+  /** Deterministic mixture rebalance toward target stratum weights using
+    * DOWNSAMPLING ONLY (no duplication): with weights w_s the largest
+    * achievable total preserving the mix is T = min_s n_s / w_s, so each
+    * stratum keeps its k_s = min(n_s, ⌊w_s · T + 1e-9⌋) smallest salted
+    * hashes (the epsilon absorbs the last-ulp of w_s·(n_s/w_s), letting
+    * the binding stratum keep exactly n_s; weights need not be
+    * normalized). Strata without a target weight are dropped. The keep
+    * decision reuses [[capPerStratum]]'s skew-proof two-phase rank with a
+    * per-stratum cap; counts/caps are stratum-cardinality-sized
+    * (broadcast), and everything is replayable by any SQL engine.
+    * This is the domain-mixture step of web-corpus curation (fixed
+    * target proportions over sources/languages).
+    */
+  def rebalanceMixture(
+      df: DataFrame,
+      keyCol: String,
+      stratumCol: String,
+      weights: Map[String, Double],
+      salt: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val spark = df.sparkSession
+    import spark.implicits._
+    val wDf = weights.toSeq.toDF(stratumCol, "__w")
+    val counted = df.groupBy(stratumCol).agg(count(lit(1)).as("__n"))
+      .join(wDf, stratumCol)
+    val t = counted.select(min(col("__n") / col("__w"))).head().getDouble(0)
+    val caps = counted.select(col(stratumCol),
+      least(col("__n"), floor(col("__w") * t + 1e-9)).cast("long").as("__k"))
+    val hashed = df.join(broadcast(caps), stratumCol)
+      .withColumn("__h", hashUnit(col(keyCol), salt))
+      .withColumn("__pid", spark_partition_id())
+    val local = Window.partitionBy(col("__pid"), col(stratumCol))
+      .orderBy(col("__h"), col(keyCol))
+    val global = Window.partitionBy(col(stratumCol))
+      .orderBy(col("__h"), col(keyCol))
+    hashed
+      .withColumn("__lrn", row_number().over(local)).filter(col("__lrn") <= col("__k"))
+      .withColumn("__rn", row_number().over(global)).filter(col("__rn") <= col("__k"))
+      .drop("__h", "__pid", "__lrn", "__rn", "__k")
+  }
+
   def capPerStratum(
       df: DataFrame,
       keyCol: String,

@@ -366,7 +366,7 @@ object Pipeline {
     "q_pl_simhash", "q_pl_cos_pairs_lsh", "q_ann_quant", "q_pl_kmeans",
     "q_pl_vocab", "q_pl_lm_score", "q_pl_tfidf", "q_ann_ivf_km",
     "q_pl_cluster_balance", "q_ann_ivf_at_rest", "q_ann_pq", "q_ann_ivfpq_at_rest",
-    "q_pl_span_dedup", "q_ann_pq_cos", "q_ann_ivfpq_residual")
+    "q_pl_span_dedup", "q_ann_pq_cos", "q_ann_ivfpq_residual", "q_pl_mixture")
 
   def qs: Seq[Q] = {
     val all = raw.map(q => if (ExtraBench(q.name)) q.copy(benchExtra = true) else q)
@@ -956,6 +956,33 @@ object Pipeline {
            |  FROM lang
            |)
            |SELECT doc_id, pred_lang FROM r WHERE rn <= 50 ORDER BY doc_id""".stripMargin
+      }),
+
+    // Domain-mixture rebalance: downsample each source to a 1:2:3 target
+    // mix (sources bucketed by index % 3) — T = min_s n_s/w_s, per-source
+    // caps, smallest-salted-hash keeps. Fully replayed by the oracle.
+    Q("q_pl_mixture",
+      (s, dir) => {
+        val weights = (0 until 20).map(i => s"src$i" -> (i % 3 + 1).toDouble).toMap
+        Sampling.rebalanceMixture(
+            Tables.documents(s, dir).select(col("doc_id"), col("source")),
+            "doc_id", "source", weights, "mix5")
+          .orderBy("doc_id")
+      },
+      Some {
+        val h = "CAST(concat('0x', substr(md5('mix5:' || CAST(doc_id AS VARCHAR)), 1, 15)) AS BIGINT) % 1000000"
+        val values = (0 until 20).map(i => s"('src$i', ${(i % 3 + 1).toDouble})").mkString(", ")
+        s"""WITH w(source, wt) AS (VALUES $values),
+           |n AS (SELECT source, count(*) AS n FROM documents GROUP BY 1),
+           |j AS (SELECT n.source, n.n, w.wt FROM n JOIN w USING (source)),
+           |t AS (SELECT min(n / wt) AS t FROM j),
+           |caps AS (SELECT source, least(n, CAST(floor(wt * t.t + 1e-9) AS BIGINT)) AS k
+           |         FROM j CROSS JOIN t),
+           |r AS (SELECT d.doc_id, d.source,
+           |             row_number() OVER (PARTITION BY d.source ORDER BY $h, d.doc_id) AS rn
+           |      FROM documents d JOIN caps USING (source))
+           |SELECT doc_id, source FROM r JOIN caps USING (source)
+           |WHERE rn <= k ORDER BY doc_id""".stripMargin
       }),
 
     // Scalar int8 embedding quantization + L2 reconstruction error:

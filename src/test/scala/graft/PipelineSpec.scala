@@ -125,6 +125,29 @@ class PipelineSpec extends AnyFunSuite {
     assert(mean >= 0.15, s"ADC recall@5 $mean should beat chance (0.01) comfortably")
   }
 
+  test("mixture rebalance hits the target proportions exactly (downsampling only)") {
+    import graft.pipeline.Sampling
+    // 20 sources × 25 docs at sf0.001, weights 1:2:3 by index % 3 →
+    // T = 25/3, caps 8/16/25 (the wt=3 stratum binds and keeps all 25)
+    val weights = (0 until 20).map(i => s"src$i" -> (i % 3 + 1).toDouble).toMap
+    val kept = Sampling.rebalanceMixture(
+        docs.select(col("doc_id"), col("source")), "doc_id", "source", weights, "mix5")
+      .groupBy("source").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    (0 until 20).foreach { i =>
+      val expect = Seq(8L, 16L, 25L)(i % 3)
+      assert(kept(s"src$i") === expect, s"src$i")
+    }
+    // deterministic: a second run keeps the identical doc set
+    val a = Sampling.rebalanceMixture(
+      docs.select(col("doc_id"), col("source")), "doc_id", "source", weights, "mix5")
+      .select("doc_id").as[Long].collect().sorted.toSeq
+    val b = Sampling.rebalanceMixture(
+      docs.select(col("doc_id"), col("source")).repartition(7), "doc_id", "source", weights, "mix5")
+      .select("doc_id").as[Long].collect().sorted.toSeq
+    assert(a === b, "partitioning must not change the kept set")
+  }
+
   test("residual PQ encoding cuts quantization error vs direct PQ") {
     import graft.pipeline.{Clustering, IvfIndex, Pq}
     val emb01 = spark.read.parquet("/root/testdata/sf0.01/embeddings.parquet")
