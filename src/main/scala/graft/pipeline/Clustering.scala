@@ -70,6 +70,12 @@ object Clustering {
     * seeds bit-for-bit.
     */
   private def farthestPointSeeds(e: DataFrame, k: Int): Array[Seq[Double]] = {
+    // without this, a corpus with fewer than k vectors would re-pick the
+    // lowest vec_id forever (all distances 0 once every vector is a seed)
+    // and silently return duplicate centroids — match default seeding's
+    // loud failure instead
+    val n = e.count()
+    require(n >= k, s"need at least $k vectors, got $n")
     val salted = conv(substring(md5(concat(lit("seed:"), col("vec_id").cast("string"))), 1, 15), 16, 10).cast("long")
     var seeds: Array[Seq[Double]] = e
       .orderBy(salted, col("vec_id")).limit(1)

@@ -34,11 +34,25 @@ object IvfIndex {
     Clustering.parsed(corpus)
       .withColumn("bucket", Clustering.assignment(cs).getField("c"))
       .write.mode("overwrite").partitionBy("bucket").parquet(path)
-    val spark = corpus.sparkSession
+    writeCentroidsSidecar(corpus.sparkSession, path, cs)
+    cs
+  }
+
+  private def writeCentroidsSidecar(spark: SparkSession, path: String,
+      cs: Array[Seq[Double]]): Unit = {
     import spark.implicits._
     cs.toSeq.zipWithIndex.map { case (c, i) => (i, c) }.toDF("cell", "centroid")
       .coalesce(1).write.mode("overwrite").parquet(s"$path/_centroids")
-    cs
+  }
+
+  /** Evaluate a metadata-sized frame ONCE: collect, then rebuild a local
+    * frame from the rows — the probe set feeds both the partition filter
+    * (driver-side bucket list) and the broadcast join side, and without
+    * this each serve would run the probe computation as two Spark jobs.
+    */
+  private def collected(spark: SparkSession, df: DataFrame): (Array[org.apache.spark.sql.Row], DataFrame) = {
+    val rows = df.collect()
+    (rows, spark.createDataFrame(java.util.Arrays.asList(rows: _*), df.schema))
   }
 
   /** The k×dim centroid matrix back from the index directory (metadata-
@@ -68,14 +82,10 @@ object IvfIndex {
     */
   def encodeForIndex(emb: DataFrame, cs: Array[Seq[Double]],
       books: Array[Array[Seq[Double]]], residual: Boolean = false): DataFrame = {
-    val sub = books(0)(0).length
     val src = if (residual) Pq.residualCol(col("v"), col("bucket"), cs) else col("v")
-    val codes = array(books.zipWithIndex.map { case (cb, j) =>
-      Clustering.assignment(cb, slice(src, j * sub + 1, sub)).getField("c")
-    }: _*)
     Clustering.parsed(emb)
       .withColumn("bucket", Clustering.assignment(cs).getField("c"))
-      .select(col("vec_id"), codes.as("codes"), col("bucket"))
+      .select(col("vec_id"), Pq.codesFor(src, books).as("codes"), col("bucket"))
   }
 
   /** `residual = true` is FAISS IndexIVFPQ proper: the codebooks fit and
@@ -102,8 +112,7 @@ object IvfIndex {
       .write.mode("overwrite").partitionBy("bucket").parquet(path)
     val spark = corpus.sparkSession
     import spark.implicits._
-    cs.toSeq.zipWithIndex.map { case (c, i) => (i, c) }.toDF("cell", "centroid")
-      .coalesce(1).write.mode("overwrite").parquet(s"$path/_centroids")
+    writeCentroidsSidecar(spark, path, cs)
     bks.toSeq.zipWithIndex.flatMap { case (cb, j) =>
       cb.zipWithIndex.map { case (c, i) => (j, i, c) }
     }.toDF("block", "code", "centroid")
@@ -131,9 +140,10 @@ object IvfIndex {
     val bks = books.getOrElse(loadBooks(spark, path))
     val qs = queries.select(col("vec_id").as("q_id"),
       col("embedding").cast("array<double>").as("qv"))
-    val probes = Similarity.cellProbes(qs, cs, nprobe).select("q_id", "bucket")
-      .join(broadcast(Pq.lutFrame(queries, bks)), Seq("q_id"))
-    val buckets = probes.select("bucket").distinct().collect().map(_.getInt(0))
+    val (rows, probes) = collected(spark,
+      Similarity.cellProbes(qs, cs, nprobe).select("q_id", "bucket")
+        .join(broadcast(Pq.lutFrame(queries, bks)), Seq("q_id")))
+    val buckets = rows.map(_.getAs[Int]("bucket")).distinct
     val c = spark.read.parquet(path).filter(col("bucket").isin(buckets.map(Int.box): _*))
     Pq.rankAdcTopK(
       c.join(broadcast(probes), Seq("bucket"))
@@ -201,10 +211,11 @@ object IvfIndex {
     val cs = centroids.getOrElse(loadCentroids(spark, path))
     val qs = queries.select(col("vec_id").as("q_id"),
       col("embedding").cast("array<double>").as("qv"))
-    val probes = Similarity.cellProbes(qs, cs, nprobe)
-    // union of probed cells across queries: ≤ nCells ints to the driver,
-    // turned into a statically-prunable partition predicate
-    val buckets = probes.select("bucket").distinct().collect().map(_.getInt(0))
+    // the probe set (≤ nq × nprobe rows, metadata-sized) feeds both the
+    // statically-prunable partition predicate and the broadcast join —
+    // evaluated once
+    val (rows, probes) = collected(spark, Similarity.cellProbes(qs, cs, nprobe))
+    val buckets = rows.map(_.getAs[Int]("bucket")).distinct
     val c = spark.read.parquet(path).filter(col("bucket").isin(buckets.map(Int.box): _*))
     Similarity.rankTopK(c.join(broadcast(probes), Seq("bucket"))
       .filter(col("q_id") =!= col("vec_id"))

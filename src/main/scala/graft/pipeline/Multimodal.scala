@@ -54,7 +54,11 @@ object Multimodal {
     def dimensions(blob: Array[Byte]): Option[(Int, Int)] = {
       val in = javax.imageio.ImageIO.createImageInputStream(
         new java.io.ByteArrayInputStream(blob))
-      try {
+      // createImageInputStream returns null when no ImageInputStreamSpi
+      // handles the input (scrubbed SPI registry) — fall back to the stub
+      // instead of NPE-ing in the finally and failing the task
+      if (in == null) None
+      else try {
         val readers = javax.imageio.ImageIO.getImageReaders(in)
         if (!readers.hasNext) None
         else {

@@ -42,17 +42,24 @@ object Pq {
     } finally e.unpersist(blocking = false)
   }
 
-  /** `(vec_id, codes ARRAY<INT>)` — block j's code is the fused-kernel
-    * argmin of the j-th slice over codebook j. One narrow pass; the
-    * at-rest form is m small ints per vector.
+  /** The m-code array expression for a (possibly residual) source vector
+    * — block j's code is the fused-kernel argmin of the j-th slice over
+    * codebook j. THE single definition of the code layout: every encode
+    * path (in-memory ADC, the at-rest index, streaming appends) must go
+    * through it or silently diverge.
     */
-  def encode(emb: DataFrame, books: Array[Array[Seq[Double]]]): DataFrame = {
+  private[pipeline] def codesFor(src: Column, books: Array[Array[Seq[Double]]]): Column = {
     val sub = books(0)(0).length
-    val codes = array(books.zipWithIndex.map { case (cb, j) =>
-      Clustering.assignment(cb, slice(col("v"), j * sub + 1, sub)).getField("c")
+    array(books.zipWithIndex.map { case (cb, j) =>
+      Clustering.assignment(cb, slice(src, j * sub + 1, sub)).getField("c")
     }: _*)
-    Clustering.parsed(emb).select(col("vec_id"), codes.as("codes"))
   }
+
+  /** `(vec_id, codes ARRAY<INT>)` — one narrow pass; the at-rest form is
+    * m small ints per vector.
+    */
+  def encode(emb: DataFrame, books: Array[Array[Seq[Double]]]): DataFrame =
+    Clustering.parsed(emb).select(col("vec_id"), codesFor(col("v"), books).as("codes"))
 
   /** ADC top-k: for each query, the k nearest corpus vectors by
     * approximate squared L2 = Σ_j lut(j)(code_j), where each query's

@@ -83,6 +83,15 @@ object Sampling {
     val wDf = weights.toSeq.toDF(stratumCol, "__w")
     val counted = df.groupBy(stratumCol).agg(count(lit(1)).as("__n"))
       .join(wDf, stratumCol)
+    // a weighted stratum with NO rows means the only mix-preserving total
+    // is zero — fail loudly rather than silently returning a frame that
+    // violates the requested proportions (and rather than NPE-ing on the
+    // empty min below when no weighted stratum exists at all)
+    val present = counted.select(stratumCol).collect().map(_.getString(0)).toSet
+    val missing = weights.keySet -- present
+    require(missing.isEmpty,
+      s"mixture strata have no rows: ${missing.toSeq.sorted.mkString(", ")} — " +
+        "downsampling alone cannot reach the target mix; drop them from `weights`")
     val t = counted.select(min(col("__n") / col("__w"))).head().getDouble(0)
     val caps = counted.select(col(stratumCol),
       least(col("__n"), floor(col("__w") * t + 1e-9)).cast("long").as("__k"))
