@@ -366,7 +366,8 @@ object Pipeline {
     "q_pl_simhash", "q_pl_cos_pairs_lsh", "q_ann_quant", "q_pl_kmeans",
     "q_pl_vocab", "q_pl_lm_score", "q_pl_tfidf", "q_ann_ivf_km",
     "q_pl_cluster_balance", "q_ann_ivf_at_rest", "q_ann_pq", "q_ann_ivfpq_at_rest",
-    "q_pl_span_dedup", "q_ann_pq_cos", "q_ann_ivfpq_residual", "q_pl_mixture")
+    "q_pl_span_dedup", "q_ann_pq_cos", "q_ann_ivfpq_residual", "q_pl_mixture",
+    "q_pl_curation_chain")
 
   def qs: Seq[Q] = {
     val all = raw.map(q => if (ExtraBench(q.name)) q.copy(benchExtra = true) else q)
@@ -981,6 +982,62 @@ object Pipeline {
            |r AS (SELECT d.doc_id, d.source,
            |             row_number() OVER (PARTITION BY d.source ORDER BY $h, d.doc_id) AS rn
            |      FROM documents d JOIN caps USING (source))
+           |SELECT doc_id, source FROM r JOIN caps USING (source)
+           |WHERE rn <= k ORDER BY doc_id""".stripMargin
+      }),
+
+    // End-to-end CURATION CHAIN: exact dedup → span-dup-fraction filter →
+    // domain-mixture rebalance, composed as one pipeline and replayed as
+    // one oracle chain (mixture counts/caps computed on the FILTERED
+    // survivors). Weights restrict to surviving sources so a stage that
+    // empties a stratum shrinks the mix instead of failing the build.
+    Q("q_pl_curation_chain",
+      (s, dir) => {
+        val docs = Tables.documents(s, dir)
+        val keep = Dedup.exact(docs).select(col("keep_id").as("doc_id"))
+        val uniq = docs.join(keep, "doc_id")
+        val ok = Dedup.spanDupStats(uniq).filter(col("dup_span_frac") <= 0.5)
+          .select("doc_id")
+        val surv = uniq.join(ok, "doc_id").select(col("doc_id"), col("source"))
+        val present = surv.select("source").distinct().collect().map(_.getString(0)).toSet
+        val weights = (0 until 20).map(i => s"src$i" -> (i % 3 + 1).toDouble)
+          .filter(kv => present(kv._1)).toMap
+        Sampling.rebalanceMixture(surv, "doc_id", "source", weights, "chain5")
+          .orderBy("doc_id")
+      },
+      Some {
+        val h = "CAST(concat('0x', substr(md5('chain5:' || CAST(doc_id AS VARCHAR)), 1, 15)) AS BIGINT) % 1000000"
+        val values = (0 until 20).map(i => s"('src$i', ${(i % 3 + 1).toDouble})").mkString(", ")
+        s"""WITH ud AS (
+           |  SELECT d.* FROM documents d
+           |  JOIN (SELECT min(doc_id) AS doc_id FROM documents
+           |        GROUP BY md5(regexp_replace(trim(lower(text)), '\\s+', ' ', 'g'))) k
+           |  USING (doc_id)
+           |), uw AS (
+           |  SELECT doc_id, source, string_split_regex(lower(text), '\\s+') AS w FROM ud
+           |), sp AS (
+           |  SELECT doc_id, md5(list_aggregate(w[i:i+7], 'string_agg', ' ')) AS dg
+           |  FROM (SELECT doc_id, w, unnest(range(1, len(w) - 6)) AS i
+           |        FROM uw WHERE len(w) >= 8)
+           |), dd AS (
+           |  SELECT dg, count(DISTINCT doc_id) AS nd FROM sp GROUP BY 1
+           |), st AS (
+           |  SELECT sp.doc_id, count(*) AS n_spans,
+           |         CAST(sum(CASE WHEN dd.nd >= 2 THEN 1 ELSE 0 END) AS BIGINT) AS n_dup
+           |  FROM sp JOIN dd USING (dg) GROUP BY sp.doc_id
+           |), sv AS (
+           |  SELECT uw.doc_id, uw.source FROM uw LEFT JOIN st USING (doc_id)
+           |  WHERE floor((CASE WHEN coalesce(n_spans, 0) = 0 THEN 0.0
+           |               ELSE n_dup * 1.0 / n_spans END) * 1e4 + 0.5) / 1e4 <= 0.5
+           |), wt(source, wt) AS (VALUES $values),
+           |n AS (SELECT source, count(*) AS n FROM sv GROUP BY 1),
+           |j AS (SELECT n.source, n.n, wt.wt FROM n JOIN wt USING (source)),
+           |t AS (SELECT min(n / wt) AS t FROM j),
+           |caps AS (SELECT source, least(n, CAST(floor(wt * t.t + 1e-9) AS BIGINT)) AS k
+           |         FROM j CROSS JOIN t),
+           |r AS (SELECT sv.doc_id, sv.source,
+           |             row_number() OVER (PARTITION BY sv.source ORDER BY $h, sv.doc_id) AS rn
+           |      FROM sv JOIN caps USING (source))
            |SELECT doc_id, source FROM r JOIN caps USING (source)
            |WHERE rn <= k ORDER BY doc_id""".stripMargin
       }),
