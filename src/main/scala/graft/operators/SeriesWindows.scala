@@ -158,6 +158,41 @@ object SeriesWindows {
       .drop(d, vc, g)
   }
 
+  /** Rolling z-score over the RANGE frame [-dur, 0] on time — the
+    * windowed anomaly signal (|z| above a threshold flags outliers
+    * against the trailing window). Same ghost-row day-partition scheme
+    * as [[movingAvg]]. The moments are EXPLICIT sequential sums
+    * (Σx, Σx², n) with σ² = Σx²/n − μ² — not stddev_pop — so a replaying
+    * engine can fold the identical arithmetic (Spark's Welford state and
+    * DuckDB's segment-tree aggregation would each drift differently).
+    * NULL when the frame's σ is 0 (constant window).
+    */
+  def movingZScore(df: DataFrame, out: String, value: Column, dur: Long,
+      keys: Seq[String] = Seq("series_id"), timeCol: String = "time",
+      minBucket: Long = DayW): DataFrame = {
+    val t = col(timeCol).cast("long")
+    val w = math.max(minBucket, dur)
+    val d = s"${out}_d"
+    val vc = s"${out}_v"
+    val g = s"${out}_g"
+    val base = df.withColumn(d, dayKey(t, w)).withColumn(vc, value.cast("double"))
+      .withColumn(g, lit(false))
+    val ghosts = base.filter(pmod(t, lit(w)) >= w - dur)
+      .withColumn(d, col(d) + 1).withColumn(g, lit(true))
+    val win = Window.partitionBy(keys.map(col) :+ col(d): _*).orderBy(t)
+      .rangeBetween(-dur, 0)
+    val v = col(vc)
+    val s1 = sum(v).over(win)
+    val s2 = sum(v * v).over(win)
+    val n = count(v).over(win)
+    val mu = s1 / n
+    val sig = sqrt(greatest((s2 / n) - (mu * mu), lit(0.0)))
+    base.unionByName(ghosts)
+      .withColumn(out, when(sig > 0, (v - mu) / sig))
+      .filter(!col(g))
+      .drop(d, vc, g)
+  }
+
   /** Final `ema(alpha)` value per key combination (one row per key; ONE
     * row total when `keys` is empty), over each key's points in
     * (time, value) order.

@@ -260,6 +260,59 @@ object TimeSeries {
               |FROM sv WHERE time >= $T0 AND time < ${T0 + 2 * 86400}
               |WINDOW w AS (PARTITION BY series ORDER BY time
               |             RANGE BETWEEN 600 PRECEDING AND CURRENT ROW)
-              |ORDER BY series, event_id""".stripMargin))
+              |ORDER BY series, event_id""".stripMargin)),
+
+    // Rolling z-score anomaly detection: |z| >= 1.5 against the trailing
+    // 1 h window, via the ghost-row day-partitioned machinery. Both
+    // sides fold the identical explicit moments (Σx, Σx², n; σ² = Σx²/n −
+    // μ²) — Spark's Welford stddev and DuckDB's segment-tree avg would
+    // each drift differently across rounding boundaries.
+    Q("q_ts_zscore",
+      (s, dir) => {
+        val base = ev(s, dir).filter(col("time") >= T0 && col("time") < T0 + 2 * 86400)
+        graft.operators.SeriesWindows.movingZScore(base, "__z", col("value"), 3600,
+            keys = Seq("series"), timeCol = "time")
+          .withColumn("z", floor((col("__z")) * 1e4 + 0.5) / 1e4)
+          .filter(abs(col("z")) >= 1.5)
+          .select(col("event_id"), col("series"), col("time"), col("z"))
+          .orderBy(col("series"), col("event_id"))
+      },
+      Some(s"""$svSql, zs AS (
+              |  SELECT event_id, series, time, value,
+              |         list_reduce(list(value) OVER w, (x, y) -> x + y) AS s1,
+              |         list_reduce([x * x for x in (list(value) OVER w)], (x, y) -> x + y) AS s2,
+              |         count(value) OVER w AS n
+              |  FROM sv WHERE time >= $T0 AND time < ${T0 + 2 * 86400}
+              |  WINDOW w AS (PARTITION BY series ORDER BY time
+              |               RANGE BETWEEN 3600 PRECEDING AND CURRENT ROW)
+              |), z AS (
+              |  SELECT event_id, series, time,
+              |         CASE WHEN sqrt(greatest((s2 / n) - ((s1 / n) * (s1 / n)), 0)) > 0
+              |              THEN floor(((value - (s1 / n)) / sqrt(greatest((s2 / n) - ((s1 / n) * (s1 / n)), 0))) * 1e4 + 0.5) / 1e4
+              |         END AS z
+              |  FROM zs
+              |)
+              |SELECT event_id, series, time, z FROM z WHERE abs(z) >= 1.5
+              |ORDER BY series, event_id""".stripMargin)),
+
+    // M4 downsampling: per (series, hour) the earliest/latest/min/max
+    // points — the lossless-for-rendering dashboard reduction, one hash
+    // aggregate, ≤ 4 rows per bucket. Ties lexicographic on both sides.
+    Q("q_ts_m4",
+      (s, dir) => graft.operators.Downsample.m4(
+          ev(s, dir).filter(col("time") >= T0 && col("time") < T0 + 2 * 86400),
+          step = 3600, keys = Seq("series"))
+        .orderBy("series", "bucket", "time", "value"),
+      Some(s"""$svSql, p AS (
+              |  SELECT series, time - (time % 3600) AS bucket, time, value,
+              |         row_number() OVER (PARTITION BY series, time - (time % 3600) ORDER BY time, value) AS ra,
+              |         row_number() OVER (PARTITION BY series, time - (time % 3600) ORDER BY time DESC, value DESC) AS rd,
+              |         row_number() OVER (PARTITION BY series, time - (time % 3600) ORDER BY value, time) AS va,
+              |         row_number() OVER (PARTITION BY series, time - (time % 3600) ORDER BY value DESC, time DESC) AS vd
+              |  FROM sv WHERE time >= $T0 AND time < ${T0 + 2 * 86400}
+              |)
+              |SELECT DISTINCT series, bucket, time, value FROM p
+              |WHERE ra = 1 OR rd = 1 OR va = 1 OR vd = 1
+              |ORDER BY series, bucket, time, value""".stripMargin))
   )
 }

@@ -84,6 +84,31 @@ class SeriesWindowsSpec extends AnyFunSuite {
     }
   }
 
+  test("movingZScore equals the whole-series RANGE window on adversarial layouts") {
+    val rnd = new scala.util.Random(2718)
+    for (dur <- Seq(600L, 5000L, 90000L); _ <- 1 to 2) {
+      val df = dataset(rnd)
+      val w = Window.partitionBy(col("series_id")).orderBy(col("time").cast("long"))
+        .rangeBetween(-dur, 0)
+      val v = col("value").cast("double")
+      val s1 = sum(v).over(w); val s2 = sum(v * v).over(w); val n = count(v).over(w)
+      val mu = s1 / n
+      val sig = sqrt(greatest((s2 / n) - (mu * mu), lit(0.0)))
+      val want = rows(df.withColumn("x", when(sig > 0, (v - mu) / sig)))
+      val got = rows(SeriesWindows.movingZScore(df, "x", col("value"), dur))
+      assert(got.length === want.length, s"dur=$dur row count")
+      got.zip(want).foreach { case (a, b) =>
+        assert(a.take(2) === b.take(2), s"dur=$dur keys")
+        (a(2), b(2)) match {
+          case (null, null) => ()
+          case (x: Double, y: Double) =>
+            assert(math.abs(x - y) <= 1e-9 * math.max(1.0, math.abs(y)), s"dur=$dur: $x vs $y")
+          case other => fail(s"dur=$dur mismatched nullability: $other")
+        }
+      }
+    }
+  }
+
   test("emaGlobal equals the sequential driver-side fold on adversarial layouts") {
     val rnd = new scala.util.Random(60601)
     for (trial <- 1 to 8) {
