@@ -295,6 +295,32 @@ object TimeSeries {
               |SELECT event_id, series, time, z FROM z WHERE abs(z) >= 1.5
               |ORDER BY series, event_id""".stripMargin)),
 
+    // Counter `increase` with reset correction (monitoring-standard
+    // semantics: a counter reset's negative delta contributes 0, so the
+    // per-day increase is the sum of POSITIVE consecutive deltas). Lag
+    // rides the day-partitioned SeriesWindows pre-pass on the UNIQUE ns
+    // timestamp (tie-free order); day attribution of a cross-day delta
+    // follows the later point, exactly as the oracle's global lag.
+    Q("q_ts_increase",
+      (s, dir) => {
+        val base = ev(s, dir).filter(col("time") >= T0 && col("time") < T1)
+        val lagged = graft.operators.SeriesWindows.lagN(base, "__pv", col("value"), 1,
+          keys = Seq("series"), timeCol = "ts_ns", bucket = 86400L * 1000000000L)
+        lagged
+          .groupBy(col("series"), F.timeBucket(lit(86400), col("time")).as("day"))
+          .agg((floor((sum(when(col("value") > col("__pv"),
+              col("value") - col("__pv")).otherwise(0.0))) * 1e4 + 0.5) / 1e4).as("inc"))
+          .orderBy("series", "day")
+      },
+      Some(s"""$svSql, lg AS (
+              |  SELECT series, time, value,
+              |         lag(value) OVER (PARTITION BY series ORDER BY ts_ns) AS pv
+              |  FROM sv WHERE time >= $T0 AND time < $T1
+              |)
+              |SELECT series, CAST(floor(time / 86400.0) AS BIGINT) * 86400 AS day,
+              |       floor((sum(CASE WHEN value > pv THEN value - pv ELSE 0 END)) * 1e4 + 0.5) / 1e4 AS inc
+              |FROM lg GROUP BY series, day ORDER BY series, day""".stripMargin)),
+
     // M4 downsampling: per (series, hour) the earliest/latest/min/max
     // points — the lossless-for-rendering dashboard reduction, one hash
     // aggregate, ≤ 4 rows per bucket. Ties lexicographic on both sides.
