@@ -132,15 +132,17 @@ object SeriesWindows {
       .drop(d, vc, pf)
   }
 
-  /** `moving_avg(value, dur)`: RANGE frame [-dur, 0] on time. Rows within
-    * `dur` of a day's end are duplicated as ghosts into the next day so
-    * every real row's frame is complete inside its own partition; ghosts
-    * are dropped after the window. Bucket width grows to `dur` when
-    * dur > 1 day, keeping the one-partition overlap invariant.
+  /** Shared RANGE-frame [-dur, 0] scaffolding: rows within `dur` of a
+    * day's end are duplicated as ghosts into the next day so every real
+    * row's frame is complete inside its own partition; ghosts are dropped
+    * after the window. Bucket width grows to `dur` when dur > 1 day,
+    * keeping the one-partition overlap invariant. THE single home of the
+    * ghost/boundary invariant — every RANGE-frame operator must build on
+    * it or silently diverge from the correction logic.
     */
-  def movingAvg(df: DataFrame, out: String, value: Column, dur: Long,
-      keys: Seq[String] = Seq("series_id"), timeCol: String = "time",
-      minBucket: Long = DayW): DataFrame = {
+  private def rangeFramed(df: DataFrame, out: String, value: Column, dur: Long,
+      keys: Seq[String], timeCol: String, minBucket: Long)(
+      agg: (Column, org.apache.spark.sql.expressions.WindowSpec) => Column): DataFrame = {
     val t = col(timeCol).cast("long")
     val w = math.max(minBucket, dur)
     val d = s"${out}_d"
@@ -153,10 +155,17 @@ object SeriesWindows {
     val win = Window.partitionBy(keys.map(col) :+ col(d): _*).orderBy(t)
       .rangeBetween(-dur, 0)
     base.unionByName(ghosts)
-      .withColumn(out, avg(col(vc)).over(win))
+      .withColumn(out, agg(col(vc), win))
       .filter(!col(g))
       .drop(d, vc, g)
   }
+
+  /** `moving_avg(value, dur)`: RANGE frame [-dur, 0] on time. */
+  def movingAvg(df: DataFrame, out: String, value: Column, dur: Long,
+      keys: Seq[String] = Seq("series_id"), timeCol: String = "time",
+      minBucket: Long = DayW): DataFrame =
+    rangeFramed(df, out, value, dur, keys, timeCol, minBucket)((v, win) =>
+      avg(v).over(win))
 
   /** Rolling z-score over the RANGE frame [-dur, 0] on time — the
     * windowed anomaly signal (|z| above a threshold flags outliers
@@ -169,29 +178,15 @@ object SeriesWindows {
     */
   def movingZScore(df: DataFrame, out: String, value: Column, dur: Long,
       keys: Seq[String] = Seq("series_id"), timeCol: String = "time",
-      minBucket: Long = DayW): DataFrame = {
-    val t = col(timeCol).cast("long")
-    val w = math.max(minBucket, dur)
-    val d = s"${out}_d"
-    val vc = s"${out}_v"
-    val g = s"${out}_g"
-    val base = df.withColumn(d, dayKey(t, w)).withColumn(vc, value.cast("double"))
-      .withColumn(g, lit(false))
-    val ghosts = base.filter(pmod(t, lit(w)) >= w - dur)
-      .withColumn(d, col(d) + 1).withColumn(g, lit(true))
-    val win = Window.partitionBy(keys.map(col) :+ col(d): _*).orderBy(t)
-      .rangeBetween(-dur, 0)
-    val v = col(vc)
-    val s1 = sum(v).over(win)
-    val s2 = sum(v * v).over(win)
-    val n = count(v).over(win)
-    val mu = s1 / n
-    val sig = sqrt(greatest((s2 / n) - (mu * mu), lit(0.0)))
-    base.unionByName(ghosts)
-      .withColumn(out, when(sig > 0, (v - mu) / sig))
-      .filter(!col(g))
-      .drop(d, vc, g)
-  }
+      minBucket: Long = DayW): DataFrame =
+    rangeFramed(df, out, value.cast("double"), dur, keys, timeCol, minBucket) { (v, win) =>
+      val s1 = sum(v).over(win)
+      val s2 = sum(v * v).over(win)
+      val n = count(v).over(win)
+      val mu = s1 / n
+      val sig = sqrt(greatest((s2 / n) - (mu * mu), lit(0.0)))
+      when(sig > 0, (v - mu) / sig)
+    }
 
   /** Final `ema(alpha)` value per key combination (one row per key; ONE
     * row total when `keys` is empty), over each key's points in

@@ -76,25 +76,38 @@ object Sampling {
       keyCol: String,
       stratumCol: String,
       weights: Map[String, Double],
-      salt: String): DataFrame = {
+      salt: String,
+      dropMissing: Boolean = false): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val spark = df.sparkSession
     import spark.implicits._
     val wDf = weights.toSeq.toDF(stratumCol, "__w")
     val counted = df.groupBy(stratumCol).agg(count(lit(1)).as("__n"))
       .join(wDf, stratumCol)
+      .persist() // feeds the presence check, the min, and the caps — tiny
     // a weighted stratum with NO rows means the only mix-preserving total
-    // is zero — fail loudly rather than silently returning a frame that
-    // violates the requested proportions (and rather than NPE-ing on the
-    // empty min below when no weighted stratum exists at all)
+    // is zero. Default: fail loudly rather than silently returning a
+    // frame that violates the requested proportions (and rather than
+    // NPE-ing on the empty min below when no weighted stratum exists at
+    // all). `dropMissing = true` opts into shrinking the mix to the
+    // surviving strata instead (upstream filters may empty a stratum).
     val present = counted.select(stratumCol).collect().map(_.getString(0)).toSet
     val missing = weights.keySet -- present
-    require(missing.isEmpty,
+    require(dropMissing || missing.isEmpty,
       s"mixture strata have no rows: ${missing.toSeq.sorted.mkString(", ")} — " +
-        "downsampling alone cannot reach the target mix; drop them from `weights`")
+        "downsampling alone cannot reach the target mix; drop them from " +
+        "`weights` or pass dropMissing = true")
+    require(present.nonEmpty, "no weighted stratum has any rows")
     val t = counted.select(min(col("__n") / col("__w"))).head().getDouble(0)
-    val caps = counted.select(col(stratumCol),
+    // collect the stratum-cardinality caps and rebuild a LOCAL frame: the
+    // returned plan then embeds only the tiny literal caps, not the count
+    // aggregate over df (which the caller may not have cached)
+    val capsDf = counted.select(col(stratumCol),
       least(col("__n"), floor(col("__w") * t + 1e-9)).cast("long").as("__k"))
+    val capsRows = capsDf.collect()
+    counted.unpersist(blocking = false)
+    val caps = spark.createDataFrame(
+      java.util.Arrays.asList(capsRows: _*), capsDf.schema)
     val hashed = df.join(broadcast(caps), stratumCol)
       .withColumn("__h", hashUnit(col(keyCol), salt))
       .withColumn("__pid", spark_partition_id())

@@ -998,11 +998,12 @@ object Pipeline {
         val uniq = docs.join(keep, "doc_id")
         val ok = Dedup.spanDupStats(uniq).filter(col("dup_span_frac") <= 0.5)
           .select("doc_id")
-        val surv = uniq.join(ok, "doc_id").select(col("doc_id"), col("source"))
-        val present = surv.select("source").distinct().collect().map(_.getString(0)).toSet
-        val weights = (0 until 20).map(i => s"src$i" -> (i % 3 + 1).toDouble)
-          .filter(kv => present(kv._1)).toMap
-        Sampling.rebalanceMixture(surv, "doc_id", "source", weights, "chain5")
+        // cache: the dedup+span chain feeds the mixture's count pass AND
+        // the final output (without this it would materialize twice)
+        val surv = uniq.join(ok, "doc_id").select(col("doc_id"), col("source")).cache()
+        val weights = (0 until 20).map(i => s"src$i" -> (i % 3 + 1).toDouble).toMap
+        Sampling.rebalanceMixture(surv, "doc_id", "source", weights, "chain5",
+            dropMissing = true)
           .orderBy("doc_id")
       },
       Some {
