@@ -219,6 +219,20 @@ class PlanSpec extends AnyFunSuite {
     assert(df.count() > 0)
   }
 
+  test("M4 downsampling is one aggregate pass — no window, no sort of the raw points") {
+    import org.apache.spark.sql.catalyst.plans.logical.{Window => LWindow, Sort}
+    val df = SparkEntry.queries("q_ts_m4")(spark, sf)
+    val plan = df.queryExecution.optimizedPlan
+    assert(plan.collect { case w: LWindow => w }.isEmpty, "no window operator")
+    // the only sort is the final presentation ORDER BY over ≤4 rows/bucket
+    val sorts = plan.collect { case s: Sort => s }
+    assert(sorts.length <= 1, s"raw points must not be sorted: $sorts")
+    val p = df.queryExecution.explainString(
+      org.apache.spark.sql.execution.ExplainMode.fromString("formatted"))
+    assert(p.contains("partial_min") || p.contains("partial_max"),
+      "expected a partial+final hash aggregate\n" + p.take(1200))
+  }
+
   test("sydraQL compile produces a pushed-down scan filter for series") {
     val src = graft.core.Tables.seriesView(spark, sf)
     val df = graft.sydraql.Engine.sql(spark, src,

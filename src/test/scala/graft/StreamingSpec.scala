@@ -166,5 +166,27 @@ class StreamingSpec extends AnyFunSuite {
           centroids = Some(cs), books = Some(books))
         .orderBy("q_id", "rank").collect().toSeq
     assert(serve(streamed) === serve(batch))
+    // the RESIDUAL encode is the same stateless narrow projection — a
+    // streamed residual append must also match its batch build (the
+    // full-corpus batch build also yields the residual-fit codebooks)
+    val rBatch = Files.createTempDirectory("graft-batch-ivfpqr").toString + "/index"
+    val (_, rBooks) = IvfIndex.buildPq(emb, rBatch, nCells = 8, iters = 2,
+      m = 4, ksub = 16, residual = true, centroids = Some(cs))
+    val rStreamed = Files.createTempDirectory("graft-stream-ivfpqr").toString + "/index"
+    IvfIndex.buildPq(emb.filter(col("vec_id") < split), rStreamed,
+      centroids = Some(cs), books = Some(rBooks), residual = true)
+    val rq = IvfIndex.encodeForIndex(
+      spark.readStream.schema(emb.schema).json(srcDir.toString), cs, rBooks, residual = true)
+      .writeStream.outputMode("append")
+      .option("checkpointLocation", Files.createTempDirectory("graft-stream-ivfpqr-ck").toString)
+      .foreachBatch { (b: org.apache.spark.sql.DataFrame, _: Long) =>
+        b.write.mode("append").partitionBy("bucket").parquet(rStreamed)
+      }
+      .start()
+    try rq.processAllAvailable() finally rq.stop()
+    def serveR(path: String) =
+      IvfIndex.topKPqResidual(spark, path, queries, 5, nprobe = 4, cs, rBooks)
+        .orderBy("q_id", "rank").collect().toSeq
+    assert(serveR(rStreamed) === serveR(rBatch))
   }
 }
