@@ -305,6 +305,26 @@ class DifferentialSpec extends AnyFunSuite {
       val want = rows(spark.sql(ansi), ordered = false)
       assert(got === want, s"\nsydraql: $sd  series=$series [$lo,$hi)")
     }
+    // MULTI-key: (tag, bucket) grouping — the pre-pass carries both keys
+    // plus the day column through windows and boundary joins
+    for (i <- 1 to 6) {
+      val series = seriesNames(rnd.nextInt(seriesNames.length))
+      val lo = t0 + rnd.nextInt(24) * 3600L
+      val hi = lo + (1 + rnd.nextInt(96)) * 3600L
+      val step = Seq(3600L, 86400L, 172800L)(rnd.nextInt(3))
+      val got = rows(Engine.sql(spark, src,
+        s"select tag.user as usr, time_bucket($step, time) as b, integral(value) as x " +
+          s"from $series where time >= $lo and time < $hi group by tag.user, time_bucket($step, time)",
+        CompileOptions(now = 2000000000L)), ordered = false)
+      val want = rows(spark.sql(
+        s"""with p as (select usr, cast(floor(time / $step.0) as bigint) * $step as b, time, value,
+           |             lag(time) over (partition by usr, cast(floor(time / $step.0) as bigint) order by time, value) as pt,
+           |             lag(value) over (partition by usr, cast(floor(time / $step.0) as bigint) order by time, value) as pv
+           |           from diff_kg where series = '$series' and time >= $lo and time < $hi)
+           |select usr, b, coalesce(sum((time - pt) * (value + pv) / 2), 0.0) as x
+           |from p group by usr, b""".stripMargin), ordered = false)
+      assert(got === want, s"\nmulti-key integral step=$step series=$series [$lo,$hi)")
+    }
   }
 
   test("random global aggregations agree with Spark SQL") {
