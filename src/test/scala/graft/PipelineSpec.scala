@@ -148,6 +148,28 @@ class PipelineSpec extends AnyFunSuite {
     assert(a === b, "partitioning must not change the kept set")
   }
 
+  test("mixture rebalance matches the cap formula for random weight maps") {
+    import graft.pipeline.Sampling
+    val rnd = new scala.util.Random(424242)
+    val srcCounts = docs.groupBy("source").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    for (trial <- 1 to 5) {
+      // random subset of sources, random integer weights 1..5
+      val subset = rnd.shuffle(srcCounts.keys.toSeq).take(3 + rnd.nextInt(10))
+      val weights = subset.map(s => s -> (1 + rnd.nextInt(5)).toDouble).toMap
+      val t = weights.map { case (s, w) => srcCounts(s) / w }.min
+      val expect = weights.map { case (s, w) =>
+        s -> math.min(srcCounts(s), math.floor(w * t + 1e-9).toLong)
+      }
+      val kept = Sampling.rebalanceMixture(
+          docs.select(col("doc_id"), col("source")), "doc_id", "source",
+          weights, s"prop$trial")
+        .groupBy("source").count().collect()
+        .map(r => r.getString(0) -> r.getLong(1)).toMap
+      assert(kept === expect, s"trial=$trial weights=$weights")
+    }
+  }
+
   test("residual PQ encoding cuts quantization error vs direct PQ") {
     import graft.pipeline.{Clustering, IvfIndex, Pq}
     val emb01 = spark.read.parquet("/root/testdata/sf0.01/embeddings.parquet")
