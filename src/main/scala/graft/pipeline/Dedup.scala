@@ -45,18 +45,21 @@ object Dedup {
     * shuffle family keyed on the digest, one on doc_id.
     */
   def spanDupStats(docs: DataFrame, n: Int = 8): DataFrame = {
-    // materialize the token array BEFORE the span lambda: the lambda reads
-    // it 8+2 times per span, and an inlined split() expression would
-    // re-tokenize the full text at every reference (O(n·spans) splits —
-    // the 41 s/sf0.1 pathology this select exists to prevent)
+    // shape notes: (a) the token array is materialized BEFORE any span
+    // arithmetic — an inlined split() would re-tokenize the full text at
+    // every element reference (the 41 s/sf0.1 pathology); (b) the span
+    // START INDEX explodes first and the md5 runs in a plain per-row
+    // projection — higher-order-function lambdas stay interpreted, while
+    // this shape keeps the hash inside whole-stage codegen (~3× cold /
+    // ~1.5× warm over the transform() form at sf0.1)
     val w = col("__w")
-    val spans = when(size(w) >= n,
-      transform(sequence(lit(0), size(w) - n), i =>
-        md5(concat_ws(" ", (0 until n).map(j => element_at(w, i + j + 1)): _*))))
-      .otherwise(array().cast("array<string>"))
     val sp = docs
       .select(col("doc_id"), TextAnalysis.words(col("text")).as("__w"))
-      .select(col("doc_id"), explode(spans).as("dg"))
+      .filter(size(w) >= n)
+      .select(col("doc_id"), w, explode(sequence(lit(0), size(w) - n)).as("__i"))
+      .select(col("doc_id"),
+        md5(concat_ws(" ", (0 until n).map(j =>
+          element_at(w, col("__i") + j + 1)): _*)).as("dg"))
     val dict = sp.groupBy("dg").agg(count_distinct(col("doc_id")).as("nd"))
     val st = sp.join(dict, "dg")
       .groupBy("doc_id")
