@@ -45,15 +45,27 @@ object IvfIndex {
       .coalesce(1).write.mode("overwrite").parquet(s"$path/_centroids")
   }
 
-  /** Evaluate a metadata-sized frame ONCE: collect, then rebuild a local
-    * frame from the rows — the probe set feeds both the partition filter
-    * (driver-side bucket list) and the broadcast join side, and without
-    * this each serve would run the probe computation as two Spark jobs.
+  /** Driver-side probe ranking: per query its `nprobe` nearest cells by
+    * (coarse distance, lower cell) — the [[Similarity.cellProbes]]
+    * ordering with the assignment kernel's left-to-right fold, so the
+    * ranking is bit-identical to the in-Spark form (the residual gate
+    * pins this). The query batch is bounded by the serving contract, so
+    * ranking it here replaces a whole Spark job per serve (probes fed
+    * both the partition filter and the broadcast join) with
+    * metadata-sized driver arithmetic.
     */
-  private def collected(spark: SparkSession, df: DataFrame): (Array[org.apache.spark.sql.Row], DataFrame) = {
-    val rows = df.collect()
-    (rows, spark.createDataFrame(java.util.Arrays.asList(rows: _*), df.schema))
-  }
+  private def probeCells(queries: DataFrame, cs: Array[Seq[Double]],
+      nprobe: Int): Seq[(Long, Seq[Double], Seq[Int])] =
+    Clustering.parsed(queries).collect().toSeq.map { r =>
+      val qid = r.getLong(0)
+      val qv = r.getSeq[Double](1)
+      val cells = cs.toSeq.zipWithIndex.map { case (c, b) =>
+        var d = 0.0; var i = 0
+        while (i < qv.length) { val t = qv(i) - c(i); d = d + t * t; i += 1 }
+        (d, b)
+      }.sorted.take(nprobe).map(_._2)
+      (qid, qv, cells)
+    }
 
   /** The k×dim centroid matrix back from the index directory (metadata-
     * sized: one row per cell).
@@ -138,12 +150,13 @@ object IvfIndex {
       books: Option[Array[Array[Seq[Double]]]] = None): DataFrame = {
     val cs = centroids.getOrElse(loadCentroids(spark, path))
     val bks = books.getOrElse(loadBooks(spark, path))
-    val qs = queries.select(col("vec_id").as("q_id"),
-      col("embedding").cast("array<double>").as("qv"))
-    val (rows, probes) = collected(spark,
-      Similarity.cellProbes(qs, cs, nprobe).select("q_id", "bucket")
-        .join(broadcast(Pq.lutFrame(queries, bks)), Seq("q_id")))
-    val buckets = rows.map(_.getAs[Int]("bucket")).distinct
+    import spark.implicits._
+    val probeRows = probeCells(queries, cs, nprobe).flatMap { case (qid, qv, cells) =>
+      val lut = Pq.lutFor(qv, bks)
+      cells.map(b => (qid, b, lut))
+    }
+    val probes = probeRows.toDF("q_id", "bucket", "lut")
+    val buckets = probeRows.map(_._2).distinct
     val c = spark.read.parquet(path).filter(col("bucket").isin(buckets.map(Int.box): _*))
     Pq.rankAdcTopK(
       c.join(broadcast(probes), Seq("bucket"))
@@ -166,26 +179,11 @@ object IvfIndex {
       nprobe: Int, cs: Array[Seq[Double]],
       books: Array[Array[Seq[Double]]]): DataFrame = {
     import spark.implicits._
-    val sub = books(0)(0).length
     val probeRows: Seq[(Long, Int, Seq[Seq[Double]])] =
-      Clustering.parsed(queries).collect().toSeq.flatMap { r =>
-        val qid = r.getLong(0)
-        val qv = r.getSeq[Double](1)
-        val ranked = cs.toSeq.zipWithIndex.map { case (c, b) =>
-          var d = 0.0; var i = 0
-          while (i < qv.length) { val t = qv(i) - c(i); d = d + t * t; i += 1 }
-          (d, b)
-        }.sorted.take(nprobe)
-        ranked.map { case (_, b) =>
+      probeCells(queries, cs, nprobe).flatMap { case (qid, qv, cells) =>
+        cells.map { b =>
           val qr = qv.indices.map(i => qv(i) - cs(b)(i))
-          val lut: Seq[Seq[Double]] = books.toSeq.zipWithIndex.map { case (cb, j) =>
-            cb.toSeq.map { c =>
-              var acc = 0.0; var i = 0
-              while (i < sub) { val t = qr(j * sub + i) - c(i); acc = acc + t * t; i += 1 }
-              acc
-            }
-          }
-          (qid, b, lut)
+          (qid, b, Pq.lutFor(qr, books))
         }
       }
     val probes = probeRows.toDF("q_id", "bucket", "lut")
@@ -209,13 +207,12 @@ object IvfIndex {
   def topK(spark: SparkSession, path: String, queries: DataFrame, k: Int,
       nprobe: Int, centroids: Option[Array[Seq[Double]]] = None): DataFrame = {
     val cs = centroids.getOrElse(loadCentroids(spark, path))
-    val qs = queries.select(col("vec_id").as("q_id"),
-      col("embedding").cast("array<double>").as("qv"))
-    // the probe set (≤ nq × nprobe rows, metadata-sized) feeds both the
-    // statically-prunable partition predicate and the broadcast join —
-    // evaluated once
-    val (rows, probes) = collected(spark, Similarity.cellProbes(qs, cs, nprobe))
-    val buckets = rows.map(_.getAs[Int]("bucket")).distinct
+    import spark.implicits._
+    val probeRows = probeCells(queries, cs, nprobe).flatMap { case (qid, qv, cells) =>
+      cells.map(b => (qid, qv, b))
+    }
+    val probes = probeRows.toDF("q_id", "qv", "bucket")
+    val buckets = probeRows.map(_._3).distinct
     val c = spark.read.parquet(path).filter(col("bucket").isin(buckets.map(Int.box): _*))
     Similarity.rankTopK(c.join(broadcast(probes), Seq("bucket"))
       .filter(col("q_id") =!= col("vec_id"))

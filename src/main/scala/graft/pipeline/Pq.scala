@@ -82,23 +82,29 @@ object Pq {
     * same left-to-right fold as the assignment kernel (the query batch is
     * bounded by contract, like the brute-force path's broadcast).
     */
+  /** One query's squared-distance LUT over every codebook centroid
+    * (left-to-right fold, the assignment kernel's order).
+    */
+  private[pipeline] def lutFor(qv: Seq[Double],
+      books: Array[Array[Seq[Double]]]): Seq[Seq[Double]] = {
+    val sub = books(0)(0).length
+    books.toSeq.zipWithIndex.map { case (cb, j) =>
+      cb.toSeq.map { c =>
+        var acc = 0.0
+        var i = 0
+        while (i < sub) { val d = qv(j * sub + i) - c(i); acc = acc + d * d; i += 1 }
+        acc
+      }
+    }
+  }
+
   private[pipeline] def lutFrame(queries: DataFrame,
       books: Array[Array[Seq[Double]]]): DataFrame = {
     val spark = queries.sparkSession
     import spark.implicits._
-    val sub = books(0)(0).length
-    Clustering.parsed(queries).collect().toSeq.map { r =>
-      val qv = r.getSeq[Double](1)
-      val lut: Seq[Seq[Double]] = books.toSeq.zipWithIndex.map { case (cb, j) =>
-        cb.toSeq.map { c =>
-          var acc = 0.0
-          var i = 0
-          while (i < sub) { val d = qv(j * sub + i) - c(i); acc = acc + d * d; i += 1 }
-          acc
-        }
-      }
-      (r.getLong(0), lut)
-    }.toDF("q_id", "lut")
+    Clustering.parsed(queries).collect().toSeq
+      .map(r => (r.getLong(0), lutFor(r.getSeq[Double](1), books)))
+      .toDF("q_id", "lut")
   }
 
   /** ADC score: Σ_j lut(j)(code_j), left-to-right (init 0.0 + x₀ is

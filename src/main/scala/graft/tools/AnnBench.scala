@@ -1,0 +1,47 @@
+package graft.tools
+
+import graft.pipeline.IvfIndex
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions.col
+
+/** ANN serving benchmark: build the at-rest IVFPQ index once, then
+  * measure steady-state probe-batch latency (the shape a serving tier
+  * runs: frozen quantizer, pruned partition reads, ADC ranking). Reports
+  * the reference bench's vocabulary — p50/p95/p99 — over query batches,
+  * one JSON line on stdout. Latencies include Spark's local job
+  * scheduling floor; on a cluster the same plan serves from executors.
+  *
+  * Env: SPARK_GRAFT_SF_DIR (default sf0.1), SPARK_GRAFT_CPUS (default 32).
+  */
+object AnnBench {
+  def main(args: Array[String]): Unit = {
+    val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val spark = graft.SparkEntry.configure(
+      SparkSession.builder()
+        .master(s"local[$cpus]")
+        .config("spark.sql.shuffle.partitions", cpus)
+        .config("spark.ui.enabled", "false"))
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+    val emb = graft.core.Tables.embeddings(spark, sfDir)
+    val nVec = emb.count()
+    val idx = java.nio.file.Files.createTempDirectory("graft-annbench").toString + "/index"
+    val tb = System.nanoTime()
+    val (cs, books) = IvfIndex.buildPq(emb, idx, nCells = 8, iters = 3, m = 4, ksub = 16)
+    val buildS = (System.nanoTime() - tb) / 1e9
+    val batches = 35
+    val warmup = 5
+    val lats = (0 until batches).map { b =>
+      val lo = (b.toLong * 10) % math.max(nVec - 10, 1)
+      val qs = emb.filter(col("vec_id") >= lo && col("vec_id") < lo + 10)
+      val t0 = System.nanoTime()
+      IvfIndex.topKPq(spark, idx, qs, 5, nprobe = 4,
+        centroids = Some(cs), books = Some(books)).collect()
+      (System.nanoTime() - t0) / 1e6
+    }.drop(warmup).sorted
+    def pct(p: Double): Double = lats((p * (lats.length - 1)).round.toInt)
+    println(f"""{"metric":"ann_serve","n_vectors":$nVec,"build_s":$buildS%.2f,"batches":${batches - warmup},"queries_per_batch":10,"p50_ms":${pct(0.50)}%.1f,"p95_ms":${pct(0.95)}%.1f,"p99_ms":${pct(0.99)}%.1f,"sf":"$sfDir"}""")
+    spark.stop()
+  }
+}
