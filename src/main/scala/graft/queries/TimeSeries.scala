@@ -321,6 +321,28 @@ object TimeSeries {
               |       floor((sum(CASE WHEN value > pv THEN value - pv ELSE 0 END)) * 1e4 + 0.5) / 1e4 AS inc
               |FROM lg GROUP BY series, day ORDER BY series, day""".stripMargin)),
 
+    // Per-(series, day) value histogram over fixed bins (the
+    // Prometheus-histogram analytics shape: distribution summaries that
+    // aggregate mergeably at any scale — integer counts, one hash
+    // aggregate, bins clamped to [0, nbins)).
+    Q("q_ts_histogram",
+      (s, dir) => {
+        val nbins = 10
+        val w = 50.0
+        val bin = least(greatest(floor(col("value") / w), lit(0.0)), lit((nbins - 1).toDouble))
+          .cast("long")
+        ev(s, dir).filter(col("time") >= T0 && col("time") < T1)
+          .groupBy(col("series"), F.timeBucket(lit(86400), col("time")).as("day"), bin.as("bin"))
+          .agg(count(lit(1)).as("n"))
+          .orderBy("series", "day", "bin")
+      },
+      Some(s"""$svSql
+              |SELECT series, CAST(floor(time / 86400.0) AS BIGINT) * 86400 AS day,
+              |       CAST(least(greatest(floor(value / 50.0), 0), 9) AS BIGINT) AS bin,
+              |       count(*) AS n
+              |FROM sv WHERE time >= $T0 AND time < $T1
+              |GROUP BY series, day, bin ORDER BY series, day, bin""".stripMargin)),
+
     // M4 downsampling: per (series, hour) the earliest/latest/min/max
     // points — the lossless-for-rendering dashboard reduction, one hash
     // aggregate, ≤ 4 rows per bucket. Ties lexicographic on both sides.
