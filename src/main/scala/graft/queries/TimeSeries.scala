@@ -343,6 +343,45 @@ object TimeSeries {
               |FROM sv WHERE time >= $T0 AND time < $T1
               |GROUP BY series, day, bin ORDER BY series, day, bin""".stripMargin)),
 
+    // histogram_quantile composition: p90 interpolated linearly inside
+    // the bucket from the histogram's MERGEABLE counts — the scale story
+    // for quantiles over arbitrary groupings (the per-group window runs
+    // over ≤ nbins rows, never the points). Same arithmetic both sides.
+    Q("q_ts_histogram_quantile",
+      (s, dir) => {
+        val w = 50.0
+        val bin = least(greatest(floor(col("value") / w), lit(0.0)), lit(9.0)).cast("long")
+        val h = ev(s, dir).filter(col("time") >= T0 && col("time") < T1)
+          .groupBy(col("series"), F.timeBucket(lit(86400), col("time")).as("day"), bin.as("bin"))
+          .agg(count(lit(1)).as("n"))
+        val wOrd = Window.partitionBy("series", "day").orderBy("bin")
+        val wAll = Window.partitionBy("series", "day")
+        val c = h.withColumn("cum", sum("n").over(wOrd))
+          .withColumn("total", sum("n").over(wAll))
+        val rank = lit(0.9) * col("total")
+        c.filter((col("cum") - col("n")) < rank && col("cum") >= rank)
+          .select(col("series"), col("day"),
+            (floor((col("bin") * w + lit(w) * ((rank - (col("cum") - col("n"))) / col("n"))) * 1e4 + 0.5) / 1e4)
+              .as("p90"))
+          .orderBy("series", "day")
+      },
+      Some(s"""$svSql, h AS (
+              |  SELECT series, CAST(floor(time / 86400.0) AS BIGINT) * 86400 AS day,
+              |         CAST(least(greatest(floor(value / 50.0), 0), 9) AS BIGINT) AS bin,
+              |         count(*) AS n
+              |  FROM sv WHERE time >= $T0 AND time < $T1
+              |  GROUP BY series, day, bin
+              |), c AS (
+              |  SELECT series, day, bin, n,
+              |         sum(n) OVER (PARTITION BY series, day ORDER BY bin) AS cum,
+              |         sum(n) OVER (PARTITION BY series, day) AS total
+              |  FROM h
+              |)
+              |SELECT series, day,
+              |       floor((bin * 50.0 + 50.0 * ((0.9 * total - (cum - n)) / n)) * 1e4 + 0.5) / 1e4 AS p90
+              |FROM c WHERE (cum - n) < 0.9 * total AND cum >= 0.9 * total
+              |ORDER BY series, day""".stripMargin)),
+
     // M4 downsampling: per (series, hour) the earliest/latest/min/max
     // points — the lossless-for-rendering dashboard reduction, one hash
     // aggregate, ≤ 4 rows per bucket. Ties lexicographic on both sides.
