@@ -45,18 +45,19 @@ object IvfIndex {
       .coalesce(1).write.mode("overwrite").parquet(s"$path/_centroids")
   }
 
-  /** Driver-side probe ranking: per query its `nprobe` nearest cells by
-    * (coarse distance, lower cell) — the [[Similarity.cellProbes]]
+  /** Driver-side probe ranking over an ALREADY size-guarded batch
+    * ([[Similarity.boundedBatch]]): per query its `nprobe` nearest cells
+    * by (coarse distance, lower cell) — the [[Similarity.cellProbes]]
     * ordering with the assignment kernel's left-to-right fold, so the
-    * ranking is bit-identical to the in-Spark form (the residual gate
-    * pins this). The query batch is bounded by the serving contract, so
-    * ranking it here replaces a whole Spark job per serve (probes fed
-    * both the partition filter and the broadcast join) with
-    * metadata-sized driver arithmetic.
+    * ranking is bit-identical to the in-Spark form (the residual gate and
+    * PipelineSpec's two-route cases pin this). For bounded serving
+    * batches this replaces a whole Spark job per serve (probes feed both
+    * the partition filter and the broadcast join) with metadata-sized
+    * driver arithmetic; batches over the threshold never reach here.
     */
-  private def probeCells(queries: DataFrame, cs: Array[Seq[Double]],
+  private def probeCells(rows: Seq[org.apache.spark.sql.Row], cs: Array[Seq[Double]],
       nprobe: Int): Seq[(Long, Seq[Double], Seq[Int])] =
-    Clustering.parsed(queries).collect().toSeq.map { r =>
+    rows.map { r =>
       val qid = r.getLong(0)
       val qv = r.getSeq[Double](1)
       val cells = cs.toSeq.zipWithIndex.map { case (c, b) =>
@@ -66,6 +67,23 @@ object IvfIndex {
       }.sorted.take(nprobe).map(_._2)
       (qid, qv, cells)
     }
+
+  /** The distributed probe frame for over-threshold batches:
+    * [[Similarity.cellProbes]] (same ranking, in-Spark) plus the probed-
+    * bucket set for the partition filter — the distinct-bucket aggregate
+    * returns ≤ nCells rows, so the only driver state is metadata-sized
+    * regardless of batch size. One extra job vs the serving path; the
+    * batch is corpus-sized, so that job is noise against the scan it
+    * prunes.
+    */
+  private def distributedProbes(queries: DataFrame, cs: Array[Seq[Double]],
+      nprobe: Int): (DataFrame, Seq[Int]) = {
+    val qs = Clustering.parsed(queries)
+      .select(col("vec_id").as("q_id"), col("v").as("qv"))
+    val probes = Similarity.cellProbes(qs, cs, nprobe)
+    val buckets = probes.select("bucket").distinct().collect().map(_.getInt(0)).toSeq
+    (probes, buckets)
+  }
 
   /** The k×dim centroid matrix back from the index directory (metadata-
     * sized: one row per cell).
@@ -147,19 +165,27 @@ object IvfIndex {
     */
   def topKPq(spark: SparkSession, path: String, queries: DataFrame, k: Int,
       nprobe: Int, centroids: Option[Array[Seq[Double]]] = None,
-      books: Option[Array[Array[Seq[Double]]]] = None): DataFrame = {
+      books: Option[Array[Array[Seq[Double]]]] = None,
+      maxDriverBatch: Int = -1): DataFrame = {
     val cs = centroids.getOrElse(loadCentroids(spark, path))
     val bks = books.getOrElse(loadBooks(spark, path))
     import spark.implicits._
-    val probeRows = probeCells(queries, cs, nprobe).flatMap { case (qid, qv, cells) =>
-      val lut = Pq.lutFor(qv, bks)
-      cells.map(b => (qid, b, lut))
+    val (probes, buckets) = Similarity.boundedBatch(queries,
+        Similarity.driverBatchLimit(spark, maxDriverBatch)) match {
+      case Some(rows) =>
+        val probeRows = probeCells(rows, cs, nprobe).flatMap { case (qid, qv, cells) =>
+          val lut = Pq.lutFor(qv, bks)
+          cells.map(b => (qid, b, lut))
+        }
+        (broadcast(probeRows.toDF("q_id", "bucket", "lut")),
+          probeRows.map(_._2).distinct)
+      case None =>
+        val (p, bs) = distributedProbes(queries, cs, nprobe)
+        (p.withColumn("lut", Pq.lutCol(col("qv"), bks)).drop("qv"), bs)
     }
-    val probes = probeRows.toDF("q_id", "bucket", "lut")
-    val buckets = probeRows.map(_._2).distinct
     val c = spark.read.parquet(path).filter(col("bucket").isin(buckets.map(Int.box): _*))
     Pq.rankAdcTopK(
-      c.join(broadcast(probes), Seq("bucket"))
+      c.join(probes, Seq("bucket"))
         .filter(col("q_id") =!= col("vec_id"))
         .withColumn("__adc", Pq.adcColumn(col("lut"), col("codes"))),
       k)
@@ -177,20 +203,32 @@ object IvfIndex {
     */
   def topKPqResidual(spark: SparkSession, path: String, queries: DataFrame, k: Int,
       nprobe: Int, cs: Array[Seq[Double]],
-      books: Array[Array[Seq[Double]]]): DataFrame = {
+      books: Array[Array[Seq[Double]]],
+      maxDriverBatch: Int = -1): DataFrame = {
     import spark.implicits._
-    val probeRows: Seq[(Long, Int, Seq[Seq[Double]])] =
-      probeCells(queries, cs, nprobe).flatMap { case (qid, qv, cells) =>
-        cells.map { b =>
-          val qr = qv.indices.map(i => qv(i) - cs(b)(i))
-          (qid, b, Pq.lutFor(qr, books))
-        }
-      }
-    val probes = probeRows.toDF("q_id", "bucket", "lut")
-    val buckets = probeRows.map(_._2).distinct
+    val (probes, buckets) = Similarity.boundedBatch(queries,
+        Similarity.driverBatchLimit(spark, maxDriverBatch)) match {
+      case Some(rows) =>
+        val probeRows: Seq[(Long, Int, Seq[Seq[Double]])] =
+          probeCells(rows, cs, nprobe).flatMap { case (qid, qv, cells) =>
+            cells.map { b =>
+              val qr = qv.indices.map(i => qv(i) - cs(b)(i))
+              (qid, b, Pq.lutFor(qr, books))
+            }
+          }
+        (broadcast(probeRows.toDF("q_id", "bucket", "lut")),
+          probeRows.map(_._2).distinct)
+      case None =>
+        // cell-specific LUT on the residual q − centroid_cell, in-Spark:
+        // same elementwise subtraction and folds as the driver builder
+        val (p, bs) = distributedProbes(queries, cs, nprobe)
+        (p.withColumn("lut",
+            Pq.lutCol(Pq.residualCol(col("qv"), col("bucket"), cs), books))
+          .drop("qv"), bs)
+    }
     val c = spark.read.parquet(path).filter(col("bucket").isin(buckets.map(Int.box): _*))
     Pq.rankAdcTopK(
-      c.join(broadcast(probes), Seq("bucket"))
+      c.join(probes, Seq("bucket"))
         .filter(col("q_id") =!= col("vec_id"))
         .withColumn("__adc", Pq.adcColumn(col("lut"), col("codes"))),
       k)
@@ -205,16 +243,23 @@ object IvfIndex {
     * a fraction of the index.
     */
   def topK(spark: SparkSession, path: String, queries: DataFrame, k: Int,
-      nprobe: Int, centroids: Option[Array[Seq[Double]]] = None): DataFrame = {
+      nprobe: Int, centroids: Option[Array[Seq[Double]]] = None,
+      maxDriverBatch: Int = -1): DataFrame = {
     val cs = centroids.getOrElse(loadCentroids(spark, path))
     import spark.implicits._
-    val probeRows = probeCells(queries, cs, nprobe).flatMap { case (qid, qv, cells) =>
-      cells.map(b => (qid, qv, b))
+    val (probes, buckets) = Similarity.boundedBatch(queries,
+        Similarity.driverBatchLimit(spark, maxDriverBatch)) match {
+      case Some(rows) =>
+        val probeRows = probeCells(rows, cs, nprobe).flatMap { case (qid, qv, cells) =>
+          cells.map(b => (qid, qv, b))
+        }
+        (broadcast(probeRows.toDF("q_id", "qv", "bucket")),
+          probeRows.map(_._3).distinct)
+      case None =>
+        distributedProbes(queries, cs, nprobe)
     }
-    val probes = probeRows.toDF("q_id", "qv", "bucket")
-    val buckets = probeRows.map(_._3).distinct
     val c = spark.read.parquet(path).filter(col("bucket").isin(buckets.map(Int.box): _*))
-    Similarity.rankTopK(c.join(broadcast(probes), Seq("bucket"))
+    Similarity.rankTopK(c.join(probes, Seq("bucket"))
       .filter(col("q_id") =!= col("vec_id"))
       .select(col("q_id"), col("vec_id"),
         Similarity.cosine(col("qv"), col("v")).as("cos")), k)

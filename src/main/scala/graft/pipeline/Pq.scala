@@ -32,7 +32,9 @@ object Pq {
     val e = Clustering.parsed(emb)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     try {
-      val dim = e.select(size(col("v"))).head().getInt(0)
+      val dims = e.select(size(col("v"))).head(1)
+      require(dims.nonEmpty, "PQ fit needs a non-empty corpus")
+      val dim = dims(0).getInt(0)
       require(dim % m == 0, s"dim $dim must divide into $m blocks")
       val sub = dim / m
       (0 until m).toArray.map { j =>
@@ -98,13 +100,60 @@ object Pq {
     }
   }
 
-  private[pipeline] def lutFrame(queries: DataFrame,
-      books: Array[Array[Seq[Double]]]): DataFrame = {
+  /** In-Spark twin of [[lutFor]]: the squared-distance LUT as a column
+    * expression over a (possibly residual) query vector — same block
+    * slices, same left-to-right folds, same `(x−y)·(x−y)` per element, so
+    * the distributed route is bit-identical to the driver route
+    * (PipelineSpec pins it). This is what corpus-sized query batches use:
+    * the LUT stays a narrow projection, nothing is collected.
+    */
+  private[pipeline] def lutCol(qv: Column, books: Array[Array[Seq[Double]]]): Column = {
+    val sub = books(0)(0).length
+    array(books.zipWithIndex.map { case (cb, j) =>
+      array(cb.map { c =>
+        aggregate(
+          zip_with(slice(qv, j * sub + 1, sub), typedLit(c.toSeq), (x, y) => (x - y) * (x - y)),
+          lit(0.0), (acc, x) => acc + x)
+      }: _*)
+    }: _*)
+  }
+
+  /** In-Spark dot-product LUT (the cosine-ADC numerator table): block j ×
+    * centroid c ↦ dot(q_j, c) with the driver builder's fold order.
+    */
+  private[pipeline] def dotLutCol(qv: Column, books: Array[Array[Seq[Double]]]): Column = {
+    val sub = books(0)(0).length
+    array(books.zipWithIndex.map { case (cb, j) =>
+      array(cb.map { c =>
+        aggregate(
+          zip_with(slice(qv, j * sub + 1, sub), typedLit(c.toSeq), (x, y) => x * y),
+          lit(0.0), (acc, x) => acc + x)
+      }: _*)
+    }: _*)
+  }
+
+  /** ‖q‖ with the driver builder's left-to-right Σx² fold. */
+  private[pipeline] def qNormCol(qv: Column): Column =
+    sqrt(aggregate(zip_with(qv, qv, (x, y) => x * y), lit(0.0), (acc, x) => acc + x))
+
+  /** `(q_id, lut)` for the ADC join. Bounded batches (the serving
+    * contract) build the LUTs driver-side and broadcast them; larger
+    * batches — corpus-as-queries semantic dedup — stay fully distributed
+    * via [[lutCol]] with no hint (AQE picks the join).
+    */
+  private[pipeline] def lutFrame(queries: DataFrame, books: Array[Array[Seq[Double]]],
+      maxDriverBatch: Int = -1): DataFrame = {
     val spark = queries.sparkSession
     import spark.implicits._
-    Clustering.parsed(queries).collect().toSeq
-      .map(r => (r.getLong(0), lutFor(r.getSeq[Double](1), books)))
-      .toDF("q_id", "lut")
+    Similarity.boundedBatch(queries, Similarity.driverBatchLimit(spark, maxDriverBatch)) match {
+      case Some(rows) =>
+        broadcast(rows
+          .map(r => (r.getLong(0), lutFor(r.getSeq[Double](1), books)))
+          .toDF("q_id", "lut"))
+      case None =>
+        Clustering.parsed(queries)
+          .select(col("vec_id").as("q_id"), lutCol(col("v"), books).as("lut"))
+    }
   }
 
   /** ADC score: Σ_j lut(j)(code_j), left-to-right (init 0.0 + x₀ is
@@ -130,10 +179,10 @@ object Pq {
   }
 
   def adcTopK(corpus: DataFrame, queries: DataFrame, books: Array[Array[Seq[Double]]],
-      k: Int): DataFrame =
+      k: Int, maxDriverBatch: Int = -1): DataFrame =
     rankAdcTopK(
       encode(corpus, books)
-        .crossJoin(broadcast(lutFrame(queries, books)))
+        .crossJoin(lutFrame(queries, books, maxDriverBatch))
         .filter(col("vec_id") =!= col("q_id"))
         .withColumn("__adc", adcColumn(col("lut"), col("codes"))),
       k)
@@ -150,7 +199,7 @@ object Pq {
     * lowest vec_id — the [[Similarity]] ranking contract.
     */
   def adcCosineTopK(corpus: DataFrame, queries: DataFrame,
-      books: Array[Array[Seq[Double]]], k: Int): DataFrame = {
+      books: Array[Array[Seq[Double]]], k: Int, maxDriverBatch: Int = -1): DataFrame = {
     val spark = corpus.sparkSession
     import spark.implicits._
     val sub = books(0)(0).length
@@ -159,24 +208,32 @@ object Pq {
       while (i < sub) { acc = acc + c(i) * c(i); i += 1 }
       acc
     })
-    val qRows = Clustering.parsed(queries).collect().toSeq.map { r =>
-      val qv = r.getSeq[Double](1)
-      val lut: Seq[Seq[Double]] = books.toSeq.zipWithIndex.map { case (cb, j) =>
-        cb.toSeq.map { c =>
-          var acc = 0.0; var i = 0
-          while (i < sub) { acc = acc + qv(j * sub + i) * c(i); i += 1 }
-          acc
-        }
-      }
-      var qn = 0.0; var i = 0
-      while (i < qv.length) { qn = qn + qv(i) * qv(i); i += 1 }
-      (r.getLong(0), lut, math.sqrt(qn))
+    // bounded batch → driver LUTs + broadcast (serving); larger → the
+    // distributed column twins, bit-identical folds (PipelineSpec)
+    val q = Similarity.boundedBatch(queries,
+        Similarity.driverBatchLimit(spark, maxDriverBatch)) match {
+      case Some(rows) =>
+        broadcast(rows.map { r =>
+          val qv = r.getSeq[Double](1)
+          val lut: Seq[Seq[Double]] = books.toSeq.zipWithIndex.map { case (cb, j) =>
+            cb.toSeq.map { c =>
+              var acc = 0.0; var i = 0
+              while (i < sub) { acc = acc + qv(j * sub + i) * c(i); i += 1 }
+              acc
+            }
+          }
+          var qn = 0.0; var i = 0
+          while (i < qv.length) { qn = qn + qv(i) * qv(i); i += 1 }
+          (r.getLong(0), lut, math.sqrt(qn))
+        }.toDF("q_id", "lut", "qnorm"))
+      case None =>
+        Clustering.parsed(queries).select(col("vec_id").as("q_id"),
+          dotLutCol(col("v"), books).as("lut"), qNormCol(col("v")).as("qnorm"))
     }
-    val q = qRows.toDF("q_id", "lut", "qnorm")
     val num = adcColumn(col("lut"), col("codes"))
     val den2 = adcColumn(typedLit(n2), col("codes"))
     val scored = encode(corpus, books)
-      .crossJoin(broadcast(q))
+      .crossJoin(q)
       .filter(col("vec_id") =!= col("q_id"))
       .withColumn("cos", num / (col("qnorm") * sqrt(den2)))
     val w = org.apache.spark.sql.expressions.Window

@@ -19,6 +19,31 @@ import org.apache.spark.sql.functions._
   */
 object Similarity {
 
+  /** Query batches up to this size are served with driver-side probe/LUT
+    * arithmetic (the serving fast path: one bounded `head` job, then pure
+    * metadata math — no extra Spark job per serve). Batches above it MUST
+    * route through the distributed probe/LUT builders: a corpus-sized
+    * "query" frame (ANN-based semantic dedup, corpus vs itself) would
+    * otherwise collect every query embedding onto the driver.
+    * `overrideLimit >= 0` wins (0 forces the distributed route); -1 reads
+    * `spark.graft.ann.maxDriverBatch` (default 10000).
+    */
+  private[pipeline] def driverBatchLimit(spark: org.apache.spark.sql.SparkSession,
+      overrideLimit: Int): Int =
+    if (overrideLimit >= 0) overrideLimit
+    else spark.conf.get("spark.graft.ann.maxDriverBatch", "10000").toInt
+
+  /** The parsed `(vec_id, v)` query rows IF the batch is within `limit`
+    * (the same bounded `head(limit + 1)` that checks the size also yields
+    * the rows — no second job), else None: the caller must use the
+    * distributed path. PipelineSpec pins both routes to identical results.
+    */
+  private[pipeline] def boundedBatch(queries: DataFrame,
+      limit: Int): Option[Seq[org.apache.spark.sql.Row]] = {
+    val rows = Clustering.parsed(queries).head(limit + 1).toSeq
+    if (rows.length <= limit) Some(rows) else None
+  }
+
   /** Double-cast embedding. */
   private def vec(c: Column): Column = c.cast("array<double>")
 

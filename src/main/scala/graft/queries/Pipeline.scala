@@ -367,7 +367,7 @@ object Pipeline {
     "q_pl_vocab", "q_pl_lm_score", "q_pl_tfidf", "q_ann_ivf_km",
     "q_pl_cluster_balance", "q_ann_ivf_at_rest", "q_ann_pq", "q_ann_ivfpq_at_rest",
     "q_pl_span_dedup", "q_ann_pq_cos", "q_ann_ivfpq_residual", "q_pl_mixture",
-    "q_pl_curation_chain")
+    "q_pl_curation_chain", "q_ann_self_join")
 
   def qs: Seq[Q] = {
     val all = raw.map(q => if (ExtraBench(q.name)) q.copy(benchExtra = true) else q)
@@ -593,6 +593,43 @@ object Pipeline {
               |)
               |SELECT q_id, vec_id, rank, floor((cos) * 1e6 + 0.5) / 1e6 AS cos
               |FROM scored WHERE rank <= 5 ORDER BY q_id, rank""".stripMargin)),
+
+    // SEMANTIC DEDUP AT SCALE: the corpus itself is the query batch —
+    // every vector finds its 3 nearest neighbors through the at-rest IVF
+    // index. The serving guard refuses the driver collect for such a
+    // batch and routes through the fully distributed probe path
+    // (maxDriverBatch = 0 forces the route here so the gate exercises it
+    // at sf0.01 scale; the default 10k threshold routes any real
+    // corpus-sized batch identically). The only driver state is the
+    // ≤ nCells distinct-bucket list. Oracle replays the same chain with
+    // every vector as a query.
+    Q("q_ann_self_join",
+      (s, dir) => {
+        val emb = Tables.embeddings(s, dir)
+        val idx = java.nio.file.Files.createTempDirectory("graft-gate-selfj").toString + "/index"
+        val cs = graft.pipeline.IvfIndex.build(emb, idx, nCells = 8, iters = 3)
+        graft.pipeline.IvfIndex.topK(s, idx, emb, 3, nprobe = 4,
+            centroids = Some(cs), maxDriverBatch = 0)
+          .orderBy("q_id", "rank")
+      },
+      Some(s"""WITH ${kmeansCtes(k = 8, iters = 3, dim = 64)},
+              |cc AS (SELECT vec_id, v, list_indexof(ds, list_min(ds)) - 1 AS bucket FROM asg),
+              |pr AS (
+              |  SELECT q_id, qv, bucket FROM (
+              |    SELECT a.vec_id AS q_id, a.v AS qv, r.cell AS bucket,
+              |           row_number() OVER (PARTITION BY a.vec_id
+              |                              ORDER BY a.ds[CAST(r.cell AS INT) + 1], r.cell) AS prn
+              |    FROM asg a CROSS JOIN range(0, 8) r(cell)
+              |  ) WHERE prn <= 4
+              |),
+              |scored AS (
+              |  SELECT p.q_id, c.vec_id, ${cosSql("p.qv", "c.v")} AS cos,
+              |         row_number() OVER (PARTITION BY p.q_id
+              |                            ORDER BY ${cosSql("p.qv", "c.v")} DESC, c.vec_id) AS rank
+              |  FROM cc c JOIN pr p ON c.bucket = p.bucket AND c.vec_id != p.q_id
+              |)
+              |SELECT q_id, vec_id, rank, floor((cos) * 1e6 + 0.5) / 1e6 AS cos
+              |FROM scored WHERE rank <= 3 ORDER BY q_id, rank""".stripMargin)),
 
     // Asymmetric int8-quantized serving path: full-precision queries vs
     // reconstructed (qmin + code·qscale) corpus. Deterministic, so the

@@ -571,6 +571,49 @@ class PipelineSpec extends AnyFunSuite {
       (3L, 6L, 3L, 0L, 2L))) // tokens 3..8 touch chunks 0,1,2
   }
 
+  // --- ANN serving guard: the driver fast path (bounded query batch,
+  // collected LUT/probe arithmetic) and the distributed path (corpus-sized
+  // batch, in-Spark column twins) must be BIT-IDENTICAL — same folds, same
+  // ranking. maxDriverBatch = 0 forces the distributed route on the same
+  // batch the default threshold serves driver-side.
+
+  test("at-rest IVF topK: driver and distributed probe routes are bit-identical") {
+    val idx = java.nio.file.Files.createTempDirectory("graft-test-ivf2r").toString + "/index"
+    val cs = graft.pipeline.IvfIndex.build(emb, idx, nCells = 8, iters = 2)
+    def rows(mdb: Int) = graft.pipeline.IvfIndex
+      .topK(spark, idx, emb, 3, nprobe = 4, centroids = Some(cs), maxDriverBatch = mdb)
+      .collect().map(_.toSeq).sortBy(_.toString).toSeq
+    assert(rows(0) === rows(-1))
+  }
+
+  test("at-rest IVFPQ + residual: driver and distributed LUT routes are bit-identical") {
+    val base = java.nio.file.Files.createTempDirectory("graft-test-pq2r").toString
+    val (cs, books) = graft.pipeline.IvfIndex.buildPq(emb, s"$base/flat",
+      nCells = 8, iters = 2, m = 4, ksub = 16, pqIters = 1)
+    def flat(mdb: Int) = graft.pipeline.IvfIndex
+      .topKPq(spark, s"$base/flat", emb, 3, nprobe = 4,
+        centroids = Some(cs), books = Some(books), maxDriverBatch = mdb)
+      .collect().map(_.toSeq).sortBy(_.toString).toSeq
+    assert(flat(0) === flat(-1))
+    val (rcs, rbooks) = graft.pipeline.IvfIndex.buildPq(emb, s"$base/res",
+      nCells = 8, iters = 2, m = 4, ksub = 16, pqIters = 1, residual = true)
+    def res(mdb: Int) = graft.pipeline.IvfIndex
+      .topKPqResidual(spark, s"$base/res", emb, 3, nprobe = 4, rcs, rbooks,
+        maxDriverBatch = mdb)
+      .collect().map(_.toSeq).sortBy(_.toString).toSeq
+    assert(res(0) === res(-1))
+  }
+
+  test("flat and cosine ADC: driver and distributed LUT routes are bit-identical") {
+    val books = graft.pipeline.Pq.fit(emb, m = 4, ksub = 16, iters = 1)
+    def l2(mdb: Int) = graft.pipeline.Pq.adcTopK(emb, emb, books, 3, maxDriverBatch = mdb)
+      .collect().map(_.toSeq).sortBy(_.toString).toSeq
+    assert(l2(0) === l2(-1))
+    def cosr(mdb: Int) = graft.pipeline.Pq.adcCosineTopK(emb, emb, books, 3, maxDriverBatch = mdb)
+      .collect().map(_.toSeq).sortBy(_.toString).toSeq
+    assert(cosr(0) === cosr(-1))
+  }
+
   test("resize stub bounds payload size; embed stub is deterministic with fixed dim") {
     val media = graft.pipeline.Multimodal.mediaTable(docs)
     val resized = graft.pipeline.Multimodal.resizeStub(spark, media, 64, 48).collect()
