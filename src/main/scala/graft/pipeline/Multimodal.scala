@@ -7,10 +7,12 @@ import org.apache.spark.sql.functions._
   * metadata, batch-decoded per partition.
   *
   * Image dimensions decode for REAL through the JDK's own
-  * `javax.imageio` readers (header-only — see [[ImageCodec]]); the
-  * container has no audio/video codecs, so those steps remain
-  * clearly-marked deterministic STUBs ([[DecodeStub.decode]] fallback,
-  * [[resizeStub]], [[embedStub]]). Everything around them — schema,
+  * `javax.imageio` readers (header-only — see [[ImageCodec]]), and image
+  * resize is a REAL decode → Graphics2D scale → PNG re-encode
+  * ([[ImageCodec.resize]]); the container has no audio/video codecs, so
+  * those steps remain clearly-marked deterministic STUBs
+  * ([[DecodeStub.decode]] fallback, [[embedStub]], and the undecodable-
+  * payload branch of [[resizeImages]]). Everything around them — schema,
   * binary columns, partition-batched iteration, typed output — is the
   * real Spark plumbing a codec drops into.
   *
@@ -70,6 +72,30 @@ object Multimodal {
         }
       } catch { case scala.util.control.NonFatal(_) => None } finally in.close()
     }
+
+    /** REAL pure-JVM resize: full `ImageIO.read` decode, bilinear
+      * `Graphics2D.drawImage` scale onto a fresh RGB raster, PNG
+      * re-encode — the whole pipeline is JDK-only (no native codecs).
+      * None when the payload doesn't decode (then the caller falls back
+      * to the deterministic stub, which is what the oracle-gated fake
+      * text payloads exercise).
+      */
+    def resize(blob: Array[Byte], width: Int, height: Int): Option[Array[Byte]] =
+      try {
+        Option(javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(blob))).map { src =>
+          val dst = new java.awt.image.BufferedImage(
+            width, height, java.awt.image.BufferedImage.TYPE_INT_RGB)
+          val g = dst.createGraphics()
+          try {
+            g.setRenderingHint(java.awt.RenderingHints.KEY_INTERPOLATION,
+              java.awt.RenderingHints.VALUE_INTERPOLATION_BILINEAR)
+            g.drawImage(src, 0, 0, width, height, null)
+          } finally g.dispose()
+          val out = new java.io.ByteArrayOutputStream()
+          javax.imageio.ImageIO.write(dst, "png", out)
+          out.toByteArray
+        }
+      } catch { case scala.util.control.NonFatal(_) => None }
   }
 
   /** Decoder: images go through the real [[ImageCodec]] header parse;
@@ -121,22 +147,26 @@ object Multimodal {
 
   final case class ResizedBlob(doc_id: Long, media_type: String, width: Int, height: Int, blob: Array[Byte])
 
-  /** STUB resize (images): a real codec decodes, scales, re-encodes; the
-    * stub keeps a deterministic payload prefix proportional to the target
-    * area so sizes shrink like a real resize would. Partition-batched like
-    * decode.
+  /** Image resize, partition-batched like decode. Decodable payloads take
+    * the REAL [[ImageCodec.resize]] (decode → Graphics2D bilinear scale →
+    * PNG re-encode, all JDK); payloads no JDK reader parses (the gate's
+    * fake text-byte payloads) fall back to a deterministic prefix stub
+    * whose size shrinks with the target area, keeping the pipeline shape
+    * oracle-reproducible without external codec libraries.
     */
-  def resizeStub(spark: SparkSession, media: DataFrame, width: Int, height: Int): Dataset[ResizedBlob] = {
+  def resizeImages(spark: SparkSession, media: DataFrame, width: Int, height: Int): Dataset[ResizedBlob] = {
     import spark.implicits._
     media.filter(col("media_type") === "image").as[MediaBlob].mapPartitions { it =>
       it.map { b =>
-        // ??? real codec resize goes here
-        val keep = math.min(b.blob.length, math.max(1, width * height / 64))
-        ResizedBlob(b.doc_id, b.media_type, width, height, b.blob.take(keep))
+        ImageCodec.resize(b.blob, width, height) match {
+          case Some(png) => ResizedBlob(b.doc_id, b.media_type, width, height, png)
+          case None =>
+            val keep = math.min(b.blob.length, math.max(1, width * height / 64))
+            ResizedBlob(b.doc_id, b.media_type, width, height, b.blob.take(keep))
+        }
       }
     }
   }
-
   final case class MediaEmbedding(doc_id: Long, embedding: Array[Float])
 
   /** STUB feature extraction: deterministic embedding from the payload

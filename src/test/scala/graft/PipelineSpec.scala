@@ -614,9 +614,30 @@ class PipelineSpec extends AnyFunSuite {
     assert(cosr(0) === cosr(-1))
   }
 
-  test("resize stub bounds payload size; embed stub is deterministic with fixed dim") {
+  test("resize: real PNG payloads come back at the target pixel dimensions") {
+    // build a real 8×6 PNG with distinct quadrant colors, push it through
+    // the partition-batched resize, and decode the output: target dims and
+    // surviving color structure prove a real decode→scale→re-encode ran
+    val src = new java.awt.image.BufferedImage(8, 6, java.awt.image.BufferedImage.TYPE_INT_RGB)
+    for (x <- 0 until 8; y <- 0 until 6)
+      src.setRGB(x, y, if (x < 4) 0xff0000 else 0x0000ff)
+    val bytes = {
+      val out = new java.io.ByteArrayOutputStream()
+      javax.imageio.ImageIO.write(src, "png", out)
+      out.toByteArray
+    }
+    val media = Seq((1L, "image", bytes)).toDF("doc_id", "media_type", "blob")
+    val r = graft.pipeline.Multimodal.resizeImages(spark, media, 16, 12).collect()
+    assert(r.length === 1 && r.head.width === 16 && r.head.height === 12)
+    val back = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(r.head.blob))
+    assert(back.getWidth === 16 && back.getHeight === 12)
+    assert((back.getRGB(1, 6) & 0xff0000) != 0, "left half should stay red")
+    assert((back.getRGB(14, 6) & 0xff) != 0, "right half should stay blue")
+  }
+
+  test("resize falls back to the bounded stub on undecodable payloads; embed stub is deterministic with fixed dim") {
     val media = graft.pipeline.Multimodal.mediaTable(docs)
-    val resized = graft.pipeline.Multimodal.resizeStub(spark, media, 64, 48).collect()
+    val resized = graft.pipeline.Multimodal.resizeImages(spark, media, 64, 48).collect()
     assert(resized.nonEmpty)
     assert(resized.forall(r => r.blob.length <= math.max(1, 64 * 48 / 64)))
     val e1 = graft.pipeline.Multimodal.embedStub(spark, media, dim = 16).collect().sortBy(_.doc_id)
