@@ -35,6 +35,24 @@ object Bench {
     def json(r: Seq[(String, Double)]): String =
       r.map { case (k, v) => "\"" + k + f"\":$v%.3f" }.mkString("{", ",", "}")
 
+    // dev mode for per-op variance brackets: SPARK_GRAFT_BENCH_ONLY=a,b
+    // [SPARK_GRAFT_BENCH_REPS=3] runs just those queries N times each and
+    // prints all rep timings (rep 1 in a fresh JVM = cold; later = warm).
+    // The driver's standard single-pass output path is untouched.
+    sys.env.get("SPARK_GRAFT_BENCH_ONLY").foreach { csv =>
+      val reps = sys.env.getOrElse("SPARK_GRAFT_BENCH_REPS", "3").toInt
+      val qs = csv.split(',').toSeq.map(_.trim).filter(_.nonEmpty)
+      val unknown = qs.filterNot(SparkEntry.queries.contains)
+      require(unknown.isEmpty, s"unknown bench queries: ${unknown.mkString(", ")}")
+      val runs = (1 to reps).map(_ => time(qs))
+      val byQ = qs.map { q =>
+        "\"" + q + "\":[" + runs.map(_.toMap.apply(q)).map(t => f"$t%.3f").mkString(",") + "]"
+      }.mkString("{", ",", "}")
+      println(s"""{"metric":"reps","reps":$reps,"queries":$byQ,"sf":"$sfDir"}""")
+      spark.stop()
+      return
+    }
+
     val results = time(names)
     val total = results.map(_._2).sum
     // registry-flagged pipeline ops, timed but kept OUT of "total"/

@@ -141,7 +141,8 @@ object SeriesWindows {
     * it or silently diverge from the correction logic.
     */
   private def rangeFramed(df: DataFrame, out: String, value: Column, dur: Long,
-      keys: Seq[String], timeCol: String, minBucket: Long)(
+      keys: Seq[String], timeCol: String, minBucket: Long,
+      shifted: Boolean = false)(
       agg: (Column, org.apache.spark.sql.expressions.WindowSpec) => Column): DataFrame = {
     val t = col(timeCol).cast("long")
     val w = math.max(minBucket, dur)
@@ -154,8 +155,18 @@ object SeriesWindows {
       .withColumn(d, col(d) + 1).withColumn(g, lit(true))
     val win = Window.partitionBy(keys.map(col) :+ col(d): _*).orderBy(t)
       .rangeBetween(-dur, 0)
-    base.unionByName(ghosts)
-      .withColumn(out, agg(col(vc), win))
+    val u = base.unionByName(ghosts)
+    // shifted: re-center the value by its (keys, day)-partition min (an
+    // order-independent constant within every frame of the partition, so
+    // a replaying engine folds the same numbers) before the frame agg —
+    // what shift-invariant moments (z-score) need to dodge catastrophic
+    // cancellation at |μ| ≫ σ. Same sort as `win`, one extra pass.
+    val u2 =
+      if (shifted)
+        u.withColumn(vc,
+          col(vc) - min(col(vc)).over(Window.partitionBy(keys.map(col) :+ col(d): _*)))
+      else u
+    u2.withColumn(out, agg(col(vc), win))
       .filter(!col(g))
       .drop(d, vc, g)
   }
@@ -175,11 +186,22 @@ object SeriesWindows {
     * engine can fold the identical arithmetic (Spark's Welford state and
     * DuckDB's segment-tree aggregation would each drift differently).
     * NULL when the frame's σ is 0 (constant window).
+    *
+    * Values are RE-CENTERED by the (keys, day)-partition min before the
+    * moments (z is shift-invariant, so the result is mathematically
+    * unchanged): on counter-like series (values ~1e8, window σ ~1) the
+    * raw Σx²/n − μ² subtraction loses every significant bit and clamps
+    * to σ = 0, silently swallowing real anomalies. After the shift the
+    * magnitudes are the partition's own value spread. Remaining limit
+    * (document-grade, not fixable by a constant shift): a single day
+    * partition whose internal spread is ≳1e8× the window σ still
+    * cancels.
     */
   def movingZScore(df: DataFrame, out: String, value: Column, dur: Long,
       keys: Seq[String] = Seq("series_id"), timeCol: String = "time",
       minBucket: Long = DayW): DataFrame =
-    rangeFramed(df, out, value.cast("double"), dur, keys, timeCol, minBucket) { (v, win) =>
+    rangeFramed(df, out, value.cast("double"), dur, keys, timeCol, minBucket,
+        shifted = true) { (v, win) =>
       val s1 = sum(v).over(win)
       val s2 = sum(v * v).over(win)
       val n = count(v).over(win)

@@ -81,6 +81,14 @@ object Sampling {
     import org.apache.spark.sql.expressions.Window
     val spark = df.sparkSession
     import spark.implicits._
+    // weights: Map[String, _] keys join against the stratum column — a
+    // non-string column would CCE at the presence check below with no
+    // hint at the cause; make the contract explicit instead of casting
+    // (a silent cast could alias distinct strata, e.g. 1 vs "1 ")
+    val st = df.schema(stratumCol).dataType
+    require(st == org.apache.spark.sql.types.StringType,
+      s"stratum column '$stratumCol' must be STRING (weights are keyed by " +
+        s"string), got ${st.simpleString} — cast it before rebalancing")
     val wDf = weights.toSeq.toDF(stratumCol, "__w")
     val counted = df.groupBy(stratumCol).agg(count(lit(1)).as("__n"))
       .join(wDf, stratumCol)

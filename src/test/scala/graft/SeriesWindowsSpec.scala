@@ -109,6 +109,40 @@ class SeriesWindowsSpec extends AnyFunSuite {
     }
   }
 
+  test("movingZScore survives counter-like magnitudes (|μ| >> σ: the cancellation regime)") {
+    import spark.implicits._
+    // values ~1e8 with window σ ~1: raw Σx²/n − μ² loses every significant
+    // bit (the r5 advisory). The shifted moments must recover the z the
+    // pre-shifted data yields — z is shift-invariant, so the reference is
+    // the same formula on (value − 1e8).
+    val rnd = new scala.util.Random(777)
+    val df = (0 until 200).map { i =>
+      ("s0", 0L, i * 60L, Some(1e8 + math.sin(i / 3.0) + rnd.nextGaussian() * 0.1))
+    }.toDF("series", "series_id", "time", "value")
+    val dur = 1800L
+    val w = Window.partitionBy(col("series_id")).orderBy(col("time").cast("long"))
+      .rangeBetween(-dur, 0)
+    val v = col("value").cast("double") - lit(1e8)
+    val s1 = sum(v).over(w); val s2 = sum(v * v).over(w); val n = count(v).over(w)
+    val mu = s1 / n
+    val sig = sqrt(greatest((s2 / n) - (mu * mu), lit(0.0)))
+    val want = rows(df.withColumn("x", when(sig > 0, (v - mu) / sig)))
+    val got = rows(SeriesWindows.movingZScore(df, "x", col("value"), dur))
+    assert(got.length === want.length)
+    var nonNull = 0
+    got.zip(want).foreach { case (a, b) =>
+      assert(a.take(2) === b.take(2))
+      (a(2), b(2)) match {
+        case (null, null) => ()
+        case (x: Double, y: Double) =>
+          nonNull += 1
+          assert(math.abs(x - y) <= 1e-6 * math.max(1.0, math.abs(y)), s"$x vs $y")
+        case other => fail(s"mismatched nullability at offset 1e8: $other")
+      }
+    }
+    assert(nonNull > 100, "the shifted moments must yield real z values, not σ=0 NULLs")
+  }
+
   test("emaGlobal equals the sequential driver-side fold on adversarial layouts") {
     val rnd = new scala.util.Random(60601)
     for (trial <- 1 to 8) {
