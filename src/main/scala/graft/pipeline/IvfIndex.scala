@@ -21,22 +21,39 @@ import org.apache.spark.sql.functions._
   * Build cost: one quantizer fit ([[Clustering.fitCentroids]], cached
   * frame) + one narrow codegen assignment pass + a dynamic-partition
   * write — no corpus shuffle. (Each write task emits up to nCells files;
-  * at petabyte scale add a `repartition($"bucket", ...)` salt first if
-  * small-file pressure matters more than the extra shuffle.)
+  * pass `filesPerCell` to trade one salted shuffle for a bounded file
+  * count per cell, and run [[compact]] periodically on an index that
+  * takes streaming appends.)
   */
 object IvfIndex {
 
   /** Fit the coarse quantizer, write the partitioned index, persist the
     * centroids next to it. Returns the fitted centroid matrix.
     */
-  def build(corpus: DataFrame, path: String, nCells: Int = 8, iters: Int = 3): Array[Seq[Double]] = {
+  def build(corpus: DataFrame, path: String, nCells: Int = 8, iters: Int = 3,
+      filesPerCell: Int = 0): Array[Seq[Double]] = {
     val cs = Clustering.fitCentroids(corpus, nCells, iters)
-    Clustering.parsed(corpus)
-      .withColumn("bucket", Clustering.assignment(cs).getField("c"))
+    cellLayout(
+        Clustering.parsed(corpus)
+          .withColumn("bucket", Clustering.assignment(cs).getField("c")),
+        filesPerCell)
       .write.mode("overwrite").partitionBy("bucket").parquet(path)
     writeCentroidsSidecar(corpus.sparkSession, path, cs)
     cs
   }
+
+  /** The documented small-file/parallelism knob for index builds: the
+    * default narrow write has every task emit a file into each cell it
+    * sees (up to tasks × nCells files — fastest, no shuffle);
+    * `filesPerCell > 0` shuffles on (bucket, hash(vec_id) % filesPerCell)
+    * first so each cell lands in ≈ filesPerCell files (hash collisions
+    * across salt values only merge files further). filesPerCell = 1 is
+    * the minimal-file layout; larger keeps write parallelism inside hot
+    * cells at petabyte scale.
+    */
+  private def cellLayout(rows: DataFrame, filesPerCell: Int): DataFrame =
+    if (filesPerCell <= 0) rows
+    else rows.repartition(col("bucket"), pmod(hash(col("vec_id")), lit(filesPerCell)))
 
   private def writeCentroidsSidecar(spark: SparkSession, path: String,
       cs: Array[Seq[Double]]): Unit = {
@@ -92,6 +109,49 @@ object IvfIndex {
     spark.read.parquet(s"$path/_centroids").orderBy("cell")
       .collect().map(_.getSeq[Double](1))
 
+  /** Compact the index's cell partitions: streaming appends land one file
+    * per (micro-batch × cell), so after N batches every probe pays N file
+    * opens per probed cell. Each `bucket=` dir with more than one data
+    * file is rewritten independently to a single file — per-cell read →
+    * dedup → write → swap, no shuffle ever touches another cell
+    * (embarrassingly parallel across cells; the swap discipline is
+    * [[graft.storage.Maintenance.compactPartitions]]'s). A vec_id
+    * appearing in several files (a re-appended row) keeps ONE row,
+    * chosen deterministically by ordering on the remaining columns —
+    * under the normal same-codebook contract the duplicates are
+    * bit-identical anyway, so serving results cannot change (StorageSpec
+    * pins this). Returns the number of cell dirs rewritten.
+    */
+  def compact(spark: SparkSession, path: String): Int = {
+    val cellDirs = Option(new java.io.File(path).listFiles()).getOrElse(Array.empty)
+      .filter(f => f.isDirectory && f.getName.startsWith("bucket="))
+    val rewritten = cellDirs.filter { dir =>
+      val dataFiles = dir.listFiles().filter(_.getName.endsWith(".parquet"))
+      if (dataFiles.length <= 1) false
+      else {
+        val df = spark.read.parquet(dir.toString)
+        val others = df.columns.filter(_ != "vec_id").map(col)
+        val w = org.apache.spark.sql.expressions.Window
+          .partitionBy(col("vec_id")).orderBy(others: _*)
+        val ded = df.withColumn("__rn", row_number().over(w))
+          .filter(col("__rn") === 1).drop("__rn")
+          .coalesce(1).cache()
+        ded.count() // materialize fully before touching the source dir
+        ded.write.mode("overwrite").parquet(s"$dir.new")
+        ded.unpersist(blocking = false)
+        def rm(f: java.io.File): Unit = {
+          if (f.isDirectory) f.listFiles().foreach(rm)
+          f.delete(); ()
+        }
+        rm(dir)
+        new java.io.File(s"$dir.new").renameTo(new java.io.File(dir.toString))
+        spark.catalog.clearCache()
+        true
+      }
+    }
+    rewritten.length
+  }
+
   /** Full FAISS-style IVFPQ at rest: cells partition the parquet AND rows
     * store only the m PQ codes — no raw vectors anywhere in the index, so
     * the at-rest footprint is m bytes/vector plus the two metadata
@@ -109,6 +169,8 @@ object IvfIndex {
     * .mode("append").partitionBy("bucket").parquet(path) }` — the direct
     * file-stream sink writes a `_spark_metadata` log that SHADOWS any
     * files it didn't write (a batch-built index would turn invisible).
+    * Appends accumulate one file per (micro-batch × cell) — run
+    * [[compact]] periodically to rewrite multi-file cells.
     */
   def encodeForIndex(emb: DataFrame, cs: Array[Seq[Double]],
       books: Array[Array[Seq[Double]]], residual: Boolean = false): DataFrame = {
@@ -127,7 +189,8 @@ object IvfIndex {
       m: Int = 4, ksub: Int = 16, pqIters: Int = 1,
       centroids: Option[Array[Seq[Double]]] = None,
       books: Option[Array[Array[Seq[Double]]]] = None,
-      residual: Boolean = false): (Array[Seq[Double]], Array[Array[Seq[Double]]]) = {
+      residual: Boolean = false,
+      filesPerCell: Int = 0): (Array[Seq[Double]], Array[Array[Seq[Double]]]) = {
     val cs = centroids.getOrElse(Clustering.fitCentroids(corpus, nCells, iters))
     val bks = books.getOrElse {
       if (residual) {
@@ -138,7 +201,7 @@ object IvfIndex {
         Pq.fit(r, m, ksub, pqIters)
       } else Pq.fit(corpus, m, ksub, pqIters)
     }
-    encodeForIndex(corpus, cs, bks, residual)
+    cellLayout(encodeForIndex(corpus, cs, bks, residual), filesPerCell)
       .write.mode("overwrite").partitionBy("bucket").parquet(path)
     val spark = corpus.sparkSession
     import spark.implicits._

@@ -158,6 +158,47 @@ class StorageSpec extends AnyFunSuite {
     assert(store.source().head().getAs[Double]("value") === 7.0)
   }
 
+  test("IVFPQ index compaction: micro-batch appends -> fewer files, serving bit-identical") {
+    val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    val idx = Files.createTempDirectory("graft-ivfpq-compact").toString + "/index"
+    // initial build from the first slice; codebooks/centroids fit on the
+    // full corpus (the serving contract: one codebook family per index)
+    val (cs, books) = graft.pipeline.IvfIndex.buildPq(
+      emb.filter(col("vec_id") < 200), idx, nCells = 4, iters = 2, m = 4, ksub = 16, pqIters = 1)
+    // three micro-batch appends through the same encode path foreachBatch uses
+    for (lo <- Seq(200L, 300L, 400L)) {
+      graft.pipeline.IvfIndex.encodeForIndex(
+          emb.filter(col("vec_id") >= lo && col("vec_id") < lo + 100), cs, books)
+        .write.mode("append").partitionBy("bucket").parquet(idx)
+    }
+    def dataFiles(): Int =
+      new java.io.File(idx).listFiles().filter(_.getName.startsWith("bucket="))
+        .map(_.listFiles().count(_.getName.endsWith(".parquet"))).sum
+    def serve() = graft.pipeline.IvfIndex.topKPq(spark, idx,
+        emb.filter(col("vec_id") < 10), 5, nprobe = 2,
+        centroids = Some(cs), books = Some(books))
+      .collect().map(_.toSeq).sortBy(_.toString).toSeq
+    val before = serve()
+    val filesBefore = dataFiles()
+    assert(filesBefore > 4, s"appends should leave multi-file cells, got $filesBefore")
+    val rewritten = graft.pipeline.IvfIndex.compact(spark, idx)
+    assert(rewritten > 0)
+    val filesAfter = dataFiles()
+    assert(filesAfter < filesBefore, s"$filesBefore -> $filesAfter")
+    assert(filesAfter === new java.io.File(idx).listFiles()
+      .count(_.getName.startsWith("bucket=")), "one file per cell after compaction")
+    assert(serve() === before, "serving must be bit-identical after compaction")
+    // the salted-build knob: filesPerCell = 1 writes the minimal layout
+    // up front (one salted shuffle instead of a later compaction)
+    val idx2 = Files.createTempDirectory("graft-ivfpq-salt").toString + "/index"
+    graft.pipeline.IvfIndex.buildPq(emb, idx2, nCells = 4, iters = 2,
+      m = 4, ksub = 16, pqIters = 1, centroids = Some(cs), books = Some(books),
+      filesPerCell = 1)
+    val perCell = new java.io.File(idx2).listFiles().filter(_.getName.startsWith("bucket="))
+      .map(_.listFiles().count(_.getName.endsWith(".parquet")))
+    assert(perCell.nonEmpty && perCell.forall(_ === 1), perCell.toSeq.toString)
+  }
+
   test("snapshot copies a queryable store") {
     val store = new SeriesStore(spark, tmp())
     Ingest.batch(store, writeNdjson(Seq("""{"series":"m","ts":100,"value":1.0}""")))
