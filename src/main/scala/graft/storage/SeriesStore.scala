@@ -23,11 +23,46 @@ import org.apache.spark.sql.types._
   *    row-group min/max stats prune series scans;
   *  - writes repartition by hour so each partition dir is written by one
   *    task (no small-file explosion at 1000 executors);
-  *  - retention = partition-dir drop (metadata-only, no rewrite).
+  *  - retention = partition-dir drop (metadata-only, no rewrite);
+  *  - OPT-IN series bucketing (`seriesBuckets > 0`, SURVEY §7.4-7): the
+  *    segments become a bucketed table (`CLUSTERED BY (series_id) INTO n
+  *    BUCKETS`, hour partitioning unchanged), so every series-keyed
+  *    aggregation/join reads a scan that already satisfies
+  *    HashPartitioning(series_id) — NO Exchange in `GROUP BY series_id`
+  *    plans (PlanSpec asserts it). At 100× scale that shuffle is the
+  *    dominant cost of per-series analytics; bucketing moves it to write
+  *    time, once. Registered in the session catalog as an external table
+  *    over the same directory (re-attached on a fresh session).
   */
-final class SeriesStore(val spark: SparkSession, val root: String) {
+final class SeriesStore(val spark: SparkSession, val root: String,
+    val seriesBuckets: Int = 0) {
 
   private def segDir = s"$root/segments"
+
+  /** Catalog name for the bucketed layout: bucket metadata lives in the
+    * table definition (a bare `read.parquet` cannot carry it), so the
+    * store registers an external table pinned to `segDir`.
+    */
+  private def tableName: String =
+    "graft_segments_" + java.security.MessageDigest.getInstance("MD5")
+      .digest(root.getBytes("UTF-8")).map("%02x".format(_)).mkString.take(12)
+
+  private def ensureTable(): Unit =
+    if (!spark.catalog.tableExists(tableName)) {
+      new java.io.File(segDir).mkdirs() // CREATE TABLE LOCATION needs the dir
+      spark.sql(
+        s"""CREATE TABLE $tableName (
+           |  series STRING, series_id BIGINT, tags MAP<STRING,STRING>,
+           |  time BIGINT, value DOUBLE, seq BIGINT)
+           |USING PARQUET
+           |PARTITIONED BY (hour_bucket BIGINT)
+           |CLUSTERED BY (series_id) SORTED BY (series_id, time)
+           |INTO $seriesBuckets BUCKETS
+           |LOCATION '$segDir'""".stripMargin)
+      // discover partition dirs an earlier session (or process) wrote
+      spark.sql(s"MSCK REPAIR TABLE $tableName")
+      ()
+    }
 
   val schema: StructType = StructType(Seq(
     StructField("series", StringType, nullable = false),
@@ -54,7 +89,14 @@ final class SeriesStore(val spark: SparkSession, val root: String) {
       .repartition(col("hour_bucket"))
       .sortWithinPartitions(col("series_id"), col("time"))
       .select("series", "series_id", "tags", "time", "value", "seq", "hour_bucket")
-    df.write.mode(SaveMode.Append).partitionBy("hour_bucket").parquet(segDir)
+    if (seriesBuckets > 0) {
+      ensureTable()
+      // the bucketed writer hashes each row to its series bucket file
+      // itself; the hour repartition above still bounds files to
+      // seriesBuckets per hour dir per batch
+      df.write.mode(SaveMode.Append).insertInto(tableName)
+    } else
+      df.write.mode(SaveMode.Append).partitionBy("hour_bucket").parquet(segDir)
   }
 
   def isEmpty: Boolean = !new java.io.File(segDir).exists()
@@ -66,7 +108,13 @@ final class SeriesStore(val spark: SparkSession, val root: String) {
     */
   def scan(): DataFrame =
     if (isEmpty) spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], fullSchema)
-    else spark.read.schema(fullSchema).parquet(segDir)
+    else if (seriesBuckets > 0) {
+      // the table scan carries the bucket spec — outputPartitioning =
+      // HashPartitioning(series_id), which is what kills the Exchange in
+      // series-keyed aggregates; a bare read.parquet would not
+      ensureTable()
+      spark.table(tableName).select(fullSchema.fieldNames.map(col): _*)
+    } else spark.read.schema(fullSchema).parquet(segDir)
 
   /** Range scan with explicit partition pruning on hour_bucket + row-group
     * pruning on time (inclusive bounds, `segment.zig:156,172`).

@@ -16,6 +16,31 @@ class PlanSpec extends AnyFunSuite {
     SparkEntry.queries(name)(spark, sf).queryExecution.explainString(
       org.apache.spark.sql.execution.ExplainMode.fromString("formatted"))
 
+  test("series-bucketed store: group-by-series_id aggregate has NO Exchange") {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    val store = new SeriesStore(spark, Files.createTempDirectory("graft-bstore").toString,
+      seriesBuckets = 4)
+    val pts = (0 until 200).map { i =>
+      (s"cpu.load.${i % 7}", Map("host" -> s"h${i % 3}"), 1700000000L + i * 60L, i / 10.0)
+    }.toDF("series", "tags", "time", "value")
+    store.append(pts)
+    val agg = store.scan().groupBy("series_id")
+      .agg(avg("value").as("a"), count(lit(1)).as("n"))
+    val p = agg.queryExecution.executedPlan.toString
+    assert(!p.contains("Exchange"),
+      s"bucketed scan must satisfy HashPartitioning(series_id):\n${p.take(1500)}")
+    // and the data round-trips: same per-series aggregate as an unbucketed
+    // store over the same points
+    val flat = new SeriesStore(spark, Files.createTempDirectory("graft-fstore").toString)
+    flat.append(pts)
+    // avg rounded: bucketing regroups the partial sums → ulp-level drift
+    def agg2(s: SeriesStore) = s.scan().groupBy("series_id")
+      .agg((floor(avg("value") * 1e6 + 0.5) / 1e6).as("a"), count(lit(1)).as("n"))
+      .collect().map(_.toSeq).sortBy(_.toString).toSeq
+    assert(agg2(store) === agg2(flat))
+  }
+
   test("filters are pushed to the parquet scan") {
     val p = plan("q_scan_filter_project")
     assert(p.contains("PushedFilters:"), p.take(500))
