@@ -32,6 +32,30 @@ object IngestBench {
       map(lit("host"), (col("id") % 8).cast("string")).as("tags"),
       (lit(1704067200L) + (col("id") * 86400L / ops)).cast("long").as("time"),
       (col("id") % 1000).cast("double").as("value"))
+    // profile mode (3rd arg "profile"): time the append's component
+    // stages separately to name the bottleneck — (a) the series-id hash
+    // alone, (b) hash + hour shuffle + sort into a noop sink (everything
+    // but parquet), (c) the full partitioned parquet append.
+    if (args.lift(2).contains("profile")) {
+      import graft.core.{Functions => F}
+      def timed(tag: String)(f: => Unit): Unit = {
+        val t0 = System.nanoTime()
+        f
+        println(f"""{"stage":"$tag","seconds":${(System.nanoTime() - t0) / 1e9}%.2f,"ops":$ops}""")
+      }
+      val hashed = pts.withColumn("series_id", F.seriesId(col("series"), col("tags")))
+      timed("series_id_hash_only")(
+        hashed.write.format("noop").mode("overwrite").save())
+      timed("hash_shuffle_sort_noop")(
+        hashed
+          .withColumn("hour_bucket", (col("time") - pmod(col("time"), lit(3600L))).cast("long"))
+          .repartition(col("hour_bucket"))
+          .sortWithinPartitions(col("series_id"), col("time"))
+          .write.format("noop").mode("overwrite").save())
+      timed("full_partitioned_append")(store.append(pts))
+      spark.stop()
+      return
+    }
     val t0 = System.nanoTime()
     store.append(pts)
     val secs = (System.nanoTime() - t0) / 1e9
