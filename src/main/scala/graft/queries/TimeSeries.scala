@@ -339,6 +339,40 @@ object TimeSeries {
               |       floor((sum(CASE WHEN value > pv THEN value - pv ELSE 0 END)) * 1e4 + 0.5) / 1e4 AS inc
               |FROM lg GROUP BY series, day ORDER BY series, day""".stripMargin)),
 
+    // Prometheus deriv + predict_linear in one bucketed aggregate: per
+    // (series, day) least-squares slope (per-hour units) and the linear
+    // extrapolation 1 h past day end. Five running sums, O(1) group
+    // state; x is the DAY-RELATIVE offset — epoch-scale x² sums would
+    // cancel catastrophically (the z-score lesson applied at design
+    // time). The oracle replays the identical shifted sums.
+    Q("q_ts_deriv",
+      (s, dir) => {
+        val base = ev(s, dir).filter(col("time") >= T0 && col("time") < T1)
+        graft.operators.Trend.linearTrend(base, 86400L, 3600L, keys = Seq("series"))
+          .select(col("series"), col("bucket_start"), col("n"),
+            (floor(col("slope_hr") * 1e4 + 0.5) / 1e4).as("slope_hr"),
+            (floor(col("pred") * 1e4 + 0.5) / 1e4).as("pred"))
+          .orderBy("series", "bucket_start")
+      },
+      Some(s"""$svSql, b AS (
+              |  SELECT series, time - (time % 86400) AS bucket_start,
+              |         CAST(time % 86400 AS DOUBLE) AS x, value
+              |  FROM sv WHERE time >= $T0 AND time < $T1 AND value IS NOT NULL
+              |), s AS (
+              |  SELECT series, bucket_start, count(*) AS n, sum(x) AS sx,
+              |         sum(value) AS sy, sum(x * value) AS sxy, sum(x * x) AS sxx
+              |  FROM b GROUP BY 1, 2
+              |)
+              |SELECT series, bucket_start, n,
+              |       CASE WHEN n * sxx - sx * sx > 0
+              |            THEN floor((((n * sxy - sx * sy) / (n * sxx - sx * sx)) * 3600) * 1e4 + 0.5) / 1e4
+              |       END AS slope_hr,
+              |       CASE WHEN n * sxx - sx * sx > 0
+              |            THEN floor((((sy - ((n * sxy - sx * sy) / (n * sxx - sx * sx)) * sx) / n)
+              |                        + ((n * sxy - sx * sy) / (n * sxx - sx * sx)) * 90000.0) * 1e4 + 0.5) / 1e4
+              |       END AS pred
+              |FROM s ORDER BY series, bucket_start""".stripMargin)),
+
     // Per-(series, day) value histogram over fixed bins (the
     // Prometheus-histogram analytics shape: distribution summaries that
     // aggregate mergeably at any scale — integer counts, one hash

@@ -222,6 +222,25 @@ class PlanSpec extends AnyFunSuite {
     assert(rest === mem)
   }
 
+  test("distributed ANN probe route (corpus-as-queries) keeps pruning and equi-joins") {
+    import graft.pipeline.IvfIndex
+    val emb = graft.core.Tables.embeddings(spark, sf)
+    val idx = Files.createTempDirectory("graft-plan-selfj").toString + "/index"
+    val cs = IvfIndex.build(emb, idx, nCells = 8, iters = 2)
+    // maxDriverBatch = 0 forces the over-threshold route: probes stay a
+    // DataFrame, only the ≤ nCells distinct-bucket list reaches the driver
+    val df = IvfIndex.topK(spark, idx, emb, 3, nprobe = 2,
+      centroids = Some(cs), maxDriverBatch = 0)
+    val p = df.queryExecution.explainString(
+      org.apache.spark.sql.execution.ExplainMode.fromString("formatted"))
+    // partition pruning must survive the route switch…
+    assert(p.linesIterator.exists(l => l.contains("PartitionFilters") && l.contains("bucket")),
+      p.take(1500))
+    // …and the probe join must stay an equi-join on bucket, never a
+    // nested loop over the corpus-sized probe frame
+    assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"), p.take(1500))
+  }
+
   test("at-rest IVFPQ probe scan prunes partitions and reads codes, never vectors") {
     import graft.pipeline.IvfIndex
     import org.apache.spark.sql.functions.col
@@ -242,6 +261,19 @@ class PlanSpec extends AnyFunSuite {
     assert(p.linesIterator.exists(l => l.contains("PartitionFilters") && l.contains("bucket")),
       p.take(1500))
     assert(df.count() > 0)
+  }
+
+  test("linear trend (deriv/predict) is one aggregate pass — no window, no raw-point sort") {
+    import org.apache.spark.sql.catalyst.plans.logical.{Window => LWindow, Sort}
+    val df = SparkEntry.queries("q_ts_deriv")(spark, sf)
+    val plan = df.queryExecution.optimizedPlan
+    assert(plan.collect { case w: LWindow => w }.isEmpty, "no window operator")
+    val sorts = plan.collect { case s: Sort => s }
+    assert(sorts.length <= 1, s"raw points must not be sorted: $sorts")
+    val p = df.queryExecution.explainString(
+      org.apache.spark.sql.execution.ExplainMode.fromString("formatted"))
+    assert(p.contains("partial_sum") || p.contains("partial_count"),
+      "expected a partial+final hash aggregate\n" + p.take(1200))
   }
 
   test("M4 downsampling is one aggregate pass — no window, no sort of the raw points") {
