@@ -306,6 +306,48 @@ object TextAnalysis {
       .select(col("doc_id"), col("rank"), col("term"), col("score"))
   }
 
+  /** BM25 retrieval scoring — top-k documents for a bag-of-terms query
+    * (the relevance primitive behind retrieval-based quality filtering
+    * and decontamination-by-retrieval of training corpora). Standard
+    * Robertson/Okapi form with the +0.5 idf smoothing:
+    * score(d, q) = Σ_{t∈q} ln(1 + (N − df_t + 0.5)/(df_t + 0.5)) ·
+    * tf·(k1+1) / (tf + k1·(1 − b + b·|d|/avgdl)).
+    *
+    * Scale shape (100 TB): the query-term filter prunes the token
+    * explode BEFORE any shuffle, so tf aggregates only matching tokens;
+    * df is |query|-sized and avgdl/N are scalars (1-row frame,
+    * broadcast); scoring is one equi-join on term + one per-doc sum +
+    * the shared top-k tail. avgdl is 1e-6-rounded before use and every
+    * other step is explicit arithmetic, so an engine replaying the same
+    * folds reproduces the ranking.
+    */
+  def bm25TopK(docs: DataFrame, query: Seq[String], nDocs: Long, k: Int,
+      k1: Double = 1.2, b: Double = 0.75): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val terms = query.map(_.toLowerCase).distinct
+    val wl = spread(docs).select(col("doc_id"),
+      size(filter(words(col("text")), t => length(t) > 0)).cast("double").as("dl"))
+    val avgdl = wl.agg((floor(avg(col("dl")) * 1e6 + 0.5) / 1e6).as("avgdl"))
+    val tf = spread(docs)
+      .select(col("doc_id"), explode(words(col("text"))).as("term"))
+      .filter(col("term").isin(terms: _*))
+      .groupBy("doc_id", "term").agg(count(lit(1)).cast("double").as("tf"))
+    val dfx = tf.groupBy("term").agg(count(lit(1)).cast("double").as("df"))
+    val idf = log(lit(1.0) + (lit(nDocs.toDouble) - col("df") + 0.5) / (col("df") + 0.5))
+    val norm = col("tf") + lit(k1) * (lit(1.0) - b + lit(b) * col("dl") / col("avgdl"))
+    val scored = tf.join(broadcast(dfx), "term").join(wl, "doc_id")
+      .crossJoin(broadcast(avgdl))
+      .groupBy("doc_id")
+      .agg(sum(idf * col("tf") * (k1 + 1) / norm).as("__s"))
+    // TakeOrderedAndProject keeps the top-k selection distributed (per-
+    // partition heaps); only then does the k-row frame take a global rank
+    val top = scored.orderBy(col("__s").desc, col("doc_id")).limit(k)
+    val w = Window.orderBy(col("__s").desc, col("doc_id"))
+    top.withColumn("rank", row_number().over(w).cast("long"))
+      .select(col("doc_id"), col("rank"),
+        (floor(col("__s") * 1e4 + 0.5) / 1e4).as("score"))
+  }
+
   /** Unigram-surprisal quality score: per-doc mean of `-log2(df/N)` over
     * its tokens, where df = corpus document frequency and N = corpus size —
     * the standard LM-rarity signal (high = rare/uncommon text, low =

@@ -757,6 +757,40 @@ object Pipeline {
            |SELECT vec_id, cluster FROM r WHERE rn <= 30 ORDER BY vec_id""".stripMargin
       }),
 
+    // BM25 retrieval: top-20 documents for a fixed 3-term query —
+    // retrieval-based quality filtering / decontamination-by-retrieval.
+    // Query terms prune the token explode before any shuffle; df and
+    // avgdl are broadcast scalars; top-k via TakeOrderedAndProject. The
+    // oracle replays idf smoothing, length norm (1e-6-rounded avgdl),
+    // and the (score desc, doc_id) ranking exactly.
+    Q("q_pl_bm25",
+      (s, dir) => {
+        val docs = Tables.documents(s, dir)
+        TextAnalysis.bm25TopK(docs, Seq("spark", "hash", "merge"), docs.count(), 20)
+          .orderBy("rank")
+      },
+      Some(s"""WITH $wordsCte,
+              |wl AS (SELECT doc_id, CAST(len([x for x in w if length(x) > 0]) AS DOUBLE) AS dl FROM words),
+              |st AS (SELECT floor(avg(dl) * 1e6 + 0.5) / 1e6 AS avgdl,
+              |              (SELECT count(*) FROM documents) AS nd FROM wl),
+              |tok AS (SELECT doc_id, unnest(w) AS term FROM words),
+              |tf AS (SELECT doc_id, term, CAST(count(*) AS DOUBLE) AS tf FROM tok
+              |       WHERE term IN ('spark', 'hash', 'merge') GROUP BY 1, 2),
+              |dfx AS (SELECT term, CAST(count(*) AS DOUBLE) AS df FROM tf GROUP BY 1),
+              |sc AS (
+              |  SELECT tf.doc_id,
+              |         sum(ln(1.0 + (st.nd - dfx.df + 0.5) / (dfx.df + 0.5))
+              |             * tf.tf * 2.2
+              |             / (tf.tf + 1.2 * (1.0 - 0.75 + 0.75 * wl.dl / st.avgdl))) AS s
+              |  FROM tf JOIN dfx USING (term) JOIN wl USING (doc_id) CROSS JOIN st
+              |  GROUP BY 1
+              |), r AS (
+              |  SELECT doc_id, row_number() OVER (ORDER BY s DESC, doc_id) AS rank,
+              |         floor(s * 1e4 + 0.5) / 1e4 AS score
+              |  FROM sc
+              |)
+              |SELECT doc_id, rank, score FROM r WHERE rank <= 20 ORDER BY rank""".stripMargin)),
+
     // Per-doc top TF-IDF terms (keyword extraction), ranked on the rounded
     // score so cross-engine ln() ulps cannot flip near-ties.
     Q("q_pl_tfidf",
