@@ -277,4 +277,97 @@ object SeriesWindows {
   def emaGlobal(df: DataFrame, out: String, value: Column, alpha: Double,
       timeCol: String = "time", bucket: Long = DayW): DataFrame =
     emaByKey(df, out, value, alpha, Nil, timeCol, bucket)
+
+  /** Final Holt linear (double-exponential) smoothing state per key:
+    * `(keys…, level, trend, forecast)` after folding each key's points in
+    * (time, value) order — level + trend extraction with a one-step
+    * forecast `level + trend`. Classic recurrence
+    *   l_i = α·x_i + (1−α)(l_{i−1} + b_{i−1})
+    *   b_i = β·(l_i − l_{i−1}) + (1−β)·b_{i−1}
+    * seeded l₁ = x₁, b₁ = x₂ − x₁; NULLs skipped; NULL outputs with
+    * fewer than 2 points.
+    *
+    * [[emaByKey]]'s scale architecture lifted from scalars to the 2×2
+    * affine group: per point the state v = (l, b) maps to M·v + x·d with
+    * CONSTANT M = [[1−α, 1−α], [−αβ, 1−αβ]], d = (α, αβ), and affine
+    * maps compose associatively — each (keys, day) partition folds its
+    * own sorted points into one (A, c) pair (SIX doubles of state per
+    * task), the per-day pairs compose in day order (one row per
+    * non-empty key-day, metadata-sized), and the two-point seed applies
+    * at the end. The seed pair may straddle a day boundary (a one-point
+    * first day), so the day-composition is a three-state machine: empty →
+    * holding x₁ → seeded. Points never leave their day; no per-group
+    * point buffer at any scale.
+    */
+  def holtByKey(df: DataFrame, value: Column, alpha: Double, beta: Double,
+      keys: Seq[String], timeCol: String = "time", bucket: Long = DayW): DataFrame = {
+    val t = col(timeCol).cast("long")
+    val (m11, m12) = (lit(1.0 - alpha), lit(1.0 - alpha))
+    val (m21, m22) = (lit(-(alpha * beta)), lit(1.0 - alpha * beta))
+    val (d1, d2) = (lit(alpha), lit(alpha * beta))
+    val d = "__hd"
+    val kc = keys.map(col)
+    val pts = sort_array(collect_list(when(value.isNotNull,
+      struct(t.as("t"), value.cast("double").as("v")))))
+    val identity = struct(lit(1.0).as("a11"), lit(0.0).as("a12"),
+      lit(0.0).as("a21"), lit(1.0).as("a22"), lit(0.0).as("c1"), lit(0.0).as("c2"))
+    // left-composition of the constant per-point map onto the running
+    // (A, c): A ← M·A, c ← M·c + x·d — every product in a fixed order
+    def fold(arr: Column): Column = aggregate(arr, identity,
+      (acc, x) => struct(
+        (m11 * acc.getField("a11") + m12 * acc.getField("a21")).as("a11"),
+        (m11 * acc.getField("a12") + m12 * acc.getField("a22")).as("a12"),
+        (m21 * acc.getField("a11") + m22 * acc.getField("a21")).as("a21"),
+        (m21 * acc.getField("a12") + m22 * acc.getField("a22")).as("a22"),
+        (m11 * acc.getField("c1") + m12 * acc.getField("c2") + d1 * x.getField("v")).as("c1"),
+        (m21 * acc.getField("c1") + m22 * acc.getField("c2") + d2 * x.getField("v")).as("c2")))
+    def restOf(arr: Column): Column =
+      slice(arr, lit(2), greatest(size(arr) - 1, lit(0)))
+    def appL(m: Column, l: Column, b: Column): Column =
+      m.getField("a11") * l + m.getField("a12") * b + m.getField("c1")
+    def appB(m: Column, l: Column, b: Column): Column =
+      m.getField("a21") * l + m.getField("a22") * b + m.getField("c2")
+    val perDay = df
+      .groupBy(kc :+ dayKey(t, bucket).as(d): _*)
+      .agg(pts.as("__pts"))
+      .filter(size(col("__pts")) >= 1)
+      .select(kc ++ Seq(
+        col(d),
+        size(col("__pts")).as("n"),
+        element_at(col("__pts"), 1).getField("v").as("fv"),
+        when(size(col("__pts")) >= 2,
+          element_at(col("__pts"), 2).getField("v")).as("sv"),
+        fold(col("__pts")).as("all"),
+        fold(restOf(col("__pts"))).as("rst")): _*)
+    val ds = sort_array(collect_list(struct(col(d).as("d"),
+      col("n"), col("fv"), col("sv"), col("all"), col("rst"))))
+    def state(mode: Column, x1: Column, l: Column, b: Column) =
+      struct(mode.as("mode"), x1.as("x1"), l.as("l"), b.as("b"))
+    perDay.groupBy(kc: _*).agg(ds.as("__ds")).select(kc ++ {
+      val acc = aggregate(col("__ds"),
+        state(lit(0), lit(0.0), lit(0.0), lit(0.0)),
+        (acc, y) => {
+          val l0 = y.getField("fv")
+          val b0 = y.getField("sv") - y.getField("fv")
+          val l1 = acc.getField("x1")
+          val b1 = y.getField("fv") - acc.getField("x1")
+          when(acc.getField("mode") === 0 && y.getField("n") === 1,
+            state(lit(1), y.getField("fv"), lit(0.0), lit(0.0)))
+          .when(acc.getField("mode") === 0,
+            state(lit(2), lit(0.0),
+              appL(y.getField("rst"), l0, b0), appB(y.getField("rst"), l0, b0)))
+          .when(acc.getField("mode") === 1,
+            state(lit(2), lit(0.0),
+              appL(y.getField("all"), l1, b1), appB(y.getField("all"), l1, b1)))
+          .otherwise(
+            state(lit(2), lit(0.0),
+              appL(y.getField("all"), acc.getField("l"), acc.getField("b")),
+              appB(y.getField("all"), acc.getField("l"), acc.getField("b"))))
+        })
+      val fin = when(acc.getField("mode") === 2,
+        struct(acc.getField("l").as("l"), acc.getField("b").as("b")))
+      Seq(fin.getField("l").as("level"), fin.getField("b").as("trend"),
+        (fin.getField("l") + fin.getField("b")).as("forecast"))
+    }: _*)
+  }
 }

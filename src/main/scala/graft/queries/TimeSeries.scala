@@ -373,6 +373,44 @@ object TimeSeries {
               |       END AS pred
               |FROM s ORDER BY series, bucket_start""".stripMargin)),
 
+    // Holt linear (double-exponential) smoothing: final level + trend +
+    // one-step forecast per series — ema's two-phase day-partitioned
+    // architecture lifted to the 2×2 affine group (six doubles of task
+    // state; the two-point seed may straddle a day boundary). Dyadic
+    // α = 0.5, β = 0.25 keep cross-engine drift far under the 1e-4
+    // rounding; the oracle replays the sequential recurrence.
+    Q("q_ts_holt",
+      (s, dir) => {
+        val base = ev(s, dir).filter(col("time") >= T0 && col("time") < T1)
+        graft.operators.SeriesWindows.holtByKey(base, col("value"), 0.5, 0.25, Seq("series"))
+          .select(col("series"),
+            (floor(col("level") * 1e4 + 0.5) / 1e4).as("level"),
+            (floor(col("trend") * 1e4 + 0.5) / 1e4).as("trend"),
+            (floor(col("forecast") * 1e4 + 0.5) / 1e4).as("forecast"))
+          .orderBy("series")
+      },
+      Some(s"""$svSql, p AS (
+              |  SELECT series, list(value ORDER BY time, value) AS vs
+              |  FROM sv WHERE time >= $T0 AND time < $T1 AND value IS NOT NULL
+              |  GROUP BY 1
+              |), h AS (
+              |  -- state as DOUBLE[2] [l, b], NOT a struct: DuckDB 1.0's
+              |  -- list_reduce mutates multi-field struct accumulators
+              |  -- between field evaluations (probed; list state folds clean)
+              |  SELECT series, len(vs) AS n,
+              |         list_reduce(
+              |           list_prepend([vs[2], vs[2] - vs[1]], [[x, 0.0] for x in vs[3:]]),
+              |           (acc, e) -> [0.5 * e[1] + 0.5 * (acc[1] + acc[2]),
+              |                        0.25 * ((0.5 * e[1] + 0.5 * (acc[1] + acc[2])) - acc[1])
+              |                        + 0.75 * acc[2]]) AS st
+              |  FROM p WHERE len(vs) >= 2
+              |)
+              |SELECT series,
+              |       floor(st[1] * 1e4 + 0.5) / 1e4 AS level,
+              |       floor(st[2] * 1e4 + 0.5) / 1e4 AS trend,
+              |       floor((st[1] + st[2]) * 1e4 + 0.5) / 1e4 AS forecast
+              |FROM h ORDER BY series""".stripMargin)),
+
     // Per-(series, day) value histogram over fixed bins (the
     // Prometheus-histogram analytics shape: distribution summaries that
     // aggregate mergeably at any scale — integer counts, one hash

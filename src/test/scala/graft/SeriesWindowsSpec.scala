@@ -143,6 +143,45 @@ class SeriesWindowsSpec extends AnyFunSuite {
     assert(nonNull > 100, "the shifted moments must yield real z values, not σ=0 NULLs")
   }
 
+  test("holtByKey equals the sequential driver-side recurrence on adversarial layouts") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(40404)
+    for (trial <- 1 to 8) {
+      val df = dataset(rnd)
+      val (alpha, beta) = (Seq(0.1, 0.3, 0.5, 0.9)(rnd.nextInt(4)), Seq(0.25, 0.5, 0.75)(rnd.nextInt(3)))
+      // sequential reference per series: l1 = x1, b1 = x2 - x1, then the
+      // classic recurrence over points 2..n in (time, value) order
+      val want: Map[Long, Option[(Double, Double)]] = df.select("series_id", "time", "value")
+        .collect().toSeq
+        .flatMap(r => Option(r.get(2)).map(v =>
+          (r.getLong(0), (r.getLong(1), v.asInstanceOf[Double]))))
+        .groupBy(_._1).view.mapValues { rows =>
+          val vs = rows.map(_._2).sorted.map(_._2)
+          if (vs.length < 2) None
+          else Some(vs.drop(2).foldLeft((vs(1), vs(1) - vs(0))) { case ((l, b), x) =>
+            val l2 = alpha * x + (1 - alpha) * (l + b)
+            (l2, beta * (l2 - l) + (1 - beta) * b)
+          })
+        }.toMap
+      val got = SeriesWindows.holtByKey(df, col("value"), alpha, beta, Seq("series_id"))
+        .select("series_id", "level", "trend").collect()
+        .map(r => r.getLong(0) -> (Option(r.get(1)), Option(r.get(2)))).toMap
+      assert(got.keySet === want.keySet, s"trial=$trial keys")
+      got.foreach { case (sid, (gl, gb)) =>
+        (gl, gb, want(sid)) match {
+          case (None, None, None) => ()
+          case (Some(l: Double), Some(b: Double), Some((wl, wb))) =>
+            // affine composition reassociates → ulp drift
+            assert(math.abs(l - wl) <= 1e-9 * math.max(1.0, math.abs(wl)),
+              s"trial=$trial sid=$sid level $l vs $wl")
+            assert(math.abs(b - wb) <= 1e-9 * math.max(1.0, math.abs(wb)),
+              s"trial=$trial sid=$sid trend $b vs $wb")
+          case other => fail(s"trial=$trial sid=$sid mismatched nullability: $other")
+        }
+      }
+    }
+  }
+
   test("emaGlobal equals the sequential driver-side fold on adversarial layouts") {
     val rnd = new scala.util.Random(60601)
     for (trial <- 1 to 8) {
