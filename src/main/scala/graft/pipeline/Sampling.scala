@@ -129,6 +129,40 @@ object Sampling {
       .drop("__h", "__pid", "__lrn", "__rn", "__k")
   }
 
+  /** Deterministic weighted sample WITHOUT replacement (Efraimidis–
+    * Spirakis A-Res): keep the `n` rows with the largest u^(1/w), where
+    * u ∈ (0,1) is the salted-hash draw ((hash + 0.5)/1e6 — never 0, so
+    * pow is total) and w the row's weight — inclusion probability rises
+    * with weight, and the selected set is a pure function of
+    * (salt, key, weight): reproducible on any cluster size and
+    * replayable by any SQL engine. Rows with NULL or non-positive
+    * weights are dropped (their draw is undefined).
+    *
+    * The importance-weighted downsampling primitive (quality-score-
+    * weighted corpus thinning); same skew-proof two-phase top-n as
+    * [[capPerStratum]] — per-partition prune first, so no single task
+    * ever ranks the full frame.
+    */
+  def weightedSample(
+      df: DataFrame,
+      keyCol: String,
+      weightCol: String,
+      n: Int,
+      salt: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val u = (hashUnit(col(keyCol), salt).cast("double") + 0.5) / 1e6
+    val hashed = df
+      .filter(col(weightCol).isNotNull && col(weightCol) > 0)
+      .withColumn("__ws", pow(u, lit(1.0) / col(weightCol).cast("double")))
+      .withColumn("__pid", spark_partition_id())
+    val local = Window.partitionBy(col("__pid")).orderBy(col("__ws").desc, col(keyCol))
+    val global = Window.orderBy(col("__ws").desc, col(keyCol))
+    hashed
+      .withColumn("__lrn", row_number().over(local)).filter(col("__lrn") <= n)
+      .withColumn("__rn", row_number().over(global)).filter(col("__rn") <= n)
+      .drop("__ws", "__pid", "__lrn", "__rn")
+  }
+
   def capPerStratum(
       df: DataFrame,
       keyCol: String,

@@ -921,6 +921,28 @@ object Pipeline {
     // Deterministic stratified sampling: per-language keep rates decided by
     // a portable md5 hash of (salt, doc_id) — reproducible on any cluster
     // size and mirrored exactly by the oracle.
+    // Deterministic weighted sample without replacement (Efraimidis–
+    // Spirakis A-Res): top-100 by u^(1/w) on the salted-hash draw —
+    // importance-weighted corpus thinning. Output is the selected SET
+    // (membership only), so cross-engine pow() ulps would have to flip
+    // an inclusion boundary to matter; the 1e6-quantized draw keeps
+    // scores far apart.
+    Q("q_pl_weighted_sample",
+      (s, dir) => {
+        val docs = Tables.documents(s, dir)
+          .withColumn("wt", (col("doc_id") % 5 + 1).cast("double"))
+        Sampling.weightedSample(docs, "doc_id", "wt", 100, "ws6")
+          .select("doc_id", "source", "wt").orderBy("doc_id")
+      },
+      Some {
+        val h = "CAST(concat('0x', substr(md5('ws6:' || CAST(doc_id AS VARCHAR)), 1, 15)) AS BIGINT) % 1000000"
+        s"""WITH d AS (SELECT doc_id, source, CAST(doc_id % 5 + 1 AS DOUBLE) AS wt FROM documents),
+           |r AS (SELECT doc_id, source, wt,
+           |             row_number() OVER (ORDER BY pow(($h + 0.5) / 1e6, 1.0 / wt) DESC, doc_id) AS rn
+           |      FROM d)
+           |SELECT doc_id, source, wt FROM r WHERE rn <= 100 ORDER BY doc_id""".stripMargin
+      }),
+
     Q("q_pl_sample",
       (s, dir) => {
         val lang = TextAnalysis.langId(Tables.documents(s, dir))

@@ -571,6 +571,25 @@ class PipelineSpec extends AnyFunSuite {
       (3L, 6L, 3L, 0L, 2L))) // tokens 3..8 touch chunks 0,1,2
   }
 
+  test("weighted sample is deterministic and overrepresents heavy weights") {
+    val weighted = docs.withColumn("wt", (col("doc_id") % 5 + 1).cast("double"))
+    def draw() = graft.pipeline.Sampling.weightedSample(weighted, "doc_id", "wt", 100, "t1")
+      .select("doc_id").as[Long].collect().toSet
+    val sel = draw()
+    assert(sel.size === 100)
+    assert(draw() === sel, "same (salt, key, weight) must select the same set")
+    // importance property: mean selected weight must exceed the corpus mean
+    // (weights 1..5, mean 3.0; A-Res inclusion probability rises with w)
+    val meanSel = weighted.filter(col("doc_id").isin(sel.toSeq: _*))
+      .agg(avg("wt")).head().getDouble(0)
+    val meanAll = weighted.agg(avg("wt")).head().getDouble(0)
+    assert(meanSel > meanAll + 0.2, s"selected mean $meanSel vs corpus mean $meanAll")
+    // and a different salt draws a different set (independence)
+    val other = graft.pipeline.Sampling.weightedSample(weighted, "doc_id", "wt", 100, "t2")
+      .select("doc_id").as[Long].collect().toSet
+    assert(other !== sel)
+  }
+
   test("IVFPQ ADC recall@10 is calibrated against exact L2 (curve over nprobe, floors)") {
     val emb01 = spark.read.parquet("/root/testdata/sf0.01/embeddings.parquet")
     val idx = java.nio.file.Files.createTempDirectory("graft-test-pqrecall").toString + "/index"
