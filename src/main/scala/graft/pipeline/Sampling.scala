@@ -151,9 +151,14 @@ object Sampling {
       salt: String): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val u = (hashUnit(col(keyCol), salt).cast("double") + 0.5) / 1e6
+    // 1e-9-rounded A-Res key: cross-engine pow() last-ulp differences
+    // cannot flip an inclusion boundary (rounded ties break by key);
+    // the 1e6-quantized draw keeps distinct keys ≥ ~1e-7 apart, so the
+    // rounding never merges genuinely different draws
     val hashed = df
       .filter(col(weightCol).isNotNull && col(weightCol) > 0)
-      .withColumn("__ws", pow(u, lit(1.0) / col(weightCol).cast("double")))
+      .withColumn("__ws",
+        floor(pow(u, lit(1.0) / col(weightCol).cast("double")) * 1e9 + 0.5) / 1e9)
       .withColumn("__pid", spark_partition_id())
     val local = Window.partitionBy(col("__pid")).orderBy(col("__ws").desc, col(keyCol))
     val global = Window.orderBy(col("__ws").desc, col(keyCol))

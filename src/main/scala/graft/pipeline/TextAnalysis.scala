@@ -339,13 +339,16 @@ object TextAnalysis {
       .crossJoin(broadcast(avgdl))
       .groupBy("doc_id")
       .agg(sum(idf * col("tf") * (k1 + 1) / norm).as("__s"))
-    // TakeOrderedAndProject keeps the top-k selection distributed (per-
-    // partition heaps); only then does the k-row frame take a global rank
-    val top = scored.orderBy(col("__s").desc, col("doc_id")).limit(k)
-    val w = Window.orderBy(col("__s").desc, col("doc_id"))
+    // rank on the ROUNDED score (the tfidf precedent): cross-engine ln()
+    // ulps cannot flip near-ties, and rounded ties break by doc_id
+    // identically everywhere. TakeOrderedAndProject keeps the top-k
+    // selection distributed (per-partition heaps); only then does the
+    // k-row frame take a global rank.
+    val rounded = scored.withColumn("score", floor(col("__s") * 1e4 + 0.5) / 1e4)
+    val top = rounded.orderBy(col("score").desc, col("doc_id")).limit(k)
+    val w = Window.orderBy(col("score").desc, col("doc_id"))
     top.withColumn("rank", row_number().over(w).cast("long"))
-      .select(col("doc_id"), col("rank"),
-        (floor(col("__s") * 1e4 + 0.5) / 1e4).as("score"))
+      .select(col("doc_id"), col("rank"), col("score"))
   }
 
   /** Unigram-surprisal quality score: per-doc mean of `-log2(df/N)` over

@@ -367,7 +367,7 @@ object Pipeline {
     "q_pl_vocab", "q_pl_lm_score", "q_pl_tfidf", "q_ann_ivf_km",
     "q_pl_cluster_balance", "q_ann_ivf_at_rest", "q_ann_pq", "q_ann_ivfpq_at_rest",
     "q_pl_span_dedup", "q_ann_pq_cos", "q_ann_ivfpq_residual", "q_pl_mixture",
-    "q_pl_curation_chain", "q_ann_self_join")
+    "q_pl_curation_chain", "q_ann_self_join", "q_pl_bm25", "q_pl_weighted_sample")
 
   def qs: Seq[Q] = {
     val all = raw.map(q => if (ExtraBench(q.name)) q.copy(benchExtra = true) else q)
@@ -785,7 +785,8 @@ object Pipeline {
               |  FROM tf JOIN dfx USING (term) JOIN wl USING (doc_id) CROSS JOIN st
               |  GROUP BY 1
               |), r AS (
-              |  SELECT doc_id, row_number() OVER (ORDER BY s DESC, doc_id) AS rank,
+              |  SELECT doc_id,
+              |         row_number() OVER (ORDER BY floor(s * 1e4 + 0.5) / 1e4 DESC, doc_id) AS rank,
               |         floor(s * 1e4 + 0.5) / 1e4 AS score
               |  FROM sc
               |)
@@ -938,7 +939,9 @@ object Pipeline {
         val h = "CAST(concat('0x', substr(md5('ws6:' || CAST(doc_id AS VARCHAR)), 1, 15)) AS BIGINT) % 1000000"
         s"""WITH d AS (SELECT doc_id, source, CAST(doc_id % 5 + 1 AS DOUBLE) AS wt FROM documents),
            |r AS (SELECT doc_id, source, wt,
-           |             row_number() OVER (ORDER BY pow(($h + 0.5) / 1e6, 1.0 / wt) DESC, doc_id) AS rn
+           |             row_number() OVER (
+           |               ORDER BY floor(pow(($h + 0.5) / 1e6, 1.0 / wt) * 1e9 + 0.5) / 1e9 DESC,
+           |                        doc_id) AS rn
            |      FROM d)
            |SELECT doc_id, source, wt FROM r WHERE rn <= 100 ORDER BY doc_id""".stripMargin
       }),

@@ -371,7 +371,8 @@ object TimeSeries {
               |            THEN floor((((sy - ((n * sxy - sx * sy) / (n * sxx - sx * sx)) * sx) / n)
               |                        + ((n * sxy - sx * sy) / (n * sxx - sx * sx)) * 90000.0) * 1e4 + 0.5) / 1e4
               |       END AS pred
-              |FROM s ORDER BY series, bucket_start""".stripMargin)),
+              |FROM s ORDER BY series, bucket_start""".stripMargin),
+      benchExtra = true),
 
     // Holt linear (double-exponential) smoothing: final level + trend +
     // one-step forecast per series — ema's two-phase day-partitioned
@@ -409,7 +410,8 @@ object TimeSeries {
               |       floor(st[1] * 1e4 + 0.5) / 1e4 AS level,
               |       floor(st[2] * 1e4 + 0.5) / 1e4 AS trend,
               |       floor((st[1] + st[2]) * 1e4 + 0.5) / 1e4 AS forecast
-              |FROM h ORDER BY series""".stripMargin)),
+              |FROM h ORDER BY series""".stripMargin),
+      benchExtra = true),
 
     // Per-(series, day) value histogram over fixed bins (the
     // Prometheus-histogram analytics shape: distribution summaries that
