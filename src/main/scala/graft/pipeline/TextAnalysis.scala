@@ -34,8 +34,14 @@ object TextAnalysis {
     else df.repartition(target)
   }
 
-  /** Portable 60-bit hash: int(md5(s)[0:15], 16). */
-  def hash60(c: Column): Column =
+  /** Portable 60-bit hash: int(md5(s)[0:15], 16) — the fused codegen
+    * kernel (graft.functions.Hash60); bit-identical to the composed
+    * `conv(substring(md5(..)))` form the oracles replay (FunctionsSpec).
+    */
+  def hash60(c: Column): Column = graft.functions.Hash60(c)
+
+  /** The pre-r6 composed form, kept as the equivalence-test reference. */
+  private[graft] def hash60Hof(c: Column): Column =
     conv(substring(md5(c.cast("string")), 1, 15), 16, 10).cast("long")
 
   /** 31-bit variant for modular arithmetic that must not overflow in

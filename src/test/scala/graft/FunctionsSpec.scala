@@ -143,6 +143,26 @@ class FunctionsSpec extends AnyFunSuite {
     assert(math.abs(approx - exact).toDouble / exact < 0.1, s"$approx vs $exact")
   }
 
+  test("codegen hash60 is bit-identical to the composed conv(substring(md5)) form") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(8675309)
+    val samples = Seq("", "a", "abc", "r3:42", "ws6:1000000",
+      "unicode: ü β 漢字 🙂", "x" * 4096) ++
+      (1 to 200).map(_ => rnd.alphanumeric.take(1 + rnd.nextInt(40)).mkString) ++
+      (1 to 50).map(_ => rnd.nextLong().toString)
+    val df = samples.toDF("s")
+    val rows = df.select(
+      graft.functions.Hash60(org.apache.spark.sql.functions.col("s")).as("fused"),
+      graft.pipeline.TextAnalysis.hash60Hof(org.apache.spark.sql.functions.col("s")).as("composed"))
+      .collect()
+    rows.foreach(r => assert(r.getLong(0) === r.getLong(1), r.toString))
+    // pin one known value (int(md5('abc')[0:15], 16)) so BOTH forms moving
+    // together cannot mask a drift
+    val abc = df.filter($"s" === "abc")
+      .select(graft.functions.Hash60($"s")).as[Long].head()
+    assert(abc === 648541476951500027L)
+  }
+
   test("codegen path actually engages (no fallback exceptions at scale)") {
     val emb = graft.core.Tables.embeddings(spark, "/root/testdata/sf0.001")
       .select(col("embedding").cast("array<double>").as("v"))
