@@ -48,17 +48,22 @@ object Dedup {
     // shape notes: (a) the token array is materialized BEFORE any span
     // arithmetic — an inlined split() would re-tokenize the full text at
     // every element reference (the 41 s/sf0.1 pathology); (b) the span
-    // START INDEX explodes first and the md5 runs in a plain per-row
+    // START INDEX explodes first and the hash runs in a plain per-row
     // projection — higher-order-function lambdas stay interpreted, while
     // this shape keeps the hash inside whole-stage codegen (~3× cold /
-    // ~1.5× warm over the transform() form at sf0.1)
+    // ~1.5× warm over the transform() form at sf0.1); (c) the span key is
+    // the fused 60-bit md5 prefix (graft.functions.Hash60), not the hex
+    // string — the digest shuffle carries 8-byte longs instead of
+    // 32-char strings (the dominant shuffle of this operator at 100 TB),
+    // and the contract is hash-approximated either way (the oracle
+    // groups on the same 60-bit value)
     val w = col("__w")
     val sp = docs
       .select(col("doc_id"), TextAnalysis.words(col("text")).as("__w"))
       .filter(size(w) >= n)
       .select(col("doc_id"), w, explode(sequence(lit(0), size(w) - n)).as("__i"))
       .select(col("doc_id"),
-        md5(concat_ws(" ", (0 until n).map(j =>
+        TextAnalysis.hash60(concat_ws(" ", (0 until n).map(j =>
           element_at(w, col("__i") + j + 1)): _*)).as("dg"))
     val dict = sp.groupBy("dg").agg(count_distinct(col("doc_id")).as("nd"))
     val st = sp.join(dict, "dg")

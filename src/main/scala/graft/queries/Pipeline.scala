@@ -425,7 +425,8 @@ object Pipeline {
     Q("q_pl_span_dedup",
       (s, dir) => Dedup.spanDupStats(Tables.documents(s, dir)).orderBy("doc_id"),
       Some(s"""WITH $wordsCte, sp AS (
-              |  SELECT doc_id, md5(list_aggregate(w[i:i+7], 'string_agg', ' ')) AS dg
+              |  SELECT doc_id,
+              |         CAST(concat('0x', substr(md5(list_aggregate(w[i:i+7], 'string_agg', ' ')), 1, 15)) AS BIGINT) AS dg
               |  FROM (SELECT doc_id, w, unnest(range(1, len(w) - 6)) AS i
               |        FROM words WHERE len(w) >= 8)
               |), d AS (
@@ -1121,7 +1122,8 @@ object Pipeline {
            |), uw AS (
            |  SELECT doc_id, source, string_split_regex(lower(text), '\\s+') AS w FROM ud
            |), sp AS (
-           |  SELECT doc_id, md5(list_aggregate(w[i:i+7], 'string_agg', ' ')) AS dg
+           |  SELECT doc_id,
+           |         CAST(concat('0x', substr(md5(list_aggregate(w[i:i+7], 'string_agg', ' ')), 1, 15)) AS BIGINT) AS dg
            |  FROM (SELECT doc_id, w, unnest(range(1, len(w) - 6)) AS i
            |        FROM uw WHERE len(w) >= 8)
            |), dd AS (
