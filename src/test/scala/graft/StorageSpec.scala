@@ -158,6 +158,37 @@ class StorageSpec extends AnyFunSuite {
     assert(store.source().head().getAs[Double]("value") === 7.0)
   }
 
+  test("bucketed store equals the flat layout across random multi-batch appends") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    val rnd = new scala.util.Random(1213)
+    val bucketed = new SeriesStore(spark, tmp(), seriesBuckets = 4)
+    val flat = new SeriesStore(spark, tmp())
+    // three append batches of random points over random series/hours —
+    // the real ingestion shape (repeated insertInto on the bucketed table)
+    for (_ <- 1 to 3) {
+      val pts = (0 until 50 + rnd.nextInt(100)).map { _ =>
+        (s"m.s${rnd.nextInt(9)}", Map("h" -> s"${rnd.nextInt(3)}"),
+          1700000000L + rnd.nextInt(100000).toLong,
+          if (rnd.nextInt(8) == 0) None else Some(rnd.nextInt(1000) / 10.0))
+      }.toDF("series", "tags", "time", "value")
+      bucketed.append(pts)
+      flat.append(pts)
+    }
+    def rowsOf(s: SeriesStore) = s.scan()
+      .select("series", "series_id", "time", "value", "hour_bucket")
+      .collect().map(_.toSeq).sortBy(_.toString).toSeq
+    assert(rowsOf(bucketed) === rowsOf(flat))
+    // range scan prunes identically
+    def range(s: SeriesStore) = s.scanRange(1700020000L, 1700060000L)
+      .select("series_id", "time", "value").collect().map(_.toSeq).sortBy(_.toString).toSeq
+    assert(range(bucketed) === range(flat))
+    // catalog (series dimension) matches
+    def cat(s: SeriesStore) = s.catalog().select("series", "series_id")
+      .collect().map(_.toSeq).sortBy(_.toString).toSeq
+    assert(cat(bucketed) === cat(flat))
+  }
+
   test("IVFPQ index compaction: micro-batch appends -> fewer files, serving bit-identical") {
     val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
     val idx = Files.createTempDirectory("graft-ivfpq-compact").toString + "/index"
