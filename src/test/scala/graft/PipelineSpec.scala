@@ -648,6 +648,18 @@ class PipelineSpec extends AnyFunSuite {
     assert(rows(0) === rows(-1))
   }
 
+  test("serving guard reads spark.graft.ann.maxDriverBatch when no explicit override") {
+    val idx = java.nio.file.Files.createTempDirectory("graft-test-ivfconf").toString + "/index"
+    val cs = graft.pipeline.IvfIndex.build(emb, idx, nCells = 4, iters = 1)
+    def serve() = graft.pipeline.IvfIndex
+      .topK(spark, idx, emb.filter(col("vec_id") < 5), 3, nprobe = 2, centroids = Some(cs))
+      .collect().map(_.toSeq).sortBy(_.toString).toSeq
+    val default = serve()
+    spark.conf.set("spark.graft.ann.maxDriverBatch", "0") // forces distributed
+    try assert(serve() === default, "conf-routed distributed serve must match the driver route")
+    finally spark.conf.unset("spark.graft.ann.maxDriverBatch")
+  }
+
   test("at-rest IVFPQ + residual: driver and distributed LUT routes are bit-identical") {
     val base = java.nio.file.Files.createTempDirectory("graft-test-pq2r").toString
     val (cs, books) = graft.pipeline.IvfIndex.buildPq(emb, s"$base/flat",
