@@ -339,6 +339,32 @@ object TimeSeries {
               |       floor((sum(CASE WHEN value > pv THEN value - pv ELSE 0 END)) * 1e4 + 0.5) / 1e4 AS inc
               |FROM lg GROUP BY series, day ORDER BY series, day""".stripMargin)),
 
+    // Prometheus resets + changes per (series, day): counter-reset count
+    // (value drops below its predecessor) and value-change count, on the
+    // same day-partitioned tie-free lag pre-pass as q_ts_increase — one
+    // window pre-pass, one hash aggregate, O(1) group state.
+    Q("q_ts_resets",
+      (s, dir) => {
+        val base = ev(s, dir).filter(col("time") >= T0 && col("time") < T1)
+        val lagged = graft.operators.SeriesWindows.lagN(base, "__pv", col("value"), 1,
+          keys = Seq("series"), timeCol = "ts_ns", bucket = 86400L * 1000000000L)
+        lagged
+          .groupBy(col("series"), F.timeBucket(lit(86400), col("time")).as("day"))
+          .agg(
+            sum(when(col("value") < col("__pv"), 1L).otherwise(0L)).as("resets"),
+            sum(when(col("value") =!= col("__pv"), 1L).otherwise(0L)).as("changes"))
+          .orderBy("series", "day")
+      },
+      Some(s"""$svSql, lg AS (
+              |  SELECT series, time, value,
+              |         lag(value) OVER (PARTITION BY series ORDER BY ts_ns) AS pv
+              |  FROM sv WHERE time >= $T0 AND time < $T1
+              |)
+              |SELECT series, CAST(floor(time / 86400.0) AS BIGINT) * 86400 AS day,
+              |       CAST(sum(CASE WHEN value < pv THEN 1 ELSE 0 END) AS BIGINT) AS resets,
+              |       CAST(sum(CASE WHEN value != pv THEN 1 ELSE 0 END) AS BIGINT) AS changes
+              |FROM lg GROUP BY series, day ORDER BY series, day""".stripMargin)),
+
     // Prometheus deriv + predict_linear in one bucketed aggregate: per
     // (series, day) least-squares slope (per-hour units) and the linear
     // extrapolation 1 h past day end. Five running sums, O(1) group
