@@ -1,0 +1,72 @@
+package graft.tools
+
+import graft.pipeline.{Dedup, IvfIndex, Sampling, TextAnalysis}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Scale-headroom smoke: run the heavy operator families on `mult`×
+  * the sf0.1 tables (id-remapped unions — measurement only; gates always
+  * read the driver's parquet as-is) and report wall times. The point is
+  * not the absolute numbers but the SHAPE: every op must complete with
+  * the same plans that PlanSpec pins at gate scale, no OOM, no driver
+  * collect growing with the input. nCells for the ANN self-join follows
+  * the documented ~√n rule instead of the gate's fixed 8.
+  *
+  * `sbt "runMain graft.tools.ScaleSmoke [mult]"` (default 10).
+  */
+object ScaleSmoke {
+  def main(args: Array[String]): Unit = {
+    val mult = args.headOption.map(_.toInt).getOrElse(10)
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    val spark = graft.SparkEntry.configure(
+      SparkSession.builder()
+        .master(s"local[$cpus]")
+        .config("spark.sql.shuffle.partitions", cpus)
+        .config("spark.ui.enabled", "false"))
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+
+    def amplify(df: DataFrame, idCol: String): DataFrame =
+      (0 until mult).map { i =>
+        df.withColumn(idCol, col(idCol) + lit(i.toLong * 1000000000L))
+      }.reduce(_ unionByName _)
+
+    val docs = amplify(graft.core.Tables.documents(spark, sfDir), "doc_id")
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val emb = amplify(graft.core.Tables.embeddings(spark, sfDir), "vec_id")
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val nDocs = docs.count()
+    val nVec = emb.count()
+
+    // noop write materializes EVERY column (count() would let Catalyst
+    // prune the heavy expressions — the 1× gates hash full outputs)
+    def timed(tag: String)(f: => DataFrame): (String, Double) = {
+      val t0 = System.nanoTime()
+      f.write.format("noop").mode("overwrite").save()
+      (tag, (System.nanoTime() - t0) / 1e9)
+    }
+
+    val results = Seq(
+      timed("exact_dedup")(Dedup.exact(docs)),
+      timed("span_dedup")(Dedup.spanDupStats(docs)),
+      timed("minhash_lsh")(Dedup.minhashLshPairs(docs, 0.8)),
+      timed("weighted_sample")(Sampling.weightedSample(
+        docs.withColumn("wt", (col("doc_id") % 5 + 1).cast("double")),
+        "doc_id", "wt", 1000, "smoke")),
+      timed("bm25")(TextAnalysis.bm25TopK(
+        docs, Seq("spark", "hash", "merge"), nDocs, 100)),
+      timed("ann_self_join") {
+        // √n-rule cell count; distributed probe route (corpus as queries)
+        val nCells = math.max(8, math.sqrt(nVec.toDouble).toInt)
+        val idx = java.nio.file.Files.createTempDirectory("graft-smoke-ivf").toString + "/i"
+        val cs = IvfIndex.build(emb, idx, nCells = nCells, iters = 2)
+        IvfIndex.topK(spark, idx, emb, 3, nprobe = math.max(2, nCells / 8),
+          centroids = Some(cs), maxDriverBatch = 0)
+      })
+    val qjson = results.map { case (t, s) => f""""$t":$s%.1f""" }
+      .mkString("{", ",", "}")
+    println(s"""{"metric":"scale_smoke","mult":$mult,"n_docs":$nDocs,"n_vectors":$nVec,"ops":$qjson}""")
+    spark.stop()
+  }
+}
