@@ -339,6 +339,37 @@ object TimeSeries {
               |       floor((sum(CASE WHEN value > pv THEN value - pv ELSE 0 END)) * 1e4 + 0.5) / 1e4 AS inc
               |FROM lg GROUP BY series, day ORDER BY series, day""".stripMargin)),
 
+    // Robust anomaly stats: per-(series, day) median + MAD (median
+    // absolute deviation) — the outlier-resistant twin of the z-score's
+    // (μ, σ), immune to the heavy tails that wreck moment-based
+    // thresholds. Two exact-percentile aggregates (per-day groups, never
+    // whole-series state); the day medians joining back are one row per
+    // (series, day) — metadata-sized, AQE broadcasts them.
+    Q("q_ts_mad",
+      (s, dir) => {
+        val base = ev(s, dir).filter(col("time") >= T0 && col("time") < T1)
+          .withColumn("day", F.timeBucket(lit(86400), col("time")))
+        val med = base.groupBy(col("series"), col("day"))
+          .agg(percentile(col("value"), lit(0.5)).as("med"))
+        base.join(med, Seq("series", "day"))
+          .groupBy(col("series"), col("day"))
+          .agg(
+            (floor(first(col("med")) * 1e4 + 0.5) / 1e4).as("med"),
+            (floor(percentile(abs(col("value") - col("med")), lit(0.5)) * 1e4 + 0.5) / 1e4)
+              .as("mad"))
+          .orderBy("series", "day")
+      },
+      Some(s"""$svSql,
+              |b AS (SELECT series, CAST(floor(time / 86400.0) AS BIGINT) * 86400 AS day, value
+              |      FROM sv WHERE time >= $T0 AND time < $T1),
+              |m AS (SELECT series, day, quantile_cont(value, 0.5) AS med
+              |      FROM b GROUP BY 1, 2)
+              |SELECT series, day,
+              |       floor(any_value(med) * 1e4 + 0.5) / 1e4 AS med,
+              |       floor(quantile_cont(abs(value - med), 0.5) * 1e4 + 0.5) / 1e4 AS mad
+              |FROM b JOIN m USING (series, day)
+              |GROUP BY series, day ORDER BY series, day""".stripMargin)),
+
     // Prometheus resets + changes per (series, day): counter-reset count
     // (value drops below its predecessor) and value-change count, on the
     // same day-partitioned tie-free lag pre-pass as q_ts_increase — one
