@@ -114,42 +114,77 @@ object IvfIndex {
     * opens per probed cell. Each `bucket=` dir with more than one data
     * file is rewritten independently to a single file — per-cell read →
     * dedup → write → swap, no shuffle ever touches another cell
-    * (embarrassingly parallel across cells; the swap discipline is
-    * [[graft.storage.Maintenance.compactPartitions]]'s). A vec_id
-    * appearing in several files (a re-appended row) keeps ONE row,
-    * chosen deterministically by ordering on the remaining columns —
-    * under the normal same-codebook contract the duplicates are
-    * bit-identical anyway, so serving results cannot change (StorageSpec
-    * pins this). Returns the number of cell dirs rewritten.
+    * (embarrassingly parallel across cells). A vec_id appearing in
+    * several files (a re-appended row) keeps ONE row, chosen
+    * deterministically by ordering on the remaining columns — under the
+    * normal same-codebook contract the duplicates are bit-identical
+    * anyway, so serving results cannot change (StorageSpec pins this).
+    *
+    * All filesystem traffic goes through the Hadoop [[FileSystem]] API
+    * resolved from the index path's own scheme, so the same code runs on
+    * file://, hdfs:// and s3a:// deployments. Scratch space lives in
+    * underscore-prefixed dirs under the index root (`_compact_tmp`,
+    * `_compact_old`) which Spark's file listing ignores — a concurrent
+    * reader never sees a half-written cell as a partition. Swap order is
+    * crash-safe: nothing is deleted until the replacement is live
+    * (write tmp → rename live aside → rename tmp in → delete old), every
+    * rename's return value is checked, and a compact() that died mid-swap
+    * is repaired on the next call (restore-from-`_compact_old` pass).
+    * Cache invalidation is scoped to this index via `refreshByPath`, not
+    * the session-global `clearCache`. Returns the number of cell dirs
+    * rewritten.
     */
   def compact(spark: SparkSession, path: String): Int = {
-    val cellDirs = Option(new java.io.File(path).listFiles()).getOrElse(Array.empty)
-      .filter(f => f.isDirectory && f.getName.startsWith("bucket="))
-    val rewritten = cellDirs.filter { dir =>
-      val dataFiles = dir.listFiles().filter(_.getName.endsWith(".parquet"))
-      if (dataFiles.length <= 1) false
-      else {
+    import org.apache.hadoop.fs.{FileSystem, Path => HPath}
+    val root = new HPath(path)
+    val fs = root.getFileSystem(spark.sessionState.newHadoopConf())
+    def renameOrThrow(src: HPath, dst: HPath): Unit =
+      if (!fs.rename(src, dst))
+        throw new java.io.IOException(s"compact: rename $src -> $dst failed")
+    val tmpRoot = new HPath(root, "_compact_tmp")
+    val oldRoot = new HPath(root, "_compact_old")
+    // Recovery: a crash between "live renamed aside" and "tmp renamed in"
+    // leaves the cell's data parked in _compact_old — restore it before
+    // doing anything else. A leftover whose live dir exists is a
+    // completed swap whose delete didn't run; drop it.
+    if (fs.exists(oldRoot)) {
+      fs.listStatus(oldRoot).foreach { s =>
+        val live = new HPath(root, s.getPath.getName)
+        if (!fs.exists(live)) renameOrThrow(s.getPath, live)
+        else fs.delete(s.getPath, true)
+      }
+      fs.delete(oldRoot, true)
+    }
+    if (fs.exists(tmpRoot)) fs.delete(tmpRoot, true) // stale partial writes
+    val cellDirs = fs.listStatus(root)
+      .filter(s => s.isDirectory && s.getPath.getName.startsWith("bucket="))
+    var rewritten = 0
+    cellDirs.foreach { s =>
+      val dir = s.getPath
+      val dataFiles = fs.listStatus(dir).filter(_.getPath.getName.endsWith(".parquet"))
+      if (dataFiles.length > 1) {
         val df = spark.read.parquet(dir.toString)
         val others = df.columns.filter(_ != "vec_id").map(col)
         val w = org.apache.spark.sql.expressions.Window
           .partitionBy(col("vec_id")).orderBy(others: _*)
-        val ded = df.withColumn("__rn", row_number().over(w))
+        val tmp = new HPath(tmpRoot, dir.getName)
+        // the write action fully materializes the compacted cell in tmp
+        // BEFORE the live dir is touched — no cache needed for safety
+        df.withColumn("__rn", row_number().over(w))
           .filter(col("__rn") === 1).drop("__rn")
-          .coalesce(1).cache()
-        ded.count() // materialize fully before touching the source dir
-        ded.write.mode("overwrite").parquet(s"$dir.new")
-        ded.unpersist(blocking = false)
-        def rm(f: java.io.File): Unit = {
-          if (f.isDirectory) f.listFiles().foreach(rm)
-          f.delete(); ()
-        }
-        rm(dir)
-        new java.io.File(s"$dir.new").renameTo(new java.io.File(dir.toString))
-        spark.catalog.clearCache()
-        true
+          .coalesce(1).write.mode("overwrite").parquet(tmp.toString)
+        val old = new HPath(oldRoot, dir.getName)
+        fs.mkdirs(oldRoot)
+        renameOrThrow(dir, old)
+        renameOrThrow(tmp, dir)
+        fs.delete(old, true)
+        rewritten += 1
       }
     }
-    rewritten.length
+    fs.delete(tmpRoot, true)
+    fs.delete(oldRoot, true)
+    if (rewritten > 0) spark.catalog.refreshByPath(path)
+    rewritten
   }
 
   /** Full FAISS-style IVFPQ at rest: cells partition the parquet AND rows

@@ -230,6 +230,42 @@ class StorageSpec extends AnyFunSuite {
     assert(perCell.nonEmpty && perCell.forall(_ === 1), perCell.toSeq.toString)
   }
 
+  test("IVFPQ compaction runs through the Hadoop FileSystem API (file: URI scheme) and repairs a died-mid-swap index") {
+    val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    val local = Files.createTempDirectory("graft-ivfpq-hfs").toString + "/index"
+    val idx = "file:" + local // non-bare scheme: resolved via Hadoop FS, not java.io.File
+    val (cs, books) = graft.pipeline.IvfIndex.buildPq(
+      emb.filter(col("vec_id") < 200), idx, nCells = 4, iters = 2, m = 4, ksub = 16, pqIters = 1)
+    for (lo <- Seq(200L, 300L, 400L)) {
+      graft.pipeline.IvfIndex.encodeForIndex(
+          emb.filter(col("vec_id") >= lo && col("vec_id") < lo + 100), cs, books)
+        .write.mode("append").partitionBy("bucket").parquet(idx)
+    }
+    def serve() = graft.pipeline.IvfIndex.topKPq(spark, idx,
+        emb.filter(col("vec_id") < 10), 5, nprobe = 2,
+        centroids = Some(cs), books = Some(books))
+      .collect().map(_.toSeq).sortBy(_.toString).toSeq
+    val before = serve()
+    assert(graft.pipeline.IvfIndex.compact(spark, idx) > 0)
+    assert(serve() === before, "serving must be bit-identical through the file: URI route")
+    // simulate a compact() that died between "live renamed aside" and
+    // "tmp renamed in": park one live cell dir in _compact_old, leave a
+    // stale partial write in _compact_tmp — the next compact() must
+    // restore the cell and clear the scratch dirs before proceeding
+    val cells = new java.io.File(local).listFiles().filter(_.getName.startsWith("bucket="))
+    assert(cells.nonEmpty)
+    val victim = cells.minBy(_.getName)
+    val oldRoot = new java.io.File(local, "_compact_old")
+    val tmpRoot = new java.io.File(local, "_compact_tmp")
+    assert(oldRoot.mkdirs() && tmpRoot.mkdirs())
+    assert(victim.renameTo(new java.io.File(oldRoot, victim.getName)))
+    Files.write(java.nio.file.Paths.get(tmpRoot.toString, "partial"), Array[Byte](1, 2, 3))
+    graft.pipeline.IvfIndex.compact(spark, idx) // recovery pass runs first
+    assert(new java.io.File(local, victim.getName).exists(), "parked cell restored")
+    assert(!oldRoot.exists() && !tmpRoot.exists(), "scratch dirs cleared")
+    assert(serve() === before, "serving must be bit-identical after recovery")
+  }
+
   test("snapshot copies a queryable store") {
     val store = new SeriesStore(spark, tmp())
     Ingest.batch(store, writeNdjson(Seq("""{"series":"m","ts":100,"value":1.0}""")))
