@@ -98,16 +98,44 @@ object Multimodal {
       } catch { case scala.util.control.NonFatal(_) => None }
   }
 
-  /** Decoder: images go through the real [[ImageCodec]] header parse;
-    * audio/video (no JDK codec) and unparseable payloads derive
-    * deterministic STUB metadata from the bytes so the pipeline shape
-    * (and its oracle) is testable without external codec libraries.
+  /** REAL pure-JVM audio header parse: the WAV/AIFF/AU readers that ship
+    * with the JDK (`javax.sound.sampled`) — `AudioSystem
+    * .getAudioFileFormat` reads the container header without decoding
+    * samples (the right cost for a metadata pass over 100 TB of audio).
+    * Returns (sampleRateHz, channels, frameLength); None when no JDK
+    * reader parses the payload (then [[DecodeStub.decode]] falls back to
+    * its deterministic synthetic meta — the oracle-gated mode, since the
+    * gate's fake payloads are text bytes). Duration follows as
+    * frameLength / sampleRate seconds.
+    */
+  object AudioCodec {
+    def info(blob: Array[Byte]): Option[(Int, Int, Int)] =
+      try {
+        val fmt = javax.sound.sampled.AudioSystem.getAudioFileFormat(
+          new java.io.ByteArrayInputStream(blob))
+        val af = fmt.getFormat
+        val frames = fmt.getFrameLength
+        Some((af.getSampleRate.toInt, af.getChannels,
+          if (frames < 0) 0 else frames))
+      } catch { case scala.util.control.NonFatal(_) => None }
+  }
+
+  /** Decoder: images go through the real [[ImageCodec]] header parse and
+    * audio through the real [[AudioCodec]] one (width/height carry the
+    * sample rate and channel count — the schema is media-generic, the
+    * meaning is per-type; n_frames carries the PCM frame count, so
+    * duration = n_frames / width). Video (no JDK codec) and unparseable
+    * payloads derive deterministic STUB metadata from the bytes so the
+    * pipeline shape (and its oracle) is testable without external codec
+    * libraries.
     */
   object DecodeStub {
     def decode(b: MediaBlob): MediaMeta = {
       val n = b.blob.length.toLong
       val real: Option[(Int, Int)] =
         if (b.media_type == "image") ImageCodec.dimensions(b.blob) else None
+      val audio: Option[(Int, Int, Int)] =
+        if (b.media_type == "audio") AudioCodec.info(b.blob) else None
       MediaMeta(
         doc_id = b.doc_id,
         media_type = b.media_type,
@@ -116,9 +144,11 @@ object Multimodal {
           val md = java.security.MessageDigest.getInstance("MD5")
           md.digest(b.blob).map("%02x".format(_)).mkString
         },
-        width = real.map(_._1).getOrElse((n % 640).toInt),
-        height = real.map(_._2).getOrElse((n * 7 % 480).toInt),
-        n_frames = if (b.media_type == "video") (n % 16).toInt else 1)
+        width = real.map(_._1).orElse(audio.map(_._1)).getOrElse((n % 640).toInt),
+        height = real.map(_._2).orElse(audio.map(_._2)).getOrElse((n * 7 % 480).toInt),
+        n_frames =
+          if (b.media_type == "video") (n % 16).toInt
+          else audio.map(_._3).getOrElse(1))
     }
   }
 

@@ -709,6 +709,33 @@ class PipelineSpec extends AnyFunSuite {
     assert((back.getRGB(14, 6) & 0xff) != 0, "right half should stay blue")
   }
 
+  test("audio metadata: real WAV headers decode sample rate / channels / duration via javax.sound.sampled") {
+    // generate a real 16 kHz mono PCM16 WAV (1600 frames = 0.1 s) with the
+    // JDK's own writer, push it through the partition-batched decode: the
+    // header fields coming back (not the byte-derived stub values) prove a
+    // real container parse ran
+    val fmt = new javax.sound.sampled.AudioFormat(16000f, 16, 1, true, false)
+    val pcm = new Array[Byte](1600 * 2) // frameSize = 2 bytes (16-bit mono)
+    val wav = {
+      val out = new java.io.ByteArrayOutputStream()
+      javax.sound.sampled.AudioSystem.write(
+        new javax.sound.sampled.AudioInputStream(
+          new java.io.ByteArrayInputStream(pcm), fmt, 1600),
+        javax.sound.sampled.AudioFileFormat.Type.WAVE, out)
+      out.toByteArray
+    }
+    assert(graft.pipeline.Multimodal.AudioCodec.info(wav) === Some((16000, 1, 1600)))
+    val media = Seq((1L, "audio", wav), (2L, "audio", "not audio".getBytes)).toDF(
+      "doc_id", "media_type", "blob")
+    val metas = graft.pipeline.Multimodal.decodeMeta(spark, media)
+      .collect().sortBy(_.doc_id)
+    assert(metas(0).width === 16000 && metas(0).height === 1 && metas(0).n_frames === 1600)
+    assert(metas(0).n_frames.toDouble / metas(0).width === 0.1) // duration s
+    // undecodable audio payloads keep the deterministic stub meta
+    val n = "not audio".getBytes.length
+    assert(metas(1).width === n % 640 && metas(1).n_frames === 1)
+  }
+
   test("resize falls back to the bounded stub on undecodable payloads; embed stub is deterministic with fixed dim") {
     val media = graft.pipeline.Multimodal.mediaTable(docs)
     val resized = graft.pipeline.Multimodal.resizeImages(spark, media, 64, 48).collect()
