@@ -42,10 +42,11 @@ object SydraQlQueries {
     * shared by every storage-lifecycle gate query below).
     */
   private def eventsStore(s: org.apache.spark.sql.SparkSession, dir: String,
-      t0: Long, t1: Long, dedup: Boolean = false): graft.storage.SeriesStore = {
+      t0: Long, t1: Long, dedup: Boolean = false,
+      buckets: Int = 0): graft.storage.SeriesStore = {
     import org.apache.spark.sql.functions.{col, lit, map, max => fmax}
     val tmp = java.nio.file.Files.createTempDirectory("graft-gate-store").toString
-    val store = new graft.storage.SeriesStore(s, tmp)
+    val store = new graft.storage.SeriesStore(s, tmp, seriesBuckets = buckets)
     var pts = Tables.events(s, dir).select(
       col("event_type").as("series"),
       map(lit("user"), (col("user_id") % 8).cast("string")).as("tags"),
@@ -447,6 +448,27 @@ object SydraQlQueries {
     Q("q_store_roundtrip",
       (s, dir) => {
         val store = eventsStore(s, dir, T0, T0 + 2 * 86400)
+        val df = Engine.executeOnStore(store,
+          s"select time_bucket(3600, time) as bucket, avg(value) as avg_value, count() as n " +
+            s"from click where time >= $T0 and time < ${T0 + 2 * 86400} " +
+            "group by time_bucket(3600, time) order by bucket",
+          CompileOptions(now = NOW)).df
+        df.withColumn("avg_value", floor((col("avg_value")) * 1e4 + 0.5) / 1e4)
+      },
+      Some(s"""$svSql
+              |SELECT CAST(floor(time / 3600.0) AS BIGINT) * 3600 AS bucket,
+              |       floor((avg(value)) * 1e4 + 0.5) / 1e4 AS avg_value, count(*) AS n
+              |FROM sv WHERE series = 'click' AND time >= $T0 AND time < ${T0 + 2 * 86400}
+              |GROUP BY bucket ORDER BY bucket""".stripMargin)),
+
+    // The SAME round-trip through the OPT-IN bucketed layout (SeriesStore
+    // seriesBuckets > 0: CLUSTERED BY series_id, catalog-registered scan) —
+    // the oracle pins result-equivalence between the two physical layouts;
+    // PlanSpec separately asserts the layout's no-Exchange property on
+    // series-keyed aggregates.
+    Q("q_store_bucketed",
+      (s, dir) => {
+        val store = eventsStore(s, dir, T0, T0 + 2 * 86400, buckets = 8)
         val df = Engine.executeOnStore(store,
           s"select time_bucket(3600, time) as bucket, avg(value) as avg_value, count() as n " +
             s"from click where time >= $T0 and time < ${T0 + 2 * 86400} " +

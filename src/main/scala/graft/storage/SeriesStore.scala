@@ -48,7 +48,32 @@ final class SeriesStore(val spark: SparkSession, val root: String,
       .digest(root.getBytes("UTF-8")).map("%02x".format(_)).mkString.take(12)
 
   private def ensureTable(): Unit =
-    if (!spark.catalog.tableExists(tableName)) {
+    if (spark.catalog.tableExists(tableName)) {
+      // Reopen validation: the catalog entry is authoritative for the
+      // on-disk layout — a constructor whose bucket count disagrees would
+      // silently write a second, incompatible layout into the same dirs.
+      val meta = spark.sessionState.catalog.getTableMetadata(
+        org.apache.spark.sql.catalyst.TableIdentifier(tableName))
+      val spec = meta.bucketSpec
+      if (!spec.exists(b => b.numBuckets == seriesBuckets &&
+          b.bucketColumnNames.map(_.toLowerCase) == Seq("series_id")))
+        throw new IllegalStateException(
+          s"store at $root is registered with bucket spec " +
+            spec.map(b => s"${b.numBuckets} buckets on (${b.bucketColumnNames.mkString(", ")})").getOrElse("<none>") +
+            s" but this SeriesStore was constructed with seriesBuckets=$seriesBuckets; " +
+            "reopen with the original layout or rewrite the store")
+    } else {
+      // A root previously written by the UNBUCKETED path has data files
+      // without the _NNNNN bucket-id suffix; a bucketed table over them
+      // dies at scan time with an obscure 'Invalid bucket file'. Fail at
+      // open with the actionable message instead.
+      sampleDataFile().foreach { f =>
+        if (!isBucketedFileName(f))
+          throw new IllegalStateException(
+            s"store at $root was written by the unbucketed layout (data file '$f' " +
+              "has no bucket-id suffix); reopen with seriesBuckets=0 or rewrite the " +
+              s"store to the $seriesBuckets-bucket layout")
+      }
       new java.io.File(segDir).mkdirs() // CREATE TABLE LOCATION needs the dir
       spark.sql(
         s"""CREATE TABLE $tableName (
@@ -62,6 +87,42 @@ final class SeriesStore(val spark: SparkSession, val root: String,
       // discover partition dirs an earlier session (or process) wrote
       spark.sql(s"MSCK REPAIR TABLE $tableName")
       ()
+    }
+
+  /** Bucketed-writer data files carry the bucket id as a `_NNNNN` suffix
+    * before the codec extension (FileFormatWriter's bucketIdToString);
+    * the unbucketed writer's names have none — a one-file fingerprint of
+    * which layout wrote a root, used for reopen validation.
+    */
+  private def isBucketedFileName(name: String): Boolean =
+    name.matches(".*_\\d{5}(\\.c\\d+)?\\..*")
+
+  private def sampleDataFile(): Option[String] = {
+    val p = new org.apache.hadoop.fs.Path(segDir)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(p)) None
+    else {
+      val it = fs.listFiles(p, true)
+      var found: Option[String] = None
+      while (found.isEmpty && it.hasNext) {
+        val n = it.next().getPath.getName
+        if (n.startsWith("part-")) found = Some(n)
+      }
+      found
+    }
+  }
+
+  /** One-time guard for the `seriesBuckets = 0` direction: appending plain
+    * files into a root the bucketed writer produced would corrupt the
+    * bucketed table for every future bucketed reader.
+    */
+  private lazy val unbucketedLayoutOk: Unit =
+    sampleDataFile().foreach { f =>
+      if (isBucketedFileName(f))
+        throw new IllegalStateException(
+          s"store at $root was written by a bucketed layout (data file '$f' carries " +
+            "a bucket-id suffix); reopen with the original seriesBuckets to keep the " +
+            "layout consistent")
     }
 
   val schema: StructType = StructType(Seq(
@@ -95,8 +156,10 @@ final class SeriesStore(val spark: SparkSession, val root: String,
       // itself; the hour repartition above still bounds files to
       // seriesBuckets per hour dir per batch
       df.write.mode(SaveMode.Append).insertInto(tableName)
-    } else
+    } else {
+      unbucketedLayoutOk
       df.write.mode(SaveMode.Append).partitionBy("hour_bucket").parquet(segDir)
+    }
   }
 
   def isEmpty: Boolean = !new java.io.File(segDir).exists()

@@ -189,6 +189,35 @@ class StorageSpec extends AnyFunSuite {
     assert(cat(bucketed) === cat(flat))
   }
 
+  test("reopening a store with a mismatched layout fails with an actionable message") {
+    import spark.implicits._
+    val pts = Seq(("m.a", Map("h" -> "1"), 1700000000L, Some(1.0)))
+      .toDF("series", "tags", "time", "value")
+
+    // bucketed root reopened with a different bucket count: catalog spec wins
+    val root1 = tmp()
+    new SeriesStore(spark, root1, seriesBuckets = 4).append(pts)
+    val e1 = intercept[IllegalStateException] {
+      new SeriesStore(spark, root1, seriesBuckets = 8).append(pts)
+    }
+    assert(e1.getMessage.contains("4 buckets") && e1.getMessage.contains("seriesBuckets=8"))
+
+    // unbucketed root reopened bucketed (no catalog entry exists — only the
+    // file-name fingerprint to go on): fails at open, not at scan time
+    val root2 = tmp()
+    new SeriesStore(spark, root2).append(pts)
+    val e2 = intercept[IllegalStateException] {
+      new SeriesStore(spark, root2, seriesBuckets = 4).append(pts)
+    }
+    assert(e2.getMessage.contains("unbucketed layout"))
+
+    // bucketed root reopened unbucketed: the append guard refuses to mix files
+    val e3 = intercept[IllegalStateException] {
+      new SeriesStore(spark, root1).append(pts)
+    }
+    assert(e3.getMessage.contains("bucket-id suffix"))
+  }
+
   test("IVFPQ index compaction: micro-batch appends -> fewer files, serving bit-identical") {
     val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
     val idx = Files.createTempDirectory("graft-ivfpq-compact").toString + "/index"
