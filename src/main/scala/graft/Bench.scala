@@ -19,6 +19,16 @@ object Bench {
         .config("spark.ui.enabled", "false"))
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    // The bounded second-phase global ranks (Sampling.weightedSample /
+    // capPerStratum, TextAnalysis.bm25TopK — inputs provably ≤
+    // n×partitions / k rows; see SCALE.md "bounded global ranks") trip
+    // WindowExec's blanket all-to-one warning on every plan build; at
+    // bench/production volume that buries real signals, so demote that
+    // one logger. A constant partition key cannot silence it instead:
+    // EliminateWindowPartitions folds it away.
+    org.apache.logging.log4j.core.config.Configurator.setLevel(
+      "org.apache.spark.sql.execution.window.WindowExec",
+      org.apache.logging.log4j.Level.ERROR)
 
     val names = SparkEntry.benchQueries
     // JIT + parquet-footer warmup on a cheap query so timings measure the

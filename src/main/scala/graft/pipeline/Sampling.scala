@@ -138,6 +138,15 @@ object Sampling {
     * replayable by any SQL engine. Rows with NULL or non-positive
     * weights are dropped (their draw is undefined).
     *
+    * Weight-magnitude bound: u^(1/w) compresses draw spacing by ~1/w, so
+    * the 1e-9 key rounding keeps DISTINCT 1e-6-quantized draws distinct
+    * only while w ≲ 100; beyond that, same-weight near-ties collapse into
+    * one rounding bucket and the (key asc) tie-break decides inclusion —
+    * still deterministic and cross-engine stable, but no longer exact
+    * A-Res ordering among those ties. Rescale weights into ~[0.1, 100]
+    * (inclusion probabilities are scale-free in A-Res) if exact ordering
+    * at extreme weights matters.
+    *
     * The importance-weighted downsampling primitive (quality-score-
     * weighted corpus thinning); same skew-proof two-phase top-n as
     * [[capPerStratum]] — per-partition prune first, so no single task
@@ -161,6 +170,11 @@ object Sampling {
         floor(pow(u, lit(1.0) / col(weightCol).cast("double")) * 1e9 + 0.5) / 1e9)
       .withColumn("__pid", spark_partition_id())
     val local = Window.partitionBy(col("__pid")).orderBy(col("__ws").desc, col(keyCol))
+    // empty partition spec is INTENTIONAL and bounded: the second phase
+    // ranks only the ≤ n×partitions phase-1 survivors, so one task is the
+    // right plan. WindowExec's all-to-one warning fires on it regardless
+    // (a constant key would be stripped by EliminateWindowPartitions);
+    // SCALE.md documents the pattern and the tools demote that logger.
     val global = Window.orderBy(col("__ws").desc, col(keyCol))
     hashed
       .withColumn("__lrn", row_number().over(local)).filter(col("__lrn") <= n)

