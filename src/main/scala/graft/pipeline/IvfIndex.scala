@@ -260,11 +260,18 @@ object IvfIndex {
     * `bucket IN (...)` partition filter, and candidates within the pruned
     * partitions rank by the asymmetric-distance sum over their stored
     * codes — the scan reads m codes per row and never a raw vector.
+    *
+    * `index`: optionally serve from a pre-loaded (typically persisted)
+    * frame of the same layout instead of re-opening the at-rest files —
+    * a long-lived serving tier keeps the codes resident and pays only
+    * the probe-join-rank job per batch; bucket pruning then happens via
+    * in-memory batch stats rather than partition pruning (AnnBench
+    * measures both modes).
     */
   def topKPq(spark: SparkSession, path: String, queries: DataFrame, k: Int,
       nprobe: Int, centroids: Option[Array[Seq[Double]]] = None,
       books: Option[Array[Array[Seq[Double]]]] = None,
-      maxDriverBatch: Int = -1): DataFrame = {
+      maxDriverBatch: Int = -1, index: Option[DataFrame] = None): DataFrame = {
     val cs = centroids.getOrElse(loadCentroids(spark, path))
     val bks = books.getOrElse(loadBooks(spark, path))
     import spark.implicits._
@@ -281,7 +288,8 @@ object IvfIndex {
         val (p, bs) = distributedProbes(queries, cs, nprobe)
         (p.withColumn("lut", Pq.lutCol(col("qv"), bks)).drop("qv"), bs)
     }
-    val c = spark.read.parquet(path).filter(col("bucket").isin(buckets.map(Int.box): _*))
+    val c = index.getOrElse(spark.read.parquet(path))
+      .filter(col("bucket").isin(buckets.map(Int.box): _*))
     Pq.rankAdcTopK(
       c.join(probes, Seq("bucket"))
         .filter(col("q_id") =!= col("vec_id"))

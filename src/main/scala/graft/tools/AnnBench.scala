@@ -40,8 +40,22 @@ object AnnBench {
         centroids = Some(cs), books = Some(books)).collect()
       (System.nanoTime() - t0) / 1e6
     }.drop(warmup).sorted
+    // Steady-state tier: the same batches served from a persisted copy of
+    // the index frame (codes resident in executor memory — the long-lived
+    // serving shape), isolating the at-rest file-open cost from ADC work.
+    val resident = spark.read.parquet(idx).persist()
+    resident.count()
+    val hotLats = (0 until batches).map { b =>
+      val lo = (b.toLong * 10) % math.max(nVec - 10, 1)
+      val qs = emb.filter(col("vec_id") >= lo && col("vec_id") < lo + 10)
+      val t0 = System.nanoTime()
+      IvfIndex.topKPq(spark, idx, qs, 5, nprobe = 4,
+        centroids = Some(cs), books = Some(books), index = Some(resident)).collect()
+      (System.nanoTime() - t0) / 1e6
+    }.drop(warmup).sorted
     def pct(p: Double): Double = lats((p * (lats.length - 1)).round.toInt)
-    println(f"""{"metric":"ann_serve","n_vectors":$nVec,"build_s":$buildS%.2f,"batches":${batches - warmup},"queries_per_batch":10,"p50_ms":${pct(0.50)}%.1f,"p95_ms":${pct(0.95)}%.1f,"p99_ms":${pct(0.99)}%.1f,"sf":"$sfDir"}""")
+    def pctHot(p: Double): Double = hotLats((p * (hotLats.length - 1)).round.toInt)
+    println(f"""{"metric":"ann_serve","n_vectors":$nVec,"build_s":$buildS%.2f,"batches":${batches - warmup},"queries_per_batch":10,"p50_ms":${pct(0.50)}%.1f,"p95_ms":${pct(0.95)}%.1f,"p99_ms":${pct(0.99)}%.1f,"hot_p50_ms":${pctHot(0.50)}%.1f,"hot_p95_ms":${pctHot(0.95)}%.1f,"hot_p99_ms":${pctHot(0.99)}%.1f,"sf":"$sfDir"}""")
     spark.stop()
   }
 }
