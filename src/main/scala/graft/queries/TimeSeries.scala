@@ -549,6 +549,59 @@ object TimeSeries {
               |)
               |SELECT DISTINCT series, bucket, time, value FROM p
               |WHERE ra = 1 OR rd = 1 OR va = 1 OR vd = 1
-              |ORDER BY series, bucket, time, value""".stripMargin))
+              |ORDER BY series, bucket, time, value""".stripMargin)),
+
+    // As-of join: each click picks up the latest same-tag purchase at or
+    // before it. Right side pre-aggregated to unique (tag_user, time) —
+    // max(value), no fp arithmetic, so no rounding needed anywhere.
+    // Oracle replays with DuckDB's native ASOF LEFT JOIN.
+    Q("q_ts_asof",
+      (s, dir) => {
+        val e = ev(s, dir)
+        val clicks = e.filter(col("series") === "click" && col("time") >= T0 && col("time") < T1)
+          .select("event_id", "tag_user", "time", "value")
+        val purchases = e.filter(col("series") === "purchase")
+          .groupBy("tag_user", "time").agg(max(col("value")).as("p_value"))
+        graft.operators.AsofJoin.backward(clicks, purchases,
+            keys = Seq("tag_user"), timeCol = "time",
+            rightCols = Seq("p_value"), matchedTimeCol = "p_time")
+          .orderBy("tag_user", "time", "event_id")
+      },
+      Some(s"""$svSql,
+              |l AS (SELECT event_id, tag_user, time, value FROM sv
+              |      WHERE series = 'click' AND time >= $T0 AND time < $T1),
+              |r AS (SELECT tag_user, time, max(value) AS p_value FROM sv
+              |      WHERE series = 'purchase' GROUP BY tag_user, time)
+              |SELECT l.tag_user, l.time, l.event_id, l.value, r.time AS p_time, r.p_value
+              |FROM l ASOF LEFT JOIN r ON l.tag_user = r.tag_user AND l.time >= r.time
+              |ORDER BY l.tag_user, l.time, l.event_id""".stripMargin),
+      benchExtra = true),
+
+    // Tolerance variant: a match older than 6h is nulled (row kept).
+    // DuckDB replays as a CASE over the unbounded ASOF result.
+    Q("q_ts_asof_tol",
+      (s, dir) => {
+        val e = ev(s, dir)
+        val clicks = e.filter(col("series") === "click" && col("time") >= T0 && col("time") < T1)
+          .select("event_id", "tag_user", "time", "value")
+        val purchases = e.filter(col("series") === "purchase")
+          .groupBy("tag_user", "time").agg(max(col("value")).as("p_value"))
+        graft.operators.AsofJoin.backward(clicks, purchases,
+            keys = Seq("tag_user"), timeCol = "time",
+            rightCols = Seq("p_value"), matchedTimeCol = "p_time",
+            tolerance = Some(21600L))
+          .orderBy("tag_user", "time", "event_id")
+      },
+      Some(s"""$svSql,
+              |l AS (SELECT event_id, tag_user, time, value FROM sv
+              |      WHERE series = 'click' AND time >= $T0 AND time < $T1),
+              |r AS (SELECT tag_user, time, max(value) AS p_value FROM sv
+              |      WHERE series = 'purchase' GROUP BY tag_user, time),
+              |j AS (SELECT l.tag_user, l.time, l.event_id, l.value, r.time AS rt, r.p_value AS rv
+              |      FROM l ASOF LEFT JOIN r ON l.tag_user = r.tag_user AND l.time >= r.time)
+              |SELECT tag_user, time, event_id, value,
+              |       CASE WHEN time - rt <= 21600 THEN rt END AS p_time,
+              |       CASE WHEN time - rt <= 21600 THEN rv END AS p_value
+              |FROM j ORDER BY tag_user, time, event_id""".stripMargin))
   )
 }
