@@ -602,6 +602,41 @@ object TimeSeries {
               |SELECT tag_user, time, event_id, value,
               |       CASE WHEN time - rt <= 21600 THEN rt END AS p_time,
               |       CASE WHEN time - rt <= 21600 THEN rv END AS p_value
-              |FROM j ORDER BY tag_user, time, event_id""".stripMargin))
+              |FROM j ORDER BY tag_user, time, event_id""".stripMargin)),
+
+    // Range join: clicks inside the 90-minute window opened by each
+    // same-tag purchase, aggregated per window. The oracle's inequality
+    // join replays what the bucket-exploded equi-join computes.
+    Q("q_ts_range_join",
+      (s, dir) => {
+        val e = ev(s, dir)
+        val clicks = e.filter(col("series") === "click" && col("time") >= T0 && col("time") < T1)
+          .select("tag_user", "time", "value")
+        val windows = e.filter(col("series") === "purchase")
+          .groupBy(col("tag_user"), col("time").as("w_start"))
+          .agg(count(lit(1)).as("__n")).drop("__n")
+          .withColumn("w_end", col("w_start") + 5400L)
+        graft.operators.RangeJoin.pointInInterval(clicks, windows,
+            keys = Seq("tag_user"), timeCol = "time",
+            startCol = "w_start", endCol = "w_end", bucket = 1800L)
+          .groupBy(col("tag_user"), col("w_start"))
+          .agg(
+            count(lit(1)).as("n_clicks"),
+            max(col("value")).as("max_click"),
+            (floor(sum(col("value")) * 1e4 + 0.5) / 1e4).as("sum_click"))
+          .orderBy("tag_user", "w_start")
+      },
+      Some(s"""$svSql,
+              |l AS (SELECT tag_user, time, value FROM sv
+              |      WHERE series = 'click' AND time >= $T0 AND time < $T1),
+              |w AS (SELECT DISTINCT tag_user, time AS w_start FROM sv WHERE series = 'purchase')
+              |SELECT w.tag_user, w.w_start, count(*) AS n_clicks,
+              |       max(l.value) AS max_click,
+              |       floor(sum(l.value) * 1e4 + 0.5) / 1e4 AS sum_click
+              |FROM w JOIN l ON l.tag_user = w.tag_user
+              |              AND l.time >= w.w_start AND l.time < w.w_start + 5400
+              |GROUP BY w.tag_user, w.w_start
+              |ORDER BY w.tag_user, w.w_start""".stripMargin),
+      benchExtra = true)
   )
 }

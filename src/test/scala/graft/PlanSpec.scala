@@ -91,6 +91,17 @@ class PlanSpec extends AnyFunSuite {
     }
   }
 
+  test("as-of and range joins never plan a nested-loop join") {
+    // the whole point of the union-tag scan (as-of) and bucket-exploded
+    // equi-join (range): an inequality condition must never reach the
+    // join operator
+    for (q <- Seq("q_ts_asof", "q_ts_asof_tol", "q_ts_range_join")) {
+      val p = plan(q)
+      assert(!p.contains("BroadcastNestedLoopJoin"), s"$q plans a nested-loop join")
+      assert(!p.contains("CartesianProduct"), s"$q plans a cartesian product")
+    }
+  }
+
   test("decontamination corpus pass is a broadcast semi-join (no corpus shuffle)") {
     val p = plan("q_pl_decontam")
     assert(p.contains("BroadcastHashJoin LeftSemi"), "benchmark side must broadcast")
