@@ -116,6 +116,17 @@ object Sampling {
     counted.unpersist(blocking = false)
     val caps = spark.createDataFrame(
       java.util.Arrays.asList(capsRows: _*), capsDf.schema)
+    keepSmallestHashes(df, keyCol, stratumCol, caps, salt)
+  }
+
+  /** The shared skew-proof keep: per stratum, the `__k` (a column of
+    * `caps`) smallest salted hashes survive — per-partition prune first,
+    * so no task ever ranks a full stratum; phase 2 ranks only the
+    * ≤ k×partitions survivors.
+    */
+  private def keepSmallestHashes(df: DataFrame, keyCol: String,
+      stratumCol: String, caps: DataFrame, salt: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
     val hashed = df.join(broadcast(caps), stratumCol)
       .withColumn("__h", hashUnit(col(keyCol), salt))
       .withColumn("__pid", spark_partition_id())
@@ -127,6 +138,62 @@ object Sampling {
       .withColumn("__lrn", row_number().over(local)).filter(col("__lrn") <= col("__k"))
       .withColumn("__rn", row_number().over(global)).filter(col("__rn") <= col("__k"))
       .drop("__h", "__pid", "__lrn", "__rn", "__k")
+  }
+
+  /** Deterministic temperature sampling (the multilingual-corpus
+    * flattening step: downsample big sources toward the small ones,
+    * XLM-R-style p_s ∝ n_s^α): each stratum keeps
+    * `k_s = min(n_s, floor(n_min^(1-α) · n_s^α + 0.5))` of its smallest
+    * salted hashes — the per-stratum keep rate `(n_s/n_min)^(α-1)`
+    * normalized to the SMALLEST stratum, so the smallest source stays
+    * intact and every other source lands between its own size (α = 1,
+    * no-op) and the flat n_min share (α = 0, uniform mix).
+    *
+    * α = 0.5 makes the cap the geometric mean `sqrt(n_min · n_s)`:
+    * products of counts are exact in a double and sqrt is IEEE
+    * correctly-rounded, so the caps replay bit-identically in any SQL
+    * engine — no cross-source fp sum anywhere (the reason the caps
+    * normalize to n_min rather than Σ n_t^α: a 20-term double sum has
+    * engine-order ulp drift, a single product does not). Non-dyadic α
+    * goes through pow(), which is NOT correctly-rounded — a replaying
+    * engine may drift a last-ulp across a .5 cap boundary; stick to
+    * α ∈ {0, 0.5, 1} where exactness matters.
+    *
+    * Selection is the same two-phase skew-proof rank as
+    * [[capPerStratum]]; the stratum→cap frame is stratum-cardinality-
+    * sized (broadcast). Strata are independent — no budget
+    * redistribution — so the output size is Σ k_s, monotone in α.
+    */
+  def temperatureSample(
+      df: DataFrame,
+      keyCol: String,
+      stratumCol: String,
+      alpha: Double,
+      salt: String): DataFrame = {
+    require(alpha >= 0 && alpha <= 1, s"alpha must be in [0, 1], got $alpha")
+    val spark = df.sparkSession
+    val counted = df.groupBy(stratumCol).agg(count(lit(1)).as("__n"))
+    // sqrt (correctly-rounded) for the dyadic midpoint, pow otherwise
+    def powc(c: Column, e: Double): Column =
+      if (e == 0.5) sqrt(c) else if (e == 0.0) lit(1.0) else if (e == 1.0) c
+      else pow(c, lit(e))
+    val capsDf = counted
+      .withColumn("__nmin", min(col("__n")).over(
+        org.apache.spark.sql.expressions.Window.partitionBy()))
+      .select(col(stratumCol),
+        least(col("__n"),
+          (if (alpha == 0.5)
+            floor(sqrt((col("__nmin") * col("__n")).cast("double")) + 0.5)
+          else
+            floor(powc(col("__nmin").cast("double"), 1.0 - alpha) *
+              powc(col("__n").cast("double"), alpha) + 0.5)).cast("long")).as("__k"))
+    // collect and rebuild a LOCAL caps frame: the returned plan embeds
+    // only the tiny literals, not a count aggregate over df (same reason
+    // as rebalanceMixture)
+    val capsRows = capsDf.collect()
+    val caps = spark.createDataFrame(
+      java.util.Arrays.asList(capsRows: _*), capsDf.schema)
+    keepSmallestHashes(df, keyCol, stratumCol, caps, salt)
   }
 
   /** Deterministic weighted sample WITHOUT replacement (Efraimidis–

@@ -1083,6 +1083,29 @@ object Pipeline {
            |WHERE rn <= k ORDER BY doc_id""".stripMargin
       }),
 
+    // Temperature sampling at α=0.5: every language downsampled to the
+    // geometric mean of its size and the smallest language's — the
+    // multilingual flattening step (the `lang` column is genuinely
+    // skewed: en dominates). Caps are a single sqrt of an exact integer
+    // product, so the oracle replays them bit-identically.
+    Q("q_pl_temperature",
+      (s, dir) => Sampling.temperatureSample(
+          Tables.documents(s, dir).select(col("doc_id"), col("lang")),
+          "doc_id", "lang", alpha = 0.5, salt = "temp7")
+        .orderBy("doc_id"),
+      Some {
+        val h = "CAST(concat('0x', substr(md5('temp7:' || CAST(doc_id AS VARCHAR)), 1, 15)) AS BIGINT) % 1000000"
+        s"""WITH n AS (SELECT lang, count(*) AS n FROM documents GROUP BY 1),
+           |m AS (SELECT min(n) AS nmin FROM n),
+           |caps AS (SELECT lang, least(n, CAST(floor(sqrt(m.nmin * n.n) + 0.5) AS BIGINT)) AS k
+           |         FROM n CROSS JOIN m),
+           |r AS (SELECT d.doc_id, d.lang,
+           |             row_number() OVER (PARTITION BY d.lang ORDER BY $h, d.doc_id) AS rn
+           |      FROM documents d)
+           |SELECT r.doc_id, r.lang FROM r JOIN caps USING (lang)
+           |WHERE r.rn <= caps.k ORDER BY r.doc_id""".stripMargin
+      }),
+
     // End-to-end CURATION CHAIN: exact dedup → span-dup-fraction filter →
     // domain-mixture rebalance, composed as one pipeline and replayed as
     // one oracle chain (mixture counts/caps computed on the FILTERED

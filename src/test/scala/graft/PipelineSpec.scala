@@ -534,6 +534,26 @@ class PipelineSpec extends AnyFunSuite {
     assert(counts === Map("rare" -> 7L, "hot" -> 7L))
   }
 
+  test("temperatureSample endpoints: α=1 no-op, α=0 flat n_min, α=0.5 geometric mean") {
+    // 450 hot / 50 rare → nmin=50; α=0.5 caps hot at sqrt(50·450)=150
+    val df = spark.range(0, 500).toDF("doc_id")
+      .withColumn("lang", when(col("doc_id") % 10 === 0, "rare").otherwise("hot"))
+    def counts(alpha: Double) =
+      graft.pipeline.Sampling.temperatureSample(df, "doc_id", "lang", alpha, "t")
+        .groupBy("lang").count().as[(String, Long)].collect().toMap
+    assert(counts(1.0) === Map("hot" -> 450L, "rare" -> 50L))
+    assert(counts(0.0) === Map("hot" -> 50L, "rare" -> 50L))
+    assert(counts(0.5) === Map("hot" -> 150L, "rare" -> 50L))
+    // placement-independent and a strict subset relation across α
+    val k05 = graft.pipeline.Sampling.temperatureSample(df.repartition(13),
+      "doc_id", "lang", 0.5, "t").select("doc_id").as[Long].collect().toSet
+    val k0 = graft.pipeline.Sampling.temperatureSample(df, "doc_id", "lang", 0.0, "t")
+      .select("doc_id").as[Long].collect().toSet
+    assert(k0.subsetOf(k05), "lower temperature keeps a subset of higher")
+    assert(k05 === graft.pipeline.Sampling.temperatureSample(df, "doc_id", "lang", 0.5, "t")
+      .select("doc_id").as[Long].collect().toSet)
+  }
+
   test("dupClusters fails loudly when the iteration budget is too small") {
     val allDocs = spark.range(1, 6).toDF("doc_id")
     val chain = Seq((1L, 2L), (2L, 3L), (3L, 4L), (4L, 5L)).toDF("doc_a", "doc_b")
