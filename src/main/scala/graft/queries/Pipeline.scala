@@ -354,6 +354,33 @@ object Pipeline {
        |SELECT q_id, vec_id, rank, floor((cos) * 1e6 + 0.5) / 1e6 AS cos
        |FROM scored WHERE rank <= 5 ORDER BY q_id, rank""".stripMargin
 
+  /** annOracle in the 16-d signed-random-projection space: the sign
+    * matrix is rebuilt from the same md5 digests Projection derives it
+    * from, the projection uses the same left-to-right fold, and the
+    * cosine/rank chain is unchanged.
+    */
+  private val rpOracle = {
+    val signSql =
+      "CASE WHEN CAST(concat('0x', substr(md5('rp7:' || j || ':' || i), 1, 15)) AS BIGINT) % 2 = 0 THEN 1.0 ELSE -1.0 END"
+    s"""WITH $embCte,
+       |sm AS (
+       |  SELECT j, list($signSql ORDER BY i) AS sr
+       |  FROM range(0, 16) t1(j) CROSS JOIN range(0, 64) t2(i) GROUP BY j
+       |),
+       |p AS (
+       |  SELECT vec_id, list(${dotSql("e.v", "sm.sr")} ORDER BY sm.j) AS v
+       |  FROM e CROSS JOIN sm GROUP BY vec_id
+       |),
+       |q AS (SELECT vec_id AS q_id, v AS qv FROM p WHERE vec_id < 10),
+       |scored AS (
+       |  SELECT q_id, vec_id, ${cosSql("qv", "v")} AS cos,
+       |         row_number() OVER (PARTITION BY q_id ORDER BY ${cosSql("qv", "v")} DESC, vec_id) AS rank
+       |  FROM p CROSS JOIN q WHERE vec_id != q_id
+       |)
+       |SELECT q_id, vec_id, rank, floor((cos) * 1e6 + 0.5) / 1e6 AS cos
+       |FROM scored WHERE rank <= 5 ORDER BY q_id, rank""".stripMargin
+  }
+
   /** Round-3 ops timed by Bench outside the baseline-comparable total;
     * validated against the registry below so a rename can't silently drop
     * an op from the regression watch.
@@ -533,6 +560,21 @@ object Pipeline {
       },
       Some(annOracle),
       bench = true),
+
+    // Brute-force top-k in the 16-d signed-random-projection space: the
+    // JL dim-reduction path — 4× cheaper dot products than full-dim
+    // brute force, the narrow no-shuffle projection riding the scan.
+    // Exact in the reduced space, so the oracle replays it exactly
+    // (recall vs the full space is pinned by the spec, not the gate).
+    Q("q_ann_rp",
+      (s, dir) => {
+        val emb = Tables.embeddings(s, dir)
+        val red = graft.pipeline.Projection.reduce(emb, "embedding",
+          dim = 64, outDim = 16, salt = "rp7")
+        Similarity.bruteForceTopK(red, red.filter(col("vec_id") < 10), 5)
+          .orderBy("q_id", "rank")
+      },
+      Some(rpOracle)),
 
     // nprobe = all buckets ⇒ exact (same oracle); smaller nprobe is the
     // recall/scan tradeoff knob.
