@@ -28,6 +28,31 @@ object Sampling {
   def bernoulli(df: DataFrame, keyCol: String, rate: Double, salt: String): DataFrame =
     df.filter(hashUnit(col(keyCol), salt) < math.round(rate * 1e6))
 
+  /** Deterministic dataset split (train/val/test): every row gets a
+    * `split` label by which hash band its salted draw lands in — cuts at
+    * the INTEGER thresholds round(cum_fraction · 1e6), so band membership
+    * is an exact integer compare (no fp boundary anywhere) and any engine
+    * replays it. Disjoint and exhaustive by construction (the last band
+    * absorbs the remainder up to 1e6 — fractions must sum to ≤ 1); a
+    * row's label never changes when the corpus grows, only when `salt`
+    * does — the stability a long-lived eval holdout needs (no leakage of
+    * held-out keys into train across re-runs). Narrow map, scan-riding.
+    */
+  def splitAssign(df: DataFrame, keyCol: String,
+      splits: Seq[(String, Double)], salt: String): DataFrame = {
+    require(splits.nonEmpty, "need at least one split")
+    val sum = splits.map(_._2).sum
+    require(sum <= 1.0 + 1e-9, s"split fractions sum to $sum > 1")
+    val cuts = splits.scanLeft(0.0) { case (acc, (_, f)) => acc + f }.tail
+      .map(c => math.round(c * 1e6))
+    val h = hashUnit(col(keyCol), salt)
+    val last = lit(splits.last._1)
+    val labeled = splits.init.zip(cuts).foldRight(last: Column) {
+      case (((name, _), cut), rest) => when(h < cut, name).otherwise(rest)
+    }
+    df.withColumn("split", labeled)
+  }
+
   /** Stratified sample: per-stratum rates (e.g. upsample rare languages,
     * downsample boilerplate-heavy domains), default rate for strata not
     * listed. One narrow filter — the stratum column must already exist

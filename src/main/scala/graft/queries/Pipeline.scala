@@ -1148,6 +1148,22 @@ object Pipeline {
            |WHERE r.rn <= caps.k ORDER BY r.doc_id""".stripMargin
       }),
 
+    // Deterministic 80/10/10 split assignment: integer hash-band compare,
+    // stable under corpus growth (a key's label depends only on salt+key).
+    Q("q_pl_split",
+      (s, dir) => Sampling.splitAssign(
+          Tables.documents(s, dir).select(col("doc_id"), col("source")),
+          "doc_id", Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1), "split1")
+        .orderBy("doc_id"),
+      Some {
+        val h = "CAST(concat('0x', substr(md5('split1:' || CAST(doc_id AS VARCHAR)), 1, 15)) AS BIGINT) % 1000000"
+        s"""SELECT doc_id, source,
+           |       CASE WHEN $h < 800000 THEN 'train'
+           |            WHEN $h < 900000 THEN 'val'
+           |            ELSE 'test' END AS split
+           |FROM documents ORDER BY doc_id""".stripMargin
+      }),
+
     // End-to-end CURATION CHAIN: exact dedup → span-dup-fraction filter →
     // domain-mixture rebalance, composed as one pipeline and replayed as
     // one oracle chain (mixture counts/caps computed on the FILTERED
