@@ -53,7 +53,34 @@ object ScaleSmoke {
         Some((tag, (System.nanoTime() - t0) / 1e9))
       }
 
+    // events amplified along the TIME axis (copy i shifts by i × 14 days):
+    // same 8 tag keys, mult× points AND mult× day-partitions — the growth
+    // direction the day-partitioned join machinery must absorb (amplifying
+    // ids instead would just widen the key space, the easy direction)
+    lazy val ev = {
+      val e0 = graft.core.Tables.events(spark, sfDir)
+      (0 until mult).map { i =>
+        e0.withColumn("ts", col("ts") + lit(i.toLong * 14L * 86400L * 1000000000L))
+          .withColumn("event_id", col("event_id") + lit(i.toLong * 1000000000L))
+      }.reduce(_ unionByName _)
+        .select(col("event_id"), col("event_type"),
+          (col("user_id") % 8).cast("string").as("tag_user"),
+          (col("ts") / lit(1000000000L)).cast("long").as("time"), col("value"))
+    }
+    lazy val clicks = ev.filter(col("event_type") === "click")
+      .select("event_id", "tag_user", "time", "value")
+    lazy val purchases = ev.filter(col("event_type") === "purchase")
+      .groupBy("tag_user", "time").agg(max(col("value")).as("p_value"))
+
     val results = Seq(
+      timed("asof_join")(graft.operators.AsofJoin.backward(
+        clicks, purchases, keys = Seq("tag_user"), timeCol = "time",
+        rightCols = Seq("p_value"))),
+      timed("range_join")(graft.operators.RangeJoin.pointInInterval(
+        clicks, purchases.select(col("tag_user"), col("time").as("w_start"),
+          (col("time") + 5400L).as("w_end")),
+        keys = Seq("tag_user"), timeCol = "time",
+        startCol = "w_start", endCol = "w_end", bucket = 1800L)),
       timed("exact_dedup")(Dedup.exact(docs)),
       timed("span_dedup")(Dedup.spanDupStats(docs)),
       timed("minhash_lsh")(Dedup.minhashLshPairs(docs, 0.8)),
