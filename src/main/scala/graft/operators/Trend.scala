@@ -53,4 +53,37 @@ object Trend {
       when(defined, slope * 3600).as("slope_hr"),
       when(defined, intercept + slope * (bucket + horizon).toDouble).as("pred")): _*)
   }
+
+  /** Pearson correlation of two aligned columns per key group — the
+    * "do these two metrics move together" cross-series operator (the
+    * reference cannot relate two series at all; this composes with any
+    * bucketed alignment join upstream).
+    *
+    * Same scale shape as [[linearTrend]]: ONE partial+final hash
+    * aggregate of six running sums, O(1) state, no window. Computed from
+    * EXPLICIT moments rather than Spark's `corr` so a replaying engine
+    * folds the identical arithmetic (corr's internal co-moment update
+    * order is engine-specific; n·Σxy − ΣxΣy from shared sums is not).
+    * Callers should pre-round x/y (the aligned averages) so both engines
+    * sum identical inputs. NULL when either variance is 0 or n < 2.
+    */
+  def pearson(df: DataFrame, keys: Seq[String], xCol: String,
+      yCol: String): DataFrame = {
+    val x = col(xCol)
+    val y = col(yCol)
+    val agg = df.filter(x.isNotNull && y.isNotNull)
+      .groupBy(keys.map(col): _*)
+      .agg(
+        count(lit(1)).as("n"),
+        sum(x).as("sx"), sum(y).as("sy"),
+        sum(x * x).as("sxx"), sum(y * y).as("syy"),
+        sum(x * y).as("sxy"))
+    val n = col("n").cast("double")
+    val vx = n * col("sxx") - col("sx") * col("sx")
+    val vy = n * col("syy") - col("sy") * col("sy")
+    val cov = n * col("sxy") - col("sx") * col("sy")
+    agg.select(keys.map(col) ++ Seq(
+      col("n"),
+      when(col("n") >= 2 && vx > 0 && vy > 0, cov / sqrt(vx * vy)).as("corr")): _*)
+  }
 }

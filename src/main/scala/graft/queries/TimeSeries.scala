@@ -604,6 +604,42 @@ object TimeSeries {
               |       CASE WHEN time - rt <= 21600 THEN rv END AS p_value
               |FROM j ORDER BY tag_user, time, event_id""".stripMargin)),
 
+    // Cross-series correlation: click vs purchase hourly averages per
+    // tag over the window, Pearson from explicit moments (the reference
+    // cannot relate two series at all). The aligned averages are rounded
+    // to 1e4 BEFORE the moment pass so both engines sum identical inputs;
+    // the final corr rounds to 1e4 as usual.
+    Q("q_ts_corr",
+      (s, dir) => {
+        val b = ev(s, dir).filter(col("time") >= T0 && col("time") < T1)
+          .groupBy(col("tag_user"), F.timeBucket(lit(3600), col("time")).as("bucket"))
+          .agg(
+            (floor(avg(when(col("series") === "click", col("value"))) * 1e4 + 0.5) / 1e4).as("x"),
+            (floor(avg(when(col("series") === "purchase", col("value"))) * 1e4 + 0.5) / 1e4).as("y"))
+        graft.operators.Trend.pearson(b, Seq("tag_user"), "x", "y")
+          .select(col("tag_user"), col("n"),
+            (floor(col("corr") * 1e4 + 0.5) / 1e4).as("corr"))
+          .orderBy("tag_user")
+      },
+      Some(s"""$svSql,
+              |b AS (
+              |  SELECT tag_user, CAST(floor(time / 3600.0) AS BIGINT) * 3600 AS bucket,
+              |         floor(avg(CASE WHEN series = 'click' THEN value END) * 1e4 + 0.5) / 1e4 AS x,
+              |         floor(avg(CASE WHEN series = 'purchase' THEN value END) * 1e4 + 0.5) / 1e4 AS y
+              |  FROM sv WHERE time >= $T0 AND time < $T1
+              |  GROUP BY tag_user, bucket
+              |),
+              |m AS (
+              |  SELECT tag_user, count(*) AS n, sum(x) AS sx, sum(y) AS sy,
+              |         sum(x*x) AS sxx, sum(y*y) AS syy, sum(x*y) AS sxy
+              |  FROM b WHERE x IS NOT NULL AND y IS NOT NULL GROUP BY tag_user
+              |)
+              |SELECT tag_user, n,
+              |       floor(CASE WHEN n >= 2 AND n*sxx - sx*sx > 0 AND n*syy - sy*sy > 0
+              |                  THEN (n*sxy - sx*sy) / sqrt((n*sxx - sx*sx) * (n*syy - sy*sy))
+              |             END * 1e4 + 0.5) / 1e4 AS corr
+              |FROM m ORDER BY tag_user""".stripMargin)),
+
     // Range join: clicks inside the 90-minute window opened by each
     // same-tag purchase, aggregated per window. The oracle's inequality
     // join replays what the bucket-exploded equi-join computes.
