@@ -640,6 +640,44 @@ object TimeSeries {
               |             END * 1e4 + 0.5) / 1e4 AS corr
               |FROM m ORDER BY tag_user""".stripMargin)),
 
+    // ALIGN JOIN (the reference backlog's "join on time"): click and
+    // purchase aligned to a 1800 s grid per tag with forward-fill on
+    // both sides; the spine spans the union of both series' ranges.
+    Q("q_ts_align_join",
+      (s, dir) => {
+        val e = ev(s, dir).filter(col("time") >= T0 && col("time") < T0 + 2 * 86400)
+        graft.operators.AlignJoin.aligned(
+            e.filter(col("series") === "click"),
+            e.filter(col("series") === "purchase"),
+            keys = Seq("tag_user"), timeCol = "time", valueCol = "value",
+            step = 1800L, policy = graft.sydraql.Ast.FillPrevious)
+          .select(col("tag_user"), col("bucket"),
+            (floor(col("l_value") * 1e4 + 0.5) / 1e4).as("l_value"),
+            (floor(col("r_value") * 1e4 + 0.5) / 1e4).as("r_value"))
+          .orderBy("tag_user", "bucket")
+      },
+      Some(s"""$svSql,
+              |la AS (SELECT tag_user, time - time % 1800 AS bucket, avg(value) AS lv
+              |       FROM sv WHERE series = 'click' AND time >= $T0 AND time < ${T0 + 2 * 86400}
+              |       GROUP BY 1, 2),
+              |ra AS (SELECT tag_user, time - time % 1800 AS bucket, avg(value) AS rv
+              |       FROM sv WHERE series = 'purchase' AND time >= $T0 AND time < ${T0 + 2 * 86400}
+              |       GROUP BY 1, 2),
+              |m AS (SELECT coalesce(la.tag_user, ra.tag_user) AS tag_user,
+              |             coalesce(la.bucket, ra.bucket) AS bucket, lv, rv
+              |      FROM la FULL JOIN ra ON la.tag_user = ra.tag_user AND la.bucket = ra.bucket),
+              |bounds AS (SELECT tag_user, min(bucket) AS lo, max(bucket) AS hi FROM m GROUP BY 1),
+              |spine AS (SELECT tag_user, unnest(generate_series(lo, hi, 1800)) AS bucket FROM bounds)
+              |SELECT s.tag_user, s.bucket,
+              |       floor((last_value(m.lv IGNORE NULLS) OVER
+              |              (PARTITION BY s.tag_user ORDER BY s.bucket
+              |               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)) * 1e4 + 0.5) / 1e4 AS l_value,
+              |       floor((last_value(m.rv IGNORE NULLS) OVER
+              |              (PARTITION BY s.tag_user ORDER BY s.bucket
+              |               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)) * 1e4 + 0.5) / 1e4 AS r_value
+              |FROM spine s LEFT JOIN m ON s.tag_user = m.tag_user AND s.bucket = m.bucket
+              |ORDER BY s.tag_user, s.bucket""".stripMargin)),
+
     // Range join: clicks inside the 90-minute window opened by each
     // same-tag purchase, aggregated per window. The oracle's inequality
     // join replays what the bucket-exploded equi-join computes.
