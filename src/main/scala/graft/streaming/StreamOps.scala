@@ -63,6 +63,37 @@ object StreamOps {
         col("session_window.end").cast("long").as("session_end"),
         col("n_events"), col("total_value"))
 
+  /** Stream-stream interval join — the streaming twin of
+    * [[graft.operators.RangeJoin]]: each point pairs with the same-series
+    * markers whose `[m_time, m_time + windowSecs]` window contains it
+    * (clicks inside purchase windows, errors inside deploy windows),
+    * computed while BOTH sides are unbounded streams. Watermarks on both
+    * event-time columns plus the two-sided time constraint let Spark
+    * bound the join state: a buffered marker is evicted once the point
+    * watermark passes `m_time + windowSecs`, a buffered point once the
+    * marker watermark passes its time — state is the horizon's worth of
+    * rows per side, not the stream's lifetime.
+    *
+    * Inner join (append-mode emittable). Output: the point's
+    * (series, time, value) plus the matched (m_time, m_value).
+    */
+  def intervalJoin(points: DataFrame, markers: DataFrame, windowSecs: Long,
+      watermarkDelay: String = "10 minutes"): DataFrame = {
+    val p = points
+      .withColumn("pts", col("time").cast("timestamp"))
+      .withWatermark("pts", watermarkDelay)
+    val m = markers.select(col("series").as("m_series"),
+        col("time").as("m_time"), col("value").as("m_value"))
+      .withColumn("mts", col("m_time").cast("timestamp"))
+      .withWatermark("mts", watermarkDelay)
+    p.join(m,
+        col("series") === col("m_series") &&
+          col("pts") >= col("mts") &&
+          col("pts") <= col("mts") + expr(s"INTERVAL $windowSecs SECONDS"))
+      .select(col("series"), col("time"), col("value"),
+        col("m_time"), col("m_value"))
+  }
+
   /** Streaming exact dedup on point identity within the watermark
     * horizon: the dedup key is (series_id, time) where series_id is the
     * same XXH64(series + tags) the store uses — two same-named series

@@ -95,7 +95,8 @@ class PlanSpec extends AnyFunSuite {
     // the whole point of the union-tag scan (as-of) and bucket-exploded
     // equi-join (range): an inequality condition must never reach the
     // join operator
-    for (q <- Seq("q_ts_asof", "q_ts_asof_tol", "q_ts_range_join")) {
+    for (q <- Seq("q_ts_asof", "q_ts_asof_tol", "q_ts_range_join",
+        "q_ts_align_join", "q_ts_corr")) {
       val p = plan(q)
       assert(!p.contains("BroadcastNestedLoopJoin"), s"$q plans a nested-loop join")
       assert(!p.contains("CartesianProduct"), s"$q plans a cartesian product")

@@ -2,6 +2,7 @@ package graft
 
 import graft.storage.Ingest
 import graft.streaming.StreamOps
+import org.apache.spark.sql.functions.col
 import org.scalatest.funsuite.AnyFunSuite
 import java.nio.file.Files
 
@@ -72,6 +73,47 @@ class StreamingSpec extends AnyFunSuite {
         .collect()
       assert(rows.map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getDouble(3))).toSeq ===
         Seq(("m", 86400L, 2L, 3.0), ("m", 90000L, 1L, 4.0), ("n", 86400L, 1L, 8.0)))
+    } finally q.stop()
+  }
+
+  test("stream-stream interval join matches the batch range join") {
+    val pts = ndjsonDir(Seq(
+      """{"series":"m","ts":100,"value":1.0}""",
+      """{"series":"m","ts":500,"value":2.0}""",
+      """{"series":"m","ts":1700,"value":3.0}""",
+      """{"series":"n","ts":500,"value":4.0}"""))
+    val mks = ndjsonDir(Seq(
+      """{"series":"m","ts":90,"value":10.0}""",
+      """{"series":"m","ts":1000,"value":20.0}""",
+      """{"series":"n","ts":2000,"value":30.0}"""))
+    val joined = StreamOps.intervalJoin(streamPoints(pts), streamPoints(mks), 600L)
+    assert(joined.isStreaming)
+    val q = joined.writeStream.outputMode("append").format("memory")
+      .queryName("ivjoin").start()
+    try {
+      q.processAllAvailable()
+      val got = spark.sql("select * from ivjoin order by series, time, m_time")
+        .collect().map(_.toSeq).toSeq
+      // m@100 in [90,690]; m@500 in [90,690]; m@1700 NOT in [1000,1600];
+      // n@500 not in n's [2000,2600]
+      assert(got === Seq(
+        Seq("m", 100L, 1.0, 90L, 10.0),
+        Seq("m", 500L, 2.0, 90L, 10.0)))
+      // and the batch twin agrees on the same frames (end-exclusive twin
+      // uses < end; mirror with <= by widening the streaming window's
+      // closed upper bound into the exclusive form)
+      val pb = spark.read.schema("series STRING, ts LONG, value DOUBLE")
+        .json(pts.toString).select(col("series"), col("ts").as("time"), col("value"))
+      val mb = spark.read.schema("series STRING, ts LONG, value DOUBLE")
+        .json(mks.toString).select(col("series"), col("ts").as("w_start"),
+          (col("ts") + 601L).as("w_end"), col("value").as("m_value"))
+      val batch = graft.operators.RangeJoin.pointInInterval(
+          pb, mb, keys = Seq("series"), timeCol = "time",
+          startCol = "w_start", endCol = "w_end", bucket = 300L)
+        .select(col("series"), col("time"), col("value"),
+          col("w_start").as("m_time"), col("m_value"))
+        .orderBy("series", "time", "m_time").collect().map(_.toSeq).toSeq
+      assert(batch === got)
     } finally q.stop()
   }
 
