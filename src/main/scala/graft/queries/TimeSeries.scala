@@ -638,7 +638,8 @@ object TimeSeries {
               |       floor(CASE WHEN n >= 2 AND n*sxx - sx*sx > 0 AND n*syy - sy*sy > 0
               |                  THEN (n*sxy - sx*sy) / sqrt((n*sxx - sx*sx) * (n*syy - sy*sy))
               |             END * 1e4 + 0.5) / 1e4 AS corr
-              |FROM m ORDER BY tag_user""".stripMargin)),
+              |FROM m ORDER BY tag_user""".stripMargin),
+      benchExtra = true),
 
     // ALIGN JOIN (the reference backlog's "join on time"): click and
     // purchase aligned to a 1800 s grid per tag with forward-fill on
@@ -676,7 +677,8 @@ object TimeSeries {
               |              (PARTITION BY s.tag_user ORDER BY s.bucket
               |               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)) * 1e4 + 0.5) / 1e4 AS r_value
               |FROM spine s LEFT JOIN m ON s.tag_user = m.tag_user AND s.bucket = m.bucket
-              |ORDER BY s.tag_user, s.bucket""".stripMargin)),
+              |ORDER BY s.tag_user, s.bucket""".stripMargin),
+      benchExtra = true),
 
     // Range join: clicks inside the 90-minute window opened by each
     // same-tag purchase, aggregated per window. The oracle's inequality
