@@ -305,12 +305,13 @@ object IvfIndex {
     * then lower cell — the [[Similarity.cellProbes]] ordering, same
     * folds) and one LUT per probed cell (nprobe × m × ksub doubles per
     * query — metadata-sized), broadcast; candidates join on bucket and
-    * rank by the ADC sum over their stored codes.
+    * rank by the ADC sum over their stored codes. `index` serves from a
+    * pre-loaded frame exactly as in [[topKPq]].
     */
   def topKPqResidual(spark: SparkSession, path: String, queries: DataFrame, k: Int,
       nprobe: Int, cs: Array[Seq[Double]],
       books: Array[Array[Seq[Double]]],
-      maxDriverBatch: Int = -1): DataFrame = {
+      maxDriverBatch: Int = -1, index: Option[DataFrame] = None): DataFrame = {
     import spark.implicits._
     val (probes, buckets) = Similarity.boundedBatch(queries,
         Similarity.driverBatchLimit(spark, maxDriverBatch)) match {
@@ -332,7 +333,8 @@ object IvfIndex {
             Pq.lutCol(Pq.residualCol(col("qv"), col("bucket"), cs), books))
           .drop("qv"), bs)
     }
-    val c = spark.read.parquet(path).filter(col("bucket").isin(buckets.map(Int.box): _*))
+    val c = index.getOrElse(spark.read.parquet(path))
+      .filter(col("bucket").isin(buckets.map(Int.box): _*))
     Pq.rankAdcTopK(
       c.join(probes, Seq("bucket"))
         .filter(col("q_id") =!= col("vec_id"))

@@ -67,4 +67,25 @@ class AsofJoinSpec extends AnyFunSuite {
       assert(got == brute(left, right, tol), s"round $round (tol=$tol)")
     }
   }
+
+  test("multiple right payload columns survive, including null payload values") {
+    import spark.implicits._
+    // a legitimately-NULL payload value must be carried as a match (the
+    // struct resolve must not skip it), and both payload columns arrive
+    val left = Seq(("a", 10L, 1), ("a", 30L, 2), ("b", 5L, 3))
+      .toDF("k", "time", "id")
+    val right = Seq(
+        ("a", 8L, Option.empty[Double], "x"),
+        ("a", 25L, Some(2.5), "y"))
+      .toDF("k", "time", "rv", "tag")
+    val got = AsofJoin.backward(left, right, keys = Seq("k"), timeCol = "time",
+        rightCols = Seq("rv", "tag"), matchedTimeCol = "rt")
+      .orderBy("k", "time")
+      .select("k", "time", "id", "rt", "rv", "tag")
+      .collect().map(_.toSeq).toSeq
+    assert(got === Seq(
+      Seq("a", 10L, 1, 8L, null, "x"),
+      Seq("a", 30L, 2, 25L, 2.5, "y"),
+      Seq("b", 5L, 3, null, null, null)))
+  }
 }
