@@ -1,0 +1,52 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Alert-expression evaluation — the last unbuilt item of the reference's
+  * own language goals (`docs/docs/development/sydraql-backlog.md:24`:
+  * "... and alert expressions"; `:42` "alert predicates"), Prometheus
+  * `for`-clause semantics: an alert FIRES when its condition holds on
+  * every consecutive evaluation tick for at least `forBuckets` ticks, and
+  * the firing episode extends until the first tick the condition fails.
+  *
+  * Input is the BUCKETED series (one row per (keys, bucket) — the rollup
+  * aggregate upstream); a missing bucket (gap in the rollup, or one
+  * nulled by the condition) breaks the run, exactly as an absent
+  * evaluation does in Prometheus. Episodes come from the gaps-and-islands
+  * identity: among condition-true ticks ordered by bucket,
+  * `bucket − row_number · step` is constant precisely on maximal
+  * consecutive runs — pure integer arithmetic, replayable anywhere.
+  *
+  * Scale shape: the window and the episode aggregate partition by the
+  * alert keys over POST-ROLLUP cardinality (range/step rows per series,
+  * not raw points — the same stance as [[Fill]]); condition evaluation
+  * itself is a narrow filter. Evaluate the condition on ROUNDED values
+  * so a replaying engine makes identical boolean calls.
+  */
+object Alerts {
+
+  /** Firing episodes: `(keys…, fired_at, episode_start, episode_end,
+    * n_buckets)` — one row per maximal run of ≥ `forBuckets` consecutive
+    * condition-true buckets; `fired_at` is the tick the `for` duration
+    * was first met (start + (forBuckets − 1)·step).
+    */
+  def firing(df: DataFrame, keys: Seq[String], bucketCol: String, step: Long,
+      cond: Column, forBuckets: Int): DataFrame = {
+    require(step > 0, "alert evaluation needs a positive bucket step")
+    require(forBuckets >= 1, "forBuckets must be >= 1")
+    val kc = keys.map(col)
+    val w = Window.partitionBy(kc: _*).orderBy(col(bucketCol))
+    df.filter(cond)
+      .withColumn("__i", col(bucketCol) - row_number().over(w).cast("long") * step)
+      .groupBy(kc :+ col("__i"): _*)
+      .agg(min(col(bucketCol)).as("episode_start"),
+        max(col(bucketCol)).as("episode_end"),
+        count(lit(1)).as("n_buckets"))
+      .filter(col("n_buckets") >= forBuckets)
+      .select(kc ++ Seq(
+        (col("episode_start") + (forBuckets - 1) * step).as("fired_at"),
+        col("episode_start"), col("episode_end"), col("n_buckets")): _*)
+  }
+}

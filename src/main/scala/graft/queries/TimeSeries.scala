@@ -641,6 +641,36 @@ object TimeSeries {
               |FROM m ORDER BY tag_user""".stripMargin),
       benchExtra = true),
 
+    // Alert expressions (the reference's language-goal item): hourly avg
+    // above 50 for >= 3 consecutive hours per series — firing episodes
+    // via the integer gaps-and-islands identity, condition on rounded
+    // averages so both engines make identical boolean calls.
+    Q("q_ts_alert",
+      (s, dir) => {
+        val b = ev(s, dir).filter(col("time") >= T0 && col("time") < T1)
+          .groupBy(col("series"), F.timeBucket(lit(3600), col("time")).as("bucket"))
+          .agg((floor(avg(col("value")) * 1e4 + 0.5) / 1e4).as("v"))
+        graft.operators.Alerts.firing(b, Seq("series"), "bucket", 3600L,
+            col("v") > 50.0, forBuckets = 3)
+          .orderBy("series", "episode_start")
+      },
+      Some(s"""$svSql,
+              |b AS (SELECT series, time - time % 3600 AS bucket,
+              |             floor(avg(value) * 1e4 + 0.5) / 1e4 AS v
+              |      FROM sv WHERE time >= $T0 AND time < $T1 GROUP BY 1, 2),
+              |t AS (SELECT series, bucket,
+              |             row_number() OVER (PARTITION BY series ORDER BY bucket) AS rn
+              |      FROM b WHERE v > 50.0),
+              |i AS (SELECT series, bucket - rn * 3600 AS island,
+              |             min(bucket) AS episode_start, max(bucket) AS episode_end,
+              |             count(*) AS n_buckets
+              |      FROM t GROUP BY 1, 2)
+              |SELECT series, episode_start + 2 * 3600 AS fired_at,
+              |       episode_start, episode_end, n_buckets
+              |FROM i WHERE n_buckets >= 3
+              |ORDER BY series, episode_start""".stripMargin),
+      benchExtra = true),
+
     // ALIGN JOIN (the reference backlog's "join on time"): click and
     // purchase aligned to a 1800 s grid per tag with forward-fill on
     // both sides; the spine spans the union of both series' ranges.
