@@ -76,6 +76,16 @@ object Ingest {
   /** Streaming ingest: watch a directory of NDJSON files, append to the
     * store per micro-batch. `Trigger.AvailableNow` drains and stops (used
     * by tests); pass a processing-time trigger for a long-lived job.
+    *
+    * Trigger sizing: each micro-batch pays a ~constant overhead (job
+    * setup + one commit per touched hour partition — measured ≈4.9 s on
+    * local[32], see BASELINE.md "ingest profile") before the ~1.2 s/1M-row
+    * marginal cost, so throughput is set almost entirely by rows per
+    * batch. Size the processing-time trigger so batches carry ≥1M points
+    * (e.g. ≥30 s at ~30k points/s arrival); sub-second triggers spend
+    * nearly all wall-clock on the constant. Latency floor = one trigger
+    * interval + the constant; points are queryable after the batch's
+    * append commits, matching the reference's flush-then-visible model.
     */
   def stream(
       store: SeriesStore,
