@@ -1,6 +1,6 @@
 package graft.streaming
 
-import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, Dataset, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
 
@@ -92,6 +92,57 @@ object StreamOps {
           col("pts") <= col("mts") + expr(s"INTERVAL $windowSecs SECONDS"))
       .select(col("series"), col("time"), col("value"),
         col("m_time"), col("m_value"))
+  }
+
+  /** Streaming alert evaluation — the incremental twin of
+    * [[graft.operators.Alerts.firing]] (Prometheus `for`-clause): emit a
+    * firing tick for every rollup bucket whose trailing `forBuckets`
+    * buckets ALL satisfy `cond` — i.e. the alert's condition has held
+    * continuously for the `for` duration, evaluated as data arrives
+    * instead of by rescanning. A missing bucket (no points rolled up)
+    * breaks the run, exactly as an absent evaluation does in the batch
+    * operator.
+    *
+    * No custom state: two CHAINED watermarked window aggregates (the
+    * multi-stateful pattern Spark supports natively in append mode).
+    * First the `step`-second rollup (state evicted by the watermark),
+    * then a sliding `window(window_time(bucket), forBuckets·step, step)`
+    * over the condition-true buckets: each sliding window spans exactly
+    * `forBuckets` bucket slots, so `count == forBuckets` ⟺ that many
+    * consecutive breaches, and the firing tick is the window's last slot
+    * (`window.end − step`). Both aggregates shuffle on (series, window)
+    * with partial aggregation; state is the watermark horizon's worth of
+    * open windows per series, not the stream's lifetime.
+    *
+    * `cond` is evaluated against the rollup average exposed as column
+    * `v` (e.g. `col("v") > 50.0`). Output: (series, fired_at,
+    * episode-position `window_start`) — one row per firing tick, the
+    * streaming shape of the batch episode rows (a batch episode
+    * [s, e] expands to ticks s+(forBuckets−1)·step … e).
+    */
+  def alertFiring(
+      points: DataFrame,
+      step: Long,
+      cond: Column,
+      forBuckets: Int,
+      watermarkDelay: String = "10 minutes"): DataFrame = {
+    require(step > 0, "alert evaluation needs a positive bucket step")
+    require(forBuckets >= 1, "forBuckets must be >= 1")
+    val bucketed = points
+      .withColumn("event_time", col("time").cast("timestamp"))
+      .withWatermark("event_time", watermarkDelay)
+      .groupBy(col("series"), window(col("event_time"), s"$step seconds"))
+      .agg(avg(col("value")).as("v"))
+      .filter(cond)
+    bucketed
+      .groupBy(col("series"),
+        window(window_time(col("window")),
+          s"${step * forBuckets} seconds", s"$step seconds"))
+      .agg(count(lit(1)).as("n_ok"))
+      .filter(col("n_ok") === forBuckets)
+      .select(col("series"),
+        (col("window.end").cast("long") - step).as("fired_at"),
+        col("window.start").cast("long").as("window_start"))
   }
 
   /** Streaming exact dedup on point identity within the watermark

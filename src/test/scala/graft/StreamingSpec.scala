@@ -231,4 +231,52 @@ class StreamingSpec extends AnyFunSuite {
         .orderBy("q_id", "rank").collect().toSeq
     assert(serveR(rStreamed) === serveR(rBatch))
   }
+
+  test("streaming alert firing ticks match the batch for-duration episodes") {
+    import spark.implicits._
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import org.apache.spark.sql.functions.{avg, lit, pmod}
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val step = 600L
+    // breach = bucket avg > 50; dyadic values so both engines fold the
+    // same averages bit-for-bit
+    val b1 = Seq( // buckets 0..1200
+      ("a", 0L, 10.0), ("a", 600L, 100.0), ("a", 650L, 100.0), ("a", 1200L, 100.0),
+      ("b", 0L, 100.0), ("b", 600L, 100.0), ("b", 1200L, 10.0),
+      ("c", 0L, 100.0), ("c", 600L, 100.0)) // c: bucket 1200 absent entirely
+    val b2 = Seq( // buckets 1800..3000
+      ("a", 1800L, 100.0), ("a", 2400L, 100.0), ("a", 3000L, 10.0),
+      ("b", 1800L, 100.0), ("b", 2400L, 100.0), ("b", 3000L, 100.0),
+      ("c", 1800L, 100.0), ("c", 2400L, 100.0))
+    val ms = MemoryStream[(String, Long, Double)]
+    val pts = ms.toDF().toDF("series", "time", "value")
+    val fired = StreamOps.alertFiring(pts, step, col("v") > 50.0, forBuckets = 3)
+    assert(fired.isStreaming)
+    val q = fired.writeStream.outputMode("append").format("memory")
+      .queryName("alerts").start()
+    try {
+      ms.addData(b1); q.processAllAvailable()
+      ms.addData(b2); q.processAllAvailable()
+      // sentinel advances the watermark past every open window
+      ms.addData(Seq(("zz", 100000L, 0.0))); q.processAllAvailable()
+      val got = spark.sql(
+          "select series, fired_at from alerts where series <> 'zz' order by series, fired_at")
+        .collect().map(r => (r.getString(0), r.getLong(1))).toSeq
+      // batch twin on the same points: rollup → Alerts.firing episodes,
+      // expanded to per-tick rows (episode [fired_at, episode_end])
+      val bucketed = (b1 ++ b2).toDF("series", "time", "value")
+        .groupBy(col("series"),
+          (col("time") - pmod(col("time"), lit(step))).as("bucket"))
+        .agg(avg(col("value")).as("v"))
+      val want = graft.operators.Alerts
+        .firing(bucketed, Seq("series"), "bucket", step, col("v") > 50.0, forBuckets = 3)
+        .collect().flatMap { r =>
+          (r.getLong(1) to r.getLong(3) by step).map(t => (r.getString(0), t))
+        }.toSeq.sorted
+      assert(got === want)
+      // a holds for 600..2400 (4 buckets) → ticks at 1800, 2400; b's second
+      // run 1800..3000 fires at 3000; c's missing bucket breaks the run
+      assert(got === Seq(("a", 1800L), ("a", 2400L), ("b", 3000L)))
+    } finally q.stop()
+  }
 }
