@@ -95,4 +95,27 @@ object AsofJoin {
         Seq(col("__m")("__rt").as(matchedTimeCol)) ++
         rightCols.map(c => col("__m")(c).as(c)): _*)
   }
+
+  /** Forward as-of join: the EARLIEST right row with `right.time >=
+    * left.time` per key (the "next fill after the order" / "first event
+    * after the deploy" lookup), DuckDB `ASOF LEFT JOIN ... ON l.time <=
+    * r.time` semantics including the time-equality match.
+    *
+    * Pure reduction to [[backward]] on the negated time axis: with
+    * t ↦ −t, "latest right ≤ left" becomes "earliest right ≥ left", the
+    * equal-timestamp match is preserved (right still sorts before left at
+    * an equal negated time), and the tolerance bound `(−l) − (−r) ≤ tol`
+    * is exactly the forward `r − l ≤ tol`. Same one-shuffle linear scan,
+    * same per-(key, day) carry machinery, zero duplicated logic.
+    */
+  def forward(left: DataFrame, right: DataFrame, keys: Seq[String],
+      timeCol: String, rightCols: Seq[String], matchedTimeCol: String = "r_time",
+      tolerance: Option[Long] = None, bucket: Long = DayW): DataFrame = {
+    val neg = (df: DataFrame) =>
+      df.withColumn(timeCol, -col(timeCol).cast("long"))
+    backward(neg(left), neg(right), keys, timeCol, rightCols,
+        matchedTimeCol, tolerance, bucket)
+      .withColumn(timeCol, -col(timeCol))
+      .withColumn(matchedTimeCol, -col(matchedTimeCol))
+  }
 }

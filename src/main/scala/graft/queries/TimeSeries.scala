@@ -604,6 +604,32 @@ object TimeSeries {
               |       CASE WHEN time - rt <= 21600 THEN rv END AS p_value
               |FROM j ORDER BY tag_user, time, event_id""".stripMargin)),
 
+    // Forward variant: earliest purchase AT OR AFTER each click (the
+    // "next fill after the order" direction), via the negated-time
+    // reduction to the backward scan. DuckDB replays natively with
+    // `l.time <= r.time`.
+    Q("q_ts_asof_fwd",
+      (s, dir) => {
+        val e = ev(s, dir)
+        val clicks = e.filter(col("series") === "click" && col("time") >= T0 && col("time") < T1)
+          .select("event_id", "tag_user", "time", "value")
+        val purchases = e.filter(col("series") === "purchase")
+          .groupBy("tag_user", "time").agg(max(col("value")).as("p_value"))
+        graft.operators.AsofJoin.forward(clicks, purchases,
+            keys = Seq("tag_user"), timeCol = "time",
+            rightCols = Seq("p_value"), matchedTimeCol = "p_time")
+          .orderBy("tag_user", "time", "event_id")
+      },
+      Some(s"""$svSql,
+              |l AS (SELECT event_id, tag_user, time, value FROM sv
+              |      WHERE series = 'click' AND time >= $T0 AND time < $T1),
+              |r AS (SELECT tag_user, time, max(value) AS p_value FROM sv
+              |      WHERE series = 'purchase' GROUP BY tag_user, time)
+              |SELECT l.tag_user, l.time, l.event_id, l.value, r.time AS p_time, r.p_value
+              |FROM l ASOF LEFT JOIN r ON l.tag_user = r.tag_user AND l.time <= r.time
+              |ORDER BY l.tag_user, l.time, l.event_id""".stripMargin),
+      benchExtra = true),
+
     // Cross-series correlation: click vs purchase hourly averages per
     // tag over the window, Pearson from explicit moments (the reference
     // cannot relate two series at all). The aligned averages are rounded
