@@ -94,6 +94,59 @@ object StreamOps {
         col("m_time"), col("m_value"))
   }
 
+  /** Streaming tolerance-bounded as-of join — the incremental twin of
+    * [[graft.operators.AsofJoin.backward]] with a tolerance: each point
+    * gets the LATEST same-series marker in `[time − toleranceSecs, time]`
+    * (unmatched points kept with nulls, LEFT semantics). A tolerance is
+    * what makes the streaming form possible at all: an unbounded as-of
+    * would have to buffer every marker forever, while the bounded lookback
+    * gives Spark a two-sided time constraint to evict state against.
+    *
+    * Shape: left-outer stream-stream interval join (marker state evicted
+    * once the point watermark passes `m_time + tolerance`, point state
+    * once the marker watermark passes its time) followed by a windowed
+    * max-of-(time, value)-struct aggregate that picks the latest candidate
+    * per point — the chained join→window-agg pattern Spark supports in
+    * append mode. State: tolerance horizon of markers + `bucket` of open
+    * aggregation windows per series.
+    *
+    * Emission lag: the join shifts the downstream watermark back by the
+    * interval bound (Spark's late-event propagation), so a row emits
+    * once the source watermark passes `its window end + toleranceSecs` —
+    * verified against the batch as-of on the events table (zero
+    * mismatching rows; the only holdback was exactly this horizon).
+    *
+    * Output: (series, time, value, r_time, r_value).
+    */
+  def asofJoin(
+      points: DataFrame,
+      markers: DataFrame,
+      toleranceSecs: Long,
+      bucket: String = "1 hour",
+      watermarkDelay: String = "10 minutes"): DataFrame = {
+    require(toleranceSecs > 0, "streaming as-of needs a positive tolerance")
+    val p = points
+      .withColumn("pts", col("time").cast("timestamp"))
+      .withWatermark("pts", watermarkDelay)
+    val m = markers.select(col("series").as("m_series"),
+        col("time").as("m_time"), col("value").as("m_value"))
+      .withColumn("mts", col("m_time").cast("timestamp"))
+      .withWatermark("mts", watermarkDelay)
+    p.join(m,
+        col("series") === col("m_series") &&
+          col("mts") >= col("pts") - expr(s"INTERVAL $toleranceSecs SECONDS") &&
+          col("mts") <= col("pts"),
+        "leftOuter")
+      .groupBy(window(col("pts"), bucket),
+        col("series"), col("time"), col("value"))
+      // unmatched rows contribute a genuinely NULL struct (skipped by
+      // max); a struct OF nulls would sort below real matches
+      .agg(max(when(col("m_time").isNotNull,
+        struct(col("m_time"), col("m_value")))).as("__m"))
+      .select(col("series"), col("time"), col("value"),
+        col("__m")("m_time").as("r_time"), col("__m")("m_value").as("r_value"))
+  }
+
   /** Streaming alert evaluation — the incremental twin of
     * [[graft.operators.Alerts.firing]] (Prometheus `for`-clause): emit a
     * firing tick for every rollup bucket whose trailing `forBuckets`

@@ -232,6 +232,51 @@ class StreamingSpec extends AnyFunSuite {
     assert(serveR(rStreamed) === serveR(rBatch))
   }
 
+  test("streaming tolerance-bounded as-of join matches the batch as-of") {
+    import spark.implicits._
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val tol = 600L
+    val pts1 = Seq(("a", 4000L, 1.0), ("b", 4200L, 3.0))
+    val pts2 = Seq(("a", 4500L, 2.0), ("a", 8000L, 4.0))
+    val mks1 = Seq(("a", 3800L, 10.0), ("b", 2000L, 30.0))
+    val mks2 = Seq(("a", 4500L, 20.0), ("a", 7900L, 40.0))
+    val msP = MemoryStream[(String, Long, Double)]
+    val msM = MemoryStream[(String, Long, Double)]
+    val joined = StreamOps.asofJoin(
+      msP.toDF().toDF("series", "time", "value"),
+      msM.toDF().toDF("series", "time", "value"), tol)
+    assert(joined.isStreaming)
+    val q = joined.writeStream.outputMode("append").format("memory")
+      .queryName("asof").start()
+    try {
+      msP.addData(pts1); msM.addData(mks1); q.processAllAvailable()
+      msP.addData(pts2); msM.addData(mks2); q.processAllAvailable()
+      // sentinels push BOTH watermarks past every open window
+      msP.addData(Seq(("zz", 100000L, 0.0))); msM.addData(Seq(("zz", 100000L, 0.0)))
+      q.processAllAvailable()
+      val got = spark.sql(
+          "select series, time, value, r_time, r_value from asof where series <> 'zz' order by series, time")
+        .collect().map(_.toSeq).toSeq
+      // batch twin: unbounded backward as-of with the same tolerance
+      val want = graft.operators.AsofJoin.backward(
+          (pts1 ++ pts2).toDF("series", "time", "value"),
+          (mks1 ++ mks2).toDF("series", "time", "value")
+            .withColumnRenamed("value", "m_value"),
+          keys = Seq("series"), timeCol = "time", rightCols = Seq("m_value"),
+          matchedTimeCol = "r_time", tolerance = Some(tol))
+        .select(col("series"), col("time"), col("value"), col("r_time"),
+          col("m_value").as("r_value"))
+        .orderBy("series", "time").collect().map(_.toSeq).toSeq
+      assert(got === want)
+      assert(got === Seq(
+        Seq("a", 4000L, 1.0, 3800L, 10.0),
+        Seq("a", 4500L, 2.0, 4500L, 20.0),
+        Seq("a", 8000L, 4.0, 7900L, 40.0),
+        Seq("b", 4200L, 3.0, null, null)))
+    } finally q.stop()
+  }
+
   test("streaming alert firing ticks match the batch for-duration episodes") {
     import spark.implicits._
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
