@@ -1,6 +1,7 @@
 package graft.operators
 
 import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Per-bucket linear trend — the Prometheus `deriv` / `predict_linear`
@@ -85,5 +86,55 @@ object Trend {
     agg.select(keys.map(col) ++ Seq(
       col("n"),
       when(col("n") >= 2 && vx > 0 && vy > 0, cov / sqrt(vx * vy)).as("corr")): _*)
+  }
+
+  /** CUSUM changepoint scan per key group: the running sum of deviations
+    * from the group mean, S_i = Σ_{j≤i} (v_j − μ), peaks in magnitude at
+    * the point where the level shifts — the classic offline CUSUM
+    * statistic (Page's test applied as a one-shot scan). Returns one row
+    * per group: the argmax position, the peak |S| (in value units,
+    * rounded to 1e-4), and whether it exceeds `threshold`.
+    *
+    * Determinism discipline: the statistic is computed in EXACT integer
+    * arithmetic — `valueCol` (already quantized at 1/`scale` by the
+    * caller) lifts to integer units v·scale, and the mean never appears
+    * as a rounded double: n·S_i = n·Σ_{j≤i}v − i·Σv is a pure-integer
+    * identity, so the argmax ranks on an exact BIGINT with `orderCol` as
+    * the tie-break. (A rounded-μ formulation is NOT replayable: a 1e-4
+    * straddle in μ amplifies to i·Δμ in S_i — observed as a 1.2e-3
+    * cross-engine drift at i=12.) Only the final report divides back to
+    * value units, one identical double op on identical integers.
+    *
+    * Scale shape (same stance as [[SeriesWindows]]): the running-sum
+    * window and the rank partition by the full key set — for the
+    * (series, day) gate that is range/step rows per group, never
+    * whole-series state; the group totals joining back are one row per
+    * group (metadata-sized, AQE broadcasts them).
+    */
+  def cusum(df: DataFrame, keys: Seq[String], orderCol: String,
+      valueCol: String, threshold: Double, scale: Double = 1e4): DataFrame = {
+    val kc = keys.map(col)
+    val lifted = df.withColumn("__vi",
+      floor(col(valueCol) * scale + 0.5).cast("long"))
+    val tot = lifted.groupBy(kc: _*)
+      .agg(sum(col("__vi")).as("__tot"), count(lit(1)).as("__n"))
+    val wSum = Window.partitionBy(kc: _*).orderBy(col(orderCol))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val wRank = Window.partitionBy(kc: _*)
+      .orderBy(col("__ns").desc, col(orderCol))
+    lifted.join(tot, keys)
+      .withColumn("__i", row_number().over(
+        Window.partitionBy(kc: _*).orderBy(col(orderCol))).cast("long"))
+      .withColumn("__cum", sum(col("__vi")).over(wSum))
+      .withColumn("__ns", abs(col("__n") * col("__cum") - col("__i") * col("__tot")))
+      .withColumn("__rn", row_number().over(wRank))
+      .filter(col("__rn") === 1)
+      .select(kc ++ Seq(
+        col(orderCol).as("cp_" + orderCol),
+        (floor(col("__ns").cast("double") / (col("__n").cast("double") * scale) * 1e4
+          + 0.5) / 1e4).as("cusum_max"),
+        (col("__ns").cast("double") >
+          lit(threshold) * col("__n").cast("double") * scale).cast("int")
+          .as("flagged")): _*)
   }
 }

@@ -370,6 +370,49 @@ object TimeSeries {
               |FROM b JOIN m USING (series, day)
               |GROUP BY series, day ORDER BY series, day""".stripMargin)),
 
+    // CUSUM changepoint scan per (series, day) over hourly rounded
+    // averages: peak |running sum of deviations from the day mean| and
+    // its hour. The statistic is exact-integer (n·S_i = n·Σ_{j≤i}v −
+    // i·Σv in 1e-4 units) so both engines rank identical BIGINTs — a
+    // rounded-mean formulation drifts cross-engine (see Trend.cusum).
+    Q("q_ts_cusum",
+      (s, dir) => {
+        val b = ev(s, dir).filter(col("time") >= T0 && col("time") < T1)
+          .groupBy(col("series"), F.timeBucket(lit(3600), col("time")).as("bucket"))
+          .agg((floor(avg(col("value")) * 1e4 + 0.5) / 1e4).as("v"))
+          .withColumn("day", F.timeBucket(lit(86400), col("bucket")))
+        graft.operators.Trend.cusum(b, Seq("series", "day"), "bucket", "v",
+            threshold = 50.0)
+          .orderBy("series", "day")
+      },
+      Some(s"""$svSql,
+              |b AS (SELECT series, time - time % 3600 AS bucket,
+              |             (time - time % 3600) - (time - time % 3600) % 86400 AS day,
+              |             CAST(floor(avg(value) * 1e4 + 0.5) AS BIGINT) AS vi
+              |      FROM sv WHERE time >= $T0 AND time < $T1 GROUP BY 1, 2, 3),
+              |t AS (SELECT series, day, CAST(sum(vi) AS BIGINT) AS tot,
+              |             count(*) AS n
+              |      FROM b GROUP BY 1, 2),
+              |c AS (SELECT b.series, b.day, b.bucket, t.n,
+              |             abs(t.n * CAST(sum(b.vi) OVER (
+              |               PARTITION BY b.series, b.day ORDER BY b.bucket
+              |               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+              |               - CAST(row_number() OVER (
+              |                   PARTITION BY b.series, b.day ORDER BY b.bucket) AS BIGINT)
+              |                 * t.tot) AS ns
+              |      FROM b JOIN t USING (series, day)),
+              |r AS (SELECT series, day, bucket AS cp_bucket,
+              |             floor(CAST(ns AS DOUBLE) / (CAST(n AS DOUBLE) * 1e4) * 1e4
+              |               + 0.5) / 1e4 AS cusum_max,
+              |             CAST(CAST(ns AS DOUBLE) > 50.0 * CAST(n AS DOUBLE) * 1e4 AS INT)
+              |               AS flagged,
+              |             row_number() OVER (PARTITION BY series, day
+              |                                ORDER BY ns DESC, bucket) AS rn
+              |      FROM c)
+              |SELECT series, day, cp_bucket, cusum_max, flagged
+              |FROM r WHERE rn = 1 ORDER BY series, day""".stripMargin),
+      benchExtra = true),
+
     // Prometheus resets + changes per (series, day): counter-reset count
     // (value drops below its predecessor) and value-change count, on the
     // same day-partitioned tie-free lag pre-pass as q_ts_increase — one

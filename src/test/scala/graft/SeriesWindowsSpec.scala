@@ -207,4 +207,21 @@ class SeriesWindowsSpec extends AnyFunSuite {
       }
     }
   }
+
+  test("cusum finds a planted level shift at its exact position") {
+    import spark.implicits._
+    // 10 at buckets 0..11, 20 at buckets 12..23: S_i = Σ(v − 15) walks
+    // down to its magnitude peak exactly at the last low bucket (i=11,
+    // |S| = 60), then back up to 0. A flat series peaks at |S| = 0.
+    val rows =
+      (0 until 24).map(i => ("shift", i * 3600L, if (i < 12) 10.0 else 20.0)) ++
+      (0 until 24).map(i => ("flat", i * 3600L, 7.5))
+    val df = rows.toDF("k", "bucket", "v")
+    val got = graft.operators.Trend
+      .cusum(df, Seq("k"), "bucket", "v", threshold = 50.0)
+      .orderBy("k").collect().map(_.toSeq).toSeq
+    assert(got === Seq(
+      Seq("flat", 0L, 0.0, 0),
+      Seq("shift", 11 * 3600L, 60.0, 1)))
+  }
 }
