@@ -137,4 +137,42 @@ object Trend {
           lit(threshold) * col("__n").cast("double") * scale).cast("int")
           .as("flagged")): _*)
   }
+
+  /** Seasonal-naive decomposition: each bucket's value splits into the
+    * key's seasonal profile — the mean of all buckets sharing its slot
+    * `(bucket mod period) / step` (e.g. hour-of-day over a week) — plus a
+    * residual, the de-seasonalized series anomaly detectors should score
+    * instead of the raw value. One hash aggregate for the profile
+    * (period/step slots per key — metadata-sized, AQE broadcasts the
+    * join-back), no window, no per-key state.
+    *
+    * `viCol` is the value in integer 1/`scale` units (the lifted rounded
+    * rollup): the profile mean is then an exact-integer sum divided once
+    * at the end, so value, seasonal, and residual are bit-identical on
+    * any replaying engine (same discipline as [[cusum]]).
+    *
+    * Output: (keys…, bucketCol, value, seasonal, resid), the latter three
+    * in value units rounded to 1e-4.
+    */
+  def seasonalNaive(df: DataFrame, keys: Seq[String], bucketCol: String,
+      viCol: String, period: Long, step: Long,
+      scale: Double = 1e4): DataFrame = {
+    require(period > 0 && step > 0 && period % step == 0,
+      "period must be a positive multiple of step")
+    val kc = keys.map(col)
+    val slot = (pmod(col(bucketCol), lit(period)) / lit(step)).cast("long")
+    val slotted = df.withColumn("__slot", slot)
+    val prof = slotted.groupBy(kc :+ col("__slot"): _*)
+      .agg(sum(col(viCol)).as("__ps"), count(lit(1)).as("__pn"))
+    val seasonalRaw = col("__ps").cast("double") /
+      (col("__pn").cast("double") * scale)
+    val v = col(viCol).cast("double") / scale
+    def r4(c: Column) = floor(c * 1e4 + 0.5) / 1e4
+    slotted.join(prof, keys :+ "__slot")
+      .select(kc ++ Seq(
+        col(bucketCol),
+        v.as("value"),
+        r4(seasonalRaw).as("seasonal"),
+        r4(v - seasonalRaw).as("resid")): _*)
+  }
 }

@@ -413,6 +413,43 @@ object TimeSeries {
               |FROM r WHERE rn = 1 ORDER BY series, day""".stripMargin),
       benchExtra = true),
 
+    // Seasonal-naive decomposition per series: hour-of-day profile over
+    // the 7-day window + de-seasonalized residual, exact-integer profile
+    // means (same replay discipline as q_ts_cusum). Top-20 |resid| rows
+    // keep the gate output bounded; rank on the ROUNDED residual.
+    Q("q_ts_seasonal",
+      (s, dir) => {
+        val b = ev(s, dir).filter(col("time") >= T0 && col("time") < T1)
+          .groupBy(col("series"), F.timeBucket(lit(3600), col("time")).as("bucket"))
+          .agg(floor(avg(col("value")) * 1e4 + 0.5).cast("long").as("vi"))
+        graft.operators.Trend.seasonalNaive(b, Seq("series"), "bucket", "vi",
+            period = 86400L, step = 3600L)
+          .withColumn("__ar", floor(abs(col("resid")) * 1e4 + 0.5) / 1e4)
+          .orderBy(col("__ar").desc, col("series"), col("bucket"))
+          .limit(20)
+          .select("series", "bucket", "value", "seasonal", "resid")
+      },
+      Some(s"""$svSql,
+              |b AS (SELECT series, time - time % 3600 AS bucket,
+              |             CAST(floor(avg(value) * 1e4 + 0.5) AS BIGINT) AS vi
+              |      FROM sv WHERE time >= $T0 AND time < $T1 GROUP BY 1, 2),
+              |p AS (SELECT series, (bucket % 86400) // 3600 AS slot,
+              |             CAST(sum(vi) AS BIGINT) AS ps, count(*) AS pn
+              |      FROM b GROUP BY 1, 2),
+              |d AS (SELECT b.series, b.bucket,
+              |             CAST(b.vi AS DOUBLE) / 1e4 AS value,
+              |             floor(CAST(p.ps AS DOUBLE) / (CAST(p.pn AS DOUBLE) * 1e4) * 1e4
+              |               + 0.5) / 1e4 AS seasonal,
+              |             floor((CAST(b.vi AS DOUBLE) / 1e4
+              |               - CAST(p.ps AS DOUBLE) / (CAST(p.pn AS DOUBLE) * 1e4)) * 1e4
+              |               + 0.5) / 1e4 AS resid
+              |      FROM b JOIN p ON b.series = p.series
+              |                   AND (b.bucket % 86400) // 3600 = p.slot)
+              |SELECT series, bucket, value, seasonal, resid FROM d
+              |ORDER BY floor(abs(resid) * 1e4 + 0.5) / 1e4 DESC, series, bucket
+              |LIMIT 20""".stripMargin),
+      benchExtra = true),
+
     // Prometheus resets + changes per (series, day): counter-reset count
     // (value drops below its predecessor) and value-change count, on the
     // same day-partitioned tie-free lag pre-pass as q_ts_increase — one

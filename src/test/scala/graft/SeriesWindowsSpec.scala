@@ -224,4 +224,25 @@ class SeriesWindowsSpec extends AnyFunSuite {
       Seq("flat", 0L, 0.0, 0),
       Seq("shift", 11 * 3600L, 60.0, 1)))
   }
+
+  test("seasonal naive recovers a planted diurnal profile and its anomaly") {
+    import spark.implicits._
+    // 4 days × 4 slots (period 4h, step 1h): base profile (10, 20, 30, 40)
+    // every day, plus one +100 spike on day 2 slot 1. The profile mean of
+    // slot 1 is 20 + 100/4 = 45; the spike's residual = 120 − 45 = 75 and
+    // the other three slot-1 days get 20 − 45 = −25; all other slots 0.
+    val rows = for (d <- 0 until 4; s <- 0 until 4) yield {
+      val base = 10.0 * (s + 1)
+      val v = if (d == 2 && s == 1) base + 100.0 else base
+      ("m", d * 14400L + s * 3600L, math.floor(v * 1e4 + 0.5).toLong)
+    }
+    val got = graft.operators.Trend
+      .seasonalNaive(rows.toDF("k", "bucket", "vi"), Seq("k"), "bucket", "vi",
+        period = 14400L, step = 3600L)
+      .orderBy("bucket").collect().map(_.toSeq).toSeq
+    val spike = got.find(_(1) == 2 * 14400L + 3600L).get
+    assert(spike === Seq("m", 2 * 14400L + 3600L, 120.0, 45.0, 75.0))
+    assert(got.count(r => r(4) == -25.0) === 3)
+    assert(got.count(r => r(4) == 0.0) === 12)
+  }
 }
