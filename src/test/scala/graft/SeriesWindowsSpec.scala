@@ -245,4 +245,34 @@ class SeriesWindowsSpec extends AnyFunSuite {
     assert(got.count(r => r(4) == -25.0) === 3)
     assert(got.count(r => r(4) == 0.0) === 12)
   }
+
+  test("cusum equals the exact-integer brute force on random groups") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(5531)
+    for (trial <- 1 to 4) {
+      val rows = for {
+        k <- 0 until 1 + rnd.nextInt(4)
+        n = 2 + rnd.nextInt(30)
+        i <- 0 until n
+      } yield (s"g$k", i * 3600L,
+        math.floor(rnd.nextDouble() * 200 * 1e4 + 0.5) / 1e4)
+      val got = graft.operators.Trend
+        .cusum(rows.toDF("k", "bucket", "v"), Seq("k"), "bucket", "v", 50.0)
+        .collect().map(r => (r.getString(0),
+          (r.getLong(1), r.getDouble(2), r.getInt(3)))).toMap
+      // brute force entirely in exact integers, same identity
+      val want = rows.groupBy(_._1).map { case (k, g) =>
+        val vis = g.sortBy(_._2).map(t => math.floor(t._3 * 1e4 + 0.5).toLong)
+        val n = vis.size.toLong
+        val tot = vis.sum
+        val ns = vis.scanLeft(0L)(_ + _).tail.zipWithIndex.map {
+          case (cum, idx) => math.abs(n * cum - (idx + 1) * tot)
+        }
+        val best = ns.zipWithIndex.maxBy { case (s, idx) => (s, -idx) }
+        val cm = math.floor(best._1.toDouble / (n.toDouble * 1e4) * 1e4 + 0.5) / 1e4
+        k -> ((best._2 * 3600L, cm, if (best._1.toDouble > 50.0 * n * 1e4) 1 else 0))
+      }
+      assert(got === want, s"trial=$trial")
+    }
+  }
 }

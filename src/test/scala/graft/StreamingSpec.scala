@@ -232,6 +232,46 @@ class StreamingSpec extends AnyFunSuite {
     assert(serveR(rStreamed) === serveR(rBatch))
   }
 
+  test("streaming alert state recovers across a checkpointed restart") {
+    // the firing run STRADDLES the restart: two ok buckets arrive before
+    // it, two after — the tick at 1800 exists only if the rollup state
+    // and watermark recover from the checkpoint
+    val b1 = Seq(
+      """{"series":"a","ts":0,"value":10.0}""",
+      """{"series":"a","ts":600,"value":100.0}""",
+      """{"series":"a","ts":650,"value":100.0}""",
+      """{"series":"a","ts":1200,"value":100.0}""")
+    val b2 = Seq(
+      """{"series":"a","ts":1800,"value":100.0}""",
+      """{"series":"a","ts":2400,"value":100.0}""",
+      """{"series":"a","ts":3000,"value":10.0}""",
+      """{"series":"zz","ts":100000,"value":0.0}""")
+    val d = ndjsonDir(b1)
+    val ckpt = Files.createTempDirectory("graft-alert-ckpt").toString
+    val acc = scala.collection.mutable.ArrayBuffer[(String, Long)]()
+    def run(): Unit = {
+      val fired = StreamOps.alertFiring(
+        streamPoints(d).toDF(), 600L, col("v") > 50.0, forBuckets = 3)
+      val q = fired.writeStream.outputMode("append")
+        .option("checkpointLocation", ckpt)
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .foreachBatch { (b: org.apache.spark.sql.DataFrame, _: Long) =>
+          acc.synchronized {
+            acc ++= b.collect().map(r => (r.getString(0), r.getLong(1)))
+          }
+          ()
+        }
+        .start()
+      try { q.awaitTermination(60000); () } finally q.stop()
+    }
+    run()
+    ndjsonDir(b2, d, "b.ndjson")
+    run()
+    val got = acc.filter(_._1 != "zz").sorted.toSeq
+    // ok buckets 600..2400 (4 consecutive) → ticks at 1800 and 2400
+    assert(got === Seq(("a", 1800L), ("a", 2400L)))
+  }
+
   test("streaming tolerance-bounded as-of join matches the batch as-of") {
     import spark.implicits._
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
