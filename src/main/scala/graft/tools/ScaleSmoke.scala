@@ -81,6 +81,19 @@ object ScaleSmoke {
           (col("time") + 5400L).as("w_end")),
         keys = Seq("tag_user"), timeCol = "time",
         startCol = "w_start", endCol = "w_end", bucket = 1800L)),
+      // the integer-statistic scans: mult× (series, day) groups of the
+      // same per-group size — growth must stay linear in the group count
+      timed("cusum")(graft.operators.Trend.cusum(
+        ev.groupBy(col("event_type").as("series"),
+            ((col("time") - pmod(col("time"), lit(3600L)))).as("bucket"))
+          .agg((floor(avg(col("value")) * 1e4 + 0.5) / 1e4).as("v"))
+          .withColumn("day", col("bucket") - pmod(col("bucket"), lit(86400L))),
+        Seq("series", "day"), "bucket", "v", threshold = 50.0)),
+      timed("seasonal")(graft.operators.Trend.seasonalNaive(
+        ev.groupBy(col("event_type").as("series"),
+            ((col("time") - pmod(col("time"), lit(3600L)))).as("bucket"))
+          .agg(floor(avg(col("value")) * 1e4 + 0.5).cast("long").as("vi")),
+        Seq("series"), "bucket", "vi", period = 86400L, step = 3600L)),
       timed("exact_dedup")(Dedup.exact(docs)),
       timed("span_dedup")(Dedup.spanDupStats(docs)),
       timed("minhash_lsh")(Dedup.minhashLshPairs(docs, 0.8)),
