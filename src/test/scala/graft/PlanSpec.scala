@@ -310,4 +310,27 @@ class PlanSpec extends AnyFunSuite {
       org.apache.spark.sql.execution.ExplainMode.fromString("formatted"))
     assert(p.contains("EqualTo(event_type,click)"), "series selector should push to parquet scan")
   }
+
+  test("seasonal decompose is aggregate + broadcast join-back — no window") {
+    import org.apache.spark.sql.catalyst.plans.logical.{Window => LWindow}
+    val df = SparkEntry.queries("q_ts_seasonal")(spark, sf)
+    assert(df.queryExecution.optimizedPlan.collect { case w: LWindow => w }.isEmpty,
+      "no window operator")
+    val p = df.queryExecution.executedPlan.toString
+    assert(p.contains("BroadcastHashJoin"), "profile join-back should broadcast\n" + p.take(1200))
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"), p.take(1200))
+  }
+
+  test("cusum windows all partition by the full key set (never whole-series)") {
+    val df = SparkEntry.queries("q_ts_cusum")(spark, sf)
+    val p = df.queryExecution.executedPlan.toString
+    // every Window node must carry both keys — a series-only partition
+    // would put a whole series' history in one task
+    val winLines = p.linesIterator.filter(_.contains("windowspecdefinition")).toSeq
+    assert(winLines.nonEmpty, p.take(1200))
+    winLines.foreach { l =>
+      assert(l.contains("series") && l.contains("day"), s"window not day-partitioned: $l")
+    }
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"), p.take(1200))
+  }
 }
