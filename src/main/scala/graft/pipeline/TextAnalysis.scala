@@ -382,4 +382,36 @@ object TextAnalysis {
     docs.select(col("doc_id")).join(scored, Seq("doc_id"), "left")
       .withColumn("n_tokens", coalesce(col("n_tokens"), lit(0L)))
   }
+
+  /** CCNet-style perplexity bucketing: split scored docs into
+    * head / middle / tail at the score terciles (the standard
+    * quality-partitioning step before mixing a training corpus — head =
+    * lowest-score/cleanest under a real LM perplexity; with
+    * [[lmSurprisal]] as the scorer, LOW surprisal = common/boilerplate,
+    * so interpret accordingly or pass any other per-doc score).
+    *
+    * The cutoffs are exact percentiles of the ROUNDED scores, re-rounded,
+    * and assignment compares rounded-to-rounded — a replaying engine
+    * makes identical bucket calls. NULL scores (empty docs) land in
+    * 'empty'. The threshold frame is one row, broadcast — no driver
+    * collect, no second scan of `scored`.
+    *
+    * Scale shape: one percentile aggregate (two exact percentiles over
+    * the score column) + a broadcast-1-row join; both fine at any corpus
+    * size (exact percentile shuffles the scores once).
+    */
+  def perplexityBuckets(scored: DataFrame,
+      scoreCol: String = "surprisal"): DataFrame = {
+    val s = col(scoreCol)
+    val th = scored.agg(
+      (floor(percentile(s, lit(1.0 / 3)) * 1e4 + 0.5) / 1e4).as("__t1"),
+      (floor(percentile(s, lit(2.0 / 3)) * 1e4 + 0.5) / 1e4).as("__t2"))
+    scored.crossJoin(broadcast(th))
+      .withColumn("ppl_bucket",
+        when(s.isNull, "empty")
+          .when(s <= col("__t1"), "head")
+          .when(s <= col("__t2"), "middle")
+          .otherwise("tail"))
+      .drop("__t1", "__t2")
+  }
 }

@@ -880,6 +880,38 @@ object Pipeline {
               |FROM documents d LEFT JOIN sc ON d.doc_id = sc.doc_id
               |ORDER BY d.doc_id""".stripMargin)),
 
+    // CCNet-style perplexity bucketing: head/middle/tail at the score
+    // terciles — cutoffs are exact percentiles of the ROUNDED surprisal,
+    // re-rounded, assignment compares rounded-to-rounded.
+    Q("q_pl_ppl_buckets",
+      (s, dir) => {
+        val docs = Tables.documents(s, dir)
+        TextAnalysis.perplexityBuckets(
+            TextAnalysis.lmSurprisal(docs, docs.count()))
+          .select("doc_id", "surprisal", "ppl_bucket")
+          .orderBy("doc_id")
+      },
+      Some(s"""WITH $wordsCte,
+              |tok AS (SELECT doc_id, unnest(w) AS word FROM words),
+              |tok2 AS (SELECT doc_id, word FROM tok WHERE length(word) > 0),
+              |dict AS (SELECT word, count(DISTINCT doc_id) AS df FROM tok2 GROUP BY word),
+              |sc AS (
+              |  SELECT t.doc_id,
+              |         floor(avg(-log2(df * 1.0 / (SELECT count(*) FROM documents))) * 1e4 + 0.5) / 1e4 AS surprisal
+              |  FROM tok2 t JOIN dict USING (word) GROUP BY t.doc_id
+              |),
+              |full_sc AS (SELECT d.doc_id, sc.surprisal
+              |            FROM documents d LEFT JOIN sc ON d.doc_id = sc.doc_id),
+              |th AS (SELECT floor(quantile_cont(surprisal, 1.0/3) * 1e4 + 0.5) / 1e4 AS t1,
+              |              floor(quantile_cont(surprisal, 2.0/3) * 1e4 + 0.5) / 1e4 AS t2
+              |       FROM full_sc)
+              |SELECT doc_id, surprisal,
+              |       CASE WHEN surprisal IS NULL THEN 'empty'
+              |            WHEN surprisal <= th.t1 THEN 'head'
+              |            WHEN surprisal <= th.t2 THEN 'middle'
+              |            ELSE 'tail' END AS ppl_bucket
+              |FROM full_sc CROSS JOIN th ORDER BY doc_id""".stripMargin)),
+
     // Distributed k-means corpus clustering (Lloyd's, deterministic seeds,
     // 1e-4-rounded centroids): the topic-balancing / diversity-sampling /
     // IVF-coarse-quantizer primitive. One narrow pass + a k×dim aggregate

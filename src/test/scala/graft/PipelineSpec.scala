@@ -788,4 +788,23 @@ class PipelineSpec extends AnyFunSuite {
     assert(e1.zip(e2).forall { case (a, b) => a.embedding.sameElements(b.embedding) })
     assert(e1.forall(_.embedding.forall(v => v >= -1.0f && v <= 1.0f)))
   }
+
+  test("perplexity buckets split at consistent tercile boundaries") {
+    import org.apache.spark.sql.functions.col
+    val scored = graft.pipeline.TextAnalysis.lmSurprisal(docs, docs.count())
+    val b = graft.pipeline.TextAnalysis.perplexityBuckets(scored)
+      .select("doc_id", "surprisal", "ppl_bucket").collect()
+      .map(r => (Option(r.get(1)).map(_.asInstanceOf[Double]), r.getString(2)))
+    def scores(name: String) = b.collect { case (Some(s), `name`) => s }
+    assert(b.collect { case (None, bk) => bk }.forall(_ == "empty"))
+    val (h, m, t) = (scores("head"), scores("middle"), scores("tail"))
+    assert(h.nonEmpty && m.nonEmpty && t.nonEmpty)
+    // boundary consistency: every head score ≤ every middle ≤ every tail
+    assert(h.max <= m.min && m.max <= t.min)
+    // terciles of the non-null population: each bucket within ties'
+    // reach of a third (ties on the rounded score go to the lower bucket)
+    val n = h.length + m.length + t.length
+    Seq(h, m, t).foreach(g =>
+      assert(math.abs(g.length - n / 3.0) <= n / 6.0, s"skewed: ${g.length} of $n"))
+  }
 }
