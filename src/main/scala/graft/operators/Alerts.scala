@@ -27,6 +27,44 @@ import org.apache.spark.sql.functions._
   */
 object Alerts {
 
+  /** Gap detection — the Prometheus `absent()` family as a one-shot
+    * scan: for every key group and `period`-aligned window, how many of
+    * the `period/step` expected buckets have NO data, and the longest
+    * consecutive missing run (the worst outage). Pure integer
+    * arithmetic: present buckets sort ascending, a gap's length is
+    * `(next − prev)/step − 1`, and the window edges count as virtual
+    * present buckets so leading/trailing absence is measured too.
+    *
+    * Scale shape: one aggregate to the per-(key, window) bucket list is
+    * wrong at raw-point scale — instead the input is the ALREADY
+    * BUCKETED frame (one row per present bucket, range/step rows per
+    * group), a lag window partitioned by (keys, window) gives each
+    * present bucket its predecessor, and one hash aggregate folds
+    * gap lengths — the same post-rollup stance as [[firing]].
+    */
+  def gaps(df: DataFrame, keys: Seq[String], bucketCol: String, step: Long,
+      period: Long): DataFrame = {
+    require(step > 0 && period > 0 && period % step == 0,
+      "period must be a positive multiple of step")
+    val slots = period / step
+    val kc = keys.map(col)
+    val b = col(bucketCol)
+    val win = (b - pmod(b, lit(period))).as("window_start")
+    val w = Window.partitionBy(kc :+ col("window_start"): _*).orderBy(b)
+    val lagged = df.select(kc ++ Seq(b.as(bucketCol), win): _*)
+      .withColumn("__prev",
+        coalesce(lag(b, 1).over(w), col("window_start") - step))
+      .withColumn("__gap", (b - col("__prev")) / step - 1)
+    lagged.groupBy(kc :+ col("window_start"): _*)
+      .agg(
+        count(lit(1)).as("n_present"),
+        (lit(slots) - count(lit(1))).as("n_missing"),
+        greatest(max(col("__gap")),
+          // trailing gap: from the last present bucket to the window end
+          lit(slots - 1) - max((b - col("window_start")) / step))
+          .cast("long").as("longest_gap"))
+  }
+
   /** Firing episodes: `(keys…, fired_at, episode_start, episode_end,
     * n_buckets)` — one row per maximal run of ≥ `forBuckets` consecutive
     * condition-true buckets; `fired_at` is the tick the `for` duration

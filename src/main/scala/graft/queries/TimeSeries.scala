@@ -777,6 +777,38 @@ object TimeSeries {
               |ORDER BY series, episode_start""".stripMargin),
       benchExtra = true),
 
+    // Gap detection (Prometheus absent() family): per (series, day),
+    // how many hourly buckets lack above-threshold data and the longest
+    // consecutive such run — "time-above-threshold coverage". Present
+    // set = buckets with rounded avg > 50 (same deterministic condition
+    // as q_ts_alert); all-integer gap arithmetic.
+    Q("q_ts_gaps",
+      (s, dir) => {
+        val b = ev(s, dir).filter(col("time") >= T0 && col("time") < T1)
+          .groupBy(col("series"), F.timeBucket(lit(3600), col("time")).as("bucket"))
+          .agg((floor(avg(col("value")) * 1e4 + 0.5) / 1e4).as("v"))
+          .filter(col("v") > 50.0)
+        graft.operators.Alerts.gaps(b, Seq("series"), "bucket", 3600L, 86400L)
+          .orderBy("series", "window_start")
+      },
+      Some(s"""$svSql,
+              |b AS (SELECT series, time - time % 3600 AS bucket,
+              |             floor(avg(value) * 1e4 + 0.5) / 1e4 AS v
+              |      FROM sv WHERE time >= $T0 AND time < $T1 GROUP BY 1, 2),
+              |p AS (SELECT series, bucket, bucket - bucket % 86400 AS window_start
+              |      FROM b WHERE v > 50.0),
+              |lg AS (SELECT series, window_start, bucket,
+              |              coalesce(lag(bucket) OVER (
+              |                PARTITION BY series, window_start ORDER BY bucket),
+              |                window_start - 3600) AS prev
+              |       FROM p)
+              |SELECT series, window_start, count(*) AS n_present,
+              |       24 - count(*) AS n_missing,
+              |       CAST(greatest(max((bucket - prev) / 3600 - 1),
+              |                     23 - max((bucket - window_start) / 3600)) AS BIGINT)
+              |         AS longest_gap
+              |FROM lg GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin)),
+
     // ALIGN JOIN (the reference backlog's "join on time"): click and
     // purchase aligned to a 1800 s grid per tag with forward-fill on
     // both sides; the spine spans the union of both series' ranges.

@@ -33,4 +33,25 @@ class AlertsSpec extends AnyFunSuite {
       Seq("s1", 120L, 0L, 120L, 3L),
       Seq("s2", 300L, 180L, 300L, 3L)))
   }
+
+  test("gaps counts leading, interior, and trailing missing runs") {
+    import spark.implicits._
+    // 6-slot windows (period 360, step 60).
+    // s1 window 0: present at 120, 180, 300 → missing 0,60 (lead 2),
+    //   240 (interior 1), 360 excluded → trailing gap after 300 = 1;
+    //   longest = 2.
+    // s2 window 0: only slot 0 present → trailing run of 5.
+    // s3 window 0: all six present → 0 missing, longest 0.
+    val b = Seq(
+      ("s1", 120L), ("s1", 180L), ("s1", 300L),
+      ("s2", 0L),
+      ("s3", 0L), ("s3", 60L), ("s3", 120L), ("s3", 180L), ("s3", 240L), ("s3", 300L)
+    ).toDF("series", "bucket")
+    val got = Alerts.gaps(b.repartition(3), Seq("series"), "bucket", 60L, 360L)
+      .orderBy("series", "window_start").collect().map(_.toSeq).toSeq
+    assert(got === Seq(
+      Seq("s1", 0L, 3L, 3L, 2L),
+      Seq("s2", 0L, 1L, 5L, 5L),
+      Seq("s3", 0L, 6L, 0L, 0L)))
+  }
 }
