@@ -41,6 +41,10 @@ object Alerts {
     * group), a lag window partitioned by (keys, window) gives each
     * present bucket its predecessor, and one hash aggregate folds
     * gap lengths — the same post-rollup stance as [[firing]].
+    *
+    * A window with NO present bucket at all produces no row (there is
+    * nothing to anchor it to); full-absence detection composes this
+    * with a (keys × window) spine join, the [[AlignJoin]] pattern.
     */
   def gaps(df: DataFrame, keys: Seq[String], bucketCol: String, step: Long,
       period: Long): DataFrame = {
