@@ -395,7 +395,7 @@ object Pipeline {
     "q_pl_cluster_balance", "q_ann_ivf_at_rest", "q_ann_pq", "q_ann_ivfpq_at_rest",
     "q_pl_span_dedup", "q_ann_pq_cos", "q_ann_ivfpq_residual", "q_pl_mixture",
     "q_pl_curation_chain", "q_ann_self_join", "q_pl_bm25", "q_pl_weighted_sample",
-    "q_ann_rp", "q_pl_temperature")
+    "q_ann_rp", "q_pl_temperature", "q_pl_ppl_buckets")
 
   def qs: Seq[Q] = {
     val all = raw.map(q => if (ExtraBench(q.name)) q.copy(benchExtra = true) else q)

@@ -807,7 +807,8 @@ object TimeSeries {
               |       CAST(greatest(max((bucket - prev) / 3600 - 1),
               |                     23 - max((bucket - window_start) / 3600)) AS BIGINT)
               |         AS longest_gap
-              |FROM lg GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin)),
+              |FROM lg GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin),
+      benchExtra = true),
 
     // ALIGN JOIN (the reference backlog's "join on time"): click and
     // purchase aligned to a 1800 s grid per tag with forward-fill on
