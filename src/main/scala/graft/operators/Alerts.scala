@@ -43,8 +43,15 @@ object Alerts {
     * gap lengths — the same post-rollup stance as [[firing]].
     *
     * A window with NO present bucket at all produces no row (there is
-    * nothing to anchor it to); full-absence detection composes this
-    * with a (keys × window) spine join, the [[AlignJoin]] pattern.
+    * nothing to anchor it to); full-absence detection is [[gapsWithSpine]],
+    * which composes this with a (keys × window) spine join.
+    *
+    * Duplicate (keys, bucket) rows are deduped defensively before the
+    * lag scan: without it a duplicate bucket inflates `n_present`
+    * (negative `n_missing`, understated `longest_gap`) with no error.
+    * The dedup is one extra exchange on the POST-ROLLUP frame
+    * (range/step rows per group — metadata-sized next to the raw scan),
+    * and a clean rollup upstream makes it a no-op.
     */
   def gaps(df: DataFrame, keys: Seq[String], bucketCol: String, step: Long,
       period: Long): DataFrame = {
@@ -56,6 +63,7 @@ object Alerts {
     val win = (b - pmod(b, lit(period))).as("window_start")
     val w = Window.partitionBy(kc :+ col("window_start"): _*).orderBy(b)
     val lagged = df.select(kc ++ Seq(b.as(bucketCol), win): _*)
+      .distinct()
       .withColumn("__prev",
         coalesce(lag(b, 1).over(w), col("window_start") - step))
       .withColumn("__gap", (b - col("__prev")) / step - 1)
@@ -67,6 +75,43 @@ object Alerts {
           // trailing gap: from the last present bucket to the window end
           lit(slots - 1) - max((b - col("window_start")) / step))
           .cast("long").as("longest_gap"))
+  }
+
+  /** Full-absence gap detection: [[gaps]] joined onto a dense
+    * (keys × window) spine so a series that goes COMPLETELY dark inside
+    * a window — the Prometheus `absent()` case proper — still reports,
+    * as `(n_present 0, n_missing slots, longest_gap slots)`.
+    *
+    * The key universe comes from `keysDf` (e.g. the tag index or the
+    * raw table's distinct series), NOT from `df`: a series with zero
+    * present buckets anywhere in the range never appears in the bucketed
+    * frame at all, so no self-derived spine can resurrect it.
+    *
+    * Scale shape: the spine is |keys| × (range/period) rows — generated
+    * by `sequence`/`explode` per key row, never collected. The left join
+    * back is an equi-join on (keys, window_start); the gaps side is
+    * post-rollup-sized and AQE broadcasts whichever side is actually
+    * small. `rangeStart` must be period-aligned (the [[gaps]] windows
+    * are epoch-aligned via `bucket − bucket mod period`; a misaligned
+    * spine would join nothing and report everything absent).
+    */
+  def gapsWithSpine(df: DataFrame, keysDf: DataFrame, keys: Seq[String],
+      bucketCol: String, step: Long, period: Long,
+      rangeStart: Long, rangeEnd: Long): DataFrame = {
+    require(rangeStart % period == 0,
+      "rangeStart must be period-aligned to match gaps()'s epoch-aligned windows")
+    require(rangeEnd > rangeStart, "empty evaluation range")
+    val slots = period / step
+    val kc = keys.map(col)
+    val lastWin = rangeStart + ((rangeEnd - rangeStart - 1) / period) * period
+    val spine = keysDf.select(kc: _*).distinct()
+      .withColumn("window_start",
+        explode(sequence(lit(rangeStart), lit(lastWin), lit(period))))
+    spine.join(gaps(df, keys, bucketCol, step, period), keys :+ "window_start", "left")
+      .select(kc ++ Seq(col("window_start"),
+        coalesce(col("n_present"), lit(0L)).as("n_present"),
+        coalesce(col("n_missing"), lit(slots)).as("n_missing"),
+        coalesce(col("longest_gap"), lit(slots)).as("longest_gap")): _*)
   }
 
   /** Firing episodes: `(keys…, fired_at, episode_start, episode_end,

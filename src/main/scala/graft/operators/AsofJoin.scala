@@ -22,7 +22,9 @@ import org.apache.spark.sql.types.StructType
   * partitions by (key, day-bucket) so a single hot key never lands one
   * task; the cross-day carry — the latest right payload from EARLIER days
   * — is repaired from a per-(key, day) aggregate (one row per non-empty
-  * key-day, metadata-sized) broadcast-joined back. Right rows are expected
+  * key-day, metadata-sized) joined back; AQE broadcasts it when it is
+  * actually small and degrades to a shuffle join when key-cardinality ×
+  * days outgrows broadcast size. Right rows are expected
   * unique per (key, time) — pre-aggregate if not (`max(payload)` ties are
   * otherwise partition-order dependent).
   *
@@ -70,8 +72,13 @@ object AsofJoin {
     // Cross-day carry: latest right struct of each (key, day), then the
     // running latest over STRICTLY EARLIER days — evaluated at EVERY day
     // present on either side (a left day with no right rows anywhere still
-    // needs the carry from older days). One row per non-empty key-day —
-    // broadcast-sized at any realistic scale.
+    // needs the carry from older days). One row per non-empty key-day, so
+    // usually tiny — but NOT hinted: high-cardinality keys over long time
+    // ranges (100k+ series × years of days) outgrow the driver, and a hard
+    // broadcast() would fail the job instead of degrading. AQE broadcasts
+    // at runtime when the carry is actually small and falls back to a
+    // shuffle join on the same (keys, __d) the resolve already shuffled on
+    // when it isn't.
     val wCarry = Window.partitionBy(kc: _*).orderBy(col("__d"))
       .rowsBetween(Window.unboundedPreceding, -1)
     val dayAgg = rTagged.withColumn("__d", SeriesWindows.dayKey(t, bucket))
@@ -83,7 +90,7 @@ object AsofJoin {
       .select(kc ++ Seq(col("__d"), col("__carry")): _*)
 
     val joined = resolved.filter(col("__src") === 1)
-      .join(broadcast(carry), keys :+ "__d", "left")
+      .join(carry, keys :+ "__d", "left")
       .withColumn("__m", coalesce(col("__m"), col("__carry")))
     val bounded = tolerance match {
       case Some(tol) => joined.withColumn("__m",

@@ -810,6 +810,52 @@ object TimeSeries {
               |FROM lg GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin),
       benchExtra = true),
 
+    // Full-absence gap detection (r7 verdict #3): same rollup+condition
+    // shape as q_ts_gaps but with a rarer condition (avg > 80) over a
+    // dense (series × day) spine from the raw table's key universe — a
+    // (series, day) with NO above-threshold bucket at all now reports
+    // (0, 24, 24) instead of vanishing. Oracle replays the spine with
+    // generate_series.
+    Q("q_ts_gaps_absent",
+      (s, dir) => {
+        val e = ev(s, dir)
+        val b = e.filter(col("time") >= T0 && col("time") < T1)
+          .groupBy(col("series"), F.timeBucket(lit(3600), col("time")).as("bucket"))
+          .agg((floor(avg(col("value")) * 1e4 + 0.5) / 1e4).as("v"))
+          .filter(col("v") > 80.0)
+        graft.operators.Alerts.gapsWithSpine(b, e.select("series"),
+            Seq("series"), "bucket", 3600L, 86400L, T0, T1)
+          .orderBy("series", "window_start")
+      },
+      Some(s"""$svSql,
+              |b AS (SELECT series, time - time % 3600 AS bucket,
+              |             floor(avg(value) * 1e4 + 0.5) / 1e4 AS v
+              |      FROM sv WHERE time >= $T0 AND time < $T1 GROUP BY 1, 2),
+              |p AS (SELECT series, bucket, bucket - bucket % 86400 AS window_start
+              |      FROM b WHERE v > 80.0),
+              |lg AS (SELECT series, window_start, bucket,
+              |              coalesce(lag(bucket) OVER (
+              |                PARTITION BY series, window_start ORDER BY bucket),
+              |                window_start - 3600) AS prev
+              |       FROM p),
+              |g AS (SELECT series, window_start, count(*) AS n_present,
+              |             24 - count(*) AS n_missing,
+              |             CAST(greatest(max((bucket - prev) / 3600 - 1),
+              |                           23 - max((bucket - window_start) / 3600)) AS BIGINT)
+              |               AS longest_gap
+              |      FROM lg GROUP BY 1, 2),
+              |ks AS (SELECT DISTINCT series FROM sv),
+              |spine AS (SELECT series, unnest(generate_series($T0, ${T1 - 86400}, 86400)) AS window_start
+              |          FROM ks)
+              |SELECT s.series, s.window_start,
+              |       coalesce(g.n_present, 0) AS n_present,
+              |       coalesce(g.n_missing, 24) AS n_missing,
+              |       coalesce(g.longest_gap, 24) AS longest_gap
+              |FROM spine s LEFT JOIN g
+              |  ON s.series = g.series AND s.window_start = g.window_start
+              |ORDER BY 1, 2""".stripMargin),
+      benchExtra = true),
+
     // ALIGN JOIN (the reference backlog's "join on time"): click and
     // purchase aligned to a 1800 s grid per tag with forward-fill on
     // both sides; the spine spans the union of both series' ranges.

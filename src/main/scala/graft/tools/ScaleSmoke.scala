@@ -76,6 +76,26 @@ object ScaleSmoke {
       timed("asof_join")(graft.operators.AsofJoin.backward(
         clicks, purchases, keys = Seq("tag_user"), timeCol = "time",
         rightCols = Seq("p_value"))),
+      // KEY-cardinality amplification (r7 verdict #2): 100k+ synthetic
+      // series × 16 days — the regime where the per-(key, day) carry
+      // frame (nKeys × days rows) outgrows broadcast size. With the hard
+      // broadcast() hint this OOMed/pressured the driver; unhinted, AQE
+      // measures the carry at runtime and degrades to a shuffle join on
+      // the same (keys, __d) the resolve pass already shuffled on.
+      timed("asof_join_keys") {
+        val nKeys = 100000L * math.max(1, mult / 10)
+        val days = 16L
+        val l = spark.range(nKeys * days).select(
+          (col("id") % nKeys).cast("string").as("k"),
+          ((col("id") / nKeys) * 86400L + 50000L).as("time"),
+          (col("id") % 1000).as("l_val"))
+        val r = spark.range(nKeys * days).select(
+          (col("id") % nKeys).cast("string").as("k"),
+          ((col("id") / nKeys) * 86400L + 10L).as("time"),
+          (col("id") % 777).cast("double").as("r_val"))
+        graft.operators.AsofJoin.backward(l, r, keys = Seq("k"),
+          timeCol = "time", rightCols = Seq("r_val"))
+      },
       timed("range_join")(graft.operators.RangeJoin.pointInInterval(
         clicks, purchases.select(col("tag_user"), col("time").as("w_start"),
           (col("time") + 5400L).as("w_end")),

@@ -54,4 +54,42 @@ class AlertsSpec extends AnyFunSuite {
       Seq("s2", 0L, 1L, 5L, 5L),
       Seq("s3", 0L, 6L, 0L, 0L)))
   }
+
+  test("gaps dedups duplicate (keys, bucket) rows instead of inflating n_present") {
+    import spark.implicits._
+    // s1 present at 0 and 60 — but 60 arrives TWICE (e.g. a rollup
+    // re-emit). Without the defensive distinct this counted 3 present in
+    // a 6-slot window; n_missing must stay 4 and the trailing run 4.
+    val b = Seq(("s1", 0L), ("s1", 60L), ("s1", 60L)).toDF("series", "bucket")
+    val got = Alerts.gaps(b.repartition(2), Seq("series"), "bucket", 60L, 360L)
+      .collect().map(_.toSeq).toSeq
+    assert(got === Seq(Seq("s1", 0L, 2L, 4L, 4L)))
+  }
+
+  test("gapsWithSpine reports fully-dark (key, window) cells from the key universe") {
+    import spark.implicits._
+    // Bucketed frame only knows s1 (present in window 0 at slots 1,2 and
+    // nothing in window 1); s2 exists only in the key universe — a series
+    // that went completely dark. Spine spans 2 windows ([0, 720), period
+    // 360): s1/w0 partial, s1/w1 absent, s2 both windows absent.
+    val b = Seq(("s1", 60L), ("s1", 120L)).toDF("series", "bucket")
+    val keys = Seq("s1", "s2", "s2").toDF("series") // dupes collapse
+    val got = Alerts.gapsWithSpine(b.repartition(2), keys, Seq("series"),
+        "bucket", 60L, 360L, rangeStart = 0L, rangeEnd = 720L)
+      .orderBy("series", "window_start").collect().map(_.toSeq).toSeq
+    assert(got === Seq(
+      Seq("s1", 0L, 2L, 4L, 3L),   // slots 1,2 present; trailing 3,4,5 missing
+      Seq("s1", 360L, 0L, 6L, 6L), // dark window of a known series
+      Seq("s2", 0L, 0L, 6L, 6L),   // series absent from the frame entirely
+      Seq("s2", 360L, 0L, 6L, 6L)))
+  }
+
+  test("gapsWithSpine rejects a misaligned rangeStart") {
+    import spark.implicits._
+    val b = Seq(("s1", 60L)).toDF("series", "bucket")
+    assertThrows[IllegalArgumentException] {
+      Alerts.gapsWithSpine(b, b.select("series"), Seq("series"),
+        "bucket", 60L, 360L, rangeStart = 100L, rangeEnd = 720L)
+    }
+  }
 }
