@@ -130,6 +130,16 @@ object IvfIndex {
     * (write tmp → rename live aside → rename tmp in → delete old), every
     * rename's return value is checked, and a compact() that died mid-swap
     * is repaired on the next call (restore-from-`_compact_old` pass).
+    *
+    * The crash-safety and invisible-to-concurrent-readers guarantees hold
+    * only where directory rename is ATOMIC — file:// and hdfs://. On
+    * object stores (s3a://) rename is a non-atomic copy+delete: a reader
+    * can observe a missing or partially-copied cell mid-swap, and the
+    * recovery invariant (rename is all-or-nothing) does not hold. The
+    * code still RUNS there, but s3a deployments should either quiesce
+    * readers around compaction or layer a commit-marker protocol on top
+    * (write the new cell under a versioned name, flip a manifest, never
+    * rename in place — the S3A committers' own design).
     * Cache invalidation is scoped to this index via `refreshByPath`, not
     * the session-global `clearCache`. Returns the number of cell dirs
     * rewritten.

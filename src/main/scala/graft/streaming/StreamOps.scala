@@ -94,6 +94,49 @@ object StreamOps {
         col("m_time"), col("m_value"))
   }
 
+  /** Streaming point-in-interval range join — the incremental twin of
+    * [[graft.operators.RangeJoin.pointInInterval]] with EXPLICIT per-row
+    * intervals (`w_start` inclusive, `w_end` exclusive, epoch seconds),
+    * unlike [[intervalJoin]]'s fixed marker+length shim: "events inside
+    * live maintenance windows" where every window has its own bounds.
+    *
+    * `maxDurationSecs` (an upper bound on interval length) is what makes
+    * the streaming form possible: the join's two-sided range condition is
+    * on the WATERMARKED event-time columns (`point ≥ interval start` and
+    * `point ≤ start + maxDuration`), so Spark evicts a buffered interval
+    * once the point watermark passes `w_start + maxDuration`, and a
+    * buffered point once the interval watermark passes its time. The
+    * actual end bound `time < w_end` rides along as a residual filter —
+    * exactly the batch operator's bucket-join + containment-filter split,
+    * transposed to state eviction. Intervals LONGER than the cap are
+    * dropped defensively (a partial match would silently diverge from the
+    * batch twin; dropping is loud in any batch-parity check).
+    *
+    * Inner join (append-mode emittable). Input: points
+    * (series, time, value); intervals (series, w_start, w_end, w_value).
+    * Output: (series, time, value, w_start, w_end, w_value).
+    */
+  def rangeJoin(points: DataFrame, intervals: DataFrame, maxDurationSecs: Long,
+      watermarkDelay: String = "10 minutes"): DataFrame = {
+    require(maxDurationSecs > 0, "streaming range join needs a positive duration cap")
+    val p = points
+      .withColumn("pts", col("time").cast("timestamp"))
+      .withWatermark("pts", watermarkDelay)
+    val i = intervals.select(col("series").as("i_series"),
+        col("w_start"), col("w_end"), col("w_value"))
+      .filter(col("w_start") < col("w_end") &&
+        col("w_end") - col("w_start") <= maxDurationSecs)
+      .withColumn("ists", col("w_start").cast("timestamp"))
+      .withWatermark("ists", watermarkDelay)
+    p.join(i,
+        col("series") === col("i_series") &&
+          col("pts") >= col("ists") &&
+          col("pts") <= col("ists") + expr(s"INTERVAL $maxDurationSecs SECONDS") &&
+          col("time") < col("w_end"))
+      .select(col("series"), col("time"), col("value"),
+        col("w_start"), col("w_end"), col("w_value"))
+  }
+
   /** Streaming tolerance-bounded as-of join — the incremental twin of
     * [[graft.operators.AsofJoin.backward]] with a tolerance: each point
     * gets the LATEST same-series marker in `[time − toleranceSecs, time]`
@@ -115,6 +158,16 @@ object StreamOps {
     * once the source watermark passes `its window end + toleranceSecs` —
     * verified against the batch as-of on the events table (zero
     * mismatching rows; the only holdback was exactly this horizon).
+    *
+    * DISTINCT-POINT contract: the latest-candidate aggregate groups by
+    * (window, series, time, value), so two input points with identical
+    * (series, time, value) collapse to ONE output row — the batch twin
+    * preserves both left rows. Points are expected unique per
+    * (series, time, value); if the stream can carry true duplicates that
+    * must survive, add a unique id column upstream and thread it through
+    * a widened groupBy (the aggregate is the only collapsing step).
+    * [[dedupStream]] upstream establishes the contract for ingest-shaped
+    * streams.
     *
     * Output: (series, time, value, r_time, r_value).
     */

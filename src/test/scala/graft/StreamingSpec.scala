@@ -272,6 +272,89 @@ class StreamingSpec extends AnyFunSuite {
     assert(got === Seq(("a", 1800L), ("a", 2400L)))
   }
 
+  test("streaming range join with explicit intervals matches the batch point-in-interval") {
+    import spark.implicits._
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val pts = Seq(("a", 100L, 1.0), ("a", 500L, 2.0), ("a", 1700L, 3.0), ("b", 500L, 4.0))
+    // overlapping intervals (a@500 matches two), a window that misses
+    // 1700 by end-exclusivity at 1600+100, an over-long interval that the
+    // duration cap drops, and a b-window containing no point
+    val ivs = Seq(
+      ("a", 90L, 690L, 10.0), ("a", 400L, 520L, 20.0), ("a", 1000L, 1600L, 30.0),
+      ("a", 0L, 5000L, 99.0), // longer than the 600 s cap → dropped
+      ("b", 2000L, 2600L, 40.0))
+    val msP = MemoryStream[(String, Long, Double)]
+    val msI = MemoryStream[(String, Long, Long, Double)]
+    val joined = StreamOps.rangeJoin(
+      msP.toDF().toDF("series", "time", "value"),
+      msI.toDF().toDF("series", "w_start", "w_end", "w_value"),
+      maxDurationSecs = 600L)
+    assert(joined.isStreaming)
+    val q = joined.writeStream.outputMode("append").format("memory")
+      .queryName("rjoin").start()
+    try {
+      msP.addData(pts); msI.addData(ivs); q.processAllAvailable()
+      val got = spark.sql(
+          "select * from rjoin order by series, time, w_start")
+        .collect().map(_.toSeq).toSeq
+      // batch twin on the same frames, with the same duration-cap
+      // contract applied (the streaming form drops over-cap intervals)
+      val want = graft.operators.RangeJoin.pointInInterval(
+          pts.toDF("series", "time", "value"),
+          ivs.toDF("series", "w_start", "w_end", "w_value")
+            .filter(col("w_end") - col("w_start") <= 600L),
+          keys = Seq("series"), timeCol = "time",
+          startCol = "w_start", endCol = "w_end", bucket = 300L)
+        .select(col("series"), col("time"), col("value"),
+          col("w_start"), col("w_end"), col("w_value"))
+        .orderBy("series", "time", "w_start").collect().map(_.toSeq).toSeq
+      assert(got === want)
+      assert(got === Seq(
+        Seq("a", 100L, 1.0, 90L, 690L, 10.0),
+        Seq("a", 500L, 2.0, 90L, 690L, 10.0),
+        Seq("a", 500L, 2.0, 400L, 520L, 20.0)))
+    } finally q.stop()
+  }
+
+  test("streaming range join state recovers across a checkpointed restart") {
+    // matches STRADDLE the restart in both directions: the run-2 point
+    // a@4400 matches the run-1 interval [3900,4500) (interval state must
+    // recover), and the run-2 interval [3950,4100) matches the run-1
+    // point a@4000 (point state must recover)
+    val ptsDir = ndjsonDir(Seq("""{"series":"a","ts":4000,"value":1.0}"""))
+    val ivsDir = Files.createTempDirectory("graft-rjoin-ivs")
+    val ivSchema = "series STRING, w_start LONG, w_end LONG, w_value DOUBLE"
+    Files.write(ivsDir.resolve("a.json"),
+      """{"series":"a","w_start":3900,"w_end":4500,"w_value":10.0}""".getBytes)
+    val ckpt = Files.createTempDirectory("graft-rjoin-ckpt").toString
+    val acc = scala.collection.mutable.ArrayBuffer[Seq[Any]]()
+    def run(): Unit = {
+      val joined = StreamOps.rangeJoin(
+        streamPoints(ptsDir).toDF(),
+        spark.readStream.schema(ivSchema).json(ivsDir.toString),
+        maxDurationSecs = 600L)
+      val q = joined.writeStream.outputMode("append")
+        .option("checkpointLocation", ckpt)
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .foreachBatch { (b: org.apache.spark.sql.DataFrame, _: Long) =>
+          acc.synchronized { acc ++= b.collect().map(_.toSeq) }
+          ()
+        }
+        .start()
+      try { q.awaitTermination(60000); () } finally q.stop()
+    }
+    run()
+    ndjsonDir(Seq("""{"series":"a","ts":4400,"value":2.0}"""), ptsDir, "b.ndjson")
+    Files.write(ivsDir.resolve("b.json"),
+      """{"series":"a","w_start":3950,"w_end":4100,"w_value":20.0}""".getBytes)
+    run()
+    assert(acc.sortBy(r => (r(1).asInstanceOf[Long], r(3).asInstanceOf[Long])).toSeq === Seq(
+      Seq("a", 4000L, 1.0, 3900L, 4500L, 10.0),
+      Seq("a", 4000L, 1.0, 3950L, 4100L, 20.0),
+      Seq("a", 4400L, 2.0, 3900L, 4500L, 10.0)))
+  }
+
   test("streaming tolerance-bounded as-of join matches the batch as-of") {
     import spark.implicits._
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
