@@ -217,6 +217,71 @@ object IvfIndex {
     * Appends accumulate one file per (micro-batch × cell) — run
     * [[compact]] periodically to rewrite multi-file cells.
     */
+  /** Centroid-drift maintenance: re-fit the coarse quantizer over the
+    * CURRENT corpus and rewrite the index under the new cell layout.
+    * [[compact]] merges files but leaves cell centroids frozen at build
+    * time, so after heavy (especially skewed) streaming appends the
+    * partition balance decays — hot cells keep growing (probe cost rises)
+    * and, on a residual index, appended vectors sit far from their stale
+    * centroid so the residual quantization error grows and recall drifts
+    * down. Rebalancing re-runs the fit and RE-ENCODES only; PQ codebooks
+    * stay frozen (the serving contract — one codebook family per index —
+    * so long-lived query LUT caches and comparisons across the rebalance
+    * stay valid; codes are cheap to recompute, books are the contract).
+    *
+    * Needs the raw-vector corpus (the index's own source of truth — a PQ
+    * index stores 4-bit codes, not vectors): pass the same table the
+    * appends were encoded from. Index kind is detected from the layout
+    * (`_books` present ⇒ PQ codes; `residual` says which PQ flavor —
+    * indistinguishable from bytes alone).
+    *
+    * The rewrite lands in a sibling scratch dir and swaps in whole
+    * (park live aside → rename new in → delete old), with the same
+    * died-mid-swap recovery pass as [[compact]] and the same atomicity
+    * scope: crash-safe and reader-invisible on file:///hdfs:// (atomic
+    * directory rename); on object stores quiesce readers around it.
+    * Unlike compact's per-cell swap this one is whole-index — the cell
+    * COUNT and every assignment can change, so there is no meaningful
+    * per-cell increment.
+    *
+    * Returns the new centroid matrix (serve with it from the sidecar as
+    * usual; pre-rebalance centroid arrays still in driver memory are
+    * stale and must not serve against the new layout).
+    */
+  def rebalance(corpus: DataFrame, path: String, nCells: Int = 8,
+      iters: Int = 3, residual: Boolean = false,
+      filesPerCell: Int = 0): Array[Seq[Double]] = {
+    import org.apache.hadoop.fs.{Path => HPath}
+    val spark = corpus.sparkSession
+    val root = new HPath(path)
+    val fs = root.getFileSystem(spark.sessionState.newHadoopConf())
+    def renameOrThrow(src: HPath, dst: HPath): Unit =
+      if (!fs.rename(src, dst))
+        throw new java.io.IOException(s"rebalance: rename $src -> $dst failed")
+    val parent = root.getParent
+    val tmp = new HPath(parent, root.getName + "_rebalance_tmp")
+    val old = new HPath(parent, root.getName + "_rebalance_old")
+    // Recovery: a crash between "live parked aside" and "tmp renamed in"
+    // leaves no live dir — restore the parked index. A leftover old WITH
+    // a live dir is a completed swap whose delete didn't run; drop it.
+    if (fs.exists(old)) {
+      if (!fs.exists(root)) renameOrThrow(old, root)
+      else fs.delete(old, true)
+    }
+    fs.delete(tmp, true) // stale partial rewrite
+    val cs =
+      if (fs.exists(new HPath(root, "_books")))
+        buildPq(corpus, tmp.toString, nCells, iters,
+          books = Some(loadBooks(spark, path)), residual = residual,
+          filesPerCell = filesPerCell)._1
+      else build(corpus, tmp.toString, nCells, iters, filesPerCell)
+    renameOrThrow(root, old)
+    renameOrThrow(tmp, root)
+    fs.delete(old, true)
+    spark.catalog.refreshByPath(path)
+    cs
+  }
+
   def encodeForIndex(emb: DataFrame, cs: Array[Seq[Double]],
       books: Array[Array[Seq[Double]]], residual: Boolean = false): DataFrame = {
     val src = if (residual) Pq.residualCol(col("v"), col("bucket"), cs) else col("v")

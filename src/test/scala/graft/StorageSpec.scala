@@ -295,6 +295,94 @@ class StorageSpec extends AnyFunSuite {
     assert(serve() === before, "serving must be bit-identical after recovery")
   }
 
+  test("IVFPQ rebalance after a skewed append: serving equals a fresh build, balance and recall recover") {
+    import graft.pipeline.IvfIndex
+    val spark2 = spark
+    import spark2.implicits._
+    val emb = spark.read.parquet("/root/testdata/sf0.01/embeddings.parquet")
+    val idx = Files.createTempDirectory("graft-ivfpq-rebal").toString + "/index"
+    // residual index built on the original corpus: residual codes are
+    // where centroid drift actually hurts (codes quantize v − centroid,
+    // so a stale far-away centroid inflates the quantization error)
+    val (cs0, books) = IvfIndex.buildPq(emb, idx, nCells = 8, iters = 2,
+      m = 4, ksub = 16, pqIters = 1, residual = true)
+    // skewed append: a dense off-distribution cluster (every component
+    // shifted +2) — under the stale quantizer it crowds into few cells
+    val shifted = emb.select((col("vec_id") + 100000L).as("vec_id"),
+      transform(col("embedding"), x => x + lit(2.0))
+        .cast("array<float>").as("embedding"),
+      col("label"))
+    IvfIndex.encodeForIndex(shifted, cs0, books, residual = true)
+      .write.mode("append").partitionBy("bucket").parquet(idx)
+    val full = emb.unionByName(shifted)
+    // queries from the shifted region — the regime the stale index hurts
+    val queries = shifted.filter(col("vec_id") < 100010L)
+    val exact = graft.pipeline.Similarity.bruteForceTopK(full, queries, 5)
+      .select("q_id", "vec_id").as[(Long, Long)].collect().groupBy(_._1)
+    def recall(served: Seq[org.apache.spark.sql.Row]): Double = {
+      val byQ = served.map(r => (r.getLong(0), r.getLong(1))).groupBy(_._1)
+      val rs = exact.map { case (q, ex) =>
+        val got = byQ.getOrElse(q, Seq.empty).map(_._2).toSet
+        ex.map(_._2).count(got.contains).toDouble / ex.length
+      }
+      rs.sum / rs.size
+    }
+    def cellSizes(path: String): Seq[Long] =
+      spark.read.parquet(path).groupBy("bucket").count()
+        .collect().map(_.getLong(1)).toSeq
+    def serve(path: String, cs: Array[Seq[Double]]) =
+      IvfIndex.topKPqResidual(spark, path, queries, 5, nprobe = 2, cs, books)
+        .select("q_id", "vec_id").collect().toSeq
+    val skewBefore = cellSizes(idx).max.toDouble / cellSizes(idx).sum
+    val recallBefore = recall(serve(idx, cs0))
+    val cs1 = IvfIndex.rebalance(full, idx, nCells = 8, iters = 2, residual = true)
+    // serving equivalence: the rebalanced index serves exactly what a
+    // fresh build over the current corpus (same frozen books, same
+    // refit centroids) serves
+    val fresh = Files.createTempDirectory("graft-ivfpq-rebal-fresh").toString + "/index"
+    IvfIndex.buildPq(full, fresh, centroids = Some(cs1), books = Some(books),
+      residual = true)
+    val served = IvfIndex.topKPqResidual(spark, idx, queries, 5, nprobe = 2, cs1, books)
+      .orderBy("q_id", "rank").collect().map(_.toSeq).toSeq
+    val freshServed = IvfIndex.topKPqResidual(spark, fresh, queries, 5, nprobe = 2, cs1, books)
+      .orderBy("q_id", "rank").collect().map(_.toSeq).toSeq
+    assert(served === freshServed, "rebalanced index must serve as a fresh build")
+    // the refit splits the crowded region: hot-cell mass strictly drops
+    val skewAfter = cellSizes(idx).max.toDouble / cellSizes(idx).sum
+    assert(skewAfter < skewBefore, f"hot-cell mass $skewBefore%.2f -> $skewAfter%.2f")
+    // and recall at the same nprobe does not degrade (recorded point:
+    // see BASELINE.md round-8 rebalance row)
+    val recallAfter = recall(serve(idx, cs1))
+    assert(recallAfter >= recallBefore,
+      f"recall $recallBefore%.2f -> $recallAfter%.2f must not degrade")
+    info(f"recall@5 nprobe=2: before $recallBefore%.3f after $recallAfter%.3f; " +
+      f"hot-cell mass before $skewBefore%.3f after $skewAfter%.3f")
+  }
+
+  test("IVFPQ rebalance recovers a died-mid-swap index") {
+    import graft.pipeline.IvfIndex
+    val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    val base = Files.createTempDirectory("graft-ivfpq-rebal-crash").toString
+    val idx = base + "/index"
+    val (cs0, books) = IvfIndex.buildPq(emb, idx, nCells = 4, iters = 2,
+      m = 4, ksub = 16, pqIters = 1)
+    def serve(cs: Array[Seq[Double]]) =
+      IvfIndex.topKPq(spark, idx, emb.filter(col("vec_id") < 5), 5, nprobe = 2,
+          centroids = Some(cs), books = Some(books))
+        .orderBy("q_id", "rank").collect().map(_.toSeq).toSeq
+    val before = serve(cs0)
+    // simulate a rebalance that died between "live parked aside" and
+    // "tmp renamed in": the whole index sits in _rebalance_old
+    assert(new java.io.File(idx).renameTo(new java.io.File(base, "index_rebalance_old")))
+    val cs1 = IvfIndex.rebalance(emb, idx, nCells = 4, iters = 2)
+    assert(serve(cs1).nonEmpty)
+    assert(!new java.io.File(base, "index_rebalance_old").exists(), "scratch cleared")
+    assert(!new java.io.File(base, "index_rebalance_tmp").exists(), "scratch cleared")
+    // same corpus, same fit params -> same centroids; serving unchanged
+    assert(cs1.toSeq === cs0.toSeq)
+    assert(serve(cs1) === before)
+  }
+
   test("snapshot copies a queryable store") {
     val store = new SeriesStore(spark, tmp())
     Ingest.batch(store, writeNdjson(Seq("""{"series":"m","ts":100,"value":1.0}""")))
