@@ -136,6 +136,16 @@ object PgProtocol {
     out.write(0)
   }
 
+  /** 'G' CopyInResponse: overall format 0 (text — per-row messages are
+    * still opaque bytes to the protocol layer; the server parses rows),
+    * then a zero (text) format code per column.
+    */
+  def writeCopyInResponse(out: DataOutputStream, nCols: Int): Unit = {
+    out.write('G'); out.writeInt(4 + 1 + 2 + 2 * nCols)
+    out.write(0); out.writeShort(nCols)
+    (0 until nCols).foreach(_ => out.writeShort(0))
+  }
+
   /** 'T' row description from a Spark schema (`server.zig:320-353`): per
     * column name\0, table oid 0, attnum 0, type oid, typlen, typmod -1,
     * text format 0. Unlike the reference (which tags every column with the

@@ -5,7 +5,7 @@ import java.net.{InetSocketAddress, ServerSocket, Socket, SocketException}
 import java.nio.charset.StandardCharsets.UTF_8
 import java.util.concurrent.Executors
 
-import graft.storage.SeriesStore
+import graft.storage.{Ingest, SeriesStore}
 import graft.sydraql.{CompileOptions, Engine, QueryError}
 import org.apache.spark.sql.DataFrame
 
@@ -159,7 +159,7 @@ final class PgWireServer(store: SeriesStore, maxRows: Int = Int.MaxValue) {
         // Sync is discarded — including simple Query and unknown types
         case _ if st.errorUntilSync => ()
         case 'Q' =>
-          handleSimpleQuery(out, payload)
+          handleSimpleQuery(in, out, payload)
         case 'H' => () // Flush — output flushes after every message below
         case 'P' => handleParse(out, payload, st)
         case 'B' => handleBind(out, payload, st)
@@ -195,12 +195,20 @@ final class PgWireServer(store: SeriesStore, maxRows: Int = Int.MaxValue) {
   }
 
   /** server.zig:139-182. */
-  private def handleSimpleQuery(out: DataOutputStream, payload: Array[Byte]): Unit = {
+  private def handleSimpleQuery(in: DataInputStream, out: DataOutputStream, payload: Array[Byte]): Unit = {
     val sql = cString(payload).trim
     if (sql.isEmpty) {
       writeEmptyQueryResponse(out)
       writeReadyForQuery(out)
       return
+    }
+    CopyCommand.parse(sql) match {
+      case Some(Right(cmd)) => handleCopyIn(in, out, cmd); return
+      case Some(Left(msg)) =>
+        writeErrorResponse(out, "ERROR", SqlState.SyntaxError, msg)
+        writeReadyForQuery(out)
+        return
+      case None => ()
     }
     shimTag(sql) match {
       case Some(tag) =>
@@ -229,6 +237,124 @@ final class PgWireServer(store: SeriesStore, maxRows: Int = Int.MaxValue) {
         writeErrorResponse(out, "ERROR", state, if (msg.isEmpty) "translation failed" else msg)
         writeReadyForQuery(out)
     }
+  }
+
+  // ------------------------------------------------------------ COPY ingest
+
+  /** `COPY <series> [(time, value)] FROM STDIN [CSV [HEADER] | WITH
+    * (FORMAT csv|text [, HEADER])]` — the bulk-ingest surface a real
+    * psql/JDBC ETL job reaches for (`\copy`, CopyManager). The reference
+    * declines the extended protocol entirely and has no COPY; here it
+    * maps onto the canonical NDJSON ingest path: rows parse to
+    * `{series, ts, value}` lines and run through [[Ingest.batch]] —
+    * same normalization, same store append, same hour-partitioned
+    * segment write as every other ingest route.
+    *
+    * Wire shape per the protocol: CopyInResponse, then `CopyData`
+    * messages accumulate until `CopyDone` (ingest + `COPY n`) or
+    * `CopyFail` (error 57014, nothing ingested). A malformed row fails
+    * the whole COPY (22P02) — PostgreSQL semantics, no partial batch.
+    * The table name is the SERIES (exactly as wire INSERT), so text rows
+    * are `time<TAB>value` (`\N` null) and CSV rows `time,value`; a
+    * trailing `\.` terminator line is tolerated. Null/absent value
+    * defaults like every ingest route (0.0); null time drops the row in
+    * normalize, and `COPY n` reports rows INGESTED, not rows sent.
+    *
+    * Driver-memory note: the batch accumulates on the connection thread
+    * (bounded by MaxMessageSize per CopyData frame, 16 MiB, but not in
+    * total) before one Ingest.batch call — the wire is a single socket,
+    * so a 100 TB-scale backfill belongs on the distributed NDJSON/CSV
+    * directory routes; COPY is the driver-friendly operational surface.
+    */
+  private def handleCopyIn(in: DataInputStream, out: DataOutputStream,
+      cmd: CopyCommand): Unit = {
+    writeCopyInResponse(out, cmd.cols.length)
+    out.flush()
+    val buf = new java.io.ByteArrayOutputStream()
+    var failed: Option[(String, String)] = None // (sqlstate, message)
+    var done = false
+    while (!done) {
+      val typeByte =
+        try in.readByte()
+        catch { case _: EOFException => return }
+      val messageLength = in.readInt()
+      if (messageLength < 4) return
+      val payloadLen = messageLength - 4
+      if (payloadLen > MaxMessageSize) return
+      val payload = new Array[Byte](payloadLen)
+      in.readFully(payload)
+      typeByte.toChar match {
+        case 'd' => if (failed.isEmpty) buf.write(payload)
+        case 'c' => done = true
+        case 'f' =>
+          failed = Some((SqlState.QueryCanceled,
+            s"COPY from stdin failed: ${cString(payload)}"))
+          done = true
+        case 'X' => return
+        case 'H' | 'S' => () // Flush/Sync mid-copy: no-ops per protocol
+        case other =>
+          // keep draining so the stream stays framed; fail at the end
+          if (failed.isEmpty)
+            failed = Some((SqlState.ProtocolViolation,
+              s"unexpected message '$other' during COPY"))
+      }
+    }
+    val result = failed.toLeft(()).flatMap { _ =>
+      try Right(copyIngest(cmd, buf.toByteArray))
+      catch {
+        case e: CopyRowError => Left((SqlState.InvalidTextRepresentation, e.getMessage))
+        case e: Throwable => Left((SqlState.InternalError, String.valueOf(e.getMessage)))
+      }
+    }
+    result match {
+      case Right(n) => writeCommandComplete(out, s"COPY $n")
+      case Left((state, msg)) => writeErrorResponse(out, "ERROR", state, msg)
+    }
+    writeReadyForQuery(out)
+  }
+
+  private final class CopyRowError(msg: String) extends RuntimeException(msg)
+
+  /** Parse accumulated COPY rows and run them through the NDJSON ingest
+    * path. Returns rows ingested.
+    */
+  private def copyIngest(cmd: CopyCommand, data: Array[Byte]): Long = {
+    val text = new String(data, UTF_8)
+    val raw = text.split("\n", -1).iterator.map(_.stripSuffix("\r"))
+      .filter(_.nonEmpty).filterNot(_ == "\\.").toSeq
+    val lines = if (cmd.header) raw.drop(1) else raw
+    val sep = if (cmd.csv) ',' else '\t'
+    val ti = cmd.cols.indexOf("time")
+    val vi = cmd.cols.indexOf("value")
+    def unquote(f: String): String = {
+      val t = f.trim
+      if (cmd.csv && t.length >= 2 && t.startsWith("\"") && t.endsWith("\""))
+        t.substring(1, t.length - 1).replace("\"\"", "\"")
+      else t
+    }
+    def isNull(f: String): Boolean =
+      if (cmd.csv) f.isEmpty else f == "\\N"
+    val jsonSeries = cmd.series.replace("\\", "\\\\").replace("\"", "\\\"")
+    val ndjson = lines.map { line =>
+      val fields = line.split(sep.toString, -1).map(unquote)
+      if (fields.length != cmd.cols.length)
+        throw new CopyRowError(
+          s"row has ${fields.length} columns, expected ${cmd.cols.length}: $line")
+      def num(i: Int, what: String): Option[String] = {
+        val f = fields(i)
+        if (isNull(f)) None
+        else if (f.matches("-?\\d+(\\.\\d+)?([eE][+-]?\\d+)?")) Some(f)
+        else throw new CopyRowError(s"invalid $what: '$f'")
+      }
+      val ts = num(ti, "time").map(t => s""""ts":${t.takeWhile(_ != '.')}""")
+      val v = num(vi, "value").map(v => s""""value":$v""")
+      (Seq(s""""series":"$jsonSeries"""") ++ ts ++ v).mkString("{", ",", "}")
+    }
+    val tmp = java.nio.file.Files.createTempFile("graft-copy", ".ndjson")
+    try {
+      java.nio.file.Files.write(tmp, ndjson.mkString("\n").getBytes(UTF_8))
+      Ingest.batch(store, tmp.toString)
+    } finally { java.nio.file.Files.delete(tmp); () }
   }
 
   // ------------------------------------------------------ extended protocol
@@ -620,5 +746,43 @@ final class PgWireServer(store: SeriesStore, maxRows: Int = Int.MaxValue) {
   private def cString(payload: Array[Byte]): String = {
     val end = payload.indexOf(0.toByte)
     new String(payload, 0, if (end < 0) payload.length else end, UTF_8)
+  }
+}
+
+/** Parsed `COPY ... FROM STDIN` form: target series, column order, and
+  * the two options this surface speaks (CSV vs text rows, HEADER skip).
+  */
+private[api] final case class CopyCommand(
+    series: String, cols: Seq[String], csv: Boolean, header: Boolean)
+
+private[api] object CopyCommand {
+  private val Pattern =
+    ("(?is)^COPY\\s+(\"[^\"]+\"|[A-Za-z_][\\w.]*)\\s*" +
+      "(?:\\(([^)]*)\\))?\\s*FROM\\s+STDIN\\s*(.*)$").r
+
+  /** None: not a COPY statement. Some(Left): a COPY this surface cannot
+    * run (COPY TO, unknown columns). Some(Right): runnable command.
+    */
+  def parse(sql: String): Option[Either[String, CopyCommand]] = {
+    val s = sql.trim.stripSuffix(";").trim
+    if (!s.toUpperCase.startsWith("COPY")) return None
+    s match {
+      case Pattern(name, colsRaw, rest) =>
+        val series =
+          if (name.startsWith("\"")) name.substring(1, name.length - 1) else name
+        val cols = Option(colsRaw)
+          .map(_.split(',').map(_.trim.toLowerCase).filter(_.nonEmpty).toSeq)
+          .getOrElse(Seq("time", "value"))
+        if (cols.sorted != Seq("time", "value"))
+          Some(Left(s"COPY supports columns (time, value); got (${cols.mkString(", ")})"))
+        else {
+          val o = rest.trim.toUpperCase
+          Some(Right(CopyCommand(series, cols,
+            csv = o.contains("CSV"), header = o.contains("HEADER"))))
+        }
+      case _ =>
+        Some(Left("unsupported COPY form; expected " +
+          "COPY <series> [(time, value)] FROM STDIN [CSV [HEADER]]"))
+    }
   }
 }

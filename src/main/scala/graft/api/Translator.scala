@@ -101,6 +101,8 @@ object SqlState {
   val InsufficientPrivilege = "42501"
   val InternalError = "XX000"
   val OperatorIntervention = "57000"
+  val QueryCanceled = "57014"
+  val InvalidTextRepresentation = "22P02"
 
   /** Map engine QueryError codes onto SQLSTATE. */
   def fromQueryError(code: String): String = code match {

@@ -496,6 +496,75 @@ class PgWireSpec extends AnyFunSuite with BeforeAndAfterAll {
     } finally ec.shutdown()
   }
 
+  test("COPY FROM STDIN round-trip: text, CSV+HEADER, CopyFail, malformed row") {
+    val c = new Client
+    c.handshake("user" -> "sydra")
+    def sendCopyData(s: String): Unit = {
+      val b = s.getBytes(UTF_8)
+      c.out.write('d'); c.out.writeInt(4 + b.length); c.out.write(b); c.out.flush()
+    }
+    def sendCopyDone(): Unit = { c.out.write('c'); c.out.writeInt(4); c.out.flush() }
+    def sendCopyFail(msg: String): Unit = {
+      val b = msg.getBytes(UTF_8)
+      c.out.write('f'); c.out.writeInt(4 + b.length + 1); c.out.write(b); c.out.write(0)
+      c.out.flush()
+    }
+
+    // text format, default (time, value) order, \N value → ingest default
+    // 0.0, data split across two CopyData frames mid-row
+    c.sendQuery("COPY copied FROM STDIN")
+    val (g, gp) = c.readMessage()
+    assert(g === 'G')
+    assert(gp(0) === 0 && ((gp(1) & 0xff) << 8 | (gp(2) & 0xff)) === 2, "text overall, 2 cols")
+    sendCopyData("100\t1.5\n20")
+    sendCopyData("0\t\\N\n300\t2.5\n\\.\n")
+    sendCopyDone()
+    val done = c.readUntilReady()
+    assert(cStr(done.find(_._1 == 'C').get._2) === "COPY 3")
+    c.sendQuery("SELECT time, value FROM copied WHERE time >= 0 AND time < 1000")
+    val rows = c.readUntilReady().filter(_._1 == 'D').map(m => parseDataRow(m._2))
+    assert(rows === Vector(
+      Seq(Some("100"), Some("1.5")), Seq(Some("200"), Some("0")),
+      Seq(Some("300"), Some("2.5"))))
+
+    // CSV with header and reversed column order
+    c.sendQuery("COPY copied2 (value, time) FROM STDIN CSV HEADER")
+    assert(c.readMessage()._1 === 'G')
+    sendCopyData("value,time\n9.25,400\n,500\n")
+    sendCopyDone()
+    assert(cStr(c.readUntilReady().find(_._1 == 'C').get._2) === "COPY 2")
+    c.sendQuery("SELECT time, value FROM copied2 WHERE time >= 0 AND time < 1000")
+    val rows2 = c.readUntilReady().filter(_._1 == 'D').map(m => parseDataRow(m._2))
+    assert(rows2 === Vector(Seq(Some("400"), Some("9.25")), Seq(Some("500"), Some("0"))))
+
+    // CopyFail: nothing ingested, error carries 57014, connection usable
+    c.sendQuery("COPY copied3 FROM STDIN")
+    assert(c.readMessage()._1 === 'G')
+    sendCopyData("700\t1.0\n")
+    sendCopyFail("client aborted")
+    val failed = c.readUntilReady()
+    assert(parseError(failed.find(_._1 == 'E').get._2)('C') === "57014")
+    c.sendQuery("SELECT count(value) FROM copied3 WHERE time >= 0 AND time < 1000")
+    val cnt = c.readUntilReady().filter(_._1 == 'D').map(m => parseDataRow(m._2))
+    assert(cnt === Vector(Seq(Some("0"))))
+
+    // malformed row: whole COPY rejected (22P02), nothing ingested
+    c.sendQuery("COPY copied4 FROM STDIN")
+    assert(c.readMessage()._1 === 'G')
+    sendCopyData("800\tnot-a-number\n")
+    sendCopyDone()
+    val bad = c.readUntilReady()
+    assert(parseError(bad.find(_._1 == 'E').get._2)('C') === "22P02")
+    c.sendQuery("SELECT count(value) FROM copied4 WHERE time >= 0 AND time < 1000")
+    val cnt4 = c.readUntilReady().filter(_._1 == 'D').map(m => parseDataRow(m._2))
+    assert(cnt4 === Vector(Seq(Some("0"))))
+
+    // unsupported forms answer with errors, not hangs
+    c.sendQuery("COPY copied (series, value) FROM STDIN")
+    assert(parseError(c.readUntilReady().find(_._1 == 'E').get._2)('C') === "42601")
+    c.close()
+  }
+
   test("terminate ('X') closes the connection") {
     val c = new Client
     c.handshake("user" -> "sydra")
