@@ -18,6 +18,10 @@ object StreamOps {
 
   final case class SeriesPoint(series: String, time: Long, value: Double)
   final case class SeriesEma(series: String, ema: Double, n: Long)
+  final case class TimedPoint(series: String, time: Long, value: Double,
+      event_time: java.sql.Timestamp)
+  final case class LastSeen(lastSeen: Long)
+  final case class DarkAlert(series: String, last_seen: Long, dark_since: Long)
 
   /** Tumbling-window aggregates with a watermark: late points beyond
     * `watermarkDelay` are dropped (in append mode) instead of growing
@@ -295,6 +299,68 @@ object StreamOps {
       .agg(count(lit(1)).as("doc_freq"))
       .select(col("window.start").cast("long").as("window_start"),
         col("word"), col("doc_freq"))
+
+  /** Streaming full-absence detection — the live twin of
+    * [[graft.operators.Alerts.gapsWithSpine]]'s dark-window reporting and
+    * the true Prometheus `absent()` shape: emit ONE alert per dark
+    * episode, when a series that has been seen before produces no point
+    * for `forBuckets × step` seconds of EVENT time. Absence cannot fall
+    * out of an aggregation (there is no row to aggregate); it needs
+    * per-key state plus a clock, which is exactly
+    * `flatMapGroupsWithState` with an EVENT-TIME timeout: state carries
+    * the series' latest seen time, the timeout arms at
+    * `last_seen + forBuckets·step`, and the WATERMARK passing that mark
+    * — not wall clock, so replays/backfills behave identically — fires
+    * the alert. Firing removes the state, so a returning series starts a
+    * fresh episode (and its next point re-arms detection); a series dark
+    * forever alerts exactly once.
+    *
+    * Scale shape: state is one (series → long) entry per live series —
+    * the natural shard key, O(1) per point, eviction by firing. Output:
+    * (series, last_seen, dark_since = last_seen + forBuckets·step).
+    *
+    * Late data past the watermark can arrive in the same micro-batch as
+    * an already-due timeout; the data branch fires the overdue alert
+    * inline (arming a timeout at-or-before the current watermark is an
+    * error by API contract).
+    */
+  def darkSeries(
+      spark: SparkSession,
+      points: DataFrame,
+      step: Long,
+      forBuckets: Int,
+      watermarkDelay: String = "10 minutes"): Dataset[DarkAlert] = {
+    import spark.implicits._
+    require(step > 0 && forBuckets >= 1, "dark-series detection needs a positive horizon")
+    val horizon = step * forBuckets
+    points.select(col("series"), col("time").cast("long"), col("value").cast("double"))
+      .withColumn("event_time", col("time").cast("timestamp"))
+      .withWatermark("event_time", watermarkDelay)
+      .as[TimedPoint]
+      .groupByKey(_.series)
+      .flatMapGroupsWithState[LastSeen, DarkAlert](
+        OutputMode.Append, GroupStateTimeout.EventTimeTimeout) {
+        (series: String, it: Iterator[TimedPoint], state: GroupState[LastSeen]) =>
+          if (state.hasTimedOut) {
+            val ls = state.get
+            state.remove()
+            Iterator.single(DarkAlert(series, ls.lastSeen, ls.lastSeen + horizon))
+          } else {
+            val maxT = it.map(_.time).max
+            val last = math.max(state.getOption.map(_.lastSeen).getOrElse(Long.MinValue), maxT)
+            val due = (last + horizon) * 1000
+            if (state.getCurrentWatermarkMs() >= due) {
+              // the episode is ALREADY over by event time: fire inline
+              state.remove()
+              Iterator.single(DarkAlert(series, last, last + horizon))
+            } else {
+              state.update(LastSeen(last))
+              state.setTimeoutTimestamp(due)
+              Iterator.empty
+            }
+          }
+      }
+  }
 
   /** Per-series running EMA as custom keyed state
     * (`flatMapGroupsWithState`): state = (ema, n); each batch folds its

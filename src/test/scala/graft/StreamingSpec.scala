@@ -400,6 +400,70 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("dark-series detection fires once per episode and re-arms when the series returns") {
+    import spark.implicits._
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val ms = MemoryStream[(String, Long, Double)]
+    // step 600 × forBuckets 3 → a series is dark 1800 s after its last
+    // point; watermark delay 0 so the sentinel advances time directly
+    val dark = StreamOps.darkSeries(spark,
+      ms.toDF().toDF("series", "time", "value"), 600L, 3, watermarkDelay = "0 seconds")
+    assert(dark.isStreaming)
+    val q = dark.writeStream.outputMode("append").format("memory")
+      .queryName("darkq").start()
+    try {
+      // a seen at 1000 then silent; b keeps emitting past a's horizon
+      ms.addData(Seq(("a", 1000L, 1.0), ("b", 1000L, 1.0)))
+      q.processAllAvailable()
+      ms.addData(Seq(("b", 2200L, 1.0))); q.processAllAvailable()
+      ms.addData(Seq(("b", 3000L, 1.0))); q.processAllAvailable() // watermark 3000 > 2800
+      val first = spark.sql("select series, last_seen, dark_since from darkq order by series")
+        .collect().map(_.toSeq).toSeq
+      assert(first === Seq(Seq("a", 1000L, 2800L)), s"only a goes dark: $first")
+      // a returns → state re-arms → a second silence fires a SECOND episode
+      ms.addData(Seq(("a", 3100L, 2.0))); q.processAllAvailable()
+      ms.addData(Seq(("b", 5000L, 1.0))); q.processAllAvailable() // watermark 5000 > 4900
+      val second = spark.sql("select series, last_seen, dark_since from darkq order by last_seen")
+        .collect().map(_.toSeq).toSeq
+      assert(second === Seq(
+        Seq("a", 1000L, 2800L),
+        Seq("a", 3100L, 4900L)), s"returning series re-arms: $second")
+      // b was never silent for 1800 s of event time → no b alert
+      assert(!second.exists(_.head == "b"))
+    } finally q.stop()
+  }
+
+  test("dark-series state and timeout recover across a checkpointed restart") {
+    // a's last point and the watermark that overtakes its horizon are in
+    // DIFFERENT runs: the alert exists only if the (series → last_seen)
+    // state AND the armed event-time timeout survive the checkpoint
+    val d = ndjsonDir(Seq(
+      """{"series":"a","ts":86400,"value":1.0}""",
+      """{"series":"b","ts":86400,"value":1.0}"""))
+    val ckpt = Files.createTempDirectory("graft-dark-ckpt").toString
+    val acc = scala.collection.mutable.ArrayBuffer[(String, Long, Long)]()
+    def run(): Unit = {
+      val dark = StreamOps.darkSeries(spark, streamPoints(d).toDF(), 600L, 3,
+        watermarkDelay = "0 seconds")
+      val q = dark.writeStream.outputMode("append")
+        .option("checkpointLocation", ckpt)
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .foreachBatch { (b: org.apache.spark.sql.Dataset[StreamOps.DarkAlert], _: Long) =>
+          acc.synchronized { acc ++= b.collect().map(a => (a.series, a.last_seen, a.dark_since)) }
+          ()
+        }
+        .start()
+      try { q.awaitTermination(60000); () } finally q.stop()
+    }
+    run()
+    assert(acc.isEmpty, "nothing is dark inside the first run")
+    // second run: only b advances the watermark past a's 86400+1800 horizon
+    ndjsonDir(Seq("""{"series":"b","ts":90000,"value":1.0}"""), d, "b.ndjson")
+    run()
+    assert(acc.toSeq === Seq(("a", 86400L, 88200L)))
+  }
+
   test("streaming alert firing ticks match the batch for-duration episodes") {
     import spark.implicits._
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
