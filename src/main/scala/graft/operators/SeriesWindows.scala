@@ -210,6 +210,44 @@ object SeriesWindows {
       when(sig > 0, (v - mu) / sig)
     }
 
+  /** Exact rolling quantile over the trailing `k` bucket slots of an
+    * ALREADY BUCKETED frame (one row per (keys, bucket) — the rollup
+    * aggregate upstream, the same post-rollup stance as [[graft.operators.Alerts]]):
+    * for every present bucket, the interpolated `q`-quantile of the
+    * values at buckets `{b, b−step, …, b−(k−1)·step}` that exist —
+    * rolling median (q = 0.5) is the robust trend line dashboards and
+    * data-quality monitors want where a moving AVERAGE chases outliers.
+    *
+    * An exact quantile has no distributive window form (Spark has no
+    * `percentile(...) OVER`; a `collect_list` window would buffer whole
+    * partitions), so this is a bounded SELF-JOIN instead: each target
+    * bucket explodes to its k lookup slots, an equi-join on
+    * (keys, slot) pulls the ≤ k contributing rows — the right side is
+    * unique per (keys, bucket), so no blowup — and one hash aggregate
+    * folds the exact quantile per target. Work is k× the post-rollup row
+    * count with bounded group size k, shuffled on the same (keys, bucket)
+    * family as the rollup itself; no window, no per-key state, k is a
+    * small query literal. Partial leading windows use the buckets that
+    * exist, exactly like a RANGE frame.
+    */
+  def rollingQuantile(df: DataFrame, out: String, keys: Seq[String],
+      bucketCol: String, valueCol: String, step: Long, k: Int,
+      q: Double): DataFrame = {
+    require(step > 0 && k >= 1, "rolling quantile needs a positive window")
+    require(q >= 0.0 && q <= 1.0, "quantile must be in [0, 1]")
+    val kc = keys.map(col)
+    val b = col(bucketCol)
+    val lookups = df.select(kc :+ b.cast("long").as("__tb"): _*)
+      .withColumn("__lb",
+        explode(sequence(col("__tb") - (k - 1) * step, col("__tb"), lit(step))))
+    val src = df.select(
+      kc ++ Seq(b.cast("long").as("__lb"), col(valueCol).as("__v")): _*)
+    lookups.join(src, keys :+ "__lb")
+      .groupBy(kc :+ col("__tb").as(bucketCol): _*)
+      .agg(percentile(col("__v"), lit(q)).as(out),
+        count(lit(1)).as(s"${out}_n"))
+  }
+
   /** Final `ema(alpha)` value per key combination (one row per key; ONE
     * row total when `keys` is empty), over each key's points in
     * (time, value) order.

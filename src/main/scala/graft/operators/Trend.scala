@@ -88,6 +88,38 @@ object Trend {
       when(col("n") >= 2 && vx > 0 && vy > 0, cov / sqrt(vx * vy)).as("corr")): _*)
   }
 
+  /** Cross-correlation function per key group: [[pearson]] of
+    * (x at bucket b, y at bucket b + lag·step) for EVERY lag in
+    * [−maxLag, maxLag] — the lead/lag detector ("purchases trail clicks
+    * by how many buckets?": the argmax lag of the returned curve). Input
+    * is the ALIGNED bucketed frame (one row per (keys, bucket) carrying
+    * both x and y, nulls where a side is absent — same shape [[pearson]]
+    * takes); output one row per (keys…, lag) with (n, corr).
+    *
+    * Scale shape: the y side explodes to its 2·maxLag+1 shifted copies
+    * (a small query literal), one equi-join on (keys, bucket) pulls the
+    * pairs — x unique per (keys, bucket), no blowup — and the moment
+    * aggregate keyed by (keys, lag) folds O(1) state per lag. No window,
+    * no per-key series materialization; the same pre-rounding discipline
+    * as [[pearson]] applies to x/y.
+    */
+  def crossCorrelation(df: DataFrame, keys: Seq[String], bucketCol: String,
+      xCol: String, yCol: String, step: Long, maxLag: Int): DataFrame = {
+    require(step > 0 && maxLag >= 0, "cross-correlation needs a positive step")
+    val kc = keys.map(col)
+    val x = df.select(kc ++ Seq(col(bucketCol).cast("long").as("__b"),
+        col(xCol).as("__x")): _*)
+      .filter(col("__x").isNotNull)
+    val y = df.select(kc ++ Seq(col(bucketCol).cast("long").as("__yb"),
+        col(yCol).as("__y")): _*)
+      .filter(col("__y").isNotNull)
+      .withColumn("lag", explode(sequence(lit(-maxLag), lit(maxLag))))
+      .withColumn("__b", col("__yb") - col("lag") * step)
+    pearson(
+      x.join(y, keys :+ "__b").withColumnRenamed("__x", "x").withColumnRenamed("__y", "y"),
+      keys :+ "lag", "x", "y")
+  }
+
   /** CUSUM changepoint scan per key group: the running sum of deviations
     * from the group mean, S_i = Σ_{j≤i} (v_j − μ), peaks in magnitude at
     * the point where the level shifts — the classic offline CUSUM

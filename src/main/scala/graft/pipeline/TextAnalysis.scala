@@ -101,6 +101,29 @@ object TextAnalysis {
       regexp_count(col("text"), lit(TokenPattern)).cast("long").as("n_tokens"),
       (floor((length(regexp_replace(col("text"), "\\s+", "")).cast("double") / size(col("__w"))) * 1e4 + 0.5) / 1e4).as("avg_word_len"))
 
+  /** Per-document unigram Shannon entropy (nats) — the repetitiveness/
+    * degeneracy signal quality filters threshold on (low entropy = boiler
+    * plate, keyboard mash, or a single token repeated; the CCNet/Gopher
+    * rule family): H = ln(n) − (Σ c·ln c)/n over whitespace-token counts
+    * c, algebraically identical to −Σ p·ln p but folding ln of INTEGER
+    * counts only — the same engine-portable float discipline as the
+    * moments in [[graft.operators.SeriesWindows.movingZScore]].
+    *
+    * Scale shape: explode → count per (doc, token) → fold per doc; both
+    * aggregates are partial+final hash aggs keyed on the doc family, no
+    * window, no token list ever materializes per doc. Docs with zero
+    * tokens vanish with the explode (nothing to measure), matching the
+    * oracle's unnest.
+    */
+  def tokenEntropy(docs: DataFrame): DataFrame =
+    spread(docs).select(col("doc_id"), explode(words(col("text"))).as("__word"))
+      .groupBy("doc_id", "__word").agg(count(lit(1)).as("__c"))
+      .groupBy("doc_id").agg(
+        sum(col("__c")).as("n_words"),
+        (floor((log(sum(col("__c")).cast("double")) -
+          sum(col("__c").cast("double") * log(col("__c").cast("double"))) /
+            sum(col("__c")).cast("double")) * 1e4 + 0.5) / 1e4).as("entropy"))
+
   // Tiny fixed stopword lexicons (public-knowledge function words).
   val Lexicons: Seq[(String, Seq[String])] = Seq(
     "en" -> Seq("the", "and", "of", "to", "in", "is", "it", "for", "on", "with", "a"),

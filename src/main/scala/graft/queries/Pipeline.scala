@@ -415,6 +415,22 @@ object Pipeline {
               |FROM words ORDER BY doc_id""".stripMargin),
       bench = true),
 
+    // Unigram entropy (nats) — the repetitiveness quality signal: low
+    // entropy = boilerplate/degenerate text. Integer-count ln folds only
+    // (H = ln n − Σ c·ln c / n), so both engines compute identical
+    // floats from identical integers.
+    Q("q_pl_entropy",
+      (s, dir) => TextAnalysis.tokenEntropy(Tables.documents(s, dir)).orderBy("doc_id"),
+      Some(s"""WITH $wordsCte,
+              |t AS (SELECT doc_id, unnest(w) AS word FROM words),
+              |c AS (SELECT doc_id, word, count(*) AS c FROM t GROUP BY 1, 2),
+              |e AS (SELECT doc_id, CAST(sum(c) AS BIGINT) AS n_words,
+              |             sum(c * ln(c)) AS s FROM c GROUP BY 1)
+              |SELECT doc_id, n_words,
+              |       floor((ln(n_words) - s / n_words) * 1e4 + 0.5) / 1e4 AS entropy
+              |FROM e ORDER BY doc_id""".stripMargin),
+      benchExtra = true),
+
     Q("q_pl_lang_id",
       (s, dir) => TextAnalysis.langId(Tables.documents(s, dir)).orderBy("doc_id"),
       Some(s"""WITH $wordsCte, $langScoredCte

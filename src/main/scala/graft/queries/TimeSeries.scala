@@ -747,6 +747,51 @@ object TimeSeries {
               |FROM m ORDER BY tag_user""".stripMargin),
       benchExtra = true),
 
+    // Cross-correlation function: q_ts_corr's click/purchase pair at
+    // EVERY lag in ±2 hours — the lead/lag detector (argmax lag of the
+    // curve). Same pre-rounded averages, same explicit-moment corr; the
+    // oracle replays the lag expansion with a generate_series cross join.
+    Q("q_ts_xcorr",
+      (s, dir) => {
+        val b = ev(s, dir).filter(col("time") >= T0 && col("time") < T1)
+          .groupBy(col("tag_user"), F.timeBucket(lit(3600), col("time")).as("bucket"))
+          .agg(
+            (floor(avg(when(col("series") === "click", col("value"))) * 1e4 + 0.5) / 1e4).as("x"),
+            (floor(avg(when(col("series") === "purchase", col("value"))) * 1e4 + 0.5) / 1e4).as("y"))
+        graft.operators.Trend.crossCorrelation(b, Seq("tag_user"), "bucket",
+            "x", "y", 3600L, maxLag = 2)
+          .select(col("tag_user"), col("lag"), col("n"),
+            (floor(col("corr") * 1e4 + 0.5) / 1e4).as("corr"))
+          .orderBy("tag_user", "lag")
+      },
+      Some(s"""$svSql,
+              |b AS (
+              |  SELECT tag_user, CAST(floor(time / 3600.0) AS BIGINT) * 3600 AS bucket,
+              |         floor(avg(CASE WHEN series = 'click' THEN value END) * 1e4 + 0.5) / 1e4 AS x,
+              |         floor(avg(CASE WHEN series = 'purchase' THEN value END) * 1e4 + 0.5) / 1e4 AS y
+              |  FROM sv WHERE time >= $T0 AND time < $T1
+              |  GROUP BY tag_user, bucket
+              |),
+              |lags AS (SELECT unnest(generate_series(-2, 2)) AS lag),
+              |p AS (
+              |  SELECT bx.tag_user, l.lag, bx.x, by.y
+              |  FROM b bx JOIN lags l ON true
+              |  JOIN b by ON by.tag_user = bx.tag_user
+              |           AND by.bucket = bx.bucket + l.lag * 3600
+              |  WHERE bx.x IS NOT NULL AND by.y IS NOT NULL
+              |),
+              |m AS (
+              |  SELECT tag_user, lag, count(*) AS n, sum(x) AS sx, sum(y) AS sy,
+              |         sum(x*x) AS sxx, sum(y*y) AS syy, sum(x*y) AS sxy
+              |  FROM p GROUP BY 1, 2
+              |)
+              |SELECT tag_user, lag, n,
+              |       floor(CASE WHEN n >= 2 AND n*sxx - sx*sx > 0 AND n*syy - sy*sy > 0
+              |                  THEN (n*sxy - sx*sy) / sqrt((n*sxx - sx*sx) * (n*syy - sy*sy))
+              |             END * 1e4 + 0.5) / 1e4 AS corr
+              |FROM m ORDER BY tag_user, lag""".stripMargin),
+      benchExtra = true),
+
     // Alert expressions (the reference's language-goal item): hourly avg
     // above 50 for >= 3 consecutive hours per series — firing episodes
     // via the integer gaps-and-islands identity, condition on rounded
@@ -854,6 +899,34 @@ object TimeSeries {
               |FROM spine s LEFT JOIN g
               |  ON s.series = g.series AND s.window_start = g.window_start
               |ORDER BY 1, 2""".stripMargin),
+      benchExtra = true),
+
+    // Rolling exact median over the trailing 5 hourly buckets — the
+    // robust trend line (a moving AVERAGE chases outliers; the median
+    // doesn't). No quantile window in Spark → bounded k-slot self-join
+    // (SeriesWindows.rollingQuantile); the oracle replays it as a RANGE
+    // frame quantile_cont window.
+    Q("q_ts_rolling_median",
+      (s, dir) => {
+        val b = ev(s, dir).filter(col("time") >= T0 && col("time") < T1)
+          .groupBy(col("series"), F.timeBucket(lit(3600), col("time")).as("bucket"))
+          .agg((floor(avg(col("value")) * 1e4 + 0.5) / 1e4).as("v"))
+        graft.operators.SeriesWindows.rollingQuantile(b, "med", Seq("series"),
+            "bucket", "v", 3600L, 5, 0.5)
+          .withColumn("med", floor(col("med") * 1e4 + 0.5) / 1e4)
+          .orderBy("series", "bucket")
+      },
+      Some(s"""$svSql,
+              |b AS (SELECT series, time - time % 3600 AS bucket,
+              |             floor(avg(value) * 1e4 + 0.5) / 1e4 AS v
+              |      FROM sv WHERE time >= $T0 AND time < $T1 GROUP BY 1, 2)
+              |SELECT series, bucket,
+              |       floor(quantile_cont(v, 0.5) OVER w * 1e4 + 0.5) / 1e4 AS med,
+              |       count(*) OVER w AS med_n
+              |FROM b
+              |WINDOW w AS (PARTITION BY series ORDER BY bucket
+              |             RANGE BETWEEN 14400 PRECEDING AND CURRENT ROW)
+              |ORDER BY series, bucket""".stripMargin),
       benchExtra = true),
 
     // ALIGN JOIN (the reference backlog's "join on time"): click and
