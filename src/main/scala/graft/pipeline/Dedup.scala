@@ -235,6 +235,39 @@ object Dedup {
     *
     * @param pairs (doc_a, doc_b) near-dup pairs, e.g. [[minhashLshPairs]]
     */
+  /** SemDeDup — cluster-scoped semantic near-dup removal (Abbas et al.
+    * 2023): k-means the embedding corpus, then compare pairs ONLY within
+    * a cluster and drop the higher vec_id of every pair with cosine ≥
+    * `tau`. Output: (vec_id, cluster, kept) for every vector, kept =
+    * false iff it has a τ-neighbor with a LOWER vec_id in its own cluster
+    * (the deterministic keeper rule).
+    *
+    * The clustering is the whole point at scale: exact all-pairs over
+    * 100 TB of embeddings is Θ(n²) compares, but n²/k within balanced
+    * clusters — and the pair generation is an equi-join ON the cluster id
+    * (one shuffle keyed by cluster), never a cross join. The fit is
+    * [[Clustering.fitCentroids]]'s deterministic Lloyd's, so a SQL engine
+    * replaying the same seeds/folds/rounding makes identical cluster —
+    * and therefore identical keep/drop — calls. Cross-cluster near-dups
+    * are missed by design (SemDeDup's documented recall trade); raise k
+    * for cheaper pairs, lower k for higher recall.
+    */
+  def semDedup(emb: DataFrame, k: Int = 8, iters: Int = 2,
+      tau: Double = 0.45): DataFrame = {
+    val cs = Clustering.fitCentroids(emb, k, iters)
+    val asg = emb.select(col("vec_id"),
+        col("embedding").cast("array<double>").as("v"))
+      .withColumn("cluster", Clustering.assignment(cs).getField("c").cast("long"))
+    val dropped = asg.as("a").join(asg.as("b"),
+        col("a.cluster") === col("b.cluster") &&
+          col("a.vec_id") < col("b.vec_id") &&
+          Similarity.cosine(col("a.v"), col("b.v")) >= tau)
+      .select(col("b.vec_id").as("vec_id")).distinct()
+      .withColumn("__dup", lit(true))
+    asg.join(dropped, Seq("vec_id"), "left")
+      .select(col("vec_id"), col("cluster"), col("__dup").isNull.as("kept"))
+  }
+
   def dupClusters(docs: DataFrame, pairs: DataFrame, maxIters: Int = 50): DataFrame = {
     // pre-partition the cached edge set on the per-round join key (dst):
     // only the (small) labels frame shuffles each iteration, the edges'

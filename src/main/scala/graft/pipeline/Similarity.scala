@@ -241,6 +241,77 @@ object Similarity {
       .select(col("q_id"), col("vec_id"), cosine(col("qv"), col("v")).as("cos")), k)
   }
 
+  /** Packed sign-bit signature half: bit `d - lo` of the result is set iff
+    * `v[d] > 0`, for `d` in `[lo, hi)`. Two 32-bit halves (rather than one
+    * 64-bit word) keep bit 63 — the BIGINT sign bit — out of play, so a
+    * replaying SQL engine never hits shift-overflow semantics.
+    */
+  private def signHalf(v: Column, lo: Int, hi: Int): Column =
+    (lo until hi).map(d =>
+      when(element_at(v, d + 1) > 0, lit(1L << (d - lo))).otherwise(lit(0L)))
+      .reduce(_ + _)
+
+  /** `(vec_id, v, sig_lo, sig_hi)`: the 1-bit-per-dimension binary
+    * quantization of each embedding (sign of each coordinate), packed into
+    * two BIGINT halves. 32× smaller than float32 storage — the form a
+    * 100 TB corpus keeps resident for candidate generation.
+    */
+  def binarySig(corpus: DataFrame, dim: Int = 64): DataFrame =
+    corpus.select(col("vec_id"), vec(col("embedding")).as("v"))
+      .withColumn("sig_lo", signHalf(col("v"), 0, dim / 2))
+      .withColumn("sig_hi", signHalf(col("v"), dim / 2, dim))
+
+  /** Binary-quantization ANN: Hamming-distance candidate scan over the
+    * packed sign bits, then EXACT cosine rerank of the top
+    * `k * candMult` candidates — the modern vector-store serving pattern
+    * (1-bit quantization + rescoring). Deterministic end to end: the
+    * candidate stage ranks on the INTEGER Hamming distance with a vec_id
+    * tie-break, the rerank is the shared [[rankTopK]] tail.
+    *
+    * Scale shape (100 TB): the scan that touches every corpus row reads
+    * 16 bytes/vector (two BIGINTs) and does two XOR+popcounts — pure
+    * codegen, no shuffle (queries broadcast); only the `k·candMult`
+    * survivors per query load their float vectors for the exact rerank.
+    * Both window stages prune per-partition via WindowGroupLimit before
+    * the per-query shuffle. With `candMult` spanning the whole corpus the
+    * result equals [[bruteForceTopK]] (PipelineSpec pins it); small
+    * `candMult` trades recall for a 32× lighter scan.
+    */
+  def hammingTopK(corpus: DataFrame, queries: DataFrame, k: Int,
+      candMult: Int = 4, dim: Int = 64): DataFrame = {
+    val c = binarySig(corpus, dim)
+    val q = binarySig(queries, dim)
+      .select(col("vec_id").as("q_id"), col("v").as("qv"),
+        col("sig_lo").as("q_lo"), col("sig_hi").as("q_hi"))
+    val scored = c.join(broadcast(q), col("q_id") =!= col("vec_id"))
+      .withColumn("hamming",
+        bit_count(col("sig_lo").bitwiseXOR(col("q_lo"))) +
+          bit_count(col("sig_hi").bitwiseXOR(col("q_hi"))))
+    val wCand = Window.partitionBy(col("q_id"))
+      .orderBy(col("hamming"), col("vec_id"))
+    val cand = scored.withColumn("crank", row_number().over(wCand))
+      .filter(col("crank") <= k * candMult)
+    rankTopK(cand.select(col("q_id"), col("vec_id"),
+      cosine(col("qv"), col("v")).as("cos")), k)
+  }
+
+  /** Hard-negative mining for contrastive training: per query, the top-k
+    * most-similar corpus vectors with a DIFFERENT label (the query's
+    * positives and itself excluded) — the standard in-batch-negatives
+    * upgrade (mine the near-misses the model must learn to separate).
+    * Same broadcast-query/narrow-corpus scan as [[bruteForceTopK]]; the
+    * label predicate rides the scan, so nothing label-equal ever reaches
+    * the top-k window. Output: (q_id, vec_id, rank, cos round 6).
+    */
+  def hardNegatives(corpus: DataFrame, queries: DataFrame, k: Int): DataFrame = {
+    val c = corpus.select(col("vec_id"), col("label"), vec(col("embedding")).as("v"))
+    val q = queries.select(col("vec_id").as("q_id"), col("label").as("q_label"),
+      vec(col("embedding")).as("qv"))
+    rankTopK(c.join(broadcast(q),
+        col("q_id") =!= col("vec_id") && col("label") =!= col("q_label"))
+      .select(col("q_id"), col("vec_id"), cosine(col("qv"), col("v")).as("cos")), k)
+  }
+
   /** Scalar int8 quantization: per-vector affine codes
     * `code[i] = floor((v[i] - min) / scale + 0.5)` with
     * `scale = (max - min) / 255` (constant vectors get scale 1 → all-zero

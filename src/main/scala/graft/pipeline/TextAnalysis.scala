@@ -406,6 +406,55 @@ object TextAnalysis {
       .withColumn("n_tokens", coalesce(col("n_tokens"), lit(0L)))
   }
 
+  /** Interpolated bigram-LM surprisal — the KenLM-shaped upgrade of
+    * [[lmSurprisal]]: per-doc mean of
+    * `-log2(λ·P(w₂|w₁) + (1−λ)·P(w₂))` over the doc's adjacent word
+    * pairs, with both models estimated from the corpus itself
+    * (`P(w₂|w₁) = C(w₁w₂)/C(w₁·)` over bigram occurrences,
+    * `P(w) = C(w)/T` over all tokens). The unigram interpolation floors
+    * every probability above zero, so no smoothing constants are needed —
+    * any bigram seen in a doc exists in the corpus counts by
+    * construction. All counts are exact integers; the only floats are
+    * the final per-position log and the 1e-4-rounded per-doc mean (the
+    * same discipline that keeps [[lmSurprisal]] engine-portable).
+    *
+    * Scale shape: three partial+final hash aggregates build the count
+    * tables (bigram, context, unigram — each vocabulary-sized, joined
+    * back by key; Catalyst broadcasts the small ones), then one per-doc
+    * aggregate. No window, no per-doc token list after the explode.
+    * Output: (doc_id, n_bigrams, bigram_surprisal) — null score for docs
+    * with fewer than two words.
+    */
+  def bigramSurprisal(docs: DataFrame, lambda: Double = 0.7,
+      lambdaU: Double = 0.3): DataFrame = {
+    val wf = filter(words(col("text")), x => length(x) > 0)
+    val base = spread(docs).select(col("doc_id"), wf.as("__wf"))
+    val bg = base.select(col("doc_id"), explode(
+        when(size(col("__wf")) >= 2,
+          transform(sequence(lit(0), size(col("__wf")) - 2), i =>
+            struct(element_at(col("__wf"), i + 1).as("w1"),
+              element_at(col("__wf"), i + 2).as("w2"))))
+          .otherwise(array().cast("array<struct<w1:string,w2:string>>")))
+        .as("__bg"))
+      .select(col("doc_id"), col("__bg.w1").as("w1"), col("__bg.w2").as("w2"))
+    val tok = base.select(col("doc_id"), explode(col("__wf")).as("word"))
+    val bgc = bg.groupBy("w1", "w2").agg(count(lit(1)).as("cbg"))
+    val w1c = bg.groupBy("w1").agg(count(lit(1)).as("cw1"))
+    val uc = tok.groupBy("word").agg(count(lit(1)).as("cu"))
+    val tot = tok.agg(count(lit(1)).as("t"))
+    val scored = bg
+      .join(bgc, Seq("w1", "w2")).join(w1c, Seq("w1"))
+      .join(uc, col("word") === col("w2")).crossJoin(broadcast(tot))
+      .withColumn("__p",
+        lit(lambda) * col("cbg").cast("double") / col("cw1").cast("double") +
+          lit(lambdaU) * col("cu").cast("double") / col("t").cast("double"))
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_bigrams"),
+        (floor(avg(-log2(col("__p"))) * 1e4 + 0.5) / 1e4).as("bigram_surprisal"))
+    docs.select(col("doc_id")).join(scored, Seq("doc_id"), "left")
+      .withColumn("n_bigrams", coalesce(col("n_bigrams"), lit(0L)))
+  }
+
   /** CCNet-style perplexity bucketing: split scored docs into
     * head / middle / tail at the score terciles (the standard
     * quality-partitioning step before mixing a training corpus — head =

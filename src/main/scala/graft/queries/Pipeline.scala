@@ -395,7 +395,10 @@ object Pipeline {
     "q_pl_cluster_balance", "q_ann_ivf_at_rest", "q_ann_pq", "q_ann_ivfpq_at_rest",
     "q_pl_span_dedup", "q_ann_pq_cos", "q_ann_ivfpq_residual", "q_pl_mixture",
     "q_pl_curation_chain", "q_ann_self_join", "q_pl_bm25", "q_pl_weighted_sample",
-    "q_ann_rp", "q_pl_temperature", "q_pl_ppl_buckets")
+    "q_ann_rp", "q_pl_temperature", "q_pl_ppl_buckets",
+    // round-9 additions
+    "q_ann_hamming", "q_pl_hard_negatives", "q_pl_semdedup",
+    "q_pl_lm_bigram", "q_pl_rrf")
 
   def qs: Seq[Q] = {
     val all = raw.map(q => if (ExtraBench(q.name)) q.copy(benchExtra = true) else q)
@@ -1371,6 +1374,187 @@ object Pipeline {
              |SELECT user_id, session_idx, min(t) AS session_start, max(t) AS session_end,
              |       count(*) AS n_events,
              |       floor(sum(value) * 1e4 + 0.5) / 1e4 AS total_value
-             |FROM s GROUP BY 1, 2 ORDER BY user_id, session_idx""".stripMargin))
+             |FROM s GROUP BY 1, 2 ORDER BY user_id, session_idx""".stripMargin)),
+
+    // Binary-quantization ANN: packed sign-bit signatures (two BIGINT
+    // halves), Hamming candidate scan (XOR + popcount), exact cosine
+    // rerank of the top k·candMult — the 1-bit-quantization + rescoring
+    // serving pattern. The ALGORITHM is the contract; the oracle replays
+    // both stages (same integer Hamming ranking, same rerank tail).
+    Q("q_ann_hamming",
+      (s, dir) => {
+        val emb = Tables.embeddings(s, dir)
+        Similarity.hammingTopK(emb, emb.filter(col("vec_id") < 10), 5,
+            candMult = 4)
+          .orderBy("q_id", "rank")
+      },
+      Some(s"""WITH $embCte,
+              |sig AS (
+              |  SELECT vec_id, v,
+              |         list_reduce([CASE WHEN v[d + 1] > 0
+              |             THEN (CAST(1 AS BIGINT) << d) ELSE CAST(0 AS BIGINT) END
+              |           for d in range(0, 32)], (a, b) -> a + b) AS sig_lo,
+              |         list_reduce([CASE WHEN v[d + 1] > 0
+              |             THEN (CAST(1 AS BIGINT) << (d - 32)) ELSE CAST(0 AS BIGINT) END
+              |           for d in range(32, 64)], (a, b) -> a + b) AS sig_hi
+              |  FROM e
+              |),
+              |q AS (SELECT vec_id AS q_id, v AS qv, sig_lo AS q_lo, sig_hi AS q_hi
+              |      FROM sig WHERE vec_id < 10),
+              |cand AS (
+              |  SELECT q_id, qv, vec_id, v,
+              |         row_number() OVER (PARTITION BY q_id
+              |           ORDER BY bit_count(xor(sig_lo, q_lo)) + bit_count(xor(sig_hi, q_hi)),
+              |                    vec_id) AS crank
+              |  FROM sig CROSS JOIN q WHERE vec_id != q_id
+              |),
+              |scored AS (
+              |  SELECT q_id, vec_id, ${cosSql("qv", "v")} AS cos,
+              |         row_number() OVER (PARTITION BY q_id
+              |           ORDER BY ${cosSql("qv", "v")} DESC, vec_id) AS rank
+              |  FROM cand WHERE crank <= 20
+              |)
+              |SELECT q_id, vec_id, rank, floor((cos) * 1e6 + 0.5) / 1e6 AS cos
+              |FROM scored WHERE rank <= 5 ORDER BY q_id, rank""".stripMargin)),
+
+    // Hard-negative mining (contrastive training data): per query, the
+    // top-k most-similar vectors with a DIFFERENT label. The label
+    // predicate rides the corpus scan — brute-force oracle with the same
+    // filter.
+    Q("q_pl_hard_negatives",
+      (s, dir) => {
+        val emb = Tables.embeddings(s, dir)
+        Similarity.hardNegatives(emb, emb.filter(col("vec_id") < 10), 5)
+          .orderBy("q_id", "rank")
+      },
+      Some(s"""WITH el AS (
+              |  SELECT vec_id, label, [CAST(x AS DOUBLE) for x in embedding] AS v
+              |  FROM embeddings
+              |),
+              |q AS (SELECT vec_id AS q_id, label AS q_label, v AS qv
+              |      FROM el WHERE vec_id < 10),
+              |scored AS (
+              |  SELECT q_id, vec_id, ${cosSql("qv", "v")} AS cos,
+              |         row_number() OVER (PARTITION BY q_id
+              |           ORDER BY ${cosSql("qv", "v")} DESC, vec_id) AS rank
+              |  FROM el CROSS JOIN q WHERE vec_id != q_id AND label != q_label
+              |)
+              |SELECT q_id, vec_id, rank, floor((cos) * 1e6 + 0.5) / 1e6 AS cos
+              |FROM scored WHERE rank <= 5 ORDER BY q_id, rank""".stripMargin)),
+
+    // SemDeDup: k-means cluster the embeddings, drop the higher vec_id of
+    // every within-cluster pair with cosine >= tau. The oracle replays
+    // the deterministic Lloyd's fit (shared kmeans CTE chain) and the
+    // keeper rule.
+    Q("q_pl_semdedup",
+      (s, dir) => graft.pipeline.Dedup.semDedup(
+          Tables.embeddings(s, dir), k = 8, iters = 2, tau = 0.45)
+        .orderBy("vec_id"),
+      Some(s"""WITH ${kmeansCtes(8, 2, 64)},
+              |cl AS (
+              |  SELECT vec_id, v,
+              |         CAST(list_indexof(ds, list_min(ds)) - 1 AS BIGINT) AS cluster
+              |  FROM asg
+              |),
+              |dropped AS (
+              |  SELECT DISTINCT b.vec_id
+              |  FROM cl a JOIN cl b
+              |    ON a.cluster = b.cluster AND a.vec_id < b.vec_id
+              |  WHERE ${cosSql("a.v", "b.v")} >= 0.45
+              |)
+              |SELECT cl.vec_id, cl.cluster,
+              |       cl.vec_id NOT IN (SELECT vec_id FROM dropped) AS kept
+              |FROM cl ORDER BY vec_id""".stripMargin)),
+
+    // Interpolated bigram-LM surprisal (KenLM-shaped corpus-self LM):
+    // integer count tables, one float log per bigram position, 1e-4
+    // rounded per-doc mean.
+    Q("q_pl_lm_bigram",
+      (s, dir) => TextAnalysis.bigramSurprisal(Tables.documents(s, dir))
+        .orderBy("doc_id"),
+      Some(s"""WITH $wordsCte,
+              |wfl AS (SELECT doc_id, [x for x in w if length(x) > 0] AS wf FROM words),
+              |bg AS (
+              |  SELECT doc_id,
+              |         unnest([{'w1': wf[i], 'w2': wf[i + 1]}
+              |                 for i in range(1, len(wf))], recursive := true)
+              |  FROM wfl
+              |),
+              |tok AS (SELECT doc_id, unnest(wf) AS word FROM wfl),
+              |bgc AS (SELECT w1, w2, count(*) AS cbg FROM bg GROUP BY 1, 2),
+              |w1c AS (SELECT w1, count(*) AS cw1 FROM bg GROUP BY 1),
+              |uc AS (SELECT word, count(*) AS cu FROM tok GROUP BY 1),
+              |tot AS (SELECT count(*) AS t FROM tok),
+              |sc AS (
+              |  SELECT bg.doc_id, count(*) AS n_bigrams,
+              |         floor(avg(-log2(
+              |             0.7 * CAST(cbg AS DOUBLE) / CAST(cw1 AS DOUBLE)
+              |             + 0.3 * CAST(cu AS DOUBLE) / CAST(t AS DOUBLE))) * 1e4 + 0.5) / 1e4
+              |           AS bigram_surprisal
+              |  FROM bg
+              |  JOIN bgc USING (w1, w2)
+              |  JOIN w1c USING (w1)
+              |  JOIN uc ON uc.word = bg.w2
+              |  CROSS JOIN tot
+              |  GROUP BY 1
+              |)
+              |SELECT d.doc_id, coalesce(sc.n_bigrams, 0) AS n_bigrams, sc.bigram_surprisal
+              |FROM documents d LEFT JOIN sc ON d.doc_id = sc.doc_id
+              |ORDER BY d.doc_id""".stripMargin)),
+
+    // Hybrid retrieval: Reciprocal Rank Fusion of the BM25 top-50 (text
+    // query) and the brute-force cosine top-50 of query vector 0 (dense
+    // query), over doc_id = vec_id. Fused score is a rational of integer
+    // ranks — engine-exact; ties break by doc_id.
+    Q("q_pl_rrf",
+      (s, dir) => {
+        val docs = Tables.documents(s, dir)
+        val emb = Tables.embeddings(s, dir)
+        val sparse = TextAnalysis.bm25TopK(docs, Seq("spark", "hash", "merge"),
+          docs.count(), 50)
+        val dense = Similarity.bruteForceTopK(emb, emb.filter(col("vec_id") === 0), 50)
+        graft.pipeline.Hybrid.rrf(sparse, dense, kConst = 60, topK = 20)
+          .orderBy("rrf_rank")
+      },
+      Some(s"""WITH $wordsCte,
+              |wl AS (SELECT doc_id, CAST(len([x for x in w if length(x) > 0]) AS DOUBLE) AS dl FROM words),
+              |st AS (SELECT floor(avg(dl) * 1e6 + 0.5) / 1e6 AS avgdl,
+              |              (SELECT count(*) FROM documents) AS nd FROM wl),
+              |tokq AS (SELECT doc_id, unnest(w) AS term FROM words),
+              |tf AS (SELECT doc_id, term, CAST(count(*) AS DOUBLE) AS tf FROM tokq
+              |       WHERE term IN ('spark', 'hash', 'merge') GROUP BY 1, 2),
+              |dfx AS (SELECT term, CAST(count(*) AS DOUBLE) AS df FROM tf GROUP BY 1),
+              |bsc AS (
+              |  SELECT tf.doc_id,
+              |         sum(ln(1.0 + (st.nd - dfx.df + 0.5) / (dfx.df + 0.5))
+              |             * tf.tf * 2.2
+              |             / (tf.tf + 1.2 * (1.0 - 0.75 + 0.75 * wl.dl / st.avgdl))) AS s
+              |  FROM tf JOIN dfx USING (term) JOIN wl USING (doc_id) CROSS JOIN st
+              |  GROUP BY 1
+              |),
+              |sparse AS (
+              |  SELECT doc_id,
+              |         row_number() OVER (ORDER BY floor(s * 1e4 + 0.5) / 1e4 DESC, doc_id) AS r_sparse
+              |  FROM bsc QUALIFY r_sparse <= 50
+              |),
+              |$embCte,
+              |qv AS (SELECT v AS qv FROM e WHERE vec_id = 0),
+              |dense AS (
+              |  SELECT vec_id AS doc_id,
+              |         row_number() OVER (ORDER BY ${cosSql("qv", "v")} DESC, vec_id) AS r_dense
+              |  FROM e CROSS JOIN qv WHERE vec_id != 0
+              |  QUALIFY r_dense <= 50
+              |),
+              |fused AS (
+              |  SELECT coalesce(sparse.doc_id, dense.doc_id) AS doc_id,
+              |         r_sparse, r_dense,
+              |         coalesce(CAST(1.0 AS DOUBLE) / CAST(60 + r_sparse AS DOUBLE), 0.0)
+              |           + coalesce(CAST(1.0 AS DOUBLE) / CAST(60 + r_dense AS DOUBLE), 0.0) AS rrf_raw
+              |  FROM sparse FULL OUTER JOIN dense ON sparse.doc_id = dense.doc_id
+              |)
+              |SELECT doc_id,
+              |       row_number() OVER (ORDER BY rrf_raw DESC, doc_id) AS rrf_rank,
+              |       floor(rrf_raw * 1e6 + 0.5) / 1e6 AS rrf, r_sparse, r_dense
+              |FROM fused QUALIFY rrf_rank <= 20 ORDER BY rrf_rank""".stripMargin))
   )
 }

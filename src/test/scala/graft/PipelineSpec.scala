@@ -807,4 +807,98 @@ class PipelineSpec extends AnyFunSuite {
     Seq(h, m, t).foreach(g =>
       assert(math.abs(g.length - n / 3.0) <= n / 6.0, s"skewed: ${g.length} of $n"))
   }
+
+  test("hamming ANN: full candidate budget equals brute force; tight budget keeps recall") {
+    val q = emb.filter(col("vec_id") < 5)
+    val n = emb.count().toInt
+    val brute = Similarity.bruteForceTopK(emb, q, 5)
+      .select("q_id", "vec_id", "rank").as[(Long, Long, Long)].collect().toSet
+    // candMult spanning the whole corpus ⇒ the rerank sees every vector
+    val full = Similarity.hammingTopK(emb, q, 5, candMult = n / 5 + 1)
+      .select("q_id", "vec_id", "rank").as[(Long, Long, Long)].collect().toSet
+    assert(full === brute)
+    // tight budget: 5 rows per query, recall well above the random floor
+    val tight = Similarity.hammingTopK(emb, q, 5, candMult = 4)
+      .select("q_id", "vec_id").as[(Long, Long)].collect().toSet
+    assert(tight.size === 25)
+    val bruteIds = brute.map(r => (r._1, r._2))
+    val recall = tight.count(bruteIds.contains).toDouble / bruteIds.size
+    assert(recall >= 0.4, s"hamming recall@5 $recall vs random ~${20.0 / n}")
+  }
+
+  test("binary signatures pack sign bits into two non-negative halves") {
+    val sigs = Similarity.binarySig(emb)
+      .select("sig_lo", "sig_hi").as[(Long, Long)].collect()
+    assert(sigs.forall { case (lo, hi) =>
+      lo >= 0 && lo < (1L << 32) && hi >= 0 && hi < (1L << 32) })
+    // signatures carry signal: not all equal
+    assert(sigs.toSet.size > 1)
+  }
+
+  test("hard negatives never share the query's label and match the filtered brute force") {
+    val q = emb.filter(col("vec_id") < 5)
+    val got = Similarity.hardNegatives(emb, q, 5)
+    val labels = emb.select(col("vec_id"), col("label")).as[(Long, Int)]
+      .collect().toMap
+    val rows = got.select("q_id", "vec_id", "rank").as[(Long, Long, Long)].collect()
+    assert(rows.length === 25)
+    assert(rows.forall { case (qid, vid, _) => labels(vid) != labels(qid) })
+    // equivalence: brute-force top-5 over the label-filtered corpus
+    rows.groupBy(_._1).foreach { case (qid, rs) =>
+      val expect = Similarity.bruteForceTopK(
+          emb.filter(col("label") =!= labels(qid)), q.filter(col("vec_id") === qid), 5)
+        .select("vec_id").as[Long].collect().toSet
+      assert(rs.map(_._2).toSet === expect)
+    }
+  }
+
+  test("semDedup drops the higher id of a within-cluster near-dup pair, keeps the rest") {
+    // two well-separated groups, ids alternating so the smallest-id seeds
+    // (0 and 1) land one per group; vectors 2 and 4 are exact duplicates
+    val a = Array.fill(8)(0.0f); a(0) = 1.0f
+    val b = Array.fill(8)(0.0f); b(1) = 1.0f
+    def jitter(v: Array[Float], d: Int, eps: Float) = {
+      val c = v.clone(); c(d) = c(d) + eps; c }
+    val fixture = Seq(
+      (0L, a), (1L, b),
+      (2L, jitter(a, 2, 0.05f)), (3L, jitter(b, 2, 0.05f)),
+      (4L, jitter(a, 2, 0.05f)), (5L, jitter(b, 3, 0.4f)))
+      .toDF("vec_id", "embedding")
+    val r = Dedup.semDedup(fixture, k = 2, iters = 2, tau = 0.999)
+      .select("vec_id", "kept").as[(Long, Boolean)].collect().toMap
+    assert(r(4L) === false, "exact duplicate with a lower-id twin must drop")
+    assert(Seq(0L, 1L, 2L, 3L, 5L).forall(r(_)), s"only the duplicate drops: $r")
+    // threshold above any real cosine keeps everything
+    val all = Dedup.semDedup(fixture, k = 2, iters = 2, tau = 1.1)
+      .select("kept").as[Boolean].collect()
+    assert(all.forall(identity))
+  }
+
+  test("bigram surprisal matches the hand-computed interpolated LM on a fixture") {
+    val fixture = Seq((1L, "a b a b"), (2L, "a b"), (3L, ""))
+      .toDF("doc_id", "text")
+    val r = graft.pipeline.TextAnalysis.bigramSurprisal(fixture)
+      .orderBy("doc_id")
+      .select("doc_id", "n_bigrams", "bigram_surprisal")
+      .collect()
+      .map(x => (x.getLong(0), x.getLong(1), Option(x.get(2)).map(_.asInstanceOf[Double])))
+    // corpus counts: C(a b)=3, C(b a)=1; contexts C(a ·)=3, C(b ·)=1;
+    // unigrams a=3, b=3, T=6. Every position: 0.7·1 + 0.3·0.5 = 0.85
+    // (for (b,a): 0.7·(1/1) + 0.3·(3/6) = 0.85 as well), so every doc's
+    // mean is -log2(0.85) → 0.2345 after 1e-4 rounding.
+    assert(r.toSeq === Seq(
+      (1L, 3L, Some(0.2345)), (2L, 1L, Some(0.2345)), (3L, 0L, None)))
+  }
+
+  test("rrf fuses ranks, orders by summed reciprocal rank, keeps single-list docs") {
+    val sparse = Seq((1L, 1L), (2L, 2L)).toDF("doc_id", "rank")
+    val dense = Seq((2L, 1L), (3L, 2L)).toDF("vec_id", "rank")
+    val r = graft.pipeline.Hybrid.rrf(sparse, dense, kConst = 60, topK = 10)
+      .select("doc_id", "rrf_rank", "rrf").as[(Long, Long, Double)].collect()
+      .sortBy(_._2)
+    // doc 2: 1/62 + 1/61 ≈ 0.032525; doc 1: 1/61 ≈ 0.016393; doc 3: 1/62
+    assert(r.map(x => (x._1, x._2)).toSeq === Seq((2L, 1L), (1L, 2L), (3L, 3L)))
+    assert(math.abs(r(0)._3 - (1.0 / 62 + 1.0 / 61)) < 1e-6)
+    assert(math.abs(r(1)._3 - 1.0 / 61) < 1e-6)
+  }
 }
