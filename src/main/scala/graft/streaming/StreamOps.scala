@@ -67,6 +67,44 @@ object StreamOps {
         col("session_window.end").cast("long").as("session_end"),
         col("n_events"), col("total_value"))
 
+  /** Streaming M4 downsampling — the live-dashboard twin of
+    * [[graft.operators.Downsample.m4]]: per (series, `step`-second
+    * bucket) the four extreme points (earliest, latest, min-value,
+    * max-value), which exactly reproduce a pixel column's min/max
+    * envelope as data arrives. Same tie-breaks as the batch operator
+    * (first/last lexicographic on (t, v), min/max on (v, t)) and the
+    * same ≤ 4 distinct rows per bucket, so a closed bucket's output
+    * equals the batch operator's row-for-row (StreamingSpec pins it).
+    *
+    * One watermarked tumbling-window aggregate: four O(1) struct-extreme
+    * states per open (series, bucket), evicted by the watermark; the
+    * explode only ever touches the ≤ 4 survivors. Append mode — a bucket
+    * emits once no more late points can change its extremes.
+    */
+  def m4(points: DataFrame, step: Long,
+      watermarkDelay: String = "10 minutes"): DataFrame = {
+    require(step > 0, "m4 needs a positive bucket step")
+    val t = col("time").cast("long")
+    val v = col("value").cast("double")
+    val tv = struct(t.as("t"), v.as("v"))
+    val vt = struct(v.as("v"), t.as("t"))
+    points
+      .withColumn("event_time", col("time").cast("timestamp"))
+      .withWatermark("event_time", watermarkDelay)
+      .groupBy(col("series"), window(col("event_time"), s"$step seconds"))
+      .agg(
+        min(tv).as("__first"), max(tv).as("__last"),
+        min(vt).as("__vmin"), max(vt).as("__vmax"))
+      .select(col("series"), col("window.start").cast("long").as("bucket"),
+        explode(array_distinct(array(
+          col("__first"),
+          col("__last"),
+          struct(col("__vmin.t").as("t"), col("__vmin.v").as("v")),
+          struct(col("__vmax.t").as("t"), col("__vmax.v").as("v"))))).as("__p"))
+      .select(col("series"), col("bucket"),
+        col("__p.t").as("time"), col("__p.v").as("value"))
+  }
+
   /** Stream-stream interval join — the streaming twin of
     * [[graft.operators.RangeJoin]]: each point pairs with the same-series
     * markers whose `[m_time, m_time + windowSecs]` window contains it

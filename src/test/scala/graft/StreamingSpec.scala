@@ -76,6 +76,33 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("streaming M4 downsampling matches the batch operator row-for-row") {
+    import spark.implicits._
+    // one busy bucket (5 points, distinct extremes incl. a value tie),
+    // one sparse bucket (1 point → all four extremes coincide), 2 series
+    val pts = Seq(
+      ("m", 86400L, 5.0), ("m", 86410L, 1.0), ("m", 86420L, 9.0),
+      ("m", 86430L, 1.0), ("m", 86440L, 4.0), // bucket 86400: tie on min 1.0
+      ("m", 90000L, 7.0), // sparse bucket: one row out
+      ("n", 86405L, 2.0), ("n", 86455L, 3.0))
+    val d = ndjsonDir(pts.map { case (s, t, v) =>
+      s"""{"series":"$s","ts":$t,"value":$v}""" })
+    val agg = StreamOps.m4(streamPoints(d).toDF(), step = 3600)
+    assert(agg.isStreaming)
+    val q = agg.writeStream.outputMode("complete").format("memory").queryName("m4s").start()
+    try {
+      q.processAllAvailable()
+      val got = spark.sql("select series, bucket, time, value from m4s")
+        .as[(String, Long, Long, Double)].collect().toSet
+      val batch = graft.operators.Downsample.m4(
+          pts.toDF("series", "time", "value"), step = 3600)
+        .as[(String, Long, Long, Double)].collect().toSet
+      assert(got === batch)
+      // sparse bucket deduped to exactly one row
+      assert(got.count(r => r._1 == "m" && r._2 == 90000L) === 1)
+    } finally q.stop()
+  }
+
   test("stream-stream interval join matches the batch range join") {
     val pts = ndjsonDir(Seq(
       """{"series":"m","ts":100,"value":1.0}""",
