@@ -38,7 +38,27 @@ object Tables {
   def part(spark: SparkSession, dir: String): DataFrame = table(spark, dir, "part")
   def nation(spark: SparkSession, dir: String): DataFrame = table(spark, dir, "nation")
   def region(spark: SparkSession, dir: String): DataFrame = table(spark, dir, "region")
-  def events(spark: SparkSession, dir: String): DataFrame = table(spark, dir, "events")
+  /** `events` with `ts` normalized to LONG epoch nanoseconds regardless of
+    * how the parquet encodes it. The driver's generator has shipped both
+    * TIMESTAMP(NANOS) (surfaced as LONG via [[NanosAsLong]] — identity
+    * here) and TIMESTAMP(MICROS) (surfaced as TIMESTAMP_NTZ — converted
+    * via unix_micros under the pinned UTC session zone, so the wall-clock
+    * instant is preserved exactly; micros→nanos is a lossless ×1000).
+    * Downstream code always sees nanos, matching the DuckDB oracle's
+    * `epoch_ns(ts)`.
+    */
+  def events(spark: SparkSession, dir: String): DataFrame = {
+    val raw = table(spark, dir, "events")
+    raw.schema("ts").dataType match {
+      case LongType => raw
+      case TimestampNTZType =>
+        raw.withColumn("ts", unix_micros(col("ts").cast(TimestampType)) * lit(1000L))
+      case TimestampType =>
+        raw.withColumn("ts", unix_micros(col("ts")) * lit(1000L))
+      case other =>
+        throw new IllegalStateException(s"unsupported events.ts type: $other")
+    }
+  }
   def documents(spark: SparkSession, dir: String): DataFrame = table(spark, dir, "documents")
   def embeddings(spark: SparkSession, dir: String): DataFrame = table(spark, dir, "embeddings")
 

@@ -113,7 +113,9 @@ object Trend {
     val y = df.select(kc ++ Seq(col(bucketCol).cast("long").as("__yb"),
         col(yCol).as("__y")): _*)
       .filter(col("__y").isNotNull)
-      .withColumn("lag", explode(sequence(lit(-maxLag), lit(maxLag))))
+      // LONG lags: DuckDB's generate_series is BIGINT, and an INT column
+      // here would schema-mismatch the oracle compare.
+      .withColumn("lag", explode(sequence(lit(-maxLag.toLong), lit(maxLag.toLong))))
       .withColumn("__b", col("__yb") - col("lag") * step)
     pearson(
       x.join(y, keys :+ "__b").withColumnRenamed("__x", "x").withColumnRenamed("__y", "y"),
