@@ -227,6 +227,155 @@ object Relational {
              |            WHEN o_totalprice < 300000 THEN 'medium'
              |            ELSE 'large' END AS size_class,
              |       count(*) AS n, floor((avg(o_totalprice)) * 1e4 + 0.5) / 1e4 AS avg_price
-             |FROM orders GROUP BY 1 ORDER BY size_class""".stripMargin))
+             |FROM orders GROUP BY 1 ORDER BY size_class""".stripMargin)),
+
+    // ---- multi-level aggregation (ROLLUP / CUBE / GROUPING SETS) --------
+    //
+    // Scale note: Spark expands grouping sets BEFORE the partial aggregate
+    // (Expand operator), so an L-level rollup costs one scan + one shuffle
+    // of ~L× the distinct-group rows — not L separate scans. Subtotal rows
+    // are disambiguated by grouping() flags, never by NULL sentinels alone
+    // (a real NULL key and a subtotal would otherwise collide). Sorting is
+    // on the flags first: Spark and DuckDB disagree on default NULL order
+    // (nulls-first vs nulls-last), so no nullable column is ever a sort key.
+
+    Q("q_rollup",
+      (s, dir) =>
+        Tables.orders(s, dir)
+          .rollup(col("o_orderstatus"), col("o_orderpriority"))
+          .agg(
+            grouping(col("o_orderstatus")).cast("long").as("g_status"),
+            grouping(col("o_orderpriority")).cast("long").as("g_prio"),
+            count(lit(1)).as("n"),
+            (floor((sum(col("o_totalprice"))) * 1e4 + 0.5) / 1e4).as("total"))
+          .select(
+            col("g_status"), col("g_prio"),
+            coalesce(col("o_orderstatus"), lit("(all)")).as("status"),
+            coalesce(col("o_orderpriority"), lit("(all)")).as("priority"),
+            col("n"), col("total"))
+          .orderBy(col("g_status"), col("g_prio"), col("status"), col("priority")),
+      Some("""SELECT CAST(GROUPING(o_orderstatus) AS BIGINT) AS g_status,
+             |       CAST(GROUPING(o_orderpriority) AS BIGINT) AS g_prio,
+             |       coalesce(o_orderstatus, '(all)') AS status,
+             |       coalesce(o_orderpriority, '(all)') AS priority,
+             |       count(*) AS n,
+             |       floor((sum(o_totalprice)) * 1e4 + 0.5) / 1e4 AS total
+             |FROM orders
+             |GROUP BY ROLLUP(o_orderstatus, o_orderpriority)
+             |ORDER BY g_status, g_prio, status, priority""".stripMargin)),
+
+    Q("q_cube",
+      (s, dir) =>
+        Tables.orders(s, dir)
+          .cube(col("o_orderstatus"), col("o_orderpriority"))
+          .agg(
+            grouping(col("o_orderstatus")).cast("long").as("g_status"),
+            grouping(col("o_orderpriority")).cast("long").as("g_prio"),
+            count(lit(1)).as("n"),
+            (floor((avg(col("o_totalprice"))) * 1e4 + 0.5) / 1e4).as("avg_price"))
+          .select(
+            col("g_status"), col("g_prio"),
+            coalesce(col("o_orderstatus"), lit("(all)")).as("status"),
+            coalesce(col("o_orderpriority"), lit("(all)")).as("priority"),
+            col("n"), col("avg_price"))
+          .orderBy(col("g_status"), col("g_prio"), col("status"), col("priority")),
+      Some("""SELECT CAST(GROUPING(o_orderstatus) AS BIGINT) AS g_status,
+             |       CAST(GROUPING(o_orderpriority) AS BIGINT) AS g_prio,
+             |       coalesce(o_orderstatus, '(all)') AS status,
+             |       coalesce(o_orderpriority, '(all)') AS priority,
+             |       count(*) AS n,
+             |       floor((avg(o_totalprice)) * 1e4 + 0.5) / 1e4 AS avg_price
+             |FROM orders
+             |GROUP BY CUBE(o_orderstatus, o_orderpriority)
+             |ORDER BY g_status, g_prio, status, priority""".stripMargin)),
+
+    // GROUPING SETS with asymmetric sets — (status, priority-only) — the
+    // shape neither ROLLUP nor CUBE produces.
+    Q("q_grouping_sets",
+      (s, dir) =>
+        Tables.orders(s, dir)
+          .groupingSets(
+            Seq(Seq(col("o_orderstatus")), Seq(col("o_orderpriority"))),
+            col("o_orderstatus"), col("o_orderpriority"))
+          .agg(
+            grouping(col("o_orderstatus")).cast("long").as("g_status"),
+            grouping(col("o_orderpriority")).cast("long").as("g_prio"),
+            count(lit(1)).as("n"),
+            (floor((sum(col("o_totalprice"))) * 1e4 + 0.5) / 1e4).as("total"))
+          .select(
+            col("g_status"), col("g_prio"),
+            coalesce(col("o_orderstatus"), lit("(all)")).as("status"),
+            coalesce(col("o_orderpriority"), lit("(all)")).as("priority"),
+            col("n"), col("total"))
+          .orderBy(col("g_status"), col("g_prio"), col("status"), col("priority")),
+      Some("""SELECT CAST(GROUPING(o_orderstatus) AS BIGINT) AS g_status,
+             |       CAST(GROUPING(o_orderpriority) AS BIGINT) AS g_prio,
+             |       coalesce(o_orderstatus, '(all)') AS status,
+             |       coalesce(o_orderpriority, '(all)') AS priority,
+             |       count(*) AS n,
+             |       floor((sum(o_totalprice)) * 1e4 + 0.5) / 1e4 AS total
+             |FROM orders
+             |GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority))
+             |ORDER BY g_status, g_prio, status, priority""".stripMargin)),
+
+    // ---- rank-family window functions -----------------------------------
+    //
+    // The total ORDER BY (price desc, key) makes every rank deterministic;
+    // both engines use the identical frame so percent_rank/cume_dist agree
+    // to the rounded 4 decimals. Filter first so the windowed row count is
+    // the interesting top slice, not the full table.
+    Q("q_rank_fns",
+      (s, dir) => {
+        import org.apache.spark.sql.expressions.Window
+        val w = Window.partitionBy(col("o_orderstatus"))
+          .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+        Tables.orders(s, dir)
+          .filter(col("o_totalprice") > 350000)
+          .select(
+            col("o_orderstatus"), col("o_orderkey"),
+            (floor(col("o_totalprice") * 1e4 + 0.5) / 1e4).as("price"),
+            rank().over(w).cast("long").as("rnk"),
+            dense_rank().over(w).cast("long").as("drnk"),
+            row_number().over(w).cast("long").as("rn"),
+            ntile(4).over(w).cast("long").as("quartile"),
+            (floor(percent_rank().over(w) * 1e4 + 0.5) / 1e4).as("pct_rank"),
+            (floor(cume_dist().over(w) * 1e4 + 0.5) / 1e4).as("cdist"))
+          .orderBy(col("o_orderstatus"), col("rn"))
+      },
+      Some("""SELECT o_orderstatus, o_orderkey,
+             |       floor(o_totalprice * 1e4 + 0.5) / 1e4 AS price,
+             |       CAST(rank() OVER w AS BIGINT) AS rnk,
+             |       CAST(dense_rank() OVER w AS BIGINT) AS drnk,
+             |       CAST(row_number() OVER w AS BIGINT) AS rn,
+             |       CAST(ntile(4) OVER w AS BIGINT) AS quartile,
+             |       floor(percent_rank() OVER w * 1e4 + 0.5) / 1e4 AS pct_rank,
+             |       floor(cume_dist() OVER w * 1e4 + 0.5) / 1e4 AS cdist
+             |FROM orders
+             |WHERE o_totalprice > 350000
+             |WINDOW w AS (PARTITION BY o_orderstatus
+             |             ORDER BY o_totalprice DESC, o_orderkey)
+             |ORDER BY o_orderstatus, rn""".stripMargin)),
+
+    // ---- PIVOT ----------------------------------------------------------
+    //
+    // Pivot values are listed explicitly: at 100 TB the implicit form runs
+    // an extra distinct-values job over the fact table before it can even
+    // plan, and an unbounded value set would explode the schema. With
+    // literal values this is one partial+final hash aggregate — exactly the
+    // CASE-sum the oracle spells out.
+    Q("q_pivot",
+      (s, dir) =>
+        Tables.orders(s, dir)
+          .groupBy(col("o_orderpriority"))
+          .pivot("o_orderstatus", Seq("F", "O", "P"))
+          .agg((floor((sum(col("o_totalprice"))) * 1e4 + 0.5) / 1e4))
+          .select(col("o_orderpriority").as("priority"),
+            col("F").as("total_f"), col("O").as("total_o"), col("P").as("total_p"))
+          .orderBy(col("priority")),
+      Some("""SELECT o_orderpriority AS priority,
+             |       floor((sum(CASE WHEN o_orderstatus = 'F' THEN o_totalprice END)) * 1e4 + 0.5) / 1e4 AS total_f,
+             |       floor((sum(CASE WHEN o_orderstatus = 'O' THEN o_totalprice END)) * 1e4 + 0.5) / 1e4 AS total_o,
+             |       floor((sum(CASE WHEN o_orderstatus = 'P' THEN o_totalprice END)) * 1e4 + 0.5) / 1e4 AS total_p
+             |FROM orders GROUP BY 1 ORDER BY priority""".stripMargin))
   )
 }

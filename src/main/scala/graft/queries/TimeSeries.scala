@@ -1001,6 +1001,46 @@ object TimeSeries {
               |              AND l.time >= w.w_start AND l.time < w.w_start + 5400
               |GROUP BY w.tag_user, w.w_start
               |ORDER BY w.tag_user, w.w_start""".stripMargin),
-      benchExtra = true)
+      benchExtra = true),
+
+    // PromQL topk(): the k highest-valued series per evaluation bucket
+    // (here by hourly avg). Scale shape: one partial+final hash aggregate
+    // to the (series × bucket) rollup — metadata-sized next to the raw
+    // scan — then a window row_number partitioned BY BUCKET over that
+    // rollup, so the sort is per-bucket over n_series rows, never a global
+    // sort of raw points. Ties break on series name: deterministic on both
+    // engines.
+    Q("q_ts_topk_series",
+      (s, dir) => {
+        import org.apache.spark.sql.expressions.Window
+        val rolled = ev(s, dir)
+          .filter(col("time") >= T0 && col("time") < T0 + 2 * 86400)
+          .groupBy(col("series"), (col("time") - pmod(col("time"), lit(3600L))).as("bucket"))
+          .agg(avg(col("value")).as("__avg"))
+        val w = Window.partitionBy(col("bucket"))
+          .orderBy(col("__avg").desc, col("series"))
+        rolled
+          .withColumn("rnk", row_number().over(w).cast("long"))
+          .filter(col("rnk") <= 2)
+          .select(col("bucket"), col("rnk"), col("series"),
+            (floor(col("__avg") * 1e4 + 0.5) / 1e4).as("avg_value"))
+          .orderBy(col("bucket"), col("rnk"))
+      },
+      Some(s"""$svSql,
+              |r AS (
+              |  SELECT series, time - (time % 3600) AS bucket, avg(value) AS a
+              |  FROM sv WHERE time >= $T0 AND time < ${T0 + 2 * 86400}
+              |  GROUP BY 1, 2
+              |),
+              |rk AS (
+              |  SELECT bucket, series, a,
+              |         CAST(row_number() OVER (PARTITION BY bucket
+              |              ORDER BY a DESC, series) AS BIGINT) AS rnk
+              |  FROM r
+              |)
+              |SELECT bucket, rnk, series,
+              |       floor(a * 1e4 + 0.5) / 1e4 AS avg_value
+              |FROM rk WHERE rnk <= 2
+              |ORDER BY bucket, rnk""".stripMargin))
   )
 }
