@@ -79,6 +79,35 @@ object Similarity {
       .select(col("q_id"), col("vec_id"), cosine(col("qv"), col("v")).as("cos")), k)
   }
 
+  /** Reciprocal (mutual) nearest-neighbor pairs: (a, b) where b is a's
+    * top-1 cosine neighbor AND a is b's — the margin-free filter used for
+    * bitext/translation mining and high-precision near-dup discovery
+    * (mutuality is a much stronger signal than a one-sided threshold).
+    *
+    * Scale shape: the top-1 pass here is the exact all-pairs scan (one
+    * self-join, WindowGroupLimit prunes to rank 1 map-side before the
+    * a_id shuffle); at corpus scale swap that pass for [[hammingTopK]] /
+    * [[ivfTopK]] at k=1 — the mutuality join after it is unchanged and
+    * cheap (n rows equi-joined with n rows on both endpoints).
+    * Output: (vec_a, vec_b, cos round 6), vec_a < vec_b, one row per
+    * mutual pair.
+    */
+  def mutualNn(corpus: DataFrame): DataFrame = {
+    val c = corpus.select(col("vec_id"), vec(col("embedding")).as("v"))
+    val w = Window.partitionBy(col("a_id")).orderBy(col("cos").desc, col("b_id"))
+    val nn = c.as("a").join(c.as("b"), col("a.vec_id") =!= col("b.vec_id"))
+      .select(col("a.vec_id").as("a_id"), col("b.vec_id").as("b_id"),
+        cosine(col("a.v"), col("b.v")).as("cos"))
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1)
+      .select(col("a_id"), col("b_id"), col("cos"))
+    nn.as("x").join(nn.as("y"),
+        col("x.a_id") === col("y.b_id") && col("x.b_id") === col("y.a_id") &&
+          col("x.a_id") < col("x.b_id"))
+      .select(col("x.a_id").as("vec_a"), col("x.b_id").as("vec_b"),
+        (floor((col("x.cos")) * 1e6 + 0.5) / 1e6).as("cos"))
+  }
+
   /** Deterministic pseudo-random hyperplanes (no RNG dependency: public
     * Knuth multiplicative-hash constants).
     */

@@ -486,4 +486,37 @@ object TextAnalysis {
           .otherwise("tail"))
       .drop("__t1", "__t2")
   }
+
+  /** Document-level pointwise mutual information of word pairs:
+    * PMI(a,b) = ln(n_ab · N / (n_a · n_b)) over per-doc distinct words
+    * (presence, not term frequency — the collocation-discovery /
+    * topic-pair pass of a corpus analysis).
+    *
+    * Scale shape: the raw pair space is |vocab|² and per-doc pair
+    * expansion is |doc vocab|², both ruinous at corpus scale — so the
+    * vocabulary is pruned FIRST to the `topV` words by document frequency
+    * (deterministic tie-break on the word). The prune dictionary is
+    * broadcast (topV rows), the per-doc pair explode is then bounded by
+    * topV² per doc, and only (pair → count) aggregates shuffle. `minPair`
+    * drops the noise tail (PMI of rare pairs is unstable anyway). The
+    * doc_id self-join co-partitions both sides on one shuffle key.
+    */
+  def pmiPairs(docs: DataFrame, nDocs: Long, topV: Int = 150,
+      minPair: Long = 5): DataFrame = {
+    val dw = spread(docs)
+      .select(col("doc_id"), explode(array_distinct(words(col("text")))).as("word"))
+      .filter(length(col("word")) > 0)
+    val vocab = dw.groupBy("word").agg(count(lit(1)).as("df"))
+      .orderBy(col("df").desc, col("word")).limit(topV)
+    val kept = dw.join(broadcast(vocab), "word")
+    val a = kept.select(col("doc_id"), col("word").as("w1"), col("df").as("df1"))
+    val b = kept.select(col("doc_id"), col("word").as("w2"), col("df").as("df2"))
+    a.join(b, "doc_id").filter(col("w1") < col("w2"))
+      .groupBy("w1", "w2", "df1", "df2")
+      .agg(count(lit(1)).as("n_ab"))
+      .filter(col("n_ab") >= minPair)
+      .select(col("w1"), col("w2"), col("n_ab"), col("df1"), col("df2"),
+        (floor(log(col("n_ab").cast("double") * nDocs.toDouble /
+          (col("df1") * col("df2")).cast("double")) * 1e4 + 0.5) / 1e4).as("pmi"))
+  }
 }

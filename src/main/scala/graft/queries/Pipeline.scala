@@ -398,7 +398,9 @@ object Pipeline {
     "q_ann_rp", "q_pl_temperature", "q_pl_ppl_buckets",
     // round-9 additions
     "q_ann_hamming", "q_pl_hard_negatives", "q_pl_semdedup",
-    "q_pl_lm_bigram", "q_pl_rrf")
+    "q_pl_lm_bigram", "q_pl_rrf",
+    // round-8 continuation
+    "q_pl_pmi", "q_ann_mutual_nn")
 
   def qs: Seq[Q] = {
     val all = raw.map(q => if (ExtraBench(q.name)) q.copy(benchExtra = true) else q)
@@ -1555,6 +1557,50 @@ object Pipeline {
               |SELECT doc_id,
               |       row_number() OVER (ORDER BY rrf_raw DESC, doc_id) AS rrf_rank,
               |       floor(rrf_raw * 1e6 + 0.5) / 1e6 AS rrf, r_sparse, r_dense
-              |FROM fused QUALIFY rrf_rank <= 20 ORDER BY rrf_rank""".stripMargin))
+              |FROM fused QUALIFY rrf_rank <= 20 ORDER BY rrf_rank""".stripMargin)),
+
+    // Document-level PMI collocations over the df-pruned top vocabulary.
+    Q("q_pl_pmi",
+      (s, dir) => {
+        val docs = Tables.documents(s, dir)
+        TextAnalysis.pmiPairs(docs, docs.count(), topV = 40, minPair = 5)
+          .orderBy("w1", "w2")
+      },
+      Some(s"""WITH $wordsCte,
+              |dw AS (SELECT DISTINCT doc_id, x AS word
+              |       FROM (SELECT doc_id, unnest(w) AS x FROM words)
+              |       WHERE length(x) > 0),
+              |v AS (SELECT word, count(*) AS df FROM dw GROUP BY 1
+              |      ORDER BY df DESC, word LIMIT 40),
+              |k AS (SELECT dw.doc_id, dw.word, v.df FROM dw JOIN v USING (word)),
+              |p AS (
+              |  SELECT a.word AS w1, b.word AS w2, a.df AS df1, b.df AS df2,
+              |         count(*) AS n_ab
+              |  FROM k a JOIN k b ON a.doc_id = b.doc_id AND a.word < b.word
+              |  GROUP BY 1, 2, 3, 4 HAVING count(*) >= 5
+              |)
+              |SELECT w1, w2, n_ab, df1, df2,
+              |       floor(ln(n_ab * CAST((SELECT count(*) FROM documents) AS DOUBLE)
+              |                / CAST(df1 * df2 AS DOUBLE)) * 1e4 + 0.5) / 1e4 AS pmi
+              |FROM p ORDER BY w1, w2""".stripMargin)),
+
+    // Reciprocal top-1 neighbors: both endpoints must pick each other.
+    Q("q_ann_mutual_nn",
+      (s, dir) => Similarity.mutualNn(Tables.embeddings(s, dir))
+        .orderBy("vec_a", "vec_b"),
+      Some(s"""WITH $embCte,
+              |nn AS (
+              |  SELECT a.vec_id AS a_id, b.vec_id AS b_id,
+              |         ${cosSql("a.v", "b.v")} AS cos,
+              |         row_number() OVER (PARTITION BY a.vec_id
+              |             ORDER BY ${cosSql("a.v", "b.v")} DESC, b.vec_id) AS rn
+              |  FROM e a JOIN e b ON a.vec_id != b.vec_id
+              |  QUALIFY rn = 1
+              |)
+              |SELECT x.a_id AS vec_a, x.b_id AS vec_b,
+              |       floor((x.cos) * 1e6 + 0.5) / 1e6 AS cos
+              |FROM nn x JOIN nn y ON x.a_id = y.b_id AND x.b_id = y.a_id
+              |                   AND x.a_id < x.b_id
+              |ORDER BY vec_a, vec_b""".stripMargin))
   )
 }
