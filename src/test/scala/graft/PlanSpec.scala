@@ -333,4 +333,63 @@ class PlanSpec extends AnyFunSuite {
     }
     assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"), p.take(1200))
   }
+
+  test("rollup/cube/grouping-sets plan one scan + Expand + partial+final aggregate") {
+    // Spark's Expand multiplies rows by the number of grouping sets BEFORE
+    // the partial aggregate — an L-level rollup is one scan and one shuffle
+    // of ~L× the distinct groups, never L scans of the fact table
+    import org.apache.spark.sql.execution.datasources.LogicalRelation
+    for (q <- Seq("q_rollup", "q_cube", "q_grouping_sets")) {
+      val df = SparkEntry.queries(q)(spark, sf)
+      assert(df.queryExecution.optimizedPlan.collect {
+        case r: LogicalRelation => r }.size == 1, s"$q should scan once")
+      val p = plan(q)
+      assert(p.contains("Expand"), s"$q should plan Expand")
+      assert("HashAggregate".r.findAllIn(p).size >= 2,
+        s"$q should plan partial+final hash aggregates")
+    }
+  }
+
+  test("topk-per-bucket aggregates first, then gets the rank group-limit pushdown") {
+    // rnk <= k over the window must prune map-side (WindowGroupLimit), and
+    // the window runs over the (series, bucket) rollup — never raw points
+    val p = plan("q_ts_topk_series")
+    assert(p.contains("WindowGroupLimit"), "q_ts_topk_series should plan WindowGroupLimit")
+    assert("HashAggregate".r.findAllIn(p).size >= 2,
+      "topk must aggregate to the (series, bucket) rollup before the window")
+  }
+
+  test("rank-family window is hash-partitioned by the group key (no global sort-all)") {
+    // no rank filter here (every ranked row is output), so no group limit —
+    // the property that matters is the per-status partitioning of the sort
+    val p = plan("q_rank_fns")
+    assert(p.contains("hashpartitioning(o_orderstatus"),
+      "rank window must partition by o_orderstatus:\n" + p.take(1200))
+  }
+
+  test("pivot with explicit values is a single aggregate pass — no distinct-values job") {
+    import org.apache.spark.sql.execution.datasources.LogicalRelation
+    val df = SparkEntry.queries("q_pivot")(spark, sf)
+    assert(df.queryExecution.optimizedPlan.collect {
+      case r: LogicalRelation => r }.size == 1, "pivot should scan once")
+    assert("HashAggregate".r.findAllIn(plan("q_pivot")).size >= 2,
+      "pivot should plan partial+final hash aggregates")
+  }
+
+  test("PMI vocab prune broadcasts; the pair join is an equi-join on doc_id") {
+    val p = plan("q_pl_pmi")
+    assert(p.contains("BroadcastHashJoin"), "vocab dictionary should broadcast\n" + p.take(1200))
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      "pair expansion must ride the doc_id equi-join, not a nested loop\n" + p.take(1200))
+  }
+
+  test("mutual-NN top-1 pass is a partial+final aggregate, never a pair exchange") {
+    val p = plan("q_ann_mutual_nn")
+    assert(!p.contains("Window"),
+      "top-1 must be the max-of-struct aggregate, not a window over n² pairs")
+    // the struct buffer plans as SortAggregate — still partial+final, so
+    // only one pre-combined row per a_id per partition reaches the shuffle
+    assert("(Sort|Hash)Aggregate".r.findAllIn(p).size >= 2,
+      "top-1 aggregate should plan partial+final (pre-shuffle combine)")
+  }
 }
