@@ -400,7 +400,7 @@ object Pipeline {
     "q_ann_hamming", "q_pl_hard_negatives", "q_pl_semdedup",
     "q_pl_lm_bigram", "q_pl_rrf",
     // round-8 continuation
-    "q_pl_pmi", "q_ann_mutual_nn")
+    "q_pl_pmi", "q_ann_mutual_nn", "q_pl_centrality")
 
   def qs: Seq[Q] = {
     val all = raw.map(q => if (ExtraBench(q.name)) q.copy(benchExtra = true) else q)
@@ -1601,6 +1601,50 @@ object Pipeline {
               |       floor((x.cos) * 1e6 + 0.5) / 1e6 AS cos
               |FROM nn x JOIN nn y ON x.a_id = y.b_id AND x.b_id = y.a_id
               |                   AND x.a_id < x.b_id
-              |ORDER BY vec_a, vec_b""".stripMargin))
+              |ORDER BY vec_a, vec_b""".stripMargin)),
+
+    // Link-analysis data valuation: PageRank over the cosine similarity
+    // graph (same 0.45-threshold edges as q_pl_cos_pairs, undirected),
+    // 3 power iterations, damping 0.85. The oracle unrolls the identical
+    // iterations in CTEs.
+    Q("q_pl_centrality",
+      (s, dir) => {
+        val emb = Tables.embeddings(s, dir)
+        val edges = graft.pipeline.Graph.undirected(
+          Similarity.cosinePairs(emb, 0.45), "vec_a", "vec_b")
+        graft.pipeline.Graph.pageRank(edges,
+            emb.select(col("vec_id").as("id")), emb.count(), iters = 3)
+          .select(col("id"), (floor(col("rank") * 1e6 + 0.5) / 1e6).as("rank"))
+          .orderBy("id")
+      },
+      Some {
+        def iter(prev: String, cur: String): String =
+          s"""c$cur AS (
+             |  SELECT ed.dst AS id, sum(r$prev.rank / dg.deg) AS i
+             |  FROM ed JOIN r$prev ON ed.src = r$prev.id
+             |          JOIN dg ON ed.src = dg.src
+             |  GROUP BY 1
+             |), r$cur AS (
+             |  SELECT e.vec_id AS id,
+             |         0.15 / (SELECT n FROM nn) + 0.85 * coalesce(c$cur.i, 0.0) AS rank
+             |  FROM e LEFT JOIN c$cur ON e.vec_id = c$cur.id
+             |)""".stripMargin
+        s"""WITH $embCte,
+           |pr AS (
+           |  SELECT a.vec_id AS a, b.vec_id AS b
+           |  FROM e a JOIN e b ON a.vec_id < b.vec_id
+           |  WHERE ${cosSql("a.v", "b.v")} >= 0.45
+           |),
+           |ed AS (SELECT a AS src, b AS dst FROM pr
+           |       UNION ALL SELECT b AS src, a AS dst FROM pr),
+           |dg AS (SELECT src, count(*) AS deg FROM ed GROUP BY 1),
+           |nn AS (SELECT CAST(count(*) AS DOUBLE) AS n FROM e),
+           |r0 AS (SELECT vec_id AS id, 1.0 / (SELECT n FROM nn) AS rank FROM e),
+           |${iter("0", "1")},
+           |${iter("1", "2")},
+           |${iter("2", "3")}
+           |SELECT id, floor(rank * 1e6 + 0.5) / 1e6 AS rank
+           |FROM r3 ORDER BY id""".stripMargin
+      })
   )
 }

@@ -1041,6 +1041,29 @@ object TimeSeries {
               |SELECT bucket, rnk, series,
               |       floor(a * 1e4 + 0.5) / 1e4 AS avg_value
               |FROM rk WHERE rnk <= 2
-              |ORDER BY bucket, rnk""".stripMargin))
+              |ORDER BY bucket, rnk""".stripMargin)),
+
+    // Exact distinct cardinality per (series, day): "how many distinct
+    // users touched each series each day". Spark plans COUNT(DISTINCT x)
+    // via Expand + two-level aggregate — the distinct de-dup happens
+    // partially map-side, so raw points never converge on one task. (The
+    // 100 TB serving path for dashboards is approx_count_distinct / an HLL
+    // sketch column; exact is the gate-able twin and the backfill job.)
+    Q("q_ts_ndv",
+      (s, dir) =>
+        ev(s, dir).filter(col("time") >= T0 && col("time") < T1)
+          .groupBy(col("series"),
+            (col("time") - pmod(col("time"), lit(86400L))).as("day"))
+          .agg(
+            count_distinct(col("tag_user")).as("n_users"),
+            count(lit(1)).as("n_points"))
+          .orderBy(col("series"), col("day")),
+      Some(s"""$svSql
+              |SELECT series, time - (time % 86400) AS day,
+              |       count(DISTINCT tag_user) AS n_users,
+              |       count(*) AS n_points
+              |FROM sv WHERE time >= $T0 AND time < $T1
+              |GROUP BY 1, 2
+              |ORDER BY series, day""".stripMargin))
   )
 }

@@ -901,4 +901,26 @@ class PipelineSpec extends AnyFunSuite {
     assert(math.abs(r(0)._3 - (1.0 / 62 + 1.0 / 61)) < 1e-6)
     assert(math.abs(r(1)._3 - 1.0 / 61) < 1e-6)
   }
+
+  test("pageRank: symmetry, teleport floor for isolated nodes, mass conservation") {
+    import graft.pipeline.Graph
+    // triangle 0-1-2 (symmetric) + isolated node 3
+    val pairs = Seq((0L, 1L), (1L, 2L), (0L, 2L)).toDF("a", "b")
+    val nodes = Seq(0L, 1L, 2L, 3L).toDF("id")
+    val r = Graph.pageRank(Graph.undirected(pairs, "a", "b"), nodes, 4L, iters = 3)
+      .as[(Long, Double)].collect().toMap
+    // triangle nodes are symmetric → identical ranks
+    assert(math.abs(r(0L) - r(1L)) < 1e-12 && math.abs(r(1L) - r(2L)) < 1e-12)
+    // isolated node holds exactly the teleport share
+    assert(math.abs(r(3L) - 0.15 / 4) < 1e-12)
+    // node 3 is a dangler (no out-edges): each round drops d·rank(3) of
+    // mass, so the total sits below 1 — round 1 alone sheds
+    // 0.85·0.25 ≈ 0.21. Bound it instead of pinning the telescoped value.
+    assert(r.values.sum <= 1.0 + 1e-9 && r.values.sum > 0.7)
+    // a hub (star center) outranks leaves
+    val star = Seq((0L, 1L), (0L, 2L), (0L, 3L)).toDF("a", "b")
+    val r2 = Graph.pageRank(Graph.undirected(star, "a", "b"),
+      nodes, 4L, iters = 3).as[(Long, Double)].collect().toMap
+    assert(r2(0L) > r2(1L) && math.abs(r2(1L) - r2(2L)) < 1e-12)
+  }
 }
