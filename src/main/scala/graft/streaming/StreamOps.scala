@@ -338,6 +338,43 @@ object StreamOps {
       .select(col("window.start").cast("long").as("window_start"),
         col("word"), col("doc_freq"))
 
+  /** Streaming topk-per-bucket — the live twin of `q_ts_topk_series`
+    * (PromQL `topk()` on a dashboard): the k highest-avg series per
+    * `step`-second evaluation window, emitted once per window when the
+    * watermark closes it.
+    *
+    * Shape: two CHAINED stateful aggregations in append mode (Spark's
+    * multiple-stateful-operator support) — the (window, series) rollup,
+    * then a re-window on `window_time` that folds the per-series
+    * aggregates of one window into a sorted list and slices the top k.
+    * The second stage's state is one row per (window, series) — the
+    * rollup's own output size, bounded by live series per window, the
+    * same boundedness contract as [[vocabCounts]]' dictionaries. Raw
+    * points never reach stage two.
+    *
+    * The (avg desc, series asc) tie-break matches the batch twin: the
+    * collected struct negates the average so one ascending sort orders
+    * both slots.
+    *
+    * Output: (bucket, rnk, series, avg_value).
+    */
+  def topkPerWindow(points: DataFrame, k: Int, step: Long,
+      watermarkDelay: String = "10 minutes"): DataFrame = {
+    require(k > 0 && step > 0, "topk needs positive k and bucket step")
+    points
+      .withColumn("event_time", col("time").cast("timestamp"))
+      .withWatermark("event_time", watermarkDelay)
+      .groupBy(window(col("event_time"), s"$step seconds"), col("series"))
+      .agg(avg(col("value")).as("avg_value"))
+      .groupBy(window(window_time(col("window")), s"$step seconds").as("w2"))
+      .agg(sort_array(collect_list(
+        struct((-col("avg_value")).as("na"), col("series")))).as("ranked"))
+      .select(col("w2.start").cast("long").as("bucket"),
+        posexplode(slice(col("ranked"), 1, k)))
+      .select(col("bucket"), (col("pos") + 1).cast("long").as("rnk"),
+        col("col.series").as("series"), (-col("col.na")).as("avg_value"))
+  }
+
   /** Streaming full-absence detection — the live twin of
     * [[graft.operators.Alerts.gapsWithSpine]]'s dark-window reporting and
     * the true Prometheus `absent()` shape: emit ONE alert per dark

@@ -538,4 +538,50 @@ class StreamingSpec extends AnyFunSuite {
       assert(got === Seq(("a", 1800L), ("a", 2400L), ("b", 3000L)))
     } finally q.stop()
   }
+
+  test("streaming topk-per-window matches the batch rank with the same tie-break") {
+    import spark.implicits._
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import org.apache.spark.sql.functions.{avg, col, lit, pmod, row_number}
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val step = 3600L
+    // dyadic values → both engines fold identical averages; b and c tie
+    // in window 0 (avg 4.0) to exercise the series-asc tie-break
+    val b1 = Seq(
+      ("a", 0L, 8.0), ("a", 100L, 2.0), ("b", 50L, 4.0),
+      ("c", 60L, 6.0), ("c", 70L, 2.0), ("d", 80L, 1.0))
+    val b2 = Seq(
+      ("a", 3700L, 1.0), ("b", 3800L, 9.0), ("c", 3900L, 5.0))
+    val ms = MemoryStream[(String, Long, Double)]
+    val ranked = StreamOps.topkPerWindow(
+      ms.toDF().toDF("series", "time", "value"), k = 2, step)
+    assert(ranked.isStreaming)
+    val q = ranked.writeStream.outputMode("append").format("memory")
+      .queryName("topks").start()
+    try {
+      ms.addData(b1); q.processAllAvailable()
+      ms.addData(b2); q.processAllAvailable()
+      ms.addData(Seq(("zz", 100000L, 100.0))); q.processAllAvailable()
+      val got = spark.sql(
+          "select bucket, rnk, series, avg_value from topks where bucket < 90000 order by bucket, rnk")
+        .as[(Long, Long, String, Double)].collect().toSeq
+      // batch twin: rollup → per-bucket row_number (avg desc, series asc)
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("bucket")).orderBy(col("avg_value").desc, col("series"))
+      val want = (b1 ++ b2).toDF("series", "time", "value")
+        .groupBy(col("series"),
+          (col("time") - pmod(col("time"), lit(step))).as("bucket"))
+        .agg(avg(col("value")).as("avg_value"))
+        .withColumn("rnk", row_number().over(w).cast("long"))
+        .filter(col("rnk") <= 2)
+        .select(col("bucket"), col("rnk"), col("series"), col("avg_value"))
+        .orderBy("bucket", "rnk")
+        .as[(Long, Long, String, Double)].collect().toSeq
+      assert(got === want)
+      // window 0: a avg 5.0 ranks 1; b and c tie at 4.0 → series asc picks b
+      assert(got === Seq(
+        (0L, 1L, "a", 5.0), (0L, 2L, "b", 4.0),
+        (3600L, 1L, "b", 9.0), (3600L, 2L, "c", 5.0)))
+    } finally q.stop()
+  }
 }
