@@ -115,6 +115,48 @@ object Similarity {
         (floor((col("x.cos")) * 1e6 + 0.5) / 1e6).as("cos"))
   }
 
+  /** Retrieval-quality evaluation against labeled relevance:
+    * precision@k, recall@k and NDCG@k per query, with rel(q, v) = 1 iff
+    * the corpus labels match — the eval harness for any of the ANN
+    * serving paths (swap the exact scoring pass for the index under test
+    * and re-run; the metric tail is identical).
+    *
+    * Scale shape: queries broadcast against the corpus scan (the same
+    * shape as [[bruteForceTopK]]), WindowGroupLimit prunes to k map-side,
+    * and everything after the top-k is query-sized. IDCG is the
+    * closed-form ideal prefix Σ 1/log2(i+1) over min(n_rel, k) slots,
+    * computed as a HOF fold so the oracle can replay the identical
+    * left-to-right summation.
+    *
+    * Output: (q_id, n_rel, p_at_k, r_at_k, ndcg), doubles rounded 1e-4.
+    */
+  def retrievalEval(corpus: DataFrame, nQueries: Int, k: Int): DataFrame = {
+    val c = corpus.select(col("vec_id"), vec(col("embedding")).as("v"), col("label"))
+    val q = c.filter(col("vec_id") < nQueries)
+      .select(col("vec_id").as("q_id"), col("v").as("qv"), col("label").as("q_label"))
+    val w = Window.partitionBy(col("q_id")).orderBy(col("cos").desc, col("vec_id"))
+    val top = c.join(broadcast(q), col("q_id") =!= col("vec_id"))
+      .select(col("q_id"), col("q_label"), col("vec_id"), col("label"),
+        cosine(col("qv"), col("v")).as("cos"))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .withColumn("rel", (col("label") === col("q_label")).cast("double"))
+    val relTotals = c.join(broadcast(q),
+        col("q_label") === col("label") && col("q_id") =!= col("vec_id"))
+      .groupBy("q_id").agg(count(lit(1)).as("n_rel"))
+    val idcg = aggregate(
+      sequence(lit(1L), least(col("n_rel"), lit(k.toLong))), lit(0.0),
+      (acc, i) => acc + lit(1.0) / log2(i.cast("double") + 1))
+    top.groupBy("q_id")
+      .agg(sum(col("rel")).as("hits"),
+        sum(col("rel") / log2(col("rank").cast("double") + 1)).as("dcg"))
+      .join(broadcast(relTotals), "q_id")
+      .select(col("q_id"), col("n_rel"),
+        (floor(col("hits") / k.toDouble * 1e4 + 0.5) / 1e4).as("p_at_k"),
+        (floor(col("hits") / col("n_rel") * 1e4 + 0.5) / 1e4).as("r_at_k"),
+        (floor(col("dcg") / idcg * 1e4 + 0.5) / 1e4).as("ndcg"))
+  }
+
   /** Deterministic pseudo-random hyperplanes (no RNG dependency: public
     * Knuth multiplicative-hash constants).
     */

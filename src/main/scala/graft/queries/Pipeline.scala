@@ -1645,6 +1645,44 @@ object Pipeline {
            |${iter("2", "3")}
            |SELECT id, floor(rank * 1e6 + 0.5) / 1e6 AS rank
            |FROM r3 ORDER BY id""".stripMargin
-      })
+      }),
+
+    // Retrieval eval: precision/recall/NDCG@20 per labeled query.
+    Q("q_ann_eval",
+      (s, dir) => Similarity.retrievalEval(Tables.embeddings(s, dir),
+        nQueries = 10, k = 20).orderBy("q_id"),
+      Some(s"""WITH el AS (
+              |  SELECT vec_id, [CAST(x AS DOUBLE) for x in embedding] AS v, label
+              |  FROM embeddings
+              |),
+              |q AS (SELECT vec_id AS q_id, v AS qv, label AS q_label
+              |      FROM el WHERE vec_id < 10),
+              |sc AS (
+              |  SELECT q_id, q_label, vec_id, label,
+              |         row_number() OVER (PARTITION BY q_id
+              |             ORDER BY ${cosSql("qv", "v")} DESC, vec_id) AS rank
+              |  FROM el CROSS JOIN q WHERE vec_id != q_id
+              |),
+              |top AS (
+              |  SELECT *, CASE WHEN label = q_label THEN 1.0 ELSE 0.0 END AS rel
+              |  FROM sc WHERE rank <= 20
+              |),
+              |rt AS (
+              |  SELECT q.q_id, count(*) AS n_rel
+              |  FROM el JOIN q ON el.label = q.q_label AND el.vec_id != q.q_id
+              |  GROUP BY 1
+              |),
+              |ag AS (
+              |  SELECT q_id, sum(rel) AS hits,
+              |         sum(rel / log2(rank + 1)) AS dcg
+              |  FROM top GROUP BY q_id
+              |)
+              |SELECT ag.q_id, rt.n_rel,
+              |       floor(hits / 20.0 * 1e4 + 0.5) / 1e4 AS p_at_k,
+              |       floor(hits / rt.n_rel * 1e4 + 0.5) / 1e4 AS r_at_k,
+              |       floor(dcg / list_reduce(
+              |           [1.0 / log2(i + 1) for i in range(1, least(rt.n_rel, 20) + 1)],
+              |           (x, y) -> x + y) * 1e4 + 0.5) / 1e4 AS ndcg
+              |FROM ag JOIN rt USING (q_id) ORDER BY q_id""".stripMargin))
   )
 }
