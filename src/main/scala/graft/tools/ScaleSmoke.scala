@@ -165,6 +165,22 @@ object ScaleSmoke {
         "doc_id", "wt", 1000, "smoke")),
       timed("bm25")(TextAnalysis.bm25TopK(
         docs, Seq("spark", "hash", "merge"), nDocs, 100)),
+      // vocab prune caps the per-doc pair explode at topV² regardless of
+      // corpus size — growth must be linear in the doc count
+      timed("pmi")(TextAnalysis.pmiPairs(docs, nDocs, topV = 150, minPair = 5)),
+      // PageRank iterations on a synthetic power-ish graph (10 out-edges
+      // per node, hubs via modulo collisions) — the edge list is built
+      // directly because edge GENERATION from similarity is the
+      // separately-smoked pair op; this measures the iterate-join path,
+      // which must stay linear in |E| per iteration
+      timed("pagerank") {
+        val nNodes = 100000L * math.max(1, mult / 10)
+        val edges = spark.range(nNodes * 10).select(
+          (col("id") % nNodes).as("src"),
+          ((col("id") * 2654435761L) % nNodes).as("dst"))
+        graft.pipeline.Graph.pageRank(
+          edges, spark.range(nNodes).select(col("id")), nNodes, iters = 3)
+      },
       timed("ann_self_join") {
         // √n-rule cell count with FIXED nprobe — SCALE.md's sizing math
         // (candidates/query ≈ n·nprobe/nCells = √n·nprobe, total n^1.5).
