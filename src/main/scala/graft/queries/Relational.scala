@@ -203,6 +203,30 @@ object Relational {
              |SELECT o_orderkey FROM orders WHERE o_orderpriority = '1-URGENT'
              |ORDER BY o_orderkey""".stripMargin)),
 
+    Q("q_intersect",
+      (s, dir) => {
+        val o = Tables.orders(s, dir)
+        o.filter(col("o_totalprice") > 400000).select(col("o_custkey"))
+          .intersect(o.filter(col("o_orderpriority") === "1-URGENT").select(col("o_custkey")))
+          .orderBy(col("o_custkey"))
+      },
+      Some("""SELECT o_custkey FROM orders WHERE o_totalprice > 400000
+             |INTERSECT
+             |SELECT o_custkey FROM orders WHERE o_orderpriority = '1-URGENT'
+             |ORDER BY o_custkey""".stripMargin)),
+
+    Q("q_except",
+      (s, dir) => {
+        val o = Tables.orders(s, dir)
+        o.filter(col("o_totalprice") > 400000).select(col("o_custkey"))
+          .except(o.filter(col("o_orderpriority") === "1-URGENT").select(col("o_custkey")))
+          .orderBy(col("o_custkey"))
+      },
+      Some("""SELECT o_custkey FROM orders WHERE o_totalprice > 400000
+             |EXCEPT
+             |SELECT o_custkey FROM orders WHERE o_orderpriority = '1-URGENT'
+             |ORDER BY o_custkey""".stripMargin)),
+
     Q("q_having",
       (s, dir) =>
         Tables.orders(s, dir)
