@@ -1043,6 +1043,50 @@ object TimeSeries {
               |FROM rk WHERE rnk <= 2
               |ORDER BY bucket, rnk""".stripMargin)),
 
+    // Tukey-fence outlier detection: hourly bucket averages outside
+    // [q1 − 1.5·IQR, q3 + 1.5·IQR] of their series' distribution. The
+    // quartiles are one exact-percentile aggregate per series
+    // (series-count rows, broadcast back), so the raw rollup is scanned
+    // once and nothing sorts it globally; DuckDB's quantile_cont uses
+    // the same linear interpolation as Spark's percentile.
+    Q("q_ts_iqr",
+      (s, dir) => {
+        val rolled = ev(s, dir)
+          .filter(col("time") >= T0 && col("time") < T1)
+          .groupBy(col("series"),
+            (col("time") - pmod(col("time"), lit(3600L))).as("bucket"))
+          .agg(avg(col("value")).as("v"))
+        val fences = rolled.groupBy("series").agg(
+          percentile(col("v"), lit(0.25)).as("q1"),
+          percentile(col("v"), lit(0.75)).as("q3"))
+        rolled.join(broadcast(fences), "series")
+          .withColumn("lo", col("q1") - lit(1.5) * (col("q3") - col("q1")))
+          .withColumn("hi", col("q3") + lit(1.5) * (col("q3") - col("q1")))
+          .filter(col("v") < col("lo") || col("v") > col("hi"))
+          .select(col("series"), col("bucket"),
+            (floor(col("v") * 1e4 + 0.5) / 1e4).as("v"),
+            when(col("v") < col("lo"), "low").otherwise("high").as("side"))
+          .orderBy("series", "bucket")
+      },
+      Some(s"""$svSql,
+              |r AS (
+              |  SELECT series, time - (time % 3600) AS bucket, avg(value) AS v
+              |  FROM sv WHERE time >= $T0 AND time < $T1
+              |  GROUP BY 1, 2
+              |),
+              |f AS (
+              |  SELECT series, quantile_cont(v, 0.25) AS q1,
+              |         quantile_cont(v, 0.75) AS q3
+              |  FROM r GROUP BY series
+              |)
+              |SELECT r.series, r.bucket,
+              |       floor(r.v * 1e4 + 0.5) / 1e4 AS v,
+              |       CASE WHEN r.v < q1 - 1.5 * (q3 - q1) THEN 'low'
+              |            ELSE 'high' END AS side
+              |FROM r JOIN f ON r.series = f.series
+              |WHERE r.v < q1 - 1.5 * (q3 - q1) OR r.v > q3 + 1.5 * (q3 - q1)
+              |ORDER BY r.series, r.bucket""".stripMargin)),
+
     // Exact distinct cardinality per (series, day): "how many distinct
     // users touched each series each day". Spark plans COUNT(DISTINCT x)
     // via Expand + two-level aggregate — the distinct de-dup happens
