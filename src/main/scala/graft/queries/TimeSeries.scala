@@ -1087,6 +1087,43 @@ object TimeSeries {
               |WHERE r.v < q1 - 1.5 * (q3 - q1) OR r.v > q3 + 1.5 * (q3 - q1)
               |ORDER BY r.series, r.bucket""".stripMargin)),
 
+    // PromQL `offset` modifier: each hourly bucket against the same
+    // series' bucket 24 h earlier (day-over-day delta and ratio). The
+    // self-join is on the rollup (series-count × buckets rows), keyed by
+    // (series, bucket) — both sides shuffle once on the same key; raw
+    // points never join. Inner semantics: buckets with no 24 h-ago twin
+    // drop (PromQL's offset returns nothing there too).
+    Q("q_ts_offset",
+      (s, dir) => {
+        val rolled = ev(s, dir)
+          .filter(col("time") >= T0 && col("time") < T1)
+          .groupBy(col("series"),
+            (col("time") - pmod(col("time"), lit(3600L))).as("bucket"))
+          .agg(avg(col("value")).as("v"))
+        val prev = rolled.select(col("series"),
+          (col("bucket") + 86400L).as("bucket"), col("v").as("v_prev"))
+        rolled.join(prev, Seq("series", "bucket"))
+          .select(col("series"), col("bucket"),
+            (floor(col("v") * 1e4 + 0.5) / 1e4).as("v"),
+            (floor(col("v_prev") * 1e4 + 0.5) / 1e4).as("v_prev"),
+            (floor((col("v") - col("v_prev")) * 1e4 + 0.5) / 1e4).as("delta_1d"),
+            (floor(when(col("v_prev") =!= 0, col("v") / col("v_prev")) * 1e4 + 0.5) / 1e4).as("ratio_1d"))
+          .orderBy("series", "bucket")
+      },
+      Some(s"""$svSql,
+              |r AS (
+              |  SELECT series, time - (time % 3600) AS bucket, avg(value) AS v
+              |  FROM sv WHERE time >= $T0 AND time < $T1
+              |  GROUP BY 1, 2
+              |)
+              |SELECT a.series, a.bucket,
+              |       floor(a.v * 1e4 + 0.5) / 1e4 AS v,
+              |       floor(b.v * 1e4 + 0.5) / 1e4 AS v_prev,
+              |       floor((a.v - b.v) * 1e4 + 0.5) / 1e4 AS delta_1d,
+              |       floor((CASE WHEN b.v <> 0 THEN a.v / b.v END) * 1e4 + 0.5) / 1e4 AS ratio_1d
+              |FROM r a JOIN r b ON a.series = b.series AND a.bucket = b.bucket + 86400
+              |ORDER BY a.series, a.bucket""".stripMargin)),
+
     // Exact distinct cardinality per (series, day): "how many distinct
     // users touched each series each day". Spark plans COUNT(DISTINCT x)
     // via Expand + two-level aggregate — the distinct de-dup happens
