@@ -84,10 +84,12 @@ object Similarity {
     * bitext/translation mining and high-precision near-dup discovery
     * (mutuality is a much stronger signal than a one-sided threshold).
     *
-    * Scale shape: the top-1 pass here is the exact all-pairs scan (one
-    * self-join, WindowGroupLimit prunes to rank 1 map-side before the
-    * a_id shuffle); at corpus scale swap that pass for [[hammingTopK]] /
-    * [[ivfTopK]] at k=1 — the mutuality join after it is unchanged and
+    * Scale shape: the top-1 pass here is the exact all-pairs scan, one
+    * self-join feeding a partial+final max-of-struct AGGREGATE (not a
+    * window): each partition collapses to one candidate per a_id before
+    * the shuffle, so only n rows move instead of the n² scored pairs. At
+    * corpus scale swap that pass for [[mutualNnIdx]] (the gated
+    * index-backed route) — the mutuality join after it is unchanged and
     * cheap (n rows equi-joined with n rows on both endpoints).
     * Output: (vec_a, vec_b, cos round 6), vec_a < vec_b, one row per
     * mutual pair.
@@ -113,6 +115,45 @@ object Similarity {
           col("x.a_id") < col("x.b_id"))
       .select(col("x.a_id").as("vec_a"), col("x.b_id").as("vec_b"),
         (floor((col("x.cos")) * 1e6 + 0.5) / 1e6).as("cos"))
+  }
+
+  /** Mutual nearest neighbors with the top-1 pass routed through the
+    * binary-signature index ([[hammingTopK]] k = 1: 16-byte Hamming
+    * candidate scan, exact cosine rerank of the top `candMult`
+    * candidates) instead of [[mutualNn]]'s exact all-pairs cosine scan —
+    * the corpus-scale form. The mutuality join after the top-1 pass is
+    * identical to [[mutualNn]]'s (n rows equi-joined on both endpoints).
+    *
+    * The ALGORITHM is the contract (like [[hammingTopK]]): an oracle must
+    * replay the same integer Hamming candidate ranking and exact rerank,
+    * not brute force — with `candMult` spanning the corpus the result
+    * equals [[mutualNn]] exactly (PipelineSpec pins it).
+    *
+    * Scale shape (100 TB): the per-compare cost drops 32× (two XOR+
+    * popcounts on packed bits vs a 64-dim float kernel) and only
+    * `candMult` survivors per vector load their float vectors for the
+    * rerank. This overload broadcasts the query-side signatures (fine up
+    * to ~10M vectors × 24 B); beyond that, build the signatures once and
+    * band them into an equi-join (the [[cosinePairsLsh]] shape) or probe
+    * the at-rest [[IvfIndex]] — the mutuality tail is unchanged either way.
+    *
+    * `candMult = 64` default: mutual-top-1 is the hardest ANN recall
+    * target (BOTH endpoints must survive pruning, and on near-uniform
+    * embeddings the top-1 margin is tiny), so the rerank budget is sized
+    * up from [[hammingTopK]]'s serving default — still a constant per
+    * query, i.e. a vanishing corpus fraction at scale (PipelineSpec pins
+    * ≥ 0.8 pair recall on the worst-case synthetic embeddings; real
+    * near-dup corpora with fat top-1 margins sit far higher).
+    * Output: (vec_a, vec_b, cos round 6), vec_a < vec_b.
+    */
+  def mutualNnIdx(corpus: DataFrame, candMult: Int = 64, dim: Int = 64): DataFrame = {
+    val nn = hammingTopK(corpus, corpus, 1, candMult, dim)
+      .select(col("q_id").as("a_id"), col("vec_id").as("b_id"), col("cos"))
+    nn.as("x").join(nn.as("y"),
+        col("x.a_id") === col("y.b_id") && col("x.b_id") === col("y.a_id") &&
+          col("x.a_id") < col("x.b_id"))
+      .select(col("x.a_id").as("vec_a"), col("x.b_id").as("vec_b"),
+        col("x.cos").as("cos"))
   }
 
   /** Retrieval-quality evaluation against labeled relevance:

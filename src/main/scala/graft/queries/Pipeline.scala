@@ -73,6 +73,60 @@ object Pipeline {
   private def cosSql(a: String, b: String) =
     s"${dotSql(a, b)} / (${normSql(a)} * ${normSql(b)})"
 
+  /** packed sign-bit signature halves → CTE `sig` (mirrors
+    * Similarity.binarySig: bit `d` / `d-32` of the lo/hi half set iff
+    * v[d+1] > 0; two 32-bit halves keep the BIGINT sign bit out of play).
+    */
+  private val sigCte =
+    """sig AS (
+      |  SELECT vec_id, v,
+      |         list_reduce([CASE WHEN v[d + 1] > 0
+      |             THEN (CAST(1 AS BIGINT) << d) ELSE CAST(0 AS BIGINT) END
+      |           for d in range(0, 32)], (a, b) -> a + b) AS sig_lo,
+      |         list_reduce([CASE WHEN v[d + 1] > 0
+      |             THEN (CAST(1 AS BIGINT) << (d - 32)) ELSE CAST(0 AS BIGINT) END
+      |           for d in range(32, 64)], (a, b) -> a + b) AS sig_hi
+      |  FROM e
+      |)""".stripMargin
+
+  /** Corpus-vs-corpus Hamming-index top-k replay → CTE `knn(q_id, vec_id,
+    * cos, rank)` (mirrors Similarity.hammingTopK with queries = corpus:
+    * integer Hamming candidate ranking with vec_id tie-break, crank <=
+    * k·candMult, exact-cosine rerank). `cos` is raw — round at use sites.
+    */
+  private def hammingKnnCtes(k: Int, candMult: Int): String =
+    s"""cand AS (
+       |  SELECT a.vec_id AS q_id, a.v AS qv, b.vec_id, b.v,
+       |         row_number() OVER (PARTITION BY a.vec_id
+       |           ORDER BY bit_count(xor(a.sig_lo, b.sig_lo))
+       |                  + bit_count(xor(a.sig_hi, b.sig_hi)), b.vec_id) AS crank
+       |  FROM sig a JOIN sig b ON a.vec_id != b.vec_id
+       |),
+       |knn AS (
+       |  SELECT q_id, vec_id, cos,
+       |         row_number() OVER (PARTITION BY q_id
+       |           ORDER BY cos DESC, vec_id) AS rank
+       |  FROM (SELECT q_id, vec_id, ${cosSql("qv", "v")} AS cos
+       |        FROM cand WHERE crank <= ${k * candMult})
+       |)""".stripMargin
+
+  /** One unrolled PageRank power iteration over CTEs `ed(src, dst)`,
+    * `dg(src, deg)`, `nn(n)`, `e(vec_id, …)` and `r\$prev` → `r\$cur`
+    * (damping 0.85, teleport 0.15/n). Shared by the exact-threshold and
+    * kNN-graph centrality oracles.
+    */
+  private def prIter(prev: String, cur: String): String =
+    s"""c$cur AS (
+       |  SELECT ed.dst AS id, sum(r$prev.rank / dg.deg) AS i
+       |  FROM ed JOIN r$prev ON ed.src = r$prev.id
+       |          JOIN dg ON ed.src = dg.src
+       |  GROUP BY 1
+       |), r$cur AS (
+       |  SELECT e.vec_id AS id,
+       |         0.15 / (SELECT n FROM nn) + 0.85 * coalesce(c$cur.i, 0.0) AS rank
+       |  FROM e LEFT JOIN c$cur ON e.vec_id = c$cur.id
+       |)""".stripMargin
+
   /** lang-ID stopword scores → CTE `scored` (mirrors TextAnalysis.langId). */
   private val langScoredCte: String = {
     val scores = TextAnalysis.Lexicons.map { case (l, ws) =>
@@ -400,7 +454,10 @@ object Pipeline {
     "q_ann_hamming", "q_pl_hard_negatives", "q_pl_semdedup",
     "q_pl_lm_bigram", "q_pl_rrf",
     // round-8 continuation
-    "q_pl_pmi", "q_ann_mutual_nn", "q_pl_centrality")
+    "q_pl_pmi", "q_ann_mutual_nn", "q_pl_centrality",
+    // round-9: index-backed scale routes for the two r8 weak grades, plus
+    // q_ann_eval (gated in r8 but never benchmarked — ADVICE)
+    "q_ann_mutual_nn_idx", "q_pl_centrality_knn", "q_ann_eval")
 
   def qs: Seq[Q] = {
     val all = raw.map(q => if (ExtraBench(q.name)) q.copy(benchExtra = true) else q)
@@ -1617,18 +1674,7 @@ object Pipeline {
           .select(col("id"), (floor(col("rank") * 1e6 + 0.5) / 1e6).as("rank"))
           .orderBy("id")
       },
-      Some {
-        def iter(prev: String, cur: String): String =
-          s"""c$cur AS (
-             |  SELECT ed.dst AS id, sum(r$prev.rank / dg.deg) AS i
-             |  FROM ed JOIN r$prev ON ed.src = r$prev.id
-             |          JOIN dg ON ed.src = dg.src
-             |  GROUP BY 1
-             |), r$cur AS (
-             |  SELECT e.vec_id AS id,
-             |         0.15 / (SELECT n FROM nn) + 0.85 * coalesce(c$cur.i, 0.0) AS rank
-             |  FROM e LEFT JOIN c$cur ON e.vec_id = c$cur.id
-             |)""".stripMargin
+      Some(
         s"""WITH $embCte,
            |pr AS (
            |  SELECT a.vec_id AS a, b.vec_id AS b
@@ -1640,12 +1686,11 @@ object Pipeline {
            |dg AS (SELECT src, count(*) AS deg FROM ed GROUP BY 1),
            |nn AS (SELECT CAST(count(*) AS DOUBLE) AS n FROM e),
            |r0 AS (SELECT vec_id AS id, 1.0 / (SELECT n FROM nn) AS rank FROM e),
-           |${iter("0", "1")},
-           |${iter("1", "2")},
-           |${iter("2", "3")}
+           |${prIter("0", "1")},
+           |${prIter("1", "2")},
+           |${prIter("2", "3")}
            |SELECT id, floor(rank * 1e6 + 0.5) / 1e6 AS rank
-           |FROM r3 ORDER BY id""".stripMargin
-      }),
+           |FROM r3 ORDER BY id""".stripMargin)),
 
     // Retrieval eval: precision/recall/NDCG@20 per labeled query.
     Q("q_ann_eval",
@@ -1683,6 +1728,59 @@ object Pipeline {
               |       floor(dcg / list_reduce(
               |           [1.0 / log2(i + 1) for i in range(1, least(rt.n_rel, 20) + 1)],
               |           (x, y) -> x + y) * 1e4 + 0.5) / 1e4 AS ndcg
-              |FROM ag JOIN rt USING (q_id) ORDER BY q_id""".stripMargin))
+              |FROM ag JOIN rt USING (q_id) ORDER BY q_id""".stripMargin)),
+
+    // Index-backed mutual NN — the corpus-scale route for q_ann_mutual_nn:
+    // top-1 per vector via the Hamming candidate scan + exact rerank
+    // (hammingTopK k=1, candMult=64), then the unchanged mutuality join.
+    // The ALGORITHM is the contract (the q_ann_hamming pattern): the
+    // oracle replays the integer Hamming ranking and the rerank, not
+    // brute force.
+    Q("q_ann_mutual_nn_idx",
+      (s, dir) => Similarity.mutualNnIdx(Tables.embeddings(s, dir))
+        .orderBy("vec_a", "vec_b"),
+      Some(s"""WITH $embCte,
+              |$sigCte,
+              |${hammingKnnCtes(1, 64)},
+              |nn AS (SELECT q_id AS a_id, vec_id AS b_id,
+              |              floor(cos * 1e6 + 0.5) / 1e6 AS cos
+              |       FROM knn WHERE rank <= 1)
+              |SELECT x.a_id AS vec_a, x.b_id AS vec_b, x.cos AS cos
+              |FROM nn x JOIN nn y ON x.a_id = y.b_id AND x.b_id = y.a_id
+              |                   AND x.a_id < x.b_id
+              |ORDER BY vec_a, vec_b""".stripMargin)),
+
+    // kNN-graph centrality — the corpus-scale route for q_pl_centrality:
+    // edges = symmetrized distinct top-4 Hamming-index neighbors (the
+    // standard similarity-graph construction at scale; no threshold, no
+    // all-pairs), same Graph.pageRank tail. The exact 0.45-threshold
+    // variant stays gated for small scale factors.
+    Q("q_pl_centrality_knn",
+      (s, dir) => {
+        val emb = Tables.embeddings(s, dir)
+        val knn = Similarity.hammingTopK(emb, emb, 4, candMult = 4)
+        val edges = graft.pipeline.Graph.undirected(
+          knn.select(col("q_id").as("vec_a"), col("vec_id").as("vec_b")),
+          "vec_a", "vec_b").distinct()
+        graft.pipeline.Graph.pageRank(edges,
+            emb.select(col("vec_id").as("id")), emb.count(), iters = 3)
+          .select(col("id"), (floor(col("rank") * 1e6 + 0.5) / 1e6).as("rank"))
+          .orderBy("id")
+      },
+      Some(s"""WITH $embCte,
+              |$sigCte,
+              |${hammingKnnCtes(4, 4)},
+              |dpr AS (SELECT q_id AS a, vec_id AS b FROM knn WHERE rank <= 4),
+              |ed AS (SELECT DISTINCT src, dst FROM (
+              |  SELECT a AS src, b AS dst FROM dpr
+              |  UNION ALL SELECT b AS src, a AS dst FROM dpr)),
+              |dg AS (SELECT src, count(*) AS deg FROM ed GROUP BY 1),
+              |nn AS (SELECT CAST(count(*) AS DOUBLE) AS n FROM e),
+              |r0 AS (SELECT vec_id AS id, 1.0 / (SELECT n FROM nn) AS rank FROM e),
+              |${prIter("0", "1")},
+              |${prIter("1", "2")},
+              |${prIter("2", "3")}
+              |SELECT id, floor(rank * 1e6 + 0.5) / 1e6 AS rank
+              |FROM r3 ORDER BY id""".stripMargin))
   )
 }

@@ -826,6 +826,28 @@ class PipelineSpec extends AnyFunSuite {
     assert(recall >= 0.4, s"hamming recall@5 $recall vs random ~${20.0 / n}")
   }
 
+  test("mutualNnIdx: corpus-spanning budget equals exact mutualNn; default budget is high-recall") {
+    val n = emb.count().toInt
+    val exact = Similarity.mutualNn(emb)
+      .select("vec_a", "vec_b", "cos").as[(Long, Long, Double)].collect().toSet
+    // candMult spanning the corpus ⇒ the rerank sees every vector, so the
+    // top-1 (and therefore the mutual pairs AND their cosines) must match
+    // the exact all-pairs route bit for bit
+    val full = Similarity.mutualNnIdx(emb, candMult = n)
+      .select("vec_a", "vec_b", "cos").as[(Long, Long, Double)].collect().toSet
+    assert(full === exact)
+    assert(exact.nonEmpty, "test data should contain mutual pairs")
+    // the gated default budget (64 candidates/vector from a 16-byte scan)
+    // recovers most mutual pairs even on these near-uniform synthetic
+    // embeddings — the hardest case for any pruned top-1 (tiny margins,
+    // and BOTH endpoints must survive pruning)
+    val idx = Similarity.mutualNnIdx(emb)
+      .select("vec_a", "vec_b").as[(Long, Long)].collect().toSet
+    val exactPairs = exact.map(r => (r._1, r._2))
+    val recall = idx.count(exactPairs.contains).toDouble / exactPairs.size
+    assert(recall >= 0.8, s"index-route mutual-NN recall $recall")
+  }
+
   test("binary signatures pack sign bits into two non-negative halves") {
     val sigs = Similarity.binarySig(emb)
       .select("sig_lo", "sig_hi").as[(Long, Long)].collect()
