@@ -251,6 +251,15 @@ object Dedup {
     * and therefore identical keep/drop — calls. Cross-cluster near-dups
     * are missed by design (SemDeDup's documented recall trade); raise k
     * for cheaper pairs, lower k for higher recall.
+    *
+    * Sizing k: scale k WITH n so the TARGET CLUSTER SIZE (n/k) stays
+    * constant — k ∝ n keeps within-cluster pairs at n·(n/k)/2, i.e.
+    * LINEAR in n; holding k fixed while n grows 100× makes the pair join
+    * quadratic again (n²/k). The gate's k=8 is sized for the sf0.01/0.1
+    * corpus (~60–250 vectors/cluster); at 100 TB pick k ≈ n / 200 and
+    * feed [[Clustering.fitCentroids]] a sampled fit if the k×dim driver
+    * state matters. ScaleSmoke's `semdedup` op records the k∝n curve
+    * (docs ×2 ⇒ time ~×2, SCALE.md).
     */
   def semDedup(emb: DataFrame, k: Int = 8, iters: Int = 2,
       tau: Double = 0.45): DataFrame = {

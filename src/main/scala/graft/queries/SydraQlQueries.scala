@@ -482,6 +482,33 @@ object SydraQlQueries {
               |FROM sv WHERE series = 'click' AND time >= $T0 AND time < ${T0 + 2 * 86400}
               |GROUP BY bucket ORDER BY bucket""".stripMargin)),
 
+    // Full series-keyed analytics over the BUCKETED layout — the query
+    // class the layout exists for: GROUP BY series_id reads a scan that
+    // already satisfies HashPartitioning(series_id), so the aggregate
+    // runs with NO hash Exchange (PlanSpec asserts it on THIS gate's
+    // plan; at 100× that shuffle is the dominant cost of per-series
+    // analytics). The oracle groups the raw parquet by the same series
+    // identity (series, tag) — result-equivalence across layouts.
+    Q("q_store_bucketed_series_agg",
+      (s, dir) => {
+        val store = eventsStore(s, dir, T0, T0 + 2 * 86400, buckets = 8)
+        store.scan()
+          .groupBy(col("series_id"), col("series"), col("tags")("user").as("usr"))
+          .agg(
+            (floor(avg("value") * 1e4 + 0.5) / 1e4).as("avg_value"),
+            (floor(sum("value") * 1e4 + 0.5) / 1e4).as("sum_value"),
+            count(lit(1)).as("n"))
+          .select("series", "usr", "avg_value", "sum_value", "n")
+          .orderBy("series", "usr")
+      },
+      Some(s"""$svSql
+              |SELECT series, tag_user AS usr,
+              |       floor((avg(value)) * 1e4 + 0.5) / 1e4 AS avg_value,
+              |       floor((sum(value)) * 1e4 + 0.5) / 1e4 AS sum_value,
+              |       count(*) AS n
+              |FROM sv WHERE time >= $T0 AND time < ${T0 + 2 * 86400}
+              |GROUP BY 1, 2 ORDER BY series, usr""".stripMargin)),
+
     // by_id selector: the physical scan path (operator.zig:242-245) — the
     // id is resolved from the series catalog exactly like a client would.
     Q("q_sql_by_id",

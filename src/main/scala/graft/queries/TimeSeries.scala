@@ -1145,6 +1145,25 @@ object TimeSeries {
               |       count(*) AS n_points
               |FROM sv WHERE time >= $T0 AND time < $T1
               |GROUP BY 1, 2
-              |ORDER BY series, day""".stripMargin))
+              |ORDER BY series, day""".stripMargin)),
+
+    // Sketch twin of q_ts_ndv — the 100 TB dashboard-serving path:
+    // approx_count_distinct (HLL++, rsd 5%) per (series, day). Bounded
+    // mergeable state instead of the exact form's Expand + two-level
+    // distinct aggregate, so a day's NDV rollup is one narrow pass and
+    // sketches merge across segments/partitions. No oracle — sketch
+    // algorithms differ across engines (same contract as
+    // q_ts_percentile_approx); accuracy vs the exact twin is spec-pinned
+    // in CoreSpec.
+    Q("q_ts_ndv_approx",
+      (s, dir) =>
+        ev(s, dir).filter(col("time") >= T0 && col("time") < T1)
+          .groupBy(col("series"),
+            (col("time") - pmod(col("time"), lit(86400L))).as("day"))
+          .agg(
+            approx_count_distinct(col("tag_user")).as("n_users_approx"),
+            count(lit(1)).as("n_points"))
+          .orderBy(col("series"), col("day")),
+      None)
   )
 }

@@ -181,6 +181,14 @@ object ScaleSmoke {
         graft.pipeline.Graph.pageRank(
           edges, spark.range(nNodes).select(col("id")), nNodes, iters = 3)
       },
+      // SemDeDup under the documented k ∝ n rule (target cluster size
+      // ~250): within-cluster pairs stay ~n·250/2 — the curve must be
+      // ~linear in n. A fixed k here would re-quadratize the pair join
+      // (n²/k), which is exactly what the scaladoc warns against.
+      timed("semdedup") {
+        val k = math.max(8, (nVec / 250L).toInt)
+        Dedup.semDedup(emb, k = k, iters = 2)
+      },
       timed("ann_self_join") {
         // √n-rule cell count with FIXED nprobe — SCALE.md's sizing math
         // (candidates/query ≈ n·nprobe/nCells = √n·nprobe, total n^1.5).

@@ -143,6 +143,25 @@ class FunctionsSpec extends AnyFunSuite {
     assert(math.abs(approx - exact).toDouble / exact < 0.1, s"$approx vs $exact")
   }
 
+  test("per-(series, day) approx NDV gate tracks its exact twin per group") {
+    val sf = "/root/testdata/sf0.01"
+    val exact = graft.queries.Registry.byName("q_ts_ndv").run(spark, sf)
+      .collect().map(r => (r.getString(0), r.getLong(1)) -> (r.getLong(2), r.getLong(3))).toMap
+    val approx = graft.queries.Registry.byName("q_ts_ndv_approx").run(spark, sf)
+      .collect().map(r => (r.getString(0), r.getLong(1)) -> (r.getLong(2), r.getLong(3))).toMap
+    // identical groups and identical exact point counts
+    assert(approx.keySet === exact.keySet)
+    assert(exact.nonEmpty)
+    exact.foreach { case (key, (nUsers, nPoints)) =>
+      val (nApprox, nPointsApprox) = approx(key)
+      assert(nPointsApprox === nPoints, s"$key point counts must be exact")
+      // HLL++ at the default 5% rsd; 15% leaves 2-sigma headroom on the
+      // smallest groups (sparse-mode groups are exact anyway)
+      assert(math.abs(nApprox - nUsers).toDouble / math.max(nUsers, 1L) < 0.15,
+        s"$key: approx $nApprox vs exact $nUsers")
+    }
+  }
+
   test("codegen hash60 is bit-identical to the composed conv(substring(md5)) form") {
     import spark.implicits._
     val rnd = new scala.util.Random(8675309)

@@ -41,6 +41,16 @@ class PlanSpec extends AnyFunSuite {
     assert(agg2(store) === agg2(flat))
   }
 
+  test("q_store_bucketed_series_agg gate plan: series-keyed aggregate has no hash Exchange") {
+    val df = SparkEntry.queries("q_store_bucketed_series_agg")(spark, sf)
+    val p = df.queryExecution.executedPlan.toString
+    // the bucketed scan must satisfy the aggregate's distribution — the
+    // only allowed Exchange is the final ORDER BY's rangepartitioning
+    // over the (tiny) per-series result
+    assert(!p.contains("Exchange hashpartitioning"),
+      s"series-keyed agg over the bucketed store must not shuffle:\n${p.take(1500)}")
+  }
+
   test("filters are pushed to the parquet scan") {
     val p = plan("q_scan_filter_project")
     assert(p.contains("PushedFilters:"), p.take(500))
