@@ -397,21 +397,56 @@ object Similarity {
     * `candMult` trades recall for a 32× lighter scan.
     */
   def hammingTopK(corpus: DataFrame, queries: DataFrame, k: Int,
-      candMult: Int = 4, dim: Int = 64): DataFrame = {
+      candMult: Int = 4, dim: Int = 64, maxDriverBatch: Int = -1): DataFrame = {
     val c = binarySig(corpus, dim)
     val q = binarySig(queries, dim)
       .select(col("vec_id").as("q_id"), col("v").as("qv"),
         col("sig_lo").as("q_lo"), col("sig_hi").as("q_hi"))
-    val scored = c.join(broadcast(q), col("q_id") =!= col("vec_id"))
-      .withColumn("hamming",
-        bit_count(col("sig_lo").bitwiseXOR(col("q_lo"))) +
-          bit_count(col("sig_hi").bitwiseXOR(col("q_hi"))))
+    val cn = c.select(col("vec_id"), col("sig_lo"), col("sig_hi"))
+    val ham = (lo: Column, hi: Column) =>
+      bit_count(col("sig_lo").bitwiseXOR(lo)) + bit_count(col("sig_hi").bitwiseXOR(hi))
+    // Two rules keep the scan at its 16-bytes-per-compare promise:
+    //  1. the candidate stage stays NARROW — (q_id, vec_id, hamming)
+    //     only. Dragging the 64-double vectors through the candidate
+    //     window multiplies the bytes ~60× (multi-GB spill once the
+    //     query side is corpus-sized); the float vectors are equi-joined
+    //     back for just the k·candMult survivors, which is also how the
+    //     at-rest form serves (codes resident, vectors on rerank).
+    //  2. bounded query batches ride the plan as a LITERAL array of
+    //     (q_id, lo, hi) — 24 B/query — exploded INSIDE whole-stage
+    //     codegen. The non-equi broadcast join alternative plans as
+    //     BroadcastNestedLoopJoin, whose row-at-a-time joined-row
+    //     materialization costs ~16 µs/pair (measured 66 s vs 1.2 s for
+    //     the same 4M pairs at sf0.1) — the join overhead, not the
+    //     popcounts, dominates. Above the driver-batch limit the BNLJ
+    //     route still serves (corpus-scale query frames belong in the
+    //     banded/at-rest paths anyway).
+    val limit = driverBatchLimit(corpus.sparkSession, maxDriverBatch)
+    val sigRows = q.select(col("q_id"), col("q_lo"), col("q_hi")).head(limit + 1).toSeq
+    val scored =
+      if (sigRows.length <= limit) {
+        val qlit = array(sigRows.map(r => struct(lit(r.getLong(0)).as("q_id"),
+          lit(r.getLong(1)).as("q_lo"), lit(r.getLong(2)).as("q_hi"))): _*)
+        cn.select(col("vec_id"), col("sig_lo"), col("sig_hi"), explode(qlit).as("q"))
+          .filter(col("q.q_id") =!= col("vec_id"))
+          .select(col("q.q_id").as("q_id"), col("vec_id"),
+            ham(col("q.q_lo"), col("q.q_hi")).as("hamming"))
+      } else {
+        cn.join(broadcast(q.select(col("q_id"), col("q_lo"), col("q_hi"))),
+            col("q_id") =!= col("vec_id"))
+          .select(col("q_id"), col("vec_id"),
+            ham(col("q_lo"), col("q_hi")).as("hamming"))
+      }
     val wCand = Window.partitionBy(col("q_id"))
       .orderBy(col("hamming"), col("vec_id"))
     val cand = scored.withColumn("crank", row_number().over(wCand))
       .filter(col("crank") <= k * candMult)
-    rankTopK(cand.select(col("q_id"), col("vec_id"),
-      cosine(col("qv"), col("v")).as("cos")), k)
+      .select(col("q_id"), col("vec_id"))
+    rankTopK(cand
+      .join(c.select(col("vec_id"), col("v")), Seq("vec_id"))
+      .join(broadcast(q.select(col("q_id"), col("qv"))), Seq("q_id"))
+      .select(col("q_id"), col("vec_id"),
+        cosine(col("qv"), col("v")).as("cos")), k)
   }
 
   /** Hard-negative mining for contrastive training: per query, the top-k

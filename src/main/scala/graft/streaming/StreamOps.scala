@@ -22,6 +22,9 @@ object StreamOps {
       event_time: java.sql.Timestamp)
   final case class LastSeen(lastSeen: Long)
   final case class DarkAlert(series: String, last_seen: Long, dark_since: Long)
+  final case class DodState(open: Map[Long, (Double, Long)], closed: Map[Long, Double])
+  final case class DayOverDay(series: String, bucket: Long, v: Double,
+      v_prev: Double, delta_1d: Double, ratio_1d: Option[Double])
 
   /** Tumbling-window aggregates with a watermark: late points beyond
     * `watermarkDelay` are dropped (in append mode) instead of growing
@@ -434,6 +437,99 @@ object StreamOps {
               Iterator.empty
             }
           }
+      }
+  }
+
+  /** Streaming day-over-day offset comparison — the live twin of
+    * `q_ts_offset` (PromQL's `offset` modifier): each closed
+    * `step`-second bucket's average against the SAME series' bucket
+    * `offsetSecs` earlier, emitted once when the current bucket closes.
+    * Inner semantics: a bucket with no `offsetSecs`-ago twin emits
+    * nothing (matching the batch gate); `ratio_1d` is None when the
+    * prior bucket's average is 0.
+    *
+    * Comparing against a window a full DAY older cannot fall out of one
+    * windowed aggregation (the pair is 24 h apart — no single window
+    * holds both), and chaining `flatMapGroupsWithState` BEHIND an
+    * aggregation is not a supported stateful combination; so the rollup
+    * and the carry live together in per-series keyed state:
+    * `open`  = in-progress buckets' (sum, n) — the windowed-agg state,
+    *           closed and emitted when the WATERMARK passes bucket end
+    *           (event time, so replays behave identically);
+    * `closed`= closed buckets' averages retained as pairing candidates
+    *           until `wm >= bucket + offsetSecs + step`, the exact
+    *           instant the last bucket that could pair with them closes
+    *           — eviction loses no pair opportunity.
+    *
+    * Scale shape (100 TB): state per series is (delay/step) open buckets
+    * + (offsetSecs/step) closed averages — ~26 map entries at hourly
+    * buckets/day offset, constant per series, sharded on the natural
+    * series key; raw points fold into (sum, n) on arrival and never
+    * accumulate. An event-time timeout closes buckets and garbage-
+    * collects the carry even when a series goes quiet. Late points for
+    * an already-closed bucket are dropped (append-mode aggregation
+    * semantics).
+    *
+    * Output: (series, bucket, v, v_prev, delta_1d, ratio_1d).
+    */
+  def dayOverDay(
+      spark: SparkSession,
+      points: DataFrame,
+      step: Long = 3600L,
+      offsetSecs: Long = 86400L,
+      watermarkDelay: String = "10 minutes"): Dataset[DayOverDay] = {
+    import spark.implicits._
+    require(step > 0 && offsetSecs > 0 && offsetSecs % step == 0,
+      "offset must be a positive multiple of the bucket step")
+    points.select(col("series"), col("time").cast("long"), col("value").cast("double"))
+      .withColumn("event_time", col("time").cast("timestamp"))
+      .withWatermark("event_time", watermarkDelay)
+      .as[TimedPoint]
+      .groupByKey(_.series)
+      .flatMapGroupsWithState[DodState, DayOverDay](
+        OutputMode.Append, GroupStateTimeout.EventTimeTimeout) {
+        (series: String, it: Iterator[TimedPoint], state: GroupState[DodState]) =>
+          val wm = state.getCurrentWatermarkMs() / 1000L
+          val st = state.getOption.getOrElse(DodState(Map.empty, Map.empty))
+          // fold new points into open buckets; drop late rows whose
+          // bucket already closed (it is not reopenable once emitted)
+          var open = st.open
+          it.foreach { p =>
+            val b = p.time - math.floorMod(p.time, step)
+            if (b + step > wm || open.contains(b)) {
+              val (s, n) = open.getOrElse(b, (0.0, 0L))
+              open += b -> (s + p.value, n + 1)
+            }
+          }
+          // close every due bucket in ascending order: a bucket closed
+          // earlier in this batch can be the prev of one closed later
+          var closed = st.closed
+          val out = Seq.newBuilder[DayOverDay]
+          open.keys.toSeq.sorted.foreach { b =>
+            if (b + step <= wm) {
+              val (s, n) = open(b)
+              open -= b
+              val v = s / n
+              closed += b -> v
+              closed.get(b - offsetSecs).foreach { pv =>
+                out += DayOverDay(series, b, v, pv, v - pv,
+                  if (pv != 0.0) Some(v / pv) else None)
+              }
+            }
+          }
+          // retain a closed bucket only while its pairing target can
+          // still close
+          closed = closed.filter { case (b, _) => wm < b + offsetSecs + step }
+          if (open.isEmpty && closed.isEmpty) state.remove()
+          else {
+            state.update(DodState(open, closed))
+            // next event-time deadline: earliest open close, else
+            // earliest carry eviction — both strictly ahead of wm
+            val due = (open.keys.map(_ + step) ++
+              closed.keys.map(_ + offsetSecs + step)).min
+            state.setTimeoutTimestamp(due * 1000L)
+          }
+          out.result().iterator
       }
   }
 

@@ -539,6 +539,69 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("streaming day-over-day offset matches the batch q_ts_offset semantics") {
+    import spark.implicits._
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import org.apache.spark.sql.functions.{avg, col, lit, pmod, when}
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val (step, off) = (600L, 1200L)
+    // series a: buckets 0→2.0, 600→4.0, 1200→3.0, 1800→6.0 (1200 pairs
+    // with 0, 1800 with 600); series b: 0→0.0 then 1200→7.0 (zero prev ⇒
+    // ratio None); dyadic values so both engines fold identical averages
+    // ordered so no point is LATE vs the running watermark under the
+    // grouped(3) staggering (Spark drops watermark-late rows before they
+    // reach the stateful operator — correct semantics, not under test)
+    val pts = Seq(
+      ("a", 10L, 1.0), ("a", 20L, 3.0), ("b", 30L, 0.0),
+      ("a", 650L, 4.0), ("b", 1210L, 7.0), ("a", 1250L, 1.0),
+      ("a", 1260L, 5.0), ("a", 1850L, 6.0))
+    def batchTwin: Seq[(String, Long, Double, Double, Double, Option[Double])] = {
+      val rolled = pts.toDF("series", "time", "value")
+        .groupBy(col("series"), (col("time") - pmod(col("time"), lit(step))).as("bucket"))
+        .agg(avg(col("value")).as("v"))
+      val prev = rolled.select(col("series"), (col("bucket") + off).as("bucket"),
+        col("v").as("v_prev"))
+      rolled.join(prev, Seq("series", "bucket"))
+        .select(col("series"), col("bucket"), col("v"), col("v_prev"),
+          (col("v") - col("v_prev")).as("delta_1d"),
+          when(col("v_prev") =!= 0, col("v") / col("v_prev")).as("ratio_1d"))
+        .orderBy("series", "bucket")
+        .as[(String, Long, Double, Double, Double, Option[Double])].collect().toSeq
+    }
+    def run(tag: String, batches: Seq[Seq[(String, Long, Double)]]): Seq[(String, Long, Double, Double, Double, Option[Double])] = {
+      val ms = MemoryStream[(String, Long, Double)]
+      val dod = StreamOps.dayOverDay(spark, ms.toDF().toDF("series", "time", "value"),
+        step, off, watermarkDelay = "5 seconds")
+      assert(dod.isStreaming)
+      val q = dod.writeStream.outputMode("append").format("memory").queryName(tag).start()
+      try {
+        batches.foreach { b => ms.addData(b); q.processAllAvailable() }
+        // watermark push: closes every bucket; quiet series a/b are
+        // processed via the event-time TIMEOUT branch in this batch
+        ms.addData(Seq(("zz", 100000L, 1.0))); q.processAllAvailable()
+        // a late point for long-closed bucket 0 must be dropped, not
+        // re-emitted or double-counted
+        ms.addData(Seq(("a", 40L, 99.0))); q.processAllAvailable()
+        spark.sql(s"select series, bucket, v, v_prev, delta_1d, ratio_1d from $tag " +
+            "where series <> 'zz' order by series, bucket")
+          .as[(String, Long, Double, Double, Double, Option[Double])].collect().toSeq
+      } finally q.stop()
+    }
+    val want = batchTwin
+    assert(want.length === 3)
+    // staggered batches: incremental folding + cross-batch carry
+    assert(run("dod_stagger", pts.grouped(3).toSeq) === want)
+    // everything in one batch, then the close: chained same-batch closing
+    // (bucket 1200 pairs with bucket 0 closed moments earlier in the SAME
+    // invocation)
+    assert(run("dod_onebatch", Seq(pts)) === want)
+    // pinned values incl. the zero-prev ratio None
+    assert(want === Seq(
+      ("a", 1200L, 3.0, 2.0, 1.0, Some(1.5)),
+      ("a", 1800L, 6.0, 4.0, 2.0, Some(1.5)),
+      ("b", 1200L, 7.0, 0.0, 7.0, None)))
+  }
+
   test("streaming topk-per-window matches the batch rank with the same tie-break") {
     import spark.implicits._
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
