@@ -408,4 +408,37 @@ object SeriesWindows {
         (fin.getField("l") + fin.getField("b")).as("forecast"))
     }: _*)
   }
+
+  /** PromQL `*_over_time` family — min/max/sum/count/avg/stddev/first/last
+    * over the trailing `dur` seconds — computed in ONE window pass over an
+    * ALREADY BUCKETED frame (one row per (keys, bucket); the same
+    * post-rollup stance as [[rollingQuantile]] and [[graft.operators.Alerts]]:
+    * a series' post-rollup bucket count is dashboard-sized, so partitioning
+    * by the keys alone is bounded — the raw-point RANGE operators above keep
+    * the day-partitioned ghost layout instead).
+    *
+    * All eight aggregates share a single RANGE frame [-dur, 0], so Spark
+    * evaluates them in one WindowExec over one sort — not eight. `stddev`
+    * is sample stddev, NULL (not NaN) for singleton frames on both this and
+    * the DuckDB side; `first`/`last` are deterministic because the bucketed
+    * input has unique bucket keys per partition.
+    */
+  def overTime(df: DataFrame, keys: Seq[String], bucketCol: String,
+      valueCol: String, dur: Long): DataFrame = {
+    require(dur > 0, "over_time needs a positive trailing duration")
+    val win = Window.partitionBy(keys.map(col): _*)
+      .orderBy(col(bucketCol).cast("long"))
+      .rangeBetween(-dur, 0)
+    val v = col(valueCol).cast("double")
+    val n = count(v).over(win)
+    df
+      .withColumn("min_ot", min(v).over(win))
+      .withColumn("max_ot", max(v).over(win))
+      .withColumn("sum_ot", sum(v).over(win))
+      .withColumn("n_ot", n)
+      .withColumn("avg_ot", avg(v).over(win))
+      .withColumn("sd_ot", when(n > 1, stddev_samp(v).over(win)))
+      .withColumn("first_ot", first(v).over(win))
+      .withColumn("last_ot", last(v).over(win))
+  }
 }

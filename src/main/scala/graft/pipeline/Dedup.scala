@@ -150,18 +150,103 @@ object Dedup {
     // function through interpreted lambdas
     val sig = sh.select(col("doc_id"), col("hs"),
       graft.functions.MinHashSignature(col("hs"), numHashes).as("sig"))
-    // band key: (band index, hash of the band's signature slice)
-    val bandsDf = sig.select(col("doc_id"),
-      posexplode(transform(sequence(lit(0), lit(bands - 1)), bi =>
-        md5(concat_ws(",", (0 until rowsPerBand).map(r =>
-          element_at(col("sig"), (bi * rowsPerBand + r + 1).cast("int"))): _*)))))
-      .withColumnsRenamed(Map("pos" -> "band", "col" -> "bkey"))
+    val bandsDf = bandRows(sig, bands, rowsPerBand)
     val cand = bandsDf.as("a").join(bandsDf.as("b"),
         col("a.band") === col("b.band") && col("a.bkey") === col("b.bkey") &&
           col("a.doc_id") < col("b.doc_id"))
       .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
       .distinct()
     verifyPairs(cand, sh, threshold)
+  }
+
+  /** (doc_id, band, bkey) rows from a MinHash signature frame: the band
+    * key is the md5 of the band's signature slice, so two docs collide on
+    * a band iff that slice matches exactly. Shared by the in-memory pair
+    * path and the at-rest incremental index.
+    */
+  private def bandRows(sig: DataFrame, bands: Int, rowsPerBand: Int): DataFrame =
+    sig.select(col("doc_id"),
+      posexplode(transform(sequence(lit(0), lit(bands - 1)), bi =>
+        md5(concat_ws(",", (0 until rowsPerBand).map(r =>
+          element_at(col("sig"), (bi * rowsPerBand + r + 1).cast("int"))): _*)))))
+      .withColumnsRenamed(Map("pos" -> "band", "col" -> "bkey"))
+
+  /** Write the at-rest MinHash dedup index for `docs`: band rows
+    * (`bands/`) + shingle sets (`shingles/`), both parquet. The point at
+    * corpus scale: deduplicating a NEW batch (today's crawl) against the
+    * existing corpus becomes one equi-join of the batch's band rows
+    * against `bands/` plus verification against `shingles/` — the corpus
+    * is never re-shingled, re-hashed, or re-scanned beyond the index
+    * (bands/ is ~bands rows × 16-byte keys per doc; shingles/ is read
+    * only for candidate-matched corpus docs).
+    */
+  def minhashIndexWrite(docs: DataFrame, path: String, bands: Int = 16,
+      rowsPerBand: Int = 2, n: Int = 3): Unit = {
+    val sh = shingleHashes(docs, n)
+    val sig = sh.select(col("doc_id"), col("hs"),
+      graft.functions.MinHashSignature(col("hs"), bands * rowsPerBand).as("sig"))
+    sig.cache()
+    try {
+      bandRows(sig, bands, rowsPerBand)
+        .write.mode("overwrite").parquet(s"$path/bands")
+      sig.select(col("doc_id"), col("hs"))
+        .write.mode("overwrite").parquet(s"$path/shingles")
+    } finally sig.unpersist()
+  }
+
+  /** Incremental near-dup detection: verified (batch_id, corpus_id,
+    * jaccard) pairs of `batch` docs against the at-rest index written by
+    * [[minhashIndexWrite]] (same bands/rows/n). The batch side is
+    * shingled/signed fresh; the corpus side comes entirely from the
+    * index. Identical pair semantics to [[minhashLshPairs]] restricted to
+    * batch×corpus.
+    */
+  def minhashIndexProbe(spark: org.apache.spark.sql.SparkSession,
+      batch: DataFrame, path: String, threshold: Double, bands: Int = 16,
+      rowsPerBand: Int = 2, n: Int = 3): DataFrame = {
+    val sh = shingleHashes(batch, n).cache()
+    val sig = sh.select(col("doc_id"), col("hs"),
+      graft.functions.MinHashSignature(col("hs"), bands * rowsPerBand).as("sig"))
+    val qb = bandRows(sig, bands, rowsPerBand)
+    val ib = spark.read.parquet(s"$path/bands")
+    val cand = qb.as("q").join(ib.as("c"),
+        col("q.band") === col("c.band") && col("q.bkey") === col("c.bkey"))
+      .select(col("q.doc_id").as("batch_id"), col("c.doc_id").as("corpus_id"))
+      .distinct()
+    val ish = spark.read.parquet(s"$path/shingles")
+    cand
+      .join(sh.select(col("doc_id").as("batch_id"), col("hs").as("hs_b")), "batch_id")
+      .join(ish.select(col("doc_id").as("corpus_id"), col("hs").as("hs_c")), "corpus_id")
+      .select(col("batch_id"), col("corpus_id"),
+        (floor((jaccard(col("hs_b"), col("hs_c"))) * 1e4 + 0.5) / 1e4).as("jaccard"))
+      .filter(col("jaccard") >= threshold)
+  }
+
+  /** Fuzzy near-dup pairs by bounded edit distance on a normalized text
+    * prefix, with equi-join blocking — the ALGORITHM (block key + prefix
+    * length + threshold) is the operator's contract, like the banding
+    * family above: blocking is what makes edit-distance dedup runnable at
+    * all beyond toy sizes (unblocked Levenshtein is an n² quadratic-cost
+    * compare), and the block key here (first whitespace token of the
+    * lowercased text) is the standard sorted-neighborhood/blocking-key
+    * trade — recall is bounded by the key agreeing, which a first-token
+    * edit can break.
+    *
+    * Scale shape: one projection computes (block, prefix) per doc; the
+    * candidate join is an equi-join on the block key (hash shuffle, never
+    * all-pairs); Levenshtein runs only inside blocks, and the triangle
+    * condition `doc_a < doc_b` halves it.
+    */
+  def editDistancePairs(docs: DataFrame, maxDist: Int, prefixLen: Int = 80): DataFrame = {
+    val norm = regexp_replace(trim(lower(col("text"))), "\\s+", " ")
+    val d = docs.select(col("doc_id"),
+      substring(norm, 1, prefixLen).as("p"),
+      split(norm, " ").getItem(0).as("blk"))
+    d.as("a").join(d.as("b"),
+        col("a.blk") === col("b.blk") && col("a.doc_id") < col("b.doc_id") &&
+          levenshtein(col("a.p"), col("b.p")) <= maxDist)
+      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"),
+        levenshtein(col("a.p"), col("b.p")).cast("long").as("edit_dist"))
   }
 
   /** SimHash: 60-bit signature from per-bit votes of word-hash bits

@@ -519,4 +519,58 @@ object TextAnalysis {
         (floor(log(col("n_ab").cast("double") * nDocs.toDouble /
           (col("df1") * col("df2")).cast("double")) * 1e4 + 0.5) / 1e4).as("pmi"))
   }
+
+  /** EXACT heavy hitters — every word with count > totalWords/k, with its
+    * exact count — via a distributed two-pass Misra-Gries sketch:
+    *
+    *  pass 1: each partition runs Misra-Gries with k−1 counters (bounded
+    *    memory, amortized O(1)/word: each decrement round cancels k−1
+    *    prior increments) and emits its surviving candidate words plus its
+    *    word total. The union of per-partition candidates is a SUPERSET of
+    *    the true heavy hitters by pigeonhole: if a word's count were
+    *    ≤ nₚ/k in every partition, summing gives ≤ n/k overall — so a
+    *    global heavy hitter clears the per-partition MG bar somewhere.
+    *  pass 2: exact counts for candidate words only (broadcast semi-join —
+    *    at most k−1 × numPartitions candidates, metadata-sized), filtered
+    *    by the exact threshold count·k > n.
+    *
+    * So the OUTPUT is exact and deterministic (partition layout only
+    * affects the candidate superset, which pass 2 prunes), while nothing
+    * the size of the full vocabulary ever shuffles — the contrast with the
+    * exact groupBy-count path whose shuffle carries every distinct word.
+    */
+  def heavyHitters(docs: DataFrame, k: Int): DataFrame = {
+    require(k >= 2, "heavy hitters needs k >= 2")
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val w = spread(docs)
+      .select(explode(words(col("text"))).as("word"))
+      .filter(length(col("word")) > 0)
+    // word = null marks the partition-total row
+    val p1 = w.as[String].mapPartitions { it =>
+      val m = scala.collection.mutable.HashMap.empty[String, Long]
+      var n = 0L
+      it.foreach { x =>
+        n += 1
+        m.get(x) match {
+          case Some(c) => m.update(x, c + 1)
+          case None if m.size < k - 1 => m.update(x, 1L)
+          case None =>
+            m.keysIterator.toArray.foreach { kk =>
+              val c = m(kk) - 1
+              if (c == 0) m.remove(kk) else m.update(kk, c)
+            }
+        }
+      }
+      Iterator.single((null: String, n)) ++ m.keysIterator.map(kk => (kk, 0L))
+    }.toDF("word", "n")
+    val total = p1.filter(col("word").isNull)
+      .agg(sum(col("n")).as("total"))
+    val cands = p1.filter(col("word").isNotNull).select("word").distinct()
+    w.join(broadcast(cands), "word")
+      .groupBy("word").agg(count(lit(1)).as("cnt"))
+      .crossJoin(broadcast(total))
+      .filter(col("cnt") * k > col("total"))
+      .select(col("word"), col("cnt"), col("total"))
+  }
 }

@@ -457,7 +457,9 @@ object Pipeline {
     "q_pl_pmi", "q_ann_mutual_nn", "q_pl_centrality",
     // round-9: index-backed scale routes for the two r8 weak grades, plus
     // q_ann_eval (gated in r8 but never benchmarked — ADVICE)
-    "q_ann_mutual_nn_idx", "q_pl_centrality_knn", "q_ann_eval")
+    "q_ann_mutual_nn_idx", "q_pl_centrality_knn", "q_ann_eval",
+    // round-9: sketch/blocked/at-rest dedup additions
+    "q_pl_heavy_hitters", "q_pl_edit_dist", "q_pl_incr_dedup")
 
   def qs: Seq[Q] = {
     val all = raw.map(q => if (ExtraBench(q.name)) q.copy(benchExtra = true) else q)
@@ -1781,6 +1783,61 @@ object Pipeline {
               |${prIter("1", "2")},
               |${prIter("2", "3")}
               |SELECT id, floor(rank * 1e6 + 0.5) / 1e6 AS rank
-              |FROM r3 ORDER BY id""".stripMargin))
+              |FROM r3 ORDER BY id""".stripMargin)),
+
+    // Exact heavy hitters (> 1% of corpus word mass) via the two-pass
+    // distributed Misra-Gries sketch: per-partition bounded-memory
+    // candidate pass + exact recount of the candidate superset. The oracle
+    // is the plain exact threshold count — the sketch changes WHAT
+    // SHUFFLES (candidates only, never the full vocabulary), not the
+    // answer.
+    Q("q_pl_heavy_hitters",
+      (s, dir) => TextAnalysis.heavyHitters(Tables.documents(s, dir), 100)
+        .orderBy(col("cnt").desc, col("word")),
+      Some(s"""WITH $wordsCte,
+              |wx AS (SELECT unnest(w) AS word FROM words),
+              |wf AS (SELECT word FROM wx WHERE len(word) > 0),
+              |tot AS (SELECT count(*) AS total FROM wf),
+              |c AS (SELECT word, count(*) AS cnt FROM wf GROUP BY 1)
+              |SELECT word, cnt, total FROM c CROSS JOIN tot
+              |WHERE cnt * 100 > total
+              |ORDER BY cnt DESC, word""".stripMargin)),
+
+    // Fuzzy (bounded edit distance) near-dup pairs: first-token blocking +
+    // Levenshtein <= 20 on the 80-char normalized prefix. The blocking
+    // algorithm is the contract (the oracle replays it) — same stance as
+    // the banding gates.
+    Q("q_pl_edit_dist",
+      (s, dir) => Dedup.editDistancePairs(Tables.documents(s, dir), 20, 80)
+        .orderBy("doc_a", "doc_b"),
+      Some("""WITH d AS (
+             |  SELECT doc_id,
+             |         substr(regexp_replace(trim(lower(text)), '\s+', ' ', 'g'), 1, 80) AS p,
+             |         string_split(regexp_replace(trim(lower(text)), '\s+', ' ', 'g'), ' ')[1] AS blk
+             |  FROM documents)
+             |SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+             |       CAST(levenshtein(a.p, b.p) AS BIGINT) AS edit_dist
+             |FROM d a JOIN d b ON a.blk = b.blk AND a.doc_id < b.doc_id
+             |WHERE levenshtein(a.p, b.p) <= 20
+             |ORDER BY doc_a, doc_b""".stripMargin)),
+
+    // Incremental dedup: the corpus (doc_id < 400) is indexed at rest
+    // (band rows + shingle sets, parquet); the new batch (doc_id >= 400)
+    // probes the index — the corpus is never re-shingled. The oracle is
+    // the SAME brute-force verified pair set as q_pl_minhash_lsh
+    // restricted to batch x corpus (banding recall ≈ 1 at threshold 0.8),
+    // so this gate pins the index round-trip end to end.
+    Q("q_pl_incr_dedup",
+      (s, dir) => {
+        val docs = Tables.documents(s, dir)
+        val idx = java.nio.file.Files.createTempDirectory("graft-gate-mhidx").toString + "/index"
+        Dedup.minhashIndexWrite(docs.filter(col("doc_id") < 400), idx)
+        Dedup.minhashIndexProbe(s, docs.filter(col("doc_id") >= 400), idx, 0.8)
+          .orderBy("batch_id", "corpus_id")
+      },
+      Some(s"""WITH $wordsCte, $shinglesCte, $verifiedPairsCte
+              |SELECT doc_b AS batch_id, doc_a AS corpus_id, jaccard
+              |FROM vp WHERE doc_a < 400 AND doc_b >= 400
+              |ORDER BY batch_id, corpus_id""".stripMargin))
   )
 }

@@ -400,6 +400,119 @@ object Relational {
              |       floor((sum(CASE WHEN o_orderstatus = 'F' THEN o_totalprice END)) * 1e4 + 0.5) / 1e4 AS total_f,
              |       floor((sum(CASE WHEN o_orderstatus = 'O' THEN o_totalprice END)) * 1e4 + 0.5) / 1e4 AS total_o,
              |       floor((sum(CASE WHEN o_orderstatus = 'P' THEN o_totalprice END)) * 1e4 + 0.5) / 1e4 AS total_p
-             |FROM orders GROUP BY 1 ORDER BY priority""".stripMargin))
+             |FROM orders GROUP BY 1 ORDER BY priority""".stripMargin)),
+
+    // ---- UNPIVOT (melt) -------------------------------------------------
+    //
+    // The inverse of PIVOT: wide → long. Spark's `unpivot` is a pure
+    // projection + generate (one row out per value column), no shuffle —
+    // the only shuffle below belongs to the aggregate that builds the wide
+    // frame. NULL cells are dropped on both sides (DuckDB's UNPIVOT
+    // excludes them by construction; Spark retains them, so the explicit
+    // filter keeps the two engines in lockstep on sparse matrices).
+    Q("q_unpivot",
+      (s, dir) => {
+        val wide = Tables.orders(s, dir)
+          .groupBy(col("o_orderpriority"))
+          .agg(
+            (floor((sum(when(col("o_orderstatus") === "F", col("o_totalprice")))) * 1e4 + 0.5) / 1e4).as("f"),
+            (floor((sum(when(col("o_orderstatus") === "O", col("o_totalprice")))) * 1e4 + 0.5) / 1e4).as("o"),
+            (floor((sum(when(col("o_orderstatus") === "P", col("o_totalprice")))) * 1e4 + 0.5) / 1e4).as("p"))
+        wide.unpivot(
+            Array(col("o_orderpriority").as("priority")),
+            Array(col("f"), col("o"), col("p")),
+            "status", "total")
+          .filter(col("total").isNotNull)
+          .orderBy(col("priority"), col("status"))
+      },
+      Some("""SELECT o_orderpriority AS priority, status, total FROM (
+             |  SELECT o_orderpriority,
+             |         floor((sum(CASE WHEN o_orderstatus = 'F' THEN o_totalprice END)) * 1e4 + 0.5) / 1e4 AS f,
+             |         floor((sum(CASE WHEN o_orderstatus = 'O' THEN o_totalprice END)) * 1e4 + 0.5) / 1e4 AS o,
+             |         floor((sum(CASE WHEN o_orderstatus = 'P' THEN o_totalprice END)) * 1e4 + 0.5) / 1e4 AS p
+             |  FROM orders GROUP BY 1)
+             |UNPIVOT (total FOR status IN (f, o, p))
+             |ORDER BY priority, status""".stripMargin)),
+
+    // ---- FILTER-clause aggregates + multi-distinct ----------------------
+    //
+    // Conditional aggregation without self-joins: each FILTER rides the
+    // same partial+final hash aggregate (one scan, one shuffle) — the
+    // pattern that replaces "N scans for N segments" dashboards at 100 TB.
+    // count(DISTINCT a), count(DISTINCT b) in one query plans as Spark's
+    // expand-based multi-distinct: still a single scan.
+    Q("q_agg_filter",
+      (s, dir) =>
+        Tables.orders(s, dir)
+          .groupBy(col("o_orderstatus"))
+          .agg(
+            count(lit(1)).as("n"),
+            count(when(col("o_totalprice") > 200000, 1)).as("n_big"),
+            (floor((sum(when(col("o_orderpriority") === "1-URGENT", col("o_totalprice")))) * 1e4 + 0.5) / 1e4).as("urgent_total"),
+            (floor((avg(when(col("o_totalprice") <= 200000, col("o_totalprice")))) * 1e4 + 0.5) / 1e4).as("avg_small"),
+            countDistinct(col("o_orderpriority")).as("n_prio"),
+            countDistinct(col("o_custkey")).as("n_cust"))
+          .orderBy(col("o_orderstatus")),
+      Some("""SELECT o_orderstatus,
+             |       count(*) AS n,
+             |       count(*) FILTER (WHERE o_totalprice > 200000) AS n_big,
+             |       floor((sum(o_totalprice) FILTER (WHERE o_orderpriority = '1-URGENT')) * 1e4 + 0.5) / 1e4 AS urgent_total,
+             |       floor((avg(o_totalprice) FILTER (WHERE o_totalprice <= 200000)) * 1e4 + 0.5) / 1e4 AS avg_small,
+             |       count(DISTINCT o_orderpriority) AS n_prio,
+             |       count(DISTINCT o_custkey) AS n_cust
+             |FROM orders GROUP BY 1 ORDER BY o_orderstatus""".stripMargin)),
+
+    // ---- correlated EXISTS / NOT EXISTS ---------------------------------
+    //
+    // Goes through spark.sql so Catalyst's subquery rewrite runs: both
+    // EXISTS predicates decorrelate to semi/anti hash joins on c_custkey —
+    // never a per-row subquery execution. (The DataFrame semi/anti gates
+    // pin the join form; this pins the SQL-subquery path to the same plan.)
+    Q("q_exists_subquery",
+      (s, dir) => {
+        Tables.orders(s, dir).createOrReplaceTempView("orders_qx")
+        Tables.customer(s, dir).createOrReplaceTempView("customer_qx")
+        s.sql("""SELECT c_custkey, c_mktsegment FROM customer_qx c
+                |WHERE EXISTS (SELECT 1 FROM orders_qx o
+                |              WHERE o.o_custkey = c.c_custkey AND o.o_totalprice > 300000)
+                |  AND NOT EXISTS (SELECT 1 FROM orders_qx o
+                |                  WHERE o.o_custkey = c.c_custkey
+                |                    AND o.o_orderpriority = '1-URGENT')
+                |ORDER BY c_custkey""".stripMargin)
+      },
+      Some("""SELECT c_custkey, c_mktsegment FROM customer c
+             |WHERE EXISTS (SELECT 1 FROM orders o
+             |              WHERE o.o_custkey = c.c_custkey AND o.o_totalprice > 300000)
+             |  AND NOT EXISTS (SELECT 1 FROM orders o
+             |                  WHERE o.o_custkey = c.c_custkey
+             |                    AND o.o_orderpriority = '1-URGENT')
+             |ORDER BY c_custkey""".stripMargin)),
+
+    // ---- scalar + correlated scalar subqueries --------------------------
+    //
+    // The uncorrelated scalar (global avg) becomes a broadcast one-row
+    // frame; the correlated scalar (per-customer max) decorrelates to an
+    // aggregate + equi-join. Both are single-scan shapes, no per-row
+    // re-execution.
+    Q("q_scalar_subquery",
+      (s, dir) => {
+        Tables.orders(s, dir).createOrReplaceTempView("orders_qs")
+        s.sql("""SELECT o_orderkey,
+                |       floor((o_totalprice / (SELECT avg(o_totalprice) FROM orders_qs)) * 1e4 + 0.5) / 1e4 AS vs_avg,
+                |       CASE WHEN o_totalprice = (SELECT max(o2.o_totalprice) FROM orders_qs o2
+                |                                 WHERE o2.o_custkey = o1.o_custkey)
+                |            THEN CAST(1 AS BIGINT) ELSE CAST(0 AS BIGINT) END AS is_cust_max
+                |FROM orders_qs o1
+                |WHERE o_totalprice > 400000
+                |ORDER BY o_orderkey""".stripMargin)
+      },
+      Some("""SELECT o_orderkey,
+             |       floor((o_totalprice / (SELECT avg(o_totalprice) FROM orders)) * 1e4 + 0.5) / 1e4 AS vs_avg,
+             |       CASE WHEN o_totalprice = (SELECT max(o2.o_totalprice) FROM orders o2
+             |                                 WHERE o2.o_custkey = o1.o_custkey)
+             |            THEN CAST(1 AS BIGINT) ELSE CAST(0 AS BIGINT) END AS is_cust_max
+             |FROM orders o1
+             |WHERE o_totalprice > 400000
+             |ORDER BY o_orderkey""".stripMargin))
   )
 }

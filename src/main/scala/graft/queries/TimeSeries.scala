@@ -929,6 +929,47 @@ object TimeSeries {
               |ORDER BY series, bucket""".stripMargin),
       benchExtra = true),
 
+    // PromQL *_over_time pack: min/max/sum/count/avg/stddev/first/last over
+    // the trailing 4 h, per series, all eight sharing ONE RANGE frame (one
+    // WindowExec, one sort) over the hourly rollup. stddev is sample
+    // stddev, NULL for singleton frames on both engines.
+    Q("q_ts_over_time",
+      (s, dir) => {
+        val b = ev(s, dir).filter(col("time") >= T0 && col("time") < T1)
+          .groupBy(col("series"), F.timeBucket(lit(3600), col("time")).as("bucket"))
+          .agg((floor(avg(col("value")) * 1e4 + 0.5) / 1e4).as("v"))
+        graft.operators.SeriesWindows.overTime(b, Seq("series"), "bucket", "v", 14400L)
+          .select(col("series"), col("bucket"),
+            (floor(col("min_ot") * 1e4 + 0.5) / 1e4).as("min_ot"),
+            (floor(col("max_ot") * 1e4 + 0.5) / 1e4).as("max_ot"),
+            (floor(col("sum_ot") * 1e4 + 0.5) / 1e4).as("sum_ot"),
+            col("n_ot"),
+            (floor(col("avg_ot") * 1e4 + 0.5) / 1e4).as("avg_ot"),
+            (floor(col("sd_ot") * 1e4 + 0.5) / 1e4).as("sd_ot"),
+            (floor(col("first_ot") * 1e4 + 0.5) / 1e4).as("first_ot"),
+            (floor(col("last_ot") * 1e4 + 0.5) / 1e4).as("last_ot"))
+          .orderBy("series", "bucket")
+      },
+      Some(s"""$svSql,
+              |b AS (SELECT series, time - time % 3600 AS bucket,
+              |             floor(avg(value) * 1e4 + 0.5) / 1e4 AS v
+              |      FROM sv WHERE time >= $T0 AND time < $T1 GROUP BY 1, 2)
+              |SELECT series, bucket,
+              |       floor(min(v) OVER w * 1e4 + 0.5) / 1e4 AS min_ot,
+              |       floor(max(v) OVER w * 1e4 + 0.5) / 1e4 AS max_ot,
+              |       floor(sum(v) OVER w * 1e4 + 0.5) / 1e4 AS sum_ot,
+              |       count(v) OVER w AS n_ot,
+              |       floor(avg(v) OVER w * 1e4 + 0.5) / 1e4 AS avg_ot,
+              |       floor(CASE WHEN count(v) OVER w > 1
+              |                  THEN stddev_samp(v) OVER w END * 1e4 + 0.5) / 1e4 AS sd_ot,
+              |       floor(first_value(v) OVER w * 1e4 + 0.5) / 1e4 AS first_ot,
+              |       floor(last_value(v) OVER w * 1e4 + 0.5) / 1e4 AS last_ot
+              |FROM b
+              |WINDOW w AS (PARTITION BY series ORDER BY bucket
+              |             RANGE BETWEEN 14400 PRECEDING AND CURRENT ROW)
+              |ORDER BY series, bucket""".stripMargin),
+      benchExtra = true),
+
     // ALIGN JOIN (the reference backlog's "join on time"): click and
     // purchase aligned to a 1800 s grid per tag with forward-fill on
     // both sides; the spine spans the union of both series' ranges.
@@ -1164,6 +1205,92 @@ object TimeSeries {
             approx_count_distinct(col("tag_user")).as("n_users_approx"),
             count(lit(1)).as("n_points"))
           .orderBy(col("series"), col("day")),
-      None)
+      None),
+
+    // ---- event analytics: funnel ----------------------------------------
+    //
+    // Ordered 3-step funnel signup → click → purchase per user: t1 = first
+    // signup, t2 = first click at-or-after t1, t3 = first purchase
+    // at-or-after t2. Three chained partial+final MIN aggregates, each over
+    // the events PRE-FILTERED to one step's type, joined on user_id — the
+    // scalable funnel shape (no per-user event buffering, no window over
+    // a whole user history; each step's frame is user-dimension-sized and
+    // co-partitions on user_id with the next step's aggregate).
+    Q("q_ev_funnel",
+      (s, dir) => {
+        val e = Tables.events(s, dir)
+          .select(col("user_id"), col("event_type"), col("ts"))
+        val s1 = e.filter(col("event_type") === "signup")
+          .groupBy(col("user_id")).agg(min(col("ts")).as("t1"))
+        val s2 = e.filter(col("event_type") === "click")
+          .join(s1, "user_id").filter(col("ts") >= col("t1"))
+          .groupBy(col("user_id")).agg(min(col("ts")).as("t2"))
+        val s3 = e.filter(col("event_type") === "purchase")
+          .join(s2, "user_id").filter(col("ts") >= col("t2"))
+          .groupBy(col("user_id")).agg(min(col("ts")).as("t3"))
+        s1.join(s2, Seq("user_id"), "left").join(s3, Seq("user_id"), "left")
+          .select(col("user_id"),
+            (col("t1") / 1000000000L).cast("long").as("t1s"),
+            (col("t2") / 1000000000L).cast("long").as("t2s"),
+            (col("t3") / 1000000000L).cast("long").as("t3s"),
+            (lit(1L) + col("t2").isNotNull.cast("long")
+              + col("t3").isNotNull.cast("long")).as("stage"))
+          .orderBy(col("user_id"))
+      },
+      Some("""WITH e AS (SELECT user_id, event_type, epoch_ns(ts) AS tn FROM events),
+             |s1 AS (SELECT user_id, min(tn) AS t1 FROM e
+             |       WHERE event_type = 'signup' GROUP BY 1),
+             |s2 AS (SELECT e.user_id, min(tn) AS t2 FROM e JOIN s1 USING (user_id)
+             |       WHERE event_type = 'click' AND tn >= t1 GROUP BY 1),
+             |s3 AS (SELECT e.user_id, min(tn) AS t3 FROM e JOIN s2 USING (user_id)
+             |       WHERE event_type = 'purchase' AND tn >= t2 GROUP BY 1)
+             |SELECT s1.user_id,
+             |       t1 // 1000000000 AS t1s,
+             |       t2 // 1000000000 AS t2s,
+             |       t3 // 1000000000 AS t3s,
+             |       1 + CAST(t2 IS NOT NULL AS BIGINT)
+             |         + CAST(t3 IS NOT NULL AS BIGINT) AS stage
+             |FROM s1 LEFT JOIN s2 USING (user_id) LEFT JOIN s3 USING (user_id)
+             |ORDER BY user_id""".stripMargin)),
+
+    // ---- event analytics: cohort retention ------------------------------
+    //
+    // Cohort = first-seen day per user; retention cell (cohort_day, k) =
+    // distinct users from that cohort active k days later (k ≤ 7), with
+    // the day-0 cohort size alongside for the rate. One distinct
+    // (user, day) pass, one MIN per user, one equi-join on user_id — every
+    // frame after the distinct is user-dimension-sized.
+    Q("q_ev_retention",
+      (s, dir) => {
+        // distinct (user, active-day) then first day per user
+        val days = Tables.events(s, dir)
+          .select(col("user_id"),
+            ((col("ts") / 1000000000L).cast("long") / 86400L).cast("long").as("day"))
+          .distinct()
+        val cohort = days.groupBy(col("user_id")).agg(min(col("day")).as("cday"))
+        val cells = days.join(cohort, "user_id")
+          .filter(col("day") - col("cday") <= 7)
+          .groupBy(col("cday"), (col("day") - col("cday")).as("k"))
+          .agg(count(lit(1)).as("n_users"))
+        val sizes = cohort.groupBy(col("cday")).agg(count(lit(1)).as("cohort_n"))
+        cells.join(sizes, "cday")
+          .select(col("cday"), col("k"), col("n_users"), col("cohort_n"),
+            (floor(col("n_users") / col("cohort_n") * 1e4 + 0.5) / 1e4).as("rate"))
+          .orderBy(col("cday"), col("k"))
+      },
+      Some("""WITH days AS (
+             |  SELECT DISTINCT user_id,
+             |         (epoch_ns(ts) // 1000000000) // 86400 AS day
+             |  FROM events),
+             |cohort AS (SELECT user_id, min(day) AS cday FROM days GROUP BY 1),
+             |cells AS (
+             |  SELECT cday, day - cday AS k, count(*) AS n_users
+             |  FROM days JOIN cohort USING (user_id)
+             |  WHERE day - cday <= 7 GROUP BY 1, 2),
+             |sizes AS (SELECT cday, count(*) AS cohort_n FROM cohort GROUP BY 1)
+             |SELECT cday, k, n_users, cohort_n,
+             |       floor(n_users / cohort_n * 1e4 + 0.5) / 1e4 AS rate
+             |FROM cells JOIN sizes USING (cday)
+             |ORDER BY cday, k""".stripMargin))
   )
 }

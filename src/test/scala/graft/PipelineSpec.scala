@@ -945,4 +945,45 @@ class PipelineSpec extends AnyFunSuite {
       nodes, 4L, iters = 3).as[(Long, Double)].collect().toMap
     assert(r2(0L) > r2(1L) && math.abs(r2(1L) - r2(2L)) < 1e-12)
   }
+
+  test("heavyHitters is exact and partition-layout-independent") {
+    val w = docs.select(explode(TextAnalysis.words(col("text"))).as("word"))
+      .filter(length(col("word")) > 0)
+    val total = w.count()
+    val exact = w.groupBy("word").agg(count(lit(1)).as("cnt"))
+      .filter(col("cnt") * 100 > total)
+      .select("word", "cnt").as[(String, Long)].collect().toMap
+    assert(exact.nonEmpty, "k=100 should yield heavy hitters on the test corpus")
+    // the MG candidate pass sees different per-partition streams under
+    // each layout; the two-pass output must not care
+    for (parts <- Seq(1, 3, 17)) {
+      val hh = TextAnalysis.heavyHitters(docs.repartition(parts), 100)
+        .select("word", "cnt").as[(String, Long)].collect().toMap
+      assert(hh === exact, s"layout parts=$parts diverged")
+    }
+  }
+
+  test("minhash at-rest index probe equals the brute-force pairs across the corpus/batch split") {
+    val all = Dedup.ngramJaccardPairs(docs, 0.8)
+      .select("doc_a", "doc_b").as[(Long, Long)].collect().toSet
+    val expect = all.filter { case (a, b) => a < 400 && b >= 400 }
+    assert(expect.nonEmpty, "test data should contain cross-split near-dups")
+    val idx = java.nio.file.Files.createTempDirectory("mhidx-spec").toString + "/i"
+    Dedup.minhashIndexWrite(docs.filter(col("doc_id") < 400), idx)
+    val got = Dedup.minhashIndexProbe(spark, docs.filter(col("doc_id") >= 400), idx, 0.8)
+      .select("corpus_id", "batch_id").as[(Long, Long)].collect().toSet
+    assert(got === expect)
+  }
+
+  test("editDistancePairs: blocked Levenshtein semantics on a crafted frame") {
+    val d = Seq(
+      (1L, "alpha beta gamma"),
+      (2L, "alpha beta gamm"), // same block, distance 1
+      (3L, "Alpha  beta   GAMMA"), // normalizes identical to doc 1
+      (4L, "beta alpha gamma") // different first token — never compared
+    ).toDF("doc_id", "text")
+    val got = Dedup.editDistancePairs(d, 5, 80)
+      .select("doc_a", "doc_b", "edit_dist").as[(Long, Long, Long)].collect().toSet
+    assert(got === Set((1L, 2L, 1L), (1L, 3L, 0L), (2L, 3L, 1L)))
+  }
 }

@@ -275,4 +275,42 @@ class SeriesWindowsSpec extends AnyFunSuite {
       assert(got === want, s"trial=$trial")
     }
   }
+
+  test("overTime pack matches a brute-force trailing-window computation") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(47)
+    val rows = for {
+      s <- Seq("a", "b")
+      i <- 0 until 40
+      if rnd.nextInt(5) != 0 // ragged bucket grid
+    } yield (s, i.toLong * 3600, math.floor(rnd.nextDouble() * 100 * 1e4) / 1e4)
+    val df = rows.toDF("series", "bucket", "v").repartition(5)
+    val got = graft.operators.SeriesWindows
+      .overTime(df, Seq("series"), "bucket", "v", 4 * 3600L)
+      .select("series", "bucket", "min_ot", "max_ot", "sum_ot", "n_ot",
+        "avg_ot", "sd_ot", "first_ot", "last_ot")
+      .collect().map { r =>
+        (r.getString(0), r.getLong(1)) ->
+          (r.getDouble(2), r.getDouble(3), r.getDouble(4), r.getLong(5),
+            r.getDouble(6), Option(r.get(7)).map(_.asInstanceOf[Double]),
+            r.getDouble(8), r.getDouble(9))
+      }.toMap
+    val byKey = rows.groupBy(_._1)
+    assert(got.size === rows.size)
+    rows.foreach { case (s, b, _) =>
+      val frame = byKey(s).filter(t => t._2 >= b - 14400 && t._2 <= b)
+        .sortBy(_._2).map(_._3)
+      val (mn, mx, sm, n, av, sd, fst, lst) = got((s, b))
+      assert(mn === frame.min && mx === frame.max)
+      assert(math.abs(sm - frame.sum) < 1e-9)
+      assert(n === frame.size.toLong)
+      assert(math.abs(av - frame.sum / frame.size) < 1e-9)
+      assert(fst === frame.head && lst === frame.last)
+      if (frame.size > 1) {
+        val mu = frame.sum / frame.size
+        val want = math.sqrt(frame.map(x => (x - mu) * (x - mu)).sum / (frame.size - 1))
+        assert(math.abs(sd.get - want) < 1e-9)
+      } else assert(sd.isEmpty, "singleton frame stddev must be NULL, not NaN")
+    }
+  }
 }
