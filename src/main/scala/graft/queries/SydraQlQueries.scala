@@ -509,6 +509,39 @@ object SydraQlQueries {
               |FROM sv WHERE time >= $T0 AND time < ${T0 + 2 * 86400}
               |GROUP BY 1, 2 ORDER BY series, usr""".stripMargin)),
 
+    // Z-order clustered layout: events written sorted by the Morton key of
+    // (user_id, time), then queried with BOTH predicates. The oracle runs
+    // on the raw parquet — the gate pins that clustering is a pure layout
+    // change (identical results); StorageSpec pins the pruning claim
+    // (per-file min/max spans tight on both dimensions).
+    Q("q_store_zorder",
+      (s, dir) => {
+        val tmp = java.nio.file.Files.createTempDirectory("graft-gate-zorder")
+          .toString + "/events_z"
+        val evf = Tables.events(s, dir).select(
+          col("event_id"), col("user_id"), col("event_type"),
+          (col("ts") / 1000000000L).cast("long").as("time"), col("value"))
+        graft.storage.ZOrder.write(evf, tmp, "user_id", "time")
+        s.read.parquet(tmp)
+          .filter(col("user_id") >= 40 && col("user_id") < 80 &&
+            col("time") >= T0 && col("time") < T0 + 3 * 86400)
+          .groupBy(col("event_type"))
+          .agg(
+            (floor(avg("value") * 1e4 + 0.5) / 1e4).as("avg_value"),
+            (floor(sum("value") * 1e4 + 0.5) / 1e4).as("sum_value"),
+            count(lit(1)).as("n"))
+          .orderBy("event_type")
+      },
+      Some(s"""SELECT event_type,
+              |       floor((avg(value)) * 1e4 + 0.5) / 1e4 AS avg_value,
+              |       floor((sum(value)) * 1e4 + 0.5) / 1e4 AS sum_value,
+              |       count(*) AS n
+              |FROM events
+              |WHERE user_id >= 40 AND user_id < 80
+              |  AND epoch_ns(ts) // 1000000000 >= $T0
+              |  AND epoch_ns(ts) // 1000000000 < ${T0 + 3 * 86400}
+              |GROUP BY 1 ORDER BY event_type""".stripMargin)),
+
     // by_id selector: the physical scan path (operator.zig:242-245) — the
     // id is resolved from the series catalog exactly like a client would.
     Q("q_sql_by_id",

@@ -23,6 +23,9 @@ object StreamOps {
   final case class LastSeen(lastSeen: Long)
   final case class DarkAlert(series: String, last_seen: Long, dark_since: Long)
   final case class DodState(open: Map[Long, (Double, Long)], closed: Map[Long, Double])
+  final case class ZScoreState(open: Map[Long, (Double, Long)], closed: Map[Long, Double])
+  final case class BucketZ(series: String, bucket: Long, v: Double, mu: Double,
+      sigma: Double, z: Option[Double], anomaly: Boolean)
   final case class DayOverDay(series: String, bucket: Long, v: Double,
       v_prev: Double, delta_1d: Double, ratio_1d: Option[Double])
 
@@ -527,6 +530,84 @@ object StreamOps {
             // earliest carry eviction — both strictly ahead of wm
             val due = (open.keys.map(_ + step) ++
               closed.keys.map(_ + offsetSecs + step)).min
+            state.setTimeoutTimestamp(due * 1000L)
+          }
+          out.result().iterator
+      }
+  }
+
+  /** Streaming rolling z-score anomaly detection — the live twin of
+    * `q_ts_zscore`'s post-rollup form: when a `step`-second bucket closes
+    * (watermark passes its end), its average is scored against the
+    * trailing `lookbackSecs` of CLOSED buckets of the same series
+    * (inclusive of itself — the same [-dur, 0] frame as the batch RANGE
+    * window), with population σ; `z` is None on a zero-σ frame, and
+    * `anomaly` fires at |z| ≥ `threshold`.
+    *
+    * Same state discipline as [[dayOverDay]]: `open` buckets fold raw
+    * points into (sum, n) on arrival; `closed` retains only averages
+    * inside the lookback horizon — evicted the instant the last bucket
+    * that could include them closes (wm ≥ b + lookback + step). State per
+    * series is (delay/step) open + (lookback/step) closed entries,
+    * constant, sharded on the series key; an event-time timeout closes
+    * buckets and garbage-collects when a series goes quiet. Late points
+    * for closed buckets are dropped (append-mode semantics).
+    */
+  def bucketZScore(
+      spark: SparkSession,
+      points: DataFrame,
+      step: Long = 600L,
+      lookbackSecs: Long = 3600L,
+      threshold: Double = 3.0,
+      watermarkDelay: String = "10 minutes"): Dataset[BucketZ] = {
+    import spark.implicits._
+    require(step > 0 && lookbackSecs > 0 && lookbackSecs % step == 0,
+      "lookback must be a positive multiple of the bucket step")
+    points.select(col("series"), col("time").cast("long"), col("value").cast("double"))
+      .withColumn("event_time", col("time").cast("timestamp"))
+      .withWatermark("event_time", watermarkDelay)
+      .as[TimedPoint]
+      .groupByKey(_.series)
+      .flatMapGroupsWithState[ZScoreState, BucketZ](
+        OutputMode.Append, GroupStateTimeout.EventTimeTimeout) {
+        (series: String, it: Iterator[TimedPoint], state: GroupState[ZScoreState]) =>
+          val wm = state.getCurrentWatermarkMs() / 1000L
+          val st = state.getOption.getOrElse(ZScoreState(Map.empty, Map.empty))
+          var open = st.open
+          it.foreach { p =>
+            val b = p.time - math.floorMod(p.time, step)
+            if (b + step > wm || open.contains(b)) {
+              val (s, n) = open.getOrElse(b, (0.0, 0L))
+              open += b -> (s + p.value, n + 1)
+            }
+          }
+          var closed = st.closed
+          val out = Seq.newBuilder[BucketZ]
+          open.keys.toSeq.sorted.foreach { b =>
+            if (b + step <= wm) {
+              val (s, n) = open(b)
+              open -= b
+              val v = s / n
+              closed += b -> v
+              // sorted: a Map's iteration order is arbitrary, and the
+              // float fold must not depend on it across runs/restarts
+              val frame = closed.collect {
+                case (cb, cv) if cb >= b - lookbackSecs && cb <= b => cv
+              }.toSeq.sorted
+              val mu = frame.sum / frame.size
+              val sigma = math.sqrt(math.max(
+                frame.map(x => (x - mu) * (x - mu)).sum / frame.size, 0.0))
+              val z = if (sigma > 0) Some((v - mu) / sigma) else None
+              out += BucketZ(series, b, v, mu, sigma, z,
+                z.exists(x => math.abs(x) >= threshold))
+            }
+          }
+          closed = closed.filter { case (b, _) => wm < b + lookbackSecs + step }
+          if (open.isEmpty && closed.isEmpty) state.remove()
+          else {
+            state.update(ZScoreState(open, closed))
+            val due = (open.keys.map(_ + step) ++
+              closed.keys.map(_ + lookbackSecs + step)).min
             state.setTimeoutTimestamp(due * 1000L)
           }
           out.result().iterator

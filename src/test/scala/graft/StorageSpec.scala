@@ -391,4 +391,34 @@ class StorageSpec extends AnyFunSuite {
     val restored = new SeriesStore(spark, dest)
     assert(restored.source().count() === 1)
   }
+
+  test("z-order layout: per-file min/max tight on BOTH dimensions (vs 1-D sort)") {
+    import spark.implicits._
+    // uniform grid over (u, t) — the adversarial case for 1-D layouts
+    val rnd = new scala.util.Random(7)
+    val rows = (0 until 20000).map { _ =>
+      (rnd.nextInt(1000).toLong, rnd.nextInt(1000000).toLong, rnd.nextDouble())
+    }
+    val df = rows.toDF("u", "t", "v").repartition(8)
+    // per-file normalized span of a column under a given layout
+    def spans(path: String, c: String, lo: Double, hi: Double): Seq[Double] = {
+      spark.read.parquet(path)
+        .groupBy(input_file_name()).agg(min(col(c)).as("mn"), max(col(c)).as("mx"))
+        .select((col("mx") - col("mn")) / (hi - lo)).as[Double].collect().toSeq
+    }
+    val zp = tmp() + "/z"
+    graft.storage.ZOrder.write(df, zp, "u", "t", buckets = 16)
+    val tp = tmp() + "/t"
+    df.repartitionByRange(16, col("t")).sortWithinPartitions(col("t"))
+      .write.parquet(tp)
+    // layout is a pure reorder — no rows gained or lost
+    assert(spark.read.parquet(zp).count() === 20000)
+    // 16 z-buckets over a uniform square ≈ 4×4 grid: BOTH dimensions'
+    // per-file spans collapse; under the t-sort, u stays full-range
+    val zu = spans(zp, "u", 0, 999); val zt = spans(zp, "t", 0, 999999)
+    val tu = spans(tp, "u", 0, 999)
+    assert(zu.sum / zu.size < 0.5, s"z-order u span ${zu.sum / zu.size}")
+    assert(zt.sum / zt.size < 0.5, s"z-order t span ${zt.sum / zt.size}")
+    assert(tu.sum / tu.size > 0.9, s"t-sorted layout should NOT bound u: ${tu.sum / tu.size}")
+  }
 }

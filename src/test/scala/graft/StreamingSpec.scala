@@ -647,4 +647,55 @@ class StreamingSpec extends AnyFunSuite {
         (3600L, 1L, "b", 9.0), (3600L, 2L, "c", 5.0)))
     } finally q.stop()
   }
+
+  test("streaming bucket z-score matches a batch trailing-window fold") {
+    import spark.implicits._
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val (step, look) = (600L, 1800L) // 3 trailing slots + self... frame = [-1800, 0]
+    // dyadic values: both engines fold identical sums. Series a has a
+    // spike at bucket 1800; series b is flat (sigma 0 ⇒ z None, no
+    // anomaly). Ordered so nothing is watermark-late under grouped(3).
+    val pts = Seq(
+      ("a", 10L, 2.0), ("a", 20L, 4.0), ("b", 30L, 5.0),
+      ("a", 650L, 3.0), ("b", 700L, 5.0), ("a", 1250L, 3.0),
+      ("a", 1850L, 19.0), ("b", 1900L, 5.0))
+    // batch twin: rolled buckets, population sigma over the trailing
+    // inclusive frame, threshold 1.2
+    def batchTwin: Seq[(String, Long, Double, Double, Double, Option[Double], Boolean)] = {
+      val rolled = pts.groupBy { case (s, t, _) => (s, t - t % step) }
+        .map { case ((s, b), g) => (s, b, g.map(_._3).sum / g.size) }.toSeq
+      rolled.map { case (s, b, v) =>
+        val frame = rolled.filter(r => r._1 == s && r._2 >= b - look && r._2 <= b)
+          .map(_._3).sorted
+        val mu = frame.sum / frame.size
+        val sigma = math.sqrt(frame.map(x => (x - mu) * (x - mu)).sum / frame.size)
+        val z = if (sigma > 0) Some((v - mu) / sigma) else None
+        (s, b, v, mu, sigma, z, z.exists(x => math.abs(x) >= 1.2))
+      }.sortBy(r => (r._1, r._2))
+    }
+    def run(tag: String, batches: Seq[Seq[(String, Long, Double)]]) = {
+      val ms = MemoryStream[(String, Long, Double)]
+      val zs = StreamOps.bucketZScore(spark, ms.toDF().toDF("series", "time", "value"),
+        step, look, threshold = 1.2, watermarkDelay = "5 seconds")
+      assert(zs.isStreaming)
+      val q = zs.writeStream.outputMode("append").format("memory").queryName(tag).start()
+      try {
+        batches.foreach { b => ms.addData(b); q.processAllAvailable() }
+        ms.addData(Seq(("zz", 100000L, 1.0))); q.processAllAvailable() // close all
+        ms.addData(Seq(("a", 40L, 99.0))); q.processAllAvailable() // late ⇒ dropped
+        spark.sql(s"select series, bucket, v, mu, sigma, z, anomaly from $tag " +
+            "where series <> 'zz' order by series, bucket")
+          .as[(String, Long, Double, Double, Double, Option[Double], Boolean)]
+          .collect().toSeq
+      } finally q.stop()
+    }
+    val want = batchTwin
+    assert(run("zs_stagger", pts.grouped(3).toSeq) === want)
+    assert(run("zs_onebatch", Seq(pts)) === want)
+    // the spike bucket must be the only anomaly; flat series never fires
+    assert(want.count(_._7) === 1)
+    assert(want.filter(_._1 == "b").forall(r => r._6.isEmpty && !r._7))
+    assert(want.find(r => r._1 == "a" && r._2 == 1800L).exists(_._7))
+  }
 }
