@@ -35,4 +35,51 @@ object Downsample {
       .select(kc ++ Seq(col("bucket"),
         col("__p.t").as(timeCol), col("__p.v").as(valueCol)): _*)
   }
+
+  /** SAX symbolization (Lin et al.): per (keys, frame of `frameSecs`),
+    * PAA over `step`-second buckets → per-frame z-normalization → a
+    * 4-symbol word over the N(0,1) quartile breakpoints
+    * (−0.6745, 0, 0.6745) — the standard discretized representation for
+    * motif/novelty search and cheap series similarity at archive scale.
+    *
+    * Determinism across engines: the bucket mean is pre-rounded (1e-4)
+    * and the z-score rounded (1e-6) BEFORE symbol assignment, so a
+    * replaying engine with last-ulp float differences maps to the same
+    * word. Frames with zero variance emit all-'b' (z defined 0). Missing
+    * buckets are skipped (the word is over present buckets in time
+    * order).
+    *
+    * Shape: one partial+final bucket aggregate, one bounded window per
+    * frame (≤ frameSecs/step rows), one sorted-collect per frame row —
+    * every shuffle on the (keys, frame) family; nothing whole-series.
+    */
+  def sax(df: DataFrame, step: Long, frameSecs: Long,
+      keys: Seq[String] = Seq("series"), timeCol: String = "time",
+      valueCol: String = "value"): DataFrame = {
+    require(step > 0 && frameSecs % step == 0,
+      "sax frame must be a multiple of the bucket step")
+    val kc = keys.map(col)
+    val t = col(timeCol).cast("long")
+    val b = df
+      .groupBy(kc ++ Seq(
+        (t - pmod(t, lit(frameSecs))).as("frame"),
+        (t - pmod(t, lit(step))).as("bucket")): _*)
+      .agg((floor(avg(col(valueCol)) * 1e4 + 0.5) / 1e4).as("__v"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(kc :+ col("frame"): _*)
+    val mu = avg(col("__v")).over(w)
+    val sd = stddev_pop(col("__v")).over(w)
+    val z = floor(when(sd > 0, (col("__v") - mu) / sd).otherwise(lit(0.0))
+      * 1e6 + 0.5) / 1e6
+    val sym = when(z < -0.6745, lit("a"))
+      .when(z < 0.0, lit("b"))
+      .when(z < 0.6745, lit("c"))
+      .otherwise(lit("d"))
+    b.withColumn("__s", struct(col("bucket"), sym.as("sym")))
+      .groupBy(kc :+ col("frame"): _*)
+      .agg(
+        concat_ws("", transform(array_sort(collect_list(col("__s"))),
+          x => x.getField("sym"))).as("sax"),
+        count(lit(1)).as("n_buckets"))
+  }
 }

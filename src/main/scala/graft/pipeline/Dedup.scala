@@ -227,23 +227,27 @@ object Dedup {
     * length + threshold) is the operator's contract, like the banding
     * family above: blocking is what makes edit-distance dedup runnable at
     * all beyond toy sizes (unblocked Levenshtein is an n² quadratic-cost
-    * compare), and the block key here (first whitespace token of the
-    * lowercased text) is the standard sorted-neighborhood/blocking-key
-    * trade — recall is bounded by the key agreeing, which a first-token
-    * edit can break.
+    * compare). The block key is the first TWO whitespace tokens of the
+    * lowercased text — the standard blocking-key trade (recall is bounded
+    * by the key agreeing, which an edit inside it can break; one token
+    * alone blocks too coarsely on low-entropy corpora — ~30× more pairs
+    * on the test corpus for identical verified output).
     *
     * Scale shape: one projection computes (block, prefix) per doc; the
     * candidate join is an equi-join on the block key (hash shuffle, never
-    * all-pairs); Levenshtein runs only inside blocks, and the triangle
-    * condition `doc_a < doc_b` halves it.
+    * all-pairs); the length band |len(a)−len(b)| ≤ maxDist — a lossless
+    * lower bound on edit distance — prunes in the join probe BEFORE the
+    * O(len²) Levenshtein runs; the triangle condition halves the rest.
     */
   def editDistancePairs(docs: DataFrame, maxDist: Int, prefixLen: Int = 80): DataFrame = {
     val norm = regexp_replace(trim(lower(col("text"))), "\\s+", " ")
+    val parts = split(norm, " ")
     val d = docs.select(col("doc_id"),
       substring(norm, 1, prefixLen).as("p"),
-      split(norm, " ").getItem(0).as("blk"))
+      concat_ws(" ", parts.getItem(0), parts.getItem(1)).as("blk"))
     d.as("a").join(d.as("b"),
         col("a.blk") === col("b.blk") && col("a.doc_id") < col("b.doc_id") &&
+          abs(length(col("a.p")) - length(col("b.p"))) <= maxDist &&
           levenshtein(col("a.p"), col("b.p")) <= maxDist)
       .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"),
         levenshtein(col("a.p"), col("b.p")).cast("long").as("edit_dist"))

@@ -49,4 +49,38 @@ object Graph {
   def undirected(pairs: DataFrame, a: String, b: String): DataFrame =
     pairs.select(col(a).as("src"), col(b).as("dst"))
       .unionAll(pairs.select(col(b).as("src"), col(a).as("dst")))
+
+  /** Synchronous label-propagation community detection, DETERMINISTIC
+    * variant: every node simultaneously adopts its neighbors' most
+    * frequent label, ties broken by the smaller label; isolated nodes
+    * keep their own. A FIXED iteration count (no convergence loop) keeps
+    * the result a pure unrollable plan — the classic async/random-order
+    * LPA is irreproducible by design, which disqualifies it from a
+    * curation pipeline that must re-run identically.
+    *
+    * Shape per iteration: one edges⋈labels equi-join, one count
+    * aggregate on (node, label), one per-node arg-max — all shuffles on
+    * the node key, labels frame node-sized. Same lineage note as
+    * [[pageRank]]: checkpoint past ~5 iterations.
+    */
+  def labelPropagation(edges: DataFrame, nodes: DataFrame,
+      iters: Int = 3): DataFrame = {
+    require(iters >= 1, "labelPropagation needs iterations")
+    import org.apache.spark.sql.expressions.Window
+    var labels = nodes.select(col("id"), col("id").as("label"))
+    for (_ <- 1 to iters) {
+      val counts = edges
+        .join(labels.select(col("id").as("dst"), col("label").as("nl")), "dst")
+        .groupBy(col("src"), col("nl")).agg(count(lit(1)).as("c"))
+      val w = Window.partitionBy(col("src"))
+        .orderBy(col("c").desc, col("nl"))
+      val picked = counts
+        .withColumn("__rn", row_number().over(w))
+        .filter(col("__rn") === 1)
+        .select(col("src").as("id"), col("nl").as("picked"))
+      labels = labels.join(picked, Seq("id"), "left")
+        .select(col("id"), coalesce(col("picked"), col("label")).as("label"))
+    }
+    labels
+  }
 }

@@ -127,6 +127,25 @@ object Pipeline {
        |  FROM e LEFT JOIN c$cur ON e.vec_id = c$cur.id
        |)""".stripMargin
 
+  /** One unrolled synchronous label-propagation round over `ed(src, dst)`
+    * and `l\$prev(id, label)` → `l\$cur` (most frequent neighbor label,
+    * ties to the smaller label, isolated nodes keep their own) — mirrors
+    * Graph.labelPropagation's deterministic update.
+    */
+  private def lpIter(prev: String, cur: String): String =
+    s"""cnt$cur AS (
+       |  SELECT ed.src AS id, l$prev.label AS nl, count(*) AS c
+       |  FROM ed JOIN l$prev ON ed.dst = l$prev.id
+       |  GROUP BY 1, 2
+       |), pk$cur AS (
+       |  SELECT id, nl,
+       |         row_number() OVER (PARTITION BY id ORDER BY c DESC, nl) AS rn
+       |  FROM cnt$cur
+       |), l$cur AS (
+       |  SELECT l$prev.id, coalesce(pk$cur.nl, l$prev.label) AS label
+       |  FROM l$prev LEFT JOIN pk$cur ON l$prev.id = pk$cur.id AND pk$cur.rn = 1
+       |)""".stripMargin
+
   /** lang-ID stopword scores → CTE `scored` (mirrors TextAnalysis.langId). */
   private val langScoredCte: String = {
     val scores = TextAnalysis.Lexicons.map { case (l, ws) =>
@@ -459,7 +478,8 @@ object Pipeline {
     // q_ann_eval (gated in r8 but never benchmarked — ADVICE)
     "q_ann_mutual_nn_idx", "q_pl_centrality_knn", "q_ann_eval",
     // round-9: sketch/blocked/at-rest dedup additions
-    "q_pl_heavy_hitters", "q_pl_edit_dist", "q_pl_incr_dedup")
+    "q_pl_heavy_hitters", "q_pl_edit_dist", "q_pl_incr_dedup",
+    "q_pl_communities")
 
   def qs: Seq[Q] = {
     val all = raw.map(q => if (ExtraBench(q.name)) q.copy(benchExtra = true) else q)
@@ -1803,21 +1823,24 @@ object Pipeline {
               |WHERE cnt * 100 > total
               |ORDER BY cnt DESC, word""".stripMargin)),
 
-    // Fuzzy (bounded edit distance) near-dup pairs: first-token blocking +
-    // Levenshtein <= 20 on the 80-char normalized prefix. The blocking
-    // algorithm is the contract (the oracle replays it) — same stance as
-    // the banding gates.
+    // Fuzzy (bounded edit distance) near-dup pairs: two-token blocking +
+    // length band + Levenshtein <= 20 on the 80-char normalized prefix.
+    // The blocking algorithm is the contract (the oracle replays it) —
+    // same stance as the banding gates.
     Q("q_pl_edit_dist",
       (s, dir) => Dedup.editDistancePairs(Tables.documents(s, dir), 20, 80)
         .orderBy("doc_a", "doc_b"),
-      Some("""WITH d AS (
-             |  SELECT doc_id,
-             |         substr(regexp_replace(trim(lower(text)), '\s+', ' ', 'g'), 1, 80) AS p,
-             |         string_split(regexp_replace(trim(lower(text)), '\s+', ' ', 'g'), ' ')[1] AS blk
-             |  FROM documents)
+      Some("""WITH n AS (
+             |  SELECT doc_id, regexp_replace(trim(lower(text)), '\s+', ' ', 'g') AS t
+             |  FROM documents),
+             |d AS (
+             |  SELECT doc_id, substr(t, 1, 80) AS p,
+             |         concat_ws(' ', string_split(t, ' ')[1], string_split(t, ' ')[2]) AS blk
+             |  FROM n)
              |SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
              |       CAST(levenshtein(a.p, b.p) AS BIGINT) AS edit_dist
              |FROM d a JOIN d b ON a.blk = b.blk AND a.doc_id < b.doc_id
+             |            AND abs(len(a.p) - len(b.p)) <= 20
              |WHERE levenshtein(a.p, b.p) <= 20
              |ORDER BY doc_a, doc_b""".stripMargin)),
 
@@ -1838,6 +1861,34 @@ object Pipeline {
       Some(s"""WITH $wordsCte, $shinglesCte, $verifiedPairsCte
               |SELECT doc_b AS batch_id, doc_a AS corpus_id, jaccard
               |FROM vp WHERE doc_a < 400 AND doc_b >= 400
-              |ORDER BY batch_id, corpus_id""".stripMargin))
+              |ORDER BY batch_id, corpus_id""".stripMargin)),
+
+    // Label-propagation communities over the same kNN similarity graph as
+    // q_pl_centrality_knn: 3 synchronous deterministic rounds (most
+    // frequent neighbor label, ties to the smaller label). The oracle
+    // unrolls the identical rounds.
+    Q("q_pl_communities",
+      (s, dir) => {
+        val emb = Tables.embeddings(s, dir)
+        val knn = Similarity.hammingTopK(emb, emb, 4, candMult = 4)
+        val edges = graft.pipeline.Graph.undirected(
+          knn.select(col("q_id").as("vec_a"), col("vec_id").as("vec_b")),
+          "vec_a", "vec_b").distinct()
+        graft.pipeline.Graph.labelPropagation(edges,
+            emb.select(col("vec_id").as("id")), iters = 3)
+          .orderBy("id")
+      },
+      Some(s"""WITH $embCte,
+              |$sigCte,
+              |${hammingKnnCtes(4, 4)},
+              |dpr AS (SELECT q_id AS a, vec_id AS b FROM knn WHERE rank <= 4),
+              |ed AS (SELECT DISTINCT src, dst FROM (
+              |  SELECT a AS src, b AS dst FROM dpr
+              |  UNION ALL SELECT b AS src, a AS dst FROM dpr)),
+              |l0 AS (SELECT vec_id AS id, vec_id AS label FROM e),
+              |${lpIter("0", "1")},
+              |${lpIter("1", "2")},
+              |${lpIter("2", "3")}
+              |SELECT id, label FROM l3 ORDER BY id""".stripMargin))
   )
 }

@@ -970,6 +970,32 @@ object TimeSeries {
               |ORDER BY series, bucket""".stripMargin),
       benchExtra = true),
 
+    // SAX symbolization: hourly PAA, per-day z-normalized 4-symbol words
+    // (N(0,1) quartile breakpoints). Pre-rounded means (1e-4) and z
+    // (1e-6) keep the discretization engine-portable.
+    Q("q_ts_sax",
+      (s, dir) => {
+        val base = ev(s, dir).filter(col("time") >= T0 && col("time") < T1)
+        graft.operators.Downsample.sax(base, 3600L, 86400L)
+          .orderBy("series", "frame")
+      },
+      Some(s"""$svSql,
+              |b AS (SELECT series, time - time % 86400 AS frame,
+              |             time - time % 3600 AS bucket,
+              |             floor(avg(value) * 1e4 + 0.5) / 1e4 AS v
+              |      FROM sv WHERE time >= $T0 AND time < $T1 GROUP BY 1, 2, 3),
+              |zs AS (SELECT series, frame, bucket,
+              |       floor((CASE WHEN stddev_pop(v) OVER w > 0
+              |                   THEN (v - avg(v) OVER w) / stddev_pop(v) OVER w
+              |                   ELSE 0.0 END) * 1e6 + 0.5) / 1e6 AS z
+              |       FROM b WINDOW w AS (PARTITION BY series, frame)),
+              |sy AS (SELECT series, frame, bucket,
+              |       CASE WHEN z < -0.6745 THEN 'a' WHEN z < 0 THEN 'b'
+              |            WHEN z < 0.6745 THEN 'c' ELSE 'd' END AS sym FROM zs)
+              |SELECT series, frame, string_agg(sym, '' ORDER BY bucket) AS sax,
+              |       count(*) AS n_buckets
+              |FROM sy GROUP BY 1, 2 ORDER BY series, frame""".stripMargin)),
+
     // ALIGN JOIN (the reference backlog's "join on time"): click and
     // purchase aligned to a 1800 s grid per tag with forward-fill on
     // both sides; the spine spans the union of both series' ranges.
@@ -1291,6 +1317,85 @@ object TimeSeries {
              |SELECT cday, k, n_users, cohort_n,
              |       floor(n_users / cohort_n * 1e4 + 0.5) / 1e4 AS rate
              |FROM cells JOIN sizes USING (cday)
-             |ORDER BY cday, k""".stripMargin))
+             |ORDER BY cday, k""".stripMargin)),
+
+    // ---- salted join (skew mitigation) ----------------------------------
+    //
+    // events joined to a per-event-type dimension through the 8-way
+    // salted layout — the oracle is the PLAIN join (salting must be
+    // output-invariant). The dim here derives from events itself so the
+    // gate needs no extra fixture.
+    Q("q_join_salted",
+      (s, dir) => {
+        val e = ev(s, dir).filter(col("time") >= T0 && col("time") < T1)
+        val dim = e.select(col("series")).distinct()
+          .withColumn("weight", length(col("series")).cast("double"))
+        graft.operators.SaltedJoin.join(e, dim, "series", col("event_id"), 8)
+          .groupBy(col("series"))
+          .agg(
+            (floor(sum(col("value") * col("weight")) * 1e4 + 0.5) / 1e4).as("wsum"),
+            count(lit(1)).as("n"))
+          .orderBy("series")
+      },
+      Some(s"""$svSql,
+              |d AS (SELECT DISTINCT series, CAST(len(series) AS DOUBLE) AS weight
+              |      FROM sv WHERE time >= $T0 AND time < $T1)
+              |SELECT sv.series AS series,
+              |       floor(sum(value * weight) * 1e4 + 0.5) / 1e4 AS wsum,
+              |       count(*) AS n
+              |FROM sv JOIN d ON sv.series = d.series
+              |WHERE time >= $T0 AND time < $T1
+              |GROUP BY 1 ORDER BY sv.series""".stripMargin)),
+
+    // ---- SCD2 intervals (gaps-and-islands) ------------------------------
+    //
+    // Type-2 effective-dated history per user: runs of consecutive
+    // identical event_type collapse to [eff_from, eff_to) intervals,
+    // eff_to = the next run's start (NULL while current). One user-keyed
+    // window pass (user histories are bounded — the sessionize stance)
+    // plus a per-run aggregate.
+    Q("q_ev_scd2",
+      (s, dir) => {
+        val e = Tables.events(s, dir).select(col("user_id"),
+          col("event_type"), (col("ts") / 1000000000L).cast("long").as("tsec"),
+          col("event_id"))
+        val w = Window.partitionBy(col("user_id")).orderBy(col("tsec"), col("event_id"))
+        val runs = e
+          .withColumn("__chg",
+            when(lag(col("event_type"), 1).over(w).isNull ||
+              lag(col("event_type"), 1).over(w) =!= col("event_type"), 1L)
+              .otherwise(0L))
+          .withColumn("__grp", sum(col("__chg")).over(
+            w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+        val iv = runs.groupBy(col("user_id"), col("__grp"))
+          .agg(first(col("event_type")).as("event_type"),
+            min(col("tsec")).as("eff_from"),
+            count(lit(1)).as("n_events"))
+        val w2 = Window.partitionBy(col("user_id")).orderBy(col("__grp"))
+        iv.withColumn("eff_to", lead(col("eff_from"), 1).over(w2))
+          .select("user_id", "event_type", "eff_from", "eff_to", "n_events")
+          .orderBy("user_id", "eff_from")
+      },
+      Some("""WITH e AS (
+             |  SELECT user_id, event_type,
+             |         epoch_ns(ts) // 1000000000 AS tsec, event_id
+             |  FROM events),
+             |r AS (
+             |  SELECT *, CASE WHEN lag(event_type) OVER w IS NULL
+             |                   OR lag(event_type) OVER w <> event_type
+             |                 THEN 1 ELSE 0 END AS chg
+             |  FROM e WINDOW w AS (PARTITION BY user_id ORDER BY tsec, event_id)),
+             |g AS (
+             |  SELECT *, sum(chg) OVER (PARTITION BY user_id ORDER BY tsec, event_id
+             |                           ROWS UNBOUNDED PRECEDING) AS grp
+             |  FROM r),
+             |iv AS (
+             |  SELECT user_id, grp, first(event_type ORDER BY tsec, event_id) AS event_type,
+             |         min(tsec) AS eff_from, count(*) AS n_events
+             |  FROM g GROUP BY 1, 2)
+             |SELECT user_id, event_type, eff_from,
+             |       lead(eff_from) OVER (PARTITION BY user_id ORDER BY grp) AS eff_to,
+             |       n_events
+             |FROM iv ORDER BY user_id, eff_from""".stripMargin))
   )
 }

@@ -975,6 +975,45 @@ class PipelineSpec extends AnyFunSuite {
     assert(got === expect)
   }
 
+  test("labelPropagation: deterministic sync rounds converge communities to min labels") {
+    import graft.pipeline.Graph
+    // two triangles {0,1,2} and {10,11,12} bridged by 2—10, plus isolate 99
+    val pairs = Seq((0L, 1L), (1L, 2L), (0L, 2L),
+      (10L, 11L), (11L, 12L), (10L, 12L), (2L, 10L)).toDF("a", "b")
+    val nodes = Seq(0L, 1L, 2L, 10L, 11L, 12L, 99L).toDF("id")
+    val got = Graph.labelPropagation(Graph.undirected(pairs, "a", "b"), nodes, 3)
+      .as[(Long, Long)].collect().toMap
+    // hand-traced 3 sync rounds (most-frequent neighbor label, ties →
+    // min): the 0-triangle settles on 0; label 2 percolates across the
+    // bridge into the 10-triangle; the isolate keeps its own
+    assert(got === Map(0L -> 0L, 1L -> 0L, 2L -> 0L,
+      10L -> 2L, 11L -> 2L, 12L -> 2L, 99L -> 99L))
+    // layout independence: same result from a repartitioned edge list
+    val got2 = Graph.labelPropagation(
+      Graph.undirected(pairs.repartition(7), "a", "b"), nodes.repartition(3), 3)
+      .as[(Long, Long)].collect().toMap
+    assert(got2 === got)
+  }
+
+  test("salted join output is invariant to the salt layout") {
+    import graft.operators.SaltedJoin
+    val fact = (0 until 2000).map(i =>
+      (i.toLong, if (i % 10 == 0) "hot" else s"k${i % 5}", i * 0.5))
+      .toDF("rid", "key", "v")
+    val dim = Seq(("hot", 100.0), ("k1", 1.0), ("k2", 2.0),
+      ("k3", 3.0), ("k4", 4.0)).toDF("key", "w")
+    val plain = fact.join(dim, "key").select("rid", "key", "v", "w")
+      .as[(Long, String, Double, Double)].collect().toSet
+    for (salts <- Seq(1, 4, 16)) {
+      val salted = SaltedJoin.join(fact, dim, "key", col("rid"), salts)
+        .select("rid", "key", "v", "w")
+        .as[(Long, String, Double, Double)].collect().toSet
+      assert(salted === plain, s"salts=$salts diverged")
+    }
+    // k0 has no dim row — inner-join semantics preserved (dropped)
+    assert(!plain.exists(_._2 == "k0"))
+  }
+
   test("editDistancePairs: blocked Levenshtein semantics on a crafted frame") {
     val d = Seq(
       (1L, "alpha beta gamma"),

@@ -402,4 +402,53 @@ class PlanSpec extends AnyFunSuite {
     assert("(Sort|Hash)Aggregate".r.findAllIn(p).size >= 2,
       "top-1 aggregate should plan partial+final (pre-shuffle combine)")
   }
+
+  test("EXISTS/NOT EXISTS decorrelate to semi/anti hash joins — no per-row subquery") {
+    val p = plan("q_exists_subquery")
+    assert(p.contains("LeftSemi") || p.contains("ExistenceJoin"),
+      "EXISTS must plan as a semi join:\n" + p.take(1500))
+    assert(p.contains("LeftAnti"),
+      "NOT EXISTS must plan as an anti join:\n" + p.take(1500))
+    assert(!p.contains("Subquery") || !p.contains("InSubquery"),
+      "no per-row subquery execution nodes expected")
+  }
+
+  test("scalar subqueries: uncorrelated becomes a one-row broadcast; correlated decorrelates to an agg+join") {
+    import org.apache.spark.sql.execution.datasources.LogicalRelation
+    val df = SparkEntry.queries("q_scalar_subquery")(spark, sf)
+    val opt = df.queryExecution.optimizedPlan.toString
+    // the correlated per-custkey max rewrites to Aggregate + Join, not a
+    // row-at-a-time correlated lookup
+    assert(!opt.contains("DomainJoin") && df.queryExecution.executedPlan != null)
+    val p = plan("q_scalar_subquery")
+    assert(p.contains("Join"), "correlated scalar should decorrelate to a join:\n" + p.take(1200))
+  }
+
+  test("FILTER-clause aggregates + multi-distinct stay a single scan") {
+    import org.apache.spark.sql.execution.datasources.LogicalRelation
+    val df = SparkEntry.queries("q_agg_filter")(spark, sf)
+    assert(df.queryExecution.optimizedPlan.collect {
+      case r: LogicalRelation => r }.size == 1,
+      "all conditional aggregates must ride one scan (no N-segments-N-scans)")
+    assert(plan("q_agg_filter").contains("Expand"),
+      "two COUNT(DISTINCT)s should plan via Expand (single-scan multi-distinct)")
+  }
+
+  test("unpivot is generate-only — no shuffle beyond the wide aggregate and final sort") {
+    val df = SparkEntry.queries("q_unpivot")(spark, sf)
+    val p = df.queryExecution.executedPlan.toString
+    // one hash Exchange for the groupBy; the melt itself (Expand/Generate)
+    // must not introduce another
+    assert("Exchange hashpartitioning".r.findAllIn(p).size <= 1,
+      "unpivot must not add a shuffle over the melted rows:\n" + p.take(1500))
+  }
+
+  test("funnel steps pre-filter the scan: each stage joins on user_id only") {
+    val p = plan("q_ev_funnel")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      "funnel stages must be equi-joins on user_id:\n" + p.take(1500))
+    // the 3 per-step MIN aggregates plan partial+final
+    assert("HashAggregate".r.findAllIn(p).size >= 6,
+      "per-step MINs should pre-combine before their shuffles")
+  }
 }
