@@ -1781,9 +1781,11 @@ object Pipeline {
       (s, dir) => {
         val emb = Tables.embeddings(s, dir)
         val knn = Similarity.hammingTopK(emb, emb, 4, candMult = 4)
+        // cache: the kNN edge subtree is referenced by deg + every power
+        // iteration (4x); one materialization instead of four Hamming scans
         val edges = graft.pipeline.Graph.undirected(
           knn.select(col("q_id").as("vec_a"), col("vec_id").as("vec_b")),
-          "vec_a", "vec_b").distinct()
+          "vec_a", "vec_b").distinct().cache()
         graft.pipeline.Graph.pageRank(edges,
             emb.select(col("vec_id").as("id")), emb.count(), iters = 3)
           .select(col("id"), (floor(col("rank") * 1e6 + 0.5) / 1e6).as("rank"))
@@ -1871,9 +1873,10 @@ object Pipeline {
       (s, dir) => {
         val emb = Tables.embeddings(s, dir)
         val knn = Similarity.hammingTopK(emb, emb, 4, candMult = 4)
+        // cache: same 4x-reference shape as q_pl_centrality_knn
         val edges = graft.pipeline.Graph.undirected(
           knn.select(col("q_id").as("vec_a"), col("vec_id").as("vec_b")),
-          "vec_a", "vec_b").distinct()
+          "vec_a", "vec_b").distinct().cache()
         graft.pipeline.Graph.labelPropagation(edges,
             emb.select(col("vec_id").as("id")), iters = 3)
           .orderBy("id")
