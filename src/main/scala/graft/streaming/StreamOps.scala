@@ -24,6 +24,9 @@ object StreamOps {
   final case class DarkAlert(series: String, last_seen: Long, dark_since: Long)
   final case class DodState(open: Map[Long, (Double, Long)], closed: Map[Long, Double])
   final case class ZScoreState(open: Map[Long, (Double, Long)], closed: Map[Long, Double])
+  final case class FunnelState(pending: Seq[(Long, Int)], times: Seq[Long],
+      lastSeen: Long)
+  final case class FunnelProgress(user_id: Long, stage: Int, times: Seq[Long])
   final case class BucketZ(series: String, bucket: Long, v: Double, mu: Double,
       sigma: Double, z: Option[Double], anomaly: Boolean)
   final case class DayOverDay(series: String, bucket: Long, v: Double,
@@ -611,6 +614,80 @@ object StreamOps {
             state.setTimeoutTimestamp(due * 1000L)
           }
           out.result().iterator
+      }
+  }
+
+  /** Streaming ordered funnel — the live twin of `q_ev_funnel`: per user,
+    * step i completes at the first event of `steps(i)` at-or-after step
+    * i−1's completion (step 0 at its first event). Emits a
+    * [[FunnelProgress]] row each time a user's stage advances.
+    *
+    * Exactness under disorder: an event only FOLDS into the funnel once
+    * the watermark passes its time — until then it sits in the per-user
+    * `pending` buffer — so events fold in true event-time order (a
+    * straggling earlier signup cannot be preempted by a click that
+    * arrived first). Spark drops watermark-late rows before the operator,
+    * closing the other direction. Pending is bounded by the user's event
+    * rate × the watermark delay; confirmed state is `steps.size` longs.
+    * `retentionSecs` bounds idle-user state: a user with nothing pending
+    * and no activity for that long is dropped (the standard conversion-
+    * window semantics — a funnel that never closes is a memory leak at
+    * 100 TB user counts).
+    */
+  def funnel(
+      spark: SparkSession,
+      events: DataFrame,
+      steps: Seq[String],
+      watermarkDelay: String = "10 minutes",
+      retentionSecs: Long = 30 * 86400L): Dataset[FunnelProgress] = {
+    import spark.implicits._
+    require(steps.nonEmpty, "funnel needs at least one step")
+    val stepIdx = steps.zipWithIndex.toMap
+    events.select(col("user_id").cast("long"),
+        coalesce(element_at(
+          org.apache.spark.sql.functions.typedlit(stepIdx), col("event_type")),
+          lit(-1)).cast("int").as("step"),
+        col("time").cast("long"))
+      .filter(col("step") >= 0)
+      .withColumn("event_time", col("time").cast("timestamp"))
+      .withWatermark("event_time", watermarkDelay)
+      .as[(Long, Int, Long, java.sql.Timestamp)]
+      .groupByKey(_._1)
+      .flatMapGroupsWithState[FunnelState, FunnelProgress](
+        OutputMode.Append, GroupStateTimeout.EventTimeTimeout) {
+        (user: Long, it: Iterator[(Long, Int, Long, java.sql.Timestamp)],
+            state: GroupState[FunnelState]) =>
+          val wm = state.getCurrentWatermarkMs() / 1000L
+          val st = state.getOption.getOrElse(FunnelState(Nil, Nil, 0L))
+          var pending = st.pending ++ it.map(e => (e._3, e._2))
+          val lastSeen = (st.lastSeen +: pending.map(_._1)).max
+          // confirm: fold events whose time the watermark has passed, in
+          // (time, step) order — true event-time order, ties resolved
+          // earlier-step-first so same-second signup→click completes
+          val (ready, wait) = pending.partition(_._1 <= wm)
+          pending = wait
+          var times = st.times
+          val before = times.size
+          ready.sorted.foreach { case (t, i) =>
+            // only the NEXT step can complete; an event for a later step
+            // (or a repeat of a done one) is exactly what the batch
+            // min-at-or-after chain excludes
+            if (i == times.size && (i == 0 || t >= times(i - 1)))
+              times = times :+ t
+          }
+          val out =
+            if (times.size > before)
+              Iterator.single(FunnelProgress(user, times.size, times))
+            else Iterator.empty
+          if (pending.isEmpty && wm >= lastSeen + retentionSecs) {
+            state.remove(); out
+          } else {
+            state.update(FunnelState(pending, times, lastSeen))
+            val due = (pending.map(_._1 + 1) :+ (lastSeen + retentionSecs))
+              .filter(_ > wm)
+            if (due.nonEmpty) state.setTimeoutTimestamp(due.min * 1000L)
+            out
+          }
       }
   }
 

@@ -698,4 +698,49 @@ class StreamingSpec extends AnyFunSuite {
     assert(want.filter(_._1 == "b").forall(r => r._6.isEmpty && !r._7))
     assert(want.find(r => r._1 == "a" && r._2 == 1800L).exists(_._7))
   }
+
+  test("streaming funnel matches the batch min-at-or-after chain") {
+    import spark.implicits._
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val steps = Seq("signup", "click", "purchase")
+    // user 1: full conversion, with a click BEFORE signup (excluded) and
+    //   the qualifying click landing same-second as signup (>= passes);
+    // user 2: signup then purchase with no click — stalls at stage 1;
+    // user 3: click/purchase only, never signs up — no rows at all.
+    // Ordered so nothing is watermark-late under grouped(3) staggering.
+    val evs = Seq(
+      (1L, "click", 50L), (1L, "signup", 100L), (1L, "click", 100L),
+      (2L, "signup", 120L), (3L, "click", 130L),
+      (1L, "purchase", 200L), (2L, "purchase", 210L), (3L, "purchase", 220L))
+    def batchTwin: Map[Long, Seq[Long]] = {
+      val byUser = evs.groupBy(_._1)
+      byUser.flatMap { case (u, es) =>
+        var times = Seq.empty[Long]
+        es.sortBy(e => (e._3, steps.indexOf(e._2))).foreach { case (_, ty, t) =>
+          val i = steps.indexOf(ty)
+          if (i == times.size && (i == 0 || t >= times(i - 1))) times = times :+ t
+        }
+        if (times.nonEmpty) Some(u -> times) else None
+      }
+    }
+    def run(tag: String, batches: Seq[Seq[(Long, String, Long)]]): Map[Long, Seq[Long]] = {
+      val ms = MemoryStream[(Long, String, Long)]
+      val f = StreamOps.funnel(spark, ms.toDF().toDF("user_id", "event_type", "time"),
+        steps, watermarkDelay = "5 seconds")
+      assert(f.isStreaming)
+      val q = f.writeStream.outputMode("append").format("memory").queryName(tag).start()
+      try {
+        batches.foreach { b => ms.addData(b); q.processAllAvailable() }
+        ms.addData(Seq((999L, "signup", 100000L))); q.processAllAvailable() // wm push
+        spark.sql(s"select user_id, stage, times from $tag where user_id <> 999")
+          .as[(Long, Int, Seq[Long])].collect()
+          .groupBy(_._1).map { case (u, rows) => u -> rows.maxBy(_._2)._3 }
+      } finally q.stop()
+    }
+    val want = batchTwin
+    assert(want === Map(1L -> Seq(100L, 100L, 200L), 2L -> Seq(120L)))
+    assert(run("fn_stagger", evs.grouped(3).toSeq) === want)
+    assert(run("fn_onebatch", Seq(evs)) === want)
+  }
 }
