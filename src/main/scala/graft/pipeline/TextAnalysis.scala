@@ -539,6 +539,86 @@ object TextAnalysis {
     * the size of the full vocabulary ever shuffles — the contrast with the
     * exact groupBy-count path whose shuffle carries every distinct word.
     */
+  /** Distributed BPE merge training (Sennrich et al.): learn the first
+    * `numMerges` byte-pair merges of a corpus. Returns one row per merge:
+    * (rank, x, y, c) — the pair merged at that round and its weighted
+    * count at selection time. Ties break (count desc, x asc, y asc), so
+    * the merge table is fully deterministic and oracle-replayable.
+    *
+    * The classic trainer shape, distributed: training runs over the
+    * DISTINCT-WORD frequency table (vocabulary-sized — one corpus pass
+    * builds it; at 100 TB the vocab is millions of rows where the corpus
+    * is trillions of tokens), per round:
+    *   1. pair counts: explode zipped adjacent token pairs weighted by
+    *      word count — partial+final sum, shuffle carries distinct pairs;
+    *   2. argmax: orderBy/limit(1) → TakeOrderedAndProject, one
+    *      metadata-sized driver collect per round (the k-means stance);
+    *   3. merge apply: left-to-right non-overlapping replacement via the
+    *      POSITIONAL PARITY trick — islands of consecutive matching
+    *      positions (islands grp = pos − row_number), select every even
+    *      offset in each island, drop the consumed successor. No
+    *      sequential fold, no UDF; matches can only overlap when x == y,
+    *      and parity selection handles exactly that case.
+    * The vocab is localCheckpoint'd per round (vocabulary-sized) so the
+    * window/rebuild lineage does not nest across rounds.
+    */
+  def bpeTrain(docs: DataFrame, numMerges: Int): DataFrame = {
+    require(numMerges >= 1, "bpeTrain needs at least one merge")
+    val spark = docs.sparkSession
+    import org.apache.spark.sql.expressions.Window
+    var vocab = spread(docs)
+      .select(explode(words(col("text"))).as("word"))
+      .filter(length(col("word")) > 0)
+      .groupBy("word").agg(count(lit(1)).as("cnt"))
+      .withColumn("toks", split(col("word"), ""))
+      .localCheckpoint()
+    val merges = scala.collection.mutable.ArrayBuffer.empty[(Int, String, String, Long)]
+    var r = 1
+    var exhausted = false
+    while (r <= numMerges && !exhausted) {
+      val pc = vocab.select(col("cnt"),
+          explode(arrays_zip(
+            slice(col("toks"), lit(1), size(col("toks")) - 1),
+            slice(col("toks"), lit(2), size(col("toks")) - 1))).as("p"))
+        .select(col("p.0").as("x"), col("p.1").as("y"), col("cnt"))
+        .groupBy("x", "y").agg(sum("cnt").as("c"))
+      val top = pc.orderBy(col("c").desc, col("x"), col("y")).limit(1).collect()
+      if (top.isEmpty) exhausted = true
+      else {
+        val (x, y, c) = (top(0).getString(0), top(0).getString(1), top(0).getLong(2))
+        merges += ((r, x, y, c))
+        val wPos = Window.partitionBy("word").orderBy("pos")
+        val ex = vocab
+          .select(col("word"), col("cnt"), posexplode(col("toks")))
+          .withColumnsRenamed(Map("pos" -> "pos", "col" -> "t"))
+          .withColumn("nxt", lead(col("t"), 1).over(wPos))
+          .withColumn("mt", col("t") === lit(x) && col("nxt") === lit(y))
+        val withGrp = ex.withColumn("grp",
+          when(col("mt"), col("pos") - row_number().over(
+            Window.partitionBy(col("word"), col("mt")).orderBy(col("pos")))))
+        val withSel = withGrp.withColumn("sel",
+            col("mt") && (row_number().over(
+              Window.partitionBy(col("word"), col("grp")).orderBy(col("pos")))
+              - 1) % 2 === 0)
+          .withColumn("selp", coalesce(lag(col("sel"), 1).over(wPos), lit(false)))
+        vocab = withSel
+          .withColumn("newt",
+            when(col("sel"), lit(x + y))
+              .when(col("selp"), lit(null).cast("string"))
+              .otherwise(col("t")))
+          .filter(col("newt").isNotNull)
+          .groupBy(col("word"), col("cnt"))
+          .agg(transform(array_sort(collect_list(struct(col("pos"), col("newt").as("tk")))),
+            s => s.getField("tk")).as("toks"))
+          .localCheckpoint()
+        r += 1
+      }
+    }
+    import spark.implicits._
+    merges.toSeq.toDF("rank", "x", "y", "c")
+      .select(col("rank").cast("long"), col("x"), col("y"), col("c"))
+  }
+
   def heavyHitters(docs: DataFrame, k: Int): DataFrame = {
     require(k >= 2, "heavy hitters needs k >= 2")
     val spark = docs.sparkSession

@@ -146,6 +146,50 @@ object Pipeline {
        |  FROM l$prev LEFT JOIN pk$cur ON l$prev.id = pk$cur.id AND pk$cur.rn = 1
        |)""".stripMargin
 
+  /** One unrolled BPE training round over `v\$p(word, cnt, toks)` →
+    * `v\$r` + merge row `m\$r` — mirrors TextAnalysis.bpeTrain exactly:
+    * zipped-adjacent pair counts weighted by word frequency, argmax with
+    * (count desc, x, y) tie-break, left-to-right non-overlapping apply
+    * via island-parity selection. MATERIALIZED is load-bearing: the
+    * vocab CTE is referenced twice per round — inlined, the chain
+    * re-expands exponentially across rounds.
+    */
+  private def bpeRound(p: Int, r: Int): String = {
+    val m = s"(SELECT x FROM m$r)"
+    val my = s"(SELECT y FROM m$r)"
+    s"""pc$r AS (
+       |  SELECT x, y, sum(cnt) AS c FROM (
+       |    SELECT cnt, unnest(toks[1:len(toks)-1]) AS x, unnest(toks[2:len(toks)]) AS y
+       |    FROM v$p WHERE len(toks) >= 2)
+       |  GROUP BY 1, 2),
+       |m$r AS MATERIALIZED (SELECT x, y, c FROM pc$r ORDER BY c DESC, x, y LIMIT 1),
+       |ex$r AS (
+       |  SELECT word, cnt, unnest(generate_series(1, len(toks))) AS i, toks
+       |  FROM v$p),
+       |ex2_$r AS (
+       |  SELECT word, cnt, i, toks[i] AS t,
+       |         CASE WHEN i < len(toks) THEN toks[i+1] END AS nxt
+       |  FROM ex$r),
+       |mm$r AS (
+       |  SELECT *, coalesce(t = $m AND nxt = $my, false) AS mt FROM ex2_$r),
+       |gg$r AS (
+       |  SELECT *, CASE WHEN mt THEN i - row_number() OVER (PARTITION BY word, mt ORDER BY i) END AS grp
+       |  FROM mm$r),
+       |ss$r AS (
+       |  SELECT *, mt AND (row_number() OVER (PARTITION BY word, grp ORDER BY i) - 1) % 2 = 0 AS sel
+       |  FROM gg$r),
+       |sp$r AS (
+       |  SELECT *, coalesce(lag(sel) OVER (PARTITION BY word ORDER BY i), false) AS selp
+       |  FROM ss$r),
+       |nv$r AS (
+       |  SELECT word, cnt, i,
+       |         CASE WHEN sel THEN $m || $my WHEN selp THEN NULL ELSE t END AS newt
+       |  FROM sp$r),
+       |v$r AS MATERIALIZED (
+       |  SELECT word, cnt, list(newt ORDER BY i) AS toks
+       |  FROM nv$r WHERE newt IS NOT NULL GROUP BY 1, 2)""".stripMargin
+  }
+
   /** lang-ID stopword scores → CTE `scored` (mirrors TextAnalysis.langId). */
   private val langScoredCte: String = {
     val scores = TextAnalysis.Lexicons.map { case (l, ws) =>
@@ -479,7 +523,7 @@ object Pipeline {
     "q_ann_mutual_nn_idx", "q_pl_centrality_knn", "q_ann_eval",
     // round-9: sketch/blocked/at-rest dedup additions
     "q_pl_heavy_hitters", "q_pl_edit_dist", "q_pl_incr_dedup",
-    "q_pl_communities")
+    "q_pl_communities", "q_pl_bpe")
 
   def qs: Seq[Q] = {
     val all = raw.map(q => if (ExtraBench(q.name)) q.copy(benchExtra = true) else q)
@@ -1892,6 +1936,25 @@ object Pipeline {
               |${lpIter("0", "1")},
               |${lpIter("1", "2")},
               |${lpIter("2", "3")}
-              |SELECT id, label FROM l3 ORDER BY id""".stripMargin))
+              |SELECT id, label FROM l3 ORDER BY id""".stripMargin)),
+
+    // BPE merge training: the first 6 learned merges of the corpus (the
+    // trainable-tokenizer pass of a data pipeline). The oracle unrolls
+    // the identical rounds — pair counts over the distinct-word frequency
+    // table, deterministic argmax, island-parity merge application.
+    Q("q_pl_bpe",
+      (s, dir) => TextAnalysis.bpeTrain(Tables.documents(s, dir), 6)
+        .orderBy("rank"),
+      Some(s"""WITH wx AS (
+              |  SELECT unnest(string_split_regex(lower(text), '\\s+')) AS word
+              |  FROM documents),
+              |v0 AS MATERIALIZED (
+              |  SELECT word, count(*) AS cnt, string_split(word, '') AS toks
+              |  FROM wx WHERE len(word) > 0 GROUP BY word),
+              |${(1 to 6).map(r => bpeRound(r - 1, r)).mkString(",\n")}
+              |${(1 to 6).map(r =>
+                  s"SELECT CAST($r AS BIGINT) AS rank, x, y, CAST(c AS BIGINT) AS c FROM m$r")
+                 .mkString("\nUNION ALL ")}
+              |ORDER BY rank""".stripMargin))
   )
 }

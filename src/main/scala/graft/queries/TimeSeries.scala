@@ -1396,6 +1396,66 @@ object TimeSeries {
              |SELECT user_id, event_type, eff_from,
              |       lead(eff_from) OVER (PARTITION BY user_id ORDER BY grp) AS eff_to,
              |       n_events
-             |FROM iv ORDER BY user_id, eff_from""".stripMargin))
+             |FROM iv ORDER BY user_id, eff_from""".stripMargin)),
+
+    // ---- JSON property extraction ---------------------------------------
+    //
+    // events.props is a JSON string column. Two extraction paths must
+    // agree: get_json_object (the ad-hoc path probe) and from_json with
+    // an explicit schema (the 100 TB path — one parse to a typed struct,
+    // codegen'd downstream; an implicit schema-inference pass over
+    // petabytes is never acceptable). n_mismatch pins their agreement
+    // inside the gate itself.
+    Q("q_ev_json",
+      (s, dir) => {
+        import org.apache.spark.sql.types._
+        val e = Tables.events(s, dir)
+        val kPath = get_json_object(col("props"), "$.k").cast("long")
+        val kTyped = from_json(col("props"),
+          StructType(Seq(StructField("k", LongType)))).getField("k")
+        e.select(col("event_type"), kPath.as("kp"), kTyped.as("kt"))
+          .groupBy(col("event_type"))
+          .agg(
+            count(lit(1)).as("n"),
+            (floor(avg(col("kt")) * 1e4 + 0.5) / 1e4).as("avg_k"),
+            max(col("kt")).as("max_k"),
+            sum(when(col("kp") =!= col("kt") ||
+              col("kp").isNull =!= col("kt").isNull, 1L).otherwise(0L)).as("n_mismatch"))
+          .orderBy("event_type")
+      },
+      Some("""SELECT event_type, count(*) AS n,
+             |       floor(avg(CAST(props->>'k' AS BIGINT)) * 1e4 + 0.5) / 1e4 AS avg_k,
+             |       max(CAST(props->>'k' AS BIGINT)) AS max_k,
+             |       CAST(0 AS BIGINT) AS n_mismatch
+             |FROM events GROUP BY 1 ORDER BY event_type""".stripMargin)),
+
+    // ---- calendar decomposition -----------------------------------------
+    //
+    // dow×hour activity heatmap (the classic ops dashboard): calendar
+    // functions under the pinned UTC session zone. Spark's dayofweek is
+    // 1=Sunday; DuckDB's is 0=Sunday — normalized to 0=Sunday here, the
+    // kind of off-by-one that must live in the gate, not in user code.
+    Q("q_ev_time_parts",
+      (s, dir) => {
+        val t = timestamp_seconds((col("ts") / 1000000000L).cast("long"))
+        Tables.events(s, dir)
+          .select(year(t).cast("long").as("y"), month(t).cast("long").as("m"),
+            (dayofweek(t) - 1).cast("long").as("dow"),
+            hour(t).cast("long").as("hr"), col("value"))
+          .groupBy("y", "m", "dow", "hr")
+          .agg(count(lit(1)).as("n"),
+            (floor(avg(col("value")) * 1e4 + 0.5) / 1e4).as("avg_value"))
+          .orderBy("y", "m", "dow", "hr")
+      },
+      Some("""WITH e AS (
+             |  SELECT to_timestamp(epoch_ns(ts) // 1000000000) AT TIME ZONE 'UTC' AS t,
+             |         value
+             |  FROM events)
+             |SELECT CAST(year(t) AS BIGINT) AS y, CAST(month(t) AS BIGINT) AS m,
+             |       CAST(dayofweek(t) AS BIGINT) AS dow,
+             |       CAST(hour(t) AS BIGINT) AS hr,
+             |       count(*) AS n,
+             |       floor(avg(value) * 1e4 + 0.5) / 1e4 AS avg_value
+             |FROM e GROUP BY 1, 2, 3, 4 ORDER BY y, m, dow, hr""".stripMargin))
   )
 }

@@ -975,6 +975,19 @@ class PipelineSpec extends AnyFunSuite {
     assert(got === expect)
   }
 
+  test("bpeTrain: hand-computed merges, x==y overlap parity, exhaustion stop") {
+    val d = Seq((1L, "aaaa bb"), (2L, "aaaa bb"), (3L, "aba")).toDF("doc_id", "text")
+    val m = TextAnalysis.bpeTrain(d, 6)
+      .as[(Long, String, String, Long)].collect().toSeq.sortBy(_._1)
+    // r1: (a,a) wins 6 (three overlapping pairs per "aaaa" ×2 docs);
+    //     left-to-right parity turns "aaaa" into [aa, aa], not [aa, a, a]
+    // r2: tie (aa,aa)=2 vs (b,b)=2 → lexicographic x: "aa" < "b"
+    // r5 leaves every word a single token → round 6 exhausts silently
+    assert(m === Seq(
+      (1L, "a", "a", 6L), (2L, "aa", "aa", 2L), (3L, "b", "b", 2L),
+      (4L, "a", "b", 1L), (5L, "ab", "a", 1L)))
+  }
+
   test("labelPropagation: deterministic sync rounds converge communities to min labels") {
     import graft.pipeline.Graph
     // two triangles {0,1,2} and {10,11,12} bridged by 2—10, plus isolate 99
