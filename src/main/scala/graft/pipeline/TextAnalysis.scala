@@ -587,36 +587,70 @@ object TextAnalysis {
       else {
         val (x, y, c) = (top(0).getString(0), top(0).getString(1), top(0).getLong(2))
         merges += ((r, x, y, c))
-        val wPos = Window.partitionBy("word").orderBy("pos")
-        val ex = vocab
-          .select(col("word"), col("cnt"), posexplode(col("toks")))
-          .withColumnsRenamed(Map("pos" -> "pos", "col" -> "t"))
-          .withColumn("nxt", lead(col("t"), 1).over(wPos))
-          .withColumn("mt", col("t") === lit(x) && col("nxt") === lit(y))
-        val withGrp = ex.withColumn("grp",
-          when(col("mt"), col("pos") - row_number().over(
-            Window.partitionBy(col("word"), col("mt")).orderBy(col("pos")))))
-        val withSel = withGrp.withColumn("sel",
-            col("mt") && (row_number().over(
-              Window.partitionBy(col("word"), col("grp")).orderBy(col("pos")))
-              - 1) % 2 === 0)
-          .withColumn("selp", coalesce(lag(col("sel"), 1).over(wPos), lit(false)))
-        vocab = withSel
-          .withColumn("newt",
-            when(col("sel"), lit(x + y))
-              .when(col("selp"), lit(null).cast("string"))
-              .otherwise(col("t")))
-          .filter(col("newt").isNotNull)
-          .groupBy(col("word"), col("cnt"))
-          .agg(transform(array_sort(collect_list(struct(col("pos"), col("newt").as("tk")))),
-            s => s.getField("tk")).as("toks"))
-          .localCheckpoint()
+        vocab = applyMerge(vocab, x, y).localCheckpoint()
         r += 1
       }
     }
     import spark.implicits._
     merges.toSeq.toDF("rank", "x", "y", "c")
       .select(col("rank").cast("long"), col("x"), col("y"), col("c"))
+  }
+
+  /** One merge (x, y) → xy applied to a `(word, cnt, toks)` vocab frame —
+    * the island-parity replacement described in [[bpeTrain]].
+    */
+  private def applyMerge(vocab: DataFrame, x: String, y: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val wPos = Window.partitionBy("word").orderBy("pos")
+    val ex = vocab
+      .select(col("word"), col("cnt"), posexplode(col("toks")))
+      .withColumnsRenamed(Map("col" -> "t"))
+      .withColumn("nxt", lead(col("t"), 1).over(wPos))
+      .withColumn("mt", col("t") === lit(x) && col("nxt") === lit(y))
+    val withGrp = ex.withColumn("grp",
+      when(col("mt"), col("pos") - row_number().over(
+        Window.partitionBy(col("word"), col("mt")).orderBy(col("pos")))))
+    val withSel = withGrp.withColumn("sel",
+        col("mt") && (row_number().over(
+          Window.partitionBy(col("word"), col("grp")).orderBy(col("pos")))
+          - 1) % 2 === 0)
+      .withColumn("selp", coalesce(lag(col("sel"), 1).over(wPos), lit(false)))
+    withSel
+      .withColumn("newt",
+        when(col("sel"), lit(x + y))
+          .when(col("selp"), lit(null).cast("string"))
+          .otherwise(col("t")))
+      .filter(col("newt").isNotNull)
+      .groupBy(col("word"), col("cnt"))
+      .agg(transform(array_sort(collect_list(struct(col("pos"), col("newt").as("tk")))),
+        s => s.getField("tk")).as("toks"))
+  }
+
+  /** Tokenize with a learned merge table: the merges fold over the
+    * DISTINCT-WORD table in rank order (k merge rounds on a
+    * vocabulary-sized frame), then one equi-join maps tokenizations back
+    * to documents — the corpus is touched twice (word extraction, final
+    * join), never per-merge. Output: per doc, word/token counts and the
+    * compression ratio the learned vocabulary achieves.
+    */
+  def bpeApply(docs: DataFrame, merges: Seq[(String, String)]): DataFrame = {
+    var vocab = spread(docs)
+      .select(explode(words(col("text"))).as("word"))
+      .filter(length(col("word")) > 0)
+      .groupBy("word").agg(count(lit(1)).as("cnt"))
+      .withColumn("toks", split(col("word"), ""))
+      .localCheckpoint()
+    merges.foreach { case (x, y) =>
+      vocab = applyMerge(vocab, x, y).localCheckpoint()
+    }
+    val dw = spread(docs)
+      .select(col("doc_id"), explode(words(col("text"))).as("word"))
+      .filter(length(col("word")) > 0)
+    dw.join(vocab.select(col("word"), size(col("toks")).as("ntk")), "word")
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_words"),
+        sum(col("ntk")).as("n_tokens"),
+        (floor(sum(col("ntk")) / count(lit(1)) * 1e4 + 0.5) / 1e4).as("avg_tpw"))
   }
 
   def heavyHitters(docs: DataFrame, k: Int): DataFrame = {

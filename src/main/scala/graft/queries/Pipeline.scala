@@ -523,7 +523,7 @@ object Pipeline {
     "q_ann_mutual_nn_idx", "q_pl_centrality_knn", "q_ann_eval",
     // round-9: sketch/blocked/at-rest dedup additions
     "q_pl_heavy_hitters", "q_pl_edit_dist", "q_pl_incr_dedup",
-    "q_pl_communities", "q_pl_bpe")
+    "q_pl_communities", "q_pl_bpe", "q_pl_bpe_apply")
 
   def qs: Seq[Q] = {
     val all = raw.map(q => if (ExtraBench(q.name)) q.copy(benchExtra = true) else q)
@@ -1955,6 +1955,33 @@ object Pipeline {
               |${(1 to 6).map(r =>
                   s"SELECT CAST($r AS BIGINT) AS rank, x, y, CAST(c AS BIGINT) AS c FROM m$r")
                  .mkString("\nUNION ALL ")}
-              |ORDER BY rank""".stripMargin))
+              |ORDER BY rank""".stripMargin)),
+
+    // Tokenize with the learned merges: k rounds over the distinct-word
+    // table, one equi-join back to documents. Per-doc token counts +
+    // compression ratio; the oracle replays training AND application.
+    Q("q_pl_bpe_apply",
+      (s, dir) => {
+        val docs = Tables.documents(s, dir)
+        val m = TextAnalysis.bpeTrain(docs, 6).orderBy("rank")
+          .select("x", "y").collect().map(r => (r.getString(0), r.getString(1))).toSeq
+        TextAnalysis.bpeApply(docs, m).orderBy("doc_id")
+      },
+      Some(s"""WITH wx AS (
+              |  SELECT unnest(string_split_regex(lower(text), '\\s+')) AS word
+              |  FROM documents),
+              |v0 AS MATERIALIZED (
+              |  SELECT word, count(*) AS cnt, string_split(word, '') AS toks
+              |  FROM wx WHERE len(word) > 0 GROUP BY word),
+              |${(1 to 6).map(r => bpeRound(r - 1, r)).mkString(",\n")},
+              |wd AS (
+              |  SELECT doc_id, unnest(string_split_regex(lower(text), '\\s+')) AS word
+              |  FROM documents),
+              |wdf AS (SELECT doc_id, word FROM wd WHERE len(word) > 0)
+              |SELECT doc_id, count(*) AS n_words,
+              |       CAST(sum(len(v6.toks)) AS BIGINT) AS n_tokens,
+              |       floor(sum(len(v6.toks)) * 1.0 / count(*) * 1e4 + 0.5) / 1e4 AS avg_tpw
+              |FROM wdf JOIN v6 USING (word)
+              |GROUP BY 1 ORDER BY doc_id""".stripMargin))
   )
 }

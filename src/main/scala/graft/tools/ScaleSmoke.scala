@@ -189,6 +189,27 @@ object ScaleSmoke {
         val k = math.max(8, (nVec / 250L).toInt)
         Dedup.semDedup(emb, k = k, iters = 2)
       },
+      // candidate superset stays ≤ (k−1)×partitions regardless of corpus
+      // size — the curve must be ~linear (two corpus passes)
+      timed("heavy_hitters")(TextAnalysis.heavyHitters(docs, 100)),
+      // NOTE: ×mult amplification clones documents, so every block grows
+      // ×mult and the verified-pair OUTPUT grows ×mult² — inherent to
+      // near-dup ops on a mostly-duplicate corpus (minhash_lsh above has
+      // the same property); the smoke checks completion, not linearity
+      timed("edit_dist")(Dedup.editDistancePairs(docs, 20, 80)),
+      // index write on the amplified corpus side + probe of the batch
+      // side — the corpus is shingled once into the at-rest index
+      timed("incr_dedup") {
+        val idx = java.nio.file.Files.createTempDirectory("graft-smoke-mh")
+          .toString + "/i"
+        Dedup.minhashIndexWrite(docs.filter(col("doc_id") % 1000000000L < 400), idx)
+        Dedup.minhashIndexProbe(spark,
+          docs.filter(col("doc_id") % 1000000000L >= 400), idx, 0.8)
+      },
+      // merge rounds run on the DISTINCT-WORD table (invariant under doc
+      // cloning) — only the one corpus pass that builds word counts
+      // scales with mult
+      timed("bpe")(TextAnalysis.bpeTrain(docs, 6)),
       timed("ann_self_join") {
         // √n-rule cell count with FIXED nprobe — SCALE.md's sizing math
         // (candidates/query ≈ n·nprobe/nCells = √n·nprobe, total n^1.5).
