@@ -509,6 +509,52 @@ object SydraQlQueries {
               |FROM sv WHERE time >= $T0 AND time < ${T0 + 2 * 86400}
               |GROUP BY 1, 2 ORDER BY series, usr""".stripMargin)),
 
+    // Continuous aggregate: the rollup table is maintained INCREMENTALLY
+    // across two appends (manifest-driven, only changed hour partitions
+    // re-aggregate), stores mergeable partials, and the gate re-merges
+    // them to the (series, bucket) grain — the oracle is one flat
+    // aggregation over the raw events. Equality pins that incremental
+    // maintenance + partial merge = direct aggregation.
+    Q("q_store_rollup",
+      (s, dir) => {
+        import org.apache.spark.sql.functions.{col, lit, map}
+        val tmp = java.nio.file.Files.createTempDirectory("graft-gate-roll").toString
+        val store = new graft.storage.SeriesStore(s, tmp + "/store")
+        def pts(pred: org.apache.spark.sql.Column) = Tables.events(s, dir).select(
+            col("event_type").as("series"),
+            map(lit("user"), (col("user_id") % 8).cast("string")).as("tags"),
+            (col("ts") / lit(1000000000L)).cast("long").as("time"),
+            col("value"))
+          .filter(col("time") >= T0 && col("time") < T0 + 2 * 86400 && pred)
+        val rollDir = tmp + "/agg"
+        store.append(pts(col("series") === "click"))
+        graft.storage.Maintenance.continuousRollup(store, rollDir)
+        store.append(pts(col("series") =!= "click"))
+        graft.storage.Maintenance.continuousRollup(store, rollDir)
+        // merged partials, not derived averages: avg = sum/n can land on
+        // an exact half-ulp rounding boundary (2-decimal inputs, n a
+        // power of two ⇒ 5-decimal averages), where the regrouped fold
+        // legitimately differs from the oracle's flat fold by 1 ulp and
+        // flips the rounded digit. The SUM of 2-decimal values can't tie
+        // at 1e-4 — so the gate pins the mergeable partials themselves.
+        graft.storage.Maintenance.readRollup(s, rollDir)
+          .groupBy(col("series"), col("bucket"))
+          .agg(
+            (floor(sum(col("sum_v")) * 1e4 + 0.5) / 1e4).as("sum_v"),
+            sum(col("n")).as("n"),
+            (floor(min(col("min_v")) * 1e4 + 0.5) / 1e4).as("min_v"),
+            (floor(max(col("max_v")) * 1e4 + 0.5) / 1e4).as("max_v"))
+          .orderBy("series", "bucket")
+      },
+      Some(s"""$svSql
+              |SELECT series, time - time % 3600 AS bucket,
+              |       floor(sum(value) * 1e4 + 0.5) / 1e4 AS sum_v,
+              |       count(*) AS n,
+              |       floor(min(value) * 1e4 + 0.5) / 1e4 AS min_v,
+              |       floor(max(value) * 1e4 + 0.5) / 1e4 AS max_v
+              |FROM sv WHERE time >= $T0 AND time < ${T0 + 2 * 86400}
+              |GROUP BY 1, 2 ORDER BY series, bucket""".stripMargin)),
+
     // Z-order clustered layout: events written sorted by the Morton key of
     // (user_id, time), then queried with BOTH predicates. The oracle runs
     // on the raw parquet — the gate pins that clustering is a pure layout

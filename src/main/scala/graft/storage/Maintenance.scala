@@ -1,6 +1,6 @@
 package graft.storage
 
-import org.apache.spark.sql.{DataFrame, SaveMode}
+import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -13,6 +13,81 @@ import org.apache.spark.sql.functions._
   *    (`storage/retention.zig:4-20`) — a metadata-only partition delete.
   */
 object Maintenance {
+
+  /** Continuous aggregate maintenance (the TimescaleDB continuous-
+    * aggregate / materialized-rollup pattern): keep a per-(series,
+    * `step`-bucket) rollup table at `dir` incrementally up to date with
+    * the store.
+    *
+    * Incrementality is hour-partition-granular and METADATA-driven: a
+    * manifest records each source hour partition's file signature
+    * (name:length list — no data read); refresh recomputes ONLY hours
+    * whose signature changed since the last run and rewrites exactly
+    * those rollup partitions (dynamic partition overwrite). An append
+    * touching one hour re-aggregates one hour, never the table — the
+    * property that makes a rollup maintainable over years of history.
+    *
+    * The rollup stores MERGEABLE partials (sum, n, min, max), not
+    * averages: serving layers derive avg = sum/n, and coarser re-rollups
+    * (day from hour) stay exact by re-summing. Rollup rows reflect the
+    * stored rows as-is (same multiplicity contract as `scan()`);
+    * run [[compact]] first if last-wins visibility is wanted.
+    * `step` must divide 3600 so buckets never straddle the hour
+    * partitioning. Returns the refreshed hour buckets.
+    */
+  def continuousRollup(store: SeriesStore, dir: String,
+      step: Long = 3600L): Seq[Long] = {
+    require(step > 0 && 3600 % step == 0,
+      "rollup step must divide the hour partition")
+    val spark = store.spark
+    val manifestFile = new java.io.File(dir, "_manifest.tsv")
+    val prev: Map[Long, String] =
+      if (!manifestFile.exists()) Map.empty
+      else scala.io.Source.fromFile(manifestFile).getLines().map { l =>
+        val Array(h, s) = l.split("\t", 2); h.toLong -> s
+      }.toMap
+    def sigOf(h: Long): String = {
+      val d = new java.io.File(s"${store.root}/segments/hour_bucket=$h")
+      d.listFiles().toSeq.filter(_.isFile).filterNot(_.getName.startsWith("_"))
+        .map(f => s"${f.getName}:${f.length()}").sorted.mkString(",")
+    }
+    val current = store.partitions().map(h => h -> sigOf(h)).toMap
+    val changed = current.collect {
+      case (h, s) if !prev.get(h).contains(s) => h
+    }.toSeq.sorted
+    if (changed.nonEmpty) {
+      val roll = store.scan()
+        .filter(col("hour_bucket").isInCollection(changed))
+        .groupBy(col("series_id"), col("series"), col("hour_bucket"),
+          (col("time") - pmod(col("time"), lit(step))).as("bucket"))
+        .agg(sum(col("value")).as("sum_v"), count(col("value")).as("n"),
+          min(col("value")).as("min_v"), max(col("value")).as("max_v"))
+      val saved = spark.conf.getOption("spark.sql.sources.partitionOverwriteMode")
+      spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+      try roll.write.mode(SaveMode.Overwrite)
+        .partitionBy("hour_bucket").parquet(s"$dir/rollup")
+      finally saved match {
+        case Some(v) => spark.conf.set("spark.sql.sources.partitionOverwriteMode", v)
+        case None => spark.conf.unset("spark.sql.sources.partitionOverwriteMode")
+      }
+    }
+    // hours DROPPED from the store (retention) leave stale rollup
+    // partitions — remove them so the rollup tracks deletes too
+    val dropped = prev.keySet -- current.keySet
+    dropped.foreach { h =>
+      val d = new java.io.File(s"$dir/rollup/hour_bucket=$h")
+      if (d.exists()) { d.listFiles().foreach(_.delete()); d.delete() }
+    }
+    manifestFile.getParentFile.mkdirs()
+    java.nio.file.Files.write(manifestFile.toPath,
+      current.toSeq.sorted.map { case (h, s) => s"$h\t$s" }
+        .mkString("\n").getBytes)
+    changed
+  }
+
+  /** Read the rollup table maintained by [[continuousRollup]]. */
+  def readRollup(spark: SparkSession, dir: String): DataFrame =
+    spark.read.parquet(s"$dir/rollup")
 
   /** Last-wins dedup on (series_id, time). */
   def dedupLastWins(df: DataFrame): DataFrame = {

@@ -392,6 +392,32 @@ class StorageSpec extends AnyFunSuite {
     assert(restored.source().count() === 1)
   }
 
+  test("continuous rollup: refreshes ONLY changed hours, tracks retention drops") {
+    import spark.implicits._
+    val store = new SeriesStore(spark, tmp())
+    val rollDir = tmp() + "/agg"
+    def pts(rows: (String, Long, Double)*) =
+      rows.toSeq.toDF("series", "time", "value")
+        .withColumn("tags", typedlit(Map.empty[String, String]))
+    store.append(pts(("m", 100L, 1.0), ("m", 200L, 3.0), ("m", 7300L, 5.0)))
+    // first refresh: both hours (0 and 7200) computed
+    assert(Maintenance.continuousRollup(store, rollDir) === Seq(0L, 7200L))
+    // no change → nothing recomputed
+    assert(Maintenance.continuousRollup(store, rollDir) === Seq.empty)
+    // an append touching ONLY hour 7200 refreshes only it
+    store.append(pts(("m", 7310L, 7.0)))
+    assert(Maintenance.continuousRollup(store, rollDir) === Seq(7200L))
+    val r = Maintenance.readRollup(spark, rollDir)
+      .select("bucket", "sum_v", "n").as[(Long, Double, Long)].collect().toSet
+    assert(r === Set((0L, 4.0, 2L), (7200L, 12.0, 2L)))
+    // retention dropping hour 0 removes its rollup partition on refresh
+    assert(Maintenance.applyRetention(store, 7200L) === Seq(0L))
+    assert(Maintenance.continuousRollup(store, rollDir) === Seq.empty)
+    val r2 = Maintenance.readRollup(spark, rollDir)
+      .select("bucket").as[Long].collect().toSet
+    assert(r2 === Set(7200L))
+  }
+
   test("z-order layout: per-file min/max tight on BOTH dimensions (vs 1-D sort)") {
     import spark.implicits._
     // uniform grid over (u, t) — the adversarial case for 1-D layouts
