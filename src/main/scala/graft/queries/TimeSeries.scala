@@ -1456,6 +1456,165 @@ object TimeSeries {
              |       CAST(hour(t) AS BIGINT) AS hr,
              |       count(*) AS n,
              |       floor(avg(value) * 1e4 + 0.5) / 1e4 AS avg_value
-             |FROM e GROUP BY 1, 2, 3, 4 ORDER BY y, m, dow, hr""".stripMargin))
+             |FROM e GROUP BY 1, 2, 3, 4 ORDER BY y, m, dow, hr""".stripMargin)),
+
+    // ---- event path analysis: Markov transition matrix -------------------
+    //
+    // (src → dst) next-event transition counts and probabilities per user
+    // stream: one user-keyed window pass (lead) — user histories are
+    // bounded, the sessionize stance — then a channel²-sized aggregate.
+    // The per-src probability is a second tiny aggregate joined back, NOT
+    // a window over the transition frame (the frame is small, but the
+    // shape generalizes: partial+final count, broadcast-sized divisor).
+    Q("q_ev_transitions",
+      (s, dir) => {
+        val e = Tables.events(s, dir).select(col("user_id"),
+          col("event_type"), (col("ts") / 1000000000L).cast("long").as("tsec"),
+          col("event_id"))
+        val w = Window.partitionBy(col("user_id")).orderBy(col("tsec"), col("event_id"))
+        val pairs = e.withColumn("dst", lead(col("event_type"), 1).over(w))
+          .filter(col("dst").isNotNull)
+          .groupBy(col("event_type").as("src"), col("dst"))
+          .agg(count(lit(1)).as("n"))
+        val totals = pairs.groupBy(col("src")).agg(sum(col("n")).as("tot"))
+        pairs.join(totals, "src")
+          .select(col("src"), col("dst"), col("n"),
+            (floor(col("n") / col("tot") * 1e4 + 0.5) / 1e4).as("p"))
+          .orderBy(col("src"), col("dst"))
+      },
+      Some("""WITH e AS (
+             |  SELECT user_id, event_type,
+             |         epoch_ns(ts) // 1000000000 AS tsec, event_id
+             |  FROM events),
+             |pairs AS (
+             |  SELECT event_type AS src,
+             |         lead(event_type) OVER (PARTITION BY user_id
+             |                                ORDER BY tsec, event_id) AS dst
+             |  FROM e),
+             |cnt AS (SELECT src, dst, count(*) AS n FROM pairs
+             |        WHERE dst IS NOT NULL GROUP BY 1, 2),
+             |tot AS (SELECT src, sum(n) AS tot FROM cnt GROUP BY 1)
+             |SELECT src, dst, n, floor(n / tot * 1e4 + 0.5) / 1e4 AS p
+             |FROM cnt JOIN tot USING (src) ORDER BY src, dst""".stripMargin)),
+
+    // ---- conversion attribution: first-touch vs last-touch ---------------
+    //
+    // For each purchase, credit (a) the user's first event ever
+    // (first-touch) and (b) the most recent preceding non-purchase event
+    // (last-touch). Both are one user-keyed window pass; the union+sum at
+    // the end keeps a single channel-sized frame instead of a full outer
+    // join of two aggregates. last_value(... IGNORE NULLS) over
+    // [-inf, -1] is the carry-forward trick fill_forward already uses.
+    Q("q_ev_attribution",
+      (s, dir) => {
+        val e = Tables.events(s, dir).select(col("user_id"),
+          col("event_type"), (col("ts") / 1000000000L).cast("long").as("tsec"),
+          col("event_id"))
+        val w = Window.partitionBy(col("user_id")).orderBy(col("tsec"), col("event_id"))
+        val conv = e
+          .withColumn("first_ch", first(col("event_type")).over(
+            w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+          .withColumn("last_ch", last(
+            when(col("event_type") =!= "purchase", col("event_type")), ignoreNulls = true)
+            .over(w.rowsBetween(Window.unboundedPreceding, -1)))
+          .filter(col("event_type") === "purchase")
+        val credits = conv.select(col("first_ch").as("channel"),
+            lit(1L).as("nf"), lit(0L).as("nl"))
+          .unionAll(conv.filter(col("last_ch").isNotNull)
+            .select(col("last_ch").as("channel"), lit(0L).as("nf"), lit(1L).as("nl")))
+        credits.groupBy(col("channel"))
+          .agg(sum(col("nf")).as("n_first"), sum(col("nl")).as("n_last"))
+          .orderBy(col("channel"))
+      },
+      Some("""WITH e AS (
+             |  SELECT user_id, event_type,
+             |         epoch_ns(ts) // 1000000000 AS tsec, event_id
+             |  FROM events),
+             |conv AS (
+             |  SELECT first_value(event_type) OVER w AS first_ch,
+             |         last_value(CASE WHEN event_type <> 'purchase'
+             |                         THEN event_type END IGNORE NULLS)
+             |           OVER (PARTITION BY user_id ORDER BY tsec, event_id
+             |                 ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+             |           AS last_ch,
+             |         event_type
+             |  FROM e
+             |  WINDOW w AS (PARTITION BY user_id ORDER BY tsec, event_id
+             |               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)),
+             |p AS (SELECT * FROM conv WHERE event_type = 'purchase'),
+             |credits AS (
+             |  SELECT first_ch AS channel, 1 AS nf, 0 AS nl FROM p
+             |  UNION ALL
+             |  SELECT last_ch, 0, 1 FROM p WHERE last_ch IS NOT NULL)
+             |SELECT channel, CAST(sum(nf) AS BIGINT) AS n_first,
+             |       CAST(sum(nl) AS BIGINT) AS n_last
+             |FROM credits GROUP BY 1 ORDER BY channel""".stripMargin)),
+
+    // ---- distribution drift: PSI between two days ------------------------
+    //
+    // Population Stability Index of per-series value distributions, day 3
+    // vs day 8 of the canonical window, over 10 equal-width bins spanning
+    // the two days' combined [min, max]. ε-smoothed (ε=1e-4) so empty
+    // bins don't blow up the log. Shape: one partial+final (series, day,
+    // bin) count — the drift monitor you'd run per-partition at 100 TB;
+    // nothing is ever wider than series × 10 bins.
+    Q("q_ts_psi",
+      (s, dir) => {
+        val dayA = T0
+        val dayB = T0 + 5 * 86400L
+        val e = ev(s, dir)
+          .filter((col("time") >= dayA && col("time") < dayA + 86400L) ||
+            (col("time") >= dayB && col("time") < dayB + 86400L))
+          .select(col("series"),
+            when(col("time") < dayA + 86400L, lit("a")).otherwise(lit("b")).as("half"),
+            col("value"))
+        val bounds = e.groupBy(col("series"))
+          .agg(min(col("value")).as("lo"), max(col("value")).as("hi"))
+        val binned = e.join(bounds, "series")
+          .select(col("series"), col("half"),
+            least(lit(9L), floor((col("value") - col("lo")) /
+              ((col("hi") - col("lo")) / 10.0)).cast("long")).as("bin"))
+          .groupBy(col("series"), col("half"), col("bin"))
+          .agg(count(lit(1)).as("n"))
+        val tot = binned.groupBy(col("series"), col("half")).agg(sum(col("n")).as("tot"))
+        val frac = binned.join(tot, Seq("series", "half"))
+          .select(col("series"), col("bin"),
+            when(col("half") === "a", col("n") / col("tot")).otherwise(lit(0.0)).as("pa"),
+            when(col("half") === "b", col("n") / col("tot")).otherwise(lit(0.0)).as("pb"))
+          .groupBy(col("series"), col("bin"))
+          .agg(sum(col("pa")).as("pa"), sum(col("pb")).as("pb"))
+        frac.select(col("series"),
+            ((col("pa") + 1e-4 - (col("pb") + 1e-4)) *
+              log((col("pa") + 1e-4) / (col("pb") + 1e-4))).as("term"))
+          .groupBy(col("series"))
+          .agg((floor(sum(col("term")) * 1e4 + 0.5) / 1e4).as("psi"))
+          .orderBy(col("series"))
+      },
+      Some(s"""$svSql,
+              |e AS (
+              |  SELECT series,
+              |         CASE WHEN time < ${T0 + 86400L} THEN 'a' ELSE 'b' END AS half,
+              |         value
+              |  FROM sv
+              |  WHERE (time >= $T0 AND time < ${T0 + 86400L})
+              |     OR (time >= ${T0 + 5 * 86400L} AND time < ${T0 + 6 * 86400L})),
+              |bounds AS (SELECT series, min(value) AS lo, max(value) AS hi
+              |           FROM e GROUP BY 1),
+              |binned AS (
+              |  SELECT e.series, half,
+              |         least(9, CAST(floor((value - lo) / ((hi - lo) / 10.0)) AS BIGINT)) AS bin,
+              |         count(*) AS n
+              |  FROM e JOIN bounds ON e.series = bounds.series
+              |  GROUP BY 1, 2, 3),
+              |tot AS (SELECT series, half, sum(n) AS tot FROM binned GROUP BY 1, 2),
+              |frac AS (
+              |  SELECT series, bin,
+              |         sum(CASE WHEN half = 'a' THEN n / tot ELSE 0 END) AS pa,
+              |         sum(CASE WHEN half = 'b' THEN n / tot ELSE 0 END) AS pb
+              |  FROM binned JOIN tot USING (series, half)
+              |  GROUP BY 1, 2)
+              |SELECT series,
+              |       floor(sum((pa + 1e-4 - (pb + 1e-4)) * ln((pa + 1e-4) / (pb + 1e-4))) * 1e4 + 0.5) / 1e4 AS psi
+              |FROM frac GROUP BY 1 ORDER BY series""".stripMargin))
   )
 }
