@@ -513,6 +513,73 @@ object Relational {
              |            THEN CAST(1 AS BIGINT) ELSE CAST(0 AS BIGINT) END AS is_cust_max
              |FROM orders o1
              |WHERE o_totalprice > 400000
-             |ORDER BY o_orderkey""".stripMargin))
+             |ORDER BY o_orderkey""".stripMargin)),
+
+    // ---- LISTAGG / string_agg -------------------------------------------
+    //
+    // Order-sensitive string aggregation per group. collect_list is
+    // per-group-bounded state — fine for dimension-sized groups like this
+    // (high-balance customers per nation); an unbounded-group listagg at
+    // 100 TB must be top-N-truncated first (q_topk shape) — the sort
+    // inside the group (array_sort) is what makes the result
+    // deterministic under Spark's unordered shuffle delivery.
+    Q("q_listagg",
+      (s, dir) => {
+        val c = Tables.customer(s, dir).filter(col("c_acctbal") > 9000)
+        val n = Tables.nation(s, dir)
+        c.join(broadcast(n), col("c_nationkey") === col("n_nationkey"))
+          .groupBy(col("n_name"))
+          .agg(count(lit(1)).as("n_cust"),
+            array_join(array_sort(collect_list(col("c_name"))), ",").as("names"))
+          .orderBy(col("n_name"))
+      },
+      Some("""SELECT n_name, count(*) AS n_cust,
+             |       string_agg(c_name, ',' ORDER BY c_name) AS names
+             |FROM customer JOIN nation ON c_nationkey = n_nationkey
+             |WHERE c_acctbal > 9000
+             |GROUP BY n_name ORDER BY n_name""".stripMargin)),
+
+    // ---- MODE / MEDIAN ---------------------------------------------------
+    //
+    // Exact mode and interpolated median per group — one partial+final
+    // aggregate. mode's tie-break is engine-defined, so the gate uses a
+    // column whose frequency ranking is strictly monotone (l_linenumber:
+    // line 1 exists in every order, 7 only in 7-line orders); median is
+    // the exact percentile path (50th, linear interpolation) — at 100 TB
+    // the approx twin is percentile_approx (q_ts_percentile_approx shape).
+    Q("q_mode_median",
+      (s, dir) =>
+        Tables.lineitem(s, dir)
+          .groupBy(col("l_returnflag"))
+          .agg(mode(col("l_linenumber")).cast("long").as("mode_line"),
+            (floor(median(col("l_quantity")) * 1e4 + 0.5) / 1e4).as("median_qty"),
+            count(lit(1)).as("n"))
+          .orderBy(col("l_returnflag")),
+      Some("""SELECT l_returnflag, CAST(mode(l_linenumber) AS BIGINT) AS mode_line,
+             |       floor(median(l_quantity) * 1e4 + 0.5) / 1e4 AS median_qty,
+             |       count(*) AS n
+             |FROM lineitem GROUP BY 1 ORDER BY l_returnflag""".stripMargin)),
+
+    // ---- correlation / covariance aggregates ----------------------------
+    //
+    // Pearson corr, sample/population covariance, sample stddev per group
+    // — all single-pass partial+final (Welford-style merge states), the
+    // same shape as avg/sum, so they scale identically.
+    Q("q_corr_stats",
+      (s, dir) =>
+        Tables.lineitem(s, dir)
+          .groupBy(col("l_returnflag"))
+          .agg(
+            (floor(corr(col("l_quantity"), col("l_extendedprice")) * 1e4 + 0.5) / 1e4).as("r"),
+            (floor(covar_samp(col("l_quantity"), col("l_discount")) * 1e6 + 0.5) / 1e6).as("cov_s"),
+            (floor(covar_pop(col("l_quantity"), col("l_discount")) * 1e6 + 0.5) / 1e6).as("cov_p"),
+            (floor(stddev_samp(col("l_quantity")) * 1e4 + 0.5) / 1e4).as("sd_qty"))
+          .orderBy(col("l_returnflag")),
+      Some("""SELECT l_returnflag,
+             |       floor(corr(l_quantity, l_extendedprice) * 1e4 + 0.5) / 1e4 AS r,
+             |       floor(covar_samp(l_quantity, l_discount) * 1e6 + 0.5) / 1e6 AS cov_s,
+             |       floor(covar_pop(l_quantity, l_discount) * 1e6 + 0.5) / 1e6 AS cov_p,
+             |       floor(stddev_samp(l_quantity) * 1e4 + 0.5) / 1e4 AS sd_qty
+             |FROM lineitem GROUP BY 1 ORDER BY l_returnflag""".stripMargin))
   )
 }
