@@ -45,4 +45,44 @@ object Decontam {
             / col("n_shingles").cast("double") * 1e4 + 0.5) / 1e4).as("contam_frac"))
       .withColumn("contaminated", col("contam_frac") >= threshold)
   }
+
+  /** [[contamination]] with a bloom prefilter ahead of the exact verify
+    * join — identical output (the bloom admits false positives only, and
+    * every survivor is re-checked by the semi-join), cheaper movement when
+    * the benchmark n-gram set outgrows a raw broadcast: the corpus side
+    * probes ~9.6 bits/key of broadcast bloom bits inside whole-stage
+    * codegen and only the surviving (hit + false-positive) shingles reach
+    * the join. At fpp=1%, the verify join's input is ≈ the true hit set —
+    * for a mostly-clean corpus that is orders of magnitude smaller than
+    * the full exploded shingle stream.
+    *
+    * The benchmark side is computed twice (distinct-count for sizing, then
+    * the sketch build) plus once more lazily in the verify join — three
+    * linear passes over the SMALL side instead of caching it, the same
+    * trade [[contamination]] makes on the corpus side.
+    */
+  def contaminationBloom(
+      docs: DataFrame,
+      benchmark: DataFrame,
+      threshold: Double,
+      n: Int = 3,
+      fpp: Double = 0.01): DataFrame = {
+    val corpusSh = TextAnalysis.shingleSets(docs, n)
+    val benchHashes = TextAnalysis.shingleSets(benchmark, n)
+      .select(explode(col("hs")).as("h")).distinct()
+    val bits = graft.functions.Bloom.build(benchHashes, "h", benchHashes.count(), fpp)
+    val hits = corpusSh.select(col("doc_id"), explode(col("hs")).as("h"))
+      .filter(graft.functions.Bloom.mightContain(bits, col("h")))
+      .join(broadcast(benchHashes), Seq("h"), "left_semi")
+      .groupBy("doc_id").agg(count(lit(1)).as("n_overlap"))
+    corpusSh.select(col("doc_id"), size(col("hs")).cast("long").as("n_shingles"))
+      .join(hits, Seq("doc_id"), "left")
+      .select(
+        col("doc_id"), col("n_shingles"),
+        coalesce(col("n_overlap"), lit(0L)).as("n_overlap"),
+        when(col("n_shingles") === 0, lit(0.0))
+          .otherwise(floor(coalesce(col("n_overlap"), lit(0L)).cast("double")
+            / col("n_shingles").cast("double") * 1e4 + 0.5) / 1e4).as("contam_frac"))
+      .withColumn("contaminated", col("contam_frac") >= threshold)
+  }
 }

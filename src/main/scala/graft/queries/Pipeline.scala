@@ -1194,7 +1194,27 @@ object Pipeline {
             docs.filter(col("doc_id") % 20 === 0), threshold = 0.5)
           .orderBy("doc_id")
       },
-      Some(s"""WITH $wordsCte, $shinglesCte,
+      Some(decontamOracle)),
+
+    // Same decontamination through the bloom prefilter (distributed sketch
+    // build + codegen might_contain ahead of the exact verify join) — the
+    // movement-cheap shape when the benchmark n-gram set outgrows a raw
+    // broadcast. The bloom admits false positives only and every survivor
+    // is re-verified, so the SAME exact oracle applies — approximation in
+    // the plan, exactness in the result.
+    Q("q_pl_decontam_bloom",
+      (s, dir) => {
+        val docs = Tables.documents(s, dir)
+        Decontam.contaminationBloom(
+            docs.filter(col("doc_id") % 20 =!= 0),
+            docs.filter(col("doc_id") % 20 === 0), threshold = 0.5)
+          .orderBy("doc_id")
+      },
+      Some(decontamOracle)),
+  ) ++ rawTail
+
+  private val decontamOracle =
+    s"""WITH $wordsCte, $shinglesCte,
               |bench AS (SELECT DISTINCT unnest(hs) AS h FROM sh WHERE doc_id % 20 = 0),
               |corpus AS (SELECT doc_id, hs FROM sh WHERE doc_id % 20 != 0),
               |hits AS (
@@ -1208,7 +1228,9 @@ object Pipeline {
               |  FROM corpus LEFT JOIN hits ON corpus.doc_id = hits.doc_id
               |)
               |SELECT doc_id, n_shingles, n_overlap, contam_frac, contam_frac >= 0.5 AS contaminated
-              |FROM ann ORDER BY doc_id""".stripMargin)),
+              |FROM ann ORDER BY doc_id""".stripMargin
+
+  private def rawTail: Seq[Q] = Seq(
 
     // Near-dup clusters: connected components over the verified LSH pair
     // set (min-label propagation in Spark; transitive closure via a

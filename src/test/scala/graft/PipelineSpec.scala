@@ -391,6 +391,25 @@ class PipelineSpec extends AnyFunSuite {
     assert(r(2).getAs[Long]("n_overlap") === 2L) // shares the 2 leading 3-grams
   }
 
+  test("bloom-prefiltered contamination equals the exact path, probe rides codegen") {
+    val bench = docs.filter(col("doc_id") % 20 === 0)
+    val corpus = docs.filter(col("doc_id") % 20 =!= 0)
+    val exact = graft.pipeline.Decontam.contamination(corpus, bench, 0.5)
+      .orderBy("doc_id").collect().toSeq
+    val bloom = graft.pipeline.Decontam.contaminationBloom(corpus, bench, 0.5)
+    assert(bloom.orderBy("doc_id").collect().toSeq === exact)
+    // the probe must be the Catalyst might_contain predicate, not a UDF
+    val plan = bloom.queryExecution.executedPlan.toString
+    assert(plan.contains("might_contain"), "bloom probe missing from plan")
+    assert(!plan.contains("UDF"), "bloom probe must not be a row UDF")
+    // sanity on the primitive itself: built bits answer membership with
+    // no false negatives
+    val keys = spark.range(0, 1000).toDF("h")
+    val bits = graft.functions.Bloom.build(keys, "h", 1000)
+    val present = keys.filter(graft.functions.Bloom.mightContain(bits, col("h"))).count()
+    assert(present === 1000L, "bloom filters never have false negatives")
+  }
+
   test("dupClusters merges transitively and picks min doc_id as canonical") {
     val allDocs = spark.range(1, 8).toDF("doc_id")
     // chain 1-2-3 (transitive), pair 5-6, singletons 4 and 7
