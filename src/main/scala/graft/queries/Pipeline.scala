@@ -1211,6 +1211,42 @@ object Pipeline {
           .orderBy("doc_id")
       },
       Some(decontamOracle)),
+
+    // ---- distribution drift: two-sample KS per language vs 'en' ---------
+    //
+    // KS statistic of the n_chars distribution for every non-en language
+    // against the en baseline — the new-source acceptance check. One
+    // (group, value) count pass; ECDFs run over the DISTINCT-value frame
+    // (here: |distinct lengths|), so at 100 TB continuous values must be
+    // pre-binned first (the q_ts_psi shape) to bound that frame.
+    Q("q_pl_ks_drift",
+      (s, dir) =>
+        graft.pipeline.Drift.ksTest(
+          Tables.documents(s, dir), "lang", "n_chars", baseline = "en")
+          .orderBy("grp"),
+      Some("""WITH base AS (
+             |  SELECT lang AS g, CAST(n_chars AS DOUBLE) AS v FROM documents),
+             |pd AS (SELECT DISTINCT g AS pair FROM base WHERE g <> 'en'),
+             |tagged AS (
+             |  SELECT g AS pair, 0 AS is_base, v FROM base WHERE g <> 'en'
+             |  UNION ALL
+             |  SELECT pair, 1, v FROM base CROSS JOIN pd WHERE g = 'en'),
+             |pv AS (
+             |  SELECT pair, v,
+             |         sum(CASE WHEN is_base = 1 THEN 1 ELSE 0 END) AS nb,
+             |         sum(CASE WHEN is_base = 0 THEN 1 ELSE 0 END) AS nx
+             |  FROM tagged GROUP BY 1, 2),
+             |cum AS (
+             |  SELECT pair, v, sum(nb) OVER w AS cb, sum(nx) OVER w AS cx
+             |  FROM pv
+             |  WINDOW w AS (PARTITION BY pair ORDER BY v ROWS UNBOUNDED PRECEDING)),
+             |tot AS (SELECT pair, sum(nb) AS tb, sum(nx) AS tx FROM pv GROUP BY 1)
+             |SELECT cum.pair AS grp,
+             |       CAST(max(tb) AS BIGINT) AS n_base,
+             |       CAST(max(tx) AS BIGINT) AS n_grp,
+             |       floor(max(abs(cb * 1.0 / tb - cx * 1.0 / tx)) * 1e4 + 0.5) / 1e4 AS ks
+             |FROM cum JOIN tot ON cum.pair = tot.pair
+             |GROUP BY 1 ORDER BY grp""".stripMargin)),
   ) ++ rawTail
 
   private val decontamOracle =
