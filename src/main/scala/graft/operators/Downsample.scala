@@ -36,6 +36,62 @@ object Downsample {
         col("__p.t").as(timeCol), col("__p.v").as(valueCol)): _*)
   }
 
+  /** LTTB-style perceptual downsampling (Steinarsson's
+    * largest-triangle-three-buckets), parallel bucket-anchor variant: one
+    * representative point per (keys, bucket) — the point maximizing the
+    * triangle area against the NEIGHBOR BUCKETS' anchor points. Canonical
+    * LTTB anchors on the previously *selected* point, a sequential
+    * dependency that cannot fan out; this variant anchors on each
+    * neighbor bucket's first point (exact values, no averaged anchors),
+    * which keeps the selection embarrassingly parallel AND bit-exact
+    * across engines — an averaged anchor would carry engine-specific
+    * float-summation order into the argmax. Edge buckets (no neighbor on
+    * one side) are not emitted; compose with [[m4]]'s first/last when the
+    * boundary points matter.
+    *
+    * Ties (equal area) break on (time, tie-break cols) ascending, so the
+    * result is deterministic under shuffle reordering.
+    *
+    * Shape: one bounded per-bucket window (anchor pick), one
+    * bucket-frame lag/lead window, one equi-join of points to their
+    * bucket's anchor triple, one per-bucket argmax window — every shuffle
+    * keyed on (keys, bucket) or (keys); nothing whole-series, no
+    * all-pairs.
+    */
+  def lttb(df: DataFrame, step: Long, keys: Seq[String] = Seq("series"),
+      timeCol: String = "time", valueCol: String = "value",
+      tieCols: Seq[String] = Nil): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val kc = keys.map(col)
+    val t = col(timeCol).cast("long")
+    val ties = tieCols.map(col)
+    val pts = df.select(kc ++ Seq((t - pmod(t, lit(step))).as("bucket"),
+      t.as("__t"), col(valueCol).cast("double").as("__v")) ++ ties: _*)
+    val wIn = Window.partitionBy(kc :+ col("bucket"): _*)
+      .orderBy(col("__t") +: ties: _*)
+    val anchors = pts.withColumn("__rn", row_number().over(wIn))
+      .filter(col("__rn") === 1)
+      .select(kc ++ Seq(col("bucket"), col("__t").as("at"), col("__v").as("av")): _*)
+    val wB = Window.partitionBy(kc: _*).orderBy(col("bucket"))
+    val tri = anchors
+      .withColumn("pt", lag(col("at"), 1).over(wB))
+      .withColumn("pv", lag(col("av"), 1).over(wB))
+      .withColumn("nt", lead(col("at"), 1).over(wB))
+      .withColumn("nv", lead(col("av"), 1).over(wB))
+      .filter(col("pt").isNotNull && col("nt").isNotNull)
+      .select(kc ++ Seq(col("bucket"), col("pt"), col("pv"), col("nt"), col("nv")): _*)
+    val cand = pts.join(tri, keys :+ "bucket")
+      .withColumn("__area", abs(
+        (col("pt") - col("nt")) * (col("__v") - col("pv")) -
+          (col("pt") - col("__t")) * (col("nv") - col("pv"))))
+    val wSel = Window.partitionBy(kc :+ col("bucket"): _*)
+      .orderBy(col("__area").desc +: col("__t") +: ties: _*)
+    cand.withColumn("__rn", row_number().over(wSel)).filter(col("__rn") === 1)
+      .select(kc ++ Seq(col("bucket"), col("__t").as(timeCol),
+        col("__v").as(valueCol),
+        (floor(col("__area") * 1e4 + 0.5) / 1e4).as("area")): _*)
+  }
+
   /** SAX symbolization (Lin et al.): per (keys, frame of `frameSecs`),
     * PAA over `step`-second buckets → per-frame z-normalization → a
     * 4-symbol word over the N(0,1) quartile breakpoints

@@ -631,6 +631,40 @@ object TimeSeries {
               |WHERE ra = 1 OR rd = 1 OR va = 1 OR vd = 1
               |ORDER BY series, bucket, time, value""".stripMargin)),
 
+    // LTTB perceptual downsampling (parallel bucket-anchor variant): one
+    // max-triangle-area point per (series, 3h bucket) against the
+    // neighbor buckets' first-point anchors; edge buckets not emitted
+    // (compose with M4 for boundaries). Exact arithmetic on original
+    // doubles — no averaged anchors — so the oracle replays it bit-for-bit.
+    Q("q_ts_lttb",
+      (s, dir) => graft.operators.Downsample.lttb(
+          ev(s, dir).filter(col("time") >= T0 && col("time") < T1),
+          step = 10800, keys = Seq("series"), tieCols = Seq("event_id"))
+        .orderBy("series", "bucket"),
+      Some(s"""$svSql,
+              |p AS (SELECT series, time - (time % 10800) AS bucket, time, value, event_id
+              |      FROM sv WHERE time >= $T0 AND time < $T1),
+              |a AS (SELECT series, bucket, time AS at, value AS av,
+              |        row_number() OVER (PARTITION BY series, bucket
+              |                           ORDER BY time, event_id) AS rn
+              |      FROM p),
+              |a1 AS (SELECT series, bucket, at, av FROM a WHERE rn = 1),
+              |tri AS (SELECT series, bucket,
+              |          lag(at) OVER w AS pt, lag(av) OVER w AS pv,
+              |          lead(at) OVER w AS nt, lead(av) OVER w AS nv
+              |        FROM a1 WINDOW w AS (PARTITION BY series ORDER BY bucket)),
+              |cand AS (
+              |  SELECT p.series, p.bucket, p.time, p.value, p.event_id,
+              |         abs((pt - nt) * (value - pv) - (pt - time) * (nv - pv)) AS area
+              |  FROM p JOIN tri ON p.series = tri.series AND p.bucket = tri.bucket
+              |  WHERE pt IS NOT NULL AND nt IS NOT NULL),
+              |sel AS (SELECT *, row_number() OVER (PARTITION BY series, bucket
+              |                                     ORDER BY area DESC, time, event_id) AS rn
+              |        FROM cand)
+              |SELECT series, bucket, time, value,
+              |       floor(area * 1e4 + 0.5) / 1e4 AS area
+              |FROM sel WHERE rn = 1 ORDER BY series, bucket""".stripMargin)),
+
     // As-of join: each click picks up the latest same-tag purchase at or
     // before it. Right side pre-aggregated to unique (tag_user, time) —
     // max(value), no fp arithmetic, so no rounding needed anywhere.
