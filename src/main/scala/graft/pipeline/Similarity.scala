@@ -198,6 +198,32 @@ object Similarity {
         (floor(col("dcg") / idcg * 1e4 + 0.5) / 1e4).as("ndcg"))
   }
 
+  /** Matryoshka truncation eval: recall@k of brute-force retrieval in the
+    * first-`dims` prefix subspace against full-dimension retrieval — the
+    * acceptance check before serving MRL-style truncated embeddings (store
+    * 4× fewer floats if prefix recall holds). Output per query:
+    * (q_id, n_hit, recall), recall = |prefix top-k ∩ full top-k| / k.
+    *
+    * Shape: two broadcast-query scans (one over the prefix slice — a
+    * narrow projection riding the same vector read — one full), each
+    * map-side pruned by the top-k window, then a k-row-per-query
+    * intersection join. Never more than n·|queries| scored rows, and the
+    * prefix pass reads no extra bytes (`slice` on the in-memory array).
+    */
+  def matryoshkaEval(corpus: DataFrame, nQueries: Int, k: Int, dims: Int): DataFrame = {
+    val trunc = corpus.withColumn("embedding", slice(col("embedding"), 1, dims))
+    val full = bruteForceTopK(corpus, corpus.filter(col("vec_id") < nQueries), k)
+      .select(col("q_id"), col("vec_id"))
+    val pre = bruteForceTopK(trunc, trunc.filter(col("vec_id") < nQueries), k)
+      .select(col("q_id"), col("vec_id"))
+    val hits = pre.join(full, Seq("q_id", "vec_id")).groupBy("q_id")
+      .agg(count(lit(1)).as("n_hit"))
+    full.select("q_id").distinct()
+      .join(hits, Seq("q_id"), "left")
+      .select(col("q_id"), coalesce(col("n_hit"), lit(0L)).as("n_hit"),
+        (floor(coalesce(col("n_hit"), lit(0L)) / k.toDouble * 1e4 + 0.5) / 1e4).as("recall"))
+  }
+
   /** Deterministic pseudo-random hyperplanes (no RNG dependency: public
     * Knuth multiplicative-hash constants).
     */

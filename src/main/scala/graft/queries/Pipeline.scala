@@ -1854,6 +1854,36 @@ object Pipeline {
               |           (x, y) -> x + y) * 1e4 + 0.5) / 1e4 AS ndcg
               |FROM ag JOIN rt USING (q_id) ORDER BY q_id""".stripMargin)),
 
+    // Matryoshka truncation eval: recall@5 of 16-dim-prefix retrieval vs
+    // the full 64-dim space — the check before serving truncated
+    // embeddings. Both retrievals exact, so the oracle replays both and
+    // intersects.
+    Q("q_ann_matryoshka",
+      (s, dir) => Similarity.matryoshkaEval(Tables.embeddings(s, dir),
+        nQueries = 10, k = 5, dims = 16).orderBy("q_id"),
+      Some(s"""WITH $embCte,
+              |tr AS (SELECT vec_id, v[1:16] AS v FROM e),
+              |qf AS (SELECT vec_id AS q_id, v AS qv FROM e WHERE vec_id < 10),
+              |qt AS (SELECT vec_id AS q_id, v AS qv FROM tr WHERE vec_id < 10),
+              |topf AS (
+              |  SELECT q_id, vec_id,
+              |         row_number() OVER (PARTITION BY q_id
+              |             ORDER BY ${cosSql("qv", "v")} DESC, vec_id) AS rank
+              |  FROM e CROSS JOIN qf WHERE vec_id != q_id),
+              |topt AS (
+              |  SELECT q_id, vec_id,
+              |         row_number() OVER (PARTITION BY q_id
+              |             ORDER BY ${cosSql("qv", "v")} DESC, vec_id) AS rank
+              |  FROM tr CROSS JOIN qt WHERE vec_id != q_id),
+              |f5 AS (SELECT q_id, vec_id FROM topf WHERE rank <= 5),
+              |t5 AS (SELECT q_id, vec_id FROM topt WHERE rank <= 5),
+              |hits AS (SELECT q_id, count(*) AS n_hit
+              |         FROM t5 JOIN f5 USING (q_id, vec_id) GROUP BY 1)
+              |SELECT q.q_id, coalesce(n_hit, 0) AS n_hit,
+              |       floor(coalesce(n_hit, 0) / 5.0 * 1e4 + 0.5) / 1e4 AS recall
+              |FROM (SELECT DISTINCT q_id FROM f5) q
+              |LEFT JOIN hits USING (q_id) ORDER BY q_id""".stripMargin)),
+
     // Index-backed mutual NN — the corpus-scale route for q_ann_mutual_nn:
     // top-1 per vector via the Hamming candidate scan + exact rerank
     // (hammingTopK k=1, candMult=64), then the unchanged mutuality join.
