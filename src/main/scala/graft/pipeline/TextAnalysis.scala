@@ -687,4 +687,48 @@ object TextAnalysis {
       .filter(col("cnt") * k > col("total"))
       .select(col("word"), col("cnt"), col("total"))
   }
+
+  /** Flesch reading-ease per doc from cheap whole-text counts: words
+    * (whitespace), sentences (terminal-punctuation runs, min 1),
+    * syllables approximated as vowel-group runs — the standard regex
+    * approximation (under-counts "rhythm"-class words, over-counts
+    * diphthong-splits; fine for corpus-level quality binning, not for
+    * per-document grading). Pure per-row projection — no shuffle, scales
+    * with the scan.
+    */
+  def readability(docs: DataFrame): DataFrame = {
+    val nWords = size(words(col("text"))).cast("long")
+    val nSent = greatest(lit(1L), regexp_count(col("text"), lit("[.!?]+")).cast("long"))
+    val nSyll = regexp_count(lower(col("text")), lit("[aeiouy]+")).cast("long")
+    docs.select(col("doc_id"), nWords.as("n_words"), nSent.as("n_sentences"),
+        nSyll.as("n_syllables"))
+      .withColumn("flesch",
+        when(col("n_words") === 0, lit(null).cast("double"))
+          .otherwise(floor((lit(206.835)
+            - lit(1.015) * (col("n_words") / col("n_sentences"))
+            - lit(84.6) * (col("n_syllables") / col("n_words"))) * 1e4 + 0.5) / 1e4))
+  }
+
+  /** Zipf rank-frequency fit per language: least-squares regression of
+    * ln(freq) on ln(rank) over the top-`topN` terms — slope ≈ −1 is the
+    * Zipfian signature; a flat slope or low r² flags synthetic/boilerplate
+    * text (a corpus-quality screen). One vocab aggregate (partial+final),
+    * one rank window over the VOCAB frame (not the corpus), one
+    * regression aggregate over ≤ topN rows per language.
+    */
+  def zipfFit(docs: DataFrame, topN: Int = 100): DataFrame = {
+    val tf = spread(docs)
+      .select(col("lang"), explode(words(col("text"))).as("word"))
+      .filter(col("word") =!= "")
+      .groupBy("lang", "word").agg(count(lit(1)).as("n"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("lang")).orderBy(col("n").desc, col("word"))
+    tf.withColumn("rank", row_number().over(w)).filter(col("rank") <= topN)
+      .groupBy("lang")
+      .agg(
+        (floor(regr_slope(log(col("n")), log(col("rank"))) * 1e4 + 0.5) / 1e4).as("slope"),
+        (floor(regr_intercept(log(col("n")), log(col("rank"))) * 1e4 + 0.5) / 1e4).as("intercept"),
+        (floor(regr_r2(log(col("n")), log(col("rank"))) * 1e4 + 0.5) / 1e4).as("r2"),
+        count(lit(1)).as("n_terms"))
+  }
 }

@@ -1212,6 +1212,46 @@ object Pipeline {
       },
       Some(decontamOracle)),
 
+    // Flesch reading-ease from regex counts (vowel-run syllable
+    // approximation) — corpus-quality binning, pure projection.
+    Q("q_pl_readability",
+      (s, dir) => TextAnalysis.readability(Tables.documents(s, dir))
+        .orderBy("doc_id"),
+      Some("""SELECT doc_id,
+             |  CAST(len(string_split_regex(lower(text), '\s+')) AS BIGINT) AS n_words,
+             |  greatest(1, CAST(len(regexp_extract_all(text, '[.!?]+')) AS BIGINT)) AS n_sentences,
+             |  CAST(len(regexp_extract_all(lower(text), '[aeiouy]+')) AS BIGINT) AS n_syllables,
+             |  CASE WHEN len(string_split_regex(lower(text), '\s+')) = 0 THEN NULL
+             |       ELSE floor((206.835
+             |         - 1.015 * (len(string_split_regex(lower(text), '\s+'))
+             |                    / greatest(1, len(regexp_extract_all(text, '[.!?]+'))))
+             |         - 84.6 * (len(regexp_extract_all(lower(text), '[aeiouy]+'))
+             |                   / len(string_split_regex(lower(text), '\s+')))) * 1e4 + 0.5) / 1e4
+             |  END AS flesch
+             |FROM documents ORDER BY doc_id""".stripMargin)),
+
+    // Zipf rank-frequency fit per language: regression over the top-100
+    // vocab terms — slope ≈ −1 is natural text; the corpus-quality screen.
+    Q("q_pl_zipf",
+      (s, dir) => TextAnalysis.zipfFit(Tables.documents(s, dir))
+        .orderBy("lang"),
+      Some("""WITH tf AS (
+             |  SELECT lang, word, count(*) AS n
+             |  FROM (SELECT lang, unnest(string_split_regex(lower(text), '\s+')) AS word
+             |        FROM documents)
+             |  WHERE word <> '' GROUP BY 1, 2),
+             |ranked AS (
+             |  SELECT *, row_number() OVER (PARTITION BY lang
+             |                               ORDER BY n DESC, word) AS rank
+             |  FROM tf)
+             |SELECT lang,
+             |       floor(regr_slope(ln(n), ln(rank)) * 1e4 + 0.5) / 1e4 AS slope,
+             |       floor(regr_intercept(ln(n), ln(rank)) * 1e4 + 0.5) / 1e4 AS intercept,
+             |       floor(regr_r2(ln(n), ln(rank)) * 1e4 + 0.5) / 1e4 AS r2,
+             |       count(*) AS n_terms
+             |FROM ranked WHERE rank <= 100
+             |GROUP BY 1 ORDER BY lang""".stripMargin)),
+
     // ---- distribution drift: two-sample KS per language vs 'en' ---------
     //
     // KS statistic of the n_chars distribution for every non-en language
