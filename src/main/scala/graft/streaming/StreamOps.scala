@@ -27,6 +27,10 @@ object StreamOps {
   final case class FunnelState(pending: Seq[(Long, Int)], times: Seq[Long],
       lastSeen: Long)
   final case class FunnelProgress(user_id: Long, stage: Int, times: Seq[Long])
+  final case class TransState(pending: Seq[(Long, Long, String)],
+      last: Option[(Long, String)], lastSeen: Long)
+  final case class TransitionEdge(user_id: Long, src: String, dst: String,
+      t_src: Long, t_dst: Long)
   final case class BucketZ(series: String, bucket: Long, v: Double, mu: Double,
       sigma: Double, z: Option[Double], anomaly: Boolean)
   final case class DayOverDay(series: String, bucket: Long, v: Double,
@@ -683,6 +687,72 @@ object StreamOps {
             state.remove(); out
           } else {
             state.update(FunnelState(pending, times, lastSeen))
+            val due = (pending.map(_._1 + 1) :+ (lastSeen + retentionSecs))
+              .filter(_ > wm)
+            if (due.nonEmpty) state.setTimeoutTimestamp(due.min * 1000L)
+            out
+          }
+      }
+  }
+
+  /** Streaming next-event transitions — the live twin of
+    * `q_ev_transitions`' pair stage: one (src → dst) edge per consecutive
+    * event pair in each user's watermark-confirmed, event-time-ordered
+    * stream. The downstream count/probability rollup is a plain windowed
+    * aggregation over the emitted edges; the hard part — restoring
+    * per-user event ORDER from out-of-order micro-batches — is what this
+    * operator owns.
+    *
+    * Mechanics (the [[funnel]] confirmation pattern): state buffers each
+    * user's pending events; an event is *confirmed* — folded into the
+    * edge stream, in (time, event_id) order, the batch twin's exact sort
+    * key — only once the watermark passes its timestamp, so a straggler
+    * inside the delay can still land between two already-buffered events.
+    * State carries the last CONFIRMED event as the next edge's source; a
+    * timeout at the earliest pending confirmation time (or
+    * `lastSeen + retentionSecs`, which evicts the idle user) keeps
+    * progress independent of new arrivals.
+    *
+    * Scale shape: state per user = last event + the ≤ watermark-delay
+    * pending buffer, sharded on user_id — the sessionize boundedness
+    * stance; output is edge-at-a-time, nothing global.
+    */
+  def transitions(
+      spark: SparkSession,
+      events: DataFrame,
+      watermarkDelay: String = "10 minutes",
+      retentionSecs: Long = 30 * 86400L): Dataset[TransitionEdge] = {
+    import spark.implicits._
+    events.select(col("user_id").cast("long"), col("event_type"),
+        col("time").cast("long"), col("event_id").cast("long"))
+      .withColumn("event_time", col("time").cast("timestamp"))
+      .withWatermark("event_time", watermarkDelay)
+      .as[(Long, String, Long, Long, java.sql.Timestamp)]
+      .groupByKey(_._1)
+      .flatMapGroupsWithState[TransState, TransitionEdge](
+        OutputMode.Append, GroupStateTimeout.EventTimeTimeout) {
+        (user: Long, it: Iterator[(Long, String, Long, Long, java.sql.Timestamp)],
+            state: GroupState[TransState]) =>
+          val wm = state.getCurrentWatermarkMs() / 1000L
+          val st = state.getOption.getOrElse(TransState(Nil, None, 0L))
+          var pending = st.pending ++ it.map(e => (e._3, e._4, e._2))
+          val lastSeen = (st.lastSeen +: pending.map(_._1)).max
+          val (ready, wait) = pending.partition(_._1 <= wm)
+          pending = wait
+          var last = st.last
+          val edges = Seq.newBuilder[TransitionEdge]
+          // (time, event_id) ascending — the batch twin's sort key
+          ready.sortBy(e => (e._1, e._2)).foreach { case (t, _, et) =>
+            last.foreach { case (pt, pet) =>
+              edges += TransitionEdge(user, pet, et, pt, t)
+            }
+            last = Some((t, et))
+          }
+          val out = edges.result().iterator
+          if (pending.isEmpty && wm >= lastSeen + retentionSecs) {
+            state.remove(); out
+          } else {
+            state.update(TransState(pending, last, lastSeen))
             val due = (pending.map(_._1 + 1) :+ (lastSeen + retentionSecs))
               .filter(_ > wm)
             if (due.nonEmpty) state.setTimeoutTimestamp(due.min * 1000L)

@@ -743,4 +743,46 @@ class StreamingSpec extends AnyFunSuite {
     assert(run("fn_stagger", evs.grouped(3).toSeq) === want)
     assert(run("fn_onebatch", Seq(evs)) === want)
   }
+
+  test("streaming transitions match the batch lead-pair stage") {
+    import spark.implicits._
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    // (user_id, event_type, time, event_id) — user 1 has a same-second
+    // pair (ordered by event_id, the batch sort key) and an out-of-order
+    // arrival (t=150 lands after t=200 was ingested but within the
+    // watermark delay, so the edge order must still be by event time);
+    // user 2 has a single event → no edges.
+    val evs = Seq(
+      (1L, "signup", 100L, 1L), (1L, "click", 100L, 2L),
+      (1L, "purchase", 200L, 4L), (1L, "click", 150L, 3L),
+      (2L, "signup", 120L, 5L))
+    def batchTwin: Set[(Long, String, String, Long, Long)] =
+      evs.groupBy(_._1).flatMap { case (u, es) =>
+        es.sortBy(e => (e._3, e._4)).sliding(2).collect {
+          case Seq(a, b) => (u, a._2, b._2, a._3, b._3)
+        }
+      }.toSet
+    def run(tag: String, batches: Seq[Seq[(Long, String, Long, Long)]]) = {
+      val ms = MemoryStream[(Long, String, Long, Long)]
+      val f = StreamOps.transitions(spark,
+        ms.toDF().toDF("user_id", "event_type", "time", "event_id"),
+        watermarkDelay = "60 seconds")
+      assert(f.isStreaming)
+      val q = f.writeStream.outputMode("append").format("memory").queryName(tag).start()
+      try {
+        batches.foreach { b => ms.addData(b); q.processAllAvailable() }
+        ms.addData(Seq((999L, "signup", 100000L, 999L))); q.processAllAvailable()
+        spark.sql(s"select user_id, src, dst, t_src, t_dst from $tag where user_id <> 999")
+          .as[(Long, String, String, Long, Long)].collect().toSet
+      } finally q.stop()
+    }
+    val want = batchTwin
+    assert(want === Set(
+      (1L, "signup", "click", 100L, 100L),
+      (1L, "click", "click", 100L, 150L),
+      (1L, "click", "purchase", 150L, 200L)))
+    assert(run("tr_stagger", evs.grouped(2).toSeq) === want)
+    assert(run("tr_onebatch", Seq(evs)) === want)
+  }
 }
