@@ -523,7 +523,11 @@ object Pipeline {
     "q_ann_mutual_nn_idx", "q_pl_centrality_knn", "q_ann_eval",
     // round-9: sketch/blocked/at-rest dedup additions
     "q_pl_heavy_hitters", "q_pl_edit_dist", "q_pl_incr_dedup",
-    "q_pl_communities", "q_pl_bpe", "q_pl_bpe_apply")
+    "q_pl_communities", "q_pl_bpe", "q_pl_bpe_apply",
+    // round-9 continuation: drift/quality screens, bloom decontam,
+    // Matryoshka eval
+    "q_pl_decontam_bloom", "q_pl_ks_drift", "q_pl_zipf", "q_pl_readability",
+    "q_ann_matryoshka")
 
   def qs: Seq[Q] = {
     val all = raw.map(q => if (ExtraBench(q.name)) q.copy(benchExtra = true) else q)

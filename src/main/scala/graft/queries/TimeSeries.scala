@@ -663,7 +663,8 @@ object TimeSeries {
               |        FROM cand)
               |SELECT series, bucket, time, value,
               |       floor(area * 1e4 + 0.5) / 1e4 AS area
-              |FROM sel WHERE rn = 1 ORDER BY series, bucket""".stripMargin)),
+              |FROM sel WHERE rn = 1 ORDER BY series, bucket""".stripMargin),
+      benchExtra = true),
 
     // As-of join: each click picks up the latest same-tag purchase at or
     // before it. Right side pre-aggregated to unique (tag_user, time) —
@@ -1529,7 +1530,8 @@ object TimeSeries {
              |        WHERE dst IS NOT NULL GROUP BY 1, 2),
              |tot AS (SELECT src, sum(n) AS tot FROM cnt GROUP BY 1)
              |SELECT src, dst, n, floor(n / tot * 1e4 + 0.5) / 1e4 AS p
-             |FROM cnt JOIN tot USING (src) ORDER BY src, dst""".stripMargin)),
+             |FROM cnt JOIN tot USING (src) ORDER BY src, dst""".stripMargin),
+      benchExtra = true),
 
     // ---- conversion attribution: first-touch vs last-touch ---------------
     //
@@ -1582,7 +1584,8 @@ object TimeSeries {
              |  SELECT last_ch, 0, 1 FROM p WHERE last_ch IS NOT NULL)
              |SELECT channel, CAST(sum(nf) AS BIGINT) AS n_first,
              |       CAST(sum(nl) AS BIGINT) AS n_last
-             |FROM credits GROUP BY 1 ORDER BY channel""".stripMargin)),
+             |FROM credits GROUP BY 1 ORDER BY channel""".stripMargin),
+      benchExtra = true),
 
     // ---- distribution drift: PSI between two days ------------------------
     //
@@ -1649,6 +1652,7 @@ object TimeSeries {
               |  GROUP BY 1, 2)
               |SELECT series,
               |       floor(sum((pa + 1e-4 - (pb + 1e-4)) * ln((pa + 1e-4) / (pb + 1e-4))) * 1e4 + 0.5) / 1e4 AS psi
-              |FROM frac GROUP BY 1 ORDER BY series""".stripMargin))
+              |FROM frac GROUP BY 1 ORDER BY series""".stripMargin),
+      benchExtra = true)
   )
 }
