@@ -580,6 +580,69 @@ object Relational {
              |       floor(covar_samp(l_quantity, l_discount) * 1e6 + 0.5) / 1e6 AS cov_s,
              |       floor(covar_pop(l_quantity, l_discount) * 1e6 + 0.5) / 1e6 AS cov_p,
              |       floor(stddev_samp(l_quantity) * 1e4 + 0.5) / 1e4 AS sd_qty
-             |FROM lineitem GROUP BY 1 ORDER BY l_returnflag""".stripMargin))
+             |FROM lineitem GROUP BY 1 ORDER BY l_returnflag""".stripMargin)),
+
+    // ---- Benford first-digit conformance --------------------------------
+    //
+    // First-significant-digit distribution of l_extendedprice vs Benford's
+    // law — the classic fabricated-data screen. The digit is taken from
+    // the STRING form (first nonzero character): both engines print the
+    // shortest decimal representation of the same double, whose leading
+    // digits are identical — a log10/pow10 float path could flip at
+    // power-of-ten boundaries. One digit-sized aggregate; chi² contribs
+    // per digit, expected share broadcast as a scalar subquery.
+    Q("q_dq_benford",
+      (s, dir) => {
+        val d = Tables.lineitem(s, dir)
+          .select(regexp_extract(col("l_extendedprice").cast("string"),
+            "[1-9]", 0).as("digit"))
+          .groupBy(col("digit")).agg(count(lit(1)).as("n"))
+        val tot = d.agg(sum(col("n")).as("total"))
+        d.crossJoin(broadcast(tot))
+          .select(col("digit"), col("n"),
+            (floor(col("total") * log(10.0, lit(1.0) + lit(1.0) /
+              col("digit").cast("double")) * 1e4 + 0.5) / 1e4).as("exp_n"))
+          .withColumn("contrib", floor(
+            pow(col("n") - col("exp_n"), 2) / col("exp_n") * 1e4 + 0.5) / 1e4)
+          .orderBy(col("digit"))
+      },
+      Some("""WITH d AS (
+             |  SELECT regexp_extract(CAST(l_extendedprice AS VARCHAR), '[1-9]') AS digit,
+             |         count(*) AS n
+             |  FROM lineitem GROUP BY 1),
+             |t AS (SELECT sum(n) AS total FROM d),
+             |e AS (
+             |  SELECT digit, n,
+             |         floor(total * log10(1.0 + 1.0 / CAST(digit AS DOUBLE)) * 1e4 + 0.5) / 1e4 AS exp_n
+             |  FROM d CROSS JOIN t)
+             |SELECT digit, n, exp_n,
+             |       floor(pow(n - exp_n, 2) / exp_n * 1e4 + 0.5) / 1e4 AS contrib
+             |FROM e ORDER BY digit""".stripMargin)),
+
+    // ---- window navigation: first/last/nth_value ------------------------
+    //
+    // Full-frame navigation per customer order history (o_orderkey order):
+    // first, last, and 2nd order price — the SQL:2011 navigation family
+    // on one shared unbounded frame (one WindowExec, one sort).
+    Q("q_window_nav",
+      (s, dir) => {
+        import org.apache.spark.sql.expressions.Window
+        val w = Window.partitionBy(col("o_custkey")).orderBy(col("o_orderkey"))
+          .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+        Tables.orders(s, dir).filter(col("o_custkey") < 200)
+          .select(col("o_custkey"), col("o_orderkey"), col("o_totalprice"),
+            first(col("o_totalprice")).over(w).as("first_price"),
+            last(col("o_totalprice")).over(w).as("last_price"),
+            nth_value(col("o_totalprice"), 2).over(w).as("second_price"))
+          .orderBy(col("o_custkey"), col("o_orderkey"))
+      },
+      Some("""SELECT o_custkey, o_orderkey, o_totalprice,
+             |       first_value(o_totalprice) OVER w AS first_price,
+             |       last_value(o_totalprice) OVER w AS last_price,
+             |       nth_value(o_totalprice, 2) OVER w AS second_price
+             |FROM orders WHERE o_custkey < 200
+             |WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderkey
+             |             ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
+             |ORDER BY o_custkey, o_orderkey""".stripMargin))
   )
 }

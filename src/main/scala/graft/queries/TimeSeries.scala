@@ -1587,6 +1587,89 @@ object TimeSeries {
              |FROM credits GROUP BY 1 ORDER BY channel""".stripMargin),
       benchExtra = true),
 
+    // ---- RFM segmentation ------------------------------------------------
+    //
+    // Recency/frequency/monetary quintile scoring per user over the
+    // canonical window — the classic customer-value segmentation. One
+    // user-keyed aggregate then three ntile windows over the USER frame
+    // (not the events); ties break on user_id so the quintile edges are
+    // deterministic under shuffle reordering. Segment = r·100 + f·10 + m.
+    Q("q_ev_rfm",
+      (s, dir) => {
+        val u = Tables.events(s, dir)
+          .select(col("user_id"), (col("ts") / 1000000000L).cast("long").as("tsec"),
+            col("value"))
+          .filter(col("tsec") >= T0 && col("tsec") < T1)
+          .groupBy(col("user_id"))
+          .agg((lit(T1) - max(col("tsec"))).as("recency"),
+            count(lit(1)).as("frequency"),
+            (floor(sum(col("value")) * 1e4 + 0.5) / 1e4).as("monetary"))
+        val rW = Window.orderBy(col("recency"), col("user_id"))
+        val fW = Window.orderBy(col("frequency").desc, col("user_id"))
+        val mW = Window.orderBy(col("monetary").desc, col("user_id"))
+        u.withColumn("r_score", ntile(5).over(rW).cast("long"))
+          .withColumn("f_score", ntile(5).over(fW).cast("long"))
+          .withColumn("m_score", ntile(5).over(mW).cast("long"))
+          .withColumn("segment",
+            col("r_score") * 100 + col("f_score") * 10 + col("m_score"))
+          .orderBy(col("user_id"))
+      },
+      Some(s"""WITH u AS (
+              |  SELECT user_id,
+              |         $T1 - max(epoch_ns(ts) // 1000000000) AS recency,
+              |         count(*) AS frequency,
+              |         floor(sum(value) * 1e4 + 0.5) / 1e4 AS monetary
+              |  FROM events
+              |  WHERE epoch_ns(ts) // 1000000000 >= $T0
+              |    AND epoch_ns(ts) // 1000000000 < $T1
+              |  GROUP BY 1)
+              |SELECT user_id, recency, frequency, monetary,
+              |       CAST(ntile(5) OVER (ORDER BY recency, user_id) AS BIGINT) AS r_score,
+              |       CAST(ntile(5) OVER (ORDER BY frequency DESC, user_id) AS BIGINT) AS f_score,
+              |       CAST(ntile(5) OVER (ORDER BY monetary DESC, user_id) AS BIGINT) AS m_score,
+              |       CAST(ntile(5) OVER (ORDER BY recency, user_id) AS BIGINT) * 100
+              |         + CAST(ntile(5) OVER (ORDER BY frequency DESC, user_id) AS BIGINT) * 10
+              |         + CAST(ntile(5) OVER (ORDER BY monetary DESC, user_id) AS BIGINT) AS segment
+              |FROM u ORDER BY user_id""".stripMargin)),
+
+    // ---- Theil–Sen robust trend slope ------------------------------------
+    //
+    // Median of pairwise slopes between hourly bucket averages per series
+    // — the outlier-robust alternative to least-squares `deriv`. Bucket
+    // averages are pre-rounded (1e-4, the SAX determinism stance) so the
+    // pair slopes are bit-identical across engines. The pair join is per
+    // series over the BUCKET frame (168 hours → ~14k pairs) — bounded by
+    // the rollup, never by raw points; at 100 TB the bucket rollup is the
+    // only data-sized pass.
+    Q("q_ts_theil_sen",
+      (s, dir) => {
+        val b = ev(s, dir).filter(col("time") >= T0 && col("time") < T1)
+          .groupBy(col("series"),
+            (col("time") - pmod(col("time"), lit(3600L))).as("bucket"))
+          .agg((floor(avg(col("value")) * 1e4 + 0.5) / 1e4).as("v"))
+        val a = b.select(col("series"), col("bucket").as("t1"), col("v").as("v1"))
+        val c = b.select(col("series"), col("bucket").as("t2"), col("v").as("v2"))
+        a.join(c, Seq("series")).filter(col("t2") > col("t1"))
+          .select(col("series"),
+            ((col("v2") - col("v1")) / (col("t2") - col("t1"))).as("slope"))
+          .groupBy(col("series"))
+          .agg(count(lit(1)).as("n_pairs"),
+            (floor(median(col("slope")) * 1e10 + 0.5) / 1e10).as("ts_slope"))
+          .orderBy(col("series"))
+      },
+      Some(s"""$svSql,
+              |b AS (
+              |  SELECT series, time - (time % 3600) AS bucket,
+              |         floor(avg(value) * 1e4 + 0.5) / 1e4 AS v
+              |  FROM sv WHERE time >= $T0 AND time < $T1
+              |  GROUP BY 1, 2),
+              |p AS (
+              |  SELECT a.series, (c.v - a.v) / (c.bucket - a.bucket) AS slope
+              |  FROM b a JOIN b c ON a.series = c.series AND c.bucket > a.bucket)
+              |SELECT series, count(*) AS n_pairs,
+              |       floor(median(slope) * 1e10 + 0.5) / 1e10 AS ts_slope
+              |FROM p GROUP BY 1 ORDER BY series""".stripMargin)),
+
     // ---- distribution drift: PSI between two days ------------------------
     //
     // Population Stability Index of per-series value distributions, day 3
