@@ -48,4 +48,43 @@ object Projection {
   def reduce(df: DataFrame, vecCol: String, dim: Int, outDim: Int,
       salt: String): DataFrame =
     df.withColumn(vecCol, project(col(vecCol), dim, outDim, salt))
+
+  /** Per-dimension standardization (whitening without rotation):
+    * z_i = (v_i − μ_i) / σ_i over the corpus — the cheap embedding
+    * pre-conditioner before cosine/quantization when dimensions have
+    * wildly different scales.
+    *
+    * Shape: one posexplode + (dim)-sized partial+final aggregate for the
+    * stats, then the transform rides the scan with the stats joined in as
+    * a BROADCAST dim-frame (dim rows) — the data-sized pass never
+    * shuffles. μ/σ are pre-rounded (1e-6) before application: the stats
+    * come from a parallel float sum whose partition order is
+    * engine-specific, and rounding pins the applied constants so a
+    * replaying engine (or a re-run with different parallelism) whitens
+    * identically — the SAX determinism stance. σ = 0 dims pass through
+    * as z = 0.
+    *
+    * Output: the input frame with `vecCol` replaced by the standardized
+    * array<double>.
+    */
+  def whiten(df: DataFrame, vecCol: String): DataFrame = {
+    val stats = df.select(posexplode(col(vecCol)).as(Seq("__d", "__x")))
+      .groupBy(col("__d"))
+      .agg((floor(avg(col("__x")) * 1e6 + 0.5) / 1e6).as("__mu"),
+        (floor(stddev_pop(col("__x")) * 1e6 + 0.5) / 1e6).as("__sd"))
+      // dim-order restored by the sorted struct collect (collect_list
+      // alone has no order contract)
+      .agg(sort_array(collect_list(
+        struct(col("__d"), col("__mu"), col("__sd")))).as("__st"))
+      .select(transform(col("__st"), s => s.getField("__mu")).as("__mus"),
+        transform(col("__st"), s => s.getField("__sd")).as("__sds"))
+    df.crossJoin(broadcast(stats))
+      .withColumn(vecCol,
+        zip_with(col(vecCol),
+          zip_with(col("__mus"), col("__sds"), (m, s) => struct(m.as("m"), s.as("s"))),
+          (x, ms) => when(ms.getField("s") > 0,
+            (x.cast("double") - ms.getField("m")) / ms.getField("s"))
+            .otherwise(lit(0.0))))
+      .drop("__mus", "__sds")
+  }
 }

@@ -1216,6 +1216,32 @@ object Pipeline {
       },
       Some(decontamOracle)),
 
+    // Per-dimension embedding standardization (whitening without
+    // rotation): μ/σ pre-rounded before application (the SAX determinism
+    // stance) so the oracle's replay applies identical constants; gate
+    // emits the first 4 standardized dims.
+    Q("q_pl_whiten",
+      (s, dir) => {
+        val w = graft.pipeline.Projection.whiten(Tables.embeddings(s, dir), "embedding")
+        w.select(col("vec_id") +: (1 to 4).map(i =>
+            (floor(element_at(col("embedding"), i) * 1e4 + 0.5) / 1e4).as(s"z$i")): _*)
+          .orderBy("vec_id")
+      },
+      Some(s"""WITH $embCte,
+              |st AS (
+              |  SELECT i,
+              |         floor(avg(v[i]) * 1e6 + 0.5) / 1e6 AS mu,
+              |         floor(stddev_pop(v[i]) * 1e6 + 0.5) / 1e6 AS sd
+              |  FROM e CROSS JOIN range(1, 65) t(i) GROUP BY 1)
+              |SELECT e.vec_id,
+              |       floor((CASE WHEN m1.sd > 0 THEN (v[1] - m1.mu) / m1.sd ELSE 0 END) * 1e4 + 0.5) / 1e4 AS z1,
+              |       floor((CASE WHEN m2.sd > 0 THEN (v[2] - m2.mu) / m2.sd ELSE 0 END) * 1e4 + 0.5) / 1e4 AS z2,
+              |       floor((CASE WHEN m3.sd > 0 THEN (v[3] - m3.mu) / m3.sd ELSE 0 END) * 1e4 + 0.5) / 1e4 AS z3,
+              |       floor((CASE WHEN m4.sd > 0 THEN (v[4] - m4.mu) / m4.sd ELSE 0 END) * 1e4 + 0.5) / 1e4 AS z4
+              |FROM e JOIN st m1 ON m1.i = 1 JOIN st m2 ON m2.i = 2
+              |       JOIN st m3 ON m3.i = 3 JOIN st m4 ON m4.i = 4
+              |ORDER BY vec_id""".stripMargin)),
+
     // Flesch reading-ease from regex counts (vowel-run syllable
     // approximation) — corpus-quality binning, pure projection.
     Q("q_pl_readability",
