@@ -582,6 +582,39 @@ object Relational {
              |       floor(stddev_samp(l_quantity) * 1e4 + 0.5) / 1e4 AS sd_qty
              |FROM lineitem GROUP BY 1 ORDER BY l_returnflag""".stripMargin)),
 
+    // ---- FULL OUTER join -------------------------------------------------
+    //
+    // Reconciliation shape: high-value customers (acctbal > 8000) full
+    // outer high-value orders (totalprice > 450000) per custkey — rows
+    // surviving on either side only, null-coalesced. Shuffle hash join on
+    // the key; a full outer can never broadcast (both sides must see
+    // unmatched rows), which is exactly why it's worth a gate.
+    Q("q_join_full_outer",
+      (s, dir) => {
+        val c = Tables.customer(s, dir).filter(col("c_acctbal") > 8000)
+          .groupBy(col("c_custkey")).agg(
+            (floor(max(col("c_acctbal")) * 1e4 + 0.5) / 1e4).as("acctbal"))
+        val o = Tables.orders(s, dir).filter(col("o_totalprice") > 450000)
+          .groupBy(col("o_custkey")).agg(count(lit(1)).as("n_big"),
+            (floor(sum(col("o_totalprice")) * 1e4 + 0.5) / 1e4).as("big_total"))
+        c.join(o, col("c_custkey") === col("o_custkey"), "full_outer")
+          .select(coalesce(col("c_custkey"), col("o_custkey")).as("custkey"),
+            col("acctbal"), coalesce(col("n_big"), lit(0L)).as("n_big"),
+            col("big_total"))
+          .orderBy(col("custkey"))
+      },
+      Some("""WITH c AS (
+             |  SELECT c_custkey, floor(max(c_acctbal) * 1e4 + 0.5) / 1e4 AS acctbal
+             |  FROM customer WHERE c_acctbal > 8000 GROUP BY 1),
+             |o AS (
+             |  SELECT o_custkey, count(*) AS n_big,
+             |         floor(sum(o_totalprice) * 1e4 + 0.5) / 1e4 AS big_total
+             |  FROM orders WHERE o_totalprice > 450000 GROUP BY 1)
+             |SELECT coalesce(c_custkey, o_custkey) AS custkey, acctbal,
+             |       coalesce(n_big, 0) AS n_big, big_total
+             |FROM c FULL OUTER JOIN o ON c_custkey = o_custkey
+             |ORDER BY custkey""".stripMargin)),
+
     // ---- Benford first-digit conformance --------------------------------
     //
     // First-significant-digit distribution of l_extendedprice vs Benford's
