@@ -87,4 +87,62 @@ object Projection {
             .otherwise(lit(0.0))))
       .drop("__mus", "__sds")
   }
+
+  /** Top principal component of the embedding corpus by power iteration —
+    * the variance-structure probe (is the embedding space collapsing to
+    * few directions?) and the first step of PCA compression.
+    *
+    * Shape: the only data-sized pass is the covariance build — an n·d²
+    * explode/self-join into a partial+final (i, j) average (at larger d,
+    * swap for a treeAggregate Gram accumulation: same d² driver state,
+    * one pass, no explode). Everything after runs on the d×d matrix:
+    * d² ≈ metadata, collected to the driver exactly like k-means'
+    * centroids, iterated there, result re-emitted as a literal frame.
+    *
+    * Cross-engine determinism (the k-means/BPE replay stance, with a
+    * twist): μ is pre-rounded 1e-6 and covariance entries 1e-8 — but the
+    * ITERATES are exact, not rounded. Rounding the iterates looks safer
+    * and is actually worse: grid-aligned inputs (1e-8 cov × 1e-9 x) make
+    * matvec sums land exactly ON .5 rounding boundaries, where engine
+    * summation order flips the floor (observed 2/64 flips). Instead both
+    * engines evaluate the SAME left-to-right fold (Scala `.sum` here,
+    * `list_reduce` over j-ordered lists in the oracle), which makes every
+    * iterate bit-identical with no rounding at all. Sign is
+    * canonicalized (flip if Σx < 0: power iteration converges to ±v).
+    *
+    * Output: (i 1-based, loading round 1e-6, eigval round 1e-6 —
+    * the Rayleigh quotient, repeated per row).
+    */
+  def pcaTop(df: DataFrame, vecCol: String, dim: Int, iters: Int = 5): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    val ex = df.select(col("vec_id"), posexplode(col(vecCol)).as(Seq("__p", "__x")))
+      .select(col("vec_id"), (col("__p") + 1).as("i"), col("__x").cast("double").as("x"))
+    val mu = ex.groupBy("i").agg((floor(avg(col("x")) * 1e6 + 0.5) / 1e6).as("mu"))
+    val cov = ex.join(ex.select(col("vec_id"), col("i").as("j"), col("x").as("y")), "vec_id")
+      .groupBy("i", "j").agg(avg(col("x") * col("y")).as("exy"))
+      .join(broadcast(mu), "i")
+      .join(broadcast(mu.select(col("i").as("j"), col("mu").as("muj"))), "j")
+      .select(col("i"), col("j"),
+        (floor((col("exy") - col("mu") * col("muj")) * 1e8 + 0.5) / 1e8).as("cv"))
+    val c = Array.ofDim[Double](dim, dim)
+    cov.select(col("i"), col("j"), col("cv")).collect() // d² rows — metadata-sized
+      .foreach(r => c(r.getAs[Int]("i") - 1)(r.getAs[Int]("j") - 1) = r.getAs[Double]("cv"))
+    // exact left-to-right folds — the oracle's list_reduce replays these
+    // bit-for-bit (see determinism note above)
+    def matvec(x: Array[Double]): Array[Double] =
+      Array.tabulate(dim)(i => (0 until dim).map(j => c(i)(j) * x(j)).sum)
+    var x = Array.fill(dim)(1.0 / math.sqrt(dim.toDouble))
+    for (_ <- 1 to iters) {
+      val y = matvec(x)
+      val nm = math.sqrt(y.map(v => v * v).sum)
+      x = y.map(v => v / nm)
+    }
+    val cx = matvec(x)
+    val eig = math.floor((0 until dim).map(i => x(i) * cx(i)).sum * 1e6 + 0.5) / 1e6
+    val s = if (x.sum < 0) -1.0 else 1.0
+    (1 to dim).map(i =>
+        (i.toLong, math.floor(x(i - 1) * s * 1e6 + 0.5) / 1e6, eig))
+      .toDF("i", "loading", "eigval")
+  }
 }

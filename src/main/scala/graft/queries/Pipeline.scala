@@ -1216,6 +1216,46 @@ object Pipeline {
       },
       Some(decontamOracle)),
 
+    // Top principal component by power iteration (5 rounds, deterministic
+    // rounded iterates — the k-means/BPE replay stance): the oracle
+    // rebuilds the rounded covariance and unrolls the same 5 matvec
+    // + normalize rounds.
+    Q("q_pl_pca",
+      (s, dir) => graft.pipeline.Projection.pcaTop(
+        Tables.embeddings(s, dir), "embedding", dim = 64).orderBy("i"),
+      Some {
+        // iterates are EXACT left-to-right list folds (no per-iterate
+        // rounding — see Projection.pcaTop's determinism note)
+        val matvec = "list_reduce([cvs[j] * xs[j] for j in range(1, 65)], (a, b) -> a + b)"
+        val iterCtes = (1 to 5).map { t =>
+          val prev = s"xl${t - 1}"
+          s"""yl$t AS (SELECT list(y ORDER BY i) AS ys FROM (
+             |  SELECT cvl.i, $matvec AS y FROM cvl, $prev)),
+             |xl$t AS (SELECT [ys[i] / sqrt(list_reduce([y * y for y in ys],
+             |    (a, b) -> a + b)) for i in range(1, 65)] AS xs FROM yl$t)""".stripMargin
+        }.mkString(",\n")
+        s"""WITH $embCte,
+           |ex AS (SELECT vec_id, i, v[i] AS x FROM e CROSS JOIN range(1, 65) t(i)),
+           |mu AS (SELECT i, floor(avg(x) * 1e6 + 0.5) / 1e6 AS mu FROM ex GROUP BY 1),
+           |cxy AS (SELECT a.i AS i, b.i AS j, avg(a.x * b.x) AS exy
+           |        FROM ex a JOIN ex b USING (vec_id) GROUP BY 1, 2),
+           |cov AS (SELECT cxy.i, cxy.j,
+           |               floor((exy - m1.mu * m2.mu) * 1e8 + 0.5) / 1e8 AS cv
+           |        FROM cxy JOIN mu m1 ON m1.i = cxy.i JOIN mu m2 ON m2.i = cxy.j),
+           |cvl AS (SELECT i, list(cv ORDER BY j) AS cvs FROM cov GROUP BY i),
+           |xl0 AS (SELECT [1.0 / sqrt(64) for j in range(1, 65)] AS xs),
+           |$iterCtes,
+           |cxl AS (SELECT list(y ORDER BY i) AS cxs FROM (
+           |  SELECT cvl.i, $matvec AS y FROM cvl, xl5)),
+           |ev AS (SELECT floor(list_reduce([xs[i] * cxs[i] for i in range(1, 65)],
+           |    (a, b) -> a + b) * 1e6 + 0.5) / 1e6 AS eigval FROM xl5, cxl),
+           |sgn AS (SELECT CASE WHEN list_reduce(xs, (a, b) -> a + b) < 0
+           |               THEN -1.0 ELSE 1.0 END AS s FROM xl5)
+           |SELECT CAST(i AS BIGINT) AS i,
+           |       floor(xs[i] * s * 1e6 + 0.5) / 1e6 AS loading, eigval
+           |FROM range(1, 65) t(i), xl5, ev, sgn ORDER BY i""".stripMargin
+      }),
+
     // Per-dimension embedding standardization (whitening without
     // rotation): μ/σ pre-rounded before application (the SAX determinism
     // stance) so the oracle's replay applies identical constants; gate
