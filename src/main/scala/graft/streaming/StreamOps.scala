@@ -31,6 +31,10 @@ object StreamOps {
       last: Option[(Long, String)], lastSeen: Long)
   final case class TransitionEdge(user_id: Long, src: String, dst: String,
       t_src: Long, t_dst: Long)
+  final case class PsiState(open: Map[Long, Map[Int, Long]],
+      closed: Map[Long, Map[Int, Long]])
+  final case class SeriesPsi(series: String, day: Long, psi: Double,
+      n_cur: Long, n_prev: Long)
   final case class BucketZ(series: String, bucket: Long, v: Double, mu: Double,
       sigma: Double, z: Option[Double], anomaly: Boolean)
   final case class DayOverDay(series: String, bucket: Long, v: Double,
@@ -537,6 +541,88 @@ object StreamOps {
             // earliest carry eviction — both strictly ahead of wm
             val due = (open.keys.map(_ + step) ++
               closed.keys.map(_ + offsetSecs + step)).min
+            state.setTimeoutTimestamp(due * 1000L)
+          }
+          out.result().iterator
+      }
+  }
+
+  /** Streaming day-over-day PSI — the live twin of `q_ts_psi`: when a
+    * day closes (watermark passes its end), its `bins`-bin value
+    * histogram is scored against the previous CLOSED day of the same
+    * series with the ε-smoothed Population Stability Index (ε = 1e-4,
+    * the batch gate's formula; orientation prev→current).
+    *
+    * One contract difference from the batch gate, inherent to streaming:
+    * bin bounds are CONFIGURED (`lo`/`hi`), not derived from the data —
+    * a live monitor cannot know the combined min/max of a day that
+    * hasn't finished; out-of-range values clamp to the edge bins. Feed
+    * the batch-derived bounds and the numbers coincide (StreamingSpec
+    * pins this).
+    *
+    * State per series = open-day histograms (≤ watermark-delay days ×
+    * `bins` counts) + closed-day histograms retained one pairing horizon
+    * (2 days) — constant, sharded on series; event-time timeout closes
+    * days and garbage-collects quiet series (the [[dayOverDay]]
+    * discipline).
+    */
+  def psiDayOverDay(
+      spark: SparkSession,
+      points: DataFrame,
+      lo: Double,
+      hi: Double,
+      bins: Int = 10,
+      daySecs: Long = 86400L,
+      watermarkDelay: String = "10 minutes"): Dataset[SeriesPsi] = {
+    import spark.implicits._
+    require(hi > lo && bins > 0, "psi needs hi > lo and positive bins")
+    points.select(col("series"), col("time").cast("long"), col("value").cast("double"))
+      .withColumn("event_time", col("time").cast("timestamp"))
+      .withWatermark("event_time", watermarkDelay)
+      .as[TimedPoint]
+      .groupByKey(_.series)
+      .flatMapGroupsWithState[PsiState, SeriesPsi](
+        OutputMode.Append, GroupStateTimeout.EventTimeTimeout) {
+        (series: String, it: Iterator[TimedPoint], state: GroupState[PsiState]) =>
+          val wm = state.getCurrentWatermarkMs() / 1000L
+          val st = state.getOption.getOrElse(PsiState(Map.empty, Map.empty))
+          var open = st.open
+          it.foreach { p =>
+            val d = p.time - math.floorMod(p.time, daySecs)
+            if (d + daySecs > wm || open.contains(d)) {
+              val bin = math.max(0, math.min(bins - 1,
+                math.floor((p.value - lo) / ((hi - lo) / bins)).toInt))
+              val h = open.getOrElse(d, Map.empty[Int, Long])
+              open += d -> (h + (bin -> (h.getOrElse(bin, 0L) + 1L)))
+            }
+          }
+          var closed = st.closed
+          val out = Seq.newBuilder[SeriesPsi]
+          open.keys.toSeq.sorted.foreach { d =>
+            if (d + daySecs <= wm) {
+              val h = open(d); open -= d
+              closed += d -> h
+              closed.get(d - daySecs).foreach { hp =>
+                val na = hp.values.sum.toDouble
+                val nb = h.values.sum.toDouble
+                val eps = 1e-4
+                val psi = (0 until bins).map { b =>
+                  val pa = hp.getOrElse(b, 0L) / na
+                  val pb = h.getOrElse(b, 0L) / nb
+                  (pa + eps - (pb + eps)) * math.log((pa + eps) / (pb + eps))
+                }.sum
+                out += SeriesPsi(series, d,
+                  math.floor(psi * 1e4 + 0.5) / 1e4, nb.toLong, na.toLong)
+              }
+            }
+          }
+          // retain a closed day only while the NEXT day can still close
+          closed = closed.filter { case (d, _) => wm < d + 2 * daySecs }
+          if (open.isEmpty && closed.isEmpty) state.remove()
+          else {
+            state.update(PsiState(open, closed))
+            val due = (open.keys.map(_ + daySecs) ++
+              closed.keys.map(_ + 2 * daySecs)).min
             state.setTimeoutTimestamp(due * 1000L)
           }
           out.result().iterator

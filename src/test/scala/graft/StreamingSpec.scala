@@ -744,6 +744,50 @@ class StreamingSpec extends AnyFunSuite {
     assert(run("fn_onebatch", Seq(evs)) === want)
   }
 
+  test("streaming day-over-day PSI matches the batch formula on shared bounds") {
+    import spark.implicits._
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val day = 86400L
+    // day 0: values spread low; day 1: shifted high — a real drift signal
+    val d0 = Seq(1.0, 2.0, 2.5, 3.0, 4.0, 4.5, 5.0, 6.0)
+    val d1 = Seq(5.0, 6.0, 6.5, 7.0, 8.0, 8.5, 9.0, 9.5)
+    // day offsets start at `day`, not 0: an epoch-0 event time is dropped
+    // by the stateful operator's late-row filter at the initial watermark
+    val evs = d0.zipWithIndex.map { case (v, i) => ("s1", day + i * 600L, v) } ++
+      d1.zipWithIndex.map { case (v, i) => ("s1", 2 * day + i * 600L, v) }
+    val (lo, hi) = (1.0, 9.5)
+    def expectedPsi: Double = {
+      def histo(vs: Seq[Double]) = vs.groupBy(v => math.max(0, math.min(9,
+        math.floor((v - lo) / ((hi - lo) / 10)).toInt))).view.mapValues(_.size.toLong).toMap
+      val (ha, hb) = (histo(d0), histo(d1))
+      val (na, nb) = (d0.size.toDouble, d1.size.toDouble)
+      val psi = (0 until 10).map { b =>
+        val pa = ha.getOrElse(b, 0L) / na
+        val pb = hb.getOrElse(b, 0L) / nb
+        (pa + 1e-4 - (pb + 1e-4)) * math.log((pa + 1e-4) / (pb + 1e-4))
+      }.sum
+      math.floor(psi * 1e4 + 0.5) / 1e4
+    }
+    def run(tag: String, batches: Seq[Seq[(String, Long, Double)]]) = {
+      val ms = MemoryStream[(String, Long, Double)]
+      val f = StreamOps.psiDayOverDay(spark,
+        ms.toDF().toDF("series", "time", "value"), lo, hi,
+        watermarkDelay = "10 minutes")
+      assert(f.isStreaming)
+      val q = f.writeStream.outputMode("append").format("memory").queryName(tag).start()
+      try {
+        batches.foreach { b => ms.addData(b); q.processAllAvailable() }
+        ms.addData(Seq(("wmpush", 10 * day, 0.0))); q.processAllAvailable()
+        spark.sql(s"select series, day, psi, n_cur, n_prev from $tag where series = 's1'")
+          .as[(String, Long, Double, Long, Long)].collect().toSet
+      } finally q.stop()
+    }
+    val want = Set(("s1", 2 * day, expectedPsi, 8L, 8L))
+    assert(run("psi_stagger", evs.grouped(5).toSeq) === want)
+    assert(run("psi_onebatch", Seq(evs)) === want)
+  }
+
   test("streaming transitions match the batch lead-pair stage") {
     import spark.implicits._
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
