@@ -451,4 +451,50 @@ class PlanSpec extends AnyFunSuite {
     assert("HashAggregate".r.findAllIn(p).size >= 6,
       "per-step MINs should pre-combine before their shuffles")
   }
+
+  test("bloom decontam probes inside codegen and verifies on a broadcast semi-join") {
+    val p = plan("q_pl_decontam_bloom")
+    assert(p.contains("might_contain"),
+      "bloom probe must be the Catalyst expression:\n" + p.take(1500))
+    assert(p.contains("LeftSemi"), "exact verify must be a semi-join")
+    assert(!p.toLowerCase.contains("batchevalpython") && !p.contains("UDF"),
+      "no row UDF in the probe path")
+  }
+
+  test("transitions/attribution: one user-keyed window pass, channel-sized aggregates") {
+    for (q <- Seq("q_ev_transitions", "q_ev_attribution")) {
+      val p = plan(q)
+      assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+        s"$q must stay equi-join/window only:\n" + p.take(1200))
+      // the user-history window partitions by user_id — never whole-table
+      assert(p.contains("user_id"), s"$q window must partition by user_id")
+    }
+  }
+
+  test("LTTB plans per-bucket windows — no whole-series window partition") {
+    val p = plan("q_ts_lttb")
+    // every Window partitions by at least (series); the argmax and anchor
+    // windows by (series, bucket) — nothing partitions by nothing
+    assert(!p.contains("Window [") || !p.contains("PartitionBy: []"),
+      "no unpartitioned window allowed:\n" + p.take(1200))
+    assert(!p.contains("CartesianProduct"), "anchor join must be equi-join")
+  }
+
+  test("KS drift: baseline replicates via broadcast, ECDF window keys on the pair") {
+    val p = plan("q_pl_ks_drift")
+    assert(p.contains("BroadcastExchange"),
+      "the group dimension must broadcast into the baseline replication:\n" + p.take(1200))
+    assert(!p.contains("CartesianProduct"),
+      "the replication is a broadcast nested-loop over a |groups|-row dim, never Cartesian")
+  }
+
+  test("whitening joins dim-sized stats as a broadcast — the data pass never shuffles") {
+    import org.apache.spark.sql.functions._
+    val w = graft.pipeline.Projection.whiten(
+      graft.core.Tables.embeddings(spark, sf), "embedding")
+    val p = w.queryExecution.executedPlan.toString
+    assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastExchange"),
+      "stats must broadcast:\n" + p.take(1200))
+    assert(!p.contains("SortMergeJoin"), "no data-sized shuffle join for stats")
+  }
 }
