@@ -210,6 +210,13 @@ object ScaleSmoke {
       // cloning) — only the one corpus pass that builds word counts
       // scales with mult
       timed("bpe")(TextAnalysis.bpeTrain(docs, 6)),
+      // round-9 continuation: drift/decontam/embedding-stats families
+      timed("ks_drift")(graft.pipeline.Drift.ksTest(docs, "lang", "n_chars", "en")),
+      timed("decontam_bloom")(graft.pipeline.Decontam.contaminationBloom(
+        docs.filter(col("doc_id") % 20 =!= 0),
+        docs.filter(col("doc_id") % 20 === 0), threshold = 0.5)),
+      timed("pca")(graft.pipeline.Projection.pcaTop(emb, "embedding", 64)),
+      timed("whiten")(graft.pipeline.Projection.whiten(emb, "embedding")),
       timed("ann_self_join") {
         // √n-rule cell count with FIXED nprobe — SCALE.md's sizing math
         // (candidates/query ≈ n·nprobe/nCells = √n·nprobe, total n^1.5).
