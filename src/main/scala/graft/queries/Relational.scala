@@ -652,6 +652,62 @@ object Relational {
              |       floor(pow(n - exp_n, 2) / exp_n * 1e4 + 0.5) / 1e4 AS contrib
              |FROM e ORDER BY digit""".stripMargin)),
 
+    // ---- calendar arithmetic --------------------------------------------
+    //
+    // date_trunc / add_months (end-of-month clamping) / datediff /
+    // last_day / quarter on the shipdate axis — pure row-level projection
+    // under the pinned UTC session zone, emitted as formatted strings so
+    // no engine's timestamp printing is in the hash path.
+    Q("q_date_arith",
+      (s, dir) =>
+        Tables.lineitem(s, dir).filter(col("l_orderkey") < 100)
+          .select(col("l_orderkey"), col("l_linenumber"),
+            date_format(col("l_shipdate"), "yyyy-MM-dd").as("ship"),
+            date_format(date_trunc("month", col("l_shipdate")), "yyyy-MM-dd").as("month_start"),
+            date_format(add_months(col("l_shipdate"), 3), "yyyy-MM-dd").as("plus3m"),
+            datediff(col("l_shipdate"), lit("1995-01-01").cast("date")).cast("long").as("days_since"),
+            date_format(last_day(col("l_shipdate")), "yyyy-MM-dd").as("eom"),
+            quarter(col("l_shipdate")).cast("long").as("qtr"))
+          .orderBy(col("l_orderkey"), col("l_linenumber")),
+      Some("""SELECT l_orderkey, l_linenumber,
+             |       strftime(l_shipdate, '%Y-%m-%d') AS ship,
+             |       strftime(date_trunc('month', l_shipdate), '%Y-%m-%d') AS month_start,
+             |       strftime(l_shipdate + INTERVAL 3 MONTH, '%Y-%m-%d') AS plus3m,
+             |       CAST(datediff('day', DATE '1995-01-01', l_shipdate) AS BIGINT) AS days_since,
+             |       strftime(last_day(l_shipdate), '%Y-%m-%d') AS eom,
+             |       CAST(quarter(l_shipdate) AS BIGINT) AS qtr
+             |FROM lineitem WHERE l_orderkey < 100
+             |ORDER BY l_orderkey, l_linenumber""".stripMargin)),
+
+    // ---- string scalar functions ----------------------------------------
+    //
+    // upper/lower/substr/replace/lpad/reverse/instr over customer names —
+    // the scalar string surface, row-level, scan-riding.
+    Q("q_string_fns",
+      (s, dir) =>
+        Tables.customer(s, dir).filter(col("c_custkey") < 200)
+          .select(col("c_custkey"),
+            upper(col("c_name")).as("up"),
+            lower(col("c_mktsegment")).as("lo"),
+            substring(col("c_name"), 10, 5).as("sub"),
+            regexp_replace(col("c_name"), lit("Customer"), lit("Cust")).as("repl"),
+            lpad(col("c_custkey").cast("string"), 8, "0").as("padded"),
+            reverse(col("c_name")).as("rev"),
+            length(col("c_name")).cast("long").as("len"),
+            instr(col("c_name"), "000").cast("long").as("pos"))
+          .orderBy(col("c_custkey")),
+      Some("""SELECT c_custkey,
+             |       upper(c_name) AS up,
+             |       lower(c_mktsegment) AS lo,
+             |       substr(c_name, 10, 5) AS sub,
+             |       replace(c_name, 'Customer', 'Cust') AS repl,
+             |       lpad(CAST(c_custkey AS VARCHAR), 8, '0') AS padded,
+             |       reverse(c_name) AS rev,
+             |       CAST(length(c_name) AS BIGINT) AS len,
+             |       CAST(strpos(c_name, '000') AS BIGINT) AS pos
+             |FROM customer WHERE c_custkey < 200
+             |ORDER BY c_custkey""".stripMargin)),
+
     // ---- window navigation: first/last/nth_value ------------------------
     //
     // Full-frame navigation per customer order history (o_orderkey order):
