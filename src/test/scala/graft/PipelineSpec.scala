@@ -410,6 +410,57 @@ class PipelineSpec extends AnyFunSuite {
     assert(present === 1000L, "bloom filters never have false negatives")
   }
 
+  test("KS statistic is bounded in [0,1] and exactly 0 for identical distributions") {
+    val r = graft.pipeline.Drift.ksTest(docs, "lang", "n_chars", "en")
+      .select("grp", "ks").as[(String, Double)].collect()
+    assert(r.nonEmpty && r.forall { case (_, ks) => ks >= 0.0 && ks <= 1.0 })
+    // two labels over the SAME values → ks = 0
+    val twin = docs.filter(col("lang") === "en").select(lit("a").as("g"), col("n_chars"))
+      .unionAll(docs.filter(col("lang") === "en").select(lit("b").as("g"), col("n_chars")))
+    val z = graft.pipeline.Drift.ksTest(twin, "g", "n_chars", "a")
+      .select("ks").as[Double].head()
+    assert(z === 0.0)
+  }
+
+  test("LTTB emits exactly one INPUT point per interior bucket") {
+    val pts = Seq(
+      ("s", 100L, 1.0), ("s", 200L, 9.0), ("s", 300L, 2.0),   // bucket 0
+      ("s", 1100L, 3.0), ("s", 1200L, -8.0), ("s", 1300L, 3.5), // bucket 1000
+      ("s", 2100L, 4.0), ("s", 2200L, 4.1)                    // bucket 2000
+    ).toDF("series", "time", "value")
+    val r = graft.operators.Downsample.lttb(pts, step = 1000L)
+      .select("series", "bucket", "time", "value")
+      .as[(String, Long, Long, Double)].collect()
+    // only the interior bucket (1000) has both neighbors
+    assert(r.map(_._2).toSeq === Seq(1000L))
+    // the selected point is an input point — and the spike, since the
+    // anchors are flat-ish
+    assert(r.head._3 === 1200L && r.head._4 === -8.0)
+  }
+
+  test("whitening standardizes every dimension (mean→0, std→1)") {
+    val w = graft.pipeline.Projection.whiten(emb, "embedding")
+    val z = w.select(posexplode(col("embedding")).as(Seq("d", "z")))
+      .groupBy("d").agg(avg(col("z")).as("m"), stddev_pop(col("z")).as("s"))
+      .as[(Int, Double, Double)].collect()
+    assert(z.length === 64)
+    assert(z.forall { case (_, m, s) => math.abs(m) < 1e-3 && math.abs(s - 1.0) < 1e-3 })
+  }
+
+  test("PCA top component: unit norm, positive eigenvalue dominating any single dim") {
+    val r = graft.pipeline.Projection.pcaTop(emb, "embedding", 64)
+      .select("loading", "eigval").as[(Double, Double)].collect()
+    assert(r.length === 64)
+    val eig = r.head._2
+    val norm = math.sqrt(r.map(x => x._1 * x._1).sum)
+    assert(math.abs(norm - 1.0) < 1e-3, s"loading norm $norm")
+    // top eigenvalue ≥ every single-dimension variance
+    val maxVar = emb.select(posexplode(col("embedding")).as(Seq("d", "x")))
+      .groupBy("d").agg(var_pop(col("x")).as("v"))
+      .agg(max(col("v"))).as[Double].head()
+    assert(eig > 0 && eig >= maxVar - 1e-4, s"eig $eig < maxVar $maxVar")
+  }
+
   test("dupClusters merges transitively and picks min doc_id as canonical") {
     val allDocs = spark.range(1, 8).toDF("doc_id")
     // chain 1-2-3 (transitive), pair 5-6, singletons 4 and 7
