@@ -145,6 +145,52 @@ object Maintenance {
   /** Drop hour partitions strictly older than `cutoffTs` (epoch seconds).
     * Pure directory delete — no data rewrite, constant-time per partition.
     */
+  /** Small-file compaction: re-layout every hour partition whose parquet
+    * files average under `targetBytes / 2` into
+    * `ceil(totalBytes / targetBytes)` files — the bin-packing maintenance
+    * pass that keeps scan task counts proportional to DATA, not to
+    * ingest-batch count (each streaming micro-batch appends its own
+    * files; a day of 1-minute triggers is 1 440 tiny files per hot hour,
+    * and at 1 000 executors that is 1 440 scan tasks per hour doing
+    * per-file open/footer work).
+    *
+    * Pure layout: no dedup (that is [[compact]]'s job), rows re-sorted
+    * (series_id, time) within each output file — the same order segment
+    * writes guarantee. Per-hour independent jobs with the same
+    * rewrite-then-rename swap as [[compactPartitions]]; a crash between
+    * rename steps leaves either the old or the new complete directory on
+    * atomic-rename filesystems.
+    *
+    * Returns (hour, files_before, files_after, bytes) per compacted hour;
+    * hours already at-or-under target density are untouched.
+    */
+  def compactSmallFiles(store: SeriesStore, targetBytes: Long): Seq[(Long, Int, Int, Long)] = {
+    require(targetBytes > 0, "targetBytes must be positive")
+    val segRoot = new java.io.File(store.root, "segments")
+    val hourDirs = Option(segRoot.listFiles()).getOrElse(Array.empty[java.io.File])
+      .filter(f => f.isDirectory && f.getName.startsWith("hour_bucket="))
+    hourDirs.toSeq.sortBy(_.getName).flatMap { hd =>
+      val files = Option(hd.listFiles()).getOrElse(Array.empty[java.io.File])
+        .filter(_.getName.endsWith(".parquet"))
+      val total = files.map(_.length).sum
+      val n = files.length
+      val want = math.max(1, math.ceil(total.toDouble / targetBytes).toInt)
+      if (n > want && total.toDouble / n < targetBytes / 2.0) {
+        val hour = hd.getName.stripPrefix("hour_bucket=").toLong
+        val packed = store.spark.read.schema(store.schema).parquet(hd.toString)
+          .coalesce(want)
+          .sortWithinPartitions(col("series_id"), col("time"))
+          .cache()
+        packed.count() // materialize before the overwrite
+        packed.write.mode(SaveMode.Overwrite).parquet(hd.toString + ".new")
+        deleteRecursively(hd)
+        new java.io.File(hd.toString + ".new").renameTo(hd)
+        store.spark.catalog.clearCache()
+        Some((hour, n, want, total))
+      } else None
+    }
+  }
+
   def applyRetention(store: SeriesStore, cutoffTs: Long): Seq[Long] = {
     val dropped = store.partitions().filter(h => h + 3599 < cutoffTs)
     dropped.foreach { h =>

@@ -107,6 +107,32 @@ class StorageSpec extends AnyFunSuite {
     assert(kept === 9.0)
   }
 
+  test("small-file compaction packs an hour's files, preserves data exactly") {
+    import spark.implicits._
+    val store = new graft.storage.SeriesStore(spark, tmp())
+    // 6 small appends into the SAME hour + one into another hour
+    (0 until 6).foreach { i =>
+      store.append(Seq(("cpu", Map("h" -> "a"), 1000L + i * 10, i.toDouble))
+        .toDF("series", "tags", "time", "value"))
+    }
+    store.append(Seq(("cpu", Map("h" -> "a"), 7200L, 9.0))
+      .toDF("series", "tags", "time", "value"))
+    def filesIn(hour: Long) = Option(new java.io.File(
+        s"${store.root}/segments/hour_bucket=$hour").listFiles())
+      .getOrElse(Array.empty[java.io.File]).count(_.getName.endsWith(".parquet"))
+    assert(filesIn(0L) >= 6, "each append should land its own files")
+    val before = store.scan().orderBy("time", "seq")
+      .select("series", "time", "value").collect().map(_.toSeq).toSeq
+    val done = graft.storage.Maintenance.compactSmallFiles(store, 64L * 1024 * 1024)
+    assert(done.map(_._1).contains(0L), "the busy hour must be compacted")
+    assert(filesIn(0L) === 1, "one file after packing at a 64MB target")
+    val after = store.scan().orderBy("time", "seq")
+      .select("series", "time", "value").collect().map(_.toSeq).toSeq
+    assert(after === before, "compaction is pure layout — data unchanged")
+    // already-packed hours are untouched on a second run
+    assert(graft.storage.Maintenance.compactSmallFiles(store, 64L * 1024 * 1024).isEmpty)
+  }
+
   test("sydraQL INSERT and DELETE execute against the store") {
     val store = new SeriesStore(spark, tmp())
     val opts = CompileOptions(now = 5000L)
