@@ -31,6 +31,10 @@ object StreamOps {
       last: Option[(Long, String)], lastSeen: Long)
   final case class TransitionEdge(user_id: Long, src: String, dst: String,
       t_src: Long, t_dst: Long)
+  final case class AttrState(pending: Seq[(Long, Long, String)],
+      first: Option[String], lastNp: Option[String], lastSeen: Long)
+  final case class AttributionCredit(user_id: Long, first_ch: String,
+      last_ch: Option[String], t_purchase: Long)
   final case class PsiState(open: Map[Long, Map[Int, Long]],
       closed: Map[Long, Map[Int, Long]])
   final case class SeriesPsi(series: String, day: Long, psi: Double,
@@ -544,6 +548,63 @@ object StreamOps {
             state.setTimeoutTimestamp(due * 1000L)
           }
           out.result().iterator
+      }
+  }
+
+  /** Streaming conversion attribution — the live twin of
+    * `q_ev_attribution`: one credit row per watermark-confirmed
+    * conversion event, carrying the user's first-ever event type
+    * (first-touch; the conversion itself if it opens the history — the
+    * batch twin's full-prefix frame) and the most recent STRICTLY-PRIOR
+    * non-conversion type (last-touch; None when the conversion is first
+    * — the batch [-∞, -1] frame). The channel rollup downstream is a
+    * plain aggregation; this operator owns order restoration, exactly
+    * like [[transitions]].
+    *
+    * State per user = two channel strings + the pending buffer — bounded
+    * by the watermark delay, sharded on user_id.
+    */
+  def attribution(
+      spark: SparkSession,
+      events: DataFrame,
+      convType: String = "purchase",
+      watermarkDelay: String = "10 minutes",
+      retentionSecs: Long = 30 * 86400L): Dataset[AttributionCredit] = {
+    import spark.implicits._
+    events.select(col("user_id").cast("long"), col("event_type"),
+        col("time").cast("long"), col("event_id").cast("long"))
+      .withColumn("event_time", col("time").cast("timestamp"))
+      .withWatermark("event_time", watermarkDelay)
+      .as[(Long, String, Long, Long, java.sql.Timestamp)]
+      .groupByKey(_._1)
+      .flatMapGroupsWithState[AttrState, AttributionCredit](
+        OutputMode.Append, GroupStateTimeout.EventTimeTimeout) {
+        (user: Long, it: Iterator[(Long, String, Long, Long, java.sql.Timestamp)],
+            state: GroupState[AttrState]) =>
+          val wm = state.getCurrentWatermarkMs() / 1000L
+          val st = state.getOption.getOrElse(AttrState(Nil, None, None, 0L))
+          var pending = st.pending ++ it.map(e => (e._3, e._4, e._2))
+          val lastSeen = (st.lastSeen +: pending.map(_._1)).max
+          val (ready, wait) = pending.partition(_._1 <= wm)
+          pending = wait
+          var first = st.first
+          var lastNp = st.lastNp
+          val out = Seq.newBuilder[AttributionCredit]
+          ready.sortBy(e => (e._1, e._2)).foreach { case (t, _, et) =>
+            if (first.isEmpty) first = Some(et)
+            if (et == convType) out += AttributionCredit(user, first.get, lastNp, t)
+            else lastNp = Some(et)
+          }
+          val res = out.result().iterator
+          if (pending.isEmpty && wm >= lastSeen + retentionSecs) {
+            state.remove(); res
+          } else {
+            state.update(AttrState(pending, first, lastNp, lastSeen))
+            val due = (pending.map(_._1 + 1) :+ (lastSeen + retentionSecs))
+              .filter(_ > wm)
+            if (due.nonEmpty) state.setTimeoutTimestamp(due.min * 1000L)
+            res
+          }
       }
   }
 

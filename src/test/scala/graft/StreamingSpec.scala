@@ -788,6 +788,53 @@ class StreamingSpec extends AnyFunSuite {
     assert(run("psi_onebatch", Seq(evs)) === want)
   }
 
+  test("streaming attribution matches the batch first/last-touch frames") {
+    import spark.implicits._
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    // user 1: purchase-first (first_ch = purchase itself, last_ch None),
+    //   then a click and a second purchase (last_ch Some(click));
+    // user 2: signup → click → purchase, with the click arriving
+    //   out-of-order inside the watermark delay.
+    val evs = Seq(
+      (1L, "purchase", 100L, 1L), (1L, "click", 150L, 2L),
+      (1L, "purchase", 200L, 3L),
+      (2L, "signup", 100L, 4L), (2L, "purchase", 300L, 6L),
+      (2L, "click", 200L, 5L))
+    def batchTwin: Set[(Long, String, Option[String], Long)] =
+      evs.groupBy(_._1).flatMap { case (u, es) =>
+        val sorted = es.sortBy(e => (e._3, e._4))
+        sorted.zipWithIndex.collect { case ((_, "purchase", t, _), i) =>
+          val firstCh = sorted.head._2
+          val lastCh = sorted.take(i).reverse.collectFirst {
+            case (_, et, _, _) if et != "purchase" => et
+          }
+          (u, firstCh, lastCh, t)
+        }
+      }.toSet
+    def run(tag: String, batches: Seq[Seq[(Long, String, Long, Long)]]) = {
+      val ms = MemoryStream[(Long, String, Long, Long)]
+      val f = StreamOps.attribution(spark,
+        ms.toDF().toDF("user_id", "event_type", "time", "event_id"),
+        watermarkDelay = "60 seconds")
+      assert(f.isStreaming)
+      val q = f.writeStream.outputMode("append").format("memory").queryName(tag).start()
+      try {
+        batches.foreach { b => ms.addData(b); q.processAllAvailable() }
+        ms.addData(Seq((999L, "signup", 100000L, 999L))); q.processAllAvailable()
+        spark.sql(s"select user_id, first_ch, last_ch, t_purchase from $tag where user_id <> 999")
+          .as[(Long, String, Option[String], Long)].collect().toSet
+      } finally q.stop()
+    }
+    val want = batchTwin
+    assert(want === Set(
+      (1L, "purchase", None, 100L),
+      (1L, "purchase", Some("click"), 200L),
+      (2L, "signup", Some("click"), 300L)))
+    assert(run("at_stagger", evs.grouped(2).toSeq) === want)
+    assert(run("at_onebatch", Seq(evs)) === want)
+  }
+
   test("streaming transitions match the batch lead-pair stage") {
     import spark.implicits._
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
