@@ -107,6 +107,49 @@ class StorageSpec extends AnyFunSuite {
     assert(kept === 9.0)
   }
 
+  test("object store: round-trip, snapshot dedup, restore equality, ref-rooted GC") {
+    import spark.implicits._
+    import graft.storage.ObjectStore
+    val store = new graft.storage.SeriesStore(spark, tmp())
+    store.append(Seq(
+      ("cpu", Map("h" -> "a"), 1000L, 1.0), ("cpu", Map("h" -> "a"), 7200L, 2.0))
+      .toDF("series", "tags", "time", "value"))
+    val os = new ObjectStore(tmp())
+    // blob round-trip (object_store.zig's own test shape)
+    val id = os.put(ObjectStore.Blob, "hello world".getBytes("UTF-8"))
+    val (t, payload) = os.get(id)
+    assert(t === ObjectStore.Blob && new String(payload, "UTF-8") === "hello world")
+    assert(os.put(ObjectStore.Blob, "hello world".getBytes("UTF-8")) === id,
+      "same content, same id — the dedup")
+    // snapshot 1
+    val c1 = os.snapshot(store, "main")
+    val n1 = os.objectCount
+    // unchanged store → second snapshot adds ONLY a new commit (tree and
+    // every blob dedup to the same ids)
+    val c2 = os.snapshot(store, "main")
+    assert(os.objectCount === n1 + 1, "idempotent snapshot must add just the commit")
+    // append one hour → third snapshot adds its new file blobs + tree + commit
+    store.append(Seq(("cpu", Map("h" -> "a"), 90000L, 3.0))
+      .toDF("series", "tags", "time", "value"))
+    val n2 = os.objectCount
+    os.snapshot(store, "main")
+    assert(os.objectCount > n2)
+    // restore the latest snapshot into a fresh store → identical scan
+    val restored = new graft.storage.SeriesStore(spark, tmp())
+    os.restore("main", s"${restored.root}/segments")
+    val a = store.scan().orderBy("time", "seq").collect().map(_.toSeq).toSeq
+    val b = restored.scan().orderBy("time", "seq").collect().map(_.toSeq).toSeq
+    assert(a === b)
+    // GC: the one unreferenced object (the hello-world blob above) goes;
+    // everything under the ref's commit-parent chain stays
+    assert(os.gc() === 1)
+    // drop the ref → all objects collectable
+    os.deleteRef("main")
+    assert(os.gc() > 0)
+    assert(os.objectCount === 0, "nothing reachable after the ref is gone")
+    assert(c1 !== c2, "commits differ (parent chain)")
+  }
+
   test("small-file compaction packs an hour's files, preserves data exactly") {
     import spark.implicits._
     val store = new graft.storage.SeriesStore(spark, tmp())
