@@ -1587,6 +1587,84 @@ object TimeSeries {
              |FROM credits GROUP BY 1 ORDER BY channel""".stripMargin),
       benchExtra = true),
 
+    // ---- distribution entropy per series-day -----------------------------
+    //
+    // Shannon entropy (bits) of the 10-bin value histogram per (series,
+    // day) — the flatness probe (low entropy = values collapsing to few
+    // levels, a sensor-failure signature). Same per-series bounds + bin
+    // shape as q_ts_psi; one (series, day, bin) partial+final count, a
+    // day-sized aggregate after.
+    Q("q_ts_entropy",
+      (s, dir) => {
+        val e = ev(s, dir).filter(col("time") >= T0 && col("time") < T1)
+          .select(col("series"), (col("time") / 86400L).cast("long").as("day"), col("value"))
+        val bounds = e.groupBy("series")
+          .agg(min(col("value")).as("lo"), max(col("value")).as("hi"))
+        e.join(broadcast(bounds), "series")
+          .select(col("series"), col("day"),
+            least(lit(9L), floor((col("value") - col("lo")) /
+              ((col("hi") - col("lo")) / 10.0)).cast("long")).as("bin"))
+          .groupBy("series", "day", "bin").agg(count(lit(1)).as("n"))
+          .groupBy("series", "day")
+          .agg(sum(col("n")).as("total"),
+            sum(col("n") * log(2.0, col("n"))).as("nlogn"))
+          .select(col("series"), col("day"), col("total").as("n_points"),
+            (floor((log(2.0, col("total")) - col("nlogn") / col("total"))
+              * 1e4 + 0.5) / 1e4).as("entropy"))
+          .orderBy("series", "day")
+      },
+      Some(s"""$svSql,
+              |e AS (SELECT series, time // 86400 AS day, value FROM sv
+              |      WHERE time >= $T0 AND time < $T1),
+              |bounds AS (SELECT series, min(value) AS lo, max(value) AS hi
+              |           FROM e GROUP BY 1),
+              |binned AS (
+              |  SELECT e.series, day,
+              |         least(9, CAST(floor((value - lo) / ((hi - lo) / 10.0)) AS BIGINT)) AS bin,
+              |         count(*) AS n
+              |  FROM e JOIN bounds ON e.series = bounds.series
+              |  GROUP BY 1, 2, 3)
+              |SELECT series, day, CAST(sum(n) AS BIGINT) AS n_points,
+              |       floor((log2(sum(n)) - sum(n * log2(n)) / sum(n)) * 1e4 + 0.5) / 1e4 AS entropy
+              |FROM binned GROUP BY 1, 2 ORDER BY series, day""".stripMargin)),
+
+    // ---- time-to-convert percentiles ------------------------------------
+    //
+    // Distribution of signup→purchase latency per user (the funnel's
+    // t3−t1), summarized as exact p50/p90 + mean — the "how long does
+    // conversion take" product metric. Reuses the funnel's chained
+    // min-at-or-after aggregates; the percentile runs on the converted-
+    // users frame (user-dimension-sized).
+    Q("q_ev_time_to_convert",
+      (s, dir) => {
+        val e = Tables.events(s, dir)
+          .select(col("user_id"), col("event_type"),
+            (col("ts") / 1000000000L).cast("long").as("tsec"))
+        val s1 = e.filter(col("event_type") === "signup")
+          .groupBy("user_id").agg(min(col("tsec")).as("t1"))
+        val s3 = e.filter(col("event_type") === "purchase")
+          .join(s1, "user_id").filter(col("tsec") >= col("t1"))
+          .groupBy("user_id").agg(min(col("tsec")).as("t3"))
+        s1.join(s3, "user_id")
+          .select((col("t3") - col("t1")).as("latency"))
+          .agg(count(lit(1)).as("n_converted"),
+            (floor(percentile(col("latency"), lit(0.5)) * 1e4 + 0.5) / 1e4).as("p50"),
+            (floor(percentile(col("latency"), lit(0.9)) * 1e4 + 0.5) / 1e4).as("p90"),
+            (floor(avg(col("latency")) * 1e4 + 0.5) / 1e4).as("mean_s"))
+      },
+      Some("""WITH e AS (SELECT user_id, event_type,
+             |                  epoch_ns(ts) // 1000000000 AS tsec FROM events),
+             |s1 AS (SELECT user_id, min(tsec) AS t1 FROM e
+             |       WHERE event_type = 'signup' GROUP BY 1),
+             |s3 AS (SELECT e.user_id, min(tsec) AS t3 FROM e JOIN s1 USING (user_id)
+             |       WHERE event_type = 'purchase' AND tsec >= t1 GROUP BY 1),
+             |lat AS (SELECT t3 - t1 AS latency FROM s1 JOIN s3 USING (user_id))
+             |SELECT count(*) AS n_converted,
+             |       floor(quantile_cont(latency, 0.5) * 1e4 + 0.5) / 1e4 AS p50,
+             |       floor(quantile_cont(latency, 0.9) * 1e4 + 0.5) / 1e4 AS p90,
+             |       floor(avg(latency) * 1e4 + 0.5) / 1e4 AS mean_s
+             |FROM lat""".stripMargin)),
+
     // ---- RFM segmentation ------------------------------------------------
     //
     // Recency/frequency/monetary quintile scoring per user over the
