@@ -171,6 +171,39 @@ object Dedup {
           element_at(col("sig"), (bi * rowsPerBand + r + 1).cast("int"))): _*)))))
       .withColumnsRenamed(Map("pos" -> "band", "col" -> "bkey"))
 
+  /** Estimator-quality eval for the MinHash sketch: per LSH-verified pair,
+    * the signature-agreement estimate ĵ = |{i : sigA[i] = sigB[i]}| / k
+    * against the exact n-gram Jaccard — the calibration check before
+    * trusting the sketch alone (e.g. skipping exact verification at
+    * larger thresholds). E[ĵ] = J by the MinHash property; k = 32 gives
+    * σ ≈ √(J(1−J)/32) ≈ 0.07 at J = 0.8, which is why the shipped dedup
+    * path always verifies exactly.
+    *
+    * Output: (doc_a, doc_b, jaccard, est round 4, abs_err round 4).
+    * Shape: the pair frame is the verified LSH output (tiny); signatures
+    * join on doc_id — nothing all-pairs.
+    */
+  def minhashEstimate(
+      docs: DataFrame,
+      threshold: Double,
+      bands: Int = 16,
+      rowsPerBand: Int = 2,
+      n: Int = 3): DataFrame = {
+    val numHashes = bands * rowsPerBand
+    val sig = shingleHashes(docs, n).select(col("doc_id"),
+      graft.functions.MinHashSignature(col("hs"), numHashes).as("sig"))
+    val est = aggregate(
+      zip_with(col("sa"), col("sb"), (x, y) => (x === y).cast("long")),
+      lit(0L), (acc, v) => acc + v) / numHashes.toDouble
+    minhashLshPairs(docs, threshold, bands, rowsPerBand, n)
+      .join(sig.select(col("doc_id").as("doc_a"), col("sig").as("sa")), "doc_a")
+      .join(sig.select(col("doc_id").as("doc_b"), col("sig").as("sb")), "doc_b")
+      .select(col("doc_a"), col("doc_b"), col("jaccard"),
+        (floor(est * 1e4 + 0.5) / 1e4).as("est"))
+      .withColumn("abs_err",
+        floor(abs(col("jaccard") - col("est")) * 1e4 + 0.5) / 1e4)
+  }
+
   /** Write the at-rest MinHash dedup index for `docs`: band rows
     * (`bands/`) + shingle sets (`shingles/`), both parquet. The point at
     * corpus scale: deduplicating a NEW batch (today's crawl) against the

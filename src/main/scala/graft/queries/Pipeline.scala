@@ -632,6 +632,33 @@ object Pipeline {
       Some(jaccardOracle),
       bench = true),
 
+    // Sketch calibration: signature-agreement Jaccard estimate vs the
+    // exact value on the verified pairs — the oracle replays the FULL
+    // coefficient schedule ((a_i·h + b_i) mod P minima), pinning the
+    // codegen kernel's arithmetic across engines.
+    Q("q_pl_minhash_est",
+      (s, dir) => Dedup.minhashEstimate(Tables.documents(s, dir), 0.8)
+        .orderBy("doc_a", "doc_b"),
+      Some(s"""WITH $wordsCte, $shinglesCte, $verifiedPairsCte,
+              |mh AS (
+              |  SELECT doc_id,
+              |         [list_min([((1 + ((i * 2654435761 + 104729) % 2147483646)) * h
+              |                     + ((i * 40503 + 15485863) % 2147483647)) % 2147483647
+              |                    for h in hs])
+              |          for i in range(0, 32)] AS sig
+              |  FROM sh),
+              |est AS (
+              |  SELECT vp.doc_a, vp.doc_b, vp.jaccard,
+              |         floor((list_reduce(
+              |             [CASE WHEN a.sig[i] = b.sig[i] THEN 1 ELSE 0 END
+              |              for i in range(1, 33)],
+              |             (x, y) -> x + y) / 32.0) * 1e4 + 0.5) / 1e4 AS est
+              |  FROM vp JOIN mh a ON vp.doc_a = a.doc_id
+              |          JOIN mh b ON vp.doc_b = b.doc_id)
+              |SELECT doc_a, doc_b, jaccard, est,
+              |       floor(abs(jaccard - est) * 1e4 + 0.5) / 1e4 AS abs_err
+              |FROM est ORDER BY doc_a, doc_b""".stripMargin)),
+
     Q("q_pl_simhash",
       (s, dir) => Dedup.simhashPairs(Tables.documents(s, dir), 10)
         .orderBy("doc_a", "doc_b"),
