@@ -438,6 +438,56 @@ class PipelineSpec extends AnyFunSuite {
     assert(r.head._3 === 1200L && r.head._4 === -8.0)
   }
 
+  test("LTTB differential: random fixtures match a direct reimplementation") {
+    val rnd = new scala.util.Random(42)
+    val pts = (0 until 400).map { i =>
+      ("s" + rnd.nextInt(3), rnd.nextInt(20) * 500L + rnd.nextInt(500),
+        math.floor(rnd.nextDouble() * 1e4) / 1e4, i.toLong)
+    }
+    val df = pts.toDF("series", "time", "value", "event_id")
+    val got = graft.operators.Downsample.lttb(df, step = 1000L, tieCols = Seq("event_id"))
+      .select("series", "bucket", "time", "value")
+      .as[(String, Long, Long, Double)].collect().toSet
+    // direct reimplementation of the spec: first-point anchors, neighbor
+    // lag/lead, max-area argmax with (time, event_id) tie-break
+    val want = pts.groupBy(_._1).flatMap { case (s, ps) =>
+      val byBucket = ps.groupBy(p => p._2 - p._2 % 1000L)
+      val buckets = byBucket.keys.toSeq.sorted
+      val anchors = buckets.map(b => b -> byBucket(b).minBy(p => (p._2, p._4))).toMap
+      buckets.sliding(3).collect { case Seq(p, c, n) =>
+        val (pa, na) = (anchors(p), anchors(n))
+        val best = byBucket(c).maxBy { q =>
+          val area = math.abs((pa._2 - na._2) * (q._3 - pa._3) -
+            (pa._2 - q._2) * (na._3 - pa._3))
+          (area, -q._2.toDouble, -q._4.toDouble)
+        }
+        (s, c, best._2, best._3)
+      }
+    }.toSet
+    assert(got === want)
+    assert(got.nonEmpty)
+  }
+
+  test("Theil-Sen recovers an exact linear slope") {
+    // v = 0.25 * t at hourly buckets → every pairwise slope is exactly
+    // 0.25/3600 after the 1e-4 bucket-average rounding (values chosen
+    // representable); gate formula rounds the median at 1e-10
+    val t0 = graft.queries.TimeSeries.T0
+    val rows = (0 until 48).map { h =>
+      (1000L + h, "lin", "0", (t0 + h * 3600L) * 1000000000L, t0 + h * 3600L, h * 900.0)
+    }
+    val df = rows.toDF("event_id", "series", "tag_user", "ts_ns", "time", "value")
+    val b = df.groupBy(col("series"),
+        (col("time") - pmod(col("time"), lit(3600L))).as("bucket"))
+      .agg((floor(avg(col("value")) * 1e4 + 0.5) / 1e4).as("v"))
+    val a = b.select(col("series"), col("bucket").as("t1"), col("v").as("v1"))
+    val c = b.select(col("series"), col("bucket").as("t2"), col("v").as("v2"))
+    val slope = a.join(c, Seq("series")).filter(col("t2") > col("t1"))
+      .select(((col("v2") - col("v1")) / (col("t2") - col("t1"))).as("slope"))
+      .agg(median(col("slope"))).as[Double].head()
+    assert(slope === 0.25)
+  }
+
   test("whitening standardizes every dimension (mean→0, std→1)") {
     val w = graft.pipeline.Projection.whiten(emb, "embedding")
     val z = w.select(posexplode(col("embedding")).as(Seq("d", "z")))
