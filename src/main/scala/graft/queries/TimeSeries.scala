@@ -1665,6 +1665,77 @@ object TimeSeries {
              |       floor(avg(latency) * 1e4 + 0.5) / 1e4 AS mean_s
              |FROM lat""".stripMargin)),
 
+    // ---- forecast backtest (model selection) -----------------------------
+    //
+    // Walk-forward evaluation of three baseline forecasters per series —
+    // train on days 1–5 of the canonical window, score MAPE on day 6's
+    // hourly buckets: mean (train average), last (final train bucket),
+    // seasonal-naive (same hour yesterday). The winner column is the
+    // model-selection output a forecasting pipeline keys on. Every model
+    // here is closed-form, so the oracle replays the whole backtest; the
+    // recurrence models (Holt) keep their own gates. Shape: one bucket
+    // rollup, series-sized model frames, one holdout join per model.
+    Q("q_ts_backtest",
+      (s, dir) => {
+        val split = T0 + 5 * 86400L
+        val b = ev(s, dir).filter(col("time") >= T0 && col("time") < T0 + 6 * 86400L)
+          .groupBy(col("series"),
+            (col("time") - pmod(col("time"), lit(3600L))).as("bucket"))
+          .agg((floor(avg(col("value")) * 1e4 + 0.5) / 1e4).as("v"))
+        val train = b.filter(col("bucket") < split)
+        val hold = b.filter(col("bucket") >= split)
+        val mMean = train.groupBy("series")
+          .agg((floor(avg(col("v")) * 1e6 + 0.5) / 1e6).as("f_mean"))
+        val mLast = train.groupBy("series")
+          .agg(max_by(col("v"), col("bucket")).as("f_last"))
+        val seas = b.select(col("series"), (col("bucket") + 86400L).as("bucket"),
+          col("v").as("f_seas"))
+        val err = hold
+          .join(broadcast(mMean), "series")
+          .join(broadcast(mLast), "series")
+          .join(seas, Seq("series", "bucket"))
+          .filter(col("v") =!= 0.0)
+          .groupBy("series")
+          .agg(count(lit(1)).as("n_hold"),
+            (floor(avg(abs(col("f_mean") - col("v")) / abs(col("v"))) * 1e4 + 0.5) / 1e4).as("mape_mean"),
+            (floor(avg(abs(col("f_last") - col("v")) / abs(col("v"))) * 1e4 + 0.5) / 1e4).as("mape_last"),
+            (floor(avg(abs(col("f_seas") - col("v")) / abs(col("v"))) * 1e4 + 0.5) / 1e4).as("mape_seasonal"))
+        err.withColumn("winner",
+            when(col("mape_seasonal") <= col("mape_last") &&
+              col("mape_seasonal") <= col("mape_mean"), lit("seasonal"))
+              .when(col("mape_last") <= col("mape_mean"), lit("last"))
+              .otherwise(lit("mean")))
+          .orderBy("series")
+      },
+      Some(s"""$svSql,
+              |b AS (
+              |  SELECT series, time - (time % 3600) AS bucket,
+              |         floor(avg(value) * 1e4 + 0.5) / 1e4 AS v
+              |  FROM sv WHERE time >= $T0 AND time < ${T0 + 6 * 86400L}
+              |  GROUP BY 1, 2),
+              |train AS (SELECT * FROM b WHERE bucket < ${T0 + 5 * 86400L}),
+              |hold AS (SELECT * FROM b WHERE bucket >= ${T0 + 5 * 86400L}),
+              |mm AS (SELECT series, floor(avg(v) * 1e6 + 0.5) / 1e6 AS f_mean
+              |       FROM train GROUP BY 1),
+              |ml AS (SELECT series, arg_max(v, bucket) AS f_last FROM train GROUP BY 1),
+              |se AS (SELECT series, bucket + 86400 AS bucket, v AS f_seas FROM b),
+              |err AS (
+              |  SELECT hold.series, count(*) AS n_hold,
+              |         floor(avg(abs(f_mean - v) / abs(v)) * 1e4 + 0.5) / 1e4 AS mape_mean,
+              |         floor(avg(abs(f_last - v) / abs(v)) * 1e4 + 0.5) / 1e4 AS mape_last,
+              |         floor(avg(abs(f_seas - v) / abs(v)) * 1e4 + 0.5) / 1e4 AS mape_seasonal
+              |  FROM hold
+              |  JOIN mm ON hold.series = mm.series
+              |  JOIN ml ON hold.series = ml.series
+              |  JOIN se ON hold.series = se.series AND hold.bucket = se.bucket
+              |  WHERE v <> 0.0 GROUP BY 1)
+              |SELECT series, n_hold, mape_mean, mape_last, mape_seasonal,
+              |       CASE WHEN mape_seasonal <= mape_last
+              |              AND mape_seasonal <= mape_mean THEN 'seasonal'
+              |            WHEN mape_last <= mape_mean THEN 'last'
+              |            ELSE 'mean' END AS winner
+              |FROM err ORDER BY series""".stripMargin)),
+
     // ---- RFM segmentation ------------------------------------------------
     //
     // Recency/frequency/monetary quintile scoring per user over the
