@@ -613,7 +613,8 @@ object Relational {
              |SELECT coalesce(c_custkey, o_custkey) AS custkey, acctbal,
              |       coalesce(n_big, 0) AS n_big, big_total
              |FROM c FULL OUTER JOIN o ON c_custkey = o_custkey
-             |ORDER BY custkey""".stripMargin)),
+             |ORDER BY custkey""".stripMargin),
+      benchExtra = true),
 
     // ---- Benford first-digit conformance --------------------------------
     //
@@ -650,7 +651,8 @@ object Relational {
              |  FROM d CROSS JOIN t)
              |SELECT digit, n, exp_n,
              |       floor(pow(n - exp_n, 2) / exp_n * 1e4 + 0.5) / 1e4 AS contrib
-             |FROM e ORDER BY digit""".stripMargin)),
+             |FROM e ORDER BY digit""".stripMargin),
+      benchExtra = true),
 
     // ---- calendar arithmetic --------------------------------------------
     //

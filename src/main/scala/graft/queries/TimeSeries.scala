@@ -1626,7 +1626,8 @@ object TimeSeries {
               |  GROUP BY 1, 2, 3)
               |SELECT series, day, CAST(sum(n) AS BIGINT) AS n_points,
               |       floor((log2(sum(n)) - sum(n * log2(n)) / sum(n)) * 1e4 + 0.5) / 1e4 AS entropy
-              |FROM binned GROUP BY 1, 2 ORDER BY series, day""".stripMargin)),
+              |FROM binned GROUP BY 1, 2 ORDER BY series, day""".stripMargin),
+      benchExtra = true),
 
     // ---- time-to-convert percentiles ------------------------------------
     //
@@ -1663,7 +1664,8 @@ object TimeSeries {
              |       floor(quantile_cont(latency, 0.5) * 1e4 + 0.5) / 1e4 AS p50,
              |       floor(quantile_cont(latency, 0.9) * 1e4 + 0.5) / 1e4 AS p90,
              |       floor(avg(latency) * 1e4 + 0.5) / 1e4 AS mean_s
-             |FROM lat""".stripMargin)),
+             |FROM lat""".stripMargin),
+      benchExtra = true),
 
     // ---- forecast backtest (model selection) -----------------------------
     //
@@ -1734,7 +1736,8 @@ object TimeSeries {
               |              AND mape_seasonal <= mape_mean THEN 'seasonal'
               |            WHEN mape_last <= mape_mean THEN 'last'
               |            ELSE 'mean' END AS winner
-              |FROM err ORDER BY series""".stripMargin)),
+              |FROM err ORDER BY series""".stripMargin),
+      benchExtra = true),
 
     // ---- RFM segmentation ------------------------------------------------
     //
@@ -1779,7 +1782,8 @@ object TimeSeries {
               |       CAST(ntile(5) OVER (ORDER BY recency, user_id) AS BIGINT) * 100
               |         + CAST(ntile(5) OVER (ORDER BY frequency DESC, user_id) AS BIGINT) * 10
               |         + CAST(ntile(5) OVER (ORDER BY monetary DESC, user_id) AS BIGINT) AS segment
-              |FROM u ORDER BY user_id""".stripMargin)),
+              |FROM u ORDER BY user_id""".stripMargin),
+      benchExtra = true),
 
     // ---- Theil–Sen robust trend slope ------------------------------------
     //
@@ -1817,7 +1821,8 @@ object TimeSeries {
               |  FROM b a JOIN b c ON a.series = c.series AND c.bucket > a.bucket)
               |SELECT series, count(*) AS n_pairs,
               |       floor(median(slope) * 1e10 + 0.5) / 1e10 AS ts_slope
-              |FROM p GROUP BY 1 ORDER BY series""".stripMargin)),
+              |FROM p GROUP BY 1 ORDER BY series""".stripMargin),
+      benchExtra = true),
 
     // ---- distribution drift: PSI between two days ------------------------
     //
