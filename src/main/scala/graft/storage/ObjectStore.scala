@@ -108,10 +108,13 @@ final class ObjectStore(rootPath: String) {
     commitId
   }
 
-  /** Materialize `refName`'s tree into `destSegments` (a segments dir). */
-  def restore(refName: String, destSegments: String): Unit = {
-    val commitId = readRef(refName).getOrElse(
-      throw new IllegalArgumentException(s"no such ref: $refName"))
+  /** Materialize `refName`'s latest tree into `destSegments`. */
+  def restore(refName: String, destSegments: String): Unit =
+    restoreCommit(readRef(refName).getOrElse(
+      throw new IllegalArgumentException(s"no such ref: $refName")), destSegments)
+
+  /** Time travel: materialize ANY commit from [[log]]'s chain. */
+  def restoreCommit(commitId: String, destSegments: String): Unit = {
     val commit = new String(get(commitId)._2, "UTF-8")
     val treeId = commit.linesIterator.next().stripPrefix("tree ")
     val manifest = new String(get(treeId)._2, "UTF-8")
@@ -121,6 +124,22 @@ final class ObjectStore(rootPath: String) {
       Files.createDirectories(dest.getParent)
       Files.write(dest, get(id)._2)
     }
+  }
+
+  /** The ref's commit chain, newest first: (commitId, treeId). */
+  def log(refName: String): Seq[(String, String)] = {
+    val out = scala.collection.mutable.ArrayBuffer.empty[(String, String)]
+    var cur = readRef(refName)
+    while (cur.isDefined) {
+      val id = cur.get
+      val commit = new String(get(id)._2, "UTF-8")
+      val treeId = commit.linesIterator
+        .find(_.startsWith("tree ")).get.stripPrefix("tree ")
+      out += ((id, treeId))
+      cur = commit.linesIterator
+        .find(_.startsWith("parent ")).map(_.stripPrefix("parent "))
+    }
+    out.toSeq
   }
 
   /** Drop every object unreachable from the refs (commit → parent chain →

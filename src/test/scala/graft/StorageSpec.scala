@@ -143,6 +143,14 @@ class StorageSpec extends AnyFunSuite {
     // GC: the one unreferenced object (the hello-world blob above) goes;
     // everything under the ref's commit-parent chain stays
     assert(os.gc() === 1)
+    // time travel: the chain is newest-first and an OLD commit restores
+    // the store as it was before the last append
+    val chain = os.log("main")
+    assert(chain.length === 3)
+    assert(chain.head._1 !== chain.last._1)
+    val old = new graft.storage.SeriesStore(spark, tmp())
+    os.restoreCommit(chain(1)._1, s"${old.root}/segments")
+    assert(old.scan().count() === 2, "pre-append snapshot has the original 2 rows")
     // drop the ref → all objects collectable
     os.deleteRef("main")
     assert(os.gc() > 0)
