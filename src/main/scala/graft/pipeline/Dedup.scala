@@ -435,4 +435,60 @@ object Dedup {
         coalesce(col("label"), col("doc_id")).as("cluster_id"))
       .withColumn("is_canonical", col("doc_id") === col("cluster_id"))
   }
+
+  /** Connected components by alternating large-star / small-star (Kiveris
+    * et al., "Connected Components in MapReduce and Beyond") — the
+    * corpus-scale alternative to [[dupClusters]]'s min-label propagation:
+    * label propagation converges in O(component diameter) rounds (a long
+    * near-dup chain = a long job), star contraction in O(log n) — each
+    * round REWIRES edges toward the component minimum instead of just
+    * carrying labels one hop.
+    *
+    *  - large-star(u): every strictly-larger neighbor of u links to
+    *    min(Γ(u) ∪ u) — applied over the bidirected edge set;
+    *  - small-star(u): u and its ≤-neighbors link to their minimum —
+    *    applied over large→small directed edges.
+    *
+    * Both steps are one groupBy(u) min + an equi-join back — partial+final
+    * aggregates on the edge frame, no windows. Rounds run until the edge
+    * set is a fixed point (star graphs node→root); same loud
+    * non-convergence contract as [[dupClusters]]. Output identical:
+    * (doc_id, cluster_id = component min, is_canonical).
+    */
+  def dupClustersStar(docs: DataFrame, pairs: DataFrame, maxIters: Int = 25): DataFrame = {
+    var edges = pairs.filter(col("doc_a") =!= col("doc_b"))
+      .select(greatest(col("doc_a"), col("doc_b")).as("u"),
+        least(col("doc_a"), col("doc_b")).as("v"))
+      .distinct().localCheckpoint()
+    var stable = false
+    var iter = 0
+    while (!stable) {
+      if (iter >= maxIters)
+        throw new IllegalStateException(
+          s"dupClustersStar did not converge in $maxIters rounds; raise maxIters")
+      // large-star over the bidirected set: m(u) = min(Γ(u) ∪ u);
+      // emit (v, m) for v ∈ Γ(u), v > u
+      val bidir = edges.union(edges.select(col("v").as("u"), col("u").as("v")))
+      val mL = bidir.groupBy("u").agg(min(col("v")).as("mv"))
+        .select(col("u"), least(col("u"), col("mv")).as("m"))
+      val ls = bidir.join(mL, "u").filter(col("v") > col("u"))
+        .select(col("v").as("u"), col("m").as("v")).distinct()
+      // small-star over large→small edges: m(u) = min(Γ⁻(u) ∪ u);
+      // emit (w, m) for w ∈ Γ⁻(u) ∪ {u}, w ≠ m
+      val mS = ls.groupBy("u").agg(min(col("v")).as("m"))
+      val ss = ls.join(mS, "u")
+        .select(col("v").as("w"), col("m"))
+        .union(mS.select(col("u").as("w"), col("m")))
+        .filter(col("w") =!= col("m"))
+        .select(col("w").as("u"), col("m").as("v")).distinct()
+        .localCheckpoint()
+      stable = ss.exceptAll(edges).isEmpty && edges.exceptAll(ss).isEmpty
+      edges = ss
+      iter += 1
+    }
+    docs.select(col("doc_id"))
+      .join(edges.select(col("u").as("doc_id"), col("v").as("root")), Seq("doc_id"), "left")
+      .select(col("doc_id"), coalesce(col("root"), col("doc_id")).as("cluster_id"))
+      .withColumn("is_canonical", col("doc_id") === col("cluster_id"))
+  }
 }

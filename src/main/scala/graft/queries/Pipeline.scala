@@ -1403,6 +1403,21 @@ object Pipeline {
               |SELECT doc_id, n_shingles, n_overlap, contam_frac, contam_frac >= 0.5 AS contaminated
               |FROM ann ORDER BY doc_id""".stripMargin
 
+  private val dupClustersOracle =
+    s"""WITH RECURSIVE $wordsCte, $shinglesCte, $verifiedPairsCte,
+       |edges AS (SELECT doc_a AS s, doc_b AS d FROM vp
+       |          UNION SELECT doc_b, doc_a FROM vp),
+       |reach(s, d) AS (
+       |  SELECT s, d FROM edges
+       |  UNION
+       |  SELECT r.s, e.d FROM reach r JOIN edges e ON r.d = e.s
+       |),
+       |labels AS (SELECT s AS doc_id, least(s, min(d)) AS cluster_id FROM reach GROUP BY s)
+       |SELECT dd.doc_id, coalesce(l.cluster_id, dd.doc_id) AS cluster_id,
+       |       dd.doc_id = coalesce(l.cluster_id, dd.doc_id) AS is_canonical
+       |FROM documents dd LEFT JOIN labels l ON dd.doc_id = l.doc_id
+       |ORDER BY dd.doc_id""".stripMargin
+
   private def rawTail: Seq[Q] = Seq(
 
     // Near-dup clusters: connected components over the verified LSH pair
@@ -1413,19 +1428,17 @@ object Pipeline {
         val docs = Tables.documents(s, dir)
         Dedup.dupClusters(docs, Dedup.minhashLshPairs(docs, 0.8)).orderBy("doc_id")
       },
-      Some(s"""WITH RECURSIVE $wordsCte, $shinglesCte, $verifiedPairsCte,
-              |edges AS (SELECT doc_a AS s, doc_b AS d FROM vp
-              |          UNION SELECT doc_b, doc_a FROM vp),
-              |reach(s, d) AS (
-              |  SELECT s, d FROM edges
-              |  UNION
-              |  SELECT r.s, e.d FROM reach r JOIN edges e ON r.d = e.s
-              |),
-              |labels AS (SELECT s AS doc_id, least(s, min(d)) AS cluster_id FROM reach GROUP BY s)
-              |SELECT dd.doc_id, coalesce(l.cluster_id, dd.doc_id) AS cluster_id,
-              |       dd.doc_id = coalesce(l.cluster_id, dd.doc_id) AS is_canonical
-              |FROM documents dd LEFT JOIN labels l ON dd.doc_id = l.doc_id
-              |ORDER BY dd.doc_id""".stripMargin)),
+      Some(dupClustersOracle)),
+
+    // Same components via large-star/small-star contraction — the
+    // O(log n)-round corpus-scale CC (label propagation is O(diameter));
+    // output identical, so the same transitive-closure oracle applies.
+    Q("q_pl_dup_clusters_star",
+      (s, dir) => {
+        val docs = Tables.documents(s, dir)
+        Dedup.dupClustersStar(docs, Dedup.minhashLshPairs(docs, 0.8)).orderBy("doc_id")
+      },
+      Some(dupClustersOracle)),
 
     // Concat-and-chunk sequence packing: global token offsets via the
     // scale-safe two-pass prefix sum (range partition → local window →

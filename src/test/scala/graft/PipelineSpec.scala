@@ -524,6 +524,21 @@ class PipelineSpec extends AnyFunSuite {
       (5L, 5L, true), (6L, 5L, false), (7L, 7L, true)))
   }
 
+  test("star-contraction CC equals label propagation, including a long chain") {
+    // a 40-node path (diameter 39: the worst case for label propagation,
+    // log-rounds for star contraction), one triangle, singletons
+    val allDocs = spark.range(1, 61).toDF("doc_id")
+    val chain = (1L until 40L).map(i => (i, i + 1))
+    val tri = Seq((50L, 51L), (51L, 52L), (50L, 52L))
+    val pairs = (chain ++ tri).toDF("doc_a", "doc_b")
+    val lp = graft.pipeline.Dedup.dupClusters(allDocs, pairs)
+      .orderBy("doc_id").collect().map(_.toSeq).toSeq
+    val star = graft.pipeline.Dedup.dupClustersStar(allDocs, pairs)
+      .orderBy("doc_id").collect().map(_.toSeq).toSeq
+    assert(star === lp)
+    assert(star.take(40).forall(r => r(1) === 1L), "whole chain collapses to 1")
+  }
+
   test("null text propagates as NULL stats (oracle comprehension semantics)") {
     val fixture = Seq((1L, "some real text here"), (2L, null))
       .toDF("doc_id", "text")
