@@ -216,6 +216,8 @@ object ScaleSmoke {
         docs.filter(col("doc_id") % 20 =!= 0),
         docs.filter(col("doc_id") % 20 === 0), threshold = 0.5)),
       timed("pca")(graft.pipeline.Projection.pcaTop(emb, "embedding", 64)),
+      timed("dup_clusters")(Dedup.dupClusters(docs, Dedup.minhashLshPairs(docs, 0.8))),
+      timed("dup_clusters_star")(Dedup.dupClustersStar(docs, Dedup.minhashLshPairs(docs, 0.8))),
       timed("whiten")(graft.pipeline.Projection.whiten(emb, "embedding")),
       timed("ann_self_join") {
         // √n-rule cell count with FIXED nprobe — SCALE.md's sizing math
