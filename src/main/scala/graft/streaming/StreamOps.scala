@@ -31,6 +31,11 @@ object StreamOps {
       last: Option[(Long, String)], lastSeen: Long)
   final case class TransitionEdge(user_id: Long, src: String, dst: String,
       t_src: Long, t_dst: Long)
+  final case class LttbState(open: Map[Long, Vector[(Long, Double)]],
+      pending: Option[(Long, Vector[(Long, Double)])],
+      prevAnchor: Option[(Long, Double)], lastSeen: Long)
+  final case class LttbPoint(series: String, bucket: Long, time: Long,
+      value: Double, area: Double)
   final case class AttrState(pending: Seq[(Long, Long, String)],
       first: Option[String], lastNp: Option[String], lastSeen: Long)
   final case class AttributionCredit(user_id: Long, first_ch: String,
@@ -548,6 +553,94 @@ object StreamOps {
             state.setTimeoutTimestamp(due * 1000L)
           }
           out.result().iterator
+      }
+  }
+
+  /** Streaming LTTB — the live twin of
+    * [[graft.operators.Downsample.lttb]]'s bucket-anchor variant: one
+    * max-triangle-area point per closed (series, bucket), scored against
+    * the neighboring NONEMPTY buckets' first-point anchors, exactly the
+    * batch operator's lag/lead-over-existing-buckets semantics (ties
+    * break on (time, value)).
+    *
+    * A bucket emits when (a) it is watermark-closed AND (b) its successor
+    * bucket is watermark-closed — the successor's anchor (its earliest
+    * point) is only final once no late point can precede it. Edge buckets
+    * (no predecessor yet / no successor ever) never emit, matching the
+    * batch operator's interior-only contract; compose with [[m4]] for
+    * live boundary envelopes.
+    *
+    * State per series = the open buffers (≤ watermark-delay's worth of
+    * raw points), ONE closed bucket awaiting its successor, and the
+    * predecessor's 16-byte anchor — bounded by delay × density, except
+    * that a series going dark holds its last closed bucket until
+    * `retentionSecs` evicts it (the final bucket would never emit
+    * anyway). Sharded on series.
+    */
+  def lttb(
+      spark: SparkSession,
+      points: DataFrame,
+      step: Long,
+      watermarkDelay: String = "10 minutes",
+      retentionSecs: Long = 30 * 86400L): Dataset[LttbPoint] = {
+    import spark.implicits._
+    require(step > 0, "lttb needs a positive bucket step")
+    points.select(col("series"), col("time").cast("long"), col("value").cast("double"))
+      .withColumn("event_time", col("time").cast("timestamp"))
+      .withWatermark("event_time", watermarkDelay)
+      .as[TimedPoint]
+      .groupByKey(_.series)
+      .flatMapGroupsWithState[LttbState, LttbPoint](
+        OutputMode.Append, GroupStateTimeout.EventTimeTimeout) {
+        (series: String, it: Iterator[TimedPoint], state: GroupState[LttbState]) =>
+          val wm = state.getCurrentWatermarkMs() / 1000L
+          val st = state.getOption.getOrElse(LttbState(Map.empty, None, None, 0L))
+          var open = st.open
+          var lastSeen = st.lastSeen
+          it.foreach { p =>
+            val b = p.time - math.floorMod(p.time, step)
+            lastSeen = math.max(lastSeen, p.time)
+            if (b + step > wm || open.contains(b))
+              open += b -> (open.getOrElse(b, Vector.empty) :+ ((p.time, p.value)))
+          }
+          var pending = st.pending
+          var prevAnchor = st.prevAnchor
+          val out = Seq.newBuilder[LttbPoint]
+          open.keys.toSeq.sorted.foreach { b =>
+            if (b + step <= wm) {
+              val pts = open(b); open -= b
+              val anchor = pts.minBy(identity) // (time, value) ascending
+              pending match {
+                case Some((pb, ppts)) =>
+                  prevAnchor.foreach { case (pt, pv) =>
+                    val (nt, nv) = anchor
+                    val best = ppts.maxBy { case (t, v) =>
+                      val area = math.abs((pt - nt) * (v - pv) - (pt - t) * (nv - pv))
+                      (area, -t.toDouble, -v)
+                    }
+                    val area = math.abs((pt - nt) * (best._2 - pv) -
+                      (pt - best._1) * (nv - pv))
+                    out += LttbPoint(series, pb, best._1, best._2,
+                      math.floor(area * 1e4 + 0.5) / 1e4)
+                  }
+                  prevAnchor = Some(ppts.minBy(identity))
+                case None => ()
+              }
+              pending = Some((b, pts))
+            }
+          }
+          if (open.isEmpty && pending.isEmpty && wm >= lastSeen + retentionSecs) {
+            state.remove(); out.result().iterator
+          } else if (open.isEmpty && pending.nonEmpty && wm >= lastSeen + retentionSecs) {
+            // dark series: the trailing bucket can never emit — drop it
+            state.remove(); out.result().iterator
+          } else {
+            state.update(LttbState(open, pending, prevAnchor, lastSeen))
+            val due = (open.keys.map(_ + step) ++ Iterable(lastSeen + retentionSecs))
+              .filter(_ > wm)
+            if (due.nonEmpty) state.setTimeoutTimestamp(due.min * 1000L)
+            out.result().iterator
+          }
       }
   }
 

@@ -788,6 +788,44 @@ class StreamingSpec extends AnyFunSuite {
     assert(run("psi_onebatch", Seq(evs)) === want)
   }
 
+  test("streaming LTTB emits the batch operator's interior selections") {
+    import spark.implicits._
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val b = 86400L
+    // 4 nonempty buckets (step 1000) with a spike per interior bucket;
+    // bucket b+2000 is EMPTY — the neighbor semantics must skip it the
+    // way the batch lag/lead over existing buckets does... (kept dense
+    // here: batch and stream must agree bucket-for-bucket)
+    val pts = Seq(
+      ("s1", b + 100L, 1.0), ("s1", b + 500L, 2.0),
+      ("s1", b + 1100L, 9.0), ("s1", b + 1500L, 3.0),
+      ("s1", b + 2100L, -7.0), ("s1", b + 2500L, 4.0),
+      ("s1", b + 3100L, 5.0), ("s1", b + 3500L, 6.0))
+    def run(tag: String, batches: Seq[Seq[(String, Long, Double)]]) = {
+      val ms = MemoryStream[(String, Long, Double)]
+      val f = StreamOps.lttb(spark, ms.toDF().toDF("series", "time", "value"),
+        step = 1000L, watermarkDelay = "60 seconds")
+      assert(f.isStreaming)
+      val q = f.writeStream.outputMode("append").format("memory").queryName(tag).start()
+      try {
+        batches.foreach { bt => ms.addData(bt); q.processAllAvailable() }
+        ms.addData(Seq(("wmpush", 10 * b, 0.0))); q.processAllAvailable()
+        spark.sql(s"select series, bucket, time, value, area from $tag where series = 's1'")
+          .as[(String, Long, Long, Double, Double)].collect().toSet
+      } finally q.stop()
+    }
+    val batch = graft.operators.Downsample.lttb(
+        pts.toDF("series", "time", "value"), step = 1000L, tieCols = Seq("value"))
+      .select("series", "bucket", "time", "value", "area")
+      .as[(String, Long, Long, Double, Double)].collect().toSet
+    // absolute bucket alignment (t - t%1000): 86400-based times land in
+    // buckets 86000/87000/88000/89000 → interior = 87000, 88000
+    assert(batch.map(_._2) === Set(87000L, 88000L), "two interior buckets")
+    assert(run("lt_stagger", pts.grouped(3).toSeq) === batch)
+    assert(run("lt_onebatch", Seq(pts)) === batch)
+  }
+
   test("streaming attribution matches the batch first/last-touch frames") {
     import spark.implicits._
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
