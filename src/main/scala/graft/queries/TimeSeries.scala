@@ -1739,6 +1739,45 @@ object TimeSeries {
               |FROM err ORDER BY series""".stripMargin),
       benchExtra = true),
 
+    // ---- CEP-lite row-pattern matching -----------------------------------
+    //
+    // MATCH_RECOGNIZE / Flink-CEP's common case as a regex over each
+    // user's event-type sequence: encode the ordered history as an
+    // initial-letter string (s=signup c=click e=error v=view p=purchase)
+    // and count non-overlapping matches of the pattern
+    // `s[cv]*p` (signup → any browsing → purchase). One bounded
+    // per-user collect (the sessionize stance: user histories are
+    // bounded), then the match is a codegen'd regexp over a short
+    // string — no per-event state machine, no window.
+    Q("q_ev_pattern",
+      (s, dir) => {
+        val e = Tables.events(s, dir).select(col("user_id"),
+          substring(col("event_type"), 1, 1).as("i"),
+          (col("ts") / 1000000000L).cast("long").as("tsec"), col("event_id"))
+        e.groupBy("user_id")
+          .agg(array_join(transform(
+            array_sort(collect_list(struct(col("tsec"), col("event_id"), col("i")))),
+            x => x.getField("i")), "").as("seq"))
+          .select(col("user_id"), col("seq"),
+            size(regexp_extract_all(col("seq"), lit("s[cv]*p"), lit(0)))
+              .cast("long").as("n_matches"))
+          .withColumn("matched", col("n_matches") > 0)
+          .orderBy("user_id")
+      },
+      Some("""WITH e AS (
+             |  SELECT user_id, substr(event_type, 1, 1) AS i,
+             |         epoch_ns(ts) // 1000000000 AS tsec, event_id
+             |  FROM events),
+             |sq AS (
+             |  SELECT user_id,
+             |         string_agg(i, '' ORDER BY tsec, event_id) AS seq
+             |  FROM e GROUP BY 1)
+             |SELECT user_id, seq,
+             |       CAST(len(regexp_extract_all(seq, 's[cv]*p')) AS BIGINT) AS n_matches,
+             |       len(regexp_extract_all(seq, 's[cv]*p')) > 0 AS matched
+             |FROM sq ORDER BY user_id""".stripMargin),
+      benchExtra = true),
+
     // ---- RFM segmentation ------------------------------------------------
     //
     // Recency/frequency/monetary quintile scoring per user over the
