@@ -141,4 +141,49 @@ object Clustering {
         a.getField("c").cast("long").as("cluster"),
         (floor(a.getField("d") * 1e4 + 0.5) / 1e4).as("dist"))
   }
+
+  /** Simplified (centroid-based, "medoid-free") silhouette per cluster
+    * label: a = distance to the OWN label's centroid, b = distance to the
+    * nearest OTHER centroid, s = (b−a)/max(a,b) — the standard clustering-
+    * quality screen (how separable are the labels in embedding space?)
+    * at O(n·k) instead of the exact silhouette's O(n²).
+    *
+    * Determinism: centroids are per-dim means rounded 1e-6 before use
+    * (the whiten stance); distances are exact left-to-right folds over
+    * the rounded centroids (the PCA stance), so an oracle replays them
+    * bit-for-bit. Output per label: (label, n, mean_sil, mean_a, mean_b),
+    * means rounded 1e-4.
+    *
+    * Shape: one (label, dim) aggregate for centroids (k×d cells), then a
+    * broadcast of the k×d matrix into one scan computing all k distances
+    * per row — no shuffle carries vectors.
+    */
+  def silhouette(emb: DataFrame, labelCol: String = "label"): DataFrame = {
+    val e = parsed(emb).join(
+      emb.select(col("vec_id"), col(labelCol).cast("long").as("__lbl")), "vec_id")
+    val cent = e.select(col("__lbl"), posexplode(col("v")).as(Seq("__p", "__x")))
+      .groupBy(col("__lbl"), col("__p"))
+      .agg((floor(avg(col("__x")) * 1e6 + 0.5) / 1e6).as("__mu"))
+      .groupBy(col("__lbl"))
+      .agg(sort_array(collect_list(struct(col("__p"), col("__mu")))).as("__st"))
+      .select(col("__lbl").as("__clbl"),
+        transform(col("__st"), s => s.getField("__mu")).as("__c"))
+    val dist = sqrt(aggregate(
+      zip_with(col("v"), col("__c"), (x, c) => (x - c) * (x - c)),
+      lit(0.0), (acc, x) => acc + x))
+    val d = e.crossJoin(broadcast(cent))
+      .select(col("vec_id"), col("__lbl"), col("__clbl"), dist.as("__d"))
+    val ab = d.groupBy(col("vec_id"))
+      .agg(first(col("__lbl")).as("label"),
+        max(when(col("__lbl") === col("__clbl"), col("__d"))).as("__a"),
+        min(when(col("__lbl") =!= col("__clbl"), col("__d"))).as("__b"))
+    ab.select(col("label"),
+        ((col("__b") - col("__a")) / greatest(col("__a"), col("__b"))).as("__s"),
+        col("__a"), col("__b"))
+      .groupBy(col("label"))
+      .agg(count(lit(1)).as("n"),
+        (floor(avg(col("__s")) * 1e4 + 0.5) / 1e4).as("mean_sil"),
+        (floor(avg(col("__a")) * 1e4 + 0.5) / 1e4).as("mean_a"),
+        (floor(avg(col("__b")) * 1e4 + 0.5) / 1e4).as("mean_b"))
+  }
 }

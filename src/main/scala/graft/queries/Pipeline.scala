@@ -1244,6 +1244,38 @@ object Pipeline {
       },
       Some(decontamOracle)),
 
+    // Centroid-silhouette clustering-quality screen over the ground-truth
+    // labels: rounded per-dim centroids, exact left-fold distances — the
+    // oracle replays both (the PCA/whiten determinism stances combined).
+    Q("q_pl_silhouette",
+      (s, dir) => graft.pipeline.Clustering.silhouette(Tables.embeddings(s, dir))
+        .orderBy("label"),
+      Some(s"""WITH el AS (
+              |  SELECT vec_id, [CAST(x AS DOUBLE) for x in embedding] AS v,
+              |         CAST(label AS BIGINT) AS lbl
+              |  FROM embeddings),
+              |cent AS (
+              |  SELECT lbl, i, floor(avg(v[i]) * 1e6 + 0.5) / 1e6 AS mu
+              |  FROM el CROSS JOIN range(1, 65) t(i) GROUP BY 1, 2),
+              |cl AS (SELECT lbl AS clbl, list(mu ORDER BY i) AS c
+              |       FROM cent GROUP BY 1),
+              |d AS (
+              |  SELECT vec_id, lbl, clbl,
+              |         sqrt(list_reduce([(v[i] - c[i]) * (v[i] - c[i])
+              |                           for i in range(1, 65)],
+              |                          (a, b) -> a + b)) AS dist
+              |  FROM el CROSS JOIN cl),
+              |ab AS (
+              |  SELECT vec_id, max(lbl) AS label,
+              |         max(CASE WHEN lbl = clbl THEN dist END) AS a,
+              |         min(CASE WHEN lbl <> clbl THEN dist END) AS b
+              |  FROM d GROUP BY 1)
+              |SELECT label, count(*) AS n,
+              |       floor(avg((b - a) / greatest(a, b)) * 1e4 + 0.5) / 1e4 AS mean_sil,
+              |       floor(avg(a) * 1e4 + 0.5) / 1e4 AS mean_a,
+              |       floor(avg(b) * 1e4 + 0.5) / 1e4 AS mean_b
+              |FROM ab GROUP BY 1 ORDER BY label""".stripMargin)),
+
     // Top principal component by power iteration (5 rounds, deterministic
     // rounded iterates — the k-means/BPE replay stance): the oracle
     // rebuilds the rounded covariance and unrolls the same 5 matvec
