@@ -824,6 +824,15 @@ class StreamingSpec extends AnyFunSuite {
     assert(batch.map(_._2) === Set(87000L, 88000L), "two interior buckets")
     assert(run("lt_stagger", pts.grouped(3).toSeq) === batch)
     assert(run("lt_onebatch", Seq(pts)) === batch)
+    // gap case: bucket 88000 empty — neighbors skip it exactly like the
+    // batch lag/lead over EXISTING buckets
+    val gappy = pts.filterNot(p => p._2 >= b + 2000L && p._2 < b + 3000L)
+    val gbatch = graft.operators.Downsample.lttb(
+        gappy.toDF("series", "time", "value"), step = 1000L, tieCols = Seq("value"))
+      .select("series", "bucket", "time", "value", "area")
+      .as[(String, Long, Long, Double, Double)].collect().toSet
+    assert(gbatch.map(_._2) === Set(87000L), "interior bucket with a gapped successor")
+    assert(run("lt_gap", gappy.grouped(3).toSeq) === gbatch)
   }
 
   test("streaming attribution matches the batch first/last-touch frames") {
