@@ -2067,6 +2067,67 @@ object Pipeline {
               |FROM (SELECT DISTINCT q_id FROM f5) q
               |LEFT JOIN hits USING (q_id) ORDER BY q_id""".stripMargin)),
 
+    // Recall curve of the Hamming serving route vs exact retrieval at
+    // k ∈ {1, 5, 10} — the acceptance eval before trusting the 16-byte
+    // candidate scan in production. Oracle replays the index algorithm
+    // (per-k candidate pools — NOT prefixes of each other) AND the exact
+    // baseline, then intersects.
+    Q("q_ann_recall_curve",
+      (s, dir) => {
+        val emb = Tables.embeddings(s, dir)
+        val q = emb.filter(col("vec_id") < 10)
+        Seq(1, 5, 10).map { k =>
+          val ex = Similarity.bruteForceTopK(emb, q, k).select(col("q_id"), col("vec_id"))
+          val hm = Similarity.hammingTopK(emb, q, k).select(col("q_id"), col("vec_id"))
+          val hits = hm.join(ex, Seq("q_id", "vec_id"))
+            .groupBy("q_id").agg(count(lit(1)).as("n_hit"))
+          ex.select("q_id").distinct().join(hits, Seq("q_id"), "left")
+            .agg(
+              (floor(avg(coalesce(col("n_hit"), lit(0L)) / k.toDouble) * 1e4 + 0.5) / 1e4)
+                .as("recall"),
+              count(lit(1)).as("n_queries"))
+            .select(lit(k.toLong).as("k"), col("recall"), col("n_queries"))
+        }.reduce(_ unionAll _).orderBy("k")
+      },
+      Some {
+        val perK = Seq(1, 5, 10).map { k =>
+          s"""cand$k AS (
+             |  SELECT a.vec_id AS q_id, a.v AS qv, b.vec_id, b.v,
+             |         row_number() OVER (PARTITION BY a.vec_id
+             |           ORDER BY bit_count(xor(a.sig_lo, b.sig_lo))
+             |                  + bit_count(xor(a.sig_hi, b.sig_hi)), b.vec_id) AS crank
+             |  FROM sig a JOIN sig b ON a.vec_id != b.vec_id
+             |  WHERE a.vec_id < 10),
+             |knn$k AS (
+             |  SELECT q_id, vec_id,
+             |         row_number() OVER (PARTITION BY q_id
+             |           ORDER BY cos DESC, vec_id) AS rank
+             |  FROM (SELECT q_id, vec_id, ${cosSql("qv", "v")} AS cos
+             |        FROM cand$k WHERE crank <= ${4 * k})),
+             |r$k AS (
+             |  SELECT CAST($k AS BIGINT) AS k,
+             |         floor(avg(coalesce(n_hit, 0) / $k.0) * 1e4 + 0.5) / 1e4 AS recall,
+             |         count(*) AS n_queries
+             |  FROM (SELECT DISTINCT q_id FROM ex WHERE rank <= $k) q
+             |  LEFT JOIN (
+             |    SELECT h.q_id, count(*) AS n_hit
+             |    FROM (SELECT q_id, vec_id FROM knn$k WHERE rank <= $k) h
+             |    JOIN (SELECT q_id, vec_id FROM ex WHERE rank <= $k) x
+             |      USING (q_id, vec_id) GROUP BY 1) hits USING (q_id))""".stripMargin
+        }.mkString(",\n")
+        s"""WITH $embCte,
+           |$sigCte,
+           |qf AS (SELECT vec_id AS q_id, v AS qv FROM e WHERE vec_id < 10),
+           |ex AS (
+           |  SELECT q_id, vec_id,
+           |         row_number() OVER (PARTITION BY q_id
+           |           ORDER BY ${cosSql("qv", "v")} DESC, vec_id) AS rank
+           |  FROM e CROSS JOIN qf WHERE vec_id != q_id),
+           |$perK
+           |SELECT * FROM r1 UNION ALL SELECT * FROM r5 UNION ALL SELECT * FROM r10
+           |ORDER BY k""".stripMargin
+      }),
+
     // Index-backed mutual NN — the corpus-scale route for q_ann_mutual_nn:
     // top-1 per vector via the Hamming candidate scan + exact rerank
     // (hammingTopK k=1, candMult=64), then the unchanged mutuality join.

@@ -1739,6 +1739,54 @@ object TimeSeries {
               |FROM err ORDER BY series""".stripMargin),
       benchExtra = true),
 
+    // ---- engagement: DAU / WAU / MAU + stickiness ------------------------
+    //
+    // Per day of the canonical window: distinct active users that day
+    // (DAU), over the trailing 7 days (WAU), over the trailing 28 days
+    // (MAU — window-clipped here), and DAU/WAU stickiness. Exact distinct
+    // counts via one (user, day) dedup pass then per-day COUNT(DISTINCT)
+    // over a bounded trailing join — the windowed-NDV shape; at 100 TB
+    // swap the trailing joins for merged HLL sketches (q_ts_ndv_approx's
+    // path) when exactness isn't required.
+    Q("q_ev_active_users",
+      (s, dir) => {
+        val days = Tables.events(s, dir)
+          .select(col("user_id"),
+            (((col("ts") / 1000000000L).cast("long")) / 86400L).cast("long").as("day"))
+          .distinct()
+        val spine = days.select(col("day")).distinct()
+        val dau = days.groupBy("day").agg(count(lit(1)).as("dau"))
+        val wau = spine.as("s").join(days.as("d"),
+            col("d.day") <= col("s.day") && col("d.day") > col("s.day") - 7)
+          .groupBy(col("s.day").as("day"))
+          .agg(countDistinct(col("user_id")).as("wau"))
+        val mau = spine.as("s").join(days.as("d"),
+            col("d.day") <= col("s.day") && col("d.day") > col("s.day") - 28)
+          .groupBy(col("s.day").as("day"))
+          .agg(countDistinct(col("user_id")).as("mau"))
+        dau.join(wau, "day").join(mau, "day")
+          .select(col("day"), col("dau"), col("wau"), col("mau"),
+            (floor(col("dau") / col("wau") * 1e4 + 0.5) / 1e4).as("stickiness"))
+          .orderBy("day")
+      },
+      Some("""WITH days AS (
+             |  SELECT DISTINCT user_id,
+             |         (epoch_ns(ts) // 1000000000) // 86400 AS day
+             |  FROM events),
+             |spine AS (SELECT DISTINCT day FROM days),
+             |dau AS (SELECT day, count(*) AS dau FROM days GROUP BY 1),
+             |wau AS (SELECT s.day, count(DISTINCT user_id) AS wau
+             |        FROM spine s JOIN days d
+             |          ON d.day <= s.day AND d.day > s.day - 7 GROUP BY 1),
+             |mau AS (SELECT s.day, count(DISTINCT user_id) AS mau
+             |        FROM spine s JOIN days d
+             |          ON d.day <= s.day AND d.day > s.day - 28 GROUP BY 1)
+             |SELECT day, dau, wau, mau,
+             |       floor(dau * 1.0 / wau * 1e4 + 0.5) / 1e4 AS stickiness
+             |FROM dau JOIN wau USING (day) JOIN mau USING (day)
+             |ORDER BY day""".stripMargin),
+      benchExtra = true),
+
     // ---- CEP-lite row-pattern matching -----------------------------------
     //
     // MATCH_RECOGNIZE / Flink-CEP's common case as a regex over each
