@@ -528,7 +528,7 @@ object Pipeline {
     // Matryoshka eval
     "q_pl_decontam_bloom", "q_pl_ks_drift", "q_pl_zipf", "q_pl_readability",
     "q_ann_matryoshka", "q_pl_whiten", "q_pl_pca", "q_pl_minhash_est",
-    "q_pl_dup_clusters_star", "q_pl_silhouette")
+    "q_pl_dup_clusters_star", "q_pl_silhouette", "q_ann_recall_curve")
 
   def qs: Seq[Q] = {
     val all = raw.map(q => if (ExtraBench(q.name)) q.copy(benchExtra = true) else q)

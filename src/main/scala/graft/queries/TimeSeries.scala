@@ -1739,6 +1739,41 @@ object TimeSeries {
               |FROM err ORDER BY series""".stripMargin),
       benchExtra = true),
 
+    // ---- SLA / downtime rollup -------------------------------------------
+    //
+    // Per series over the canonical window: dark time = Σ(gap − 600s)
+    // over inter-point gaps exceeding the 10-minute heartbeat, longest
+    // gap, and uptime%. One series-keyed lag pass over points, then a
+    // series-sized rollup — the ops SLA report the alerting gates
+    // (q_ts_gaps/absent) feed.
+    Q("q_ts_sla",
+      (s, dir) => {
+        val w = Window.partitionBy(col("series")).orderBy(col("time"), col("event_id"))
+        val pts = ev(s, dir).filter(col("time") >= T0 && col("time") < T1)
+          .withColumn("gap", col("time") - lag(col("time"), 1).over(w))
+        pts.groupBy("series")
+          .agg(count(lit(1)).as("n_points"),
+            sum(when(col("gap") > 600L, col("gap") - 600L).otherwise(0L)).as("downtime_s"),
+            max(col("gap")).as("max_gap_s"))
+          .select(col("series"), col("n_points"), col("downtime_s"), col("max_gap_s"),
+            (floor((lit(1.0) - col("downtime_s") / (T1 - T0).toDouble) * 1e6 + 0.5) / 1e6)
+              .as("uptime"))
+          .orderBy("series")
+      },
+      Some(s"""$svSql,
+              |g AS (
+              |  SELECT series,
+              |         time - lag(time) OVER (PARTITION BY series
+              |                                ORDER BY time, event_id) AS gap
+              |  FROM sv WHERE time >= $T0 AND time < $T1)
+              |SELECT series, count(*) AS n_points,
+              |       CAST(sum(CASE WHEN gap > 600 THEN gap - 600 ELSE 0 END) AS BIGINT) AS downtime_s,
+              |       max(gap) AS max_gap_s,
+              |       floor((1.0 - sum(CASE WHEN gap > 600 THEN gap - 600 ELSE 0 END)
+              |              / ${(T1 - T0).toDouble}) * 1e6 + 0.5) / 1e6 AS uptime
+              |FROM g GROUP BY 1 ORDER BY series""".stripMargin),
+      benchExtra = true),
+
     // ---- engagement: DAU / WAU / MAU + stickiness ------------------------
     //
     // Per day of the canonical window: distinct active users that day
