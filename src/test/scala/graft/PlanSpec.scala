@@ -488,6 +488,23 @@ class PlanSpec extends AnyFunSuite {
       "the replication is a broadcast nested-loop over a |groups|-row dim, never Cartesian")
   }
 
+  test("engagement/SLA/pattern gates: user- or series-keyed shuffles only") {
+    for (q <- Seq("q_ev_active_users", "q_ts_sla", "q_ev_pattern", "q_ev_rfm")) {
+      val p = plan(q)
+      assert(!p.contains("CartesianProduct"),
+        s"$q must not plan a Cartesian product:\n" + p.take(1200))
+    }
+    // the SLA window partitions by series, never whole-table
+    assert(plan("q_ts_sla").contains("series"), "sla window keys on series")
+  }
+
+  test("silhouette: k×d centroids broadcast into one distance scan") {
+    val p = plan("q_pl_silhouette")
+    assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastExchange"),
+      "centroid frame must broadcast:\n" + p.take(1200))
+    assert(!p.contains("SortMergeJoin"), "no vector-sized shuffle join")
+  }
+
   test("whitening joins dim-sized stats as a broadcast — the data pass never shuffles") {
     import org.apache.spark.sql.functions._
     val w = graft.pipeline.Projection.whiten(
