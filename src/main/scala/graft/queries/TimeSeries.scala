@@ -1739,6 +1739,59 @@ object TimeSeries {
               |FROM err ORDER BY series""".stripMargin),
       benchExtra = true),
 
+    // ---- block-jackknife standard error ----------------------------------
+    //
+    // Delete-one-DAY jackknife of each series' mean over the canonical
+    // window: leave-one-block-out means from per-day (sum, n) partials —
+    // uncertainty quantification that respects within-day autocorrelation
+    // (iid-row formulas understate the SE of correlated series). Per-day
+    // sums are pre-rounded 1e-6 (engine sum-order; the whiten stance);
+    // everything after is arithmetic over ~7 values per series. One
+    // (series, day) partial+final pass — the only data-sized work.
+    Q("q_ts_jackknife",
+      (s, dir) => {
+        val d = ev(s, dir).filter(col("time") >= T0 && col("time") < T1)
+          .groupBy(col("series"), (col("time") / 86400L).cast("long").as("day"))
+          .agg((floor(sum(col("value")) * 1e6 + 0.5) / 1e6).as("sd"),
+            count(lit(1)).as("nd"))
+        val tot = d.groupBy("series")
+          .agg(sum(col("sd")).as("st"), sum(col("nd")).as("nt"),
+            count(lit(1)).as("k"))
+        d.join(tot, "series")
+          .select(col("series"), col("k"),
+            (col("st") / col("nt")).as("mean_full"),
+            ((col("st") - col("sd")) / (col("nt") - col("nd"))).as("mean_i"))
+          .withColumn("avg_mi",
+            avg(col("mean_i")).over(Window.partitionBy(col("series"))))
+          .groupBy("series")
+          .agg(max(col("k")).as("n_blocks"),
+            (floor(max(col("mean_full")) * 1e6 + 0.5) / 1e6).as("mean"),
+            (floor(sqrt((max(col("k")) - lit(1.0)) / max(col("k"))
+              * sum(pow(col("mean_i") - col("avg_mi"), 2)))
+              * 1e6 + 0.5) / 1e6).as("se_jack"))
+          .orderBy("series")
+      },
+      Some(s"""$svSql,
+              |d AS (
+              |  SELECT series, time // 86400 AS day,
+              |         floor(sum(value) * 1e6 + 0.5) / 1e6 AS sd,
+              |         count(*) AS nd
+              |  FROM sv WHERE time >= $T0 AND time < $T1
+              |  GROUP BY 1, 2),
+              |tot AS (SELECT series, sum(sd) AS st, sum(nd) AS nt, count(*) AS k
+              |        FROM d GROUP BY 1),
+              |m AS (
+              |  SELECT d.series, k, st / nt AS mean_full,
+              |         (st - sd) / (nt - nd) AS mean_i
+              |  FROM d JOIN tot ON d.series = tot.series)
+              |SELECT series, CAST(max(k) AS BIGINT) AS n_blocks,
+              |       floor(max(mean_full) * 1e6 + 0.5) / 1e6 AS mean,
+              |       floor(sqrt((max(k) - 1.0) / max(k)
+              |           * sum(pow(mean_i - avg_mi, 2))) * 1e6 + 0.5) / 1e6 AS se_jack
+              |FROM (SELECT *, avg(mean_i) OVER (PARTITION BY series) AS avg_mi FROM m)
+              |GROUP BY series ORDER BY series""".stripMargin),
+      benchExtra = true),
+
     // ---- SLA / downtime rollup -------------------------------------------
     //
     // Per series over the canonical window: dark time = Σ(gap − 600s)
