@@ -1739,6 +1739,53 @@ object TimeSeries {
               |FROM err ORDER BY series""".stripMargin),
       benchExtra = true),
 
+    // ---- cohort LTV curve ------------------------------------------------
+    //
+    // Cumulative value per (cohort day, days-since-signup) — the revenue
+    // triangle behind lifetime-value projection: cohort = first-seen day,
+    // cell (cday, k) = Σ value from that cohort within k days, cumulative
+    // over k, per-user normalized. Same frames as q_ev_retention (one
+    // user-MIN, one equi-join), plus a cohort-keyed running sum over the
+    // ≤8-cell-per-cohort rollup.
+    Q("q_ev_cohort_ltv",
+      (s, dir) => {
+        val e = Tables.events(s, dir).select(col("user_id"), col("value"),
+          (((col("ts") / 1000000000L).cast("long")) / 86400L).cast("long").as("day"))
+        val cohort = e.groupBy("user_id").agg(min(col("day")).as("cday"))
+        val sizes = cohort.groupBy("cday").agg(count(lit(1)).as("n_users"))
+        val cells = e.join(cohort, "user_id")
+          .filter(col("day") - col("cday") <= 7)
+          .groupBy(col("cday"), (col("day") - col("cday")).as("k"))
+          .agg((floor(sum(col("value")) * 1e4 + 0.5) / 1e4).as("v"))
+        val w = Window.partitionBy(col("cday")).orderBy(col("k"))
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        cells.withColumn("cum_v", floor(sum(col("v")).over(w) * 1e4 + 0.5) / 1e4)
+          .join(broadcast(sizes), "cday")
+          .select(col("cday"), col("k"), col("v"), col("cum_v"), col("n_users"),
+            (floor(col("cum_v") / col("n_users") * 1e4 + 0.5) / 1e4).as("ltv_per_user"))
+          .orderBy("cday", "k")
+      },
+      Some("""WITH e AS (
+             |  SELECT user_id, value,
+             |         (epoch_ns(ts) // 1000000000) // 86400 AS day
+             |  FROM events),
+             |cohort AS (SELECT user_id, min(day) AS cday FROM e GROUP BY 1),
+             |sizes AS (SELECT cday, count(*) AS n_users FROM cohort GROUP BY 1),
+             |cells AS (
+             |  SELECT cday, day - cday AS k,
+             |         floor(sum(value) * 1e4 + 0.5) / 1e4 AS v
+             |  FROM e JOIN cohort USING (user_id)
+             |  WHERE day - cday <= 7 GROUP BY 1, 2),
+             |cum AS (
+             |  SELECT *, floor(sum(v) OVER (PARTITION BY cday ORDER BY k
+             |                               ROWS UNBOUNDED PRECEDING) * 1e4 + 0.5) / 1e4 AS cum_v
+             |  FROM cells)
+             |SELECT cday, k, v, cum_v, n_users,
+             |       floor(cum_v / n_users * 1e4 + 0.5) / 1e4 AS ltv_per_user
+             |FROM cum JOIN sizes USING (cday)
+             |ORDER BY cday, k""".stripMargin),
+      benchExtra = true),
+
     // ---- block-jackknife standard error ----------------------------------
     //
     // Delete-one-DAY jackknife of each series' mean over the canonical
