@@ -1739,6 +1739,70 @@ object TimeSeries {
               |FROM err ORDER BY series""".stripMargin),
       benchExtra = true),
 
+    // ---- ensemble anomaly vote -------------------------------------------
+    //
+    // Majority vote of three detectors over hourly bucket averages per
+    // series: global z-score (|z| ≥ 2.5, population σ), Tukey fences
+    // (1.5×IQR on exact quartiles), and MAD-z (≥ 3, 1.4826 scale). A
+    // point is anomalous when ≥ 2 detectors agree — the ensemble screen
+    // that kills single-detector false positives. Stats frames are
+    // series-sized broadcasts; the vote rides the bucket rollup.
+    Q("q_ts_anomaly_vote",
+      (s, dir) => {
+        val b = ev(s, dir).filter(col("time") >= T0 && col("time") < T1)
+          .groupBy(col("series"),
+            (col("time") - pmod(col("time"), lit(3600L))).as("bucket"))
+          .agg((floor(avg(col("value")) * 1e4 + 0.5) / 1e4).as("v"))
+        val stats = b.groupBy("series").agg(
+          avg(col("v")).as("mu"), stddev_pop(col("v")).as("sd"),
+          percentile(col("v"), lit(0.25)).as("q1"),
+          percentile(col("v"), lit(0.75)).as("q3"),
+          percentile(col("v"), lit(0.5)).as("med"))
+        val mad = b.join(broadcast(stats.select(col("series"), col("med"))), "series")
+          .groupBy("series")
+          .agg(percentile(abs(col("v") - col("med")), lit(0.5)).as("mad"))
+        val scored = b.join(broadcast(stats), "series").join(broadcast(mad), "series")
+          .withColumn("z_flag",
+            (abs(col("v") - col("mu")) / col("sd") >= 2.5).cast("long"))
+          .withColumn("tukey_flag",
+            (col("v") < col("q1") - lit(1.5) * (col("q3") - col("q1")) ||
+              col("v") > col("q3") + lit(1.5) * (col("q3") - col("q1"))).cast("long"))
+          .withColumn("mad_flag",
+            (abs(col("v") - col("med")) / (lit(1.4826) * col("mad")) >= 3.0).cast("long"))
+          .withColumn("votes", col("z_flag") + col("tukey_flag") + col("mad_flag"))
+        scored.filter(col("votes") >= 1)
+          .select(col("series"), col("bucket"), col("v"),
+            col("z_flag"), col("tukey_flag"), col("mad_flag"), col("votes"),
+            (col("votes") >= 2).as("anomaly"))
+          .orderBy("series", "bucket")
+      },
+      Some(s"""$svSql,
+              |b AS (
+              |  SELECT series, time - (time % 3600) AS bucket,
+              |         floor(avg(value) * 1e4 + 0.5) / 1e4 AS v
+              |  FROM sv WHERE time >= $T0 AND time < $T1 GROUP BY 1, 2),
+              |st AS (
+              |  SELECT series, avg(v) AS mu, stddev_pop(v) AS sd,
+              |         quantile_cont(v, 0.25) AS q1, quantile_cont(v, 0.75) AS q3,
+              |         quantile_cont(v, 0.5) AS med
+              |  FROM b GROUP BY 1),
+              |md AS (
+              |  SELECT b.series, quantile_cont(abs(v - med), 0.5) AS mad
+              |  FROM b JOIN st ON b.series = st.series GROUP BY 1),
+              |scored AS (
+              |  SELECT b.series, bucket, v,
+              |         CAST(abs(v - mu) / sd >= 2.5 AS BIGINT) AS z_flag,
+              |         CAST(v < q1 - 1.5 * (q3 - q1)
+              |              OR v > q3 + 1.5 * (q3 - q1) AS BIGINT) AS tukey_flag,
+              |         CAST(abs(v - med) / (1.4826 * mad) >= 3.0 AS BIGINT) AS mad_flag
+              |  FROM b JOIN st ON b.series = st.series JOIN md ON b.series = md.series)
+              |SELECT series, bucket, v, z_flag, tukey_flag, mad_flag,
+              |       z_flag + tukey_flag + mad_flag AS votes,
+              |       z_flag + tukey_flag + mad_flag >= 2 AS anomaly
+              |FROM scored WHERE z_flag + tukey_flag + mad_flag >= 1
+              |ORDER BY series, bucket""".stripMargin),
+      benchExtra = true),
+
     // ---- cohort LTV curve ------------------------------------------------
     //
     // Cumulative value per (cohort day, days-since-signup) — the revenue
