@@ -516,8 +516,13 @@ object Pipeline {
     // round-9 additions
     "q_ann_hamming", "q_pl_hard_negatives", "q_pl_semdedup",
     "q_pl_lm_bigram", "q_pl_rrf",
-    // round-8 continuation
-    "q_pl_pmi", "q_ann_mutual_nn", "q_pl_centrality",
+    // round-8 continuation. (q_ann_mutual_nn — the exact Θ(n²) oracle
+    // twin — was demoted from the sf0.1 extras in r10: it is ground-truth
+    // eval, not a serving path; the gated scale route q_ann_mutual_nn_idx
+    // keeps the per-op timing watch. Same for q_ann_recall_curve, whose
+    // exact brute arm is 3× the corpus by construction. Both remain full
+    // correctness gates at every SF. See BASELINE.md "r10 extras demotion".)
+    "q_pl_pmi", "q_pl_centrality",
     // round-9: index-backed scale routes for the two r8 weak grades, plus
     // q_ann_eval (gated in r8 but never benchmarked — ADVICE)
     "q_ann_mutual_nn_idx", "q_pl_centrality_knn", "q_ann_eval",
@@ -528,7 +533,7 @@ object Pipeline {
     // Matryoshka eval
     "q_pl_decontam_bloom", "q_pl_ks_drift", "q_pl_zipf", "q_pl_readability",
     "q_ann_matryoshka", "q_pl_whiten", "q_pl_pca", "q_pl_minhash_est",
-    "q_pl_dup_clusters_star", "q_pl_silhouette", "q_ann_recall_curve")
+    "q_pl_dup_clusters_star", "q_pl_silhouette")
 
   def qs: Seq[Q] = {
     val all = raw.map(q => if (ExtraBench(q.name)) q.copy(benchExtra = true) else q)

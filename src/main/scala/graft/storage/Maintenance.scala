@@ -3,6 +3,7 @@ package graft.storage
 import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
+import org.apache.hadoop.fs.{FileSystem, FileUtil, Path => HPath}
 
 /** Compaction + retention jobs, ported semantics:
   *  - compaction merges each (series, hour)'s rows and dedups identical
@@ -11,8 +12,76 @@ import org.apache.spark.sql.functions._
   *    order here is the monotone `seq` column;
   *  - retention drops whole hour partitions older than the TTL cutoff
   *    (`storage/retention.zig:4-20`) — a metadata-only partition delete.
+  *
+  * All filesystem traffic goes through the Hadoop [[FileSystem]] API
+  * resolved from each path's own scheme (the r7 `IvfIndex.compact` port,
+  * extended to the whole maintenance surface in r10), so the same code
+  * runs on file://, hdfs:// and s3a:// stores. Per-partition rewrites use
+  * a crash-safe swap through underscore-prefixed scratch dirs that
+  * Spark's file listing ignores — a concurrent reader never sees a
+  * half-written partition, and a malformed `hour_bucket=N.new` dir can no
+  * longer break typed partition discovery for the whole store (the old
+  * in-tree `.new` pattern). Swap order mirrors `IvfIndex.compact`:
+  * write tmp → rename live aside → rename tmp in → delete old; every
+  * rename result is checked and a crash mid-swap is repaired by
+  * [[recoverSwaps]] on the next maintenance call. As with the index,
+  * rename atomicity (and therefore the crash-safety guarantee) holds on
+  * file:// and hdfs://; s3a:// deployments should quiesce readers around
+  * maintenance or layer a commit-marker protocol on top.
   */
 object Maintenance {
+
+  private def fsFor(spark: SparkSession, path: String): (FileSystem, HPath) = {
+    val p = new HPath(path)
+    (p.getFileSystem(spark.sessionState.newHadoopConf()), p)
+  }
+
+  private def renameOrThrow(fs: FileSystem, src: HPath, dst: HPath): Unit =
+    if (!fs.rename(src, dst))
+      throw new java.io.IOException(s"maintenance: rename $src -> $dst failed")
+
+  /** Repair partitions parked by a crashed [[swapRewrite]]: a leftover in
+    * `_repack_old` whose live dir is missing is a swap that died between
+    * the two renames — restore it; one whose live dir exists is a
+    * completed swap whose delete didn't run — drop it. Called by every
+    * per-partition maintenance entry before it does anything else.
+    */
+  def recoverSwaps(spark: SparkSession, segRoot: String): Unit = {
+    val (fs, root) = fsFor(spark, segRoot)
+    val oldRoot = new HPath(root, "_repack_old")
+    if (fs.exists(oldRoot)) {
+      fs.listStatus(oldRoot).foreach { s =>
+        val live = new HPath(root, s.getPath.getName)
+        if (!fs.exists(live)) renameOrThrow(fs, s.getPath, live)
+        else fs.delete(s.getPath, true)
+      }
+      fs.delete(oldRoot, true)
+    }
+    val tmpRoot = new HPath(root, "_repack_tmp")
+    if (fs.exists(tmpRoot)) fs.delete(tmpRoot, true) // stale partial writes
+    ()
+  }
+
+  /** Crash-safe replacement of one child dir of `segRoot`: `writeTo` is
+    * given a scratch path under `_repack_tmp` (invisible to Spark's
+    * listing), then the live dir is swapped out through `_repack_old`.
+    * Nothing is deleted until the replacement is live.
+    */
+  private def swapRewrite(spark: SparkSession, segRoot: String, name: String)
+      (writeTo: String => Unit): Unit = {
+    val (fs, root) = fsFor(spark, segRoot)
+    val tmp = new HPath(root, s"_repack_tmp/$name")
+    val old = new HPath(root, s"_repack_old/$name")
+    if (fs.exists(tmp)) fs.delete(tmp, true)
+    writeTo(tmp.toString)
+    fs.mkdirs(old.getParent)
+    if (fs.exists(old)) fs.delete(old, true)
+    val live = new HPath(root, name)
+    renameOrThrow(fs, live, old)
+    renameOrThrow(fs, tmp, live)
+    fs.delete(old, true)
+    ()
+  }
 
   /** Continuous aggregate maintenance (the TimescaleDB continuous-
     * aggregate / materialized-rollup pattern): keep a per-(series,
@@ -27,6 +96,13 @@ object Maintenance {
     * touching one hour re-aggregates one hour, never the table — the
     * property that makes a rollup maintainable over years of history.
     *
+    * Signature listing and the manifest both go through the Hadoop
+    * FileSystem of their respective roots (store and rollup may live on
+    * different filesystems); the manifest is written to a `.tmp` sibling
+    * and renamed in, so a crashed refresh leaves the previous manifest
+    * intact and the next run simply re-refreshes (idempotent — rewriting
+    * an already-refreshed rollup partition is a no-op overwrite).
+    *
     * The rollup stores MERGEABLE partials (sum, n, min, max), not
     * averages: serving layers derive avg = sum/n, and coarser re-rollups
     * (day from hour) stay exact by re-summing. Rollup rows reflect the
@@ -40,16 +116,24 @@ object Maintenance {
     require(step > 0 && 3600 % step == 0,
       "rollup step must divide the hour partition")
     val spark = store.spark
-    val manifestFile = new java.io.File(dir, "_manifest.tsv")
+    val (rollFs, rollRoot) = fsFor(spark, dir)
+    val (segFs, _) = fsFor(spark, store.root)
+    val manifest = new HPath(rollRoot, "_manifest.tsv")
     val prev: Map[Long, String] =
-      if (!manifestFile.exists()) Map.empty
-      else scala.io.Source.fromFile(manifestFile).getLines().map { l =>
-        val Array(h, s) = l.split("\t", 2); h.toLong -> s
-      }.toMap
+      if (!rollFs.exists(manifest)) Map.empty
+      else {
+        val in = rollFs.open(manifest)
+        try scala.io.Source.fromInputStream(in, "UTF-8").getLines()
+          .filter(_.nonEmpty).map { l =>
+            val Array(h, s) = l.split("\t", 2); h.toLong -> s
+          }.toMap
+        finally in.close()
+      }
     def sigOf(h: Long): String = {
-      val d = new java.io.File(s"${store.root}/segments/hour_bucket=$h")
-      d.listFiles().toSeq.filter(_.isFile).filterNot(_.getName.startsWith("_"))
-        .map(f => s"${f.getName}:${f.length()}").sorted.mkString(",")
+      val d = new HPath(s"${store.root}/segments/hour_bucket=$h")
+      segFs.listStatus(d).toSeq.filter(_.isFile)
+        .filterNot(_.getPath.getName.startsWith("_"))
+        .map(s => s"${s.getPath.getName}:${s.getLen}").sorted.mkString(",")
     }
     val current = store.partitions().map(h => h -> sigOf(h)).toMap
     val changed = current.collect {
@@ -75,13 +159,15 @@ object Maintenance {
     // partitions — remove them so the rollup tracks deletes too
     val dropped = prev.keySet -- current.keySet
     dropped.foreach { h =>
-      val d = new java.io.File(s"$dir/rollup/hour_bucket=$h")
-      if (d.exists()) { d.listFiles().foreach(_.delete()); d.delete() }
+      rollFs.delete(new HPath(rollRoot, s"rollup/hour_bucket=$h"), true)
     }
-    manifestFile.getParentFile.mkdirs()
-    java.nio.file.Files.write(manifestFile.toPath,
-      current.toSeq.sorted.map { case (h, s) => s"$h\t$s" }
-        .mkString("\n").getBytes)
+    val manifestTmp = new HPath(rollRoot, "_manifest.tsv.tmp")
+    val out = rollFs.create(manifestTmp, true)
+    try out.write(current.toSeq.sorted.map { case (h, s) => s"$h\t$s" }
+      .mkString("\n").getBytes("UTF-8"))
+    finally out.close()
+    if (rollFs.exists(manifest)) rollFs.delete(manifest, false)
+    renameOrThrow(rollFs, manifestTmp, manifest)
     changed
   }
 
@@ -110,41 +196,44 @@ object Maintenance {
       .sortWithinPartitions(col("series_id"), col("time"))
       .write.mode(SaveMode.Overwrite).partitionBy("hour_bucket")
       .parquet(s"${store.root}/segments.compact")
-    // atomic-ish swap (manifest-entry swap in the reference, compact.zig:52-78)
-    val rootDir = new java.io.File(store.root)
-    val live = new java.io.File(rootDir, "segments")
-    val next = new java.io.File(rootDir, "segments.compact")
-    val bak = new java.io.File(rootDir, "segments.old")
-    if (bak.exists()) deleteRecursively(bak)
-    if (live.exists()) { live.renameTo(bak); () }
-    next.renameTo(live)
-    if (bak.exists()) deleteRecursively(bak)
+    // atomic swap (manifest-entry swap in the reference, compact.zig:52-78)
+    val (fs, rootDir) = fsFor(spark, store.root)
+    val live = new HPath(rootDir, "segments")
+    val next = new HPath(rootDir, "segments.compact")
+    val bak = new HPath(rootDir, "segments.old")
+    if (fs.exists(bak)) fs.delete(bak, true)
+    if (fs.exists(live)) renameOrThrow(fs, live, bak)
+    renameOrThrow(fs, next, live)
+    if (fs.exists(bak)) fs.delete(bak, true)
     spark.catalog.clearCache()
   }
 
   /** Compact selected hour partitions independently — one read+dedup+
     * rewrite per partition dir, no global shuffle; at scale each hour is
     * its own job (embarrassingly parallel, mirrors the reference's
-    * per-(series,hour) compaction unit).
+    * per-(series,hour) compaction unit). Crash-safe per-partition swap
+    * via [[swapRewrite]].
     */
-  def compactPartitions(store: SeriesStore, hours: Seq[Long]): Unit = hours.foreach { h =>
-    val dir = s"${store.root}/segments/hour_bucket=$h"
-    if (new java.io.File(dir).exists()) {
-      val deduped = dedupLastWins(
-        store.spark.read.schema(store.schema).parquet(dir))
-        .sortWithinPartitions(col("series_id"), col("time"))
-        .cache()
-      deduped.count()
-      deduped.write.mode(SaveMode.Overwrite).parquet(s"$dir.new")
-      deleteRecursively(new java.io.File(dir))
-      new java.io.File(s"$dir.new").renameTo(new java.io.File(dir))
-      store.spark.catalog.clearCache()
+  def compactPartitions(store: SeriesStore, hours: Seq[Long]): Unit = {
+    val segRoot = s"${store.root}/segments"
+    recoverSwaps(store.spark, segRoot)
+    val (fs, _) = fsFor(store.spark, segRoot)
+    hours.foreach { h =>
+      val name = s"hour_bucket=$h"
+      if (fs.exists(new HPath(s"$segRoot/$name"))) {
+        val deduped = dedupLastWins(
+          store.spark.read.schema(store.schema).parquet(s"$segRoot/$name"))
+          .sortWithinPartitions(col("series_id"), col("time"))
+          .cache()
+        deduped.count()
+        swapRewrite(store.spark, segRoot, name) { tmp =>
+          deduped.write.mode(SaveMode.Overwrite).parquet(tmp)
+        }
+        store.spark.catalog.clearCache()
+      }
     }
   }
 
-  /** Drop hour partitions strictly older than `cutoffTs` (epoch seconds).
-    * Pure directory delete — no data rewrite, constant-time per partition.
-    */
   /** Small-file compaction: re-layout every hour partition whose parquet
     * files average under `targetBytes / 2` into
     * `ceil(totalBytes / targetBytes)` files — the bin-packing maintenance
@@ -156,45 +245,51 @@ object Maintenance {
     *
     * Pure layout: no dedup (that is [[compact]]'s job), rows re-sorted
     * (series_id, time) within each output file — the same order segment
-    * writes guarantee. Per-hour independent jobs with the same
-    * rewrite-then-rename swap as [[compactPartitions]]; a crash between
-    * rename steps leaves either the old or the new complete directory on
-    * atomic-rename filesystems.
+    * writes guarantee. Per-hour independent jobs through the checked,
+    * crash-recoverable [[swapRewrite]] (scratch dirs invisible to
+    * partition discovery; a crash leaves the hour restorable by
+    * [[recoverSwaps]], never a half-state at the live path).
     *
     * Returns (hour, files_before, files_after, bytes) per compacted hour;
     * hours already at-or-under target density are untouched.
     */
   def compactSmallFiles(store: SeriesStore, targetBytes: Long): Seq[(Long, Int, Int, Long)] = {
     require(targetBytes > 0, "targetBytes must be positive")
-    val segRoot = new java.io.File(store.root, "segments")
-    val hourDirs = Option(segRoot.listFiles()).getOrElse(Array.empty[java.io.File])
-      .filter(f => f.isDirectory && f.getName.startsWith("hour_bucket="))
-    hourDirs.toSeq.sortBy(_.getName).flatMap { hd =>
-      val files = Option(hd.listFiles()).getOrElse(Array.empty[java.io.File])
-        .filter(_.getName.endsWith(".parquet"))
-      val total = files.map(_.length).sum
+    val segRoot = s"${store.root}/segments"
+    recoverSwaps(store.spark, segRoot)
+    val (fs, root) = fsFor(store.spark, segRoot)
+    val hourDirs = (if (fs.exists(root)) fs.listStatus(root) else Array.empty[org.apache.hadoop.fs.FileStatus])
+      .filter(s => s.isDirectory && s.getPath.getName.startsWith("hour_bucket="))
+    hourDirs.toSeq.sortBy(_.getPath.getName).flatMap { hd =>
+      val files = fs.listStatus(hd.getPath)
+        .filter(_.getPath.getName.endsWith(".parquet"))
+      val total = files.map(_.getLen).sum
       val n = files.length
       val want = math.max(1, math.ceil(total.toDouble / targetBytes).toInt)
       if (n > want && total.toDouble / n < targetBytes / 2.0) {
-        val hour = hd.getName.stripPrefix("hour_bucket=").toLong
-        val packed = store.spark.read.schema(store.schema).parquet(hd.toString)
+        val hour = hd.getPath.getName.stripPrefix("hour_bucket=").toLong
+        val packed = store.spark.read.schema(store.schema).parquet(hd.getPath.toString)
           .coalesce(want)
           .sortWithinPartitions(col("series_id"), col("time"))
           .cache()
         packed.count() // materialize before the overwrite
-        packed.write.mode(SaveMode.Overwrite).parquet(hd.toString + ".new")
-        deleteRecursively(hd)
-        new java.io.File(hd.toString + ".new").renameTo(hd)
+        swapRewrite(store.spark, segRoot, hd.getPath.getName) { tmp =>
+          packed.write.mode(SaveMode.Overwrite).parquet(tmp)
+        }
         store.spark.catalog.clearCache()
         Some((hour, n, want, total))
       } else None
     }
   }
 
+  /** Drop hour partitions strictly older than `cutoffTs` (epoch seconds).
+    * Pure directory delete — no data rewrite, constant-time per partition.
+    */
   def applyRetention(store: SeriesStore, cutoffTs: Long): Seq[Long] = {
     val dropped = store.partitions().filter(h => h + 3599 < cutoffTs)
+    val (fs, _) = fsFor(store.spark, store.root)
     dropped.foreach { h =>
-      deleteRecursively(new java.io.File(s"${store.root}/segments/hour_bucket=$h"))
+      fs.delete(new HPath(s"${store.root}/segments/hour_bucket=$h"), true)
     }
     dropped
   }
@@ -236,45 +331,40 @@ object Maintenance {
   }
 
   /** Row-level delete for `DELETE FROM <sel> WHERE <pred>`: rewrite only
-    * the hour partitions that may contain matches.
+    * the hour partitions that may contain matches, each through the
+    * crash-safe [[swapRewrite]].
     */
   def deleteRows(store: SeriesStore, predicate: org.apache.spark.sql.Column): Unit = {
     val affected = store.scan().filter(predicate)
       .select("hour_bucket").distinct().collect().map(_.getLong(0))
     if (affected.isEmpty) return
+    val segRoot = s"${store.root}/segments"
+    recoverSwaps(store.spark, segRoot)
     affected.foreach { h =>
-      val dir = s"${store.root}/segments/hour_bucket=$h"
-      val remaining = store.spark.read.schema(store.schema).parquet(dir)
+      val name = s"hour_bucket=$h"
+      val remaining = store.spark.read.schema(store.schema)
+        .parquet(s"$segRoot/$name")
         .withColumn("hour_bucket", lit(h))
         .filter(!predicate || predicate.isNull)
         .drop("hour_bucket")
         .cache()
       remaining.count()
-      remaining.write.mode(SaveMode.Overwrite).parquet(s"$dir.new")
-      deleteRecursively(new java.io.File(dir))
-      new java.io.File(s"$dir.new").renameTo(new java.io.File(dir))
+      swapRewrite(store.spark, segRoot, name) { tmp =>
+        remaining.write.mode(SaveMode.Overwrite).parquet(tmp)
+      }
       store.spark.catalog.clearCache()
     }
   }
 
-  /** Snapshot: recursive copy of the data dir (`snapshot.zig:3-47`). */
-  def snapshot(store: SeriesStore, dest: String): Unit =
-    copyRecursively(new java.io.File(store.root), new java.io.File(dest))
-
-  private def deleteRecursively(f: java.io.File): Unit = {
-    if (f.isDirectory) f.listFiles().foreach(deleteRecursively)
-    f.delete()
+  /** Snapshot: recursive copy of the data dir (`snapshot.zig:3-47`),
+    * through the Hadoop FS of source and destination (which may differ —
+    * snapshot-to-s3a from an hdfs store is the expected production use).
+    */
+  def snapshot(store: SeriesStore, dest: String): Unit = {
+    val (srcFs, src) = fsFor(store.spark, store.root)
+    val (dstFs, dst) = fsFor(store.spark, dest)
+    FileUtil.copy(srcFs, src, dstFs, dst, false, true,
+      store.spark.sessionState.newHadoopConf())
     ()
-  }
-
-  private def copyRecursively(src: java.io.File, dst: java.io.File): Unit = {
-    if (src.isDirectory) {
-      dst.mkdirs()
-      src.listFiles().foreach(c => copyRecursively(c, new java.io.File(dst, c.getName)))
-    } else {
-      java.nio.file.Files.copy(src.toPath, dst.toPath,
-        java.nio.file.StandardCopyOption.REPLACE_EXISTING)
-      ()
-    }
   }
 }

@@ -25,7 +25,13 @@ import java.security.MessageDigest
   * manifests, maintenance), not a data-plane operator — the payloads it
   * moves are segment FILES, streamed through a digest, never loaded into
   * executor memory. At real scale the same layout maps onto an object
-  * bucket (S3-style) with the identical id scheme.
+  * bucket (S3-style) with the identical id scheme. `rootPath` must live
+  * on storage SHARED by every driver that snapshots or restores (NFS/
+  * fuse-mounted bucket on a real cluster): the implementation uses local
+  * `java.io.File` I/O deliberately — content-addressed blobs are written
+  * once and immutable, so a shared POSIX mount is sufficient and the
+  * Hadoop FS indirection buys nothing here — but a driver-local `/tmp`
+  * root silently makes snapshots invisible to other drivers.
   */
 final class ObjectStore(rootPath: String) {
 
@@ -49,10 +55,17 @@ final class ObjectStore(rootPath: String) {
       val header = Array[Byte](objType.code,
         (payload.length & 0xff).toByte, ((payload.length >> 8) & 0xff).toByte,
         ((payload.length >> 16) & 0xff).toByte, ((payload.length >> 24) & 0xff).toByte)
-      val tmp = new File(f.getParentFile, id + ".tmp")
+      // unique temp per call: two concurrent puts of the same content must
+      // not interleave writes to one temp file (the atomic move would then
+      // publish corrupt bytes under a valid id); each writer races its OWN
+      // complete file to the final path and the loser's move is a no-op
+      // overwrite with identical bytes.
+      val tmp = File.createTempFile(id + ".", ".tmp", f.getParentFile)
       val out = Files.newOutputStream(tmp.toPath)
       try { out.write(header); out.write(payload) } finally out.close()
-      Files.move(tmp.toPath, f.toPath, StandardCopyOption.ATOMIC_MOVE)
+      try Files.move(tmp.toPath, f.toPath, StandardCopyOption.ATOMIC_MOVE,
+        StandardCopyOption.REPLACE_EXISTING)
+      catch { case _: java.nio.file.FileAlreadyExistsException => tmp.delete() }
     }
     id
   }
