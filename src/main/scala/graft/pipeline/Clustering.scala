@@ -159,6 +159,10 @@ object Clustering {
     * per row — no shuffle carries vectors.
     */
   def silhouette(emb: DataFrame, labelCol: String = "label"): DataFrame = {
+    // silhouette is undefined for a single label (min over the empty
+    // other-centroid set would null __b) — fail loudly, don't emit nulls
+    require(emb.select(col(labelCol)).distinct().limit(2).count() == 2,
+      s"silhouette needs >= 2 distinct '$labelCol' labels")
     val e = parsed(emb).join(
       emb.select(col("vec_id"), col(labelCol).cast("long").as("__lbl")), "vec_id")
     val cent = e.select(col("__lbl"), posexplode(col("v")).as(Seq("__p", "__x")))
@@ -177,8 +181,13 @@ object Clustering {
       .agg(first(col("__lbl")).as("label"),
         max(when(col("__lbl") === col("__clbl"), col("__d"))).as("__a"),
         min(when(col("__lbl") =!= col("__clbl"), col("__d"))).as("__b"))
+    // a point exactly on its centroid with b = 0 would divide 0/0; the
+    // standard convention scores s = 0 when a = b = 0 (degenerate
+    // coincident clusters carry no separation signal either way)
     ab.select(col("label"),
-        ((col("__b") - col("__a")) / greatest(col("__a"), col("__b"))).as("__s"),
+        when(greatest(col("__a"), col("__b")) > 0,
+          (col("__b") - col("__a")) / greatest(col("__a"), col("__b")))
+          .otherwise(lit(0.0)).as("__s"),
         col("__a"), col("__b"))
       .groupBy(col("label"))
       .agg(count(lit(1)).as("n"),

@@ -460,6 +460,7 @@ object Dedup {
       .select(greatest(col("doc_a"), col("doc_b")).as("u"),
         least(col("doc_a"), col("doc_b")).as("v"))
       .distinct().localCheckpoint()
+    var nEdges = edges.count()
     var stable = false
     var iter = 0
     while (!stable) {
@@ -482,8 +483,15 @@ object Dedup {
         .filter(col("w") =!= col("m"))
         .select(col("w").as("u"), col("m").as("v")).distinct()
         .localCheckpoint()
-      stable = ss.exceptAll(edges).isEmpty && edges.exceptAll(ss).isEmpty
+      // fixed-point test on two DISTINCT edge sets: equal cardinality +
+      // empty one-sided difference ⇔ set equality — one except job per
+      // round instead of two exceptAll materializations (the counts are
+      // near-free on the checkpointed frames), and the except job only
+      // runs at all once the cardinalities stop shrinking.
+      val nSs = ss.count()
+      stable = nSs == nEdges && ss.except(edges).isEmpty
       edges = ss
+      nEdges = nSs
       iter += 1
     }
     docs.select(col("doc_id"))

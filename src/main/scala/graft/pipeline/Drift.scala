@@ -28,6 +28,10 @@ object Drift {
     */
   def ksTest(df: DataFrame, grpCol: String, valCol: String, baseline: String): DataFrame = {
     val base = df.select(col(grpCol).as("g"), col(valCol).cast("double").as("v"))
+    // fail loudly on a misspelled/absent baseline — otherwise tb = 0
+    // silently nulls every group's ks (one metadata-sized limit(1) probe)
+    require(!base.filter(col("g") === baseline).isEmpty,
+      s"ksTest: baseline group '$baseline' has no rows in $grpCol")
     val others = base.filter(col("g") =!= baseline)
     val pairsDim = others.select(col("g").as("pair")).distinct()
     val taggedAll = others.select(col("g").as("pair"), lit(0L).as("is_base"), col("v"))

@@ -561,6 +561,15 @@ object TextAnalysis {
     *      and parity selection handles exactly that case.
     * The vocab is localCheckpoint'd per round (vocabulary-sized) so the
     * window/rebuild lineage does not nest across rounds.
+    *
+    * Driver-loop bound (r9 verdict #4): this EXACT greedy form runs one
+    * pair-count job + one argmax collect + one checkpoint per merge —
+    * 2·numMerges Spark jobs. The wall at real vocabulary sizes (30k
+    * merges = 60k driver round-trips) is the ROUND COUNT, not data
+    * volume; [[bpeTrainBatched]] is the scale path, applying a batch of
+    * token-disjoint merges per count job. The exact form stays as the
+    * oracle-replayable ground truth (q_pl_bpe) and as the batch=1 anchor
+    * the batched trainer is spec-pinned against.
     */
   def bpeTrain(docs: DataFrame, numMerges: Int): DataFrame = {
     require(numMerges >= 1, "bpeTrain needs at least one merge")
@@ -589,6 +598,80 @@ object TextAnalysis {
         merges += ((r, x, y, c))
         vocab = applyMerge(vocab, x, y).localCheckpoint()
         r += 1
+      }
+    }
+    import spark.implicits._
+    merges.toSeq.toDF("rank", "x", "y", "c")
+      .select(col("rank").cast("long"), col("x"), col("y"), col("c"))
+  }
+
+  /** Batched BPE training — the standard parallel-BPE trick that turns
+    * the merges=rounds driver loop of [[bpeTrain]] into
+    * ceil(numMerges/batch) rounds: each round counts pairs ONCE, then
+    * greedily selects up to `batch` candidates in (count desc, x, y)
+    * order subject to CONSERVATIVE disjointness — a candidate is skipped
+    * if its x or y intersects any already-selected pair's {x, y, x·y}.
+    * Token-disjoint merges commute and cannot change each other's
+    * occurrence counts (merging (a,b) only affects adjacencies involving
+    * a, b, or the new symbol ab), so every selected pair's recorded count
+    * is exactly the count the sequential trainer would have seen for it
+    * given the prior BATCHES — the round's merges all apply to the
+    * round-start vocab in one lineage, one checkpoint.
+    *
+    * Deviation contract (the parallel-BPE approximation): within a round,
+    * sequential greedy could interleave a pair CREATED by an earlier
+    * batch member (count(new ab·d) ≤ count(a,b)) ahead of a later batch
+    * member; the batched table can therefore differ from the exact
+    * greedy table in those positions. batch=1 is EXACTLY [[bpeTrain]]
+    * (spec-pinned); the gated oracle form stays the exact trainer.
+    *
+    * Driver jobs: 2 per ROUND (count+collect, checkpoint) — 30k merges
+    * at batch=16 is ~3.8k jobs instead of 60k; per-round shapes are
+    * unchanged (vocabulary-sized frames, island-parity apply, no UDF).
+    */
+  def bpeTrainBatched(docs: DataFrame, numMerges: Int, batch: Int = 8): DataFrame = {
+    require(numMerges >= 1, "bpeTrainBatched needs at least one merge")
+    require(batch >= 1, "batch must be >= 1")
+    val spark = docs.sparkSession
+    var vocab = spread(docs)
+      .select(explode(words(col("text"))).as("word"))
+      .filter(length(col("word")) > 0)
+      .groupBy("word").agg(count(lit(1)).as("cnt"))
+      .withColumn("toks", split(col("word"), ""))
+      .localCheckpoint()
+    val merges = scala.collection.mutable.ArrayBuffer.empty[(Int, String, String, Long)]
+    var exhausted = false
+    while (merges.size < numMerges && !exhausted) {
+      val want = math.min(batch, numMerges - merges.size)
+      val pc = vocab.select(col("cnt"),
+          explode(arrays_zip(
+            slice(col("toks"), lit(1), size(col("toks")) - 1),
+            slice(col("toks"), lit(2), size(col("toks")) - 1))).as("p"))
+        .select(col("p.0").as("x"), col("p.1").as("y"), col("cnt"))
+        .groupBy("x", "y").agg(sum("cnt").as("c"))
+      // over-fetch so conflicts can be skipped without a second job; the
+      // head candidate is always selectable, so a non-empty fetch always
+      // advances (no livelock), it just may fill less than `want`.
+      val top = pc.orderBy(col("c").desc, col("x"), col("y"))
+        .limit(want * 8 + 8).collect()
+      if (top.isEmpty) exhausted = true
+      else {
+        val used = scala.collection.mutable.Set.empty[String]
+        val sel = scala.collection.mutable.ArrayBuffer.empty[(String, String, Long)]
+        val it = top.iterator
+        while (sel.size < want && it.hasNext) {
+          val row = it.next()
+          val (x, y) = (row.getString(0), row.getString(1))
+          // x+y is screened too: a pair whose tokens or CREATED symbol
+          // touch an earlier selection waits for the next round
+          if (!used(x) && !used(y) && !used(x + y)) {
+            sel += ((x, y, row.getLong(2)))
+            used ++= Seq(x, y, x + y)
+          }
+        }
+        sel.foreach { case (x, y, c) => merges += ((merges.size + 1, x, y, c)) }
+        sel.foreach { case (x, y, _) => vocab = applyMerge(vocab, x, y) }
+        vocab = vocab.localCheckpoint()
       }
     }
     import spark.implicits._

@@ -26,6 +26,12 @@ object TimeSeries {
   val T0 = 1704067200L + 2 * 86400
   val T1 = 1704067200L + 9 * 86400
 
+  /** Deterministic per-user event cap for CEP pattern matching
+    * (q_ev_pattern): first N events by (time, event_id). Part of the
+    * gated semantics — the oracle replays the same cap.
+    */
+  val PatternCap = 1000
+
   /** events + epoch-second `time` + series columns (ns ts kept for
     * deterministic intra-second ordering).
     */
@@ -1992,16 +1998,27 @@ object TimeSeries {
     // user's event-type sequence: encode the ordered history as an
     // initial-letter string (s=signup c=click e=error v=view p=purchase)
     // and count non-overlapping matches of the pattern
-    // `s[cv]*p` (signup → any browsing → purchase). One bounded
-    // per-user collect (the sessionize stance: user histories are
-    // bounded), then the match is a codegen'd regexp over a short
-    // string — no per-event state machine, no window.
+    // `s[cv]*p` (signup → any browsing → purchase).
+    //
+    // Per-user state is BOUNDED deterministically (r9 verdict #5): a
+    // row_number pre-pass keeps each user's FIRST `PatternCap` events
+    // (ordered by time, event_id) before any per-group collect, so a bot
+    // account with an unbounded history contributes at most a
+    // PatternCap-char string to the aggregate — the window pre-pass
+    // itself is sort-based (spillable), never an in-memory group. The
+    // oracle replays the IDENTICAL cap, so truncation is part of the
+    // gated semantics, not a divergence; at the test SFs no user reaches
+    // the cap and outputs equal the uncapped form.
     Q("q_ev_pattern",
       (s, dir) => {
         val e = Tables.events(s, dir).select(col("user_id"),
           substring(col("event_type"), 1, 1).as("i"),
           (col("ts") / 1000000000L).cast("long").as("tsec"), col("event_id"))
-        e.groupBy("user_id")
+        val w = Window.partitionBy(col("user_id"))
+          .orderBy(col("tsec"), col("event_id"))
+        e.withColumn("__rn", row_number().over(w))
+          .filter(col("__rn") <= PatternCap)
+          .groupBy("user_id")
           .agg(array_join(transform(
             array_sort(collect_list(struct(col("tsec"), col("event_id"), col("i")))),
             x => x.getField("i")), "").as("seq"))
@@ -2011,10 +2028,12 @@ object TimeSeries {
           .withColumn("matched", col("n_matches") > 0)
           .orderBy("user_id")
       },
-      Some("""WITH e AS (
+      Some(s"""WITH e AS (
              |  SELECT user_id, substr(event_type, 1, 1) AS i,
              |         epoch_ns(ts) // 1000000000 AS tsec, event_id
-             |  FROM events),
+             |  FROM events
+             |  QUALIFY row_number() OVER (PARTITION BY user_id
+             |                             ORDER BY tsec, event_id) <= $PatternCap),
              |sq AS (
              |  SELECT user_id,
              |         string_agg(i, '' ORDER BY tsec, event_id) AS seq

@@ -31,8 +31,11 @@ object StreamOps {
       last: Option[(Long, String)], lastSeen: Long)
   final case class TransitionEdge(user_id: Long, src: String, dst: String,
       t_src: Long, t_dst: Long)
-  final case class LttbState(open: Map[Long, Vector[(Long, Double)]],
-      pending: Option[(Long, Vector[(Long, Double)])],
+  final case class TiedPoint(series: String, time: Long, value: Double,
+      tie: Double, event_time: java.sql.Timestamp)
+  // point triples are (time, value, tie)
+  final case class LttbState(open: Map[Long, Vector[(Long, Double, Double)]],
+      pending: Option[(Long, Vector[(Long, Double, Double)])],
       prevAnchor: Option[(Long, Double)], lastSeen: Long)
   final case class LttbPoint(series: String, bucket: Long, time: Long,
       value: Double, area: Double)
@@ -560,8 +563,13 @@ object StreamOps {
     * [[graft.operators.Downsample.lttb]]'s bucket-anchor variant: one
     * max-triangle-area point per closed (series, bucket), scored against
     * the neighboring NONEMPTY buckets' first-point anchors, exactly the
-    * batch operator's lag/lead-over-existing-buckets semantics (ties
-    * break on (time, value)).
+    * batch operator's lag/lead-over-existing-buckets semantics. Ties
+    * break on (time, tie key): `tieCol` names a NUMERIC column carried
+    * through the state (exact as a double up to 2^53 — event ids
+    * qualify) so streaming and batch use the SAME sort key — pass the
+    * column the batch call passes as `tieCols` (q_ts_lttb uses
+    * event_id); the default is the value itself, matching batch
+    * `tieCols = Seq("value")`.
     *
     * A bucket emits when (a) it is watermark-closed AND (b) its successor
     * bucket is watermark-closed — the successor's anchor (its earliest
@@ -582,17 +590,21 @@ object StreamOps {
       points: DataFrame,
       step: Long,
       watermarkDelay: String = "10 minutes",
-      retentionSecs: Long = 30 * 86400L): Dataset[LttbPoint] = {
+      retentionSecs: Long = 30 * 86400L,
+      tieCol: Option[String] = None): Dataset[LttbPoint] = {
     import spark.implicits._
     require(step > 0, "lttb needs a positive bucket step")
-    points.select(col("series"), col("time").cast("long"), col("value").cast("double"))
+    val tie = tieCol.map(c => col(c).cast("double"))
+      .getOrElse(col("value").cast("double"))
+    points.select(col("series"), col("time").cast("long"),
+        col("value").cast("double"), tie.as("tie"))
       .withColumn("event_time", col("time").cast("timestamp"))
       .withWatermark("event_time", watermarkDelay)
-      .as[TimedPoint]
+      .as[TiedPoint]
       .groupByKey(_.series)
       .flatMapGroupsWithState[LttbState, LttbPoint](
         OutputMode.Append, GroupStateTimeout.EventTimeTimeout) {
-        (series: String, it: Iterator[TimedPoint], state: GroupState[LttbState]) =>
+        (series: String, it: Iterator[TiedPoint], state: GroupState[LttbState]) =>
           val wm = state.getCurrentWatermarkMs() / 1000L
           val st = state.getOption.getOrElse(LttbState(Map.empty, None, None, 0L))
           var open = st.open
@@ -601,7 +613,7 @@ object StreamOps {
             val b = p.time - math.floorMod(p.time, step)
             lastSeen = math.max(lastSeen, p.time)
             if (b + step > wm || open.contains(b))
-              open += b -> (open.getOrElse(b, Vector.empty) :+ ((p.time, p.value)))
+              open += b -> (open.getOrElse(b, Vector.empty) :+ ((p.time, p.value, p.tie)))
           }
           var pending = st.pending
           var prevAnchor = st.prevAnchor
@@ -609,21 +621,23 @@ object StreamOps {
           open.keys.toSeq.sorted.foreach { b =>
             if (b + step <= wm) {
               val pts = open(b); open -= b
-              val anchor = pts.minBy(identity) // (time, value) ascending
+              // (time, tie) ascending — the batch wIn ordering
+              val a0 = pts.minBy(p => (p._1, p._3))
+              val anchor = (a0._1, a0._2)
               pending match {
                 case Some((pb, ppts)) =>
                   prevAnchor.foreach { case (pt, pv) =>
                     val (nt, nv) = anchor
-                    val best = ppts.maxBy { case (t, v) =>
+                    val best = ppts.maxBy { case (t, v, k) =>
                       val area = math.abs((pt - nt) * (v - pv) - (pt - t) * (nv - pv))
-                      (area, -t.toDouble, -v)
+                      (area, -t.toDouble, -k)
                     }
                     val area = math.abs((pt - nt) * (best._2 - pv) -
                       (pt - best._1) * (nv - pv))
                     out += LttbPoint(series, pb, best._1, best._2,
                       math.floor(area * 1e4 + 0.5) / 1e4)
                   }
-                  prevAnchor = Some(ppts.minBy(identity))
+                  prevAnchor = Some { val m = ppts.minBy(p => (p._1, p._3)); (m._1, m._2) }
                 case None => ()
               }
               pending = Some((b, pts))
@@ -1029,6 +1043,90 @@ object StreamOps {
             val out = SeriesEma(series, ema, n)
             state.update(out)
             Iterator.single(out)
+          }
+      }
+  }
+
+  final case class HhEvent(word: String, time: Long,
+      event_time: java.sql.Timestamp, window: Long, shard: Int)
+  final case class HhState(counters: Map[String, Long], n: Long)
+  final case class HeavyHitterRow(window: Long, shard: Int, word: String,
+      cnt: Long, n: Long)
+
+  /** Streaming heavy hitters — the live twin of
+    * [[graft.pipeline.TextAnalysis.heavyHitters]]: Misra–Gries is
+    * natively streaming, so each (window, shard) group keeps exactly the
+    * batch pass-1 sketch (≤ k−1 counters + a running total) and emits its
+    * survivors once the window is watermark-closed.
+    *
+    * Guarantees (the MG bounds, valid under ANY arrival order):
+    *  - every word with true count > n/k in the shard IS a survivor (no
+    *    false negatives) — and with words hash-sharded, a globally-heavy
+    *    word is heavy inside its own shard (its full count lands there
+    *    while the shard total can only shrink), so sharding for
+    *    throughput costs no recall;
+    *  - a survivor's counter is a lower bound: cnt ≤ true ≤ cnt + n/k.
+    *    `cnt * k > n` therefore CONFIRMS heaviness; when the sketch never
+    *    decremented (distinct words in the window ≤ k−1) counters are
+    *    exact and that filter reproduces the batch operator's output —
+    *    the regime the spec pins. The batch twin's exact second pass has
+    *    no streaming analogue (the data is gone), which is why the
+    *    streaming contract is the sketch's own guarantee, stated, rather
+    *    than a silent approximation.
+    *
+    * State per (window, shard): k−1 counters — watermark-bounded count
+    * of open windows, each O(k). `numShards > 1` spreads a hot window
+    * across tasks at the price of per-shard totals in `n` (callers
+    * re-aggregate the global total by summing one row per shard).
+    */
+  def heavyHitters(
+      spark: SparkSession,
+      words: DataFrame,
+      k: Int,
+      windowSecs: Long,
+      watermarkDelay: String = "10 minutes",
+      numShards: Int = 1): Dataset[HeavyHitterRow] = {
+    import spark.implicits._
+    require(k >= 2, "heavy hitters needs k >= 2")
+    require(windowSecs > 0, "windowSecs must be positive")
+    require(numShards >= 1, "numShards must be >= 1")
+    words.select(col("word").cast("string"), col("time").cast("long"))
+      .withColumn("event_time", col("time").cast("timestamp"))
+      .withWatermark("event_time", watermarkDelay)
+      .withColumn("window", col("time") - pmod(col("time"), lit(windowSecs)))
+      .withColumn("shard", pmod(hash(col("word")), lit(numShards)).cast("int"))
+      .as[HhEvent]
+      .groupByKey(e => (e.window, e.shard))
+      .flatMapGroupsWithState[HhState, HeavyHitterRow](
+        OutputMode.Append, GroupStateTimeout.EventTimeTimeout) {
+        case ((window, shard), it, state) =>
+          val wm = state.getCurrentWatermarkMs() / 1000L
+          if (window + windowSecs <= wm) {
+            // watermark-closed: emit survivors (word-sorted for stable
+            // output), drop state; any rows in `it` are beyond-watermark
+            // stragglers — ignored, the other twins' late-row guard
+            val st = state.getOption.getOrElse(HhState(Map.empty, 0L))
+            if (state.exists) state.remove()
+            st.counters.toSeq.sortBy(_._1).map { case (w0, c) =>
+              HeavyHitterRow(window, shard, w0, c, st.n)
+            }.iterator
+          } else {
+            val st = state.getOption.getOrElse(HhState(Map.empty, 0L))
+            var m = st.counters
+            var n = st.n
+            it.foreach { e =>
+              n += 1
+              m.get(e.word) match {
+                case Some(c) => m += e.word -> (c + 1)
+                case None if m.size < k - 1 => m += e.word -> 1L
+                case None => m = m.collect {
+                  case (kk, c) if c > 1 => kk -> (c - 1)
+                }
+              }
+            }
+            state.update(HhState(m, n))
+            state.setTimeoutTimestamp((window + windowSecs) * 1000L)
+            Iterator.empty
           }
       }
   }

@@ -60,17 +60,29 @@ object AnnBench {
     // like `resident` above (the long-lived serving shape).
     val embResident = emb.persist()
     embResident.count()
-    val hamLats = (0 until batches).map { b =>
-      val lo = (b.toLong * 10) % math.max(nVec - 10, 1)
-      val qs = embResident.filter(col("vec_id") >= lo && col("vec_id") < lo + 10)
+    // Batch-size sweep: the Hamming route's latency floor is the per-BATCH
+    // local job overhead (scheduling + 2 shuffle stages), not per-query
+    // work — p50 at batch 1/10/100 puts numbers on that amortization claim
+    // (BASELINE.md "Hamming serving batch sweep").
+    def hamSweep(bs: Int): Seq[Double] = (0 until batches).map { b =>
+      val lo = (b.toLong * bs) % math.max(nVec - bs, 1)
+      val qs = embResident.filter(col("vec_id") >= lo && col("vec_id") < lo + bs)
       val t0 = System.nanoTime()
       graft.pipeline.Similarity.hammingTopK(embResident, qs, 5, candMult = 4).collect()
       (System.nanoTime() - t0) / 1e6
     }.drop(warmup).sorted
+    val hamLats = hamSweep(10)
+    val sweep = Seq(1, 10, 100).map { bs =>
+      val l = if (bs == 10) hamLats else hamSweep(bs)
+      bs -> l((0.50 * (l.length - 1)).round.toInt)
+    }
     def pct(p: Double): Double = lats((p * (lats.length - 1)).round.toInt)
     def pctHot(p: Double): Double = hotLats((p * (hotLats.length - 1)).round.toInt)
     def pctHam(p: Double): Double = hamLats((p * (hamLats.length - 1)).round.toInt)
-    println(f"""{"metric":"ann_serve","n_vectors":$nVec,"build_s":$buildS%.2f,"batches":${batches - warmup},"queries_per_batch":10,"p50_ms":${pct(0.50)}%.1f,"p95_ms":${pct(0.95)}%.1f,"p99_ms":${pct(0.99)}%.1f,"hot_p50_ms":${pctHot(0.50)}%.1f,"hot_p95_ms":${pctHot(0.95)}%.1f,"hot_p99_ms":${pctHot(0.99)}%.1f,"hamming_p50_ms":${pctHam(0.50)}%.1f,"hamming_p95_ms":${pctHam(0.95)}%.1f,"hamming_p99_ms":${pctHam(0.99)}%.1f,"sf":"$sfDir"}""")
+    val sweepJson = sweep.map { case (bs, p50) =>
+      f""""$bs":{"p50_ms":$p50%.1f,"per_query_ms":${p50 / bs}%.2f}"""
+    }.mkString("{", ",", "}")
+    println(f"""{"metric":"ann_serve","n_vectors":$nVec,"build_s":$buildS%.2f,"batches":${batches - warmup},"queries_per_batch":10,"p50_ms":${pct(0.50)}%.1f,"p95_ms":${pct(0.95)}%.1f,"p99_ms":${pct(0.99)}%.1f,"hot_p50_ms":${pctHot(0.50)}%.1f,"hot_p95_ms":${pctHot(0.95)}%.1f,"hot_p99_ms":${pctHot(0.99)}%.1f,"hamming_p50_ms":${pctHam(0.50)}%.1f,"hamming_p95_ms":${pctHam(0.95)}%.1f,"hamming_p99_ms":${pctHam(0.99)}%.1f,"hamming_batch_sweep":$sweepJson,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

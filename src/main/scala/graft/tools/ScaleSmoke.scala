@@ -210,6 +210,10 @@ object ScaleSmoke {
       // cloning) — only the one corpus pass that builds word counts
       // scales with mult
       timed("bpe")(TextAnalysis.bpeTrain(docs, 6)),
+      // the 64-merge depth the driver-loop bound note is about: exact =
+      // 2 jobs/merge, batched = 2 jobs/ROUND — the r10 curve in SCALE.md
+      timed("bpe64")(TextAnalysis.bpeTrain(docs, 64)),
+      timed("bpe64_batched")(TextAnalysis.bpeTrainBatched(docs, 64, batch = 8)),
       // round-9 continuation: drift/decontam/embedding-stats families
       timed("ks_drift")(graft.pipeline.Drift.ksTest(docs, "lang", "n_chars", "en")),
       timed("decontam_bloom")(graft.pipeline.Decontam.contaminationBloom(

@@ -420,6 +420,33 @@ class PipelineSpec extends AnyFunSuite {
     val z = graft.pipeline.Drift.ksTest(twin, "g", "n_chars", "a")
       .select("ks").as[Double].head()
     assert(z === 0.0)
+    // a misspelled baseline fails loudly instead of nulling every ks
+    val e = intercept[IllegalArgumentException] {
+      graft.pipeline.Drift.ksTest(docs, "lang", "n_chars", "no_such_lang")
+    }
+    assert(e.getMessage.contains("no_such_lang"))
+  }
+
+  test("silhouette: degenerate coincident clusters score 0, single label rejected") {
+    import graft.pipeline.Clustering
+    // two labels whose members sit EXACTLY on their centroids → a = 0;
+    // label 0's centroid coincides with... keep them apart: b > 0 → s = 1
+    // for separated, and a = b = 0 (coincident centroids) → s = 0
+    val sep = Seq(
+      (0L, Array(0f, 0f), 0L), (1L, Array(0f, 0f), 0L),
+      (2L, Array(4f, 4f), 1L), (3L, Array(4f, 4f), 1L)).toDF("vec_id", "embedding", "label")
+    val r1 = Clustering.silhouette(sep).select("label", "mean_sil")
+      .as[(Long, Double)].collect().toMap
+    assert(r1 === Map(0L -> 1.0, 1L -> 1.0), "on-centroid, well-separated → s = 1")
+    val coincident = Seq(
+      (0L, Array(1f, 1f), 0L), (1L, Array(1f, 1f), 0L),
+      (2L, Array(1f, 1f), 1L), (3L, Array(1f, 1f), 1L)).toDF("vec_id", "embedding", "label")
+    val r2 = Clustering.silhouette(coincident).select("mean_sil")
+      .as[Double].collect()
+    assert(r2.forall(_ === 0.0), "a = b = 0 scores 0 by convention, never null/NaN")
+    intercept[IllegalArgumentException] {
+      Clustering.silhouette(sep.withColumn("label", lit(0L))).collect()
+    }
   }
 
   test("LTTB emits exactly one INPUT point per interior bucket") {
@@ -1136,6 +1163,31 @@ class PipelineSpec extends AnyFunSuite {
     assert(m === Seq(
       (1L, "a", "a", 6L), (2L, "aa", "aa", 2L), (3L, "b", "b", 2L),
       (4L, "a", "b", 1L), (5L, "ab", "a", 1L)))
+  }
+
+  test("bpeTrainBatched: batch=1 equals the exact trainer; batches are token-disjoint") {
+    val d = docs.limit(40)
+    val exact = TextAnalysis.bpeTrain(d, 8)
+      .as[(Long, String, String, Long)].collect().toSeq.sortBy(_._1)
+    val b1 = TextAnalysis.bpeTrainBatched(d, 8, batch = 1)
+      .as[(Long, String, String, Long)].collect().toSeq.sortBy(_._1)
+    assert(b1 === exact, "batch=1 must reproduce sequential greedy exactly")
+    // batch=4: each round's merges must be mutually token-disjoint
+    // (including the created symbols) — the invariant that makes their
+    // recorded counts exact — and the table must be deterministic
+    val b4 = TextAnalysis.bpeTrainBatched(d, 8, batch = 4)
+      .as[(Long, String, String, Long)].collect().toSeq.sortBy(_._1)
+    assert(b4.size === 8)
+    b4.grouped(4).foreach { round =>
+      val sets = round.map(m => Set(m._2, m._3, m._2 + m._3))
+      assert(sets.flatten.distinct.size === sets.map(_.size).sum,
+        s"conflicting merges batched together: $round")
+    }
+    val b4again = TextAnalysis.bpeTrainBatched(d, 8, batch = 4)
+      .as[(Long, String, String, Long)].collect().toSeq.sortBy(_._1)
+    assert(b4again === b4, "batched trainer must be deterministic")
+    // the top merge of round 1 is count-invariant under batching
+    assert(b4.head === exact.head)
   }
 
   test("labelPropagation: deterministic sync rounds converge communities to min labels") {

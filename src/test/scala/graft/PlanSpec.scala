@@ -514,4 +514,37 @@ class PlanSpec extends AnyFunSuite {
       "stats must broadcast:\n" + p.take(1200))
     assert(!p.contains("SortMergeJoin"), "no data-sized shuffle join for stats")
   }
+
+  test("salted join spreads the hot key across reducers (partition histogram)") {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    // the operator's reason to exist: q_join_salted pins OUTPUT
+    // invariance; this pins the LAYOUT claim — the hot key's rows land
+    // in many shuffle partitions instead of one straggler. AQE and
+    // broadcast are disabled so the shuffle-hash layout is observable.
+    val saved = Seq("spark.sql.adaptive.enabled",
+      "spark.sql.autoBroadcastJoinThreshold").map(k => k -> spark.conf.get(k))
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      val fact = (0 until 4000).map(i =>
+        (i.toLong, if (i % 10 != 0) "hot" else s"k${i % 7}", i * 0.5))
+        .toDF("rid", "key", "v")
+      val dim = (Seq("hot") ++ (0 until 7).map(i => s"k$i"))
+        .zipWithIndex.map { case (k, i) => (k, i.toDouble) }.toDF("key", "w")
+      def hotPids(df: org.apache.spark.sql.DataFrame): Long = df
+        .withColumn("pid", spark_partition_id())
+        .filter(col("key") === "hot").select("pid").distinct().count()
+      val plainPids = hotPids(fact.join(dim, "key"))
+      assert(plainPids === 1L, s"unsalted hot key should sit on one reducer, got $plainPids")
+      val parts = spark.conf.get("spark.sql.shuffle.partitions").toInt
+      val saltedPids = hotPids(graft.operators.SaltedJoin.join(
+        fact, dim, "key", col("rid"), salts = 16))
+      // spread is bounded by min(salts, reducers); demand >= 3/4 of it
+      // (hash collisions across (key, salt) pairs can lose a reducer or two)
+      val bound = math.min(16, parts) * 3 / 4
+      assert(saltedPids >= bound,
+        s"16 salts should spread the hot key across >=$bound of $parts reducers, got $saltedPids")
+    } finally saved.foreach { case (k, v) => spark.conf.set(k, v) }
+  }
 }

@@ -835,6 +835,135 @@ class StreamingSpec extends AnyFunSuite {
     assert(run("lt_gap", gappy.grouped(3).toSeq) === gbatch)
   }
 
+  test("streaming LTTB tieCol matches batch tieCols at duplicate timestamps") {
+    import spark.implicits._
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val b = 86400L
+    // duplicate timestamps at each bucket's first instant, with tid order
+    // OPPOSITE to value order — anchor choice (and therefore areas and
+    // selections) depends on which tie key is used; q_ts_lttb's batch
+    // form ties on event_id, so the live twin must take the same key
+    val pts = Seq(
+      ("s1", b + 100L, 5.0, 2L), ("s1", b + 100L, 1.0, 7L), ("s1", b + 500L, 2.0, 3L),
+      ("s1", b + 1100L, 9.0, 4L), ("s1", b + 1100L, -2.0, 1L), ("s1", b + 1500L, 3.0, 5L),
+      ("s1", b + 2100L, -7.0, 6L), ("s1", b + 2500L, 4.0, 8L),
+      ("s1", b + 3100L, 5.0, 9L), ("s1", b + 3500L, 6.0, 10L))
+    val batch = graft.operators.Downsample.lttb(
+        pts.toDF("series", "time", "value", "tid"), step = 1000L, tieCols = Seq("tid"))
+      .select("series", "bucket", "time", "value", "area")
+      .as[(String, Long, Long, Double, Double)].collect().toSet
+    assert(batch.nonEmpty)
+    def run(tag: String, batches: Seq[Seq[(String, Long, Double, Long)]]) = {
+      val ms = MemoryStream[(String, Long, Double, Long)]
+      val f = StreamOps.lttb(spark, ms.toDF().toDF("series", "time", "value", "tid"),
+        step = 1000L, watermarkDelay = "60 seconds", tieCol = Some("tid"))
+      val q = f.writeStream.outputMode("append").format("memory").queryName(tag).start()
+      try {
+        batches.foreach { bt => ms.addData(bt); q.processAllAvailable() }
+        ms.addData(Seq(("wmpush", 10 * b, 0.0, 0L))); q.processAllAvailable()
+        spark.sql(s"select series, bucket, time, value, area from $tag where series = 's1'")
+          .as[(String, Long, Long, Double, Double)].collect().toSet
+      } finally q.stop()
+    }
+    assert(run("lt_tid_stagger", pts.grouped(3).toSeq) === batch)
+    assert(run("lt_tid_onebatch", Seq(pts)) === batch)
+  }
+
+  test("streaming heavy hitters: exact regime reproduces the batch filter; sharding preserves counts") {
+    import spark.implicits._
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val b = 86400L
+    // window 87000: a×5 b×3 c×1 (3 distinct = k−1 ⇒ sketch exact);
+    // window 88000: x×4 y×1
+    val w1 = Seq.fill(5)("a") ++ Seq.fill(3)("b") ++ Seq("c")
+    val w2 = Seq.fill(4)("x") ++ Seq("y")
+    val evs = w1.zipWithIndex.map { case (w, i) => (w, b + 1000L + i) } ++
+      w2.zipWithIndex.map { case (w, i) => (w, b + 2000L + i) }
+    def run(tag: String, batches: Seq[Seq[(String, Long)]], shards: Int) = {
+      val ms = MemoryStream[(String, Long)]
+      val f = StreamOps.heavyHitters(spark, ms.toDF().toDF("word", "time"),
+        k = 4, windowSecs = 1000L, watermarkDelay = "60 seconds", numShards = shards)
+      val q = f.writeStream.outputMode("append").format("memory").queryName(tag).start()
+      try {
+        batches.foreach { bt => ms.addData(bt); q.processAllAvailable() }
+        ms.addData(Seq(("wmpush", 10 * b))); q.processAllAvailable()
+        spark.sql(s"select window, shard, word, cnt, n from $tag where window < ${10 * b - 1000}")
+          .as[(Long, Int, String, Long, Long)].collect().toSet
+      } finally q.stop()
+    }
+    val want = Set(
+      (b + 600, 0, "a", 5L, 9L), (b + 600, 0, "b", 3L, 9L), (b + 600, 0, "c", 1L, 9L),
+      (b + 1600, 0, "x", 4L, 5L), (b + 1600, 0, "y", 1L, 5L))
+    val got = run("hh_onebatch", Seq(evs), 1)
+    assert(got === want)
+    assert(run("hh_stagger", evs.grouped(4).toSeq, 1) === want)
+    // the confirmed filter (cnt·k > n) IS the batch heavy-hitter set
+    assert(got.filter(r => r._4 * 4 > r._5).map(r => (r._1, r._3)) ===
+      Set((b + 600, "a"), (b + 600, "b"), (b + 1600, "x")))
+    // sharding: same per-word counters; per-shard totals sum to the window total
+    val sh = run("hh_sharded", Seq(evs), 3)
+    assert(sh.map(r => (r._1, r._3, r._4)) === want.map(r => (r._1, r._3, r._4)))
+    val totals = sh.map(r => (r._1, r._2, r._5)).groupBy(_._1)
+      .map { case (w, rows) => w -> rows.map(_._3).sum }
+    assert(totals === Map((b + 600) -> 9L, (b + 1600) -> 5L))
+    // approximate regime (distinct ≫ k−1): the true heavy word survives
+    // with its MG lower bound — no false negatives under any batching
+    val heavyEvs = (Seq.fill(10)("h") ++ (1 to 5).map(i => s"s$i"))
+      .zipWithIndex.map { case (w, i) => (w, b + 3000L + i) }
+    val ms2 = MemoryStream[(String, Long)]
+    val f2 = StreamOps.heavyHitters(spark, ms2.toDF().toDF("word", "time"),
+      k = 3, windowSecs = 1000L, watermarkDelay = "60 seconds")
+    val q2 = f2.writeStream.outputMode("append").format("memory").queryName("hh_approx").start()
+    val approx = try {
+      heavyEvs.grouped(4).foreach { bt => ms2.addData(bt); q2.processAllAvailable() }
+      ms2.addData(Seq(("wmpush", 10 * b))); q2.processAllAvailable()
+      spark.sql(s"select word, cnt, n from hh_approx where window = ${b + 2600}")
+        .as[(String, Long, Long)].collect()
+    } finally q2.stop()
+    val h = approx.find(_._1 == "h")
+    assert(h.nonEmpty, "true heavy hitter must survive the sketch")
+    assert(h.get._2 >= 10L - 15L / 3 && h.get._2 <= 10L, s"MG bound violated: $h")
+  }
+
+  test("streaming heavy hitters sketch recovers across a checkpointed restart") {
+    import spark.implicits._
+    val b = 86400L
+    // window [87000, 88000): a×5 b×3 c×1, SPLIT across the restart — the
+    // final counters are exact only if the sketch state recovers
+    val w1 = Seq.fill(5)("a") ++ Seq.fill(3)("b") ++ Seq("c")
+    val evs = w1.zipWithIndex.map { case (w, i) => (w, b + 1000L + i) }
+    def lines(xs: Seq[(String, Long)]) =
+      xs.map { case (w, t) => s"""{"word":"$w","time":$t}""" }
+    val d = ndjsonDir(lines(evs.take(4)))
+    val ckpt = Files.createTempDirectory("graft-hh-ckpt").toString
+    val acc = scala.collection.mutable.ArrayBuffer[(Long, String, Long, Long)]()
+    def run(): Unit = {
+      val src = spark.readStream.schema("word string, time long").json(d.toString)
+      val f = StreamOps.heavyHitters(spark, src, k = 4, windowSecs = 1000L,
+        watermarkDelay = "60 seconds").toDF()
+      val q = f.writeStream.outputMode("append")
+        .option("checkpointLocation", ckpt)
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .foreachBatch { (bf: org.apache.spark.sql.DataFrame, _: Long) =>
+          acc.synchronized {
+            acc ++= bf.collect().map(r =>
+              (r.getLong(0), r.getString(2), r.getLong(3), r.getLong(4)))
+          }
+          ()
+        }
+        .start()
+      try { q.awaitTermination(60000); () } finally q.stop()
+    }
+    run()
+    ndjsonDir(lines(evs.drop(4)) ++ lines(Seq(("wmpush", 10 * b))), d, "b.ndjson")
+    run()
+    val got = acc.filter(_._1 == b + 600).toSet
+    assert(got === Set((b + 600, "a", 5L, 9L), (b + 600, "b", 3L, 9L),
+      (b + 600, "c", 1L, 9L)))
+  }
+
   test("streaming attribution matches the batch first/last-touch frames") {
     import spark.implicits._
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
