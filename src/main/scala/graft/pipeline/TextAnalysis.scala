@@ -736,6 +736,61 @@ object TextAnalysis {
         (floor(sum(col("ntk")) / count(lit(1)) * 1e4 + 0.5) / 1e4).as("avg_tpw"))
   }
 
+  /** Count–min sketch coefficient schedule — PUBLIC so the oracle SQL is
+    * generated from the same constants (the MinHash-estimator lesson:
+    * replaying a sketch means replaying the FULL schedule).
+    */
+  val CmsP = 2147483647L
+  val CmsA = Seq(1000003L, 999983L, 999979L, 999961L)
+  val CmsB = Seq(17L, 31L, 47L, 61L)
+
+  /** Deterministic count–min sketch (Cormode & Muthukrishnan) frequency
+    * estimation: a depth×width counter table over the word stream, point
+    * estimates = min over rows of the hashed-bucket counters. One-sided
+    * error: est ≥ exact always, est ≤ exact + 2n/width w.h.p. — the
+    * mergeable, fixed-size summary for approximate frequencies when the
+    * vocabulary no longer fits anywhere (Misra–Gries answers "which are
+    * heavy", CMS answers "how often is THIS word", including non-heavy
+    * probes).
+    *
+    * Determinism across engines: row hashes are md5-derived `hash31`
+    * affine transforms under [[CmsP]] with the [[CmsA]]/[[CmsB]]
+    * schedule — no engine RNG, so a SQL oracle rebuilds the identical
+    * table cell for cell.
+    *
+    * Shape: ONE partial+final aggregate over depth stacked bucket
+    * projections (posexplode of a 4-element array — depth×n rows into a
+    * depth×width-cell result); the probe pass joins the ≤ depth×width
+    * cell frame back by broadcast. The exact-count frame here exists
+    * only to pick the probe set and pin the error empirically — at
+    * production scale the sketch REPLACES it.
+    *
+    * Output: (word, exact, cms_est) for the top `probeTopN` words by
+    * exact count (ties word-asc), est-over-exact visible per row.
+    */
+  def cmsEstimate(docs: DataFrame, width: Int = 256, probeTopN: Int = 20): DataFrame = {
+    require(width >= 2, "cms width must be >= 2")
+    require(probeTopN >= 1, "need at least one probe word")
+    val w = spread(docs)
+      .select(explode(words(col("text"))).as("word"))
+      .filter(length(col("word")) > 0)
+    def bucket(i: Int, wordHash: Column): Column =
+      pmod(pmod(wordHash * lit(CmsA(i)) + lit(CmsB(i)), lit(CmsP)), lit(width.toLong))
+    val cells = w
+      .select(posexplode(array(CmsA.indices.map(i => bucket(i, hash31(col("word")))): _*))
+        .as(Seq("row_i", "bucket")))
+      .groupBy("row_i", "bucket").agg(count(lit(1)).as("c"))
+    val exact = w.groupBy("word").agg(count(lit(1)).as("exact"))
+    val probes = exact.orderBy(col("exact").desc, col("word")).limit(probeTopN)
+    probes
+      .select(col("word"), col("exact"),
+        posexplode(array(CmsA.indices.map(i => bucket(i, hash31(col("word")))): _*))
+          .as(Seq("row_i", "bucket")))
+      .join(broadcast(cells), Seq("row_i", "bucket"))
+      .groupBy("word", "exact").agg(min(col("c")).as("cms_est"))
+      .orderBy(col("exact").desc, col("word"))
+  }
+
   def heavyHitters(docs: DataFrame, k: Int): DataFrame = {
     require(k >= 2, "heavy hitters needs k >= 2")
     val spark = docs.sparkSession

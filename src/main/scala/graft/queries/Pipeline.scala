@@ -533,7 +533,9 @@ object Pipeline {
     // Matryoshka eval
     "q_pl_decontam_bloom", "q_pl_ks_drift", "q_pl_zipf", "q_pl_readability",
     "q_ann_matryoshka", "q_pl_whiten", "q_pl_pca", "q_pl_minhash_est",
-    "q_pl_dup_clusters_star", "q_pl_silhouette")
+    "q_pl_dup_clusters_star", "q_pl_silhouette",
+    // round-10
+    "q_pl_cms")
 
   def qs: Seq[Q] = {
     val all = raw.map(q => if (ExtraBench(q.name)) q.copy(benchExtra = true) else q)
@@ -2205,6 +2207,39 @@ object Pipeline {
               |SELECT word, cnt, total FROM c CROSS JOIN tot
               |WHERE cnt * 100 > total
               |ORDER BY cnt DESC, word""".stripMargin)),
+
+    // Count–min sketch point-frequency estimation (r10): the mergeable
+    // fixed-size summary complementing Misra–Gries — MG answers "which
+    // words are heavy", CMS answers "how often is THIS word". The oracle
+    // rebuilds the 4×256 counter table from the SAME md5-derived affine
+    // hash schedule (generated from TextAnalysis.CmsA/CmsB — the
+    // replay-the-full-schedule lesson) and takes the same mins, so
+    // estimates hash-match cell for cell; est ≥ exact is visible per row.
+    Q("q_pl_cms",
+      (s, dir) => TextAnalysis.cmsEstimate(Tables.documents(s, dir)),
+      Some {
+        import graft.pipeline.TextAnalysis.{CmsA, CmsB, CmsP}
+        val width = 256
+        def bSql(i: Int) = s"((hv * ${CmsA(i)} + ${CmsB(i)}) % $CmsP) % $width"
+        val cellRows = CmsA.indices.map(i =>
+          s"SELECT $i AS row_i, ${bSql(i)} AS bucket, count(*) AS c FROM h GROUP BY 2")
+          .mkString(" UNION ALL ")
+        val prRows = CmsA.indices.map(i =>
+          s"SELECT word, exact, $i AS row_i, ${bSql(i)} AS bucket FROM ph")
+          .mkString(" UNION ALL ")
+        s"""WITH $wordsCte,
+           |wx AS (SELECT unnest(w) AS word FROM words),
+           |wf AS (SELECT word FROM wx WHERE len(word) > 0),
+           |h AS (SELECT ${h31("word")} AS hv FROM wf),
+           |cells AS ($cellRows),
+           |exact AS (SELECT word, count(*) AS exact FROM wf GROUP BY 1),
+           |probes AS (SELECT word, exact FROM exact ORDER BY exact DESC, word LIMIT 20),
+           |ph AS (SELECT word, exact, ${h31("word")} AS hv FROM probes),
+           |pr AS ($prRows)
+           |SELECT pr.word, pr.exact, min(c.c) AS cms_est
+           |FROM pr JOIN cells c ON pr.row_i = c.row_i AND pr.bucket = c.bucket
+           |GROUP BY 1, 2 ORDER BY exact DESC, word""".stripMargin
+      }),
 
     // Fuzzy (bounded edit distance) near-dup pairs: two-token blocking +
     // length band + Levenshtein <= 20 on the 80-char normalized prefix.

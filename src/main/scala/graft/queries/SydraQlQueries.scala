@@ -509,6 +509,49 @@ object SydraQlQueries {
               |FROM sv WHERE time >= $T0 AND time < ${T0 + 2 * 86400}
               |GROUP BY 1, 2 ORDER BY series, usr""".stripMargin)),
 
+    // CO-LOCATED join over the bucketed layout — the other query class
+    // bucketing exists for: enrich every point with its own series'
+    // aggregate (here: count points above the series mean). Both join
+    // inputs derive from the bucketed scan, so the per-series stats
+    // aggregate AND the merge join run on the scan's
+    // HashPartitioning(series_id) with NO hash Exchange anywhere
+    // (PlanSpec pins it on this gate's plan); at 100 TB this is the
+    // difference between a join that shuffles the full point set and one
+    // that never moves a row. `hint("merge")` keeps the demonstration
+    // honest — a broadcast of the stats frame would also avoid the
+    // shuffle, but only while per-series stats stay dimension-sized.
+    // The mean is pre-rounded 1e-6 before the comparison (the SAX
+    // stance: pin engine-order-dependent stats before APPLYING them).
+    Q("q_store_bucketed_join",
+      (s, dir) => {
+        val store = eventsStore(s, dir, T0, T0 + 2 * 86400, buckets = 8)
+        val sc = store.scan()
+        val stats = sc.groupBy(col("series_id"))
+          .agg((floor(avg(col("value")) * 1e6 + 0.5) / 1e6).as("mean_v"))
+        // final rollup keys on series_id too (series/usr are functions of
+        // it, carried via first) so the whole pipeline — stats agg, merge
+        // join, final agg — rides ONE partitioning, zero hash Exchanges
+        sc.hint("merge").join(stats, "series_id")
+          .groupBy(col("series_id"))
+          .agg(first(col("series")).as("series"),
+            first(col("tags")("user")).as("usr"),
+            count(lit(1)).as("n"),
+            sum(when(col("value") > col("mean_v"), 1L).otherwise(0L)).as("n_above"))
+          .select("series", "usr", "n", "n_above")
+          .orderBy("series", "usr")
+      },
+      Some(s"""$svSql, w AS (
+              |  SELECT * FROM sv WHERE time >= $T0 AND time < ${T0 + 2 * 86400}
+              |), m AS (
+              |  SELECT series, tag_user,
+              |         floor((avg(value)) * 1e6 + 0.5) / 1e6 AS mean_v
+              |  FROM w GROUP BY 1, 2
+              |)
+              |SELECT w.series, w.tag_user AS usr, count(*) AS n,
+              |       CAST(sum(CASE WHEN w.value > m.mean_v THEN 1 ELSE 0 END) AS BIGINT) AS n_above
+              |FROM w JOIN m ON w.series = m.series AND w.tag_user = m.tag_user
+              |GROUP BY 1, 2 ORDER BY w.series, usr""".stripMargin)),
+
     // Continuous aggregate: the rollup table is maintained INCREMENTALLY
     // across two appends (manifest-driven, only changed hour partitions
     // re-aggregate), stores mergeable partials, and the gate re-merges
@@ -658,6 +701,42 @@ object SydraQlQueries {
               |       floor((sum(value)) * 1e4 + 0.5) / 1e4 AS sum_v
               |FROM sv WHERE series = 'error' AND time >= $T0 AND time < ${T0 + 86400}
               |GROUP BY bucket ORDER BY bucket""".stripMargin)),
+
+    // ORC source/sink round-trip (r10 format breadth): the same events
+    // slice written as ORC (Spark's other built-in columnar format — the
+    // Hive-ecosystem interchange), read back, aggregated; the oracle
+    // reads the PARQUET originals, so equality pins write→read fidelity
+    // of longs/doubles/strings through the ORC codec path. Predicate
+    // pushdown/row-group pruning on ORC ride the same DataSource V1
+    // machinery the parquet scans use.
+    Q("q_store_orc_roundtrip",
+      (s, dir) => {
+        import org.apache.spark.sql.functions.{col, lit}
+        val orcDir = java.nio.file.Files.createTempDirectory("graft-gate-orc").toString + "/t"
+        Tables.events(s, dir)
+          .select(col("event_id"), col("event_type"), col("user_id"),
+            (col("ts") / lit(1000000000L)).cast("long").as("time"), col("value"))
+          .filter(col("time") >= T0 && col("time") < T0 + 86400)
+          .write.mode("overwrite").orc(orcDir)
+        s.read.orc(orcDir)
+          .filter(col("time") >= T0) // pushed predicate rides the ORC scan
+          .groupBy(col("event_type"))
+          .agg(count(lit(1)).as("n"),
+            (floor(sum(col("value")) * 1e4 + 0.5) / 1e4).as("sum_v"),
+            min(col("time")).as("t_min"), max(col("time")).as("t_max"),
+            countDistinct(col("user_id")).as("n_users"))
+          .orderBy("event_type")
+      },
+      Some(s"""WITH e AS (
+              |  SELECT event_type, user_id, epoch_ns(ts) // 1000000000 AS time, value
+              |  FROM events
+              |)
+              |SELECT event_type, count(*) AS n,
+              |       floor((sum(value)) * 1e4 + 0.5) / 1e4 AS sum_v,
+              |       min(time) AS t_min, max(time) AS t_max,
+              |       count(DISTINCT user_id) AS n_users
+              |FROM e WHERE time >= $T0 AND time < ${T0 + 86400}
+              |GROUP BY 1 ORDER BY event_type""".stripMargin)),
 
     // EXPLAIN surface (plan text is engine-specific → rows-only gate).
     Q("q_sql_explain",

@@ -51,6 +51,17 @@ class PlanSpec extends AnyFunSuite {
       s"series-keyed agg over the bucketed store must not shuffle:\n${p.take(1500)}")
   }
 
+  test("q_store_bucketed_join gate plan: stats agg + merge join + rollup share one partitioning") {
+    val df = SparkEntry.queries("q_store_bucketed_join")(spark, sf)
+    val p = df.queryExecution.executedPlan.toString
+    assert(p.contains("SortMergeJoin"), s"merge hint must hold:\n${p.take(1500)}")
+    // scan → per-series stats → co-located join → series-keyed rollup,
+    // all on the bucketed HashPartitioning(series_id); only the final
+    // ORDER BY's rangepartitioning over the per-series result may move rows
+    assert(!p.contains("Exchange hashpartitioning"),
+      s"co-located bucketed join must not shuffle:\n${p.take(2000)}")
+  }
+
   test("filters are pushed to the parquet scan") {
     val p = plan("q_scan_filter_project")
     assert(p.contains("PushedFilters:"), p.take(500))
