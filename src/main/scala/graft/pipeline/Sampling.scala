@@ -292,4 +292,66 @@ object Sampling {
       .withColumn("__rn", row_number().over(global)).filter(col("__rn") <= n)
       .drop("__h", "__pid", "__lrn", "__rn")
   }
+
+  /** Neyman-allocation stratified sample (Neyman 1934): a total budget
+    * `n` split across strata ∝ N_h·σ_h of `valueCol` — the
+    * variance-optimal allocation for estimating the population mean from
+    * a stratified draw (big AND internally-diverse strata get the
+    * samples; small or homogeneous strata need few). Completes the
+    * family: [[stratified]] takes fixed rates, [[capPerStratum]] fixed
+    * caps, [[rebalanceMixture]] fixed proportions — Neyman computes the
+    * caps FROM the data.
+    *
+    * Cross-engine determinism without rounding tricks: `valueCol` must
+    * be integer-valued (doc lengths, token counts — the usual dispersion
+    * proxies), so per-stratum Σx and Σx² are EXACT integer sums and
+    * N_h·σ_h = sqrt(N_h·Σx² − (Σx)²) is one correctly-rounded IEEE sqrt
+    * of an exact integer — no float fold order anywhere. Weights
+    * quantize to w_h = floor(N_h σ_h·1e3 + 0.5) (long), allocation is
+    * pure integer arithmetic k_h = min(N_h, n·w_h div W), and the draw
+    * is the same smallest-salted-hash keep as the rest of the family.
+    * Requires Σx² ≲ 2^62/max(N_h) to stay in long range — fine for
+    * per-document counts; pre-scale the value otherwise.
+    *
+    * Shape: one strata-sized aggregate (broadcast back), one ranked
+    * keep. All-constant strata get w_h = 0 — sampled only via the
+    * integer-division floor's remainder, i.e. effectively excluded, the
+    * Neyman limit behavior (σ = 0 strata need 0 samples for the mean).
+    */
+  def neymanSample(
+      df: DataFrame,
+      keyCol: String,
+      stratumCol: String,
+      valueCol: String,
+      n: Int,
+      salt: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    require(n >= 1, "need a positive sample budget")
+    val v = col(valueCol).cast("long")
+    val stats = df.groupBy(col(stratumCol))
+      .agg(count(lit(1)).as("__n"), sum(v).as("__s1"), sum(v * v).as("__s2"))
+      .withColumn("__w",
+        floor(sqrt((col("__n") * col("__s2") - col("__s1") * col("__s1"))
+          .cast("double")) * 1e3 + 0.5).cast("long"))
+    val total = stats.agg(sum(col("__w")).as("__wsum"))
+    // every stratum constant ⇒ W = 0 ⇒ the allocation is undefined —
+    // fail loudly (one strata-sized probe) instead of emitting nothing
+    require(total.head().getLong(0) > 0,
+      s"neymanSample: every '$stratumCol' stratum has zero variance in $valueCol")
+    val caps = stats.crossJoin(broadcast(total))
+      .withColumn("__k", least(col("__n"),
+        expr(s"(CAST($n AS BIGINT) * __w) div __wsum")))
+      .select(col(stratumCol), col("__k"))
+    val hashed = df.join(broadcast(caps), stratumCol)
+      .withColumn("__h", hashUnit(col(keyCol), salt))
+      .withColumn("__pid", spark_partition_id())
+    val local = Window.partitionBy(col("__pid"), col(stratumCol))
+      .orderBy(col("__h"), col(keyCol))
+    val global = Window.partitionBy(col(stratumCol))
+      .orderBy(col("__h"), col(keyCol))
+    hashed
+      .withColumn("__lrn", row_number().over(local)).filter(col("__lrn") <= col("__k"))
+      .withColumn("__rn", row_number().over(global)).filter(col("__rn") <= col("__k"))
+      .drop("__h", "__pid", "__lrn", "__rn", "__k")
+  }
 }

@@ -498,6 +498,34 @@ object Pipeline {
        |FROM scored WHERE rank <= 5 ORDER BY q_id, rank""".stripMargin
   }
 
+  /** BM25 top-20 for the fixed 3-term query — shared by the direct
+    * (`q_pl_bm25`) and at-rest-index (`q_pl_bm25_idx`) gates: both
+    * routes must reproduce this ranking exactly.
+    */
+  private val bm25Oracle =
+    s"""WITH $wordsCte,
+       |wl AS (SELECT doc_id, CAST(len([x for x in w if length(x) > 0]) AS DOUBLE) AS dl FROM words),
+       |st AS (SELECT floor(avg(dl) * 1e6 + 0.5) / 1e6 AS avgdl,
+       |              (SELECT count(*) FROM documents) AS nd FROM wl),
+       |tok AS (SELECT doc_id, unnest(w) AS term FROM words),
+       |tf AS (SELECT doc_id, term, CAST(count(*) AS DOUBLE) AS tf FROM tok
+       |       WHERE term IN ('spark', 'hash', 'merge') GROUP BY 1, 2),
+       |dfx AS (SELECT term, CAST(count(*) AS DOUBLE) AS df FROM tf GROUP BY 1),
+       |sc AS (
+       |  SELECT tf.doc_id,
+       |         sum(ln(1.0 + (st.nd - dfx.df + 0.5) / (dfx.df + 0.5))
+       |             * tf.tf * 2.2
+       |             / (tf.tf + 1.2 * (1.0 - 0.75 + 0.75 * wl.dl / st.avgdl))) AS s
+       |  FROM tf JOIN dfx USING (term) JOIN wl USING (doc_id) CROSS JOIN st
+       |  GROUP BY 1
+       |), r AS (
+       |  SELECT doc_id,
+       |         row_number() OVER (ORDER BY floor(s * 1e4 + 0.5) / 1e4 DESC, doc_id) AS rank,
+       |         floor(s * 1e4 + 0.5) / 1e4 AS score
+       |  FROM sc
+       |)
+       |SELECT doc_id, rank, score FROM r WHERE rank <= 20 ORDER BY rank""".stripMargin
+
   /** Round-3 ops timed by Bench outside the baseline-comparable total;
     * validated against the registry below so a rename can't silently drop
     * an op from the regression watch.
@@ -535,7 +563,7 @@ object Pipeline {
     "q_ann_matryoshka", "q_pl_whiten", "q_pl_pca", "q_pl_minhash_est",
     "q_pl_dup_clusters_star", "q_pl_silhouette",
     // round-10
-    "q_pl_cms")
+    "q_pl_cms", "q_pl_neyman", "q_pl_bm25_idx")
 
   def qs: Seq[Q] = {
     val all = raw.map(q => if (ExtraBench(q.name)) q.copy(benchExtra = true) else q)
@@ -996,28 +1024,22 @@ object Pipeline {
         TextAnalysis.bm25TopK(docs, Seq("spark", "hash", "merge"), docs.count(), 20)
           .orderBy("rank")
       },
-      Some(s"""WITH $wordsCte,
-              |wl AS (SELECT doc_id, CAST(len([x for x in w if length(x) > 0]) AS DOUBLE) AS dl FROM words),
-              |st AS (SELECT floor(avg(dl) * 1e6 + 0.5) / 1e6 AS avgdl,
-              |              (SELECT count(*) FROM documents) AS nd FROM wl),
-              |tok AS (SELECT doc_id, unnest(w) AS term FROM words),
-              |tf AS (SELECT doc_id, term, CAST(count(*) AS DOUBLE) AS tf FROM tok
-              |       WHERE term IN ('spark', 'hash', 'merge') GROUP BY 1, 2),
-              |dfx AS (SELECT term, CAST(count(*) AS DOUBLE) AS df FROM tf GROUP BY 1),
-              |sc AS (
-              |  SELECT tf.doc_id,
-              |         sum(ln(1.0 + (st.nd - dfx.df + 0.5) / (dfx.df + 0.5))
-              |             * tf.tf * 2.2
-              |             / (tf.tf + 1.2 * (1.0 - 0.75 + 0.75 * wl.dl / st.avgdl))) AS s
-              |  FROM tf JOIN dfx USING (term) JOIN wl USING (doc_id) CROSS JOIN st
-              |  GROUP BY 1
-              |), r AS (
-              |  SELECT doc_id,
-              |         row_number() OVER (ORDER BY floor(s * 1e4 + 0.5) / 1e4 DESC, doc_id) AS rank,
-              |         floor(s * 1e4 + 0.5) / 1e4 AS score
-              |  FROM sc
-              |)
-              |SELECT doc_id, rank, score FROM r WHERE rank <= 20 ORDER BY rank""".stripMargin)),
+      Some(bm25Oracle)),
+
+    // BM25 from the AT-REST inverted index (r10): build the term-bucket-
+    // partitioned postings (denormalized tf/dl/df per row), probe with
+    // the same query — partition pruning reads only the query terms'
+    // buckets (PlanSpec-asserted), zero joins at probe time. SAME oracle
+    // as q_pl_bm25: the index route must reproduce the direct ranking
+    // bit for bit.
+    Q("q_pl_bm25_idx",
+      (s, dir) => {
+        val idx = java.nio.file.Files.createTempDirectory("graft-gate-tix").toString + "/i"
+        graft.pipeline.TextIndex.build(Tables.documents(s, dir), idx)
+        graft.pipeline.TextIndex.topK(s, idx, Seq("spark", "hash", "merge"), 20)
+          .orderBy("rank")
+      },
+      Some(bm25Oracle)),
 
     // Per-doc top TF-IDF terms (keyword extraction), ranked on the rounded
     // score so cross-engine ln() ulps cannot flip near-ties.
@@ -1521,6 +1543,38 @@ object Pipeline {
            |  FROM lang
            |)
            |SELECT doc_id, pred_lang FROM r WHERE rn <= 50 ORDER BY doc_id""".stripMargin
+      }),
+
+    // Neyman-allocation stratified sample (r10): the 200-doc budget
+    // splits across languages ∝ N_h·σ_h of n_chars — computed entirely
+    // in integer arithmetic (Σx/Σx² exact, one IEEE sqrt, quantized
+    // weights, integer division), so the oracle replays the allocation
+    // AND the salted-hash draw bit for bit.
+    Q("q_pl_neyman",
+      (s, dir) => Sampling.neymanSample(
+          Tables.documents(s, dir).select(col("doc_id"), col("lang"), col("n_chars")),
+          "doc_id", "lang", "n_chars", 200, "ney7")
+        .orderBy("doc_id"),
+      Some {
+        val h = "CAST(concat('0x', substr(md5('ney7:' || CAST(doc_id AS VARCHAR)), 1, 15)) AS BIGINT) % 1000000"
+        s"""WITH st AS (
+           |  SELECT lang, count(*) AS n, CAST(sum(n_chars) AS BIGINT) AS s1,
+           |         CAST(sum(n_chars * n_chars) AS BIGINT) AS s2
+           |  FROM documents GROUP BY 1
+           |), w AS (
+           |  SELECT lang, n,
+           |         CAST(floor(sqrt(CAST(n * s2 - s1 * s1 AS DOUBLE)) * 1e3 + 0.5) AS BIGINT) AS wh
+           |  FROM st
+           |), tot AS (SELECT CAST(sum(wh) AS BIGINT) AS tw FROM w),
+           |caps AS (
+           |  SELECT lang, least(n, (200 * wh) // tw) AS k FROM w CROSS JOIN tot
+           |), r AS (
+           |  SELECT doc_id, lang, n_chars,
+           |         row_number() OVER (PARTITION BY lang ORDER BY $h, doc_id) AS rn
+           |  FROM documents
+           |)
+           |SELECT doc_id, lang, n_chars FROM r JOIN caps USING (lang)
+           |WHERE rn <= k ORDER BY doc_id""".stripMargin
       }),
 
     // Domain-mixture rebalance: downsample each source to a 1:2:3 target

@@ -158,6 +158,78 @@ object Relational {
              |GROUP BY c_mktsegment ORDER BY c_mktsegment""".stripMargin),
       bench = true),
 
+    // TPC-H Q3 (shipping priority) on the synthetic star schema — the
+    // classic selective-dimension + big-fact-join + top-K plan: customer
+    // segment filter broadcasts, orders⋈lineitem shuffles once on
+    // orderkey, the rounded-revenue top-10 compiles to
+    // TakeOrderedAndProject. Ties break on l_orderkey.
+    Q("q_tpch_q3",
+      (s, dir) => {
+        val c = Tables.customer(s, dir).filter(col("c_mktsegment") === "BUILDING")
+        val o = Tables.orders(s, dir)
+          .filter(col("o_orderdate") < lit("1998-03-15").cast("timestamp"))
+        val li = Tables.lineitem(s, dir)
+          .filter(col("l_shipdate") > lit("1998-03-15").cast("timestamp"))
+        li.join(o, li("l_orderkey") === o("o_orderkey"))
+          .join(broadcast(c), o("o_custkey") === c("c_custkey"))
+          .groupBy(col("l_orderkey"),
+            date_format(col("o_orderdate"), "yyyy-MM-dd").as("o_date"),
+            col("o_orderpriority"))
+          .agg((floor((sum(col("l_extendedprice") * (lit(1) - col("l_discount")))) * 1e4 + 0.5) / 1e4).as("revenue"))
+          .orderBy(col("revenue").desc, col("l_orderkey"))
+          .limit(10)
+      },
+      Some("""SELECT l_orderkey, strftime(o_orderdate, '%Y-%m-%d') AS o_date,
+             |       o_orderpriority,
+             |       floor((sum(l_extendedprice * (1 - l_discount))) * 1e4 + 0.5) / 1e4 AS revenue
+             |FROM lineitem
+             |JOIN orders ON l_orderkey = o_orderkey
+             |JOIN customer ON o_custkey = c_custkey
+             |WHERE c_mktsegment = 'BUILDING'
+             |  AND o_orderdate < TIMESTAMP '1998-03-15'
+             |  AND l_shipdate > TIMESTAMP '1998-03-15'
+             |GROUP BY 1, 2, 3
+             |ORDER BY revenue DESC, l_orderkey LIMIT 10""".stripMargin),
+      benchExtra = true),
+
+    // TPC-H Q5 (local supplier volume): the 6-table join with the
+    // customer-supplier SAME-NATION equi-condition — dims broadcast,
+    // the only shuffles are the fact keys (orderkey, then custkey side).
+    Q("q_tpch_q5",
+      (s, dir) => {
+        val li = Tables.lineitem(s, dir)
+        val o = Tables.orders(s, dir)
+          .filter(col("o_orderdate") >= lit("1996-01-01").cast("timestamp") &&
+            col("o_orderdate") < lit("1997-01-01").cast("timestamp"))
+        val c = Tables.customer(s, dir)
+        val sup = Tables.supplier(s, dir)
+        val n = Tables.nation(s, dir)
+        val r = Tables.region(s, dir).filter(col("r_name") === "ASIA")
+        li.join(o, li("l_orderkey") === o("o_orderkey"))
+          .join(c, o("o_custkey") === c("c_custkey"))
+          .join(broadcast(sup), li("l_suppkey") === sup("s_suppkey") &&
+            c("c_nationkey") === sup("s_nationkey"))
+          .join(broadcast(n), sup("s_nationkey") === n("n_nationkey"))
+          .join(broadcast(r), n("n_regionkey") === r("r_regionkey"))
+          .groupBy(col("n_name"))
+          .agg((floor((sum(col("l_extendedprice") * (lit(1) - col("l_discount")))) * 1e4 + 0.5) / 1e4).as("revenue"))
+          .orderBy(col("revenue").desc, col("n_name"))
+      },
+      Some("""SELECT n_name,
+             |       floor((sum(l_extendedprice * (1 - l_discount))) * 1e4 + 0.5) / 1e4 AS revenue
+             |FROM lineitem
+             |JOIN orders ON l_orderkey = o_orderkey
+             |JOIN customer ON o_custkey = c_custkey
+             |JOIN supplier ON l_suppkey = s_suppkey AND c_nationkey = s_nationkey
+             |JOIN nation ON s_nationkey = n_nationkey
+             |JOIN region ON n_regionkey = r_regionkey
+             |WHERE r_name = 'ASIA'
+             |  AND o_orderdate >= TIMESTAMP '1996-01-01'
+             |  AND o_orderdate < TIMESTAMP '1997-01-01'
+             |GROUP BY n_name
+             |ORDER BY revenue DESC, n_name""".stripMargin),
+      benchExtra = true),
+
     Q("q_semi_join",
       (s, dir) => {
         val c = Tables.customer(s, dir)

@@ -1047,6 +1047,47 @@ object StreamOps {
       }
   }
 
+  /** Streaming count–min sketch — the live twin of
+    * [[graft.pipeline.TextAnalysis.cmsEstimate]]'s counter table: the
+    * depth bucket projections ride the SAME md5-derived affine schedule
+    * (CmsA/CmsB — replay the full schedule), and the per-window cell
+    * counts are a NATIVE watermarked windowed aggregation — counters are
+    * pure counts, so Spark's incremental stateful agg IS the sketch; no
+    * custom state machine, append mode emits each window's final cells
+    * once the watermark closes it. Downstream point estimates are
+    * min-over-rows lookups against the emitted (≤ depth×width)-cell
+    * frame, and cells from adjacent windows MERGE by addition (the CMS
+    * mergeability that makes the sketch the right shape for both axes:
+    * time and shards).
+    *
+    * State per (window, row, bucket) key = one long — bounded by
+    * open-windows × depth × width regardless of stream vocabulary, the
+    * whole point vs exact per-word counting.
+    */
+  def cms(
+      words: DataFrame,
+      windowSecs: Long,
+      width: Int = 256,
+      watermarkDelay: String = "10 minutes"): DataFrame = {
+    import graft.pipeline.TextAnalysis.{CmsA, CmsB, CmsP, hash31}
+    require(windowSecs > 0, "windowSecs must be positive")
+    require(width >= 2, "cms width must be >= 2")
+    val h = hash31(col("word"))
+    def bucket(i: Int): Column =
+      pmod(pmod(h * lit(CmsA(i)) + lit(CmsB(i)), lit(CmsP)), lit(width.toLong))
+    words.select(col("word").cast("string"), col("time").cast("long"))
+      .withColumn("event_time", col("time").cast("timestamp"))
+      .withWatermark("event_time", watermarkDelay)
+      .select(col("event_time"),
+        posexplode(array(CmsA.indices.map(bucket): _*)).as(Seq("row_i", "bucket")))
+      .groupBy(window(col("event_time"), s"$windowSecs seconds").as("w"),
+        col("row_i"), col("bucket"))
+      .agg(count(lit(1)).as("c"))
+      .select(col("w.start").cast("long").as("window"),
+        col("row_i").cast("int").as("row_i"),
+        col("bucket").cast("int").as("bucket"), col("c"))
+  }
+
   final case class HhEvent(word: String, time: Long,
       event_time: java.sql.Timestamp, window: Long, shard: Int)
   final case class HhState(counters: Map[String, Long], n: Long)

@@ -526,6 +526,25 @@ class PlanSpec extends AnyFunSuite {
     assert(!p.contains("SortMergeJoin"), "no data-sized shuffle join for stats")
   }
 
+  test("at-rest text index probe prunes postings partitions; ranking equals the direct path") {
+    import graft.pipeline.{TextAnalysis, TextIndex}
+    val docs = graft.core.Tables.documents(spark, sf)
+    val idx = Files.createTempDirectory("graft-plan-tix").toString + "/i"
+    TextIndex.build(docs, idx)
+    val df = TextIndex.topK(spark, idx, Seq("spark", "hash", "merge"), 20)
+    val p = df.queryExecution.explainString(
+      org.apache.spark.sql.execution.ExplainMode.fromString("formatted"))
+    // the query terms' buckets reach the postings scan as
+    // PartitionFilters — non-probed term buckets are never read (the
+    // IvfIndex property, on the lexical index)
+    assert(p.linesIterator.exists(l => l.contains("PartitionFilters") && l.contains("bucket")),
+      p.take(1500))
+    val direct = TextAnalysis.bm25TopK(docs, Seq("spark", "hash", "merge"),
+      docs.count(), 20).collect().map(_.toSeq).toSeq
+    assert(df.orderBy("rank").collect().map(_.toSeq).toSeq === direct,
+      "index route must reproduce the direct ranking")
+  }
+
   test("salted join spreads the hot key across reducers (partition histogram)") {
     import org.apache.spark.sql.functions._
     import spark.implicits._

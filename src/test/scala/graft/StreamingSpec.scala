@@ -964,6 +964,45 @@ class StreamingSpec extends AnyFunSuite {
       (b + 600, "c", 1L, 9L)))
   }
 
+  test("streaming CMS cells equal the batch sketch table per closed window") {
+    import spark.implicits._
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    import graft.pipeline.TextAnalysis.{CmsA, CmsB, CmsP, hash31}
+    import org.apache.spark.sql.functions._
+    val b = 86400L
+    val w1 = Seq.fill(5)("alpha") ++ Seq.fill(3)("beta") ++ Seq("gamma", "alpha")
+    val w2 = Seq.fill(4)("delta") ++ Seq("alpha")
+    val evs = w1.zipWithIndex.map { case (w, i) => (w, b + 1000L + i) } ++
+      w2.zipWithIndex.map { case (w, i) => (w, b + 2000L + i) }
+    // batch expectation: the SAME bucket projections over each window's words
+    val width = 256
+    def bucket(i: Int) = pmod(pmod(hash31(col("word")) * lit(CmsA(i)) + lit(CmsB(i)),
+      lit(CmsP)), lit(width.toLong))
+    val expected = evs.toDF("word", "time")
+      .withColumn("window", col("time") - pmod(col("time"), lit(1000L)))
+      .select(col("window"),
+        posexplode(array(CmsA.indices.map(bucket): _*)).as(Seq("row_i", "bucket")))
+      .groupBy("window", "row_i", "bucket").agg(count(lit(1)).as("c"))
+      .select(col("window"), col("row_i").cast("int"), col("bucket").cast("int"), col("c"))
+      .as[(Long, Int, Int, Long)].collect().toSet
+    assert(expected.nonEmpty)
+    def run(tag: String, batches: Seq[Seq[(String, Long)]]) = {
+      val ms = MemoryStream[(String, Long)]
+      val f = StreamOps.cms(ms.toDF().toDF("word", "time"), windowSecs = 1000L,
+        watermarkDelay = "60 seconds")
+      val q = f.writeStream.outputMode("append").format("memory").queryName(tag).start()
+      try {
+        batches.foreach { bt => ms.addData(bt); q.processAllAvailable() }
+        ms.addData(Seq(("wmpush", 10 * b))); q.processAllAvailable()
+        spark.sql(s"select window, row_i, bucket, c from $tag where window < ${10 * b - 1000}")
+          .as[(Long, Int, Int, Long)].collect().toSet
+      } finally q.stop()
+    }
+    assert(run("cms_onebatch", Seq(evs)) === expected)
+    assert(run("cms_stagger", evs.grouped(4).toSeq) === expected)
+  }
+
   test("streaming attribution matches the batch first/last-touch frames") {
     import spark.implicits._
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
