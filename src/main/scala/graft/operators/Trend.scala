@@ -209,4 +209,71 @@ object Trend {
         r4(seasonalRaw).as("seasonal"),
         r4(v - seasonalRaw).as("resid")): _*)
   }
+
+  /** Holt–Winters additive triple-exponential smoothing per key over the
+    * `step`-bucket rollup: final (level, trend, one-step forecast =
+    * l + b + s_next) after the classic recursion
+    *   l_i = α(x_i − s_{i−m}) + (1−α)(l_{i−1} + b_{i−1})
+    *   b_i = β(l_i − l_{i−1}) + (1−β)b_{i−1}
+    *   s_i = γ(x_i − l_i) + (1−γ)s_{i−m}
+    * seeded the standard way from the first two seasons (l₀ = season-1
+    * mean, b₀ = (season-2 mean − season-1 mean)/m, s = season-1
+    * deviations). Completes the smoothing ladder: [[graft.operators.SeriesWindows]]
+    * ema (level) → holt (level+trend) → this (level+trend+seasonality).
+    *
+    * Scale + determinism (the Theil-Sen stance): the recursion runs over
+    * the (keys, bucket) ROLLUP — per-key state is the bucket list
+    * (span/step rows, e.g. 168 for a week of hours), never raw points,
+    * and the bucket means are pre-rounded 1e-6 before folding so the
+    * only engine-order-sensitive sums are pinned. The fold itself is a
+    * single `aggregate` HOF over the sorted bucket array with an
+    * (m+2)-double state [l, b, s₁..s_m] rotating per step — identical
+    * left-to-right IEEE arithmetic on any replaying engine (list_reduce
+    * replays it; 0.0-seeded and first-element-seeded folds agree because
+    * 0.0 + x ≡ x). Seasonal index = ordinal position mod m over PRESENT
+    * buckets in time order; run [[graft.operators.Fill]] first when
+    * strict calendar alignment through gaps is required. Keys with fewer
+    * than 2m buckets are dropped (seed undefined).
+    */
+  def holtWinters(df: DataFrame, keys: Seq[String], period: Int,
+      step: Long, timeCol: String = "time", valueCol: String = "value",
+      alpha: Double = 0.5, beta: Double = 0.25, gamma: Double = 0.25): DataFrame = {
+    require(period >= 2, "seasonal period must be >= 2")
+    require(step > 0, "step must be positive")
+    val m = period
+    val kc = keys.map(col)
+    val t = col(timeCol).cast("long")
+    val roll = df.filter(col(valueCol).isNotNull)
+      .groupBy(kc :+ (t - pmod(t, lit(step))).as("__b"): _*)
+      .agg((floor(avg(col(valueCol)) * 1e6 + 0.5) / 1e6).as("__x"))
+    val xs = transform(
+      array_sort(collect_list(struct(col("__b"), col("__x")))),
+      s => s.getField("__x"))
+    def mean(a: Column): Column =
+      aggregate(a, lit(0.0), (acc, x) => acc + x) / m
+    val grouped = roll.groupBy(kc: _*).agg(xs.as("__xs"))
+      .filter(size(col("__xs")) >= 2 * m)
+    val m1 = mean(slice(col("__xs"), 1, m))
+    val m2 = mean(slice(col("__xs"), m + 1, m))
+    val seed = concat(array(m1, (m2 - m1) / m),
+      transform(slice(col("__xs"), 1, m), x => x - m1))
+    val st = aggregate(
+      slice(col("__xs"), lit(m + 1), size(col("__xs")) - m), seed,
+      (acc, x) => {
+        val l = element_at(acc, 1)
+        val b = element_at(acc, 2)
+        val sh = element_at(acc, 3)
+        val l2 = lit(alpha) * (x - sh) + lit(1 - alpha) * (l + b)
+        val b2 = lit(beta) * (l2 - l) + lit(1 - beta) * b
+        val s2 = lit(gamma) * (x - l2) + lit(1 - gamma) * sh
+        concat(array(l2, b2), slice(acc, 4, m - 1), array(s2))
+      })
+    grouped.withColumn("__st", st)
+      .select(kc ++ Seq(
+        size(col("__xs")).cast("long").as("n_buckets"),
+        element_at(col("__st"), 1).as("level"),
+        element_at(col("__st"), 2).as("trend"),
+        (element_at(col("__st"), 1) + element_at(col("__st"), 2) +
+          element_at(col("__st"), 3)).as("forecast")): _*)
+  }
 }

@@ -556,6 +556,61 @@ object TimeSeries {
               |FROM h ORDER BY series""".stripMargin),
       benchExtra = true),
 
+    // Holt–Winters additive seasonal smoothing (r10) — the smoothing
+    // ladder's top rung (ema → holt → holt-winters), run over the hourly
+    // ROLLUP with a 12-bucket season (non-empty at every test SF): per-key state is the 168-bucket
+    // list, the fold is one aggregate HOF with an (m+2)-double rotating
+    // state, bucket means pre-rounded 1e-6 (the Theil-Sen stance). The
+    // oracle replays seed + full recursion via list_reduce with the
+    // state-prepended padding trick (list state; struct accumulators
+    // mis-fold in DuckDB — see q_ts_holt).
+    Q("q_ts_holt_winters",
+      (s, dir) => {
+        val base = ev(s, dir).filter(col("time") >= T0 && col("time") < T1)
+        graft.operators.Trend.holtWinters(base, Seq("series"), period = 12,
+          step = 3600L)
+          .select(col("series"), col("n_buckets"),
+            (floor(col("level") * 1e4 + 0.5) / 1e4).as("level"),
+            (floor(col("trend") * 1e4 + 0.5) / 1e4).as("trend"),
+            (floor(col("forecast") * 1e4 + 0.5) / 1e4).as("forecast"))
+          .orderBy("series")
+      },
+      Some {
+        val L2 = "(0.5 * (e[1] - acc[3]) + 0.5 * (acc[1] + acc[2]))"
+        s"""$svSql, roll AS (
+           |  SELECT series, time - time % 3600 AS b,
+           |         floor(avg(value) * 1e6 + 0.5) / 1e6 AS x
+           |  FROM sv WHERE time >= $T0 AND time < $T1 AND value IS NOT NULL
+           |  GROUP BY 1, 2
+           |), p AS (
+           |  SELECT series, list(x ORDER BY b) AS vs FROM roll GROUP BY 1
+           |), g AS (
+           |  SELECT series, vs, len(vs) AS n FROM p WHERE len(vs) >= 24
+           |), sd AS (
+           |  SELECT series, vs, n,
+           |         list_reduce(vs[1:12], (a, e) -> a + e) / 12 AS m1,
+           |         list_reduce(vs[13:24], (a, e) -> a + e) / 12 AS m2
+           |  FROM g
+           |), h AS (
+           |  SELECT series, n,
+           |         list_reduce(
+           |           list_prepend(
+           |             list_concat([m1, (m2 - m1) / 12.0], [x - m1 for x in vs[1:12]]),
+           |             [list_concat([x], [0.0 for i in range(13)]) for x in vs[13:]]),
+           |           (acc, e) -> list_concat(
+           |             [$L2, 0.25 * ($L2 - acc[1]) + 0.75 * acc[2]],
+           |             list_concat(acc[4:14],
+           |               [0.25 * (e[1] - $L2) + 0.75 * acc[3]]))) AS st
+           |  FROM sd
+           |)
+           |SELECT series, n AS n_buckets,
+           |       floor(st[1] * 1e4 + 0.5) / 1e4 AS level,
+           |       floor(st[2] * 1e4 + 0.5) / 1e4 AS trend,
+           |       floor((st[1] + st[2] + st[3]) * 1e4 + 0.5) / 1e4 AS forecast
+           |FROM h ORDER BY series""".stripMargin
+      },
+      benchExtra = true),
+
     // Per-(series, day) value histogram over fixed bins (the
     // Prometheus-histogram analytics shape: distribution summaries that
     // aggregate mergeably at any scale — integer counts, one hash
