@@ -195,4 +195,73 @@ object Clustering {
         (floor(avg(col("__a")) * 1e4 + 0.5) / 1e4).as("mean_a"),
         (floor(avg(col("__b")) * 1e4 + 0.5) / 1e4).as("mean_b"))
   }
+
+  /** Grid-density clustering (the GriDBSCAN/Gridding family) over a 2-D
+    * projection of the embedding space — density-based cluster discovery
+    * as the complement of [[kmeans]] (no k, finds arbitrary-shape dense
+    * regions, labels sparse points noise):
+    *
+    *  1. cell = (⌊x/eps⌋, ⌊y/eps⌋) over embedding dims `dimX`/`dimY`;
+    *  2. CORE cells: ≥ minPts points;
+    *  3. clusters = connected components of the core-cell 8-adjacency
+    *     graph (the O(log n)-round star contraction, reused from
+    *     [[Dedup.dupClustersStar]]); cluster_id = min cell id;
+    *  4. points in core cells are 'core'; points in non-core cells
+    *     adjacent to ≥1 core cell attach to the minimum adjacent cluster
+    *     ('border', deterministic); the rest are 'noise' (NULL cluster).
+    *
+    * This is the grid approximation, stated: density is per CELL, not
+    * per eps-ball (classic DBSCAN's neighborhood query has no
+    * shuffle-free distributed form — the grid is the standard scale
+    * answer), so clusters merge through any chain of adjacent dense
+    * cells. Everything is integer-exact after the one ⌊x/eps⌋ division
+    * of engine-identical doubles — fully SQL-replayable, including the
+    * component closure (recursive CTE in the oracle).
+    *
+    * Scale shape: one narrow cell-assignment pass, one cell-count
+    * aggregate (occupied-cell-sized, ≤ n and typically ≪), the CC loop
+    * on the core-cell graph (cell-sized frames), one broadcast join
+    * back to points. No shuffle ever carries vectors.
+    */
+  def gridDensityClusters(emb: DataFrame, eps: Double, minPts: Int,
+      dimX: Int = 1, dimY: Int = 2): DataFrame = {
+    require(eps > 0, "eps must be positive")
+    require(minPts >= 1, "minPts must be >= 1")
+    // single-long cell id: (cx, cy) packed with a 1e6 offset/stride —
+    // coordinates beyond ±5e5 cells would alias (unreachable for unit-
+    // scale embeddings; require it anyway)
+    def cellId(cx: Column, cy: Column): Column = {
+      (cx + lit(500000L)) * lit(1000000L) + (cy + lit(500000L))
+    }
+    val cx = floor(element_at(col("embedding"), dimX).cast("double") / eps).cast("long")
+    val cy = floor(element_at(col("embedding"), dimY).cast("double") / eps).cast("long")
+    val pts = emb.select(col("vec_id"), cx.as("__cx"), cy.as("__cy"))
+    val cells = pts.groupBy(col("__cx"), col("__cy")).agg(count(lit(1)).as("__n"))
+    val core = cells.filter(col("__n") >= minPts)
+      .select(col("__cx"), col("__cy"), cellId(col("__cx"), col("__cy")).as("__cid"))
+    // 8-adjacency among core cells: each side is occupied-core-cell-sized
+    val a = core.select(col("__cx").as("ax"), col("__cy").as("ay"), col("__cid").as("ca"))
+    val b = core.select(col("__cx").as("bx"), col("__cy").as("by"), col("__cid").as("cb"))
+    val adj = a.join(b,
+      abs(col("ax") - col("bx")) <= 1 && abs(col("ay") - col("by")) <= 1 &&
+        col("ca") < col("cb"))
+      .select(col("ca").as("doc_a"), col("cb").as("doc_b"))
+    val comp = Dedup.dupClustersStar(core.select(col("__cid").as("doc_id")), adj)
+      .select(col("doc_id").as("__cid"), col("cluster_id").as("__cl"))
+    val coreLabeled = core.join(comp, "__cid")
+      .select(col("__cx"), col("__cy"), col("__cl"))
+    // border attach: non-core cells take the MIN cluster among adjacent
+    // core cells (occupied-cell-sized join)
+    val nonCore = cells.filter(col("__n") < minPts).select(col("__cx"), col("__cy"))
+    val borderCells = nonCore.as("nc").join(coreLabeled.as("cc"),
+        abs(col("nc.__cx") - col("cc.__cx")) <= 1 &&
+          abs(col("nc.__cy") - col("cc.__cy")) <= 1)
+      .groupBy(col("nc.__cx").as("__cx"), col("nc.__cy").as("__cy"))
+      .agg(min(col("cc.__cl")).as("__cl"))
+    val cellLabel = coreLabeled.withColumn("__role", lit("core"))
+      .unionByName(borderCells.withColumn("__role", lit("border")))
+    pts.join(broadcast(cellLabel), Seq("__cx", "__cy"), "left")
+      .select(col("vec_id"), col("__cl").as("cluster_id"),
+        coalesce(col("__role"), lit("noise")).as("role"))
+  }
 }

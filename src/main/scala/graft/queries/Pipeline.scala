@@ -563,7 +563,7 @@ object Pipeline {
     "q_ann_matryoshka", "q_pl_whiten", "q_pl_pca", "q_pl_minhash_est",
     "q_pl_dup_clusters_star", "q_pl_silhouette",
     // round-10
-    "q_pl_cms", "q_pl_neyman", "q_pl_bm25_idx")
+    "q_pl_cms", "q_pl_neyman", "q_pl_bm25_idx", "q_pl_grid_dbscan")
 
   def qs: Seq[Q] = {
     val all = raw.map(q => if (ExtraBench(q.name)) q.copy(benchExtra = true) else q)
@@ -1276,6 +1276,46 @@ object Pipeline {
     // Centroid-silhouette clustering-quality screen over the ground-truth
     // labels: rounded per-dim centroids, exact left-fold distances — the
     // oracle replays both (the PCA/whiten determinism stances combined).
+    // Grid-density clustering (r10): the no-k, noise-aware complement of
+    // k-means — ⌊x/eps⌋ cells over embedding dims 1–2, core at minPts,
+    // clusters = CC of the core-cell 8-adjacency graph (star
+    // contraction; the oracle closes it with the recursive CTE),
+    // deterministic border attach, NULL-cluster noise. Integer-exact
+    // after the one engine-identical division.
+    Q("q_pl_grid_dbscan",
+      (s, dir) => graft.pipeline.Clustering.gridDensityClusters(
+          Tables.embeddings(s, dir), eps = 0.15, minPts = 5)
+        .orderBy("vec_id"),
+      Some("""WITH RECURSIVE pts AS (
+             |  SELECT vec_id, CAST(floor(embedding[1] / 0.15) AS BIGINT) AS cx,
+             |         CAST(floor(embedding[2] / 0.15) AS BIGINT) AS cy
+             |  FROM embeddings
+             |), cells AS (SELECT cx, cy, count(*) AS n FROM pts GROUP BY 1, 2),
+             |core AS (SELECT cx, cy, (cx + 500000) * 1000000 + (cy + 500000) AS cid
+             |         FROM cells WHERE n >= 5),
+             |adj AS (
+             |  SELECT a.cid AS s, b.cid AS d FROM core a JOIN core b
+             |  ON abs(a.cx - b.cx) <= 1 AND abs(a.cy - b.cy) <= 1 AND a.cid <> b.cid
+             |),
+             |reach(s, d) AS (
+             |  SELECT s, d FROM adj
+             |  UNION
+             |  SELECT r.s, e.d FROM reach r JOIN adj e ON r.d = e.s
+             |),
+             |labels AS (SELECT s AS cid, least(s, min(d)) AS cl FROM reach GROUP BY s),
+             |corelab AS (SELECT c.cx, c.cy, coalesce(l.cl, c.cid) AS cl
+             |            FROM core c LEFT JOIN labels l ON c.cid = l.cid),
+             |borderlab AS (
+             |  SELECT nc.cx, nc.cy, min(cc.cl) AS cl
+             |  FROM (SELECT cx, cy FROM cells WHERE n < 5) nc
+             |  JOIN corelab cc ON abs(nc.cx - cc.cx) <= 1 AND abs(nc.cy - cc.cy) <= 1
+             |  GROUP BY 1, 2
+             |),
+             |lab AS (SELECT cx, cy, cl, 'core' AS role FROM corelab
+             |        UNION ALL SELECT cx, cy, cl, 'border' FROM borderlab)
+             |SELECT p.vec_id, lab.cl AS cluster_id, coalesce(lab.role, 'noise') AS role
+             |FROM pts p LEFT JOIN lab USING (cx, cy) ORDER BY p.vec_id""".stripMargin)),
+
     Q("q_pl_silhouette",
       (s, dir) => graft.pipeline.Clustering.silhouette(Tables.embeddings(s, dir))
         .orderBy("label"),
