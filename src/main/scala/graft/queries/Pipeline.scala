@@ -563,7 +563,8 @@ object Pipeline {
     "q_ann_matryoshka", "q_pl_whiten", "q_pl_pca", "q_pl_minhash_est",
     "q_pl_dup_clusters_star", "q_pl_silhouette",
     // round-10
-    "q_pl_cms", "q_pl_neyman", "q_pl_bm25_idx", "q_pl_grid_dbscan")
+    "q_pl_cms", "q_pl_neyman", "q_pl_bm25_idx", "q_pl_grid_dbscan",
+    "q_pl_triangles")
 
   def qs: Seq[Q] = {
     val all = raw.map(q => if (ExtraBench(q.name)) q.copy(benchExtra = true) else q)
@@ -2072,6 +2073,54 @@ object Pipeline {
     // graph (same 0.45-threshold edges as q_pl_cos_pairs, undirected),
     // 3 power iterations, damping 0.85. The oracle unrolls the identical
     // iterations in CTEs.
+    // Per-node triangles + local clustering coefficient (r10) via the
+    // degree-orientation algorithm (acyclic edge direction from the
+    // (degree, id)-smaller endpoint → O(√|E|) out-degree even on hubs —
+    // the skew bound that keeps the wedge self-join from exploding).
+    // Pure integer outputs; the oracle replays orientation, wedge close
+    // and counts exactly.
+    Q("q_pl_triangles",
+      (s, dir) => {
+        val emb = Tables.embeddings(s, dir)
+        val pairs = Similarity.cosinePairs(emb, 0.45)
+          .select(col("vec_a").as("a"), col("vec_b").as("b"))
+        graft.pipeline.Graph.triangles(pairs, emb.select(col("vec_id").as("id")))
+          .orderBy("id")
+      },
+      Some(s"""WITH $embCte,
+              |pr AS (
+              |  SELECT a.vec_id AS a, b.vec_id AS b
+              |  FROM e a JOIN e b ON a.vec_id < b.vec_id
+              |  WHERE ${cosSql("a.v", "b.v")} >= 0.45
+              |),
+              |dg AS (SELECT id, count(*) AS deg
+              |       FROM (SELECT a AS id FROM pr UNION ALL SELECT b FROM pr)
+              |       GROUP BY 1),
+              |orient AS (
+              |  SELECT CASE WHEN (da.deg, pr.a) < (db.deg, pr.b) THEN pr.a ELSE pr.b END AS src,
+              |         CASE WHEN (da.deg, pr.a) < (db.deg, pr.b) THEN pr.b ELSE pr.a END AS dst,
+              |         CASE WHEN (da.deg, pr.a) < (db.deg, pr.b) THEN db.deg ELSE da.deg END AS ddeg
+              |  FROM pr JOIN dg da ON pr.a = da.id JOIN dg db ON pr.b = db.id
+              |),
+              |tri AS (
+              |  SELECT o1.src AS x, o1.dst AS y, o2.dst AS z
+              |  FROM orient o1 JOIN orient o2
+              |    ON o1.src = o2.src AND (o1.ddeg, o1.dst) < (o2.ddeg, o2.dst)
+              |  JOIN orient o3 ON o3.src = o1.dst AND o3.dst = o2.dst
+              |),
+              |tn AS (SELECT id, count(*) AS t
+              |       FROM (SELECT x AS id FROM tri UNION ALL SELECT y FROM tri
+              |             UNION ALL SELECT z FROM tri)
+              |       GROUP BY 1)
+              |SELECT e.vec_id AS id,
+              |       CAST(coalesce(dg.deg, 0) AS BIGINT) AS degree,
+              |       CAST(coalesce(tn.t, 0) AS BIGINT) AS triangles,
+              |       CASE WHEN coalesce(dg.deg, 0) >= 2
+              |            THEN floor(2.0 * coalesce(tn.t, 0) / (dg.deg * (dg.deg - 1)) * 1e4 + 0.5) / 1e4
+              |            ELSE 0.0 END AS coeff
+              |FROM e LEFT JOIN dg ON e.vec_id = dg.id LEFT JOIN tn ON e.vec_id = tn.id
+              |ORDER BY id""".stripMargin)),
+
     Q("q_pl_centrality",
       (s, dir) => {
         val emb = Tables.embeddings(s, dir)
