@@ -444,22 +444,39 @@ object Similarity {
     //     BroadcastNestedLoopJoin, whose row-at-a-time joined-row
     //     materialization costs ~16 µs/pair (measured 66 s vs 1.2 s for
     //     the same 4M pairs at sf0.1) — the join overhead, not the
-    //     popcounts, dominates. Above the driver-batch limit the BNLJ
-    //     route still serves (corpus-scale query frames belong in the
-    //     banded/at-rest paths anyway).
+    //     popcounts, dominates. Above the driver-batch limit the query
+    //     frame is CHUNKED into ceil(n/limit) hash-groups, each riding
+    //     the same literal-explode route (r10: the BNLJ fallback made
+    //     corpus-as-queries kNN-graph builds quadratic in wall time the
+    //     moment they crossed the limit — 20k self-queries at smoke
+    //     scale never finished; chunking is nChunks clean scans, driver
+    //     state still ≤ 24 B × limit per chunk, and every q_id's rows
+    //     stay in one chunk so the candidate window is untouched).
+    //     maxDriverBatch = 0 retains its contract — NO query data on the
+    //     driver — via the broadcast BNLJ route.
+    def literalScan(rows: Seq[org.apache.spark.sql.Row]) = {
+      val qlit = array(rows.map(r => struct(lit(r.getLong(0)).as("q_id"),
+        lit(r.getLong(1)).as("q_lo"), lit(r.getLong(2)).as("q_hi"))): _*)
+      cn.select(col("vec_id"), col("sig_lo"), col("sig_hi"), explode(qlit).as("q"))
+        .filter(col("q.q_id") =!= col("vec_id"))
+        .select(col("q.q_id").as("q_id"), col("vec_id"),
+          ham(col("q.q_lo"), col("q.q_hi")).as("hamming"))
+    }
     val limit = driverBatchLimit(corpus.sparkSession, maxDriverBatch)
-    val sigRows = q.select(col("q_id"), col("q_lo"), col("q_hi")).head(limit + 1).toSeq
+    val qs = q.select(col("q_id"), col("q_lo"), col("q_hi"))
+    val sigRows = if (limit > 0) qs.head(limit + 1).toSeq else Seq.empty
     val scored =
-      if (sigRows.length <= limit) {
-        val qlit = array(sigRows.map(r => struct(lit(r.getLong(0)).as("q_id"),
-          lit(r.getLong(1)).as("q_lo"), lit(r.getLong(2)).as("q_hi"))): _*)
-        cn.select(col("vec_id"), col("sig_lo"), col("sig_hi"), explode(qlit).as("q"))
-          .filter(col("q.q_id") =!= col("vec_id"))
-          .select(col("q.q_id").as("q_id"), col("vec_id"),
-            ham(col("q.q_lo"), col("q.q_hi")).as("hamming"))
+      if (limit > 0 && sigRows.length <= limit) literalScan(sigRows)
+      else if (limit > 0) {
+        val nChunks = math.max(2, math.ceil(qs.count().toDouble / limit).toInt)
+        (0 until nChunks).iterator
+          .map(i => qs.filter(pmod(xxhash64(col("q_id")), lit(nChunks.toLong)) === i)
+            .collect().toSeq)
+          .filter(_.nonEmpty)
+          .map(literalScan)
+          .reduce(_ unionAll _)
       } else {
-        cn.join(broadcast(q.select(col("q_id"), col("q_lo"), col("q_hi"))),
-            col("q_id") =!= col("vec_id"))
+        cn.join(broadcast(qs), col("q_id") =!= col("vec_id"))
           .select(col("q_id"), col("vec_id"),
             ham(col("q_lo"), col("q_hi")).as("hamming"))
       }

@@ -223,6 +223,47 @@ object ScaleSmoke {
       timed("dup_clusters")(Dedup.dupClusters(docs, Dedup.minhashLshPairs(docs, 0.8))),
       timed("dup_clusters_star")(Dedup.dupClustersStar(docs, Dedup.minhashLshPairs(docs, 0.8))),
       timed("whiten")(graft.pipeline.Projection.whiten(emb, "embedding")),
+      // round-10 additions: cms/neyman are linear corpus passes with
+      // bounded summaries (1024 cells / strata-sized caps); holt_winters
+      // folds grow with the TIME-amplified bucket count per series;
+      // grid cells grow in COUNT not resolution under clone-amplification
+      timed("cms")(TextAnalysis.cmsEstimate(docs)),
+      timed("neyman")(Sampling.neymanSample(
+        docs.select(col("doc_id"), col("lang"), col("n_chars")),
+        "doc_id", "lang", "n_chars", 200, "smk")),
+      timed("holt_winters")(graft.operators.Trend.holtWinters(
+        ev.filter(col("event_type") === "click")
+          .select(col("event_type").as("series"), col("time"), col("value")),
+        Seq("series"), period = 12, step = 3600L)),
+      timed("grid_dbscan")(graft.pipeline.Clustering.gridDensityClusters(
+        emb, eps = 0.15, minPts = 5)),
+      // corpus-scale triangle path: kNN edges from the Hamming signature
+      // scan (the q_pl_centrality_knn edge build), THEN the oriented
+      // wedge close — never the exact all-pairs edge set
+      timed("triangles_knn") {
+        val knn = graft.pipeline.Similarity.hammingTopK(emb, emb, 4, candMult = 4)
+        val pairs = knn.select(
+            least(col("q_id"), col("vec_id")).as("a"),
+            greatest(col("q_id"), col("vec_id")).as("b"))
+          .filter(col("a") =!= col("b")).distinct()
+        graft.pipeline.Graph.triangles(pairs, emb.select(col("vec_id").as("id")))
+      },
+      // the banded alternative: LSH-bucketed candidate pairs feed the
+      // same wedge close — linear-ish edge generation vs the kNN route's
+      // n² (32×-lighter) signature compares; at 100 TB THIS is the
+      // triangle path, the kNN route is the quality-controlled variant
+      // for query-batch-sized frontiers
+      timed("triangles_lsh") {
+        val pairs = graft.pipeline.Similarity.cosinePairsLsh(emb, 0.45)
+          .select(least(col("vec_a"), col("vec_b")).as("a"),
+            greatest(col("vec_a"), col("vec_b")).as("b")).distinct()
+        graft.pipeline.Graph.triangles(pairs, emb.select(col("vec_id").as("id")))
+      },
+      timed("bm25_idx") {
+        val idx = java.nio.file.Files.createTempDirectory("graft-smoke-tix").toString + "/i"
+        graft.pipeline.TextIndex.build(docs, idx)
+        graft.pipeline.TextIndex.topK(spark, idx, Seq("spark", "hash", "merge"), 20)
+      },
       timed("ann_self_join") {
         // √n-rule cell count with FIXED nprobe — SCALE.md's sizing math
         // (candidates/query ≈ n·nprobe/nCells = √n·nprobe, total n^1.5).

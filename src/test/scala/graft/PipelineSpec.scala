@@ -1003,6 +1003,16 @@ class PipelineSpec extends AnyFunSuite {
     assert(recall >= 0.4, s"hamming recall@5 $recall vs random ~${20.0 / n}")
   }
 
+  test("hammingTopK: single-literal, chunked, and BNLJ routes are bit-identical") {
+    val q = emb.filter(col("vec_id") < 40)
+    def rows(mdb: Int) = Similarity.hammingTopK(emb, q, 5, candMult = 4,
+        maxDriverBatch = mdb)
+      .collect().map(_.toSeq).sortBy(_.toString).toSeq
+    val single = rows(1000) // 40 queries ≤ limit: one literal scan
+    assert(rows(7) === single, "hash-chunked literal route diverged") // forces 6 chunks
+    assert(rows(0) === single, "maxDriverBatch=0 BNLJ route diverged")
+  }
+
   test("mutualNnIdx: corpus-spanning budget equals exact mutualNn; default budget is high-recall") {
     val n = emb.count().toInt
     val exact = Similarity.mutualNn(emb)
@@ -1208,6 +1218,65 @@ class PipelineSpec extends AnyFunSuite {
       Graph.undirected(pairs.repartition(7), "a", "b"), nodes.repartition(3), 3)
       .as[(Long, Long)].collect().toMap
     assert(got2 === got)
+  }
+
+  test("triangles: matches brute-force on a seeded random graph, layout-invariant") {
+    import graft.pipeline.Graph
+    val rnd = new scala.util.Random(42)
+    val n = 60
+    val edgeSet = (0 until 400).map { _ =>
+      val a = rnd.nextInt(n).toLong; val b = rnd.nextInt(n).toLong
+      (math.min(a, b), math.max(a, b))
+    }.filter(p => p._1 != p._2).distinct
+    // brute force: adjacency sets, count closed wedges per node
+    val adj = edgeSet.flatMap(p => Seq(p, p.swap)).groupBy(_._1)
+      .map { case (k, vs) => k -> vs.map(_._2).toSet }
+    val expect = (0L until n).map { v =>
+      val nb = adj.getOrElse(v, Set.empty).toSeq
+      val t = (for (i <- nb.indices; j <- i + 1 until nb.size
+                    if adj(nb(i)).contains(nb(j))) yield 1).size.toLong
+      v -> t
+    }.toMap
+    for (parts <- Seq(1, 7)) {
+      val got = Graph.triangles(
+          edgeSet.toDF("a", "b").repartition(parts),
+          (0L until n).toDF("id"))
+        .select("id", "triangles").as[(Long, Long)].collect().toMap
+      assert(got === expect, s"parts=$parts diverged from brute force")
+    }
+    // global consistency: each triangle counted once per corner
+    val got = Graph.triangles(edgeSet.toDF("a", "b"), (0L until n).toDF("id"))
+      .agg(sum(col("triangles"))).as[Long].head()
+    assert(got === expect.values.sum && got % 3 === 0)
+  }
+
+  test("neymanSample: caps respect the budget, zero-variance strata excluded, loud all-constant failure") {
+    import graft.pipeline.Sampling
+    // three strata: high-variance (spread values), low-variance, constant
+    val rows = (0 until 300).map { i =>
+      val (s, v) = i % 3 match {
+        case 0 => ("wide", (i * 37) % 1000)
+        case 1 => ("narrow", 500 + (i % 3))
+        case _ => ("const", 42)
+      }
+      (i.toLong, s, v.toLong)
+    }.toDF("id", "stratum", "v")
+    val got = Sampling.neymanSample(rows, "id", "stratum", "v", 60, "t1")
+      .groupBy("stratum").agg(count(lit(1)).as("k"))
+      .as[(String, Long)].collect().toMap
+    assert(got.values.sum <= 60, s"budget exceeded: $got")
+    assert(got.getOrElse("wide", 0L) > got.getOrElse("narrow", 0L),
+      s"variance-optimal allocation must favor the dispersed stratum: $got")
+    assert(!got.contains("const"), "zero-variance stratum needs no samples")
+    // determinism under repartitioning
+    val again = Sampling.neymanSample(rows.repartition(13), "id", "stratum", "v", 60, "t1")
+      .select("id").as[Long].collect().sorted.toSeq
+    val first = Sampling.neymanSample(rows, "id", "stratum", "v", 60, "t1")
+      .select("id").as[Long].collect().sorted.toSeq
+    assert(again === first)
+    intercept[IllegalArgumentException] {
+      Sampling.neymanSample(rows.withColumn("v", lit(7L)), "id", "stratum", "v", 10, "t2")
+    }
   }
 
   test("salted join output is invariant to the salt layout") {
