@@ -121,6 +121,47 @@ object Dedup {
     verifyPairs(cand, sh, threshold)
   }
 
+  /** Asymmetric CONTAINMENT near-dup pairs: |A∩B| / |A| ≥ `threshold`
+    * for the shingle-sets with A the (size, doc_id)-smaller side — the
+    * inclusion detector symmetric Jaccard misses by construction (a
+    * benchmark question quoted inside a long document, a paragraph
+    * lifted into a page: the union is large, the SMALL side is almost
+    * entirely covered). The decontamination literature's containment
+    * check, as a first-class pair miner.
+    *
+    * Candidate generation is the one-sided PPJoin prefix: if
+    * |A∩B| ≥ t·|A| then one of A's first |A| − ⌈t·|A|⌉ + 1 sorted
+    * shingles must appear in B (pigeonhole), so only the contained
+    * side's prefix explodes against the container side's FULL shingle
+    * explode (the span-dedup shape — hash-keyed equi-join, skew rides
+    * the shingle-frequency distribution). Verification is the exact
+    * intersection over the candidate pairs only. No symmetric length
+    * band — a contained doc may be arbitrarily smaller, which is the
+    * point. Output: (doc_inner, doc_outer, containment 1e-4-rounded).
+    */
+  def containmentPairs(docs: DataFrame, threshold: Double, n: Int = 3): DataFrame = {
+    require(threshold > 0 && threshold <= 1, "threshold in (0, 1]")
+    val sh = shingleHashes(docs, n).cache()
+    val prefixLen = (size(col("hs")) - ceil(lit(threshold) * size(col("hs"))).cast("int") + 1)
+    val pre = sh.select(col("doc_id"), size(col("hs")).as("sz"),
+      explode(slice(col("hs"), lit(1), prefixLen)).as("h"))
+    val full = sh.select(col("doc_id"), size(col("hs")).as("sz"),
+      explode(col("hs")).as("h"))
+    val cand = pre.as("a").join(full.as("b"),
+        col("a.h") === col("b.h") &&
+          struct(col("a.sz"), col("a.doc_id")) < struct(col("b.sz"), col("b.doc_id")))
+      .select(col("a.doc_id").as("doc_inner"), col("b.doc_id").as("doc_outer"))
+      .distinct()
+    cand
+      .join(sh.select(col("doc_id").as("doc_inner"), col("hs").as("hs_a"),
+        size(col("hs")).as("sz_a")), "doc_inner")
+      .join(sh.select(col("doc_id").as("doc_outer"), col("hs").as("hs_b")), "doc_outer")
+      .select(col("doc_inner"), col("doc_outer"),
+        (floor(size(array_intersect(col("hs_a"), col("hs_b"))) /
+          col("sz_a").cast("double") * 1e4 + 0.5) / 1e4).as("containment"))
+      .filter(col("containment") >= threshold)
+  }
+
   private def verifyPairs(cand: DataFrame, sh: DataFrame, threshold: Double): DataFrame =
     cand
       .join(sh.withColumnRenamed("doc_id", "doc_a").withColumnRenamed("hs", "hs_a"), "doc_a")

@@ -127,6 +127,23 @@ object Pipeline {
        |  FROM e LEFT JOIN c$cur ON e.vec_id = c$cur.id
        |)""".stripMargin
 
+  /** One unrolled PERSONALIZED PageRank round: teleport mass to the
+    * vec_id < 10 seed set instead of uniformly (mirrors
+    * Graph.pageRankPersonalized on the q_pl_ppr gate).
+    */
+  private def pprIter(prev: String, cur: String): String =
+    s"""c$cur AS (
+       |  SELECT ed.dst AS id, sum(r$prev.rank / dg.deg) AS i
+       |  FROM ed JOIN r$prev ON ed.src = r$prev.id
+       |          JOIN dg ON ed.src = dg.src
+       |  GROUP BY 1
+       |), r$cur AS (
+       |  SELECT e.vec_id AS id,
+       |         0.15 * (CASE WHEN e.vec_id < 10 THEN 0.1 ELSE 0.0 END)
+       |           + 0.85 * coalesce(c$cur.i, 0.0) AS rank
+       |  FROM e LEFT JOIN c$cur ON e.vec_id = c$cur.id
+       |)""".stripMargin
+
   /** One unrolled synchronous label-propagation round over `ed(src, dst)`
     * and `l\$prev(id, label)` → `l\$cur` (most frequent neighbor label,
     * ties to the smaller label, isolated nodes keep their own) — mirrors
@@ -564,7 +581,7 @@ object Pipeline {
     "q_pl_dup_clusters_star", "q_pl_silhouette",
     // round-10
     "q_pl_cms", "q_pl_neyman", "q_pl_bm25_idx", "q_pl_grid_dbscan",
-    "q_pl_triangles")
+    "q_pl_triangles", "q_pl_ppr", "q_pl_containment")
 
   def qs: Seq[Q] = {
     val all = raw.map(q => if (ExtraBench(q.name)) q.copy(benchExtra = true) else q)
@@ -660,6 +677,38 @@ object Pipeline {
         .orderBy("doc_a", "doc_b"),
       Some(jaccardOracle),
       bench = true),
+
+    // Asymmetric containment pairs (r10): |A∩B|/|A| ≥ 0.7 with A the
+    // smaller shingle set — the inclusion detector (quoted benchmark
+    // questions, lifted paragraphs) Jaccard misses because the union
+    // washes the small side out. One-sided PPJoin prefix candidates,
+    // exact intersection verify; the oracle replays prefix, orientation
+    // and intersection count identically.
+    Q("q_pl_containment",
+      (s, dir) => Dedup.containmentPairs(Tables.documents(s, dir), 0.7)
+        .orderBy("doc_inner", "doc_outer"),
+      Some(s"""WITH $wordsCte, $shinglesCte,
+              |sz AS (SELECT doc_id, len(hs) AS n FROM sh),
+              |cpx AS (
+              |  SELECT doc_id, len(hs) AS n,
+              |         unnest(hs[1 : len(hs) - CAST(ceil(0.7 * len(hs)) AS INT) + 1]) AS h
+              |  FROM sh),
+              |fx AS (SELECT doc_id, len(hs) AS n, unnest(hs) AS h FROM sh),
+              |cand AS (
+              |  SELECT DISTINCT a.doc_id AS doc_inner, b.doc_id AS doc_outer
+              |  FROM cpx a JOIN fx b ON a.h = b.h
+              |  WHERE (a.n, a.doc_id) < (b.n, b.doc_id)),
+              |inter AS (
+              |  SELECT c.doc_inner, c.doc_outer, count(*) AS i
+              |  FROM cand c
+              |  JOIN fx xa ON xa.doc_id = c.doc_inner
+              |  JOIN fx xb ON xb.doc_id = c.doc_outer AND xa.h = xb.h
+              |  GROUP BY 1, 2)
+              |SELECT doc_inner, doc_outer,
+              |       floor(i * 1.0 / sa.n * 1e4 + 0.5) / 1e4 AS containment
+              |FROM inter JOIN sz sa ON doc_inner = sa.doc_id
+              |WHERE floor(i * 1.0 / sa.n * 1e4 + 0.5) / 1e4 >= 0.7
+              |ORDER BY doc_inner, doc_outer""".stripMargin)),
 
     // Same verified-pair output as above; candidate generation goes through
     // minhash signatures + LSH banding (the 100 TB path).
@@ -2120,6 +2169,40 @@ object Pipeline {
               |            ELSE 0.0 END AS coeff
               |FROM e LEFT JOIN dg ON e.vec_id = dg.id LEFT JOIN tn ON e.vec_id = tn.id
               |ORDER BY id""".stripMargin)),
+
+    // Personalized PageRank (r10): teleport to the vec_id<10 seed set —
+    // the "find more like these" expansion primitive; rank concentrates
+    // in the seeds' neighborhood and top non-seed ids are the expansion
+    // candidates. Oracle unrolls the 3 seeded iterations.
+    Q("q_pl_ppr",
+      (s, dir) => {
+        val emb = Tables.embeddings(s, dir)
+        val edges = graft.pipeline.Graph.undirected(
+          Similarity.cosinePairs(emb, 0.45), "vec_a", "vec_b")
+        graft.pipeline.Graph.pageRankPersonalized(edges,
+            emb.select(col("vec_id").as("id")),
+            emb.filter(col("vec_id") < 10).select(col("vec_id").as("id")),
+            nSeeds = 10L, iters = 3)
+          .select(col("id"), (floor(col("rank") * 1e6 + 0.5) / 1e6).as("rank"))
+          .orderBy("id")
+      },
+      Some(s"""WITH $embCte,
+              |pr AS (
+              |  SELECT a.vec_id AS a, b.vec_id AS b
+              |  FROM e a JOIN e b ON a.vec_id < b.vec_id
+              |  WHERE ${cosSql("a.v", "b.v")} >= 0.45
+              |),
+              |ed AS (SELECT a AS src, b AS dst FROM pr
+              |       UNION ALL SELECT b AS src, a AS dst FROM pr),
+              |dg AS (SELECT src, count(*) AS deg FROM ed GROUP BY 1),
+              |r0 AS (SELECT vec_id AS id,
+              |              CASE WHEN vec_id < 10 THEN 0.1 ELSE 0.0 END AS rank
+              |       FROM e),
+              |${pprIter("0", "1")},
+              |${pprIter("1", "2")},
+              |${pprIter("2", "3")}
+              |SELECT id, floor(rank * 1e6 + 0.5) / 1e6 AS rank
+              |FROM r3 ORDER BY id""".stripMargin)),
 
     Q("q_pl_centrality",
       (s, dir) => {
