@@ -259,6 +259,18 @@ object ScaleSmoke {
             greatest(col("vec_a"), col("vec_b")).as("b")).distinct()
         graft.pipeline.Graph.triangles(pairs, emb.select(col("vec_id").as("id")))
       },
+      // containment inherits the span-dedup candidate property under
+      // clone amplification (every block ×mult ⇒ candidate pairs ×mult²)
+      // — completion is the claim; ppr rides the banded LSH edge set
+      timed("containment")(Dedup.containmentPairs(docs, 0.7)),
+      timed("ppr_lsh") {
+        val pairs = graft.pipeline.Similarity.cosinePairsLsh(emb, 0.45)
+        val edges = graft.pipeline.Graph.undirected(pairs, "vec_a", "vec_b")
+        graft.pipeline.Graph.pageRankPersonalized(edges,
+          emb.select(col("vec_id").as("id")),
+          emb.filter(col("vec_id") % 1000000000L < 10).select(col("vec_id").as("id")),
+          nSeeds = 10L * mult, iters = 3)
+      },
       timed("bm25_idx") {
         val idx = java.nio.file.Files.createTempDirectory("graft-smoke-tix").toString + "/i"
         graft.pipeline.TextIndex.build(docs, idx)
