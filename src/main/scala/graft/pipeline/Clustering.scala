@@ -260,7 +260,10 @@ object Clustering {
       .agg(min(col("cc.__cl")).as("__cl"))
     val cellLabel = coreLabeled.withColumn("__role", lit("core"))
       .unionByName(borderCells.withColumn("__role", lit("border")))
-    pts.join(broadcast(cellLabel), Seq("__cx", "__cy"), "left")
+    // no broadcast hint: the label frame is occupied-cell-sized, which is
+    // usually ≪ points but degenerates to n on an all-singleton-cell
+    // layout — let AQE measure it and pick broadcast vs shuffle
+    pts.join(cellLabel, Seq("__cx", "__cy"), "left")
       .select(col("vec_id"), col("__cl").as("cluster_id"),
         coalesce(col("__role"), lit("noise")).as("role"))
   }
