@@ -80,7 +80,7 @@ object Dedup {
   }
 
   /** Shingle-hash sets per doc: (doc_id, hs ARRAY<LONG> sorted distinct). */
-  private def shingleHashes(docs: DataFrame, n: Int): DataFrame =
+  private[graft] def shingleHashes(docs: DataFrame, n: Int): DataFrame =
     TextAnalysis.shingleSets(docs, n)
 
   private def jaccard(a: Column, b: Column): Column = {

@@ -1220,6 +1220,87 @@ class PipelineSpec extends AnyFunSuite {
     assert(got2 === got)
   }
 
+  test("containmentPairs: prefix filter loses nothing vs brute force, incl. planted inclusions") {
+    import graft.pipeline.Dedup
+    // plant true containments: each synthetic doc is a word-prefix of a
+    // real doc (near-total shingle containment at a fraction of the size)
+    val base = docs.limit(40).select("doc_id", "text")
+      .as[(Long, String)].collect()
+    val planted = base.take(8).map { case (id, text) =>
+      (id + 100000L, text.split("\\s+").take(25).mkString(" "))
+    }
+    val corpus = (base ++ planted).toSeq.toDF("doc_id", "text")
+    val t = 0.7
+    val got = Dedup.containmentPairs(corpus, t)
+      .as[(Long, Long, Double)].collect().toSet
+    // brute force over the SAME shingle sets (validates candidate
+    // completeness + orientation + the exact containment arithmetic)
+    val sh = Dedup.shingleHashes(corpus, 3)
+      .collect().map(r => r.getLong(0) -> r.getSeq[Long](1).toSet).toMap
+    val ids = sh.keys.toSeq
+    implicit val ord: Ordering[(Int, Long)] = Ordering.Tuple2[Int, Long]
+    val expect = (for {
+      a <- ids; b <- ids
+      if ord.lt((sh(a).size, a), (sh(b).size, b)) && sh(a).nonEmpty
+      c = math.floor(sh(a).intersect(sh(b)).size.toDouble / sh(a).size * 1e4 + 0.5) / 1e4
+      if c >= t
+    } yield (a, b, c)).toSet
+    assert(got === expect)
+    assert(expect.exists(_._1 > 100000L), "planted prefixes must surface as contained docs")
+  }
+
+  test("holtWinters: Spark HOF fold is bit-equal to a reference Scala fold") {
+    import graft.operators.Trend
+    val rnd = new scala.util.Random(7)
+    val pts = (0 until 500).map { i =>
+      (s"s${i % 2}", 86400L + (i / 2) * 600L, math.floor(rnd.nextDouble() * 1e4) / 1e2)
+    }.toDF("series", "time", "value")
+    val (alpha, beta, gamma, m, step) = (0.5, 0.25, 0.25, 6, 3600L)
+    val got = Trend.holtWinters(pts, Seq("series"), m, step)
+      .select("series", "level", "trend", "forecast")
+      .as[(String, Double, Double, Double)].collect()
+      .map { case (k, l, b, f) => k -> ((l, b, f)) }.toMap
+    // reference: same pre-rounded bucket means, plain sequential Scala
+    val rows = pts.as[(String, Long, Double)].collect()
+    val ref = rows.groupBy(_._1).flatMap { case (s, rs) =>
+      val xs = rs.groupBy(r => r._2 - r._2 % step).toSeq.sortBy(_._1).map { case (_, g) =>
+        math.floor(g.map(_._3).sum / g.size * 1e6 + 0.5) / 1e6
+      }
+      if (xs.size < 2 * m) None else {
+        val m1 = xs.take(m).foldLeft(0.0)(_ + _) / m
+        val m2 = xs.slice(m, 2 * m).foldLeft(0.0)(_ + _) / m
+        var st = Array(m1, (m2 - m1) / m) ++ xs.take(m).map(_ - m1)
+        xs.drop(m).foreach { x =>
+          val (l, b, sh) = (st(0), st(1), st(2))
+          val l2 = alpha * (x - sh) + (1 - alpha) * (l + b)
+          val b2 = beta * (l2 - l) + (1 - beta) * b
+          val s2 = gamma * (x - l2) + (1 - gamma) * sh
+          st = Array(l2, b2) ++ st.slice(3, m + 2) ++ Array(s2)
+        }
+        Some(s -> (st(0), st(1), st(0) + st(1) + st(2)))
+      }
+    }
+    assert(got === ref, "HOF fold must be bit-equal to the sequential reference")
+  }
+
+  test("cmsEstimate: one-sided error bound on every probe; exact at saturating width") {
+    import graft.pipeline.TextAnalysis
+    val d = docs.limit(60)
+    val r = TextAnalysis.cmsEstimate(d, width = 256, probeTopN = 50)
+      .as[(String, Long, Long)].collect()
+    assert(r.nonEmpty)
+    r.foreach { case (w, exact, est) =>
+      assert(est >= exact, s"CMS underestimated '$w': $est < $exact")
+    }
+    // width far above the distinct-word count ⇒ few collisions per row ⇒
+    // min over 4 rows is exact on this corpus (probabilistic in general,
+    // deterministic for this fixed corpus + schedule)
+    val wide = TextAnalysis.cmsEstimate(d, width = 1 << 16, probeTopN = 50)
+      .as[(String, Long, Long)].collect()
+    assert(wide.forall { case (_, exact, est) => est == exact },
+      "saturating width must make every probe exact")
+  }
+
   test("triangles: matches brute-force on a seeded random graph, layout-invariant") {
     import graft.pipeline.Graph
     val rnd = new scala.util.Random(42)
