@@ -1088,6 +1088,102 @@ object StreamOps {
         col("bucket").cast("int").as("bucket"), col("c"))
   }
 
+  // open buckets fold to (sum, n); buf holds (bucket, 1e-6-rounded mean)
+  // until the 2m-bucket seed; st = [l, b, s₁..s_m] after seeding
+  final case class HwState(open: Map[Long, (Double, Long)],
+      buf: Vector[(Long, Double)], st: Vector[Double], lastSeen: Long)
+  final case class HwPoint(series: String, bucket: Long, level: Double,
+      trend: Double, forecast: Double)
+
+  /** Streaming Holt–Winters — the live twin of
+    * [[graft.operators.Trend.holtWinters]]: per series, open buckets fold
+    * points to (sum, n); each watermark-CLOSED bucket contributes its
+    * pre-rounded mean to the recursion (the batch operator's exact
+    * arithmetic — seed from the first two seasons, then the rotating
+    * (m+2)-double state), and every post-seed bucket emits
+    * (series, bucket, level, trend, one-step forecast) in append mode —
+    * the live forecast a drift alert compares actuals against.
+    *
+    * State per series = the ≤ watermark-delay open buckets + the m+2
+    * smoothing doubles (+ the 2m-bucket seed buffer, once) — bounded.
+    * Seasonal index = ordinal position over CLOSED buckets in time
+    * order, matching the batch contract; the final emitted row per
+    * series equals the batch operator's output on the same data
+    * (StreamingSpec pins it).
+    */
+  def holtWinters(
+      spark: SparkSession,
+      points: DataFrame,
+      period: Int,
+      step: Long,
+      watermarkDelay: String = "10 minutes",
+      alpha: Double = 0.5, beta: Double = 0.25, gamma: Double = 0.25,
+      retentionSecs: Long = 30 * 86400L): Dataset[HwPoint] = {
+    import spark.implicits._
+    require(period >= 2, "seasonal period must be >= 2")
+    require(step > 0, "step must be positive")
+    val m = period
+    points.select(col("series"), col("time").cast("long"), col("value").cast("double"))
+      .withColumn("event_time", col("time").cast("timestamp"))
+      .withWatermark("event_time", watermarkDelay)
+      .as[TimedPoint]
+      .groupByKey(_.series)
+      .flatMapGroupsWithState[HwState, HwPoint](
+        OutputMode.Append, GroupStateTimeout.EventTimeTimeout) {
+        (series: String, it: Iterator[TimedPoint], state: GroupState[HwState]) =>
+          val wm = state.getCurrentWatermarkMs() / 1000L
+          val s0 = state.getOption.getOrElse(HwState(Map.empty, Vector.empty, Vector.empty, 0L))
+          var open = s0.open
+          var lastSeen = s0.lastSeen
+          it.foreach { p =>
+            val b = p.time - math.floorMod(p.time, step)
+            lastSeen = math.max(lastSeen, p.time)
+            if (b + step > wm || open.contains(b)) {
+              val (sum, n) = open.getOrElse(b, (0.0, 0L))
+              open += b -> (sum + p.value, n + 1)
+            }
+          }
+          var buf = s0.buf
+          var st = s0.st
+          val out = Seq.newBuilder[HwPoint]
+          def fold(bucket: Long, x: Double): Unit = {
+            val (l, b, sh) = (st(0), st(1), st(2))
+            val l2 = alpha * (x - sh) + (1 - alpha) * (l + b)
+            val b2 = beta * (l2 - l) + (1 - beta) * b
+            val sN = gamma * (x - l2) + (1 - gamma) * sh
+            st = Vector(l2, b2) ++ st.slice(3, m + 2) :+ sN
+            out += HwPoint(series, bucket, st(0), st(1), st(0) + st(1) + st(2))
+          }
+          open.keys.toSeq.sorted.foreach { b =>
+            if (b + step <= wm) {
+              val (sum, n) = open(b); open -= b
+              val mean = math.floor(sum / n * 1e6 + 0.5) / 1e6
+              if (st.nonEmpty) fold(b, mean)
+              else {
+                buf = buf :+ (b, mean)
+                if (buf.size == 2 * m) {
+                  val xs = buf.map(_._2)
+                  val m1 = xs.take(m).foldLeft(0.0)(_ + _) / m
+                  val m2 = xs.slice(m, 2 * m).foldLeft(0.0)(_ + _) / m
+                  st = Vector(m1, (m2 - m1) / m) ++ xs.take(m).map(_ - m1)
+                  buf.drop(m).foreach { case (bk, x) => fold(bk, x) }
+                  buf = Vector.empty
+                }
+              }
+            }
+          }
+          if (open.isEmpty && wm >= lastSeen + retentionSecs) {
+            state.remove(); out.result().iterator
+          } else {
+            state.update(HwState(open, buf, st, lastSeen))
+            val due = (open.keys.map(_ + step) ++ Iterable(lastSeen + retentionSecs))
+              .filter(_ > wm)
+            if (due.nonEmpty) state.setTimeoutTimestamp(due.min * 1000L)
+            out.result().iterator
+          }
+      }
+  }
+
   final case class HhEvent(word: String, time: Long,
       event_time: java.sql.Timestamp, window: Long, shard: Int)
   final case class HhState(counters: Map[String, Long], n: Long)

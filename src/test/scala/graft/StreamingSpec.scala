@@ -964,6 +964,49 @@ class StreamingSpec extends AnyFunSuite {
       (b + 600, "c", 1L, 9L)))
   }
 
+  test("streaming Holt-Winters final row equals the batch operator per series") {
+    import spark.implicits._
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val b = 86400L
+    val m = 3
+    val rnd = new scala.util.Random(11)
+    // 10 closed buckets per series (2m seed + 4 folded emissions)
+    // time-ordered interleaving across series: a series-ordered feed
+    // would advance the watermark past the second series' events (the
+    // late-data guard would rightly drop them)
+    val pts = (for (s <- Seq("sa", "sb"); i <- 0 until 10; j <- 0 until 3)
+      yield (s, b + i * 1000L + j * 100, math.floor(rnd.nextDouble() * 1e4) / 1e2))
+      .sortBy(p => (p._2, p._1))
+    val batch = graft.operators.Trend.holtWinters(
+        pts.toDF("series", "time", "value"), Seq("series"), m, 1000L)
+      .select("series", "level", "trend", "forecast")
+      .as[(String, Double, Double, Double)].collect()
+      .map(r => r._1 -> ((r._2, r._3, r._4))).toMap
+    def run(tag: String, batches: Seq[Seq[(String, Long, Double)]]) = {
+      val ms = MemoryStream[(String, Long, Double)]
+      val f = StreamOps.holtWinters(spark, ms.toDF().toDF("series", "time", "value"),
+        period = m, step = 1000L, watermarkDelay = "60 seconds").toDF()
+      val q = f.writeStream.outputMode("append").format("memory").queryName(tag).start()
+      try {
+        batches.foreach { bt => ms.addData(bt); q.processAllAvailable() }
+        ms.addData(Seq(("wmpush", 10 * b, 0.0))); q.processAllAvailable()
+        spark.sql(s"select series, bucket, level, trend, forecast from $tag " +
+          s"where series in ('sa','sb') order by series, bucket")
+          .as[(String, Long, Double, Double, Double)].collect().toSeq
+      } finally q.stop()
+    }
+    val rows = run("hw_onebatch", Seq(pts))
+    // one emission per post-seed closed bucket: buckets m+1..10 = 7/series
+    assert(rows.count(_._1 == "sa") === 7 && rows.count(_._1 == "sb") === 7)
+    // the last emitted row per series IS the batch operator's final state
+    val last = rows.groupBy(_._1).map { case (s, rs) =>
+      val r = rs.maxBy(_._2); s -> ((r._3, r._4, r._5)) }
+    assert(last === batch, "live fold diverged from the batch recursion")
+    assert(run("hw_stagger", pts.grouped(7).toSeq) === rows,
+      "emission must not depend on micro-batch boundaries")
+  }
+
   test("streaming CMS cells equal the batch sketch table per closed window") {
     import spark.implicits._
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
