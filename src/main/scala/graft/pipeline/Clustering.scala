@@ -229,36 +229,58 @@ object Clustering {
     require(minPts >= 1, "minPts must be >= 1")
     // single-long cell id: (cx, cy) packed with a 1e6 offset/stride —
     // coordinates beyond ±5e5 cells would alias (unreachable for unit-
-    // scale embeddings; require it anyway)
-    def cellId(cx: Column, cy: Column): Column = {
+    // scale embeddings), so packing fails LOUDLY past the range instead
+    // of silently merging unrelated clusters
+    def packId(cx: Column, cy: Column): Column =
       (cx + lit(500000L)) * lit(1000000L) + (cy + lit(500000L))
+    def cellId(cx: Column, cy: Column): Column = {
+      val guard = (c: Column) => when(abs(c) >= lit(500000L),
+        raise_error(concat(lit("gridDensityClusters: cell coordinate "), c.cast("string"),
+          lit(" outside packable range ±5e5 (coordinate/eps too large — rescale inputs or raise eps)")))
+        .cast("long")).otherwise(c)
+      packId(guard(cx), guard(cy))
     }
+    // 9-stencil neighbor offsets (includes (0,0) — self-pairs are dropped
+    // by the ca<cb filter, and a non-core cell never equi-matches a core
+    // id at offset (0,0)). Exploding each cell to its 9 neighbor ids turns
+    // both adjacency joins into hash equi-joins on the packed cell id —
+    // no BroadcastNestedLoopJoin at any grid resolution.
+    val stencil = array((for { dx <- -1L to 1L; dy <- -1L to 1L } yield
+      struct(lit(dx).as("dx"), lit(dy).as("dy"))): _*)
     val cx = floor(element_at(col("embedding"), dimX).cast("double") / eps).cast("long")
     val cy = floor(element_at(col("embedding"), dimY).cast("double") / eps).cast("long")
     val pts = emb.select(col("vec_id"), cx.as("__cx"), cy.as("__cy"))
     val cells = pts.groupBy(col("__cx"), col("__cy")).agg(count(lit(1)).as("__n"))
     val core = cells.filter(col("__n") >= minPts)
       .select(col("__cx"), col("__cy"), cellId(col("__cx"), col("__cy")).as("__cid"))
-    // 8-adjacency among core cells: each side is occupied-core-cell-sized
-    val a = core.select(col("__cx").as("ax"), col("__cy").as("ay"), col("__cid").as("ca"))
-    val b = core.select(col("__cx").as("bx"), col("__cy").as("by"), col("__cid").as("cb"))
-    val adj = a.join(b,
-      abs(col("ax") - col("bx")) <= 1 && abs(col("ay") - col("by")) <= 1 &&
-        col("ca") < col("cb"))
+    // 8-adjacency among core cells: explode each core cell to its 9
+    // neighbor ids, equi-join against the core-id set (9·|core| × |core|)
+    val coreNbr = core
+      .select(col("__cid").as("ca"), col("__cx"), col("__cy"), explode(stencil).as("__o"))
+      .select(col("ca"),
+        // unguarded pack: probes at a guarded cell's edge reach ±5e5, whose
+        // packed ids no guarded REAL cell can hold — never a false match
+        packId(col("__cx") + col("__o.dx"), col("__cy") + col("__o.dy")).as("__nid"))
+    val adj = coreNbr.join(core.select(col("__cid").as("cb")), col("__nid") === col("cb"))
+      .filter(col("ca") < col("cb"))
       .select(col("ca").as("doc_a"), col("cb").as("doc_b"))
     val comp = Dedup.dupClustersStar(core.select(col("__cid").as("doc_id")), adj)
       .select(col("doc_id").as("__cid"), col("cluster_id").as("__cl"))
     val coreLabeled = core.join(comp, "__cid")
-      .select(col("__cx"), col("__cy"), col("__cl"))
+      .select(col("__cid"), col("__cx"), col("__cy"), col("__cl"))
     // border attach: non-core cells take the MIN cluster among adjacent
-    // core cells (occupied-cell-sized join)
+    // core cells — same 9-stencil explode, equi-join on the packed id
     val nonCore = cells.filter(col("__n") < minPts).select(col("__cx"), col("__cy"))
-    val borderCells = nonCore.as("nc").join(coreLabeled.as("cc"),
-        abs(col("nc.__cx") - col("cc.__cx")) <= 1 &&
-          abs(col("nc.__cy") - col("cc.__cy")) <= 1)
-      .groupBy(col("nc.__cx").as("__cx"), col("nc.__cy").as("__cy"))
-      .agg(min(col("cc.__cl")).as("__cl"))
-    val cellLabel = coreLabeled.withColumn("__role", lit("core"))
+    val nonCoreNbr = nonCore
+      .select(col("__cx"), col("__cy"), explode(stencil).as("__o"))
+      .select(col("__cx"), col("__cy"),
+        packId(col("__cx") + col("__o.dx"), col("__cy") + col("__o.dy")).as("__nid"))
+    val borderCells = nonCoreNbr
+      .join(coreLabeled.select(col("__cid").as("__nid"), col("__cl")), "__nid")
+      .groupBy(col("__cx"), col("__cy"))
+      .agg(min(col("__cl")).as("__cl"))
+    val coreCellLabel = coreLabeled.select(col("__cx"), col("__cy"), col("__cl"))
+    val cellLabel = coreCellLabel.withColumn("__role", lit("core"))
       .unionByName(borderCells.withColumn("__role", lit("border")))
     // no broadcast hint: the label frame is occupied-cell-sized, which is
     // usually ≪ points but degenerates to n on an all-singleton-cell

@@ -509,6 +509,13 @@ class PlanSpec extends AnyFunSuite {
     assert(plan("q_ts_sla").contains("series"), "sla window keys on series")
   }
 
+  test("grid-DBSCAN: 9-stencil equi-joins only — no nested-loop join at any grid resolution") {
+    val p = plan("q_pl_grid_dbscan")
+    assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"),
+      "cell adjacency and border attach must be hash equi-joins on the packed cell id:\n" +
+        p.take(2000))
+  }
+
   test("silhouette: k×d centroids broadcast into one distance scan") {
     val p = plan("q_pl_silhouette")
     assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastExchange"),
