@@ -453,7 +453,16 @@ object Similarity {
     //     state still ≤ 24 B × limit per chunk, and every q_id's rows
     //     stay in one chunk so the candidate window is untouched).
     //     maxDriverBatch = 0 retains its contract — NO query data on the
-    //     driver — via the broadcast BNLJ route.
+    //     driver — via the broadcast BNLJ route. Honest accounting: the
+    //     UNION plan retains every chunk's rows as Literals, so total
+    //     plan/driver state for the chunked route is O(total queries) ×
+    //     24 B — bounded by `spark.graft.ann.maxChunkedQueries` (default
+    //     250k ≈ 6 MB + codegen overhead); past the cap the route falls
+    //     back to the zero-driver-state BNLJ. Corpus-as-queries builds
+    //     past the cap should use [[knnGraphBanded]] instead — the
+    //     chunked route is ceil(n/limit) FULL corpus scans (Θ(n²/limit)
+    //     when queries ≈ corpus): fine for eval builds, not a 100 TB
+    //     kNN-graph path.
     def literalScan(rows: Seq[org.apache.spark.sql.Row]) = {
       val qlit = array(rows.map(r => struct(lit(r.getLong(0)).as("q_id"),
         lit(r.getLong(1)).as("q_lo"), lit(r.getLong(2)).as("q_hi"))): _*)
@@ -463,23 +472,24 @@ object Similarity {
           ham(col("q.q_lo"), col("q.q_hi")).as("hamming"))
     }
     val limit = driverBatchLimit(corpus.sparkSession, maxDriverBatch)
+    val cap = corpus.sparkSession.conf
+      .get("spark.graft.ann.maxChunkedQueries", "250000").toInt
     val qs = q.select(col("q_id"), col("q_lo"), col("q_hi"))
-    val sigRows = if (limit > 0) qs.head(limit + 1).toSeq else Seq.empty
+    def bnljScan =
+      cn.join(broadcast(qs), col("q_id") =!= col("vec_id"))
+        .select(col("q_id"), col("vec_id"),
+          ham(col("q_lo"), col("q_hi")).as("hamming"))
+    // one head() collects up to cap+1 rows (≤ ~6 MB at the default cap)
+    // and slices locally — no per-chunk recomputation of the signature
+    // frame, exact limit-sized chunks regardless of id hash skew. Chunk
+    // composition cannot affect the result: each chunk scans the FULL
+    // corpus for its queries, and the candidate window keys on q_id.
+    val sigRows = if (limit > 0) qs.head(cap + 1).toSeq else Seq.empty
     val scored =
-      if (limit > 0 && sigRows.length <= limit) literalScan(sigRows)
-      else if (limit > 0) {
-        val nChunks = math.max(2, math.ceil(qs.count().toDouble / limit).toInt)
-        (0 until nChunks).iterator
-          .map(i => qs.filter(pmod(xxhash64(col("q_id")), lit(nChunks.toLong)) === i)
-            .collect().toSeq)
-          .filter(_.nonEmpty)
-          .map(literalScan)
-          .reduce(_ unionAll _)
-      } else {
-        cn.join(broadcast(qs), col("q_id") =!= col("vec_id"))
-          .select(col("q_id"), col("vec_id"),
-            ham(col("q_lo"), col("q_hi")).as("hamming"))
-      }
+      if (limit > 0 && sigRows.isEmpty) literalScan(sigRows)
+      else if (limit > 0 && sigRows.length <= cap)
+        sigRows.grouped(limit).map(literalScan).reduce(_ unionAll _)
+      else bnljScan
     val wCand = Window.partitionBy(col("q_id"))
       .orderBy(col("hamming"), col("vec_id"))
     val cand = scored.withColumn("crank", row_number().over(wCand))
@@ -488,6 +498,82 @@ object Similarity {
     rankTopK(cand
       .join(c.select(col("vec_id"), col("v")), Seq("vec_id"))
       .join(broadcast(q.select(col("q_id"), col("qv"))), Seq("q_id"))
+      .select(col("q_id"), col("vec_id"),
+        cosine(col("qv"), col("v")).as("cos")), k)
+  }
+
+  /** Sub-quadratic kNN-graph construction: Hamming pigeonhole BANDS
+    * generate candidates by equi-join, then the exact Hamming ranking +
+    * cosine rerank tail shared with [[hammingTopK]]. This is THE
+    * corpus-as-queries route at scale — [[hammingTopK]] with queries =
+    * corpus is Θ(n²/limit) sequential full-corpus literal scans past the
+    * driver-batch limit, while this route touches only signature-band
+    * collisions.
+    *
+    * Algorithm (deterministic, SQL-replayable — the banding IS the
+    * contract, same stance as the LSH dedup gates):
+    *  1. [[binarySig]] sign bits, packed in two BIGINT halves;
+    *  2. split the `dim` bits into `bands` equal slices; explode each
+    *     vector to its (band_idx, band_value) keys;
+    *  3. candidates = pairs colliding on ≥1 band (equi-join on the key,
+    *     distinct, mirrored to both directions) — by pigeonhole this
+    *     catches EVERY pair within Hamming distance `bands - 1`, and with
+    *     probability rising steeply below `dim/bands` bits;
+    *  4. rank candidates per query by exact integer Hamming (vec_id
+    *     tie-break), keep k·candMult, exact-cosine rerank (shared
+    *     [[rankTopK]] tail: rank ≤ k, cos floor-rounded 1e-6).
+    *
+    * Scale shape (100 TB): no full pairwise scan anywhere — the band
+    * self-join costs Σ_bucket |bucket|², so band WIDTH is the knob: at
+    * n vectors choose `bands` so dim/bands ≳ log2(n) (wider bands →
+    * smaller buckets → fewer, higher-precision candidates, lower recall;
+    * the default 8×8-bit bands suits 10⁴–10⁶ rows). Recall vs the exact
+    * route is pinned in PipelineSpec; SCALE.md records the growth curve
+    * vs the chunked exact route.
+    *
+    * Output: (q_id, vec_id, rank, cos round 6) — only queries with ≥1
+    * collision appear (isolated vectors have no edges, the kNN-graph
+    * semantics).
+    */
+  def knnGraphBanded(corpus: DataFrame, k: Int, bands: Int = 8,
+      candMult: Int = 4, dim: Int = 64): DataFrame = {
+    val half = dim / 2
+    val w = dim / bands
+    require(bands >= 2 && dim % bands == 0 && half % w == 0,
+      s"bands must divide dim with band width dividing the $half-bit halves")
+    val sig = binarySig(corpus, dim)
+    val mask = lit((1L << w) - 1L)
+    def bandVal(i: Int): Column =
+      if (i * w < half) shiftright(col("sig_lo"), i * w).bitwiseAND(mask)
+      else shiftright(col("sig_hi"), i * w - half).bitwiseAND(mask)
+    val keyed = sig.select(col("vec_id"), col("sig_lo"), col("sig_hi"),
+      posexplode(array((0 until bands).map(bandVal): _*)).as(Seq("band", "bval")))
+    val a = keyed.select(col("vec_id").as("a_id"), col("band"), col("bval"))
+    val b = keyed.select(col("vec_id").as("b_id"), col("band"), col("bval"))
+    // undirected distinct collision pairs, then mirrored: half the dedup
+    // work of a directed self-join, same candidate set per query
+    val undirected = a.join(b, Seq("band", "bval"))
+      .filter(col("a_id") < col("b_id"))
+      .select(col("a_id"), col("b_id")).distinct()
+    val cand = undirected.select(col("a_id").as("q_id"), col("b_id").as("vec_id"))
+      .unionAll(undirected.select(col("b_id").as("q_id"), col("a_id").as("vec_id")))
+    val cs = sig.select(col("vec_id"), col("sig_lo"), col("sig_hi"))
+    val scored = cand
+      .join(cs.select(col("vec_id").as("q_id"), col("sig_lo").as("q_lo"),
+        col("sig_hi").as("q_hi")), Seq("q_id"))
+      .join(cs, Seq("vec_id"))
+      .select(col("q_id"), col("vec_id"),
+        (bit_count(col("sig_lo").bitwiseXOR(col("q_lo"))) +
+          bit_count(col("sig_hi").bitwiseXOR(col("q_hi")))).as("hamming"))
+    val wCand = Window.partitionBy(col("q_id"))
+      .orderBy(col("hamming"), col("vec_id"))
+    val top = scored.withColumn("crank", row_number().over(wCand))
+      .filter(col("crank") <= k * candMult)
+      .select(col("q_id"), col("vec_id"))
+    val v = sig.select(col("vec_id"), col("v"))
+    rankTopK(top
+      .join(v, Seq("vec_id"))
+      .join(v.select(col("vec_id").as("q_id"), col("v").as("qv")), Seq("q_id"))
       .select(col("q_id"), col("vec_id"),
         cosine(col("qv"), col("v")).as("cos")), k)
   }

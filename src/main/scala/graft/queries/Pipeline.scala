@@ -581,7 +581,9 @@ object Pipeline {
     "q_pl_dup_clusters_star", "q_pl_silhouette",
     // round-10
     "q_pl_cms", "q_pl_neyman", "q_pl_bm25_idx", "q_pl_grid_dbscan",
-    "q_pl_triangles", "q_pl_ppr", "q_pl_containment")
+    "q_pl_triangles", "q_pl_ppr", "q_pl_containment",
+    // round-11
+    "q_ann_knn_graph")
 
   def qs: Seq[Q] = {
     val all = raw.map(q => if (ExtraBench(q.name)) q.copy(benchExtra = true) else q)
@@ -2380,6 +2382,47 @@ object Pipeline {
               |FROM nn x JOIN nn y ON x.a_id = y.b_id AND x.b_id = y.a_id
               |                   AND x.a_id < x.b_id
               |ORDER BY vec_a, vec_b""".stripMargin)),
+
+    // Sub-quadratic kNN graph (r11): Hamming pigeonhole bands → candidate
+    // equi-join → exact Hamming rank → cosine rerank. The BANDING is the
+    // contract (the oracle replays the 8×8-bit band collisions exactly,
+    // same stance as the LSH dedup gates) — this is the corpus-as-queries
+    // construction path that replaces the Θ(n²/limit) chunked literal
+    // scans for kNN-graph builds at scale. PipelineSpec pins its recall
+    // against the exact hammingTopK route at gate scale.
+    Q("q_ann_knn_graph",
+      (s, dir) => Similarity.knnGraphBanded(Tables.embeddings(s, dir), 4,
+          bands = 8, candMult = 4)
+        .orderBy("q_id", "rank"),
+      Some(s"""WITH $embCte,
+              |$sigCte,
+              |bnd AS (
+              |  SELECT vec_id, t.i AS band,
+              |         CASE WHEN t.i * 8 < 32 THEN (sig_lo >> (t.i * 8)) & 255
+              |              ELSE (sig_hi >> (t.i * 8 - 32)) & 255 END AS bval
+              |  FROM sig, range(0, 8) t(i)),
+              |up AS (
+              |  SELECT DISTINCT x.vec_id AS a_id, y.vec_id AS b_id
+              |  FROM bnd x JOIN bnd y ON x.band = y.band AND x.bval = y.bval
+              |                        AND x.vec_id < y.vec_id),
+              |cp AS (SELECT a_id AS q_id, b_id AS vec_id FROM up
+              |       UNION ALL SELECT b_id AS q_id, a_id AS vec_id FROM up),
+              |bcand AS (
+              |  SELECT cp.q_id, cp.vec_id, qa.v AS qv, qb.v AS v,
+              |         row_number() OVER (PARTITION BY cp.q_id
+              |           ORDER BY bit_count(xor(qa.sig_lo, qb.sig_lo))
+              |                  + bit_count(xor(qa.sig_hi, qb.sig_hi)), cp.vec_id) AS crank
+              |  FROM cp JOIN sig qa ON cp.q_id = qa.vec_id
+              |          JOIN sig qb ON cp.vec_id = qb.vec_id),
+              |bknn AS (
+              |  SELECT q_id, vec_id, cos,
+              |         row_number() OVER (PARTITION BY q_id
+              |           ORDER BY cos DESC, vec_id) AS rank
+              |  FROM (SELECT q_id, vec_id, ${cosSql("qv", "v")} AS cos
+              |        FROM bcand WHERE crank <= 16))
+              |SELECT q_id, vec_id, CAST(rank AS BIGINT) AS rank,
+              |       floor(cos * 1e6 + 0.5) / 1e6 AS cos
+              |FROM bknn WHERE rank <= 4 ORDER BY q_id, rank""".stripMargin)),
 
     // kNN-graph centrality — the corpus-scale route for q_pl_centrality:
     // edges = symmetrized distinct top-4 Hamming-index neighbors (the

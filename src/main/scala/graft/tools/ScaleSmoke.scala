@@ -17,6 +17,17 @@ import org.apache.spark.sql.functions._
   * 40× — run without paying for the rest).
   */
 object ScaleSmoke {
+  /** Deterministic ±-uniform 64-dim embeddings (no RNG — a hash of
+    * (id, dim) picks each sign), sized n. Used where clone-amplification
+    * would distort the measurement (identical clones collide totally in
+    * any signature scheme).
+    */
+  private def synthEmb(spark: SparkSession, n: Long): DataFrame =
+    spark.range(n).select(col("id").as("vec_id"),
+      array((0 until 64).map(d =>
+        when(pmod(col("id") * lit(2654435761L) + lit(d.toLong * 40503L), lit(9973L)) < 4986,
+          lit(1.0)).otherwise(lit(-1.0))): _*).as("embedding"))
+
   def main(args: Array[String]): Unit = {
     val mult = args.headOption.map(_.toInt).getOrElse(10)
     val only: Set[String] = args.drop(1).headOption
@@ -271,6 +282,17 @@ object ScaleSmoke {
           emb.filter(col("vec_id") % 1000000000L < 10).select(col("vec_id").as("id")),
           nSeeds = 10L * mult, iters = 3)
       },
+      // kNN-graph construction shoot-out (r11): the chunked exact route is
+      // ceil(n/limit) FULL corpus scans — Θ(n²/limit) — while the banded
+      // route only pays for band collisions. Clone-amplified embeddings
+      // would collide totally (identical sig per clone), so this smoke
+      // builds a SYNTHETIC nVec-sized ±-uniform frame (worst case for
+      // recall, fair for cost). Band width follows the documented
+      // dim/bands ≳ log2(n) rule → 16-bit bands at this n.
+      timed("knn_graph_banded")(graft.pipeline.Similarity.knnGraphBanded(
+        synthEmb(spark, nVec), 4, bands = 4, candMult = 4)),
+      timed("knn_graph_exact")(graft.pipeline.Similarity.hammingTopK(
+        synthEmb(spark, nVec), synthEmb(spark, nVec), 4, candMult = 4)),
       timed("bm25_idx") {
         val idx = java.nio.file.Files.createTempDirectory("graft-smoke-tix").toString + "/i"
         graft.pipeline.TextIndex.build(docs, idx)

@@ -1013,6 +1013,44 @@ class PipelineSpec extends AnyFunSuite {
     assert(rows(0) === single, "maxDriverBatch=0 BNLJ route diverged")
   }
 
+  test("knnGraphBanded: pigeonhole guarantee on planted neighbors; tracks exact route on uniform corpus") {
+    import spark.implicits._
+    // planted fixture: 40 well-separated ±1 base vectors, each with a twin
+    // at Hamming distance 7 (7 sign flips). With 8 bands over 64 bits the
+    // pigeonhole principle GUARANTEES ≥1 clean band per pair, so banding
+    // finds every twin; cosine ranks the twin top-1 (cos ≈ 0.78 vs ~0 for
+    // unrelated ±1 vectors).
+    def sign(seed: Int): Double = { // splitmix64-style mix — independent bits
+      var h = seed.toLong * 0x9E3779B97F4A7C15L
+      h ^= (h >>> 32); h *= 0xBF58476D1CE4E5B9L; h ^= (h >>> 29)
+      if ((h & 1L) == 0L) 1.0 else -1.0
+    }
+    val rows = (0 until 40).flatMap { i =>
+      val base = (0 until 64).map(d => sign(i * 64 + d)).toArray
+      val twin = base.clone()
+      (0 until 7).foreach(j => twin((i + j * 9) % 64) *= -1.0)
+      Seq((i.toLong, base.toSeq), (1000L + i, twin.toSeq))
+    }
+    val planted = rows.toDF("vec_id", "embedding")
+    val top1 = Similarity.knnGraphBanded(planted, 1, bands = 8, candMult = 4)
+      .select("q_id", "vec_id").as[(Long, Long)].collect().toSet
+    (0 until 40).foreach { i =>
+      assert(top1.contains((i.toLong, 1000L + i)), s"base $i must find its twin")
+      assert(top1.contains((1000L + i, i.toLong)), s"twin $i must find its base")
+    }
+    // the gate corpus is near-uniform — the ADVERSARIAL case for any LSH
+    // (neighbors sit at Hamming ≈ 25+, far past the band guarantee); the
+    // banded route still recovers a fixed fraction of the exact kNN
+    // (measured 0.21 at sf0.001). Real corpora cluster, pushing neighbors
+    // inside the band radius — the planted assertion above is that regime.
+    val exact = Similarity.hammingTopK(emb, emb, 4, candMult = 4)
+      .select("q_id", "vec_id").as[(Long, Long)].collect().toSet
+    val banded = Similarity.knnGraphBanded(emb, 4, bands = 8, candMult = 4)
+      .select("q_id", "vec_id").as[(Long, Long)].collect().toSet
+    val recall = banded.count(exact.contains).toDouble / exact.size
+    assert(recall >= 0.15, s"uniform-corpus recall $recall below the measured floor")
+  }
+
   test("mutualNnIdx: corpus-spanning budget equals exact mutualNn; default budget is high-recall") {
     val n = emb.count().toInt
     val exact = Similarity.mutualNn(emb)
