@@ -19,20 +19,20 @@ import org.apache.spark.sql.functions._
   * holds the two corpus scalars (n_docs, avgdl pre-rounded 1e-6 — the
   * same rounding the direct path applies before use).
   *
-  * Freshness: the index reflects the corpus at build time; rebuild (or
-  * partition-rewrite changed buckets, the continuousRollup pattern) on
-  * append. Same-route determinism: probe scoring replays the direct
-  * path's exact arithmetic, so `q_pl_bm25_idx` shares `q_pl_bm25`'s
-  * oracle — index-backed and direct rankings are bit-equal.
+  * Freshness: [[append]] rewrites ONLY the term buckets the new batch
+  * touches (the continuousRollup partition-rewrite pattern, crash-safe
+  * per-bucket swaps) — the corpus is never re-exploded. Same-route
+  * determinism: probe scoring replays the direct path's exact
+  * arithmetic, so `q_pl_bm25_idx` shares `q_pl_bm25`'s oracle —
+  * index-backed and direct rankings are bit-equal, and StorageSpec pins
+  * append-then-probe ≡ full-rebuild probe.
   */
 object TextIndex {
 
-  /** One corpus pass each for doc lengths, tf, and df; postings join the
-    * three (term- and doc-keyed shuffles) and land partitioned by term
-    * bucket. All shapes partial+final; nothing collects.
+  /** Per-doc lengths and term frequencies — the shared shape of [[build]]
+    * and [[append]].
     */
-  def build(docs: DataFrame, path: String, nBuckets: Int = 64): Unit = {
-    require(nBuckets >= 1, "need at least one term bucket")
+  private def stats(docs: DataFrame): (DataFrame, DataFrame) = {
     val wl = docs.select(col("doc_id"),
       size(filter(TextAnalysis.words(col("text")), t => length(t) > 0))
         .cast("double").as("dl"))
@@ -40,15 +40,122 @@ object TextIndex {
       .select(col("doc_id"), explode(TextAnalysis.words(col("text"))).as("term"))
       .filter(length(col("term")) > 0)
       .groupBy("doc_id", "term").agg(count(lit(1)).cast("double").as("tf"))
-    val dfx = tf.groupBy("term").agg(count(lit(1)).cast("double").as("df"))
-    tf.join(dfx, "term").join(wl, "doc_id")
-      .withColumn("bucket", pmod(TextAnalysis.hash31(col("term")), lit(nBuckets.toLong)))
-      .write.mode(SaveMode.Overwrite).partitionBy("bucket")
-      .parquet(s"$path/postings")
-    docs.agg(count(lit(1)).as("n_docs"))
-      .crossJoin(wl.agg((floor(avg(col("dl")) * 1e6 + 0.5) / 1e6).as("avgdl")))
-      .write.mode(SaveMode.Overwrite).parquet(s"$path/meta")
+    (wl, tf)
   }
+
+  /** One corpus pass each for doc lengths, tf, and df; postings join the
+    * three (term- and doc-keyed shuffles) and land partitioned by term
+    * bucket. All shapes partial+final; nothing collects. The doc-length
+    * frame feeds both the postings join and the meta aggregate — cached
+    * across the two writes so the corpus is length-scanned once.
+    * `meta` carries `sum_dl` (exact: integer-valued double sums never
+    * round below 2^53) so [[append]] can extend `avgdl` bit-exactly.
+    */
+  def build(docs: DataFrame, path: String, nBuckets: Int = 64): Unit = {
+    require(nBuckets >= 1, "need at least one term bucket")
+    val (wl0, tf) = stats(docs)
+    val wl = wl0.cache()
+    try {
+      val dfx = tf.groupBy("term").agg(count(lit(1)).cast("double").as("df"))
+      tf.join(dfx, "term").join(wl, "doc_id")
+        .withColumn("bucket", pmod(TextAnalysis.hash31(col("term")), lit(nBuckets.toLong)))
+        .write.mode(SaveMode.Overwrite).partitionBy("bucket")
+        .parquet(s"$path/postings")
+      docs.agg(count(lit(1)).as("n_docs"))
+        .crossJoin(wl.agg(sum(col("dl")).as("sum_dl")))
+        .withColumn("avgdl",
+          floor(col("sum_dl") / col("n_docs") * 1e6 + 0.5) / 1e6)
+        .withColumn("n_buckets", lit(nBuckets.toLong))
+        .write.mode(SaveMode.Overwrite).parquet(s"$path/meta")
+    } finally { wl.unpersist(); () }
+  }
+
+  /** Incremental append: index `batch` (docs with NEW doc_ids) by
+    * rewriting only the term buckets its vocabulary hashes into — the
+    * changed-bucket partition-rewrite the class doc promises. Steps:
+    *
+    *  1. batch tf/dl (batch-sized, one explode of the BATCH only);
+    *  2. touched buckets = distinct hash31(term) % nBuckets over the
+    *     batch vocabulary (vocab-sized collect — metadata);
+    *  3. partition-pruned read of ONLY those buckets; per-term df is
+    *     extended (old df + batch df — a term's postings live entirely
+    *     in its hash bucket, so every affected row is in the read set);
+    *  4. merged rows swap in per bucket via the crash-safe
+    *     [[graft.storage.Maintenance.swapRewrite]] scratch-dir protocol
+    *     (a concurrent probe never sees a half-written bucket), then
+    *     `meta` swaps LAST: n_docs += |batch|, avgdl extended from the
+    *     exact `sum_dl` — bit-equal to a full rebuild (StorageSpec).
+    *
+    * Each bucket swap is atomic, but the append as a WHOLE is not: a
+    * crash mid-loop leaves a prefix of buckets extended with the old
+    * meta (probes of untouched terms are unaffected; probes of the
+    * batch's terms see pre-append rankings until meta lands). Re-running
+    * the same batch is NOT idempotent — on doubt, [[build]] from the
+    * corpus. Scale shape: cost ∝ batch size + touched-bucket bytes,
+    * never corpus size.
+    */
+  def append(spark: SparkSession, batch: DataFrame, path: String): Seq[Long] = {
+    import spark.implicits._
+    val postingsRoot = s"$path/postings"
+    graft.storage.Maintenance.recoverSwaps(spark, postingsRoot)
+    graft.storage.Maintenance.recoverSwaps(spark, path)
+    // the WRITE modulus must be build's exact nBuckets — the dir-name
+    // heuristic topK uses for pruning would under-count when high
+    // buckets happen to be term-free, silently mis-bucketing new terms
+    val meta0 = spark.read.parquet(s"$path/meta")
+    require(meta0.columns.contains("sum_dl") && meta0.columns.contains("n_buckets"),
+      "index meta lacks sum_dl/n_buckets (pre-r11 layout) — rebuild before appending")
+    val nBuckets = meta0.select(col("n_buckets")).as[Long].head()
+    val (bwl0, btf0) = stats(batch)
+    val bwl = bwl0.cache()
+    val btf = btf0.cache()
+    try {
+      val bdf = btf.groupBy("term").agg(count(lit(1)).cast("double").as("df_b"))
+        .withColumn("bucket", pmod(TextAnalysis.hash31(col("term")), lit(nBuckets)))
+        .cache()
+      val touched = bdf.select(col("bucket")).distinct().as[Long].collect().sorted.toSeq
+      if (touched.isEmpty) return Nil
+      val old = spark.read.parquet(postingsRoot)
+        .filter(col("bucket").isInCollection(touched))
+      // per-term df extension: old df is constant per term — one distinct
+      val oldDf = old.select(col("term"), col("df")).distinct()
+      val newDf = oldDf.join(bdf.select(col("term"), col("df_b")), Seq("term"), "full_outer")
+        .select(col("term"),
+          (coalesce(col("df"), lit(0.0)) + coalesce(col("df_b"), lit(0.0))).as("df"))
+      val batchRows = btf.join(bwl, "doc_id")
+        .select(col("doc_id"), col("term"), col("tf"), col("dl"))
+      val merged = old.select(col("doc_id"), col("term"), col("tf"), col("dl"))
+        .unionByName(batchRows)
+        .join(newDf, "term")
+        .withColumn("bucket", pmod(TextAnalysis.hash31(col("term")), lit(nBuckets)))
+        .select(col("term"), col("doc_id"), col("tf"), col("df"), col("dl"), col("bucket"))
+        .cache()
+      merged.count() // materialize off the live path before any swap
+      touched.foreach { b =>
+        graft.storage.Maintenance.swapRewrite(spark, postingsRoot, s"bucket=$b") { tmp =>
+          merged.filter(col("bucket") === b).drop("bucket")
+            .write.mode(SaveMode.Overwrite).parquet(tmp)
+        }
+      }
+      merged.unpersist()
+      val newMeta = meta0
+        .crossJoin(broadcast(batch.agg(count(lit(1)).as("n_b"))
+          .crossJoin(bwl.agg(sum(col("dl")).as("s_b")))))
+        .select((col("n_docs") + col("n_b")).as("n_docs"),
+          (col("sum_dl") + col("s_b")).as("sum_dl"), col("n_buckets"))
+        .withColumn("avgdl",
+          floor(col("sum_dl") / col("n_docs") * 1e6 + 0.5) / 1e6)
+        .cache()
+      newMeta.count()
+      graft.storage.Maintenance.swapRewrite(spark, path, "meta") { tmp =>
+        newMeta.write.mode(SaveMode.Overwrite).parquet(tmp)
+      }
+      newMeta.unpersist()
+      bdf.unpersist()
+      touched
+    } finally { bwl.unpersist(); btf.unpersist(); () }
+  }
+
 
   /** BM25 top-k from the at-rest index: the postings scan filters on the
     * query terms' bucket VALUES (computed through the same hash

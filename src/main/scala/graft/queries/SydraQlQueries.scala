@@ -712,7 +712,9 @@ object SydraQlQueries {
     Q("q_store_orc_roundtrip",
       (s, dir) => {
         import org.apache.spark.sql.functions.{col, lit}
-        val orcDir = java.nio.file.Files.createTempDirectory("graft-gate-orc").toString + "/t"
+        // fixed per-SF path under target/: repeated verify/bench rounds
+        // overwrite instead of leaking a fresh /tmp dir per invocation
+        val orcDir = s"target/gate-tmp/orc-${dir.replace('/', '_')}/t"
         Tables.events(s, dir)
           .select(col("event_id"), col("event_type"), col("user_id"),
             (col("ts") / lit(1000000000L)).cast("long").as("time"), col("value"))

@@ -67,7 +67,7 @@ object Maintenance {
     * listing), then the live dir is swapped out through `_repack_old`.
     * Nothing is deleted until the replacement is live.
     */
-  private def swapRewrite(spark: SparkSession, segRoot: String, name: String)
+  private[graft] def swapRewrite(spark: SparkSession, segRoot: String, name: String)
       (writeTo: String => Unit): Unit = {
     val (fs, root) = fsFor(spark, segRoot)
     val tmp = new HPath(root, s"_repack_tmp/$name")

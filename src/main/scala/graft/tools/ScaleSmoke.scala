@@ -294,7 +294,7 @@ object ScaleSmoke {
       timed("knn_graph_exact")(graft.pipeline.Similarity.hammingTopK(
         synthEmb(spark, nVec), synthEmb(spark, nVec), 4, candMult = 4)),
       timed("bm25_idx") {
-        val idx = java.nio.file.Files.createTempDirectory("graft-smoke-tix").toString + "/i"
+        val idx = s"target/smoke-tmp/tix-$mult/i" // fixed path, no /tmp leak
         graft.pipeline.TextIndex.build(docs, idx)
         graft.pipeline.TextIndex.topK(spark, idx, Seq("spark", "hash", "merge"), 20)
       },

@@ -559,4 +559,59 @@ class StorageSpec extends AnyFunSuite {
     assert(zt.sum / zt.size < 0.5, s"z-order t span ${zt.sum / zt.size}")
     assert(tu.sum / tu.size > 0.9, s"t-sorted layout should NOT bound u: ${tu.sum / tu.size}")
   }
+
+  test("text index append: changed-bucket rewrite equals full rebuild, probes bit-equal") {
+    import graft.pipeline.TextIndex
+    val docs = graft.core.Tables.documents(spark, "/root/testdata/sf0.001")
+    val corpus = docs.filter(col("doc_id") < 400)
+    val batch = docs.filter(col("doc_id") >= 400)
+    val incr = tmp() + "/ti-incr"
+    val full = tmp() + "/ti-full"
+    TextIndex.build(corpus, incr)
+    val touched = TextIndex.append(spark, batch, incr)
+    TextIndex.build(docs, full)
+    assert(touched.nonEmpty && touched == touched.sorted)
+    // the swap must rewrite ONLY touched buckets: untouched bucket dirs
+    // still carry their pre-append file layout is implied by bit-equal
+    // meta + probe below; check meta first (n_docs, exact-sum avgdl)
+    def meta(p: String) = spark.read.parquet(s"$p/meta")
+      .select("n_docs", "sum_dl", "avgdl", "n_buckets")
+      .collect().map(_.toSeq).toSeq
+    assert(meta(incr) === meta(full), "appended meta must equal full-rebuild meta")
+    // full postings equivalence (order-free): every (term, doc, tf, df, dl)
+    def rows(p: String) = spark.read.parquet(s"$p/postings")
+      .select("term", "doc_id", "tf", "df", "dl", "bucket")
+      .collect().map(_.toSeq).sortBy(_.toString).toSeq
+    assert(rows(incr) === rows(full), "appended postings must equal full rebuild")
+    // and the serving surface: probes bit-equal across several queries
+    for (q <- Seq(Seq("spark", "hash", "merge"), Seq("data"), Seq("the", "a"))) {
+      val a = TextIndex.topK(spark, incr, q, 20).collect().map(_.toSeq).toSeq
+      val b = TextIndex.topK(spark, full, q, 20).collect().map(_.toSeq).toSeq
+      assert(a === b, s"probe for $q diverged after append")
+    }
+  }
+
+  test("text index append recovers a died-mid-swap bucket") {
+    import graft.pipeline.TextIndex
+    import org.apache.hadoop.fs.{Path => HPath}
+    val docs = graft.core.Tables.documents(spark, "/root/testdata/sf0.001")
+    val corpus = docs.filter(col("doc_id") < 400)
+    val idx = tmp() + "/ti-crash"
+    TextIndex.build(corpus, idx)
+    // simulate a swap that died between the two renames: live bucket dir
+    // parked under _repack_old, live path missing
+    val fs = new HPath(idx).getFileSystem(spark.sessionState.newHadoopConf())
+    val victim = fs.listStatus(new HPath(s"$idx/postings"))
+      .map(_.getPath.getName).filter(_.startsWith("bucket=")).sorted.head
+    fs.mkdirs(new HPath(s"$idx/postings/_repack_old"))
+    assert(fs.rename(new HPath(s"$idx/postings/$victim"),
+      new HPath(s"$idx/postings/_repack_old/$victim")))
+    // append's recoverSwaps must restore the parked bucket before indexing
+    TextIndex.append(spark, docs.filter(col("doc_id") >= 400), idx)
+    val full = tmp() + "/ti-crash-full"
+    TextIndex.build(docs, full)
+    val q = Seq("spark", "hash", "merge")
+    assert(TextIndex.topK(spark, idx, q, 20).collect().map(_.toSeq).toSeq ===
+      TextIndex.topK(spark, full, q, 20).collect().map(_.toSeq).toSeq)
+  }
 }
