@@ -11,8 +11,10 @@ import org.apache.spark.sql.functions._
   * resize is a REAL decode → Graphics2D scale → PNG re-encode
   * ([[ImageCodec.resize]]); the container has no audio/video codecs, so
   * those steps remain clearly-marked deterministic STUBs
-  * ([[DecodeStub.decode]] fallback, [[embedStub]], and the undecodable-
-  * payload branch of [[resizeImages]]). Everything around them — schema,
+  * ([[DecodeStub.decode]] fallback and the undecodable-payload branch
+  * of [[resizeImages]]); [[embed]] is the featurizer-grade REAL
+  * embedding (byte-histogram × JL projection — no semantic model
+  * claimed). Everything around them — schema,
   * binary columns, partition-batched iteration, typed output — is the
   * real Spark plumbing a codec drops into.
   *
@@ -197,23 +199,29 @@ object Multimodal {
       }
     }
   }
-  final case class MediaEmbedding(doc_id: Long, embedding: Array[Float])
-
-  /** STUB feature extraction: deterministic embedding from the payload
-    * digest (a real build runs a vision/audio encoder here). Output shape
-    * matches the `embeddings` table (`Array[Float]`), so the ANN operators
-    * (`Similarity`) compose directly. Partition-batched.
+  /** Featurizer-grade media embedding: [[byteFeatures]]' REAL 16-bin
+    * byte histogram composed with the [[Projection]] signed JL
+    * projection — deterministic, fully offline, oracle-replayable
+    * (`q_multimodal_embed` replays histogram + matrix + cosine ranking
+    * in SQL). Replaces the r4 digest stub: the histogram genuinely
+    * separates media classes (text / compressed / padded byte
+    * distributions), so nearest neighbors in this space are
+    * near-identical byte distributions — the honest scope (NO semantic
+    * content model; swap the featurizer for a vision/audio encoder to
+    * get one, the downstream ANN plumbing is unchanged).
+    *
+    * Empty payloads are dropped (a zero histogram has no direction —
+    * cosine is undefined). Output: (doc_id, embedding array<double> of
+    * `dim`) — feeds every `Similarity` operator directly. Scale shape:
+    * the featurize pass is a narrow partition-batched scan, the
+    * projection a literal-matrix HOF riding it — no shuffle anywhere.
     */
-  def embedStub(spark: SparkSession, media: DataFrame, dim: Int = 16): Dataset[MediaEmbedding] = {
-    import spark.implicits._
-    media.as[MediaBlob].mapPartitions { it =>
-      val md = java.security.MessageDigest.getInstance("MD5") // one init per partition
-      it.map { b =>
-        val d = md.digest(b.blob)
-        MediaEmbedding(b.doc_id, Array.tabulate(dim)(i => (d(i % 16) & 0xff) / 127.5f - 1.0f))
-      }
-    }
-  }
+  def embed(spark: SparkSession, media: DataFrame, dim: Int = 16,
+      salt: String = "mm1"): DataFrame =
+    byteFeatures(spark, media).toDF()
+      .filter(col("n_bytes") > 0)
+      .select(col("doc_id"),
+        Projection.project(col("features"), 16, dim, salt).as("embedding"))
 
   /** REAL (codec-free) binary featurization: a 16-bin byte histogram
     * (L1-normalized) + length/entropy moments per blob — computable for
@@ -221,7 +229,7 @@ object Multimodal {
     * the histogram separates media classes (text vs compressed vs
     * padded), feeds the cosine/ANN operators for near-dup screening of
     * binary assets, and the entropy column is the encrypted/compressed
-    * detector. Unlike [[embedStub]] this is not a placeholder — it is
+    * detector. This is not a placeholder — it is
     * the cheap first-stage featurizer a real pipeline runs BEFORE
     * deciding what to decode.
     *

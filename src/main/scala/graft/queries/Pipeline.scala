@@ -1253,6 +1253,49 @@ object Pipeline {
              |FROM f WHERE frame_idx % 2 = 0
              |ORDER BY doc_id, frame_idx""".stripMargin)),
 
+    // End-to-end multimodal serving (r11): the featurizer-grade embed
+    // (byte-histogram × JL signed projection — REAL, no model stub)
+    // feeds the ANN serving path; top-3 neighbors per query blob. The
+    // oracle replays histogram, sign matrix (same md5-derived schedule
+    // as rpOracle) and the exact cosine ranking. Closes the last
+    // inventory row: the multimodal surface is gate-verified end to end.
+    Q("q_multimodal_embed",
+      (s, dir) => {
+        val media = Multimodal.mediaTable(Tables.documents(s, dir))
+        val emb = Multimodal.embed(s, media, dim = 16)
+          .withColumnRenamed("doc_id", "vec_id")
+        Similarity.bruteForceTopK(emb, emb.filter(col("vec_id") < 8), 3)
+          .orderBy("q_id", "rank")
+      },
+      Some {
+        val signSql =
+          "CASE WHEN CAST(concat('0x', substr(md5('mm1:' || j || ':' || i), 1, 15)) AS BIGINT) % 2 = 0 THEN 1.0 ELSE -1.0 END"
+        s"""WITH mm AS (
+           |  SELECT doc_id, text, octet_length(encode(text)) AS n
+           |  FROM documents WHERE octet_length(encode(text)) > 0),
+           |nib AS (
+           |  SELECT doc_id, n, [ord(c) // 16 for c in string_split(text, '')] AS nibs FROM mm),
+           |feat AS (
+           |  SELECT doc_id AS vec_id,
+           |         -- float4 round-trip pins Spark's Array[Float] storage,
+           |         -- then widen to DOUBLE so the dot fold runs in double
+           |         [CAST(CAST(CAST(len([x for x in nibs if x = b]) AS DOUBLE) / n AS REAL) AS DOUBLE) for b in range(0, 16)] AS fr
+           |  FROM nib),
+           |sm AS (
+           |  SELECT j, list($signSql ORDER BY i) AS sr
+           |  FROM range(0, 16) t1(j) CROSS JOIN range(0, 16) t2(i) GROUP BY j),
+           |p AS (
+           |  SELECT vec_id, list(${dotSql("feat.fr", "sm.sr")} ORDER BY sm.j) AS v
+           |  FROM feat CROSS JOIN sm GROUP BY vec_id),
+           |q AS (SELECT vec_id AS q_id, v AS qv FROM p WHERE vec_id < 8),
+           |scored AS (
+           |  SELECT q_id, vec_id, ${cosSql("qv", "v")} AS cos,
+           |         row_number() OVER (PARTITION BY q_id ORDER BY ${cosSql("qv", "v")} DESC, vec_id) AS rank
+           |  FROM p CROSS JOIN q WHERE vec_id != q_id)
+           |SELECT q_id, vec_id, rank, floor((cos) * 1e6 + 0.5) / 1e6 AS cos
+           |FROM scored WHERE rank <= 3 ORDER BY q_id, rank""".stripMargin
+      }),
+
     // Gopher-style repetition filters: duplicate-line fraction, most-common
     // word-bigram share, duplicate-trigram fraction. Narrow per-doc arrays.
     Q("q_pl_repetition",

@@ -954,16 +954,34 @@ class PipelineSpec extends AnyFunSuite {
     assert(metas(1).width === n % 640 && metas(1).n_frames === 1)
   }
 
-  test("resize falls back to the bounded stub on undecodable payloads; embed stub is deterministic with fixed dim") {
+  test("resize falls back to the bounded stub on undecodable payloads; embed is deterministic and tracks byte distributions") {
+    import spark.implicits._
     val media = graft.pipeline.Multimodal.mediaTable(docs)
     val resized = graft.pipeline.Multimodal.resizeImages(spark, media, 64, 48).collect()
     assert(resized.nonEmpty)
     assert(resized.forall(r => r.blob.length <= math.max(1, 64 * 48 / 64)))
-    val e1 = graft.pipeline.Multimodal.embedStub(spark, media, dim = 16).collect().sortBy(_.doc_id)
-    val e2 = graft.pipeline.Multimodal.embedStub(spark, media, dim = 16).collect().sortBy(_.doc_id)
-    assert(e1.forall(_.embedding.length === 16))
-    assert(e1.zip(e2).forall { case (a, b) => a.embedding.sameElements(b.embedding) })
-    assert(e1.forall(_.embedding.forall(v => v >= -1.0f && v <= 1.0f)))
+    def emb() = graft.pipeline.Multimodal.embed(spark, media, dim = 16)
+      .as[(Long, Seq[Double])].collect().sortBy(_._1)
+    val e1 = emb(); val e2 = emb()
+    assert(e1.forall(_._2.length === 16))
+    assert(e1.zip(e2).forall { case (a, b) => a._2 == b._2 }) // run-to-run identical
+    // the embedding is the projected 16-bin histogram: identical byte
+    // distributions → identical embeddings (cosine 1), and the planted
+    // all-same-byte blob is maximally far from text-byte payloads
+    val planted = Seq(
+      (9001L, "image", "aaaa bbbb aaaa".getBytes("UTF-8")),
+      (9002L, "image", "aaaa bbbb aaaa".getBytes("UTF-8")),
+      (9003L, "image", Array.fill[Byte](64)(0x01))
+    ).toDF("doc_id", "media_type", "blob")
+    val p = graft.pipeline.Multimodal.embed(spark, planted, dim = 16)
+      .as[(Long, Seq[Double])].collect().sortBy(_._1)
+    assert(p(0)._2 == p(1)._2, "same bytes must embed identically")
+    def cos(a: Seq[Double], b: Seq[Double]) = {
+      val d = a.zip(b).map { case (x, y) => x * y }.sum
+      d / (math.sqrt(a.map(x => x * x).sum) * math.sqrt(b.map(x => x * x).sum))
+    }
+    assert(cos(p(0)._2, p(1)._2) > 0.999999)
+    assert(cos(p(0)._2, p(2)._2) < 0.9, "distinct byte distributions must separate")
   }
 
   test("perplexity buckets split at consistent tercile boundaries") {
