@@ -65,7 +65,9 @@ object Relational {
              |ORDER BY l_returnflag, l_linestatus""".stripMargin),
       bench = true),
 
-    // TPC-H Q1 shape: the flagship pricing summary.
+    // TPC-H Q1 verbatim (pricing summary report): the flagship
+    // pure-aggregation plan — no join, one fact shuffle on the 2-key
+    // group, every aggregate partial+final. Headline bench.
     Q("q_pricing_summary",
       (s, dir) =>
         Tables.lineitem(s, dir)
@@ -228,6 +230,44 @@ object Relational {
              |  AND o_orderdate < TIMESTAMP '1997-01-01'
              |GROUP BY n_name
              |ORDER BY revenue DESC, n_name""".stripMargin),
+      benchExtra = true),
+
+    // TPC-H Q18 (large-volume customer): the group-HAVING + top-K join.
+    // The textbook form re-aggregates after the 3-way join; here the
+    // per-order quantity aggregate runs ONCE before the joins (the
+    // grouping keys are functionally determined by orderkey, so
+    // pre-aggregation is semantics-identical and pushes the fact shuffle
+    // below the joins — the plan a 100 TB run needs: one lineitem
+    // shuffle on orderkey, HAVING prunes ~80% before any join, customer
+    // broadcasts, top-100 compiles to TakeOrderedAndProject). Q1 is
+    // already gated verbatim as q_pricing_summary (headline bench).
+    Q("q_tpch_q18",
+      (s, dir) => {
+        val lq = Tables.lineitem(s, dir)
+          .groupBy(col("l_orderkey"))
+          .agg((floor((sum(col("l_quantity"))) * 1e4 + 0.5) / 1e4).as("sum_qty"))
+          .filter(col("sum_qty") > 150)
+        val o = Tables.orders(s, dir)
+        val c = Tables.customer(s, dir)
+        lq.join(o, col("l_orderkey") === o("o_orderkey"))
+          .join(broadcast(c), o("o_custkey") === c("c_custkey"))
+          .select(col("c_name"), col("c_custkey"), col("l_orderkey").as("o_orderkey"),
+            date_format(col("o_orderdate"), "yyyy-MM-dd").as("o_date"),
+            col("o_totalprice"), col("sum_qty"))
+          .orderBy(col("o_totalprice").desc, col("o_date"), col("o_orderkey"))
+          .limit(100)
+      },
+      Some("""WITH lq AS (
+             |  SELECT l_orderkey, floor((sum(l_quantity)) * 1e4 + 0.5) / 1e4 AS sum_qty
+             |  FROM lineitem GROUP BY 1 HAVING floor((sum(l_quantity)) * 1e4 + 0.5) / 1e4 > 150
+             |)
+             |SELECT c_name, c_custkey, o_orderkey,
+             |       strftime(o_orderdate, '%Y-%m-%d') AS o_date,
+             |       o_totalprice, sum_qty
+             |FROM lq
+             |JOIN orders ON l_orderkey = o_orderkey
+             |JOIN customer ON o_custkey = c_custkey
+             |ORDER BY o_totalprice DESC, o_date, o_orderkey LIMIT 100""".stripMargin),
       benchExtra = true),
 
     Q("q_semi_join",

@@ -509,6 +509,17 @@ class PlanSpec extends AnyFunSuite {
     assert(plan("q_ts_sla").contains("series"), "sla window keys on series")
   }
 
+  test("TPC-H Q18: pre-aggregated fact, broadcast customer, TakeOrderedAndProject top-100") {
+    val df = SparkEntry.queries("q_tpch_q18")(spark, sf)
+    val p = df.queryExecution.executedPlan.toString
+    assert(p.contains("TakeOrderedAndProject"), s"top-100 must not global-sort:\n${p.take(1500)}")
+    assert(p.contains("BroadcastHashJoin") || p.contains("BroadcastExchange"),
+      s"customer dim must broadcast:\n${p.take(1500)}")
+    // the quantity aggregate runs BELOW the joins: exactly one hash
+    // Exchange on l_orderkey feeds both the HAVING filter and the join
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"))
+  }
+
   test("grid-DBSCAN: 9-stencil equi-joins only — no nested-loop join at any grid resolution") {
     val p = plan("q_pl_grid_dbscan")
     assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"),
