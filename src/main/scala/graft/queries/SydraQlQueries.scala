@@ -741,12 +741,35 @@ object SydraQlQueries {
               |GROUP BY 1 ORDER BY event_type""".stripMargin)),
 
     // EXPLAIN surface (plan text is engine-specific → rows-only gate).
+    // EXPLAIN surface, gated on a normalized plan FINGERPRINT instead of
+    // rows-only (r11): operator-kind sequence (root→leaf, AQE wrapper
+    // dropped, no ids/sizes/paths), pushed-filter count, Exchange count.
+    // These are engine-independent CLAIMS about the plan — the bucketed
+    // aggregation must ride one scan with the event-type filter pushed,
+    // one partial+final aggregate pair around a single shuffle — which
+    // the oracle pins as literals. The user-facing EXPLAIN (Engine.sql)
+    // still returns the full plan text; only the gate normalizes.
     Q("q_sql_explain",
-      (s, dir) => Engine.sql(s, Tables.seriesView(s, dir),
-        s"explain select time_bucket(3600, time) as b, avg(value) as a from click " +
-          s"where time >= $T0 and time < $T1 group by time_bucket(3600, time)",
-        CompileOptions(now = NOW)),
-      None),
+      (s, dir) => {
+        import s.implicits._
+        val plan = Engine.sql(s, Tables.seriesView(s, dir),
+          s"explain select time_bucket(3600, time) as b, avg(value) as a from click " +
+            s"where time >= $T0 and time < $T1 group by time_bucket(3600, time)",
+          CompileOptions(now = NOW)).collect()(0).getString(0)
+        val tree = plan.linesIterator
+          .dropWhile(l => !l.startsWith("==")).drop(1)
+          .takeWhile(_.trim.nonEmpty)
+          .map(_.replaceAll("^[\\s+\\-*:]+", "").replaceAll("\\s*\\(\\d+\\)\\s*$", "").trim)
+          .filter(_.nonEmpty).filterNot(_ == "AdaptiveSparkPlan").toSeq
+        val pushed = "PushedFilters: \\[([^\\]]*)\\]".r.findFirstMatchIn(plan)
+          .map(_.group(1).split(",").count(_.trim.nonEmpty)).getOrElse(0)
+        Seq((tree.mkString(">"), pushed.toLong,
+          tree.count(_.startsWith("Exchange")).toLong))
+          .toDF("ops", "pushed_filters", "exchanges")
+      },
+      Some("""SELECT 'HashAggregate>Exchange>HashAggregate>Project>Filter>Scan parquet' AS ops,
+             |       CAST(4 AS BIGINT) AS pushed_filters,
+             |       CAST(1 AS BIGINT) AS exchanges""".stripMargin)),
 
     // Streaming windowed aggregation executed in batch mode (watermark is
     // a no-op on a static frame — same plan shape Structured Streaming
