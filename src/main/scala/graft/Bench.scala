@@ -178,6 +178,10 @@ object Bench {
     // SPARK_GRAFT_BENCH_NOCHILD=1 forces the legacy in-process pass.
     val noChild = sys.env.get("SPARK_GRAFT_BENCH_NOCHILD").contains("1")
     val groups = extraGroups(SparkEntry.benchExtraQueries)
+    // ACTUAL per-family mode, recorded — the artifact must not claim
+    // "child-jvm" for a family that silently fell back in-process (its
+    // numbers would then be compared against the wrong bracket column)
+    val famModes = scala.collection.mutable.LinkedHashMap[String, String]()
     val extras = groups.flatMap { case (fam, qs) =>
       val t0 = System.nanoTime()
       val viaChild = if (noChild) None else runGroupInChild(fam, qs)
@@ -187,14 +191,22 @@ object Bench {
         System.gc()
         time(spark, sfDir, qs, isolate = true)
       }
+      famModes(fam) = if (viaChild.isDefined) "child-jvm" else "in-process"
       System.err.println(f"[bench] family $fam%-12s ${qs.size}%2d queries " +
         f"${r.map(_._2).sum}%7.2f s query-time, ${(System.nanoTime() - t0) / 1e9}%7.2f s wall" +
         (if (viaChild.isDefined) " (child JVM)" else " (in-process)"))
       r
     }
+    val isolation = famModes.values.toSet.toList match {
+      case one :: Nil => one
+      case Nil => if (noChild) "in-process" else "child-jvm"
+      case _ => "mixed"
+    }
+    val famJson = famModes.map { case (f, m) => "\"" + f + "\":\"" + m + "\"" }
+      .mkString("{", ",", "}")
 
     val fullJson =
-      f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":${json(results)},"extra_queries":${json(extras)},"extras_isolation":"${if (noChild) "in-process" else "child-jvm"}","sf":"$sfDir"}"""
+      f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":${json(results)},"extra_queries":${json(extras)},"extras_isolation":"$isolation","extras_isolation_families":$famJson,"sf":"$sfDir"}"""
     // File of record (the driver's stdout tail truncated the r9 headline).
     new java.io.File("target").mkdirs()
     java.nio.file.Files.write(java.nio.file.Paths.get("target/bench_result.json"),

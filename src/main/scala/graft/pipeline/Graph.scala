@@ -20,19 +20,23 @@ object Graph {
     * sum aggregate; `rank` and `deg` stay node-sized (≪ edges), so at
     * cluster scale both sides of the join shuffle on the same src key and
     * the rank frame is broadcast-able. The loop is unrolled in the plan —
-    * at more than ~5 iterations persist/checkpoint the rank frame between
-    * rounds to cut the growing lineage (documented, not needed at 3).
+    * past ~5 iterations set `checkpointEvery` (e.g. 4): every k-th rank
+    * frame is `localCheckpoint`ed (eager), truncating the lineage so deep
+    * iteration keeps a bounded plan instead of an exponentially analyzed
+    * tree (values unchanged — GraphSpec pins 12-deep equality). 0 = off,
+    * the pure-plan default the 3-iteration gates use.
     *
     * `nNodes` is passed in (count the nodes frame once at the call site)
     * so the operator itself stays a pure plan.
     */
   def pageRank(edges: DataFrame, nodes: DataFrame, nNodes: Long,
-      iters: Int = 3, damping: Double = 0.85): DataFrame = {
+      iters: Int = 3, damping: Double = 0.85,
+      checkpointEvery: Int = 0): DataFrame = {
     require(iters >= 1 && nNodes > 0, "pageRank needs iterations and nodes")
     val deg = edges.groupBy("src").agg(count(lit(1)).as("deg"))
     val withDeg = edges.join(deg, "src")
     var rank = nodes.select(col("id"), lit(1.0 / nNodes).as("rank"))
-    for (_ <- 1 to iters) {
+    for (it <- 1 to iters) {
       val contrib = withDeg.join(rank, col("src") === col("id"))
         .select(col("dst"), (col("rank") / col("deg")).as("c"))
         .groupBy(col("dst")).agg(sum(col("c")).as("in"))
@@ -41,9 +45,19 @@ object Graph {
         .select(col("id"),
           (lit((1 - damping) / nNodes) +
             lit(damping) * coalesce(col("in"), lit(0.0))).as("rank"))
+      rank = maybeCheckpoint(rank, it, iters, checkpointEvery)
     }
     rank
   }
+
+  /** Lineage cut for the iterate frames: eager localCheckpoint every
+    * `every`-th round (never on the last — the caller composes the final
+    * frame into a larger plan).
+    */
+  private def maybeCheckpoint(df: DataFrame, it: Int, iters: Int,
+      every: Int): DataFrame =
+    if (every > 0 && it % every == 0 && it < iters) df.localCheckpoint(true)
+    else df
 
   /** Personalized PageRank: teleport mass goes to the `seeds` node set
     * instead of uniformly — the similarity-expansion primitive ("find
@@ -55,19 +69,19 @@ object Graph {
     *
     * r₀ = seed distribution; r_{k+1}(v) = (1−d)·s(v) + d·Σ_in r_k/deg
     * with s(v) = 1/|seeds| on seeds, else 0. Same per-iteration shapes,
-    * node-sized frames and unroll/checkpoint note as [[pageRank]];
-    * dangling mass dropped identically.
+    * node-sized frames and `checkpointEvery` lineage knob as
+    * [[pageRank]]; dangling mass dropped identically.
     */
   def pageRankPersonalized(edges: DataFrame, nodes: DataFrame,
       seeds: DataFrame, nSeeds: Long, iters: Int = 3,
-      damping: Double = 0.85): DataFrame = {
+      damping: Double = 0.85, checkpointEvery: Int = 0): DataFrame = {
     require(iters >= 1 && nSeeds > 0, "needs iterations and a seed set")
     val deg = edges.groupBy("src").agg(count(lit(1)).as("deg"))
     val withDeg = edges.join(deg, "src")
     val sv = nodes.join(seeds.select(col("id"), lit(1.0).as("__s")), Seq("id"), "left")
       .select(col("id"), (coalesce(col("__s"), lit(0.0)) / nSeeds).as("sv"))
     var rank = sv.select(col("id"), col("sv").as("rank"))
-    for (_ <- 1 to iters) {
+    for (it <- 1 to iters) {
       val contrib = withDeg.join(rank, col("src") === col("id"))
         .select(col("dst"), (col("rank") / col("deg")).as("c"))
         .groupBy(col("dst")).agg(sum(col("c")).as("in"))
@@ -77,6 +91,7 @@ object Graph {
           (lit(1 - damping) * col("sv") +
             lit(damping) * coalesce(col("in"), lit(0.0))).as("rank"))
         .select(col("id"), col("sv"), col("rank"))
+      rank = maybeCheckpoint(rank, it, iters, checkpointEvery)
     }
     rank.select(col("id"), col("rank"))
   }
@@ -96,15 +111,15 @@ object Graph {
     *
     * Shape per iteration: one edges⋈labels equi-join, one count
     * aggregate on (node, label), one per-node arg-max — all shuffles on
-    * the node key, labels frame node-sized. Same lineage note as
-    * [[pageRank]]: checkpoint past ~5 iterations.
+    * the node key, labels frame node-sized. Same `checkpointEvery`
+    * lineage knob as [[pageRank]] for deep iteration.
     */
   def labelPropagation(edges: DataFrame, nodes: DataFrame,
-      iters: Int = 3): DataFrame = {
+      iters: Int = 3, checkpointEvery: Int = 0): DataFrame = {
     require(iters >= 1, "labelPropagation needs iterations")
     import org.apache.spark.sql.expressions.Window
     var labels = nodes.select(col("id"), col("id").as("label"))
-    for (_ <- 1 to iters) {
+    for (it <- 1 to iters) {
       val counts = edges
         .join(labels.select(col("id").as("dst"), col("label").as("nl")), "dst")
         .groupBy(col("src"), col("nl")).agg(count(lit(1)).as("c"))
@@ -116,6 +131,7 @@ object Graph {
         .select(col("src").as("id"), col("nl").as("picked"))
       labels = labels.join(picked, Seq("id"), "left")
         .select(col("id"), coalesce(col("picked"), col("label")).as("label"))
+      labels = maybeCheckpoint(labels, it, iters, checkpointEvery)
     }
     labels
   }

@@ -1167,6 +1167,31 @@ class PipelineSpec extends AnyFunSuite {
     assert(math.abs(r(1)._3 - 1.0 / 61) < 1e-6)
   }
 
+  test("checkpointEvery: 12-iteration pageRank/LPA keep values, lineage stays bounded") {
+    import graft.pipeline.Graph
+    val pairs = (0L until 200L).map(i => (i, (i * 7 + 3) % 200))
+      .filter(p => p._1 != p._2).toDF("a", "b")
+    val edges = Graph.undirected(pairs, "a", "b")
+    val nodes = spark.range(200).select(col("id"))
+    val plain = Graph.pageRank(edges, nodes, 200L, iters = 12)
+    val ckpt = Graph.pageRank(edges, nodes, 200L, iters = 12, checkpointEvery = 4)
+    def vals(df: org.apache.spark.sql.DataFrame) = df
+      .select(col("id"), (floor(col("rank") * 1e9 + 0.5) / 1e9).as("r"))
+      .as[(Long, Double)].collect().sortBy(_._1).toSeq
+    assert(vals(ckpt) === vals(plain), "checkpointing must not change ranks")
+    def nPlanNodes(df: org.apache.spark.sql.DataFrame) =
+      df.queryExecution.optimizedPlan.collect { case p => p }.size
+    // the last cut at iteration 8 leaves ≤ 4 live rounds of lineage
+    assert(nPlanNodes(ckpt) * 2 < nPlanNodes(plain),
+      s"lineage not cut: ${nPlanNodes(ckpt)} vs ${nPlanNodes(plain)}")
+    // LPA: same knob, same invariance
+    val lp = Graph.labelPropagation(edges, nodes, iters = 12)
+      .as[(Long, Long)].collect().sortBy(_._1).toSeq
+    val lpc = Graph.labelPropagation(edges, nodes, iters = 12, checkpointEvery = 4)
+      .as[(Long, Long)].collect().sortBy(_._1).toSeq
+    assert(lpc === lp)
+  }
+
   test("pageRank: symmetry, teleport floor for isolated nodes, mass conservation") {
     import graft.pipeline.Graph
     // triangle 0-1-2 (symmetric) + isolated node 3
