@@ -110,6 +110,42 @@ object Pipeline {
        |        FROM cand WHERE crank <= ${k * candMult})
        |)""".stripMargin
 
+  /** Banded kNN-graph replay → CTE `knn(q_id, vec_id, cos, rank)`
+    * (mirrors Similarity.knnGraphBanded: `bands` equal bit-slices of the
+    * packed signature, ≥1-band collision candidates, exact Hamming rank
+    * with vec_id tie-break, cosine rerank). Shares `knn`'s shape with
+    * [[hammingKnnCtes]] so the graph-oracle tails (prIter/lpIter) compose
+    * with either route.
+    */
+  private def bandedKnnCtes(k: Int, candMult: Int, bands: Int): String = {
+    val w = 64 / bands
+    val mask = (1L << w) - 1
+    s"""bnd AS (
+       |  SELECT vec_id, t.i AS band,
+       |         CASE WHEN t.i * $w < 32 THEN (sig_lo >> (t.i * $w)) & $mask
+       |              ELSE (sig_hi >> (t.i * $w - 32)) & $mask END AS bval
+       |  FROM sig, range(0, $bands) t(i)),
+       |up AS (
+       |  SELECT DISTINCT x.vec_id AS a_id, y.vec_id AS b_id
+       |  FROM bnd x JOIN bnd y ON x.band = y.band AND x.bval = y.bval
+       |                        AND x.vec_id < y.vec_id),
+       |cp AS (SELECT a_id AS q_id, b_id AS vec_id FROM up
+       |       UNION ALL SELECT b_id AS q_id, a_id AS vec_id FROM up),
+       |bcand AS (
+       |  SELECT cp.q_id, cp.vec_id, qa.v AS qv, qb.v AS v,
+       |         row_number() OVER (PARTITION BY cp.q_id
+       |           ORDER BY bit_count(xor(qa.sig_lo, qb.sig_lo))
+       |                  + bit_count(xor(qa.sig_hi, qb.sig_hi)), cp.vec_id) AS crank
+       |  FROM cp JOIN sig qa ON cp.q_id = qa.vec_id
+       |          JOIN sig qb ON cp.vec_id = qb.vec_id),
+       |knn AS (
+       |  SELECT q_id, vec_id, cos,
+       |         row_number() OVER (PARTITION BY q_id
+       |           ORDER BY cos DESC, vec_id) AS rank
+       |  FROM (SELECT q_id, vec_id, ${cosSql("qv", "v")} AS cos
+       |        FROM bcand WHERE crank <= ${k * candMult}))""".stripMargin
+  }
+
   /** One unrolled PageRank power iteration over CTEs `ed(src, dst)`,
     * `dg(src, deg)`, `nn(n)`, `e(vec_id, …)` and `r\$prev` → `r\$cur`
     * (damping 0.85, teleport 0.15/n). Shared by the exact-threshold and
@@ -583,7 +619,7 @@ object Pipeline {
     "q_pl_cms", "q_pl_neyman", "q_pl_bm25_idx", "q_pl_grid_dbscan",
     "q_pl_triangles", "q_pl_ppr", "q_pl_containment",
     // round-11
-    "q_ann_knn_graph", "q_pl_bm25_probe")
+    "q_ann_knn_graph", "q_pl_bm25_probe", "q_pl_centrality_banded")
 
   def qs: Seq[Q] = {
     val all = raw.map(q => if (ExtraBench(q.name)) q.copy(benchExtra = true) else q)
@@ -2460,33 +2496,44 @@ object Pipeline {
         .orderBy("q_id", "rank"),
       Some(s"""WITH $embCte,
               |$sigCte,
-              |bnd AS (
-              |  SELECT vec_id, t.i AS band,
-              |         CASE WHEN t.i * 8 < 32 THEN (sig_lo >> (t.i * 8)) & 255
-              |              ELSE (sig_hi >> (t.i * 8 - 32)) & 255 END AS bval
-              |  FROM sig, range(0, 8) t(i)),
-              |up AS (
-              |  SELECT DISTINCT x.vec_id AS a_id, y.vec_id AS b_id
-              |  FROM bnd x JOIN bnd y ON x.band = y.band AND x.bval = y.bval
-              |                        AND x.vec_id < y.vec_id),
-              |cp AS (SELECT a_id AS q_id, b_id AS vec_id FROM up
-              |       UNION ALL SELECT b_id AS q_id, a_id AS vec_id FROM up),
-              |bcand AS (
-              |  SELECT cp.q_id, cp.vec_id, qa.v AS qv, qb.v AS v,
-              |         row_number() OVER (PARTITION BY cp.q_id
-              |           ORDER BY bit_count(xor(qa.sig_lo, qb.sig_lo))
-              |                  + bit_count(xor(qa.sig_hi, qb.sig_hi)), cp.vec_id) AS crank
-              |  FROM cp JOIN sig qa ON cp.q_id = qa.vec_id
-              |          JOIN sig qb ON cp.vec_id = qb.vec_id),
-              |bknn AS (
-              |  SELECT q_id, vec_id, cos,
-              |         row_number() OVER (PARTITION BY q_id
-              |           ORDER BY cos DESC, vec_id) AS rank
-              |  FROM (SELECT q_id, vec_id, ${cosSql("qv", "v")} AS cos
-              |        FROM bcand WHERE crank <= 16))
+              |${bandedKnnCtes(4, 4, 8)}
               |SELECT q_id, vec_id, CAST(rank AS BIGINT) AS rank,
               |       floor(cos * 1e6 + 0.5) / 1e6 AS cos
-              |FROM bknn WHERE rank <= 4 ORDER BY q_id, rank""".stripMargin)),
+              |FROM knn WHERE rank <= 4 ORDER BY q_id, rank""".stripMargin)),
+
+    // PageRank centrality over the BANDED kNN graph (r11): the full
+    // sub-quadratic wiring the r10 verdict asked for — edge GENERATION
+    // is knnGraphBanded (band collisions only, never a corpus scan per
+    // query), the PageRank tail identical to q_pl_centrality_knn. At
+    // 100 TB this is the graph-analytics construction path; the exact
+    // hammingTopK route stays gated as its quality reference.
+    Q("q_pl_centrality_banded",
+      (s, dir) => {
+        val emb = Tables.embeddings(s, dir)
+        val knn = Similarity.knnGraphBanded(emb, 4, bands = 8, candMult = 4)
+        val edges = graft.pipeline.Graph.undirected(
+          knn.select(col("q_id").as("vec_a"), col("vec_id").as("vec_b")),
+          "vec_a", "vec_b").distinct().cache()
+        graft.pipeline.Graph.pageRank(edges,
+            emb.select(col("vec_id").as("id")), emb.count(), iters = 3)
+          .select(col("id"), (floor(col("rank") * 1e6 + 0.5) / 1e6).as("rank"))
+          .orderBy("id")
+      },
+      Some(s"""WITH $embCte,
+              |$sigCte,
+              |${bandedKnnCtes(4, 4, 8)},
+              |dpr AS (SELECT q_id AS a, vec_id AS b FROM knn WHERE rank <= 4),
+              |ed AS (SELECT DISTINCT src, dst FROM (
+              |  SELECT a AS src, b AS dst FROM dpr
+              |  UNION ALL SELECT b AS src, a AS dst FROM dpr)),
+              |dg AS (SELECT src, count(*) AS deg FROM ed GROUP BY 1),
+              |nn AS (SELECT CAST(count(*) AS DOUBLE) AS n FROM e),
+              |r0 AS (SELECT vec_id AS id, 1.0 / (SELECT n FROM nn) AS rank FROM e),
+              |${prIter("0", "1")},
+              |${prIter("1", "2")},
+              |${prIter("2", "3")}
+              |SELECT id, floor(rank * 1e6 + 0.5) / 1e6 AS rank
+              |FROM r3 ORDER BY id""".stripMargin)),
 
     // kNN-graph centrality — the corpus-scale route for q_pl_centrality:
     // edges = symmetrized distinct top-4 Hamming-index neighbors (the
