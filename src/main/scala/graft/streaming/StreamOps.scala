@@ -1267,4 +1267,53 @@ object StreamOps {
           }
       }
   }
+
+  /** Streaming twin #21 — continuous retrieval-tier index maintenance:
+    * stream documents `(doc_id, text)` into the at-rest BM25 inverted
+    * index via [[graft.pipeline.TextIndex.append]] — each micro-batch
+    * rewrites only the term buckets its vocabulary touches (the
+    * changed-bucket pattern), so a serving tier stays fresh without ever
+    * re-exploding the corpus. This is the streaming closure of the r10
+    * wall ("a retrieval tier that re-indexes the corpus per batch"):
+    * cost per trigger ∝ batch size + touched-bucket bytes.
+    *
+    * Delivery: foreachBatch is at-least-once and `append` is NOT
+    * idempotent, so a `_last_batch` sidecar (written through a checked
+    * rename AFTER the append completes) records the last fully-applied
+    * batch id; a replayed batch id ≤ sidecar is skipped. A crash
+    * mid-append (after some bucket swaps, before the sidecar) still
+    * requires a rebuild — the batch operator's documented contract;
+    * StreamingSpec pins multi-wave append-then-probe ≡ full rebuild and
+    * the replay guard.
+    */
+  def indexMaintenance(docs: DataFrame, path: String, checkpoint: String,
+      trigger: org.apache.spark.sql.streaming.Trigger =
+        org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      : org.apache.spark.sql.streaming.StreamingQuery =
+    docs.writeStream
+      .option("checkpointLocation", checkpoint)
+      .trigger(trigger)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        val spark = batch.sparkSession
+        val p = new org.apache.hadoop.fs.Path(s"$path/_last_batch")
+        val fs = p.getFileSystem(spark.sessionState.newHadoopConf())
+        val last: Long =
+          if (!fs.exists(p)) -1L
+          else {
+            val in = fs.open(p)
+            try scala.io.Source.fromInputStream(in, "UTF-8").mkString.trim.toLong
+            finally in.close()
+          }
+        if (batchId > last && !batch.isEmpty) {
+          graft.pipeline.TextIndex.append(spark, batch, path)
+          val tmp = new org.apache.hadoop.fs.Path(s"$path/_last_batch.tmp")
+          val out = fs.create(tmp, true)
+          try out.write(batchId.toString.getBytes("UTF-8")) finally out.close()
+          if (fs.exists(p)) fs.delete(p, false)
+          if (!fs.rename(tmp, p))
+            throw new java.io.IOException(s"indexMaintenance: rename $tmp -> $p failed")
+        }
+        ()
+      }
+      .start()
 }

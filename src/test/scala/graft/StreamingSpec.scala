@@ -1134,4 +1134,36 @@ class StreamingSpec extends AnyFunSuite {
     assert(run("tr_stagger", evs.grouped(2).toSeq) === want)
     assert(run("tr_onebatch", Seq(evs)) === want)
   }
+
+  test("streaming index maintenance: multi-wave appends equal full rebuild; replays are skipped") {
+    import graft.pipeline.TextIndex
+    import org.apache.spark.sql.types._
+    val docs = graft.core.Tables.documents(spark, "/root/testdata/sf0.001")
+      .select(col("doc_id"), col("text"))
+    val idx = Files.createTempDirectory("graft-stream-tix").toString + "/i"
+    TextIndex.build(docs.filter(col("doc_id") < 300), idx)
+    val streamDir = Files.createTempDirectory("graft-stream-docs").toString
+    val ckpt = Files.createTempDirectory("graft-stream-ckpt").toString + "/c"
+    val schema = StructType(Seq(StructField("doc_id", LongType),
+      StructField("text", StringType)))
+    def stream(cp: String) = StreamOps.indexMaintenance(
+      spark.readStream.schema(schema).json(streamDir), idx, cp)
+    // wave 1 → batch 0
+    docs.filter(col("doc_id") >= 300 && col("doc_id") < 400)
+      .write.mode("append").json(streamDir)
+    stream(ckpt).awaitTermination(120000)
+    // wave 2 → batch 1 (same checkpoint picks up only the new files)
+    docs.filter(col("doc_id") >= 400).write.mode("append").json(streamDir)
+    stream(ckpt).awaitTermination(120000)
+    val full = Files.createTempDirectory("graft-stream-full").toString + "/i"
+    TextIndex.build(docs, full)
+    val q = Seq("spark", "hash", "merge")
+    def probe(p: String) = TextIndex.topK(spark, p, q, 20).collect().map(_.toSeq).toSeq
+    assert(probe(idx) === probe(full), "streamed index must serve the full-rebuild ranking")
+    // replay guard: a FRESH checkpoint restarts batch ids at 0 — the
+    // _last_batch sidecar (1) must skip them, leaving the index unchanged
+    stream(Files.createTempDirectory("graft-stream-ckpt2").toString + "/c")
+      .awaitTermination(120000)
+    assert(probe(idx) === probe(full), "replayed batches must not double-index")
+  }
 }
