@@ -270,6 +270,40 @@ object Relational {
              |ORDER BY o_totalprice DESC, o_date, o_orderkey LIMIT 100""".stripMargin),
       benchExtra = true),
 
+    // TPC-H Q10 (returned-item reporting): selective quarter window on
+    // orders + return-flag filter on the fact, customer + nation
+    // broadcast, single fact shuffle on orderkey, top-20 by revenue →
+    // TakeOrderedAndProject. The complement of Q18's HAVING shape:
+    // filters prune BOTH fact inputs before the join.
+    Q("q_tpch_q10",
+      (s, dir) => {
+        val o = Tables.orders(s, dir)
+          .filter(col("o_orderdate") >= lit("1997-01-01").cast("timestamp") &&
+            col("o_orderdate") < lit("1997-04-01").cast("timestamp"))
+        val li = Tables.lineitem(s, dir).filter(col("l_returnflag") === "R")
+        val c = Tables.customer(s, dir)
+        val n = Tables.nation(s, dir)
+        li.join(o, li("l_orderkey") === o("o_orderkey"))
+          .join(broadcast(c), o("o_custkey") === c("c_custkey"))
+          .join(broadcast(n), c("c_nationkey") === n("n_nationkey"))
+          .groupBy(col("c_custkey"), col("c_name"), col("c_acctbal"), col("n_name"))
+          .agg((floor((sum(col("l_extendedprice") * (lit(1) - col("l_discount")))) * 1e4 + 0.5) / 1e4).as("revenue"))
+          .orderBy(col("revenue").desc, col("c_custkey"))
+          .limit(20)
+      },
+      Some("""SELECT c_custkey, c_name, c_acctbal, n_name,
+             |       floor((sum(l_extendedprice * (1 - l_discount))) * 1e4 + 0.5) / 1e4 AS revenue
+             |FROM lineitem
+             |JOIN orders ON l_orderkey = o_orderkey
+             |JOIN customer ON o_custkey = c_custkey
+             |JOIN nation ON c_nationkey = n_nationkey
+             |WHERE o_orderdate >= TIMESTAMP '1997-01-01'
+             |  AND o_orderdate < TIMESTAMP '1997-04-01'
+             |  AND l_returnflag = 'R'
+             |GROUP BY 1, 2, 3, 4
+             |ORDER BY revenue DESC, c_custkey LIMIT 20""".stripMargin),
+      benchExtra = true),
+
     Q("q_semi_join",
       (s, dir) => {
         val c = Tables.customer(s, dir)
