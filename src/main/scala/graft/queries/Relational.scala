@@ -304,6 +304,28 @@ object Relational {
              |ORDER BY revenue DESC, c_custkey LIMIT 20""".stripMargin),
       benchExtra = true),
 
+    // TPC-H Q6 (forecasting revenue change): the pure predicate-pushdown
+    // query — every filter reaches the parquet scan (shipdate range,
+    // discount band, quantity cap), one global aggregate, zero shuffles
+    // beyond the final partial merge. The simplest plan in the suite and
+    // the one whose 100 TB cost is ENTIRELY scan-side pruning.
+    Q("q_tpch_q6",
+      (s, dir) => Tables.lineitem(s, dir)
+        .filter(col("l_shipdate") >= lit("1997-01-01").cast("timestamp") &&
+          col("l_shipdate") < lit("1998-01-01").cast("timestamp") &&
+          col("l_discount") >= 0.05 && col("l_discount") <= 0.07 &&
+          col("l_quantity") < 24)
+        .agg((floor((sum(col("l_extendedprice") * col("l_discount"))) * 1e4 + 0.5) / 1e4).as("revenue"),
+          count(lit(1)).as("n")),
+      Some("""SELECT floor((sum(l_extendedprice * l_discount)) * 1e4 + 0.5) / 1e4 AS revenue,
+             |       count(*) AS n
+             |FROM lineitem
+             |WHERE l_shipdate >= TIMESTAMP '1997-01-01'
+             |  AND l_shipdate < TIMESTAMP '1998-01-01'
+             |  AND l_discount >= 0.05 AND l_discount <= 0.07
+             |  AND l_quantity < 24""".stripMargin),
+      benchExtra = true),
+
     Q("q_semi_join",
       (s, dir) => {
         val c = Tables.customer(s, dir)

@@ -520,6 +520,17 @@ class PlanSpec extends AnyFunSuite {
     assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"))
   }
 
+  test("TPC-H Q6: every predicate pushed to the scan, 4-column read schema") {
+    val p = plan("q_tpch_q6")
+    assert(p.contains("PushedFilters") && p.contains("GreaterThanOrEqual(l_discount,0.05)"),
+      s"discount band must reach the parquet scan:\n${p.take(1500)}")
+    assert(p.contains("LessThan(l_quantity,24.0)"),
+      "quantity cap must reach the parquet scan")
+    // column pruning: the scan reads only the 4 referenced columns
+    val read = "ReadSchema: struct<([^>]*)>".r.findFirstMatchIn(p).map(_.group(1)).getOrElse("")
+    assert(read.split(",").length == 4, s"scan must read exactly 4 columns: $read")
+  }
+
   test("grid-DBSCAN: 9-stencil equi-joins only — no nested-loop join at any grid resolution") {
     val p = plan("q_pl_grid_dbscan")
     assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"),
