@@ -80,11 +80,14 @@ object TextIndex {
     *  3. partition-pruned read of ONLY those buckets; per-term df is
     *     extended (old df + batch df — a term's postings live entirely
     *     in its hash bucket, so every affected row is in the read set);
-    *  4. merged rows swap in per bucket via the crash-safe
-    *     [[graft.storage.Maintenance.swapRewrite]] scratch-dir protocol
-    *     (a concurrent probe never sees a half-written bucket), then
-    *     `meta` swaps LAST: n_docs += |batch|, avgdl extended from the
-    *     exact `sum_dl` — bit-equal to a full rebuild (StorageSpec).
+    *  4. ONE partitioned write lands every touched bucket in the
+    *     `_repack_tmp` scratch root (invisible to partition discovery),
+    *     then each bucket swaps in via pure filesystem renames through
+    *     `_repack_old` — the [[graft.storage.Maintenance.recoverSwaps]]
+    *     crash protocol, with no Spark job per bucket (a concurrent
+    *     probe never sees a half-written bucket); `meta` swaps LAST:
+    *     n_docs += |batch|, avgdl extended from the exact `sum_dl` —
+    *     bit-equal to a full rebuild (StorageSpec).
     *
     * Each bucket swap is atomic, but the append as a WHOLE is not: a
     * crash mid-loop leaves a prefix of buckets extended with the old
@@ -129,15 +132,30 @@ object TextIndex {
         .join(newDf, "term")
         .withColumn("bucket", pmod(TextAnalysis.hash31(col("term")), lit(nBuckets)))
         .select(col("term"), col("doc_id"), col("tf"), col("df"), col("dl"), col("bucket"))
-        .cache()
-      merged.count() // materialize off the live path before any swap
+      // ONE partitioned write of every touched bucket into the scratch
+      // root (invisible to Spark's listing), then per-bucket swaps are
+      // pure filesystem renames — the same crash protocol recoverSwaps
+      // repairs, without a Spark job per bucket (a small batch can touch
+      // hundreds of buckets; per-bucket jobs made append SLOWER than a
+      // rebuild at smoke scale)
+      val hp = (s: String) => new org.apache.hadoop.fs.Path(s)
+      val fs2 = hp(postingsRoot).getFileSystem(spark.sessionState.newHadoopConf())
+      val tmpAll = s"$postingsRoot/_repack_tmp/all"
+      merged.write.mode(SaveMode.Overwrite).partitionBy("bucket").parquet(tmpAll)
+      fs2.mkdirs(hp(s"$postingsRoot/_repack_old"))
       touched.foreach { b =>
-        graft.storage.Maintenance.swapRewrite(spark, postingsRoot, s"bucket=$b") { tmp =>
-          merged.filter(col("bucket") === b).drop("bucket")
-            .write.mode(SaveMode.Overwrite).parquet(tmp)
-        }
+        val name = s"bucket=$b"
+        val live = hp(s"$postingsRoot/$name")
+        val oldP = hp(s"$postingsRoot/_repack_old/$name")
+        val tmpP = hp(s"$tmpAll/$name")
+        if (fs2.exists(oldP)) fs2.delete(oldP, true)
+        if (fs2.exists(live) && !fs2.rename(live, oldP))
+          throw new java.io.IOException(s"append: park $live failed")
+        if (!fs2.rename(tmpP, live))
+          throw new java.io.IOException(s"append: swap-in $name failed")
+        fs2.delete(oldP, true)
       }
-      merged.unpersist()
+      fs2.delete(hp(s"$postingsRoot/_repack_tmp"), true)
       val newMeta = meta0
         .crossJoin(broadcast(batch.agg(count(lit(1)).as("n_b"))
           .crossJoin(bwl.agg(sum(col("dl")).as("s_b")))))

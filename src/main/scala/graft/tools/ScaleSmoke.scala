@@ -64,6 +64,12 @@ object ScaleSmoke {
         Some((tag, (System.nanoTime() - t0) / 1e9))
       }
 
+    // variant with an UNTIMED setup stage (e.g. build an index the timed
+    // part appends to/probes) — setup runs only when the op is selected
+    def timedStaged(tag: String)(setup: => Unit)(f: => DataFrame): Option[(String, Double)] =
+      if (only.nonEmpty && !only.contains(tag)) None
+      else { setup; timed(tag)(f) }
+
     // events amplified along the TIME axis (copy i shifts by i × 14 days):
     // same 8 tag keys, mult× points AND mult× day-partitions — the growth
     // direction the day-partitioned join machinery must absorb (amplifying
@@ -296,6 +302,22 @@ object ScaleSmoke {
       timed("bm25_idx") {
         val idx = s"target/smoke-tmp/tix-$mult/i" // fixed path, no /tmp leak
         graft.pipeline.TextIndex.build(docs, idx)
+        graft.pipeline.TextIndex.topK(spark, idx, Seq("spark", "hash", "merge"), 20)
+      },
+      // incremental append vs that full rebuild: the corpus (everything
+      // but the first clone copy's doc_id < 40) is indexed UNTIMED; the
+      // timed part appends a FIXED 40-doc batch + probes. Append cost =
+      // batch tokenize + touched-bucket read/rewrite — must grow far
+      // slower than bm25_idx above (which re-explodes the whole corpus);
+      // 1024 buckets so a small batch's vocabulary leaves most partitions
+      // untouched (the locality a 100 TB index would size for)
+      timedStaged("bm25_idx_append") {
+        graft.pipeline.TextIndex.build(
+          docs.filter(col("doc_id") >= 40), s"target/smoke-tmp/tixa-$mult/i",
+          nBuckets = 1024)
+      } {
+        val idx = s"target/smoke-tmp/tixa-$mult/i"
+        graft.pipeline.TextIndex.append(spark, docs.filter(col("doc_id") < 40), idx)
         graft.pipeline.TextIndex.topK(spark, idx, Seq("spark", "hash", "merge"), 20)
       },
       timed("ann_self_join") {
