@@ -326,6 +326,36 @@ object Relational {
              |  AND l_quantity < 24""".stripMargin),
       benchExtra = true),
 
+    // TPC-H Q14 (promotion effect): one-month fact slice, part dim
+    // broadcast, conditional-vs-total revenue ratio in a single global
+    // aggregate — the broadcast-join + conditional-aggregate plan. Both
+    // sums ride one pass; the rounded ratio pins cross-engine sum-order
+    // ulps.
+    Q("q_tpch_q14",
+      (s, dir) => {
+        val li = Tables.lineitem(s, dir)
+          .filter(col("l_shipdate") >= lit("1997-09-01").cast("timestamp") &&
+            col("l_shipdate") < lit("1997-10-01").cast("timestamp"))
+        val p = Tables.part(s, dir)
+        li.join(broadcast(p), li("l_partkey") === p("p_partkey"))
+          .agg((floor(lit(100.0) *
+              sum(when(col("p_type") === "PROMO",
+                col("l_extendedprice") * (lit(1) - col("l_discount"))).otherwise(lit(0.0))) /
+              sum(col("l_extendedprice") * (lit(1) - col("l_discount"))) * 1e4 + 0.5) / 1e4)
+            .as("promo_revenue"),
+            count(lit(1)).as("n"))
+      },
+      Some("""SELECT floor(100.0 *
+             |         sum(CASE WHEN p_type = 'PROMO'
+             |             THEN l_extendedprice * (1 - l_discount) ELSE 0.0 END) /
+             |         sum(l_extendedprice * (1 - l_discount)) * 1e4 + 0.5) / 1e4 AS promo_revenue,
+             |       count(*) AS n
+             |FROM lineitem
+             |JOIN part ON l_partkey = p_partkey
+             |WHERE l_shipdate >= TIMESTAMP '1997-09-01'
+             |  AND l_shipdate < TIMESTAMP '1997-10-01'""".stripMargin),
+      benchExtra = true),
+
     Q("q_semi_join",
       (s, dir) => {
         val c = Tables.customer(s, dir)
