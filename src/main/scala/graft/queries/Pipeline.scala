@@ -2651,7 +2651,8 @@ object Pipeline {
     Q("q_pl_incr_dedup",
       (s, dir) => {
         val docs = Tables.documents(s, dir)
-        val idx = java.nio.file.Files.createTempDirectory("graft-gate-mhidx").toString + "/index"
+        // fixed per-SF path, overwritten per invocation (no /tmp leak)
+        val idx = s"target/gate-tmp/mhidx-${dir.replace('/', '_')}/index"
         Dedup.minhashIndexWrite(docs.filter(col("doc_id") < 400), idx)
         Dedup.minhashIndexProbe(s, docs.filter(col("doc_id") >= 400), idx, 0.8)
           .orderBy("batch_id", "corpus_id")
