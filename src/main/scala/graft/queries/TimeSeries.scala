@@ -148,12 +148,41 @@ object TimeSeries {
     // vs the exact form's per-group sort). No oracle — sketch algorithms
     // differ across engines; accuracy vs exact is test-asserted
     // (FunctionsSpec), so this records as a rows-only check by design.
+    // Sketch percentiles, gated on the ERROR-BOUND CONTRACT (r11 — this
+    // was rows-only): the sketch VALUES are engine-specific, but the
+    // claim "each approx quantile lies within the exact p±0.05 value
+    // window" is oracle-checkable — the oracle computes the exact
+    // percentiles (the q_ts_percentile machinery) and expects every
+    // bound flag TRUE. The window is ±0.05 (not the sketch's 1e-4 rank
+    // guarantee) because the sketch returns an ELEMENT while percentile()
+    // interpolates — at a tiny group (sf0.001: n≈40) a sub-rank window
+    // excludes the exact element itself. Exact p50 rides the hash so the
+    // row content is data-derived, not constant.
     Q("q_ts_percentile_approx",
-      (s, dir) =>
-        graft.functions.Approx.seriesQuantiles(
-          Tables.seriesView(s, dir).filter(col("time") >= T0 && col("time") < T1))
-          .orderBy(col("series")),
-      None),
+      (s, dir) => {
+        val sv = Tables.seriesView(s, dir).filter(col("time") >= T0 && col("time") < T1)
+        val a = graft.functions.Approx.seriesQuantiles(sv)
+        val bounds = sv.groupBy(col("series")).agg(
+          percentile(col("value"), lit(0.45)).as("lo50"),
+          percentile(col("value"), lit(0.55)).as("hi50"),
+          percentile(col("value"), lit(0.90)).as("lo95"),
+          percentile(col("value"), lit(1.0)).as("hi95"),
+          percentile(col("value"), lit(0.94)).as("lo99"),
+          percentile(col("value"), lit(1.0)).as("hi99"),
+          (floor((percentile(col("value"), lit(0.5))) * 1e4 + 0.5) / 1e4).as("p50_exact"),
+          count(lit(1)).as("n"))
+        a.join(bounds, "series").select(col("series"), col("n"), col("p50_exact"),
+            (col("p50") >= col("lo50") && col("p50") <= col("hi50")).as("p50_ok"),
+            (col("p95") >= col("lo95") && col("p95") <= col("hi95")).as("p95_ok"),
+            (col("p99") >= col("lo99") && col("p99") <= col("hi99")).as("p99_ok"))
+          .orderBy(col("series"))
+      },
+      Some(s"""$svSql
+              |SELECT series, count(*) AS n,
+              |       floor((quantile_cont(value, 0.5)) * 1e4 + 0.5) / 1e4 AS p50_exact,
+              |       true AS p50_ok, true AS p95_ok, true AS p99_ok
+              |FROM sv WHERE time >= $T0 AND time < $T1
+              |GROUP BY series ORDER BY series""".stripMargin)),
 
     // regex selector: series =~ 'cl.*k|err.*' (declared surface —
     // parser.zig:408-424 parses =~/!~; exec never ran it; we run it)
@@ -1318,16 +1347,29 @@ object TimeSeries {
     // algorithms differ across engines (same contract as
     // q_ts_percentile_approx); accuracy vs the exact twin is spec-pinned
     // in CoreSpec.
+    // HLL++ NDV, gated on the ERROR-BOUND CONTRACT (r11 — was rows-only):
+    // sketch estimates are engine-specific, but |approx − exact| ≤
+    // max(1, 0.15·exact) (3× the default 5% rsd) is the checkable claim;
+    // exact per-group NDV and point counts ride the hash.
     Q("q_ts_ndv_approx",
       (s, dir) =>
         ev(s, dir).filter(col("time") >= T0 && col("time") < T1)
           .groupBy(col("series"),
             (col("time") - pmod(col("time"), lit(86400L))).as("day"))
           .agg(
-            approx_count_distinct(col("tag_user")).as("n_users_approx"),
+            approx_count_distinct(col("tag_user")).as("__a"),
+            countDistinct(col("tag_user")).as("n_users"),
             count(lit(1)).as("n_points"))
+          .select(col("series"), col("day"), col("n_users"), col("n_points"),
+            (abs(col("__a") - col("n_users")).cast("double") <=
+              greatest(lit(1.0), col("n_users") * 0.15)).as("ndv_ok"))
           .orderBy(col("series"), col("day")),
-      None),
+      Some(s"""$svSql
+              |SELECT series, CAST(floor(time / 86400.0) AS BIGINT) * 86400 AS day,
+              |       count(DISTINCT tag_user) AS n_users, count(*) AS n_points,
+              |       true AS ndv_ok
+              |FROM sv WHERE time >= $T0 AND time < $T1
+              |GROUP BY series, day ORDER BY series, day""".stripMargin)),
 
     // ---- event analytics: funnel ----------------------------------------
     //
