@@ -254,6 +254,11 @@ object ScaleSmoke {
         Seq("series"), period = 12, step = 3600L)),
       timed("grid_dbscan")(graft.pipeline.Clustering.gridDensityClusters(
         emb, eps = 0.15, minPts = 5)),
+      // FINE resolution — the regime the r10 BNLJ adjacency was
+      // quadratic in (occupied cells ≈ one per point at eps 0.005):
+      // under the 9-stencil equi-joins cost stays ∝ occupied cells
+      timed("grid_dbscan_fine")(graft.pipeline.Clustering.gridDensityClusters(
+        emb, eps = 0.005, minPts = 2)),
       // corpus-scale triangle path: kNN edges from the Hamming signature
       // scan (the q_pl_centrality_knn edge build), THEN the oriented
       // wedge close — never the exact all-pairs edge set

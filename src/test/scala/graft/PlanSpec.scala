@@ -538,6 +538,13 @@ class PlanSpec extends AnyFunSuite {
         p.take(2000))
   }
 
+  test("banded kNN graph: candidate generation is equi-joins only — never a pairwise scan") {
+    val p = plan("q_ann_knn_graph")
+    assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"),
+      "band collision candidates must come from hash equi-joins on (band, bval):\n" +
+        p.take(2000))
+  }
+
   test("silhouette: k×d centroids broadcast into one distance scan") {
     val p = plan("q_pl_silhouette")
     assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastExchange"),
