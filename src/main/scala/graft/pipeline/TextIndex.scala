@@ -189,18 +189,25 @@ object TextIndex {
     import spark.implicits._
     require(query.nonEmpty, "empty query")
     val terms = query.map(_.toLowerCase).distinct
-    val nBuckets = {
-      // bucket domain from the layout itself (dir names), not a param the
-      // caller could get wrong
-      val dirs = new org.apache.hadoop.fs.Path(s"$path/postings")
-      val fs = dirs.getFileSystem(spark.sessionState.newHadoopConf())
-      fs.listStatus(dirs).map(_.getPath.getName)
-        .filter(_.startsWith("bucket=")).map(_.stripPrefix("bucket=").toLong).max + 1
-    }
+    val meta = spark.read.parquet(s"$path/meta")
+    val nBuckets =
+      // build's exact modulus from meta (r11) — the dir-name heuristic
+      // under-counts when the top buckets happen to be term-free, which
+      // would hash query terms to the WRONG bucket and silently miss
+      // their postings; dirs remain the fallback for pre-r11 layouts
+      // (where every bucket was always occupied at the corpus sizes that
+      // shipped them)
+      if (meta.columns.contains("n_buckets"))
+        meta.select(col("n_buckets")).as[Long].head()
+      else {
+        val dirs = new org.apache.hadoop.fs.Path(s"$path/postings")
+        val fs = dirs.getFileSystem(spark.sessionState.newHadoopConf())
+        fs.listStatus(dirs).map(_.getPath.getName)
+          .filter(_.startsWith("bucket=")).map(_.stripPrefix("bucket=").toLong).max + 1
+      }
     val buckets = terms.toDF("term")
       .select(pmod(TextAnalysis.hash31(col("term")), lit(nBuckets)).as("b"))
       .as[Long].collect().distinct.toSeq
-    val meta = spark.read.parquet(s"$path/meta")
     val p = spark.read.parquet(s"$path/postings")
       .filter(col("bucket").isInCollection(buckets) && col("term").isin(terms: _*))
     val idf = log(lit(1.0) + (col("n_docs").cast("double") - col("df") + 0.5) / (col("df") + 0.5))
