@@ -356,6 +356,303 @@ object Relational {
              |  AND l_shipdate < TIMESTAMP '1997-10-01'""".stripMargin),
       benchExtra = true),
 
+    // TPC-H Q4 (order priority checking), adapted to this schema's
+    // columns: the reference predicate l_commitdate < l_receiptdate has
+    // no columns here, so "late" = shipped more than 90 days after the
+    // order date — same EXISTS shape, and that shape is the point: a
+    // correlated EXISTS with a NON-equi residual (l_shipdate vs the
+    // outer row's o_orderdate) compiling to one LeftSemi hash join on
+    // orderkey with the residual evaluated in the join — no second scan,
+    // no subquery re-execution per row.
+    Q("q_tpch_q4",
+      (s, dir) => {
+        val o = Tables.orders(s, dir)
+          .filter(col("o_orderdate") >= lit("1997-07-01").cast("timestamp") &&
+            col("o_orderdate") < lit("1997-10-01").cast("timestamp"))
+        val li = Tables.lineitem(s, dir)
+        o.join(li, o("o_orderkey") === li("l_orderkey") &&
+            li("l_shipdate") > o("o_orderdate") + expr("INTERVAL 90 DAYS"), "left_semi")
+          .groupBy(col("o_orderpriority"))
+          .agg(count(lit(1)).as("order_count"))
+          .orderBy(col("o_orderpriority"))
+      },
+      Some("""SELECT o_orderpriority, count(*) AS order_count
+             |FROM orders
+             |WHERE o_orderdate >= TIMESTAMP '1997-07-01'
+             |  AND o_orderdate < TIMESTAMP '1997-10-01'
+             |  AND EXISTS (SELECT 1 FROM lineitem
+             |              WHERE l_orderkey = o_orderkey
+             |                AND l_shipdate > o_orderdate + INTERVAL 90 DAY)
+             |GROUP BY o_orderpriority
+             |ORDER BY o_orderpriority""".stripMargin),
+      benchExtra = true),
+
+    // TPC-H Q7 (volume shipping between two nations): the disjunctive
+    // two-nation pair condition. Both dimension chains (supplier→nation,
+    // customer→nation) are pre-filtered to the two nations BEFORE the
+    // broadcast — at 100 TB that prunes the fact to the two nations'
+    // traffic inside the broadcast hash joins, and only the
+    // orderkey-equi join shuffles; the pair disjunction is a residual on
+    // two broadcast-provided name columns.
+    Q("q_tpch_q7",
+      (s, dir) => {
+        val li = Tables.lineitem(s, dir)
+          .filter(col("l_shipdate") >= lit("1996-01-01").cast("timestamp") &&
+            col("l_shipdate") < lit("1998-01-01").cast("timestamp"))
+        val o = Tables.orders(s, dir)
+        val nPair = Seq("NATION_10", "NATION_12")
+        val n1 = Tables.nation(s, dir).filter(col("n_name").isin(nPair: _*))
+          .select(col("n_nationkey").as("sn_key"), col("n_name").as("supp_nation"))
+        val n2 = Tables.nation(s, dir).filter(col("n_name").isin(nPair: _*))
+          .select(col("n_nationkey").as("cn_key"), col("n_name").as("cust_nation"))
+        val sup = Tables.supplier(s, dir)
+        val c = Tables.customer(s, dir)
+        li.join(o, li("l_orderkey") === o("o_orderkey"))
+          .join(broadcast(sup), li("l_suppkey") === sup("s_suppkey"))
+          .join(broadcast(n1), col("s_nationkey") === col("sn_key"))
+          .join(broadcast(c), o("o_custkey") === c("c_custkey"))
+          .join(broadcast(n2), col("c_nationkey") === col("cn_key"))
+          .filter((col("supp_nation") === "NATION_10" && col("cust_nation") === "NATION_12") ||
+            (col("supp_nation") === "NATION_12" && col("cust_nation") === "NATION_10"))
+          .groupBy(col("supp_nation"), col("cust_nation"),
+            year(col("l_shipdate")).cast("long").as("l_year"))
+          .agg((floor((sum(col("l_extendedprice") * (lit(1) - col("l_discount")))) * 1e4 + 0.5) / 1e4).as("revenue"))
+          .orderBy(col("supp_nation"), col("cust_nation"), col("l_year"))
+      },
+      Some("""SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+             |       CAST(year(l_shipdate) AS BIGINT) AS l_year,
+             |       floor((sum(l_extendedprice * (1 - l_discount))) * 1e4 + 0.5) / 1e4 AS revenue
+             |FROM lineitem
+             |JOIN orders ON l_orderkey = o_orderkey
+             |JOIN supplier ON l_suppkey = s_suppkey
+             |JOIN nation n1 ON s_nationkey = n1.n_nationkey
+             |JOIN customer ON o_custkey = c_custkey
+             |JOIN nation n2 ON c_nationkey = n2.n_nationkey
+             |WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+             |  AND l_shipdate < TIMESTAMP '1998-01-01'
+             |  AND ((n1.n_name = 'NATION_10' AND n2.n_name = 'NATION_12')
+             |    OR (n1.n_name = 'NATION_12' AND n2.n_name = 'NATION_10'))
+             |GROUP BY 1, 2, 3
+             |ORDER BY 1, 2, 3""".stripMargin),
+      benchExtra = true),
+
+    // TPC-H Q8 (national market share): the deepest join in the suite —
+    // 7 tables, every dimension broadcast, the part-type filter pruning
+    // the fact FIRST (most selective, ~1/6), then one orderkey shuffle;
+    // share = conditional/total revenue ratio in a single grouped pass
+    // (Q14's pattern, per year).
+    Q("q_tpch_q8",
+      (s, dir) => {
+        val p = Tables.part(s, dir).filter(col("p_type") === "ECONOMY")
+        val o = Tables.orders(s, dir)
+          .filter(col("o_orderdate") >= lit("1996-01-01").cast("timestamp") &&
+            col("o_orderdate") < lit("1998-01-01").cast("timestamp"))
+        val c = Tables.customer(s, dir)
+        val n1 = Tables.nation(s, dir)
+          .select(col("n_nationkey").as("cn_key"), col("n_regionkey").as("cn_rkey"))
+        val r = Tables.region(s, dir).filter(col("r_name") === "AMERICA")
+        val sup = Tables.supplier(s, dir)
+        val n2 = Tables.nation(s, dir)
+          .select(col("n_nationkey").as("sn_key"), col("n_name").as("supp_nation"))
+        Tables.lineitem(s, dir)
+          .join(broadcast(p), col("l_partkey") === col("p_partkey"))
+          .join(o, col("l_orderkey") === col("o_orderkey"))
+          .join(broadcast(c), col("o_custkey") === col("c_custkey"))
+          .join(broadcast(n1), col("c_nationkey") === col("cn_key"))
+          .join(broadcast(r), col("cn_rkey") === col("r_regionkey"))
+          .join(broadcast(sup), col("l_suppkey") === col("s_suppkey"))
+          .join(broadcast(n2), col("s_nationkey") === col("sn_key"))
+          .groupBy(year(col("o_orderdate")).cast("long").as("o_year"))
+          .agg((floor(
+              sum(when(col("supp_nation") === "NATION_3",
+                col("l_extendedprice") * (lit(1) - col("l_discount"))).otherwise(lit(0.0))) /
+              sum(col("l_extendedprice") * (lit(1) - col("l_discount"))) * 1e4 + 0.5) / 1e4)
+            .as("mkt_share"),
+            count(lit(1)).as("n"))
+          .orderBy(col("o_year"))
+      },
+      Some("""SELECT CAST(year(o_orderdate) AS BIGINT) AS o_year,
+             |       floor(sum(CASE WHEN n2.n_name = 'NATION_3'
+             |                 THEN l_extendedprice * (1 - l_discount) ELSE 0.0 END) /
+             |             sum(l_extendedprice * (1 - l_discount)) * 1e4 + 0.5) / 1e4 AS mkt_share,
+             |       count(*) AS n
+             |FROM lineitem
+             |JOIN part ON l_partkey = p_partkey
+             |JOIN orders ON l_orderkey = o_orderkey
+             |JOIN customer ON o_custkey = c_custkey
+             |JOIN nation n1 ON c_nationkey = n1.n_nationkey
+             |JOIN region ON n1.n_regionkey = r_regionkey
+             |JOIN supplier ON l_suppkey = s_suppkey
+             |JOIN nation n2 ON s_nationkey = n2.n_nationkey
+             |WHERE p_type = 'ECONOMY' AND r_name = 'AMERICA'
+             |  AND o_orderdate >= TIMESTAMP '1996-01-01'
+             |  AND o_orderdate < TIMESTAMP '1998-01-01'
+             |GROUP BY 1 ORDER BY 1""".stripMargin),
+      benchExtra = true),
+
+    // TPC-H Q13 (customer order-count distribution), comment-LIKE filter
+    // adapted to a priority exclusion (no comment column in this
+    // schema): LEFT OUTER join so zero-order customers survive with
+    // c_count = 0 (count of a NULL column), then the distribution-of-
+    // counts re-aggregation — two shuffles, the second over at most
+    // |distinct counts| keys.
+    Q("q_tpch_q13",
+      (s, dir) => {
+        val c = Tables.customer(s, dir)
+        val o = Tables.orders(s, dir).filter(col("o_orderpriority") =!= "4-NOT SPECIFIED")
+        c.join(o, c("c_custkey") === o("o_custkey"), "left_outer")
+          .groupBy(col("c_custkey"))
+          .agg(count(col("o_orderkey")).as("c_count"))
+          .groupBy(col("c_count"))
+          .agg(count(lit(1)).as("custdist"))
+          .orderBy(col("custdist").desc, col("c_count").desc)
+      },
+      Some("""SELECT c_count, count(*) AS custdist
+             |FROM (SELECT c_custkey, count(o_orderkey) AS c_count
+             |      FROM customer
+             |      LEFT OUTER JOIN orders ON c_custkey = o_custkey
+             |        AND o_orderpriority <> '4-NOT SPECIFIED'
+             |      GROUP BY c_custkey)
+             |GROUP BY c_count
+             |ORDER BY custdist DESC, c_count DESC""".stripMargin),
+      benchExtra = true),
+
+    // TPC-H Q15 (top supplier): the revenue "view" + its max, in ONE
+    // lineitem pass — the per-supplier aggregate is supplier-sized, so
+    // the global max rides a single-partition window over ~|suppliers|
+    // rows instead of a second fact scan (the textbook scalar subquery
+    // re-reads lineitem). Revenue pre-rounds before the equality compare
+    // so both engines pick the same winners.
+    Q("q_tpch_q15",
+      (s, dir) => {
+        import org.apache.spark.sql.expressions.Window
+        val rev = Tables.lineitem(s, dir)
+          .filter(col("l_shipdate") >= lit("1997-01-01").cast("timestamp") &&
+            col("l_shipdate") < lit("1997-04-01").cast("timestamp"))
+          .groupBy(col("l_suppkey"))
+          .agg((floor((sum(col("l_extendedprice") * (lit(1) - col("l_discount")))) * 1e4 + 0.5) / 1e4).as("total_revenue"))
+        val sup = Tables.supplier(s, dir)
+        rev.withColumn("__mx", max(col("total_revenue")).over(Window.partitionBy(lit(0))))
+          .filter(col("total_revenue") === col("__mx"))
+          .join(broadcast(sup), col("l_suppkey") === sup("s_suppkey"))
+          .select(col("s_suppkey"), col("s_name"), col("total_revenue"))
+          .orderBy(col("s_suppkey"))
+      },
+      Some("""WITH rev AS (
+             |  SELECT l_suppkey,
+             |         floor((sum(l_extendedprice * (1 - l_discount))) * 1e4 + 0.5) / 1e4 AS total_revenue
+             |  FROM lineitem
+             |  WHERE l_shipdate >= TIMESTAMP '1997-01-01'
+             |    AND l_shipdate < TIMESTAMP '1997-04-01'
+             |  GROUP BY l_suppkey)
+             |SELECT s_suppkey, s_name, total_revenue
+             |FROM rev JOIN supplier ON l_suppkey = s_suppkey
+             |WHERE total_revenue = (SELECT max(total_revenue) FROM rev)
+             |ORDER BY s_suppkey""".stripMargin),
+      benchExtra = true),
+
+    // TPC-H Q17 (small-quantity-order revenue), container predicate
+    // adapted to p_type (no container column): the correlated per-part
+    // average threshold. The textbook correlated subquery scans lineitem
+    // twice; here the threshold is a window average over the SAME
+    // broadcast-joined pass — one fact scan, one partkey shuffle. The
+    // avg pre-rounds at 1e-6 before the 0.2× compare so the threshold is
+    // the identical double in both engines.
+    Q("q_tpch_q17",
+      (s, dir) => {
+        import org.apache.spark.sql.expressions.Window
+        val p = Tables.part(s, dir)
+          .filter(col("p_brand") === "Brand#12" && col("p_type") === "SMALL")
+        val lp = Tables.lineitem(s, dir)
+          .join(broadcast(p), col("l_partkey") === col("p_partkey"))
+        val w = Window.partitionBy(col("l_partkey"))
+        lp.withColumn("__thr",
+            (floor(avg(col("l_quantity")).over(w) * 1e6 + 0.5) / 1e6) * 0.2)
+          .filter(col("l_quantity") < col("__thr"))
+          .agg((floor((sum(col("l_extendedprice"))) / 7.0 * 1e4 + 0.5) / 1e4).as("avg_yearly"),
+            count(lit(1)).as("n"))
+      },
+      Some("""WITH lp AS (
+             |  SELECT l_quantity, l_extendedprice,
+             |         floor(avg(l_quantity) OVER (PARTITION BY l_partkey) * 1e6 + 0.5) / 1e6 * 0.2 AS thr
+             |  FROM lineitem
+             |  JOIN part ON l_partkey = p_partkey
+             |  WHERE p_brand = 'Brand#12' AND p_type = 'SMALL')
+             |SELECT floor((sum(l_extendedprice)) / 7.0 * 1e4 + 0.5) / 1e4 AS avg_yearly,
+             |       count(*) AS n
+             |FROM lp WHERE l_quantity < thr""".stripMargin),
+      benchExtra = true),
+
+    // TPC-H Q19 (discounted revenue): the three-way disjunction of
+    // brand × size-band × quantity-band conjuncts. All predicates are on
+    // the broadcast part side or the fact row, so Catalyst pushes the
+    // part disjuncts into the dimension scan and evaluates the combined
+    // residual inside the broadcast join — one fact pass, no shuffle
+    // before the global aggregate.
+    Q("q_tpch_q19",
+      (s, dir) => {
+        val p = Tables.part(s, dir)
+        val li = Tables.lineitem(s, dir)
+        li.join(broadcast(p), col("l_partkey") === col("p_partkey"))
+          .filter(
+            (col("p_brand") === "Brand#12" && col("p_size").between(1, 5) &&
+              col("l_quantity") >= 1 && col("l_quantity") <= 11) ||
+            (col("p_brand") === "Brand#23" && col("p_size").between(1, 10) &&
+              col("l_quantity") >= 10 && col("l_quantity") <= 20) ||
+            (col("p_brand") === "Brand#3" && col("p_size").between(1, 15) &&
+              col("l_quantity") >= 20 && col("l_quantity") <= 30))
+          .agg((floor((sum(col("l_extendedprice") * (lit(1) - col("l_discount")))) * 1e4 + 0.5) / 1e4).as("revenue"),
+            count(lit(1)).as("n"))
+      },
+      Some("""SELECT floor((sum(l_extendedprice * (1 - l_discount))) * 1e4 + 0.5) / 1e4 AS revenue,
+             |       count(*) AS n
+             |FROM lineitem
+             |JOIN part ON l_partkey = p_partkey
+             |WHERE (p_brand = 'Brand#12' AND p_size BETWEEN 1 AND 5
+             |       AND l_quantity >= 1 AND l_quantity <= 11)
+             |   OR (p_brand = 'Brand#23' AND p_size BETWEEN 1 AND 10
+             |       AND l_quantity >= 10 AND l_quantity <= 20)
+             |   OR (p_brand = 'Brand#3' AND p_size BETWEEN 1 AND 15
+             |       AND l_quantity >= 20 AND l_quantity <= 30)""".stripMargin),
+      benchExtra = true),
+
+    // TPC-H Q22 (global sales opportunity), phone-prefix predicate
+    // adapted to a nationkey set (no phone column): positive-balance
+    // customers above the mean balance with no RECENT orders (every
+    // synthetic customer has some order, so "never ordered" is empty at
+    // every SF — the recency cutoff keeps the anti join non-vacuous) —
+    // scalar-subquery threshold (broadcast one-row frame, avg
+    // pre-rounded 1e-6) + anti join. The anti join shuffles on custkey;
+    // everything else is customer-sized.
+    Q("q_tpch_q22",
+      (s, dir) => {
+        val cust = Tables.customer(s, dir)
+        val avgBal = cust.filter(col("c_acctbal") > 0.0)
+          .agg((floor(avg(col("c_acctbal")) * 1e6 + 0.5) / 1e6).as("__ab"))
+        val o = Tables.orders(s, dir)
+          .filter(col("o_orderdate") >= lit("2000-06-01").cast("timestamp"))
+        cust.filter(col("c_nationkey").isin(1, 3, 5, 7, 9, 11, 13))
+          .crossJoin(broadcast(avgBal))
+          .filter(col("c_acctbal") > col("__ab"))
+          .join(o, cust("c_custkey") === o("o_custkey"), "left_anti")
+          .groupBy(col("c_nationkey").cast("long").as("cntrycode"))
+          .agg(count(lit(1)).as("numcust"),
+            (floor((sum(col("c_acctbal"))) * 1e4 + 0.5) / 1e4).as("totacctbal"))
+          .orderBy(col("cntrycode"))
+      },
+      Some("""SELECT CAST(c_nationkey AS BIGINT) AS cntrycode,
+             |       count(*) AS numcust,
+             |       floor((sum(c_acctbal)) * 1e4 + 0.5) / 1e4 AS totacctbal
+             |FROM customer
+             |WHERE c_nationkey IN (1, 3, 5, 7, 9, 11, 13)
+             |  AND c_acctbal > (SELECT floor(avg(c_acctbal) * 1e6 + 0.5) / 1e6
+             |                   FROM customer WHERE c_acctbal > 0.0)
+             |  AND NOT EXISTS (SELECT 1 FROM orders
+             |                  WHERE o_custkey = c_custkey
+             |                    AND o_orderdate >= TIMESTAMP '2000-06-01')
+             |GROUP BY 1 ORDER BY 1""".stripMargin),
+      benchExtra = true),
+
     Q("q_semi_join",
       (s, dir) => {
         val c = Tables.customer(s, dir)

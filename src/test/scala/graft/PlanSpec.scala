@@ -531,6 +531,37 @@ class PlanSpec extends AnyFunSuite {
     assert(read.split(",").length == 4, s"scan must read exactly 4 columns: $read")
   }
 
+  test("TPC-H r11 pack: disjunctive predicate extraction, semi/anti shapes, no pairwise joins") {
+    // Q19: Catalyst extracts BOTH projections of the OR-of-conjuncts —
+    // the quantity bands reach the lineitem scan and the brand/size
+    // bands reach the part scan as pushed disjunctions, so at 100 TB the
+    // fact read is pruned before the join evaluates the full residual
+    val p19 = plan("q_tpch_q19")
+    assert(p19.contains("Or(Or(And(GreaterThanOrEqual(l_quantity"),
+      s"quantity-band disjunction must reach the lineitem scan:\n${p19.take(2000)}")
+    assert(p19.contains("Or(Or(And(EqualTo(p_brand"),
+      s"brand/size disjunction must reach the part scan:\n${p19.take(2000)}")
+    // Q4: correlated EXISTS = ONE LeftSemi join on orderkey with the
+    // 90-day lateness as a residual — no per-row subquery, no re-scan
+    val p4 = plan("q_tpch_q4")
+    assert(p4.contains("LeftSemi"), s"EXISTS must compile to a semi join:\n${p4.take(1500)}")
+    assert(!p4.contains("CartesianProduct") && !p4.contains("BroadcastNestedLoopJoin"))
+    // Q22: NOT EXISTS = LeftAnti on custkey (the scalar avg threshold is
+    // a benign one-row broadcast)
+    val p22 = plan("q_tpch_q22")
+    assert(p22.contains("LeftAnti"), s"NOT EXISTS must compile to an anti join:\n${p22.take(1500)}")
+    // Q17: the correlated per-part threshold is a WINDOW over the same
+    // joined pass (one fact scan), not a second lineitem aggregate join
+    val p17 = plan("q_tpch_q17")
+    assert(p17.contains("Window"), s"threshold must ride a window:\n${p17.take(1500)}")
+    // the rest of the pack: equi-joins throughout
+    for (q <- Seq("q_tpch_q7", "q_tpch_q8", "q_tpch_q13", "q_tpch_q15", "q_tpch_q17")) {
+      val p = plan(q)
+      assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+        s"$q must join on keys only:\n${p.take(1500)}")
+    }
+  }
+
   test("grid-DBSCAN: 9-stencil equi-joins only — no nested-loop join at any grid resolution") {
     val p = plan("q_pl_grid_dbscan")
     assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"),
