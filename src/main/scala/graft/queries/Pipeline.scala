@@ -619,7 +619,8 @@ object Pipeline {
     "q_pl_cms", "q_pl_neyman", "q_pl_bm25_idx", "q_pl_grid_dbscan",
     "q_pl_triangles", "q_pl_ppr", "q_pl_containment",
     // round-11
-    "q_ann_knn_graph", "q_pl_bm25_probe", "q_pl_centrality_banded")
+    "q_ann_knn_graph", "q_pl_bm25_probe", "q_pl_centrality_banded",
+    "q_pl_quality_clf")
 
   def qs: Seq[Q] = {
     val all = raw.map(q => if (ExtraBench(q.name)) q.copy(benchExtra = true) else q)
@@ -2735,6 +2736,94 @@ object Pipeline {
               |       CAST(sum(len(v6.toks)) AS BIGINT) AS n_tokens,
               |       floor(sum(len(v6.toks)) * 1.0 / count(*) * 1e4 + 0.5) / 1e4 AS avg_tpw
               |FROM wdf JOIN v6 USING (word)
-              |GROUP BY 1 ORDER BY doc_id""".stripMargin))
+              |GROUP BY 1 ORDER BY doc_id""".stripMargin)),
+
+    // Model-in-the-loop curation: train a logistic-regression language/
+    // quality classifier ON the corpus by distributed batch gradient
+    // descent (one d+1-sum global aggregate per iteration, d+1-double
+    // driver state), then score the corpus with the learned boundary.
+    // The oracle replays training EXACTLY — per-iteration gradient sums
+    // pre-rounded 1e-6 (the whiten/SAX stance), weight updates as
+    // chained one-row CTEs (the BPE unroll pattern), decision on exact
+    // dot products of the rounded final weights.
+    Q("q_pl_quality_clf",
+      (s, dir) => graft.pipeline.Model.logisticQuality(Tables.documents(s, dir))
+        .orderBy("j"),
+      Some(logregOracle(tau = 0.55, iters = 8, lr = 4.0)),
+      benchExtra = true)
   )
+
+  /** DuckDB replay of [[graft.pipeline.Model.logisticQuality]]: unrolls
+    * `iters` gradient-descent iterations as chained one-row weight CTEs.
+    * Arithmetic mirrors the Spark side operation for operation — same
+    * quality-component expressions, same 1e-6 μ/σ pre-round before
+    * standardizing, same left-to-right z fold, same 1e-6 gradient
+    * pre-round, same update association `w - g/n`.
+    */
+  private def logregOracle(tau: Double, iters: Int, lr: Double): String = {
+    val stop = TextAnalysis.Lexicons.flatMap(_._2).distinct.map(x => s"'$x'").mkString(",")
+    val comps = Seq(
+      "least(len(w) / 100.0, 1.0)",
+      s"least((len([x for x in w if x IN ($stop)]) * 1.0 / len(w)) * 5.0, 1.0)",
+      "1.0 - least((len(regexp_extract_all(text, '[^A-Za-z0-9\\s]')) * 1.0 / length(text)) * 10.0, 1.0)",
+      "least((length(regexp_replace(text, '\\s+', '', 'g')) * 1.0 / len(w)) / 8.0, 1.0)")
+    val d = comps.size + 1
+    val idx = 0 until d
+    val csel = comps.zipWithIndex.map { case (c, i) => s"$c AS c$i" }.mkString(",\n         ")
+    val statSel = comps.indices.map(i =>
+      s"floor(avg(c$i) * 1e6 + 0.5) / 1e6 AS mu$i, floor(stddev_pop(c$i) * 1e6 + 0.5) / 1e6 AS sd$i")
+      .mkString(",\n              ")
+    val stdSel = comps.indices.map(i =>
+      s"CASE WHEN st.sd$i > 0 THEN (f.c$i - st.mu$i) / st.sd$i ELSE 0.0 END AS x${i + 1}")
+      .mkString(",\n             ")
+    def z(wa: String) = idx.map(j => s"$wa.w$j * f.x$j").mkString(" + ")
+    val iterCtes = (1 to iters).map { t =>
+      val g = idx.map(j =>
+        s"floor(sum(f.x$j * (1.0 / (1.0 + exp(-(${z("w")}))) - f.y)) * 1e6 + 0.5) / 1e6 AS g$j")
+        .mkString(",\n       ")
+      val u = idx.map(j => s"w.w$j - ($lr * g.g$j) / nn.c AS w$j").mkString(", ")
+      s"""g$t AS (
+         |SELECT $g
+         |FROM fs f, w${t - 1} w),
+         |w$t AS (SELECT $u FROM w${t - 1} w, g$t g, nn)""".stripMargin
+    }.mkString(",\n")
+    val names = Seq("bias", "x_words", "x_stop", "x_punct", "x_awl")
+    val weightRows = idx.map { j =>
+      val head = if (j == 0) s"CAST(0 AS BIGINT) AS j, 'bias' AS feature, w0 AS weight"
+      else s"$j, '${names(j)}', w$j"
+      s"SELECT $head FROM wr"
+    }.mkString("\n  UNION ALL ")
+    // decision z matches the Spark side: bias term first, NO x0 factor
+    val zDec = (s"w.w0" +: (1 until d).map(j => s"w.w$j * f.x$j")).mkString(" + ")
+    s"""WITH f0 AS (
+       |  SELECT $csel
+       |  FROM (SELECT text, string_split_regex(lower(text), '\\s+') AS w FROM documents)
+       |),
+       |f AS (
+       |  SELECT c0, c1, c2, c3,
+       |         CASE WHEN floor((c0 * 0.3 + c1 * 0.3 + c2 * 0.2 + c3 * 0.2) * 1e4 + 0.5) / 1e4 >= $tau
+       |              THEN 1.0 ELSE 0.0 END AS y
+       |  FROM f0
+       |),
+       |st AS (SELECT $statSel FROM f),
+       |fs AS (SELECT f.y, 1.0 AS x0,
+       |             $stdSel
+       |       FROM f, st),
+       |nn AS (SELECT count(*) AS c FROM fs),
+       |w0 AS (SELECT ${idx.map(j => s"0.0 AS w$j").mkString(", ")}),
+       |$iterCtes,
+       |wr AS (SELECT ${idx.map(j => s"floor(w$j * 1e6 + 0.5) / 1e6 AS w$j").mkString(", ")}
+       |       FROM w$iters),
+       |pr AS (SELECT CASE WHEN $zDec >= 0 THEN 1 ELSE 0 END AS p,
+       |              CAST(f.y AS BIGINT) AS yy
+       |       FROM fs f, wr w),
+       |cf AS (SELECT CAST(sum(p * yy) AS BIGINT) AS tp,
+       |              CAST(sum(p * (1 - yy)) AS BIGINT) AS fp,
+       |              CAST(sum((1 - p) * yy) AS BIGINT) AS fn,
+       |              CAST(sum((1 - p) * (1 - yy)) AS BIGINT) AS tn
+       |       FROM pr)
+       |SELECT j, feature, weight, tp, fp, fn, tn
+       |FROM ($weightRows) t, cf
+       |ORDER BY j""".stripMargin
+  }
 }

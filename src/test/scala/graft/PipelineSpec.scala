@@ -1460,6 +1460,40 @@ class PipelineSpec extends AnyFunSuite {
     assert(!plain.exists(_._2 == "k0"))
   }
 
+  test("logisticQuality distills the quality rule: beats majority class, σ=0 feature inert") {
+    import graft.pipeline.Model
+    import org.apache.spark.sql.functions._
+    val docs = graft.core.Tables.documents(spark, sf)
+    val out = Model.logisticQuality(docs).collect()
+    assert(out.length == 5)
+    val tp = out.head.getAs[Long]("tp"); val fp = out.head.getAs[Long]("fp")
+    val fn = out.head.getAs[Long]("fn"); val tn = out.head.getAs[Long]("tn")
+    val n = tp + fp + fn + tn
+    assert(n == docs.count())
+    // the distilled boundary must agree with the rule far above the
+    // majority-class baseline — a degenerate all-one-class model fails
+    val acc = (tp + tn).toDouble / n
+    val majority = math.max(tp + fn, fp + tn).toDouble / n
+    assert(acc >= 0.9 && acc > majority,
+      s"distillation degenerate: acc=$acc majority=$majority tp=$tp fp=$fp fn=$fn tn=$tn")
+    // the synthetic corpus has no punctuation → x_punct is constant →
+    // σ=0 → standardized to 0 → its weight must stay EXACTLY 0 (the
+    // whiten passthrough, not a small learned value)
+    val wPunct = out.find(_.getAs[String]("feature") == "x_punct").get.getAs[Double]("weight")
+    assert(wPunct == 0.0, s"constant feature leaked a weight: $wPunct")
+    // more words and more stopwords ⇒ higher quality by construction of
+    // the rule — signs must come out positive
+    val w = out.map(r => r.getAs[String]("feature") -> r.getAs[Double]("weight")).toMap
+    assert(w("x_words") > 0 && w("x_stop") > 0, s"rule signs lost: $w")
+    // loud-failure contracts
+    intercept[IllegalArgumentException] {
+      Model.logisticTrain(docs.limit(0), Model.qualityComponents, lit(true))
+    }
+    intercept[IllegalArgumentException] {
+      Model.logisticTrain(docs, Nil, lit(true))
+    }
+  }
+
   test("editDistancePairs: blocked Levenshtein semantics on a crafted frame") {
     val d = Seq(
       (1L, "alpha beta gamma"),
