@@ -1,0 +1,116 @@
+package graft.pipeline
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Declarative data-quality constraint suite (the Deequ-style contract
+  * layer a production pipeline runs before training on a new snapshot):
+  * completeness, uniqueness, value-range, and referential-integrity
+  * checks, each reported as a fraction-in-[0,1] metric against a
+  * threshold.
+  *
+  * Shape at 100 TB: every aggregate-expressible check against one table
+  * runs in ONE shared scan — [[tableSuite]] fuses all its checks into a
+  * single partial+final aggregate (the Deequ "analyzer fusion" idea), so
+  * a 10-check contract costs one pass, not ten. `uniqueness` rides the
+  * same aggregate as exact `count_distinct` (Spark plans the multi-
+  * distinct Expand); referential integrity is the one check that needs a
+  * second table — a LeftSemi count against the parent key (broadcast
+  * when the parent is dimension-sized). Metrics are ratios of exact
+  * counts pre-rounded 1e-6, so any engine replays pass/fail decisions
+  * bit-for-bit.
+  */
+object Checks {
+
+  /** One constraint over a single table: `expr` must evaluate to the
+    * fraction-passing metric under a global aggregate.
+    */
+  final case class Check(name: String, target: String, threshold: Double, expr: Column)
+
+  def completeness(column: String, threshold: Double = 1.0): Check =
+    Check("completeness", column, threshold,
+      avg(when(col(column).isNotNull, 1.0).otherwise(0.0)))
+
+  def uniqueness(column: String, threshold: Double = 1.0): Check =
+    Check("uniqueness", column, threshold,
+      count_distinct(col(column)).cast("double") / count(lit(1)).cast("double"))
+
+  def inRange(column: String, lo: Double, hi: Double, threshold: Double = 1.0): Check =
+    Check("in_range", column, threshold,
+      avg(when(col(column).isNotNull && col(column) >= lo && col(column) <= hi, 1.0)
+        .otherwise(0.0)))
+
+  /** All checks against `df` in ONE aggregate pass; one result row per
+    * check: (check, target, metric round 1e-6, threshold, pass).
+    */
+  def tableSuite(df: DataFrame, table: String, checks: Seq[Check]): DataFrame = {
+    require(checks.nonEmpty, "empty check suite")
+    val aggs = checks.zipWithIndex.map { case (c, i) =>
+      (floor(c.expr * 1e6 + 0.5) / 1e6).as(s"__m$i")
+    }
+    val rows = checks.zipWithIndex.map { case (c, i) =>
+      struct(lit(c.name).as("check"), lit(s"$table.${c.target}").as("target"),
+        col(s"__m$i").as("metric"), lit(c.threshold).as("threshold"),
+        (col(s"__m$i") >= c.threshold).as("pass"))
+    }
+    df.agg(aggs.head, aggs.tail: _*)
+      .select(explode(array(rows: _*)).as("__r"))
+      .select(col("__r.check"), col("__r.target"), col("__r.metric"),
+        col("__r.threshold"), col("__r.pass"))
+  }
+
+  /** Join-key skew diagnostic — the "will this join/groupBy fall over at
+    * 100 TB" pre-flight: per-key counts → one summary row per analyzed
+    * column with n_rows, n_keys, the heaviest key's share, the top-10
+    * keys' share, and max/avg ratio (how many× the hottest reducer runs
+    * vs uniform). top1_share near 1 says broadcast the OTHER side or
+    * salt THIS key; max_avg_ratio ≫ 10 says AQE skew-join territory.
+    *
+    * Cost shape: one hash aggregate to the key-count frame (|keys| rows,
+    * partial+final — never wider than the dedup'd key set), then a
+    * TakeOrdered(10) and a scalar aggregate over counts. All metrics are
+    * exact-count ratios pre-rounded 1e-6 — any engine replays them.
+    * NULL keys count as one key (they hash to one reducer like any
+    * other value — exactly the skew this check exists to surface).
+    */
+  def keySkew(df: DataFrame, table: String, column: String): DataFrame = {
+    val counts = df.groupBy(col(column).as("__k"))
+      .agg(count(lit(1)).as("__c"))
+    val top10 = counts.orderBy(col("__c").desc, col("__k").asc_nulls_first)
+      .limit(10).agg(sum("__c").cast("double").as("__t10"))
+    val r6 = (c: Column) => floor(c * 1e6 + 0.5) / 1e6
+    counts
+      .agg(sum("__c").cast("double").as("__n"),
+        count(lit(1)).cast("double").as("__d"),
+        max("__c").cast("double").as("__mx"))
+      .crossJoin(broadcast(top10))
+      .select(
+        lit(s"$table.$column").as("target"),
+        col("__n").cast("bigint").as("n_rows"),
+        col("__d").cast("bigint").as("n_keys"),
+        r6(col("__mx") / col("__n")).as("top1_share"),
+        r6(least(col("__t10"), col("__n")) / col("__n")).as("top10_share"),
+        r6(col("__mx") / (col("__n") / col("__d"))).as("max_avg_ratio"))
+  }
+
+  /** Referential integrity: fraction of child rows whose `childKey` has a
+    * match in `parent.parentKey` (NULL keys count as violations — an FK
+    * that permits NULL should filter first). LeftSemi count over the
+    * child; same result row shape as [[tableSuite]].
+    */
+  def referential(child: DataFrame, childTable: String, childKey: String,
+      parent: DataFrame, parentTable: String, parentKey: String,
+      threshold: Double = 1.0): DataFrame = {
+    val total = child.agg(count(lit(1)).cast("double").as("__n"))
+    val matched = child
+      .join(parent.select(col(parentKey)), col(childKey) === col(parentKey), "left_semi")
+      .agg(count(lit(1)).cast("double").as("__k"))
+    matched.crossJoin(broadcast(total))
+      .select(
+        lit("referential").as("check"),
+        lit(s"$childTable.$childKey -> $parentTable.$parentKey").as("target"),
+        (floor(col("__k") / col("__n") * 1e6 + 0.5) / 1e6).as("metric"),
+        lit(threshold).as("threshold"),
+        ((floor(col("__k") / col("__n") * 1e6 + 0.5) / 1e6) >= threshold).as("pass"))
+  }
+}

@@ -53,6 +53,48 @@ object Sampling {
     df.withColumn("split", labeled)
   }
 
+  /** Leakage-safe split: [[splitAssign]] keyed on the NEAR-DUP CLUSTER id
+    * instead of the document id, so every member of a near-duplicate
+    * group lands in the same band — the holdout guard a training corpus
+    * needs (hashing doc_ids splits near-identical documents across
+    * train/test, silently inflating eval scores). `clusters` is any
+    * (doc_id, cluster_id) frame — [[Dedup.dupClusters]] /
+    * [[Dedup.dupClustersStar]] at corpus scale. One doc-keyed equi-join
+    * + the same integer hash-band compare; singleton docs are their own
+    * cluster, so coverage is total.
+    */
+  def leakageSafeSplit(clusters: DataFrame,
+      splits: Seq[(String, Double)], salt: String): DataFrame =
+    splitAssign(clusters.select(col("doc_id"), col("cluster_id")),
+      "cluster_id", splits, salt)
+
+  /** Deterministic training-shard layout: the global corpus shuffle a
+    * training run needs, WITHOUT a global sort. Every row gets
+    * `shard` = hash60(salt:key) mod k and `shard_pos` = its rank within
+    * the shard by (hash, key) — so reading shards 0..k-1 in pos order
+    * replays one fixed pseudo-random permutation of the corpus,
+    * identical on any cluster size and re-derivable by any engine.
+    *
+    * Scale shape: one hash shuffle on `shard` + a PER-SHARD local sort
+    * (each shard is corpus/k rows in one task — pick k so that is
+    * task-sized, e.g. 100 TB / 1 GB ≈ 100k shards, the WebDataset/
+    * tfrecord sharding rule). No stage ever sees a global order.
+    * Growing the corpus only appends new positions inside each shard —
+    * it never relabels another row's shard (hash-stable, unlike
+    * ntile/round-robin).
+    */
+  def shardAssign(df: DataFrame, keyCol: String, k: Int, salt: String): DataFrame = {
+    require(k > 0, s"shard count must be positive, got $k")
+    import org.apache.spark.sql.expressions.Window
+    val h = TextAnalysis.hash60(concat(lit(salt), lit(":"), col(keyCol).cast("string")))
+    df.withColumn("__h", h)
+      .withColumn("shard", (col("__h") % k).cast("int"))
+      .withColumn("shard_pos",
+        row_number().over(
+          Window.partitionBy(col("shard")).orderBy(col("__h"), col(keyCol))) - 1)
+      .drop("__h")
+  }
+
   /** Stratified sample: per-stratum rates (e.g. upsample rare languages,
     * downsample boilerplate-heavy domains), default rate for strata not
     * listed. One narrow filter — the stratum column must already exist

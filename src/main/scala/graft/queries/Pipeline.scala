@@ -620,7 +620,7 @@ object Pipeline {
     "q_pl_triangles", "q_pl_ppr", "q_pl_containment",
     // round-11
     "q_ann_knn_graph", "q_pl_bm25_probe", "q_pl_centrality_banded",
-    "q_pl_quality_clf")
+    "q_pl_quality_clf", "q_pl_leakage_split")
 
   def qs: Seq[Q] = {
     val all = raw.map(q => if (ExtraBench(q.name)) q.copy(benchExtra = true) else q)
@@ -1658,8 +1658,12 @@ object Pipeline {
               |SELECT doc_id, n_shingles, n_overlap, contam_frac, contam_frac >= 0.5 AS contaminated
               |FROM ann ORDER BY doc_id""".stripMargin
 
-  private val dupClustersOracle =
-    s"""WITH RECURSIVE $wordsCte, $shinglesCte, $verifiedPairsCte,
+  /** Transitive-closure near-dup components → CTE `cl`(doc_id,
+    * cluster_id) with singletons included — shared by the cluster gates
+    * and the leakage-safe split.
+    */
+  private val dupClusterCtes =
+    s"""$wordsCte, $shinglesCte, $verifiedPairsCte,
        |edges AS (SELECT doc_a AS s, doc_b AS d FROM vp
        |          UNION SELECT doc_b, doc_a FROM vp),
        |reach(s, d) AS (
@@ -1667,11 +1671,14 @@ object Pipeline {
        |  UNION
        |  SELECT r.s, e.d FROM reach r JOIN edges e ON r.d = e.s
        |),
-       |labels AS (SELECT s AS doc_id, least(s, min(d)) AS cluster_id FROM reach GROUP BY s)
-       |SELECT dd.doc_id, coalesce(l.cluster_id, dd.doc_id) AS cluster_id,
-       |       dd.doc_id = coalesce(l.cluster_id, dd.doc_id) AS is_canonical
-       |FROM documents dd LEFT JOIN labels l ON dd.doc_id = l.doc_id
-       |ORDER BY dd.doc_id""".stripMargin
+       |labels AS (SELECT s AS doc_id, least(s, min(d)) AS cluster_id FROM reach GROUP BY s),
+       |cl AS (SELECT dd.doc_id, coalesce(l.cluster_id, dd.doc_id) AS cluster_id
+       |       FROM documents dd LEFT JOIN labels l ON dd.doc_id = l.doc_id)""".stripMargin
+
+  private val dupClustersOracle =
+    s"""WITH RECURSIVE $dupClusterCtes
+       |SELECT doc_id, cluster_id, doc_id = cluster_id AS is_canonical
+       |FROM cl ORDER BY doc_id""".stripMargin
 
   private def rawTail: Seq[Q] = Seq(
 
@@ -2750,7 +2757,31 @@ object Pipeline {
       (s, dir) => graft.pipeline.Model.logisticQuality(Tables.documents(s, dir))
         .orderBy("j"),
       Some(logregOracle(tau = 0.55, iters = 8, lr = 4.0)),
-      benchExtra = true)
+      benchExtra = true),
+
+    // Leakage-safe holdout: the 80/10/10 split keyed on the NEAR-DUP
+    // CLUSTER id, so near-identical documents can never straddle
+    // train/test (hashing doc_ids does exactly that, silently inflating
+    // eval scores). Same verified-pair components as q_pl_dup_clusters,
+    // same integer hash-band compare as q_pl_split.
+    Q("q_pl_leakage_split",
+      (s, dir) => {
+        val docs = Tables.documents(s, dir)
+        val cl = Dedup.dupClusters(docs, Dedup.minhashLshPairs(docs, 0.8))
+          .select(col("doc_id"), col("cluster_id"))
+        Sampling.leakageSafeSplit(cl,
+            Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1), "lsplit1")
+          .orderBy("doc_id")
+      },
+      Some {
+        val h = "CAST(concat('0x', substr(md5('lsplit1:' || CAST(cluster_id AS VARCHAR)), 1, 15)) AS BIGINT) % 1000000"
+        s"""WITH RECURSIVE $dupClusterCtes
+           |SELECT doc_id, cluster_id,
+           |       CASE WHEN $h < 800000 THEN 'train'
+           |            WHEN $h < 900000 THEN 'val'
+           |            ELSE 'test' END AS split
+           |FROM cl ORDER BY doc_id""".stripMargin
+      })
   )
 
   /** DuckDB replay of [[graft.pipeline.Model.logisticQuality]]: unrolls

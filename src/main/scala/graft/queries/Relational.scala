@@ -1149,6 +1149,67 @@ object Relational {
              |FROM e ORDER BY digit""".stripMargin),
       benchExtra = true),
 
+    // Declarative constraint suite (the Deequ-style pre-training data
+    // contract): every aggregate-expressible check against a table fuses
+    // into ONE shared scan (three lineitem checks = one pass, two orders
+    // checks = one pass); referential integrity is a LeftSemi count.
+    // Mixed pass/fail thresholds on purpose — the gate pins both
+    // verdicts. Metrics are exact-count ratios pre-rounded 1e-6.
+    Q("q_dq_suite",
+      (s, dir) => {
+        import graft.pipeline.Checks
+        val li = Tables.lineitem(s, dir)
+        val o = Tables.orders(s, dir)
+        val c = Tables.customer(s, dir)
+        Checks.tableSuite(li, "lineitem", Seq(
+            Checks.completeness("l_quantity"),
+            Checks.inRange("l_discount", 0.0, 0.05),
+            Checks.inRange("l_quantity", 1.0, 50.0)))
+          .unionByName(Checks.tableSuite(o, "orders", Seq(
+            Checks.uniqueness("o_orderkey"),
+            Checks.uniqueness("o_orderpriority"))))
+          .unionByName(Checks.referential(li, "lineitem", "l_orderkey",
+            o, "orders", "o_orderkey"))
+          .unionByName(Checks.referential(o, "orders", "o_custkey",
+            c, "customer", "c_custkey"))
+          .orderBy(col("check"), col("target"))
+      },
+      Some("""SELECT "check", target, metric, CAST(threshold AS DOUBLE) AS threshold,
+             |       metric >= threshold AS pass
+             |FROM (
+             |  SELECT 'completeness' AS "check", 'lineitem.l_quantity' AS target,
+             |         floor(avg(CASE WHEN l_quantity IS NOT NULL THEN 1.0 ELSE 0.0 END) * 1e6 + 0.5) / 1e6 AS metric,
+             |         1.0 AS threshold
+             |  FROM lineitem
+             |  UNION ALL
+             |  SELECT 'in_range', 'lineitem.l_discount',
+             |         floor(avg(CASE WHEN l_discount IS NOT NULL AND l_discount >= 0.0 AND l_discount <= 0.05
+             |                        THEN 1.0 ELSE 0.0 END) * 1e6 + 0.5) / 1e6, 1.0
+             |  FROM lineitem
+             |  UNION ALL
+             |  SELECT 'in_range', 'lineitem.l_quantity',
+             |         floor(avg(CASE WHEN l_quantity IS NOT NULL AND l_quantity >= 1.0 AND l_quantity <= 50.0
+             |                        THEN 1.0 ELSE 0.0 END) * 1e6 + 0.5) / 1e6, 1.0
+             |  FROM lineitem
+             |  UNION ALL
+             |  SELECT 'uniqueness', 'orders.o_orderkey',
+             |         floor(count(DISTINCT o_orderkey) * 1.0 / count(*) * 1e6 + 0.5) / 1e6, 1.0
+             |  FROM orders
+             |  UNION ALL
+             |  SELECT 'uniqueness', 'orders.o_orderpriority',
+             |         floor(count(DISTINCT o_orderpriority) * 1.0 / count(*) * 1e6 + 0.5) / 1e6, 1.0
+             |  FROM orders
+             |  UNION ALL
+             |  SELECT 'referential', 'lineitem.l_orderkey -> orders.o_orderkey',
+             |         floor((SELECT count(*) * 1.0 FROM lineitem WHERE l_orderkey IN (SELECT o_orderkey FROM orders))
+             |               / (SELECT count(*) * 1.0 FROM lineitem) * 1e6 + 0.5) / 1e6, 1.0
+             |  UNION ALL
+             |  SELECT 'referential', 'orders.o_custkey -> customer.c_custkey',
+             |         floor((SELECT count(*) * 1.0 FROM orders WHERE o_custkey IN (SELECT c_custkey FROM customer))
+             |               / (SELECT count(*) * 1.0 FROM orders) * 1e6 + 0.5) / 1e6, 1.0
+             |) ORDER BY "check", target""".stripMargin),
+      benchExtra = true),
+
     // ---- calendar arithmetic --------------------------------------------
     //
     // date_trunc / add_months (end-of-month clamping) / datediff /

@@ -1494,6 +1494,64 @@ class PipelineSpec extends AnyFunSuite {
     }
   }
 
+  test("leakageSafeSplit: no verified near-dup pair ever straddles a split") {
+    import graft.pipeline.{Dedup, Sampling}
+    val docs = graft.core.Tables.documents(spark, sf)
+    val pairs = Dedup.minhashLshPairs(docs, 0.8).cache()
+    try {
+      assert(pairs.count() > 0, "fixture must contain near-dup pairs or the test is vacuous")
+      val cl = Dedup.dupClusters(docs, pairs).select("doc_id", "cluster_id")
+      val split = Sampling.leakageSafeSplit(cl,
+        Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1), "lsplit1")
+      // every doc labeled exactly once
+      assert(split.count() == docs.count())
+      val byDoc = split.select(col("doc_id"), col("split"))
+      val straddle = pairs
+        .join(byDoc.withColumnRenamed("doc_id", "doc_a").withColumnRenamed("split", "sa"), "doc_a")
+        .join(byDoc.withColumnRenamed("doc_id", "doc_b").withColumnRenamed("split", "sb"), "doc_b")
+        .filter(col("sa") =!= col("sb"))
+      assert(straddle.count() == 0, "near-dup pair crossed the holdout boundary")
+      // whereas the naive doc_id-keyed split DOES leak on this fixture —
+      // the property is not vacuous
+      val naive = Sampling.splitAssign(docs.select("doc_id"), "doc_id",
+        Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1), "lsplit1")
+        .select(col("doc_id"), col("split"))
+      val naiveStraddle = pairs
+        .join(naive.withColumnRenamed("doc_id", "doc_a").withColumnRenamed("split", "sa"), "doc_a")
+        .join(naive.withColumnRenamed("doc_id", "doc_b").withColumnRenamed("split", "sb"), "doc_b")
+        .filter(col("sa") =!= col("sb"))
+      assert(naiveStraddle.count() > 0,
+        "fixture never leaks under the naive split — pick a different salt to keep the contrast real")
+    } finally { pairs.unpersist(); () }
+  }
+
+  test("Checks: crafted-frame verdicts and one fused scan per table suite") {
+    import graft.pipeline.Checks
+    val d = Seq(
+      (1L, Some(2.0), "a"), (2L, Some(5.0), "b"), (3L, None, "b"), (4L, Some(11.0), "c")
+    ).toDF("id", "v", "grp")
+    val out = Checks.tableSuite(d, "t", Seq(
+      Checks.completeness("v"),            // 3/4
+      Checks.uniqueness("id"),             // 1.0
+      Checks.uniqueness("grp"),            // 3/4
+      Checks.inRange("v", 0.0, 10.0, 0.5)  // 2/4 pass at threshold .5
+    )).collect().map(r => (r.getString(0), r.getString(1), r.getDouble(2), r.getBoolean(4))).toSet
+    assert(out === Set(
+      ("completeness", "t.v", 0.75, false),
+      ("uniqueness", "t.id", 1.0, true),
+      ("uniqueness", "t.grp", 0.75, false),
+      ("in_range", "t.v", 0.5, true)))
+    // the whole suite reads the table ONCE — analyzer fusion is the point
+    val plan = Checks.tableSuite(d, "t", Seq(
+      Checks.completeness("v"), Checks.inRange("v", 0.0, 10.0)))
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("Union"), s"suite must fuse into one aggregate:\n$plan")
+    // referential: child 2L->missing parent
+    val parent = Seq(1L, 3L, 4L).toDF("pid")
+    val ref = Checks.referential(d, "t", "id", parent, "p", "pid").collect()(0)
+    assert(ref.getDouble(2) == 0.75 && !ref.getBoolean(4))
+  }
+
   test("editDistancePairs: blocked Levenshtein semantics on a crafted frame") {
     val d = Seq(
       (1L, "alpha beta gamma"),
