@@ -23,9 +23,13 @@ import org.apache.spark.sql.functions._
 object Checks {
 
   /** One constraint over a single table: `expr` must evaluate to the
-    * fraction-passing metric under a global aggregate.
+    * fraction-passing metric under a global aggregate. `streamable` =
+    * the expression is legal inside a watermarked streaming aggregate
+    * (distinct aggregates are not — uniqueness is batch-only; a
+    * streaming pipeline dedups first and counts).
     */
-  final case class Check(name: String, target: String, threshold: Double, expr: Column)
+  final case class Check(name: String, target: String, threshold: Double,
+      expr: Column, streamable: Boolean = true)
 
   def completeness(column: String, threshold: Double = 1.0): Check =
     Check("completeness", column, threshold,
@@ -33,28 +37,40 @@ object Checks {
 
   def uniqueness(column: String, threshold: Double = 1.0): Check =
     Check("uniqueness", column, threshold,
-      count_distinct(col(column)).cast("double") / count(lit(1)).cast("double"))
+      count_distinct(col(column)).cast("double") / count(lit(1)).cast("double"),
+      streamable = false)
 
   def inRange(column: String, lo: Double, hi: Double, threshold: Double = 1.0): Check =
     Check("in_range", column, threshold,
       avg(when(col(column).isNotNull && col(column) >= lo && col(column) <= hi, 1.0)
         .otherwise(0.0)))
 
+  /** The fused per-check aggregate columns (metrics pre-rounded 1e-6)
+    * and the explode that turns the single aggregate row into one
+    * result row per check — shared by the batch [[tableSuite]] and the
+    * streaming twin (`StreamOps.checks`), so both surfaces compute the
+    * identical metric expressions.
+    */
+  private[graft] def suiteAggs(checks: Seq[Check]): Seq[Column] =
+    checks.zipWithIndex.map { case (c, i) =>
+      (floor(c.expr * 1e6 + 0.5) / 1e6).as(s"__m$i")
+    }
+
+  private[graft] def suiteRows(table: String, checks: Seq[Check]): Column =
+    explode(array(checks.zipWithIndex.map { case (c, i) =>
+      struct(lit(c.name).as("check"), lit(s"$table.${c.target}").as("target"),
+        col(s"__m$i").as("metric"), lit(c.threshold).as("threshold"),
+        (col(s"__m$i") >= c.threshold).as("pass"))
+    }: _*))
+
   /** All checks against `df` in ONE aggregate pass; one result row per
     * check: (check, target, metric round 1e-6, threshold, pass).
     */
   def tableSuite(df: DataFrame, table: String, checks: Seq[Check]): DataFrame = {
     require(checks.nonEmpty, "empty check suite")
-    val aggs = checks.zipWithIndex.map { case (c, i) =>
-      (floor(c.expr * 1e6 + 0.5) / 1e6).as(s"__m$i")
-    }
-    val rows = checks.zipWithIndex.map { case (c, i) =>
-      struct(lit(c.name).as("check"), lit(s"$table.${c.target}").as("target"),
-        col(s"__m$i").as("metric"), lit(c.threshold).as("threshold"),
-        (col(s"__m$i") >= c.threshold).as("pass"))
-    }
+    val aggs = suiteAggs(checks)
     df.agg(aggs.head, aggs.tail: _*)
-      .select(explode(array(rows: _*)).as("__r"))
+      .select(suiteRows(table, checks).as("__r"))
       .select(col("__r.check"), col("__r.target"), col("__r.metric"),
         col("__r.threshold"), col("__r.pass"))
   }

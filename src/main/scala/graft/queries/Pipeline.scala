@@ -620,7 +620,7 @@ object Pipeline {
     "q_pl_triangles", "q_pl_ppr", "q_pl_containment",
     // round-11
     "q_ann_knn_graph", "q_pl_bm25_probe", "q_pl_centrality_banded",
-    "q_pl_quality_clf", "q_pl_leakage_split")
+    "q_pl_quality_clf", "q_pl_leakage_split", "q_pl_shards")
 
   def qs: Seq[Q] = {
     val all = raw.map(q => if (ExtraBench(q.name)) q.copy(benchExtra = true) else q)
@@ -2781,7 +2781,35 @@ object Pipeline {
            |            WHEN $h < 900000 THEN 'val'
            |            ELSE 'test' END AS split
            |FROM cl ORDER BY doc_id""".stripMargin
-      })
+      }),
+
+    // Deterministic training-shard layout: the global corpus shuffle a
+    // training run reads, without a global sort — shard = hash60 mod k,
+    // within-shard order = (hash, key) rank. One hash shuffle + per-shard
+    // local sorts; k is chosen so a shard is task-sized (100 TB / 1 GB ≈
+    // 100k shards). Gate pins per-shard counts, payload sums, and the
+    // max position (== n−1 ⇒ positions are the contiguous 0..n−1 rank).
+    Q("q_pl_shards",
+      (s, dir) => {
+        val docs = Tables.documents(s, dir)
+        graft.pipeline.Sampling.shardAssign(docs, "doc_id", 16, "shards1")
+          .groupBy(col("shard"))
+          .agg(count(lit(1)).as("n_docs"),
+            sum(col("n_chars").cast("long")).as("sum_chars"),
+            max(col("shard_pos").cast("long")).as("max_pos"))
+          .orderBy("shard")
+      },
+      Some("""WITH h AS (
+             |  SELECT doc_id, n_chars,
+             |         CAST(concat('0x', substr(md5('shards1:' || CAST(doc_id AS VARCHAR)), 1, 15)) AS BIGINT) AS hv
+             |  FROM documents),
+             |a AS (
+             |  SELECT n_chars, CAST(hv % 16 AS INTEGER) AS shard,
+             |         row_number() OVER (PARTITION BY hv % 16 ORDER BY hv, doc_id) - 1 AS shard_pos
+             |  FROM h)
+             |SELECT shard, count(*) AS n_docs, CAST(sum(n_chars) AS BIGINT) AS sum_chars,
+             |       CAST(max(shard_pos) AS BIGINT) AS max_pos
+             |FROM a GROUP BY shard ORDER BY shard""".stripMargin))
   )
 
   /** DuckDB replay of [[graft.pipeline.Model.logisticQuality]]: unrolls

@@ -1210,6 +1210,42 @@ object Relational {
              |) ORDER BY "check", target""".stripMargin),
       benchExtra = true),
 
+    // Join-key skew diagnostic — the "will this join/groupBy fall over at
+    // 100 TB" pre-flight over three keys of very different shape: a fact
+    // FK (l_orderkey, near-uniform), a dimension FK (o_custkey), and a
+    // low-cardinality enum (event_type — the pathological groupBy key).
+    // One hash aggregate to the key-count frame per column + a
+    // TakeOrdered(10); exact-count ratios pre-rounded 1e-6.
+    Q("q_dq_skew",
+      (s, dir) => {
+        import graft.pipeline.Checks
+        Checks.keySkew(Tables.lineitem(s, dir), "lineitem", "l_orderkey")
+          .unionByName(Checks.keySkew(Tables.orders(s, dir), "orders", "o_custkey"))
+          .unionByName(Checks.keySkew(Tables.events(s, dir), "events", "event_type"))
+          .orderBy("target")
+      },
+      Some {
+        def block(cte: String, target: String) =
+          s"""SELECT '$target' AS target,
+             |       CAST(sum(c) AS BIGINT) AS n_rows,
+             |       CAST(count(*) AS BIGINT) AS n_keys,
+             |       floor(max(c) * 1.0 / sum(c) * 1e6 + 0.5) / 1e6 AS top1_share,
+             |       floor(least((SELECT sum(c) * 1.0 FROM (SELECT c FROM $cte ORDER BY c DESC, k ASC LIMIT 10)), sum(c) * 1.0) / sum(c) * 1e6 + 0.5) / 1e6 AS top10_share,
+             |       floor(max(c) * 1.0 / (sum(c) * 1.0 / count(*)) * 1e6 + 0.5) / 1e6 AS max_avg_ratio
+             |FROM $cte""".stripMargin
+        s"""WITH c1 AS (SELECT l_orderkey AS k, count(*) AS c FROM lineitem GROUP BY 1),
+           |     c2 AS (SELECT o_custkey AS k, count(*) AS c FROM orders GROUP BY 1),
+           |     c3 AS (SELECT event_type AS k, count(*) AS c FROM events GROUP BY 1)
+           |SELECT * FROM (
+           |${block("c3", "events.event_type")}
+           |UNION ALL
+           |${block("c1", "lineitem.l_orderkey")}
+           |UNION ALL
+           |${block("c2", "orders.o_custkey")}
+           |) ORDER BY target""".stripMargin
+      },
+      benchExtra = true),
+
     // ---- calendar arithmetic --------------------------------------------
     //
     // date_trunc / add_months (end-of-month clamping) / datediff /

@@ -2187,6 +2187,40 @@ object TimeSeries {
               |FROM u ORDER BY user_id""".stripMargin),
       benchExtra = true),
 
+    // ---- SCD2 / CDC dimension history -----------------------------------
+    //
+    // Type-2 slowly-changing-dimension history from the event log (the
+    // dbt-snapshot pattern): per user, collapse consecutive observations
+    // of the same event_type into episodes with valid_from/valid_to/
+    // version/is_current. One hash shuffle on the key; both window
+    // passes share the (user, time) sort. Null-safe attribute compare.
+    Q("q_ev_scd2",
+      (s, dir) => {
+        val e = Tables.events(s, dir).select(col("user_id"),
+          col("event_type"), (col("ts") / 1000000000L).cast("long").as("tsec"),
+          col("event_id"))
+        graft.operators.Scd2.history(e, Seq("user_id"), "tsec",
+            Seq("event_type"), Seq("event_id"))
+          .orderBy(col("user_id"), col("version"))
+      },
+      Some("""WITH e AS (
+             |  SELECT user_id, event_type,
+             |         epoch_ns(ts) // 1000000000 AS tsec, event_id
+             |  FROM events),
+             |m AS (
+             |  SELECT user_id, event_type, tsec, event_id,
+             |         lag(event_type) OVER w IS DISTINCT FROM event_type AS chg,
+             |         row_number() OVER w AS rn
+             |  FROM e WINDOW w AS (PARTITION BY user_id ORDER BY tsec, event_id)),
+             |ep AS (SELECT * FROM m WHERE chg OR rn = 1)
+             |SELECT user_id, event_type, tsec AS valid_from,
+             |       lead(tsec) OVER w2 AS valid_to,
+             |       CAST(row_number() OVER w2 AS INTEGER) AS version,
+             |       lead(tsec) OVER w2 IS NULL AS is_current
+             |FROM ep WINDOW w2 AS (PARTITION BY user_id ORDER BY tsec, event_id)
+             |ORDER BY user_id, version""".stripMargin),
+      benchExtra = true),
+
     // ---- Theil–Sen robust trend slope ------------------------------------
     //
     // Median of pairwise slopes between hourly bucket averages per series

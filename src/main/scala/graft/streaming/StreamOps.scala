@@ -75,6 +75,38 @@ object StreamOps {
         col("window.start").cast("long").as("window_start"),
         col("avg_value"), col("n"), col("min_value"), col("max_value"))
 
+  /** Continuous data-contract monitoring — the streaming twin of
+    * [[graft.pipeline.Checks.tableSuite]]: the same fused pass-fraction
+    * metrics (identical Column expressions, shared via
+    * `Checks.suiteAggs`/`suiteRows`), evaluated per tumbling window of
+    * the stream. One watermarked windowed aggregate; state per open
+    * window is the checks' O(#checks) partial sums, evicted by the
+    * watermark. Distinct-based checks (uniqueness) are batch-only and
+    * rejected loudly — a streaming pipeline dedups first and counts.
+    *
+    * Output (append mode, one emission per closed window):
+    * (window_start, check, target, metric, threshold, pass).
+    */
+  def checks(points: DataFrame, table: String,
+      suite: Seq[graft.pipeline.Checks.Check],
+      windowDur: String = "1 hour",
+      watermarkDelay: String = "10 minutes"): DataFrame = {
+    require(suite.nonEmpty, "empty check suite")
+    val bad = suite.filterNot(_.streamable).map(_.name).distinct
+    require(bad.isEmpty,
+      s"checks not expressible in a streaming aggregate: ${bad.mkString(", ")}")
+    val aggs = graft.pipeline.Checks.suiteAggs(suite)
+    points
+      .withColumn("event_time", col("time").cast("timestamp"))
+      .withWatermark("event_time", watermarkDelay)
+      .groupBy(window(col("event_time"), windowDur))
+      .agg(aggs.head, aggs.tail: _*)
+      .select(col("window.start").cast("long").as("window_start"),
+        graft.pipeline.Checks.suiteRows(table, suite).as("__r"))
+      .select(col("window_start"), col("__r.check"), col("__r.target"),
+        col("__r.metric"), col("__r.threshold"), col("__r.pass"))
+  }
+
   /** Streaming sessionization: Spark's `session_window` merges events of
     * one series into sessions separated by > `gap`; the watermark closes
     * (and emits) sessions once no more late events can extend them. The

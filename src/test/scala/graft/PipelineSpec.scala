@@ -1552,6 +1552,80 @@ class PipelineSpec extends AnyFunSuite {
     assert(ref.getDouble(2) == 0.75 && !ref.getBoolean(4))
   }
 
+  test("shardAssign: stable hash shards, contiguous positions, append-invariant") {
+    import graft.pipeline.Sampling
+    val all = Sampling.shardAssign(docs, "doc_id", 8, "sh1").cache()
+    try {
+      // total coverage, shard range, contiguous 0..n-1 positions per shard
+      assert(all.count() === docs.count())
+      assert(all.filter(col("shard") < 0 || col("shard") >= 8).count() === 0)
+      val bad = all.groupBy("shard")
+        .agg(count(lit(1)).as("n"), max("shard_pos").as("mx"), min("shard_pos").as("mn"),
+          count_distinct(col("shard_pos")).as("d"))
+        .filter(col("mx") =!= col("n") - 1 || col("mn") =!= 0 || col("d") =!= col("n"))
+      assert(bad.count() === 0, "shard_pos must be exactly the 0..n-1 rank within each shard")
+      // repartitioning the input cannot move a row's shard or position
+      val re = Sampling.shardAssign(docs.repartition(13), "doc_id", 8, "sh1")
+      assert(re.select("doc_id", "shard", "shard_pos").except(
+        all.select("doc_id", "shard", "shard_pos")).count() === 0)
+      // hash-stability: sharding HALF the corpus keeps every surviving
+      // row's shard (positions close up, labels never move) — the
+      // append-only growth property ntile/round-robin lacks
+      val half = Sampling.shardAssign(docs.filter(col("doc_id") % 2 === 0), "doc_id", 8, "sh1")
+      val moved = half.select(col("doc_id"), col("shard").as("s2"))
+        .join(all.select(col("doc_id"), col("shard")), "doc_id")
+        .filter(col("s2") =!= col("shard"))
+      assert(moved.count() === 0, "a row's shard label must not depend on the rest of the corpus")
+      intercept[IllegalArgumentException](Sampling.shardAssign(docs, "doc_id", 0, "x"))
+      ()
+    } finally { all.unpersist(); () }
+  }
+
+  test("keySkew: exact ratios on a crafted frame, NULL keys counted as one key") {
+    import graft.pipeline.Checks
+    // counts: a->5, b->3, null->2  => n=10, d=3, mx=5
+    val d = (Seq.fill(5)(Some("a")) ++ Seq.fill(3)(Some("b")) ++ Seq.fill(2)(None))
+      .toDF("k")
+    val r = Checks.keySkew(d, "t", "k").collect()(0)
+    assert(r.getString(0) === "t.k")
+    assert(r.getLong(1) === 10L && r.getLong(2) === 3L)
+    assert(r.getDouble(3) === 0.5)      // top1 5/10
+    assert(r.getDouble(4) === 1.0)      // ≤10 keys -> all
+    assert(r.getDouble(5) === 1.5)      // 5 / (10/3)
+    // top10 share < 1 when an 11th key exists outside the top 10
+    val wide = (Seq.fill(4)(Some("hot")) ++ (1 to 11).map(i => Some(s"k$i"))).toDF("k")
+    val w = Checks.keySkew(wide, "t", "k").collect()(0)
+    assert(w.getDouble(4) === 0.866667) // (4 + 9 singletons) / 15, 1e6-rounded
+  }
+
+  test("Scd2.history: episode collapse, null-safe compare, one Exchange") {
+    import graft.operators.Scd2
+    // user 1: a a b b a  -> episodes a[1,3) b[3,5) a[5,-) versions 1..3
+    // user 2: null null x -> null[1,3) x[3,-)   (null-safe: no flap at t=2)
+    val log = Seq(
+      (1L, 1L, Some("a"), 101L), (1L, 2L, Some("a"), 102L),
+      (1L, 3L, Some("b"), 103L), (1L, 4L, Some("b"), 104L),
+      (1L, 5L, Some("a"), 105L),
+      (2L, 1L, None, 201L), (2L, 2L, None, 202L), (2L, 3L, Some("x"), 203L)
+    ).toDF("uid", "t", "attr", "oid")
+    val h = Scd2.history(log, Seq("uid"), "t", Seq("attr"), Seq("oid"))
+    val got = h.orderBy("uid", "version")
+      .collect()
+      .map(r => (r.getLong(0), Option(r.getString(1)).getOrElse("-"),
+        r.getLong(2), if (r.isNullAt(3)) -1L else r.getLong(3),
+        r.getInt(4), r.getBoolean(5)))
+      .toSeq
+    assert(got === Seq(
+      (1L, "a", 1L, 3L, 1, false), (1L, "b", 3L, 5L, 2, false),
+      (1L, "a", 5L, -1L, 3, true),
+      (2L, "-", 1L, 3L, 1, false), (2L, "x", 3L, -1L, 2, true)))
+    // both window passes share the (key, order) sort: exactly one
+    // shuffle Exchange in the whole plan
+    val plan = h.queryExecution.executedPlan.toString
+    val nEx = "Exchange hashpartitioning".r.findAllIn(plan).length
+    assert(nEx === 1, s"SCD2 must be a single key shuffle, got $nEx:\n$plan")
+  }
+
   test("editDistancePairs: blocked Levenshtein semantics on a crafted frame") {
     val d = Seq(
       (1L, "alpha beta gamma"),

@@ -167,6 +167,55 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("continuous data-contract checks match the batch suite per window") {
+    import spark.implicits._
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import graft.pipeline.Checks
+    val suite = Seq(Checks.completeness("value"),
+      Checks.inRange("value", 0.0, 10.0, 0.5))
+    // window 86400: 1.0 / 20.0 (out of range) / null (incomplete)
+    // window 90000: 5.0 / 7.0 (clean)
+    implicit val sqlCtx = spark.sqlContext
+    val ms = MemoryStream[(String, Long, Option[Double])]
+    ms.addData(("s", 86400L, Some(1.0)), ("s", 86500L, Some(20.0)),
+      ("s", 86600L, None), ("s", 90000L, Some(5.0)), ("s", 90100L, Some(7.0)))
+    val out = StreamOps.checks(ms.toDF().toDF("series", "time", "value"),
+      "events", suite, windowDur = "1 hour")
+    assert(out.isStreaming)
+    val q = out.writeStream.outputMode("complete").format("memory")
+      .queryName("cchecks").start()
+    try {
+      q.processAllAvailable()
+      val got = spark.sql("select * from cchecks order by window_start, check").collect()
+        .map(r => (r.getLong(0), r.getString(1), r.getString(2),
+          r.getDouble(3), r.getBoolean(5))).toSeq
+      // batch twin on the same rows, window by window — identical metrics
+      val batch = Seq(
+        ("s", 86400L, Some(1.0)), ("s", 86500L, Some(20.0)), ("s", 86600L, None),
+        ("s", 90000L, Some(5.0)), ("s", 90100L, Some(7.0)))
+        .toDF("series", "time", "value")
+      val want = Seq(86400L, 90000L).flatMap { w =>
+        Checks.tableSuite(batch.filter(col("time") >= w && col("time") < w + 3600),
+            "events", suite).collect()
+          .map(r => (w, r.getString(0), r.getString(1), r.getDouble(2), r.getBoolean(4)))
+      }.sortBy(t => (t._1, t._2))
+      assert(got === want)
+      // and the crafted values are what we think they are
+      assert(got === Seq(
+        (86400L, "completeness", "events.value", 0.666667, false),
+        (86400L, "in_range", "events.value", 0.333333, false),
+        (90000L, "completeness", "events.value", 1.0, true),
+        (90000L, "in_range", "events.value", 1.0, true)))
+      ()
+    } finally q.stop()
+    // uniqueness needs a distinct aggregate — loudly batch-only
+    intercept[IllegalArgumentException] {
+      StreamOps.checks(ms.toDF().toDF("series", "time", "value"),
+        "events", Seq(Checks.uniqueness("series")))
+    }
+    ()
+  }
+
   test("keyed EMA state carries across micro-batches and restarts") {
     val d = ndjsonDir(Seq(
       """{"series":"m","ts":0,"value":1.0}""",
