@@ -2221,6 +2221,65 @@ object TimeSeries {
              |ORDER BY user_id, version""".stripMargin),
       benchExtra = true),
 
+    // ---- SCD2 point-in-time lookup ---------------------------------------
+    //
+    // The canonical USE of an SCD2 dimension: enrich facts with the
+    // attribute value AS OF the fact's event time. Dimension = the SCD2
+    // history of each user's last NON-purchase activity state; facts =
+    // purchases. Composition of two shipped operators — Scd2.history
+    // into AsofJoin.backward (episodes partition each key's timeline,
+    // so backward-as-of on valid_from ≡ the between(valid_from,
+    // valid_to) interval join, WITHOUT the inequality-join blowup: one
+    // key shuffle + linear scan). Same-second observations are
+    // collapsed to the last by event_id first — the as-of contract
+    // wants right rows unique per (key, time).
+    Q("q_ev_scd2_lookup",
+      (s, dir) => {
+        val e = Tables.events(s, dir).select(col("user_id"),
+          col("event_type"), (col("ts") / 1000000000L).cast("long").as("tsec"),
+          col("event_id"), col("value"))
+        val wDedup = Window.partitionBy(col("user_id"), col("tsec"))
+          .orderBy(col("event_id").desc)
+        val ne = e.filter(col("event_type") =!= "purchase")
+          .withColumn("__rn", row_number().over(wDedup))
+          .filter(col("__rn") === 1).drop("__rn", "value")
+        val dim = graft.operators.Scd2.history(ne, Seq("user_id"), "tsec",
+            Seq("event_type"), Seq("event_id"))
+          .select(col("user_id"), col("valid_from").as("tsec"),
+            col("event_type").as("state"), col("version"))
+        val purchases = e.filter(col("event_type") === "purchase")
+          .select(col("user_id"), col("tsec"), col("event_id"), col("value"))
+        graft.operators.AsofJoin.backward(purchases, dim, Seq("user_id"),
+            "tsec", Seq("state", "version"), matchedTimeCol = "state_since")
+          .orderBy(col("user_id"), col("tsec"), col("event_id"))
+      },
+      Some("""WITH e AS (
+             |  SELECT user_id, event_type,
+             |         epoch_ns(ts) // 1000000000 AS tsec, event_id, value
+             |  FROM events),
+             |ne AS (
+             |  SELECT user_id, event_type, tsec, event_id FROM e
+             |  WHERE event_type <> 'purchase'
+             |  QUALIFY row_number() OVER (PARTITION BY user_id, tsec ORDER BY event_id DESC) = 1),
+             |m AS (
+             |  SELECT user_id, event_type, tsec, event_id,
+             |         lag(event_type) OVER w IS DISTINCT FROM event_type AS chg,
+             |         row_number() OVER w AS rn
+             |  FROM ne WINDOW w AS (PARTITION BY user_id ORDER BY tsec, event_id)),
+             |ep AS (
+             |  SELECT user_id, event_type AS state, tsec AS valid_from,
+             |         CAST(row_number() OVER w2 AS INTEGER) AS version
+             |  FROM m WHERE chg OR rn = 1
+             |  WINDOW w2 AS (PARTITION BY user_id ORDER BY tsec, event_id)),
+             |p AS (SELECT user_id, tsec, event_id, value FROM e
+             |      WHERE event_type = 'purchase')
+             |SELECT p.user_id, p.tsec, p.event_id, p.value,
+             |       ep.valid_from AS state_since, ep.state, ep.version
+             |FROM p ASOF LEFT JOIN ep
+             |  ON p.user_id = ep.user_id AND p.tsec >= ep.valid_from
+             |ORDER BY p.user_id, p.tsec, p.event_id""".stripMargin),
+      benchExtra = true),
+
     // ---- Theil–Sen robust trend slope ------------------------------------
     //
     // Median of pairwise slopes between hourly bucket averages per series

@@ -1047,6 +1047,79 @@ object StreamOps {
       }
   }
 
+  final case class Scd2St(pending: Seq[(Long, Long, String)],
+      open: Option[(Long, String, Int)], lastSeen: Long)
+  final case class Scd2Ep(key: Long, attr: String, valid_from: Long,
+      valid_to: Option[Long], version: Int, is_current: Boolean)
+
+  /** Streaming SCD2 — the live-CDC twin of
+    * [[graft.operators.Scd2.history]]: per key, fold watermark-CONFIRMED
+    * observations in (time, event_id) order (the [[transitions]]
+    * confirmation pattern, so a straggler inside the delay still lands
+    * between already-buffered observations) and emit each episode the
+    * moment a changed attribute CLOSES it — (key, attr, valid_from,
+    * valid_to, version, is_current=false), append mode, bit-equal to
+    * the batch operator's closed rows on the same data (StreamingSpec
+    * pins it). The OPEN episode lives in state (it is the key's current
+    * dimension row); retention eviction flushes it once with
+    * is_current=true, exactly the batch operator's current row.
+    *
+    * State per key = open episode (3 fields) + the ≤ watermark-delay
+    * pending buffer, sharded on the key — the sessionize boundedness
+    * stance. Same-attribute observations collapse in-state (no output,
+    * no growth): a k-state dimension emits O(changes), never O(events).
+    */
+  def scd2(
+      spark: SparkSession,
+      events: DataFrame,
+      watermarkDelay: String = "10 minutes",
+      retentionSecs: Long = 30 * 86400L): Dataset[Scd2Ep] = {
+    import spark.implicits._
+    events.select(col("key").cast("long"), col("time").cast("long"),
+        col("event_id").cast("long"), col("attr").cast("string"))
+      .withColumn("event_time", col("time").cast("timestamp"))
+      .withWatermark("event_time", watermarkDelay)
+      .as[(Long, Long, Long, String, java.sql.Timestamp)]
+      .groupByKey(_._1)
+      .flatMapGroupsWithState[Scd2St, Scd2Ep](
+        OutputMode.Append, GroupStateTimeout.EventTimeTimeout) {
+        (key: Long, it: Iterator[(Long, Long, Long, String, java.sql.Timestamp)],
+            state: GroupState[Scd2St]) =>
+          val wm = state.getCurrentWatermarkMs() / 1000L
+          val st = state.getOption.getOrElse(Scd2St(Nil, None, 0L))
+          var pending = st.pending ++ it.map(e => (e._2, e._3, e._4))
+          val lastSeen = (st.lastSeen +: pending.map(_._1)).max
+          val (ready, wait) = pending.partition(_._1 <= wm)
+          pending = wait
+          var open = st.open
+          val eps = Seq.newBuilder[Scd2Ep]
+          // (time, event_id) ascending — the batch operator's sort key
+          ready.sortBy(e => (e._1, e._2)).foreach { case (t, _, a) =>
+            open match {
+              case None => open = Some((t, a, 1))
+              case Some((vf, pa, v)) if a != pa =>
+                eps += Scd2Ep(key, pa, vf, Some(t), v, is_current = false)
+                open = Some((t, a, v + 1))
+              case _ => () // unchanged attribute: collapse in-state
+            }
+          }
+          if (pending.isEmpty && wm >= lastSeen + retentionSecs) {
+            // idle eviction: flush the open episode as the current row
+            open.foreach { case (vf, a, v) =>
+              eps += Scd2Ep(key, a, vf, None, v, is_current = true)
+            }
+            state.remove()
+            eps.result().iterator
+          } else {
+            state.update(Scd2St(pending, open, lastSeen))
+            val due = (pending.map(_._1 + 1) :+ (lastSeen + retentionSecs))
+              .filter(_ > wm)
+            if (due.nonEmpty) state.setTimeoutTimestamp(due.min * 1000L)
+            eps.result().iterator
+          }
+      }
+  }
+
   /** Per-series running EMA as custom keyed state
     * (`flatMapGroupsWithState`): state = (ema, n); each batch folds its
     * points in time order into the carried state. State survives restarts

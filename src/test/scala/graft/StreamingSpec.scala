@@ -1184,6 +1184,54 @@ class StreamingSpec extends AnyFunSuite {
     assert(run("tr_onebatch", Seq(evs)) === want)
   }
 
+  test("streaming SCD2 emits the batch operator's episodes: closed on change, current on eviction") {
+    import spark.implicits._
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    // (key, time, event_id, attr) — user 1 repeats 'a' (must collapse),
+    // flips to 'b' and back; the t=260 repeat arrives OUT OF ORDER a
+    // batch AFTER t=300 but above the then-current watermark (240), so
+    // it must be buffered and folded back into event-time order. user 2
+    // never changes. (Rows at/below the watermark on ARRIVAL are dropped
+    // by Spark before the stateful operator — fixture times stay above
+    // it, the PsiDayOverDay lesson.)
+    val evs = Seq(
+      (1L, 100L, 1L, "a"), (1L, 300L, 3L, "b"), (1L, 260L, 2L, "a"),
+      (1L, 400L, 4L, "a"), (2L, 500L, 5L, "x"))
+    val batches = Seq(
+      Seq((1L, 100L, 1L, "a")),
+      Seq((1L, 300L, 3L, "b")),
+      Seq((1L, 260L, 2L, "a"), (1L, 400L, 4L, "a"), (2L, 500L, 5L, "x")))
+    val ms = MemoryStream[(Long, Long, Long, String)]
+    val f = StreamOps.scd2(spark,
+      ms.toDF().toDF("key", "time", "event_id", "attr"),
+      watermarkDelay = "60 seconds", retentionSecs = 1000L)
+    assert(f.isStreaming)
+    val q = f.writeStream.outputMode("append").format("memory")
+      .queryName("scd2s").start()
+    try {
+      batches.foreach { b => ms.addData(b); q.processAllAvailable() }
+      // watermark push far past retention: evicts users 1 and 2, flushing
+      // their OPEN episodes as is_current=true rows
+      ms.addData(Seq((999L, 100000L, 999L, "z"))); q.processAllAvailable()
+      ms.addData(Seq((999L, 200000L, 998L, "z"))); q.processAllAvailable()
+      val got = spark.sql("select * from scd2s where key <> 999")
+        .as[StreamOps.Scd2Ep].collect()
+        .map(e => (e.key, e.attr, e.valid_from, e.valid_to, e.version, e.is_current))
+        .toSet
+      val want = graft.operators.Scd2.history(
+          evs.toDF("key", "time", "event_id", "attr"),
+          Seq("key"), "time", Seq("attr"), Seq("event_id")).collect()
+        .map(r => (r.getLong(0), r.getString(1), r.getLong(2),
+          if (r.isNullAt(3)) None else Some(r.getLong(3)), r.getInt(4), r.getBoolean(5)))
+        .toSet
+      assert(want.exists(_._6) && want.exists(!_._6),
+        "fixture must produce both closed and current episodes")
+      assert(got === want)
+      ()
+    } finally q.stop()
+  }
+
   test("streaming index maintenance: multi-wave appends equal full rebuild; replays are skipped") {
     import graft.pipeline.TextIndex
     import org.apache.spark.sql.types._
