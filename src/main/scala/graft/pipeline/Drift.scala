@@ -56,4 +56,38 @@ object Drift {
           .as("ks"))
       .withColumnRenamed("pair", "grp")
   }
+
+  /** Winsorized per-group statistics: clamp `valCol` to its group's
+    * [pLo, pHi] exact interpolated percentiles and report the robust
+    * mean next to the raw one — the outlier-proof screen for quality
+    * scores and length stats (one boilerplate page of 10^6 chars drags
+    * a raw mean; the winsorized mean it cannot).
+    *
+    * Determinism: the cutoffs are engine-order-dependent float stats —
+    * pre-rounded 1e-6 BEFORE clamping (the SAX stance), so the clamped
+    * values, clamp counts, and means replay bit-for-bit in any engine.
+    *
+    * Shape: two aggregates over one shuffle key — the percentile pass
+    * (exact, per-group sort: right for group-sized slices; swap in
+    * percentile_approx for the one-pass sketch at 100 TB) and the
+    * clamped-stats pass, joined group-to-group (groups are
+    * dimension-sized; AQE broadcasts the cutoff frame).
+    */
+  def winsorize(df: DataFrame, grpCol: String, valCol: String,
+      pLo: Double = 0.05, pHi: Double = 0.95): DataFrame = {
+    require(pLo >= 0 && pHi <= 1 && pLo < pHi, s"bad percentile band [$pLo, $pHi]")
+    val v = col(valCol).cast("double")
+    val r6 = (c: org.apache.spark.sql.Column) => floor(c * 1e6 + 0.5) / 1e6
+    val cuts = df.groupBy(col(grpCol))
+      .agg(r6(percentile(v, lit(pLo))).as("__lo"), r6(percentile(v, lit(pHi))).as("__hi"))
+    df.join(cuts, grpCol)
+      .withColumn("__w", least(greatest(v, col("__lo")), col("__hi")))
+      .groupBy(col(grpCol))
+      .agg(count(lit(1)).as("n"),
+        first(col("__lo")).as("p_lo"), first(col("__hi")).as("p_hi"),
+        sum(when(v < col("__lo"), 1L).otherwise(0L)).as("n_clamped_lo"),
+        sum(when(v > col("__hi"), 1L).otherwise(0L)).as("n_clamped_hi"),
+        (floor(avg(v) * 1e4 + 0.5) / 1e4).as("raw_mean"),
+        (floor(avg(col("__w")) * 1e4 + 0.5) / 1e4).as("winsorized_mean"))
+  }
 }

@@ -620,7 +620,8 @@ object Pipeline {
     "q_pl_triangles", "q_pl_ppr", "q_pl_containment",
     // round-11
     "q_ann_knn_graph", "q_pl_bm25_probe", "q_pl_centrality_banded",
-    "q_pl_quality_clf", "q_pl_leakage_split", "q_pl_shards")
+    "q_pl_quality_clf", "q_pl_leakage_split", "q_pl_shards",
+    "q_pl_winsorize")
 
   def qs: Seq[Q] = {
     val all = raw.map(q => if (ExtraBench(q.name)) q.copy(benchExtra = true) else q)
@@ -2809,7 +2810,29 @@ object Pipeline {
              |  FROM h)
              |SELECT shard, count(*) AS n_docs, CAST(sum(n_chars) AS BIGINT) AS sum_chars,
              |       CAST(max(shard_pos) AS BIGINT) AS max_pos
-             |FROM a GROUP BY shard ORDER BY shard""".stripMargin))
+             |FROM a GROUP BY shard ORDER BY shard""".stripMargin)),
+
+    // Winsorized robust length stats per language: clamp n_chars to the
+    // group's 1e-6-pre-rounded [p05, p95] band and report the robust
+    // mean next to the raw one — the outlier-proof screen boilerplate
+    // pages can't drag. Exact percentile pass at gate scale
+    // (percentile_approx is the one-pass 100 TB swap).
+    Q("q_pl_winsorize",
+      (s, dir) => graft.pipeline.Drift.winsorize(
+          Tables.documents(s, dir), "lang", "n_chars")
+        .orderBy("lang"),
+      Some("""WITH c AS (
+             |  SELECT lang,
+             |         floor(quantile_cont(n_chars, 0.05) * 1e6 + 0.5) / 1e6 AS p_lo,
+             |         floor(quantile_cont(n_chars, 0.95) * 1e6 + 0.5) / 1e6 AS p_hi
+             |  FROM documents GROUP BY 1)
+             |SELECT d.lang, count(*) AS n, p_lo, p_hi,
+             |       CAST(sum(CASE WHEN d.n_chars < p_lo THEN 1 ELSE 0 END) AS BIGINT) AS n_clamped_lo,
+             |       CAST(sum(CASE WHEN d.n_chars > p_hi THEN 1 ELSE 0 END) AS BIGINT) AS n_clamped_hi,
+             |       floor(avg(d.n_chars) * 1e4 + 0.5) / 1e4 AS raw_mean,
+             |       floor(avg(least(greatest(d.n_chars, p_lo), p_hi)) * 1e4 + 0.5) / 1e4 AS winsorized_mean
+             |FROM documents d JOIN c USING (lang)
+             |GROUP BY d.lang, p_lo, p_hi ORDER BY d.lang""".stripMargin))
   )
 
   /** DuckDB replay of [[graft.pipeline.Model.logisticQuality]]: unrolls

@@ -1120,6 +1120,78 @@ object StreamOps {
       }
   }
 
+  final case class LookupSt(pending: Seq[(Long, Long, String, String)],
+      open: Option[(Long, String, Int)], lastSeen: Long)
+  final case class EnrichedFact(key: Long, time: Long, event_id: Long,
+      state: Option[String], state_since: Option[Long], version: Option[Int])
+
+  /** Streaming SCD2 point-in-time enrichment — the live twin of
+    * `q_ev_scd2_lookup` (Scd2.history ∘ AsofJoin.backward): one mixed
+    * stream of dimension observations (`kind` = "obs") and facts
+    * (anything else), keyed and watermark-confirmed like [[scd2]];
+    * the single in-order fold maintains the open episode AND stamps
+    * every confirmed fact with the state as of its event time —
+    * (key, time, event_id, state, state_since, version), append mode.
+    * At an equal timestamp the observation applies BEFORE the fact
+    * (the batch as-of join's time-equality match; spec-pinned).
+    *
+    * This is the streaming answer to "join the fact stream against the
+    * dimension AS OF event time" WITHOUT a stream-stream join: the
+    * dimension is 3 fields of keyed state, facts never wait for a join
+    * trigger, and out-of-order arrivals inside the watermark still see
+    * exactly the state their event time implies.
+    */
+  def scd2Lookup(
+      spark: SparkSession,
+      events: DataFrame,
+      watermarkDelay: String = "10 minutes",
+      retentionSecs: Long = 30 * 86400L): Dataset[EnrichedFact] = {
+    import spark.implicits._
+    events.select(col("key").cast("long"), col("time").cast("long"),
+        col("event_id").cast("long"), col("kind").cast("string"),
+        col("attr").cast("string"))
+      .withColumn("event_time", col("time").cast("timestamp"))
+      .withWatermark("event_time", watermarkDelay)
+      .as[(Long, Long, Long, String, String, java.sql.Timestamp)]
+      .groupByKey(_._1)
+      .flatMapGroupsWithState[LookupSt, EnrichedFact](
+        OutputMode.Append, GroupStateTimeout.EventTimeTimeout) {
+        (key: Long, it: Iterator[(Long, Long, Long, String, String, java.sql.Timestamp)],
+            state: GroupState[LookupSt]) =>
+          val wm = state.getCurrentWatermarkMs() / 1000L
+          val st = state.getOption.getOrElse(LookupSt(Nil, None, 0L))
+          var pending = st.pending ++ it.map(e => (e._2, e._3, e._4, e._5))
+          val lastSeen = (st.lastSeen +: pending.map(_._1)).max
+          val (ready, wait) = pending.partition(_._1 <= wm)
+          pending = wait
+          var open = st.open
+          val out = Seq.newBuilder[EnrichedFact]
+          // (time, obs-before-fact, event_id): the as-of equality match
+          ready.sortBy(e => (e._1, if (e._3 == "obs") 0 else 1, e._2))
+            .foreach { case (t, oid, kind, a) =>
+              if (kind == "obs") open match {
+                case None => open = Some((t, a, 1))
+                case Some((_, pa, v)) if a != pa => open = Some((t, a, v + 1))
+                case _ => ()
+              }
+              else out += (open match {
+                case Some((vf, sa, v)) =>
+                  EnrichedFact(key, t, oid, Some(sa), Some(vf), Some(v))
+                case None => EnrichedFact(key, t, oid, None, None, None)
+              })
+            }
+          if (pending.isEmpty && wm >= lastSeen + retentionSecs) {
+            state.remove(); out.result().iterator
+          } else {
+            state.update(LookupSt(pending, open, lastSeen))
+            val due = (pending.map(_._1 + 1) :+ (lastSeen + retentionSecs))
+              .filter(_ > wm)
+            if (due.nonEmpty) state.setTimeoutTimestamp(due.min * 1000L)
+            out.result().iterator
+          }
+      }
+  }
+
   /** Per-series running EMA as custom keyed state
     * (`flatMapGroupsWithState`): state = (ema, n); each batch folds its
     * points in time order into the carried state. State survives restarts

@@ -1626,6 +1626,21 @@ class PipelineSpec extends AnyFunSuite {
     assert(nEx === 1, s"SCD2 must be a single key shuffle, got $nEx:\n$plan")
   }
 
+  test("winsorize: exact cutoffs, clamp counts, robust vs raw mean on a crafted frame") {
+    import graft.pipeline.Drift
+    // 1..10 plus a 1000 outlier: p05 = 1.5, p95 = 505 (exact interpolation
+    // over 11 sorted values), winsorized mean = (1.5 + 2..10 + 505)/11
+    val d = ((1 to 10).map(_.toDouble) :+ 1000.0).map(("g", _)).toDF("grp", "v")
+    val r = Drift.winsorize(d, "grp", "v").collect()(0)
+    assert(r.getLong(1) === 11L)
+    assert(r.getDouble(2) === 1.5 && r.getDouble(3) === 505.0)
+    assert(r.getLong(4) === 1L && r.getLong(5) === 1L)
+    assert(r.getDouble(6) === 95.9091)   // raw mean dragged by the outlier
+    assert(r.getDouble(7) === 50.9545)   // robust mean is not
+    intercept[IllegalArgumentException](Drift.winsorize(d, "grp", "v", 0.9, 0.1))
+    ()
+  }
+
   test("editDistancePairs: blocked Levenshtein semantics on a crafted frame") {
     val d = Seq(
       (1L, "alpha beta gamma"),

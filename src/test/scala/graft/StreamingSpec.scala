@@ -1232,6 +1232,62 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("streaming SCD2 lookup stamps facts with the batch as-of state, including the equality match") {
+    import spark.implicits._
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    // (key, time, event_id, kind, attr) — fact@90 precedes any state
+    // (NULL enrichment); fact@200 shares its second with the b-flip AND
+    // carries a SMALLER event_id, so the obs-before-fact rule (the batch
+    // as-of equality match), not id order, must decide; obs@250 repeats
+    // (collapses); f1@150 arrives a batch late but above the watermark.
+    val rows = Seq(
+      (1L, 90L, 10L, "fact", ""), (1L, 100L, 11L, "obs", "a"),
+      (1L, 150L, 12L, "fact", ""), (1L, 200L, 14L, "obs", "b"),
+      (1L, 200L, 13L, "fact", ""), (1L, 250L, 15L, "obs", "b"),
+      (1L, 300L, 16L, "fact", ""), (2L, 500L, 17L, "obs", "x"),
+      (2L, 600L, 18L, "fact", ""))
+    val batches = Seq(
+      Seq(rows(0), rows(1)), Seq(rows(3), rows(2)),
+      rows.drop(4))
+    val ms = MemoryStream[(Long, Long, Long, String, String)]
+    val f = StreamOps.scd2Lookup(spark,
+      ms.toDF().toDF("key", "time", "event_id", "kind", "attr"),
+      watermarkDelay = "60 seconds", retentionSecs = 1000L)
+    val q = f.writeStream.outputMode("append").format("memory")
+      .queryName("scd2lk").start()
+    try {
+      batches.foreach { b => ms.addData(b); q.processAllAvailable() }
+      ms.addData(Seq((999L, 100000L, 999L, "obs", "z"))); q.processAllAvailable()
+      ms.addData(Seq((999L, 200000L, 998L, "obs", "z"))); q.processAllAvailable()
+      val got = spark.sql("select * from scd2lk where key <> 999")
+        .as[StreamOps.EnrichedFact].collect()
+        .map(e => (e.key, e.time, e.event_id, e.state, e.state_since, e.version))
+        .toSet
+      // batch composition on the same rows: Scd2.history ∘ AsofJoin.backward
+      val df = rows.toDF("key", "time", "event_id", "kind", "attr")
+      val dim = graft.operators.Scd2.history(
+          df.filter(col("kind") === "obs").drop("kind"),
+          Seq("key"), "time", Seq("attr"), Seq("event_id"))
+        .select(col("key"), col("valid_from").as("time"),
+          col("attr").as("state"), col("version"))
+      val facts = df.filter(col("kind") === "fact")
+        .select(col("key"), col("time"), col("event_id"))
+      val want = graft.operators.AsofJoin.backward(facts, dim, Seq("key"),
+          "time", Seq("state", "version"), matchedTimeCol = "state_since")
+        .collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+          Option(r.getString(4)),
+          if (r.isNullAt(3)) None else Some(r.getLong(3)),
+          if (r.isNullAt(5)) None else Some(r.getInt(5))))
+        .toSet
+      assert(want.exists(_._4.isEmpty) && want.exists(_._4.nonEmpty),
+        "fixture must cover both NULL and matched enrichment")
+      assert(got === want)
+      ()
+    } finally q.stop()
+  }
+
   test("streaming index maintenance: multi-wave appends equal full rebuild; replays are skipped") {
     import graft.pipeline.TextIndex
     import org.apache.spark.sql.types._
