@@ -2187,14 +2187,18 @@ object TimeSeries {
               |FROM u ORDER BY user_id""".stripMargin),
       benchExtra = true),
 
-    // ---- SCD2 / CDC dimension history -----------------------------------
+    // ---- SCD2 / CDC dimension history (operator route) -------------------
     //
     // Type-2 slowly-changing-dimension history from the event log (the
     // dbt-snapshot pattern): per user, collapse consecutive observations
     // of the same event_type into episodes with valid_from/valid_to/
     // version/is_current. One hash shuffle on the key; both window
     // passes share the (user, time) sort. Null-safe attribute compare.
-    Q("q_ev_scd2",
+    // Complements q_ev_scd2 (inline gaps-and-islands run intervals with
+    // per-run event counts): THIS gate exercises the reusable
+    // operators.Scd2 operator — versioned episodes, is_current flag —
+    // the dimension q_ev_scd2_lookup and streaming twins #23/#24 build on.
+    Q("q_ev_scd2_hist",
       (s, dir) => {
         val e = Tables.events(s, dir).select(col("user_id"),
           col("event_type"), (col("ts") / 1000000000L).cast("long").as("tsec"),
