@@ -184,6 +184,52 @@ object TimeSeries {
               |FROM sv WHERE time >= $T0 AND time < $T1
               |GROUP BY series ORDER BY series""".stripMargin)),
 
+    // t-digest rollup quantiles (graft.functions.TDigest — the custom
+    // mergeable sketch): one digest per (series, day) cell, day digests
+    // MERGED per series (tdigest_merge_agg), quantiles extracted from the
+    // merged sketch. This is the at-rest rollup composition a 100 TB
+    // quantile tier runs — store a few-KB digest per rollup cell, answer
+    // any later quantile by merging cells, never rescanning raw points.
+    // Same error-bound contract gate as q_ts_percentile_approx: sketch
+    // values are order-dependent, but "each approx quantile lies within
+    // the exact ±0.05-quantile window" is oracle-checkable, and exact p50
+    // rides the hash so row content is data-derived.
+    Q("q_ts_tdigest",
+      (s, dir) => {
+        val sv = Tables.seriesView(s, dir).filter(col("time") >= T0 && col("time") < T1)
+        val cells = sv
+          .groupBy(col("series"),
+            (col("time") - pmod(col("time"), lit(86400L))).as("day"))
+          .agg(graft.functions.TDigest.agg(col("value")).as("td"))
+        val merged = cells.groupBy(col("series"))
+          .agg(graft.functions.TDigest.mergeAgg(col("td")).as("td"))
+          .select(col("series"),
+            graft.functions.TDigest.quantileOf(col("td"), 0.5).as("p50"),
+            graft.functions.TDigest.quantileOf(col("td"), 0.95).as("p95"),
+            graft.functions.TDigest.quantileOf(col("td"), 0.99).as("p99"))
+        val bounds = sv.groupBy(col("series")).agg(
+          percentile(col("value"), lit(0.45)).as("lo50"),
+          percentile(col("value"), lit(0.55)).as("hi50"),
+          percentile(col("value"), lit(0.90)).as("lo95"),
+          percentile(col("value"), lit(1.0)).as("hi95"),
+          percentile(col("value"), lit(0.94)).as("lo99"),
+          percentile(col("value"), lit(1.0)).as("hi99"),
+          (floor((percentile(col("value"), lit(0.5))) * 1e4 + 0.5) / 1e4).as("p50_exact"),
+          count(lit(1)).as("n"))
+        merged.join(bounds, "series").select(col("series"), col("n"), col("p50_exact"),
+            (col("p50") >= col("lo50") && col("p50") <= col("hi50")).as("p50_ok"),
+            (col("p95") >= col("lo95") && col("p95") <= col("hi95")).as("p95_ok"),
+            (col("p99") >= col("lo99") && col("p99") <= col("hi99")).as("p99_ok"))
+          .orderBy(col("series"))
+      },
+      Some(s"""$svSql
+              |SELECT series, count(*) AS n,
+              |       floor((quantile_cont(value, 0.5)) * 1e4 + 0.5) / 1e4 AS p50_exact,
+              |       true AS p50_ok, true AS p95_ok, true AS p99_ok
+              |FROM sv WHERE time >= $T0 AND time < $T1
+              |GROUP BY series ORDER BY series""".stripMargin),
+      benchExtra = true),
+
     // regex selector: series =~ 'cl.*k|err.*' (declared surface —
     // parser.zig:408-424 parses =~/!~; exec never ran it; we run it)
     Q("q_ts_regex",

@@ -1493,4 +1493,40 @@ object StreamOps {
         ()
       }
       .start()
+
+  /** Streaming windowed t-digest quantiles — the live twin of
+    * `q_ts_tdigest`'s rollup: per (series, window) the
+    * [[graft.functions.TDigestAgg]] sketch IS the streaming aggregation
+    * state (its serialize/deserialize round-trips through the state
+    * store every micro-batch), so per-window latency quantiles cost O(δ)
+    * centroids of state instead of buffering the window's raw points —
+    * the difference between bounded and unbounded state on a hot series.
+    * Quantiles are extracted on emission (append mode: once, at
+    * watermark close).
+    *
+    * Contract (StreamingSpec): closed windows/keys/counts equal the
+    * batch frame exactly; quantiles satisfy the t-digest rank-error
+    * bound vs the window's exact percentiles. Bit-equality across
+    * micro-batch splits is NOT claimed — centroid layout is
+    * order-dependent (the same reason every sketch here gates on its
+    * error contract).
+    */
+  def tdigestWindow(
+      points: DataFrame,
+      windowSecs: Long,
+      watermarkDelay: String = "10 minutes",
+      compression: Double = 100.0): DataFrame = {
+    require(windowSecs > 0, "windowSecs must be positive")
+    points.select(col("series").cast("string"), col("time").cast("long"),
+        col("value").cast("double"))
+      .withColumn("event_time", col("time").cast("timestamp"))
+      .withWatermark("event_time", watermarkDelay)
+      .groupBy(col("series"), window(col("event_time"), s"$windowSecs seconds").as("w"))
+      .agg(graft.functions.TDigest.agg(col("value"), compression).as("td"),
+        count(lit(1)).as("n"))
+      .select(col("series"), col("w.start").cast("long").as("window"), col("n"),
+        graft.functions.TDigest.quantileOf(col("td"), 0.5).as("p50"),
+        graft.functions.TDigest.quantileOf(col("td"), 0.95).as("p95"),
+        graft.functions.TDigest.quantileOf(col("td"), 0.99).as("p99"))
+  }
 }

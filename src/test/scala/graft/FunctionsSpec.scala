@@ -190,4 +190,99 @@ class FunctionsSpec extends AnyFunSuite {
       .agg(sum("c")).head().getDouble(0)
     assert(!s.isNaN)
   }
+
+  // ---- t-digest ---------------------------------------------------------
+
+  private def exactQuantile(sorted: Array[Double], q: Double): Double = {
+    // linear-interpolated type-7 quantile (what percentile()/quantile_cont use)
+    val h = (sorted.length - 1) * q
+    val lo = h.toInt
+    if (lo + 1 >= sorted.length) sorted.last
+    else sorted(lo) + (h - lo) * (sorted(lo + 1) - sorted(lo))
+  }
+
+  test("t-digest quantiles track exact quantiles within rank-error bound") {
+    val rnd = new scala.util.Random(4242)
+    // mixed distribution: uniform + lognormal-ish tail
+    val xs = Array.fill(50000)(
+      if (rnd.nextBoolean()) rnd.nextDouble() * 100
+      else math.exp(rnd.nextGaussian() * 2 + 2))
+    val td = new graft.functions.TDigest(100.0)
+    xs.foreach(td.add)
+    val sorted = xs.sorted
+    for (q <- Seq(0.01, 0.1, 0.25, 0.5, 0.75, 0.9, 0.95, 0.99, 0.999)) {
+      val est = td.quantile(q)
+      // rank error: the estimate's rank in the sorted data must be within
+      // ~1.5% of the target rank (k1 at delta=100 guarantees far tighter
+      // at the tails; this is the loose uniform bound)
+      val rank = sorted.count(_ <= est).toDouble / sorted.length
+      assert(math.abs(rank - q) < 0.015, s"q=$q est=$est rank=$rank")
+    }
+    // extremes are exact
+    assert(td.quantile(0.0) === sorted.head)
+    assert(td.quantile(1.0) === sorted.last)
+  }
+
+  test("t-digest merge of partitioned digests matches single-pass within bound") {
+    val rnd = new scala.util.Random(777)
+    val xs = Array.fill(40000)(rnd.nextGaussian() * 10 + 50)
+    val parts = xs.grouped(5000).toSeq
+    val merged = new graft.functions.TDigest(100.0)
+    parts.foreach { p =>
+      val t = new graft.functions.TDigest(100.0)
+      p.foreach(t.add)
+      // serialize round-trip each partial, as the shuffle does
+      merged.merge(graft.functions.TDigest.deserialize(t.serialize()))
+    }
+    val sorted = xs.sorted
+    for (q <- Seq(0.05, 0.5, 0.95, 0.99)) {
+      val rank = sorted.count(_ <= merged.quantile(q)).toDouble / sorted.length
+      assert(math.abs(rank - q) < 0.02, s"q=$q rank=$rank")
+    }
+  }
+
+  test("t-digest DataFrame aggregate: build, at-rest merge, extract") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(11)
+    val rows = (1 to 20000).map(i => (i % 7, s"day${i % 3}", rnd.nextDouble() * 1000))
+    val df = rows.toDF("g", "day", "v")
+    // build one digest per (g, day), then merge days per g — the at-rest
+    // rollup composition — and extract p50/p95
+    val perCell = df.groupBy($"g", $"day")
+      .agg(graft.functions.TDigest.agg($"v").as("td"))
+    val perG = perCell.groupBy($"g")
+      .agg(graft.functions.TDigest.mergeAgg($"td").as("td"))
+      .select($"g",
+        graft.functions.TDigest.quantileOf($"td", 0.5).as("p50"),
+        graft.functions.TDigest.quantileOf($"td", 0.95).as("p95"))
+    val exact = df.groupBy($"g").agg(
+      percentile($"v", lit(0.5)).as("e50"),
+      percentile($"v", lit(0.95)).as("e95"))
+    val joined = perG.join(exact, "g").collect()
+    assert(joined.length === 7)
+    joined.foreach { r =>
+      val (p50, p95) = (r.getAs[Double]("p50"), r.getAs[Double]("p95"))
+      val (e50, e95) = (r.getAs[Double]("e50"), r.getAs[Double]("e95"))
+      // values are uniform on [0,1000]: quantile error ≈ 1000 × rank error
+      assert(math.abs(p50 - e50) < 30, s"g=${r.get(0)} p50=$p50 exact=$e50")
+      assert(math.abs(p95 - e95) < 30, s"g=${r.get(0)} p95=$p95 exact=$e95")
+    }
+  }
+
+  test("t-digest handles nulls, empty groups, and tiny groups") {
+    import spark.implicits._
+    val df = Seq((1, Some(5.0)), (1, None), (2, Some(1.0)), (2, Some(2.0)))
+      .toDF("g", "v")
+    val out = df.groupBy($"g")
+      .agg(graft.functions.TDigest.agg($"v").as("td"))
+      .select($"g", graft.functions.TDigest.quantileOf($"td", 0.5).as("p50"))
+      .collect().map(r => r.getInt(0) -> r.getDouble(1)).toMap
+    assert(out(1) === 5.0)            // single value → that value
+    assert(out(2) >= 1.0 && out(2) <= 2.0)
+    // all-null group yields null digest → null quantile
+    val allNull = Seq((3, Option.empty[Double])).toDF("g", "v")
+      .groupBy($"g").agg(graft.functions.TDigest.agg($"v").as("td"))
+      .select(graft.functions.TDigest.quantileOf($"td", 0.5)).head()
+    assert(allNull.isNullAt(0))
+  }
 }

@@ -1095,6 +1095,56 @@ class StreamingSpec extends AnyFunSuite {
     assert(run("cms_stagger", evs.grouped(4).toSeq) === expected)
   }
 
+  test("streaming windowed t-digest matches batch keys/counts and error bound") {
+    import spark.implicits._
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    import org.apache.spark.sql.functions._
+    val b = 86400L
+    val rnd = new scala.util.Random(2026)
+    // two series × two 1000-s windows, enough points to exercise clustering
+    // TIME-interleaved (sortBy time): staggered batches must never deliver
+    // a series' window below the watermark another series already advanced
+    val pts = (for {
+      s <- Seq("lat_a", "lat_b"); w <- Seq(0L, 1L); i <- 1 to 300
+    } yield (s, b + w * 1000L + (i % 900), rnd.nextDouble() * 100))
+      .sortBy(_._2).toVector
+    // exact per-(series, window) percentiles for the bound check
+    val exact = pts.toDF("series", "time", "value")
+      .withColumn("window", col("time") - pmod(col("time"), lit(1000L)))
+      .groupBy("series", "window")
+      .agg(count(lit(1)).as("n"),
+        percentile($"value", lit(0.5)).as("e50"),
+        percentile($"value", lit(0.95)).as("e95"),
+        min($"value").as("lo"), max($"value").as("hi"))
+      .as[(String, Long, Long, Double, Double, Double, Double)]
+      .collect().map(r => (r._1, r._2) -> r).toMap
+    def run(tag: String, batches: Seq[Seq[(String, Long, Double)]]) = {
+      val ms = MemoryStream[(String, Long, Double)]
+      val f = StreamOps.tdigestWindow(ms.toDF().toDF("series", "time", "value"),
+        windowSecs = 1000L, watermarkDelay = "60 seconds")
+      val q = f.writeStream.outputMode("append").format("memory").queryName(tag).start()
+      try {
+        batches.foreach { bt => ms.addData(bt); q.processAllAvailable() }
+        ms.addData(Seq(("wmpush", 10 * b, 0.0))); q.processAllAvailable()
+        spark.sql(s"select series, window, n, p50, p95 from $tag where window < ${10 * b - 1000}")
+          .as[(String, Long, Long, Double, Double)].collect()
+      } finally q.stop()
+    }
+    for (rows <- Seq(run("td_onebatch", Seq(pts)), run("td_stagger", pts.grouped(170).toSeq))) {
+      assert(rows.map(r => (r._1, r._2)).toSet === exact.keySet)
+      rows.foreach { case (s, w, n, p50, p95) =>
+        val (_, _, en, e50, e95, lo, hi) = exact((s, w))
+        assert(n === en, s"($s,$w) count must be exact")
+        assert(p50 >= lo && p50 <= hi && p95 >= lo && p95 <= hi)
+        // values uniform on [0,100]: quantile error ≈ 100 × rank error;
+        // 2% rank headroom at n=600 per window
+        assert(math.abs(p50 - e50) < 6, s"($s,$w) p50=$p50 exact=$e50")
+        assert(math.abs(p95 - e95) < 6, s"($s,$w) p95=$p95 exact=$e95")
+      }
+    }
+  }
+
   test("streaming attribution matches the batch first/last-touch frames") {
     import spark.implicits._
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
