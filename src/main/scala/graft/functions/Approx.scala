@@ -35,4 +35,33 @@ object Approx {
     sv.groupBy(col("series")).agg(
       pApprox(col("value"), ps.head).as(s"p${(ps.head * 100).toInt}"),
       ps.tail.map(p => pApprox(col("value"), p).as(s"p${(p * 100).toInt}")): _*)
+
+  // ---- at-rest HLL sketch rollup ---------------------------------------
+  //
+  // The Druid/DataSketches pattern the t-digest rollup (q_ts_tdigest)
+  // applies to quantiles, here for NDV: store one serialized HLL sketch
+  // per rollup cell next to the counts, answer any later distinct-count
+  // question (any day range, any series subset) by MERGING sketch blobs —
+  // no raw-point rescan, and unions are exact-union (no inclusion-
+  // exclusion error stacking). Spark 4 ships Apache DataSketches HLL as
+  // hll_sketch_agg / hll_union_agg / hll_sketch_estimate; these helpers
+  // just fix the graft rollup-cell schema around them.
+
+  /** Build rollup cells: one serialized HLL sketch of `of` per
+    * (keys..., cell). Write this frame partitioned however the rollup
+    * tier partitions (day, typically) — each cell is a few KB regardless
+    * of cardinality.
+    */
+  def hllCells(df: DataFrame, of: Column, keys: Seq[Column], lgK: Int = 12): DataFrame =
+    df.groupBy(keys: _*).agg(
+      hll_sketch_agg(of, lit(lgK)).as("hll"),
+      count(lit(1)).as("n_rows"))
+
+  /** Merge stored cells back to an NDV estimate per `keys` — the
+    * query-time half: scans sketch blobs only.
+    */
+  def hllMergeNdv(cells: DataFrame, keys: Seq[Column]): DataFrame =
+    cells.groupBy(keys: _*).agg(
+      hll_sketch_estimate(hll_union_agg(col("hll"), lit(false))).as("ndv_est"),
+      sum(col("n_rows")).as("n_rows"))
 }

@@ -1417,6 +1417,49 @@ object TimeSeries {
               |FROM sv WHERE time >= $T0 AND time < $T1
               |GROUP BY series, day ORDER BY series, day""".stripMargin)),
 
+    // At-rest HLL sketch rollup (Approx.hllCells/hllMergeNdv — DataSketches
+    // HLL via Spark's hll_sketch_agg family): build one serialized sketch
+    // per (series, day) cell over RAW user_id (full cardinality, not the
+    // 8-way tag), WRITE the cells to parquet, read the blobs back and
+    // union per series for the whole-range NDV. The composition under
+    // test is store → merge — the piece q_ts_ndv_approx (one-shot HLL++)
+    // doesn't cover, and the reason a 100 TB NDV dashboard reads KB-sized
+    // sketch blobs instead of rescanning points. Error-bound contract
+    // (lgK=12 ⇒ rse≈1.6%; 10% leaves >5σ): exact NDV and point counts
+    // ride the hash.
+    Q("q_ts_hll_rollup",
+      (s, dir) => {
+        val e = Tables.events(s, dir).select(
+          col("event_type").as("series"), col("user_id"),
+          (col("ts") / lit(1000000000L)).cast("long").as("time"))
+          .filter(col("time") >= T0 && col("time") < T1)
+        val cells = graft.functions.Approx.hllCells(
+          e, col("user_id"),
+          Seq(col("series"), (col("time") - pmod(col("time"), lit(86400L))).as("day")))
+        val path = s"target/gate-tmp/hllroll-${dir.replace('/', '_')}/cells"
+        cells.write.mode("overwrite").parquet(path)
+        val merged = graft.functions.Approx.hllMergeNdv(
+          s.read.parquet(path), Seq(col("series")))
+        val exact = e.groupBy(col("series")).agg(
+          countDistinct(col("user_id")).as("n_users"),
+          count(lit(1)).as("n_points"))
+        merged.join(exact, "series")
+          .select(col("series"), col("n_users"), col("n_points"),
+            (col("n_rows") === col("n_points")).as("rows_ok"),
+            (abs(col("ndv_est") - col("n_users")) <=
+              greatest(lit(1.0), col("n_users") * 0.10)).as("ndv_ok"))
+          .orderBy(col("series"))
+      },
+      Some(s"""SELECT event_type AS series,
+              |       count(DISTINCT user_id) AS n_users,
+              |       count(*) AS n_points,
+              |       true AS rows_ok, true AS ndv_ok
+              |FROM events
+              |WHERE epoch_ns(ts) // 1000000000 >= $T0
+              |  AND epoch_ns(ts) // 1000000000 < $T1
+              |GROUP BY event_type ORDER BY series""".stripMargin),
+      benchExtra = true),
+
     // ---- event analytics: funnel ----------------------------------------
     //
     // Ordered 3-step funnel signup → click → purchase per user: t1 = first
