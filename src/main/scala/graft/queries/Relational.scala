@@ -653,6 +653,97 @@ object Relational {
              |GROUP BY 1 ORDER BY 1""".stripMargin),
       benchExtra = true),
 
+    // TPC-H Q12 (shipmode priority), adapted to this schema: no
+    // l_shipmode/commitdate/receiptdate columns, so "late receipt" is
+    // l_shipdate ≥ o_orderdate + 120 days and the grouping dimension is
+    // l_linestatus. The SHAPE is Q12's verbatim: one fact⋈fact equi-join
+    // on orderkey with both sides pre-filtered at the scan, then
+    // conditional aggregation (CASE on o_orderpriority) — the
+    // pivot-while-aggregating plan. One shuffle, no joins after the agg.
+    Q("q_tpch_q12",
+      (s, dir) => {
+        val li = Tables.lineitem(s, dir)
+          .filter(col("l_shipdate") >= lit("1997-01-01").cast("timestamp") &&
+            col("l_shipdate") < lit("1998-01-01").cast("timestamp"))
+          .select(col("l_orderkey"), col("l_linestatus"), col("l_shipdate"))
+        val o = Tables.orders(s, dir).select(col("o_orderkey"), col("o_orderdate"),
+          col("o_orderpriority"))
+        val isHigh = col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+        li.join(o, li("l_orderkey") === o("o_orderkey"))
+          .filter(col("l_shipdate") >= col("o_orderdate") + expr("INTERVAL 120 DAYS"))
+          .groupBy(col("l_linestatus"))
+          .agg(sum(when(isHigh, 1L).otherwise(0L)).as("high_line_count"),
+            sum(when(isHigh, 0L).otherwise(1L)).as("low_line_count"))
+          .orderBy(col("l_linestatus"))
+      },
+      Some("""SELECT l_linestatus,
+             |       CAST(sum(CASE WHEN o_orderpriority IN ('1-URGENT','2-HIGH')
+             |                THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count,
+             |       CAST(sum(CASE WHEN o_orderpriority IN ('1-URGENT','2-HIGH')
+             |                THEN 0 ELSE 1 END) AS BIGINT) AS low_line_count
+             |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+             |WHERE l_shipdate >= TIMESTAMP '1997-01-01'
+             |  AND l_shipdate < TIMESTAMP '1998-01-01'
+             |  AND l_shipdate >= o_orderdate + INTERVAL 120 DAY
+             |GROUP BY 1 ORDER BY 1""".stripMargin),
+      benchExtra = true),
+
+    // TPC-H Q21 (suppliers who kept orders waiting), lateness adapted to
+    // l_shipdate ≥ o_orderdate + 180 days (no receipt/commit dates) and
+    // the nation filter to a nationkey range. The distinctive DOUBLE
+    // correlation on the same fact survives intact: a late line counts
+    // iff SOME other supplier shipped on the order (EXISTS → left-semi,
+    // hash join on orderkey with the suppkey≠ residual) AND NO other
+    // supplier was late on it (NOT EXISTS → left-anti, same keying).
+    // Both probes shuffle on orderkey only; supplier + nation broadcast;
+    // top-100 compiles to TakeOrderedAndProject.
+    Q("q_tpch_q21",
+      (s, dir) => {
+        val o = Tables.orders(s, dir).filter(col("o_orderstatus") === "F")
+          .select(col("o_orderkey"), col("o_orderdate"))
+        val li = Tables.lineitem(s, dir)
+          .select(col("l_orderkey"), col("l_suppkey"))
+        val late = Tables.lineitem(s, dir)
+          .join(o, col("l_orderkey") === col("o_orderkey"))
+          .filter(col("l_shipdate") >= col("o_orderdate") + expr("INTERVAL 180 DAYS"))
+          .select(col("l_orderkey"), col("l_suppkey"))
+        val other = li.select(col("l_orderkey").as("__ok2"), col("l_suppkey").as("__sk2"))
+        val lateOther = late.select(col("l_orderkey").as("__ok3"), col("l_suppkey").as("__sk3"))
+        val sup = Tables.supplier(s, dir)
+        val nat = Tables.nation(s, dir).filter(col("n_nationkey") < 13)
+        late
+          .join(other, col("l_orderkey") === col("__ok2") &&
+            col("l_suppkey") =!= col("__sk2"), "left_semi")
+          .join(lateOther, col("l_orderkey") === col("__ok3") &&
+            col("l_suppkey") =!= col("__sk3"), "left_anti")
+          .join(broadcast(sup), col("l_suppkey") === col("s_suppkey"))
+          .join(broadcast(nat), col("s_nationkey") === col("n_nationkey"))
+          .groupBy(col("s_name"))
+          .agg(count(lit(1)).as("numwait"))
+          .orderBy(col("numwait").desc, col("s_name"))
+          .limit(100)
+      },
+      Some("""WITH late AS (
+             |  SELECT l_orderkey, l_suppkey
+             |  FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+             |  WHERE o_orderstatus = 'F'
+             |    AND l_shipdate >= o_orderdate + INTERVAL 180 DAY
+             |)
+             |SELECT s_name, count(*) AS numwait
+             |FROM late l1
+             |JOIN supplier ON l1.l_suppkey = s_suppkey
+             |JOIN nation ON s_nationkey = n_nationkey
+             |WHERE n_nationkey < 13
+             |  AND EXISTS (SELECT 1 FROM lineitem l2
+             |              WHERE l2.l_orderkey = l1.l_orderkey
+             |                AND l2.l_suppkey <> l1.l_suppkey)
+             |  AND NOT EXISTS (SELECT 1 FROM late l3
+             |                  WHERE l3.l_orderkey = l1.l_orderkey
+             |                    AND l3.l_suppkey <> l1.l_suppkey)
+             |GROUP BY s_name
+             |ORDER BY numwait DESC, s_name LIMIT 100""".stripMargin),
+      benchExtra = true),
+
     Q("q_semi_join",
       (s, dir) => {
         val c = Tables.customer(s, dir)
