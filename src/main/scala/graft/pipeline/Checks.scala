@@ -129,4 +129,32 @@ object Checks {
         lit(threshold).as("threshold"),
         ((floor(col("__k") / col("__n") * 1e6 + 0.5) / 1e6) >= threshold).as("pass"))
   }
+
+  /** Join-size pre-flight — the companion to [[keySkew]]: the EXACT
+    * output cardinality of `left ⋈ right` on an equi-key, plus the share
+    * the hottest key contributes, computed WITHOUT running the join on
+    * the fact rows. Σ_k cnt_l(k)·cnt_r(k) over the two per-key count
+    * frames (key-dimension-sized — the only shuffle is the two count
+    * aggregates and their key-sized equi-join). At 100 TB this is the
+    * difference between discovering a 10¹³-row blowup from a diagnostic
+    * that cost two narrow scans and discovering it from a dead cluster;
+    * top1_share > a few % is the "salt this join" signal
+    * ([[graft.operators.SaltedJoin]] is the remedy this check gates).
+    */
+  def joinEstimate(left: DataFrame, leftKey: String,
+      right: DataFrame, rightKey: String, label: String): DataFrame = {
+    val lc = left.groupBy(col(leftKey).as("__k")).agg(count(lit(1)).as("__cl"))
+    val rc = right.groupBy(col(rightKey).as("__k")).agg(count(lit(1)).as("__cr"))
+    val per = lc.join(rc, "__k")
+      .select(col("__k"), (col("__cl") * col("__cr")).as("__out"))
+    per.agg(sum(col("__out")).as("__total"),
+        count(lit(1)).as("__keys"),
+        max(col("__out")).as("__mx"))
+      .select(lit(label).as("target"),
+        col("__total").cast("bigint").as("est_rows"),
+        col("__keys").cast("bigint").as("n_match_keys"),
+        col("__mx").cast("bigint").as("top1_rows"),
+        (floor(col("__mx") / col("__total").cast("double") * 1e6 + 0.5) / 1e6)
+          .as("top1_share"))
+  }
 }

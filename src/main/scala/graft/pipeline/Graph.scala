@@ -188,4 +188,43 @@ object Graph {
             (col("deg") * (col("deg") - 1)) * 1e4 + 0.5) / 1e4)
           .otherwise(lit(0.0)).as("coeff"))
   }
+
+  /** Newman modularity of a node partition over an undirected graph —
+    * the quality metric that tells you whether a community assignment
+    * (LPA output, dup clusters, or any attribute partition) beats random
+    * wiring: per community c, Q_c = L_c/m − (d_c/2m)², where m = #edges,
+    * L_c = intra-community edges, d_c = degree sum. Σ Q_c ∈ [−0.5, 1).
+    *
+    * `pairs` = one row per undirected edge, `a` < `b`, distinct (the
+    * same contract as [[triangles]]); `labels` = (node, label). Shape:
+    * two node-keyed equi-joins of edges with labels (shuffle on node id),
+    * one degree aggregate, label-sized final frames; m rides a one-row
+    * broadcast meta frame — nothing driver-side, no collect. Output per
+    * label: (label, deg_sum, intra_edges, q_contrib 1e-4-rounded).
+    * Unlabeled endpoints count toward m and degree but join out of the
+    * per-label frames — document the labels frame as total if that
+    * matters to the caller.
+    */
+  def modularity(pairs: DataFrame, labels: DataFrame): DataFrame = {
+    val e = pairs.select(col("a"), col("b"))
+    val m = e.agg(count(lit(1)).cast("double").as("__m"))
+    val la = labels.select(col("node").as("a"), col("label").as("__la"))
+    val lb = labels.select(col("node").as("b"), col("label").as("__lb"))
+    val deg = e.select(col("a").as("node")).unionAll(e.select(col("b").as("node")))
+      .groupBy("node").agg(count(lit(1)).as("d"))
+    val degC = deg.join(labels, "node")
+      .groupBy(col("label")).agg(sum(col("d")).as("deg_sum"))
+    val intraC = e.join(la, "a").join(lb, "b")
+      .filter(col("__la") === col("__lb"))
+      .groupBy(col("__la").as("label")).agg(count(lit(1)).as("intra_edges"))
+    // explicit x*x (not pow) so the float op sequence matches any SQL
+    // oracle bit-for-bit from the same integer inputs
+    val half = col("deg_sum") / (lit(2.0) * col("__m"))
+    degC.join(intraC, Seq("label"), "left")
+      .crossJoin(broadcast(m))
+      .select(col("label"), col("deg_sum"),
+        coalesce(col("intra_edges"), lit(0L)).as("intra_edges"),
+        (floor((coalesce(col("intra_edges"), lit(0L)) / col("__m") -
+          half * half) * 1e4 + 0.5) / 1e4).as("q_contrib"))
+  }
 }

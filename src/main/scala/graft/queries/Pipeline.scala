@@ -2281,6 +2281,48 @@ object Pipeline {
               |FROM e LEFT JOIN dg ON e.vec_id = dg.id LEFT JOIN tn ON e.vec_id = tn.id
               |ORDER BY id""".stripMargin)),
 
+    // Newman modularity (Graph.modularity) of the brand partition over
+    // the co-purchase graph (parts sharing an order, a<b, distinct) —
+    // the community-QUALITY metric missing next to the community
+    // DETECTORS (LPA, dup clusters): Q_c = L_c/m − (d_c/2m)² per label,
+    // Σ over labels answers "does this partition beat random wiring".
+    // All node-keyed equi-joins + label-sized aggregates; m rides a
+    // one-row broadcast meta frame. Floats derive from identical
+    // integers through the identical op sequence on both engines.
+    Q("q_pl_modularity",
+      (s, dir) => {
+        val li = Tables.lineitem(s, dir).select(col("l_orderkey"), col("l_partkey"))
+        val pairs = li.select(col("l_orderkey"), col("l_partkey").as("a"))
+          .join(li.select(col("l_orderkey"), col("l_partkey").as("b")), "l_orderkey")
+          .filter(col("a") < col("b"))
+          .select(col("a"), col("b")).distinct()
+        val labels = Tables.part(s, dir)
+          .select(col("p_partkey").as("node"), col("p_brand").as("label"))
+        graft.pipeline.Graph.modularity(pairs, labels).orderBy("label")
+      },
+      Some("""WITH e0 AS (
+             |  SELECT DISTINCT l1.l_partkey AS a, l2.l_partkey AS b
+             |  FROM lineitem l1 JOIN lineitem l2
+             |    ON l1.l_orderkey = l2.l_orderkey AND l1.l_partkey < l2.l_partkey),
+             |m AS (SELECT count(*) * 1.0 AS m FROM e0),
+             |dg AS (SELECT id, count(*) AS d
+             |       FROM (SELECT a AS id FROM e0 UNION ALL SELECT b FROM e0)
+             |       GROUP BY 1),
+             |lab AS (SELECT p_partkey AS node, p_brand AS label FROM part),
+             |degc AS (SELECT label, CAST(sum(d) AS BIGINT) AS deg_sum
+             |         FROM dg JOIN lab ON dg.id = lab.node GROUP BY 1),
+             |intra AS (SELECT la.label AS label, count(*) AS intra_edges
+             |          FROM e0 JOIN lab la ON e0.a = la.node
+             |          JOIN lab lb ON e0.b = lb.node
+             |          WHERE la.label = lb.label GROUP BY 1)
+             |SELECT degc.label AS label, deg_sum,
+             |       CAST(coalesce(intra_edges, 0) AS BIGINT) AS intra_edges,
+             |       floor((coalesce(intra_edges, 0) / m -
+             |              (deg_sum / (2.0 * m)) * (deg_sum / (2.0 * m))) * 1e4 + 0.5) / 1e4
+             |         AS q_contrib
+             |FROM degc LEFT JOIN intra ON degc.label = intra.label CROSS JOIN m
+             |ORDER BY 1""".stripMargin)),
+
     // Personalized PageRank (r10): teleport to the vec_id<10 seed set —
     // the "find more like these" expansion primitive; rank concentrates
     // in the seeds' neighborhood and top non-seed ids are the expansion

@@ -1337,6 +1337,43 @@ object Relational {
       },
       benchExtra = true),
 
+    // Join-size pre-flight (Checks.joinEstimate): exact output
+    // cardinality + hottest-key share of three joins of very different
+    // shape — fact⋈dim (lineitem⋈orders on orderkey), fact⋈fact self
+    // (lineitem⋈lineitem on partkey — the co-purchase blowup), and the
+    // pathological enum key (events⋈events on event_type). Cost: per-key
+    // count frames only; never runs the joins. top1_share is the "salt
+    // this join" trigger.
+    Q("q_dq_join_estimate",
+      (s, dir) => {
+        import graft.pipeline.Checks
+        val li = Tables.lineitem(s, dir)
+        Checks.joinEstimate(li, "l_orderkey", Tables.orders(s, dir), "o_orderkey",
+            "lineitem*orders/orderkey")
+          .unionByName(Checks.joinEstimate(li, "l_partkey", li, "l_partkey",
+            "lineitem*lineitem/partkey"))
+          .unionByName(Checks.joinEstimate(Tables.events(s, dir), "event_type",
+            Tables.events(s, dir), "event_type", "events*events/event_type"))
+          .orderBy("target")
+      },
+      Some {
+        def block(l: String, lk: String, r: String, rk: String, target: String) =
+          s"""SELECT '$target' AS target, CAST(sum(cl * cr) AS BIGINT) AS est_rows,
+             |  CAST(count(*) AS BIGINT) AS n_match_keys,
+             |  CAST(max(cl * cr) AS BIGINT) AS top1_rows,
+             |  floor(max(cl * cr) * 1.0 / sum(cl * cr) * 1e6 + 0.5) / 1e6 AS top1_share
+             |FROM (SELECT $lk AS k, count(*) AS cl FROM $l GROUP BY 1) a
+             |JOIN (SELECT $rk AS k, count(*) AS cr FROM $r GROUP BY 1) b USING (k)""".stripMargin
+        s"""SELECT * FROM (
+           |${block("events", "event_type", "events", "event_type", "events*events/event_type")}
+           |UNION ALL
+           |${block("lineitem", "l_orderkey", "orders", "o_orderkey", "lineitem*orders/orderkey")}
+           |UNION ALL
+           |${block("lineitem", "l_partkey", "lineitem", "l_partkey", "lineitem*lineitem/partkey")}
+           |) ORDER BY target""".stripMargin
+      },
+      benchExtra = true),
+
     // ---- calendar arithmetic --------------------------------------------
     //
     // date_trunc / add_months (end-of-month clamping) / datediff /
