@@ -1417,6 +1417,109 @@ object TimeSeries {
               |FROM sv WHERE time >= $T0 AND time < $T1
               |GROUP BY series, day ORDER BY series, day""".stripMargin)),
 
+    // Rolling trailing-3-day p95 per (series, day) from per-day t-digest
+    // CELLS (operators.SketchWindows.rollingQuantiles): each day cell
+    // explodes to its 3 trailing window offsets and merges by equi-join
+    // key (series, target_day) — the temporal stencil analog of the
+    // grid-DBSCAN 9-neighbor join; no range join, no raw-point rescan
+    // per window. Error-bound contract (p95 within the exact
+    // [q0.90, q1.0] window); exact rolling p95 and row counts ride the
+    // hash. Leading-edge windows are partial by contract (n_days < 3).
+    Q("q_ts_rolling_p95",
+      (s, dir) => {
+        val sv = Tables.seriesView(s, dir)
+          .filter(col("time") >= T0 && col("time") < T1)
+          .withColumn("day", col("time") - pmod(col("time"), lit(86400L)))
+        val cells = sv.groupBy(col("series"), col("day"))
+          .agg(graft.functions.TDigest.agg(col("value")).as("td"))
+        val rolled = graft.operators.SketchWindows.rollingQuantiles(cells, 3)
+        val bounds = sv
+          .withColumn("__off", explode(array(lit(0L), lit(86400L), lit(172800L))))
+          .withColumn("target_day", col("day") + col("__off"))
+          .groupBy(col("series"), col("target_day"))
+          .agg(count(lit(1)).as("n"),
+            percentile(col("value"), lit(0.90)).as("lo"),
+            percentile(col("value"), lit(1.0)).as("hi"),
+            (floor((percentile(col("value"), lit(0.95))) * 1e4 + 0.5) / 1e4).as("p95_exact"))
+        rolled.join(bounds, Seq("series", "target_day"))
+          .select(col("series"), col("target_day"), col("n_days"), col("n"),
+            col("p95_exact"),
+            (col("p95") >= col("lo") && col("p95") <= col("hi")).as("p95_ok"))
+          .orderBy(col("series"), col("target_day"))
+      },
+      Some(s"""$svSql, svr AS (
+              |  SELECT series, time - (time % 86400) AS day, value
+              |  FROM sv WHERE time >= $T0 AND time < $T1),
+              |days AS (SELECT DISTINCT series, day FROM svr),
+              |nd AS (SELECT a.series, a.day AS target_day,
+              |              CAST(count(*) AS BIGINT) AS n_days
+              |       FROM days a JOIN days b ON a.series = b.series
+              |         AND b.day BETWEEN a.day - 172800 AND a.day
+              |       GROUP BY 1, 2),
+              |w AS (SELECT d.series, d.day AS target_day, s.value
+              |      FROM days d JOIN svr s ON s.series = d.series
+              |        AND s.day BETWEEN d.day - 172800 AND d.day)
+              |SELECT w.series, w.target_day, n_days,
+              |       CAST(count(*) AS BIGINT) AS n,
+              |       floor((quantile_cont(value, 0.95)) * 1e4 + 0.5) / 1e4 AS p95_exact,
+              |       true AS p95_ok
+              |FROM w JOIN nd ON w.series = nd.series AND w.target_day = nd.target_day
+              |GROUP BY 1, 2, 3
+              |ORDER BY 1, 2""".stripMargin),
+      benchExtra = true),
+
+    // Rolling trailing-3-day distinct users per (series, day) from the
+    // SAME per-day HLL cells q_ts_hll_rollup stores — the sliding-window
+    // read path of the sketch tier: each window is a merge of ≤3 KB-sized
+    // blobs, never a raw re-count. Same stencil equi-join as
+    // q_ts_rolling_p95; exact NDV and row counts ride the hash.
+    Q("q_ts_rolling_ndv",
+      (s, dir) => {
+        val e = Tables.events(s, dir).select(
+          col("event_type").as("series"), col("user_id"),
+          (col("ts") / lit(1000000000L)).cast("long").as("time"))
+          .filter(col("time") >= T0 && col("time") < T1)
+          .withColumn("day", col("time") - pmod(col("time"), lit(86400L)))
+        val cells = graft.functions.Approx.hllCells(
+          e, col("user_id"), Seq(col("series"), col("day")))
+        val rolled = graft.operators.SketchWindows.rollingNdv(cells, 3)
+        val exact = e
+          .withColumn("__off", explode(array(lit(0L), lit(86400L), lit(172800L))))
+          .withColumn("target_day", col("day") + col("__off"))
+          .groupBy(col("series"), col("target_day"))
+          .agg(countDistinct(col("user_id")).as("n_users"))
+        rolled.join(exact, Seq("series", "target_day"))
+          .select(col("series"), col("target_day"), col("n_days"),
+            col("n_rows"), col("n_users"),
+            (abs(col("ndv_est") - col("n_users")) <=
+              greatest(lit(1.0), col("n_users") * 0.10)).as("ndv_ok"))
+          .orderBy(col("series"), col("target_day"))
+      },
+      Some(s"""WITH ev AS (
+              |  SELECT event_type AS series, user_id,
+              |         epoch_ns(ts) // 1000000000 -
+              |           (epoch_ns(ts) // 1000000000) % 86400 AS day
+              |  FROM events
+              |  WHERE epoch_ns(ts) // 1000000000 >= $T0
+              |    AND epoch_ns(ts) // 1000000000 < $T1),
+              |days AS (SELECT DISTINCT series, day FROM ev),
+              |nd AS (SELECT a.series, a.day AS target_day,
+              |              CAST(count(*) AS BIGINT) AS n_days
+              |       FROM days a JOIN days b ON a.series = b.series
+              |         AND b.day BETWEEN a.day - 172800 AND a.day
+              |       GROUP BY 1, 2),
+              |w AS (SELECT d.series, d.day AS target_day, e.user_id
+              |      FROM days d JOIN ev e ON e.series = d.series
+              |        AND e.day BETWEEN d.day - 172800 AND d.day)
+              |SELECT w.series, w.target_day, n_days,
+              |       CAST(count(*) AS BIGINT) AS n_rows,
+              |       CAST(count(DISTINCT user_id) AS BIGINT) AS n_users,
+              |       true AS ndv_ok
+              |FROM w JOIN nd ON w.series = nd.series AND w.target_day = nd.target_day
+              |GROUP BY 1, 2, 3
+              |ORDER BY 1, 2""".stripMargin),
+      benchExtra = true),
+
     // At-rest HLL sketch rollup (Approx.hllCells/hllMergeNdv — DataSketches
     // HLL via Spark's hll_sketch_agg family): build one serialized sketch
     // per (series, day) cell over RAW user_id (full cardinality, not the

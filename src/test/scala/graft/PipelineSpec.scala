@@ -1412,6 +1412,27 @@ class PipelineSpec extends AnyFunSuite {
     assert(got === expect.values.sum && got % 3 === 0)
   }
 
+  test("modularity: hand-computed Q on two triangles with a bridge") {
+    import graft.pipeline.Graph
+    // two triangles bridged by one edge: m=7. Perfect partition
+    // {0,1,2 -> A}, {10,11,12 -> B}: intra_A=intra_B=3, deg_A=deg_B=7
+    // -> Q_c = 3/7 - (7/14)^2 = 0.178571..., total Q = 0.357142...
+    val pairs = Seq((0L, 1L), (1L, 2L), (0L, 2L),
+      (10L, 11L), (11L, 12L), (10L, 12L), (2L, 10L)).toDF("a", "b")
+    val labels = Seq((0L, "A"), (1L, "A"), (2L, "A"),
+      (10L, "B"), (11L, "B"), (12L, "B")).toDF("node", "label")
+    val rows = Graph.modularity(pairs, labels)
+      .as[(String, Long, Long, Double)].collect().sortBy(_._1)
+    assert(rows.map(r => (r._1, r._2, r._3)).toSeq ===
+      Seq(("A", 7L, 3L), ("B", 7L, 3L)))
+    rows.foreach(r => assert(math.abs(r._4 - 0.1786) < 1e-9))
+    // everything-in-one-community always gives Q = 0 (1 - 1 = 0)
+    val one = Graph.modularity(pairs,
+      Seq(0L, 1L, 2L, 10L, 11L, 12L).toDF("node").withColumn("label", lit("X")))
+      .as[(String, Long, Long, Double)].head()
+    assert(one._4 === 0.0 && one._2 === 14L && one._3 === 7L)
+  }
+
   test("neymanSample: caps respect the budget, zero-variance strata excluded, loud all-constant failure") {
     import graft.pipeline.Sampling
     // three strata: high-variance (spread values), low-variance, constant
