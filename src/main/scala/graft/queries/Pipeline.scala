@@ -621,7 +621,9 @@ object Pipeline {
     // round-11
     "q_ann_knn_graph", "q_pl_bm25_probe", "q_pl_centrality_banded",
     "q_pl_quality_clf", "q_pl_leakage_split", "q_pl_shards",
-    "q_pl_winsorize")
+    "q_pl_winsorize",
+    // round-11 continuation
+    "q_pl_modularity")
 
   def qs: Seq[Q] = {
     val all = raw.map(q => if (ExtraBench(q.name)) q.copy(benchExtra = true) else q)

@@ -569,6 +569,29 @@ class PlanSpec extends AnyFunSuite {
         p.take(2000))
   }
 
+  test("r11 stencil/correlated gates: equi-joins only — no nested-loop join") {
+    // Q21's double correlation must stay semi/anti hash joins keyed on
+    // orderkey (suppkey≠ as a residual); modularity's label joins are
+    // node-keyed; the sketch sliding windows use the temporal stencil
+    // explode + equi-join (a range join here would BNLJ)
+    for (q <- Seq("q_tpch_q21", "q_tpch_q12",
+        "q_ts_rolling_p95", "q_ts_rolling_ndv", "q_ts_tdigest")) {
+      val p = plan(q)
+      assert(!p.contains("BroadcastNestedLoopJoin"), s"$q plans a nested-loop join")
+      assert(!p.contains("CartesianProduct"), s"$q plans a cartesian product")
+    }
+    // modularity: the label/degree joins must be hash joins; the ONLY
+    // BNLJ allowed is the benign one-row broadcast of the edge-count
+    // meta frame (the same pattern as q_pl_bm25/q_pl_neyman)
+    // (formatted explain prints each node twice: tree + details, so one
+    // node = 2 string occurrences)
+    val pm = plan("q_pl_modularity")
+    assert("BroadcastNestedLoopJoin".r.findAllIn(pm).size <= 2 &&
+      pm.contains("BroadcastNestedLoopJoin Cross") &&
+      !pm.contains("CartesianProduct"),
+      s"modularity: only the one-row m-frame cross may be non-equi:\n${pm.take(1500)}")
+  }
+
   test("banded kNN graph: candidate generation is equi-joins only — never a pairwise scan") {
     val p = plan("q_ann_knn_graph")
     assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"),
