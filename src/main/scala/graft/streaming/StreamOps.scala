@@ -1511,6 +1511,32 @@ object StreamOps {
     * order-dependent (the same reason every sketch here gates on its
     * error contract).
     */
+  /** Streaming windowed distinct-user counts — the live twin of the HLL
+    * rollup tier (`q_ts_hll_rollup` / `q_ts_rolling_ndv`): per
+    * (series, window), `approx_count_distinct`'s HLL++ buffer is the
+    * streaming aggregation state — bounded sketch bytes per open window
+    * vs the unbounded per-key set an exact streaming distinct would need
+    * (exact distinct aggregation is unsupported in streaming for exactly
+    * that reason). Sparse-mode HLL++ is EXACT below ~rsd⁻² distinct
+    * values, so small windows emit exact counts (StreamingSpec pins
+    * equality there); large windows inherit the documented rsd bound.
+    */
+  def ndvWindow(
+      points: DataFrame,
+      windowSecs: Long,
+      watermarkDelay: String = "10 minutes",
+      rsd: Double = 0.02): DataFrame = {
+    require(windowSecs > 0, "windowSecs must be positive")
+    points.select(col("series").cast("string"), col("time").cast("long"), col("uid"))
+      .withColumn("event_time", col("time").cast("timestamp"))
+      .withWatermark("event_time", watermarkDelay)
+      .groupBy(col("series"), window(col("event_time"), s"$windowSecs seconds").as("w"))
+      .agg(approx_count_distinct(col("uid"), rsd).as("ndv"),
+        count(lit(1)).as("n"))
+      .select(col("series"), col("w.start").cast("long").as("window"),
+        col("n"), col("ndv"))
+  }
+
   def tdigestWindow(
       points: DataFrame,
       windowSecs: Long,

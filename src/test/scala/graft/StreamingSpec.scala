@@ -1095,6 +1095,39 @@ class StreamingSpec extends AnyFunSuite {
     assert(run("cms_stagger", evs.grouped(4).toSeq) === expected)
   }
 
+  test("streaming windowed NDV equals exact batch distinct counts in sparse mode") {
+    import spark.implicits._
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    import org.apache.spark.sql.functions._
+    val b = 86400L
+    // two series × two windows, ≤60 distinct uids per window (sparse-mode
+    // HLL++ → exact); TIME-interLEAVED so stagger can't watermark-drop
+    val pts = (for {
+      s <- Seq("api", "web"); w <- Seq(0L, 1L); i <- 1 to 200
+    } yield (s, b + w * 1000L + (i % 900), (i % (if (s == "api") 37 else 60)).toLong))
+      .sortBy(_._2).toVector
+    val exact = pts.toDF("series", "time", "uid")
+      .withColumn("window", col("time") - pmod(col("time"), lit(1000L)))
+      .groupBy("series", "window")
+      .agg(count(lit(1)).as("n"), countDistinct($"uid").as("ndv"))
+      .as[(String, Long, Long, Long)].collect().toSet
+    def run(tag: String, batches: Seq[Seq[(String, Long, Long)]]) = {
+      val ms = MemoryStream[(String, Long, Long)]
+      val f = StreamOps.ndvWindow(ms.toDF().toDF("series", "time", "uid"),
+        windowSecs = 1000L, watermarkDelay = "60 seconds")
+      val q = f.writeStream.outputMode("append").format("memory").queryName(tag).start()
+      try {
+        batches.foreach { bt => ms.addData(bt); q.processAllAvailable() }
+        ms.addData(Seq(("wmpush", 10 * b, 0L))); q.processAllAvailable()
+        spark.sql(s"select series, window, n, ndv from $tag where window < ${10 * b - 1000}")
+          .as[(String, Long, Long, Long)].collect().toSet
+      } finally q.stop()
+    }
+    assert(run("ndv_onebatch", Seq(pts)) === exact)
+    assert(run("ndv_stagger", pts.grouped(130).toSeq) === exact)
+  }
+
   test("streaming windowed t-digest matches batch keys/counts and error bound") {
     import spark.implicits._
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
