@@ -1471,46 +1471,98 @@ object StreamOps {
       .option("checkpointLocation", checkpoint)
       .trigger(trigger)
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
-        val spark = batch.sparkSession
-        val p = new org.apache.hadoop.fs.Path(s"$path/_last_batch")
-        val fs = p.getFileSystem(spark.sessionState.newHadoopConf())
-        val last: Long =
-          if (!fs.exists(p)) -1L
-          else {
-            val in = fs.open(p)
-            try scala.io.Source.fromInputStream(in, "UTF-8").mkString.trim.toLong
-            finally in.close()
-          }
-        if (batchId > last && !batch.isEmpty) {
-          graft.pipeline.TextIndex.append(spark, batch, path)
-          val tmp = new org.apache.hadoop.fs.Path(s"$path/_last_batch.tmp")
-          val out = fs.create(tmp, true)
-          try out.write(batchId.toString.getBytes("UTF-8")) finally out.close()
-          if (fs.exists(p)) fs.delete(p, false)
-          if (!fs.rename(tmp, p))
-            throw new java.io.IOException(s"indexMaintenance: rename $tmp -> $p failed")
+        withReplayGuard(path, batchId, batch) { b =>
+          graft.pipeline.TextIndex.append(b.sparkSession, b, path)
         }
-        ()
       }
       .start()
 
-  /** Streaming windowed t-digest quantiles — the live twin of
-    * `q_ts_tdigest`'s rollup: per (series, window) the
-    * [[graft.functions.TDigestAgg]] sketch IS the streaming aggregation
-    * state (its serialize/deserialize round-trips through the state
-    * store every micro-batch), so per-window latency quantiles cost O(δ)
-    * centroids of state instead of buffering the window's raw points —
-    * the difference between bounded and unbounded state on a hot series.
-    * Quantiles are extracted on emission (append mode: once, at
-    * watermark close).
-    *
-    * Contract (StreamingSpec): closed windows/keys/counts equal the
-    * batch frame exactly; quantiles satisfy the t-digest rank-error
-    * bound vs the window's exact percentiles. Bit-equality across
-    * micro-batch splits is NOT claimed — centroid layout is
-    * order-dependent (the same reason every sketch here gates on its
-    * error contract).
+  /** At-least-once → effectively-once guard for foreachBatch sinks whose
+    * append is NOT idempotent: a `_last_batch` sidecar (written through a
+    * checked rename AFTER the body completes) records the last
+    * fully-applied batch id; replayed ids ≤ sidecar are skipped. A crash
+    * mid-body (after some writes, before the sidecar) still requires a
+    * rebuild — the documented contract of both maintenance sinks.
     */
+  private def withReplayGuard(path: String, batchId: Long, batch: DataFrame)(
+      body: DataFrame => Unit): Unit = {
+    val spark = batch.sparkSession
+    val p = new org.apache.hadoop.fs.Path(s"$path/_last_batch")
+    val fs = p.getFileSystem(spark.sessionState.newHadoopConf())
+    val last: Long =
+      if (!fs.exists(p)) -1L
+      else {
+        val in = fs.open(p)
+        try scala.io.Source.fromInputStream(in, "UTF-8").mkString.trim.toLong
+        finally in.close()
+      }
+    if (batchId > last && !batch.isEmpty) {
+      body(batch)
+      val tmp = new org.apache.hadoop.fs.Path(s"$path/_last_batch.tmp")
+      val out = fs.create(tmp, true)
+      try out.write(batchId.toString.getBytes("UTF-8")) finally out.close()
+      if (fs.exists(p)) fs.delete(p, false)
+      if (!fs.rename(tmp, p))
+        throw new java.io.IOException(s"maintenance: rename $tmp -> $p failed")
+    }
+  }
+
+  /** Streaming maintenance of the at-rest HLL cell store
+    * (`Approx.hllCells`' schema, the store `q_ts_hll_rollup` /
+    * `q_ts_rolling_ndv` read): per micro-batch, sketch the batch into
+    * (series, day) cells, MERGE them with the stored cells of the
+    * touched days only (partition-pruned read — untouched days are never
+    * opened), and rewrite exactly those day partitions via dynamic
+    * partition overwrite. The ingest-side half of the sketch tier: a
+    * day's NDV stays a KB-sized blob that absorbs events incrementally —
+    * no raw-event retention, no full-store rewrite per batch.
+    *
+    * Cost per trigger ∝ batch size + touched-day cell bytes. Same
+    * delivery contract as [[indexMaintenance]] (replay-guard sidecar;
+    * crash mid-overwrite requires rebuild). StreamingSpec pins
+    * multi-wave maintenance ≡ one-shot batch build, and the replay guard.
+    */
+  def sketchMaintenance(events: DataFrame, path: String, checkpoint: String,
+      lgK: Int = 12,
+      trigger: org.apache.spark.sql.streaming.Trigger =
+        org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      : org.apache.spark.sql.streaming.StreamingQuery =
+    events.writeStream
+      .option("checkpointLocation", checkpoint)
+      .trigger(trigger)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        withReplayGuard(path, batchId, batch) { b =>
+          val spark = b.sparkSession
+          val cellDir = s"$path/cells"
+          val fresh = graft.functions.Approx.hllCells(
+            b.select(col("series"), col("uid"),
+              (col("time") - pmod(col("time"), lit(86400L))).as("day")),
+            col("uid"), Seq(col("series"), col("day")), lgK)
+          // touched days: metadata-sized (bounded by the batch's day span)
+          val days = fresh.select("day").distinct()
+            .collect().map(_.getLong(0))
+          val fs = new org.apache.hadoop.fs.Path(cellDir)
+            .getFileSystem(spark.sessionState.newHadoopConf())
+          val existing =
+            if (!fs.exists(new org.apache.hadoop.fs.Path(cellDir))) fresh.limit(0)
+            else spark.read.parquet(cellDir)
+              .filter(col("day").isin(days.toSeq: _*))   // partition-pruned
+              .select(fresh.columns.map(col).toSeq: _*)
+          val merged = existing.unionByName(fresh)
+            .groupBy(col("series"), col("day"))
+            .agg(hll_union_agg(col("hll"), lit(false)).as("hll"),
+              sum(col("n_rows")).as("n_rows"))
+            .select(col("series"), col("day"), col("hll"), col("n_rows"))
+            // materialize BEFORE the overwrite — the plan reads the same
+            // path it is about to replace
+            .localCheckpoint(true)
+          merged.write.mode("overwrite")
+            .option("partitionOverwriteMode", "dynamic")
+            .partitionBy("day").parquet(cellDir)
+        }
+      }
+      .start()
+
   /** Streaming windowed distinct-user counts — the live twin of the HLL
     * rollup tier (`q_ts_hll_rollup` / `q_ts_rolling_ndv`): per
     * (series, window), `approx_count_distinct`'s HLL++ buffer is the
@@ -1537,6 +1589,23 @@ object StreamOps {
         col("n"), col("ndv"))
   }
 
+  /** Streaming windowed t-digest quantiles — the live twin of
+    * `q_ts_tdigest`'s rollup: per (series, window) the
+    * [[graft.functions.TDigestAgg]] sketch IS the streaming aggregation
+    * state (its serialize/deserialize round-trips through the state
+    * store every micro-batch), so per-window latency quantiles cost O(δ)
+    * centroids of state instead of buffering the window's raw points —
+    * the difference between bounded and unbounded state on a hot series.
+    * Quantiles are extracted on emission (append mode: once, at
+    * watermark close).
+    *
+    * Contract (StreamingSpec): closed windows/keys/counts equal the
+    * batch frame exactly; quantiles satisfy the t-digest rank-error
+    * bound vs the window's exact percentiles. Bit-equality across
+    * micro-batch splits is NOT claimed — centroid layout is
+    * order-dependent (the same reason every sketch here gates on its
+    * error contract).
+    */
   def tdigestWindow(
       points: DataFrame,
       windowSecs: Long,

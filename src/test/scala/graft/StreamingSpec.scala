@@ -1402,4 +1402,55 @@ class StreamingSpec extends AnyFunSuite {
       .awaitTermination(120000)
     assert(probe(idx) === probe(full), "replayed batches must not double-index")
   }
+
+  test("streaming sketch maintenance: multi-wave cell merges equal one-shot build; replays skipped") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    import org.apache.spark.sql.types._
+    val b = 86400L
+    // 3 days × 2 series, ≤40 distinct uids (sparse HLL → exact estimates);
+    // waves split MID-DAY so day cells must merge across batches
+    val evs = (for {
+      s <- Seq("api", "web"); d <- 0 to 2; i <- 1 to 120
+    } yield (s, d * b + i.toLong, (i % (if (s == "api") 29 else 40)).toLong))
+      .sortBy(_._2).toVector
+    val store = Files.createTempDirectory("graft-stream-hll").toString + "/s"
+    val streamDir = Files.createTempDirectory("graft-stream-evs").toString
+    val ckpt = Files.createTempDirectory("graft-stream-hllck").toString + "/c"
+    val schema = StructType(Seq(StructField("series", StringType),
+      StructField("time", LongType), StructField("uid", LongType)))
+    def stream(cp: String) = StreamOps.sketchMaintenance(
+      spark.readStream.schema(schema).json(streamDir), store, cp)
+    def probe(cellDir: String) =
+      graft.functions.Approx.hllMergeNdv(
+        spark.read.parquet(cellDir), Seq(col("series")))
+        .select(col("series"), col("ndv_est").cast("long"), col("n_rows"))
+        .as[(String, Long, Long)].collect().toSet
+    // wave 1: first 1.5 days; wave 2: the rest (day 1 cells must merge)
+    val (w1, w2) = evs.partition(_._2 < (3 * b) / 2)
+    w1.toDF("series", "time", "uid").write.mode("append").json(streamDir)
+    stream(ckpt).awaitTermination(120000)
+    w2.toDF("series", "time", "uid").write.mode("append").json(streamDir)
+    stream(ckpt).awaitTermination(120000)
+    // one-shot batch build over everything
+    val full = Files.createTempDirectory("graft-stream-hllfull").toString + "/cells"
+    graft.functions.Approx.hllCells(
+      evs.toDF("series", "time", "uid")
+        .withColumn("day", col("time") - pmod(col("time"), lit(b))),
+      col("uid"), Seq(col("series"), col("day")))
+      .write.partitionBy("day").parquet(full)
+    assert(probe(s"$store/cells") === probe(full),
+      "streamed cells must serve the one-shot build's estimates")
+    // per-day cells exact too (day is the partition column)
+    val perDay = spark.read.parquet(s"$store/cells")
+      .select(col("series"), col("day"), col("n_rows"))
+      .as[(String, Long, Long)].collect().toSet
+    assert(perDay === evs.groupBy(e => (e._1, e._2 - e._2 % b))
+      .map { case ((s, d), rs) => (s, d, rs.size.toLong) }.toSet)
+    // replay guard: fresh checkpoint restarts batch ids — sidecar skips
+    stream(Files.createTempDirectory("graft-stream-hllck2").toString + "/c")
+      .awaitTermination(120000)
+    assert(probe(s"$store/cells") === probe(full),
+      "replayed batches must not double-count")
+  }
 }
