@@ -1563,6 +1563,68 @@ object TimeSeries {
               |GROUP BY event_type ORDER BY series""".stripMargin),
       benchExtra = true),
 
+    // Theta-sketch set algebra (graft.functions.ThetaSketch — custom
+    // TypedImperativeAggregate over DataSketches theta): per-series
+    // distinct-user sketches, then pairwise INTERSECTION / UNION /
+    // A-NOT-B estimates across all series pairs — the set operations the
+    // HLL tier cannot express ("users who did BOTH signup and purchase"
+    // from stored KB blobs, no distinct-join over raw rows). The pair
+    // frame is series-cardinality (tiny); the only fact-sized work is
+    // one sketch aggregate. Error-bound contract: |est − exact| ≤
+    // max(1, 0.15·exact) per op (theta runs EXACT below 2^lgK distinct);
+    // exact per-pair counts ride the hash.
+    Q("q_ts_theta_pairs",
+      (s, dir) => {
+        val e = Tables.events(s, dir).select(
+          col("event_type").as("series"), col("user_id"),
+          (col("ts") / lit(1000000000L)).cast("long").as("time"))
+          .filter(col("time") >= T0 && col("time") < T1)
+          .select(col("series"), col("user_id"))
+        val sk = e.groupBy(col("series")).agg(
+          graft.functions.ThetaSketch.agg(col("user_id")).as("sk"),
+          countDistinct(col("user_id")).as("n"))
+        val a = sk.select(col("series").as("series_a"), col("sk").as("ska"),
+          col("n").as("n_a"))
+        val b = sk.select(col("series").as("series_b"), col("sk").as("skb"),
+          col("n").as("n_b"))
+        val ua = e.distinct()
+        val exact = ua.as("x").join(ua.as("y"),
+            col("x.user_id") === col("y.user_id") &&
+              col("x.series") < col("y.series"))
+          .groupBy(col("x.series").as("series_a"), col("y.series").as("series_b"))
+          .agg(count(lit(1)).as("n_both"))
+        val tol = (est: org.apache.spark.sql.Column, ex: org.apache.spark.sql.Column) =>
+          abs(est - ex) <= greatest(lit(1.0), ex * 0.15)
+        a.join(b, col("series_a") < col("series_b"))
+          .join(exact, Seq("series_a", "series_b"))
+          .select(col("series_a"), col("series_b"), col("n_a"), col("n_b"),
+            col("n_both"),
+            (col("n_a") + col("n_b") - col("n_both")).as("n_any"),
+            tol(graft.functions.ThetaSketch.intersectEstimate(col("ska"), col("skb")),
+              col("n_both")).as("both_ok"),
+            tol(graft.functions.ThetaSketch.unionEstimate(col("ska"), col("skb")),
+              col("n_a") + col("n_b") - col("n_both")).as("any_ok"),
+            tol(graft.functions.ThetaSketch.aNotBEstimate(col("ska"), col("skb")),
+              col("n_a") - col("n_both")).as("not_ok"))
+          .orderBy(col("series_a"), col("series_b"))
+      },
+      Some(s"""WITH ua AS (
+              |  SELECT DISTINCT event_type AS series, user_id FROM events
+              |  WHERE epoch_ns(ts) // 1000000000 >= $T0
+              |    AND epoch_ns(ts) // 1000000000 < $T1),
+              |cnt AS (SELECT series, CAST(count(*) AS BIGINT) AS n FROM ua GROUP BY 1),
+              |p AS (SELECT x.series AS sa, y.series AS sb,
+              |             CAST(count(*) AS BIGINT) AS n_both
+              |      FROM ua x JOIN ua y
+              |        ON x.user_id = y.user_id AND x.series < y.series
+              |      GROUP BY 1, 2)
+              |SELECT sa AS series_a, sb AS series_b, ca.n AS n_a, cb.n AS n_b,
+              |       n_both, ca.n + cb.n - n_both AS n_any,
+              |       true AS both_ok, true AS any_ok, true AS not_ok
+              |FROM p JOIN cnt ca ON sa = ca.series JOIN cnt cb ON sb = cb.series
+              |ORDER BY 1, 2""".stripMargin),
+      benchExtra = true),
+
     // ---- event analytics: funnel ----------------------------------------
     //
     // Ordered 3-step funnel signup → click → purchase per user: t1 = first

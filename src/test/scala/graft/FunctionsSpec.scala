@@ -269,6 +269,47 @@ class FunctionsSpec extends AnyFunSuite {
     }
   }
 
+  test("theta sketch: exact below 2^lgK, bounded error above, set algebra correct") {
+    import spark.implicits._
+    // exact mode: 3 groups with known overlaps, < 4096 distinct each
+    val rows = (0 until 3).flatMap(g => (0 until 500).map(i => (g, (g * 250 + i).toLong)))
+    val sk = rows.toDF("g", "v").groupBy($"g")
+      .agg(graft.functions.ThetaSketch.agg($"v").as("sk"))
+      .collect().map(r => r.getInt(0) -> r.getAs[Array[Byte]]("sk")).toMap
+    def est(op: String, a: Int, b: Int): Double = {
+      val df = Seq((sk(a), sk(b))).toDF("x", "y")
+      val c = op match {
+        case "and" => graft.functions.ThetaSketch.intersectEstimate($"x", $"y")
+        case "or" => graft.functions.ThetaSketch.unionEstimate($"x", $"y")
+        case "not" => graft.functions.ThetaSketch.aNotBEstimate($"x", $"y")
+        case _ => graft.functions.ThetaSketch.estimate($"x")
+      }
+      df.select(c).head().getDouble(0)
+    }
+    // groups: g0=[0,500) g1=[250,750) g2=[500,1000): |0∩1|=250, |0∩2|=0
+    assert(est("est", 0, 0) === 500.0)
+    assert(est("and", 0, 1) === 250.0)
+    assert(est("and", 0, 2) === 0.0)
+    assert(est("or", 0, 1) === 750.0)
+    assert(est("not", 1, 0) === 250.0)
+  }
+
+  test("theta sketch: at-rest cell union matches direct build within error bound") {
+    import spark.implicits._
+    // 60k distinct values (> 2^12 nominal entries -> estimation mode),
+    // split across 6 'day' cells; union of stored blobs vs direct
+    val rows = (0 until 60000).map(i => (i % 6, i.toLong))
+    val cells = rows.toDF("day", "v").groupBy($"day")
+      .agg(graft.functions.ThetaSketch.agg($"v").as("sk"))
+    val merged = cells.agg(graft.functions.ThetaSketch.unionAgg($"sk").as("sk"))
+      .select(graft.functions.ThetaSketch.estimate($"sk")).head().getDouble(0)
+    assert(math.abs(merged - 60000) < 60000 * 0.05, s"union estimate $merged")
+    val direct = rows.toDF("day", "v")
+      .agg(graft.functions.ThetaSketch.agg($"v").as("sk"))
+      .select(graft.functions.ThetaSketch.estimate($"sk")).head().getDouble(0)
+    assert(math.abs(direct - 60000) < 60000 * 0.05, s"direct estimate $direct")
+  }
+
   test("t-digest handles nulls, empty groups, and tiny groups") {
     import spark.implicits._
     val df = Seq((1, Some(5.0)), (1, None), (2, Some(1.0)), (2, Some(2.0)))
