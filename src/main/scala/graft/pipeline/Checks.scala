@@ -141,6 +141,33 @@ object Checks {
     * top1_share > a few % is the "salt this join" signal
     * ([[graft.operators.SaltedJoin]] is the remedy this check gates).
     */
+  /** Equi-depth histogram — the profiling primitive behind skew-aware
+    * binning and drift baselines: interior boundaries are the exact
+    * (i/bins)-percentiles (pre-rounded 1e-6 so any engine replays them),
+    * a row's bin = COUNT of boundaries ≤ value (one codegen array
+    * filter against the broadcast one-row boundary frame — no join, no
+    * sort), then one count aggregate. Two passes over the column: the
+    * percentile aggregate and the binning scan. Ties land in the upper
+    * bin on both engines (≤ is the boundary comparison everywhere).
+    * Repeated values make bins uneven by construction — that is the
+    * diagnostic, not a defect.
+    */
+  def histogram(df: DataFrame, table: String, column: String,
+      bins: Int = 8): DataFrame = {
+    require(bins >= 2, "need at least 2 bins")
+    val ps = (1 until bins).map(_.toDouble / bins)
+    val bounds = df.agg(array(ps.map(p =>
+      floor(percentile(col(column), lit(p)) * 1e6 + 0.5) / 1e6): _*).as("__b"))
+    df.select(col(column)).crossJoin(broadcast(bounds))
+      .select(col("__b"),
+        size(filter(col("__b"), b => b <= col(column))).cast("long").as("bin"))
+      .groupBy(col("bin"))
+      .agg(first(col("__b")).as("__b"), count(lit(1)).as("n"))
+      .select(lit(s"$table.$column").as("target"), col("bin"),
+        when(col("bin") >= 1, element_at(col("__b"), col("bin").cast("int"))).as("lo"),
+        col("n"))
+  }
+
   def joinEstimate(left: DataFrame, leftKey: String,
       right: DataFrame, rightKey: String, label: String): DataFrame = {
     val lc = left.groupBy(col(leftKey).as("__k")).agg(count(lit(1)).as("__cl"))

@@ -1374,6 +1374,38 @@ object Relational {
       },
       benchExtra = true),
 
+    // Equi-depth histograms (Checks.histogram) over two columns of very
+    // different shape: a continuous price (near-uniform 8 bins) and a
+    // low-cardinality integer quantity (ties collapse bins — the
+    // diagnostic working as intended). Boundaries are exact percentiles
+    // pre-rounded 1e-6; bin = count of boundaries ≤ value via one
+    // codegen array filter against a broadcast one-row boundary frame.
+    Q("q_dq_histogram",
+      (s, dir) => {
+        import graft.pipeline.Checks
+        Checks.histogram(Tables.lineitem(s, dir), "lineitem", "l_extendedprice")
+          .unionByName(Checks.histogram(Tables.lineitem(s, dir), "lineitem", "l_quantity"))
+          .orderBy("target", "bin")
+      },
+      Some {
+        def block(colName: String) = {
+          val ps = (1 until 8).map(i =>
+            s"floor(quantile_cont($colName, ${i / 8.0}) * 1e6 + 0.5) / 1e6")
+          s"""SELECT 'lineitem.$colName' AS target, bin,
+             |       CASE WHEN bin >= 1 THEN bl[CAST(bin AS INT)] END AS lo,
+             |       CAST(count(*) AS BIGINT) AS n
+             |FROM (SELECT CAST(len(list_filter(bl, x -> x <= $colName)) AS BIGINT) AS bin, bl
+             |      FROM lineitem CROSS JOIN (SELECT [${ps.mkString(", ")}] AS bl FROM lineitem))
+             |GROUP BY 1, 2, bl""".stripMargin
+        }
+        s"""SELECT target, bin, lo, n FROM (
+           |${block("l_extendedprice")}
+           |UNION ALL
+           |${block("l_quantity")}
+           |) ORDER BY target, bin""".stripMargin
+      },
+      benchExtra = true),
+
     // ---- calendar arithmetic --------------------------------------------
     //
     // date_trunc / add_months (end-of-month clamping) / datediff /
