@@ -114,6 +114,36 @@ object SydraQlQueries {
          |GROUP BY tag_user ORDER BY usr""".stripMargin,
       roundCols = Seq("avg_value", "sum_value")),
 
+    // Superset sketch aggregates IN the sydraQL language (FunctionRegistry
+    // r11): percentile_approx = t-digest, ndv = theta estimate — the
+    // engine's own query surface serves sketch answers with bounded
+    // mergeable state. Error-bound contract like every sketch gate: exact
+    // p50 and exact tag NDV ride the hash, flags assert the bounds
+    // (tag_user has 8 distinct values — theta is EXACT there).
+    Q("q_sql_sketch_agg",
+      (s, dir) => {
+        val sv = Tables.seriesView(s, dir)
+        val df = Engine.sql(s, sv,
+          s"select percentile_approx(value, 0.5) as p50a, ndv(tag.user) as ndva " +
+            s"from error where time >= $T0 and time < $T1",
+          CompileOptions(now = NOW))
+        val bounds = sv.filter(col("series") === "error" &&
+            col("time") >= T0 && col("time") < T1)
+          .agg(percentile(col("value"), lit(0.45)).as("lo"),
+            percentile(col("value"), lit(0.55)).as("hi"),
+            (floor((percentile(col("value"), lit(0.5))) * 1e4 + 0.5) / 1e4).as("p50_exact"),
+            countDistinct(col("tags")("user")).as("ndv_exact"))
+        df.crossJoin(broadcast(bounds))
+          .select(col("p50_exact"), col("ndv_exact"),
+            (col("p50a") >= col("lo") && col("p50a") <= col("hi")).as("p50_ok"),
+            (col("ndva") === col("ndv_exact").cast("double")).as("ndv_ok"))
+      },
+      Some(s"""$svSql
+              |SELECT floor((quantile_cont(value, 0.5)) * 1e4 + 0.5) / 1e4 AS p50_exact,
+              |       count(DISTINCT tag_user) AS ndv_exact,
+              |       true AS p50_ok, true AS ndv_ok
+              |FROM sv WHERE series = 'error' AND time >= $T0 AND time < $T1""".stripMargin)),
+
     sq("q_sql_minmax_fl",
       s"select min(value) as mn, max(value) as mx, first(value) as fv, last(value) as lv " +
         s"from error where time >= $T0 and time < $T1",

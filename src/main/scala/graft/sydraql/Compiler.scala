@@ -613,6 +613,23 @@ final class Compiler(spark: SparkSession, source: DataFrame, options: CompileOpt
         case _ => throw QueryError(QueryError.InvalidSyntax, "percentile p must be a literal")
       }
       percentile(dbl(scalar(args.head)), lit(p))
+    case "percentile_approx" =>
+      // superset: t-digest sketch percentile (graft.functions.TDigest) —
+      // bounded mergeable state where exact percentile sorts the group;
+      // the 100 TB default for dashboard quantiles
+      val p = args(1) match {
+        case FloatLit(v) => v
+        case IntLit(v) => v.toDouble
+        case _ => throw QueryError(QueryError.InvalidSyntax, "percentile_approx p must be a literal")
+      }
+      if (p < 0 || p > 1)
+        throw QueryError(QueryError.InvalidSyntax, "percentile_approx p must be in [0,1]")
+      graft.functions.TDigest.quantileOf(
+        graft.functions.TDigest.agg(dbl(scalar(args.head))), p)
+    case "ndv" =>
+      // superset: theta-sketch distinct estimate (exact below 2^12)
+      graft.functions.ThetaSketch.estimate(
+        graft.functions.ThetaSketch.agg(scalar(args.head).cast("string")))
     case "delta" =>
       // last - first (functions.zig:359-365; Prometheus-style). Bounded
       // O(1) aggregation state: min_by/max_by over the (t, v) order — no

@@ -44,7 +44,13 @@ object FunctionRegistry {
     Sig("now", Scalar, 0, 0),
     Sig("time_bucket", Scalar, 2, 3),
     Sig("coalesce", FillFn, 1, -1),
-    Sig("fill_forward", FillFn, 1, 1))
+    Sig("fill_forward", FillFn, 1, 1),
+    // superset (not in the reference's registry — validator.zig:124-139
+    // ends at the list above): sketch-backed aggregates, served by the
+    // graft t-digest / theta expressions; same syntax rules as
+    // percentile/count
+    Sig("percentile_approx", Aggregate, 2, 2),
+    Sig("ndv", Aggregate, 1, 1))
 
   private val byName: Map[String, Sig] = all.map(s => s.name -> s).toMap
 

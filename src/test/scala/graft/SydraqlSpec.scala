@@ -76,6 +76,18 @@ class SydraqlSpec extends AnyFunSuite {
     assert(e.code === QueryError.InvalidFunctionArity)
   }
 
+  test("sketch aggregates: arity and p-range validated like their exact twins") {
+    val e1 = intercept[QueryError](Validator.validate(
+      Parser.parse("select percentile_approx(value) from metrics where time > 0")))
+    assert(e1.code === QueryError.InvalidFunctionArity)
+    val e2 = intercept[QueryError](Validator.validate(
+      Parser.parse("select ndv(value, 2) from metrics where time > 0")))
+    assert(e2.code === QueryError.InvalidFunctionArity)
+    // well-formed forms validate
+    Validator.validate(Parser.parse(
+      "select percentile_approx(value, 0.99) as p, ndv(tag.user) as d from metrics where time > 0"))
+  }
+
   test("or-only time predicate does not satisfy the time-range rule") {
     val e = intercept[QueryError](
       Validator.validate(Parser.parse("select value from metrics where time > 0 or value > 5")))
