@@ -325,6 +325,42 @@ object ScaleSmoke {
         graft.pipeline.TextIndex.append(spark, docs.filter(col("doc_id") < 40), idx)
         graft.pipeline.TextIndex.topK(spark, idx, Seq("spark", "hash", "merge"), 20)
       },
+      // r11 continuation: modularity over the banded LSH edge set — the
+      // same node-keyed equi-join profile as pagerank (edges ⋈ labels ×2
+      // + label-sized aggregates); cost ∝ edges, never pairs
+      timed("modularity") {
+        val pairs = graft.pipeline.Similarity.cosinePairsLsh(emb, 0.45)
+          .select(least(col("vec_a"), col("vec_b")).as("a"),
+            greatest(col("vec_a"), col("vec_b")).as("b")).distinct()
+        graft.pipeline.Graph.modularity(pairs,
+          emb.select(col("vec_id").as("node"), (col("vec_id") % 97).as("label")))
+      },
+      // sketch-cell sliding windows: one raw pass builds the day cells,
+      // then the 7-stencil explode works on the CELL frame (series×days —
+      // mult× days under time-axis amplification, still ≪ points)
+      timed("tdigest_rolling") {
+        val sv = ev.select(col("event_type").as("series"), col("time"), col("value"))
+          .withColumn("day", col("time") - pmod(col("time"), lit(86400L)))
+        val cells = sv.groupBy(col("series"), col("day"))
+          .agg(graft.functions.TDigest.agg(col("value")).as("td"))
+        graft.operators.SketchWindows.rollingQuantiles(cells, 7)
+      },
+      // theta set algebra: the fact-sized work is ONE sketch aggregate;
+      // the pair frame stays series² regardless of mult (user space
+      // amplified so the sketches run in estimation mode)
+      timed("theta_pairs") {
+        val e0 = graft.core.Tables.events(spark, sfDir)
+        val e = (0 until mult).map(i => e0.select(
+            col("event_type").as("series"),
+            (col("user_id") + lit(i.toLong * 1000000L)).as("uid")))
+          .reduce(_ unionByName _)
+        val sk = e.groupBy(col("series"))
+          .agg(graft.functions.ThetaSketch.agg(col("uid")).as("sk"))
+        val a = sk.select(col("series").as("sa"), col("sk").as("ska"))
+        val b = sk.select(col("series").as("sb"), col("sk").as("skb"))
+        a.join(b, col("sa") < col("sb")).select(col("sa"), col("sb"),
+          graft.functions.ThetaSketch.intersectEstimate(col("ska"), col("skb")).as("est"))
+      },
       timed("ann_self_join") {
         // √n-rule cell count with FIXED nprobe — SCALE.md's sizing math
         // (candidates/query ≈ n·nprobe/nCells = √n·nprobe, total n^1.5).
