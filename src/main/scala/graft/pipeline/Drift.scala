@@ -90,4 +90,110 @@ object Drift {
         (floor(avg(v) * 1e4 + 0.5) / 1e4).as("raw_mean"),
         (floor(avg(col("__w")) * 1e4 + 0.5) / 1e4).as("winsorized_mean"))
   }
+
+  /** Shared-support histogram counts for every group vs the `baseline`
+    * group: (pair, bin, nb, nx, tb, tx) over a DENSE `bins`-row spine
+    * per pair, plus the common bin `width` on every row.
+    *
+    * The bin grid is global (min/max over the WHOLE frame, fixed-width)
+    * so every pair's histogram lives on the same support — the
+    * precondition for any distribution distance. min/max are
+    * order-independent (exact), and the bin assignment
+    * `least(bins-1, floor((v-lo)/width))` is the same IEEE expression in
+    * any engine, so the counts replay bit-for-bit.
+    *
+    * Shape: one (pair, bin) count aggregate is the only pass over the
+    * data (baseline rows are replicated per compared group through a
+    * broadcast cross join of the group dimension, exactly as [[ksTest]]);
+    * the dense spine and totals are |groups| x bins rows — metadata.
+    */
+  private def pairedBinCounts(df: DataFrame, grpCol: String, valCol: String,
+      baseline: String, bins: Int): DataFrame = {
+    require(bins >= 2, s"need >= 2 bins, got $bins")
+    val base = df.select(col(grpCol).as("g"), col(valCol).cast("double").as("v"))
+    require(!base.filter(col("g") === baseline).isEmpty,
+      s"baseline group '$baseline' has no rows in $grpCol")
+    val bounds = base.agg(min(col("v")).as("lo"), max(col("v")).as("hi"))
+    val others = base.filter(col("g") =!= baseline)
+    val pairsDim = others.select(col("g").as("pair")).distinct()
+    val tagged = others.select(col("g").as("pair"), lit(0L).as("is_base"), col("v"))
+      .unionAll(base.filter(col("g") === baseline)
+        .crossJoin(broadcast(pairsDim))
+        .select(col("pair"), lit(1L).as("is_base"), col("v")))
+    val binned = tagged.crossJoin(broadcast(bounds))
+      .select(col("pair"), col("is_base"),
+        least(lit(bins - 1L), floor((col("v") - col("lo")) /
+          ((col("hi") - col("lo")) / bins)).cast("long")).as("bin"))
+      .groupBy(col("pair"), col("bin"))
+      .agg(sum(when(col("is_base") === 1L, 1L).otherwise(0L)).as("nb"),
+        sum(when(col("is_base") === 0L, 1L).otherwise(0L)).as("nx"))
+    // dense spine: a gap bin still carries CDF mass for W1, so absent
+    // (pair, bin) rows must exist with zero counts
+    val spine = pairsDim.select(col("pair"), explode(sequence(lit(0L), lit(bins - 1L))).as("bin"))
+    val dense = spine.join(binned, Seq("pair", "bin"), "left")
+      .select(col("pair"), col("bin"),
+        coalesce(col("nb"), lit(0L)).as("nb"), coalesce(col("nx"), lit(0L)).as("nx"))
+    val tot = dense.groupBy(col("pair")).agg(sum(col("nb")).as("tb"), sum(col("nx")).as("tx"))
+    dense.join(tot, "pair")
+      .crossJoin(broadcast(bounds))
+      .withColumn("width", (col("hi") - col("lo")) / bins)
+      .drop("lo", "hi")
+  }
+
+  /** 1-D Wasserstein-1 (earth mover's) distance of `valCol`'s
+    * distribution for every group vs the `baseline` group, on a shared
+    * `bins`-cell fixed-width grid: (grp, n_base, n_grp, w1).
+    *
+    * W1 = width * sum_b |CDF_base(b) - CDF_grp(b)|. The sum is computed
+    * as the EXACT integer sum(|cb*tx - cx*tb|) over the dense spine —
+    * cumulative counts times totals stay < 2^53 at any gate SF — so the
+    * only float ops are one multiply and one divide at the end, the same
+    * expression in every engine (a defensive 1e-6 round on top). Unlike
+    * KS (sup-norm), W1 sees HOW FAR mass moved, not just the largest ECDF
+    * gap — the right alarm for a length/quality distribution that shifts
+    * gradually under a new crawl source.
+    *
+    * Scale: one count pass over the data; everything after runs on
+    * |groups| x bins rows.
+    */
+  def wasserstein1(df: DataFrame, grpCol: String, valCol: String,
+      baseline: String, bins: Int = 20): DataFrame = {
+    val dense = pairedBinCounts(df, grpCol, valCol, baseline, bins)
+    val w = Window.partitionBy(col("pair")).orderBy(col("bin"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    dense
+      .withColumn("cb", sum(col("nb")).over(w))
+      .withColumn("cx", sum(col("nx")).over(w))
+      .groupBy(col("pair"))
+      .agg(max(col("tb")).as("n_base"), max(col("tx")).as("n_grp"),
+        (floor(sum(abs(col("cb") * col("tx") - col("cx") * col("tb"))) * first(col("width")) /
+          (max(col("tb")) * max(col("tx"))) * 1e6 + 0.5) / 1e6).as("w1"))
+      .withColumnRenamed("pair", "grp")
+  }
+
+  /** Jensen–Shannon divergence (base 2, in [0, 1]) of `valCol`'s
+    * distribution for every group vs the `baseline` group on the shared
+    * grid: (grp, n_base, n_grp, jsd).
+    *
+    * JSD = 0.5*KL(P||M) + 0.5*KL(Q||M), M = (P+Q)/2 — symmetric and
+    * finite even on disjoint supports (where KL and PSI blow up), so it
+    * needs no epsilon smoothing: a zero cell contributes exactly 0 from
+    * its side. Determinism follows the q_ts_psi precedent: <= `bins` log
+    * terms, final 1e-4 round (ULP-level ln() differences between engines
+    * sit ten orders below the grid).
+    */
+  def jsDivergence(df: DataFrame, grpCol: String, valCol: String,
+      baseline: String, bins: Int = 20): DataFrame = {
+    val dense = pairedBinCounts(df, grpCol, valCol, baseline, bins)
+    val p = col("nb") / col("tb")
+    val q = col("nx") / col("tx")
+    val m = (p + q) / 2.0
+    val term =
+      when(col("nb") > 0L, p * log(p / m)).otherwise(lit(0.0)) * 0.5 +
+      when(col("nx") > 0L, q * log(q / m)).otherwise(lit(0.0)) * 0.5
+    dense.groupBy(col("pair"))
+      .agg(max(col("tb")).as("n_base"), max(col("tx")).as("n_grp"),
+        (floor(sum(term) / math.log(2.0) * 1e4 + 0.5) / 1e4).as("jsd"))
+      .withColumnRenamed("pair", "grp")
+  }
 }

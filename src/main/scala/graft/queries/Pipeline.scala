@@ -20,6 +20,33 @@ object Pipeline {
       |  FROM documents
       |)""".stripMargin
 
+  /** Shared-support drift histograms (must mirror
+    * Drift.pairedBinCounts): per (lang vs 'en') pair, DENSE 20-bin
+    * fixed-width counts of n_chars on a GLOBAL grid, plus per-pair
+    * totals — the common front half of q_dq_wasserstein / q_dq_jsd.
+    */
+  private val drBinsCte =
+    """base AS (SELECT lang AS g, CAST(n_chars AS DOUBLE) AS v FROM documents),
+      |bounds AS (SELECT min(v) AS lo, max(v) AS hi FROM base),
+      |pd AS (SELECT DISTINCT g AS pair FROM base WHERE g <> 'en'),
+      |tagged AS (
+      |  SELECT g AS pair, 0 AS is_base, v FROM base WHERE g <> 'en'
+      |  UNION ALL
+      |  SELECT pair, 1, v FROM base CROSS JOIN pd WHERE g = 'en'),
+      |binned AS (
+      |  SELECT pair,
+      |         least(19, CAST(floor((v - lo) / ((hi - lo) / 20)) AS BIGINT)) AS bin,
+      |         sum(CASE WHEN is_base = 1 THEN 1 ELSE 0 END) AS nb,
+      |         sum(CASE WHEN is_base = 0 THEN 1 ELSE 0 END) AS nx
+      |  FROM tagged CROSS JOIN bounds GROUP BY 1, 2),
+      |spine AS (SELECT pair, unnest(range(0, 20)) AS bin FROM pd),
+      |dense AS (
+      |  SELECT spine.pair, spine.bin,
+      |         coalesce(nb, 0) AS nb, coalesce(nx, 0) AS nx
+      |  FROM spine LEFT JOIN binned
+      |    ON spine.pair = binned.pair AND spine.bin = binned.bin),
+      |tot AS (SELECT pair, sum(nb) AS tb, sum(nx) AS tx FROM dense GROUP BY 1)""".stripMargin
+
   /** portable hash31 of an expression (must mirror TextAnalysis.hash31). */
   private def h31(e: String): String =
     s"CAST(concat('0x', substr(md5($e), 1, 15)) AS BIGINT) % 2147483647"
@@ -1641,6 +1668,55 @@ object Pipeline {
              |       CAST(max(tx) AS BIGINT) AS n_grp,
              |       floor(max(abs(cb * 1.0 / tb - cx * 1.0 / tx)) * 1e4 + 0.5) / 1e4 AS ks
              |FROM cum JOIN tot ON cum.pair = tot.pair
+             |GROUP BY 1 ORDER BY grp""".stripMargin)),
+
+    // ---- distribution drift: Wasserstein-1 per language vs 'en' ---------
+    //
+    // Earth mover's distance on a shared 20-cell fixed-width grid — sees
+    // HOW FAR the n_chars mass moved (KS only sees the largest ECDF gap).
+    // The bin sum is exact integer arithmetic |cb*tx - cx*tb|; the only
+    // float ops are the final multiply/divide, identical in any engine.
+    Q("q_dq_wasserstein",
+      (s, dir) =>
+        graft.pipeline.Drift.wasserstein1(
+          Tables.documents(s, dir), "lang", "n_chars", baseline = "en", bins = 20)
+          .orderBy("grp"),
+      Some(s"""WITH $drBinsCte,
+             |cum AS (
+             |  SELECT pair, bin, sum(nb) OVER w AS cb, sum(nx) OVER w AS cx
+             |  FROM dense
+             |  WINDOW w AS (PARTITION BY pair ORDER BY bin ROWS UNBOUNDED PRECEDING))
+             |SELECT cum.pair AS grp,
+             |       CAST(max(tb) AS BIGINT) AS n_base,
+             |       CAST(max(tx) AS BIGINT) AS n_grp,
+             |       floor(CAST(sum(abs(cb * tx - cx * tb)) AS DOUBLE) * max((hi - lo) / 20)
+             |             / (max(tb) * max(tx)) * 1e6 + 0.5) / 1e6 AS w1
+             |FROM cum JOIN tot ON cum.pair = tot.pair CROSS JOIN bounds
+             |GROUP BY 1 ORDER BY grp""".stripMargin)),
+
+    // ---- distribution drift: Jensen-Shannon divergence vs 'en' ----------
+    //
+    // Symmetric, finite on disjoint supports (no epsilon smoothing, unlike
+    // PSI), bounded [0,1] in base 2 — the drift score a dashboard can
+    // threshold uniformly across columns. Same shared-grid count pass as
+    // q_dq_wasserstein; q_ts_psi's <=bins-log-terms + 1e-4 rounding
+    // determinism precedent.
+    Q("q_dq_jsd",
+      (s, dir) =>
+        graft.pipeline.Drift.jsDivergence(
+          Tables.documents(s, dir), "lang", "n_chars", baseline = "en", bins = 20)
+          .orderBy("grp"),
+      Some(s"""WITH $drBinsCte
+             |SELECT dense.pair AS grp,
+             |       CAST(max(tb) AS BIGINT) AS n_base,
+             |       CAST(max(tx) AS BIGINT) AS n_grp,
+             |       floor(sum(
+             |         CASE WHEN nb > 0 THEN (nb * 1.0 / tb) * ln((nb * 1.0 / tb) /
+             |           ((nb * 1.0 / tb + nx * 1.0 / tx) / 2.0)) ELSE 0.0 END * 0.5 +
+             |         CASE WHEN nx > 0 THEN (nx * 1.0 / tx) * ln((nx * 1.0 / tx) /
+             |           ((nb * 1.0 / tb + nx * 1.0 / tx) / 2.0)) ELSE 0.0 END * 0.5)
+             |         / 0.6931471805599453 * 1e4 + 0.5) / 1e4 AS jsd
+             |FROM dense JOIN tot ON dense.pair = tot.pair
              |GROUP BY 1 ORDER BY grp""".stripMargin)),
   ) ++ rawTail
 

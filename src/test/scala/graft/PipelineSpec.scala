@@ -427,6 +427,34 @@ class PipelineSpec extends AnyFunSuite {
     assert(e.getMessage.contains("no_such_lang"))
   }
 
+  test("wasserstein1 / jsDivergence: hand-computed values, identity = 0, disjoint JSD = 1") {
+    import graft.pipeline.Drift
+    // grid: lo=0, hi=10, 10 bins of width 1; 10 lands in bin 9 (clamped).
+    // base a = {0, 10}, grp b = {10, 10}: CDF gap is 1/2 over bins 0..8
+    // → W1 = 9 * 0.5 * 1 = 4.5 exactly
+    val d1 = Seq(("a", 0.0), ("a", 10.0), ("b", 10.0), ("b", 10.0)).toDF("g", "v")
+    val w1 = Drift.wasserstein1(d1, "g", "v", "a", bins = 10)
+      .select("n_base", "n_grp", "w1").as[(Long, Long, Double)].head()
+    assert(w1 === ((2L, 2L, 4.5)))
+    // disjoint supports: a all-0, b all-10 → JSD = 1 bit exactly; W1 = 9
+    val d2 = Seq(("a", 0.0), ("a", 0.0), ("b", 10.0), ("b", 10.0)).toDF("g", "v")
+    assert(Drift.jsDivergence(d2, "g", "v", "a", bins = 10)
+      .select("jsd").as[Double].head() === 1.0)
+    assert(Drift.wasserstein1(d2, "g", "v", "a", bins = 10)
+      .select("w1").as[Double].head() === 9.0)
+    // identical distributions → both distances 0
+    val twin = docs.filter(col("lang") === "en").select(lit("a").as("g"), col("n_chars"))
+      .unionAll(docs.filter(col("lang") === "en").select(lit("b").as("g"), col("n_chars")))
+    assert(Drift.wasserstein1(twin, "g", "n_chars", "a").select("w1").as[Double].head() === 0.0)
+    assert(Drift.jsDivergence(twin, "g", "n_chars", "a").select("jsd").as[Double].head() === 0.0)
+    // JSD is bounded [0,1] on real data and symmetric in the pair order
+    val r = Drift.jsDivergence(docs, "lang", "n_chars", "en")
+      .select("jsd").as[Double].collect()
+    assert(r.nonEmpty && r.forall(j => j >= 0.0 && j <= 1.0))
+    intercept[IllegalArgumentException](Drift.wasserstein1(docs, "lang", "n_chars", "nope"))
+    intercept[IllegalArgumentException](Drift.jsDivergence(docs, "lang", "n_chars", "en", bins = 1))
+  }
+
   test("silhouette: degenerate coincident clusters score 0, single label rejected") {
     import graft.pipeline.Clustering
     // two labels whose members sit EXACTLY on their centroids → a = 0;
