@@ -770,6 +770,32 @@ object SydraQlQueries {
               |FROM e WHERE time >= $T0 AND time < ${T0 + 86400}
               |GROUP BY 1 ORDER BY event_type""".stripMargin)),
 
+    // File-level data-skipping manifest (r11): per-file min/max stats +
+    // a series-id bloom, probed for a (series, 12 h) slice. The manifest
+    // changes what is READ (SkipIndex scaladoc — the 100 TB listing/
+    // footer round-trip killer), never what is true: the oracle is the
+    // plain filtered scan of the original events. The probe's pruning
+    // evidence (files read < files total) is pinned in StorageSpec; here
+    // the gate pins row-level equality end to end through build → prune
+    // → residual filter.
+    Q("q_store_skip_probe",
+      (s, dir) => {
+        import org.apache.spark.sql.functions.{col, lit, map}
+        val store = eventsStore(s, dir, T0, T0 + 2 * 86400)
+        val mdir = s"target/gate-tmp/skip-${dir.replace('/', '_')}/m"
+        graft.storage.SkipIndex.build(store, mdir)
+        val sid = s.range(1).select(graft.core.Functions.seriesId(
+          lit("click"), map(lit("user"), lit("3"))).as("sid")).head().getLong(0)
+        val probe = graft.storage.SkipIndex.probeScan(
+          store, mdir, T0 + 6 * 3600, T0 + 18 * 3600, sid)
+        probe.df.select(col("time"), col("value")).orderBy("time", "value")
+      },
+      Some(s"""$svSql
+              |SELECT time, value FROM sv
+              |WHERE series = 'click' AND tag_user = '3'
+              |  AND time >= ${T0 + 6 * 3600} AND time <= ${T0 + 18 * 3600}
+              |ORDER BY time, value""".stripMargin)),
+
     // EXPLAIN surface (plan text is engine-specific → rows-only gate).
     // EXPLAIN surface, gated on a normalized plan FINGERPRINT instead of
     // rows-only (r11): operator-kind sequence (root→leaf, AQE wrapper

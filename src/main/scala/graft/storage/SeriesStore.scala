@@ -37,7 +37,7 @@ import org.apache.spark.sql.types._
 final class SeriesStore(val spark: SparkSession, val root: String,
     val seriesBuckets: Int = 0) {
 
-  private def segDir = s"$root/segments"
+  private[storage] def segDir = s"$root/segments"
 
   /** Catalog name for the bucketed layout: bucket metadata lives in the
     * table definition (a bare `read.parquet` cannot carry it), so the

@@ -614,4 +614,42 @@ class StorageSpec extends AnyFunSuite {
     assert(TextIndex.topK(spark, idx, q, 20).collect().map(_.toSeq).toSeq ===
       TextIndex.topK(spark, full, q, 20).collect().map(_.toSeq).toSeq)
   }
+
+  test("skip index: probe reads strictly fewer files (time + bloom pruning), rows equal full scan") {
+    import graft.storage.SkipIndex
+    import spark.implicits._
+    val store = new SeriesStore(spark, tmp())
+    // 4 hours x 2 separate appends (-> 2 files per hour dir, each holding
+    // ONE series): time pruning cuts hours, bloom pruning cuts the
+    // other-series file INSIDE surviving hours
+    def pts(series: String, off: Long) =
+      (0 until 4).map(h => (series, h * 3600L + off, h.toDouble)).toDF("series", "time", "value")
+        .withColumn("tags", map(lit("host"), lit(series)))
+        .select("series", "tags", "time", "value")
+    store.append(pts("cpu", 10))
+    store.append(pts("mem", 20))
+    val mdir = tmp() + "/manifest"
+    SkipIndex.build(store, mdir)
+    val man = SkipIndex.read(spark, mdir)
+    assert(man.count() === 8, "one manifest row per data file")
+    assert(man.select("n_rows").as[Long].collect().forall(_ === 1L))
+    val sid = spark.range(1).select(graft.core.Functions.seriesId(
+      lit("cpu"), map(lit("host"), lit("cpu"))).as("s")).head().getLong(0)
+    // window covers hours 1-2 only -> 4 files by time, 2 of them bloom-pruned
+    val probe = SkipIndex.probeScan(store, mdir, 3600L, 2 * 3600L + 10, sid)
+    assert(probe.filesTotal === 8)
+    assert(probe.filesRead === 2,
+      s"expected time pruning to 4 files then bloom pruning to 2, got ${probe.filesRead}")
+    val got = probe.df.select("time", "value").orderBy("time")
+      .collect().map(r => (r.getLong(0), r.getDouble(1)))
+    assert(got.toSeq === Seq((3610L, 1.0), (7210L, 2.0)))
+    // the full-scan filter returns identical rows — pruning is I/O-only
+    val full = store.scanRange(3600L, 2 * 3600L + 10)
+      .filter(col("series_id") === sid).select("time", "value").orderBy("time")
+      .collect().map(r => (r.getLong(0), r.getDouble(1)))
+    assert(got.toSeq === full.toSeq)
+    // a series the store never saw: bloom prunes every file, empty frame
+    val ghost = SkipIndex.probeScan(store, mdir, 0L, 100 * 3600L, sid + 12345L)
+    assert(ghost.filesRead === 0 && ghost.df.isEmpty)
+  }
 }
