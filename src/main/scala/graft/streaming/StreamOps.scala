@@ -1624,4 +1624,57 @@ object StreamOps {
         graft.functions.TDigest.quantileOf(col("td"), 0.95).as("p95"),
         graft.functions.TDigest.quantileOf(col("td"), 0.99).as("p99"))
   }
+
+  /** Streaming windowed drift monitor — the live twin of `q_dq_jsd`: per
+    * (series, window) the value distribution's Jensen–Shannon divergence
+    * (base 2, in [0, 1]) against a STATIC baseline histogram, the alarm a
+    * pipeline keeps on an ingest feed ("has this source's length/score
+    * distribution moved since acceptance?").
+    *
+    * The histogram IS the aggregation row: `bins` conditional-count
+    * columns inside ONE windowed aggregate — Structured Streaming allows
+    * a single aggregation, so the batch op's (group, bin) count frame +
+    * second rollup is re-expressed as a width-`bins` row, and JSD becomes
+    * a scalar expression over that row and the baseline literals,
+    * evaluated once at append-mode emission. State per open (series,
+    * window) is `bins` longs; watermark-evicted. Values outside the
+    * baseline grid clamp into the edge bins (live data CAN leave the
+    * historical range — that mass showing up at an edge is itself drift).
+    *
+    * Determinism: counts are exact, baseline probs are literals, and the
+    * final 1e-4 round follows the q_ts_psi / q_dq_jsd precedent — so
+    * closed rows are reproducible across micro-batch splits (the
+    * StreamingSpec contract).
+    */
+  def driftWindow(
+      points: DataFrame,
+      windowSecs: Long,
+      lo: Double, hi: Double, bins: Int,
+      baseline: Seq[Double],
+      watermarkDelay: String = "10 minutes"): DataFrame = {
+    require(windowSecs > 0, "windowSecs must be positive")
+    require(bins >= 2 && hi > lo, s"need >= 2 bins over a non-empty range, got $bins over [$lo, $hi]")
+    require(baseline.length == bins, s"baseline has ${baseline.length} cells, expected $bins")
+    require(math.abs(baseline.sum - 1.0) < 1e-9, "baseline must be a probability vector")
+    val width = (hi - lo) / bins
+    val bin = greatest(lit(0L), least(lit(bins - 1L),
+      floor((col("value") - lo) / width).cast("long")))
+    val counts = (0 until bins).map(b =>
+      sum(when(bin === b.toLong, 1L).otherwise(0L)).as(s"c$b"))
+    val agg = points.select(col("series").cast("string"), col("time").cast("long"),
+        col("value").cast("double"))
+      .withColumn("event_time", col("time").cast("timestamp"))
+      .withWatermark("event_time", watermarkDelay)
+      .groupBy(col("series"), window(col("event_time"), s"$windowSecs seconds").as("w"))
+      .agg(count(lit(1)).as("n"), counts: _*)
+    val term = (0 until bins).map { b =>
+      val p = col(s"c$b") / col("n")
+      val q = lit(baseline(b))
+      val m = (p + q) / 2.0
+      when(col(s"c$b") > 0L, p * log(p / m)).otherwise(lit(0.0)) * 0.5 +
+        (if (baseline(b) > 0.0) q * log(q / m) * 0.5 else lit(0.0))
+    }.reduce(_ + _)
+    agg.select(col("series"), col("w.start").cast("long").as("window"), col("n"),
+      (floor(term / math.log(2.0) * 1e4 + 0.5) / 1e4).as("jsd"))
+  }
 }

@@ -1178,6 +1178,68 @@ class StreamingSpec extends AnyFunSuite {
     }
   }
 
+  test("streaming drift monitor: JSD vs static baseline matches the mirrored batch computation") {
+    import spark.implicits._
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val b = 86400L
+    val bins = 4
+    val (lo, hi) = (0.0, 100.0)
+    val baseline = Seq(0.25, 0.25, 0.25, 0.25)
+    val rnd = new scala.util.Random(11)
+    // series drift_a stays uniform (low JSD); drift_b concentrates in the
+    // top bin in its second window (high JSD). TIME-interleaved.
+    val pts = (for {
+      s <- Seq("drift_a", "drift_b"); w <- Seq(0L, 1L); i <- 1 to 200
+    } yield {
+      val v = if (s == "drift_b" && w == 1L) 80.0 + rnd.nextDouble() * 19
+              else rnd.nextDouble() * 99
+      // base 87000 is window-aligned (multiple of 1000) and a day above
+      // epoch 0, so each fixture (series, w) lands in exactly one window
+      (s, 87000L + w * 1000L + (i % 900), v)
+    }).sortBy(_._2).toVector
+    // mirrored batch computation: same clamp-binning, same fold order,
+    // same 1e-4 round — closed streaming rows must equal this EXACTLY
+    def jsdOf(vals: Seq[Double]): Double = {
+      val width = (hi - lo) / bins
+      val c = Array.fill(bins)(0L)
+      vals.foreach { v =>
+        c(math.max(0L, math.min(bins - 1L, math.floor((v - lo) / width).toLong)).toInt) += 1 }
+      val n = vals.size.toDouble
+      val t = (0 until bins).map { i =>
+        val p = c(i) / n; val q = baseline(i); val m = (p + q) / 2.0
+        (if (c(i) > 0) p * math.log(p / m) else 0.0) * 0.5 +
+          (if (q > 0) q * math.log(q / m) * 0.5 else 0.0)
+      }.reduce(_ + _)
+      math.floor(t / math.log(2.0) * 1e4 + 0.5) / 1e4
+    }
+    val exact = pts.groupBy(p => (p._1, p._2 - p._2 % 1000L)).map { case (k, es) =>
+      (k._1, k._2, es.size.toLong, jsdOf(es.map(_._3))) }.toSet
+    def run(tag: String, batches: Seq[Seq[(String, Long, Double)]]) = {
+      val ms = MemoryStream[(String, Long, Double)]
+      val f = StreamOps.driftWindow(ms.toDF().toDF("series", "time", "value"),
+        windowSecs = 1000L, lo = lo, hi = hi, bins = bins, baseline = baseline,
+        watermarkDelay = "60 seconds")
+      val q = f.writeStream.outputMode("append").format("memory").queryName(tag).start()
+      try {
+        batches.foreach { bt => ms.addData(bt); q.processAllAvailable() }
+        ms.addData(Seq(("wmpush", 10 * b, 0.0))); q.processAllAvailable()
+        spark.sql(s"select series, window, n, jsd from $tag where window < ${10 * b - 1000}")
+          .as[(String, Long, Long, Double)].collect().toSet
+      } finally q.stop()
+    }
+    val one = run("drift_onebatch", Seq(pts))
+    assert(one === exact)
+    assert(run("drift_stagger", pts.grouped(140).toSeq) === exact)
+    // the drifted (series, window) must alarm well above the in-dist ones
+    val byKey = one.map(r => (r._1, r._2) -> r._4).toMap
+    assert(byKey(("drift_b", 88000L)) > 0.5, "drifted window must alarm")
+    assert(byKey(("drift_a", 87000L)) < 0.1, "in-distribution window must not")
+    intercept[IllegalArgumentException](
+      StreamOps.driftWindow(pts.toDF("series", "time", "value"), 1000L,
+        lo, hi, bins, Seq(0.5, 0.5)))
+  }
+
   test("streaming attribution matches the batch first/last-touch frames") {
     import spark.implicits._
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
