@@ -46,9 +46,12 @@ object SkipIndex {
   private def positions(id: org.apache.spark.sql.Column) =
     (0 until Hashes).map(k => pmod(xxhash64(id, lit(k)), lit(Bits.toLong)))
 
-  /** Build (overwrite) the manifest for every data file in the store. */
-  def build(store: SeriesStore, manifestDir: String): Unit = {
-    val raw = store.scan().withColumn("__file", col("_metadata.file_path"))
+  /** One manifest row per data file of `scan` (which must carry the
+    * store schema + hour_bucket): the stats aggregate and the
+    * distinct-series bit-position OR share the one pass over the data.
+    */
+  private def manifestRows(scan: DataFrame): DataFrame = {
+    val raw = scan.withColumn("__file", col("_metadata.file_path"))
     val stats = raw.groupBy(col("__file"))
       .agg(first(col("hour_bucket")).as("hour_bucket"),
         min(col("time")).as("min_time"), max(col("time")).as("max_time"),
@@ -67,8 +70,47 @@ object SkipIndex {
           coalesce(element_at(col("m"), lit(w)), lit(0L))): _*).as("bloom"))
     stats.join(blooms, "__file")
       .withColumnRenamed("__file", "file")
-      .coalesce(1) // O(files) rows — one manifest file reads in one round-trip
-      .write.mode(SaveMode.Overwrite).parquet(manifestDir)
+      .select("file", "min_time", "max_time", "min_value", "max_value",
+        "n_rows", "bloom", "hour_bucket")
+  }
+
+  /** Build (overwrite) the manifest for every data file in the store.
+    * Hour-partitioned like the store itself, so [[refresh]] can rewrite
+    * exactly the touched hours.
+    */
+  def build(store: SeriesStore, manifestDir: String): Unit = {
+    require(!store.isEmpty, s"store at ${store.root} has no flushed segments to index")
+    manifestRows(store.scan())
+      .coalesce(1) // O(files) rows — a handful of manifest files total
+      .write.mode(SaveMode.Overwrite)
+      .partitionBy("hour_bucket").parquet(manifestDir)
+  }
+
+  /** Incremental refresh after appends/compaction/retention touched
+    * `hours`: recompute those hours' rows from the store and rewrite ONLY
+    * their manifest partitions (dynamic partition overwrite — the
+    * continuousRollup pattern). An hour the store no longer has (retention
+    * drop) gets its manifest partition deleted outright, since a dynamic
+    * overwrite that writes no row leaves stale ones in place.
+    */
+  def refresh(store: SeriesStore, manifestDir: String, hours: Seq[Long]): Unit = {
+    if (hours.isEmpty) return
+    val spark = store.spark
+    val rows = manifestRows(
+      store.scan().filter(col("hour_bucket").isin(hours: _*))).cache()
+    try {
+      val live = rows.select("hour_bucket").distinct()
+        .collect().map(_.getLong(0)).toSet
+      rows.coalesce(1)
+        .write.mode(SaveMode.Overwrite)
+        .option("partitionOverwriteMode", "dynamic")
+        .partitionBy("hour_bucket").parquet(manifestDir)
+      val fs = new org.apache.hadoop.fs.Path(manifestDir)
+        .getFileSystem(spark.sparkContext.hadoopConfiguration)
+      hours.filterNot(live).foreach { h =>
+        fs.delete(new org.apache.hadoop.fs.Path(s"$manifestDir/hour_bucket=$h"), true)
+      }
+    } finally rows.unpersist()
   }
 
   def read(spark: SparkSession, manifestDir: String): DataFrame =
@@ -76,6 +118,19 @@ object SkipIndex {
 
   /** A manifest-pruned scan plus its skipping evidence. */
   final case class SkipScan(df: DataFrame, filesRead: Int, filesTotal: Int)
+
+  /** Read exactly `files` of the store (partition column recovered via
+    * basePath); the store's typed empty frame when nothing survived.
+    */
+  private def readFiles(store: SeriesStore, files: Array[String]): DataFrame =
+    if (files.isEmpty) store.scan().filter(lit(false))
+    else {
+      val spark = store.spark
+      val fs = new org.apache.hadoop.fs.Path(store.segDir)
+        .getFileSystem(spark.sparkContext.hadoopConfiguration)
+      val base = fs.makeQualified(new org.apache.hadoop.fs.Path(store.segDir)).toString
+      spark.read.option("basePath", base).parquet(files.toIndexedSeq: _*)
+    }
 
   /** Rows of `series_id = seriesId` with `startTs <= time <= endTs`
     * (inclusive, the [[SeriesStore.scanRange]] convention), reading only
@@ -99,16 +154,31 @@ object SkipIndex {
       .filter(col("min_time") <= endTs && col("max_time") >= startTs && bloomHit)
       .select("file").collect().map(_.getString(0))
     val total = m.count().toInt
-    val df =
-      if (survivors.isEmpty) store.scan().filter(lit(false))
-      else {
-        val fs = new org.apache.hadoop.fs.Path(store.segDir)
-          .getFileSystem(spark.sparkContext.hadoopConfiguration)
-        val base = fs.makeQualified(new org.apache.hadoop.fs.Path(store.segDir)).toString
-        spark.read.option("basePath", base).parquet(survivors.toIndexedSeq: _*)
-      }
     SkipScan(
-      df.filter(col("series_id") === seriesId &&
+      readFiles(store, survivors).filter(col("series_id") === seriesId &&
+        col("time") >= startTs && col("time") <= endTs),
+      survivors.length, total)
+  }
+
+  /** Rows with `value >= minValue` in `[startTs, endTs]` across ALL
+    * series — the anomaly sweep ("every point above threshold last
+    * week"). Time predicates prune by range overlap; the value predicate
+    * prunes on the per-file `max_value` stat, which parquet row-group
+    * stats cannot do without opening every footer. Same contract as
+    * [[probeScan]]: pruning is I/O-only, exact residual filters run on
+    * what is read.
+    */
+  def thresholdScan(store: SeriesStore, manifestDir: String,
+      startTs: Long, endTs: Long, minValue: Double): SkipScan = {
+    val spark = store.spark
+    val m = read(spark, manifestDir)
+    val survivors = m
+      .filter(col("min_time") <= endTs && col("max_time") >= startTs &&
+        col("max_value") >= minValue)
+      .select("file").collect().map(_.getString(0))
+    val total = m.count().toInt
+    SkipScan(
+      readFiles(store, survivors).filter(col("value") >= minValue &&
         col("time") >= startTs && col("time") <= endTs),
       survivors.length, total)
   }

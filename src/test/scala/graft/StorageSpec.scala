@@ -651,5 +651,42 @@ class StorageSpec extends AnyFunSuite {
     // a series the store never saw: bloom prunes every file, empty frame
     val ghost = SkipIndex.probeScan(store, mdir, 0L, 100 * 3600L, sid + 12345L)
     assert(ghost.filesRead === 0 && ghost.df.isEmpty)
+    // value-threshold sweep: only files whose max_value clears the bar
+    // (values are the hour index 0..3 -> threshold 2.5 keeps hour 3's
+    // two files)
+    val sweep = SkipIndex.thresholdScan(store, mdir, 0L, 100 * 3600L, 2.5)
+    assert(sweep.filesRead === 2 && sweep.filesTotal === 8)
+    assert(sweep.df.select("value").as[Double].collect().toSeq === Seq(3.0, 3.0))
+  }
+
+  test("skip index incremental refresh: touched-hour rewrite equals full rebuild, dropped hour evicted") {
+    import graft.storage.SkipIndex
+    import spark.implicits._
+    val store = new SeriesStore(spark, tmp())
+    def pts(series: String, hours: Seq[Long], off: Long) =
+      hours.map(h => (series, h * 3600L + off, h.toDouble)).toDF("series", "time", "value")
+        .withColumn("tags", map(lit("host"), lit(series)))
+        .select("series", "tags", "time", "value")
+    store.append(pts("cpu", 0L to 3L, 10))
+    val mdir = tmp() + "/manifest"
+    SkipIndex.build(store, mdir)
+    // append into an existing hour (3) and a brand-new hour (4), then
+    // refresh ONLY those hours
+    store.append(pts("mem", Seq(3L, 4L), 20))
+    SkipIndex.refresh(store, mdir, Seq(3L * 3600, 4L * 3600))
+    def rows(dir: String) = SkipIndex.read(spark, dir)
+      .select("file", "hour_bucket", "min_time", "max_time", "n_rows", "bloom")
+      .collect().map(_.toSeq).toSet
+    val full = tmp() + "/manifest-full"
+    SkipIndex.build(store, full)
+    assert(rows(mdir) === rows(full), "refresh must equal a full rebuild")
+    // retention drops hour 0; refreshing it must evict its manifest rows
+    Maintenance.applyRetention(store, 3600L)
+    SkipIndex.refresh(store, mdir, Seq(0L))
+    val left = SkipIndex.read(spark, mdir).select("hour_bucket").distinct()
+      .as[Long].collect().toSet
+    assert(left === Set(3600L, 2 * 3600L, 3 * 3600L, 4 * 3600L))
+    intercept[IllegalArgumentException](
+      SkipIndex.build(new SeriesStore(spark, tmp()), tmp() + "/m2"))
   }
 }
