@@ -75,46 +75,46 @@ object SkipIndex {
   }
 
   /** Build (overwrite) the manifest for every data file in the store.
-    * Hour-partitioned like the store itself, so [[refresh]] can rewrite
-    * exactly the touched hours.
+    *
+    * Written as ONE parquet file under `manifestDir/m`: a manifest that
+    * were itself partitioned into thousands of tiny files would recreate
+    * the listing pathology it exists to kill — the probe must read it in
+    * one round-trip. O(files) rows ≈ a few hundred bytes each; even a
+    * million-file store is a ~100 MB single object.
     */
   def build(store: SeriesStore, manifestDir: String): Unit = {
     require(!store.isEmpty, s"store at ${store.root} has no flushed segments to index")
     manifestRows(store.scan())
-      .coalesce(1) // O(files) rows — a handful of manifest files total
-      .write.mode(SaveMode.Overwrite)
-      .partitionBy("hour_bucket").parquet(manifestDir)
+      .coalesce(1)
+      .write.mode(SaveMode.Overwrite).parquet(s"$manifestDir/m")
   }
 
   /** Incremental refresh after appends/compaction/retention touched
-    * `hours`: recompute those hours' rows from the store and rewrite ONLY
-    * their manifest partitions (dynamic partition overwrite — the
-    * continuousRollup pattern). An hour the store no longer has (retention
-    * drop) gets its manifest partition deleted outright, since a dynamic
-    * overwrite that writes no row leaves stale ones in place.
+    * `hours`: recompute ONLY those hours' rows from the data (the
+    * bounded scan), carry every untouched hour's rows forward from the
+    * existing manifest (a metadata-sized read), and swap the single
+    * manifest file in crash-safely (Maintenance's `_repack` rename
+    * protocol — a died-mid-swap manifest is restored by the recovery
+    * pass the next read runs). Hours the store no longer has (retention
+    * drops) simply contribute no recomputed rows.
     */
   def refresh(store: SeriesStore, manifestDir: String, hours: Seq[Long]): Unit = {
     if (hours.isEmpty) return
     val spark = store.spark
-    val rows = manifestRows(
-      store.scan().filter(col("hour_bucket").isin(hours: _*))).cache()
-    try {
-      val live = rows.select("hour_bucket").distinct()
-        .collect().map(_.getLong(0)).toSet
-      rows.coalesce(1)
-        .write.mode(SaveMode.Overwrite)
-        .option("partitionOverwriteMode", "dynamic")
-        .partitionBy("hour_bucket").parquet(manifestDir)
-      val fs = new org.apache.hadoop.fs.Path(manifestDir)
-        .getFileSystem(spark.sparkContext.hadoopConfiguration)
-      hours.filterNot(live).foreach { h =>
-        fs.delete(new org.apache.hadoop.fs.Path(s"$manifestDir/hour_bucket=$h"), true)
-      }
-    } finally rows.unpersist()
+    val kept = read(spark, manifestDir).filter(!col("hour_bucket").isin(hours: _*))
+    val fresh = manifestRows(store.scan().filter(col("hour_bucket").isin(hours: _*)))
+    val next = kept.unionByName(fresh).coalesce(1)
+    Maintenance.swapRewrite(spark, manifestDir, "m") { tmp =>
+      // `next` lazily READS the live manifest while writing to the
+      // scratch path — the swap happens only after the write succeeds
+      next.write.parquet(tmp)
+    }
   }
 
-  def read(spark: SparkSession, manifestDir: String): DataFrame =
-    spark.read.parquet(manifestDir)
+  def read(spark: SparkSession, manifestDir: String): DataFrame = {
+    Maintenance.recoverSwaps(spark, manifestDir) // heal a died-mid-swap refresh
+    spark.read.parquet(s"$manifestDir/m")
+  }
 
   /** A manifest-pruned scan plus its skipping evidence. */
   final case class SkipScan(df: DataFrame, filesRead: Int, filesTotal: Int)

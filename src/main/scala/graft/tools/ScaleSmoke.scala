@@ -361,6 +361,51 @@ object ScaleSmoke {
         a.join(b, col("sa") < col("sb")).select(col("sa"), col("sb"),
           graft.functions.ThetaSketch.intersectEstimate(col("ska"), col("skb")).as("est"))
       },
+      // r11 continuation: file-level data-skipping manifest. The store is
+      // written UNTIMED (mult× events, time-axis amplified → mult× hour
+      // partitions and files); skip_manifest times the one-pass build
+      // (stats + bloom aggregates share the scan — must track the data
+      // linearly), skip_probe times a (series, 12 h) probe against the
+      // prebuilt manifest — the serving number, which must track the
+      // FILE count, not the row count
+      timedStaged("skip_manifest") {
+        val root = s"target/smoke-tmp/skip-$mult"
+        val fs = new org.apache.hadoop.fs.Path(root)
+          .getFileSystem(spark.sparkContext.hadoopConfiguration)
+        fs.delete(new org.apache.hadoop.fs.Path(root), true) // rerun-safe
+        val store = new graft.storage.SeriesStore(spark, root)
+        store.append(ev.select(col("event_type").as("series"),
+          map(lit("user"), col("tag_user")).as("tags"),
+          col("time"), col("value")))
+      } {
+        val root = s"target/smoke-tmp/skip-$mult"
+        val store = new graft.storage.SeriesStore(spark, root)
+        graft.storage.SkipIndex.build(store, s"$root/manifest")
+        graft.storage.SkipIndex.read(spark, s"$root/manifest")
+      },
+      timedStaged("skip_probe") {
+        // self-sufficient when run with only=skip_probe: build store +
+        // manifest if this mult hasn't materialized them yet
+        val root = s"target/smoke-tmp/skip-$mult"
+        val fs = new org.apache.hadoop.fs.Path(root)
+          .getFileSystem(spark.sparkContext.hadoopConfiguration)
+        if (!fs.exists(new org.apache.hadoop.fs.Path(s"$root/manifest"))) {
+          fs.delete(new org.apache.hadoop.fs.Path(root), true)
+          val store = new graft.storage.SeriesStore(spark, root)
+          store.append(ev.select(col("event_type").as("series"),
+            map(lit("user"), col("tag_user")).as("tags"),
+            col("time"), col("value")))
+          graft.storage.SkipIndex.build(store, s"$root/manifest")
+        }
+      } {
+        val root = s"target/smoke-tmp/skip-$mult"
+        val store = new graft.storage.SeriesStore(spark, root)
+        val t0 = graft.queries.TimeSeries.T0
+        val sid = spark.range(1).select(graft.core.Functions.seriesId(
+          lit("click"), map(lit("user"), lit("3"))).as("s")).head().getLong(0)
+        graft.storage.SkipIndex.probeScan(
+          store, s"$root/manifest", t0 + 6 * 3600, t0 + 18 * 3600, sid).df
+      },
       timed("ann_self_join") {
         // √n-rule cell count with FIXED nprobe — SCALE.md's sizing math
         // (candidates/query ≈ n·nprobe/nCells = √n·nprobe, total n^1.5).
