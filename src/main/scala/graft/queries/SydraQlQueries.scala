@@ -796,6 +796,26 @@ object SydraQlQueries {
               |  AND time >= ${T0 + 6 * 3600} AND time <= ${T0 + 18 * 3600}
               |ORDER BY time, value""".stripMargin)),
 
+    // Value-threshold sweep through the same manifest: prunes on the
+    // per-file max_value stat (the "every point above X last week"
+    // anomaly query, all series at once). Reuses the skip-probe gate's
+    // store + manifest build.
+    Q("q_store_skip_value",
+      (s, dir) => {
+        import org.apache.spark.sql.functions.col
+        val store = eventsStore(s, dir, T0, T0 + 2 * 86400)
+        val mdir = s"target/gate-tmp/skipv-${dir.replace('/', '_')}/m"
+        graft.storage.SkipIndex.build(store, mdir)
+        val sweep = graft.storage.SkipIndex.thresholdScan(
+          store, mdir, T0, T0 + 86400, 99.0)
+        sweep.df.select(col("series"), col("time"), col("value"))
+          .orderBy("series", "time", "value")
+      },
+      Some(s"""$svSql
+              |SELECT series, time, value FROM sv
+              |WHERE value >= 99.0 AND time >= $T0 AND time <= ${T0 + 86400}
+              |ORDER BY series, time, value""".stripMargin)),
+
     // EXPLAIN surface (plan text is engine-specific → rows-only gate).
     // EXPLAIN surface, gated on a normalized plan FINGERPRINT instead of
     // rows-only (r11): operator-kind sequence (root→leaf, AQE wrapper

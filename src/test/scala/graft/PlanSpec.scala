@@ -592,6 +592,33 @@ class PlanSpec extends AnyFunSuite {
       s"modularity: only the one-row m-frame cross may be non-equi:\n${pm.take(1500)}")
   }
 
+  test("drift distances: only benign broadcast crosses (dim/one-row frames), no cartesian") {
+    // pairedBinCounts replicates the baseline through a broadcast cross
+    // of the GROUP DIMENSION and joins the one-row bounds frame — those
+    // are the only non-equi joins allowed; a data-sized cross would mean
+    // the shared-grid binning degenerated. Formatted explain prints each
+    // node twice (tree + details); Cross appears once per node.
+    for (q <- Seq("q_dq_wasserstein", "q_dq_jsd")) {
+      val p = plan(q)
+      assert(!p.contains("CartesianProduct"), s"$q plans a cartesian product")
+      val all = "BroadcastNestedLoopJoin".r.findAllIn(p).size
+      val cross = "BroadcastNestedLoopJoin Cross".r.findAllIn(p).size
+      assert(all == 2 * cross,
+        s"$q has a non-Cross nested-loop join (a data-sized theta join):\n${p.take(1500)}")
+    }
+  }
+
+  test("skip-index probe: the pruned read is one filtered scan, predicates pushed") {
+    for (q <- Seq("q_store_skip_probe", "q_store_skip_value")) {
+      val p = plan(q)
+      assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"),
+        s"$q: the probe must be a bare scan, got joins:\n${p.take(1200)}")
+      // residual predicates reach the parquet reader — the files that DO
+      // get read still row-group-prune inside
+      assert(p.contains("PushedFilters: ["), s"$q: no pushed filters:\n${p.take(1200)}")
+    }
+  }
+
   test("banded kNN graph: candidate generation is equi-joins only — never a pairwise scan") {
     val p = plan("q_ann_knn_graph")
     assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"),
