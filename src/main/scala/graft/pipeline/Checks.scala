@@ -151,13 +151,20 @@ object Checks {
     * bin on both engines (≤ is the boundary comparison everywhere).
     * Repeated values make bins uneven by construction — that is the
     * diagnostic, not a defect.
+    *
+    * The boundaries come from ONE percentile aggregate taking the whole
+    * fraction array — per-fraction aggregates would each buffer their
+    * own copy of the column (bins-1 full copies in flight), which is the
+    * difference between one sort's worth of memory and an OOM on a wide
+    * profile at scale.
     */
   def histogram(df: DataFrame, table: String, column: String,
       bins: Int = 8): DataFrame = {
     require(bins >= 2, "need at least 2 bins")
     val ps = (1 until bins).map(_.toDouble / bins)
-    val bounds = df.agg(array(ps.map(p =>
-      floor(percentile(col(column), lit(p)) * 1e6 + 0.5) / 1e6): _*).as("__b"))
+    val bounds = df.agg(transform(
+      percentile(col(column), array(ps.map(lit): _*)),
+      x => floor(x * 1e6 + 0.5) / 1e6).as("__b"))
     df.select(col(column)).crossJoin(broadcast(bounds))
       .select(col("__b"),
         size(filter(col("__b"), b => b <= col(column))).cast("long").as("bin"))

@@ -650,7 +650,7 @@ object Pipeline {
     "q_pl_quality_clf", "q_pl_leakage_split", "q_pl_shards",
     "q_pl_winsorize",
     // round-11 continuation
-    "q_pl_modularity")
+    "q_pl_modularity", "q_dq_wasserstein", "q_dq_jsd")
 
   def qs: Seq[Q] = {
     val all = raw.map(q => if (ExtraBench(q.name)) q.copy(benchExtra = true) else q)
