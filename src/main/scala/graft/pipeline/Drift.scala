@@ -78,8 +78,12 @@ object Drift {
     require(pLo >= 0 && pHi <= 1 && pLo < pHi, s"bad percentile band [$pLo, $pHi]")
     val v = col(valCol).cast("double")
     val r6 = (c: org.apache.spark.sql.Column) => floor(c * 1e6 + 0.5) / 1e6
+    // one array-fraction percentile: two separate aggs would each buffer
+    // a full copy of the group's values (the q_dq_histogram lesson)
     val cuts = df.groupBy(col(grpCol))
-      .agg(r6(percentile(v, lit(pLo))).as("__lo"), r6(percentile(v, lit(pHi))).as("__hi"))
+      .agg(percentile(v, array(lit(pLo), lit(pHi))).as("__q"))
+      .select(col(grpCol), r6(element_at(col("__q"), 1)).as("__lo"),
+        r6(element_at(col("__q"), 2)).as("__hi"))
     df.join(cuts, grpCol)
       .withColumn("__w", least(greatest(v, col("__lo")), col("__hi")))
       .groupBy(col(grpCol))

@@ -475,9 +475,13 @@ object TextAnalysis {
   def perplexityBuckets(scored: DataFrame,
       scoreCol: String = "surprisal"): DataFrame = {
     val s = col(scoreCol)
-    val th = scored.agg(
-      (floor(percentile(s, lit(1.0 / 3)) * 1e4 + 0.5) / 1e4).as("__t1"),
-      (floor(percentile(s, lit(2.0 / 3)) * 1e4 + 0.5) / 1e4).as("__t2"))
+    // one array-fraction percentile: two separate aggs would each buffer
+    // a full copy of the score column (the q_dq_histogram lesson)
+    val th = scored
+      .agg(transform(percentile(s, array(lit(1.0 / 3), lit(2.0 / 3))),
+        x => floor(x * 1e4 + 0.5) / 1e4).as("__t"))
+      .select(element_at(col("__t"), 1).as("__t1"),
+        element_at(col("__t"), 2).as("__t2"))
     scored.crossJoin(broadcast(th))
       .withColumn("ppl_bucket",
         when(s.isNull, "empty")

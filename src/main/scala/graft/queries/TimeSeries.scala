@@ -44,6 +44,24 @@ object TimeSeries {
       (col("ts") / lit(1000000000L)).cast("long").as("time"),
       col("value"))
 
+  /** Exact per-series quantile windows + exact p50 for the sketch
+    * error-bound gates (q_ts_percentile_approx / q_ts_tdigest) — ONE
+    * array-fraction percentile aggregate: per-fraction aggregates each
+    * buffer their own copy of the group's values (the q_dq_histogram
+    * lesson; this frame previously held 7 copies).
+    */
+  private def sketchBounds(sv: DataFrame): DataFrame =
+    sv.groupBy(col("series"))
+      .agg(percentile(col("value"), array(lit(0.45), lit(0.55), lit(0.90),
+          lit(1.0), lit(0.94), lit(0.5))).as("__q"),
+        count(lit(1)).as("n"))
+      .select(col("series"),
+        element_at(col("__q"), 1).as("lo50"), element_at(col("__q"), 2).as("hi50"),
+        element_at(col("__q"), 3).as("lo95"), element_at(col("__q"), 4).as("hi95"),
+        element_at(col("__q"), 5).as("lo99"), element_at(col("__q"), 4).as("hi99"),
+        (floor(element_at(col("__q"), 6) * 1e4 + 0.5) / 1e4).as("p50_exact"),
+        col("n"))
+
   private val svSql =
     """WITH sv AS (
       |  SELECT event_id, event_type AS series,
@@ -126,15 +144,19 @@ object TimeSeries {
               |GROUP BY series, day ORDER BY series, day""".stripMargin)),
 
     // exact interpolated percentile (functions.zig:253-262; exact, not
-    // approx, for oracle parity — percentile_approx is the 100 TB path)
+    // approx, for oracle parity — percentile_approx is the 100 TB path).
+    // ONE array-fraction aggregate: per-fraction percentile aggs each
+    // buffer their own copy of the group's values (the q_dq_histogram
+    // lesson — 3 copies here for no reason)
     Q("q_ts_percentile",
       (s, dir) =>
         ev(s, dir).filter(col("time") >= T0 && col("time") < T1)
           .groupBy(col("series"))
-          .agg(
-            (floor((percentile(col("value"), lit(0.5))) * 1e4 + 0.5) / 1e4).as("p50"),
-            (floor((percentile(col("value"), lit(0.95))) * 1e4 + 0.5) / 1e4).as("p95"),
-            (floor((percentile(col("value"), lit(0.99))) * 1e4 + 0.5) / 1e4).as("p99"))
+          .agg(transform(
+            percentile(col("value"), array(lit(0.5), lit(0.95), lit(0.99))),
+            x => floor(x * 1e4 + 0.5) / 1e4).as("__p"))
+          .select(col("series"), element_at(col("__p"), 1).as("p50"),
+            element_at(col("__p"), 2).as("p95"), element_at(col("__p"), 3).as("p99"))
           .orderBy(col("series")),
       Some(s"""$svSql
               |SELECT series,
@@ -159,19 +181,11 @@ object TimeSeries {
     // excludes the exact element itself. Exact p50 rides the hash so the
     // row content is data-derived, not constant.
     Q("q_ts_percentile_approx",
+      // (bound frame shared with q_ts_tdigest via sketchBounds below)
       (s, dir) => {
         val sv = Tables.seriesView(s, dir).filter(col("time") >= T0 && col("time") < T1)
         val a = graft.functions.Approx.seriesQuantiles(sv)
-        val bounds = sv.groupBy(col("series")).agg(
-          percentile(col("value"), lit(0.45)).as("lo50"),
-          percentile(col("value"), lit(0.55)).as("hi50"),
-          percentile(col("value"), lit(0.90)).as("lo95"),
-          percentile(col("value"), lit(1.0)).as("hi95"),
-          percentile(col("value"), lit(0.94)).as("lo99"),
-          percentile(col("value"), lit(1.0)).as("hi99"),
-          (floor((percentile(col("value"), lit(0.5))) * 1e4 + 0.5) / 1e4).as("p50_exact"),
-          count(lit(1)).as("n"))
-        a.join(bounds, "series").select(col("series"), col("n"), col("p50_exact"),
+        a.join(sketchBounds(sv), "series").select(col("series"), col("n"), col("p50_exact"),
             (col("p50") >= col("lo50") && col("p50") <= col("hi50")).as("p50_ok"),
             (col("p95") >= col("lo95") && col("p95") <= col("hi95")).as("p95_ok"),
             (col("p99") >= col("lo99") && col("p99") <= col("hi99")).as("p99_ok"))
@@ -207,16 +221,7 @@ object TimeSeries {
             graft.functions.TDigest.quantileOf(col("td"), 0.5).as("p50"),
             graft.functions.TDigest.quantileOf(col("td"), 0.95).as("p95"),
             graft.functions.TDigest.quantileOf(col("td"), 0.99).as("p99"))
-        val bounds = sv.groupBy(col("series")).agg(
-          percentile(col("value"), lit(0.45)).as("lo50"),
-          percentile(col("value"), lit(0.55)).as("hi50"),
-          percentile(col("value"), lit(0.90)).as("lo95"),
-          percentile(col("value"), lit(1.0)).as("hi95"),
-          percentile(col("value"), lit(0.94)).as("lo99"),
-          percentile(col("value"), lit(1.0)).as("hi99"),
-          (floor((percentile(col("value"), lit(0.5))) * 1e4 + 0.5) / 1e4).as("p50_exact"),
-          count(lit(1)).as("n"))
-        merged.join(bounds, "series").select(col("series"), col("n"), col("p50_exact"),
+        merged.join(sketchBounds(sv), "series").select(col("series"), col("n"), col("p50_exact"),
             (col("p50") >= col("lo50") && col("p50") <= col("hi50")).as("p50_ok"),
             (col("p95") >= col("lo95") && col("p95") <= col("hi95")).as("p95_ok"),
             (col("p99") >= col("lo99") && col("p99") <= col("hi99")).as("p99_ok"))
