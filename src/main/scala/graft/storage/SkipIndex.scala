@@ -26,10 +26,10 @@ import org.apache.spark.sql.functions._
   *
   * Scale shape: the build is one pass over the data (two aggregates that
   * share the scan: per-file stats, and per-(file, distinct series)
-  * bit-position OR); the manifest is O(files) rows. Incremental refresh
-  * composes with compaction the same way the BM25 index's changed-bucket
-  * rewrite does — rebuild is cheap enough per hour partition that the
-  * gate uses full rebuild.
+  * bit-position OR); the manifest is O(files) rows. [[refresh]] keeps it
+  * incremental after appends/compaction/retention: recompute the touched
+  * hours from data, carry the rest forward from the old manifest, swap
+  * crash-safely.
   *
   * Reference: file-stat pruning generalizes the segment store's
   * TimeBounds skip (`/root/reference/src/sydra/query/physical.zig:138-264`)
