@@ -1641,10 +1641,16 @@ object StreamOps {
     * baseline grid clamp into the edge bins (live data CAN leave the
     * historical range — that mass showing up at an edge is itself drift).
     *
+    * Emits BOTH distances of the batch drift surface: `jsd` (bounded
+    * [0,1], thresholdable uniformly) and `w1` (earth mover's — how FAR
+    * the mass moved, in value units; the one that keeps growing as a
+    * shifted distribution drifts further). Both are scalar expressions
+    * over the same count row — the second distance costs no state.
+    *
     * Determinism: counts are exact, baseline probs are literals, and the
-    * final 1e-4 round follows the q_ts_psi / q_dq_jsd precedent — so
-    * closed rows are reproducible across micro-batch splits (the
-    * StreamingSpec contract).
+    * final rounds (1e-4 for jsd per the q_ts_psi / q_dq_jsd precedent,
+    * 1e-6 for w1 per q_dq_wasserstein) make closed rows reproducible
+    * across micro-batch splits (the StreamingSpec contract).
     */
   def driftWindow(
       points: DataFrame,
@@ -1674,7 +1680,15 @@ object StreamOps {
       when(col(s"c$b") > 0L, p * log(p / m)).otherwise(lit(0.0)) * 0.5 +
         (if (baseline(b) > 0.0) q * log(q / m) * 0.5 else lit(0.0))
     }.reduce(_ + _)
+    // W1 over the same row: |CDF gap| summed bin by bin, cumulative
+    // counts folded left-to-right (index order — the spec mirrors it)
+    val w1 = (0 until bins - 1).map { b =>
+      val cum = (0 to b).map(i => col(s"c$i")).reduce(_ + _)
+      val qcum = baseline.take(b + 1).sum
+      abs(cum / col("n") - qcum)
+    }.reduce(_ + _) * width
     agg.select(col("series"), col("w.start").cast("long").as("window"), col("n"),
-      (floor(term / math.log(2.0) * 1e4 + 0.5) / 1e4).as("jsd"))
+      (floor(term / math.log(2.0) * 1e4 + 0.5) / 1e4).as("jsd"),
+      (floor(w1 * 1e6 + 0.5) / 1e6).as("w1"))
   }
 }

@@ -1199,8 +1199,8 @@ class StreamingSpec extends AnyFunSuite {
       (s, 87000L + w * 1000L + (i % 900), v)
     }).sortBy(_._2).toVector
     // mirrored batch computation: same clamp-binning, same fold order,
-    // same 1e-4 round — closed streaming rows must equal this EXACTLY
-    def jsdOf(vals: Seq[Double]): Double = {
+    // same rounds — closed streaming rows must equal this EXACTLY
+    def distOf(vals: Seq[Double]): (Double, Double) = {
       val width = (hi - lo) / bins
       val c = Array.fill(bins)(0L)
       vals.foreach { v =>
@@ -1211,10 +1211,15 @@ class StreamingSpec extends AnyFunSuite {
         (if (c(i) > 0) p * math.log(p / m) else 0.0) * 0.5 +
           (if (q > 0) q * math.log(q / m) * 0.5 else 0.0)
       }.reduce(_ + _)
-      math.floor(t / math.log(2.0) * 1e4 + 0.5) / 1e4
+      val w = (0 until bins - 1).map { b =>
+        math.abs((0 to b).map(c(_)).sum / n - baseline.take(b + 1).sum)
+      }.reduce(_ + _) * width
+      (math.floor(t / math.log(2.0) * 1e4 + 0.5) / 1e4,
+        math.floor(w * 1e6 + 0.5) / 1e6)
     }
     val exact = pts.groupBy(p => (p._1, p._2 - p._2 % 1000L)).map { case (k, es) =>
-      (k._1, k._2, es.size.toLong, jsdOf(es.map(_._3))) }.toSet
+      val (j, w) = distOf(es.map(_._3))
+      (k._1, k._2, es.size.toLong, j, w) }.toSet
     def run(tag: String, batches: Seq[Seq[(String, Long, Double)]]) = {
       val ms = MemoryStream[(String, Long, Double)]
       val f = StreamOps.driftWindow(ms.toDF().toDF("series", "time", "value"),
@@ -1224,17 +1229,20 @@ class StreamingSpec extends AnyFunSuite {
       try {
         batches.foreach { bt => ms.addData(bt); q.processAllAvailable() }
         ms.addData(Seq(("wmpush", 10 * b, 0.0))); q.processAllAvailable()
-        spark.sql(s"select series, window, n, jsd from $tag where window < ${10 * b - 1000}")
-          .as[(String, Long, Long, Double)].collect().toSet
+        spark.sql(s"select series, window, n, jsd, w1 from $tag where window < ${10 * b - 1000}")
+          .as[(String, Long, Long, Double, Double)].collect().toSet
       } finally q.stop()
     }
     val one = run("drift_onebatch", Seq(pts))
     assert(one === exact)
     assert(run("drift_stagger", pts.grouped(140).toSeq) === exact)
     // the drifted (series, window) must alarm well above the in-dist ones
-    val byKey = one.map(r => (r._1, r._2) -> r._4).toMap
-    assert(byKey(("drift_b", 88000L)) > 0.5, "drifted window must alarm")
-    assert(byKey(("drift_a", 87000L)) < 0.1, "in-distribution window must not")
+    // on BOTH distances (w1 in value units: mass moved ~60 of 100)
+    val byKey = one.map(r => (r._1, r._2) -> (r._4, r._5)).toMap
+    assert(byKey(("drift_b", 88000L))._1 > 0.5, "drifted window must alarm (jsd)")
+    assert(byKey(("drift_b", 88000L))._2 > 30.0, "drifted window must alarm (w1)")
+    assert(byKey(("drift_a", 87000L))._1 < 0.1, "in-distribution window must not (jsd)")
+    assert(byKey(("drift_a", 87000L))._2 < 10.0, "in-distribution window must not (w1)")
     intercept[IllegalArgumentException](
       StreamOps.driftWindow(pts.toDF("series", "time", "value"), 1000L,
         lo, hi, bins, Seq(0.5, 0.5)))
