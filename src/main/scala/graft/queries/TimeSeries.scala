@@ -968,6 +968,49 @@ object TimeSeries {
               |FROM m ORDER BY tag_user, lag""".stripMargin),
       benchExtra = true),
 
+    // Autocorrelation function: each series' hourly means against their
+    // OWN past at lags 0..4 — seasonality/persistence detection (the
+    // ACF spike at lag 24 is how a daily cycle announces itself). Pure
+    // composition: crossCorrelation with x = y restricted to non-negative
+    // lags; the bucket-sized frame carries the lag self-equi-join, so
+    // cost is buckets × lags regardless of raw point count.
+    Q("q_ts_acf",
+      (s, dir) => {
+        val b = ev(s, dir).filter(col("time") >= T0 && col("time") < T1)
+          .groupBy(col("series"), F.timeBucket(lit(3600), col("time")).as("bucket"))
+          .agg((floor(avg(col("value")) * 1e4 + 0.5) / 1e4).as("x"))
+        graft.operators.Trend.crossCorrelation(b, Seq("series"), "bucket",
+            "x", "x", 3600L, maxLag = 4)
+          .filter(col("lag") >= 0L)
+          .select(col("series"), col("lag"), col("n"),
+            (floor(col("corr") * 1e4 + 0.5) / 1e4).as("acf"))
+          .orderBy("series", "lag")
+      },
+      Some(s"""$svSql,
+              |b AS (
+              |  SELECT series, CAST(floor(time / 3600.0) AS BIGINT) * 3600 AS bucket,
+              |         floor(avg(value) * 1e4 + 0.5) / 1e4 AS x
+              |  FROM sv WHERE time >= $T0 AND time < $T1
+              |  GROUP BY series, bucket
+              |),
+              |lags AS (SELECT unnest(generate_series(-4, 4)) AS lag),
+              |p AS (
+              |  SELECT bx.series, l.lag, bx.x, by.x AS y
+              |  FROM b bx JOIN lags l ON true
+              |  JOIN b by ON by.series = bx.series
+              |           AND by.bucket = bx.bucket + l.lag * 3600
+              |),
+              |m AS (
+              |  SELECT series, lag, count(*) AS n, sum(x) AS sx, sum(y) AS sy,
+              |         sum(x*x) AS sxx, sum(y*y) AS syy, sum(x*y) AS sxy
+              |  FROM p GROUP BY 1, 2
+              |)
+              |SELECT series, lag, n,
+              |       floor(CASE WHEN n >= 2 AND n*sxx - sx*sx > 0 AND n*syy - sy*sy > 0
+              |                  THEN (n*sxy - sx*sy) / sqrt((n*sxx - sx*sx) * (n*syy - sy*sy))
+              |             END * 1e4 + 0.5) / 1e4 AS acf
+              |FROM m WHERE lag >= 0 ORDER BY series, lag""".stripMargin)),
+
     // Alert expressions (the reference's language-goal item): hourly avg
     // above 50 for >= 3 consecutive hours per series — firing episodes
     // via the integer gaps-and-islands identity, condition on rounded
