@@ -276,4 +276,75 @@ object Trend {
         (element_at(col("__st"), 1) + element_at(col("__st"), 2) +
           element_at(col("__st"), 3)).as("forecast")): _*)
   }
+
+  /** Classical additive seasonal decomposition per key group:
+    * value = trend + seasonal + remainder over a `step`-spaced bucket
+    * frame with known `period` — the "is this a daily cycle or a real
+    * shift?" separator (STL's non-iterated ancestor; Holt-Winters above
+    * is its forecasting sibling).
+    *
+    *  - trend: centered moving average over ROWS (the standard 2×m MA
+    *    when `period` is even — half-weight endpoints; plain m-MA when
+    *    odd). Emitted only where the full window exists (interior rows).
+    *    Row-based frames mean identical output on any engine even
+    *    through bucket gaps; run [[graft.operators.Fill]] first when
+    *    strict calendar alignment through gaps is required (the
+    *    holtWinters stance).
+    *  - seasonal: per-phase mean of the detrended series, centered to
+    *    sum to zero across observed phases.
+    *  - remainder: what's left — the anomaly channel.
+    *
+    * Determinism discipline: `valCol` lifts to integer 1e-4 units, so
+    * the windowed trend sum and the per-phase detrended sums are EXACT
+    * integer arithmetic at any parallelism (2m·1e4·(v−trend) is a pure
+    * integer identity); each becomes a double through one division by a
+    * constant. The only float fold is the m-term phase-mean, pinned to
+    * phase order (Scala/Spark left fold ≡ DuckDB list_reduce over
+    * list(s ORDER BY phase)). Outputs rounded 1e-4.
+    *
+    * Scale shape: two row windows + lag/lead on the bucket frame
+    * (buckets ≪ points), one (keys, phase) aggregate (m rows per key), a
+    * broadcast-sized join back. No pass ever touches raw points — the
+    * caller's bucketing aggregate is the only data-sized work.
+    */
+  def decompose(df: DataFrame, keys: Seq[String], bucketCol: String,
+      valCol: String, step: Long, period: Int): DataFrame = {
+    require(period >= 2, "seasonal period must be >= 2")
+    require(step > 0, "step must be positive")
+    val kc = keys.map(col)
+    val h = period / 2
+    val even = period % 2 == 0
+    val span = if (even) period + 1 else period
+    val ow = Window.partitionBy(kc: _*).orderBy(col("__b"))
+    val w = ow.rowsBetween(-h, h)
+    val base = df.select(kc ++ Seq(col(bucketCol).cast("long").as("__b"),
+      floor(col(valCol) * 1e4 + 0.5).cast("long").as("__v4")): _*)
+    // __t2 = 2m·1e4·trend, exact integer
+    val t2 =
+      if (even) sum(col("__v4")).over(w) * 2 - lag(col("__v4"), h).over(ow) -
+        lead(col("__v4"), h).over(ow)
+      else sum(col("__v4")).over(w) * 2
+    val det = base
+      .withColumn("__cnt", count(lit(1)).over(w))
+      .withColumn("__t2", t2)
+      .filter(col("__cnt") === span && col("__t2").isNotNull)
+      .withColumn("__phase", pmod((col("__b") / step).cast("long"), lit(period.toLong)))
+      .withColumn("__d", lit(2L * period) * col("__v4") - col("__t2"))
+    val denom = 2L * period * 10000L
+    val sp = det.groupBy(kc :+ col("__phase"): _*)
+      .agg(sum(col("__d")).as("__T"), count(lit(1)).as("__C"))
+      .withColumn("__s", col("__T") / (col("__C") * lit(denom)))
+    val meanS = sp.groupBy(kc: _*)
+      .agg((aggregate(array_sort(collect_list(struct(col("__phase"), col("__s")))),
+        lit(0.0), (acc, x) => acc + x.getField("__s")) / count(lit(1))).as("__smean"))
+    val r4 = (c: Column) => floor(c * 1e4 + 0.5) / 1e4
+    det.join(sp.join(meanS, keys).select(kc ++ Seq(col("__phase"),
+        (col("__s") - col("__smean")).as("__c")): _*), keys :+ "__phase")
+      .select(kc ++ Seq(col("__b").as(bucketCol),
+        (col("__v4") / lit(10000L)).as(valCol),
+        r4(col("__t2") / lit(denom)).as("trend"),
+        r4(col("__c")).as("seasonal"),
+        r4(col("__v4") / lit(10000L) - col("__t2") / lit(denom) - col("__c"))
+          .as("remainder")): _*)
+  }
 }

@@ -1011,6 +1011,61 @@ object TimeSeries {
               |             END * 1e4 + 0.5) / 1e4 AS acf
               |FROM m WHERE lag >= 0 ORDER BY series, lag""".stripMargin)),
 
+    // Classical additive seasonal decomposition of the hourly series
+    // means, period 24: value = trend (2×24 centered MA) + seasonal
+    // (centered phase means) + remainder. Integer-exact except the
+    // pinned-fold 24-term phase mean (Trend.decompose scaladoc).
+    Q("q_ts_decompose",
+      (s, dir) => {
+        val b = ev(s, dir).filter(col("time") >= T0 && col("time") < T1)
+          .groupBy(col("series"), F.timeBucket(lit(3600), col("time")).as("bucket"))
+          .agg((floor(avg(col("value")) * 1e4 + 0.5) / 1e4).as("v"))
+        graft.operators.Trend.decompose(b, Seq("series"), "bucket", "v",
+            step = 3600L, period = 24)
+          .orderBy("series", "bucket")
+      },
+      Some(s"""$svSql,
+              |b AS (
+              |  SELECT series, CAST(floor(time / 3600.0) AS BIGINT) * 3600 AS bucket,
+              |         CAST(floor(avg(value) * 1e4 + 0.5) AS BIGINT) AS v4
+              |  FROM sv WHERE time >= $T0 AND time < $T1
+              |  GROUP BY series, bucket
+              |),
+              |t AS (
+              |  SELECT series, bucket, v4, count(*) OVER w AS cnt,
+              |         2 * sum(v4) OVER w - lag(v4, 12) OVER ow
+              |           - lead(v4, 12) OVER ow AS t2
+              |  FROM b
+              |  WINDOW ow AS (PARTITION BY series ORDER BY bucket),
+              |         w AS (PARTITION BY series ORDER BY bucket
+              |               ROWS BETWEEN 12 PRECEDING AND 12 FOLLOWING)
+              |),
+              |det AS (
+              |  SELECT series, bucket, v4, t2,
+              |         ((bucket // 3600) % 24 + 24) % 24 AS phase,
+              |         48 * v4 - t2 AS d
+              |  FROM t WHERE cnt = 25 AND t2 IS NOT NULL
+              |),
+              |sps AS (
+              |  SELECT series, phase,
+              |         sum(d) / (count(*) * 480000) AS sv
+              |  FROM det GROUP BY 1, 2
+              |),
+              |mn AS (
+              |  SELECT series,
+              |         list_reduce(list(sv ORDER BY phase), (x, y) -> x + y)
+              |           / count(*) AS smean
+              |  FROM sps GROUP BY 1
+              |),
+              |cs AS (SELECT sps.series, phase, sv - smean AS c
+              |       FROM sps JOIN mn ON sps.series = mn.series)
+              |SELECT det.series, bucket, v4 / 10000 AS v,
+              |       floor(t2 / 480000 * 1e4 + 0.5) / 1e4 AS trend,
+              |       floor(c * 1e4 + 0.5) / 1e4 AS seasonal,
+              |       floor((v4 / 10000 - t2 / 480000 - c) * 1e4 + 0.5) / 1e4 AS remainder
+              |FROM det JOIN cs ON det.series = cs.series AND det.phase = cs.phase
+              |ORDER BY det.series, bucket""".stripMargin)),
+
     // Alert expressions (the reference's language-goal item): hourly avg
     // above 50 for >= 3 consecutive hours per series — firing episodes
     // via the integer gaps-and-islands identity, condition on rounded

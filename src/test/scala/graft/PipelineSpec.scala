@@ -1392,6 +1392,40 @@ class PipelineSpec extends AnyFunSuite {
     assert(got === ref, "HOF fold must be bit-equal to the sequential reference")
   }
 
+  test("decompose: recovers a planted linear trend + zero-mean seasonal exactly") {
+    import graft.operators.Trend
+    // v_i = 10 + 0.1*i + s(i % 4), s = (+2, -1, -2, +1) zero-mean:
+    // the 2x4 centered MA of a linear signal IS the line, and the MA of a
+    // period-4 zero-mean seasonal is 0 — so trend/seasonal/remainder are
+    // analytically exact (everything lands on the 1e-4 integer grid)
+    val s = Array(2.0, -1.0, -2.0, 1.0)
+    val pts = (0 until 40).map { i =>
+      ("sig", i * 3600L, 10.0 + 0.1 * i + s(i % 4))
+    }.toDF("series", "bucket", "v")
+    val got = Trend.decompose(pts, Seq("series"), "bucket", "v",
+        step = 3600L, period = 4)
+      .select("bucket", "v", "trend", "seasonal", "remainder")
+      .as[(Long, Double, Double, Double, Double)].collect().sortBy(_._1)
+    // interior rows only: i = 2 .. 37 (full +-2 window)
+    assert(got.length === 36 && got.head._1 === 2 * 3600L)
+    got.foreach { case (b, v, t, se, r) =>
+      val i = (b / 3600L).toInt
+      assert(v === math.floor((10.0 + 0.1 * i + s(i % 4)) * 1e4 + 0.5) / 1e4)
+      assert(t === math.floor((10.0 + 0.1 * i) * 1e4 + 0.5) / 1e4,
+        s"trend at i=$i: $t")
+      assert(se === s(i % 4), s"seasonal at i=$i: $se")
+      assert(r === 0.0, s"remainder at i=$i: $r")
+    }
+    // odd period: plain m-MA path also recovers a constant exactly
+    val const = (0 until 15).map(i => ("c", i * 10L, 7.5)).toDF("series", "bucket", "v")
+    val oc = Trend.decompose(const, Seq("series"), "bucket", "v", 10L, 5)
+      .select("trend", "seasonal", "remainder")
+      .as[(Double, Double, Double)].collect()
+    assert(oc.nonEmpty && oc.forall(x => x._1 === 7.5 && x._2 === 0.0 && x._3 === 0.0))
+    intercept[IllegalArgumentException](
+      Trend.decompose(const, Seq("series"), "bucket", "v", 10L, 1))
+  }
+
   test("cmsEstimate: one-sided error bound on every probe; exact at saturating width") {
     import graft.pipeline.TextAnalysis
     val d = docs.limit(60)
