@@ -628,6 +628,45 @@ object SydraQlQueries {
               |FROM sv WHERE time >= $T0 AND time < ${T0 + 2 * 86400}
               |GROUP BY 1, 2 ORDER BY series, bucket""".stripMargin)),
 
+    // Rollup HIERARCHY exactness (the continuousRollup scaladoc's claim
+    // that coarser re-rollups stay exact by re-summing partials): the
+    // DAY tier is derived purely from the HOUR rollup's mergeable
+    // partials — the raw points are never re-read — and the oracle
+    // aggregates the raw data straight to days. Equality pins that the
+    // hour tier loses nothing a day tier needs (the sum/n/min/max
+    // algebra is associative end to end).
+    Q("q_store_rollup_day",
+      (s, dir) => {
+        import org.apache.spark.sql.functions.{col, lit, map}
+        val tmp = java.nio.file.Files.createTempDirectory("graft-gate-rollday").toString
+        val store = new graft.storage.SeriesStore(s, tmp + "/store")
+        store.append(Tables.events(s, dir).select(
+            col("event_type").as("series"),
+            map(lit("user"), (col("user_id") % 8).cast("string")).as("tags"),
+            (col("ts") / lit(1000000000L)).cast("long").as("time"),
+            col("value"))
+          .filter(col("time") >= T0 && col("time") < T0 + 3 * 86400))
+        val rollDir = tmp + "/agg"
+        graft.storage.Maintenance.continuousRollup(store, rollDir)
+        graft.storage.Maintenance.readRollup(s, rollDir)
+          .groupBy(col("series"),
+            (col("bucket") - pmod(col("bucket"), lit(86400L))).as("day"))
+          .agg(
+            (floor(sum(col("sum_v")) * 1e4 + 0.5) / 1e4).as("sum_v"),
+            sum(col("n")).as("n"),
+            (floor(min(col("min_v")) * 1e4 + 0.5) / 1e4).as("min_v"),
+            (floor(max(col("max_v")) * 1e4 + 0.5) / 1e4).as("max_v"))
+          .orderBy("series", "day")
+      },
+      Some(s"""$svSql
+              |SELECT series, time - time % 86400 AS day,
+              |       floor(sum(value) * 1e4 + 0.5) / 1e4 AS sum_v,
+              |       count(*) AS n,
+              |       floor(min(value) * 1e4 + 0.5) / 1e4 AS min_v,
+              |       floor(max(value) * 1e4 + 0.5) / 1e4 AS max_v
+              |FROM sv WHERE time >= $T0 AND time < ${T0 + 3 * 86400}
+              |GROUP BY 1, 2 ORDER BY series, day""".stripMargin)),
+
     // Z-order clustered layout: events written sorted by the Morton key of
     // (user_id, time), then queried with BOTH predicates. The oracle runs
     // on the raw parquet — the gate pins that clustering is a pure layout

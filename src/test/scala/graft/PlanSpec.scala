@@ -575,7 +575,10 @@ class PlanSpec extends AnyFunSuite {
     // node-keyed; the sketch sliding windows use the temporal stencil
     // explode + equi-join (a range join here would BNLJ)
     for (q <- Seq("q_tpch_q21", "q_tpch_q12",
-        "q_ts_rolling_p95", "q_ts_rolling_ndv", "q_ts_tdigest")) {
+        "q_ts_rolling_p95", "q_ts_rolling_ndv", "q_ts_tdigest",
+        // late r11: the ACF lag expansion and the decomposition's
+        // phase/mean joins must stay equi-joins
+        "q_ts_acf", "q_ts_decompose")) {
       val p = plan(q)
       assert(!p.contains("BroadcastNestedLoopJoin"), s"$q plans a nested-loop join")
       assert(!p.contains("CartesianProduct"), s"$q plans a cartesian product")
