@@ -175,6 +175,44 @@ object Checks {
         col("n"))
   }
 
+  /** [[histogram]] for a WHOLE profile: all `columns` in ONE percentile
+    * aggregate (one buffer per column, side by side) and ONE binning
+    * scan (the per-column (bin, count) pairs ride a single explode) —
+    * profiling k columns costs the same two passes over STORAGE as
+    * profiling one. Output rows are identical to unioning per-column
+    * [[histogram]] calls (PipelineSpec pins it).
+    *
+    * When to use which: per-column [[histogram]] wins when scans are
+    * CPU-bound (small/cached data — the explode's k× row amplification
+    * costs more than the extra cheap passes; measured 3.5 vs 5.1 s at
+    * the sf0.1 gate), this one wins when scans are storage-bound (the
+    * 100 TB profile: k extra table reads dwarf any CPU).
+    */
+  def histogramMulti(df: DataFrame, table: String, columns: Seq[String],
+      bins: Int = 8): DataFrame = {
+    require(bins >= 2, "need at least 2 bins")
+    require(columns.nonEmpty, "need at least one column")
+    val ps = (1 until bins).map(_.toDouble / bins)
+    val bounds = df.agg(
+      transform(percentile(col(columns.head), array(ps.map(lit): _*)),
+        x => floor(x * 1e6 + 0.5) / 1e6).as(s"__b_${columns.head}"),
+      columns.tail.map(c =>
+        transform(percentile(col(c), array(ps.map(lit): _*)),
+          x => floor(x * 1e6 + 0.5) / 1e6).as(s"__b_$c")): _*)
+    df.select(columns.map(col): _*).crossJoin(broadcast(bounds))
+      .select(explode(array(columns.map(c => struct(
+        lit(s"$table.$c").as("target"),
+        col(s"__b_$c").as("__b"),
+        size(filter(col(s"__b_$c"), b => b <= col(c))).cast("long").as("bin"))): _*))
+        .as("__e"))
+      .select(col("__e.target"), col("__e.__b"), col("__e.bin"))
+      .groupBy(col("target"), col("bin"))
+      .agg(first(col("__b")).as("__b"), count(lit(1)).as("n"))
+      .select(col("target"), col("bin"),
+        when(col("bin") >= 1, element_at(col("__b"), col("bin").cast("int"))).as("lo"),
+        col("n"))
+  }
+
   def joinEstimate(left: DataFrame, leftKey: String,
       right: DataFrame, rightKey: String, label: String): DataFrame = {
     val lc = left.groupBy(col(leftKey).as("__k")).agg(count(lit(1)).as("__cl"))

@@ -410,6 +410,18 @@ class PipelineSpec extends AnyFunSuite {
     assert(present === 1000L, "bloom filters never have false negatives")
   }
 
+  test("histogramMulti equals unioned per-column histograms") {
+    import graft.pipeline.Checks
+    val df = docs.select(col("n_chars"), (col("n_chars") % 97).as("m97"))
+    val single = Checks.histogram(df, "t", "n_chars", bins = 8)
+      .unionByName(Checks.histogram(df, "t", "m97", bins = 8))
+      .collect().map(_.toSeq).toSet
+    val multi = Checks.histogramMulti(df, "t", Seq("n_chars", "m97"), bins = 8)
+      .collect().map(_.toSeq).toSet
+    assert(multi === single)
+    intercept[IllegalArgumentException](Checks.histogramMulti(df, "t", Seq.empty))
+  }
+
   test("KS statistic is bounded in [0,1] and exactly 0 for identical distributions") {
     val r = graft.pipeline.Drift.ksTest(docs, "lang", "n_chars", "en")
       .select("grp", "ks").as[(String, Double)].collect()
