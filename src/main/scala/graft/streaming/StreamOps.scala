@@ -1563,6 +1563,46 @@ object StreamOps {
       }
       .start()
 
+  /** Streaming maintenance of the data-skipping manifest
+    * ([[graft.storage.SkipIndex]]): per micro-batch of points, append
+    * them to the store and refresh EXACTLY the touched hours' manifest
+    * rows (first batch builds the manifest). The ingest-side half of the
+    * skip tier: probes stay one-metadata-read fast while the store
+    * grows, without ever rebuilding the manifest from the full store.
+    *
+    * Cost per trigger ∝ batch size (the append + the touched hours'
+    * recompute) + one metadata-sized manifest carry-forward. Same
+    * delivery contract as [[indexMaintenance]] (replay-guard sidecar
+    * next to the manifest; crash mid-body requires a rebuild);
+    * StreamingSpec pins maintained-manifest ≡ full rebuild of the final
+    * store, plus replayed-batch idempotence.
+    */
+  def skipIndexMaintenance(points: DataFrame, storeRoot: String,
+      manifestDir: String, checkpoint: String,
+      trigger: org.apache.spark.sql.streaming.Trigger =
+        org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      : org.apache.spark.sql.streaming.StreamingQuery =
+    points.writeStream
+      .option("checkpointLocation", checkpoint)
+      .trigger(trigger)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        withReplayGuard(manifestDir, batchId, batch) { b =>
+          val spark = b.sparkSession
+          val store = new graft.storage.SeriesStore(spark, storeRoot)
+          store.append(b.select("series", "tags", "time", "value"))
+          // touched hours: metadata-sized (bounded by the batch's span)
+          val hours = b.select(
+              (col("time") - pmod(col("time"), lit(3600L))).as("h"))
+            .distinct().collect().map(_.getLong(0)).toSeq
+          val fs = new org.apache.hadoop.fs.Path(s"$manifestDir/m")
+            .getFileSystem(spark.sessionState.newHadoopConf())
+          if (fs.exists(new org.apache.hadoop.fs.Path(s"$manifestDir/m")))
+            graft.storage.SkipIndex.refresh(store, manifestDir, hours)
+          else graft.storage.SkipIndex.build(store, manifestDir)
+        }
+      }
+      .start()
+
   /** Streaming windowed distinct-user counts — the live twin of the HLL
     * rollup tier (`q_ts_hll_rollup` / `q_ts_rolling_ndv`): per
     * (series, window), `approx_count_distinct`'s HLL++ buffer is the

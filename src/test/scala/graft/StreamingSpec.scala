@@ -1523,4 +1523,53 @@ class StreamingSpec extends AnyFunSuite {
     assert(probe(s"$store/cells") === probe(full),
       "replayed batches must not double-count")
   }
+
+  test("streaming skip-index maintenance: maintained manifest equals full rebuild; replays skipped") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    import org.apache.spark.sql.types._
+    import graft.storage.{SeriesStore, SkipIndex}
+    // 4 hours × 2 series; waves split MID-HOUR so touched-hour refresh
+    // must merge a batch into hours that already have files
+    val pts = (for {
+      s <- Seq("cpu", "mem"); h <- 0 to 3; i <- 1 to 30
+    } yield (s, h * 3600L + i.toLong * 60, (h * 30 + i).toDouble))
+      .sortBy(_._2).toVector
+    val root = Files.createTempDirectory("graft-stream-skip").toString + "/s"
+    val mdir = Files.createTempDirectory("graft-stream-skipm").toString + "/m"
+    val streamDir = Files.createTempDirectory("graft-stream-skippts").toString
+    val ckpt = Files.createTempDirectory("graft-stream-skipck").toString + "/c"
+    val schema = StructType(Seq(StructField("series", StringType),
+      StructField("time", LongType), StructField("value", DoubleType)))
+    def stream(cp: String) = StreamOps.skipIndexMaintenance(
+      spark.readStream.schema(schema).json(streamDir)
+        .withColumn("tags", map(lit("host"), col("series"))), root, mdir, cp)
+    val (w1, w2) = pts.partition(_._2 < 3600L * 3 / 2)
+    w1.toDF("series", "time", "value").write.mode("append").json(streamDir)
+    stream(ckpt).awaitTermination(120000)
+    w2.toDF("series", "time", "value").write.mode("append").json(streamDir)
+    stream(ckpt).awaitTermination(120000)
+    // the maintained manifest must equal a full rebuild of the SAME store
+    val store = new SeriesStore(spark, root)
+    val full = Files.createTempDirectory("graft-stream-skipfull").toString + "/m"
+    SkipIndex.build(store, full)
+    def rows(d: String) = SkipIndex.read(spark, d)
+      .collect().map(_.toSeq).toSet
+    assert(rows(mdir) === rows(full), "maintained manifest must equal a rebuild")
+    // and it probes correctly: series 'cpu', hours 1-2 window
+    val sid = spark.range(1).select(graft.core.Functions.seriesId(
+      lit("cpu"), map(lit("host"), lit("cpu"))).as("s")).head().getLong(0)
+    val probe = SkipIndex.probeScan(store, mdir, 3600L, 2 * 3600L + 1800, sid)
+    assert(probe.filesRead < probe.filesTotal, "pruning evidence")
+    val got = probe.df.select("time", "value").orderBy("time")
+      .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    val want = pts.filter(p => p._1 == "cpu" && p._2 >= 3600L && p._2 <= 2 * 3600L + 1800)
+      .map(p => (p._2, p._3)).sortBy(_._1)
+    assert(got === want)
+    // replay guard: fresh checkpoint restarts batch ids — sidecar skips,
+    // nothing double-appends into the store or the manifest
+    stream(Files.createTempDirectory("graft-stream-skipck2").toString + "/c")
+      .awaitTermination(120000)
+    assert(rows(mdir) === rows(full), "replayed batches must not re-append")
+  }
 }
