@@ -1011,6 +1011,68 @@ object TimeSeries {
               |             END * 1e4 + 0.5) / 1e4 AS acf
               |FROM m WHERE lag >= 0 ORDER BY series, lag""".stripMargin)),
 
+    // Ljung-Box whiteness test per series: Q = n(n+2)·Σ_{k=1..6}
+    // r_k²/(n−k) over the rounded lag-k autocorrelations of the hourly
+    // means (the pairwise-Pearson ACF variant of q_ts_acf — documented,
+    // replayed identically by the oracle), flagged against the χ²(6)
+    // 5% critical value 12.592. The "is anything left to model?"
+    // companion to decompose/Holt-Winters: Q small → residual series is
+    // indistinguishable from white noise.
+    Q("q_ts_ljung_box",
+      (s, dir) => {
+        val b = ev(s, dir).filter(col("time") >= T0 && col("time") < T1)
+          .groupBy(col("series"), F.timeBucket(lit(3600), col("time")).as("bucket"))
+          .agg((floor(avg(col("value")) * 1e4 + 0.5) / 1e4).as("x"))
+        val acf = graft.operators.Trend.crossCorrelation(b, Seq("series"), "bucket",
+            "x", "x", 3600L, maxLag = 6)
+          .filter(col("lag") >= 1L && col("corr").isNotNull)
+          .select(col("series"), col("lag"),
+            (floor(col("corr") * 1e4 + 0.5) / 1e4).as("r"))
+        val nb = b.groupBy(col("series")).agg(count(lit(1)).as("n"))
+        acf.join(nb, "series")
+          .groupBy(col("series"))
+          .agg(max(col("n")).as("n"),
+            (floor(max(col("n")) * (max(col("n")) + 2) *
+              sum(col("r") * col("r") / (col("n") - col("lag"))) * 1e4 + 0.5) / 1e4)
+              .as("q_stat"))
+          .withColumn("white_noise", col("q_stat") < 12.592)
+          .orderBy(col("series"))
+      },
+      Some(s"""$svSql,
+              |b AS (
+              |  SELECT series, CAST(floor(time / 3600.0) AS BIGINT) * 3600 AS bucket,
+              |         floor(avg(value) * 1e4 + 0.5) / 1e4 AS x
+              |  FROM sv WHERE time >= $T0 AND time < $T1
+              |  GROUP BY series, bucket
+              |),
+              |lags AS (SELECT unnest(generate_series(1, 6)) AS lag),
+              |p AS (
+              |  SELECT bx.series, l.lag, bx.x, by.x AS y
+              |  FROM b bx JOIN lags l ON true
+              |  JOIN b by ON by.series = bx.series
+              |           AND by.bucket = bx.bucket + l.lag * 3600
+              |),
+              |m AS (
+              |  SELECT series, lag, count(*) AS cnt, sum(x) AS sx, sum(y) AS sy,
+              |         sum(x*x) AS sxx, sum(y*y) AS syy, sum(x*y) AS sxy
+              |  FROM p GROUP BY 1, 2
+              |),
+              |acf AS (
+              |  SELECT series, lag,
+              |         floor((cnt*sxy - sx*sy) / sqrt((cnt*sxx - sx*sx) * (cnt*syy - sy*sy))
+              |               * 1e4 + 0.5) / 1e4 AS r
+              |  FROM m
+              |  WHERE cnt >= 2 AND cnt*sxx - sx*sx > 0 AND cnt*syy - sy*sy > 0
+              |),
+              |nb AS (SELECT series, count(*) AS n FROM b GROUP BY 1)
+              |SELECT acf.series, CAST(max(n) AS BIGINT) AS n,
+              |       floor(max(n) * (max(n) + 2) *
+              |             sum(r * r / (n - lag)) * 1e4 + 0.5) / 1e4 AS q_stat,
+              |       floor(max(n) * (max(n) + 2) *
+              |             sum(r * r / (n - lag)) * 1e4 + 0.5) / 1e4 < 12.592 AS white_noise
+              |FROM acf JOIN nb ON acf.series = nb.series
+              |GROUP BY 1 ORDER BY acf.series""".stripMargin)),
+
     // Classical additive seasonal decomposition of the hourly series
     // means, period 24: value = trend (2×24 centered MA) + seasonal
     // (centered phase means) + remainder. Integer-exact except the
