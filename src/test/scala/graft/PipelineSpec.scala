@@ -1438,6 +1438,42 @@ class PipelineSpec extends AnyFunSuite {
       Trend.decompose(const, Seq("series"), "bucket", "v", 10L, 1))
   }
 
+  test("decompose: randomized differential vs a sequential Scala reference") {
+    import graft.operators.Trend
+    val rnd = new scala.util.Random(23)
+    val period = 6
+    val pts = (for (s <- Seq("a", "b"); i <- 0 until 60)
+      yield (s, i * 100L, math.floor(rnd.nextDouble() * 1e6) / 1e2)).toVector
+    val got = Trend.decompose(pts.toDF("series", "bucket", "v"),
+        Seq("series"), "bucket", "v", step = 100L, period = period)
+      .select("series", "bucket", "trend", "seasonal", "remainder")
+      .as[(String, Long, Double, Double, Double)].collect()
+      .map(r => (r._1, r._2) -> ((r._3, r._4, r._5))).toMap
+    // sequential mirror of the scaladoc's exact-integer algebra
+    val h = period / 2
+    val ref = pts.groupBy(_._1).flatMap { case (s, rows) =>
+      val v4 = rows.sortBy(_._2).map(r => (r._2, math.floor(r._3 * 1e4 + 0.5).toLong))
+      val t2 = v4.indices.collect { case i if i >= h && i < v4.size - h =>
+        val win = (i - h to i + h).map(j => v4(j)._2)
+        (v4(i)._1, v4(i)._2, 2 * win.sum - v4(i - h)._2 - v4(i + h)._2)
+      }
+      val denom = 2.0 * period * 1e4
+      val byPhase = t2.groupBy { case (b, _, _) => (b / 100L) % period }
+      val sMap = byPhase.map { case (p, g) =>
+        p -> g.map { case (_, v, t) => 2L * period * v - t }.sum.toDouble /
+          (g.size * 2L * period * 10000L) }
+      val smean = sMap.toSeq.sortBy(_._1).map(_._2).foldLeft(0.0)(_ + _) / sMap.size
+      t2.map { case (b, v, t) =>
+        val c = sMap((b / 100L) % period) - smean
+        def r4(x: Double) = math.floor(x * 1e4 + 0.5) / 1e4
+        (s, b) -> ((r4(t / denom), r4(c), r4(v / 10000.0 - t / denom - c)))
+      }
+    }
+    assert(got.keySet === ref.keySet)
+    ref.foreach { case (k, want) =>
+      assert(got(k) === want, s"decompose mismatch at $k") }
+  }
+
   test("cmsEstimate: one-sided error bound on every probe; exact at saturating width") {
     import graft.pipeline.TextAnalysis
     val d = docs.limit(60)
