@@ -227,4 +227,44 @@ object Graph {
         (floor((coalesce(col("intra_edges"), lit(0L)) / col("__m") -
           half * half) * 1e4 + 0.5) / 1e4).as("q_contrib"))
   }
+
+  /** k-core decomposition membership: the maximal subgraph in which
+    * every node has degree ≥ k, found by iterative peeling (drop
+    * below-k nodes, recompute degrees, repeat to fixpoint). The dense
+    * "actually connected" community kernel — degree alone overcounts
+    * hubs whose neighbors are all peripheral; the k-core survives only
+    * on mutual support. Returns surviving (id, deg) with deg measured
+    * INSIDE the core.
+    *
+    * `pairs` is one row per undirected edge (a, b). Shape per round:
+    * one node-keyed degree aggregate + two anti-joins against the
+    * (metadata-checked, usually tiny) below-k frame; each round's edge
+    * frame is eagerly localCheckpointed — peeling's iterative plan
+    * would otherwise nest anti-joins `rounds` deep. Peels converge in
+    * few rounds on real graphs; a graph still peeling after `maxIters`
+    * fails LOUDLY rather than returning a non-fixpoint (the oracle
+    * unrolls a fixed round count, so convergence within it is part of
+    * the gated contract).
+    */
+  def kCore(pairs: DataFrame, k: Int, maxIters: Int = 12): DataFrame = {
+    require(k >= 1, "k-core needs k >= 1")
+    require(maxIters >= 1, "k-core needs at least one round")
+    var edges = pairs.select(col("a"), col("b"))
+    var it = 0
+    while (true) {
+      it += 1
+      require(it <= maxIters,
+        s"kCore still peeling after $maxIters rounds — raise maxIters")
+      val deg = edges.select(col("a").as("id"))
+        .unionAll(edges.select(col("b").as("id")))
+        .groupBy(col("id")).agg(count(lit(1)).as("deg"))
+      val bad = deg.filter(col("deg") < k).select("id").localCheckpoint(true)
+      if (bad.isEmpty) return deg
+      edges = edges
+        .join(bad.withColumnRenamed("id", "a"), Seq("a"), "left_anti")
+        .join(bad.withColumnRenamed("id", "b"), Seq("b"), "left_anti")
+        .localCheckpoint(true)
+    }
+    throw new IllegalStateException("unreachable")
+  }
 }

@@ -2359,6 +2359,46 @@ object Pipeline {
               |FROM e LEFT JOIN dg ON e.vec_id = dg.id LEFT JOIN tn ON e.vec_id = tn.id
               |ORDER BY id""".stripMargin)),
 
+    // k-core membership (k = 3) over the cosine-0.3 similarity graph
+    // (denser threshold than q_pl_triangles' 0.45, where the 3-core is
+    // empty; at 0.3 the peel runs 8-10 real rounds at the small SFs): the dense mutual-support kernel that
+    // degree alone overcounts (a hub with peripheral neighbors peels
+    // away). The oracle unrolls the peel to the operator's maxIters
+    // fixed rounds — extra rounds past the fixpoint are no-ops, and the
+    // Spark side fails loudly if 16 rounds don't converge, so
+    // convergence-within-unroll is part of the gated contract.
+    Q("q_pl_kcore",
+      (s, dir) => {
+        val emb = Tables.embeddings(s, dir)
+        val pairs = Similarity.cosinePairs(emb, 0.3)
+          .select(col("vec_a").as("a"), col("vec_b").as("b"))
+        graft.pipeline.Graph.kCore(pairs, k = 3, maxIters = 16).orderBy("id")
+      },
+      Some {
+        val rounds = (1 to 16).map { i =>
+          s"""d$i AS MATERIALIZED (
+             |  SELECT id, count(*) AS deg FROM (
+             |    SELECT a AS id FROM pr
+             |    WHERE a IN (SELECT id FROM n${i - 1}) AND b IN (SELECT id FROM n${i - 1})
+             |    UNION ALL
+             |    SELECT b FROM pr
+             |    WHERE a IN (SELECT id FROM n${i - 1}) AND b IN (SELECT id FROM n${i - 1})
+             |  ) GROUP BY 1),
+             |n$i AS MATERIALIZED (SELECT id FROM d$i WHERE deg >= 3)""".stripMargin
+        }.mkString(",\n")
+        s"""WITH $embCte,
+           |pr AS MATERIALIZED (
+           |  SELECT a.vec_id AS a, b.vec_id AS b
+           |  FROM e a JOIN e b ON a.vec_id < b.vec_id
+           |  WHERE ${cosSql("a.v", "b.v")} >= 0.3
+           |),
+           |n0 AS MATERIALIZED (SELECT DISTINCT id FROM
+           |       (SELECT a AS id FROM pr UNION ALL SELECT b FROM pr)),
+           |$rounds
+           |SELECT id, CAST(deg AS BIGINT) AS deg FROM d16 WHERE deg >= 3
+           |ORDER BY id""".stripMargin
+      }),
+
     // Newman modularity (Graph.modularity) of the brand partition over
     // the co-purchase graph (parts sharing an order, a<b, distinct) —
     // the community-QUALITY metric missing next to the community

@@ -1438,6 +1438,24 @@ class PipelineSpec extends AnyFunSuite {
       Trend.decompose(const, Seq("series"), "bucket", "v", 10L, 1))
   }
 
+  test("kCore: peels a tail down to the triangle kernel; loud non-convergence") {
+    import graft.pipeline.Graph
+    // triangle {1,2,3} + chain 3-4-5: the 2-core is exactly the triangle
+    // (5 peels with deg 1, then 4) — two real peel rounds
+    val pairs = Seq((1L, 2L), (1L, 3L), (2L, 3L), (3L, 4L), (4L, 5L)).toDF("a", "b")
+    val got = Graph.kCore(pairs, k = 2)
+      .as[(Long, Long)].collect().toMap
+    assert(got === Map(1L -> 2L, 2L -> 2L, 3L -> 2L))
+    // k above the max degree: everything peels, empty frame (no error)
+    assert(Graph.kCore(pairs, k = 4).isEmpty)
+    // a 10-chain at k=2 peels one node per END per round (~4 rounds);
+    // maxIters = 2 must fail loudly rather than return a non-fixpoint
+    val chain = (1L to 10L).sliding(2).map(s => (s.head, s.last)).toSeq.toDF("a", "b")
+    val e = intercept[IllegalArgumentException](Graph.kCore(chain, 2, maxIters = 2))
+    assert(e.getMessage.contains("still peeling"))
+    intercept[IllegalArgumentException](Graph.kCore(pairs, 0))
+  }
+
   test("decompose: randomized differential vs a sequential Scala reference") {
     import graft.operators.Trend
     val rnd = new scala.util.Random(23)
