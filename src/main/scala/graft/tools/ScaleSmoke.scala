@@ -361,6 +361,16 @@ object ScaleSmoke {
         a.join(b, col("sa") < col("sb")).select(col("sa"), col("sb"),
           graft.functions.ThetaSketch.intersectEstimate(col("ska"), col("skb")).as("est"))
       },
+      // late r11: k-core peel over the banded-LSH edge set — cost =
+      // rounds × (one degree aggregate + two anti-joins on edges);
+      // per-round localCheckpoint keeps the plan flat, so growth must
+      // track edges × rounds, not nest
+      timed("kcore") {
+        val pairs = graft.pipeline.Similarity.cosinePairsLsh(emb, 0.45)
+          .select(least(col("vec_a"), col("vec_b")).as("a"),
+            greatest(col("vec_a"), col("vec_b")).as("b")).distinct()
+        graft.pipeline.Graph.kCore(pairs, k = 3, maxIters = 30)
+      },
       // r11 continuation: file-level data-skipping manifest. The store is
       // written UNTIMED (mult× events, time-axis amplified → mult× hour
       // partitions and files); skip_manifest times the one-pass build
