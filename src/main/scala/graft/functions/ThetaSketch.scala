@@ -201,7 +201,17 @@ case class ThetaScalar(left: Expression, right: Expression, op: String)
         Sketches.setOperationBuilder().buildIntersection()
           .intersect(a, b).getEstimate
       case "or" =>
-        val u = ThetaSketch.newUnion(12)
+        // Size the scalar union from the inputs, not a hardcoded lgK=12:
+        // a compact sketch does not carry its builder's lgK, but it
+        // retains ≤ ~2^lgNom entries, so ceil(log2(max retained)) + 1
+        // never downsamples below the callers' configured resolution
+        // (a union lgK LARGER than the inputs' is harmless — it only
+        // bounds the result size).
+        val retained = math.max(
+          math.max(a.getRetainedEntries(true), b.getRetainedEntries(true)), 1)
+        val lg = math.max(12,
+          64 - java.lang.Long.numberOfLeadingZeros(retained.toLong - 1) + 1)
+        val u = ThetaSketch.newUnion(lg.toInt)
         u.union(a); u.union(b); u.getResult.getEstimate
       case "not" =>
         Sketches.setOperationBuilder().buildANotB().aNotB(a, b).getEstimate

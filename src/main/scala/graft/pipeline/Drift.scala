@@ -124,10 +124,15 @@ object Drift {
       .unionAll(base.filter(col("g") === baseline)
         .crossJoin(broadcast(pairsDim))
         .select(col("pair"), lit(1L).as("is_base"), col("v")))
+    // degenerate single-point column (hi == lo): bin width is 0 and the
+    // floor() goes NaN -> null -> every count silently lands in a null
+    // bin outside the dense spine. All mass sits at one value, so bin 0
+    // is the exact answer (W1/JSD correctly read 0 for identical groups).
     val binned = tagged.crossJoin(broadcast(bounds))
       .select(col("pair"), col("is_base"),
-        least(lit(bins - 1L), floor((col("v") - col("lo")) /
-          ((col("hi") - col("lo")) / bins)).cast("long")).as("bin"))
+        when(col("hi") <= col("lo"), lit(0L))
+          .otherwise(least(lit(bins - 1L), floor((col("v") - col("lo")) /
+            ((col("hi") - col("lo")) / bins)).cast("long"))).as("bin"))
       .groupBy(col("pair"), col("bin"))
       .agg(sum(when(col("is_base") === 1L, 1L).otherwise(0L)).as("nb"),
         sum(when(col("is_base") === 0L, 1L).otherwise(0L)).as("nx"))

@@ -485,8 +485,14 @@ object Similarity {
     // composition cannot affect the result: each chunk scans the FULL
     // corpus for its queries, and the candidate window keys on q_id.
     val sigRows = if (limit > 0) qs.head(cap + 1).toSeq else Seq.empty
+    // empty query frame: an empty typed frame with the scored schema —
+    // literalScan(Seq.empty) would build array() (types as array<null>)
+    // and fail analysis on col("q.q_id") instead of returning no rows
+    def emptyScan =
+      cn.limit(0).select(col("vec_id").as("q_id"), col("vec_id"),
+        ham(col("sig_lo"), col("sig_hi")).as("hamming"))
     val scored =
-      if (limit > 0 && sigRows.isEmpty) literalScan(sigRows)
+      if (limit > 0 && sigRows.isEmpty) emptyScan
       else if (limit > 0 && sigRows.length <= cap)
         sigRows.grouped(limit).map(literalScan).reduce(_ unionAll _)
       else bnljScan

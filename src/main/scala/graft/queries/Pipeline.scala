@@ -1163,15 +1163,19 @@ object Pipeline {
       Some(bm25Oracle)),
 
     // Probe-ONLY serving bracket (r11): reuse the at-rest index if one
-    // already exists for this corpus (row-count keyed — a regenerated
-    // corpus of different size forces a rebuild), so bench timings after
-    // the first build measure the partition-pruned probe alone — the
-    // only number that matters for the 100 TB serving claim. Correctness
-    // is unchanged: same oracle as the direct route.
+    // already exists for this corpus (CONTENT-fingerprint keyed, r12 —
+    // bit_xor of xxhash64(doc_id, n_chars): a regenerated corpus with the
+    // same row count but different rows forces a rebuild; count alone
+    // silently probed a stale index), so bench timings after the first
+    // build measure the partition-pruned probe alone — the only number
+    // that matters for the 100 TB serving claim. Correctness is
+    // unchanged: same oracle as the direct route.
     Q("q_pl_bm25_probe",
       (s, dir) => {
         val docs = Tables.documents(s, dir)
-        val n = docs.count()
+        val n = java.lang.Long.toHexString(
+          docs.select(xxhash64(col("doc_id"), col("n_chars")).as("h"))
+            .agg(expr("bit_xor(h)")).head.getLong(0))
         val idx = s"target/gate-tmp/tix-probe-${dir.replace('/', '_')}-n$n/i"
         val p = new org.apache.hadoop.fs.Path(s"$idx/meta")
         val fs = p.getFileSystem(s.sessionState.newHadoopConf())

@@ -1498,12 +1498,19 @@ object StreamOps {
       }
     if (batchId > last && !batch.isEmpty) {
       body(batch)
+      // Atomic-overwrite publish: write the new marker to a tmp file, then
+      // rename over the old one with Rename.OVERWRITE. There is never a
+      // window where the marker is absent (a delete-then-rename crash would
+      // reset `last` to -1 and silently double-apply the redelivered batch
+      // into the non-idempotent sinks), and a crash mid-tmp-write leaves
+      // the OLD marker intact — the replayed batch is then re-applied only
+      // if the body itself also did not complete, the documented contract.
       val tmp = new org.apache.hadoop.fs.Path(s"$path/_last_batch.tmp")
       val out = fs.create(tmp, true)
       try out.write(batchId.toString.getBytes("UTF-8")) finally out.close()
-      if (fs.exists(p)) fs.delete(p, false)
-      if (!fs.rename(tmp, p))
-        throw new java.io.IOException(s"maintenance: rename $tmp -> $p failed")
+      val fc = org.apache.hadoop.fs.FileContext.getFileContext(
+        p.toUri, spark.sessionState.newHadoopConf())
+      fc.rename(tmp, p, org.apache.hadoop.fs.Options.Rename.OVERWRITE)
     }
   }
 

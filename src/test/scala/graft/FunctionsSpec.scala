@@ -294,6 +294,21 @@ class FunctionsSpec extends AnyFunSuite {
     assert(est("not", 1, 0) === 250.0)
   }
 
+  test("theta sketch: scalar union sizes itself from the inputs — no lgK-12 downsampling") {
+    import spark.implicits._
+    // lgK=14 sketch over 60k distinct values retains ~16k entries; a
+    // hardcoded lgK=12 union would downsample it to 4096 nominal entries
+    // and CHANGE the estimate. Self-union must be an exact fixpoint.
+    val sk = (0 until 60000).map(_.toLong).toDF("v")
+      .agg(graft.functions.ThetaSketch.agg($"v", lgK = 14).as("sk"))
+      .head().getAs[Array[Byte]]("sk")
+    val df = Seq((sk, sk)).toDF("x", "y")
+    val self = df.select(graft.functions.ThetaSketch.estimate($"x")).head().getDouble(0)
+    val union = df.select(graft.functions.ThetaSketch.unionEstimate($"x", $"y"))
+      .head().getDouble(0)
+    assert(union === self, s"self-union $union must equal the sketch's own estimate $self")
+  }
+
   test("theta sketch: at-rest cell union matches direct build within error bound") {
     import spark.implicits._
     // 60k distinct values (> 2^12 nominal entries -> estimation mode),

@@ -465,6 +465,14 @@ class PipelineSpec extends AnyFunSuite {
     assert(r.nonEmpty && r.forall(j => j >= 0.0 && j <= 1.0))
     intercept[IllegalArgumentException](Drift.wasserstein1(docs, "lang", "n_chars", "nope"))
     intercept[IllegalArgumentException](Drift.jsDivergence(docs, "lang", "n_chars", "en", bins = 1))
+    // degenerate single-point column (hi == lo): bin width 0 used to send
+    // every row to a null bin and emit zero-count rows; all mass is one
+    // value, so both distances are exactly 0 with true counts
+    val flat = Seq(("a", 7.0), ("a", 7.0), ("b", 7.0)).toDF("g", "v")
+    assert(Drift.wasserstein1(flat, "g", "v", "a", bins = 10)
+      .select("n_base", "n_grp", "w1").as[(Long, Long, Double)].head() === ((2L, 1L, 0.0)))
+    assert(Drift.jsDivergence(flat, "g", "v", "a", bins = 10)
+      .select("jsd").as[Double].head() === 0.0)
   }
 
   test("silhouette: degenerate coincident clusters score 0, single label rejected") {
@@ -1069,6 +1077,13 @@ class PipelineSpec extends AnyFunSuite {
     val single = rows(1000) // 40 queries ≤ limit: one literal scan
     assert(rows(7) === single, "hash-chunked literal route diverged") // forces 6 chunks
     assert(rows(0) === single, "maxDriverBatch=0 BNLJ route diverged")
+    // empty query frame: every route returns an empty typed result (the
+    // literal route used to build array() -> array<null> and fail analysis)
+    val none = emb.filter(col("vec_id") < 0)
+    Seq(1000, 0).foreach { mdb =>
+      val r = Similarity.hammingTopK(emb, none, 5, candMult = 4, maxDriverBatch = mdb)
+      assert(r.count() === 0L, s"maxDriverBatch=$mdb empty-query route")
+    }
   }
 
   test("knnGraphBanded: pigeonhole guarantee on planted neighbors; tracks exact route on uniform corpus") {
