@@ -532,20 +532,42 @@ object Similarity {
     * Scale shape (100 TB): no full pairwise scan anywhere — the band
     * self-join costs Σ_bucket |bucket|², so band WIDTH is the knob: at
     * n vectors choose `bands` so dim/bands ≳ log2(n) (wider bands →
-    * smaller buckets → fewer, higher-precision candidates, lower recall;
-    * the default 8×8-bit bands suits 10⁴–10⁶ rows). Recall vs the exact
-    * route is pinned in PipelineSpec; SCALE.md records the growth curve
-    * vs the chunked exact route.
+    * smaller buckets → fewer, higher-precision candidates, lower recall).
+    * `bands = 0` (the r12 default) AUTO-SIZES from `corpus.count()` by
+    * that rule — one count job, then the smallest power-of-two band
+    * width ≥ log2(n) (clamped to [4, dim/2]) — so a caller who doesn't
+    * know n cannot ship the 8-band hand-tune to a 10⁹-row corpus where
+    * buckets grow linearly in n and candidates quadratically per bucket.
+    * Recall vs the exact route is pinned in PipelineSpec; SCALE.md
+    * records the growth curve vs the chunked exact route and the
+    * clustered-data guard curve.
+    *
+    * Skew guard: clustered or adversarial (clone-heavy) data can
+    * concentrate one band value regardless of width, going quietly
+    * quadratic. Before the self-join, bucket sizes are counted and any
+    * bucket over `spark.graft.ann.maxBandBucket` (default 65536 —
+    * ~4×10⁹ candidate pairs from one bucket) raises loudly with the
+    * remediation (wider bands / dedup the clones first). Set
+    * `spark.graft.ann.dropOversizedBuckets=true` to instead DROP those
+    * buckets with a stderr warning — explicit opt-in because a dropped
+    * bucket loses all edges between its members.
     *
     * Output: (q_id, vec_id, rank, cos round 6) — only queries with ≥1
     * collision appear (isolated vectors have no edges, the kNN-graph
     * semantics).
     */
-  def knnGraphBanded(corpus: DataFrame, k: Int, bands: Int = 8,
+  def knnGraphBanded(corpus: DataFrame, k: Int, bands: Int = 0,
       candMult: Int = 4, dim: Int = 64): DataFrame = {
     val half = dim / 2
-    val w = dim / bands
-    require(bands >= 2 && dim % bands == 0 && half % w == 0,
+    val nBands = if (bands != 0) bands else {
+      val n = math.max(corpus.count(), 2L)
+      val lg = 64 - java.lang.Long.numberOfLeadingZeros(n - 1) // ceil(log2 n)
+      var w0 = 4
+      while (w0 < lg && w0 < half) w0 *= 2 // smallest pow2 width ≥ log2(n)
+      math.max(dim / w0, 2)
+    }
+    val w = dim / nBands
+    require(nBands >= 2 && dim % nBands == 0 && half % w == 0,
       s"bands must divide dim with band width dividing the $half-bit halves")
     val sig = binarySig(corpus, dim)
     val mask = lit((1L << w) - 1L)
@@ -553,9 +575,33 @@ object Similarity {
       if (i * w < half) shiftright(col("sig_lo"), i * w).bitwiseAND(mask)
       else shiftright(col("sig_hi"), i * w - half).bitwiseAND(mask)
     val keyed = sig.select(col("vec_id"), col("sig_lo"), col("sig_hi"),
-      posexplode(array((0 until bands).map(bandVal): _*)).as(Seq("band", "bval")))
-    val a = keyed.select(col("vec_id").as("a_id"), col("band"), col("bval"))
-    val b = keyed.select(col("vec_id").as("b_id"), col("band"), col("bval"))
+      posexplode(array((0 until nBands).map(bandVal): _*)).as(Seq("band", "bval")))
+    // skew pre-flight (scaladoc): a single partial-aggregated count pass
+    // over the band keys — trivial next to the Σ bucket² self-join it
+    // protects, and the only way a clone-heavy corpus fails LOUDLY
+    // instead of hanging in a quadratic bucket.
+    val spark = corpus.sparkSession
+    val capB = spark.conf.get("spark.graft.ann.maxBandBucket", "65536").toLong
+    val dropBig = spark.conf
+      .get("spark.graft.ann.dropOversizedBuckets", "false").toBoolean
+    val bucketCounts = keyed.groupBy(col("band"), col("bval")).count()
+    val big = bucketCounts.filter(col("count") > capB)
+      .orderBy(col("count").desc).limit(5).collect()
+    val guarded = if (big.isEmpty) keyed else {
+      val msg = big.map(r => s"band=${r.get(0)} bval=${r.get(1)} size=${r.get(2)}")
+        .mkString("; ")
+      if (!dropBig) throw new IllegalStateException(
+        s"knnGraphBanded: band buckets over spark.graft.ann.maxBandBucket=$capB " +
+          s"($msg) — the self-join would go quadratic in the bucket. Use wider " +
+          "bands (fewer, e.g. bands=0 auto-sizing), dedup near-identical vectors " +
+          "first, or opt in to spark.graft.ann.dropOversizedBuckets=true.")
+      System.err.println(s"[knnGraphBanded] DROPPING oversized band buckets " +
+        s"(> $capB): $msg — edges between their members are lost")
+      keyed.join(broadcast(bucketCounts.filter(col("count") > capB)
+        .select(col("band"), col("bval"))), Seq("band", "bval"), "left_anti")
+    }
+    val a = guarded.select(col("vec_id").as("a_id"), col("band"), col("bval"))
+    val b = guarded.select(col("vec_id").as("b_id"), col("band"), col("bval"))
     // undirected distinct collision pairs, then mirrored: half the dedup
     // work of a directed self-join, same candidate set per query
     val undirected = a.join(b, Seq("band", "bval"))

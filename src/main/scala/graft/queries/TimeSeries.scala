@@ -1904,6 +1904,39 @@ object TimeSeries {
               |WHERE time >= $T0 AND time < $T1
               |GROUP BY 1 ORDER BY sv.series""".stripMargin)),
 
+    // ---- adaptive join (measured strategy pre-flight, r12) --------------
+    //
+    // Same fact/dim shape as q_join_salted, routed through
+    // AdaptiveJoin.join: the dim is distinct-series-sized at every SF, so
+    // the pre-flight measures it under the broadcast threshold and plans
+    // the broadcast branch — the decision must be output-invariant, which
+    // is why this gate shares the PLAIN-join oracle. PlanSpec pins the
+    // other two branches (skewed fixture → salted layout, big-right
+    // fixture → plain) from fixtures the gate tables can't express.
+    Q("q_join_adaptive",
+      (s, dir) => {
+        val e = ev(s, dir).filter(col("time") >= T0 && col("time") < T1)
+        val dim = e.select(col("series")).distinct()
+          .withColumn("weight", length(col("series")).cast("double"))
+        graft.operators.AdaptiveJoin.join(e, dim, Seq("series"),
+            spread = col("event_id"))
+          .groupBy(col("series"))
+          .agg(
+            (floor(sum(col("value") * col("weight")) * 1e4 + 0.5) / 1e4).as("wsum"),
+            count(lit(1)).as("n"))
+          .orderBy("series")
+      },
+      Some(s"""$svSql,
+              |d AS (SELECT DISTINCT series, CAST(len(series) AS DOUBLE) AS weight
+              |      FROM sv WHERE time >= $T0 AND time < $T1)
+              |SELECT sv.series AS series,
+              |       floor(sum(value * weight) * 1e4 + 0.5) / 1e4 AS wsum,
+              |       count(*) AS n
+              |FROM sv JOIN d ON sv.series = d.series
+              |WHERE time >= $T0 AND time < $T1
+              |GROUP BY 1 ORDER BY sv.series""".stripMargin),
+      benchExtra = true),
+
     // ---- SCD2 intervals (gaps-and-islands) ------------------------------
     //
     // Type-2 effective-dated history per user: runs of consecutive

@@ -28,6 +28,25 @@ object ScaleSmoke {
         when(pmod(col("id") * lit(2654435761L) + lit(d.toLong * 40503L), lit(9973L)) < 4986,
           lit(1.0)).otherwise(lit(-1.0))): _*).as("embedding"))
 
+  /** CLUSTERED deterministic embeddings: n/`cluster` near-duplicate
+    * clusters, each member ONE sign flip from its cluster center — the
+    * clone-heavy regime where banded LSH buckets grow with cluster size
+    * (members share every band not containing their flipped dim). With
+    * bounded cluster size, Σ bucket² grows LINEARLY in n (cluster · n),
+    * which is exactly the claim the r12 guard curve records.
+    */
+  private def synthClusteredEmb(spark: SparkSession, n: Long, cluster: Int): DataFrame = {
+    val ctr = (col("id") / lit(cluster.toLong)).cast("long")
+    val flipDim = pmod(col("id"), lit(64L)) // member's single flipped dim
+    spark.range(n).select(col("id").as("vec_id"),
+      array((0 until 64).map { d =>
+        val base = when(pmod(ctr * lit(2654435761L) + lit(d.toLong * 40503L),
+          lit(9973L)) < 4986, lit(1.0)).otherwise(lit(-1.0))
+        when(flipDim === d && pmod(col("id"), lit(cluster.toLong)) =!= 0, base * -1.0)
+          .otherwise(base)
+      }: _*).as("embedding"))
+  }
+
   def main(args: Array[String]): Unit = {
     val mult = args.headOption.map(_.toInt).getOrElse(10)
     val only: Set[String] = args.drop(1).headOption
@@ -302,6 +321,15 @@ object ScaleSmoke {
       // dim/bands ≳ log2(n) rule → 16-bit bands at this n.
       timed("knn_graph_banded")(graft.pipeline.Similarity.knnGraphBanded(
         synthEmb(spark, nVec), 4, bands = 4, candMult = 4)),
+      // r12: the CLUSTERED (clone-amplified) curve with AUTO-SIZED bands
+      // (bands = 0 → width from log2 n) and the bucket guard live —
+      // n/200 near-dup clusters give cluster-sized band buckets, so
+      // candidate growth is Σ bucket² ≈ 200·n: the curve must track the
+      // uniform banded build's slope (linear-ish), nowhere near the
+      // exact route's quadratic, and the guard must NOT trip (no bucket
+      // beyond cluster-size × band-collision noise).
+      timed("knn_graph_banded_clustered")(graft.pipeline.Similarity.knnGraphBanded(
+        synthClusteredEmb(spark, nVec, 200), 4, candMult = 4)),
       timed("knn_graph_exact")(graft.pipeline.Similarity.hammingTopK(
         synthEmb(spark, nVec), synthEmb(spark, nVec), 4, candMult = 4)),
       timed("bm25_idx") {

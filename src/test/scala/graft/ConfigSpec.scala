@@ -85,4 +85,45 @@ class ConfigSpec extends AnyFunSuite {
     graft.tools.Cli.run("restore", Array(s"$root/snap"), cfg2, store2)
     assert(store2.scan().count() === 3)
   }
+
+  test("bench families frozen: every extra has a pinned slot, insertions cannot shift existing pairs") {
+    val extras = SparkEntry.benchExtraQueries
+    // every flagged extra has a frozen (family, slot) — groups() would
+    // throw otherwise, and a new benchExtra without a table row must fail
+    // the suite here rather than at bench time
+    extras.foreach(q => assert(BenchFamilies.slotOf.contains(q), s"$q missing from BenchFamilies.frozen"))
+    intercept[IllegalArgumentException](BenchFamilies.groups(extras :+ "q_definitely_not_frozen"))
+    // no family exceeds the child-JVM pressure cap
+    BenchFamilies.frozen.foreach { case (fam, qs) =>
+      assert(qs.size <= BenchFamilies.maxFamilySize, s"$fam oversize")
+    }
+    // slot assignment is a STATIC table: a query's (family, slot) is the
+    // same no matter which other extras are flagged — i.e. inserting or
+    // removing a gate can never shift an existing pair (the r11 failure
+    // mode: registry-order slicing re-derived positions every run)
+    val full = BenchFamilies.groups(extras)
+    val without = BenchFamilies.groups(extras.filterNot(_ == "q_pl_modularity"))
+    def pairs(gs: Seq[(String, Seq[String])]): Map[String, (String, Int)] =
+      gs.flatMap { case (f, qs) => qs.map(q => q -> (f, BenchFamilies.slotOf(q)._2)) }.toMap
+    val (pf, pw) = (pairs(full), pairs(without))
+    pw.foreach { case (q, fs) => assert(pf(q) === fs, s"$q shifted when a gate was removed") }
+    // within-family order follows frozen slots
+    full.foreach { case (fam, qs) =>
+      val slots = qs.map(BenchFamilies.slotOf(_)._2)
+      assert(slots === slots.sorted, s"$fam members out of slot order")
+      assert(qs.forall(BenchFamilies.slotOf(_)._1 == fam))
+    }
+    // the r12 freeze reproduces the exact r11 recorded composition for the
+    // bracket-sensitive families (BASELINE.md family-cold tables) — pin a
+    // few verbatim so an accidental table edit is loud
+    val byFam = full.toMap
+    assert(byFam("pl3") === Seq("q_pl_sessions", "q_pl_hard_negatives",
+      "q_pl_semdedup", "q_pl_lm_bigram", "q_pl_rrf", "q_pl_pmi",
+      "q_pl_triangles", "q_pl_modularity", "q_pl_ppr", "q_pl_centrality",
+      "q_pl_centrality_banded", "q_pl_centrality_knn"))
+    assert(byFam("dq").take(7) === Seq("q_dq_benford", "q_dq_suite",
+      "q_dq_skew", "q_dq_join_estimate", "q_dq_histogram",
+      "q_dq_wasserstein", "q_dq_jsd"))
+    assert(byFam("tpch0").take(2) === Seq("q_tpch_q3", "q_tpch_q5"))
+  }
 }

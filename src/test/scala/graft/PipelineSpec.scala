@@ -1124,6 +1124,55 @@ class PipelineSpec extends AnyFunSuite {
     assert(recall >= 0.15, s"uniform-corpus recall $recall below the measured floor")
   }
 
+  test("knnGraphBanded: bands auto-size from n by the dim/bands >= log2(n) rule") {
+    import spark.implicits._
+    // 80 planted rows (log2 = 6.4): auto picks the 8-bit width floor ->
+    // 8 bands, so the planted Hamming-7 twins stay inside the pigeonhole
+    // guarantee and every pair is still found with bands UNSPECIFIED
+    def sign(seed: Int): Double = {
+      var h = seed.toLong * 0x9E3779B97F4A7C15L
+      h ^= (h >>> 32); h *= 0xBF58476D1CE4E5B9L; h ^= (h >>> 29)
+      if ((h & 1L) == 0L) 1.0 else -1.0
+    }
+    val rows = (0 until 40).flatMap { i =>
+      val base = (0 until 64).map(d => sign(i * 64 + d)).toArray
+      val twin = base.clone()
+      (0 until 7).foreach(j => twin((i + j * 9) % 64) *= -1.0)
+      Seq((i.toLong, base.toSeq), (1000L + i, twin.toSeq))
+    }
+    val planted = rows.toDF("vec_id", "embedding")
+    val auto = Similarity.knnGraphBanded(planted, 1, candMult = 4)
+      .select("q_id", "vec_id").as[(Long, Long)].collect().toSet
+    (0 until 40).foreach(i => assert(auto.contains((i.toLong, 1000L + i)),
+      s"auto-sized bands must keep the pigeonhole guarantee at n=80 (pair $i)"))
+    // the width rule itself: at n = 80 -> w=8 (bands 8); at n = 100k the
+    // rule picks w >= 17 -> pow2 32 -> bands 2. Exercised through the
+    // public API by checking a large-n corpus still builds (bands=2 is
+    // legal) — the arithmetic is pinned via the planted recall above and
+    // the clustered guard test below.
+  }
+
+  test("knnGraphBanded: oversized band bucket fails loudly; opt-in drop proceeds without it") {
+    import spark.implicits._
+    // clone-amplified corpus: 300 copies of ONE vector -> every band
+    // bucket it occupies has 300 members; cap at 100 must refuse
+    val base = (0 until 64).map(_ => 1.0)
+    val clones = (0 until 300).map(i => (i.toLong, base)).toDF("vec_id", "embedding")
+    spark.conf.set("spark.graft.ann.maxBandBucket", "100")
+    try {
+      val e = intercept[IllegalStateException](
+        Similarity.knnGraphBanded(clones, 2, bands = 8, candMult = 2).count())
+      assert(e.getMessage.contains("maxBandBucket"))
+      // explicit opt-in: the oversized buckets drop with a warning and the
+      // build completes (all-clone corpus -> no edges survive at all)
+      spark.conf.set("spark.graft.ann.dropOversizedBuckets", "true")
+      assert(Similarity.knnGraphBanded(clones, 2, bands = 8, candMult = 2).count() === 0L)
+    } finally {
+      spark.conf.unset("spark.graft.ann.maxBandBucket")
+      spark.conf.unset("spark.graft.ann.dropOversizedBuckets")
+    }
+  }
+
   test("mutualNnIdx: corpus-spanning budget equals exact mutualNn; default budget is high-recall") {
     val n = emb.count().toInt
     val exact = Similarity.mutualNn(emb)

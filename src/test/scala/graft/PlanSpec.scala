@@ -80,6 +80,49 @@ class PlanSpec extends AnyFunSuite {
     assert(p.contains("BroadcastHashJoin"), p.take(800))
   }
 
+  test("adaptiveJoin: small right broadcasts, skewed left salts, balanced goes plain — outputs identical") {
+    import org.apache.spark.sql.functions._
+    import graft.operators.AdaptiveJoin
+    // skewed fact: 90% of rows on one hot key
+    val skewed = spark.range(10000).select(
+      when(col("id") % 10 === 0, concat(lit("k"), col("id") % 100))
+        .otherwise(lit("hot")).as("k"),
+      col("id").as("v"))
+    val balanced = spark.range(10000).select(
+      concat(lit("k"), col("id") % 5000).as("k"), col("id").as("v"))
+    val dim = spark.range(5000).select(
+      concat(lit("k"), col("id") % 5000).as("k"), lit(1.0).as("w"))
+      .unionByName(spark.range(1).select(lit("hot").as("k"), lit(2.0).as("w")))
+    // branch 1: right under the row threshold → broadcast-hint join
+    val b = AdaptiveJoin.join(skewed, dim, Seq("k"))
+    assert(b.queryExecution.executedPlan.toString.contains("BroadcastHashJoin"),
+      "small right must broadcast")
+    // branch 2: right over the (forced-low) threshold + skewed left → the
+    // salted layout must be visible in the optimized plan's join keys
+    val s = AdaptiveJoin.join(skewed, dim, Seq("k"),
+      spread = col("v"), broadcastRowThreshold = 10)
+    assert(s.queryExecution.optimizedPlan.toString.contains("__salt"),
+      "skewed fixture must plan the salted layout")
+    // branch 3: balanced left, big right → plain join: no salt column and
+    // no explicit broadcast hint (Catalyst may still pick broadcast from
+    // byte stats — the DECISION layer must not have forced anything)
+    val p = AdaptiveJoin.join(balanced, dim, Seq("k"), broadcastRowThreshold = 10)
+    assert(!p.queryExecution.optimizedPlan.toString.contains("__salt"))
+    assert(!p.queryExecution.analyzed.toString.contains("ResolvedHint"))
+    // output invariance: all three branches must be the same relation
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(_.toSeq).sortBy(_.toString).toSeq
+    assert(rows(s) === rows(skewed.join(dim, Seq("k"))),
+      "salted branch must equal the plain join")
+    assert(rows(b) === rows(s), "broadcast and salted branches must agree")
+  }
+
+  test("q_join_adaptive gate plan: the pre-flight measures the dim small and broadcasts") {
+    val p = plan("q_join_adaptive")
+    assert(p.contains("BroadcastHashJoin"), p.take(800))
+    assert(!p.contains("__salt"))
+  }
+
   test("top-K compiles to TakeOrderedAndProject (no global sort)") {
     val p = plan("q_topk")
     assert(p.contains("TakeOrderedAndProject"), p.take(800))
