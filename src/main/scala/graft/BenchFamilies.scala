@@ -61,7 +61,7 @@ object BenchFamilies {
     "pl4" -> Seq("q_pl_heavy_hitters", "q_pl_cms", "q_pl_edit_dist",
       "q_pl_incr_dedup", "q_pl_communities", "q_pl_bpe", "q_pl_bpe_apply",
       "q_pl_quality_clf", "q_pl_leakage_split", "q_pl_shards",
-      "q_pl_winsorize"),
+      "q_pl_winsorize", "q_pl_core_numbers"),
     "tpch0" -> Seq("q_tpch_q3", "q_tpch_q5", "q_tpch_q18", "q_tpch_q10",
       "q_tpch_q6", "q_tpch_q14", "q_tpch_q4", "q_tpch_q7", "q_tpch_q8",
       "q_tpch_q13", "q_tpch_q15", "q_tpch_q17"),

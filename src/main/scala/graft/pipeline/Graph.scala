@@ -246,6 +246,59 @@ object Graph {
     * unrolls a fixed round count, so convergence within it is part of
     * the gated contract).
     */
+  /** FULL core decomposition: every node's core number — the largest k
+    * for which the node survives in the k-core — in ONE run, via the
+    * iterated h-index (Lü et al., Nature Communications 2016, public):
+    * h₀(v) = deg(v), h_{t+1}(v) = H({h_t(u) : u ~ v}) where H is the
+    * Hirsch operator (largest h such that ≥ h neighbors score ≥ h); the
+    * fixpoint of this monotone-decreasing sequence IS the coreness. The
+    * standard degeneracy profile a k-sweep of [[kCore]] would need one
+    * peel per k for.
+    *
+    * Shape per round: one edges⋈state equi-join + one node-partitioned
+    * rank window + one node-keyed max aggregate — all node/edge-keyed,
+    * no global sort. The H operator over a node's sorted neighbor scores
+    * is max(least(score_(r), r)), which depends only on the sorted
+    * VALUES (ties cannot flip it), so the SQL oracle replays it exactly.
+    * State is one long per node per round; every round's frame is
+    * eagerly localCheckpointed (the convergence probe materializes it
+    * anyway), so the plan stays bounded at any round count. Converges in
+    * few rounds on real graphs (bounded by a graph-structural distance,
+    * not n); still iterating after `maxIters` fails LOUDLY — the oracle
+    * unrolls a fixed round count, so convergence within it is part of
+    * the gated contract (the fixpoint makes extra oracle rounds no-ops).
+    *
+    * Returns (id, core) for every non-isolated node.
+    */
+  def coreNumbers(pairs: DataFrame, maxIters: Int = 12): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    require(maxIters >= 1, "coreNumbers needs at least one round")
+    val nbr = pairs.select(col("a").as("id"), col("b").as("nb"))
+      .unionAll(pairs.select(col("b").as("id"), col("a").as("nb")))
+      .localCheckpoint(true) // scanned every round
+    var h = nbr.groupBy(col("id")).agg(count(lit(1)).as("h"))
+      .localCheckpoint(true)
+    var it = 0
+    while (true) {
+      it += 1
+      require(it <= maxIters,
+        s"coreNumbers still refining after $maxIters rounds — raise maxIters")
+      val joined = nbr.join(
+        h.select(col("id").as("nb"), col("h").as("nh")), Seq("nb"))
+      val w = Window.partitionBy(col("id")).orderBy(col("nh").desc)
+      val next = joined
+        .withColumn("rn", row_number().over(w).cast("long"))
+        .groupBy(col("id")).agg(max(least(col("nh"), col("rn"))).as("h"))
+        .localCheckpoint(true)
+      val converged = next
+        .join(h.withColumnRenamed("h", "hp"), Seq("id"))
+        .filter(col("h") =!= col("hp")).isEmpty
+      h = next
+      if (converged) return h.select(col("id"), col("h").as("core"))
+    }
+    throw new IllegalStateException("unreachable")
+  }
+
   def kCore(pairs: DataFrame, k: Int, maxIters: Int = 12): DataFrame = {
     require(k >= 1, "k-core needs k >= 1")
     require(maxIters >= 1, "k-core needs at least one round")

@@ -2403,6 +2403,44 @@ object Pipeline {
            |ORDER BY id""".stripMargin
       }),
 
+    // FULL core decomposition (r12): every node's core number in one run
+    // (Graph.coreNumbers, iterated h-index — Lü et al. 2016), on the SAME
+    // similarity graph as q_pl_kcore so PipelineSpec can pin the duality
+    // core_number >= k ⟺ kCore(k) membership. The oracle unrolls the
+    // same 12 h-index rounds with MATERIALIZED CTEs (plain CTEs re-expand
+    // exponentially); Spark early-stops at the fixpoint, which makes the
+    // oracle's extra rounds no-ops — convergence within 12 is part of
+    // the gated contract (loud error otherwise).
+    Q("q_pl_core_numbers",
+      (s, dir) => {
+        val emb = Tables.embeddings(s, dir)
+        val pairs = Similarity.cosinePairs(emb, 0.3)
+          .select(col("vec_a").as("a"), col("vec_b").as("b"))
+        graft.pipeline.Graph.coreNumbers(pairs, maxIters = 12).orderBy("id")
+      },
+      Some {
+        val rounds = (1 to 12).map { i =>
+          s"""h$i AS MATERIALIZED (
+             |  SELECT id, max(least(nh, rn)) AS h FROM (
+             |    SELECT n.id AS id, p.h AS nh,
+             |           row_number() OVER (PARTITION BY n.id ORDER BY p.h DESC) AS rn
+             |    FROM nbr n JOIN h${i - 1} p ON n.nb = p.id)
+             |  GROUP BY 1)""".stripMargin
+        }.mkString(",\n")
+        s"""WITH $embCte,
+           |pr AS MATERIALIZED (
+           |  SELECT a.vec_id AS a, b.vec_id AS b
+           |  FROM e a JOIN e b ON a.vec_id < b.vec_id
+           |  WHERE ${cosSql("a.v", "b.v")} >= 0.3
+           |),
+           |nbr AS MATERIALIZED (
+           |  SELECT a AS id, b AS nb FROM pr UNION ALL SELECT b, a FROM pr),
+           |h0 AS MATERIALIZED (SELECT id, count(*) AS h FROM nbr GROUP BY 1),
+           |$rounds
+           |SELECT id, CAST(h AS BIGINT) AS core FROM h12 ORDER BY id""".stripMargin
+      },
+      benchExtra = true),
+
     // Newman modularity (Graph.modularity) of the brand partition over
     // the co-purchase graph (parts sharing an order, a<b, distinct) —
     // the community-QUALITY metric missing next to the community

@@ -1520,6 +1520,34 @@ class PipelineSpec extends AnyFunSuite {
     intercept[IllegalArgumentException](Graph.kCore(pairs, 0))
   }
 
+  test("coreNumbers: hand values, duality with kCore on the gate fixture, loud non-convergence") {
+    import graft.pipeline.Graph
+    // triangle {1,2,3} + chain 3-4-5: coreness 2 on the triangle, 1 on
+    // the tail — the h-index fixpoint must match the peel exactly
+    val pairs = Seq((1L, 2L), (1L, 3L), (2L, 3L), (3L, 4L), (4L, 5L)).toDF("a", "b")
+    val core = Graph.coreNumbers(pairs).as[(Long, Long)].collect().toMap
+    assert(core === Map(1L -> 2L, 2L -> 2L, 3L -> 2L, 4L -> 1L, 5L -> 1L))
+    // DUALITY on the gate fixture (same graph q_pl_kcore/q_pl_core_numbers
+    // use): {core_number >= k} must equal the k-core's node set for every
+    // k up to the degeneracy
+    val gate = graft.pipeline.Similarity.cosinePairs(emb, 0.3)
+      .select(col("vec_a").as("a"), col("vec_b").as("b"))
+    val cn = Graph.coreNumbers(gate).as[(Long, Long)].collect().toMap
+    val kmax = cn.values.max
+    assert(kmax >= 3L, s"gate fixture degenerate: max coreness $kmax")
+    (1L to kmax).foreach { k =>
+      val peel = Graph.kCore(gate, k.toInt, maxIters = 32)
+        .select("id").as[Long].collect().toSet
+      val byCore = cn.filter(_._2 >= k).keySet
+      assert(byCore === peel, s"coreness >= $k must equal kCore($k) membership")
+    }
+    // a long chain refines one h per round from the ends; maxIters = 1
+    // must fail loudly rather than return a non-fixpoint
+    val chain = (1L to 30L).sliding(2).map(s => (s.head, s.last)).toSeq.toDF("a", "b")
+    val e2 = intercept[IllegalArgumentException](Graph.coreNumbers(chain, maxIters = 1))
+    assert(e2.getMessage.contains("still refining"))
+  }
+
   test("decompose: randomized differential vs a sequential Scala reference") {
     import graft.operators.Trend
     val rnd = new scala.util.Random(23)
