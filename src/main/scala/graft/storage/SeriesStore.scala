@@ -160,6 +160,16 @@ final class SeriesStore(val spark: SparkSession, val root: String,
       unbucketedLayoutOk
       df.write.mode(SaveMode.Append).partitionBy("hour_bucket").parquet(segDir)
     }
+    // keep the store-convention skip manifest fresh for the touched hours
+    // (SkipIndex.dirFor scaladoc: a post-append stale manifest would
+    // silently MISS the new files on routed scans — the one staleness
+    // mode that isn't loud). No manifest → zero cost.
+    if (SkipIndex.exists(spark, SkipIndex.dirFor(this))) {
+      val touched = points
+        .select(((col("time") - pmod(col("time"), lit(3600L))).cast("long")).as("h"))
+        .distinct().collect().map(_.getLong(0)).toSeq
+      SkipIndex.refresh(this, SkipIndex.dirFor(this), touched)
+    }
   }
 
   def isEmpty: Boolean = !new java.io.File(segDir).exists()

@@ -111,6 +111,47 @@ object SkipIndex {
     }
   }
 
+  /** Engine-integration convention (r12): a store's own manifest lives at
+    * `<root>/skipindex`. [[graft.sydraql.Engine.executeOnStore]] routes
+    * `by_id()` and time-bounded scans through it when present, and
+    * [[SeriesStore.append]] keeps it fresh for the hours a batch touches
+    * (a stale manifest after an append would silently MISS the new files;
+    * compaction/retention staleness instead fails loudly on the renamed
+    * paths — rebuild or [[refresh]] after offline maintenance, and the
+    * streaming maintenance twin covers continuous ingest).
+    */
+  def dirFor(store: SeriesStore): String = s"${store.root}/skipindex"
+
+  def exists(spark: SparkSession, manifestDir: String): Boolean = {
+    val p = new org.apache.hadoop.fs.Path(s"$manifestDir/m")
+    p.getFileSystem(spark.sessionState.newHadoopConf()).exists(p)
+  }
+
+  /** Refresh the store-convention manifest for `hours`, if one exists. */
+  def autoRefresh(store: SeriesStore, hours: Seq[Long]): Unit = {
+    val dir = dirFor(store)
+    if (hours.nonEmpty && exists(store.spark, dir)) refresh(store, dir, hours)
+  }
+
+  /** Time-range-only pruned scan (no series predicate — the `by name` /
+    * all-series engine route): files whose [min_time, max_time] overlaps
+    * the inclusive range. Same contract as [[probeScan]]: pruning is
+    * I/O-only, the exact residual filter runs on what is read.
+    */
+  def rangeScan(store: SeriesStore, manifestDir: String,
+      startTs: Long, endTs: Long): SkipScan = {
+    val spark = store.spark
+    val m = read(spark, manifestDir)
+    val survivors = m
+      .filter(col("min_time") <= endTs && col("max_time") >= startTs)
+      .select("file").collect().map(_.getString(0))
+    val total = m.count().toInt
+    SkipScan(
+      readFiles(store, survivors)
+        .filter(col("time") >= startTs && col("time") <= endTs),
+      survivors.length, total)
+  }
+
   def read(spark: SparkSession, manifestDir: String): DataFrame = {
     Maintenance.recoverSwaps(spark, manifestDir) // heal a died-mid-swap refresh
     spark.read.parquet(s"$manifestDir/m")

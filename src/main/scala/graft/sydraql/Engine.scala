@@ -53,10 +53,79 @@ object Engine {
       options: CompileOptions = CompileOptions()): DataFrame =
     execute(spark, source, sydraql, options).df
 
+  /** Conservative time bounds from a WHERE's TOP-LEVEL conjuncts: only
+    * bare `time <op> <int literal>` comparisons count (anything under
+    * OR/NOT, function-wrapped, or non-literal is ignored — pruning must
+    * be a SUPERSET of the true predicate, which the compiler re-applies
+    * exactly on whatever is read). `>` widens to `>=` / `<` to `<=` for
+    * the same reason.
+    */
+  private def timeBounds(where: Option[Ast.Expr]): (Option[Long], Option[Long]) = {
+    def conj(e: Ast.Expr): Seq[Ast.Expr] = e match {
+      case Ast.Binary(Ast.And, l, r) => conj(l) ++ conj(r)
+      case x => Seq(x)
+    }
+    var lo: Option[Long] = None
+    var hi: Option[Long] = None
+    def tighten(op: Ast.BinOp, v: Long): Unit = op match {
+      case Ast.Ge | Ast.Gt => lo = Some(lo.fold(v)(math.max(_, v)))
+      case Ast.Le | Ast.Lt => hi = Some(hi.fold(v)(math.min(_, v)))
+      case Ast.Eq => tighten(Ast.Ge, v); tighten(Ast.Le, v)
+      case _ => ()
+    }
+    def flip(op: Ast.BinOp): Ast.BinOp = op match {
+      case Ast.Ge => Ast.Le
+      case Ast.Gt => Ast.Lt
+      case Ast.Le => Ast.Ge
+      case Ast.Lt => Ast.Gt
+      case o => o
+    }
+    where.toSeq.flatMap(conj).foreach {
+      case Ast.Binary(op, id: Ast.Ident, Ast.IntLit(v))
+        if id.full.equalsIgnoreCase("time") => tighten(op, v)
+      case Ast.Binary(op, Ast.IntLit(v), id: Ast.Ident)
+        if id.full.equalsIgnoreCase("time") => tighten(flip(op), v)
+      case _ => ()
+    }
+    (lo, hi)
+  }
+
+  /** Route a SELECT's source through the store's data-skipping manifest
+    * ([[graft.storage.SkipIndex.dirFor]]) when one exists: `by_id()`
+    * probes prune on time overlap + the series bloom, name/all-series
+    * scans with time bounds prune on overlap alone. Pruning changes what
+    * is READ, never what is true — the compiler applies the query's full
+    * WHERE to whatever comes back, so the routed source only has to be a
+    * superset of the matching rows. No manifest, no selector, no bounds →
+    * the plain source view, byte-identical behavior to pre-r12.
+    */
+  private def routedSource(store: graft.storage.SeriesStore,
+      s: Ast.Select): DataFrame = {
+    import graft.storage.SkipIndex
+    val spark = store.spark
+    val dir = SkipIndex.dirFor(store)
+    lazy val srcCols = Seq("series", "series_id", "tags", "time", "value")
+    if (!SkipIndex.exists(spark, dir)) return store.source()
+    val (lo, hi) = timeBounds(s.where)
+    s.from match {
+      case Some(Ast.ById(id)) =>
+        SkipIndex.probeScan(store, dir,
+            lo.getOrElse(Long.MinValue), hi.getOrElse(Long.MaxValue), id)
+          .df.select(srcCols.map(org.apache.spark.sql.functions.col): _*)
+      case _ if lo.nonEmpty || hi.nonEmpty =>
+        SkipIndex.rangeScan(store, dir,
+            lo.getOrElse(Long.MinValue), hi.getOrElse(Long.MaxValue))
+          .df.select(srcCols.map(org.apache.spark.sql.functions.col): _*)
+      case _ => store.source()
+    }
+  }
+
   /** Execute against a [[graft.storage.SeriesStore]]: SELECT/EXPLAIN read
-    * the store's source view; INSERT appends; DELETE rewrites affected
-    * hour partitions. The reference parses+validates INSERT/DELETE but
-    * never plans them (`plan.zig:99-104`) — here they run.
+    * the store's source view — routed through the store's data-skipping
+    * manifest when one exists ([[routedSource]]) — INSERT appends; DELETE
+    * rewrites affected hour partitions. The reference parses+validates
+    * INSERT/DELETE but never plans them (`plan.zig:99-104`) — here they
+    * run.
     */
   def executeOnStore(
       store: graft.storage.SeriesStore,
@@ -69,7 +138,13 @@ object Engine {
     Validator.validate(ast)
     ast match {
       case _: Ast.Select | _: Ast.Explain =>
-        execute(spark, store.source(), sydraql, options)
+        val sel = ast match {
+          case s: Ast.Select => Some(s)
+          case Ast.Explain(s: Ast.Select) => Some(s)
+          case _ => None
+        }
+        execute(spark, sel.map(routedSource(store, _)).getOrElse(store.source()),
+          sydraql, options)
       case Ast.Insert(series, cols, rows) =>
         val compiler = new Compiler(spark, store.source(), options)
         val colNames = if (cols.isEmpty) Seq("time", "value") else cols.map(_.toLowerCase)

@@ -273,6 +273,37 @@ class PlanSpec extends AnyFunSuite {
     assert(df.count() === 6) // ts = 0, 600, ..., 3000
   }
 
+  test("manifest-routed engine scan reads only surviving files (by_id + time bounds)") {
+    import org.apache.spark.sql.functions.{col, lit, map}
+    import spark.implicits._
+    val store = new SeriesStore(spark, Files.createTempDirectory("graft-skiprt").toString)
+    // 8 hour partitions, one series per file via two appends
+    def pts(series: String) =
+      (0 until 8).map(h => (series, h * 3600L + 5, h.toDouble)).toDF("series", "time", "value")
+        .withColumn("tags", map(lit("host"), lit(series)))
+        .select("series", "tags", "time", "value")
+    def sidOf(name: String) = spark.range(1).select(graft.core.Functions.seriesId(
+      lit(name), map(lit("host"), lit(name))).as("s")).head().getLong(0)
+    // by_id takes an unsigned literal — pick a probe series with a
+    // non-negative 64-bit id
+    val probeName = Seq("cpu", "mem", "disk", "net", "io0", "gpu")
+      .find(sidOf(_) >= 0).get
+    store.append(pts(probeName)); store.append(pts("other"))
+    graft.storage.SkipIndex.build(store, graft.storage.SkipIndex.dirFor(store))
+    val sid = sidOf(probeName)
+    val df = graft.sydraql.Engine.executeOnStore(store,
+      s"select time, value from by_id($sid) where time >= 3600 and time <= 7300",
+      graft.sydraql.CompileOptions(now = 0L)).df
+    // 16 data files total; time overlap keeps hours 1-2 (4 files), the
+    // series bloom then drops the mem file in each → the SCAN's input is
+    // exactly 2 files — the listing/footer round-trips a 100 TB probe
+    // never pays
+    assert(df.inputFiles.length === 2,
+      s"routed scan must read exactly the 2 surviving files, got ${df.inputFiles.length}")
+    assert(df.orderBy("time").collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+      === Seq((3605L, 1.0), (7205L, 2.0)))
+  }
+
   test("at-rest IVF probe scan prunes index partitions; result matches the in-memory path") {
     import graft.pipeline.{IvfIndex, Similarity}
     import org.apache.spark.sql.functions.col

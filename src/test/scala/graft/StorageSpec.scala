@@ -659,6 +659,68 @@ class StorageSpec extends AnyFunSuite {
     assert(sweep.df.select("value").as[Double].collect().toSeq === Seq(3.0, 3.0))
   }
 
+  test("skip index engine routing: by_id query reads pruned files, results unchanged, append refreshes") {
+    import graft.storage.SkipIndex
+    import graft.sydraql.{Engine, CompileOptions}
+    import spark.implicits._
+    val store = new SeriesStore(spark, tmp())
+    def sidOf(name: String) = spark.range(1).select(graft.core.Functions.seriesId(
+      lit(name), map(lit("host"), lit(name))).as("s")).head().getLong(0)
+    // the parser takes by_id(<unsigned int>) — pick a probe series whose
+    // 64-bit id happens non-negative (the id VALUE is irrelevant here)
+    val probeName = Seq("cpu", "mem", "disk", "net", "io0", "gpu")
+      .find(sidOf(_) >= 0).get
+    def pts(series: String, off: Long) =
+      (0 until 4).map(h => (series, h * 3600L + off, h.toDouble)).toDF("series", "time", "value")
+        .withColumn("tags", map(lit("host"), lit(series)))
+        .select("series", "tags", "time", "value")
+    store.append(pts(probeName, 10))
+    store.append(pts("other", 20))
+    val sid = sidOf(probeName)
+    val ql = s"select time, value from by_id($sid) where time >= 3600 and time <= ${2 * 3600 + 10}"
+    def run() = Engine.executeOnStore(store, ql, CompileOptions(now = 0L)).df
+    // pre-manifest: the engine reads the plain source (all 8 files)
+    val before = run()
+    assert(before.inputFiles.length === 8, "no manifest -> unrouted full source")
+    val rows = before.orderBy("time").collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    assert(rows === Seq((3610L, 1.0), (7210L, 2.0)))
+    // with the store-convention manifest: 8 -> 2 files (time + bloom),
+    // identical rows — the engine's scan now consults its skipping tier
+    SkipIndex.build(store, SkipIndex.dirFor(store))
+    val routed = run()
+    assert(routed.inputFiles.length === 2,
+      s"routed by_id scan must read the 2 surviving files, got ${routed.inputFiles.length}")
+    assert(routed.orderBy("time").collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq === rows)
+    // time-bounded name scan (no by_id): range pruning alone. FILE-level
+    // min/max beats hour granularity: hours 1-2 hold 4 files, but the
+    // other-series hour-2 file's min_time (7220) exceeds the 7210 bound,
+    // so exactly 3 files survive
+    val named = Engine.executeOnStore(store,
+      s"select time, value from $probeName where time >= 3600 and time <= ${2 * 3600 + 10}",
+      CompileOptions(now = 0L)).df
+    assert(named.inputFiles.length === 3,
+      s"range-routed name scan must read the 3 overlapping files, got ${named.inputFiles.length}")
+    assert(named.orderBy("time").collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq === rows)
+    // append into the probe window AFTER the build: the manifest must
+    // refresh (a stale one would silently drop the new row)
+    store.append(Seq((probeName, 3700L, 9.5)).toDF("series", "time", "value")
+      .withColumn("tags", map(lit("host"), lit(probeName)))
+      .select("series", "tags", "time", "value"))
+    val after = run().orderBy("time").collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    assert(after === Seq((3610L, 1.0), (3700L, 9.5), (7210L, 2.0)),
+      "post-append routed scan must see the new row (manifest auto-refresh)")
+    // OR-nested time comparisons must NOT tighten the pruning bounds
+    // (superset contract): only the top-level `time >= 10` conjunct
+    // routes; the disjunction is evaluated exactly on what is read, and
+    // every matching row — including ones a naive extraction of the
+    // OR's `time <= 10` would have pruned — comes back
+    val orq = Engine.executeOnStore(store,
+      s"select time, value from by_id($sid) where time >= 10 and (time <= 10 or value >= 2.5)",
+      CompileOptions(now = 0L)).df
+    assert(orq.orderBy("time").collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+      === Seq((10L, 0.0), (3700L, 9.5), (10810L, 3.0)))
+  }
+
   test("skip index incremental refresh: touched-hour rewrite equals full rebuild, dropped hour evicted") {
     import graft.storage.SkipIndex
     import spark.implicits._
