@@ -34,7 +34,7 @@ object BenchFamilies {
       "q_ann_self_join", "q_ann_quant", "q_ann_pq", "q_ann_pq_cos",
       "q_ann_ivfpq_at_rest", "q_ann_ivfpq_residual", "q_ann_hamming",
       "q_ann_eval", "q_ann_matryoshka"),
-    "ann1" -> Seq("q_ann_mutual_nn_idx", "q_ann_knn_graph"),
+    "ann1" -> Seq("q_ann_mutual_nn_idx", "q_ann_knn_graph", "q_ann_opq"),
     "dq" -> Seq("q_dq_benford", "q_dq_suite", "q_dq_skew",
       "q_dq_join_estimate", "q_dq_histogram", "q_dq_wasserstein",
       "q_dq_jsd"),

@@ -244,4 +244,101 @@ object Pq {
       .select(col("q_id"), col("vec_id"), col("rank").cast("long").as("rank"),
         (floor(col("cos") * 1e6 + 0.5) / 1e6).as("cos"))
   }
+
+  // ---------------------------------------------------------------- OPQ
+
+  /** `(vec_id, embedding = R·v)` — the OPQ-rotated frame. The rotation is
+    * a PLAN-LITERAL matrix (the JL-projection stance): each output dim is
+    * one zip_with product + left-to-right fold, so any SQL engine given
+    * the same literal replays it bit-for-bit. Rotate once at encode time
+    * and once per query — the serving path (codes + ADC) is unchanged.
+    */
+  def rotate(emb: DataFrame, r: Array[Array[Double]]): DataFrame =
+    Clustering.parsed(emb).select(col("vec_id"),
+      array(r.map(row =>
+        aggregate(zip_with(col("v"), typedLit(row.toSeq), (x, y) => x * y),
+          lit(0.0), (a, x) => a + x)): _*).as("embedding"))
+
+  /** PQ reconstruction x̂ from codes: block j contributes codebook j's
+    * assigned centroid — the decode half of [[codesFor]].
+    */
+  private def reconFor(codes: Column, books: Array[Array[Seq[Double]]]): Column =
+    flatten(array(books.zipWithIndex.map { case (cb, j) =>
+      element_at(typedLit(cb.toSeq.map(_.toSeq)),
+        element_at(codes, j + 1).cast("int") + 1)
+    }: _*))
+
+  /** OPQ rotation training (Ge et al., CVPR 2013 — "Optimized Product
+    * Quantization", the non-parametric alternation, public): repeat
+    * `sweeps` times { fit PQ codebooks on R·x; reconstruct x̂ = q(R·x);
+    * R ← argmin_{RᵀR=I} Σ‖R·x − x̂‖² } — the inner step is the orthogonal
+    * Procrustes problem, solved by one dim×dim SVD on the driver
+    * (maximize tr(R·M) with M = Σ x·x̂ᵀ → R = V·Uᵀ from M = U·S·Vᵀ).
+    * OPQ redistributes correlated variance across the code blocks, which
+    * is exactly the low-m weakness the pinned ADC recall curve documents.
+    *
+    * Scale shape: per sweep, one codebook fit (bounded, [[fit]]), one
+    * narrow encode+reconstruct pass, and ONE dim-row aggregate for M
+    * (posexplode to (dim-index, xi), dim sums per row — driver state is
+    * dim² doubles, 32 KB at dim 64). The SVD is a dim×dim driver-side
+    * solve (Breeze, bundled with Spark).
+    *
+    * The returned matrix is 1e-6-rounded (pre-round applied constants —
+    * the SAX/μσ stance): training float order can differ per engine/run,
+    * but everything downstream of the FROZEN rounded literal replays
+    * exactly. Ship it as a recorded artifact (tools.OpqFit →
+    * `OPQ_ROTATION.txt`), the checkpoint pattern a production rotation
+    * uses anyway.
+    */
+  def fitOpq(emb: DataFrame, m: Int, ksub: Int, iters: Int,
+      sweeps: Int = 2): Array[Array[Double]] = {
+    require(sweeps >= 1, "OPQ needs at least one sweep")
+    val e = Clustering.parsed(emb)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      val dims = e.select(size(col("v"))).head(1)
+      require(dims.nonEmpty, "OPQ fit needs a non-empty corpus")
+      val dim = dims(0).getInt(0)
+      var r: Array[Array[Double]] =
+        Array.tabulate(dim, dim)((i, j) => if (i == j) 1.0 else 0.0)
+      for (_ <- 1 to sweeps) {
+        val rot = e.select(col("vec_id"),
+          array(r.map(row =>
+            aggregate(zip_with(col("v"), typedLit(row.toSeq), (x, y) => x * y),
+              lit(0.0), (a, x) => a + x)): _*).as("embedding"))
+        val books = fit(rot, m, ksub, iters)
+        val rec = rot.select(col("vec_id"),
+            reconFor(codesFor(col("embedding"), books), books).as("y"))
+          .join(e, "vec_id")
+        // M = Σ x·x̂ᵀ: row i of M from the (i, x_i) explode — dim result rows
+        val mRows = rec
+          .select(posexplode(col("v")).as(Seq("i", "xi")), col("y"))
+          .groupBy(col("i"))
+          .agg(array((0 until dim).map(j =>
+            sum(col("xi") * element_at(col("y"), j + 1))): _*).as("mr"))
+          .collect().map(rw => rw.getInt(0) -> rw.getSeq[Double](1)).toMap
+        val mMat = breeze.linalg.DenseMatrix.tabulate(dim, dim)((i, j) => mRows(i)(j))
+        val s = breeze.linalg.svd(mMat)
+        val next = s.Vt.t * s.U.t // R = V·Uᵀ maximizes tr(R·M)
+        r = Array.tabulate(dim, dim)((i, j) =>
+          math.floor(next(i, j) * 1e6 + 0.5) / 1e6)
+      }
+      r
+    } finally e.unpersist(blocking = false)
+  }
+
+  /** Load a recorded rotation (one row per line, space-separated — the
+    * `tools.OpqFit` artifact). Loud failure names the regeneration tool.
+    */
+  def loadRotation(path: String): Array[Array[Double]] = {
+    val f = java.nio.file.Paths.get(path)
+    require(java.nio.file.Files.exists(f),
+      s"OPQ rotation artifact $path missing — regenerate with `runMain graft.tools.OpqFit`")
+    val rows = scala.io.Source.fromFile(path.toString).getLines()
+      .map(_.trim).filter(_.nonEmpty)
+      .map(_.split("\\s+").map(_.toDouble).toArray).toArray
+    require(rows.nonEmpty && rows.forall(_.length == rows.length),
+      s"OPQ rotation artifact $path is not square (${rows.length} rows)")
+    rows
+  }
 }

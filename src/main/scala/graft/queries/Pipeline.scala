@@ -399,6 +399,41 @@ object Pipeline {
        |          FROM g0 $codeJoins)$lutsCte""".stripMargin
   }
 
+  /** Replays the OPQ serving chain: the FROZEN rotation artifact as a
+    * plan-literal matrix (each rotated dim = one left-to-right product
+    * fold — the Spark `rotate` twin), then the full [[pqCtes]] fit/encode
+    * chain and the ADC ranking over the ROTATED frame. The trainer
+    * (Pq.fitOpq: alternating k-means / Procrustes-SVD) is deliberately
+    * NOT replayed — its output is the recorded checkpoint both engines
+    * embed, the same stance as every pre-rounded applied constant.
+    */
+  /** The frozen OPQ rotation checkpoint (repo-root artifact, committed;
+    * regenerate with `runMain graft.tools.OpqFit` after a testdata
+    * regeneration). Loaded once — lazily, so only OPQ surfaces pay for
+    * or depend on it.
+    */
+  private lazy val opqRotation: Array[Array[Double]] =
+    graft.pipeline.Pq.loadRotation("OPQ_ROTATION.txt")
+
+  private def opqOracle(r: Array[Array[Double]], m: Int, ksub: Int,
+      iters: Int, dim: Int, nq: Int, k: Int): String = {
+    val rowsLit = r.map(row => "[" + row.mkString(", ") + "]").mkString(", ")
+    s"""WITH e0all AS (SELECT vec_id, [CAST(x AS DOUBLE) for x in embedding] AS ev FROM embeddings),
+       |rot AS (SELECT vec_id,
+       |  [list_reduce([ev[i] * rr[i] for i in range(1, $dim + 1)], (a, b) -> a + b)
+       |   for rr in [$rowsLit]] AS rv
+       |  FROM e0all),
+       |${pqCtes(m, ksub, iters, dim, nq, src = "rot", vecExpr = "rv")},
+       |ranked AS (
+       |  SELECT q_id, vec_id, adc,
+       |         row_number() OVER (PARTITION BY q_id ORDER BY adc, vec_id) AS rank
+       |  FROM (SELECT q.q_id, c.vec_id, ${pqAdcSum(m)} AS adc
+       |        FROM codes c CROSS JOIN luts q WHERE c.vec_id != q.q_id)
+       |)
+       |SELECT q_id, vec_id, rank, floor(adc * 1e4 + 0.5) / 1e4 AS adc_dist
+       |FROM ranked WHERE rank <= $k ORDER BY q_id, rank""".stripMargin
+  }
+
   private def pqOracle(m: Int, ksub: Int, iters: Int, dim: Int, nq: Int, k: Int): String =
     s"""WITH ${pqCtes(m, ksub, iters, dim, nq)},
        |ranked AS (
@@ -1052,6 +1087,26 @@ object Pipeline {
           .orderBy("q_id", "rank")
       },
       Some(pqOracle(m = 4, ksub = 16, iters = 1, dim = 64, nq = 10, k = 5))),
+
+    // OPQ-rotated PQ (r12, Ge et al. CVPR 2013): the frozen trained
+    // rotation (OPQ_ROTATION.txt — tools.OpqFit checkpoint, the pattern
+    // a production rotation ships as) applied before the identical fit/
+    // encode/ADC chain. Zero serving-path change: still m codes + m table
+    // probes per candidate; rotation costs one plan-literal matrix apply
+    // at encode/query time. PipelineSpec pins the anisotropic recall lift
+    // (0.180 -> 0.344 @5) and orthogonality; the near-uniform gate corpus
+    // measures parity (BASELINE.md) — OPQ has nothing to exploit there,
+    // by theory.
+    Q("q_ann_opq",
+      (s, dir) => {
+        val emb = Tables.embeddings(s, dir)
+        val rot = graft.pipeline.Pq.rotate(emb, opqRotation)
+        val books = graft.pipeline.Pq.fit(rot, m = 4, ksub = 16, iters = 1)
+        graft.pipeline.Pq.adcTopK(rot, rot.filter(col("vec_id") < 10), books, k = 5)
+          .orderBy("q_id", "rank")
+      },
+      Some(opqOracle(opqRotation, m = 4, ksub = 16, iters = 1, dim = 64, nq = 10, k = 5)),
+      benchExtra = true),
 
     // COSINE-metric ADC over the same codes: aligns PQ serving with the
     // cosine contract of the rest of the ANN family; the reconstruction

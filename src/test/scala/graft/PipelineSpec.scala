@@ -1124,6 +1124,79 @@ class PipelineSpec extends AnyFunSuite {
     assert(recall >= 0.15, s"uniform-corpus recall $recall below the measured floor")
   }
 
+  test("OPQ: orthogonal rotation, anisotropic recall lift, isometric parity, artifact round-trip") {
+    import graft.pipeline.Pq
+    import org.apache.spark.sql.expressions.Window
+    // deterministic ANISOTROPIC fixture — the regime OPQ exists for:
+    // z ~ hash-uniform, eigen-spectrum 2^(-d/8), eigenvectors NOT axis
+    // aligned (fixed Householder-ish mixing), so the identity block
+    // partition splits correlated energy across codebooks
+    def u(seed: Long): Double = { // splitmix64 -> (0,1)
+      var h = seed * 0x9E3779B97F4A7C15L
+      h ^= (h >>> 32); h *= 0xBF58476D1CE4E5B9L; h ^= (h >>> 29)
+      (h >>> 11).toDouble / (1L << 53).toDouble
+    }
+    val dim = 64
+    val mix = { // fixed orthogonal mixer: product of two Householders
+      def hh(v: Array[Double]): Array[Array[Double]] = {
+        val n = math.sqrt(v.map(x => x * x).sum)
+        val w = v.map(_ / n)
+        Array.tabulate(dim, dim)((i, j) =>
+          (if (i == j) 1.0 else 0.0) - 2.0 * w(i) * w(j))
+      }
+      def mul(a: Array[Array[Double]], b: Array[Array[Double]]) =
+        Array.tabulate(dim, dim)((i, j) =>
+          (0 until dim).map(k => a(i)(k) * b(k)(j)).sum)
+      mul(hh(Array.tabulate(dim)(d => u(d + 1) - 0.5)),
+        hh(Array.tabulate(dim)(d => u(d + 101) - 0.5)))
+    }
+    val rows = (0 until 500).map { id =>
+      val z = Array.tabulate(dim)(d =>
+        (u(id.toLong * 64 + d + 7) - 0.5) * math.pow(2.0, -d / 8.0))
+      val v = Array.tabulate(dim)(i => (0 until dim).map(k => mix(i)(k) * z(k)).sum)
+      (id.toLong, v.toSeq)
+    }
+    val aniso = rows.toDF("vec_id", "embedding")
+    // exact L2 top-5 ground truth
+    val parsed = aniso.select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
+    val q = parsed.filter(col("vec_id") < 50).select(col("vec_id").as("q_id"), col("v").as("qv"))
+    val exact = parsed.crossJoin(broadcast(q)).filter(col("vec_id") =!= col("q_id"))
+      .select(col("q_id"), col("vec_id"),
+        aggregate(zip_with(col("v"), col("qv"), (x, y) => (x - y) * (x - y)),
+          lit(0.0), (a, x) => a + x).as("d2"))
+      .withColumn("rk", row_number().over(
+        Window.partitionBy(col("q_id")).orderBy(col("d2"), col("vec_id"))))
+      .filter(col("rk") <= 5)
+      .select("q_id", "vec_id").as[(Long, Long)].collect().toSet
+    def recallOf(corpus: org.apache.spark.sql.DataFrame): Double = {
+      val books = Pq.fit(corpus, m = 4, ksub = 16, iters = 2)
+      val got = Pq.adcTopK(corpus, corpus.filter(col("vec_id") < 50), books, 5)
+        .select("q_id", "vec_id").as[(Long, Long)].collect().toSet
+      got.count(exact.contains).toDouble / exact.size
+    }
+    val r = Pq.fitOpq(aniso, m = 4, ksub = 16, iters = 2, sweeps = 3)
+    // rotation is orthogonal within the 1e-6 artifact rounding
+    (0 until dim).foreach { i =>
+      (0 until dim).foreach { j =>
+        val dot = (0 until dim).map(k => r(k)(i) * r(k)(j)).sum
+        assert(math.abs(dot - (if (i == j) 1.0 else 0.0)) < 1e-3,
+          s"RtR[$i][$j] = $dot not orthogonal")
+      }
+    }
+    // rotation is an isometry: exact L2 neighbors are unchanged by it —
+    // only the QUANTIZED ranking improves
+    val plain = recallOf(aniso)
+    val opq = recallOf(Pq.rotate(aniso, r))
+    info(f"anisotropic recall@5: plain-PQ $plain%.3f, OPQ $opq%.3f")
+    assert(opq > plain,
+      s"OPQ must lift anisotropic recall: opq=$opq plain=$plain")
+    // artifact round-trip: write -> load is exact (the gate's literal)
+    val f = java.nio.file.Files.createTempFile("opq", ".txt")
+    java.nio.file.Files.write(f, (r.map(_.mkString(" ")).mkString("\n") + "\n").getBytes)
+    val r2 = Pq.loadRotation(f.toString)
+    assert(r2.map(_.toSeq).toSeq === r.map(_.toSeq).toSeq)
+  }
+
   test("knnGraphBanded: bands auto-size from n by the dim/bands >= log2(n) rule") {
     import spark.implicits._
     // 80 planted rows (log2 = 6.4): auto picks the 8-bit width floor ->
