@@ -144,6 +144,47 @@ object SydraQlQueries {
               |       true AS p50_ok, true AS ndv_ok
               |FROM sv WHERE series = 'error' AND time >= $T0 AND time < $T1""".stripMargin)),
 
+    // Sketch aggregates served FROM THE CELL STORE through the language
+    // (r12): the same percentile_approx surface as q_sql_sketch_agg, but
+    // the store carries an at-rest t-digest cell tier (SketchCells) and
+    // the engine's rollup-routing rule recognizes that the query's keys —
+    // one row over a day-aligned window of one series — coarsen the
+    // (series, day) cell keys, so the plan reads ONLY the probed day
+    // partitions of KB blobs and never the raw points (PlanSpec pins the
+    // PartitionFilters and that the raw segment path is absent). Same
+    // error-bound contract as every sketch gate; the oracle computes the
+    // exact values from the raw events — the raw-scan route this serving
+    // path must agree with.
+    Q("q_sql_sketch_cells",
+      (s, dir) => {
+        import org.apache.spark.sql.functions.{col, lit}
+        val hi = T0 + 2 * 86400
+        val store = eventsStore(s, dir, T0, hi)
+        graft.storage.SketchCells.build(store, graft.storage.SketchCells.dirFor(store))
+        val df = Engine.executeOnStore(store,
+          s"select percentile_approx(value, 0.5) as p50a, " +
+            s"percentile_approx(value, 0.95) as p95a " +
+            s"from error where time >= $T0 and time < $hi",
+          CompileOptions(now = NOW)).df
+        val bounds = store.source()
+          .filter(col("series") === "error" && col("time") >= T0 && col("time") < hi)
+          .agg(percentile(col("value"), array(lit(0.45), lit(0.55), lit(0.90),
+              lit(1.0), lit(0.5))).as("__q"),
+            count(lit(1)).as("n"))
+          .select(element_at(col("__q"), 1).as("lo50"), element_at(col("__q"), 2).as("hi50"),
+            element_at(col("__q"), 3).as("lo95"), element_at(col("__q"), 4).as("hi95"),
+            (floor(element_at(col("__q"), 5) * 1e4 + 0.5) / 1e4).as("p50_exact"),
+            col("n"))
+        df.crossJoin(broadcast(bounds))
+          .select(col("p50_exact"), col("n"),
+            (col("p50a") >= col("lo50") && col("p50a") <= col("hi50")).as("p50_ok"),
+            (col("p95a") >= col("lo95") && col("p95a") <= col("hi95")).as("p95_ok"))
+      },
+      Some(s"""$svSql
+              |SELECT floor((quantile_cont(value, 0.5)) * 1e4 + 0.5) / 1e4 AS p50_exact,
+              |       count(*) AS n, true AS p50_ok, true AS p95_ok
+              |FROM sv WHERE series = 'error' AND time >= $T0 AND time < ${T0 + 2 * 86400}""".stripMargin)),
+
     sq("q_sql_minmax_fl",
       s"select min(value) as mn, max(value) as mx, first(value) as fv, last(value) as lv " +
         s"from error where time >= $T0 and time < $T1",

@@ -160,15 +160,21 @@ final class SeriesStore(val spark: SparkSession, val root: String,
       unbucketedLayoutOk
       df.write.mode(SaveMode.Append).partitionBy("hour_bucket").parquet(segDir)
     }
-    // keep the store-convention skip manifest fresh for the touched hours
-    // (SkipIndex.dirFor scaladoc: a post-append stale manifest would
-    // silently MISS the new files on routed scans — the one staleness
-    // mode that isn't loud). No manifest → zero cost.
-    if (SkipIndex.exists(spark, SkipIndex.dirFor(this))) {
+    // keep the store-convention derived tiers fresh for what this batch
+    // touched (SkipIndex.dirFor scaladoc: a post-append stale manifest /
+    // cell would silently MISS or under-count the new rows on routed
+    // scans — the one staleness mode that isn't loud). No tier → zero
+    // cost; with one, the extra pass is one metadata-sized distinct over
+    // the batch plus the tier's bounded touched-partition recompute.
+    val hasSkip = SkipIndex.exists(spark, SkipIndex.dirFor(this))
+    val hasCells = SketchCells.exists(spark, SketchCells.dirFor(this))
+    if (hasSkip || hasCells) {
       val touched = points
         .select(((col("time") - pmod(col("time"), lit(3600L))).cast("long")).as("h"))
         .distinct().collect().map(_.getLong(0)).toSeq
-      SkipIndex.refresh(this, SkipIndex.dirFor(this), touched)
+      if (hasSkip) SkipIndex.refresh(this, SkipIndex.dirFor(this), touched)
+      if (hasCells) SketchCells.autoRefresh(this,
+        touched.map(h => h - Math.floorMod(h, 86400L)).distinct)
     }
   }
 

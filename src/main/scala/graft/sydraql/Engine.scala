@@ -120,12 +120,72 @@ object Engine {
     }
   }
 
+  /** Rollup-routing rule (r12): serve a sydraQL sketch aggregate from the
+    * store's at-rest t-digest cell store ([[graft.storage.SketchCells]])
+    * instead of the raw scan, when the query's shape provably coarsens
+    * the (series, day) cell keys:
+    *  - every projection is `percentile_approx(value, <lit>) as <alias>`;
+    *  - no GROUP BY / ORDER BY / FILL (one global row over the selector);
+    *  - WHERE is exactly `time >= LO and time < HI` with DAY-ALIGNED
+    *    literal bounds (cells are day-granular — a misaligned window
+    *    cannot be assembled from them and falls through to raw);
+    *  - the selector is `by_id()` or a series name (the cell store keys).
+    * The served plan reads ONLY the probed days' cell partitions
+    * (PlanSpec pins the PartitionFilters) and merges KB blobs — never
+    * the raw points. Estimates come from merged day digests rather than
+    * one whole-window digest: both satisfy the same t-digest error
+    * contract, which is what the sketch gates pin (the same reason the
+    * at-rest tier q_ts_tdigest is correct).
+    */
+  private def sketchServed(store: graft.storage.SeriesStore,
+      s: Ast.Select): Option[DataFrame] = {
+    import graft.storage.SketchCells
+    import org.apache.spark.sql.functions.col
+    val spark = store.spark
+    val dir = SketchCells.dirFor(store)
+    if (s.groupBy.nonEmpty || s.orderBy.nonEmpty || s.fill.isDefined) return None
+    if (s.from.isEmpty || !SketchCells.exists(spark, dir)) return None
+    val bounds = s.where match {
+      case Some(Ast.Binary(Ast.And,
+          Ast.Binary(Ast.Ge, lo: Ast.Ident, Ast.IntLit(l)),
+          Ast.Binary(Ast.Lt, hi: Ast.Ident, Ast.IntLit(h))))
+        if lo.full.equalsIgnoreCase("time") && hi.full.equalsIgnoreCase("time") &&
+          l % 86400L == 0 && h % 86400L == 0 && l < h => Some((l, h))
+      case _ => None
+    }
+    if (bounds.isEmpty) return None
+    val projs = s.projections.map {
+      case Ast.Projection(
+          Ast.Call("percentile_approx", Seq(v: Ast.Ident, p)), Some(alias))
+        if v.full.equalsIgnoreCase("value") =>
+        p match {
+          case Ast.FloatLit(f) if f >= 0 && f <= 1 => Some(alias -> f)
+          case Ast.IntLit(i) if i >= 0 && i <= 1 => Some(alias -> i.toDouble)
+          case _ => None
+        }
+      case _ => None
+    }
+    if (projs.isEmpty || projs.exists(_.isEmpty)) return None
+    val (l, h) = bounds.get
+    val sel = s.from.get match {
+      case Ast.ById(id) => col("series_id") === id
+      case Ast.ByName(n) => col("series") === n
+    }
+    val merged = SketchCells.read(spark, dir)
+      .filter(sel && col("day") >= l && col("day") < h)
+      .agg(graft.functions.TDigest.mergeAgg(col("td")).as("__td"))
+    Some(merged.select(projs.flatten.map { case (alias, p) =>
+      graft.functions.TDigest.quantileOf(col("__td"), p).as(alias)
+    }: _*))
+  }
+
   /** Execute against a [[graft.storage.SeriesStore]]: SELECT/EXPLAIN read
     * the store's source view — routed through the store's data-skipping
-    * manifest when one exists ([[routedSource]]) — INSERT appends; DELETE
-    * rewrites affected hour partitions. The reference parses+validates
-    * INSERT/DELETE but never plans them (`plan.zig:99-104`) — here they
-    * run.
+    * manifest when one exists ([[routedSource]]), and sketch aggregates
+    * served from the at-rest cell store when the shape coarsens its keys
+    * ([[sketchServed]]) — INSERT appends; DELETE rewrites affected hour
+    * partitions. The reference parses+validates INSERT/DELETE but never
+    * plans them (`plan.zig:99-104`) — here they run.
     */
   def executeOnStore(
       store: graft.storage.SeriesStore,
@@ -143,8 +203,13 @@ object Engine {
           case Ast.Explain(s: Ast.Select) => Some(s)
           case _ => None
         }
-        execute(spark, sel.map(routedSource(store, _)).getOrElse(store.source()),
-          sydraql, options)
+        sel.flatMap(sketchServed(store, _)) match {
+          case Some(df) if ast.isInstanceOf[Ast.Select] =>
+            QueryResult(df, QueryStats(0, 0, 0, traceId()))
+          case _ =>
+            execute(spark, sel.map(routedSource(store, _)).getOrElse(store.source()),
+              sydraql, options)
+        }
       case Ast.Insert(series, cols, rows) =>
         val compiler = new Compiler(spark, store.source(), options)
         val colNames = if (cols.isEmpty) Seq("time", "value") else cols.map(_.toLowerCase)

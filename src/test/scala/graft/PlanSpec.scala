@@ -304,6 +304,46 @@ class PlanSpec extends AnyFunSuite {
       === Seq((3605L, 1.0), (7205L, 2.0)))
   }
 
+  test("sketch-cell rollup routing: served plan reads pruned cell partitions, never raw points; misaligned windows fall through") {
+    import org.apache.spark.sql.functions.{col, lit, map}
+    import spark.implicits._
+    val store = new SeriesStore(spark, Files.createTempDirectory("graft-cells").toString)
+    // 6 days of points, 4/day
+    val pts = (0 until 24).map(i => ("cpu", i.toLong * 21600L, i.toDouble))
+      .toDF("series", "time", "value")
+      .withColumn("tags", map(lit("host"), lit("a")))
+      .select("series", "tags", "time", "value")
+    store.append(pts)
+    graft.storage.SketchCells.build(store, graft.storage.SketchCells.dirFor(store))
+    def planOf(ql: String) = {
+      val df = graft.sydraql.Engine.executeOnStore(store, ql,
+        graft.sydraql.CompileOptions(now = 0L)).df
+      (df, df.queryExecution.explainString(
+        org.apache.spark.sql.execution.ExplainMode.fromString("formatted")))
+    }
+    // day-aligned 2-day window over 6 days of cells → served from the
+    // cell store: day PartitionFilters, 2 of 6 day partitions read, the
+    // raw segments path absent from the plan entirely
+    val (df, p) = planOf(
+      s"select percentile_approx(value, 0.5) as p50a from cpu where time >= 86400 and time < ${3 * 86400}")
+    assert(p.contains("sketchcells"), p.take(1200))
+    assert(!p.contains("segments"), "served plan must not touch the raw store:\n" + p.take(1200))
+    // both day bounds sit in the scan's PartitionFilters — evaluated
+    // against the partition index, so 2 of the 6 day dirs are read
+    // (inputFiles can't show this: it lists the relation pre-pruning)
+    val pf = p.linesIterator.find(_.contains("PartitionFilters")).getOrElse("")
+    assert(pf.contains("day") && pf.contains("86400") && pf.contains("259200"),
+      s"day bounds must prune cell partitions: $pf")
+    // the estimate agrees with the raw route's error contract: exact p50
+    // of days 1-2 values (4..11) is 7.5; the digest over 8 points is exact
+    assert(df.head().getDouble(0) === 7.5)
+    // HOUR-aligned (not day-aligned) window → cannot be assembled from
+    // day cells → falls through to the raw scan route
+    val (_, praw) = planOf(
+      s"select percentile_approx(value, 0.5) as p50a from cpu where time >= ${86400 + 3600} and time < ${3 * 86400}")
+    assert(praw.contains("segments"), "misaligned window must read raw:\n" + praw.take(800))
+  }
+
   test("at-rest IVF probe scan prunes index partitions; result matches the in-memory path") {
     import graft.pipeline.{IvfIndex, Similarity}
     import org.apache.spark.sql.functions.col
