@@ -602,6 +602,19 @@ object Similarity {
     }
     val a = guarded.select(col("vec_id").as("a_id"), col("band"), col("bval"))
     val b = guarded.select(col("vec_id").as("b_id"), col("band"), col("bval"))
+    // Join-strategy note (r12): the signature/vector sides (n rows ×
+    // ~24 B) broadcast when n is genuinely small and shuffle when it
+    // isn't — that decision belongs to Catalyst/AQE, which sees REAL
+    // sizes from real sources; the candidate frame must never broadcast
+    // (Σ bucket² rows). That holds automatically for parquet corpora.
+    // A caller feeding a SYNTHETIC/range-derived corpus must materialize
+    // it first (localCheckpoint/persist): static estimates of a literal
+    // projection read ~0 bytes, and Catalyst then broadcasts the
+    // candidate frame itself — measured as an 8 GiB-driver OOM in the
+    // ScaleSmoke clustered fixture before it was materialized. (A
+    // blanket shuffle_hash pin was tried and rejected: it forces three
+    // shuffles of the candidate volume that the broadcast plan never
+    // pays — 43→131 s vs 23→31 s on the uniform smoke curve.)
     // undirected distinct collision pairs, then mirrored: half the dedup
     // work of a directed self-join, same candidate set per query
     val undirected = a.join(b, Seq("band", "bval"))

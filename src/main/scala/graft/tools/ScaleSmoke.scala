@@ -40,8 +40,15 @@ object ScaleSmoke {
     val flipDim = pmod(col("id"), lit(64L)) // member's single flipped dim
     spark.range(n).select(col("id").as("vec_id"),
       array((0 until 64).map { d =>
-        val base = when(pmod(ctr * lit(2654435761L) + lit(d.toLong * 40503L),
-          lit(9973L)) < 4986, lit(1.0)).otherwise(lit(-1.0))
+        // center signs from xxhash64, NOT the linear-congruential mix the
+        // uniform frame uses: a linear hash makes cluster pairs at small
+        // phase offsets share near-identical sign walks, silently merging
+        // whole clusters into mega-buckets — measured 9× wall (207 s vs
+        // ~25) and an 8 GiB-driver OOM before this fix. A clustered
+        // fixture must have DISTINCT clusters or it measures the
+        // adversarial case, not the clustered one.
+        val base = when(pmod(xxhash64(ctr, lit(d)), lit(2L)) === 0, lit(1.0))
+          .otherwise(lit(-1.0))
         when(flipDim === d && pmod(col("id"), lit(cluster.toLong)) =!= 0, base * -1.0)
           .otherwise(base)
       }: _*).as("embedding"))
@@ -93,6 +100,7 @@ object ScaleSmoke {
     // same 8 tag keys, mult× points AND mult× day-partitions — the growth
     // direction the day-partitioned join machinery must absorb (amplifying
     // ids instead would just widen the key space, the easy direction)
+    var clusteredEmb: Option[DataFrame] = None
     lazy val ev = {
       val e0 = graft.core.Tables.events(spark, sfDir)
       (0 until mult).map { i =>
@@ -319,17 +327,29 @@ object ScaleSmoke {
       // builds a SYNTHETIC nVec-sized ±-uniform frame (worst case for
       // recall, fair for cost). Band width follows the documented
       // dim/bands ≳ log2(n) rule → 16-bit bands at this n.
-      timed("knn_graph_banded")(graft.pipeline.Similarity.knnGraphBanded(
-        synthEmb(spark, nVec), 4, bands = 4, candMult = 4)),
+      // fixture materialized first (localCheckpoint) like the clustered
+      // curve below: real sizes for the join planner, no synthetic
+      // projection re-inlined into every task binary
+      timedStaged("knn_graph_banded") { clusteredEmb = Some(
+        synthEmb(spark, nVec).localCheckpoint(true)) } {
+        graft.pipeline.Similarity.knnGraphBanded(
+          clusteredEmb.get, 4, bands = 4, candMult = 4)
+      },
       // r12: the CLUSTERED (clone-amplified) curve with AUTO-SIZED bands
       // (bands = 0 → width from log2 n) and the bucket guard live —
-      // n/200 near-dup clusters give cluster-sized band buckets, so
-      // candidate growth is Σ bucket² ≈ 200·n: the curve must track the
-      // uniform banded build's slope (linear-ish), nowhere near the
-      // exact route's quadratic, and the guard must NOT trip (no bucket
-      // beyond cluster-size × band-collision noise).
-      timed("knn_graph_banded_clustered")(graft.pipeline.Similarity.knnGraphBanded(
-        synthClusteredEmb(spark, nVec, 200), 4, candMult = 4)),
+      // n/200 near-dup clusters give cluster-sized band buckets (probe:
+      // max 156, Σ bucket² 9.1e6 at n=20k), so candidate growth is
+      // Σ bucket² ≈ 200·n: the curve must track the uniform banded
+      // build's slope (linear-ish), nowhere near the exact route's
+      // quadratic, and the guard must NOT trip. The fixture is
+      // MATERIALIZED first (localCheckpoint): a real corpus is a parquet
+      // scan, and without truncation the 64-expression synthetic
+      // projection re-inlines into every task binary of the self-join
+      // DAG (measured: task-deserialization OOM at 8 GiB).
+      timedStaged("knn_graph_banded_clustered") { clusteredEmb = Some(
+        synthClusteredEmb(spark, nVec, 200).localCheckpoint(true)) } {
+        graft.pipeline.Similarity.knnGraphBanded(clusteredEmb.get, 4, candMult = 4)
+      },
       timed("knn_graph_exact")(graft.pipeline.Similarity.hammingTopK(
         synthEmb(spark, nVec), synthEmb(spark, nVec), 4, candMult = 4)),
       timed("bm25_idx") {
