@@ -185,6 +185,45 @@ object SydraQlQueries {
               |       count(*) AS n, true AS p50_ok, true AS p95_ok
               |FROM sv WHERE series = 'error' AND time >= $T0 AND time < ${T0 + 2 * 86400}""".stripMargin)),
 
+    // Bucketed variant of the cell-store routing (r12): GROUP BY
+    // time_bucket with a DAY-MULTIPLE step is still a coarsening of the
+    // (series, day) cell keys — every day cell maps wholly into one
+    // 2-day bucket — so the engine serves each bucket by merging its
+    // days' blobs (the rollup-hierarchy read, like q_store_rollup_day,
+    // but through the LANGUAGE). Same error-bound contract per bucket.
+    Q("q_sql_sketch_cells_bucket",
+      (s, dir) => {
+        import org.apache.spark.sql.functions.{col, lit}
+        val hi = T0 + 4 * 86400
+        val store = eventsStore(s, dir, T0, hi)
+        graft.storage.SketchCells.build(store, graft.storage.SketchCells.dirFor(store))
+        val df = Engine.executeOnStore(store,
+          s"select time_bucket(172800, time) as b, " +
+            s"percentile_approx(value, 0.5) as p50a " +
+            s"from error where time >= $T0 and time < $hi " +
+            s"group by time_bucket(172800, time) order by b",
+          CompileOptions(now = NOW)).df
+        val bounds = store.source()
+          .filter(col("series") === "error" && col("time") >= T0 && col("time") < hi)
+          .groupBy(graft.core.Functions.timeBucket(lit(172800L), col("time")).as("b"))
+          .agg(percentile(col("value"), array(lit(0.45), lit(0.55), lit(0.5))).as("__q"),
+            count(lit(1)).as("n"))
+          .select(col("b"), element_at(col("__q"), 1).as("lo50"),
+            element_at(col("__q"), 2).as("hi50"),
+            (floor(element_at(col("__q"), 3) * 1e4 + 0.5) / 1e4).as("p50_exact"),
+            col("n"))
+        df.join(bounds, "b")
+          .select(col("b"), col("p50_exact"), col("n"),
+            (col("p50a") >= col("lo50") && col("p50a") <= col("hi50")).as("p50_ok"))
+          .orderBy("b")
+      },
+      Some(s"""$svSql
+              |SELECT CAST(time // 172800 * 172800 AS BIGINT) AS b,
+              |       floor((quantile_cont(value, 0.5)) * 1e4 + 0.5) / 1e4 AS p50_exact,
+              |       count(*) AS n, true AS p50_ok
+              |FROM sv WHERE series = 'error' AND time >= $T0 AND time < ${T0 + 4 * 86400}
+              |GROUP BY 1 ORDER BY b""".stripMargin)),
+
     sq("q_sql_minmax_fl",
       s"select min(value) as mn, max(value) as mx, first(value) as fv, last(value) as lv " +
         s"from error where time >= $T0 and time < $T1",

@@ -140,11 +140,21 @@ object Engine {
   private def sketchServed(store: graft.storage.SeriesStore,
       s: Ast.Select): Option[DataFrame] = {
     import graft.storage.SketchCells
-    import org.apache.spark.sql.functions.col
+    import org.apache.spark.sql.functions.{col, lit}
     val spark = store.spark
     val dir = SketchCells.dirFor(store)
-    if (s.groupBy.nonEmpty || s.orderBy.nonEmpty || s.fill.isDefined) return None
+    if (s.fill.isDefined) return None
     if (s.from.isEmpty || !SketchCells.exists(spark, dir)) return None
+    // group keys: none (one global row), or exactly
+    // `time_bucket(<day-multiple literal>, time)` — a step the day cells
+    // coarsen into exactly (every day maps wholly into one step bucket)
+    val bucketKey: Option[(Long, Ast.Expr)] = s.groupBy match {
+      case Seq(c @ Ast.Call("time_bucket", Seq(Ast.IntLit(st), t: Ast.Ident)))
+        if t.full.equalsIgnoreCase("time") && st > 0 && st % 86400L == 0 =>
+        Some((st, c))
+      case Nil => None
+      case _ => return None
+    }
     val bounds = s.where match {
       case Some(Ast.Binary(Ast.And,
           Ast.Binary(Ast.Ge, lo: Ast.Ident, Ast.IntLit(l)),
@@ -154,29 +164,64 @@ object Engine {
       case _ => None
     }
     if (bounds.isEmpty) return None
-    val projs = s.projections.map {
+    // every projection is either THE bucket key (aliased) or an aliased
+    // percentile_approx(value, <literal>) — anything else → raw route
+    sealed trait P
+    case class Bucket(alias: String) extends P
+    case class Quant(alias: String, p: Double) extends P
+    val projs: Seq[Option[P]] = s.projections.map {
+      case Ast.Projection(c, Some(alias)) if bucketKey.exists(_._2 == c) =>
+        Some(Bucket(alias))
       case Ast.Projection(
           Ast.Call("percentile_approx", Seq(v: Ast.Ident, p)), Some(alias))
         if v.full.equalsIgnoreCase("value") =>
         p match {
-          case Ast.FloatLit(f) if f >= 0 && f <= 1 => Some(alias -> f)
-          case Ast.IntLit(i) if i >= 0 && i <= 1 => Some(alias -> i.toDouble)
+          case Ast.FloatLit(f) if f >= 0 && f <= 1 => Some(Quant(alias, f))
+          case Ast.IntLit(i) if i >= 0 && i <= 1 => Some(Quant(alias, i.toDouble))
           case _ => None
         }
       case _ => None
     }
-    if (projs.isEmpty || projs.exists(_.isEmpty)) return None
+    if (projs.exists(_.isEmpty) ||
+      !projs.flatten.exists(_.isInstanceOf[Quant])) return None
+    val ps = projs.flatten
+    val bucketAlias = ps.collectFirst { case Bucket(a) => a }
+    if (bucketKey.isDefined && bucketAlias.isEmpty) return None
+    // ORDER BY: none, or one ascending key naming the bucket (by
+    // expression or alias) — anything else → raw route
+    val orderOk = s.orderBy match {
+      case Nil => true
+      case Seq(Ast.SortKey(e, true)) =>
+        bucketKey.exists(_._2 == e) ||
+          bucketAlias.exists(a => e match {
+            case id: Ast.Ident => id.full.equalsIgnoreCase(a)
+            case _ => false
+          })
+      case _ => false
+    }
+    if (!orderOk) return None
     val (l, h) = bounds.get
     val sel = s.from.get match {
       case Ast.ById(id) => col("series_id") === id
       case Ast.ByName(n) => col("series") === n
     }
-    val merged = SketchCells.read(spark, dir)
+    val base = SketchCells.read(spark, dir)
       .filter(sel && col("day") >= l && col("day") < h)
-      .agg(graft.functions.TDigest.mergeAgg(col("td")).as("__td"))
-    Some(merged.select(projs.flatten.map { case (alias, p) =>
-      graft.functions.TDigest.quantileOf(col("__td"), p).as(alias)
-    }: _*))
+    val merged = bucketKey match {
+      case Some((st, _)) =>
+        // same floor expression the compiler emits for time_bucket, over
+        // the cell's day — exact because step is a day multiple
+        base.groupBy(graft.core.Functions.timeBucket(lit(st), col("day"))
+            .as(bucketAlias.get))
+          .agg(graft.functions.TDigest.mergeAgg(col("td")).as("__td"))
+      case None =>
+        base.agg(graft.functions.TDigest.mergeAgg(col("td")).as("__td"))
+    }
+    val out = merged.select(ps.map {
+      case Bucket(a) => col(a)
+      case Quant(a, p) => graft.functions.TDigest.quantileOf(col("__td"), p).as(a)
+    }: _*)
+    Some(if (s.orderBy.nonEmpty) out.orderBy(col(bucketAlias.get)) else out)
   }
 
   /** Execute against a [[graft.storage.SeriesStore]]: SELECT/EXPLAIN read

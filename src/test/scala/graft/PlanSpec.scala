@@ -342,6 +342,25 @@ class PlanSpec extends AnyFunSuite {
     val (_, praw) = planOf(
       s"select percentile_approx(value, 0.5) as p50a from cpu where time >= ${86400 + 3600} and time < ${3 * 86400}")
     assert(praw.contains("segments"), "misaligned window must read raw:\n" + praw.take(800))
+    // GROUP BY time_bucket with a DAY-MULTIPLE step coarsens the day
+    // cells → still served (2-day buckets from 1-day blobs), pruned the
+    // same way; values follow the rollup math exactly (days 0-5 values
+    // 4/day: bucket0 p50 over 0..7 = 3.5, bucket1 over 8..15 = 11.5,
+    // bucket2 over 16..23 = 19.5)
+    val (bdf, bp) = planOf(
+      "select time_bucket(172800, time) as b, percentile_approx(value, 0.5) as p50a " +
+        s"from cpu where time >= 0 and time < ${6 * 86400} " +
+        "group by time_bucket(172800, time) order by b")
+    assert(bp.contains("sketchcells") && !bp.contains("segments"),
+      "day-multiple bucket query must serve from cells:\n" + bp.take(800))
+    assert(bdf.collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+      === Seq((0L, 3.5), (172800L, 11.5), (345600L, 19.5)))
+    // a NON-day-multiple step (hourly buckets) cannot → raw route
+    val (_, hb) = planOf(
+      "select time_bucket(3600, time) as b, percentile_approx(value, 0.5) as p50a " +
+        s"from cpu where time >= 0 and time < ${6 * 86400} " +
+        "group by time_bucket(3600, time) order by b")
+    assert(hb.contains("segments"), "sub-day buckets must read raw:\n" + hb.take(800))
   }
 
   test("at-rest IVF probe scan prunes index partitions; result matches the in-memory path") {
