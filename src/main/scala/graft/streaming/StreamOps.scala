@@ -1570,6 +1570,72 @@ object StreamOps {
       }
       .start()
 
+  /** Streaming maintenance of the ENGINE's t-digest cell store
+    * ([[graft.storage.SketchCells]] — the tier `q_sql_sketch_cells`
+    * serves `percentile_approx` from): per micro-batch of
+    * (series, series_id, time, value) points, digest the batch into
+    * (series_id, day) cells, MERGE with the stored cells of the touched
+    * days only (partition-pruned read), and rewrite exactly those day
+    * partitions. The ingest half of the language-served rollup: a day's
+    * quantile state stays a KB digest that absorbs points incrementally,
+    * and the engine's routed queries read the maintained store directly.
+    *
+    * Merged day digests are a DIFFERENT centroid structure than a
+    * one-shot digest over the same points — both honor the same t-digest
+    * quantile error contract, which is what the gates pin (the
+    * q_ts_tdigest stance); exact n_rows rides every cell for the parts
+    * that must be exact. Same delivery contract as [[sketchMaintenance]]
+    * (replay-guard sidecar; crash mid-overwrite requires rebuild).
+    * StreamingSpec pins multi-wave upkeep: exact per-cell n_rows, the
+    * engine serving end-to-end from the maintained store within exact
+    * bounds, and replay idempotence.
+    */
+  def tdigestCellMaintenance(points: DataFrame, path: String, checkpoint: String,
+      trigger: org.apache.spark.sql.streaming.Trigger =
+        org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      : org.apache.spark.sql.streaming.StreamingQuery =
+    points.writeStream
+      .option("checkpointLocation", checkpoint)
+      .trigger(trigger)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        withReplayGuard(path, batchId, batch) { b =>
+          val spark = b.sparkSession
+          val cellDir = s"$path/td"
+          val fresh = b
+            .groupBy(col("series_id"),
+              (col("time") - pmod(col("time"), lit(86400L))).as("day"))
+            .agg(first(col("series")).as("series"),
+              graft.functions.TDigest.agg(col("value")).as("td"),
+              count(lit(1)).as("n_rows"))
+            .select(col("series_id"), col("series"), col("td"),
+              col("n_rows"), col("day"))
+          // touched days: metadata-sized (bounded by the batch's day span)
+          val days = fresh.select("day").distinct()
+            .collect().map(_.getLong(0))
+          val fs = new org.apache.hadoop.fs.Path(cellDir)
+            .getFileSystem(spark.sessionState.newHadoopConf())
+          val existing =
+            if (!fs.exists(new org.apache.hadoop.fs.Path(cellDir))) fresh.limit(0)
+            else spark.read.parquet(cellDir)
+              .filter(col("day").isin(days.toSeq: _*)) // partition-pruned
+              .select(fresh.columns.map(col).toSeq: _*)
+          val merged = existing.unionByName(fresh)
+            .groupBy(col("series_id"), col("day"))
+            .agg(first(col("series")).as("series"),
+              graft.functions.TDigest.mergeAgg(col("td")).as("td"),
+              sum(col("n_rows")).as("n_rows"))
+            .select(col("series_id"), col("series"), col("td"),
+              col("n_rows"), col("day"))
+            // materialize BEFORE the overwrite — the plan reads the same
+            // path it is about to replace
+            .localCheckpoint(true)
+          merged.write.mode("overwrite")
+            .option("partitionOverwriteMode", "dynamic")
+            .partitionBy("day").parquet(cellDir)
+        }
+      }
+      .start()
+
   /** Streaming maintenance of the data-skipping manifest
     * ([[graft.storage.SkipIndex]]): per micro-batch of points, append
     * them to the store and refresh EXACTLY the touched hours' manifest

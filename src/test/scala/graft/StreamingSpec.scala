@@ -1524,6 +1524,73 @@ class StreamingSpec extends AnyFunSuite {
       "replayed batches must not double-count")
   }
 
+  test("streaming t-digest cell maintenance: engine serves from the maintained store; replays skipped") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    import org.apache.spark.sql.types._
+    val b = 86400L
+    // 2 series × 3 days × 60 points; waves split MID-DAY so day-1 cells
+    // must merge digests across batches
+    val pts = (for {
+      s <- Seq("api", "web"); d <- 0 to 2; i <- 0 until 60
+    } yield (s, d * b + i * 1000L + 1, (i % 20).toDouble + (if (s == "api") 0 else 100)))
+      .sortBy(_._2).toVector
+    // the ENGINE's store: same points appended BEFORE any cell store
+    // exists (so append's auto-refresh has nothing to touch), then the
+    // stream maintains the store-convention cells the engine routes to
+    val root = Files.createTempDirectory("graft-stream-td").toString + "/s"
+    val store = new graft.storage.SeriesStore(spark, root)
+    store.append(pts.toDF("series", "time", "value")
+      .withColumn("tags", map(lit("h"), lit("x")))
+      .select("series", "tags", "time", "value"))
+    val cellsDir = graft.storage.SketchCells.dirFor(store)
+    val streamDir = Files.createTempDirectory("graft-stream-tdin").toString
+    val ckpt = Files.createTempDirectory("graft-stream-tdck").toString + "/c"
+    val schema = StructType(Seq(StructField("series", StringType),
+      StructField("series_id", LongType), StructField("time", LongType),
+      StructField("value", DoubleType)))
+    def feed(rows: Seq[(String, Long, Double)]): Unit =
+      rows.toDF("series", "time", "value")
+        .withColumn("series_id",
+          graft.core.Functions.seriesId(col("series"), map(lit("h"), lit("x"))))
+        .select("series", "series_id", "time", "value")
+        .write.mode("append").json(streamDir)
+    def stream(cp: String) = StreamOps.tdigestCellMaintenance(
+      spark.readStream.schema(schema).json(streamDir), cellsDir, cp)
+    val (w1, w2) = pts.partition(_._2 < (3 * b) / 2)
+    feed(w1); stream(ckpt).awaitTermination(120000)
+    feed(w2); stream(ckpt).awaitTermination(120000)
+    // exact per-cell row counts (the part that must be exact)
+    val perDay = spark.read.parquet(s"$cellsDir/td")
+      .select(col("series"), col("day"), col("n_rows"))
+      .as[(String, Long, Long)].collect().toSet
+    assert(perDay === pts.groupBy(p => (p._1, p._2 - p._2 % b))
+      .map { case ((s, d), rs) => (s, d, rs.size.toLong) }.toSet)
+    // END-TO-END: the engine routes percentile_approx through the
+    // maintained cells (day-aligned window) and the merged-digest answer
+    // sits inside the exact ±0.05-quantile window of the raw data
+    val served = graft.sydraql.Engine.executeOnStore(store,
+      s"select percentile_approx(value, 0.5) as p50a from api " +
+        s"where time >= 0 and time < ${3 * b}",
+      graft.sydraql.CompileOptions(now = 0L)).df
+    assert(served.queryExecution.explainString(
+      org.apache.spark.sql.execution.ExplainMode.fromString("simple"))
+      .contains("sketchcells"), "query must serve from the maintained cells")
+    val p50 = served.head().getDouble(0)
+    val apiVals = pts.filter(_._1 == "api").map(_._3).sorted
+    def q(f: Double) = apiVals((f * (apiVals.length - 1)).round.toInt)
+    assert(p50 >= q(0.45) && p50 <= q(0.55),
+      s"served p50 $p50 outside exact [${q(0.45)}, ${q(0.55)}]")
+    // replay guard: fresh checkpoint restarts batch ids — without the
+    // sidecar the merge would double every n_rows
+    stream(Files.createTempDirectory("graft-stream-tdck2").toString + "/c")
+      .awaitTermination(120000)
+    val perDay2 = spark.read.parquet(s"$cellsDir/td")
+      .select(col("series"), col("day"), col("n_rows"))
+      .as[(String, Long, Long)].collect().toSet
+    assert(perDay2 === perDay, "replayed batches must not double-count")
+  }
+
   test("streaming skip-index maintenance: maintained manifest equals full rebuild; replays skipped") {
     import spark.implicits._
     import org.apache.spark.sql.functions._
