@@ -37,7 +37,7 @@ object BenchFamilies {
     "ann1" -> Seq("q_ann_mutual_nn_idx", "q_ann_knn_graph", "q_ann_opq"),
     "dq" -> Seq("q_dq_benford", "q_dq_suite", "q_dq_skew",
       "q_dq_join_estimate", "q_dq_histogram", "q_dq_wasserstein",
-      "q_dq_jsd"),
+      "q_dq_jsd", "q_dq_mad", "q_dq_mutual_info"),
     "ev" -> Seq("q_ev_transitions", "q_ev_attribution",
       "q_ev_time_to_convert", "q_ev_cohort_ltv", "q_ev_active_users",
       "q_ev_pattern", "q_ev_rfm", "q_ev_scd2_hist", "q_ev_scd2_lookup"),

@@ -213,6 +213,83 @@ object Checks {
         col("n"))
   }
 
+  /** Robust per-group outlier screen (Iglewicz & Hoaglin's modified
+    * z-score, NIST handbook — public): per group, median, MAD =
+    * median(|x − med|), robust z = 0.6745·(x − med)/MAD, outlier at
+    * |z| > `threshold` (3.5, the standard cut). Mean/σ screens break on
+    * the exact heavy-tailed length/quality columns this is for — one
+    * glitch batch of 10⁹-char rows drags σ until nothing flags; the
+    * median/MAD pair has a 50% breakdown point.
+    *
+    * Shape: two grouped exact-percentile aggregates (group-keyed, one
+    * value copy in flight each) + one flag pass with the group stats
+    * joined back (group-cardinality frame — broadcastable). Integer
+    * inputs make both medians exact (.0/.5), so the z comparison is the
+    * same float expression from the same exact operands in any engine.
+    * MAD = 0 (over half the group identical): z is undefined — the
+    * documented fallback flags any x ≠ med.
+    *
+    * Output: (g, n, n_outliers, med, mad), deterministic.
+    */
+  def madOutliers(df: DataFrame, valCol: String, groupCol: String,
+      threshold: Double = 3.5): DataFrame = {
+    val base = df.select(col(groupCol).as("g"), col(valCol).cast("double").as("v"))
+    val med = base.groupBy(col("g"))
+      .agg(percentile(col("v"), lit(0.5)).as("med"))
+    val stats = base.join(med, "g")
+      .select(col("g"), col("med"), abs(col("v") - col("med")).as("ad"))
+      .groupBy(col("g"))
+      .agg(first(col("med")).as("med"), percentile(col("ad"), lit(0.5)).as("mad"))
+    val z = lit(0.6745) * (col("v") - col("med")) / col("mad")
+    val isOut = when(col("mad") > 0, abs(z) > threshold)
+      .otherwise(col("v") =!= col("med"))
+    base.join(broadcast(stats), "g")
+      .groupBy(col("g"))
+      .agg(count(lit(1)).as("n"),
+        sum(when(isOut, 1L).otherwise(0L)).as("n_outliers"),
+        first(col("med")).as("med"), first(col("mad")).as("mad"))
+  }
+
+  /** Mutual information (bits) between two categorical columns —
+    * MI = Σ_{a,b} (n_ab/N)·log2(N·n_ab/(n_a·n_b)) — the feature-
+    * relevance / redundancy number a curation pipeline reads before
+    * stratifying on a dimension ("does source tell me anything lang
+    * doesn't?"). One count pass over the data; everything after runs on
+    * the |A|×|B| cell frame (bounded by contract — categoricals).
+    *
+    * Cross-engine determinism: every product/ratio is exact-integer in
+    * doubles (counts < 2⁵³), each cell's contribution is pre-rounded to
+    * 1e-9 (log2 ulps differ across libm implementations — the PMI/TFIDF
+    * stance), and the final sum is an ORDERED left fold over the
+    * (a, b)-sorted cells (`aggregate` over `sort_array(collect_list)` ≡
+    * DuckDB `list_reduce(list(c ORDER BY a, b))` — the cross-engine
+    * fold-order rule), rounded 1e-6.
+    *
+    * Output: one row (target, n_rows, n_cells, mi_bits).
+    */
+  def mutualInformation(df: DataFrame, colA: String, colB: String,
+      label: String): DataFrame = {
+    val cells = df.groupBy(col(colA).cast("string").as("a"),
+        col(colB).cast("string").as("b"))
+      .agg(count(lit(1)).as("nab"))
+    val na = cells.groupBy(col("a")).agg(sum(col("nab")).as("na"))
+    val nb = cells.groupBy(col("b")).agg(sum(col("nab")).as("nb"))
+    val tot = cells.agg(sum(col("nab")).as("n"))
+    val contrib = cells.join(na, "a").join(nb, "b").crossJoin(broadcast(tot))
+      .select(col("a"), col("b"), col("n"),
+        (floor((col("nab").cast("double") / col("n").cast("double")) *
+          log(2.0, (col("nab") * col("n")).cast("double") /
+            (col("na") * col("nb")).cast("double")) * 1e9 + 0.5) / 1e9).as("c"))
+    contrib
+      .agg(sort_array(collect_list(struct(col("a"), col("b"), col("c")))).as("cs"),
+        first(col("n")).as("n"), count(lit(1)).as("n_cells"))
+      .select(lit(label).as("target"),
+        col("n").cast("bigint").as("n_rows"),
+        col("n_cells"),
+        (floor(aggregate(col("cs"), lit(0.0),
+          (acc, x) => acc + x.getField("c")) * 1e6 + 0.5) / 1e6).as("mi_bits"))
+  }
+
   def joinEstimate(left: DataFrame, leftKey: String,
       right: DataFrame, rightKey: String, label: String): DataFrame = {
     val lc = left.groupBy(col(leftKey).as("__k")).agg(count(lit(1)).as("__cl"))

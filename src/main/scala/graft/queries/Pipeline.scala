@@ -1777,6 +1777,62 @@ object Pipeline {
              |         / 0.6931471805599453 * 1e4 + 0.5) / 1e4 AS jsd
              |FROM dense JOIN tot ON dense.pair = tot.pair
              |GROUP BY 1 ORDER BY grp""".stripMargin)),
+
+    // Robust outlier screen (r12, Iglewicz–Hoaglin modified z-score):
+    // per-language median/MAD of document length, |z| > 3.5 flagged —
+    // the heavy-tail-proof length screen (mean/σ breaks on exactly the
+    // glitch batches this exists for). Integer inputs → exact medians
+    // (.0/.5) → the z comparison is the same float expression from the
+    // same exact operands in both engines.
+    Q("q_dq_mad",
+      (s, dir) =>
+        graft.pipeline.Checks.madOutliers(
+          Tables.documents(s, dir), "n_chars", "lang").orderBy("g"),
+      Some("""WITH med AS (
+             |  SELECT lang AS g, quantile_cont(n_chars, 0.5) AS med
+             |  FROM documents GROUP BY 1),
+             |st AS (
+             |  SELECT d.lang AS g, max(m.med) AS med,
+             |         quantile_cont(abs(d.n_chars - m.med), 0.5) AS mad
+             |  FROM documents d JOIN med m ON d.lang = m.g GROUP BY 1)
+             |SELECT d.lang AS g, count(*) AS n,
+             |       CAST(sum(CASE WHEN (st.mad > 0 AND
+             |             abs(0.6745 * (d.n_chars - st.med) / st.mad) > 3.5)
+             |           OR (st.mad = 0 AND d.n_chars != st.med)
+             |         THEN 1 ELSE 0 END) AS BIGINT) AS n_outliers,
+             |       max(st.med) AS med, max(st.mad) AS mad
+             |FROM documents d JOIN st ON d.lang = st.g
+             |GROUP BY 1 ORDER BY g""".stripMargin),
+      benchExtra = true),
+
+    // Categorical mutual information (r12): MI(lang; source) in bits —
+    // the stratification-relevance number. Exact-integer cell counts;
+    // per-cell contributions pre-rounded 1e-9 (cross-engine log2 ulps);
+    // the total is an ORDERED left fold over (a, b)-sorted cells on
+    // BOTH engines (aggregate/sort_array ≡ list_reduce/list ORDER BY).
+    Q("q_dq_mutual_info",
+      (s, dir) =>
+        graft.pipeline.Checks.mutualInformation(
+          Tables.documents(s, dir), "lang", "source", "lang_x_source"),
+      Some("""WITH cells AS (
+             |  SELECT CAST(lang AS VARCHAR) AS a, CAST(source AS VARCHAR) AS b,
+             |         count(*) AS nab
+             |  FROM documents GROUP BY 1, 2),
+             |na AS (SELECT a, sum(nab) AS na FROM cells GROUP BY 1),
+             |nb AS (SELECT b, sum(nab) AS nb FROM cells GROUP BY 1),
+             |tot AS (SELECT sum(nab) AS n FROM cells),
+             |c AS (
+             |  SELECT a, b,
+             |         floor((nab * 1.0 / n) *
+             |           log2((nab * 1.0 * n) / (1.0 * na * nb)) * 1e9 + 0.5) / 1e9 AS c
+             |  FROM cells JOIN na USING (a) JOIN nb USING (b) CROSS JOIN tot)
+             |SELECT 'lang_x_source' AS target,
+             |       CAST((SELECT n FROM tot) AS BIGINT) AS n_rows,
+             |       (SELECT count(*) FROM c) AS n_cells,
+             |       floor(list_reduce(list(c.c ORDER BY a, b), (x, y) -> x + y)
+             |         * 1e6 + 0.5) / 1e6 AS mi_bits
+             |FROM c""".stripMargin),
+      benchExtra = true),
   ) ++ rawTail
 
   private val decontamOracle =

@@ -1124,6 +1124,41 @@ class PipelineSpec extends AnyFunSuite {
     assert(recall >= 0.15, s"uniform-corpus recall $recall below the measured floor")
   }
 
+  test("madOutliers: flags the planted extreme, MAD=0 fallback, heavy-tail robustness") {
+    import graft.pipeline.Checks
+    // group a: tight cluster around 100 + ONE extreme — exactly it flags
+    // (z for 500: med=100, mad=2 -> 0.6745*400/2 = 134.9)
+    val rows = Seq.tabulate(20)(i => ("a", 98.0 + (i % 5))) :+ (("a", 500.0)) :++
+      Seq.fill(10)(("b", 7.0)) :+ (("b", 7.5)) // b: MAD=0, one deviation
+    val got = Checks.madOutliers(rows.toDF("g", "v"), "v", "g")
+      .select("g", "n", "n_outliers").as[(String, Long, Long)].collect()
+      .map(r => r._1 -> ((r._2, r._3))).toMap
+    assert(got("a") === ((21L, 1L)))
+    assert(got("b") === ((11L, 1L)), "MAD=0 group must flag any value != median")
+    // robustness: a mean/sigma screen at 3.5 sigma would NOT flag 500 if
+    // sigma is dragged by a second extreme; MAD still flags both
+    val dragged = rows ++ Seq(("a", 400.0))
+    val g2 = Checks.madOutliers(dragged.toDF("g", "v"), "v", "g")
+      .filter(col("g") === "a").select("n_outliers").as[Long].head()
+    assert(g2 === 2L, "both planted extremes must flag (50% breakdown point)")
+  }
+
+  test("mutualInformation: zero for independent, H(a) for determined, symmetric") {
+    import graft.pipeline.Checks
+    def mi(rows: Seq[(String, String)]): Double =
+      Checks.mutualInformation(rows.toDF("x", "y"), "x", "y", "t")
+        .select("mi_bits").as[Double].head()
+    // uniform independent 2x2 -> exactly 0 bits
+    val indep = for { a <- Seq("p", "q"); b <- Seq("u", "v"); _ <- 1 to 5 } yield (a, b)
+    assert(mi(indep) === 0.0)
+    // y fully determined by x over 4 uniform classes -> H(x) = 2 bits
+    val det = for { a <- Seq("1", "2", "3", "4"); _ <- 1 to 5 } yield (a, "c" + a)
+    assert(mi(det) === 2.0)
+    // symmetry: MI(x;y) = MI(y;x)
+    val skew = Seq(("a", "u"), ("a", "u"), ("a", "v"), ("b", "v"), ("b", "v"), ("b", "u"), ("a", "u"))
+    assert(mi(skew) === mi(skew.map(_.swap)))
+  }
+
   test("OPQ: orthogonal rotation, anisotropic recall lift, isometric parity, artifact round-trip") {
     import graft.pipeline.Pq
     import org.apache.spark.sql.expressions.Window
