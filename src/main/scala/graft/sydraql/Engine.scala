@@ -251,6 +251,13 @@ object Engine {
         sel.flatMap(sketchServed(store, _)) match {
           case Some(df) if ast.isInstanceOf[Ast.Select] =>
             QueryResult(df, QueryStats(0, 0, 0, traceId()))
+          case Some(df) => // EXPLAIN of a served query shows the SERVED plan
+            import spark.implicits._
+            QueryResult(
+              Seq(df.queryExecution.explainString(
+                org.apache.spark.sql.execution.ExplainMode.fromString("formatted")))
+                .toDF("plan"),
+              QueryStats(0, 0, 0, traceId()))
           case _ =>
             execute(spark, sel.map(routedSource(store, _)).getOrElse(store.source()),
               sydraql, options)

@@ -361,6 +361,13 @@ class PlanSpec extends AnyFunSuite {
         s"from cpu where time >= 0 and time < ${6 * 86400} " +
         "group by time_bucket(3600, time) order by b")
     assert(hb.contains("segments"), "sub-day buckets must read raw:\n" + hb.take(800))
+    // EXPLAIN of a served query shows the SERVED plan, not the raw route
+    val ex = graft.sydraql.Engine.executeOnStore(store,
+      s"explain select percentile_approx(value, 0.5) as p50a from cpu " +
+        s"where time >= 86400 and time < ${3 * 86400}",
+      graft.sydraql.CompileOptions(now = 0L)).df.head().getString(0)
+    assert(ex.contains("sketchcells") && !ex.contains("segments"),
+      "EXPLAIN must describe the served plan:\n" + ex.take(600))
   }
 
   test("at-rest IVF probe scan prunes index partitions; result matches the in-memory path") {
