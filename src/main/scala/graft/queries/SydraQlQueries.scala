@@ -185,6 +185,43 @@ object SydraQlQueries {
               |       count(*) AS n, true AS p50_ok, true AS p95_ok
               |FROM sv WHERE series = 'error' AND time >= $T0 AND time < ${T0 + 2 * 86400}""".stripMargin)),
 
+    // NDV served from the cell store's HLL half (r12): the store built
+    // with ndvTags carries one HLL blob per (series, day, tag key), and
+    // the engine routes `ndv(tag.user)` through the same day-pruned
+    // blob-merge as percentile_approx — mixed projections share ONE
+    // merge aggregate. tag_user has 8 distinct values, so the sparse
+    // HLL is EXACT and the gate pins equality (the q_sql_sketch_agg
+    // stance); the t-digest keeps its bounds contract.
+    Q("q_sql_sketch_cells_ndv",
+      (s, dir) => {
+        import org.apache.spark.sql.functions.{col, lit}
+        val hi = T0 + 2 * 86400
+        val store = eventsStore(s, dir, T0, hi)
+        graft.storage.SketchCells.build(store,
+          graft.storage.SketchCells.dirFor(store), ndvTags = Seq("user"))
+        val df = Engine.executeOnStore(store,
+          s"select percentile_approx(value, 0.5) as p50a, ndv(tag.user) as ndva " +
+            s"from error where time >= $T0 and time < $hi",
+          CompileOptions(now = NOW)).df
+        val bounds = store.source()
+          .filter(col("series") === "error" && col("time") >= T0 && col("time") < hi)
+          .agg(percentile(col("value"), array(lit(0.45), lit(0.55), lit(0.5))).as("__q"),
+            countDistinct(col("tags")("user")).as("ndv_exact"),
+            count(lit(1)).as("n"))
+          .select(element_at(col("__q"), 1).as("lo50"), element_at(col("__q"), 2).as("hi50"),
+            (floor(element_at(col("__q"), 3) * 1e4 + 0.5) / 1e4).as("p50_exact"),
+            col("ndv_exact"), col("n"))
+        df.crossJoin(broadcast(bounds))
+          .select(col("p50_exact"), col("ndv_exact"), col("n"),
+            (col("p50a") >= col("lo50") && col("p50a") <= col("hi50")).as("p50_ok"),
+            (col("ndva") === col("ndv_exact").cast("double")).as("ndv_ok"))
+      },
+      Some(s"""$svSql
+              |SELECT floor((quantile_cont(value, 0.5)) * 1e4 + 0.5) / 1e4 AS p50_exact,
+              |       count(DISTINCT tag_user) AS ndv_exact, count(*) AS n,
+              |       true AS p50_ok, true AS ndv_ok
+              |FROM sv WHERE series = 'error' AND time >= $T0 AND time < ${T0 + 2 * 86400}""".stripMargin)),
+
     // Bucketed variant of the cell-store routing (r12): GROUP BY
     // time_bucket with a DAY-MULTIPLE step is still a coarsening of the
     // (series, day) cell keys — every day cell maps wholly into one

@@ -35,26 +35,44 @@ object SketchCells {
     p.getFileSystem(spark.sessionState.newHadoopConf()).exists(p)
   }
 
-  private def cellsOf(scan: DataFrame): DataFrame =
+  private def cellsOf(scan: DataFrame, ndvTags: Seq[String]): DataFrame = {
+    val aggs = Seq(first(col("series")).as("series"),
+      graft.functions.TDigest.agg(col("value")).as("td"),
+      count(lit(1)).as("n_rows")) ++
+      ndvTags.map(k => hll_sketch_agg(
+        try_element_at(col("tags"), lit(k)), lit(12)).as(s"hll_$k"))
     scan
       .groupBy(col("series_id"),
         (col("time") - pmod(col("time"), lit(86400L))).as("day"))
-      .agg(first(col("series")).as("series"),
-        graft.functions.TDigest.agg(col("value")).as("td"),
-        count(lit(1)).as("n_rows"))
-      .select(col("series_id"), col("series"), col("td"), col("n_rows"), col("day"))
+      .agg(aggs.head, aggs.tail: _*)
+      .select((Seq(col("series_id"), col("series"), col("td"), col("n_rows")) ++
+        ndvTags.map(k => col(s"hll_$k")) :+ col("day")): _*)
+  }
 
-  /** Build (overwrite) the full cell store: one digest per (series, day). */
-  def build(store: SeriesStore, dir: String): Unit = {
+  /** Build (overwrite) the full cell store: one t-digest per
+    * (series, day), plus — per `ndvTags` key — an HLL sketch of that
+    * tag's distinct values (the NDV half the engine's `ndv(tag.k)`
+    * routing serves from). The cell schema is self-describing: the
+    * `hll_<k>` columns record which tag keys the store carries, and
+    * [[refresh]] re-derives them from the existing schema so incremental
+    * upkeep can never silently change the store's shape.
+    */
+  def build(store: SeriesStore, dir: String, ndvTags: Seq[String] = Seq.empty): Unit = {
     require(!store.isEmpty, s"store at ${store.root} has no flushed segments")
-    cellsOf(store.scan())
+    cellsOf(store.scan(), ndvTags)
       .write.mode(SaveMode.Overwrite).partitionBy("day").parquet(s"$dir/td")
   }
+
+  /** Tag keys whose HLL cells the store carries (from the cell schema). */
+  def ndvTagsOf(spark: SparkSession, dir: String): Seq[String] =
+    read(spark, dir).columns.toSeq
+      .filter(_.startsWith("hll_")).map(_.stripPrefix("hll_"))
 
   /** Recompute ONLY `days`' cells from the store (hour-partition-pruned
     * scan) and overwrite exactly those day partitions — the incremental
     * ingest path (same dynamic-partition-overwrite shape as the
-    * streaming sketch-maintenance twin).
+    * streaming sketch-maintenance twin). The HLL tag keys come from the
+    * existing store's schema.
     */
   def refresh(store: SeriesStore, dir: String, days: Seq[Long]): Unit = {
     if (days.isEmpty) return
@@ -62,7 +80,7 @@ object SketchCells {
     val touched = store.scan().filter(
       (col("time") - pmod(col("time"), lit(86400L))).isin(days: _*))
     spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
-    cellsOf(touched)
+    cellsOf(touched, ndvTagsOf(spark, dir))
       .write.mode(SaveMode.Overwrite)
       .option("partitionOverwriteMode", "dynamic")
       .partitionBy("day").parquet(s"$dir/td")

@@ -1616,9 +1616,18 @@ object StreamOps {
             .getFileSystem(spark.sessionState.newHadoopConf())
           val existing =
             if (!fs.exists(new org.apache.hadoop.fs.Path(cellDir))) fresh.limit(0)
-            else spark.read.parquet(cellDir)
-              .filter(col("day").isin(days.toSeq: _*)) // partition-pruned
-              .select(fresh.columns.map(col).toSeq: _*)
+            else {
+              val cur = spark.read.parquet(cellDir)
+              // an hll-extended cell store (SketchCells ndvTags) must not
+              // be maintained by this td-only twin: selecting the td
+              // columns would silently NULL the touched days' hll cells
+              require(!cur.columns.exists(_.startsWith("hll_")),
+                "tdigestCellMaintenance maintains td-only cell stores; " +
+                  "this store carries hll_* NDV cells — rebuild via " +
+                  "SketchCells.refresh/build instead")
+              cur.filter(col("day").isin(days.toSeq: _*)) // partition-pruned
+                .select(fresh.columns.map(col).toSeq: _*)
+            }
           val merged = existing.unionByName(fresh)
             .groupBy(col("series_id"), col("day"))
             .agg(first(col("series")).as("series"),

@@ -124,7 +124,10 @@ object Engine {
     * store's at-rest t-digest cell store ([[graft.storage.SketchCells]])
     * instead of the raw scan, when the query's shape provably coarsens
     * the (series, day) cell keys:
-    *  - every projection is `percentile_approx(value, <lit>) as <alias>`;
+    *  - every projection is `percentile_approx(value, <lit>) as <alias>`
+    *    or `ndv(tag.<k>) as <alias>` for a tag key whose HLL cells the
+    *    store carries (SketchCells `ndvTags`) — mixed projections share
+    *    one merge aggregate;
     *  - no GROUP BY / ORDER BY / FILL (one global row over the selector);
     *  - WHERE is exactly `time >= LO and time < HI` with DAY-ALIGNED
     *    literal bounds (cells are day-granular — a misaligned window
@@ -164,11 +167,13 @@ object Engine {
       case _ => None
     }
     if (bounds.isEmpty) return None
-    // every projection is either THE bucket key (aliased) or an aliased
-    // percentile_approx(value, <literal>) — anything else → raw route
+    // every projection is either THE bucket key (aliased), an aliased
+    // percentile_approx(value, <literal>), or an aliased ndv(tag.<k>)
+    // whose HLL cells the store carries — anything else → raw route
     sealed trait P
     case class Bucket(alias: String) extends P
     case class Quant(alias: String, p: Double) extends P
+    case class Ndv(alias: String, key: String) extends P
     val projs: Seq[Option[P]] = s.projections.map {
       case Ast.Projection(c, Some(alias)) if bucketKey.exists(_._2 == c) =>
         Some(Bucket(alias))
@@ -180,11 +185,21 @@ object Engine {
           case Ast.IntLit(i) if i >= 0 && i <= 1 => Some(Quant(alias, i.toDouble))
           case _ => None
         }
+      case Ast.Projection(Ast.Call("ndv", Seq(id: Ast.Ident)), Some(alias))
+        if id.parts.length == 2 && id.parts.head.equalsIgnoreCase("tag") =>
+        Some(Ndv(alias, id.parts(1)))
       case _ => None
     }
     if (projs.exists(_.isEmpty) ||
-      !projs.flatten.exists(_.isInstanceOf[Quant])) return None
+      !projs.flatten.exists(p => p.isInstanceOf[Quant] || p.isInstanceOf[Ndv]))
+      return None
     val ps = projs.flatten
+    // every requested NDV key must have its HLL cells in the store
+    val ndvKeys = ps.collect { case Ndv(_, k) => k }.distinct
+    if (ndvKeys.nonEmpty && {
+      val have = SketchCells.ndvTagsOf(spark, dir).toSet
+      !ndvKeys.forall(have.contains)
+    }) return None
     val bucketAlias = ps.collectFirst { case Bucket(a) => a }
     if (bucketKey.isDefined && bucketAlias.isEmpty) return None
     // ORDER BY: none, or one ascending key naming the bucket (by
@@ -207,19 +222,32 @@ object Engine {
     }
     val base = SketchCells.read(spark, dir)
       .filter(sel && col("day") >= l && col("day") < h)
+    // one merge aggregate carries every served blob: the t-digest (when
+    // any quantile is projected) and one HLL union per requested tag key
+    // (cast to double — the raw ndv route's type, so routing never
+    // changes the result schema)
+    val aggs =
+      (if (ps.exists(_.isInstanceOf[Quant]))
+        Seq(graft.functions.TDigest.mergeAgg(col("td")).as("__td"))
+      else Seq.empty) ++
+        ndvKeys.map(k => org.apache.spark.sql.functions.hll_sketch_estimate(
+          org.apache.spark.sql.functions.hll_union_agg(col(s"hll_$k"),
+            org.apache.spark.sql.functions.lit(false)))
+          .cast("double").as(s"__ndv_$k"))
     val merged = bucketKey match {
       case Some((st, _)) =>
         // same floor expression the compiler emits for time_bucket, over
         // the cell's day — exact because step is a day multiple
         base.groupBy(graft.core.Functions.timeBucket(lit(st), col("day"))
             .as(bucketAlias.get))
-          .agg(graft.functions.TDigest.mergeAgg(col("td")).as("__td"))
+          .agg(aggs.head, aggs.tail: _*)
       case None =>
-        base.agg(graft.functions.TDigest.mergeAgg(col("td")).as("__td"))
+        base.agg(aggs.head, aggs.tail: _*)
     }
     val out = merged.select(ps.map {
       case Bucket(a) => col(a)
       case Quant(a, p) => graft.functions.TDigest.quantileOf(col("__td"), p).as(a)
+      case Ndv(a, k) => col(s"__ndv_$k").as(a)
     }: _*)
     Some(if (s.orderBy.nonEmpty) out.orderBy(col(bucketAlias.get)) else out)
   }
