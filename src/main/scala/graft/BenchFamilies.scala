@@ -62,6 +62,7 @@ object BenchFamilies {
       "q_pl_incr_dedup", "q_pl_communities", "q_pl_bpe", "q_pl_bpe_apply",
       "q_pl_quality_clf", "q_pl_leakage_split", "q_pl_shards",
       "q_pl_winsorize", "q_pl_core_numbers"),
+    "pl5" -> Seq("q_pl_assoc_rules"),
     "tpch0" -> Seq("q_tpch_q3", "q_tpch_q5", "q_tpch_q18", "q_tpch_q10",
       "q_tpch_q6", "q_tpch_q14", "q_tpch_q4", "q_tpch_q7", "q_tpch_q8",
       "q_tpch_q13", "q_tpch_q15", "q_tpch_q17"),

@@ -2552,6 +2552,41 @@ object Pipeline {
       },
       benchExtra = true),
 
+    // Association rules (r12, Apriori setting): brand co-purchase
+    // support/confidence/lift over order baskets — frequent-item pruning
+    // BEFORE the pair self-join is the scale design (the infrequent tail
+    // never squares). All counts exact integers; confidence/lift are
+    // integer ratios rounded 1e-6; top-50 by lift through one
+    // TakeOrderedAndProject.
+    Q("q_pl_assoc_rules",
+      (s, dir) => {
+        val baskets = Tables.lineitem(s, dir)
+          .join(Tables.part(s, dir),
+            col("l_partkey") === col("p_partkey"))
+          .select(col("l_orderkey").as("bk"), col("p_brand").as("it"))
+        graft.pipeline.Assoc.rules(baskets, "bk", "it", minSupport = 5, topK = 50)
+      },
+      Some("""WITH b AS (
+             |  SELECT DISTINCT l_orderkey AS bk, p_brand AS it
+             |  FROM lineitem JOIN part ON l_partkey = p_partkey),
+             |n AS (SELECT count(DISTINCT bk) AS n FROM b),
+             |supp AS (SELECT it, count(*) AS s FROM b GROUP BY 1 HAVING count(*) >= 5),
+             |fb AS (SELECT bk, it FROM b WHERE it IN (SELECT it FROM supp)),
+             |pairs AS (
+             |  SELECT x.it AS a, y.it AS b, count(*) AS sab
+             |  FROM fb x JOIN fb y ON x.bk = y.bk AND x.it < y.it
+             |  GROUP BY 1, 2 HAVING count(*) >= 5),
+             |d AS (
+             |  SELECT a AS ant, b AS cons, sab FROM pairs
+             |  UNION ALL SELECT b, a, sab FROM pairs)
+             |SELECT d.ant, d.cons, d.sab AS support,
+             |       floor(d.sab * 1.0 / sa.s * 1e6 + 0.5) / 1e6 AS confidence,
+             |       floor((d.sab * 1.0 * (SELECT n FROM n)) / (1.0 * sa.s * sb.s)
+             |         * 1e6 + 0.5) / 1e6 AS lift
+             |FROM d JOIN supp sa ON d.ant = sa.it JOIN supp sb ON d.cons = sb.it
+             |ORDER BY lift DESC, confidence DESC, ant, cons LIMIT 50""".stripMargin),
+      benchExtra = true),
+
     // Newman modularity (Graph.modularity) of the brand partition over
     // the co-purchase graph (parts sharing an order, a<b, distinct) —
     // the community-QUALITY metric missing next to the community

@@ -419,6 +419,16 @@ object ScaleSmoke {
             greatest(col("vec_a"), col("vec_b")).as("b")).distinct()
         graft.pipeline.Graph.kCore(pairs, k = 3, maxIters = 30)
       },
+      // r12: FULL core decomposition over the same banded-LSH edge set —
+      // one run replaces a k-sweep of peels; per round one edges⋈state
+      // join + a node-partitioned rank window, state localCheckpointed,
+      // so growth must track edges × rounds like the single peel
+      timed("core_numbers") {
+        val pairs = graft.pipeline.Similarity.cosinePairsLsh(emb, 0.45)
+          .select(least(col("vec_a"), col("vec_b")).as("a"),
+            greatest(col("vec_a"), col("vec_b")).as("b")).distinct()
+        graft.pipeline.Graph.coreNumbers(pairs, maxIters = 30)
+      },
       // r11 continuation: file-level data-skipping manifest. The store is
       // written UNTIMED (mult× events, time-axis amplified → mult× hour
       // partitions and files); skip_manifest times the one-pass build

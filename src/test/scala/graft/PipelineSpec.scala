@@ -1124,6 +1124,26 @@ class PipelineSpec extends AnyFunSuite {
     assert(recall >= 0.15, s"uniform-corpus recall $recall below the measured floor")
   }
 
+  test("assoc rules: hand-computed lift/confidence, apriori pruning, direction asymmetry") {
+    import graft.pipeline.Assoc
+    // 10 baskets: {m,b} together in 4, m alone in 2, b alone in 1,
+    // {m,rare} once (rare is sub-support), 2 baskets of unrelated z
+    val rows = Seq(
+      (1, "m"), (1, "b"), (2, "m"), (2, "b"), (3, "m"), (3, "b"), (4, "m"), (4, "b"),
+      (5, "m"), (6, "m"), (7, "b"), (8, "m"), (8, "rare"), (9, "z"), (10, "z"))
+    val got = Assoc.rules(rows.toDF("bk", "it"), "bk", "it", minSupport = 2, topK = 10)
+      .as[(String, String, Long, Double, Double)].collect()
+    val byDir = got.map(r => (r._1, r._2) -> ((r._3, r._4, r._5))).toMap
+    // support(m)=7, support(b)=5, support(mb)=4, N=10:
+    // conf(m->b)=4/7, conf(b->m)=4/5, lift=4*10/(7*5)=1.142857
+    assert(byDir(("m", "b")) === ((4L, math.floor(4.0 / 7 * 1e6 + 0.5) / 1e6, 1.142857)))
+    assert(byDir(("b", "m")) === ((4L, 0.8, 1.142857)))
+    // apriori: 'rare' (support 1 < 2) must never reach the pair join
+    assert(!got.exists(r => r._1 == "rare" || r._2 == "rare"))
+    // z co-occurs with nothing: no rule
+    assert(!got.exists(r => r._1 == "z" || r._2 == "z"))
+  }
+
   test("madOutliers: flags the planted extreme, MAD=0 fallback, heavy-tail robustness") {
     import graft.pipeline.Checks
     // group a: tight cluster around 100 + ONE extreme — exactly it flags
