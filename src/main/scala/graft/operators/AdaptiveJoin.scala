@@ -19,10 +19,11 @@ import org.apache.spark.sql.functions._
   *     `salts` reducers instead of one straggler;
   *  3. else plain equi-join (Catalyst + AQE pick the physical strategy).
   *
-  * Cost of deciding: step 1 is one count of the candidate broadcast side
-  * (the side that is CHEAP to count when it is small, and whose size we
-  * must know before shipping it); step 2 is one partial-aggregated
-  * key-count pass over `left` — both driver results are single scalars.
+  * Cost of deciding: step 1 is a BOUNDED probe — a count under a
+  * `limit(threshold + 1)`, which reads at most threshold+1 rows however
+  * large the right side is (a 100 TB fact answers "not broadcastable"
+  * without being scanned); step 2 is one partial-aggregated key-count
+  * pass over `left` — both driver results are single scalars.
   * At 100 TB the two pre-flight jobs are noise next to a mis-planned
   * fact shuffle; in a metastore deployment both numbers would come from
   * table statistics instead (the decision logic is the part that ships).
@@ -34,11 +35,31 @@ import org.apache.spark.sql.functions._
   */
 object AdaptiveJoin {
 
+  /** The frame the broadcast decision counts: `right` under a
+    * `limit(threshold + 1)`. Factored out so PlanSpec can pin that the
+    * probe's plan carries a GlobalLimit — i.e. the pre-flight can never
+    * degenerate into a full aggregate over a large right side.
+    */
+  private[graft] def broadcastProbe(right: DataFrame, threshold: Long): DataFrame =
+    right.limit(threshold.toInt + 1)
+
   /** Equi-join `left ⋈ right` on `keys` with a measured strategy choice.
     *
+    * The broadcast probe is BOUNDED: the decision needs only "≤ threshold
+    * or not", so it counts `right.limit(threshold + 1)` — a plan with a
+    * GlobalLimit that stops reading at threshold+1 rows, never a full
+    * aggregate over a 100 TB right side (the scaladoc's
+    * statistics-from-metastore stance, approximated without a metastore).
+    *
     * @param spread high-cardinality left column that scatters a hot key's
-    *               rows in the salted branch; defaults to a hash of every
-    *               left column (deterministic, no id column required)
+    *               rows in the salted branch; the default hashes every
+    *               non-map left column MIXED with a per-row monotonic id,
+    *               so full-row duplicate hot keys still scatter across
+    *               salts (any per-row salt is output-safe — `right` is
+    *               replicated to every salt, so each left row joins the
+    *               same rows whatever its salt). Pass an explicit column
+    *               when the salt layout itself must be deterministic
+    *               across runs.
     */
   def join(left: DataFrame, right: DataFrame, keys: Seq[String],
       spread: Column = null,
@@ -47,9 +68,11 @@ object AdaptiveJoin {
       salts: Int = 8): DataFrame = {
     require(keys.nonEmpty, "adaptive join needs at least one key")
     require(salts >= 1, "adaptive join needs a positive salt count")
-    val rRows = right.count()
-    if (rRows <= broadcastRowThreshold) {
-      System.err.println(s"[adaptiveJoin] broadcast: right has $rRows rows " +
+    require(broadcastRowThreshold >= 0 && broadcastRowThreshold < Int.MaxValue,
+      "broadcast threshold must fit a bounded limit probe")
+    val probe = broadcastProbe(right, broadcastRowThreshold).count()
+    if (probe <= broadcastRowThreshold) {
+      System.err.println(s"[adaptiveJoin] broadcast: right has $probe rows " +
         s"(<= $broadcastRowThreshold)")
       left.join(broadcast(right), keys)
     } else {
@@ -59,15 +82,24 @@ object AdaptiveJoin {
       val share = s.getDouble(0) / s.getDouble(1)
       if (share > skewShareThreshold) {
         System.err.println(f"[adaptiveJoin] salted($salts): left top-1 key share " +
-          f"$share%.3f > $skewShareThreshold (right $rRows rows)")
-        val sp = Option(spread).getOrElse(xxhash64(left.columns.map(col): _*))
+          f"$share%.3f > $skewShareThreshold (right > $broadcastRowThreshold rows)")
+        // default spread: hash the hashable (non-map — Spark disallows
+        // hashing MapType) columns plus a per-row monotonic id, so clone
+        // rows of a hot key don't collapse onto one salt
+        val sp = Option(spread).getOrElse {
+          val hashable = left.schema.fields.collect {
+            case f if !f.dataType.isInstanceOf[org.apache.spark.sql.types.MapType] =>
+              col(f.name)
+          }.toSeq
+          xxhash64(hashable :+ monotonically_increasing_id(): _*)
+        }
         val saltedRight = right.withColumn("__salt",
           explode(sequence(lit(0), lit(salts - 1))))
         val saltedLeft = left.withColumn("__salt",
           pmod(xxhash64(sp), lit(salts.toLong)).cast("int"))
         saltedLeft.join(saltedRight, keys :+ "__salt").drop("__salt")
       } else {
-        System.err.println(f"[adaptiveJoin] plain: right $rRows rows, " +
+        System.err.println(f"[adaptiveJoin] plain: right > $broadcastRowThreshold rows, " +
           f"left top-1 key share $share%.3f")
         left.join(right, keys)
       }

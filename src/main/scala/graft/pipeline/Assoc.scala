@@ -42,7 +42,35 @@ object Assoc {
     val n = b.select(col("bk")).distinct().count() // one scalar, the lift base
     val supp = b.groupBy(col("it")).agg(count(lit(1)).as("s"))
       .filter(col("s") >= minSupport)
-    val fb = b.join(supp.select(col("it")), Seq("it")) // frequent items only
+    val fb0 = b.join(supp.select(col("it")), Seq("it")) // frequent items only
+    // basket-WIDTH pre-flight (the dual of the item-frequency prune): the
+    // pair self-join is Θ(w²) per basket in frequent items w, so a few
+    // mega-baskets (a tag shared by every document, an inverted basket
+    // scheme) quietly square inside themselves even after the tail prune.
+    // One partial-aggregated count pass — trivial next to the join it
+    // protects — fails LOUDLY past spark.graft.assoc.maxBasket, with
+    // spark.graft.assoc.dropWideBaskets=true as the explicit opt-in to
+    // drop them instead (a dropped basket loses all its pair counts; the
+    // same guard idiom as knnGraphBanded's band buckets).
+    val spark = baskets.sparkSession
+    val capW = spark.conf.get("spark.graft.assoc.maxBasket", "10000").toLong
+    val dropWide = spark.conf
+      .get("spark.graft.assoc.dropWideBaskets", "false").toBoolean
+    val widths = fb0.groupBy(col("bk")).count()
+    val wide = widths.filter(col("count") > capW)
+      .orderBy(col("count").desc).limit(5).collect()
+    val fb = if (wide.isEmpty) fb0 else {
+      val msg = wide.map(r => s"bk=${r.get(0)} width=${r.get(1)}").mkString("; ")
+      if (!dropWide) throw new IllegalStateException(
+        s"Assoc.rules: baskets over spark.graft.assoc.maxBasket=$capW frequent " +
+          s"items ($msg) — the pair self-join would go quadratic inside them. " +
+          "Raise minSupport, restructure the basket key, or opt in to " +
+          "spark.graft.assoc.dropWideBaskets=true.")
+      System.err.println(s"[assocRules] DROPPING over-wide baskets (> $capW " +
+        s"frequent items): $msg — their pair counts are lost")
+      fb0.join(broadcast(widths.filter(col("count") > capW).select(col("bk"))),
+        Seq("bk"), "left_anti")
+    }
     val pairs = fb.select(col("bk"), col("it").as("a"))
       .join(fb.select(col("bk"), col("it").as("b")), Seq("bk"))
       .filter(col("a") < col("b"))

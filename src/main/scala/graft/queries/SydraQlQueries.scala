@@ -185,13 +185,15 @@ object SydraQlQueries {
               |       count(*) AS n, true AS p50_ok, true AS p95_ok
               |FROM sv WHERE series = 'error' AND time >= $T0 AND time < ${T0 + 2 * 86400}""".stripMargin)),
 
-    // NDV served from the cell store's HLL half (r12): the store built
-    // with ndvTags carries one HLL blob per (series, day, tag key), and
-    // the engine routes `ndv(tag.user)` through the same day-pruned
-    // blob-merge as percentile_approx — mixed projections share ONE
-    // merge aggregate. tag_user has 8 distinct values, so the sparse
-    // HLL is EXACT and the gate pins equality (the q_sql_sketch_agg
-    // stance); the t-digest keeps its bounds contract.
+    // NDV served from the cell store's theta half (r12; theta since r13
+    // so the cell route uses the SAME estimator family + lgK as the raw
+    // ndv() route — tier presence can never change an estimate by
+    // switching estimators): one theta blob per (series, day, tag key),
+    // routed through the same day-pruned blob-merge as
+    // percentile_approx — mixed projections share ONE merge aggregate.
+    // tag_user has 8 distinct values, so theta is EXACT and the gate
+    // pins equality (the q_sql_sketch_agg stance); the t-digest keeps
+    // its bounds contract.
     Q("q_sql_sketch_cells_ndv",
       (s, dir) => {
         import org.apache.spark.sql.functions.{col, lit}

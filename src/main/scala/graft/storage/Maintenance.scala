@@ -206,6 +206,9 @@ object Maintenance {
     renameOrThrow(fs, next, live)
     if (fs.exists(bak)) fs.delete(bak, true)
     spark.catalog.clearCache()
+    // every file path changed and last-wins dedup changed row contents —
+    // both derived tiers must follow
+    refreshTiers(store, store.partitions())
   }
 
   /** Compact selected hour partitions independently — one read+dedup+
@@ -232,6 +235,8 @@ object Maintenance {
         store.spark.catalog.clearCache()
       }
     }
+    refreshTiers(store, hours.filter(h =>
+      fs.exists(new HPath(s"$segRoot/hour_bucket=$h"))))
   }
 
   /** Small-file compaction: re-layout every hour partition whose parquet
@@ -260,7 +265,7 @@ object Maintenance {
     val (fs, root) = fsFor(store.spark, segRoot)
     val hourDirs = (if (fs.exists(root)) fs.listStatus(root) else Array.empty[org.apache.hadoop.fs.FileStatus])
       .filter(s => s.isDirectory && s.getPath.getName.startsWith("hour_bucket="))
-    hourDirs.toSeq.sortBy(_.getPath.getName).flatMap { hd =>
+    val out = hourDirs.toSeq.sortBy(_.getPath.getName).flatMap { hd =>
       val files = fs.listStatus(hd.getPath)
         .filter(_.getPath.getName.endsWith(".parquet"))
       val total = files.map(_.getLen).sum
@@ -280,6 +285,10 @@ object Maintenance {
         Some((hour, n, want, total))
       } else None
     }
+    // pure re-layout: rows (and therefore sketch cells) are unchanged,
+    // but every repacked file path is new — only the manifest must follow
+    SkipIndex.autoRefresh(store, out.map(_._1))
+    out
   }
 
   /** Drop hour partitions strictly older than `cutoffTs` (epoch seconds).
@@ -291,6 +300,9 @@ object Maintenance {
     dropped.foreach { h =>
       fs.delete(new HPath(s"${store.root}/segments/hour_bucket=$h"), true)
     }
+    // dropped hours contribute no recomputed manifest rows / day cells —
+    // the refresh removes them from both tiers
+    refreshTiers(store, dropped)
     dropped
   }
 
@@ -330,30 +342,90 @@ object Maintenance {
     dropped
   }
 
+  private def dayOf(h: Long): Long = h - Math.floorMod(h, 86400L)
+
+  /** Recompute the store-convention derived tiers (skip manifest, sketch
+    * cells) for the hours a maintenance op touched — the same hook
+    * [[SeriesStore.append]] runs, because a delete/retention/compaction
+    * that leaves the tiers behind makes routed queries silently include
+    * (or, for renamed files, loudly miss) the rewritten rows.
+    */
+  private def refreshTiers(store: SeriesStore, hours: Seq[Long]): Unit =
+    if (hours.nonEmpty) {
+      SkipIndex.autoRefresh(store, hours)
+      SketchCells.autoRefresh(store, hours.map(dayOf).distinct)
+    }
+
+  /** What a [[deleteRowsBounded]] call did: which hour partitions were
+    * rewritten, and — when the discovery ran through the skip manifest —
+    * how many candidate data files the manifest let it scan out of the
+    * store's total (`scannedFiles = totalFiles = -1` on the unrouted
+    * path). The file counts exist so tests can PIN that a time-bounded
+    * delete's discovery is pruned I/O, not a full-store scan.
+    */
+  final case class DeleteReport(rewrittenHours: Seq[Long],
+      scannedFiles: Int, totalFiles: Int)
+
   /** Row-level delete for `DELETE FROM <sel> WHERE <pred>`: rewrite only
     * the hour partitions that may contain matches, each through the
-    * crash-safe [[swapRewrite]].
+    * crash-safe [[swapRewrite]]; derived tiers refreshed after.
     */
   def deleteRows(store: SeriesStore, predicate: org.apache.spark.sql.Column): Unit = {
-    val affected = store.scan().filter(predicate)
-      .select("hour_bucket").distinct().collect().map(_.getLong(0))
-    if (affected.isEmpty) return
+    deleteRowsBounded(store, predicate, None, None); ()
+  }
+
+  /** [[deleteRows]] with the predicate's conservative time bounds made
+    * explicit (inclusive; the engine extracts them from the DELETE's
+    * WHERE conjuncts): affected-partition DISCOVERY consults the store's
+    * data-skipping manifest when one exists — candidate files prune on
+    * manifest time-range stats (one metadata read) before any data file
+    * is opened, the same routing the engine's SELECTs use — and falls
+    * back to hour-bucket partition arithmetic otherwise. Bounds prune
+    * what is READ during discovery, never what is deleted: the exact
+    * predicate decides row fate on whatever survives pruning, so a
+    * too-wide bound costs I/O only.
+    */
+  def deleteRowsBounded(store: SeriesStore,
+      predicate: org.apache.spark.sql.Column,
+      loTs: Option[Long], hiTs: Option[Long]): DeleteReport = {
+    val spark = store.spark
+    val skipDir = SkipIndex.dirFor(store)
+    val routed = (loTs.nonEmpty || hiTs.nonEmpty) && SkipIndex.exists(spark, skipDir)
+    val (discovery, scanned, totalF) =
+      if (routed) {
+        val s = SkipIndex.rangeScan(store, skipDir,
+          loTs.getOrElse(Long.MinValue), hiTs.getOrElse(Long.MaxValue))
+        (s.df, s.filesRead, s.filesTotal)
+      } else {
+        val base = store.scan()
+        val b1 = loTs.fold(base)(l =>
+          base.filter(col("hour_bucket") >= Math.floorDiv(l, 3600L) * 3600L))
+        (hiTs.fold(b1)(h => b1.filter(col("hour_bucket") <= h)), -1, -1)
+      }
+    // cast: the routed path re-infers hour_bucket from dir names (int
+    // when values fit), the store schema carries it as long
+    val affected = discovery.filter(predicate)
+      .select(col("hour_bucket").cast("long")).distinct()
+      .collect().map(_.getLong(0)).toSeq.sorted
+    if (affected.isEmpty) return DeleteReport(Nil, scanned, totalF)
     val segRoot = s"${store.root}/segments"
-    recoverSwaps(store.spark, segRoot)
+    recoverSwaps(spark, segRoot)
     affected.foreach { h =>
       val name = s"hour_bucket=$h"
-      val remaining = store.spark.read.schema(store.schema)
+      val remaining = spark.read.schema(store.schema)
         .parquet(s"$segRoot/$name")
         .withColumn("hour_bucket", lit(h))
         .filter(!predicate || predicate.isNull)
         .drop("hour_bucket")
         .cache()
       remaining.count()
-      swapRewrite(store.spark, segRoot, name) { tmp =>
+      swapRewrite(spark, segRoot, name) { tmp =>
         remaining.write.mode(SaveMode.Overwrite).parquet(tmp)
       }
-      store.spark.catalog.clearCache()
+      spark.catalog.clearCache()
     }
+    refreshTiers(store, affected)
+    DeleteReport(affected, scanned, totalF)
   }
 
   /** Snapshot: recursive copy of the data dir (`snapshot.zig:3-47`),

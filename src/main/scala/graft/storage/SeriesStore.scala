@@ -143,39 +143,50 @@ final class SeriesStore(val spark: SparkSession, val root: String,
     // reference's WAL/manifest order provides). Order among duplicate keys
     // WITHIN one parallel batch is explicitly undefined, as in any
     // multi-writer ingest.
-    val df = points
+    val hasSkip = SkipIndex.exists(spark, SkipIndex.dirFor(this))
+    val hasCells = SketchCells.exists(spark, SketchCells.dirFor(this))
+    val derived = points
       .withColumn("series_id", F.seriesId(col("series"), col("tags")))
       .withColumn("seq", lit(SeriesStore.nextBatchSeq()))
       .withColumn("hour_bucket", (col("time") - pmod(col("time"), lit(3600L))).cast("long"))
       .repartition(col("hour_bucket"))
       .sortWithinPartitions(col("series_id"), col("time"))
       .select("series", "series_id", "tags", "time", "value", "seq", "hour_bucket")
-    if (seriesBuckets > 0) {
-      ensureTable()
-      // the bucketed writer hashes each row to its series bucket file
-      // itself; the hour repartition above still bounds files to
-      // seriesBuckets per hour dir per batch
-      df.write.mode(SaveMode.Append).insertInto(tableName)
-    } else {
-      unbucketedLayoutOk
-      df.write.mode(SaveMode.Append).partitionBy("hour_bucket").parquet(segDir)
-    }
-    // keep the store-convention derived tiers fresh for what this batch
-    // touched (SkipIndex.dirFor scaladoc: a post-append stale manifest /
-    // cell would silently MISS or under-count the new rows on routed
-    // scans — the one staleness mode that isn't loud). No tier → zero
-    // cost; with one, the extra pass is one metadata-sized distinct over
-    // the batch plus the tier's bounded touched-partition recompute.
-    val hasSkip = SkipIndex.exists(spark, SkipIndex.dirFor(this))
-    val hasCells = SketchCells.exists(spark, SketchCells.dirFor(this))
-    if (hasSkip || hasCells) {
-      val touched = points
-        .select(((col("time") - pmod(col("time"), lit(3600L))).cast("long")).as("h"))
-        .distinct().collect().map(_.getLong(0)).toSeq
-      if (hasSkip) SkipIndex.refresh(this, SkipIndex.dirFor(this), touched)
-      if (hasCells) SketchCells.autoRefresh(this,
-        touched.map(h => h - Math.floorMod(h, 86400L)).distinct)
-    }
+    // when a derived tier must learn the batch's touched hours, pin the
+    // batch (disk-backed persist) BEFORE writing: the write materializes
+    // the cache, and the touched-hour distinct below reads that SAME
+    // materialization — a non-deterministic input (sampling, rand) can no
+    // longer yield a different hour set than what was written, which
+    // would leave a tier silently stale for the difference
+    val df = if (hasSkip || hasCells)
+      derived.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    else derived
+    try {
+      if (seriesBuckets > 0) {
+        ensureTable()
+        // the bucketed writer hashes each row to its series bucket file
+        // itself; the hour repartition above still bounds files to
+        // seriesBuckets per hour dir per batch
+        df.write.mode(SaveMode.Append).insertInto(tableName)
+      } else {
+        unbucketedLayoutOk
+        df.write.mode(SaveMode.Append).partitionBy("hour_bucket").parquet(segDir)
+      }
+      // keep the store-convention derived tiers fresh for what this batch
+      // touched (SkipIndex.dirFor scaladoc: a post-append stale manifest /
+      // cell would silently MISS or under-count the new rows on routed
+      // scans — the one staleness mode that isn't loud). No tier → zero
+      // cost; with one, the extra pass is one metadata-sized distinct over
+      // the persisted batch plus the tier's bounded touched-partition
+      // recompute.
+      if (hasSkip || hasCells) {
+        val touched = df.select(col("hour_bucket").as("h"))
+          .distinct().collect().map(_.getLong(0)).toSeq
+        if (hasSkip) SkipIndex.refresh(this, SkipIndex.dirFor(this), touched)
+        if (hasCells) SketchCells.autoRefresh(this,
+          touched.map(h => h - Math.floorMod(h, 86400L)).distinct)
+      }
+    } finally if (hasSkip || hasCells) { df.unpersist(); () }
   }
 
   def isEmpty: Boolean = !new java.io.File(segDir).exists()

@@ -20,8 +20,10 @@ import org.apache.spark.sql.functions._
   * skip-manifest stance ([[SkipIndex.dirFor]]): [[SeriesStore.append]]
   * recomputes the touched days when the store exists — a stale cell
   * would silently under-count, the one failure mode that isn't loud.
-  * Offline compaction/retention change history wholesale — rebuild (or
-  * refresh the affected days) after, as with the skip manifest.
+  * Since r13 every [[Maintenance]] mutator (deleteRows, retention,
+  * compaction) runs the same refresh hook for what it touched, so
+  * engine DELETEs and TTL sweeps can no longer leave the cells serving
+  * deleted rows.
   */
 object SketchCells {
 
@@ -36,54 +38,93 @@ object SketchCells {
   }
 
   private def cellsOf(scan: DataFrame, ndvTags: Seq[String]): DataFrame = {
+    // NDV cells are THETA sketches (lgK 12), the SAME estimator family —
+    // same lgK, same exact-mode range — as the raw-scan `ndv()` route
+    // (Compiler's ThetaSketch.agg): creating or dropping the cell tier
+    // must never change what a query returns merely by switching
+    // estimator (the r12 HLL cells did exactly that past the sparse
+    // range). The value is cast to string exactly as the raw route casts
+    // its argument, so both routes hash identical bytes.
     val aggs = Seq(first(col("series")).as("series"),
       graft.functions.TDigest.agg(col("value")).as("td"),
       count(lit(1)).as("n_rows")) ++
-      ndvTags.map(k => hll_sketch_agg(
-        try_element_at(col("tags"), lit(k)), lit(12)).as(s"hll_$k"))
+      ndvTags.map(k => graft.functions.ThetaSketch.agg(
+        try_element_at(col("tags"), lit(k)).cast("string")).as(s"theta_$k"))
     scan
       .groupBy(col("series_id"),
         (col("time") - pmod(col("time"), lit(86400L))).as("day"))
       .agg(aggs.head, aggs.tail: _*)
       .select((Seq(col("series_id"), col("series"), col("td"), col("n_rows")) ++
-        ndvTags.map(k => col(s"hll_$k")) :+ col("day")): _*)
+        ndvTags.map(k => col(s"theta_$k")) :+ col("day")): _*)
   }
 
   /** Build (overwrite) the full cell store: one t-digest per
-    * (series, day), plus — per `ndvTags` key — an HLL sketch of that
+    * (series, day), plus — per `ndvTags` key — a theta sketch of that
     * tag's distinct values (the NDV half the engine's `ndv(tag.k)`
     * routing serves from). The cell schema is self-describing: the
-    * `hll_<k>` columns record which tag keys the store carries, and
+    * `theta_<k>` columns record which tag keys the store carries, and
     * [[refresh]] re-derives them from the existing schema so incremental
     * upkeep can never silently change the store's shape.
     */
   def build(store: SeriesStore, dir: String, ndvTags: Seq[String] = Seq.empty): Unit = {
     require(!store.isEmpty, s"store at ${store.root} has no flushed segments")
     cellsOf(store.scan(), ndvTags)
-      .write.mode(SaveMode.Overwrite).partitionBy("day").parquet(s"$dir/td")
+      .write.mode(SaveMode.Overwrite)
+      // full rebuild replaces the WHOLE store: static overwrite explicitly,
+      // so a session whose conf defaults to dynamic can never leave
+      // removed-day partitions behind
+      .option("partitionOverwriteMode", "static")
+      .partitionBy("day").parquet(s"$dir/td")
   }
 
-  /** Tag keys whose HLL cells the store carries (from the cell schema). */
+  /** Tag keys whose theta NDV cells the store carries (from the cell
+    * schema). A pre-r13 store's `hll_*` columns are NOT reported — its
+    * ndv queries fall through to the raw route (correct, just unserved)
+    * until the store is rebuilt with the theta cells.
+    */
   def ndvTagsOf(spark: SparkSession, dir: String): Seq[String] =
     read(spark, dir).columns.toSeq
-      .filter(_.startsWith("hll_")).map(_.stripPrefix("hll_"))
+      .filter(_.startsWith("theta_")).map(_.stripPrefix("theta_"))
 
   /** Recompute ONLY `days`' cells from the store (hour-partition-pruned
     * scan) and overwrite exactly those day partitions — the incremental
     * ingest path (same dynamic-partition-overwrite shape as the
-    * streaming sketch-maintenance twin). The HLL tag keys come from the
-    * existing store's schema.
+    * streaming sketch-maintenance twin). The NDV tag keys come from the
+    * existing store's schema. The dynamic mode is a WRITER option only —
+    * never a session conf set (a leaked session-wide dynamic mode would
+    * silently turn a later [[build]]'s intended full overwrite into a
+    * partial one).
+    *
+    * Days in `days` with NO remaining rows (a delete or retention emptied
+    * them) produce no fresh cells, which dynamic overwrite alone would
+    * leave serving stale estimates — their partitions are dropped
+    * explicitly after the write. (A crash between write and drop leaves
+    * the emptied day's old cells behind — the same bounded crash window
+    * as a crash before any refresh; the next refresh of that day heals it.)
     */
   def refresh(store: SeriesStore, dir: String, days: Seq[Long]): Unit = {
     if (days.isEmpty) return
     val spark = store.spark
-    val touched = store.scan().filter(
-      (col("time") - pmod(col("time"), lit(86400L))).isin(days: _*))
-    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
-    cellsOf(touched, ndvTagsOf(spark, dir))
-      .write.mode(SaveMode.Overwrite)
-      .option("partitionOverwriteMode", "dynamic")
-      .partitionBy("day").parquet(s"$dir/td")
+    val dayCol = (col("time") - pmod(col("time"), lit(86400L)))
+    val touched = store.scan().filter(dayCol.isin(days: _*))
+    val remaining = touched.select(dayCol.as("day")).distinct()
+      .collect().map(_.getLong(0)).toSet
+    if (remaining.nonEmpty)
+      cellsOf(touched, ndvTagsOf(spark, dir))
+        .write.mode(SaveMode.Overwrite)
+        .option("partitionOverwriteMode", "dynamic")
+        .partitionBy("day").parquet(s"$dir/td")
+    val root = new org.apache.hadoop.fs.Path(s"$dir/td")
+    val fs = root.getFileSystem(spark.sessionState.newHadoopConf())
+    days.filterNot(remaining.contains).foreach { d =>
+      fs.delete(new org.apache.hadoop.fs.Path(root, s"day=$d"), true)
+    }
+    // everything emptied → no partitions left to read; drop the store so
+    // exists() turns false and the engine falls through to the raw route
+    if (fs.exists(root) &&
+        !fs.listStatus(root).exists(_.getPath.getName.startsWith("day=")))
+      fs.delete(root, true)
+    ()
   }
 
   /** Refresh the store-convention cells for `days`, if the store exists. */

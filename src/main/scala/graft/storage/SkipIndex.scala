@@ -116,8 +116,8 @@ object SkipIndex {
     * `by_id()` and time-bounded scans through it when present, and
     * [[SeriesStore.append]] keeps it fresh for the hours a batch touches
     * (a stale manifest after an append would silently MISS the new files;
-    * compaction/retention staleness instead fails loudly on the renamed
-    * paths — rebuild or [[refresh]] after offline maintenance, and the
+    * since r13 [[Maintenance]]'s delete/retention/compaction paths run
+    * the same refresh hook for the partitions they touch, and the
     * streaming maintenance twin covers continuous ingest).
     */
   def dirFor(store: SeriesStore): String = s"${store.root}/skipindex"

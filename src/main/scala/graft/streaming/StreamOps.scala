@@ -1618,12 +1618,14 @@ object StreamOps {
             if (!fs.exists(new org.apache.hadoop.fs.Path(cellDir))) fresh.limit(0)
             else {
               val cur = spark.read.parquet(cellDir)
-              // an hll-extended cell store (SketchCells ndvTags) must not
-              // be maintained by this td-only twin: selecting the td
-              // columns would silently NULL the touched days' hll cells
-              require(!cur.columns.exists(_.startsWith("hll_")),
+              // an NDV-extended cell store (SketchCells ndvTags — theta
+              // cells since r13, hll in r12 stores) must not be
+              // maintained by this td-only twin: selecting the td
+              // columns would silently NULL the touched days' NDV cells
+              require(!cur.columns.exists(c =>
+                  c.startsWith("hll_") || c.startsWith("theta_")),
                 "tdigestCellMaintenance maintains td-only cell stores; " +
-                  "this store carries hll_* NDV cells — rebuild via " +
+                  "this store carries NDV cells — rebuild via " +
                   "SketchCells.refresh/build instead")
               cur.filter(col("day").isin(days.toSeq: _*)) // partition-pruned
                 .select(fresh.columns.map(col).toSeq: _*)

@@ -125,9 +125,9 @@ object Engine {
     * instead of the raw scan, when the query's shape provably coarsens
     * the (series, day) cell keys:
     *  - every projection is `percentile_approx(value, <lit>) as <alias>`
-    *    or `ndv(tag.<k>) as <alias>` for a tag key whose HLL cells the
-    *    store carries (SketchCells `ndvTags`) — mixed projections share
-    *    one merge aggregate;
+    *    or `ndv(tag.<k>) as <alias>` for a tag key whose theta NDV cells
+    *    the store carries (SketchCells `ndvTags`) — mixed projections
+    *    share one merge aggregate;
     *  - no GROUP BY / ORDER BY / FILL (one global row over the selector);
     *  - WHERE is exactly `time >= LO and time < HI` with DAY-ALIGNED
     *    literal bounds (cells are day-granular — a misaligned window
@@ -169,7 +169,7 @@ object Engine {
     if (bounds.isEmpty) return None
     // every projection is either THE bucket key (aliased), an aliased
     // percentile_approx(value, <literal>), or an aliased ndv(tag.<k>)
-    // whose HLL cells the store carries — anything else → raw route
+    // whose theta cells the store carries — anything else → raw route
     sealed trait P
     case class Bucket(alias: String) extends P
     case class Quant(alias: String, p: Double) extends P
@@ -194,7 +194,7 @@ object Engine {
       !projs.flatten.exists(p => p.isInstanceOf[Quant] || p.isInstanceOf[Ndv]))
       return None
     val ps = projs.flatten
-    // every requested NDV key must have its HLL cells in the store
+    // every requested NDV key must have its theta cells in the store
     val ndvKeys = ps.collect { case Ndv(_, k) => k }.distinct
     if (ndvKeys.nonEmpty && {
       val have = SketchCells.ndvTagsOf(spark, dir).toSet
@@ -223,16 +223,17 @@ object Engine {
     val base = SketchCells.read(spark, dir)
       .filter(sel && col("day") >= l && col("day") < h)
     // one merge aggregate carries every served blob: the t-digest (when
-    // any quantile is projected) and one HLL union per requested tag key
-    // (cast to double — the raw ndv route's type, so routing never
-    // changes the result schema)
+    // any quantile is projected) and one THETA union per requested tag
+    // key — the raw route's estimator family at the raw route's lgK, so
+    // tier presence changes which blobs merge, never which estimator
+    // answers (cast to double — the raw ndv route's type, so routing
+    // never changes the result schema either)
     val aggs =
       (if (ps.exists(_.isInstanceOf[Quant]))
         Seq(graft.functions.TDigest.mergeAgg(col("td")).as("__td"))
       else Seq.empty) ++
-        ndvKeys.map(k => org.apache.spark.sql.functions.hll_sketch_estimate(
-          org.apache.spark.sql.functions.hll_union_agg(col(s"hll_$k"),
-            org.apache.spark.sql.functions.lit(false)))
+        ndvKeys.map(k => graft.functions.ThetaSketch.estimate(
+          graft.functions.ThetaSketch.unionAgg(col(s"theta_$k")))
           .cast("double").as(s"__ndv_$k"))
     val merged = bucketKey match {
       case Some((st, _)) =>
@@ -320,8 +321,21 @@ object Engine {
           case Ast.ByName(n) => col("series") === n
         }
         val pred = where.map(w => selPred && compiler.scalar(w)).getOrElse(selPred)
-        val n = store.scan().filter(pred).count()
-        Maintenance.deleteRows(store, pred)
+        // same conservative WHERE time bounds the SELECT route extracts:
+        // the matched-row count and the delete's affected-partition
+        // discovery both prune through the skip manifest when one exists
+        // (deleteRowsBounded routes internally; the tier refresh after the
+        // rewrite keeps manifest + sketch cells consistent)
+        val (lo, hi) = timeBounds(where)
+        val skipDir = graft.storage.SkipIndex.dirFor(store)
+        val countSrc =
+          if ((lo.nonEmpty || hi.nonEmpty) &&
+              graft.storage.SkipIndex.exists(spark, skipDir))
+            graft.storage.SkipIndex.rangeScan(store, skipDir,
+              lo.getOrElse(Long.MinValue), hi.getOrElse(Long.MaxValue)).df
+          else store.scan()
+        val n = countSrc.filter(pred).count()
+        Maintenance.deleteRowsBounded(store, pred, lo, hi)
         import spark.implicits._
         QueryResult(Seq(n).toDF("deleted"), QueryStats(0, 0, 0, traceId()))
     }

@@ -1144,6 +1144,33 @@ class PipelineSpec extends AnyFunSuite {
     assert(!got.exists(r => r._1 == "z" || r._2 == "z"))
   }
 
+  test("assoc rules: mega-basket width guard fails loudly; opt-in drop loses only that basket's pairs") {
+    import graft.pipeline.Assoc
+    // basket W carries 8 frequent items (> cap 5) — the Θ(w²) pair
+    // self-join the guard protects against; b1/b2 are in-cap controls
+    val wide = (1 to 8).map(i => ("W", s"i$i"))
+    val rest = Seq(("b1", "i1"), ("b1", "i2"), ("b2", "i1"), ("b2", "i2"))
+    val df = (wide ++ rest).toDF("bk", "it")
+    spark.conf.set("spark.graft.assoc.maxBasket", "5")
+    try {
+      val ex = intercept[IllegalStateException](
+        Assoc.rules(df, "bk", "it", minSupport = 1, topK = 10).collect())
+      assert(ex.getMessage.contains("maxBasket") && ex.getMessage.contains("bk=W"),
+        s"guard must name the conf and the offending basket: ${ex.getMessage}")
+      spark.conf.set("spark.graft.assoc.dropWideBaskets", "true")
+      val got = Assoc.rules(df, "bk", "it", minSupport = 1, topK = 100)
+        .as[(String, String, Long, Double, Double)].collect()
+      // only W's pairs are dropped: the surviving rules are i1<->i2 from
+      // b1/b2 (pair support 2; item supports still COUNT W's rows — the
+      // documented drop semantics — so conf = 2/3, lift = 2*3/(3*3))
+      assert(got.map(r => (r._1, r._2)).toSet === Set(("i1", "i2"), ("i2", "i1")))
+      assert(got.forall(r => r._3 === 2L && r._4 === 0.666667 && r._5 === 0.666667))
+    } finally {
+      spark.conf.unset("spark.graft.assoc.maxBasket")
+      spark.conf.unset("spark.graft.assoc.dropWideBaskets")
+    }
+  }
+
   test("madOutliers: flags the planted extreme, MAD=0 fallback, heavy-tail robustness") {
     import graft.pipeline.Checks
     // group a: tight cluster around 100 + ONE extreme — exactly it flags

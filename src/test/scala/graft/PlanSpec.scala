@@ -117,6 +117,32 @@ class PlanSpec extends AnyFunSuite {
     assert(rows(b) === rows(s), "broadcast and salted branches must agree")
   }
 
+  test("adaptiveJoin probe is bounded and the default spread survives map columns + clone rows") {
+    import org.apache.spark.sql.functions._
+    import graft.operators.AdaptiveJoin
+    // the broadcast probe must carry a GlobalLimit — never a full count
+    // of a (potentially 100 TB) right side
+    val big = spark.range(100000).selectExpr("cast(id % 97 as string) k", "id v")
+    val probePlan = AdaptiveJoin.broadcastProbe(big, 10)
+      .queryExecution.optimizedPlan.toString
+    assert(probePlan.contains("GlobalLimit"),
+      s"probe must be a bounded limit scan:\n$probePlan")
+    // left with a MAP column and full-row duplicate hot-key rows: the
+    // default spread must not fail analysis (Spark disallows hashing
+    // maps) and the salted branch must still return the plain join's rows
+    val leftMap = spark.range(400).select(
+      when(col("id") % 4 === 0, concat(lit("k"), col("id"))).otherwise(lit("hot")).as("k"),
+      map(lit("a"), lit("b")).as("tags"))
+    val right = spark.range(30).select(
+      lit("hot").as("k"), col("id").as("w"))
+    val out = AdaptiveJoin.join(leftMap, right, Seq("k"),
+      broadcastRowThreshold = 5, skewShareThreshold = 0.2, salts = 4)
+    assert(out.queryExecution.optimizedPlan.toString.contains("__salt"),
+      "clone-heavy hot key must take the salted branch")
+    assert(out.count() === 300L * 30L,
+      "salted output must equal the plain join (300 hot rows x 30 right rows)")
+  }
+
   test("q_join_adaptive gate plan: the pre-flight measures the dim small and broadcasts") {
     val p = plan("q_join_adaptive")
     assert(p.contains("BroadcastHashJoin"), p.take(800))

@@ -751,4 +751,96 @@ class StorageSpec extends AnyFunSuite {
     intercept[IllegalArgumentException](
       SkipIndex.build(new SeriesStore(spark, tmp()), tmp() + "/m2"))
   }
+
+  test("delete: manifest-pruned discovery, tier refresh (cells serve post-delete truth, emptied day dropped)") {
+    import graft.storage.{SkipIndex, SketchCells}
+    import graft.sydraql.{Engine, CompileOptions}
+    import spark.implicits._
+    val store = new SeriesStore(spark, tmp())
+    val d1 = 86400L
+    def pt(t: Long, v: Double, host: String) = (("m", t, v, host))
+    // day 0: hosts a,b over hours 0,1; day 1: hosts a,b,c over hours 0,1,2
+    val rows = Seq(
+      pt(100L, 1.0, "a"), pt(3700L, 2.0, "b"),
+      pt(d1 + 100L, 3.0, "a"), pt(d1 + 3700L, 4.0, "b"), pt(d1 + 7300L, 9.0, "c"))
+    store.append(rows.toDF("series", "time", "value", "host")
+      .withColumn("tags", map(lit("host"), col("host")))
+      .select("series", "tags", "time", "value"))
+    SkipIndex.build(store, SkipIndex.dirFor(store))
+    SketchCells.build(store, SketchCells.dirFor(store), ndvTags = Seq("host"))
+    val opts = CompileOptions(now = 0L)
+    def ndvOver(lo: Long, hi: Long): Double = Engine.executeOnStore(store,
+      s"select ndv(tag.host) as ndva from m where time >= $lo and time < $hi",
+      opts).df.head().getDouble(0)
+    assert(ndvOver(d1, 2 * d1) === 3.0, "pre-delete day-1 NDV from theta cells")
+    // delete host c from day 1: the report pins that DISCOVERY read only
+    // the 3 files overlapping the bound (of 5 total) — manifest-pruned
+    // I/O, not a full-store scan
+    val rep = Maintenance.deleteRowsBounded(store,
+      col("series") === "m" &&
+        try_element_at(col("tags"), lit("host")) === "c" &&
+        col("time") >= d1 && col("time") < 2 * d1,
+      Some(d1), Some(2 * d1))
+    assert(rep.scannedFiles === 3 && rep.totalFiles === 5,
+      s"bounded delete discovery must prune through the manifest, got $rep")
+    assert(rep.rewrittenHours === Seq(d1 + 7200L))
+    // derived tiers must reflect the delete with no manual rebuild:
+    // the theta cells no longer count host c …
+    assert(ndvOver(d1, 2 * d1) === 2.0, "post-delete NDV must drop host c")
+    // … and the skip manifest points at the REWRITTEN file (a stale one
+    // would fail loudly on the renamed path or miss rows)
+    val sel = Engine.executeOnStore(store,
+      s"select time, value from m where time >= $d1 and time <= ${2 * d1}", opts).df
+    assert(sel.orderBy("time").collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+      === Seq((d1 + 100L, 3.0), (d1 + 3700L, 4.0)))
+    // engine DELETE of ALL of day 0 (time-bounded WHERE → routed
+    // discovery): the emptied day's cell partition must be dropped, not
+    // left serving stale estimates under dynamic overwrite
+    val del = Engine.executeOnStore(store, s"delete from m where time < $d1", opts)
+    assert(del.df.head().getLong(0) === 2L)
+    val cellDays = SketchCells.read(spark, SketchCells.dirFor(store))
+      .select("day").distinct().as[Long].collect().toSet
+    assert(cellDays === Set(d1), "emptied day-0 cell partition must be gone")
+    assert(ndvOver(0L, 2 * d1) === 2.0, "whole-range NDV now sees only day 1")
+    // manifest tracks the day-0 rewrite-to-empty too: routed scans read 0
+    // day-0 files and return nothing
+    val empty = Engine.executeOnStore(store,
+      s"select time, value from m where time >= 0 and time < $d1", opts).df
+    assert(empty.count() === 0)
+  }
+
+  test("SketchCells.refresh never leaks partitionOverwriteMode into the session conf") {
+    import graft.storage.SketchCells
+    import spark.implicits._
+    val before = spark.conf.getOption("spark.sql.sources.partitionOverwriteMode")
+    val store = new SeriesStore(spark, tmp())
+    store.append(Seq(("m", 100L, 1.0), ("m", 86500L, 2.0))
+      .toDF("series", "time", "value")
+      .withColumn("tags", map().cast("map<string,string>"))
+      .select("series", "tags", "time", "value"))
+    SketchCells.build(store, SketchCells.dirFor(store))
+    SketchCells.refresh(store, SketchCells.dirFor(store), Seq(0L))
+    assert(spark.conf.getOption("spark.sql.sources.partitionOverwriteMode") === before,
+      "refresh must not mutate session-wide overwrite mode")
+  }
+
+  test("retention refreshes derived tiers for the dropped hours") {
+    import graft.storage.{SkipIndex, SketchCells}
+    import spark.implicits._
+    val store = new SeriesStore(spark, tmp())
+    val d1 = 86400L
+    store.append(Seq(("m", 100L, 1.0), ("m", d1 + 100L, 2.0))
+      .toDF("series", "time", "value")
+      .withColumn("tags", map().cast("map<string,string>"))
+      .select("series", "tags", "time", "value"))
+    SkipIndex.build(store, SkipIndex.dirFor(store))
+    SketchCells.build(store, SketchCells.dirFor(store))
+    assert(Maintenance.applyRetention(store, cutoffTs = d1) === Seq(0L))
+    val hours = SkipIndex.read(spark, SkipIndex.dirFor(store))
+      .select("hour_bucket").distinct().as[Long].collect().toSet
+    assert(hours === Set(d1), "dropped hour must leave the manifest")
+    val days = SketchCells.read(spark, SketchCells.dirFor(store))
+      .select("day").distinct().as[Long].collect().toSet
+    assert(days === Set(d1), "dropped day must leave the cell store")
+  }
 }
