@@ -263,6 +263,77 @@ object SydraQlQueries {
               |FROM sv WHERE series = 'error' AND time >= $T0 AND time < ${T0 + 4 * 86400}
               |GROUP BY 1 ORDER BY b""".stripMargin)),
 
+    // Tag-GROUPED quantiles served from the tag-keyed cell tier (r13):
+    // a store built with groupTags carries one t-digest per (series,
+    // day, tag user=v), so `… GROUP BY tag.user` is a day-pruned
+    // per-value blob merge — the dashboard group-by that previously
+    // rescanned raw points (PlanSpec pins tdtag + no segments). Same
+    // per-group error-bound contract as the bucketed gate.
+    Q("q_sql_sketch_cells_tag",
+      (s, dir) => {
+        import org.apache.spark.sql.functions.{col, lit}
+        val hi = T0 + 2 * 86400
+        val store = eventsStore(s, dir, T0, hi)
+        graft.storage.SketchCells.build(store,
+          graft.storage.SketchCells.dirFor(store), groupTags = Seq("user"))
+        val df = Engine.executeOnStore(store,
+          s"select tag.user as usr, percentile_approx(value, 0.5) as p50a " +
+            s"from error where time >= $T0 and time < $hi " +
+            s"group by tag.user order by usr",
+          CompileOptions(now = NOW)).df
+        val bounds = store.source()
+          .filter(col("series") === "error" && col("time") >= T0 && col("time") < hi)
+          .groupBy(col("tags")("user").as("usr"))
+          .agg(percentile(col("value"), array(lit(0.45), lit(0.55), lit(0.5))).as("__q"),
+            count(lit(1)).as("n"))
+          .select(col("usr"), element_at(col("__q"), 1).as("lo50"),
+            element_at(col("__q"), 2).as("hi50"),
+            (floor(element_at(col("__q"), 3) * 1e4 + 0.5) / 1e4).as("p50_exact"),
+            col("n"))
+        df.join(bounds, "usr")
+          .select(col("usr"), col("p50_exact"), col("n"),
+            (col("p50a") >= col("lo50") && col("p50a") <= col("hi50")).as("p50_ok"))
+          .orderBy("usr")
+      },
+      Some(s"""$svSql
+              |SELECT tag_user AS usr,
+              |       floor((quantile_cont(value, 0.5)) * 1e4 + 0.5) / 1e4 AS p50_exact,
+              |       count(*) AS n, true AS p50_ok
+              |FROM sv WHERE series = 'error' AND time >= $T0 AND time < ${T0 + 2 * 86400}
+              |GROUP BY tag_user ORDER BY usr""".stripMargin)),
+
+    // NDV per time_bucket served from theta cells (r13): the day cells'
+    // theta blobs coarsen into day-multiple buckets exactly like the
+    // t-digests — cardinality dashboards ("distinct users per 2 days")
+    // merge KB blobs instead of rescanning raw points. tag_user ≤ 8
+    // distinct per bucket → theta exact → per-bucket equality pinned.
+    Q("q_sql_sketch_cells_ndv_bucket",
+      (s, dir) => {
+        import org.apache.spark.sql.functions.{col, lit}
+        val hi = T0 + 4 * 86400
+        val store = eventsStore(s, dir, T0, hi)
+        graft.storage.SketchCells.build(store,
+          graft.storage.SketchCells.dirFor(store), ndvTags = Seq("user"))
+        val df = Engine.executeOnStore(store,
+          s"select time_bucket(172800, time) as b, ndv(tag.user) as ndva " +
+            s"from error where time >= $T0 and time < $hi " +
+            s"group by time_bucket(172800, time) order by b",
+          CompileOptions(now = NOW)).df
+        val exact = store.source()
+          .filter(col("series") === "error" && col("time") >= T0 && col("time") < hi)
+          .groupBy(graft.core.Functions.timeBucket(lit(172800L), col("time")).as("b"))
+          .agg(countDistinct(col("tags")("user")).as("ndv_exact"))
+        df.join(exact, "b")
+          .select(col("b"), col("ndv_exact"),
+            (col("ndva") === col("ndv_exact").cast("double")).as("ndv_ok"))
+          .orderBy("b")
+      },
+      Some(s"""$svSql
+              |SELECT CAST(time // 172800 * 172800 AS BIGINT) AS b,
+              |       count(DISTINCT tag_user) AS ndv_exact, true AS ndv_ok
+              |FROM sv WHERE series = 'error' AND time >= $T0 AND time < ${T0 + 4 * 86400}
+              |GROUP BY 1 ORDER BY b""".stripMargin)),
+
     sq("q_sql_minmax_fl",
       s"select min(value) as mn, max(value) as mx, first(value) as fv, last(value) as lv " +
         s"from error where time >= $T0 and time < $T1",

@@ -58,15 +58,35 @@ object SketchCells {
         ndvTags.map(k => col(s"theta_$k")) :+ col("day")): _*)
   }
 
+  /** Tag-tier layout: one t-digest per (series, day, tag `k`=v), its own
+    * day-partitioned table per key — the tier that serves
+    * `percentile_approx … GROUP BY tag.k` without a raw rescan.
+    */
+  def tagDir(dir: String, k: String): String = s"$dir/tdtag/$k"
+
+  private def tagCellsOf(scan: DataFrame, k: String): DataFrame =
+    scan
+      .groupBy(col("series_id"),
+        try_element_at(col("tags"), lit(k)).as("tagval"),
+        (col("time") - pmod(col("time"), lit(86400L))).as("day"))
+      .agg(first(col("series")).as("series"),
+        graft.functions.TDigest.agg(col("value")).as("td"),
+        count(lit(1)).as("n_rows"))
+      .select(col("series_id"), col("series"), col("tagval"),
+        col("td"), col("n_rows"), col("day"))
+
   /** Build (overwrite) the full cell store: one t-digest per
     * (series, day), plus — per `ndvTags` key — a theta sketch of that
     * tag's distinct values (the NDV half the engine's `ndv(tag.k)`
-    * routing serves from). The cell schema is self-describing: the
-    * `theta_<k>` columns record which tag keys the store carries, and
-    * [[refresh]] re-derives them from the existing schema so incremental
-    * upkeep can never silently change the store's shape.
+    * routing serves from), plus — per `groupTags` key — a tag-keyed
+    * t-digest tier ([[tagDir]]) for `GROUP BY tag.k` serving. The store
+    * is self-describing: `theta_<k>` columns record the NDV keys,
+    * `tdtag/<k>` child dirs record the group keys, and [[refresh]]
+    * re-derives both from what exists so incremental upkeep can never
+    * silently change the store's shape.
     */
-  def build(store: SeriesStore, dir: String, ndvTags: Seq[String] = Seq.empty): Unit = {
+  def build(store: SeriesStore, dir: String, ndvTags: Seq[String] = Seq.empty,
+      groupTags: Seq[String] = Seq.empty): Unit = {
     require(!store.isEmpty, s"store at ${store.root} has no flushed segments")
     cellsOf(store.scan(), ndvTags)
       .write.mode(SaveMode.Overwrite)
@@ -75,7 +95,24 @@ object SketchCells {
       // removed-day partitions behind
       .option("partitionOverwriteMode", "static")
       .partitionBy("day").parquet(s"$dir/td")
+    groupTags.foreach { k =>
+      tagCellsOf(store.scan(), k)
+        .write.mode(SaveMode.Overwrite)
+        .option("partitionOverwriteMode", "static")
+        .partitionBy("day").parquet(tagDir(dir, k))
+    }
   }
+
+  /** Tag keys with a [[tagDir]] group tier in the store. */
+  def groupTagsOf(spark: SparkSession, dir: String): Seq[String] = {
+    val p = new org.apache.hadoop.fs.Path(s"$dir/tdtag")
+    val fs = p.getFileSystem(spark.sessionState.newHadoopConf())
+    if (!fs.exists(p)) Seq.empty
+    else fs.listStatus(p).toSeq.filter(_.isDirectory).map(_.getPath.getName).sorted
+  }
+
+  def readTag(spark: SparkSession, dir: String, k: String): DataFrame =
+    spark.read.parquet(tagDir(dir, k))
 
   /** Tag keys whose theta NDV cells the store carries (from the cell
     * schema). A pre-r13 store's `hll_*` columns are NOT reported — its
@@ -109,21 +146,30 @@ object SketchCells {
     val touched = store.scan().filter(dayCol.isin(days: _*))
     val remaining = touched.select(dayCol.as("day")).distinct()
       .collect().map(_.getLong(0)).toSet
-    if (remaining.nonEmpty)
-      cellsOf(touched, ndvTagsOf(spark, dir))
-        .write.mode(SaveMode.Overwrite)
-        .option("partitionOverwriteMode", "dynamic")
-        .partitionBy("day").parquet(s"$dir/td")
-    val root = new org.apache.hadoop.fs.Path(s"$dir/td")
-    val fs = root.getFileSystem(spark.sessionState.newHadoopConf())
-    days.filterNot(remaining.contains).foreach { d =>
-      fs.delete(new org.apache.hadoop.fs.Path(root, s"day=$d"), true)
+    // one sweep per table (td + each group-tag tier): dynamic-overwrite
+    // the recomputed days, drop the emptied ones
+    def sweep(path: String, fresh: => DataFrame): Unit = {
+      if (remaining.nonEmpty)
+        fresh.write.mode(SaveMode.Overwrite)
+          .option("partitionOverwriteMode", "dynamic")
+          .partitionBy("day").parquet(path)
+      val root = new org.apache.hadoop.fs.Path(path)
+      val fs = root.getFileSystem(spark.sessionState.newHadoopConf())
+      days.filterNot(remaining.contains).foreach { d =>
+        fs.delete(new org.apache.hadoop.fs.Path(root, s"day=$d"), true)
+      }
     }
-    // everything emptied → no partitions left to read; drop the store so
-    // exists() turns false and the engine falls through to the raw route
-    if (fs.exists(root) &&
-        !fs.listStatus(root).exists(_.getPath.getName.startsWith("day=")))
-      fs.delete(root, true)
+    sweep(s"$dir/td", cellsOf(touched, ndvTagsOf(spark, dir)))
+    groupTagsOf(spark, dir).foreach(k => sweep(tagDir(dir, k), tagCellsOf(touched, k)))
+    // everything emptied → no partitions left to read; drop the whole
+    // store (td + tag tiers) so exists() turns false and the engine
+    // falls through to the raw route
+    val tdRoot = new org.apache.hadoop.fs.Path(s"$dir/td")
+    val fs = tdRoot.getFileSystem(spark.sessionState.newHadoopConf())
+    if (fs.exists(tdRoot) &&
+        !fs.listStatus(tdRoot).exists(_.getPath.getName.startsWith("day="))) {
+      fs.delete(new org.apache.hadoop.fs.Path(dir), true)
+    }
     ()
   }
 

@@ -1589,6 +1589,12 @@ object StreamOps {
     * StreamingSpec pins multi-wave upkeep: exact per-cell n_rows, the
     * engine serving end-to-end from the maintained store within exact
     * bounds, and replay idempotence.
+    *
+    * Tag-keyed tiers (r13): when the store carries
+    * [[graft.storage.SketchCells.tagDir]] tiers, each is maintained the
+    * same way per batch — the batch must then carry a `tags` column
+    * (refused loudly otherwise), and the engine's `GROUP BY tag.k`
+    * serving stays fresh under continuous ingest.
     */
   def tdigestCellMaintenance(points: DataFrame, path: String, checkpoint: String,
       trigger: org.apache.spark.sql.streaming.Trigger =
@@ -1643,6 +1649,45 @@ object StreamOps {
           merged.write.mode("overwrite")
             .option("partitionOverwriteMode", "dynamic")
             .partitionBy("day").parquet(cellDir)
+          // tag-keyed tiers (SketchCells groupTags, r13): maintain each
+          // one the store carries with the same merge-into-touched-days
+          // shape, so `GROUP BY tag.k` serving stays fresh under
+          // continuous ingest. Needs the batch to CARRY tags — refuse
+          // loudly otherwise (a td-only stream against a tag-tiered
+          // store would silently leave the tag tier stale).
+          val groupKs = graft.storage.SketchCells.groupTagsOf(spark, path)
+          if (groupKs.nonEmpty) {
+            require(b.columns.contains("tags"),
+              "this cell store carries tag-keyed tiers (" +
+                groupKs.mkString(", ") + ") but the stream batch has no " +
+                "tags column — feed (series, series_id, tags, time, value)")
+            groupKs.foreach { k =>
+              val tDir = graft.storage.SketchCells.tagDir(path, k)
+              val freshT = b
+                .groupBy(col("series_id"),
+                  try_element_at(col("tags"), lit(k)).as("tagval"),
+                  (col("time") - pmod(col("time"), lit(86400L))).as("day"))
+                .agg(first(col("series")).as("series"),
+                  graft.functions.TDigest.agg(col("value")).as("td"),
+                  count(lit(1)).as("n_rows"))
+                .select(col("series_id"), col("series"), col("tagval"),
+                  col("td"), col("n_rows"), col("day"))
+              val curT = spark.read.parquet(tDir)
+                .filter(col("day").isin(days.toSeq: _*)) // partition-pruned
+                .select(freshT.columns.map(col).toSeq: _*)
+              val mergedT = curT.unionByName(freshT)
+                .groupBy(col("series_id"), col("tagval"), col("day"))
+                .agg(first(col("series")).as("series"),
+                  graft.functions.TDigest.mergeAgg(col("td")).as("td"),
+                  sum(col("n_rows")).as("n_rows"))
+                .select(col("series_id"), col("series"), col("tagval"),
+                  col("td"), col("n_rows"), col("day"))
+                .localCheckpoint(true)
+              mergedT.write.mode("overwrite")
+                .option("partitionOverwriteMode", "dynamic")
+                .partitionBy("day").parquet(tDir)
+            }
+          }
         }
       }
       .start()

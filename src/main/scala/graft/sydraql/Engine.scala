@@ -128,7 +128,10 @@ object Engine {
     *    or `ndv(tag.<k>) as <alias>` for a tag key whose theta NDV cells
     *    the store carries (SketchCells `ndvTags`) — mixed projections
     *    share one merge aggregate;
-    *  - no GROUP BY / ORDER BY / FILL (one global row over the selector);
+    *  - GROUP BY is empty (one global row), a day-multiple
+    *    `time_bucket`, or `tag.<k>` for a key with a tag-keyed tier
+    *    (r13; quantiles only — NDV under tag grouping falls through);
+    *    ORDER BY at most the group key ascending; no FILL;
     *  - WHERE is exactly `time >= LO and time < HI` with DAY-ALIGNED
     *    literal bounds (cells are day-granular — a misaligned window
     *    cannot be assembled from them and falls through to raw);
@@ -148,13 +151,23 @@ object Engine {
     val dir = SketchCells.dirFor(store)
     if (s.fill.isDefined) return None
     if (s.from.isEmpty || !SketchCells.exists(spark, dir)) return None
-    // group keys: none (one global row), or exactly
+    // group keys: none (one global row), exactly
     // `time_bucket(<day-multiple literal>, time)` — a step the day cells
-    // coarsen into exactly (every day maps wholly into one step bucket)
-    val bucketKey: Option[(Long, Ast.Expr)] = s.groupBy match {
+    // coarsen into exactly (every day maps wholly into one step bucket) —
+    // or exactly `tag.<k>` for a key with a tag-keyed cell tier
+    // ([[graft.storage.SketchCells.tagDir]], r13): its cells are keyed
+    // (series, day, tag value), so a tag-grouped quantile is a day-pruned
+    // per-value blob merge
+    sealed trait GK { def e: Ast.Expr }
+    case class BucketG(step: Long, e: Ast.Expr) extends GK
+    case class TagG(key: String, e: Ast.Expr) extends GK
+    val groupKey: Option[GK] = s.groupBy match {
       case Seq(c @ Ast.Call("time_bucket", Seq(Ast.IntLit(st), t: Ast.Ident)))
         if t.full.equalsIgnoreCase("time") && st > 0 && st % 86400L == 0 =>
-        Some((st, c))
+        Some(BucketG(st, c))
+      case Seq(id: Ast.Ident)
+        if id.parts.length == 2 && id.parts.head.equalsIgnoreCase("tag") =>
+        Some(TagG(id.parts(1), id))
       case Nil => None
       case _ => return None
     }
@@ -171,12 +184,12 @@ object Engine {
     // percentile_approx(value, <literal>), or an aliased ndv(tag.<k>)
     // whose theta cells the store carries — anything else → raw route
     sealed trait P
-    case class Bucket(alias: String) extends P
+    case class Grp(alias: String) extends P
     case class Quant(alias: String, p: Double) extends P
     case class Ndv(alias: String, key: String) extends P
     val projs: Seq[Option[P]] = s.projections.map {
-      case Ast.Projection(c, Some(alias)) if bucketKey.exists(_._2 == c) =>
-        Some(Bucket(alias))
+      case Ast.Projection(c, Some(alias)) if groupKey.exists(_.e == c) =>
+        Some(Grp(alias))
       case Ast.Projection(
           Ast.Call("percentile_approx", Seq(v: Ast.Ident, p)), Some(alias))
         if v.full.equalsIgnoreCase("value") =>
@@ -194,21 +207,29 @@ object Engine {
       !projs.flatten.exists(p => p.isInstanceOf[Quant] || p.isInstanceOf[Ndv]))
       return None
     val ps = projs.flatten
-    // every requested NDV key must have its theta cells in the store
+    // every requested NDV key must have its theta cells in the store;
+    // the tag-grouped tier carries only t-digests (no per-(value, key)
+    // theta cells) — NDV under a tag grouping falls through to raw
     val ndvKeys = ps.collect { case Ndv(_, k) => k }.distinct
+    if (ndvKeys.nonEmpty && groupKey.exists(_.isInstanceOf[TagG])) return None
     if (ndvKeys.nonEmpty && {
       val have = SketchCells.ndvTagsOf(spark, dir).toSet
       !ndvKeys.forall(have.contains)
     }) return None
-    val bucketAlias = ps.collectFirst { case Bucket(a) => a }
-    if (bucketKey.isDefined && bucketAlias.isEmpty) return None
-    // ORDER BY: none, or one ascending key naming the bucket (by
+    val grpAlias = ps.collectFirst { case Grp(a) => a }
+    if (groupKey.isDefined && grpAlias.isEmpty) return None
+    groupKey match {
+      case Some(TagG(k, _)) if !SketchCells.groupTagsOf(spark, dir).contains(k) =>
+        return None
+      case _ => ()
+    }
+    // ORDER BY: none, or one ascending key naming the group key (by
     // expression or alias) — anything else → raw route
     val orderOk = s.orderBy match {
       case Nil => true
       case Seq(Ast.SortKey(e, true)) =>
-        bucketKey.exists(_._2 == e) ||
-          bucketAlias.exists(a => e match {
+        groupKey.exists(_.e == e) ||
+          grpAlias.exists(a => e match {
             case id: Ast.Ident => id.full.equalsIgnoreCase(a)
             case _ => false
           })
@@ -220,8 +241,9 @@ object Engine {
       case Ast.ById(id) => col("series_id") === id
       case Ast.ByName(n) => col("series") === n
     }
-    val base = SketchCells.read(spark, dir)
-      .filter(sel && col("day") >= l && col("day") < h)
+    def dayPruned(df: DataFrame): DataFrame =
+      df.filter(sel && col("day") >= l && col("day") < h)
+    val base = dayPruned(SketchCells.read(spark, dir))
     // one merge aggregate carries every served blob: the t-digest (when
     // any quantile is projected) and one THETA union per requested tag
     // key — the raw route's estimator family at the raw route's lgK, so
@@ -235,22 +257,29 @@ object Engine {
         ndvKeys.map(k => graft.functions.ThetaSketch.estimate(
           graft.functions.ThetaSketch.unionAgg(col(s"theta_$k")))
           .cast("double").as(s"__ndv_$k"))
-    val merged = bucketKey match {
-      case Some((st, _)) =>
+    val merged = groupKey match {
+      case Some(BucketG(st, _)) =>
         // same floor expression the compiler emits for time_bucket, over
         // the cell's day — exact because step is a day multiple
         base.groupBy(graft.core.Functions.timeBucket(lit(st), col("day"))
-            .as(bucketAlias.get))
+            .as(grpAlias.get))
+          .agg(aggs.head, aggs.tail: _*)
+      case Some(TagG(k, _)) =>
+        // the tag tier's per-(series, day, value) digests merge within
+        // each tag value — the raw route's GROUP BY tag.k, served from
+        // day-pruned KB blobs
+        dayPruned(SketchCells.readTag(spark, dir, k))
+          .groupBy(col("tagval").as(grpAlias.get))
           .agg(aggs.head, aggs.tail: _*)
       case None =>
         base.agg(aggs.head, aggs.tail: _*)
     }
     val out = merged.select(ps.map {
-      case Bucket(a) => col(a)
+      case Grp(a) => col(a)
       case Quant(a, p) => graft.functions.TDigest.quantileOf(col("__td"), p).as(a)
       case Ndv(a, k) => col(s"__ndv_$k").as(a)
     }: _*)
-    Some(if (s.orderBy.nonEmpty) out.orderBy(col(bucketAlias.get)) else out)
+    Some(if (s.orderBy.nonEmpty) out.orderBy(col(grpAlias.get)) else out)
   }
 
   /** Execute against a [[graft.storage.SeriesStore]]: SELECT/EXPLAIN read

@@ -396,6 +396,59 @@ class PlanSpec extends AnyFunSuite {
       "EXPLAIN must describe the served plan:\n" + ex.take(600))
   }
 
+  test("tag-grouped quantile and bucketed ndv serve from cell tiers, day-pruned; ndv-under-tag falls through") {
+    import org.apache.spark.sql.functions.{col, lit, map, when}
+    import spark.implicits._
+    val store = new SeriesStore(spark, Files.createTempDirectory("graft-tagcells").toString)
+    val pts = (0 until 24).map(i => ("cpu", i.toLong * 21600L, i.toDouble))
+      .toDF("series", "time", "value")
+      .withColumn("tags", map(lit("host"),
+        when(col("value").cast("long") % 2 === 0, lit("a")).otherwise(lit("b"))))
+      .select("series", "tags", "time", "value")
+    store.append(pts)
+    graft.storage.SketchCells.build(store, graft.storage.SketchCells.dirFor(store),
+      ndvTags = Seq("host"), groupTags = Seq("host"))
+    def planOf(ql: String) = {
+      val df = graft.sydraql.Engine.executeOnStore(store, ql,
+        graft.sydraql.CompileOptions(now = 0L)).df
+      (df, df.queryExecution.explainString(
+        org.apache.spark.sql.execution.ExplainMode.fromString("formatted")))
+    }
+    // GROUP BY tag.host over a 2-day window: served from the tag tier —
+    // tdtag path present, raw segments absent, day PartitionFilters prune
+    val (tdf, tp) = planOf(
+      "select tag.host as h, percentile_approx(value, 0.5) as p50a " +
+        s"from cpu where time >= 0 and time < ${2 * 86400} " +
+        "group by tag.host order by h")
+    assert(tp.contains("tdtag"), tp.take(1200))
+    assert(!tp.contains("segments"),
+      "tag-grouped served plan must not touch raw points:\n" + tp.take(1200))
+    val tpf = tp.linesIterator.find(_.contains("PartitionFilters")).getOrElse("")
+    assert(tpf.contains("day") && tpf.contains("172800"),
+      s"day bounds must prune tag-cell partitions: $tpf")
+    // days 0-1 hold values 0..7: host a = {0,2,4,6} (p50 3.0 exact at
+    // this size), host b = {1,3,5,7} (4.0)
+    assert(tdf.collect().map(r => (r.getString(0), r.getDouble(1))).toSeq
+      === Seq(("a", 3.0), ("b", 4.0)))
+    // ndv per day-multiple bucket: served from the td table's theta
+    // cells (2 hosts per bucket, theta exact)
+    val (ndf, np) = planOf(
+      "select time_bucket(172800, time) as b, ndv(tag.host) as nh " +
+        s"from cpu where time >= 0 and time < ${4 * 86400} " +
+        "group by time_bucket(172800, time) order by b")
+    assert(np.contains("sketchcells") && !np.contains("segments"),
+      "bucketed ndv must serve from theta cells:\n" + np.take(1200))
+    assert(ndf.collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+      === Seq((0L, 2.0), (172800L, 2.0)))
+    // NDV under a TAG grouping has no per-(value, key) cells → raw route
+    val (_, fp) = planOf(
+      "select tag.host as h, ndv(tag.host) as nh " +
+        s"from cpu where time >= 0 and time < ${2 * 86400} " +
+        "group by tag.host order by h")
+    assert(fp.contains("segments"),
+      "ndv under tag grouping must fall through to raw:\n" + fp.take(800))
+  }
+
   test("at-rest IVF probe scan prunes index partitions; result matches the in-memory path") {
     import graft.pipeline.{IvfIndex, Similarity}
     import org.apache.spark.sql.functions.col

@@ -1591,6 +1591,92 @@ class StreamingSpec extends AnyFunSuite {
     assert(perDay2 === perDay, "replayed batches must not double-count")
   }
 
+  test("streaming cell maintenance: tag-keyed tier maintained per batch; tag-less batch refused loudly") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    import org.apache.spark.sql.types._
+    val b = 86400L
+    // seed: days 0-1, host a/b alternating
+    val seed = (for { d <- 0 to 1; i <- 1 to 20 } yield
+      ("api", d * b + i * 600L, (d * 100 + i).toDouble, if (i % 2 == 0) "a" else "b")).toVector
+    val root = Files.createTempDirectory("graft-stream-tag").toString + "/s"
+    val store = new graft.storage.SeriesStore(spark, root)
+    def asPts(rows: Seq[(String, Long, Double, String)]) =
+      rows.toDF("series", "time", "value", "host")
+        .withColumn("tags", map(lit("host"), col("host")))
+        .select("series", "tags", "time", "value")
+    store.append(asPts(seed)) // before any cells exist: no auto-refresh
+    val cellsDir = graft.storage.SketchCells.dirFor(store)
+    graft.storage.SketchCells.build(store, cellsDir, groupTags = Seq("host"))
+    // stream wave: more day-1 points + a brand-new day 2
+    val wave = (for { d <- 1 to 2; i <- 21 to 40 } yield
+      ("api", d * b + i * 600L, (d * 100 + i).toDouble, if (i % 2 == 0) "a" else "b")).toVector
+    val streamDir = Files.createTempDirectory("graft-stream-tagin").toString
+    val ckpt = Files.createTempDirectory("graft-stream-tagck").toString + "/c"
+    val schema = StructType(Seq(StructField("series", StringType),
+      StructField("series_id", LongType),
+      StructField("tags", MapType(StringType, StringType)),
+      StructField("time", LongType), StructField("value", DoubleType)))
+    asPts(wave)
+      .withColumn("series_id", graft.core.Functions.seriesId(col("series"), col("tags")))
+      .select("series", "series_id", "tags", "time", "value")
+      .write.mode("append").json(streamDir)
+    StreamOps.tdigestCellMaintenance(
+      spark.readStream.schema(schema).json(streamDir), cellsDir, ckpt)
+      .awaitTermination(120000)
+    // exact per-(day, host) row counts in the maintained tag tier
+    val all = seed ++ wave
+    val perCell = spark.read.parquet(s"$cellsDir/tdtag/host")
+      .select(col("tagval"), col("day"), col("n_rows"))
+      .as[(String, Long, Long)].collect().toSet
+    assert(perCell === all.groupBy(p => (p._4, p._2 - p._2 % b))
+      .map { case ((h, d), rs) => (h, d, rs.size.toLong) }.toSet)
+    // end-to-end: the engine's tag-grouped quantile serves from the
+    // maintained tier within the exact band (raw store lacks the wave —
+    // a raw fallthrough would give the WRONG per-host medians here, so
+    // this also proves the route)
+    val served = graft.sydraql.Engine.executeOnStore(store,
+      s"select tag.host as h, percentile_approx(value, 0.5) as p50a from api " +
+        s"where time >= 0 and time < ${3 * b} group by tag.host order by h",
+      graft.sydraql.CompileOptions(now = 0L)).df
+    assert(served.queryExecution.explainString(
+      org.apache.spark.sql.execution.ExplainMode.fromString("simple"))
+      .contains("tdtag"), "tag-grouped query must serve from the maintained tier")
+    val got = served.collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
+    for (h <- Seq("a", "b")) {
+      val vals = all.filter(_._4 == h).map(_._3).sorted
+      def q(f: Double) = vals((f * (vals.length - 1)).round.toInt)
+      assert(got(h) >= q(0.45) && got(h) <= q(0.55),
+        s"host $h served p50 ${got(h)} outside exact [${q(0.45)}, ${q(0.55)}]")
+    }
+    // a TAG-LESS stream against a tag-tiered store must refuse loudly,
+    // not leave the tier silently stale
+    val store2 = new graft.storage.SeriesStore(spark,
+      Files.createTempDirectory("graft-stream-tag2").toString + "/s")
+    store2.append(asPts(seed))
+    val cells2 = graft.storage.SketchCells.dirFor(store2)
+    graft.storage.SketchCells.build(store2, cells2, groupTags = Seq("host"))
+    val plainDir = Files.createTempDirectory("graft-stream-tagplain").toString
+    wave.toDF("series", "time", "value", "host")
+      .withColumn("series_id", graft.core.Functions.seriesId(col("series"),
+        map(lit("host"), col("host"))))
+      .select("series", "series_id", "time", "value")
+      .write.mode("append").json(plainDir)
+    val schemaPlain = StructType(Seq(StructField("series", StringType),
+      StructField("series_id", LongType),
+      StructField("time", LongType), StructField("value", DoubleType)))
+    val ex = intercept[org.apache.spark.sql.streaming.StreamingQueryException] {
+      val q2 = StreamOps.tdigestCellMaintenance(
+        spark.readStream.schema(schemaPlain).json(plainDir), cells2,
+        Files.createTempDirectory("graft-stream-tagck2").toString + "/c")
+      q2.awaitTermination(120000)
+      ()
+    }
+    assert(ex.getMessage.contains("tags column") ||
+      Option(ex.getCause).exists(_.getMessage.contains("tags column")),
+      s"refusal must name the missing tags column: ${ex.getMessage}")
+  }
+
   test("streaming skip-index maintenance: maintained manifest equals full rebuild; replays skipped") {
     import spark.implicits._
     import org.apache.spark.sql.functions._
