@@ -334,6 +334,28 @@ object SydraQlQueries {
               |FROM sv WHERE series = 'error' AND time >= $T0 AND time < ${T0 + 4 * 86400}
               |GROUP BY 1 ORDER BY b""".stripMargin)),
 
+    // Value-stat skip routing through the LANGUAGE (r13): on a store
+    // with a skip manifest, a top-level `value >= X` conjunct routes the
+    // scan through SkipIndex.thresholdScan — files whose max_value stat
+    // cannot match are never opened (the anomaly sweep; StorageSpec pins
+    // the file counts, this gate pins that routing never changes rows).
+    Q("q_sql_value_skip",
+      (s, dir) => {
+        import org.apache.spark.sql.functions.col
+        val hi = T0 + 2 * 86400
+        val store = eventsStore(s, dir, T0, hi)
+        graft.storage.SkipIndex.build(store, graft.storage.SkipIndex.dirFor(store))
+        Engine.executeOnStore(store,
+          s"select time, value from error where time >= $T0 and time < $hi " +
+            s"and value >= 30 order by time, value",
+          CompileOptions(now = NOW)).df
+      },
+      Some(s"""$svSql
+              |SELECT time, value FROM sv
+              |WHERE series = 'error' AND time >= $T0 AND time < ${T0 + 2 * 86400}
+              |  AND value >= 30
+              |ORDER BY time, value""".stripMargin)),
+
     sq("q_sql_minmax_fl",
       s"select min(value) as mn, max(value) as mx, first(value) as fv, last(value) as lv " +
         s"from error where time >= $T0 and time < $T1",

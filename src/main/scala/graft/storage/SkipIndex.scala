@@ -201,25 +201,28 @@ object SkipIndex {
       survivors.length, total)
   }
 
-  /** Rows with `value >= minValue` in `[startTs, endTs]` across ALL
-    * series — the anomaly sweep ("every point above threshold last
-    * week"). Time predicates prune by range overlap; the value predicate
-    * prunes on the per-file `max_value` stat, which parquet row-group
-    * stats cannot do without opening every footer. Same contract as
-    * [[probeScan]]: pruning is I/O-only, exact residual filters run on
-    * what is read.
+  /** Rows with `minValue <= value <= maxValue` in `[startTs, endTs]`
+    * across ALL series — the anomaly sweep ("every point above threshold
+    * last week"). Time predicates prune by range overlap; the value
+    * bounds prune on the per-file `max_value`/`min_value` stats, which
+    * parquet row-group stats cannot do without opening every footer.
+    * Same contract as [[probeScan]]: pruning is I/O-only, exact residual
+    * filters run on what is read. (`maxValue` defaults to +∞ — the
+    * pre-r13 single-threshold form.)
     */
   def thresholdScan(store: SeriesStore, manifestDir: String,
-      startTs: Long, endTs: Long, minValue: Double): SkipScan = {
+      startTs: Long, endTs: Long, minValue: Double,
+      maxValue: Double = Double.PositiveInfinity): SkipScan = {
     val spark = store.spark
     val m = read(spark, manifestDir)
     val survivors = m
       .filter(col("min_time") <= endTs && col("max_time") >= startTs &&
-        col("max_value") >= minValue)
+        col("max_value") >= minValue && col("min_value") <= maxValue)
       .select("file").collect().map(_.getString(0))
     val total = m.count().toInt
     SkipScan(
       readFiles(store, survivors).filter(col("value") >= minValue &&
+        col("value") <= maxValue &&
         col("time") >= startTs && col("time") <= endTs),
       survivors.length, total)
   }

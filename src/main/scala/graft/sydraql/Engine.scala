@@ -90,6 +90,48 @@ object Engine {
     (lo, hi)
   }
 
+  /** Conservative VALUE bounds from the WHERE's top-level conjuncts —
+    * the [[timeBounds]] contract (superset pruning, `>`/`<` widened)
+    * applied to `value <op> <numeric literal>` comparisons, feeding the
+    * manifest's min/max_value file-stat pruning.
+    */
+  private def valueBounds(where: Option[Ast.Expr]): (Option[Double], Option[Double]) = {
+    def conj(e: Ast.Expr): Seq[Ast.Expr] = e match {
+      case Ast.Binary(Ast.And, l, r) => conj(l) ++ conj(r)
+      case x => Seq(x)
+    }
+    var lo: Option[Double] = None
+    var hi: Option[Double] = None
+    def tighten(op: Ast.BinOp, v: Double): Unit = op match {
+      case Ast.Ge | Ast.Gt => lo = Some(lo.fold(v)(math.max(_, v)))
+      case Ast.Le | Ast.Lt => hi = Some(hi.fold(v)(math.min(_, v)))
+      case Ast.Eq => tighten(Ast.Ge, v); tighten(Ast.Le, v)
+      case _ => ()
+    }
+    def flip(op: Ast.BinOp): Ast.BinOp = op match {
+      case Ast.Ge => Ast.Le
+      case Ast.Gt => Ast.Lt
+      case Ast.Le => Ast.Ge
+      case Ast.Lt => Ast.Gt
+      case o => o
+    }
+    def num(e: Ast.Expr): Option[Double] = e match {
+      case Ast.IntLit(v) => Some(v.toDouble)
+      case Ast.FloatLit(v) => Some(v)
+      case _ => None
+    }
+    where.toSeq.flatMap(conj).foreach {
+      case Ast.Binary(op, id: Ast.Ident, r)
+        if id.full.equalsIgnoreCase("value") && num(r).isDefined =>
+        tighten(op, num(r).get)
+      case Ast.Binary(op, l, id: Ast.Ident)
+        if id.full.equalsIgnoreCase("value") && num(l).isDefined =>
+        tighten(flip(op), num(l).get)
+      case _ => ()
+    }
+    (lo, hi)
+  }
+
   /** Route a SELECT's source through the store's data-skipping manifest
     * ([[graft.storage.SkipIndex.dirFor]]) when one exists: `by_id()`
     * probes prune on time overlap + the series bloom, name/all-series
@@ -107,10 +149,21 @@ object Engine {
     lazy val srcCols = Seq("series", "series_id", "tags", "time", "value")
     if (!SkipIndex.exists(spark, dir)) return store.source()
     val (lo, hi) = timeBounds(s.where)
+    val (vlo, vhi) = valueBounds(s.where)
     s.from match {
       case Some(Ast.ById(id)) =>
         SkipIndex.probeScan(store, dir,
             lo.getOrElse(Long.MinValue), hi.getOrElse(Long.MaxValue), id)
+          .df.select(srcCols.map(org.apache.spark.sql.functions.col): _*)
+      case _ if vlo.nonEmpty || vhi.nonEmpty =>
+        // value-stat pruning (r13): `where value >= X` sweeps skip every
+        // file whose max_value stat says it cannot match — the anomaly
+        // sweep that footer stats alone cannot serve without opening
+        // every file; composes with the time overlap bounds
+        SkipIndex.thresholdScan(store, dir,
+            lo.getOrElse(Long.MinValue), hi.getOrElse(Long.MaxValue),
+            vlo.getOrElse(Double.NegativeInfinity),
+            vhi.getOrElse(Double.PositiveInfinity))
           .df.select(srcCols.map(org.apache.spark.sql.functions.col): _*)
       case _ if lo.nonEmpty || hi.nonEmpty =>
         SkipIndex.rangeScan(store, dir,

@@ -752,6 +752,39 @@ class StorageSpec extends AnyFunSuite {
       SkipIndex.build(new SeriesStore(spark, tmp()), tmp() + "/m2"))
   }
 
+  test("engine value-threshold routing: value conjuncts prune on file min/max stats") {
+    import graft.storage.SkipIndex
+    import graft.sydraql.{Engine, CompileOptions}
+    import spark.implicits._
+    val store = new SeriesStore(spark, tmp())
+    def pts(series: String, off: Long) =
+      (0 until 4).map(h => (series, h * 3600L + off, h.toDouble)).toDF("series", "time", "value")
+        .withColumn("tags", map(lit("host"), lit(series)))
+        .select("series", "tags", "time", "value")
+    store.append(pts("cpu", 10))
+    store.append(pts("mem", 20))
+    SkipIndex.build(store, SkipIndex.dirFor(store))
+    def run(ql: String) = Engine.executeOnStore(store, ql, CompileOptions(now = 0L)).df
+    // value >= 2.5: only the two hour-3 files (max_value 3.0) can match
+    val top = run("select time, value from cpu where time >= 0 and value >= 2.5 order by time")
+    assert(top.inputFiles.length === 2,
+      s"value-threshold route must read 2 of 8 files, got ${top.inputFiles.length}")
+    assert(top.collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+      === Seq((3 * 3600L + 10, 3.0)))
+    // both bounds + time: 0.5 <= value <= 1.5 in hours 0-1 → hour-1 files
+    val band = run("select time, value from mem where time >= 0 and " +
+      s"time < ${2 * 3600} and value >= 0.5 and value <= 1.5 order by time")
+    assert(band.inputFiles.length === 2,
+      s"banded value route must read 2 files, got ${band.inputFiles.length}")
+    assert(band.collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+      === Seq((3600L + 20, 1.0)))
+    // `value > 2.5` under OR must NOT tighten pruning (superset contract)
+    val orq = run("select time, value from cpu where time >= 0 and " +
+      "(value >= 2.5 or value <= 0.5) order by time")
+    assert(orq.collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+      === Seq((10L, 0.0), (3 * 3600L + 10, 3.0)))
+  }
+
   test("delete: manifest-pruned discovery, tier refresh (cells serve post-delete truth, emptied day dropped)") {
     import graft.storage.{SkipIndex, SketchCells}
     import graft.sydraql.{Engine, CompileOptions}
