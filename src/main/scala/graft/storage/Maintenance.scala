@@ -380,21 +380,32 @@ object Maintenance {
     * data-skipping manifest when one exists — candidate files prune on
     * manifest time-range stats (one metadata read) before any data file
     * is opened, the same routing the engine's SELECTs use — and falls
-    * back to hour-bucket partition arithmetic otherwise. Bounds prune
+    * back to hour-bucket partition arithmetic otherwise. A known
+    * single-series target (`seriesId`, the engine's `by_id` selector)
+    * additionally prunes on the manifest's series bloom. Bounds prune
     * what is READ during discovery, never what is deleted: the exact
     * predicate decides row fate on whatever survives pruning, so a
     * too-wide bound costs I/O only.
     */
   def deleteRowsBounded(store: SeriesStore,
       predicate: org.apache.spark.sql.Column,
-      loTs: Option[Long], hiTs: Option[Long]): DeleteReport = {
+      loTs: Option[Long], hiTs: Option[Long],
+      seriesId: Option[Long] = None): DeleteReport = {
     val spark = store.spark
     val skipDir = SkipIndex.dirFor(store)
-    val routed = (loTs.nonEmpty || hiTs.nonEmpty) && SkipIndex.exists(spark, skipDir)
+    val routed = (loTs.nonEmpty || hiTs.nonEmpty || seriesId.nonEmpty) &&
+      SkipIndex.exists(spark, skipDir)
     val (discovery, scanned, totalF) =
       if (routed) {
-        val s = SkipIndex.rangeScan(store, skipDir,
-          loTs.getOrElse(Long.MinValue), hiTs.getOrElse(Long.MaxValue))
+        // a known single-series delete (`delete from by_id(N) …`) adds
+        // the manifest's series bloom to the time-overlap pruning — the
+        // same probe the engine's by_id SELECTs use
+        val s = seriesId match {
+          case Some(id) => SkipIndex.probeScan(store, skipDir,
+            loTs.getOrElse(Long.MinValue), hiTs.getOrElse(Long.MaxValue), id)
+          case None => SkipIndex.rangeScan(store, skipDir,
+            loTs.getOrElse(Long.MinValue), hiTs.getOrElse(Long.MaxValue))
+        }
         (s.df, s.filesRead, s.filesTotal)
       } else {
         val base = store.scan()

@@ -409,15 +409,24 @@ object Engine {
         // (deleteRowsBounded routes internally; the tier refresh after the
         // rewrite keeps manifest + sketch cells consistent)
         val (lo, hi) = timeBounds(where)
+        val sid = sel match {
+          case Ast.ById(id) => Some(id)
+          case _ => None
+        }
         val skipDir = graft.storage.SkipIndex.dirFor(store)
         val countSrc =
-          if ((lo.nonEmpty || hi.nonEmpty) &&
-              graft.storage.SkipIndex.exists(spark, skipDir))
-            graft.storage.SkipIndex.rangeScan(store, skipDir,
-              lo.getOrElse(Long.MinValue), hi.getOrElse(Long.MaxValue)).df
-          else store.scan()
+          if ((lo.nonEmpty || hi.nonEmpty || sid.nonEmpty) &&
+              graft.storage.SkipIndex.exists(spark, skipDir)) {
+            val s = sid match {
+              case Some(id) => graft.storage.SkipIndex.probeScan(store, skipDir,
+                lo.getOrElse(Long.MinValue), hi.getOrElse(Long.MaxValue), id)
+              case None => graft.storage.SkipIndex.rangeScan(store, skipDir,
+                lo.getOrElse(Long.MinValue), hi.getOrElse(Long.MaxValue))
+            }
+            s.df
+          } else store.scan()
         val n = countSrc.filter(pred).count()
-        Maintenance.deleteRowsBounded(store, pred, lo, hi)
+        Maintenance.deleteRowsBounded(store, pred, lo, hi, sid)
         import spark.implicits._
         QueryResult(Seq(n).toDF("deleted"), QueryStats(0, 0, 0, traceId()))
     }

@@ -842,6 +842,30 @@ class StorageSpec extends AnyFunSuite {
     assert(empty.count() === 0)
   }
 
+  test("by_id delete discovery adds the series bloom to time pruning") {
+    import graft.storage.SkipIndex
+    import spark.implicits._
+    val store = new SeriesStore(spark, tmp())
+    def pts(series: String, off: Long) =
+      (0 until 4).map(h => (series, h * 3600L + off, h.toDouble)).toDF("series", "time", "value")
+        .withColumn("tags", map(lit("host"), lit(series)))
+        .select("series", "tags", "time", "value")
+    store.append(pts("cpu", 10))
+    store.append(pts("mem", 20))
+    SkipIndex.build(store, SkipIndex.dirFor(store))
+    val sid = spark.range(1).select(graft.core.Functions.seriesId(
+      lit("cpu"), map(lit("host"), lit("cpu"))).as("s")).head().getLong(0)
+    // time bound keeps hours 1-2 (4 files); the bloom halves it to cpu's 2
+    val rep = Maintenance.deleteRowsBounded(store,
+      col("series_id") === sid && col("time") >= 3600L && col("time") <= 2 * 3600L + 10,
+      Some(3600L), Some(2 * 3600L + 10), seriesId = Some(sid))
+    assert(rep.scannedFiles === 2 && rep.totalFiles === 8,
+      s"bloom + time discovery must scan cpu's 2 overlapping files, got $rep")
+    assert(rep.rewrittenHours === Seq(3600L, 7200L))
+    assert(store.scan().filter(col("series") === "cpu").count() === 2)
+    assert(store.scan().filter(col("series") === "mem").count() === 4)
+  }
+
   test("SketchCells.refresh never leaks partitionOverwriteMode into the session conf") {
     import graft.storage.SketchCells
     import spark.implicits._
