@@ -474,6 +474,51 @@ object ScaleSmoke {
         graft.storage.SkipIndex.probeScan(
           store, s"$root/manifest", t0 + 6 * 3600, t0 + 18 * 3600, sid).df
       },
+      // r13: the tag-keyed cell tier on the same mult×-day store. Build
+      // is one partial-aggregated pass over the points (must track rows
+      // linearly); serve is the engine's `GROUP BY tag.user` quantile
+      // over the full amplified span — it reads series × days × 8 cells
+      // (KB blobs), so its curve must track the CELL count (mult× days),
+      // never the point count
+      timedStaged("tag_cells_build") {
+        val root = s"target/smoke-tmp/skip-$mult"
+        val fs = new org.apache.hadoop.fs.Path(root)
+          .getFileSystem(spark.sparkContext.hadoopConfiguration)
+        if (!fs.exists(new org.apache.hadoop.fs.Path(s"$root/segments"))) {
+          val store = new graft.storage.SeriesStore(spark, root)
+          store.append(ev.select(col("event_type").as("series"),
+            map(lit("user"), col("tag_user")).as("tags"),
+            col("time"), col("value")))
+        }
+      } {
+        val root = s"target/smoke-tmp/skip-$mult"
+        val store = new graft.storage.SeriesStore(spark, root)
+        val dir = graft.storage.SketchCells.dirFor(store)
+        graft.storage.SketchCells.build(store, dir, groupTags = Seq("user"))
+        graft.storage.SketchCells.readTag(spark, dir, "user")
+      },
+      timedStaged("tag_cells_serve") {
+        val root = s"target/smoke-tmp/skip-$mult"
+        val store = new graft.storage.SeriesStore(spark, root)
+        val dir = graft.storage.SketchCells.dirFor(store)
+        if (!graft.storage.SketchCells.exists(spark, dir)) {
+          if (store.isEmpty)
+            store.append(ev.select(col("event_type").as("series"),
+              map(lit("user"), col("tag_user")).as("tags"),
+              col("time"), col("value")))
+          graft.storage.SketchCells.build(store, dir, groupTags = Seq("user"))
+        }
+      } {
+        val root = s"target/smoke-tmp/skip-$mult"
+        val store = new graft.storage.SeriesStore(spark, root)
+        val t0 = graft.queries.TimeSeries.T0
+        val span = (mult.toLong * 14L + 14L) * 86400L // covers every shifted copy
+        graft.sydraql.Engine.executeOnStore(store,
+          s"select tag.user as usr, percentile_approx(value, 0.95) as p95 " +
+            s"from click where time >= ${t0 - 2 * 86400} and " +
+            s"time < ${t0 - 2 * 86400 + span} group by tag.user order by usr",
+          graft.sydraql.CompileOptions(now = 0L)).df
+      },
       timed("ann_self_join") {
         // √n-rule cell count with FIXED nprobe — SCALE.md's sizing math
         // (candidates/query ≈ n·nprobe/nCells = √n·nprobe, total n^1.5).
