@@ -357,14 +357,17 @@ object Maintenance {
     }
 
   /** What a [[deleteRowsBounded]] call did: which hour partitions were
-    * rewritten, and — when the discovery ran through the skip manifest —
-    * how many candidate data files the manifest let it scan out of the
-    * store's total (`scannedFiles = totalFiles = -1` on the unrouted
-    * path). The file counts exist so tests can PIN that a time-bounded
-    * delete's discovery is pruned I/O, not a full-store scan.
+    * rewritten, how many rows the rewrites removed (`deletedRows` —
+    * derived per partition as metadata-count-before − survivors, so the
+    * engine's DELETE response needs no separate matched-row scan), and —
+    * when the discovery ran through the skip manifest — how many
+    * candidate data files the manifest let it scan out of the store's
+    * total (`scannedFiles = totalFiles = -1` on the unrouted path). The
+    * file counts exist so tests can PIN that a time-bounded delete's
+    * discovery is pruned I/O, not a full-store scan.
     */
   final case class DeleteReport(rewrittenHours: Seq[Long],
-      scannedFiles: Int, totalFiles: Int)
+      scannedFiles: Int, totalFiles: Int, deletedRows: Long = 0L)
 
   /** Row-level delete for `DELETE FROM <sel> WHERE <pred>`: rewrite only
     * the hour partitions that may contain matches, each through the
@@ -421,22 +424,27 @@ object Maintenance {
     if (affected.isEmpty) return DeleteReport(Nil, scanned, totalF)
     val segRoot = s"${store.root}/segments"
     recoverSwaps(spark, segRoot)
+    var deleted = 0L
     affected.foreach { h =>
       val name = s"hour_bucket=$h"
+      // metadata-only parquet row count (no data read) — the "before"
+      // side of the per-partition deleted-row tally
+      val before = spark.read.schema(store.schema)
+        .parquet(s"$segRoot/$name").count()
       val remaining = spark.read.schema(store.schema)
         .parquet(s"$segRoot/$name")
         .withColumn("hour_bucket", lit(h))
         .filter(!predicate || predicate.isNull)
         .drop("hour_bucket")
         .cache()
-      remaining.count()
+      deleted += before - remaining.count()
       swapRewrite(spark, segRoot, name) { tmp =>
         remaining.write.mode(SaveMode.Overwrite).parquet(tmp)
       }
       spark.catalog.clearCache()
     }
     refreshTiers(store, affected)
-    DeleteReport(affected, scanned, totalF)
+    DeleteReport(affected, scanned, totalF, deleted)
   }
 
   /** Snapshot: recursive copy of the data dir (`snapshot.zig:3-47`),

@@ -413,22 +413,14 @@ object Engine {
           case Ast.ById(id) => Some(id)
           case _ => None
         }
-        val skipDir = graft.storage.SkipIndex.dirFor(store)
-        val countSrc =
-          if ((lo.nonEmpty || hi.nonEmpty || sid.nonEmpty) &&
-              graft.storage.SkipIndex.exists(spark, skipDir)) {
-            val s = sid match {
-              case Some(id) => graft.storage.SkipIndex.probeScan(store, skipDir,
-                lo.getOrElse(Long.MinValue), hi.getOrElse(Long.MaxValue), id)
-              case None => graft.storage.SkipIndex.rangeScan(store, skipDir,
-                lo.getOrElse(Long.MinValue), hi.getOrElse(Long.MaxValue))
-            }
-            s.df
-          } else store.scan()
-        val n = countSrc.filter(pred).count()
-        Maintenance.deleteRowsBounded(store, pred, lo, hi, sid)
+        // one pruned pass does everything: deleteRowsBounded's discovery
+        // routes through the skip manifest (time overlap + by_id bloom)
+        // and its per-partition rewrite tallies the removed rows — no
+        // separate matched-row count scan
+        val report = Maintenance.deleteRowsBounded(store, pred, lo, hi, sid)
         import spark.implicits._
-        QueryResult(Seq(n).toDF("deleted"), QueryStats(0, 0, 0, traceId()))
+        QueryResult(Seq(report.deletedRows).toDF("deleted"),
+          QueryStats(0, 0, 0, traceId()))
     }
   }
 }

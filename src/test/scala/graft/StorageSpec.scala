@@ -816,7 +816,7 @@ class StorageSpec extends AnyFunSuite {
       Some(d1), Some(2 * d1))
     assert(rep.scannedFiles === 3 && rep.totalFiles === 5,
       s"bounded delete discovery must prune through the manifest, got $rep")
-    assert(rep.rewrittenHours === Seq(d1 + 7200L))
+    assert(rep.rewrittenHours === Seq(d1 + 7200L) && rep.deletedRows === 1L)
     // derived tiers must reflect the delete with no manual rebuild:
     // the theta cells no longer count host c …
     assert(ndvOver(d1, 2 * d1) === 2.0, "post-delete NDV must drop host c")
