@@ -302,6 +302,46 @@ object SydraQlQueries {
               |FROM sv WHERE series = 'error' AND time >= $T0 AND time < ${T0 + 2 * 86400}
               |GROUP BY tag_user ORDER BY usr""".stripMargin)),
 
+    // COMPOSITE grouping served from the tag tier (r13): one
+    // day-multiple bucket × one tag key — "p50 per user per 2 days" —
+    // coarsens the (series, day, tag-value) cells on both axes at once,
+    // so the engine merges each (bucket, value) group's day blobs and
+    // never rescans raw points. Same per-group error-bound contract.
+    Q("q_sql_sketch_cells_tag_bucket",
+      (s, dir) => {
+        import org.apache.spark.sql.functions.{col, lit}
+        val hi = T0 + 4 * 86400
+        val store = eventsStore(s, dir, T0, hi)
+        graft.storage.SketchCells.build(store,
+          graft.storage.SketchCells.dirFor(store), groupTags = Seq("user"))
+        val df = Engine.executeOnStore(store,
+          s"select time_bucket(172800, time) as b, tag.user as usr, " +
+            s"percentile_approx(value, 0.5) as p50a " +
+            s"from error where time >= $T0 and time < $hi " +
+            s"group by time_bucket(172800, time), tag.user order by b, usr",
+          CompileOptions(now = NOW)).df
+        val bounds = store.source()
+          .filter(col("series") === "error" && col("time") >= T0 && col("time") < hi)
+          .groupBy(graft.core.Functions.timeBucket(lit(172800L), col("time")).as("b"),
+            col("tags")("user").as("usr"))
+          .agg(percentile(col("value"), array(lit(0.45), lit(0.55), lit(0.5))).as("__q"),
+            count(lit(1)).as("n"))
+          .select(col("b"), col("usr"), element_at(col("__q"), 1).as("lo50"),
+            element_at(col("__q"), 2).as("hi50"),
+            (floor(element_at(col("__q"), 3) * 1e4 + 0.5) / 1e4).as("p50_exact"),
+            col("n"))
+        df.join(bounds, Seq("b", "usr"))
+          .select(col("b"), col("usr"), col("p50_exact"), col("n"),
+            (col("p50a") >= col("lo50") && col("p50a") <= col("hi50")).as("p50_ok"))
+          .orderBy("b", "usr")
+      },
+      Some(s"""$svSql
+              |SELECT CAST(time // 172800 * 172800 AS BIGINT) AS b, tag_user AS usr,
+              |       floor((quantile_cont(value, 0.5)) * 1e4 + 0.5) / 1e4 AS p50_exact,
+              |       count(*) AS n, true AS p50_ok
+              |FROM sv WHERE series = 'error' AND time >= $T0 AND time < ${T0 + 4 * 86400}
+              |GROUP BY 1, 2 ORDER BY b, usr""".stripMargin)),
+
     // NDV per time_bucket served from theta cells (r13): the day cells'
     // theta blobs coarsen into day-multiple buckets exactly like the
     // t-digests — cardinality dashboards ("distinct users per 2 days")

@@ -181,10 +181,11 @@ object Engine {
     *    or `ndv(tag.<k>) as <alias>` for a tag key whose theta NDV cells
     *    the store carries (SketchCells `ndvTags`) — mixed projections
     *    share one merge aggregate;
-    *  - GROUP BY is empty (one global row), a day-multiple
-    *    `time_bucket`, or `tag.<k>` for a key with a tag-keyed tier
-    *    (r13; quantiles only — NDV under tag grouping falls through);
-    *    ORDER BY at most the group key ascending; no FILL;
+    *  - GROUP BY is any subset of {day-multiple `time_bucket`,
+    *    `tag.<k>` with a tag-keyed tier} — at most one of each; they
+    *    COMPOSE ("p95 per host per 2 days", r13). Tag groupings are
+    *    quantiles only — NDV under a tag grouping falls through; ORDER
+    *    BY at most the group keys ascending; no FILL;
     *  - WHERE is exactly `time >= LO and time < HI` with DAY-ALIGNED
     *    literal bounds (cells are day-granular — a misaligned window
     *    cannot be assembled from them and falls through to raw);
@@ -214,15 +215,24 @@ object Engine {
     sealed trait GK { def e: Ast.Expr }
     case class BucketG(step: Long, e: Ast.Expr) extends GK
     case class TagG(key: String, e: Ast.Expr) extends GK
-    val groupKey: Option[GK] = s.groupBy match {
-      case Seq(c @ Ast.Call("time_bucket", Seq(Ast.IntLit(st), t: Ast.Ident)))
-        if t.full.equalsIgnoreCase("time") && st > 0 && st % 86400L == 0 =>
-        Some(BucketG(st, c))
-      case Seq(id: Ast.Ident)
-        if id.parts.length == 2 && id.parts.head.equalsIgnoreCase("tag") =>
-        Some(TagG(id.parts(1), id))
-      case Nil => None
-      case _ => return None
+    // up to TWO keys compose (r13): one day-multiple bucket and one tag
+    // key together coarsen the tag tier's (series, day, value) cells —
+    // the "p95 per host per day" dashboard shape
+    val groupKeys: Seq[GK] = {
+      val parsed = s.groupBy.map {
+        case c @ Ast.Call("time_bucket", Seq(Ast.IntLit(st), t: Ast.Ident))
+          if t.full.equalsIgnoreCase("time") && st > 0 && st % 86400L == 0 =>
+          Some(BucketG(st, c))
+        case id: Ast.Ident
+          if id.parts.length == 2 && id.parts.head.equalsIgnoreCase("tag") =>
+          Some(TagG(id.parts(1), id))
+        case _ => None
+      }
+      if (parsed.exists(_.isEmpty)) return None
+      val ks = parsed.flatten
+      if (ks.count(_.isInstanceOf[BucketG]) > 1 ||
+        ks.count(_.isInstanceOf[TagG]) > 1) return None
+      ks
     }
     val bounds = s.where match {
       case Some(Ast.Binary(Ast.And,
@@ -237,12 +247,12 @@ object Engine {
     // percentile_approx(value, <literal>), or an aliased ndv(tag.<k>)
     // whose theta cells the store carries — anything else → raw route
     sealed trait P
-    case class Grp(alias: String) extends P
+    case class Grp(alias: String, k: GK) extends P
     case class Quant(alias: String, p: Double) extends P
     case class Ndv(alias: String, key: String) extends P
     val projs: Seq[Option[P]] = s.projections.map {
-      case Ast.Projection(c, Some(alias)) if groupKey.exists(_.e == c) =>
-        Some(Grp(alias))
+      case Ast.Projection(c, Some(alias)) if groupKeys.exists(_.e == c) =>
+        Some(Grp(alias, groupKeys.find(_.e == c).get))
       case Ast.Projection(
           Ast.Call("percentile_approx", Seq(v: Ast.Ident, p)), Some(alias))
         if v.full.equalsIgnoreCase("value") =>
@@ -264,31 +274,36 @@ object Engine {
     // the tag-grouped tier carries only t-digests (no per-(value, key)
     // theta cells) — NDV under a tag grouping falls through to raw
     val ndvKeys = ps.collect { case Ndv(_, k) => k }.distinct
-    if (ndvKeys.nonEmpty && groupKey.exists(_.isInstanceOf[TagG])) return None
+    if (ndvKeys.nonEmpty && groupKeys.exists(_.isInstanceOf[TagG])) return None
     if (ndvKeys.nonEmpty && {
       val have = SketchCells.ndvTagsOf(spark, dir).toSet
       !ndvKeys.forall(have.contains)
     }) return None
-    val grpAlias = ps.collectFirst { case Grp(a) => a }
-    if (groupKey.isDefined && grpAlias.isEmpty) return None
-    groupKey match {
-      case Some(TagG(k, _)) if !SketchCells.groupTagsOf(spark, dir).contains(k) =>
-        return None
-      case _ => ()
+    // every group key must be projected under an alias (the serving
+    // frame's column names come from them)
+    val grpAliases: Map[GK, String] = ps.collect { case Grp(a, k) => k -> a }.toMap
+    if (groupKeys.exists(k => !grpAliases.contains(k))) return None
+    val tagKeyOpt = groupKeys.collectFirst { case TagG(k, _) => k }
+    if (tagKeyOpt.exists(k => !SketchCells.groupTagsOf(spark, dir).contains(k)))
+      return None
+    // ORDER BY: none, or ascending keys each naming a DISTINCT group key
+    // (by expression or alias) — anything else → raw route
+    val orderCols: Option[Seq[String]] = {
+      val resolved = s.orderBy.map {
+        case Ast.SortKey(e, true) =>
+          groupKeys.find(_.e == e).map(grpAliases)
+            .orElse(e match {
+              case id: Ast.Ident =>
+                grpAliases.values.find(a => id.full.equalsIgnoreCase(a))
+              case _ => None
+            })
+        case _ => None
+      }
+      if (resolved.exists(_.isEmpty) ||
+        resolved.flatten.distinct.length != resolved.length) None
+      else Some(resolved.flatten)
     }
-    // ORDER BY: none, or one ascending key naming the group key (by
-    // expression or alias) — anything else → raw route
-    val orderOk = s.orderBy match {
-      case Nil => true
-      case Seq(Ast.SortKey(e, true)) =>
-        groupKey.exists(_.e == e) ||
-          grpAlias.exists(a => e match {
-            case id: Ast.Ident => id.full.equalsIgnoreCase(a)
-            case _ => false
-          })
-      case _ => false
-    }
-    if (!orderOk) return None
+    if (orderCols.isEmpty) return None
     val (l, h) = bounds.get
     val sel = s.from.get match {
       case Ast.ById(id) => col("series_id") === id
@@ -296,7 +311,12 @@ object Engine {
     }
     def dayPruned(df: DataFrame): DataFrame =
       df.filter(sel && col("day") >= l && col("day") < h)
-    val base = dayPruned(SketchCells.read(spark, dir))
+    // any tag grouping reads the tag tier (per-(series, day, value)
+    // digests); otherwise the td table (which also carries theta cells)
+    val base = tagKeyOpt match {
+      case Some(k) => dayPruned(SketchCells.readTag(spark, dir, k))
+      case None => dayPruned(SketchCells.read(spark, dir))
+    }
     // one merge aggregate carries every served blob: the t-digest (when
     // any quantile is projected) and one THETA union per requested tag
     // key — the raw route's estimator family at the raw route's lgK, so
@@ -310,29 +330,26 @@ object Engine {
         ndvKeys.map(k => graft.functions.ThetaSketch.estimate(
           graft.functions.ThetaSketch.unionAgg(col(s"theta_$k")))
           .cast("double").as(s"__ndv_$k"))
-    val merged = groupKey match {
-      case Some(BucketG(st, _)) =>
-        // same floor expression the compiler emits for time_bucket, over
-        // the cell's day — exact because step is a day multiple
-        base.groupBy(graft.core.Functions.timeBucket(lit(st), col("day"))
-            .as(grpAlias.get))
-          .agg(aggs.head, aggs.tail: _*)
-      case Some(TagG(k, _)) =>
-        // the tag tier's per-(series, day, value) digests merge within
-        // each tag value — the raw route's GROUP BY tag.k, served from
-        // day-pruned KB blobs
-        dayPruned(SketchCells.readTag(spark, dir, k))
-          .groupBy(col("tagval").as(grpAlias.get))
-          .agg(aggs.head, aggs.tail: _*)
-      case None =>
-        base.agg(aggs.head, aggs.tail: _*)
+    // group columns in declaration order: the bucket key is the same
+    // floor expression the compiler emits for time_bucket, over the
+    // cell's day — exact because step is a day multiple; the tag key is
+    // the tier's tagval (per-(series, day, value) digests merge within
+    // each group cell — the raw route's grouping, served from day-pruned
+    // KB blobs)
+    val groupCols = groupKeys.map {
+      case k @ BucketG(st, _) =>
+        graft.core.Functions.timeBucket(lit(st), col("day")).as(grpAliases(k))
+      case k @ TagG(_, _) => col("tagval").as(grpAliases(k))
     }
+    val merged =
+      if (groupCols.isEmpty) base.agg(aggs.head, aggs.tail: _*)
+      else base.groupBy(groupCols: _*).agg(aggs.head, aggs.tail: _*)
     val out = merged.select(ps.map {
-      case Grp(a) => col(a)
+      case Grp(a, _) => col(a)
       case Quant(a, p) => graft.functions.TDigest.quantileOf(col("__td"), p).as(a)
       case Ndv(a, k) => col(s"__ndv_$k").as(a)
     }: _*)
-    Some(if (s.orderBy.nonEmpty) out.orderBy(col(grpAlias.get)) else out)
+    Some(if (s.orderBy.nonEmpty) out.orderBy(orderCols.get.map(col): _*) else out)
   }
 
   /** Execute against a [[graft.storage.SeriesStore]]: SELECT/EXPLAIN read

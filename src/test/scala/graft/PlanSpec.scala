@@ -447,6 +447,20 @@ class PlanSpec extends AnyFunSuite {
         "group by tag.host order by h")
     assert(fp.contains("segments"),
       "ndv under tag grouping must fall through to raw:\n" + fp.take(800))
+    // COMPOSITE bucket × tag grouping: still served from the tag tier —
+    // both keys coarsen the (series, day, value) cells
+    val (cdf, cp) = planOf(
+      "select time_bucket(172800, time) as b, tag.host as h, " +
+        "percentile_approx(value, 0.5) as p50a " +
+        s"from cpu where time >= 0 and time < ${4 * 86400} " +
+        "group by time_bucket(172800, time), tag.host order by b, h")
+    assert(cp.contains("tdtag") && !cp.contains("segments"),
+      "composite grouping must serve from the tag tier:\n" + cp.take(1200))
+    // days 0-3 hold values 0..15; per 2-day bucket each host has 4
+    // values (exact at this size): bucket0 a={0,2,4,6}→3, b={1,3,5,7}→4;
+    // bucket1 a={8,...,14}→11, b={9,...,15}→12
+    assert(cdf.collect().map(r => (r.getLong(0), r.getString(1), r.getDouble(2))).toSeq
+      === Seq((0L, "a", 3.0), (0L, "b", 4.0), (172800L, "a", 11.0), (172800L, "b", 12.0)))
   }
 
   test("at-rest IVF probe scan prunes index partitions; result matches the in-memory path") {
