@@ -396,6 +396,129 @@ object SydraQlQueries {
               |  AND value >= 30
               |ORDER BY time, value""".stripMargin)),
 
+    // Basic aggregates served from the cell tier (r14 — the reference's
+    // own RollupHint breadcrumb, plan.zig:19-21/physical.zig:47-54,
+    // finally serving avg/sum/count/min/max): the cells carry mergeable
+    // partials (sum_v/min_v/max_v/n_vals beside n_rows), so the served
+    // answer is EXACT — min of day-mins IS the window min, counts add,
+    // avg = merged sum / merged count. Unlike the quantile gates this
+    // needs no bounds contract: the hash pins the values themselves
+    // (sum/avg under the universal 1e-4 rounding discipline — double
+    // fold order differs across engines; min/max/count raw). PlanSpec
+    // pins the cells-only plan (no raw segments path).
+    Q("q_sql_rollup_cells_basic",
+      (s, dir) => {
+        import org.apache.spark.sql.functions.{col, floor}
+        val hi = T0 + 2 * 86400
+        val store = eventsStore(s, dir, T0, hi)
+        graft.storage.SketchCells.build(store, graft.storage.SketchCells.dirFor(store))
+        Engine.executeOnStore(store,
+          s"select avg(value) as avg_v, sum(value) as sum_val, " +
+            s"count() as n, count(value) as nv, " +
+            s"min(value) as min_val, max(value) as max_val " +
+            s"from error where time >= $T0 and time < $hi",
+          CompileOptions(now = NOW)).df
+          .select((floor(col("avg_v") * 1e4 + 0.5) / 1e4).as("avg_v"),
+            (floor(col("sum_val") * 1e4 + 0.5) / 1e4).as("sum_val"),
+            col("n"), col("nv"), col("min_val"), col("max_val"))
+      },
+      Some(s"""$svSql
+              |SELECT floor((avg(value)) * 1e4 + 0.5) / 1e4 AS avg_v,
+              |       floor((sum(value)) * 1e4 + 0.5) / 1e4 AS sum_val,
+              |       count(*) AS n, count(value) AS nv,
+              |       min(value) AS min_val, max(value) AS max_val
+              |FROM sv WHERE series = 'error' AND time >= $T0 AND time < ${T0 + 2 * 86400}""".stripMargin)),
+
+    // Bucketed variant: day cells coarsen into day-multiple buckets for
+    // the basic partials exactly like the digests — "avg per 2 days" is
+    // a day-pruned partial merge, never a raw rescan.
+    Q("q_sql_rollup_cells_bucket",
+      (s, dir) => {
+        import org.apache.spark.sql.functions.{col, floor}
+        val hi = T0 + 4 * 86400
+        val store = eventsStore(s, dir, T0, hi)
+        graft.storage.SketchCells.build(store, graft.storage.SketchCells.dirFor(store))
+        Engine.executeOnStore(store,
+          s"select time_bucket(172800, time) as b, avg(value) as avg_v, " +
+            s"count() as n, min(value) as min_val, max(value) as max_val " +
+            s"from error where time >= $T0 and time < $hi " +
+            s"group by time_bucket(172800, time) order by b",
+          CompileOptions(now = NOW)).df
+          .select(col("b"), (floor(col("avg_v") * 1e4 + 0.5) / 1e4).as("avg_v"),
+            col("n"), col("min_val"), col("max_val"))
+      },
+      Some(s"""$svSql
+              |SELECT CAST(time // 172800 * 172800 AS BIGINT) AS b,
+              |       floor((avg(value)) * 1e4 + 0.5) / 1e4 AS avg_v,
+              |       count(*) AS n, min(value) AS min_val, max(value) AS max_val
+              |FROM sv WHERE series = 'error' AND time >= $T0 AND time < ${T0 + 4 * 86400}
+              |GROUP BY 1 ORDER BY b""".stripMargin)),
+
+    // Composite bucket × tag variant: the tag tier's (series, day, value)
+    // cells carry the same basic partials, so "avg per user per 2 days"
+    // serves exactly from day-pruned KB rows of the tdtag table.
+    Q("q_sql_rollup_cells_tag",
+      (s, dir) => {
+        import org.apache.spark.sql.functions.{col, floor}
+        val hi = T0 + 4 * 86400
+        val store = eventsStore(s, dir, T0, hi)
+        graft.storage.SketchCells.build(store,
+          graft.storage.SketchCells.dirFor(store), groupTags = Seq("user"))
+        Engine.executeOnStore(store,
+          s"select time_bucket(172800, time) as b, tag.user as usr, " +
+            s"avg(value) as avg_v, count() as n, max(value) as max_val " +
+            s"from error where time >= $T0 and time < $hi " +
+            s"group by time_bucket(172800, time), tag.user order by b, usr",
+          CompileOptions(now = NOW)).df
+          .select(col("b"), col("usr"),
+            (floor(col("avg_v") * 1e4 + 0.5) / 1e4).as("avg_v"),
+            col("n"), col("max_val"))
+      },
+      Some(s"""$svSql
+              |SELECT CAST(time // 172800 * 172800 AS BIGINT) AS b, tag_user AS usr,
+              |       floor((avg(value)) * 1e4 + 0.5) / 1e4 AS avg_v,
+              |       count(*) AS n, max(value) AS max_val
+              |FROM sv WHERE series = 'error' AND time >= $T0 AND time < ${T0 + 4 * 86400}
+              |GROUP BY 1, 2 ORDER BY b, usr""".stripMargin)),
+
+    // Descending ORDER BY on a served shape (r14): `order by usr desc`
+    // previously fell through to a raw rescan; descending sort of the
+    // SERVED frame is trivially equivalent, so the tag tier serves it
+    // (PlanSpec pins tdtag + no segments on this exact shape). Quantile
+    // bounds contract as the ascending tag gate.
+    Q("q_sql_sketch_cells_desc",
+      (s, dir) => {
+        import org.apache.spark.sql.functions.{col, lit}
+        val hi = T0 + 2 * 86400
+        val store = eventsStore(s, dir, T0, hi)
+        graft.storage.SketchCells.build(store,
+          graft.storage.SketchCells.dirFor(store), groupTags = Seq("user"))
+        val df = Engine.executeOnStore(store,
+          s"select tag.user as usr, percentile_approx(value, 0.5) as p50a " +
+            s"from error where time >= $T0 and time < $hi " +
+            s"group by tag.user order by usr desc",
+          CompileOptions(now = NOW)).df
+        val bounds = store.source()
+          .filter(col("series") === "error" && col("time") >= T0 && col("time") < hi)
+          .groupBy(col("tags")("user").as("usr"))
+          .agg(percentile(col("value"), array(lit(0.45), lit(0.55), lit(0.5))).as("__q"),
+            count(lit(1)).as("n"))
+          .select(col("usr"), element_at(col("__q"), 1).as("lo50"),
+            element_at(col("__q"), 2).as("hi50"),
+            (floor(element_at(col("__q"), 3) * 1e4 + 0.5) / 1e4).as("p50_exact"),
+            col("n"))
+        df.join(bounds, "usr")
+          .select(col("usr"), col("p50_exact"), col("n"),
+            (col("p50a") >= col("lo50") && col("p50a") <= col("hi50")).as("p50_ok"))
+          .orderBy(col("usr").desc)
+      },
+      Some(s"""$svSql
+              |SELECT tag_user AS usr,
+              |       floor((quantile_cont(value, 0.5)) * 1e4 + 0.5) / 1e4 AS p50_exact,
+              |       count(*) AS n, true AS p50_ok
+              |FROM sv WHERE series = 'error' AND time >= $T0 AND time < ${T0 + 2 * 86400}
+              |GROUP BY tag_user ORDER BY usr DESC""".stripMargin)),
+
     sq("q_sql_minmax_fl",
       s"select min(value) as mn, max(value) as mx, first(value) as fv, last(value) as lv " +
         s"from error where time >= $T0 and time < $T1",

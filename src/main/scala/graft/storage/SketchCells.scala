@@ -37,6 +37,24 @@ object SketchCells {
     p.getFileSystem(spark.sessionState.newHadoopConf()).exists(p)
   }
 
+  /** Basic-aggregate columns every cell carries beside `n_rows` (r14) —
+    * the mergeable partials that let the engine serve
+    * `avg/sum/count/min/max(value)` EXACTLY from the tier (avg = merged
+    * sum / merged non-null count; min/max/count merge losslessly). The
+    * reference's own RollupHint breadcrumb
+    * (`/root/reference/src/sydra/query/plan.zig:19-21`,
+    * `physical.zig:47-54`) marks exactly these plans for pre-aggregated
+    * serving; the sketch columns served only the approximate half until
+    * now.
+    */
+  private[graft] val basicCols = Seq("sum_v", "min_v", "max_v", "n_vals")
+
+  private def basicAggs = Seq(
+    sum(col("value")).as("sum_v"),
+    min(col("value")).as("min_v"),
+    max(col("value")).as("max_v"),
+    count(col("value")).as("n_vals")) // non-null count — the avg/count(value) denominator
+
   private def cellsOf(scan: DataFrame, ndvTags: Seq[String]): DataFrame = {
     // NDV cells are THETA sketches (lgK 12), the SAME estimator family —
     // same lgK, same exact-mode range — as the raw-scan `ndv()` route
@@ -47,7 +65,7 @@ object SketchCells {
     // its argument, so both routes hash identical bytes.
     val aggs = Seq(first(col("series")).as("series"),
       graft.functions.TDigest.agg(col("value")).as("td"),
-      count(lit(1)).as("n_rows")) ++
+      count(lit(1)).as("n_rows")) ++ basicAggs ++
       ndvTags.map(k => graft.functions.ThetaSketch.agg(
         try_element_at(col("tags"), lit(k)).cast("string")).as(s"theta_$k"))
     scan
@@ -55,7 +73,7 @@ object SketchCells {
         (col("time") - pmod(col("time"), lit(86400L))).as("day"))
       .agg(aggs.head, aggs.tail: _*)
       .select((Seq(col("series_id"), col("series"), col("td"), col("n_rows")) ++
-        ndvTags.map(k => col(s"theta_$k")) :+ col("day")): _*)
+        basicCols.map(col) ++ ndvTags.map(k => col(s"theta_$k")) :+ col("day")): _*)
   }
 
   /** Tag-tier layout: one t-digest per (series, day, tag `k`=v), its own
@@ -64,16 +82,18 @@ object SketchCells {
     */
   def tagDir(dir: String, k: String): String = s"$dir/tdtag/$k"
 
-  private def tagCellsOf(scan: DataFrame, k: String): DataFrame =
+  private def tagCellsOf(scan: DataFrame, k: String): DataFrame = {
+    val aggs = Seq(first(col("series")).as("series"),
+      graft.functions.TDigest.agg(col("value")).as("td"),
+      count(lit(1)).as("n_rows")) ++ basicAggs
     scan
       .groupBy(col("series_id"),
         try_element_at(col("tags"), lit(k)).as("tagval"),
         (col("time") - pmod(col("time"), lit(86400L))).as("day"))
-      .agg(first(col("series")).as("series"),
-        graft.functions.TDigest.agg(col("value")).as("td"),
-        count(lit(1)).as("n_rows"))
-      .select(col("series_id"), col("series"), col("tagval"),
-        col("td"), col("n_rows"), col("day"))
+      .agg(aggs.head, aggs.tail: _*)
+      .select((Seq(col("series_id"), col("series"), col("tagval"),
+        col("td"), col("n_rows")) ++ basicCols.map(col) :+ col("day")): _*)
+  }
 
   /** Build (overwrite) the full cell store: one t-digest per
     * (series, day), plus — per `ndvTags` key — a theta sketch of that
@@ -139,9 +159,36 @@ object SketchCells {
     * the emptied day's old cells behind — the same bounded crash window
     * as a crash before any refresh; the next refresh of that day heals it.)
     */
+  /** Loud legacy guard: an incremental refresh writes recomputed day
+    * partitions with [[cellsOf]]'s CURRENT schema while untouched days
+    * keep theirs — on a store whose schema predates it (r12 `hll_*` NDV
+    * cells, or pre-r14 cells without the basic-aggregate columns) that
+    * would leave the table with inconsistent per-partition schemas, and
+    * which columns a later read sees would depend on which footer Spark
+    * samples. Mixed schemas are a silent-corruption mode; demand the
+    * rebuild instead.
+    */
+  private def requireCurrentSchema(spark: SparkSession, path: String,
+      cols: Seq[String]): Unit = {
+    if (cols.exists(_.startsWith("hll_")))
+      throw new IllegalStateException(
+        s"cell store at $path carries pre-r13 hll_* NDV cells; an incremental " +
+          "refresh would mix schemas across day partitions — rebuild via " +
+          "SketchCells.build (NDV cells are theta sketches since r13)")
+    if (!basicCols.forall(cols.contains))
+      throw new IllegalStateException(
+        s"cell store at $path lacks the basic-aggregate columns " +
+          s"(${basicCols.mkString(", ")}); an incremental refresh would mix " +
+          "schemas across day partitions — rebuild via SketchCells.build")
+  }
+
   def refresh(store: SeriesStore, dir: String, days: Seq[Long]): Unit = {
     if (days.isEmpty) return
     val spark = store.spark
+    requireCurrentSchema(spark, s"$dir/td", read(spark, dir).columns.toSeq)
+    groupTagsOf(spark, dir).foreach(k =>
+      requireCurrentSchema(spark, tagDir(dir, k),
+        readTag(spark, dir, k).columns.toSeq))
     val dayCol = (col("time") - pmod(col("time"), lit(86400L)))
     val touched = store.scan().filter(dayCol.isin(days: _*))
     val remaining = touched.select(dayCol.as("day")).distinct()

@@ -1607,14 +1607,44 @@ object StreamOps {
         withReplayGuard(path, batchId, batch) { b =>
           val spark = b.sparkSession
           val cellDir = s"$path/td"
+          // EVERYTHING that can fail — input validation, legacy-schema
+          // guards, and the materialization of every merged frame — runs
+          // BEFORE the first publish (r14, ADVICE): the replay guard
+          // marks the batch done only after the whole body succeeds, so
+          // a failure AFTER the td overwrite (a tag-less stream against
+          // a tag-tiered store, a bad tag-tier schema) would replay the
+          // batch into already-merged, non-idempotent digests —
+          // deterministic double-counting. Validate-then-stage-then-
+          // publish shrinks that to the transient-write-failure window
+          // the scaladoc's rebuild contract already covers.
+          val groupKs = graft.storage.SketchCells.groupTagsOf(spark, path)
+          if (groupKs.nonEmpty)
+            require(b.columns.contains("tags"),
+              "this cell store carries tag-keyed tiers (" +
+                groupKs.mkString(", ") + ") but the stream batch has no " +
+                "tags column — feed (series, series_id, tags, time, value)")
+          // the basic-aggregate partials every r14 cell carries beside
+          // n_rows (sum/min/max merge losslessly; counts add) — the
+          // engine's exact avg/sum/count/min/max serving stays fresh
+          // under continuous ingest like the digests
+          def freshAggs = Seq(first(col("series")).as("series"),
+            graft.functions.TDigest.agg(col("value")).as("td"),
+            count(lit(1)).as("n_rows"),
+            sum(col("value")).as("sum_v"),
+            min(col("value")).as("min_v"), max(col("value")).as("max_v"),
+            count(col("value")).as("n_vals"))
+          def mergeAggs = Seq(first(col("series")).as("series"),
+            graft.functions.TDigest.mergeAgg(col("td")).as("td"),
+            sum(col("n_rows")).as("n_rows"),
+            sum(col("sum_v")).as("sum_v"),
+            min(col("min_v")).as("min_v"), max(col("max_v")).as("max_v"),
+            sum(col("n_vals")).as("n_vals"))
           val fresh = b
             .groupBy(col("series_id"),
               (col("time") - pmod(col("time"), lit(86400L))).as("day"))
-            .agg(first(col("series")).as("series"),
-              graft.functions.TDigest.agg(col("value")).as("td"),
-              count(lit(1)).as("n_rows"))
-            .select(col("series_id"), col("series"), col("td"),
-              col("n_rows"), col("day"))
+            .agg(freshAggs.head, freshAggs.tail: _*)
+            .select(col("series_id"), col("series"), col("td"), col("n_rows"),
+              col("sum_v"), col("min_v"), col("max_v"), col("n_vals"), col("day"))
           // touched days: metadata-sized (bounded by the batch's day span)
           val days = fresh.select("day").distinct()
             .collect().map(_.getLong(0))
@@ -1633,60 +1663,61 @@ object StreamOps {
                 "tdigestCellMaintenance maintains td-only cell stores; " +
                   "this store carries NDV cells — rebuild via " +
                   "SketchCells.refresh/build instead")
+              // a pre-r14 store lacks the basic-aggregate partials;
+              // merging would mix schemas across day partitions
+              require(Seq("sum_v", "min_v", "max_v", "n_vals")
+                  .forall(cur.columns.contains),
+                "cell store lacks the basic-aggregate columns " +
+                  "(sum_v/min_v/max_v/n_vals) — rebuild via SketchCells.build")
               cur.filter(col("day").isin(days.toSeq: _*)) // partition-pruned
                 .select(fresh.columns.map(col).toSeq: _*)
             }
           val merged = existing.unionByName(fresh)
             .groupBy(col("series_id"), col("day"))
-            .agg(first(col("series")).as("series"),
-              graft.functions.TDigest.mergeAgg(col("td")).as("td"),
-              sum(col("n_rows")).as("n_rows"))
-            .select(col("series_id"), col("series"), col("td"),
-              col("n_rows"), col("day"))
-            // materialize BEFORE the overwrite — the plan reads the same
-            // path it is about to replace
+            .agg(mergeAggs.head, mergeAggs.tail: _*)
+            .select(col("series_id"), col("series"), col("td"), col("n_rows"),
+              col("sum_v"), col("min_v"), col("max_v"), col("n_vals"), col("day"))
+            // materialize BEFORE any overwrite — the plan reads the same
+            // path it is about to replace, and staging must complete
+            // before the first publish
             .localCheckpoint(true)
+          // tag-keyed tiers (SketchCells groupTags, r13): build + STAGE
+          // each tier's merged frame before anything is written
+          val tagMerged: Seq[(String, DataFrame)] = groupKs.map { k =>
+            val tDir = graft.storage.SketchCells.tagDir(path, k)
+            val freshT = b
+              .groupBy(col("series_id"),
+                try_element_at(col("tags"), lit(k)).as("tagval"),
+                (col("time") - pmod(col("time"), lit(86400L))).as("day"))
+              .agg(freshAggs.head, freshAggs.tail: _*)
+              .select(col("series_id"), col("series"), col("tagval"),
+                col("td"), col("n_rows"),
+                col("sum_v"), col("min_v"), col("max_v"), col("n_vals"), col("day"))
+            val curCols = spark.read.parquet(tDir).columns
+            require(Seq("sum_v", "min_v", "max_v", "n_vals").forall(curCols.contains),
+              s"tag cell tier $tDir lacks the basic-aggregate columns — " +
+                "rebuild via SketchCells.build")
+            val curT = spark.read.parquet(tDir)
+              .filter(col("day").isin(days.toSeq: _*)) // partition-pruned
+              .select(freshT.columns.map(col).toSeq: _*)
+            val mergedT = curT.unionByName(freshT)
+              .groupBy(col("series_id"), col("tagval"), col("day"))
+              .agg(mergeAggs.head, mergeAggs.tail: _*)
+              .select(col("series_id"), col("series"), col("tagval"),
+                col("td"), col("n_rows"),
+                col("sum_v"), col("min_v"), col("max_v"), col("n_vals"), col("day"))
+              .localCheckpoint(true)
+            (tDir, mergedT)
+          }
+          // PUBLISH: every input validated, every merged frame already
+          // materialized — nothing after this point recomputes
           merged.write.mode("overwrite")
             .option("partitionOverwriteMode", "dynamic")
             .partitionBy("day").parquet(cellDir)
-          // tag-keyed tiers (SketchCells groupTags, r13): maintain each
-          // one the store carries with the same merge-into-touched-days
-          // shape, so `GROUP BY tag.k` serving stays fresh under
-          // continuous ingest. Needs the batch to CARRY tags — refuse
-          // loudly otherwise (a td-only stream against a tag-tiered
-          // store would silently leave the tag tier stale).
-          val groupKs = graft.storage.SketchCells.groupTagsOf(spark, path)
-          if (groupKs.nonEmpty) {
-            require(b.columns.contains("tags"),
-              "this cell store carries tag-keyed tiers (" +
-                groupKs.mkString(", ") + ") but the stream batch has no " +
-                "tags column — feed (series, series_id, tags, time, value)")
-            groupKs.foreach { k =>
-              val tDir = graft.storage.SketchCells.tagDir(path, k)
-              val freshT = b
-                .groupBy(col("series_id"),
-                  try_element_at(col("tags"), lit(k)).as("tagval"),
-                  (col("time") - pmod(col("time"), lit(86400L))).as("day"))
-                .agg(first(col("series")).as("series"),
-                  graft.functions.TDigest.agg(col("value")).as("td"),
-                  count(lit(1)).as("n_rows"))
-                .select(col("series_id"), col("series"), col("tagval"),
-                  col("td"), col("n_rows"), col("day"))
-              val curT = spark.read.parquet(tDir)
-                .filter(col("day").isin(days.toSeq: _*)) // partition-pruned
-                .select(freshT.columns.map(col).toSeq: _*)
-              val mergedT = curT.unionByName(freshT)
-                .groupBy(col("series_id"), col("tagval"), col("day"))
-                .agg(first(col("series")).as("series"),
-                  graft.functions.TDigest.mergeAgg(col("td")).as("td"),
-                  sum(col("n_rows")).as("n_rows"))
-                .select(col("series_id"), col("series"), col("tagval"),
-                  col("td"), col("n_rows"), col("day"))
-                .localCheckpoint(true)
-              mergedT.write.mode("overwrite")
-                .option("partitionOverwriteMode", "dynamic")
-                .partitionBy("day").parquet(tDir)
-            }
+          tagMerged.foreach { case (tDir, m) =>
+            m.write.mode("overwrite")
+              .option("partitionOverwriteMode", "dynamic")
+              .partitionBy("day").parquet(tDir)
           }
         }
       }

@@ -177,15 +177,18 @@ object Engine {
     * store's at-rest t-digest cell store ([[graft.storage.SketchCells]])
     * instead of the raw scan, when the query's shape provably coarsens
     * the (series, day) cell keys:
-    *  - every projection is `percentile_approx(value, <lit>) as <alias>`
-    *    or `ndv(tag.<k>) as <alias>` for a tag key whose theta NDV cells
-    *    the store carries (SketchCells `ndvTags`) — mixed projections
+    *  - every projection is `percentile_approx(value, <lit>) as <alias>`,
+    *    `ndv(tag.<k>) as <alias>` for a tag key whose theta NDV cells
+    *    the store carries (SketchCells `ndvTags`), or — r14 — a basic
+    *    aggregate `avg/sum/min/max/count(value)` / `count()`, served
+    *    EXACTLY from the cells' mergeable partials — mixed projections
     *    share one merge aggregate;
     *  - GROUP BY is any subset of {day-multiple `time_bucket`,
     *    `tag.<k>` with a tag-keyed tier} — at most one of each; they
-    *    COMPOSE ("p95 per host per 2 days", r13). Tag groupings are
-    *    quantiles only — NDV under a tag grouping falls through; ORDER
-    *    BY at most the group keys ascending; no FILL;
+    *    COMPOSE ("p95 per host per 2 days", r13). Tag groupings carry
+    *    quantiles and basics but no per-(value, key) theta cells — NDV
+    *    under a tag grouping falls through; ORDER BY at most the group
+    *    keys, ascending or descending (r14); no FILL;
     *  - WHERE is exactly `time >= LO and time < HI` with DAY-ALIGNED
     *    literal bounds (cells are day-granular — a misaligned window
     *    cannot be assembled from them and falls through to raw);
@@ -244,12 +247,19 @@ object Engine {
     }
     if (bounds.isEmpty) return None
     // every projection is either THE bucket key (aliased), an aliased
-    // percentile_approx(value, <literal>), or an aliased ndv(tag.<k>)
-    // whose theta cells the store carries — anything else → raw route
+    // percentile_approx(value, <literal>), an aliased ndv(tag.<k>) whose
+    // theta cells the store carries, or — since r14 — an aliased basic
+    // aggregate over value (`avg sum min max count(value) count()`),
+    // served EXACTLY from the cells' mergeable partials (sum_v/min_v/
+    // max_v/n_vals beside n_rows: min of day-mins IS the window min,
+    // counts add, avg = merged sum / merged non-null count — the
+    // reference's own RollupHint shape, plan.zig:19-21, finally serving
+    // the aggregates dashboards ask most). Anything else → raw route.
     sealed trait P
     case class Grp(alias: String, k: GK) extends P
     case class Quant(alias: String, p: Double) extends P
     case class Ndv(alias: String, key: String) extends P
+    case class Bas(alias: String, kind: String) extends P
     val projs: Seq[Option[P]] = s.projections.map {
       case Ast.Projection(c, Some(alias)) if groupKeys.exists(_.e == c) =>
         Some(Grp(alias, groupKeys.find(_.e == c).get))
@@ -264,12 +274,27 @@ object Engine {
       case Ast.Projection(Ast.Call("ndv", Seq(id: Ast.Ident)), Some(alias))
         if id.parts.length == 2 && id.parts.head.equalsIgnoreCase("tag") =>
         Some(Ndv(alias, id.parts(1)))
+      case Ast.Projection(Ast.Call(fn, Seq(v: Ast.Ident)), Some(alias))
+        if Seq("avg", "sum", "min", "max").contains(fn) &&
+          v.full.equalsIgnoreCase("value") =>
+        Some(Bas(alias, fn))
+      case Ast.Projection(Ast.Call("count", Seq()), Some(alias)) =>
+        Some(Bas(alias, "count_rows"))
+      case Ast.Projection(Ast.Call("count", Seq(v: Ast.Ident)), Some(alias))
+        if v.full.equalsIgnoreCase("value") =>
+        Some(Bas(alias, "count_vals"))
       case _ => None
     }
     if (projs.exists(_.isEmpty) ||
-      !projs.flatten.exists(p => p.isInstanceOf[Quant] || p.isInstanceOf[Ndv]))
+      !projs.flatten.exists(p => !p.isInstanceOf[Grp]))
       return None
     val ps = projs.flatten
+    // a valid query may project the SAME group key under two aliases
+    // ("tag.host as h1, tag.host as h2"); grpAliases keeps one per key,
+    // so serving would throw on the other — fall through to the raw
+    // route, which handles it fine
+    val grpProjKeys = ps.collect { case Grp(_, k) => k }
+    if (grpProjKeys.distinct.length != grpProjKeys.length) return None
     // every requested NDV key must have its theta cells in the store;
     // the tag-grouped tier carries only t-digests (no per-(value, key)
     // theta cells) — NDV under a tag grouping falls through to raw
@@ -286,21 +311,22 @@ object Engine {
     val tagKeyOpt = groupKeys.collectFirst { case TagG(k, _) => k }
     if (tagKeyOpt.exists(k => !SketchCells.groupTagsOf(spark, dir).contains(k)))
       return None
-    // ORDER BY: none, or ascending keys each naming a DISTINCT group key
-    // (by expression or alias) — anything else → raw route
-    val orderCols: Option[Seq[String]] = {
+    // ORDER BY: none, or keys (ascending OR descending — sorting the
+    // SERVED frame either way is trivially the raw route's sort) each
+    // naming a DISTINCT group key by expression or alias — anything
+    // else → raw route
+    val orderCols: Option[Seq[(String, Boolean)]] = {
       val resolved = s.orderBy.map {
-        case Ast.SortKey(e, true) =>
+        case Ast.SortKey(e, asc) =>
           groupKeys.find(_.e == e).map(grpAliases)
             .orElse(e match {
               case id: Ast.Ident =>
                 grpAliases.values.find(a => id.full.equalsIgnoreCase(a))
               case _ => None
-            })
-        case _ => None
+            }).map(a => (a, asc))
       }
       if (resolved.exists(_.isEmpty) ||
-        resolved.flatten.distinct.length != resolved.length) None
+        resolved.flatten.map(_._1).distinct.length != resolved.length) None
       else Some(resolved.flatten)
     }
     if (orderCols.isEmpty) return None
@@ -317,19 +343,36 @@ object Engine {
       case Some(k) => dayPruned(SketchCells.readTag(spark, dir, k))
       case None => dayPruned(SketchCells.read(spark, dir))
     }
-    // one merge aggregate carries every served blob: the t-digest (when
-    // any quantile is projected) and one THETA union per requested tag
-    // key — the raw route's estimator family at the raw route's lgK, so
-    // tier presence changes which blobs merge, never which estimator
-    // answers (cast to double — the raw ndv route's type, so routing
-    // never changes the result schema either)
+    // basic aggregates need the r14 mergeable-partial columns; a pre-r14
+    // cell store lacks them — fall through to the raw route (correct,
+    // just unserved) until it is rebuilt. The schema is already open (the
+    // read above), so this costs no extra metadata round-trip.
+    val basics = ps.collect { case Bas(_, k) => k }.toSet
+    if (basics.nonEmpty &&
+      !Seq("sum_v", "min_v", "max_v", "n_vals").forall(base.columns.contains))
+      return None
+    // one merge aggregate carries every served blob and partial: the
+    // t-digest (when any quantile is projected), one THETA union per
+    // requested tag key — the raw route's estimator family at the raw
+    // route's lgK, so tier presence changes which blobs merge, never
+    // which estimator answers (cast to double — the raw ndv route's
+    // type, so routing never changes the result schema either) — and the
+    // basic partials actually requested (sum of day sums, min of day
+    // mins, max of day maxes, row/non-null counts add)
+    val needSum = basics.contains("avg") || basics.contains("sum")
+    val needNv = basics.contains("avg") || basics.contains("count_vals")
     val aggs =
       (if (ps.exists(_.isInstanceOf[Quant]))
         Seq(graft.functions.TDigest.mergeAgg(col("td")).as("__td"))
       else Seq.empty) ++
         ndvKeys.map(k => graft.functions.ThetaSketch.estimate(
           graft.functions.ThetaSketch.unionAgg(col(s"theta_$k")))
-          .cast("double").as(s"__ndv_$k"))
+          .cast("double").as(s"__ndv_$k")) ++
+        (if (needSum) Seq(org.apache.spark.sql.functions.sum(col("sum_v")).as("__sum")) else Seq.empty) ++
+        (if (basics.contains("min")) Seq(org.apache.spark.sql.functions.min(col("min_v")).as("__min")) else Seq.empty) ++
+        (if (basics.contains("max")) Seq(org.apache.spark.sql.functions.max(col("max_v")).as("__max")) else Seq.empty) ++
+        (if (basics.contains("count_rows")) Seq(org.apache.spark.sql.functions.sum(col("n_rows")).as("__nr")) else Seq.empty) ++
+        (if (needNv) Seq(org.apache.spark.sql.functions.sum(col("n_vals")).as("__nv")) else Seq.empty)
     // group columns in declaration order: the bucket key is the same
     // floor expression the compiler emits for time_bucket, over the
     // cell's day — exact because step is a day multiple; the tag key is
@@ -348,8 +391,20 @@ object Engine {
       case Grp(a, _) => col(a)
       case Quant(a, p) => graft.functions.TDigest.quantileOf(col("__td"), p).as(a)
       case Ndv(a, k) => col(s"__ndv_$k").as(a)
+      // avg = merged sum / merged non-null count — the raw route's exact
+      // value up to double fold order (the gates' rounding discipline);
+      // the others merge losslessly
+      case Bas(a, "avg") => (col("__sum") / col("__nv")).as(a)
+      case Bas(a, "sum") => col("__sum").as(a)
+      case Bas(a, "min") => col("__min").as(a)
+      case Bas(a, "max") => col("__max").as(a)
+      case Bas(a, "count_rows") => col("__nr").as(a)
+      case Bas(a, _) => col("__nv").as(a) // count_vals
     }: _*)
-    Some(if (s.orderBy.nonEmpty) out.orderBy(orderCols.get.map(col): _*) else out)
+    Some(if (s.orderBy.nonEmpty)
+      out.orderBy(orderCols.get.map { case (a, asc) =>
+        if (asc) col(a).asc else col(a).desc }: _*)
+    else out)
   }
 
   /** Execute against a [[graft.storage.SeriesStore]]: SELECT/EXPLAIN read

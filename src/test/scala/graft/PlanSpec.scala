@@ -394,6 +394,44 @@ class PlanSpec extends AnyFunSuite {
       graft.sydraql.CompileOptions(now = 0L)).df.head().getString(0)
     assert(ex.contains("sketchcells") && !ex.contains("segments"),
       "EXPLAIN must describe the served plan:\n" + ex.take(600))
+    // r14: basic aggregates serve EXACTLY from the cells' mergeable
+    // partials — same day pruning, raw segments path absent. Days 1-2
+    // hold values 4..11: avg 7.5, sum 60, n 8, min 4, max 11.
+    val (adf, ap) = planOf(
+      "select avg(value) as av, sum(value) as sv, count() as n, " +
+        "count(value) as nv, min(value) as mn, max(value) as mx " +
+        s"from cpu where time >= 86400 and time < ${3 * 86400}")
+    assert(ap.contains("sketchcells") && !ap.contains("segments"),
+      "basic aggregates must serve from cells:\n" + ap.take(800))
+    val ar = adf.head()
+    assert(ar.getDouble(0) === 7.5 && ar.getDouble(1) === 60.0 &&
+      ar.getLong(2) === 8L && ar.getLong(3) === 8L &&
+      ar.getDouble(4) === 4.0 && ar.getDouble(5) === 11.0)
+    // mixed basic + quantile projections share ONE merge aggregate
+    val (mdf, mp) = planOf(
+      "select percentile_approx(value, 0.5) as p, avg(value) as av " +
+        s"from cpu where time >= 86400 and time < ${3 * 86400}")
+    assert(mp.contains("sketchcells") && !mp.contains("segments"),
+      "mixed projections must serve from cells:\n" + mp.take(800))
+    assert(mdf.head().getDouble(1) === 7.5)
+    // a PRE-r14 cell store (no basic-partial columns) falls through to
+    // raw for basic aggregates — correct, just unserved — while
+    // quantiles keep serving from the remaining td blobs
+    val cellDir = graft.storage.SketchCells.dirFor(store)
+    val legacy = spark.read.parquet(s"$cellDir/td")
+      .drop("sum_v", "min_v", "max_v", "n_vals").cache()
+    legacy.count()
+    legacy.write.mode("overwrite").partitionBy("day").parquet(s"$cellDir/td")
+    legacy.unpersist()
+    val (ldf, lp) = planOf(
+      s"select avg(value) as av from cpu where time >= 86400 and time < ${3 * 86400}")
+    assert(lp.contains("segments"),
+      "basic agg on a pre-r14 cell store must fall through to raw:\n" + lp.take(800))
+    assert(ldf.head().getDouble(0) === 7.5)
+    val (_, lq) = planOf(
+      s"select percentile_approx(value, 0.5) as p from cpu where time >= 86400 and time < ${3 * 86400}")
+    assert(lq.contains("sketchcells") && !lq.contains("segments"),
+      "quantiles must still serve from a pre-r14 store:\n" + lq.take(800))
   }
 
   test("tag-grouped quantile and bucketed ndv serve from cell tiers, day-pruned; ndv-under-tag falls through") {
@@ -461,6 +499,37 @@ class PlanSpec extends AnyFunSuite {
     // bucket1 a={8,...,14}→11, b={9,...,15}→12
     assert(cdf.collect().map(r => (r.getLong(0), r.getString(1), r.getDouble(2))).toSeq
       === Seq((0L, "a", 3.0), (0L, "b", 4.0), (172800L, "a", 11.0), (172800L, "b", 12.0)))
+    // r14: DESCENDING order on a served shape sorts the SERVED frame —
+    // still tdtag-only, no raw rescan
+    val (ddf, dp) = planOf(
+      "select tag.host as h, percentile_approx(value, 0.5) as p50a " +
+        s"from cpu where time >= 0 and time < ${2 * 86400} " +
+        "group by tag.host order by h desc")
+    assert(dp.contains("tdtag") && !dp.contains("segments"),
+      "desc order on a served shape must stay served:\n" + dp.take(800))
+    assert(ddf.collect().map(r => (r.getString(0), r.getDouble(1))).toSeq
+      === Seq(("b", 4.0), ("a", 3.0)))
+    // r14 (ADVICE): the SAME group key projected under two aliases is a
+    // valid query the serving path can't express (one alias per key) —
+    // it must fall through to raw, not throw from inside the attempt
+    val (dupDf, dupP) = planOf(
+      "select tag.host as h1, tag.host as h2, percentile_approx(value, 0.5) as p " +
+        s"from cpu where time >= 0 and time < ${2 * 86400} " +
+        "group by tag.host order by h1")
+    assert(dupP.contains("segments"),
+      "duplicate group-key aliases must fall through to raw:\n" + dupP.take(800))
+    assert(dupDf.collect().map(r => (r.getString(0), r.getString(1))).toSeq
+      === Seq(("a", "a"), ("b", "b")))
+    // r14: basic aggregates under a tag grouping serve from the tag
+    // tier's partials (host a days 0-1 = {0,2,4,6}: avg 3, n 4)
+    val (tbdf, tbp) = planOf(
+      "select tag.host as h, avg(value) as av, count() as n " +
+        s"from cpu where time >= 0 and time < ${2 * 86400} " +
+        "group by tag.host order by h")
+    assert(tbp.contains("tdtag") && !tbp.contains("segments"),
+      "tag-grouped basic aggs must serve from the tag tier:\n" + tbp.take(800))
+    assert(tbdf.collect().map(r => (r.getString(0), r.getDouble(1), r.getLong(2))).toSeq
+      === Seq(("a", 3.0, 4L), ("b", 4.0, 4L)))
   }
 
   test("at-rest IVF probe scan prunes index partitions; result matches the in-memory path") {

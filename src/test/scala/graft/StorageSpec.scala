@@ -881,6 +881,45 @@ class StorageSpec extends AnyFunSuite {
       "refresh must not mutate session-wide overwrite mode")
   }
 
+  test("SketchCells.refresh fails loudly on a legacy-schema store instead of mixing per-partition schemas") {
+    import graft.storage.SketchCells
+    import org.apache.spark.sql.functions.{col, lit, xxhash64}
+    import spark.implicits._
+    val store = new SeriesStore(spark, tmp())
+    store.append(Seq(("m", 100L, 1.0), ("m", 86500L, 2.0))
+      .toDF("series", "time", "value")
+      .withColumn("tags", map(lit("host"), lit("a")))
+      .select("series", "tags", "time", "value"))
+    val dir = SketchCells.dirFor(store)
+    SketchCells.build(store, dir, groupTags = Seq("host"))
+    // simulate a pre-r14 store: strip the basic-partial columns from td
+    val legacy = spark.read.parquet(s"$dir/td")
+      .drop("sum_v", "min_v", "max_v", "n_vals").cache()
+    legacy.count()
+    legacy.write.mode("overwrite").partitionBy("day").parquet(s"$dir/td")
+    legacy.unpersist()
+    val e1 = intercept[IllegalStateException] {
+      SketchCells.refresh(store, dir, Seq(0L))
+    }
+    assert(e1.getMessage.contains("rebuild"),
+      s"missing basic columns must demand a rebuild: ${e1.getMessage}")
+    // simulate an r12 store: an hll_* NDV column in the cell schema
+    val hll = spark.read.parquet(s"$dir/td")
+      .withColumn("hll_host", xxhash64(col("series_id")).cast("string").cast("binary")).cache()
+    hll.count()
+    hll.write.mode("overwrite").partitionBy("day").parquet(s"$dir/td")
+    hll.unpersist()
+    val e2 = intercept[IllegalStateException] {
+      SketchCells.refresh(store, dir, Seq(0L))
+    }
+    assert(e2.getMessage.contains("hll"),
+      s"hll_* cells must demand a rebuild: ${e2.getMessage}")
+    // a rebuild heals: refresh works again afterwards
+    SketchCells.build(store, dir, groupTags = Seq("host"))
+    SketchCells.refresh(store, dir, Seq(0L))
+    assert(SketchCells.read(spark, dir).columns.contains("sum_v"))
+  }
+
   test("retention refreshes derived tiers for the dropped hours") {
     import graft.storage.{SkipIndex, SketchCells}
     import spark.implicits._

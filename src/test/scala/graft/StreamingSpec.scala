@@ -1665,6 +1665,9 @@ class StreamingSpec extends AnyFunSuite {
     val schemaPlain = StructType(Seq(StructField("series", StringType),
       StructField("series_id", LongType),
       StructField("time", LongType), StructField("value", DoubleType)))
+    val tdBefore = spark.read.parquet(s"$cells2/td")
+      .select(col("day"), col("n_rows"))
+      .as[(Long, Long)].collect().toSet
     val ex = intercept[org.apache.spark.sql.streaming.StreamingQueryException] {
       val q2 = StreamOps.tdigestCellMaintenance(
         spark.readStream.schema(schemaPlain).json(plainDir), cells2,
@@ -1675,6 +1678,14 @@ class StreamingSpec extends AnyFunSuite {
     assert(ex.getMessage.contains("tags column") ||
       Option(ex.getCause).exists(_.getMessage.contains("tags column")),
       s"refusal must name the missing tags column: ${ex.getMessage}")
+    // r14 (ADVICE): the refusal fires BEFORE any publish — the td tier
+    // must be byte-identical, or every restart would replay the batch
+    // into already-merged digests and double-count
+    val tdAfter = spark.read.parquet(s"$cells2/td")
+      .select(col("day"), col("n_rows"))
+      .as[(Long, Long)].collect().toSet
+    assert(tdAfter === tdBefore,
+      "a refused batch must leave the td tier untouched (no pre-validation publish)")
   }
 
   test("streaming skip-index maintenance: maintained manifest equals full rebuild; replays skipped") {
