@@ -57,9 +57,22 @@ object AdaptiveJoin {
     *               so full-row duplicate hot keys still scatter across
     *               salts (any per-row salt is output-safe — `right` is
     *               replicated to every salt, so each left row joins the
-    *               same rows whatever its salt). Pass an explicit column
-    *               when the salt layout itself must be deterministic
-    *               across runs.
+    *               same rows whatever its salt).
+    *
+    *               RETRY COST of the default: monotonically_increasing_id
+    *               makes the salted-left map stage INDETERMINATE, so under
+    *               shuffle-fetch-failure recovery Spark cannot retry single
+    *               tasks — it rolls back and reruns the whole stage, and
+    *               aborts the job when downstream consumers already
+    *               materialized partial output. Logically safe (output
+    *               invariant per the replication argument above), but on a
+    *               long 100 TB stage one flaky fetch becomes a stage rerun.
+    *               When the caller HAS a stable per-row identity, pass a
+    *               deterministic discriminator instead — e.g.
+    *               `spread = xxhash64(col("row_id"))`, or a hash of the
+    *               non-map columns alone when clone rows of one hot key
+    *               are known not to dominate — and task-level retries come
+    *               back.
     */
   def join(left: DataFrame, right: DataFrame, keys: Seq[String],
       spread: Column = null,

@@ -205,7 +205,10 @@ object Maintenance {
     if (fs.exists(live)) renameOrThrow(fs, live, bak)
     renameOrThrow(fs, next, live)
     if (fs.exists(bak)) fs.delete(bak, true)
-    spark.catalog.clearCache()
+    // scoped release (r14): clearCache() here evicted EVERY cached frame
+    // in the session — a concurrent serving session's persisted index
+    // frames were nuked by an unrelated compaction
+    deduped.unpersist()
     // every file path changed and last-wins dedup changed row contents —
     // both derived tiers must follow
     refreshTiers(store, store.partitions())
@@ -232,7 +235,8 @@ object Maintenance {
         swapRewrite(store.spark, segRoot, name) { tmp =>
           deduped.write.mode(SaveMode.Overwrite).parquet(tmp)
         }
-        store.spark.catalog.clearCache()
+        deduped.unpersist() // scoped — never the session-wide clearCache
+        ()
       }
     }
     refreshTiers(store, hours.filter(h =>
@@ -281,7 +285,7 @@ object Maintenance {
         swapRewrite(store.spark, segRoot, hd.getPath.getName) { tmp =>
           packed.write.mode(SaveMode.Overwrite).parquet(tmp)
         }
-        store.spark.catalog.clearCache()
+        packed.unpersist() // scoped — never the session-wide clearCache
         Some((hour, n, want, total))
       } else None
     }
@@ -370,8 +374,9 @@ object Maintenance {
       scannedFiles: Int, totalFiles: Int, deletedRows: Long = 0L)
 
   /** Row-level delete for `DELETE FROM <sel> WHERE <pred>`: rewrite only
-    * the hour partitions that may contain matches, each through the
-    * crash-safe [[swapRewrite]]; derived tiers refreshed after.
+    * the hour partitions that may contain matches — survivors for ALL of
+    * them written in ONE job (r14), then swapped in per-partition with
+    * the crash-safe rename discipline; derived tiers refreshed after.
     */
   def deleteRows(store: SeriesStore, predicate: org.apache.spark.sql.Column): Unit = {
     deleteRowsBounded(store, predicate, None, None); ()
@@ -424,25 +429,50 @@ object Maintenance {
     if (affected.isEmpty) return DeleteReport(Nil, scanned, totalF)
     val segRoot = s"${store.root}/segments"
     recoverSwaps(spark, segRoot)
-    var deleted = 0L
+    val (fs, root) = fsFor(spark, segRoot)
+    // BATCHED rewrite (r14): however many hour partitions a delete
+    // touches, the job count is constant — a month-wide DELETE was
+    // previously ~2 serialized Spark jobs per affected hour, and at that
+    // point job-scheduling overhead dominated the rewrite. One scan of
+    // exactly the affected partitions tallies per-hour before/after
+    // counts, one job writes every survivor to a scratch dir under
+    // `_repack_tmp` partitioned by hour (re-sorted (series_id, time),
+    // the store's file order), and the only per-hour work left is the
+    // crash-safe pair of renames through `_repack_old` — driver
+    // metadata ops, no jobs. Nothing reads the live partitions after
+    // the first rename, and a crash anywhere mid-swap is healed by
+    // [[recoverSwaps]] (a restored hour simply re-runs the delete).
+    val base = fs.makeQualified(root).toString
+    val keep = !predicate || predicate.isNull
+    val live = spark.read.option("basePath", base)
+      .parquet(affected.map(h => s"$segRoot/hour_bucket=$h"): _*)
+      .withColumn("hour_bucket", col("hour_bucket").cast("long"))
+    val counts = live.groupBy(col("hour_bucket"))
+      .agg(count(lit(1)).as("before"), count(when(keep, 1)).as("after"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    val deleted = counts.map { case (_, b, a) => b - a }.sum
+    val scratch = new HPath(root, "_repack_tmp/delete")
+    if (fs.exists(scratch)) fs.delete(scratch, true)
+    live.filter(keep)
+      .repartition(col("hour_bucket"))
+      .sortWithinPartitions(col("series_id"), col("time"))
+      .write.mode(SaveMode.Overwrite).partitionBy("hour_bucket")
+      .parquet(scratch.toString)
+    fs.mkdirs(new HPath(root, "_repack_old"))
     affected.foreach { h =>
       val name = s"hour_bucket=$h"
-      // metadata-only parquet row count (no data read) — the "before"
-      // side of the per-partition deleted-row tally
-      val before = spark.read.schema(store.schema)
-        .parquet(s"$segRoot/$name").count()
-      val remaining = spark.read.schema(store.schema)
-        .parquet(s"$segRoot/$name")
-        .withColumn("hour_bucket", lit(h))
-        .filter(!predicate || predicate.isNull)
-        .drop("hour_bucket")
-        .cache()
-      deleted += before - remaining.count()
-      swapRewrite(spark, segRoot, name) { tmp =>
-        remaining.write.mode(SaveMode.Overwrite).parquet(tmp)
-      }
-      spark.catalog.clearCache()
+      val liveDir = new HPath(root, name)
+      val old = new HPath(root, s"_repack_old/$name")
+      if (fs.exists(old)) fs.delete(old, true)
+      renameOrThrow(fs, liveDir, old)
+      val fresh = new HPath(scratch, name)
+      // an hour whose every row matched the predicate has no survivors
+      // dir — the swap-out IS the delete (recoverSwaps would restore it
+      // if we crashed before the old-side cleanup: unapplied, consistent)
+      if (fs.exists(fresh)) renameOrThrow(fs, fresh, liveDir)
+      fs.delete(old, true)
     }
+    fs.delete(scratch, true)
     refreshTiers(store, affected)
     DeleteReport(affected, scanned, totalF, deleted)
   }

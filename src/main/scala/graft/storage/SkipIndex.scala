@@ -176,11 +176,20 @@ object SkipIndex {
   /** Rows of `series_id = seriesId` with `startTs <= time <= endTs`
     * (inclusive, the [[SeriesStore.scanRange]] convention), reading only
     * files whose manifest entry overlaps the range AND whose bloom may
-    * contain the series. Identical rows to the full-scan filter — the
-    * manifest changes what is READ, never what is true.
+    * contain the series — AND (r14, when finite `minValue`/`maxValue`
+    * bounds are passed) whose min/max_value stats can match, so
+    * `by_id(N) … and value >= X` prunes on time ∧ bloom ∧ value stats
+    * instead of losing the value dimension to the selector match.
+    * Identical rows to the full-scan filter — the manifest changes what
+    * is READ, never what is true. The value-stat filter and residual are
+    * only applied for FINITE bounds: an infinite default must not touch
+    * the value column at all (a `value >= -∞` residual would drop
+    * null-valued rows a plain probe serves).
     */
   def probeScan(store: SeriesStore, manifestDir: String,
-      startTs: Long, endTs: Long, seriesId: Long): SkipScan = {
+      startTs: Long, endTs: Long, seriesId: Long,
+      minValue: Double = Double.NegativeInfinity,
+      maxValue: Double = Double.PositiveInfinity): SkipScan = {
     val spark = store.spark
     // probe-side bit positions via the SAME Spark expressions that built
     // the filter (one metadata-sized local projection — no reimplemented
@@ -191,13 +200,20 @@ object SkipIndex {
     val bloomHit = pos.map { p =>
       (element_at(col("bloom"), lit(p / 64 + 1)).bitwiseAND(lit(1L << (p % 64)))) =!= 0L
     }.reduce(_ && _)
+    val hasV = !minValue.isNegInfinity || !maxValue.isPosInfinity
+    val vStat =
+      if (hasV) col("max_value") >= minValue && col("min_value") <= maxValue
+      else lit(true)
     val survivors = m
-      .filter(col("min_time") <= endTs && col("max_time") >= startTs && bloomHit)
+      .filter(col("min_time") <= endTs && col("max_time") >= startTs &&
+        bloomHit && vStat)
       .select("file").collect().map(_.getString(0))
     val total = m.count().toInt
-    SkipScan(
-      readFiles(store, survivors).filter(col("series_id") === seriesId &&
-        col("time") >= startTs && col("time") <= endTs),
+    val residual = col("series_id") === seriesId &&
+      col("time") >= startTs && col("time") <= endTs &&
+      (if (hasV) col("value") >= minValue && col("value") <= maxValue
+      else lit(true))
+    SkipScan(readFiles(store, survivors).filter(residual),
       survivors.length, total)
   }
 

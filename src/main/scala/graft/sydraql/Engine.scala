@@ -152,8 +152,13 @@ object Engine {
     val (vlo, vhi) = valueBounds(s.where)
     s.from match {
       case Some(Ast.ById(id)) =>
+        // r14: value-threshold conjuncts COMPOSE with the by_id probe —
+        // the most selective shape ("this series above X last month")
+        // prunes on time ∧ bloom ∧ min/max_value stats at once
         SkipIndex.probeScan(store, dir,
-            lo.getOrElse(Long.MinValue), hi.getOrElse(Long.MaxValue), id)
+            lo.getOrElse(Long.MinValue), hi.getOrElse(Long.MaxValue), id,
+            vlo.getOrElse(Double.NegativeInfinity),
+            vhi.getOrElse(Double.PositiveInfinity))
           .df.select(srcCols.map(org.apache.spark.sql.functions.col): _*)
       case _ if vlo.nonEmpty || vhi.nonEmpty =>
         // value-stat pruning (r13): `where value >= X` sweeps skip every

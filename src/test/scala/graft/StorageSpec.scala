@@ -659,6 +659,52 @@ class StorageSpec extends AnyFunSuite {
     assert(sweep.df.select("value").as[Double].collect().toSeq === Seq(3.0, 3.0))
   }
 
+  test("by_id probe composes value bounds: time + bloom + value-stat pruning, rows equal full scan") {
+    import graft.storage.SkipIndex
+    import graft.sydraql.{Engine, CompileOptions}
+    import spark.implicits._
+    val store = new SeriesStore(spark, tmp())
+    def sidOf(name: String) = spark.range(1).select(graft.core.Functions.seriesId(
+      lit(name), map(lit("host"), lit(name))).as("s")).head().getLong(0)
+    val probeName = Seq("cpu", "mem", "disk", "net", "io0", "gpu")
+      .find(sidOf(_) >= 0).get
+    // values = hour index, so per-file max_value DISCRIMINATES by hour:
+    // a threshold of 2.5 can only match hour 3's file of the probe series
+    def pts(series: String, off: Long) =
+      (0 until 4).map(h => (series, h * 3600L + off, h.toDouble)).toDF("series", "time", "value")
+        .withColumn("tags", map(lit("host"), lit(series)))
+        .select("series", "tags", "time", "value")
+    store.append(pts(probeName, 10))
+    store.append(pts("other", 20))
+    val sid = sidOf(probeName)
+    SkipIndex.build(store, SkipIndex.dirFor(store))
+    // time+bloom-only probe over the full span: the probe series' 4 files
+    val plain = SkipIndex.probeScan(store, SkipIndex.dirFor(store),
+      0L, 100 * 3600L, sid)
+    assert(plain.filesRead === 4 && plain.filesTotal === 8)
+    // value bounds compose: STRICTLY fewer files than time+bloom alone
+    val bounded = SkipIndex.probeScan(store, SkipIndex.dirFor(store),
+      0L, 100 * 3600L, sid, minValue = 2.5)
+    assert(bounded.filesRead === 1,
+      s"value stats must prune below the ${plain.filesRead}-file time+bloom probe, " +
+        s"got ${bounded.filesRead}")
+    val got = bounded.df.select("time", "value").collect()
+      .map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    assert(got === Seq((3 * 3600L + 10, 3.0)))
+    // identical rows to the unpruned filter — pruning is I/O-only
+    val full = store.scan().filter(col("series_id") === sid && col("value") >= 2.5)
+      .select("time", "value").collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    assert(got === full)
+    // end-to-end: the engine's `by_id(N) … and value >= X` route reads
+    // exactly the composed survivor set (was: time + bloom only)
+    val routed = Engine.executeOnStore(store,
+      s"select time, value from by_id($sid) where time >= 0 and value >= 2.5",
+      CompileOptions(now = 0L)).df
+    assert(routed.inputFiles.length === 1,
+      s"engine by_id route must compose value pruning, read ${routed.inputFiles.length} files")
+    assert(routed.collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq === got)
+  }
+
   test("skip index engine routing: by_id query reads pruned files, results unchanged, append refreshes") {
     import graft.storage.SkipIndex
     import graft.sydraql.{Engine, CompileOptions}
@@ -864,6 +910,61 @@ class StorageSpec extends AnyFunSuite {
     assert(rep.rewrittenHours === Seq(3600L, 7200L))
     assert(store.scan().filter(col("series") === "cpu").count() === 2)
     assert(store.scan().filter(col("series") === "mem").count() === 4)
+  }
+
+  test("batched delete: constant job count across many hours, emptied hour dropped, crash mid-swap heals") {
+    import spark.implicits._
+    val store = new SeriesStore(spark, tmp())
+    // 6 hours × 10 rows; the predicate EMPTIES hour 2 and clips two rows
+    // from every other hour — a 6-partition delete
+    val pts = for { h <- 0 until 6; i <- 0 until 10 }
+      yield ("m", Map.empty[String, String], h * 3600L + i * 60L, (h * 10 + i).toDouble)
+    store.append(pts.toDF("series", "tags", "time", "value"))
+    val pred = (col("value") >= 20 && col("value") < 30) ||
+      pmod(col("value").cast("long"), lit(10L)) >= 8
+    // job-count pin: the r13 rewrite ran ~2 Spark jobs PER affected hour
+    // (12+ here); the batched rewrite is one counts job + one survivors
+    // write + discovery, independent of the hour count
+    val jobs = new java.util.concurrent.atomic.AtomicInteger()
+    val listener = new org.apache.spark.scheduler.SparkListener {
+      override def onJobStart(
+          js: org.apache.spark.scheduler.SparkListenerJobStart): Unit = {
+        jobs.incrementAndGet(); ()
+      }
+    }
+    spark.sparkContext.addSparkListener(listener)
+    val report = try {
+      val r = Maintenance.deleteRowsBounded(store, pred, None, None)
+      Thread.sleep(2000) // listener bus is async
+      r
+    } finally spark.sparkContext.removeSparkListener(listener)
+    assert(report.deletedRows === 20L, report)
+    assert(report.rewrittenHours === (0 until 6).map(_ * 3600L))
+    assert(jobs.get() <= 8,
+      s"batched delete must run O(1) jobs for 6 affected hours, ran ${jobs.get()}")
+    // emptied hour's partition dir is gone; survivors exact elsewhere
+    assert(store.partitions() === Seq(0L, 3600L, 10800L, 14400L, 18000L))
+    assert(store.scan().count() === 40L)
+    assert(store.scanRange(3600L, 7199L).orderBy("time")
+      .select("value").as[Double].collect().toSeq
+      === (10 until 18).map(_.toDouble))
+    // crash mid-swap: hour 3 parked aside, survivors still in the delete
+    // scratch dir — recoverSwaps restores the parked partition and drops
+    // the scratch (re-running the delete then converges)
+    val seg = new java.io.File(s"${store.root}/segments")
+    val oldDir = new java.io.File(seg, "_repack_old")
+    oldDir.mkdirs()
+    assert(new java.io.File(seg, "hour_bucket=10800")
+      .renameTo(new java.io.File(oldDir, "hour_bucket=10800")))
+    val tmpScratch = new java.io.File(seg, "_repack_tmp/delete/hour_bucket=10800")
+    tmpScratch.mkdirs()
+    java.nio.file.Files.write(tmpScratch.toPath.resolve("part-junk.parquet"),
+      Array[Byte](1, 2, 3))
+    assert(store.scan().count() === 32L) // parked hour invisible mid-crash
+    Maintenance.recoverSwaps(spark, s"${store.root}/segments")
+    assert(store.scan().count() === 40L, "parked partition restored exactly")
+    assert(!oldDir.exists() &&
+      !new java.io.File(seg, "_repack_tmp").exists(), "scratch dirs cleaned")
   }
 
   test("SketchCells.refresh never leaks partitionOverwriteMode into the session conf") {
