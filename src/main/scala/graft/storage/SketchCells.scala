@@ -32,10 +32,23 @@ object SketchCells {
     */
   def dirFor(store: SeriesStore): String = s"${store.root}/sketchcells"
 
-  def exists(spark: SparkSession, dir: String): Boolean = {
-    val p = new org.apache.hadoop.fs.Path(s"$dir/td")
-    p.getFileSystem(spark.sessionState.newHadoopConf()).exists(p)
-  }
+  /** Memoized per (dir, refresh generation) — [[MetaCache]]: existence,
+    * NDV keys and group keys are pure metadata a dashboard pays on EVERY
+    * served query; every writer ([[build]], [[refresh]] incl. the
+    * whole-store drop, the streaming maintenance twin) bumps the
+    * generation via [[invalidate]].
+    */
+  def exists(spark: SparkSession, dir: String): Boolean =
+    MetaCache.cached(dir, "exists") {
+      val p = new org.apache.hadoop.fs.Path(s"$dir/td")
+      java.lang.Boolean.valueOf(
+        p.getFileSystem(spark.sessionState.newHadoopConf()).exists(p))
+    }.booleanValue()
+
+  /** Writer hook: bump `dir`'s metadata generation after mutating the
+    * tier outside [[build]]/[[refresh]] (the streaming twin's publishes).
+    */
+  def invalidate(dir: String): Unit = MetaCache.invalidate(dir)
 
   /** Basic-aggregate columns every cell carries beside `n_rows` (r14) —
     * the mergeable partials that let the engine serve
@@ -121,15 +134,21 @@ object SketchCells {
         .option("partitionOverwriteMode", "static")
         .partitionBy("day").parquet(tagDir(dir, k))
     }
+    // a rebuild may add/remove NDV or group-tag tiers: the serving
+    // metadata memo must reload
+    MetaCache.invalidate(dir)
   }
 
-  /** Tag keys with a [[tagDir]] group tier in the store. */
-  def groupTagsOf(spark: SparkSession, dir: String): Seq[String] = {
-    val p = new org.apache.hadoop.fs.Path(s"$dir/tdtag")
-    val fs = p.getFileSystem(spark.sessionState.newHadoopConf())
-    if (!fs.exists(p)) Seq.empty
-    else fs.listStatus(p).toSeq.filter(_.isDirectory).map(_.getPath.getName).sorted
-  }
+  /** Tag keys with a [[tagDir]] group tier in the store (memoized —
+    * one directory listing per refresh generation, not per query).
+    */
+  def groupTagsOf(spark: SparkSession, dir: String): Seq[String] =
+    MetaCache.cached(dir, "groupTags") {
+      val p = new org.apache.hadoop.fs.Path(s"$dir/tdtag")
+      val fs = p.getFileSystem(spark.sessionState.newHadoopConf())
+      if (!fs.exists(p)) Seq.empty[String]
+      else fs.listStatus(p).toSeq.filter(_.isDirectory).map(_.getPath.getName).sorted
+    }
 
   def readTag(spark: SparkSession, dir: String, k: String): DataFrame =
     spark.read.parquet(tagDir(dir, k))
@@ -140,8 +159,10 @@ object SketchCells {
     * until the store is rebuilt with the theta cells.
     */
   def ndvTagsOf(spark: SparkSession, dir: String): Seq[String] =
-    read(spark, dir).columns.toSeq
-      .filter(_.startsWith("theta_")).map(_.stripPrefix("theta_"))
+    MetaCache.cached(dir, "ndvTags") {
+      read(spark, dir).columns.toSeq
+        .filter(_.startsWith("theta_")).map(_.stripPrefix("theta_"))
+    }
 
   /** Recompute ONLY `days`' cells from the store (hour-partition-pruned
     * scan) and overwrite exactly those day partitions — the incremental
@@ -217,7 +238,9 @@ object SketchCells {
         !fs.listStatus(tdRoot).exists(_.getPath.getName.startsWith("day="))) {
       fs.delete(new org.apache.hadoop.fs.Path(dir), true)
     }
-    ()
+    // any refresh (including the whole-store drop above) changes what the
+    // serving metadata would answer — bump the memo generation
+    MetaCache.invalidate(dir)
   }
 
   /** Refresh the store-convention cells for `days`, if the store exists. */

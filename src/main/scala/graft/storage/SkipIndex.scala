@@ -87,6 +87,7 @@ object SkipIndex {
     manifestRows(store.scan())
       .coalesce(1)
       .write.mode(SaveMode.Overwrite).parquet(s"$manifestDir/m")
+    MetaCache.invalidate(manifestDir)
   }
 
   /** Incremental refresh after appends/compaction/retention touched
@@ -109,6 +110,7 @@ object SkipIndex {
       // scratch path — the swap happens only after the write succeeds
       next.write.parquet(tmp)
     }
+    MetaCache.invalidate(manifestDir)
   }
 
   /** Engine-integration convention (r12): a store's own manifest lives at
@@ -122,10 +124,24 @@ object SkipIndex {
     */
   def dirFor(store: SeriesStore): String = s"${store.root}/skipindex"
 
-  def exists(spark: SparkSession, manifestDir: String): Boolean = {
-    val p = new org.apache.hadoop.fs.Path(s"$manifestDir/m")
-    p.getFileSystem(spark.sessionState.newHadoopConf()).exists(p)
-  }
+  /** Memoized per (dir, refresh generation) — [[MetaCache]]; [[build]]
+    * and [[refresh]] bump the generation.
+    */
+  def exists(spark: SparkSession, manifestDir: String): Boolean =
+    MetaCache.cached(manifestDir, "exists") {
+      val p = new org.apache.hadoop.fs.Path(s"$manifestDir/m")
+      java.lang.Boolean.valueOf(
+        p.getFileSystem(spark.sessionState.newHadoopConf()).exists(p))
+    }.booleanValue()
+
+  /** The manifest's total file count — the `filesTotal` evidence every
+    * routed scan reports. Memoized: this was an extra count job on EVERY
+    * routed query for a number that only changes when the manifest does.
+    */
+  private def filesTotal(spark: SparkSession, manifestDir: String): Int =
+    MetaCache.cached(manifestDir, "filesTotal") {
+      java.lang.Integer.valueOf(read(spark, manifestDir).count().toInt)
+    }.intValue()
 
   /** Refresh the store-convention manifest for `hours`, if one exists. */
   def autoRefresh(store: SeriesStore, hours: Seq[Long]): Unit = {
@@ -145,7 +161,7 @@ object SkipIndex {
     val survivors = m
       .filter(col("min_time") <= endTs && col("max_time") >= startTs)
       .select("file").collect().map(_.getString(0))
-    val total = m.count().toInt
+    val total = filesTotal(spark, manifestDir)
     SkipScan(
       readFiles(store, survivors)
         .filter(col("time") >= startTs && col("time") <= endTs),
@@ -208,7 +224,7 @@ object SkipIndex {
       .filter(col("min_time") <= endTs && col("max_time") >= startTs &&
         bloomHit && vStat)
       .select("file").collect().map(_.getString(0))
-    val total = m.count().toInt
+    val total = filesTotal(spark, manifestDir)
     val residual = col("series_id") === seriesId &&
       col("time") >= startTs && col("time") <= endTs &&
       (if (hasV) col("value") >= minValue && col("value") <= maxValue
@@ -235,7 +251,7 @@ object SkipIndex {
       .filter(col("min_time") <= endTs && col("max_time") >= startTs &&
         col("max_value") >= minValue && col("min_value") <= maxValue)
       .select("file").collect().map(_.getString(0))
-    val total = m.count().toInt
+    val total = filesTotal(spark, manifestDir)
     SkipScan(
       readFiles(store, survivors).filter(col("value") >= minValue &&
         col("value") <= maxValue &&

@@ -1719,6 +1719,9 @@ object StreamOps {
               .option("partitionOverwriteMode", "dynamic")
               .partitionBy("day").parquet(tDir)
           }
+          // writer hook: the engine's serving-metadata memo (existence,
+          // key lists) must reload after an out-of-build publish
+          graft.storage.SketchCells.invalidate(path)
         }
       }
       .start()

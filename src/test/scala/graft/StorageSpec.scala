@@ -1021,6 +1021,58 @@ class StorageSpec extends AnyFunSuite {
     assert(SketchCells.read(spark, dir).columns.contains("sum_v"))
   }
 
+  test("serving metadata memoized per refresh generation: repeated served queries load nothing; writers invalidate") {
+    import graft.storage.{MetaCache, SketchCells, SkipIndex}
+    import graft.sydraql.{CompileOptions, Engine}
+    import spark.implicits._
+    val store = new SeriesStore(spark, tmp())
+    val pts = (0 until 16).map(i => ("cpu", i.toLong * 21600L, i.toDouble))
+      .toDF("series", "time", "value")
+      .withColumn("tags", map(lit("host"),
+        when(col("value").cast("long") % 2 === 0, lit("a")).otherwise(lit("b"))))
+      .select("series", "tags", "time", "value")
+    store.append(pts)
+    val dir = SketchCells.dirFor(store)
+    def tagServed() = Engine.executeOnStore(store,
+      s"select tag.host as h, percentile_approx(value, 0.5) as p " +
+        s"from cpu where time >= 0 and time < ${2 * 86400} " +
+        "group by tag.host order by h",
+      CompileOptions(now = 0L)).df
+    // built WITHOUT a tag tier: the tag grouping falls through to raw
+    SketchCells.build(store, dir)
+    assert(tagServed().queryExecution.explainString(
+      org.apache.spark.sql.execution.ExplainMode.fromString("simple"))
+      .contains("segments"))
+    // REBUILD with the tag tier: the generation bump must make serving
+    // see it immediately (a stale exists/groupTags memo would keep
+    // falling through)
+    SketchCells.build(store, dir, groupTags = Seq("host"))
+    assert(tagServed().queryExecution.explainString(
+      org.apache.spark.sql.execution.ExplainMode.fromString("simple"))
+      .contains("tdtag"), "rebuild must invalidate the serving-metadata memo")
+    // skip-manifest half: a routed probe memoizes existence + filesTotal
+    SkipIndex.build(store, SkipIndex.dirFor(store))
+    def probe() = Engine.executeOnStore(store,
+      "select time, value from cpu where time >= 0 and time <= 90000 and value >= 1",
+      CompileOptions(now = 0L)).df.collect()
+    // warm every memo this query touches, then pin: repeated queries —
+    // served AND routed — cost ZERO further metadata loads
+    tagServed().collect(); probe()
+    val before = MetaCache.loads.get()
+    tagServed().collect(); probe()
+    tagServed().collect(); probe()
+    assert(MetaCache.loads.get() === before,
+      s"repeated queries must not reload serving metadata " +
+        s"(loaded ${MetaCache.loads.get() - before} more)")
+    // a refresh bumps the generation: the NEXT query reloads (staleness
+    // contract), and only then
+    SketchCells.refresh(store, dir, Seq(0L))
+    SkipIndex.refresh(store, SkipIndex.dirFor(store), Seq(0L))
+    tagServed().collect(); probe()
+    assert(MetaCache.loads.get() > before,
+      "a refresh must invalidate the memo so serving re-reads metadata")
+  }
+
   test("retention refreshes derived tiers for the dropped hours") {
     import graft.storage.{SkipIndex, SketchCells}
     import spark.implicits._
