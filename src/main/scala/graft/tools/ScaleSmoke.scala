@@ -519,6 +519,92 @@ object ScaleSmoke {
             s"time < ${t0 - 2 * 86400 + span} group by tag.user order by usr",
           graft.sydraql.CompileOptions(now = 0L)).df
       },
+      // r14: the engine's exact basic-agg serving over the same store —
+      // "avg per user over the whole span" reads series × days × 8 cell
+      // rows (KB partials), so the curve must track the CELL count
+      // (mult× days), never the point count; pairs with tag_cells_serve
+      timedStaged("rollup_cells_serve") {
+        val root = s"target/smoke-tmp/skip-$mult"
+        val store = new graft.storage.SeriesStore(spark, root)
+        val dir = graft.storage.SketchCells.dirFor(store)
+        // rebuild when absent OR the cells predate the r14 basic
+        // partials (a stale tier would silently fall through to raw and
+        // time the wrong path)
+        val stale = !graft.storage.SketchCells.exists(spark, dir) ||
+          !spark.read.parquet(s"$dir/td").columns.contains("sum_v")
+        if (stale) {
+          if (store.isEmpty)
+            store.append(ev.select(col("event_type").as("series"),
+              map(lit("user"), col("tag_user")).as("tags"),
+              col("time"), col("value")))
+          graft.storage.SketchCells.build(store, dir, groupTags = Seq("user"))
+        }
+      } {
+        val root = s"target/smoke-tmp/skip-$mult"
+        val store = new graft.storage.SeriesStore(spark, root)
+        val t0 = graft.queries.TimeSeries.T0
+        val span = (mult.toLong * 14L + 14L) * 86400L
+        graft.sydraql.Engine.executeOnStore(store,
+          s"select tag.user as usr, avg(value) as av, count() as n, " +
+            s"max(value) as mx from click where time >= ${t0 - 2 * 86400} and " +
+            s"time < ${t0 - 2 * 86400 + span} group by tag.user order by usr",
+          graft.sydraql.CompileOptions(now = 0L)).df
+      },
+      // r14: value-stat skip probe through the language on the prebuilt
+      // manifest — threshold 400 keeps ~4% of hour files at 1× (p99.9 of
+      // click values is ~339), so the served rows stay tiny and the
+      // curve tracks the pruned FILE count + one manifest read, not the
+      // row count
+      timedStaged("value_skip_probe") {
+        val root = s"target/smoke-tmp/skip-$mult"
+        val fs = new org.apache.hadoop.fs.Path(root)
+          .getFileSystem(spark.sparkContext.hadoopConfiguration)
+        if (!fs.exists(new org.apache.hadoop.fs.Path(s"$root/skipindex"))) {
+          val store = new graft.storage.SeriesStore(spark, root)
+          if (store.isEmpty)
+            store.append(ev.select(col("event_type").as("series"),
+              map(lit("user"), col("tag_user")).as("tags"),
+              col("time"), col("value")))
+          graft.storage.SkipIndex.build(store,
+            graft.storage.SkipIndex.dirFor(store))
+        }
+      } {
+        val root = s"target/smoke-tmp/skip-$mult"
+        val store = new graft.storage.SeriesStore(spark, root)
+        val t0 = graft.queries.TimeSeries.T0
+        val span = (mult.toLong * 14L + 14L) * 86400L
+        graft.sydraql.Engine.executeOnStore(store,
+          s"select time, value from click where time >= ${t0 - 2 * 86400} " +
+            s"and time < ${t0 - 2 * 86400 + span} and value >= 400 " +
+            s"order by time, value",
+          graft.sydraql.CompileOptions(now = 0L)).df
+      },
+      // r14: the batched engine DELETE on its own throwaway store (the
+      // shared smoke store must stay byte-stable for the serve curves).
+      // `value >= 300` hits ~30% of hour partitions at every mult, so
+      // the affected-partition count grows linearly with the time-axis
+      // amplification while the JOB count stays constant — the curve
+      // must be ~linear in data (one counts pass + one survivors write),
+      // with none of the old per-hour job-scheduling floor
+      timedStaged("delete_bounded") {
+        val root = s"target/smoke-tmp/del-$mult"
+        val fs = new org.apache.hadoop.fs.Path(root)
+          .getFileSystem(spark.sparkContext.hadoopConfiguration)
+        fs.delete(new org.apache.hadoop.fs.Path(root), true) // rerun-safe
+        val store = new graft.storage.SeriesStore(spark, root)
+        store.append(ev.select(col("event_type").as("series"),
+          map(lit("user"), col("tag_user")).as("tags"),
+          col("time"), col("value")))
+        graft.storage.SkipIndex.build(store,
+          graft.storage.SkipIndex.dirFor(store))
+      } {
+        val root = s"target/smoke-tmp/del-$mult"
+        val store = new graft.storage.SeriesStore(spark, root)
+        val report = graft.storage.Maintenance.deleteRowsBounded(store,
+          col("value") >= 300, Some(0L), None)
+        spark.range(report.rewrittenHours.length.toLong)
+          .select(lit(report.deletedRows).as("deleted"))
+      },
       timed("ann_self_join") {
         // √n-rule cell count with FIXED nprobe — SCALE.md's sizing math
         // (candidates/query ≈ n·nprobe/nCells = √n·nprobe, total n^1.5).
