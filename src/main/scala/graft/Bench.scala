@@ -48,6 +48,16 @@ import org.apache.spark.sql.SparkSession
   *  - `SPARK_GRAFT_BENCH_SOLO=all` records the solo column (one fresh
   *    child JVM per extra, serialized).
   *
+  * Round-14 completion — the HEADLINE gets the same discipline: the
+  * gate's one number is the headline total, and the r13 driver/builder
+  * gap (19.66 vs 13.1–14.1 s) had nothing in-artifact to rerun.
+  * BRACKETS.json now carries the committed end-of-round medians as
+  * `__headline_total` + per-query `__headline_<q>` rows (recorded via
+  * `SPARK_GRAFT_BENCH_HEADLINE=1` triple runs); a run whose total
+  * exceeds 1.5× the committed median re-runs the whole headline family
+  * once in a fresh child JVM and lands both readings under
+  * `headline_rerun` (reported total stays the first reading).
+  *
   * Artifact durability: the full result JSON is written to
   * `target/bench_result.json` AND `BENCH_FULL.json` (repo root, committed
   * by the end-of-round sweep) — the driver's 2000-char stdout tail
@@ -319,6 +329,42 @@ object Bench {
     val resultsCpu = results3.map(r => r.name -> r.cpu)
     val resultsGc = results3.map(r => r.name -> r.gc)
     val total = results.map(_._2).sum
+    val brackets = readBrackets()
+
+    // ---- headline rerun discipline (r14): the gate's ONE number is the
+    // headline total, and it previously had no bracket/rerun machinery —
+    // r13's driver read 19.66 s against the builder's 13.1–14.1 s with
+    // nothing in-artifact to rerun. BRACKETS.json now carries the
+    // committed end-of-round medians as `__headline_total` (plus
+    // `__headline_<q>` per-query rows for diagnosis); when this run's
+    // total exceeds 1.5× the committed median, the WHOLE headline family
+    // re-runs once in a fresh child JVM and both readings land in the
+    // artifact. The reported total stays the FIRST reading (comparable
+    // across rounds); the rerun only explains it — contention cleans up,
+    // a regression repeats.
+    val headlineRerunJson = brackets.get("__headline_total")
+      .filter(b => total > 1.5 * b.fam)
+      .flatMap { b =>
+        System.err.println(f"[bench] headline total $total%.2f s > 1.5x " +
+          f"committed median ${b.fam}%.2f s — rerunning headline family in a fresh child")
+        runGroupInChild("headline", names).map { rr =>
+          val rTotal = rr.map(_.wall).sum
+          val per = rr.map(r => "\"" + r.name + f"\":${r.wall}%.3f")
+            .mkString("{", ",", "}")
+          f"""{"bracket_total":${b.fam}%.3f,"first_total":$total%.3f,""" +
+            f""""rerun_total":$rTotal%.3f,"rerun_vs_bracket":${rTotal / b.fam}%.2f,""" +
+            f""""rerun_gc":${rr.map(_.gc).sum}%.3f,"rerun_queries":$per}"""
+        }
+      }.getOrElse("{}")
+
+    // headline-only mode: SPARK_GRAFT_BENCH_HEADLINE=1 stops before the
+    // extras — the end-of-round triple run that seeds the __headline_*
+    // brackets without paying the ~30-min extras sweep.
+    if (sys.env.get("SPARK_GRAFT_BENCH_HEADLINE").contains("1")) {
+      println(f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":${json(results)},"queries_cpu":${json(resultsCpu)},"queries_gc":${json(resultsGc)},"headline_rerun":$headlineRerunJson,"sf":"$sfDir"}""")
+      spark.stop()
+      return
+    }
 
     // registry-flagged pipeline ops, timed but kept OUT of "total"/
     // "queries" so the headline number stays comparable with the recorded
@@ -376,7 +422,6 @@ object Bench {
     // read ~2× out-of-band by construction). Both readings land with
     // wall+cpu+gc: contention cleans up on the rerun, a regression
     // repeats; gc ≈ the cpu inflation says memory pressure.
-    val brackets = readBrackets()
     val maxReruns = sys.env.getOrElse("SPARK_GRAFT_BENCH_MAX_RERUNS", "20").toInt
     val outliers = extras3.filter { r =>
       brackets.get(r.name).exists(b => r.wall > 2.0 * b.fam)
@@ -400,7 +445,7 @@ object Bench {
     val peakJson = extrasPeak.map { case (k, v) => "\"" + k + s"""\":$v""" }
       .mkString("{", ",", "}")
     val fullJson =
-      f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":${json(results)},"queries_cpu":${json(resultsCpu)},"queries_gc":${json(resultsGc)},"extra_queries":${json(extras)},"extra_queries_cpu":${json(extrasCpu)},"extra_queries_gc":${json(extrasGc)},"extra_queries_peak_mb":$peakJson,"extras_isolation":"$isolation","extras_isolation_families":$famJson,"families":$famDiagJson,"reruns":$rerunsJson,"sf":"$sfDir"}"""
+      f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":${json(results)},"queries_cpu":${json(resultsCpu)},"queries_gc":${json(resultsGc)},"headline_rerun":$headlineRerunJson,"extra_queries":${json(extras)},"extra_queries_cpu":${json(extrasCpu)},"extra_queries_gc":${json(extrasGc)},"extra_queries_peak_mb":$peakJson,"extras_isolation":"$isolation","extras_isolation_families":$famJson,"families":$famDiagJson,"reruns":$rerunsJson,"sf":"$sfDir"}"""
     // File of record (the driver's stdout tail truncated the r9 headline).
     new java.io.File("target").mkdirs()
     java.nio.file.Files.write(java.nio.file.Paths.get("target/bench_result.json"),
