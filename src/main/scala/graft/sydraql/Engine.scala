@@ -242,13 +242,29 @@ object Engine {
         ks.count(_.isInstanceOf[TagG]) > 1) return None
       ks
     }
-    val bounds = s.where match {
-      case Some(Ast.Binary(Ast.And,
-          Ast.Binary(Ast.Ge, lo: Ast.Ident, Ast.IntLit(l)),
-          Ast.Binary(Ast.Lt, hi: Ast.Ident, Ast.IntLit(h))))
-        if lo.full.equalsIgnoreCase("time") && hi.full.equalsIgnoreCase("time") &&
-          l % 86400L == 0 && h % 86400L == 0 && l < h => Some((l, h))
-      case _ => None
+    // WHERE must be exactly one `time >= LO` and one `time < HI` conjunct
+    // with day-aligned literals — in EITHER order (r14; dashboards emit
+    // both). Any other conjunct means the cells can't answer → raw route.
+    val bounds: Option[(Long, Long)] = {
+      def conj(e: Ast.Expr): Seq[Ast.Expr] = e match {
+        case Ast.Binary(Ast.And, l, r) => conj(l) ++ conj(r)
+        case x => Seq(x)
+      }
+      var lo: Option[Long] = None
+      var hi: Option[Long] = None
+      var ok = true
+      s.where.toSeq.flatMap(conj).foreach {
+        case Ast.Binary(Ast.Ge, t: Ast.Ident, Ast.IntLit(l))
+          if t.full.equalsIgnoreCase("time") && lo.isEmpty => lo = Some(l)
+        case Ast.Binary(Ast.Lt, t: Ast.Ident, Ast.IntLit(h))
+          if t.full.equalsIgnoreCase("time") && hi.isEmpty => hi = Some(h)
+        case _ => ok = false
+      }
+      (lo, hi) match {
+        case (Some(l), Some(h))
+          if ok && l % 86400L == 0 && h % 86400L == 0 && l < h => Some((l, h))
+        case _ => None
+      }
     }
     if (bounds.isEmpty) return None
     // every projection is either THE bucket key (aliased), an aliased

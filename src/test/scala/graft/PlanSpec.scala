@@ -368,6 +368,18 @@ class PlanSpec extends AnyFunSuite {
     val (_, praw) = planOf(
       s"select percentile_approx(value, 0.5) as p50a from cpu where time >= ${86400 + 3600} and time < ${3 * 86400}")
     assert(praw.contains("segments"), "misaligned window must read raw:\n" + praw.take(800))
+    // r14: the REVERSED conjunct order (`time < HI and time >= LO`) is the
+    // same day-aligned window — must serve, not fall through
+    val (rdf, rp) = planOf(
+      s"select percentile_approx(value, 0.5) as p50a from cpu where time < ${3 * 86400} and time >= 86400")
+    assert(rp.contains("sketchcells") && !rp.contains("segments"),
+      "reversed conjunct order must still serve from cells:\n" + rp.take(800))
+    assert(rdf.head().getDouble(0) === 7.5)
+    // an EXTRA conjunct the cells can't answer → raw route, right answer
+    val (_, xp) = planOf(
+      s"select percentile_approx(value, 0.5) as p50a from cpu where time >= 86400 and time < ${3 * 86400} and value >= 5")
+    assert(xp.contains("segments"),
+      "extra conjuncts must fall through to raw:\n" + xp.take(800))
     // GROUP BY time_bucket with a DAY-MULTIPLE step coarsens the day
     // cells → still served (2-day buckets from 1-day blobs), pruned the
     // same way; values follow the rollup math exactly (days 0-5 values

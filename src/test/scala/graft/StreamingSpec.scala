@@ -1649,6 +1649,25 @@ class StreamingSpec extends AnyFunSuite {
       assert(got(h) >= q(0.45) && got(h) <= q(0.55),
         s"host $h served p50 ${got(h)} outside exact [${q(0.45)}, ${q(0.55)}]")
     }
+    // r14: the stream-maintained basic partials serve EXACTLY — again,
+    // the raw store lacks the wave, so correct sums/counts/extremes can
+    // only come from the maintained tier (sum of integer-valued doubles
+    // is exact, no rounding needed)
+    val basics = graft.sydraql.Engine.executeOnStore(store,
+      s"select tag.host as h, sum(value) as sv, count() as n, " +
+        s"min(value) as mn, max(value) as mx from api " +
+        s"where time >= 0 and time < ${3 * b} group by tag.host order by h",
+      graft.sydraql.CompileOptions(now = 0L)).df
+    assert(basics.queryExecution.explainString(
+      org.apache.spark.sql.execution.ExplainMode.fromString("simple"))
+      .contains("tdtag"), "basic aggs must serve from the maintained tier")
+    val gotB = basics.collect()
+      .map(r => r.getString(0) -> ((r.getDouble(1), r.getLong(2), r.getDouble(3), r.getDouble(4)))).toMap
+    for (h <- Seq("a", "b")) {
+      val vals = all.filter(_._4 == h).map(_._3)
+      assert(gotB(h) === ((vals.sum, vals.size.toLong, vals.min, vals.max)),
+        s"host $h basic aggs ${gotB(h)} != exact (${vals.sum}, ${vals.size}, ${vals.min}, ${vals.max})")
+    }
     // a TAG-LESS stream against a tag-tiered store must refuse loudly,
     // not leave the tier silently stale
     val store2 = new graft.storage.SeriesStore(spark,
