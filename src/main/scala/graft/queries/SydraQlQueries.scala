@@ -43,13 +43,19 @@ object SydraQlQueries {
     */
   private def eventsStore(s: org.apache.spark.sql.SparkSession, dir: String,
       t0: Long, t1: Long, dedup: Boolean = false,
-      buckets: Int = 0): graft.storage.SeriesStore = {
+      buckets: Int = 0, devTag: Boolean = false): graft.storage.SeriesStore = {
     import org.apache.spark.sql.functions.{col, lit, map, max => fmax}
     val tmp = java.nio.file.Files.createTempDirectory("graft-gate-store").toString
     val store = new graft.storage.SeriesStore(s, tmp, seriesBuckets = buckets)
+    // devTag adds a second, coarser key (dev = user_id % 2) for the
+    // gates that exercise composite tag shapes ("ndv(user) per dev")
+    val tagCol =
+      if (devTag) map(lit("user"), (col("user_id") % 8).cast("string"),
+        lit("dev"), (col("user_id") % 2).cast("string"))
+      else map(lit("user"), (col("user_id") % 8).cast("string"))
     var pts = Tables.events(s, dir).select(
       col("event_type").as("series"),
-      map(lit("user"), (col("user_id") % 8).cast("string")).as("tags"),
+      tagCol.as("tags"),
       (col("ts") / lit(1000000000L)).cast("long").as("time"),
       col("value"))
       .filter(col("time") >= t0 && col("time") < t1)
@@ -373,6 +379,56 @@ object SydraQlQueries {
               |       count(DISTINCT tag_user) AS ndv_exact, true AS ndv_ok
               |FROM sv WHERE series = 'error' AND time >= $T0 AND time < ${T0 + 4 * 86400}
               |GROUP BY 1 ORDER BY b""".stripMargin)),
+
+    // NDV under a TAG grouping, composed with a bucket (r14): the tag
+    // tier carries the store's theta NDV cells, so "distinct users per
+    // dev per 2 days" merges per-(series, day, dev) theta blobs — the
+    // grouping shape that previously fell through to a raw rescan. The
+    // store gets a second tag key (dev = user_id % 2); user has 8
+    // distinct values per group at most → theta exact → equality pinned;
+    // the t-digest keeps its bounds contract.
+    Q("q_sql_sketch_cells_ndv_tag",
+      (s, dir) => {
+        import org.apache.spark.sql.functions.{col, lit}
+        val hi = T0 + 4 * 86400
+        val store = eventsStore(s, dir, T0, hi, devTag = true)
+        graft.storage.SketchCells.build(store,
+          graft.storage.SketchCells.dirFor(store),
+          ndvTags = Seq("user"), groupTags = Seq("dev"))
+        val df = Engine.executeOnStore(store,
+          s"select time_bucket(172800, time) as b, tag.dev as dev, " +
+            s"ndv(tag.user) as ndva, percentile_approx(value, 0.5) as p50a " +
+            s"from error where time >= $T0 and time < $hi " +
+            s"group by time_bucket(172800, time), tag.dev order by b, dev",
+          CompileOptions(now = NOW)).df
+        val exact = store.source()
+          .filter(col("series") === "error" && col("time") >= T0 && col("time") < hi)
+          .groupBy(graft.core.Functions.timeBucket(lit(172800L), col("time")).as("b"),
+            col("tags")("dev").as("dev"))
+          .agg(countDistinct(col("tags")("user")).as("ndv_exact"),
+            percentile(col("value"), array(lit(0.45), lit(0.55))).as("__q"),
+            count(lit(1)).as("n"))
+          .select(col("b"), col("dev"), col("ndv_exact"), col("n"),
+            element_at(col("__q"), 1).as("lo50"), element_at(col("__q"), 2).as("hi50"))
+        df.join(exact, Seq("b", "dev"))
+          .select(col("b"), col("dev"), col("ndv_exact"), col("n"),
+            (col("ndva") === col("ndv_exact").cast("double")).as("ndv_ok"),
+            (col("p50a") >= col("lo50") && col("p50a") <= col("hi50")).as("p50_ok"))
+          .orderBy("b", "dev")
+      },
+      Some(s"""WITH sv AS (
+              |  SELECT event_type AS series,
+              |         CAST(user_id % 8 AS VARCHAR) AS tag_user,
+              |         CAST(user_id % 2 AS VARCHAR) AS tag_dev,
+              |         epoch_ns(ts) // 1000000000 AS time,
+              |         value
+              |  FROM events
+              |)
+              |SELECT CAST(time // 172800 * 172800 AS BIGINT) AS b, tag_dev AS dev,
+              |       count(DISTINCT tag_user) AS ndv_exact, count(*) AS n,
+              |       true AS ndv_ok, true AS p50_ok
+              |FROM sv WHERE series = 'error' AND time >= $T0 AND time < ${T0 + 4 * 86400}
+              |GROUP BY 1, 2 ORDER BY b, dev""".stripMargin)),
 
     // Value-stat skip routing through the LANGUAGE (r13): on a store
     // with a skip manifest, a top-level `value >= X` conjunct routes the

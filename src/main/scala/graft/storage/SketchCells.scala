@@ -95,17 +95,27 @@ object SketchCells {
     */
   def tagDir(dir: String, k: String): String = s"$dir/tdtag/$k"
 
-  private def tagCellsOf(scan: DataFrame, k: String): DataFrame = {
+  /** One cell per (series, day, tag `k`=v). Since r14 the tag tier also
+    * carries the store's theta NDV cells (`ndvTags`, same estimator
+    * family/lgK discipline as [[cellsOf]]) so `ndv(tag.j) … GROUP BY
+    * tag.k` — "distinct users per host per day" — merges KB blobs
+    * instead of rescanning raw points.
+    */
+  private def tagCellsOf(scan: DataFrame, k: String,
+      ndvTags: Seq[String]): DataFrame = {
     val aggs = Seq(first(col("series")).as("series"),
       graft.functions.TDigest.agg(col("value")).as("td"),
-      count(lit(1)).as("n_rows")) ++ basicAggs
+      count(lit(1)).as("n_rows")) ++ basicAggs ++
+      ndvTags.map(j => graft.functions.ThetaSketch.agg(
+        try_element_at(col("tags"), lit(j)).cast("string")).as(s"theta_$j"))
     scan
       .groupBy(col("series_id"),
         try_element_at(col("tags"), lit(k)).as("tagval"),
         (col("time") - pmod(col("time"), lit(86400L))).as("day"))
       .agg(aggs.head, aggs.tail: _*)
       .select((Seq(col("series_id"), col("series"), col("tagval"),
-        col("td"), col("n_rows")) ++ basicCols.map(col) :+ col("day")): _*)
+        col("td"), col("n_rows")) ++ basicCols.map(col) ++
+        ndvTags.map(j => col(s"theta_$j")) :+ col("day")): _*)
   }
 
   /** Build (overwrite) the full cell store: one t-digest per
@@ -129,7 +139,9 @@ object SketchCells {
       .option("partitionOverwriteMode", "static")
       .partitionBy("day").parquet(s"$dir/td")
     groupTags.foreach { k =>
-      tagCellsOf(store.scan(), k)
+      // the tag tier carries the SAME theta NDV keys as the td table, so
+      // any NDV a global window can serve, a tag-grouped one can too
+      tagCellsOf(store.scan(), k, ndvTags)
         .write.mode(SaveMode.Overwrite)
         .option("partitionOverwriteMode", "static")
         .partitionBy("day").parquet(tagDir(dir, k))
@@ -228,7 +240,12 @@ object SketchCells {
       }
     }
     sweep(s"$dir/td", cellsOf(touched, ndvTagsOf(spark, dir)))
-    groupTagsOf(spark, dir).foreach(k => sweep(tagDir(dir, k), tagCellsOf(touched, k)))
+    groupTagsOf(spark, dir).foreach { k =>
+      // each tag tier is self-describing: recompute with ITS theta keys
+      val tagNdv = readTag(spark, dir, k).columns.toSeq
+        .filter(_.startsWith("theta_")).map(_.stripPrefix("theta_"))
+      sweep(tagDir(dir, k), tagCellsOf(touched, k, tagNdv))
+    }
     // everything emptied → no partitions left to read; drop the whole
     // store (td + tag tiers) so exists() turns false and the engine
     // falls through to the raw route

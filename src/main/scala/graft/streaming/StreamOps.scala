@@ -1694,6 +1694,14 @@ object StreamOps {
                 col("td"), col("n_rows"),
                 col("sum_v"), col("min_v"), col("max_v"), col("n_vals"), col("day"))
             val curCols = spark.read.parquet(tDir).columns
+            // an NDV-extended tag tier (theta cells since r14) must not
+            // be maintained by this td-only twin — selecting the td
+            // columns would silently NULL the touched days' NDV cells
+            require(!curCols.exists(c =>
+                c.startsWith("hll_") || c.startsWith("theta_")),
+              s"tdigestCellMaintenance maintains td-only tiers; tag tier " +
+                s"$tDir carries NDV cells — rebuild via " +
+                "SketchCells.refresh/build instead")
             require(Seq("sum_v", "min_v", "max_v", "n_vals").forall(curCols.contains),
               s"tag cell tier $tDir lacks the basic-aggregate columns — " +
                 "rebuild via SketchCells.build")

@@ -190,10 +190,11 @@ object Engine {
     *    share one merge aggregate;
     *  - GROUP BY is any subset of {day-multiple `time_bucket`,
     *    `tag.<k>` with a tag-keyed tier} — at most one of each; they
-    *    COMPOSE ("p95 per host per 2 days", r13). Tag groupings carry
-    *    quantiles and basics but no per-(value, key) theta cells — NDV
-    *    under a tag grouping falls through; ORDER BY at most the group
-    *    keys, ascending or descending (r14); no FILL;
+    *    COMPOSE ("p95 per host per 2 days", r13). Tag tiers carry the
+    *    store's theta NDV cells since r14, so `ndv(tag.j) GROUP BY
+    *    tag.k` serves too (a pre-r14 tag tier without them falls
+    *    through); ORDER BY at most the group keys, ascending or
+    *    descending (r14); no FILL;
     *  - WHERE is exactly `time >= LO and time < HI` with DAY-ALIGNED
     *    literal bounds (cells are day-granular — a misaligned window
     *    cannot be assembled from them and falls through to raw);
@@ -316,15 +317,12 @@ object Engine {
     // route, which handles it fine
     val grpProjKeys = ps.collect { case Grp(_, k) => k }
     if (grpProjKeys.distinct.length != grpProjKeys.length) return None
-    // every requested NDV key must have its theta cells in the store;
-    // the tag-grouped tier carries only t-digests (no per-(value, key)
-    // theta cells) — NDV under a tag grouping falls through to raw
+    // every requested NDV key must have its theta cells in the SERVING
+    // table — checked on the base read's schema below (the td table
+    // carries `ndvTags` theta cells; since r14 tag tiers carry the same
+    // set, so "distinct users per host" serves too; a pre-r14 tag tier
+    // without them falls through)
     val ndvKeys = ps.collect { case Ndv(_, k) => k }.distinct
-    if (ndvKeys.nonEmpty && groupKeys.exists(_.isInstanceOf[TagG])) return None
-    if (ndvKeys.nonEmpty && {
-      val have = SketchCells.ndvTagsOf(spark, dir).toSet
-      !ndvKeys.forall(have.contains)
-    }) return None
     // every group key must be projected under an alias (the serving
     // frame's column names come from them)
     val grpAliases: Map[GK, String] = ps.collect { case Grp(a, k) => k -> a }.toMap
@@ -364,14 +362,16 @@ object Engine {
       case Some(k) => dayPruned(SketchCells.readTag(spark, dir, k))
       case None => dayPruned(SketchCells.read(spark, dir))
     }
-    // basic aggregates need the r14 mergeable-partial columns; a pre-r14
-    // cell store lacks them — fall through to the raw route (correct,
-    // just unserved) until it is rebuilt. The schema is already open (the
-    // read above), so this costs no extra metadata round-trip.
+    // basic aggregates need the r14 mergeable-partial columns and NDV
+    // projections need their theta cells IN THIS TABLE; a store predating
+    // either lacks them — fall through to the raw route (correct, just
+    // unserved) until it is rebuilt. The schema is already open (the
+    // read above), so these checks cost no extra metadata round-trip.
     val basics = ps.collect { case Bas(_, k) => k }.toSet
     if (basics.nonEmpty &&
       !Seq("sum_v", "min_v", "max_v", "n_vals").forall(base.columns.contains))
       return None
+    if (!ndvKeys.forall(j => base.columns.contains(s"theta_$j"))) return None
     // one merge aggregate carries every served blob and partial: the
     // t-digest (when any quantile is projected), one THETA union per
     // requested tag key — the raw route's estimator family at the raw

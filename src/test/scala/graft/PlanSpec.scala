@@ -446,7 +446,7 @@ class PlanSpec extends AnyFunSuite {
       "quantiles must still serve from a pre-r14 store:\n" + lq.take(800))
   }
 
-  test("tag-grouped quantile and bucketed ndv serve from cell tiers, day-pruned; ndv-under-tag falls through") {
+  test("tag-grouped quantile and bucketed ndv serve from cell tiers, day-pruned; ndv-under-tag serves from theta cells") {
     import org.apache.spark.sql.functions.{col, lit, map, when}
     import spark.implicits._
     val store = new SeriesStore(spark, Files.createTempDirectory("graft-tagcells").toString)
@@ -490,13 +490,24 @@ class PlanSpec extends AnyFunSuite {
       "bucketed ndv must serve from theta cells:\n" + np.take(1200))
     assert(ndf.collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
       === Seq((0L, 2.0), (172800L, 2.0)))
-    // NDV under a TAG grouping has no per-(value, key) cells → raw route
-    val (_, fp) = planOf(
+    // NDV under a TAG grouping (r14): the tag tier carries the store's
+    // theta cells, so it SERVES — here ndv of the group key itself is 1
+    // per group, exactly the raw route's answer
+    val (fdf, fp) = planOf(
       "select tag.host as h, ndv(tag.host) as nh " +
         s"from cpu where time >= 0 and time < ${2 * 86400} " +
         "group by tag.host order by h")
-    assert(fp.contains("segments"),
-      "ndv under tag grouping must fall through to raw:\n" + fp.take(800))
+    assert(fp.contains("tdtag") && !fp.contains("segments"),
+      "ndv under tag grouping must serve from the tag tier's theta cells:\n" + fp.take(800))
+    assert(fdf.collect().map(r => (r.getString(0), r.getDouble(1))).toSeq
+      === Seq(("a", 1.0), ("b", 1.0)))
+    // …but a key WITHOUT theta cells in the tier falls through to raw
+    val (_, f2) = planOf(
+      "select tag.host as h, ndv(tag.ghost) as ng " +
+        s"from cpu where time >= 0 and time < ${2 * 86400} " +
+        "group by tag.host order by h")
+    assert(f2.contains("segments"),
+      "ndv of an uncovered key must fall through to raw:\n" + f2.take(800))
     // COMPOSITE bucket × tag grouping: still served from the tag tier —
     // both keys coarsen the (series, day, value) cells
     val (cdf, cp) = planOf(
