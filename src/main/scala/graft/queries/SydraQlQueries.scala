@@ -537,6 +537,30 @@ object SydraQlQueries {
               |FROM sv WHERE series = 'error' AND time >= $T0 AND time < ${T0 + 4 * 86400}
               |GROUP BY 1, 2 ORDER BY b, usr""".stripMargin)),
 
+    // first/last served from the cell tier (r14): min/max over
+    // struct(time, value) partials — the earliest day's earliest pair IS
+    // the window's, so the TSDB staple "latest value per bucket" reads
+    // KB cells. Exact (the raw route's (time, value) ordering, value
+    // tiebreak included), so the hash pins the values themselves.
+    Q("q_sql_rollup_cells_fl",
+      (s, dir) => {
+        val hi = T0 + 4 * 86400
+        val store = eventsStore(s, dir, T0, hi)
+        graft.storage.SketchCells.build(store, graft.storage.SketchCells.dirFor(store))
+        Engine.executeOnStore(store,
+          s"select time_bucket(172800, time) as b, first(value) as fv, " +
+            s"last(value) as lv, count() as n " +
+            s"from error where time >= $T0 and time < $hi " +
+            s"group by time_bucket(172800, time) order by b",
+          CompileOptions(now = NOW)).df
+      },
+      Some(s"""${ptsSql(172800L, "error", T0, T0 + 4 * 86400)}
+              |SELECT bucket AS b,
+              |       min(CASE WHEN rn_a = 1 THEN value END) AS fv,
+              |       min(CASE WHEN rn_d = 1 THEN value END) AS lv,
+              |       count(*) AS n
+              |FROM pts GROUP BY bucket ORDER BY b""".stripMargin)),
+
     // Descending ORDER BY on a served shape (r14): `order by usr desc`
     // previously fell through to a raw rescan; descending sort of the
     // SERVED frame is trivially equivalent, so the tag tier serves it

@@ -60,13 +60,20 @@ object SketchCells {
     * serving; the sketch columns served only the approximate half until
     * now.
     */
-  private[graft] val basicCols = Seq("sum_v", "min_v", "max_v", "n_vals")
+  private[graft] val basicCols =
+    Seq("sum_v", "min_v", "max_v", "n_vals", "fl_first", "fl_last")
 
   private def basicAggs = Seq(
     sum(col("value")).as("sum_v"),
     min(col("value")).as("min_v"),
     max(col("value")).as("max_v"),
-    count(col("value")).as("n_vals")) // non-null count — the avg/count(value) denominator
+    count(col("value")).as("n_vals"), // non-null count — the avg/count(value) denominator
+    // first/last partials: min/max over struct(time, value) IS the raw
+    // route's min_by/max_by on (time, value) — lexicographic struct
+    // ordering, value tiebreak included — and the struct min of day
+    // minima is the window's min, so first/last coarsen like min/max
+    min(struct(col("time").as("t"), col("value").as("v"))).as("fl_first"),
+    max(struct(col("time").as("t"), col("value").as("v"))).as("fl_last"))
 
   private def cellsOf(scan: DataFrame, ndvTags: Seq[String]): DataFrame = {
     // NDV cells are THETA sketches (lgK 12), the SAME estimator family —

@@ -1632,19 +1632,23 @@ object StreamOps {
             count(lit(1)).as("n_rows"),
             sum(col("value")).as("sum_v"),
             min(col("value")).as("min_v"), max(col("value")).as("max_v"),
-            count(col("value")).as("n_vals"))
+            count(col("value")).as("n_vals"),
+            min(struct(col("time").as("t"), col("value").as("v"))).as("fl_first"),
+            max(struct(col("time").as("t"), col("value").as("v"))).as("fl_last"))
           def mergeAggs = Seq(first(col("series")).as("series"),
             graft.functions.TDigest.mergeAgg(col("td")).as("td"),
             sum(col("n_rows")).as("n_rows"),
             sum(col("sum_v")).as("sum_v"),
             min(col("min_v")).as("min_v"), max(col("max_v")).as("max_v"),
-            sum(col("n_vals")).as("n_vals"))
+            sum(col("n_vals")).as("n_vals"),
+            min(col("fl_first")).as("fl_first"), max(col("fl_last")).as("fl_last"))
           val fresh = b
             .groupBy(col("series_id"),
               (col("time") - pmod(col("time"), lit(86400L))).as("day"))
             .agg(freshAggs.head, freshAggs.tail: _*)
             .select(col("series_id"), col("series"), col("td"), col("n_rows"),
-              col("sum_v"), col("min_v"), col("max_v"), col("n_vals"), col("day"))
+              col("sum_v"), col("min_v"), col("max_v"), col("n_vals"),
+              col("fl_first"), col("fl_last"), col("day"))
           // touched days: metadata-sized (bounded by the batch's day span)
           val days = fresh.select("day").distinct()
             .collect().map(_.getLong(0))
@@ -1665,10 +1669,11 @@ object StreamOps {
                   "SketchCells.refresh/build instead")
               // a pre-r14 store lacks the basic-aggregate partials;
               // merging would mix schemas across day partitions
-              require(Seq("sum_v", "min_v", "max_v", "n_vals")
+              require(Seq("sum_v", "min_v", "max_v", "n_vals", "fl_first", "fl_last")
                   .forall(cur.columns.contains),
                 "cell store lacks the basic-aggregate columns " +
-                  "(sum_v/min_v/max_v/n_vals) — rebuild via SketchCells.build")
+                  "(sum_v/min_v/max_v/n_vals/fl_first/fl_last) — rebuild " +
+                  "via SketchCells.build")
               cur.filter(col("day").isin(days.toSeq: _*)) // partition-pruned
                 .select(fresh.columns.map(col).toSeq: _*)
             }
@@ -1676,7 +1681,8 @@ object StreamOps {
             .groupBy(col("series_id"), col("day"))
             .agg(mergeAggs.head, mergeAggs.tail: _*)
             .select(col("series_id"), col("series"), col("td"), col("n_rows"),
-              col("sum_v"), col("min_v"), col("max_v"), col("n_vals"), col("day"))
+              col("sum_v"), col("min_v"), col("max_v"), col("n_vals"),
+              col("fl_first"), col("fl_last"), col("day"))
             // materialize BEFORE any overwrite — the plan reads the same
             // path it is about to replace, and staging must complete
             // before the first publish
@@ -1692,7 +1698,8 @@ object StreamOps {
               .agg(freshAggs.head, freshAggs.tail: _*)
               .select(col("series_id"), col("series"), col("tagval"),
                 col("td"), col("n_rows"),
-                col("sum_v"), col("min_v"), col("max_v"), col("n_vals"), col("day"))
+                col("sum_v"), col("min_v"), col("max_v"), col("n_vals"),
+              col("fl_first"), col("fl_last"), col("day"))
             val curCols = spark.read.parquet(tDir).columns
             // an NDV-extended tag tier (theta cells since r14) must not
             // be maintained by this td-only twin — selecting the td
@@ -1702,7 +1709,8 @@ object StreamOps {
               s"tdigestCellMaintenance maintains td-only tiers; tag tier " +
                 s"$tDir carries NDV cells — rebuild via " +
                 "SketchCells.refresh/build instead")
-            require(Seq("sum_v", "min_v", "max_v", "n_vals").forall(curCols.contains),
+            require(Seq("sum_v", "min_v", "max_v", "n_vals", "fl_first", "fl_last")
+                .forall(curCols.contains),
               s"tag cell tier $tDir lacks the basic-aggregate columns — " +
                 "rebuild via SketchCells.build")
             val curT = spark.read.parquet(tDir)
@@ -1713,7 +1721,8 @@ object StreamOps {
               .agg(mergeAggs.head, mergeAggs.tail: _*)
               .select(col("series_id"), col("series"), col("tagval"),
                 col("td"), col("n_rows"),
-                col("sum_v"), col("min_v"), col("max_v"), col("n_vals"), col("day"))
+                col("sum_v"), col("min_v"), col("max_v"), col("n_vals"),
+              col("fl_first"), col("fl_last"), col("day"))
               .localCheckpoint(true)
             (tDir, mergedT)
           }

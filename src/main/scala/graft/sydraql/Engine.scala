@@ -297,7 +297,7 @@ object Engine {
         if id.parts.length == 2 && id.parts.head.equalsIgnoreCase("tag") =>
         Some(Ndv(alias, id.parts(1)))
       case Ast.Projection(Ast.Call(fn, Seq(v: Ast.Ident)), Some(alias))
-        if Seq("avg", "sum", "min", "max").contains(fn) &&
+        if Seq("avg", "sum", "min", "max", "first", "last").contains(fn) &&
           v.full.equalsIgnoreCase("value") =>
         Some(Bas(alias, fn))
       case Ast.Projection(Ast.Call("count", Seq()), Some(alias)) =>
@@ -368,9 +368,17 @@ object Engine {
     // unserved) until it is rebuilt. The schema is already open (the
     // read above), so these checks cost no extra metadata round-trip.
     val basics = ps.collect { case Bas(_, k) => k }.toSet
-    if (basics.nonEmpty &&
-      !Seq("sum_v", "min_v", "max_v", "n_vals").forall(base.columns.contains))
-      return None
+    val needCols = basics.flatMap {
+      case "avg" => Seq("sum_v", "n_vals")
+      case "sum" => Seq("sum_v")
+      case "min" => Seq("min_v")
+      case "max" => Seq("max_v")
+      case "count_rows" => Seq("n_rows")
+      case "count_vals" => Seq("n_vals")
+      case "first" => Seq("fl_first")
+      case _ => Seq("fl_last")
+    }
+    if (!needCols.forall(base.columns.contains)) return None
     if (!ndvKeys.forall(j => base.columns.contains(s"theta_$j"))) return None
     // one merge aggregate carries every served blob and partial: the
     // t-digest (when any quantile is projected), one THETA union per
@@ -393,7 +401,11 @@ object Engine {
         (if (basics.contains("min")) Seq(org.apache.spark.sql.functions.min(col("min_v")).as("__min")) else Seq.empty) ++
         (if (basics.contains("max")) Seq(org.apache.spark.sql.functions.max(col("max_v")).as("__max")) else Seq.empty) ++
         (if (basics.contains("count_rows")) Seq(org.apache.spark.sql.functions.sum(col("n_rows")).as("__nr")) else Seq.empty) ++
-        (if (needNv) Seq(org.apache.spark.sql.functions.sum(col("n_vals")).as("__nv")) else Seq.empty)
+        (if (needNv) Seq(org.apache.spark.sql.functions.sum(col("n_vals")).as("__nv")) else Seq.empty) ++
+        // first/last: struct min/max of the day partials — the earliest
+        // day's earliest (time, value) IS the window's
+        (if (basics.contains("first")) Seq(org.apache.spark.sql.functions.min(col("fl_first")).as("__ff")) else Seq.empty) ++
+        (if (basics.contains("last")) Seq(org.apache.spark.sql.functions.max(col("fl_last")).as("__fl")) else Seq.empty)
     // group columns in declaration order: the bucket key is the same
     // floor expression the compiler emits for time_bucket, over the
     // cell's day — exact because step is a day multiple; the tag key is
@@ -420,6 +432,8 @@ object Engine {
       case Bas(a, "min") => col("__min").as(a)
       case Bas(a, "max") => col("__max").as(a)
       case Bas(a, "count_rows") => col("__nr").as(a)
+      case Bas(a, "first") => col("__ff").getField("v").as(a)
+      case Bas(a, "last") => col("__fl").getField("v").as(a)
       case Bas(a, _) => col("__nv").as(a) // count_vals
     }: _*)
     Some(if (s.orderBy.nonEmpty)

@@ -426,6 +426,14 @@ class PlanSpec extends AnyFunSuite {
     assert(mp.contains("sketchcells") && !mp.contains("segments"),
       "mixed projections must serve from cells:\n" + mp.take(800))
     assert(mdf.head().getDouble(1) === 7.5)
+    // first/last serve from the struct partials: days 1-2 run values
+    // 4..11 at times 4·21600..11·21600 — first 4.0, last 11.0
+    val (fldf, flp) = planOf(
+      "select first(value) as fv, last(value) as lv " +
+        s"from cpu where time >= 86400 and time < ${3 * 86400}")
+    assert(flp.contains("sketchcells") && !flp.contains("segments"),
+      "first/last must serve from cells:\n" + flp.take(800))
+    assert(fldf.head().getDouble(0) === 4.0 && fldf.head().getDouble(1) === 11.0)
     // a PRE-r14 cell store (no basic-partial columns) falls through to
     // raw for basic aggregates — correct, just unserved — while
     // quantiles keep serving from the remaining td blobs
