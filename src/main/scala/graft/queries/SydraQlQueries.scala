@@ -561,6 +561,34 @@ object SydraQlQueries {
               |       count(*) AS n
               |FROM pts GROUP BY bucket ORDER BY b""".stripMargin)),
 
+    // delta/rate served from the cell tier (r14): the null-skipping
+    // (time, value) extreme partials reconstruct orderedExtremes exactly
+    // — (last-first) and its time-span division per bucket from KB
+    // cells. Division rounds at 1e-4 on both sides (house discipline).
+    Q("q_sql_rollup_cells_rate",
+      (s, dir) => {
+        import org.apache.spark.sql.functions.{col, floor}
+        val hi = T0 + 4 * 86400
+        val store = eventsStore(s, dir, T0, hi)
+        graft.storage.SketchCells.build(store, graft.storage.SketchCells.dirFor(store))
+        Engine.executeOnStore(store,
+          s"select time_bucket(172800, time) as b, rate(value) as rate_v, " +
+            s"delta(value) as delta_v " +
+            s"from error where time >= $T0 and time < $hi " +
+            s"group by time_bucket(172800, time) order by b",
+          CompileOptions(now = NOW)).df
+          .select(col("b"),
+            (floor(col("rate_v") * 1e4 + 0.5) / 1e4).as("rate_v"),
+            (floor(col("delta_v") * 1e4 + 0.5) / 1e4).as("delta_v"))
+      },
+      Some(s"""${ptsSql(172800L, "error", T0, T0 + 4 * 86400)}
+              |SELECT bucket AS b,
+              |       floor((CASE WHEN cnt >= 2 AND max(time) - min(time) > 0
+              |             THEN (min(CASE WHEN rn_d = 1 THEN value END) - min(CASE WHEN rn_a = 1 THEN value END))
+              |                  / (max(time) - min(time)) END) * 1e4 + 0.5) / 1e4 AS rate_v,
+              |       floor((min(CASE WHEN rn_d = 1 THEN value END) - min(CASE WHEN rn_a = 1 THEN value END)) * 1e4 + 0.5) / 1e4 AS delta_v
+              |FROM pts GROUP BY bucket, cnt ORDER BY b""".stripMargin)),
+
     // Descending ORDER BY on a served shape (r14): `order by usr desc`
     // previously fell through to a raw rescan; descending sort of the
     // SERVED frame is trivially equivalent, so the tag tier serves it

@@ -60,8 +60,8 @@ object SketchCells {
     * serving; the sketch columns served only the approximate half until
     * now.
     */
-  private[graft] val basicCols =
-    Seq("sum_v", "min_v", "max_v", "n_vals", "fl_first", "fl_last")
+  private[graft] val basicCols = Seq("sum_v", "min_v", "max_v", "n_vals",
+    "fl_first", "fl_last", "nn_first", "nn_last")
 
   private def basicAggs = Seq(
     sum(col("value")).as("sum_v"),
@@ -71,9 +71,17 @@ object SketchCells {
     // first/last partials: min/max over struct(time, value) IS the raw
     // route's min_by/max_by on (time, value) — lexicographic struct
     // ordering, value tiebreak included — and the struct min of day
-    // minima is the window's min, so first/last coarsen like min/max
+    // minima is the window's min, so first/last coarsen like min/max.
+    // Two variants because the language's aggregates disagree on nulls:
+    // first()/last() rank null-valued rows (fl_*), delta()/rate() skip
+    // them (nn_*, the orderedExtremes contract) — serving must be
+    // raw-route-exact on EITHER, whatever the store holds
     min(struct(col("time").as("t"), col("value").as("v"))).as("fl_first"),
-    max(struct(col("time").as("t"), col("value").as("v"))).as("fl_last"))
+    max(struct(col("time").as("t"), col("value").as("v"))).as("fl_last"),
+    min(when(col("value").isNotNull,
+      struct(col("time").as("t"), col("value").as("v")))).as("nn_first"),
+    max(when(col("value").isNotNull,
+      struct(col("time").as("t"), col("value").as("v")))).as("nn_last"))
 
   private def cellsOf(scan: DataFrame, ndvTags: Seq[String]): DataFrame = {
     // NDV cells are THETA sketches (lgK 12), the SAME estimator family —

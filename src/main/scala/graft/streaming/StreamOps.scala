@@ -1634,21 +1634,27 @@ object StreamOps {
             min(col("value")).as("min_v"), max(col("value")).as("max_v"),
             count(col("value")).as("n_vals"),
             min(struct(col("time").as("t"), col("value").as("v"))).as("fl_first"),
-            max(struct(col("time").as("t"), col("value").as("v"))).as("fl_last"))
+            max(struct(col("time").as("t"), col("value").as("v"))).as("fl_last"),
+            min(when(col("value").isNotNull,
+              struct(col("time").as("t"), col("value").as("v")))).as("nn_first"),
+            max(when(col("value").isNotNull,
+              struct(col("time").as("t"), col("value").as("v")))).as("nn_last"))
           def mergeAggs = Seq(first(col("series")).as("series"),
             graft.functions.TDigest.mergeAgg(col("td")).as("td"),
             sum(col("n_rows")).as("n_rows"),
             sum(col("sum_v")).as("sum_v"),
             min(col("min_v")).as("min_v"), max(col("max_v")).as("max_v"),
             sum(col("n_vals")).as("n_vals"),
-            min(col("fl_first")).as("fl_first"), max(col("fl_last")).as("fl_last"))
+            min(col("fl_first")).as("fl_first"), max(col("fl_last")).as("fl_last"),
+            min(col("nn_first")).as("nn_first"), max(col("nn_last")).as("nn_last"))
           val fresh = b
             .groupBy(col("series_id"),
               (col("time") - pmod(col("time"), lit(86400L))).as("day"))
             .agg(freshAggs.head, freshAggs.tail: _*)
             .select(col("series_id"), col("series"), col("td"), col("n_rows"),
               col("sum_v"), col("min_v"), col("max_v"), col("n_vals"),
-              col("fl_first"), col("fl_last"), col("day"))
+              col("fl_first"), col("fl_last"),
+              col("nn_first"), col("nn_last"), col("day"))
           // touched days: metadata-sized (bounded by the batch's day span)
           val days = fresh.select("day").distinct()
             .collect().map(_.getLong(0))
@@ -1669,11 +1675,10 @@ object StreamOps {
                   "SketchCells.refresh/build instead")
               // a pre-r14 store lacks the basic-aggregate partials;
               // merging would mix schemas across day partitions
-              require(Seq("sum_v", "min_v", "max_v", "n_vals", "fl_first", "fl_last")
-                  .forall(cur.columns.contains),
-                "cell store lacks the basic-aggregate columns " +
-                  "(sum_v/min_v/max_v/n_vals/fl_first/fl_last) — rebuild " +
-                  "via SketchCells.build")
+              require(Seq("sum_v", "min_v", "max_v", "n_vals", "fl_first",
+                  "fl_last", "nn_first", "nn_last").forall(cur.columns.contains),
+                "cell store lacks the r14 basic-aggregate partial columns — " +
+                  "rebuild via SketchCells.build")
               cur.filter(col("day").isin(days.toSeq: _*)) // partition-pruned
                 .select(fresh.columns.map(col).toSeq: _*)
             }
@@ -1682,7 +1687,8 @@ object StreamOps {
             .agg(mergeAggs.head, mergeAggs.tail: _*)
             .select(col("series_id"), col("series"), col("td"), col("n_rows"),
               col("sum_v"), col("min_v"), col("max_v"), col("n_vals"),
-              col("fl_first"), col("fl_last"), col("day"))
+              col("fl_first"), col("fl_last"),
+              col("nn_first"), col("nn_last"), col("day"))
             // materialize BEFORE any overwrite — the plan reads the same
             // path it is about to replace, and staging must complete
             // before the first publish
@@ -1699,7 +1705,8 @@ object StreamOps {
               .select(col("series_id"), col("series"), col("tagval"),
                 col("td"), col("n_rows"),
                 col("sum_v"), col("min_v"), col("max_v"), col("n_vals"),
-              col("fl_first"), col("fl_last"), col("day"))
+              col("fl_first"), col("fl_last"),
+              col("nn_first"), col("nn_last"), col("day"))
             val curCols = spark.read.parquet(tDir).columns
             // an NDV-extended tag tier (theta cells since r14) must not
             // be maintained by this td-only twin — selecting the td
@@ -1709,10 +1716,10 @@ object StreamOps {
               s"tdigestCellMaintenance maintains td-only tiers; tag tier " +
                 s"$tDir carries NDV cells — rebuild via " +
                 "SketchCells.refresh/build instead")
-            require(Seq("sum_v", "min_v", "max_v", "n_vals", "fl_first", "fl_last")
-                .forall(curCols.contains),
-              s"tag cell tier $tDir lacks the basic-aggregate columns — " +
-                "rebuild via SketchCells.build")
+            require(Seq("sum_v", "min_v", "max_v", "n_vals", "fl_first",
+                "fl_last", "nn_first", "nn_last").forall(curCols.contains),
+              s"tag cell tier $tDir lacks the r14 basic-aggregate partial " +
+                "columns — rebuild via SketchCells.build")
             val curT = spark.read.parquet(tDir)
               .filter(col("day").isin(days.toSeq: _*)) // partition-pruned
               .select(freshT.columns.map(col).toSeq: _*)
@@ -1722,7 +1729,8 @@ object StreamOps {
               .select(col("series_id"), col("series"), col("tagval"),
                 col("td"), col("n_rows"),
                 col("sum_v"), col("min_v"), col("max_v"), col("n_vals"),
-              col("fl_first"), col("fl_last"), col("day"))
+              col("fl_first"), col("fl_last"),
+              col("nn_first"), col("nn_last"), col("day"))
               .localCheckpoint(true)
             (tDir, mergedT)
           }

@@ -297,8 +297,8 @@ object Engine {
         if id.parts.length == 2 && id.parts.head.equalsIgnoreCase("tag") =>
         Some(Ndv(alias, id.parts(1)))
       case Ast.Projection(Ast.Call(fn, Seq(v: Ast.Ident)), Some(alias))
-        if Seq("avg", "sum", "min", "max", "first", "last").contains(fn) &&
-          v.full.equalsIgnoreCase("value") =>
+        if Seq("avg", "sum", "min", "max", "first", "last",
+          "delta", "rate").contains(fn) && v.full.equalsIgnoreCase("value") =>
         Some(Bas(alias, fn))
       case Ast.Projection(Ast.Call("count", Seq()), Some(alias)) =>
         Some(Bas(alias, "count_rows"))
@@ -376,7 +376,8 @@ object Engine {
       case "count_rows" => Seq("n_rows")
       case "count_vals" => Seq("n_vals")
       case "first" => Seq("fl_first")
-      case _ => Seq("fl_last")
+      case "last" => Seq("fl_last")
+      case _ => Seq("nn_first", "nn_last", "n_vals") // delta / rate
     }
     if (!needCols.forall(base.columns.contains)) return None
     if (!ndvKeys.forall(j => base.columns.contains(s"theta_$j"))) return None
@@ -389,7 +390,8 @@ object Engine {
     // basic partials actually requested (sum of day sums, min of day
     // mins, max of day maxes, row/non-null counts add)
     val needSum = basics.contains("avg") || basics.contains("sum")
-    val needNv = basics.contains("avg") || basics.contains("count_vals")
+    val needRate = basics.contains("delta") || basics.contains("rate")
+    val needNv = basics.contains("avg") || basics.contains("count_vals") || needRate
     val aggs =
       (if (ps.exists(_.isInstanceOf[Quant]))
         Seq(graft.functions.TDigest.mergeAgg(col("td")).as("__td"))
@@ -405,7 +407,12 @@ object Engine {
         // first/last: struct min/max of the day partials — the earliest
         // day's earliest (time, value) IS the window's
         (if (basics.contains("first")) Seq(org.apache.spark.sql.functions.min(col("fl_first")).as("__ff")) else Seq.empty) ++
-        (if (basics.contains("last")) Seq(org.apache.spark.sql.functions.max(col("fl_last")).as("__fl")) else Seq.empty)
+        (if (basics.contains("last")) Seq(org.apache.spark.sql.functions.max(col("fl_last")).as("__fl")) else Seq.empty) ++
+        // delta/rate read the null-skipping extremes (orderedExtremes
+        // parity); subtractions of exact point values — bit-exact vs raw
+        (if (needRate) Seq(
+          org.apache.spark.sql.functions.min(col("nn_first")).as("__nnf"),
+          org.apache.spark.sql.functions.max(col("nn_last")).as("__nnl")) else Seq.empty)
     // group columns in declaration order: the bucket key is the same
     // floor expression the compiler emits for time_bucket, over the
     // cell's day — exact because step is a day multiple; the tag key is
@@ -434,6 +441,15 @@ object Engine {
       case Bas(a, "count_rows") => col("__nr").as(a)
       case Bas(a, "first") => col("__ff").getField("v").as(a)
       case Bas(a, "last") => col("__fl").getField("v").as(a)
+      case Bas(a, "delta") =>
+        org.apache.spark.sql.functions.when(col("__nv") >= 1,
+          col("__nnl").getField("v") - col("__nnf").getField("v")).as(a)
+      case Bas(a, "rate") => {
+        val dt = col("__nnl").getField("t") - col("__nnf").getField("t")
+        org.apache.spark.sql.functions.when(col("__nv") >= 2 && dt > 0,
+          (col("__nnl").getField("v") - col("__nnf").getField("v")) /
+            dt.cast("double")).as(a)
+      }
       case Bas(a, _) => col("__nv").as(a) // count_vals
     }: _*)
     Some(if (s.orderBy.nonEmpty)

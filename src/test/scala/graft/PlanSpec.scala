@@ -434,6 +434,15 @@ class PlanSpec extends AnyFunSuite {
     assert(flp.contains("sketchcells") && !flp.contains("segments"),
       "first/last must serve from cells:\n" + flp.take(800))
     assert(fldf.head().getDouble(0) === 4.0 && fldf.head().getDouble(1) === 11.0)
+    // delta/rate from the null-skipping extremes: values 4..11 over
+    // 7 × 21600 s → delta 7, rate 7/151200 (bit-exact vs the raw route)
+    val (drdf, drp) = planOf(
+      "select delta(value) as dv, rate(value) as rv " +
+        s"from cpu where time >= 86400 and time < ${3 * 86400}")
+    assert(drp.contains("sketchcells") && !drp.contains("segments"),
+      "delta/rate must serve from cells:\n" + drp.take(800))
+    assert(drdf.head().getDouble(0) === 7.0 &&
+      drdf.head().getDouble(1) === 7.0 / 151200.0)
     // a PRE-r14 cell store (no basic-partial columns) falls through to
     // raw for basic aggregates — correct, just unserved — while
     // quantiles keep serving from the remaining td blobs
