@@ -627,6 +627,102 @@ object SydraQlQueries {
               |FROM sv WHERE series = 'error' AND time >= $T0 AND time < ${T0 + 2 * 86400}
               |GROUP BY tag_user ORDER BY usr DESC""".stripMargin)),
 
+    // RAGGED-window hybrid serving (r14): bounds that don't align to day
+    // boundaries previously fell through to a raw rescan of the WHOLE
+    // window. Now the interior whole days come from cells and only the
+    // sub-day edges are aggregated from the hour-pruned raw scan into the
+    // same mergeable partials (Engine.sketchServed's edgePartials), so a
+    // 90-day dashboard window starting mid-afternoon reads ~89 KB cells +
+    // ≤48 raw hours. Exact aggregates stay EXACT through the hybrid —
+    // this gate hash-pins them against the raw-route oracle on a window
+    // with a 1 h leading and 2 h trailing edge (PlanSpec pins both the
+    // cell path AND the edge-houred segments scan).
+    Q("q_sql_rollup_cells_ragged",
+      (s, dir) => {
+        import org.apache.spark.sql.functions.{col, floor}
+        val lo = T0 + 3600
+        val hi = T0 + 4 * 86400 - 7200
+        val store = eventsStore(s, dir, T0, T0 + 4 * 86400)
+        graft.storage.SketchCells.build(store, graft.storage.SketchCells.dirFor(store))
+        Engine.executeOnStore(store,
+          s"select avg(value) as avg_v, sum(value) as sum_val, " +
+            s"count() as n, count(value) as nv, " +
+            s"min(value) as min_val, max(value) as max_val, last(value) as lv " +
+            s"from error where time >= $lo and time < $hi",
+          CompileOptions(now = NOW)).df
+          .select((floor(col("avg_v") * 1e4 + 0.5) / 1e4).as("avg_v"),
+            (floor(col("sum_val") * 1e4 + 0.5) / 1e4).as("sum_val"),
+            col("n"), col("nv"), col("min_val"), col("max_val"), col("lv"))
+      },
+      Some(s"""${ptsSql(1000000000L, "error", T0 + 3600, T0 + 4 * 86400 - 7200)}
+              |SELECT floor((avg(value)) * 1e4 + 0.5) / 1e4 AS avg_v,
+              |       floor((sum(value)) * 1e4 + 0.5) / 1e4 AS sum_val,
+              |       count(*) AS n, count(value) AS nv,
+              |       min(value) AS min_val, max(value) AS max_val,
+              |       min(CASE WHEN rn_d = 1 THEN value END) AS lv
+              |FROM pts""".stripMargin)),
+
+    // Ragged hybrid × bucket grouping: the edge partials carry their
+    // day, and a day-multiple bucket of a day is the bucket of every
+    // row in it, so edge rows land in exactly the raw route's boundary
+    // buckets. Per-bucket counts pin the hybrid's row accounting
+    // exactly; per-bucket p50 keeps the bounds contract.
+    Q("q_sql_sketch_cells_ragged",
+      (s, dir) => {
+        import org.apache.spark.sql.functions.{col, lit}
+        val lo = T0 + 3600
+        val hi = T0 + 4 * 86400 - 3600
+        val store = eventsStore(s, dir, T0, T0 + 4 * 86400)
+        graft.storage.SketchCells.build(store, graft.storage.SketchCells.dirFor(store))
+        val df = Engine.executeOnStore(store,
+          s"select time_bucket(86400, time) as b, " +
+            s"percentile_approx(value, 0.5) as p50a, count() as n " +
+            s"from error where time >= $lo and time < $hi " +
+            s"group by time_bucket(86400, time) order by b",
+          CompileOptions(now = NOW)).df
+        val bounds = store.source()
+          .filter(col("series") === "error" && col("time") >= lo && col("time") < hi)
+          .groupBy(graft.core.Functions.timeBucket(lit(86400L), col("time")).as("b"))
+          .agg(percentile(col("value"), array(lit(0.45), lit(0.55), lit(0.5))).as("__q"))
+          .select(col("b"), element_at(col("__q"), 1).as("lo50"),
+            element_at(col("__q"), 2).as("hi50"),
+            (floor(element_at(col("__q"), 3) * 1e4 + 0.5) / 1e4).as("p50_exact"))
+        df.join(bounds, "b")
+          .select(col("b"), col("p50_exact"), col("n"),
+            (col("p50a") >= col("lo50") && col("p50a") <= col("hi50")).as("p50_ok"))
+          .orderBy("b")
+      },
+      Some(s"""$svSql
+              |SELECT CAST(time // 86400 * 86400 AS BIGINT) AS b,
+              |       floor((quantile_cont(value, 0.5)) * 1e4 + 0.5) / 1e4 AS p50_exact,
+              |       count(*) AS n, true AS p50_ok
+              |FROM sv WHERE series = 'error' AND time >= ${T0 + 3600} AND time < ${T0 + 4 * 86400 - 3600}
+              |GROUP BY 1 ORDER BY b""".stripMargin)),
+
+    // All-series (FROM-less) serving (r14): the fleet-wide dashboard
+    // shape — no selector — merges cells ACROSS series, so "avg over
+    // everything this week" reads day-pruned KB cells instead of every
+    // series' raw points. Exact aggregates hash-pinned against the
+    // unfiltered raw oracle.
+    Q("q_sql_rollup_cells_all",
+      (s, dir) => {
+        import org.apache.spark.sql.functions.{col, floor}
+        val hi = T0 + 2 * 86400
+        val store = eventsStore(s, dir, T0, hi)
+        graft.storage.SketchCells.build(store, graft.storage.SketchCells.dirFor(store))
+        Engine.executeOnStore(store,
+          s"select avg(value) as avg_v, count() as n, " +
+            s"min(value) as min_val, max(value) as max_val " +
+            s"where time >= $T0 and time < $hi",
+          CompileOptions(now = NOW)).df
+          .select((floor(col("avg_v") * 1e4 + 0.5) / 1e4).as("avg_v"),
+            col("n"), col("min_val"), col("max_val"))
+      },
+      Some(s"""$svSql
+              |SELECT floor((avg(value)) * 1e4 + 0.5) / 1e4 AS avg_v,
+              |       count(*) AS n, min(value) AS min_val, max(value) AS max_val
+              |FROM sv WHERE time >= $T0 AND time < ${T0 + 2 * 86400}""".stripMargin)),
+
     sq("q_sql_minmax_fl",
       s"select min(value) as mn, max(value) as mx, first(value) as fv, last(value) as lv " +
         s"from error where time >= $T0 and time < $T1",

@@ -195,16 +195,27 @@ object Engine {
     *    tag.k` serves too (a pre-r14 tag tier without them falls
     *    through); ORDER BY at most the group keys, ascending or
     *    descending (r14); no FILL;
-    *  - WHERE is exactly `time >= LO and time < HI` with DAY-ALIGNED
-    *    literal bounds (cells are day-granular — a misaligned window
-    *    cannot be assembled from them and falls through to raw);
-    *  - the selector is `by_id()` or a series name (the cell store keys).
+    *  - WHERE is exactly `time >= LO and time < HI` with literal bounds.
+    *    Day-aligned bounds read cells alone; RAGGED bounds (r14) serve
+    *    HYBRID — interior whole days from cells, the sub-day edges from
+    *    an hour-partition-pruned raw scan aggregated into the SAME
+    *    mergeable partial shapes (digest/theta/sum/min/max/counts/struct
+    *    extremes) and unioned before the one merge aggregate, so a 90-day
+    *    dashboard window starting mid-afternoon reads ~89 cell rows plus
+    *    at most 48 raw HOURS instead of 90 raw days. A window with no
+    *    whole interior day falls through to raw (the hybrid would be all
+    *    edge);
+    *  - the selector is `by_id()`, a series name (the cell store keys),
+    *    or ABSENT (r14): cells merge across series, so the fleet-wide
+    *    dashboard shape serves from the same day-pruned blobs.
     * The served plan reads ONLY the probed days' cell partitions
     * (PlanSpec pins the PartitionFilters) and merges KB blobs — never
-    * the raw points. Estimates come from merged day digests rather than
-    * one whole-window digest: both satisfy the same t-digest error
-    * contract, which is what the sketch gates pin (the same reason the
-    * at-rest tier q_ts_tdigest is correct).
+    * the raw points (edge hours excepted, pinned too). Estimates come
+    * from merged day digests rather than one whole-window digest: both
+    * satisfy the same t-digest error contract, which is what the sketch
+    * gates pin (the same reason the at-rest tier q_ts_tdigest is
+    * correct); edge digests/thetas are built by the raw route's own
+    * aggregators, so the hybrid never mixes estimator families.
     */
   private def sketchServed(store: graft.storage.SeriesStore,
       s: Ast.Select): Option[DataFrame] = {
@@ -213,7 +224,7 @@ object Engine {
     val spark = store.spark
     val dir = SketchCells.dirFor(store)
     if (s.fill.isDefined) return None
-    if (s.from.isEmpty || !SketchCells.exists(spark, dir)) return None
+    if (!SketchCells.exists(spark, dir)) return None
     // group keys: none (one global row), exactly
     // `time_bucket(<day-multiple literal>, time)` — a step the day cells
     // coarsen into exactly (every day maps wholly into one step bucket) —
@@ -244,8 +255,9 @@ object Engine {
       ks
     }
     // WHERE must be exactly one `time >= LO` and one `time < HI` conjunct
-    // with day-aligned literals — in EITHER order (r14; dashboards emit
-    // both). Any other conjunct means the cells can't answer → raw route.
+    // with literal bounds — in EITHER order (r14; dashboards emit both).
+    // Alignment is NOT required (ragged bounds serve hybrid below); any
+    // other conjunct means the cells can't answer → raw route.
     val bounds: Option[(Long, Long)] = {
       def conj(e: Ast.Expr): Seq[Ast.Expr] = e match {
         case Ast.Binary(Ast.And, l, r) => conj(l) ++ conj(r)
@@ -262,8 +274,7 @@ object Engine {
         case _ => ok = false
       }
       (lo, hi) match {
-        case (Some(l), Some(h))
-          if ok && l % 86400L == 0 && h % 86400L == 0 && l < h => Some((l, h))
+        case (Some(l), Some(h)) if ok && l < h => Some((l, h))
         case _ => None
       }
     }
@@ -350,18 +361,29 @@ object Engine {
     }
     if (orderCols.isEmpty) return None
     val (l, h) = bounds.get
-    val sel = s.from.get match {
+    // hybrid window split (r14): whole days [dLo, dHi) come from cells;
+    // the ragged sub-day edges [l, dLo) and [dHi, h) come from an
+    // hour-pruned raw scan, aggregated into the same partial shapes and
+    // unioned before the merge. No whole interior day → all edge → raw
+    // route (nothing for the cells to save).
+    val dLo = if (Math.floorMod(l, 86400L) == 0L) l
+      else l - Math.floorMod(l, 86400L) + 86400L
+    val dHi = h - Math.floorMod(h, 86400L)
+    if (dLo >= dHi) return None
+    // selector: by_id / name filter cells AND edge rows identically; an
+    // absent selector (r14) is the fleet-wide shape — cells merge across
+    // series, so no filter at all
+    val sel: Option[org.apache.spark.sql.Column] = s.from.map {
       case Ast.ById(id) => col("series_id") === id
       case Ast.ByName(n) => col("series") === n
     }
-    def dayPruned(df: DataFrame): DataFrame =
-      df.filter(sel && col("day") >= l && col("day") < h)
+    def selFiltered(df: DataFrame): DataFrame = sel.fold(df)(df.filter)
     // any tag grouping reads the tag tier (per-(series, day, value)
     // digests); otherwise the td table (which also carries theta cells)
-    val base = tagKeyOpt match {
-      case Some(k) => dayPruned(SketchCells.readTag(spark, dir, k))
-      case None => dayPruned(SketchCells.read(spark, dir))
-    }
+    val base = selFiltered(tagKeyOpt match {
+      case Some(k) => SketchCells.readTag(spark, dir, k)
+      case None => SketchCells.read(spark, dir)
+    }).filter(col("day") >= dLo && col("day") < dHi)
     // basic aggregates need the r14 mergeable-partial columns and NDV
     // projections need their theta cells IN THIS TABLE; a store predating
     // either lacks them — fall through to the raw route (correct, just
@@ -424,9 +446,57 @@ object Engine {
         graft.core.Functions.timeBucket(lit(st), col("day")).as(grpAliases(k))
       case k @ TagG(_, _) => col("tagval").as(grpAliases(k))
     }
+    // the columns the merge aggregate actually reads — both tiers of the
+    // hybrid project exactly these, so the union stays KB-sized
+    val aggInputCols: Seq[String] =
+      (if (ps.exists(_.isInstanceOf[Quant])) Seq("td") else Seq.empty) ++
+        ndvKeys.map(k => s"theta_$k") ++ needCols.toSeq.sorted
+    val readCols = Seq("day") ++ tagKeyOpt.map(_ => "tagval").toSeq ++ aggInputCols
+    // ragged-edge partials (r14): aggregate each sub-day edge of the
+    // window from the hour-pruned raw scan into the SAME partial shapes
+    // the cells carry — built by the raw route's own aggregators
+    // (TDigest.agg / ThetaSketch.agg / sum / min / max / counts / struct
+    // extremes), so merging them with cell blobs never mixes estimator
+    // families. One partial row per (day [, tag value]) per edge — KB.
+    def edgePartials(elo: Long, ehi: Long): DataFrame = {
+      import org.apache.spark.sql.functions.{count, max, min, pmod, struct, sum, when}
+      // time is integer seconds and scanRange bounds are inclusive, so
+      // [elo, ehi) is scanRange(elo, ehi - 1) — hour_bucket pruned
+      val raw = selFiltered(store.scanRange(elo, ehi - 1))
+      val eAggs: Seq[org.apache.spark.sql.Column] =
+        (if (ps.exists(_.isInstanceOf[Quant]))
+          Seq(graft.functions.TDigest.agg(col("value")).as("td"))
+        else Seq.empty) ++
+          ndvKeys.map(k => graft.functions.ThetaSketch.agg(
+            org.apache.spark.sql.functions.try_element_at(
+              col("tags"), lit(k)).cast("string")).as(s"theta_$k")) ++
+          needCols.toSeq.sorted.map {
+            case "sum_v" => sum(col("value")).as("sum_v")
+            case "min_v" => min(col("value")).as("min_v")
+            case "max_v" => max(col("value")).as("max_v")
+            case "n_rows" => count(lit(1)).as("n_rows")
+            case "n_vals" => count(col("value")).as("n_vals")
+            case "fl_first" =>
+              min(struct(col("time").as("t"), col("value").as("v"))).as("fl_first")
+            case "fl_last" =>
+              max(struct(col("time").as("t"), col("value").as("v"))).as("fl_last")
+            case "nn_first" => min(when(col("value").isNotNull,
+              struct(col("time").as("t"), col("value").as("v")))).as("nn_first")
+            case "nn_last" => max(when(col("value").isNotNull,
+              struct(col("time").as("t"), col("value").as("v")))).as("nn_last")
+          }
+      val gcols = Seq((col("time") - pmod(col("time"), lit(86400L))).as("day")) ++
+        tagKeyOpt.map(k => org.apache.spark.sql.functions.try_element_at(
+          col("tags"), lit(k)).as("tagval")).toSeq
+      raw.groupBy(gcols: _*).agg(eAggs.head, eAggs.tail: _*)
+        .select(readCols.map(col): _*)
+    }
+    val edges = Seq((l, dLo), (dHi, h)).filter { case (a, b) => a < b }
+    val unioned = edges.map { case (a, b) => edgePartials(a, b) }
+      .foldLeft(base.select(readCols.map(col): _*))(_.unionByName(_))
     val merged =
-      if (groupCols.isEmpty) base.agg(aggs.head, aggs.tail: _*)
-      else base.groupBy(groupCols: _*).agg(aggs.head, aggs.tail: _*)
+      if (groupCols.isEmpty) unioned.agg(aggs.head, aggs.tail: _*)
+      else unioned.groupBy(groupCols: _*).agg(aggs.head, aggs.tail: _*)
     val out = merged.select(ps.map {
       case Grp(a, _) => col(a)
       case Quant(a, p) => graft.functions.TDigest.quantileOf(col("__td"), p).as(a)

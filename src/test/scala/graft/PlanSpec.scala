@@ -363,11 +363,34 @@ class PlanSpec extends AnyFunSuite {
     // the estimate agrees with the raw route's error contract: exact p50
     // of days 1-2 values (4..11) is 7.5; the digest over 8 points is exact
     assert(df.head().getDouble(0) === 7.5)
-    // HOUR-aligned (not day-aligned) window → cannot be assembled from
-    // day cells → falls through to the raw scan route
-    val (_, praw) = planOf(
+    // HOUR-aligned (not day-aligned) window → HYBRID (r14): the interior
+    // whole day [172800, 259200) comes from cells, the ragged leading
+    // edge [90000, 172800) from an hour-pruned raw scan aggregated into
+    // the same partial shapes — the plan carries BOTH paths, and the
+    // segments scan is hour_bucket-pruned to the edge
+    val (hdf, praw) = planOf(
       s"select percentile_approx(value, 0.5) as p50a from cpu where time >= ${86400 + 3600} and time < ${3 * 86400}")
-    assert(praw.contains("segments"), "misaligned window must read raw:\n" + praw.take(800))
+    assert(praw.contains("sketchcells") && praw.contains("segments"),
+      "ragged window must serve hybrid (cells + edge scan):\n" + praw.take(1200))
+    val epf = praw.linesIterator.filter(_.contains("PartitionFilters"))
+      .find(_.contains("hour_bucket")).getOrElse("")
+    assert(epf.nonEmpty, s"edge scan must be hour_bucket-pruned:\n$praw")
+    // points i*21600 for i in 5..11 survive the window: p50 of 5..11 = 8
+    // (7 points — the digest is exact), bit-equal to the raw route
+    assert(hdf.head().getDouble(0) === 8.0)
+    // a ragged window with NO whole interior day (all edge) → raw route
+    val (_, nid) = planOf(
+      s"select percentile_approx(value, 0.5) as p50a from cpu where time >= 3600 and time < 90000")
+    assert(nid.contains("segments") && !nid.contains("sketchcells"),
+      "a window with no interior day must fall through to raw:\n" + nid.take(800))
+    // all-series (FROM-less) shape serves from cells alone (r14): the
+    // fleet-wide dashboard merge across series — here one series, but the
+    // plan must be cells-only and the bounds must prune
+    val (sdf, sp) = planOf(
+      s"select avg(value) as av, count() as n where time >= 86400 and time < ${3 * 86400}")
+    assert(sp.contains("sketchcells") && !sp.contains("segments"),
+      "all-series day-aligned window must serve cells-only:\n" + sp.take(800))
+    assert(sdf.head().getDouble(0) === 7.5 && sdf.head().getLong(1) === 8L)
     // r14: the REVERSED conjunct order (`time < HI and time >= LO`) is the
     // same day-aligned window — must serve, not fall through
     val (rdf, rp) = planOf(
