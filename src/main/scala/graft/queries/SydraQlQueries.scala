@@ -699,6 +699,32 @@ object SydraQlQueries {
               |FROM sv WHERE series = 'error' AND time >= ${T0 + 3600} AND time < ${T0 + 4 * 86400 - 3600}
               |GROUP BY 1 ORDER BY b""".stripMargin)),
 
+    // LIMIT/OFFSET on a served shape (r14 FIX): the serving path
+    // previously dropped them — `… order by b limit 2` returned every
+    // bucket. Now they apply to the served frame when the ORDER BY is a
+    // total order over the group keys (unique rows per key → the raw
+    // route's exact rows), compiler application order (offset, then
+    // limit); a partial order falls through to raw. "Latest 2 days'
+    // averages" is the dashboard top-N staple.
+    Q("q_sql_rollup_cells_limit",
+      (s, dir) => {
+        import org.apache.spark.sql.functions.{col, floor}
+        val hi = T0 + 4 * 86400
+        val store = eventsStore(s, dir, T0, hi)
+        graft.storage.SketchCells.build(store, graft.storage.SketchCells.dirFor(store))
+        Engine.executeOnStore(store,
+          s"select time_bucket(172800, time) as b, avg(value) as avg_v " +
+            s"from error where time >= $T0 and time < $hi " +
+            s"group by time_bucket(172800, time) order by b desc limit 2 offset 1",
+          CompileOptions(now = NOW)).df
+          .select(col("b"), (floor(col("avg_v") * 1e4 + 0.5) / 1e4).as("avg_v"))
+      },
+      Some(s"""$svSql
+              |SELECT CAST(time // 172800 * 172800 AS BIGINT) AS b,
+              |       floor((avg(value)) * 1e4 + 0.5) / 1e4 AS avg_v
+              |FROM sv WHERE series = 'error' AND time >= $T0 AND time < ${T0 + 4 * 86400}
+              |GROUP BY 1 ORDER BY b DESC LIMIT 2 OFFSET 1""".stripMargin)),
+
     // All-series (FROM-less) serving (r14): the fleet-wide dashboard
     // shape — no selector — merges cells ACROSS series, so "avg over
     // everything this week" reads day-pruned KB cells instead of every

@@ -194,7 +194,11 @@ object Engine {
     *    store's theta NDV cells since r14, so `ndv(tag.j) GROUP BY
     *    tag.k` serves too (a pre-r14 tag tier without them falls
     *    through); ORDER BY at most the group keys, ascending or
-    *    descending (r14); no FILL;
+    *    descending (r14); LIMIT/OFFSET serve only under a TOTAL order
+    *    (no group keys, or ORDER BY covering every group key — applied
+    *    to the served frame in the compiler's offset-then-limit order;
+    *    a partial order's tie-breaking belongs to the raw route); no
+    *    FILL;
     *  - WHERE is exactly `time >= LO and time < HI` with literal bounds.
     *    Day-aligned bounds read cells alone; RAGGED bounds (r14) serve
     *    HYBRID — interior whole days from cells, the sub-day edges from
@@ -360,6 +364,18 @@ object Engine {
       else Some(resolved.flatten)
     }
     if (orderCols.isEmpty) return None
+    // LIMIT/OFFSET (r14 fix — they were silently DROPPED on served
+    // shapes): applying them to the served frame equals the raw route
+    // only when the result order is TOTAL — one row (no group keys) or
+    // an ORDER BY covering every group key (result rows are unique per
+    // key combination). A partial order leaves tie-breaking to the
+    // engine, so which rows a LIMIT keeps is plan-dependent — fall
+    // through and let the raw route own that semantics.
+    if (s.limit.isDefined || s.offset.isDefined) {
+      val totalOrder = groupKeys.isEmpty ||
+        orderCols.exists(_.length == groupKeys.length)
+      if (!totalOrder) return None
+    }
     val (l, h) = bounds.get
     // hybrid window split (r14): whole days [dLo, dHi) come from cells;
     // the ragged sub-day edges [l, dLo) and [dHi, h) come from an
@@ -522,10 +538,14 @@ object Engine {
       }
       case Bas(a, _) => col("__nv").as(a) // count_vals
     }: _*)
-    Some(if (s.orderBy.nonEmpty)
+    val sorted = if (s.orderBy.nonEmpty)
       out.orderBy(orderCols.get.map { case (a, asc) =>
         if (asc) col(a).asc else col(a).desc }: _*)
-    else out)
+    else out
+    // same application order as the compiler (offset skips, then limit
+    // takes) — reached only under a total order (the guard above)
+    val withOffset = s.offset.map(o => sorted.offset(o.toInt)).getOrElse(sorted)
+    Some(s.limit.map(n => withOffset.limit(n.toInt)).getOrElse(withOffset))
   }
 
   /** Execute against a [[graft.storage.SeriesStore]]: SELECT/EXPLAIN read

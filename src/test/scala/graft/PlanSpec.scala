@@ -391,6 +391,24 @@ class PlanSpec extends AnyFunSuite {
     assert(sp.contains("sketchcells") && !sp.contains("segments"),
       "all-series day-aligned window must serve cells-only:\n" + sp.take(800))
     assert(sdf.head().getDouble(0) === 7.5 && sdf.head().getLong(1) === 8L)
+    // LIMIT on a served shape (r14 fix — it was silently dropped):
+    // ORDER BY covers the one group key → total order → served WITH the
+    // limit applied (2 rows, not 6); an UNORDERED grouped limit's
+    // tie-breaking belongs to the raw route → falls through
+    val (ldf2, lp2) = planOf(
+      "select time_bucket(86400, time) as b, avg(value) as av " +
+        s"from cpu where time >= 0 and time < ${6 * 86400} " +
+        "group by time_bucket(86400, time) order by b desc limit 2")
+    assert(lp2.contains("sketchcells") && !lp2.contains("segments"),
+      "total-order limit must stay served:\n" + lp2.take(800))
+    assert(ldf2.collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+      === Seq((5 * 86400L, 21.5), (4 * 86400L, 17.5)))
+    val (_, lnp) = planOf(
+      "select time_bucket(86400, time) as b, avg(value) as av " +
+        s"from cpu where time >= 0 and time < ${6 * 86400} " +
+        "group by time_bucket(86400, time) limit 2")
+    assert(lnp.contains("segments"),
+      "unordered grouped limit must fall through to raw:\n" + lnp.take(800))
     // r14: the REVERSED conjunct order (`time < HI and time >= LO`) is the
     // same day-aligned window — must serve, not fall through
     val (rdf, rp) = planOf(
