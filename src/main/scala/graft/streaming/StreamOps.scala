@@ -1595,6 +1595,17 @@ object StreamOps {
     * same way per batch — the batch must then carry a `tags` column
     * (refused loudly otherwise), and the engine's `GROUP BY tag.k`
     * serving stays fresh under continuous ingest.
+    *
+    * Theta NDV cells (r14): `theta_<k>` columns — in the td table or any
+    * tag tier — are maintained too: each batch is sketched with the raw
+    * route's aggregator (same family/lgK), merge = blob union, per-table
+    * keys from that table's own schema. A tags-less stream against an
+    * NDV-carrying store is refused up front like the tag-tier case.
+    * Pre-r13 `hll_*` stores stay refused (rebuild — different estimator
+    * family). A union-merged theta is a different blob than a one-shot
+    * rebuild's but the same estimator state contract (exact in the
+    * sparse regime — StreamingSpec pins equality there), the
+    * q_ts_tdigest stance applied to NDV.
     */
   def tdigestCellMaintenance(points: DataFrame, path: String, checkpoint: String,
       trigger: org.apache.spark.sql.streaming.Trigger =
@@ -1618,16 +1629,47 @@ object StreamOps {
           // publish shrinks that to the transient-write-failure window
           // the scaladoc's rebuild contract already covers.
           val groupKs = graft.storage.SketchCells.groupTagsOf(spark, path)
-          if (groupKs.nonEmpty)
+          val fs = new org.apache.hadoop.fs.Path(cellDir)
+            .getFileSystem(spark.sessionState.newHadoopConf())
+          val tdExists = fs.exists(new org.apache.hadoop.fs.Path(cellDir))
+          // ALL schema validation runs here, before any aggregation or
+          // write: legacy hll_* cells (r12 estimator family) and
+          // pre-r14 stores without the basic partials are refused — a
+          // dynamic overwrite would mix schemas across day partitions
+          def checkSchema(where: String, cols: Seq[String]): Seq[String] = {
+            require(!cols.exists(_.startsWith("hll_")),
+              s"$where carries pre-r13 hll_* NDV cells — rebuild via " +
+                "SketchCells.build (NDV cells are theta sketches since r13)")
+            require(Seq("sum_v", "min_v", "max_v", "n_vals", "fl_first",
+                "fl_last", "nn_first", "nn_last").forall(cols.contains),
+              s"$where lacks the r14 basic-aggregate partial columns — " +
+                "rebuild via SketchCells.build")
+            cols.filter(_.startsWith("theta_")).map(_.stripPrefix("theta_"))
+          }
+          // theta NDV cells (r14): maintained per batch like the digests
+          // — each table's own theta_<k> keys come from ITS schema, the
+          // per-batch sketch is built by the raw route's aggregator
+          // (same family/lgK), and merge = blob union
+          val ndvKs: Seq[String] =
+            if (tdExists) checkSchema(s"cell store at $cellDir",
+              spark.read.parquet(cellDir).columns.toSeq)
+            else Seq.empty
+          val tierNdv: Seq[(String, Seq[String])] = groupKs.map { k =>
+            val tDir = graft.storage.SketchCells.tagDir(path, k)
+            (k, checkSchema(s"tag cell tier $tDir",
+              spark.read.parquet(tDir).columns.toSeq))
+          }
+          if (groupKs.nonEmpty || ndvKs.nonEmpty)
             require(b.columns.contains("tags"),
-              "this cell store carries tag-keyed tiers (" +
-                groupKs.mkString(", ") + ") but the stream batch has no " +
-                "tags column — feed (series, series_id, tags, time, value)")
+              "this cell store carries tag-keyed tiers or theta NDV cells (" +
+                (groupKs ++ ndvKs).distinct.mkString(", ") +
+                ") but the stream batch has no tags column — feed " +
+                "(series, series_id, tags, time, value)")
           // the basic-aggregate partials every r14 cell carries beside
           // n_rows (sum/min/max merge losslessly; counts add) — the
           // engine's exact avg/sum/count/min/max serving stays fresh
           // under continuous ingest like the digests
-          def freshAggs = Seq(first(col("series")).as("series"),
+          def freshAggs(nk: Seq[String]) = Seq(first(col("series")).as("series"),
             graft.functions.TDigest.agg(col("value")).as("td"),
             count(lit(1)).as("n_rows"),
             sum(col("value")).as("sum_v"),
@@ -1638,99 +1680,66 @@ object StreamOps {
             min(when(col("value").isNotNull,
               struct(col("time").as("t"), col("value").as("v")))).as("nn_first"),
             max(when(col("value").isNotNull,
-              struct(col("time").as("t"), col("value").as("v")))).as("nn_last"))
-          def mergeAggs = Seq(first(col("series")).as("series"),
+              struct(col("time").as("t"), col("value").as("v")))).as("nn_last")) ++
+            nk.map(k => graft.functions.ThetaSketch.agg(
+              try_element_at(col("tags"), lit(k)).cast("string")).as(s"theta_$k"))
+          def mergeAggs(nk: Seq[String]) = Seq(first(col("series")).as("series"),
             graft.functions.TDigest.mergeAgg(col("td")).as("td"),
             sum(col("n_rows")).as("n_rows"),
             sum(col("sum_v")).as("sum_v"),
             min(col("min_v")).as("min_v"), max(col("max_v")).as("max_v"),
             sum(col("n_vals")).as("n_vals"),
             min(col("fl_first")).as("fl_first"), max(col("fl_last")).as("fl_last"),
-            min(col("nn_first")).as("nn_first"), max(col("nn_last")).as("nn_last"))
+            min(col("nn_first")).as("nn_first"), max(col("nn_last")).as("nn_last")) ++
+            nk.map(k => graft.functions.ThetaSketch.unionAgg(
+              col(s"theta_$k")).as(s"theta_$k"))
+          def outCols(nk: Seq[String], tagval: Boolean): Seq[org.apache.spark.sql.Column] =
+            (Seq(col("series_id"), col("series")) ++
+              (if (tagval) Seq(col("tagval")) else Seq.empty) ++
+              Seq(col("td"), col("n_rows"),
+                col("sum_v"), col("min_v"), col("max_v"), col("n_vals"),
+                col("fl_first"), col("fl_last"),
+                col("nn_first"), col("nn_last")) ++
+              nk.map(k => col(s"theta_$k")) :+ col("day"))
           val fresh = b
             .groupBy(col("series_id"),
               (col("time") - pmod(col("time"), lit(86400L))).as("day"))
-            .agg(freshAggs.head, freshAggs.tail: _*)
-            .select(col("series_id"), col("series"), col("td"), col("n_rows"),
-              col("sum_v"), col("min_v"), col("max_v"), col("n_vals"),
-              col("fl_first"), col("fl_last"),
-              col("nn_first"), col("nn_last"), col("day"))
+            .agg(freshAggs(ndvKs).head, freshAggs(ndvKs).tail: _*)
+            .select(outCols(ndvKs, tagval = false): _*)
           // touched days: metadata-sized (bounded by the batch's day span)
           val days = fresh.select("day").distinct()
             .collect().map(_.getLong(0))
-          val fs = new org.apache.hadoop.fs.Path(cellDir)
-            .getFileSystem(spark.sessionState.newHadoopConf())
           val existing =
-            if (!fs.exists(new org.apache.hadoop.fs.Path(cellDir))) fresh.limit(0)
-            else {
-              val cur = spark.read.parquet(cellDir)
-              // an NDV-extended cell store (SketchCells ndvTags — theta
-              // cells since r13, hll in r12 stores) must not be
-              // maintained by this td-only twin: selecting the td
-              // columns would silently NULL the touched days' NDV cells
-              require(!cur.columns.exists(c =>
-                  c.startsWith("hll_") || c.startsWith("theta_")),
-                "tdigestCellMaintenance maintains td-only cell stores; " +
-                  "this store carries NDV cells — rebuild via " +
-                  "SketchCells.refresh/build instead")
-              // a pre-r14 store lacks the basic-aggregate partials;
-              // merging would mix schemas across day partitions
-              require(Seq("sum_v", "min_v", "max_v", "n_vals", "fl_first",
-                  "fl_last", "nn_first", "nn_last").forall(cur.columns.contains),
-                "cell store lacks the r14 basic-aggregate partial columns — " +
-                  "rebuild via SketchCells.build")
-              cur.filter(col("day").isin(days.toSeq: _*)) // partition-pruned
-                .select(fresh.columns.map(col).toSeq: _*)
-            }
+            if (!tdExists) fresh.limit(0)
+            else spark.read.parquet(cellDir)
+              .filter(col("day").isin(days.toSeq: _*)) // partition-pruned
+              .select(fresh.columns.map(col).toSeq: _*)
           val merged = existing.unionByName(fresh)
             .groupBy(col("series_id"), col("day"))
-            .agg(mergeAggs.head, mergeAggs.tail: _*)
-            .select(col("series_id"), col("series"), col("td"), col("n_rows"),
-              col("sum_v"), col("min_v"), col("max_v"), col("n_vals"),
-              col("fl_first"), col("fl_last"),
-              col("nn_first"), col("nn_last"), col("day"))
+            .agg(mergeAggs(ndvKs).head, mergeAggs(ndvKs).tail: _*)
+            .select(outCols(ndvKs, tagval = false): _*)
             // materialize BEFORE any overwrite — the plan reads the same
             // path it is about to replace, and staging must complete
             // before the first publish
             .localCheckpoint(true)
           // tag-keyed tiers (SketchCells groupTags, r13): build + STAGE
-          // each tier's merged frame before anything is written
-          val tagMerged: Seq[(String, DataFrame)] = groupKs.map { k =>
+          // each tier's merged frame before anything is written; each
+          // tier maintains ITS OWN theta NDV keys (r14)
+          val tagMerged: Seq[(String, DataFrame)] = tierNdv.map { case (k, nk) =>
             val tDir = graft.storage.SketchCells.tagDir(path, k)
             val freshT = b
               .groupBy(col("series_id"),
                 try_element_at(col("tags"), lit(k)).as("tagval"),
                 (col("time") - pmod(col("time"), lit(86400L))).as("day"))
-              .agg(freshAggs.head, freshAggs.tail: _*)
-              .select(col("series_id"), col("series"), col("tagval"),
-                col("td"), col("n_rows"),
-                col("sum_v"), col("min_v"), col("max_v"), col("n_vals"),
-              col("fl_first"), col("fl_last"),
-              col("nn_first"), col("nn_last"), col("day"))
-            val curCols = spark.read.parquet(tDir).columns
-            // an NDV-extended tag tier (theta cells since r14) must not
-            // be maintained by this td-only twin — selecting the td
-            // columns would silently NULL the touched days' NDV cells
-            require(!curCols.exists(c =>
-                c.startsWith("hll_") || c.startsWith("theta_")),
-              s"tdigestCellMaintenance maintains td-only tiers; tag tier " +
-                s"$tDir carries NDV cells — rebuild via " +
-                "SketchCells.refresh/build instead")
-            require(Seq("sum_v", "min_v", "max_v", "n_vals", "fl_first",
-                "fl_last", "nn_first", "nn_last").forall(curCols.contains),
-              s"tag cell tier $tDir lacks the r14 basic-aggregate partial " +
-                "columns — rebuild via SketchCells.build")
+              .agg(freshAggs(nk).head, freshAggs(nk).tail: _*)
+              .select(outCols(nk, tagval = true): _*)
             val curT = spark.read.parquet(tDir)
               .filter(col("day").isin(days.toSeq: _*)) // partition-pruned
               .select(freshT.columns.map(col).toSeq: _*)
             val mergedT = curT.unionByName(freshT)
               .groupBy(col("series_id"), col("tagval"), col("day"))
-              .agg(mergeAggs.head, mergeAggs.tail: _*)
-              .select(col("series_id"), col("series"), col("tagval"),
-                col("td"), col("n_rows"),
-                col("sum_v"), col("min_v"), col("max_v"), col("n_vals"),
-              col("fl_first"), col("fl_last"),
-              col("nn_first"), col("nn_last"), col("day"))
+              .agg(mergeAggs(nk).head, mergeAggs(nk).tail: _*)
+              .select(outCols(nk, tagval = true): _*)
               .localCheckpoint(true)
             (tDir, mergedT)
           }

@@ -550,6 +550,37 @@ object ScaleSmoke {
             s"time < ${t0 - 2 * 86400 + span} group by tag.user order by usr",
           graft.sydraql.CompileOptions(now = 0L)).df
       },
+      // r14: RAGGED-window hybrid serving on the same store — the span
+      // starts 1 h late and ends 2 h early, so the engine reads every
+      // interior day from cells plus TWO hour-pruned edge scans. The
+      // curve must track the cell count like rollup_cells_serve (the
+      // edges are a CONSTANT ≤2 hour-partitions of raw work at every
+      // mult — the whole point of the hybrid)
+      timedStaged("ragged_cells_serve") {
+        val root = s"target/smoke-tmp/skip-$mult"
+        val store = new graft.storage.SeriesStore(spark, root)
+        val dir = graft.storage.SketchCells.dirFor(store)
+        val stale = !graft.storage.SketchCells.exists(spark, dir) ||
+          !spark.read.parquet(s"$dir/td").columns.contains("sum_v")
+        if (stale) {
+          if (store.isEmpty)
+            store.append(ev.select(col("event_type").as("series"),
+              map(lit("user"), col("tag_user")).as("tags"),
+              col("time"), col("value")))
+          graft.storage.SketchCells.build(store, dir, groupTags = Seq("user"))
+        }
+      } {
+        val root = s"target/smoke-tmp/skip-$mult"
+        val store = new graft.storage.SeriesStore(spark, root)
+        val t0 = graft.queries.TimeSeries.T0
+        val span = (mult.toLong * 14L + 14L) * 86400L
+        graft.sydraql.Engine.executeOnStore(store,
+          s"select avg(value) as av, count() as n, " +
+            s"percentile_approx(value, 0.95) as p95 from click " +
+            s"where time >= ${t0 - 2 * 86400 + 3600} and " +
+            s"time < ${t0 - 2 * 86400 + span - 7200}",
+          graft.sydraql.CompileOptions(now = 0L)).df
+      },
       // r14: value-stat skip probe through the language on the prebuilt
       // manifest — threshold 400 keeps ~4% of hour files at 1× (p99.9 of
       // click values is ~339), so the served rows stay tiny and the

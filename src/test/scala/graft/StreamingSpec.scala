@@ -1707,6 +1707,68 @@ class StreamingSpec extends AnyFunSuite {
       "a refused batch must leave the td tier untouched (no pre-validation publish)")
   }
 
+  test("streaming cell maintenance: theta NDV cells maintained per batch (r14); served ndv sees streamed-only values") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    import org.apache.spark.sql.types._
+    val b = 86400L
+    // seed: days 0-1, hosts a/b only
+    val seed = (for { d <- 0 to 1; i <- 1 to 20 } yield
+      ("api", d * b + i * 600L, (d * 100 + i).toDouble, if (i % 2 == 0) "a" else "b")).toVector
+    val root = Files.createTempDirectory("graft-stream-ndv").toString + "/s"
+    val store = new graft.storage.SeriesStore(spark, root)
+    def asPts(rows: Seq[(String, Long, Double, String)]) =
+      rows.toDF("series", "time", "value", "host")
+        .withColumn("tags", map(lit("host"), col("host")))
+        .select("series", "tags", "time", "value")
+    store.append(asPts(seed))
+    val cellsDir = graft.storage.SketchCells.dirFor(store)
+    // theta NDV cells in the td table AND the tag tier
+    graft.storage.SketchCells.build(store, cellsDir,
+      ndvTags = Seq("host"), groupTags = Seq("host"))
+    // stream wave introduces host "c" on a brand-new day 2 — a stale
+    // tier would keep answering 2, only the maintained theta can say 3
+    val wave = (for { i <- 21 to 40 } yield
+      ("api", 2 * b + i * 600L, (200 + i).toDouble, "c")).toVector
+    val streamDir = Files.createTempDirectory("graft-stream-ndvin").toString
+    val ckpt = Files.createTempDirectory("graft-stream-ndvck").toString + "/c"
+    val schema = StructType(Seq(StructField("series", StringType),
+      StructField("series_id", LongType),
+      StructField("tags", MapType(StringType, StringType)),
+      StructField("time", LongType), StructField("value", DoubleType)))
+    asPts(wave)
+      .withColumn("series_id", graft.core.Functions.seriesId(col("series"), col("tags")))
+      .select("series", "series_id", "tags", "time", "value")
+      .write.mode("append").json(streamDir)
+    StreamOps.tdigestCellMaintenance(
+      spark.readStream.schema(schema).json(streamDir), cellsDir, ckpt)
+      .awaitTermination(120000)
+    // the engine's global ndv serves from the maintained theta cells —
+    // 3 hosts in the sparse-exact regime, the raw store lacks the wave
+    val served = graft.sydraql.Engine.executeOnStore(store,
+      s"select ndv(tag.host) as nd, count() as n from api " +
+        s"where time >= 0 and time < ${3 * b}",
+      graft.sydraql.CompileOptions(now = 0L)).df
+    assert(served.queryExecution.explainString(
+      org.apache.spark.sql.execution.ExplainMode.fromString("simple"))
+      .contains("sketchcells"), "ndv must serve from the maintained cells")
+    val row = served.head()
+    assert(row.getDouble(0) === 3.0,
+      s"maintained theta must see streamed host c: ndv ${row.getDouble(0)}")
+    assert(row.getLong(1) === (seed.size + wave.size).toLong)
+    // the tag tier's theta cells were maintained too: ndv-under-tag
+    // serves per host, and host c exists ONLY in the stream
+    val perHost = graft.sydraql.Engine.executeOnStore(store,
+      s"select tag.host as h, ndv(tag.host) as nd from api " +
+        s"where time >= 0 and time < ${3 * b} group by tag.host order by h",
+      graft.sydraql.CompileOptions(now = 0L)).df
+    assert(perHost.queryExecution.explainString(
+      org.apache.spark.sql.execution.ExplainMode.fromString("simple"))
+      .contains("tdtag"), "ndv-under-tag must serve from the maintained tier")
+    assert(perHost.collect().map(r => (r.getString(0), r.getDouble(1))).toSeq
+      === Seq(("a", 1.0), ("b", 1.0), ("c", 1.0)))
+  }
+
   test("streaming skip-index maintenance: maintained manifest equals full rebuild; replays skipped") {
     import spark.implicits._
     import org.apache.spark.sql.functions._
