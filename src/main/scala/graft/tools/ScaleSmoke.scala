@@ -569,6 +569,15 @@ object ScaleSmoke {
               col("time"), col("value")))
           graft.storage.SketchCells.build(store, dir, groupTags = Seq("user"))
         }
+        // the at-scale configuration carries a skip manifest, and the
+        // hybrid's edge scans route through it (explicit edge-hour file
+        // list — ONE metadata read). Without it each edge pays a full
+        // segments-table listing at plan time: measured 2 × ~8 s on the
+        // 3,360-hour 10× store, dwarfing the ≤45-hour edge read.
+        if (!graft.storage.SkipIndex.exists(spark,
+            graft.storage.SkipIndex.dirFor(store)))
+          graft.storage.SkipIndex.build(store,
+            graft.storage.SkipIndex.dirFor(store))
       } {
         val root = s"target/smoke-tmp/skip-$mult"
         val store = new graft.storage.SeriesStore(spark, root)

@@ -378,6 +378,15 @@ class PlanSpec extends AnyFunSuite {
     // points i*21600 for i in 5..11 survive the window: p50 of 5..11 = 8
     // (7 points — the digest is exact), bit-equal to the raw route
     assert(hdf.head().getDouble(0) === 8.0)
+    // with a skip manifest present the edges route through its explicit
+    // edge-hour file list (no full segments listing at plan time — the
+    // ScaleSmoke-measured 2×~8 s saving) and the answer is unchanged
+    graft.storage.SkipIndex.build(store, graft.storage.SkipIndex.dirFor(store))
+    val (hdf2, praw2) = planOf(
+      s"select percentile_approx(value, 0.5) as p50a from cpu where time >= ${86400 + 3600} and time < ${3 * 86400}")
+    assert(praw2.contains("sketchcells") && praw2.contains("segments"),
+      "manifest-routed hybrid still reads cells + edge files:\n" + praw2.take(1200))
+    assert(hdf2.head().getDouble(0) === 8.0)
     // a ragged window with NO whole interior day (all edge) → raw route
     val (_, nid) = planOf(
       s"select percentile_approx(value, 0.5) as p50a from cpu where time >= 3600 and time < 90000")
