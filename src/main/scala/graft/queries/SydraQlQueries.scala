@@ -725,6 +725,34 @@ object SydraQlQueries {
               |FROM sv WHERE series = 'error' AND time >= $T0 AND time < ${T0 + 4 * 86400}
               |GROUP BY 1 ORDER BY b DESC LIMIT 2 OFFSET 1""".stripMargin)),
 
+    // Origin-shifted buckets served from cells (r14): the 3-arg
+    // time_bucket with a DAY-ALIGNED origin ("weeks starting Monday")
+    // keeps bucket boundaries on day boundaries, so day cells still
+    // coarsen exactly; a sub-day origin falls through (PlanSpec pins
+    // both). Exact aggregates hash-pinned per shifted bucket.
+    Q("q_sql_rollup_cells_origin",
+      (s, dir) => {
+        import org.apache.spark.sql.functions.{col, floor}
+        val hi = T0 + 4 * 86400
+        val og = T0 + 86400 // day-aligned, mid-window: buckets straddle it
+        val store = eventsStore(s, dir, T0, hi)
+        graft.storage.SketchCells.build(store, graft.storage.SketchCells.dirFor(store))
+        Engine.executeOnStore(store,
+          s"select time_bucket(172800, time, $og) as b, avg(value) as avg_v, " +
+            s"count() as n from error where time >= $T0 and time < $hi " +
+            s"group by time_bucket(172800, time, $og) order by b",
+          CompileOptions(now = NOW)).df
+          .select(col("b"), (floor(col("avg_v") * 1e4 + 0.5) / 1e4).as("avg_v"),
+            col("n"))
+      },
+      Some(s"""$svSql
+              |SELECT CAST(floor((time - ${T0 + 86400}) / 172800.0) AS BIGINT) * 172800
+              |         + ${T0 + 86400} AS b,
+              |       floor((avg(value)) * 1e4 + 0.5) / 1e4 AS avg_v,
+              |       count(*) AS n
+              |FROM sv WHERE series = 'error' AND time >= $T0 AND time < ${T0 + 4 * 86400}
+              |GROUP BY 1 ORDER BY b""".stripMargin)),
+
     // All-series (FROM-less) serving (r14): the fleet-wide dashboard
     // shape — no selector — merges cells ACROSS series, so "avg over
     // everything this week" reads day-pruned KB cells instead of every

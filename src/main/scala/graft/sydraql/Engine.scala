@@ -237,16 +237,23 @@ object Engine {
     // (series, day, tag value), so a tag-grouped quantile is a day-pruned
     // per-value blob merge
     sealed trait GK { def e: Ast.Expr }
-    case class BucketG(step: Long, e: Ast.Expr) extends GK
+    case class BucketG(step: Long, origin: Long, e: Ast.Expr) extends GK
     case class TagG(key: String, e: Ast.Expr) extends GK
     // up to TWO keys compose (r13): one day-multiple bucket and one tag
     // key together coarsen the tag tier's (series, day, value) cells —
-    // the "p95 per host per day" dashboard shape
+    // the "p95 per host per day" dashboard shape. The 3-arg form with a
+    // DAY-ALIGNED literal origin serves too (r14 — "weeks starting
+    // Monday"): bucket boundaries then sit on day boundaries, so every
+    // day still maps wholly into one bucket; any other origin → raw.
     val groupKeys: Seq[GK] = {
       val parsed = s.groupBy.map {
         case c @ Ast.Call("time_bucket", Seq(Ast.IntLit(st), t: Ast.Ident))
           if t.full.equalsIgnoreCase("time") && st > 0 && st % 86400L == 0 =>
-          Some(BucketG(st, c))
+          Some(BucketG(st, 0L, c))
+        case c @ Ast.Call("time_bucket", Seq(Ast.IntLit(st), t: Ast.Ident, Ast.IntLit(og)))
+          if t.full.equalsIgnoreCase("time") && st > 0 &&
+            st % 86400L == 0 && og % 86400L == 0 =>
+          Some(BucketG(st, og, c))
         case id: Ast.Ident
           if id.parts.length == 2 && id.parts.head.equalsIgnoreCase("tag") =>
           Some(TagG(id.parts(1), id))
@@ -458,8 +465,12 @@ object Engine {
     // each group cell — the raw route's grouping, served from day-pruned
     // KB blobs)
     val groupCols = groupKeys.map {
-      case k @ BucketG(st, _) =>
-        graft.core.Functions.timeBucket(lit(st), col("day")).as(grpAliases(k))
+      case k @ BucketG(st, og, _) =>
+        // same floor arithmetic the compiler emits per arity, over the
+        // cell's day — exact because step AND origin are day-aligned
+        (if (og == 0L) graft.core.Functions.timeBucket(lit(st), col("day"))
+        else graft.core.Functions.timeBucket(lit(st), col("day"), lit(og)))
+          .as(grpAliases(k))
       case k @ TagG(_, _) => col("tagval").as(grpAliases(k))
     }
     // the columns the merge aggregate actually reads — both tiers of the

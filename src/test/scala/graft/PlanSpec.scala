@@ -443,6 +443,25 @@ class PlanSpec extends AnyFunSuite {
       "day-multiple bucket query must serve from cells:\n" + bp.take(800))
     assert(bdf.collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
       === Seq((0L, 3.5), (172800L, 11.5), (345600L, 19.5)))
+    // 3-arg time_bucket with a DAY-ALIGNED origin serves (bucket
+    // boundaries stay on day boundaries): origin=day1 over days 0-5 at
+    // 2-day steps → buckets {-2d:[d0], 0d:[d1,d2], 2d:[d3,d4], 4d:[d5]}
+    // relative to origin 86400 — values 0..3 / 4..11 / 12..19 / 20..23
+    val (odf, op) = planOf(
+      "select time_bucket(172800, time, 86400) as b, avg(value) as av " +
+        s"from cpu where time >= 0 and time < ${6 * 86400} " +
+        "group by time_bucket(172800, time, 86400) order by b")
+    assert(op.contains("sketchcells") && !op.contains("segments"),
+      "day-aligned-origin bucket must serve from cells:\n" + op.take(800))
+    assert(odf.collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+      === Seq((-86400L, 1.5), (86400L, 7.5), (259200L, 15.5), (432000L, 21.5)))
+    // a sub-day origin breaks day containment → raw route
+    val (_, onp) = planOf(
+      "select time_bucket(172800, time, 3600) as b, avg(value) as av " +
+        s"from cpu where time >= 0 and time < ${6 * 86400} " +
+        "group by time_bucket(172800, time, 3600) order by b")
+    assert(onp.contains("segments"),
+      "sub-day origin must fall through to raw:\n" + onp.take(800))
     // a NON-day-multiple step (hourly buckets) cannot → raw route
     val (_, hb) = planOf(
       "select time_bucket(3600, time) as b, percentile_approx(value, 0.5) as p50a " +
