@@ -753,6 +753,48 @@ object SydraQlQueries {
               |FROM sv WHERE series = 'error' AND time >= $T0 AND time < ${T0 + 4 * 86400}
               |GROUP BY 1 ORDER BY b""".stripMargin)),
 
+    // FILL on a served shape (r14): fill applies POST-aggregation to the
+    // bucketed frame, and the served frame has exactly the raw route's
+    // buckets, so the same Fill operator on the served output is the
+    // same result — dashboards' gap-filled panels read KB cells. The
+    // gate punches a real day-wide hole with an engine DELETE (which
+    // also exercises the mutator→tier path), then fill(previous) closes
+    // it; both avg and count carry forward, per Fill's all-value-columns
+    // contract.
+    Q("q_sql_rollup_cells_fill",
+      (s, dir) => {
+        import org.apache.spark.sql.functions.{col, floor}
+        val hi = T0 + 4 * 86400
+        val store = eventsStore(s, dir, T0, hi)
+        Engine.executeOnStore(store,
+          s"delete from error where time >= ${T0 + 2 * 86400} and time < ${T0 + 3 * 86400}",
+          CompileOptions(now = NOW))
+        graft.storage.SketchCells.build(store, graft.storage.SketchCells.dirFor(store))
+        Engine.executeOnStore(store,
+          s"select time_bucket(86400, time) as bucket, avg(value) as avg_v, " +
+            s"count() as n from error where time >= $T0 and time < $hi " +
+            s"group by time_bucket(86400, time) fill(previous) order by bucket",
+          CompileOptions(now = NOW)).df
+          .select(col("bucket"),
+            (floor(col("avg_v") * 1e4 + 0.5) / 1e4).as("avg_v"), col("n"))
+      },
+      Some(s"""$svSql, agg AS (
+              |  SELECT CAST(time // 86400 * 86400 AS BIGINT) AS bucket,
+              |         avg(value) AS avg_v, count(*) AS n
+              |  FROM sv WHERE series = 'error' AND time >= $T0 AND time < ${T0 + 4 * 86400}
+              |    AND NOT (time >= ${T0 + 2 * 86400} AND time < ${T0 + 3 * 86400})
+              |  GROUP BY 1
+              |), spine AS (
+              |  SELECT unnest(generate_series(min(bucket), max(bucket), 86400)) AS bucket FROM agg
+              |)
+              |SELECT s.bucket,
+              |       floor((last_value(a.avg_v IGNORE NULLS)
+              |             OVER (ORDER BY s.bucket ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)) * 1e4 + 0.5) / 1e4 AS avg_v,
+              |       last_value(a.n IGNORE NULLS)
+              |             OVER (ORDER BY s.bucket ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS n
+              |FROM spine s LEFT JOIN agg a ON s.bucket = a.bucket
+              |ORDER BY s.bucket""".stripMargin)),
+
     // All-series (FROM-less) serving (r14): the fleet-wide dashboard
     // shape — no selector — merges cells ACROSS series, so "avg over
     // everything this week" reads day-pruned KB cells instead of every

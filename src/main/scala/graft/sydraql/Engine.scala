@@ -197,8 +197,10 @@ object Engine {
     *    descending (r14); LIMIT/OFFSET serve only under a TOTAL order
     *    (no group keys, or ORDER BY covering every group key — applied
     *    to the served frame in the compiler's offset-then-limit order;
-    *    a partial order's tie-breaking belongs to the raw route); no
-    *    FILL;
+    *    a partial order's tie-breaking belongs to the raw route);
+    *    FILL serves too (r14 — post-aggregation on the served buckets,
+    *    the compiler's exact placement; a const fill whose expression
+    *    isn't a plain literal falls through);
     *  - WHERE is exactly `time >= LO and time < HI` with literal bounds.
     *    Day-aligned bounds read cells alone; RAGGED bounds (r14) serve
     *    HYBRID — interior whole days from cells, the sub-day edges from
@@ -227,7 +229,18 @@ object Engine {
     import org.apache.spark.sql.functions.{col, lit}
     val spark = store.spark
     val dir = SketchCells.dirFor(store)
-    if (s.fill.isDefined) return None
+    // FILL serves too (r14): it applies POST-aggregation to the bucketed
+    // frame, and the served frame has exactly the raw route's buckets
+    // (cells coarsen losslessly), so the same Fill operator on the
+    // served output is the same result. A const fill whose expression
+    // isn't a plain literal falls through (evaluating it needs the
+    // compiler's scalar context).
+    s.fill match {
+      case None | Some(Ast.FillNull) | Some(Ast.FillPrevious)
+        | Some(Ast.FillLinear) | Some(Ast.FillConst(Ast.IntLit(_)))
+        | Some(Ast.FillConst(Ast.FloatLit(_))) => ()
+      case _ => return None
+    }
     if (!SketchCells.exists(spark, dir)) return None
     // group keys: none (one global row), exactly
     // `time_bucket(<day-multiple literal>, time)` — a step the day cells
@@ -562,10 +575,37 @@ object Engine {
       }
       case Bas(a, _) => col("__nv").as(a) // count_vals
     }: _*)
+    // fill between the projection and the sort — the compiler's exact
+    // placement (grouped → fill → project → order → offset → limit);
+    // the served frame's columns ARE the output names, like `grouped`'s
+    val filledOut = s.fill match {
+      case None => out
+      case Some(policy) =>
+        val bkOpt = groupKeys.collectFirst {
+          case k @ BucketG(st, _, _) => (grpAliases(k), st) }
+        // validator guarantees a bucketed group for fill; defensive
+        if (bkOpt.isEmpty) return None
+        val (bkName, st) = bkOpt.get
+        val fkeys = groupKeys.collect { case k: TagG => grpAliases(k) }
+        val vcols = ps.collect {
+          case Quant(a, _) => a
+          case Ndv(a, _) => a
+          case Bas(a, _) => a
+        }
+        policy match {
+          case Ast.FillConst(Ast.IntLit(v)) =>
+            graft.operators.Fill.applyConst(out, bkName, fkeys, st,
+              org.apache.spark.sql.functions.lit(v), vcols)
+          case Ast.FillConst(Ast.FloatLit(v)) =>
+            graft.operators.Fill.applyConst(out, bkName, fkeys, st,
+              org.apache.spark.sql.functions.lit(v), vcols)
+          case p => graft.operators.Fill(out, bkName, fkeys, st, p, vcols)
+        }
+    }
     val sorted = if (s.orderBy.nonEmpty)
-      out.orderBy(orderCols.get.map { case (a, asc) =>
+      filledOut.orderBy(orderCols.get.map { case (a, asc) =>
         if (asc) col(a).asc else col(a).desc }: _*)
-    else out
+    else filledOut
     // same application order as the compiler (offset skips, then limit
     // takes) — reached only under a total order (the guard above)
     val withOffset = s.offset.map(o => sorted.offset(o.toInt)).getOrElse(sorted)

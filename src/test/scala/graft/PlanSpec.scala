@@ -443,6 +443,18 @@ class PlanSpec extends AnyFunSuite {
       "day-multiple bucket query must serve from cells:\n" + bp.take(800))
     assert(bdf.collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
       === Seq((0L, 3.5), (172800L, 11.5), (345600L, 19.5)))
+    // fill(...) on a served bucketed shape stays served (r14): fill is
+    // post-aggregation, so the cells-only plan gains only the spine
+    // join — never a raw rescan (this fixture is dense, so the values
+    // are the unfilled ones; the gate pins real gap semantics)
+    val (fdf2, fp2) = planOf(
+      "select time_bucket(172800, time) as b, avg(value) as av " +
+        s"from cpu where time >= 0 and time < ${6 * 86400} " +
+        "group by time_bucket(172800, time) fill(previous) order by b")
+    assert(fp2.contains("sketchcells") && !fp2.contains("segments"),
+      "filled bucketed query must serve from cells:\n" + fp2.take(800))
+    assert(fdf2.collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+      === Seq((0L, 3.5), (172800L, 11.5), (345600L, 19.5)))
     // 3-arg time_bucket with a DAY-ALIGNED origin serves (bucket
     // boundaries stay on day boundaries): origin=day1 over days 0-5 at
     // 2-day steps → buckets {-2d:[d0], 0d:[d1,d2], 2d:[d3,d4], 4d:[d5]}
