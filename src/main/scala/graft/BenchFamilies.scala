@@ -76,7 +76,21 @@ object BenchFamilies {
       "q_ts_rolling_p95", "q_ts_rolling_ndv", "q_ts_hll_rollup",
       "q_ts_theta_pairs", "q_ts_entropy", "q_ts_backtest"),
     "ts2" -> Seq("q_ts_anomaly_vote", "q_ts_jackknife", "q_ts_sla",
-      "q_ts_theil_sen", "q_ts_psi"))
+      "q_ts_theil_sen", "q_ts_psi"),
+    // r15: the 17 post-r12 cell-serving/value-skip gates enter the bench
+    // watch (the engine's flagship serving surface previously had zero
+    // per-round perf regression signal). NEW families per the append-only
+    // rule — existing (family, slot) pairs untouched, so every committed
+    // bracket stays valid. Registry order within each.
+    "cells0" -> Seq("q_sql_sketch_cells_tag", "q_sql_sketch_cells_tag_bucket",
+      "q_sql_sketch_cells_ndv_bucket", "q_sql_sketch_cells_ndv_tag",
+      "q_sql_value_skip", "q_sql_rollup_cells_basic",
+      "q_sql_rollup_cells_bucket", "q_sql_rollup_cells_tag",
+      "q_sql_rollup_cells_fl", "q_sql_rollup_cells_rate",
+      "q_sql_sketch_cells_desc", "q_sql_rollup_cells_ragged"),
+    "cells1" -> Seq("q_sql_sketch_cells_ragged", "q_sql_rollup_cells_limit",
+      "q_sql_rollup_cells_origin", "q_sql_rollup_cells_fill",
+      "q_sql_rollup_cells_all"))
 
   /** name → (family, 1-based slot) */
   lazy val slotOf: Map[String, (String, Int)] = {

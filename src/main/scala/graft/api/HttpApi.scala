@@ -177,6 +177,10 @@ final class HttpApi(store: SeriesStore, token: Option[String] = None, maxRows: I
     stats.put("pipeline_us", pipelineUs)
     stats.put("rows_emitted", rows.length)
     stats.put("trace_id", res.stats.traceId)
+    // serve-route attribution (r15): "raw", "served:cells:td",
+    // "served:hybrid:tdtag", "insert", "delete" — so a raw-path
+    // fallthrough on a dashboard shape is visible without EXPLAIN
+    stats.put("route", res.stats.route)
     // per-operator instrumentation (reference: operator.zig:30-48 snapshots)
     try {
       val ops = stats.putArray("operators")

@@ -306,7 +306,8 @@ object SydraQlQueries {
               |       floor((quantile_cont(value, 0.5)) * 1e4 + 0.5) / 1e4 AS p50_exact,
               |       count(*) AS n, true AS p50_ok
               |FROM sv WHERE series = 'error' AND time >= $T0 AND time < ${T0 + 2 * 86400}
-              |GROUP BY tag_user ORDER BY usr""".stripMargin)),
+              |GROUP BY tag_user ORDER BY usr""".stripMargin),
+      benchExtra = true),
 
     // COMPOSITE grouping served from the tag tier (r13): one
     // day-multiple bucket × one tag key — "p50 per user per 2 days" —
@@ -346,7 +347,8 @@ object SydraQlQueries {
               |       floor((quantile_cont(value, 0.5)) * 1e4 + 0.5) / 1e4 AS p50_exact,
               |       count(*) AS n, true AS p50_ok
               |FROM sv WHERE series = 'error' AND time >= $T0 AND time < ${T0 + 4 * 86400}
-              |GROUP BY 1, 2 ORDER BY b, usr""".stripMargin)),
+              |GROUP BY 1, 2 ORDER BY b, usr""".stripMargin),
+      benchExtra = true),
 
     // NDV per time_bucket served from theta cells (r13): the day cells'
     // theta blobs coarsen into day-multiple buckets exactly like the
@@ -378,7 +380,8 @@ object SydraQlQueries {
               |SELECT CAST(time // 172800 * 172800 AS BIGINT) AS b,
               |       count(DISTINCT tag_user) AS ndv_exact, true AS ndv_ok
               |FROM sv WHERE series = 'error' AND time >= $T0 AND time < ${T0 + 4 * 86400}
-              |GROUP BY 1 ORDER BY b""".stripMargin)),
+              |GROUP BY 1 ORDER BY b""".stripMargin),
+      benchExtra = true),
 
     // NDV under a TAG grouping, composed with a bucket (r14): the tag
     // tier carries the store's theta NDV cells, so "distinct users per
@@ -428,7 +431,8 @@ object SydraQlQueries {
               |       count(DISTINCT tag_user) AS ndv_exact, count(*) AS n,
               |       true AS ndv_ok, true AS p50_ok
               |FROM sv WHERE series = 'error' AND time >= $T0 AND time < ${T0 + 4 * 86400}
-              |GROUP BY 1, 2 ORDER BY b, dev""".stripMargin)),
+              |GROUP BY 1, 2 ORDER BY b, dev""".stripMargin),
+      benchExtra = true),
 
     // Value-stat skip routing through the LANGUAGE (r13): on a store
     // with a skip manifest, a top-level `value >= X` conjunct routes the
@@ -450,7 +454,8 @@ object SydraQlQueries {
               |SELECT time, value FROM sv
               |WHERE series = 'error' AND time >= $T0 AND time < ${T0 + 2 * 86400}
               |  AND value >= 30
-              |ORDER BY time, value""".stripMargin)),
+              |ORDER BY time, value""".stripMargin),
+      benchExtra = true),
 
     // Basic aggregates served from the cell tier (r14 — the reference's
     // own RollupHint breadcrumb, plan.zig:19-21/physical.zig:47-54,
@@ -483,7 +488,8 @@ object SydraQlQueries {
               |       floor((sum(value)) * 1e4 + 0.5) / 1e4 AS sum_val,
               |       count(*) AS n, count(value) AS nv,
               |       min(value) AS min_val, max(value) AS max_val
-              |FROM sv WHERE series = 'error' AND time >= $T0 AND time < ${T0 + 2 * 86400}""".stripMargin)),
+              |FROM sv WHERE series = 'error' AND time >= $T0 AND time < ${T0 + 2 * 86400}""".stripMargin),
+      benchExtra = true),
 
     // Bucketed variant: day cells coarsen into day-multiple buckets for
     // the basic partials exactly like the digests — "avg per 2 days" is
@@ -508,7 +514,8 @@ object SydraQlQueries {
               |       floor((avg(value)) * 1e4 + 0.5) / 1e4 AS avg_v,
               |       count(*) AS n, min(value) AS min_val, max(value) AS max_val
               |FROM sv WHERE series = 'error' AND time >= $T0 AND time < ${T0 + 4 * 86400}
-              |GROUP BY 1 ORDER BY b""".stripMargin)),
+              |GROUP BY 1 ORDER BY b""".stripMargin),
+      benchExtra = true),
 
     // Composite bucket × tag variant: the tag tier's (series, day, value)
     // cells carry the same basic partials, so "avg per user per 2 days"
@@ -535,7 +542,8 @@ object SydraQlQueries {
               |       floor((avg(value)) * 1e4 + 0.5) / 1e4 AS avg_v,
               |       count(*) AS n, max(value) AS max_val
               |FROM sv WHERE series = 'error' AND time >= $T0 AND time < ${T0 + 4 * 86400}
-              |GROUP BY 1, 2 ORDER BY b, usr""".stripMargin)),
+              |GROUP BY 1, 2 ORDER BY b, usr""".stripMargin),
+      benchExtra = true),
 
     // first/last served from the cell tier (r14): min/max over
     // struct(time, value) partials — the earliest day's earliest pair IS
@@ -559,7 +567,8 @@ object SydraQlQueries {
               |       min(CASE WHEN rn_a = 1 THEN value END) AS fv,
               |       min(CASE WHEN rn_d = 1 THEN value END) AS lv,
               |       count(*) AS n
-              |FROM pts GROUP BY bucket ORDER BY b""".stripMargin)),
+              |FROM pts GROUP BY bucket ORDER BY b""".stripMargin),
+      benchExtra = true),
 
     // delta/rate served from the cell tier (r14): the null-skipping
     // (time, value) extreme partials reconstruct orderedExtremes exactly
@@ -587,7 +596,8 @@ object SydraQlQueries {
               |             THEN (min(CASE WHEN rn_d = 1 THEN value END) - min(CASE WHEN rn_a = 1 THEN value END))
               |                  / (max(time) - min(time)) END) * 1e4 + 0.5) / 1e4 AS rate_v,
               |       floor((min(CASE WHEN rn_d = 1 THEN value END) - min(CASE WHEN rn_a = 1 THEN value END)) * 1e4 + 0.5) / 1e4 AS delta_v
-              |FROM pts GROUP BY bucket, cnt ORDER BY b""".stripMargin)),
+              |FROM pts GROUP BY bucket, cnt ORDER BY b""".stripMargin),
+      benchExtra = true),
 
     // Descending ORDER BY on a served shape (r14): `order by usr desc`
     // previously fell through to a raw rescan; descending sort of the
@@ -625,7 +635,8 @@ object SydraQlQueries {
               |       floor((quantile_cont(value, 0.5)) * 1e4 + 0.5) / 1e4 AS p50_exact,
               |       count(*) AS n, true AS p50_ok
               |FROM sv WHERE series = 'error' AND time >= $T0 AND time < ${T0 + 2 * 86400}
-              |GROUP BY tag_user ORDER BY usr DESC""".stripMargin)),
+              |GROUP BY tag_user ORDER BY usr DESC""".stripMargin),
+      benchExtra = true),
 
     // RAGGED-window hybrid serving (r14): bounds that don't align to day
     // boundaries previously fell through to a raw rescan of the WHOLE
@@ -660,7 +671,8 @@ object SydraQlQueries {
               |       count(*) AS n, count(value) AS nv,
               |       min(value) AS min_val, max(value) AS max_val,
               |       min(CASE WHEN rn_d = 1 THEN value END) AS lv
-              |FROM pts""".stripMargin)),
+              |FROM pts""".stripMargin),
+      benchExtra = true),
 
     // Ragged hybrid × bucket grouping: the edge partials carry their
     // day, and a day-multiple bucket of a day is the bucket of every
@@ -697,7 +709,8 @@ object SydraQlQueries {
               |       floor((quantile_cont(value, 0.5)) * 1e4 + 0.5) / 1e4 AS p50_exact,
               |       count(*) AS n, true AS p50_ok
               |FROM sv WHERE series = 'error' AND time >= ${T0 + 3600} AND time < ${T0 + 4 * 86400 - 3600}
-              |GROUP BY 1 ORDER BY b""".stripMargin)),
+              |GROUP BY 1 ORDER BY b""".stripMargin),
+      benchExtra = true),
 
     // LIMIT/OFFSET on a served shape (r14 FIX): the serving path
     // previously dropped them — `… order by b limit 2` returned every
@@ -709,7 +722,10 @@ object SydraQlQueries {
     Q("q_sql_rollup_cells_limit",
       (s, dir) => {
         import org.apache.spark.sql.functions.{col, floor}
-        val hi = T0 + 4 * 86400
+        // 8 days → FOUR 2-day buckets, so `limit 2 offset 1` actually
+        // truncates (r15, ADVICE: the old 4-day store left one row after
+        // the offset, making the limit vacuous against the oracle)
+        val hi = T0 + 8 * 86400
         val store = eventsStore(s, dir, T0, hi)
         graft.storage.SketchCells.build(store, graft.storage.SketchCells.dirFor(store))
         Engine.executeOnStore(store,
@@ -722,8 +738,9 @@ object SydraQlQueries {
       Some(s"""$svSql
               |SELECT CAST(time // 172800 * 172800 AS BIGINT) AS b,
               |       floor((avg(value)) * 1e4 + 0.5) / 1e4 AS avg_v
-              |FROM sv WHERE series = 'error' AND time >= $T0 AND time < ${T0 + 4 * 86400}
-              |GROUP BY 1 ORDER BY b DESC LIMIT 2 OFFSET 1""".stripMargin)),
+              |FROM sv WHERE series = 'error' AND time >= $T0 AND time < ${T0 + 8 * 86400}
+              |GROUP BY 1 ORDER BY b DESC LIMIT 2 OFFSET 1""".stripMargin),
+      benchExtra = true),
 
     // Origin-shifted buckets served from cells (r14): the 3-arg
     // time_bucket with a DAY-ALIGNED origin ("weeks starting Monday")
@@ -751,7 +768,8 @@ object SydraQlQueries {
               |       floor((avg(value)) * 1e4 + 0.5) / 1e4 AS avg_v,
               |       count(*) AS n
               |FROM sv WHERE series = 'error' AND time >= $T0 AND time < ${T0 + 4 * 86400}
-              |GROUP BY 1 ORDER BY b""".stripMargin)),
+              |GROUP BY 1 ORDER BY b""".stripMargin),
+      benchExtra = true),
 
     // FILL on a served shape (r14): fill applies POST-aggregation to the
     // bucketed frame, and the served frame has exactly the raw route's
@@ -793,7 +811,8 @@ object SydraQlQueries {
               |       last_value(a.n IGNORE NULLS)
               |             OVER (ORDER BY s.bucket ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS n
               |FROM spine s LEFT JOIN agg a ON s.bucket = a.bucket
-              |ORDER BY s.bucket""".stripMargin)),
+              |ORDER BY s.bucket""".stripMargin),
+      benchExtra = true),
 
     // All-series (FROM-less) serving (r14): the fleet-wide dashboard
     // shape — no selector — merges cells ACROSS series, so "avg over
@@ -817,7 +836,24 @@ object SydraQlQueries {
       Some(s"""$svSql
               |SELECT floor((avg(value)) * 1e4 + 0.5) / 1e4 AS avg_v,
               |       count(*) AS n, min(value) AS min_val, max(value) AS max_val
-              |FROM sv WHERE time >= $T0 AND time < ${T0 + 2 * 86400}""".stripMargin)),
+              |FROM sv WHERE time >= $T0 AND time < ${T0 + 2 * 86400}""".stripMargin),
+      benchExtra = true),
+
+    // Fleet-wide aggregate on the RAW route (r15): selector-less
+    // `avg/count/max where time …` now reads the whole source when no
+    // cell tier exists — pre-r15 the compiler sent every FROM-less
+    // select to OneRow, so the r14 fleet-wide dashboard shape THREW
+    // (unresolved `time`) unless cells happened to be built. This gate
+    // pins the raw half of that contract; q_sql_rollup_cells_all pins
+    // the served half.
+    sq("q_sql_fleet_raw",
+      s"select avg(value) as avg_v, count() as n, max(value) as mx " +
+        s"where time >= $T0 and time < $T1",
+      s"""$svSql
+         |SELECT floor((avg(value)) * 1e4 + 0.5) / 1e4 AS avg_v,
+         |       count(*) AS n, max(value) AS mx
+         |FROM sv WHERE time >= $T0 AND time < $T1""".stripMargin,
+      roundCols = Seq("avg_v")),
 
     sq("q_sql_minmax_fl",
       s"select min(value) as mn, max(value) as mx, first(value) as fv, last(value) as lv " +

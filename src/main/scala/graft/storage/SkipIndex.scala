@@ -57,8 +57,18 @@ object SkipIndex {
         min(col("time")).as("min_time"), max(col("time")).as("max_time"),
         min(col("value")).as("min_value"), max(col("value")).as("max_value"),
         count(lit(1)).as("n_rows"))
-    val blooms = raw.select(col("__file"), col("series_id")).distinct()
-      .select(col("__file"), explode(array(positions(col("series_id")): _*)).as("pos"))
+    // TWO blooms from ONE distinct pass (series_id functionally
+    // determines series, so the pair-distinct is the id-distinct): the
+    // id bloom serves by_id() probes, the NAME bloom (r15) serves
+    // `from cpu.load` — name selectors prune files like id probes do
+    // instead of falling back to time-overlap-only pruning. Name
+    // positions are offset into an extended [Bits, 2*Bits) space so one
+    // explode → bit-OR chain builds both; the final projection splits
+    // the 2*Words-word space back into the two arrays.
+    val allPos = positions(col("series_id")) ++
+      positions(col("series")).map(_ + lit(Bits.toLong))
+    val blooms = raw.select(col("__file"), col("series_id"), col("series")).distinct()
+      .select(col("__file"), explode(array(allPos: _*)).as("pos"))
       .select(col("__file"), (col("pos") / 64).cast("int").as("word"),
         expr("shiftleft(1L, CAST(pos % 64 AS INT))").as("mask"))
       .groupBy(col("__file"), col("word"))
@@ -67,11 +77,13 @@ object SkipIndex {
       .agg(map_from_entries(collect_list(struct(col("word"), col("bits")))).as("m"))
       .select(col("__file"),
         array((0 until Words).map(w =>
-          coalesce(element_at(col("m"), lit(w)), lit(0L))): _*).as("bloom"))
+          coalesce(element_at(col("m"), lit(w)), lit(0L))): _*).as("bloom"),
+        array((Words until 2 * Words).map(w =>
+          coalesce(element_at(col("m"), lit(w)), lit(0L))): _*).as("bloom_name"))
     stats.join(blooms, "__file")
       .withColumnRenamed("__file", "file")
       .select("file", "min_time", "max_time", "min_value", "max_value",
-        "n_rows", "bloom", "hour_bucket")
+        "n_rows", "bloom", "bloom_name", "hour_bucket")
   }
 
   /** Build (overwrite) the manifest for every data file in the store.
@@ -102,6 +114,11 @@ object SkipIndex {
   def refresh(store: SeriesStore, manifestDir: String, hours: Seq[Long]): Unit = {
     if (hours.isEmpty) return
     val spark = store.spark
+    // pre-r15 manifest without the name bloom: carried-forward rows
+    // would lack the column — upgrade by full rebuild, once
+    if (!read(spark, manifestDir).columns.contains("bloom_name")) {
+      build(store, manifestDir); return
+    }
     val kept = read(spark, manifestDir).filter(!col("hour_bucket").isin(hours: _*))
     val fresh = manifestRows(store.scan().filter(col("hour_bucket").isin(hours: _*)))
     val next = kept.unionByName(fresh).coalesce(1)
@@ -226,6 +243,54 @@ object SkipIndex {
       .select("file").collect().map(_.getString(0))
     val total = filesTotal(spark, manifestDir)
     val residual = col("series_id") === seriesId &&
+      col("time") >= startTs && col("time") <= endTs &&
+      (if (hasV) col("value") >= minValue && col("value") <= maxValue
+      else lit(true))
+    SkipScan(readFiles(store, survivors).filter(residual),
+      survivors.length, total)
+  }
+
+  /** Whether the manifest carries the r15 name bloom — memoized like
+    * [[exists]] (build/refresh bump the generation); a pre-r15 manifest
+    * routes name selectors through [[rangeScan]]/[[thresholdScan]] until
+    * its next refresh upgrades it.
+    */
+  def hasNameBloom(spark: SparkSession, manifestDir: String): Boolean =
+    MetaCache.cached(manifestDir, "hasNameBloom") {
+      java.lang.Boolean.valueOf(
+        read(spark, manifestDir).columns.contains("bloom_name"))
+    }.booleanValue()
+
+  /** [[probeScan]] for a NAME selector (`from cpu.load`): files whose
+    * [min_time, max_time] overlaps the range AND whose name bloom may
+    * contain `series` AND (finite bounds only) whose value stats can
+    * match. A name maps to every tag combination under it — the name
+    * bloom is over file-distinct names, so pruning is exactly as sharp
+    * as the by_id bloom on single-tagset fixtures and still correct
+    * (a superset) when one name spans many series_ids. Residual filters
+    * run on what is read, like every routed scan.
+    */
+  def nameScan(store: SeriesStore, manifestDir: String,
+      startTs: Long, endTs: Long, series: String,
+      minValue: Double = Double.NegativeInfinity,
+      maxValue: Double = Double.PositiveInfinity): SkipScan = {
+    val spark = store.spark
+    val pos = spark.range(1)
+      .select(positions(lit(series)): _*).head().toSeq.map(_.asInstanceOf[Long].toInt)
+    val m = read(spark, manifestDir)
+    val bloomHit = pos.map { p =>
+      (element_at(col("bloom_name"), lit(p / 64 + 1)).bitwiseAND(lit(1L << (p % 64)))) =!= 0L
+    }.reduce(_ && _)
+    val hasV = !minValue.isNegInfinity || !maxValue.isPosInfinity
+    val vStat =
+      if (hasV) col("max_value") >= minValue && col("min_value") <= maxValue
+      else lit(true)
+    val survivors = m
+      .filter(col("min_time") <= endTs && col("max_time") >= startTs &&
+        bloomHit && vStat)
+      .select("file").collect().map(_.getString(0))
+    val total = filesTotal(spark, manifestDir)
+    val residual = col("series") === series &&
       col("time") >= startTs && col("time") <= endTs &&
       (if (hasV) col("value") >= minValue && col("value") <= maxValue
       else lit(true))

@@ -1610,7 +1610,17 @@ object StreamOps {
   def tdigestCellMaintenance(points: DataFrame, path: String, checkpoint: String,
       trigger: org.apache.spark.sql.streaming.Trigger =
         org.apache.spark.sql.streaming.Trigger.AvailableNow())
-      : org.apache.spark.sql.streaming.StreamingQuery =
+      : org.apache.spark.sql.streaming.StreamingQuery = {
+    // Tier COLUMN SETS, read once per stream (r15, ADVICE): checkSchema
+    // was opening every tier's parquet footer on every micro-batch for
+    // pure validation — metadata round-trips that scale with the tag
+    // tier count. The stream itself writes the same columns each batch,
+    // so the sets cannot change underneath it; an out-of-band rebuild
+    // that changes them mid-stream is outside the serving contract
+    // (MetaCache's stance) — restart the stream after a rebuild. The
+    // validation requires still run per batch, against the memo.
+    val tierColsMemo =
+      new java.util.concurrent.ConcurrentHashMap[String, Seq[String]]()
     points.writeStream
       .option("checkpointLocation", checkpoint)
       .trigger(trigger)
@@ -1618,6 +1628,8 @@ object StreamOps {
         withReplayGuard(path, batchId, batch) { b =>
           val spark = b.sparkSession
           val cellDir = s"$path/td"
+          def tierCols(d: String): Seq[String] =
+            tierColsMemo.computeIfAbsent(d, dd => spark.read.parquet(dd).columns.toSeq)
           // EVERYTHING that can fail — input validation, legacy-schema
           // guards, and the materialization of every merged frame — runs
           // BEFORE the first publish (r14, ADVICE): the replay guard
@@ -1651,13 +1663,11 @@ object StreamOps {
           // per-batch sketch is built by the raw route's aggregator
           // (same family/lgK), and merge = blob union
           val ndvKs: Seq[String] =
-            if (tdExists) checkSchema(s"cell store at $cellDir",
-              spark.read.parquet(cellDir).columns.toSeq)
+            if (tdExists) checkSchema(s"cell store at $cellDir", tierCols(cellDir))
             else Seq.empty
           val tierNdv: Seq[(String, Seq[String])] = groupKs.map { k =>
             val tDir = graft.storage.SketchCells.tagDir(path, k)
-            (k, checkSchema(s"tag cell tier $tDir",
-              spark.read.parquet(tDir).columns.toSeq))
+            (k, checkSchema(s"tag cell tier $tDir", tierCols(tDir)))
           }
           if (groupKs.nonEmpty || ndvKs.nonEmpty)
             require(b.columns.contains("tags"),
@@ -1759,6 +1769,7 @@ object StreamOps {
         }
       }
       .start()
+  }
 
   /** Streaming maintenance of the data-skipping manifest
     * ([[graft.storage.SkipIndex]]): per micro-batch of points, append

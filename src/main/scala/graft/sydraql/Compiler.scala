@@ -81,7 +81,17 @@ final class Compiler(spark: SparkSession, source: DataFrame, options: CompileOpt
 
     val base: DataFrame = s.from match {
       case None =>
-        spark.range(1).toDF("__one")
+        // Selector-less: scalar shapes (`select 1`, `select now()`) get
+        // the reference's OneRow source; a query that references source
+        // columns (`select avg(value) … where time >= …` — the r14
+        // fleet-wide dashboard shape) reads the WHOLE source instead, so
+        // the raw route answers it exactly like the cell-served route
+        // does (pre-r15 the raw fallthrough threw an unresolved-column
+        // error, making fleet-wide shapes depend on tier presence).
+        val exprs = s.projections.map(p => subst(p.expr)) ++ where ++
+          s.groupBy.map(subst) ++ s.orderBy.map(sk => subst(sk.expr))
+        if (exprs.exists(refsSourceCols)) source
+        else spark.range(1).toDF("__one")
       case Some(ById(id)) => source.filter(col("series_id") === id)
       case Some(ByName(name)) => source.filter(col("series") === name)
     }
@@ -409,6 +419,21 @@ final class Compiler(spark: SparkSession, source: DataFrame, options: CompileOpt
     * into its Aggregate node (`plan.zig:339-348`), and a final smoothed
     * value per group is the only bounded-state reading.
     */
+  /** Does the expression reference a source column (time/value/series,
+    * or a tag.* path)? Decides OneRow vs whole-source for selector-less
+    * selects — only IDENTIFIERS count (aggregate CALLS over literals,
+    * e.g. `count()` alone, stay scalar: nothing to read).
+    */
+  private def refsSourceCols(e: Expr): Boolean = e match {
+    case id: Ident =>
+      Seq("time", "value", "series", "series_id").contains(id.full.toLowerCase) ||
+        id.parts.headOption.exists(_.equalsIgnoreCase("tag"))
+    case Binary(_, l, r) => refsSourceCols(l) || refsSourceCols(r)
+    case Unary(_, o) => refsSourceCols(o)
+    case Call(_, args) => args.exists(refsSourceCols)
+    case _ => false
+  }
+
   private def containsAggregate(e: Expr): Boolean = e match {
     case Call(n, args) =>
       FunctionRegistry.isAggregate(n) || n == "ema" || args.exists(containsAggregate)

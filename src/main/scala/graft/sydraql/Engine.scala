@@ -10,7 +10,11 @@ final case class QueryStats(
     parseUs: Long,
     validateUs: Long,
     compileUs: Long,
-    traceId: String)
+    traceId: String,
+    // which execution route answered (r15 — EXPLAIN was the only
+    // visibility): "raw", "served:cells:td", "served:cells:tdtag",
+    // "served:hybrid:td", "served:hybrid:tdtag", "insert", "delete"
+    route: String = "raw")
 
 final case class QueryResult(df: DataFrame, stats: QueryStats)
 
@@ -160,6 +164,15 @@ object Engine {
             vlo.getOrElse(Double.NegativeInfinity),
             vhi.getOrElse(Double.PositiveInfinity))
           .df.select(srcCols.map(org.apache.spark.sql.functions.col): _*)
+      case Some(Ast.ByName(n)) if SkipIndex.hasNameBloom(spark, dir) =>
+        // r15: name selectors prune on the manifest's NAME bloom like
+        // by_id prunes on the id bloom (time ∧ bloom ∧ value stats) —
+        // `from cpu.load` used to read every time-overlapping file
+        SkipIndex.nameScan(store, dir,
+            lo.getOrElse(Long.MinValue), hi.getOrElse(Long.MaxValue), n,
+            vlo.getOrElse(Double.NegativeInfinity),
+            vhi.getOrElse(Double.PositiveInfinity))
+          .df.select(srcCols.map(org.apache.spark.sql.functions.col): _*)
       case _ if vlo.nonEmpty || vhi.nonEmpty =>
         // value-stat pruning (r13): `where value >= X` sweeps skip every
         // file whose max_value stat says it cannot match — the anomaly
@@ -224,7 +237,7 @@ object Engine {
     * aggregators, so the hybrid never mixes estimator families.
     */
   private def sketchServed(store: graft.storage.SeriesStore,
-      s: Ast.Select): Option[DataFrame] = {
+      s: Ast.Select): Option[(DataFrame, String)] = {
     import graft.storage.SketchCells
     import org.apache.spark.sql.functions.{col, lit}
     val spark = store.spark
@@ -609,7 +622,13 @@ object Engine {
     // same application order as the compiler (offset skips, then limit
     // takes) — reached only under a total order (the guard above)
     val withOffset = s.offset.map(o => sorted.offset(o.toInt)).getOrElse(sorted)
-    Some(s.limit.map(n => withOffset.limit(n.toInt)).getOrElse(withOffset))
+    val served = s.limit.map(n => withOffset.limit(n.toInt)).getOrElse(withOffset)
+    // route attribution (r15): which tier answered and whether ragged
+    // edges forced the hybrid union — surfaced in QueryStats so the
+    // stats object (not just EXPLAIN) shows a raw-path fallthrough
+    val route = "served:" + (if (edges.nonEmpty) "hybrid" else "cells") +
+      ":" + (if (tagKeyOpt.isDefined) "tdtag" else "td")
+    Some((served, route))
   }
 
   /** Execute against a [[graft.storage.SeriesStore]]: SELECT/EXPLAIN read
@@ -627,8 +646,22 @@ object Engine {
     import graft.storage.Maintenance
     import org.apache.spark.sql.functions._
     val spark = store.spark
+    val t0 = System.nanoTime()
     val ast = Parser.parse(sydraql)
+    val t1 = System.nanoTime()
     Validator.validate(ast)
+    val t2 = System.nanoTime()
+    // real stage timings on every arm (r15 — served/INSERT/DELETE used
+    // to report zeros): parse/validate measured above; compileUs is
+    // everything from validation to the built plan (serving-route
+    // resolution, predicate/row compilation) — called BEFORE the arm's
+    // side effect runs, so execution time never pollutes it
+    def statsOf(route: String): QueryStats = QueryStats(
+      parseUs = (t1 - t0) / 1000,
+      validateUs = (t2 - t1) / 1000,
+      compileUs = (System.nanoTime() - t2) / 1000,
+      traceId = traceId(),
+      route = route)
     ast match {
       case _: Ast.Select | _: Ast.Explain =>
         val sel = ast match {
@@ -637,15 +670,15 @@ object Engine {
           case _ => None
         }
         sel.flatMap(sketchServed(store, _)) match {
-          case Some(df) if ast.isInstanceOf[Ast.Select] =>
-            QueryResult(df, QueryStats(0, 0, 0, traceId()))
-          case Some(df) => // EXPLAIN of a served query shows the SERVED plan
+          case Some((df, route)) if ast.isInstanceOf[Ast.Select] =>
+            QueryResult(df, statsOf(route))
+          case Some((df, route)) => // EXPLAIN of a served query shows the SERVED plan
             import spark.implicits._
             QueryResult(
               Seq(df.queryExecution.explainString(
                 org.apache.spark.sql.execution.ExplainMode.fromString("formatted")))
                 .toDF("plan"),
-              QueryStats(0, 0, 0, traceId()))
+              statsOf(route))
           case _ =>
             execute(spark, sel.map(routedSource(store, _)).getOrElse(store.source()),
               sydraql, options)
@@ -669,10 +702,10 @@ object Engine {
             col("value").cast("double").as("value"))
         }
         val pts = rowDfs.reduce(_ union _)
+        val st = statsOf("insert") // plan built; the append is execution
         store.append(pts)
         import spark.implicits._
-        QueryResult(Seq(rows.length.toLong).toDF("inserted"),
-          QueryStats(0, 0, 0, traceId()))
+        QueryResult(Seq(rows.length.toLong).toDF("inserted"), st)
       case Ast.Delete(sel, where) =>
         val compiler = new Compiler(spark, store.source(), options)
         val selPred = sel match {
@@ -694,10 +727,10 @@ object Engine {
         // routes through the skip manifest (time overlap + by_id bloom)
         // and its per-partition rewrite tallies the removed rows — no
         // separate matched-row count scan
+        val st = statsOf("delete") // predicate compiled; the rewrite is execution
         val report = Maintenance.deleteRowsBounded(store, pred, lo, hi, sid)
         import spark.implicits._
-        QueryResult(Seq(report.deletedRows).toDF("deleted"),
-          QueryStats(0, 0, 0, traceId()))
+        QueryResult(Seq(report.deletedRows).toDF("deleted"), st)
     }
   }
 }

@@ -59,6 +59,16 @@ object Validator {
           throw QueryError(QueryError.InvalidSyntax,
             s"window function '$n' is not allowed in GROUP BY"))
       }
+      // LIMIT/OFFSET execute through DataFrame.limit/offset, which take
+      // Int — a literal above Int.MaxValue would otherwise WRAP via
+      // .toInt (2³¹ → -2147483648, 2³² → 0) and silently return the
+      // wrong rows. The parser accepts any long literal; reject here,
+      // loudly, before anything plans.
+      Seq("limit" -> s.limit, "offset" -> s.offset).foreach { case (kw, v) =>
+        v.filter(n => n > Int.MaxValue || n < 0).foreach(n =>
+          throw QueryError(QueryError.InvalidSyntax,
+            s"$kw $n out of range (0 .. ${Int.MaxValue})"))
+      }
     case d: Delete =>
       d.where.foreach(checkFunctions)
       if (!d.where.exists(hasTimePredicate))

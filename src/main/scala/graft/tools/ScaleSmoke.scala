@@ -645,6 +645,49 @@ object ScaleSmoke {
         spark.range(report.rewrittenHours.length.toLong)
           .select(lit(report.deletedRows).as("deleted"))
       },
+      // r15: the STREAMING cell-maintenance twin (#30) at mult× ingest —
+      // the batch-side serve/refresh curves exist, this records the
+      // per-batch maintenance cost (td + tag tier + theta NDV + basic
+      // partials per batch). Input staged as 8 files → 8 micro-batches
+      // (maxFilesPerTrigger=1), so the number divides into per-batch
+      // wall; each batch is mult×/8 of the point stream. Cost per batch
+      // must track BATCH rows (fresh partials) + touched-day cell rows
+      // (the partition-pruned merge), never the whole-store point count.
+      timedStaged("stream_cells_maint") {
+        val root = s"target/smoke-tmp/stream-$mult"
+        val fs = new org.apache.hadoop.fs.Path(root)
+          .getFileSystem(spark.sparkContext.hadoopConfiguration)
+        fs.delete(new org.apache.hadoop.fs.Path(root), true) // rerun-safe
+        // seed: a 1× slice appended + cells built WITH tag/ndv tiers, so
+        // the stream maintains the full r14 tier surface per batch
+        val seed = graft.core.Tables.events(spark, sfDir).select(
+          col("event_type").as("series"),
+          map(lit("user"), (col("user_id") % 8).cast("string")).as("tags"),
+          (col("ts") / lit(1000000000L)).cast("long").as("time"), col("value"))
+        val store = new graft.storage.SeriesStore(spark, s"$root/store")
+        store.append(seed)
+        graft.storage.SketchCells.build(store,
+          graft.storage.SketchCells.dirFor(store),
+          groupTags = Seq("user"), ndvTags = Seq("user"))
+        // stage the mult× stream input as exactly 8 files = 8 batches
+        ev.select(col("event_type").as("series"),
+          graft.core.Functions.seriesId(col("event_type"),
+            map(lit("user"), col("tag_user"))).as("series_id"),
+          map(lit("user"), col("tag_user")).as("tags"),
+          col("time"), col("value"))
+          .repartition(8).write.parquet(s"$root/in")
+      } {
+        val root = s"target/smoke-tmp/stream-$mult"
+        val store = new graft.storage.SeriesStore(spark, s"$root/store")
+        val inSchema = spark.read.parquet(s"$root/in").schema
+        val q = graft.streaming.StreamOps.tdigestCellMaintenance(
+          spark.readStream.schema(inSchema)
+            .option("maxFilesPerTrigger", 1).parquet(s"$root/in"),
+          graft.storage.SketchCells.dirFor(store), s"$root/ckpt")
+        q.awaitTermination()
+        spark.read.parquet(
+          s"${graft.storage.SketchCells.dirFor(store)}/td")
+      },
       timed("ann_self_join") {
         // √n-rule cell count with FIXED nprobe — SCALE.md's sizing math
         // (candidates/query ≈ n·nprobe/nCells = √n·nprobe, total n^1.5).

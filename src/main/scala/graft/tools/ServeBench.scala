@@ -1,0 +1,110 @@
+package graft.tools
+
+import graft.storage.{SeriesStore, SketchCells, SkipIndex}
+import graft.sydraql.{CompileOptions, Engine}
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions.{col, lit, map}
+
+/** Dashboard-QPS serving benchmark — the latency number the cell tier
+  * exists FOR. [[AnnBench]]'s twin for the sydraQL serving surface:
+  * build the events store + cell/skip tiers once, then measure
+  * steady-state per-query latency (p50/p95 over repeated single
+  * queries, collect() included — the dashboard request shape) for each
+  * SERVED query shape, against the raw route running the SAME sydraQL
+  * on the same store's source view.
+  *
+  * Shapes (the [[graft.sydraql.Engine.sketchServed]] routing matrix):
+  *  - aligned:  day-aligned week window, avg/count/p50 → cells:td
+  *  - ragged:   same window shifted 1 h in / 2 h out → hybrid:td
+  *  - tag:      p95/avg per tag.user over the aligned window → cells:tdtag
+  *  - fleet:    selector-less avg/count over the window → cells:td
+  *  - origin:   2-day buckets with a day-aligned origin → cells:td
+  *
+  * Latencies include Spark's local job-scheduling floor (~tens of ms);
+  * on a cluster the same plans serve from executors and the cells/raw
+  * RATIO is the durable number — cells read O(days) KB rows, raw reads
+  * every point in the window, so the ratio widens with store size.
+  *
+  * Env: SPARK_GRAFT_SF_DIR (default sf0.1), SPARK_GRAFT_CPUS (default
+  * 32), SPARK_GRAFT_SERVE_REPS (default 20). One JSON line on stdout.
+  */
+object ServeBench {
+  def main(args: Array[String]): Unit = {
+    val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val reps = sys.env.getOrElse("SPARK_GRAFT_SERVE_REPS", "20").toInt
+    val spark = graft.SparkEntry.configure(
+      SparkSession.builder()
+        .master(s"local[$cpus]")
+        .config("spark.sql.shuffle.partitions", cpus)
+        .config("spark.ui.enabled", "false"))
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+
+    // the gate fixture store: events → (series=event_type, tag user=%8)
+    val root = java.nio.file.Files.createTempDirectory("graft-servebench").toString
+    val store = new SeriesStore(spark, root)
+    store.append(graft.core.Tables.events(spark, sfDir).select(
+      col("event_type").as("series"),
+      map(lit("user"), (col("user_id") % 8).cast("string")).as("tags"),
+      (col("ts") / lit(1000000000L)).cast("long").as("time"),
+      col("value")))
+    val tb = System.nanoTime()
+    SketchCells.build(store, SketchCells.dirFor(store),
+      groupTags = Seq("user"), ndvTags = Seq("user"))
+    SkipIndex.build(store, SkipIndex.dirFor(store))
+    val buildS = (System.nanoTime() - tb) / 1e9
+
+    val lo = 1704067200L // 2024-01-01, day-aligned; events span Jan 1-30
+    val hi = lo + 7 * 86400
+    val shapes: Seq[(String, String, String)] = Seq(
+      ("aligned", s"select avg(value) as av, count() as n, " +
+        s"percentile_approx(value, 0.5) as p50 from click " +
+        s"where time >= $lo and time < $hi", "served:cells:td"),
+      ("ragged", s"select avg(value) as av, count() as n, " +
+        s"percentile_approx(value, 0.5) as p50 from click " +
+        s"where time >= ${lo + 3600} and time < ${hi - 7200}", "served:hybrid:td"),
+      ("tag", s"select tag.user as usr, percentile_approx(value, 0.95) as p95, " +
+        s"avg(value) as av from click where time >= $lo and time < $hi " +
+        s"group by tag.user order by usr", "served:cells:tdtag"),
+      ("fleet", s"select avg(value) as av, count() as n " +
+        s"where time >= $lo and time < $hi", "served:cells:td"),
+      ("origin", s"select time_bucket(172800, time, ${lo + 86400}) as b, " +
+        s"avg(value) as av from click where time >= $lo and time < $hi " +
+        s"group by time_bucket(172800, time, ${lo + 86400}) order by b",
+        "served:cells:td"))
+
+    def pct(sorted: Seq[Double], p: Double): Double =
+      sorted((p * (sorted.length - 1)).round.toInt)
+
+    val results = shapes.map { case (name, ql, expectRoute) =>
+      // served: through the store (engine routes to cells); assert the
+      // route so a silent fallthrough can't publish a raw number as a
+      // cells number
+      val res = Engine.executeOnStore(store, ql, CompileOptions(now = 0L))
+      require(res.stats.route == expectRoute,
+        s"$name must serve via $expectRoute, engine chose ${res.stats.route}")
+      def once(f: () => Unit): Seq[Double] = {
+        (0 until 3).foreach(_ => f()) // warmup: JIT + footer cache
+        (0 until reps).map { _ =>
+          val t0 = System.nanoTime(); f(); (System.nanoTime() - t0) / 1e6
+        }.sorted
+      }
+      val served = once(() =>
+        Engine.executeOnStore(store, ql, CompileOptions(now = 0L)).df.collect())
+      // raw: the SAME sydraQL compiled against the source view directly
+      // (the pre-tier execution path, full parse+compile per rep too)
+      val raw = once(() =>
+        Engine.sql(spark, store.source(), ql, CompileOptions(now = 0L)).collect())
+      (name, served, raw)
+    }
+
+    val sj = results.map { case (n, s, r) =>
+      f""""$n":{"cells_p50_ms":${pct(s, 0.5)}%.1f,"cells_p95_ms":${pct(s, 0.95)}%.1f,""" +
+        f""""raw_p50_ms":${pct(r, 0.5)}%.1f,"raw_p95_ms":${pct(r, 0.95)}%.1f,""" +
+        f""""speedup_p50":${pct(r, 0.5) / pct(s, 0.5)}%.2f}"""
+    }.mkString("{", ",", "}")
+    println(f"""{"metric":"serve_qps","build_s":$buildS%.1f,"reps":$reps,"shapes":$sj,"sf":"$sfDir"}""")
+    spark.stop()
+  }
+}

@@ -149,4 +149,39 @@ class ApiSpec extends AnyFunSuite {
       assert(m.body().contains("sydra_query_total"))
     } finally api.stop()
   }
+
+  test("served-route stats: real stage timings + route attribution (r15)") {
+    import graft.storage.{SeriesStore, SketchCells}
+    import org.apache.spark.sql.functions.{col, lit, map}
+    import spark.implicits._
+    val store = new SeriesStore(spark, Files.createTempDirectory("graft-api-served").toString)
+    val pts = (0 until 8).map(i => ("cpu", i.toLong * 21600L, i.toDouble))
+      .toDF("series", "time", "value")
+      .withColumn("tags", map().cast("map<string,string>"))
+      .select("series", "tags", "time", "value")
+    store.append(pts)
+    SketchCells.build(store, SketchCells.dirFor(store))
+    val api = new HttpApi(store, token = Some("t0"))
+    val port = api.start()
+    try {
+      // day-aligned window over the cell tier: the engine serves from
+      // cells, and the stats object says so — with REAL stage timings
+      // (both were zeroed on served routes before r15)
+      val q = post(port, "/api/v1/sydraql",
+        """{"query":"select avg(value) as a from cpu where time >= 0 and time < 172800"}""")
+      assert(q.statusCode() === 200, q.body().take(300))
+      assert(q.body().contains("\"route\":\"served:cells:td\""), q.body().take(600))
+      def statOf(name: String, body: String): Long =
+        ("\"" + name + "\":(\\d+)").r.findFirstMatchIn(body).map(_.group(1).toLong).getOrElse(-1L)
+      assert(statOf("parse_us", q.body()) > 0,
+        s"served route must report non-zero parse_us: ${q.body().take(400)}")
+      assert(statOf("compile_us", q.body()) > 0,
+        "compile_us must cover serving-route resolution")
+      // the raw route attributes itself too
+      val raw = post(port, "/api/v1/sydraql",
+        """{"query":"select time, value from cpu where time >= 0 and time < 100 order by time"}""")
+      assert(raw.statusCode() === 200)
+      assert(raw.body().contains("\"route\":\"raw\""), raw.body().take(600))
+    } finally api.stop()
+  }
 }

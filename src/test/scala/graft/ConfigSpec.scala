@@ -125,5 +125,17 @@ class ConfigSpec extends AnyFunSuite {
       "q_dq_skew", "q_dq_join_estimate", "q_dq_histogram",
       "q_dq_wasserstein", "q_dq_jsd"))
     assert(byFam("tpch0").take(2) === Seq("q_tpch_q3", "q_tpch_q5"))
+    // r15: the cell-serving/value-skip watch — pinned verbatim like pl3,
+    // so a membership edit (which would stale the cells brackets) is loud
+    assert(byFam("cells0") === Seq("q_sql_sketch_cells_tag",
+      "q_sql_sketch_cells_tag_bucket", "q_sql_sketch_cells_ndv_bucket",
+      "q_sql_sketch_cells_ndv_tag", "q_sql_value_skip",
+      "q_sql_rollup_cells_basic", "q_sql_rollup_cells_bucket",
+      "q_sql_rollup_cells_tag", "q_sql_rollup_cells_fl",
+      "q_sql_rollup_cells_rate", "q_sql_sketch_cells_desc",
+      "q_sql_rollup_cells_ragged"))
+    assert(byFam("cells1") === Seq("q_sql_sketch_cells_ragged",
+      "q_sql_rollup_cells_limit", "q_sql_rollup_cells_origin",
+      "q_sql_rollup_cells_fill", "q_sql_rollup_cells_all"))
   }
 }

@@ -737,15 +737,15 @@ class StorageSpec extends AnyFunSuite {
     assert(routed.inputFiles.length === 2,
       s"routed by_id scan must read the 2 surviving files, got ${routed.inputFiles.length}")
     assert(routed.orderBy("time").collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq === rows)
-    // time-bounded name scan (no by_id): range pruning alone. FILE-level
-    // min/max beats hour granularity: hours 1-2 hold 4 files, but the
-    // other-series hour-2 file's min_time (7220) exceeds the 7210 bound,
-    // so exactly 3 files survive
+    // time-bounded name scan (no by_id): since r15 the NAME BLOOM prunes
+    // the other-series files inside surviving hours too, so the name
+    // route reads exactly the by_id probe's 2 files (pre-r15 this was
+    // time-overlap-only: 3 files)
     val named = Engine.executeOnStore(store,
       s"select time, value from $probeName where time >= 3600 and time <= ${2 * 3600 + 10}",
       CompileOptions(now = 0L)).df
-    assert(named.inputFiles.length === 3,
-      s"range-routed name scan must read the 3 overlapping files, got ${named.inputFiles.length}")
+    assert(named.inputFiles.length === 2,
+      s"name-bloom-routed scan must read the 2 surviving files, got ${named.inputFiles.length}")
     assert(named.orderBy("time").collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq === rows)
     // append into the probe window AFTER the build: the manifest must
     // refresh (a stale one would silently drop the new row)
@@ -811,17 +811,20 @@ class StorageSpec extends AnyFunSuite {
     store.append(pts("mem", 20))
     SkipIndex.build(store, SkipIndex.dirFor(store))
     def run(ql: String) = Engine.executeOnStore(store, ql, CompileOptions(now = 0L)).df
-    // value >= 2.5: only the two hour-3 files (max_value 3.0) can match
+    // value >= 2.5 with a NAME selector: since r15 the name bloom
+    // composes with the value stats — only cpu's hour-3 file survives
+    // (pre-r15 this fell to thresholdScan and read mem's too)
     val top = run("select time, value from cpu where time >= 0 and value >= 2.5 order by time")
-    assert(top.inputFiles.length === 2,
-      s"value-threshold route must read 2 of 8 files, got ${top.inputFiles.length}")
+    assert(top.inputFiles.length === 1,
+      s"name+value route must read 1 of 8 files, got ${top.inputFiles.length}")
     assert(top.collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
       === Seq((3 * 3600L + 10, 3.0)))
-    // both bounds + time: 0.5 <= value <= 1.5 in hours 0-1 → hour-1 files
+    // both bounds + time: 0.5 <= value <= 1.5 in hours 0-1 → mem's
+    // hour-1 file alone (name bloom ∧ time ∧ value stats)
     val band = run("select time, value from mem where time >= 0 and " +
       s"time < ${2 * 3600} and value >= 0.5 and value <= 1.5 order by time")
-    assert(band.inputFiles.length === 2,
-      s"banded value route must read 2 files, got ${band.inputFiles.length}")
+    assert(band.inputFiles.length === 1,
+      s"banded name+value route must read 1 file, got ${band.inputFiles.length}")
     assert(band.collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
       === Seq((3600L + 20, 1.0)))
     // `value > 2.5` under OR must NOT tighten pruning (superset contract)
@@ -829,6 +832,9 @@ class StorageSpec extends AnyFunSuite {
       "(value >= 2.5 or value <= 0.5) order by time")
     assert(orq.collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
       === Seq((10L, 0.0), (3 * 3600L + 10, 3.0)))
+    // (the selector-less thresholdScan sweep keeps its pin at the
+    // SkipIndex level — the engine's FROM-less shape compiles to OneRow,
+    // so no engine route reaches thresholdScan with a name bloom present)
   }
 
   test("delete: manifest-pruned discovery, tier refresh (cells serve post-delete truth, emptied day dropped)") {
@@ -1091,5 +1097,76 @@ class StorageSpec extends AnyFunSuite {
     val days = SketchCells.read(spark, SketchCells.dirFor(store))
       .select("day").distinct().as[Long].collect().toSet
     assert(days === Set(d1), "dropped day must leave the cell store")
+  }
+
+  test("name selectors prune on the manifest name bloom exactly like by_id probes (r15)") {
+    import graft.storage.SkipIndex
+    import spark.implicits._
+    val store = new SeriesStore(spark, tmp())
+    // the r13 probe fixture: 4 hours x 2 separate appends -> 8 files,
+    // each holding ONE series, so bloom pruning is observable
+    def pts(series: String, off: Long) =
+      (0 until 4).map(h => (series, h * 3600L + off, h.toDouble)).toDF("series", "time", "value")
+        .withColumn("tags", map(lit("host"), lit(series)))
+        .select("series", "tags", "time", "value")
+    store.append(pts("cpu", 10))
+    store.append(pts("mem", 20))
+    val mdir = tmp() + "/manifest"
+    SkipIndex.build(store, mdir)
+    assert(SkipIndex.hasNameBloom(spark, mdir))
+    val sid = spark.range(1).select(graft.core.Functions.seriesId(
+      lit("cpu"), map(lit("host"), lit("cpu"))).as("s")).head().getLong(0)
+    // THE pin: the name scan reads exactly the files the by_id probe
+    // reads on this fixture (one tagset per name -> same file set)
+    val probe = SkipIndex.probeScan(store, mdir, 3600L, 2 * 3600L + 10, sid)
+    val byName = SkipIndex.nameScan(store, mdir, 3600L, 2 * 3600L + 10, "cpu")
+    assert(byName.filesTotal === 8)
+    assert(byName.filesRead === probe.filesRead,
+      s"name scan must prune like the id probe: ${byName.filesRead} vs ${probe.filesRead}")
+    assert(byName.filesRead === 2, "time pruning to 4 files, name bloom to 2")
+    // identical rows to the full-scan filter — pruning is I/O-only
+    val got = byName.df.select("time", "value").orderBy("time")
+      .collect().map(r => (r.getLong(0), r.getDouble(1)))
+    assert(got.toSeq === Seq((3610L, 1.0), (7210L, 2.0)))
+    // a name the store never saw: every file pruned
+    val ghost = SkipIndex.nameScan(store, mdir, 0L, 100 * 3600L, "ghost.series")
+    assert(ghost.filesRead === 0 && ghost.df.isEmpty)
+    // value bounds compose like the by_id probe's (r14 shape)
+    val bounded = SkipIndex.nameScan(store, mdir, 0L, 100 * 3600L, "cpu", 2.5)
+    assert(bounded.filesRead === 1, "value stats prune inside the name's files")
+    assert(bounded.df.select("value").as[Double].collect().toSeq === Seq(3.0))
+    // the ENGINE routes `from <name>` through the name bloom: same
+    // rows, and the routed plan carries only the surviving files
+    val res = Engine.executeOnStore(store,
+      "select time, value from cpu where time >= 3600 and time <= 7210 order by time",
+      CompileOptions(now = 0L)).df
+    assert(res.collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq ===
+      Seq((3610L, 1.0), (7210L, 2.0)))
+  }
+
+  test("persisted MetaCache generation: an out-of-process marker bump invalidates (r15)") {
+    import graft.storage.MetaCache
+    val dir = tmp()
+    val k = "spec-key"
+    def value(): Long =
+      MetaCache.cached(dir, k)(java.lang.Long.valueOf(System.nanoTime())).longValue()
+    val v1 = value()
+    assert(value() === v1, "second lookup must memo")
+    // invalidate WRITES the marker (the cross-JVM contract's write half)
+    MetaCache.invalidate(dir)
+    val marker = new java.io.File(dir, "_meta_generation")
+    assert(marker.exists(), "invalidate must persist a generation marker")
+    val v2 = value()
+    assert(v2 !== v1, "same-JVM invalidate must reload")
+    assert(value() === v2)
+    // simulate ANOTHER JVM's invalidate: rewrite the marker out-of-process
+    // (fresh content + strictly newer mtime). The reader's next lookup
+    // must see the moved stat and reload — the in-process counter alone
+    // could never notice this.
+    java.nio.file.Files.write(marker.toPath, s"other-jvm:${System.nanoTime()}".getBytes)
+    assert(marker.setLastModified(marker.lastModified() + 2000))
+    val v3 = value()
+    assert(v3 !== v2, "a foreign JVM's marker bump must invalidate the memo")
+    assert(value() === v3, "and the new generation memoizes again")
   }
 }

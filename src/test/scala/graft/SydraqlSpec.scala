@@ -337,4 +337,21 @@ class SydraqlSpec extends AnyFunSuite {
     val res = Engine.execute(spark, tinySource, "select 1")
     assert(res.stats.parseUs >= 0 && res.stats.traceId.length === 13)
   }
+
+  test("limit/offset beyond Int.MaxValue rejected, not wrapped (r15)") {
+    // DataFrame.limit/offset take Int; 2^31 would wrap negative and 2^32
+    // to zero via .toInt — both must fail validation loudly instead
+    val e31 = intercept[QueryError](Validator.validate(Parser.parse(
+      s"select value from m where time >= 0 limit ${1L << 31}")))
+    assert(e31.code === QueryError.InvalidSyntax)
+    val e32 = intercept[QueryError](Validator.validate(Parser.parse(
+      s"select value from m where time >= 0 limit ${1L << 32}")))
+    assert(e32.code === QueryError.InvalidSyntax)
+    val eOff = intercept[QueryError](Validator.validate(Parser.parse(
+      s"select value from m where time >= 0 limit 1 offset ${1L << 31}")))
+    assert(eOff.code === QueryError.InvalidSyntax)
+    // the boundary itself stays valid
+    Validator.validate(Parser.parse(
+      s"select value from m where time >= 0 limit ${Int.MaxValue} offset ${Int.MaxValue}"))
+  }
 }
