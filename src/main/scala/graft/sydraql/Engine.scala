@@ -43,12 +43,27 @@ object Engine {
     val t1 = System.nanoTime()
     Validator.validate(ast)
     val t2 = System.nanoTime()
+    executeAst(spark, source, ast, options,
+      parseUs = (t1 - t0) / 1000, validateUs = (t2 - t1) / 1000)
+  }
+
+  /** Compile an already-parsed+validated statement — the store route
+    * parses once for serving-route resolution and must not pay parse +
+    * validate a second time on the raw fallthrough (r15).
+    */
+  private def executeAst(
+      spark: SparkSession,
+      source: DataFrame,
+      ast: Ast.Statement,
+      options: CompileOptions,
+      parseUs: Long,
+      validateUs: Long): QueryResult = {
+    val t2 = System.nanoTime()
     val df = new Compiler(spark, source, options).compile(ast)
-    val t3 = System.nanoTime()
     QueryResult(df, QueryStats(
-      parseUs = (t1 - t0) / 1000,
-      validateUs = (t2 - t1) / 1000,
-      compileUs = (t3 - t2) / 1000,
+      parseUs = parseUs,
+      validateUs = validateUs,
+      compileUs = (System.nanoTime() - t2) / 1000,
       traceId = traceId()))
   }
 
@@ -680,8 +695,11 @@ object Engine {
                 .toDF("plan"),
               statsOf(route))
           case _ =>
-            execute(spark, sel.map(routedSource(store, _)).getOrElse(store.source()),
-              sydraql, options)
+            // raw route: reuse the parse/validate this method already
+            // did (and their measured times) — compile only
+            executeAst(spark,
+              sel.map(routedSource(store, _)).getOrElse(store.source()),
+              ast, options, (t1 - t0) / 1000, (t2 - t1) / 1000)
         }
       case Ast.Insert(series, cols, rows) =>
         val compiler = new Compiler(spark, store.source(), options)
