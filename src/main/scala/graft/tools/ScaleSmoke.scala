@@ -645,6 +645,33 @@ object ScaleSmoke {
         spark.range(report.rewrittenHours.length.toLong)
           .select(lit(report.deletedRows).as("deleted"))
       },
+      // r15: NAME-selector probe through the language — `from click`
+      // over a 12-hour window prunes on the manifest's name bloom like
+      // a by_id probe (time ∧ name bits), so the curve must track the
+      // PRUNED file count + one manifest read, never the store size.
+      // Setup upgrades a pre-r15 manifest (no bloom_name) via refresh's
+      // rebuild path — the documented migration route.
+      timedStaged("name_skip_probe") {
+        val root = s"target/smoke-tmp/skip-$mult"
+        val store = new graft.storage.SeriesStore(spark, root)
+        if (store.isEmpty)
+          store.append(ev.select(col("event_type").as("series"),
+            map(lit("user"), col("tag_user")).as("tags"),
+            col("time"), col("value")))
+        val mdir = graft.storage.SkipIndex.dirFor(store)
+        if (!graft.storage.SkipIndex.exists(spark, mdir))
+          graft.storage.SkipIndex.build(store, mdir)
+        else if (!graft.storage.SkipIndex.hasNameBloom(spark, mdir))
+          graft.storage.SkipIndex.refresh(store, mdir, Seq(0L)) // upgrade-rebuilds
+      } {
+        val root = s"target/smoke-tmp/skip-$mult"
+        val store = new graft.storage.SeriesStore(spark, root)
+        val t0 = graft.queries.TimeSeries.T0
+        graft.sydraql.Engine.executeOnStore(store,
+          s"select time, value from click where time >= ${t0 + 6 * 3600} " +
+            s"and time < ${t0 + 18 * 3600} order by time, value",
+          graft.sydraql.CompileOptions(now = 0L)).df
+      },
       // r15: the STREAMING cell-maintenance twin (#30) at mult× ingest —
       // the batch-side serve/refresh curves exist, this records the
       // per-batch maintenance cost (td + tag tier + theta NDV + basic
