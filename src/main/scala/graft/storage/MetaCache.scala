@@ -13,20 +13,33 @@ package graft.storage
   * [[SketchCells.refresh]], [[SkipIndex.build]]/[[SkipIndex.refresh]],
   * the streaming maintenance twins).
   *
-  * Cross-JVM freshness (r15): the generation is PERSISTED — every
-  * [[invalidate]] rewrites a `_meta_generation` marker file in the dir
-  * (monotonic mtime: a writer that lands within the previous marker's
-  * millisecond bumps the timestamp explicitly), and [[cached]] keys the
-  * memo on the marker's stat (mtime:length — ONE filesystem stat per
-  * lookup, still metadata-only) combined with the in-process counter.
-  * A separate maintenance JVM's refresh therefore invalidates a
-  * long-lived serving JVM's memo at its next query — the in-process
-  * counter alone could never see it. Out-of-band filesystem surgery
-  * that bypasses `invalidate` remains outside the serving contract
-  * (the maintenance swap protocol's reader-quiescence stance).
+  * Cross-JVM freshness (r15, hardened r16): the generation is
+  * PERSISTED — every [[invalidate]] rewrites a `_meta_generation`
+  * marker file in the dir with a fresh UUID, and [[cached]] keys the
+  * memo on the marker's CONTENT (one small metadata-file read per
+  * lookup). r15 keyed on the marker's mtime:length stat, which missed a
+  * bump when two invalidates landed in one mtime granule with
+  * equal-length content and the `setTimes` fixup was unsupported
+  * (object stores); content with a UUID always changes, so the fixup —
+  * and its silent-failure hole — is gone. A separate maintenance JVM's
+  * refresh therefore invalidates a long-lived serving JVM's memo at its
+  * next query. Out-of-band filesystem surgery that bypasses
+  * `invalidate` remains outside the serving contract (the maintenance
+  * swap protocol's reader-quiescence stance).
+  *
+  * Query-scope stat batching (r16): one routed query hits several
+  * cached keys on the SAME dir (exists, filesTotal, hasNameBloom, the
+  * cell tier's schema keys), and a per-lookup marker read re-adds the
+  * per-query round-trips the memo exists to remove. [[Engine
+  * .executeOnStore]] wraps each query in [[scoped]], which snapshots
+  * the marker read per dir for the scope's duration — one metadata
+  * read per dir per query, every further lookup free. [[invalidate]]
+  * drops the snapshot for its dir, so a writer arm's own reads re-check.
   *
   * `loads` counts memo misses (actual filesystem loads) so tests can pin
-  * "N served queries → one load" and "a refresh invalidates".
+  * "N served queries → one load" and "a refresh invalidates";
+  * `markerReads` counts marker-file reads so tests can pin the
+  * one-read-per-dir-per-scope contract.
   */
 private[graft] object MetaCache {
 
@@ -39,6 +52,11 @@ private[graft] object MetaCache {
   private val memo =
     new java.util.concurrent.ConcurrentHashMap[(String, String, String), AnyRef]()
   val loads = new java.util.concurrent.atomic.AtomicLong()
+  val markerReads = new java.util.concurrent.atomic.AtomicLong()
+  // dirs whose marker write failed unexpectedly — warn ONCE per dir
+  // (private[graft] so the negative spec can pin the warning happened)
+  private[graft] val markerWriteFailures =
+    java.util.concurrent.ConcurrentHashMap.newKeySet[String]()
 
   // one Configuration per process: newHadoopConf() copies every session
   // property, far too heavy for a per-lookup stat; FS settings do not
@@ -56,50 +74,98 @@ private[graft] object MetaCache {
   private def markerPath(dir: String) =
     new org.apache.hadoop.fs.Path(dir, MarkerName)
 
-  /** The persisted half of the generation key: the marker's mtime:length
-    * from ONE `getFileStatus` call, or "absent" when no writer has ever
-    * stamped this dir (then the in-process counter is the whole key).
+  // per-thread scope snapshot of extGen per dir (see scaladoc). A query
+  // resolves its routing on the driver thread that called executeOnStore,
+  // so thread-local is the right scope carrier.
+  private val scopeSnap =
+    new ThreadLocal[java.util.HashMap[String, String]]()
+
+  /** Run `f` with marker reads snapshotted per dir: the first [[cached]]
+    * lookup on a dir pays one marker read, every further lookup inside
+    * the scope reuses it. Nested scopes share the outermost snapshot.
     */
-  private def extGen(dir: String): String =
+  def scoped[T](f: => T): T =
+    if (scopeSnap.get() != null) f
+    else {
+      scopeSnap.set(new java.util.HashMap[String, String]())
+      try f finally scopeSnap.remove()
+    }
+
+  /** The persisted half of the generation key: the marker's CONTENT from
+    * one small read, or "absent" when no writer has ever stamped this dir
+    * (then the in-process counter is the whole key). A torn read during a
+    * concurrent rewrite yields partial content — a key that matches no
+    * memoized generation, so the reader reloads: always the safe side.
+    */
+  private def readMarker(dir: String): String =
     try {
       val p = markerPath(dir)
-      val st = p.getFileSystem(hadoopConf()).getFileStatus(p)
-      st.getModificationTime.toString + ":" + st.getLen
+      markerReads.incrementAndGet()
+      val fs = p.getFileSystem(hadoopConf())
+      val in = fs.open(p)
+      try {
+        val buf = new Array[Byte](128)
+        val n = in.read(buf)
+        if (n <= 0) "absent" else new String(buf, 0, n, "UTF-8")
+      } finally in.close()
     } catch { case _: Throwable => "absent" }
+
+  private def extGen(dir: String): String = {
+    val sc = scopeSnap.get()
+    if (sc == null) readMarker(dir)
+    else {
+      val hit = sc.get(dir)
+      if (hit != null) hit
+      else { val g = readMarker(dir); sc.put(dir, g); g }
+    }
+  }
 
   private def genKey(dir: String): String =
     gen.getOrDefault(dir, 0L).toString + "/" + extGen(dir)
 
   /** Bump `dir`'s generation (writer hook): advance the in-process
-    * counter, drop the dir's memo entries, and stamp the persisted
-    * marker so readers in OTHER JVMs reload too. The marker's mtime is
-    * forced strictly past the previous marker's (same-millisecond
-    * writers would otherwise produce an identical stat).
+    * counter, drop the dir's memo entries (and any scope snapshot), and
+    * stamp the persisted marker so readers in OTHER JVMs reload too.
     */
   def invalidate(dir: String): Unit = {
     gen.merge(dir, 1L, (a, b) => a + b)
     val it = memo.keySet().iterator()
     while (it.hasNext) if (it.next()._1 == dir) it.remove()
+    Option(scopeSnap.get()).foreach(_.remove(dir))
     try {
       val p = markerPath(dir)
       val fs = p.getFileSystem(hadoopConf())
-      val prevMtime =
-        try fs.getFileStatus(p).getModificationTime catch { case _: Throwable => 0L }
-      val out = fs.create(p, true)
-      try out.write(
-        (System.nanoTime().toString + ":" + gen.get(dir)).getBytes("UTF-8"))
-      finally out.close()
-      if (fs.getFileStatus(p).getModificationTime <= prevMtime)
-        fs.setTimes(p, prevMtime + 1, -1)
+      // A tier that hasn't been built yet has no dir — and Hadoop's
+      // fs.create makes parents, so writing the marker anyway would
+      // MATERIALIZE the tier directory containing only the marker (a
+      // trap for dir-existence checks). Skip the write: the in-process
+      // counter already bumped, and a first build writes data before
+      // its own invalidate, so cross-JVM readers never miss a real tier.
+      if (fs.exists(new org.apache.hadoop.fs.Path(dir))) {
+        val out = fs.create(p, true)
+        // a fresh UUID per stamp: the content — the generation key —
+        // changes on EVERY invalidate, including two landing in the same
+        // mtime millisecond on a store with no setTimes support
+        try out.write(
+          (java.util.UUID.randomUUID().toString + ":" + gen.get(dir))
+            .getBytes("UTF-8"))
+        finally out.close()
+      }
     } catch {
-      // dir may not exist yet (a tier about to be built) — the
-      // in-process counter still bumped, same-JVM readers stay correct
-      case _: Throwable => ()
+      // an unexpected marker-write failure keeps same-JVM readers
+      // correct (the counter bumped) but leaves OTHER JVMs serving
+      // stale metadata until the next successful stamp — loud, once
+      case e: Throwable =>
+        if (markerWriteFailures.add(dir))
+          System.err.println(s"[graft] MetaCache: failed to persist generation " +
+            s"marker in $dir — cross-JVM readers may serve stale metadata " +
+            s"until a later refresh succeeds: $e")
     }
   }
 
   /** Memoized `load` under the dir's current generation (in-process
-    * counter + persisted marker stat — one FS stat per lookup).
+    * counter + persisted marker content — at most one marker read per
+    * lookup, and per query scope only the dir's FIRST lookup pays it).
     */
   def cached[T <: AnyRef](dir: String, key: String)(load: => T): T = {
     val g = genKey(dir)

@@ -832,9 +832,15 @@ class StorageSpec extends AnyFunSuite {
       "(value >= 2.5 or value <= 0.5) order by time")
     assert(orq.collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
       === Seq((10L, 0.0), (3 * 3600L + 10, 3.0)))
-    // (the selector-less thresholdScan sweep keeps its pin at the
-    // SkipIndex level — the engine's FROM-less shape compiles to OneRow,
-    // so no engine route reaches thresholdScan with a name bloom present)
+    // selector-less value sweep (r15 made it reachable: a FROM-less
+    // select referencing source columns compiles against the WHOLE
+    // source, not OneRow): the engine route reaches thresholdScan — both
+    // series' hour-3 files survive the value stats, 2 of 8 read
+    val sweep = run("select time, value where time >= 0 and value >= 2.5 order by time")
+    assert(sweep.inputFiles.length === 2,
+      s"FROM-less value sweep must read 2 of 8 files, got ${sweep.inputFiles.length}")
+    assert(sweep.collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+      === Seq((3 * 3600L + 10, 3.0), (3 * 3600L + 20, 3.0)))
   }
 
   test("delete: manifest-pruned discovery, tier refresh (cells serve post-delete truth, emptied day dropped)") {
@@ -1160,13 +1166,178 @@ class StorageSpec extends AnyFunSuite {
     assert(v2 !== v1, "same-JVM invalidate must reload")
     assert(value() === v2)
     // simulate ANOTHER JVM's invalidate: rewrite the marker out-of-process
-    // (fresh content + strictly newer mtime). The reader's next lookup
-    // must see the moved stat and reload — the in-process counter alone
-    // could never notice this.
+    // with fresh CONTENT — the generation key since r16 (r15 keyed on the
+    // mtime:length stat, which two same-millisecond equal-length stamps
+    // could alias). The reader's next lookup must reload — the in-process
+    // counter alone could never notice this. The mtime is deliberately
+    // NOT touched: content alone must carry the bump.
     java.nio.file.Files.write(marker.toPath, s"other-jvm:${System.nanoTime()}".getBytes)
-    assert(marker.setLastModified(marker.lastModified() + 2000))
     val v3 = value()
     assert(v3 !== v2, "a foreign JVM's marker bump must invalidate the memo")
     assert(value() === v3, "and the new generation memoizes again")
+  }
+
+  test("MetaCache query scope: one marker read per dir per scope (r16)") {
+    import graft.storage.MetaCache
+    val dir = tmp()
+    MetaCache.invalidate(dir) // stamp a marker so reads have something real
+    MetaCache.scoped {
+      val r0 = MetaCache.markerReads.get()
+      MetaCache.cached(dir, "sk1")(java.lang.Long.valueOf(1L))
+      MetaCache.cached(dir, "sk2")(java.lang.Long.valueOf(2L))
+      MetaCache.cached(dir, "sk3")(java.lang.Long.valueOf(3L))
+      assert(MetaCache.markerReads.get() === r0 + 1,
+        "further lookups on the dir inside the scope must reuse the snapshot")
+      // a writer bump INSIDE the scope drops the snapshot — freshness
+      // beats batching (the engine's insert/delete arms invalidate
+      // mid-query)
+      MetaCache.invalidate(dir)
+      val v = MetaCache.cached(dir, "sk1")(java.lang.Long.valueOf(9L)).longValue()
+      assert(v === 9L, "post-invalidate lookup must reload")
+      assert(MetaCache.markerReads.get() === r0 + 2)
+    }
+    // outside a scope each lookup pays its own freshness read
+    val r1 = MetaCache.markerReads.get()
+    MetaCache.cached(dir, "sk1")(java.lang.Long.valueOf(1L))
+    MetaCache.cached(dir, "sk2")(java.lang.Long.valueOf(2L))
+    assert(MetaCache.markerReads.get() === r1 + 2)
+  }
+
+  test("MetaCache.invalidate never materializes an unbuilt tier dir (r16)") {
+    import graft.storage.MetaCache
+    val dir = tmp() + "/unbuilt-tier"
+    def value(): Long =
+      MetaCache.cached(dir, "k")(java.lang.Long.valueOf(System.nanoTime())).longValue()
+    val v1 = value()
+    // pre-r16, Hadoop fs.create(p, true) created parents — invalidating a
+    // not-yet-built tier materialized its directory holding only the
+    // marker, a trap for dir-existence checks
+    MetaCache.invalidate(dir)
+    assert(!new java.io.File(dir).exists(),
+      "invalidate of an unbuilt tier must not create its directory")
+    assert(value() !== v1, "the in-process bump still invalidates same-JVM readers")
+  }
+
+  test("MetaCache.invalidate: a marker-write failure is loud once and same-JVM correct (r16)") {
+    import graft.storage.MetaCache
+    // a FILE where the tier dir would be: fs.exists(dir) holds, but
+    // creating dir/_meta_generation fails (parent is not a directory) —
+    // the unexpected-failure path (permissions, remote errors) in shape
+    val dir = tmp() + "/tier-as-file"
+    java.nio.file.Files.write(java.nio.file.Paths.get(dir), "x".getBytes)
+    def value(): Long =
+      MetaCache.cached(dir, "k")(java.lang.Long.valueOf(System.nanoTime())).longValue()
+    val v1 = value()
+    MetaCache.invalidate(dir) // must not throw
+    assert(MetaCache.markerWriteFailures.contains(dir),
+      "the failure must be recorded (and warned on stderr, once per dir)")
+    assert(value() !== v1,
+      "in-process readers stay correct via the counter even when the marker write fails")
+  }
+
+  test("tag-equality conjuncts prune on the manifest tag bloom (r16)") {
+    import graft.storage.SkipIndex
+    import graft.sydraql.{CompileOptions, Engine}
+    import spark.implicits._
+    val store = new SeriesStore(spark, tmp())
+    // one series name over TWO tagsets plus a second name, each append
+    // its own files: 4 hours x 3 appends -> 12 files, so name-level
+    // pruning alone cannot isolate a host
+    def pts(series: String, host: String, off: Long) =
+      (0 until 4).map(h => (series, h * 3600L + off, h.toDouble)).toDF("series", "time", "value")
+        .withColumn("tags", map(lit("host"), lit(host)))
+        .select("series", "tags", "time", "value")
+    store.append(pts("cpu", "a", 10))
+    store.append(pts("cpu", "b", 11))
+    store.append(pts("mem", "a", 20))
+    val mdir = SkipIndex.dirFor(store)
+    SkipIndex.build(store, mdir)
+    // scan-level pin: time (hours 0-2: 9 files) ∧ name (cpu: 6) ∧ tag
+    // (host=a: 3)
+    val scanned = SkipIndex.nameScan(store, mdir, 0L, 2 * 3600L + 20, "cpu",
+      tags = Seq("host" -> "a"))
+    assert(scanned.filesTotal === 12)
+    assert(scanned.filesRead === 3,
+      s"name ∧ time ∧ tag bloom must read 3 of 12 files, got ${scanned.filesRead}")
+    assert(scanned.df.select("time", "value").orderBy("time")
+      .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+      === Seq((10L, 0.0), (3610L, 1.0), (7210L, 2.0)))
+    // the ENGINE extracts `tag.host = 'a'` and composes it with the name
+    // route — same rows, 3 of 12 files in the plan
+    def run(ql: String) = Engine.executeOnStore(store, ql, CompileOptions(now = 0L)).df
+    val eng = run("select time, value from cpu where time >= 0 and " +
+      s"time <= ${2 * 3600 + 20} and tag.host = 'a' order by time")
+    assert(eng.inputFiles.length === 3,
+      s"engine tag route must read 3 of 12 files, got ${eng.inputFiles.length}")
+    assert(eng.collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+      === Seq((10L, 0.0), (3610L, 1.0), (7210L, 2.0)))
+    // a selector-less WHERE composes time ∧ tag: host=b is exactly cpu's
+    // second append, pruned without a name in the query at all
+    val tagOnly = run("select time, value where time >= 0 and tag.host = 'b' order by time")
+    assert(tagOnly.inputFiles.length === 4,
+      s"selector-less tag route must read host b's 4 files, got ${tagOnly.inputFiles.length}")
+    assert(tagOnly.count() === 4)
+    // a value the store never saw: every file pruned, no rows
+    val ghost = run("select time, value from cpu where time >= 0 and tag.host = 'zz' order by time")
+    assert(ghost.inputFiles.length === 0 && ghost.count() === 0)
+    // tag equality under OR must NOT tighten pruning (superset contract):
+    // both hosts' rows survive
+    val orq = run("select time, value from cpu where time >= 0 and " +
+      "(tag.host = 'a' or tag.host = 'b')")
+    assert(orq.count() === 8)
+  }
+
+  test("manifest schema upgrade is incremental: carried rows keep NULL blooms and stay readable (r16)") {
+    import graft.storage.SkipIndex
+    import spark.implicits._
+    val store = new SeriesStore(spark, tmp())
+    def pts(series: String, off: Long) =
+      (0 until 4).map(h => (series, h * 3600L + off, h.toDouble)).toDF("series", "time", "value")
+        .withColumn("tags", map(lit("host"), lit(series)))
+        .select("series", "tags", "time", "value")
+    store.append(pts("cpu", 10))
+    store.append(pts("mem", 20))
+    val mdir = tmp() + "/manifest"
+    SkipIndex.build(store, mdir)
+    // simulate a pre-r15 manifest: strip the name/tag blooms in place
+    val legacyRows = SkipIndex.read(spark, mdir)
+      .drop("bloom_name", "bloom_tags").collect()
+    val legacySchema = SkipIndex.read(spark, mdir)
+      .drop("bloom_name", "bloom_tags").schema
+    val fs = new java.io.File(mdir + "/m")
+    org.apache.commons.io.FileUtils.deleteDirectory(fs)
+    spark.createDataFrame(
+      spark.sparkContext.parallelize(legacyRows.toIndexedSeq), legacySchema)
+      .coalesce(1).write.parquet(mdir + "/m")
+    graft.storage.MetaCache.invalidate(mdir)
+    assert(!SkipIndex.hasNameBloom(spark, mdir))
+    // refresh ONE hour: the upgrade must be O(touched hours) — carried
+    // rows gain NULL blooms (unionByName fill), only hour 3's rows are
+    // recomputed with real ones
+    SkipIndex.refresh(store, mdir, Seq(3 * 3600L))
+    val m = SkipIndex.read(spark, mdir)
+    assert(m.columns.contains("bloom_name") && m.columns.contains("bloom_tags"))
+    assert(m.filter(col("hour_bucket") === 3 * 3600L &&
+      col("bloom_name").isNotNull).count() === 2, "refreshed hour gains real blooms")
+    assert(m.filter(col("hour_bucket") < 3 * 3600L &&
+      col("bloom_name").isNull).count() === 6,
+      "carried rows must keep NULL blooms — a full rebuild here would hide O(store) work")
+    // a NULL bloom means "cannot prune": the name scan reads the carried
+    // files (superset) and the fresh hour prunes — rows stay exact
+    val scanned = SkipIndex.nameScan(store, mdir, 0L, 4 * 3600L, "cpu")
+    assert(scanned.filesRead === 7,
+      s"6 carried (unprunable) + 1 fresh pruned file, got ${scanned.filesRead}")
+    assert(scanned.df.select("time", "value").orderBy("time")
+      .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+      === (0 until 4).map(h => (h * 3600L + 10, h.toDouble)))
+    // ghost probe: fresh hour pruned by bloom, carried hours read-and-
+    // residual-dropped — correct empty result either way
+    val ghost = SkipIndex.nameScan(store, mdir, 0L, 4 * 3600L, "ghost")
+    assert(ghost.filesRead === 6 && ghost.df.isEmpty)
+    // tag pruning likewise: NULL-tolerant on carried rows
+    val tagScan = SkipIndex.rangeScan(store, mdir, 0L, 4 * 3600L,
+      tags = Seq("host" -> "cpu"))
+    assert(tagScan.filesRead === 7)
+    assert(tagScan.df.count() === 4)
   }
 }
