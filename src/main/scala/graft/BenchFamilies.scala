@@ -90,7 +90,9 @@ object BenchFamilies {
       "q_sql_sketch_cells_desc", "q_sql_rollup_cells_ragged"),
     "cells1" -> Seq("q_sql_sketch_cells_ragged", "q_sql_rollup_cells_limit",
       "q_sql_rollup_cells_origin", "q_sql_rollup_cells_fill",
-      "q_sql_rollup_cells_all"))
+      "q_sql_rollup_cells_all",
+      // r16 append (slot 6): tag-bloom skip routing
+      "q_sql_tag_skip"))
 
   /** name → (family, 1-based slot) */
   lazy val slotOf: Map[String, (String, Int)] = {

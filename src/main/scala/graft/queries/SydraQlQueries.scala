@@ -457,6 +457,29 @@ object SydraQlQueries {
               |ORDER BY time, value""".stripMargin),
       benchExtra = true),
 
+    // Tag-equality skip routing through the LANGUAGE (r16): `tag.user =
+    // '3'` conjuncts probe the manifest's k=v tag bloom, so the most
+    // common dashboard selector after name + time (reference tag-index
+    // semantics, storage/tags.zig:4-76) prunes files inside the name's
+    // own — StorageSpec pins the file counts, this gate pins that the
+    // routing never changes rows at 3 SFs against the DuckDB oracle.
+    Q("q_sql_tag_skip",
+      (s, dir) => {
+        val hi = T0 + 2 * 86400
+        val store = eventsStore(s, dir, T0, hi)
+        graft.storage.SkipIndex.build(store, graft.storage.SkipIndex.dirFor(store))
+        Engine.executeOnStore(store,
+          s"select time, value from error where time >= $T0 and time < $hi " +
+            s"and tag.user = '3' order by time, value",
+          CompileOptions(now = NOW)).df
+      },
+      Some(s"""$svSql
+              |SELECT time, value FROM sv
+              |WHERE series = 'error' AND time >= $T0 AND time < ${T0 + 2 * 86400}
+              |  AND tag_user = '3'
+              |ORDER BY time, value""".stripMargin),
+      benchExtra = true),
+
     // Basic aggregates served from the cell tier (r14 — the reference's
     // own RollupHint breadcrumb, plan.zig:19-21/physical.zig:47-54,
     // finally serving avg/sum/count/min/max): the cells carry mergeable

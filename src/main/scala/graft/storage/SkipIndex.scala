@@ -46,6 +46,58 @@ object SkipIndex {
   private def positions(id: org.apache.spark.sql.Column) =
     (0 until Hashes).map(k => pmod(xxhash64(id, lit(k)), lit(Bits.toLong)))
 
+  /** Probe-side bit positions, computed ON THE DRIVER — bit-identical to
+    * [[positions]] (FunctionsSpec pins parity on random inputs against
+    * the Spark expression) via the same catalyst XXH64 kernel the
+    * expression runs: `xxhash64(x, lit(k))` folds seed 42 through x then
+    * the Int literal k. r15 ran a `spark.range(1)` projection per probe
+    * to guarantee parity — one scheduler round-trip per query on the
+    * highest-QPS path; a shared kernel gives parity without the job.
+    */
+  private[graft] def localPositions(id: Long): Seq[Int] = {
+    import org.apache.spark.sql.catalyst.expressions.XXH64
+    (0 until Hashes).map { k =>
+      Math.floorMod(XXH64.hashInt(k, XXH64.hashLong(id, 42L)), Bits.toLong).toInt
+    }
+  }
+
+  /** [[localPositions]] for a string probe (series name, `k=v` tag pair). */
+  private[graft] def localPositions(s: String): Seq[Int] = {
+    import org.apache.spark.sql.catalyst.expressions.XXH64
+    val utf8 = org.apache.spark.unsafe.types.UTF8String.fromString(s)
+    (0 until Hashes).map { k =>
+      Math.floorMod(XXH64.hashInt(k, XXH64.hashUTF8String(utf8, 42L)),
+        Bits.toLong).toInt
+    }
+  }
+
+  /** Manifest-frame predicate "this file's bloom may contain every probed
+    * bit position" over `bloomCol`. NULL-tolerant: a row carried forward
+    * through an in-place manifest upgrade ([[refresh]]) has NULL for the
+    * blooms its build predates — NULL means "cannot prune", the file is
+    * read and the exact residual decides (the per-file fallback the
+    * upgrade semantics rely on).
+    */
+  private def bloomMayContain(bloomCol: String, pos: Seq[Int]) =
+    coalesce(
+      pos.map { p =>
+        (element_at(col(bloomCol), lit(p / 64 + 1))
+          .bitwiseAND(lit(1L << (p % 64)))) =!= 0L
+      }.reduce(_ && _),
+      lit(true))
+
+  /** Tag-equality pruning predicate (r16): each `tag.k = 'v'` conjunct
+    * probes the manifest's `k=v` tag bloom; files lacking every probed
+    * pair's bits are never opened. A manifest predating the tag bloom
+    * (no column) or a carried row (NULL) prunes nothing — superset
+    * contract, the exact residual runs on what is read.
+    */
+  private def tagPred(m: DataFrame, tags: Seq[(String, String)]) =
+    if (tags.isEmpty || !m.columns.contains("bloom_tags")) lit(true)
+    else tags.map { case (k, v) =>
+      bloomMayContain("bloom_tags", localPositions(s"$k=$v"))
+    }.reduce(_ && _)
+
   /** One manifest row per data file of `scan` (which must carry the
     * store schema + hour_bucket): the stats aggregate and the
     * distinct-series bit-position OR share the one pass over the data.
@@ -57,18 +109,30 @@ object SkipIndex {
         min(col("time")).as("min_time"), max(col("time")).as("max_time"),
         min(col("value")).as("min_value"), max(col("value")).as("max_value"),
         count(lit(1)).as("n_rows"))
-    // TWO blooms from ONE distinct pass (series_id functionally
-    // determines series, so the pair-distinct is the id-distinct): the
-    // id bloom serves by_id() probes, the NAME bloom (r15) serves
-    // `from cpu.load` — name selectors prune files like id probes do
-    // instead of falling back to time-overlap-only pruning. Name
-    // positions are offset into an extended [Bits, 2*Bits) space so one
-    // explode → bit-OR chain builds both; the final projection splits
-    // the 2*Words-word space back into the two arrays.
-    val allPos = positions(col("series_id")) ++
+    // THREE blooms from ONE distinct pass (series_id functionally
+    // determines series AND tags, so the exploded distinct is still the
+    // id-distinct — duplicate id rows across a series' tag entries are
+    // harmless, bit-OR is idempotent): the id bloom serves by_id()
+    // probes, the NAME bloom (r15) serves `from cpu.load`, and the TAG
+    // bloom (r16) holds the file-distinct `k=v` tag pairs so
+    // `where tag.host = 'a'` prunes inside a name's files (reference tag
+    // index semantics, `/root/reference/src/sydra/storage/tags.zig:4-76`,
+    // re-expressed as file skipping). Name positions offset into
+    // [Bits, 2*Bits), tag positions into [2*Bits, 3*Bits), so one
+    // explode → bit-OR chain builds all three; the final projection
+    // splits the 3*Words-word space back into the arrays.
+    // explode_outer keeps tagless series in the id/name blooms.
+    val basePos = positions(col("series_id")) ++
       positions(col("series")).map(_ + lit(Bits.toLong))
-    val blooms = raw.select(col("__file"), col("series_id"), col("series")).distinct()
-      .select(col("__file"), explode(array(allPos: _*)).as("pos"))
+    val tagPos = positions(concat(col("key"), lit("="), col("value")))
+      .map(_ + lit((2 * Bits).toLong))
+    val blooms = raw
+      .select(col("__file"), col("series_id"), col("series"),
+        explode_outer(col("tags")))
+      .distinct()
+      .select(col("__file"), explode(concat(array(basePos: _*),
+        when(col("key").isNull, array().cast("array<long>"))
+          .otherwise(array(tagPos: _*)))).as("pos"))
       .select(col("__file"), (col("pos") / 64).cast("int").as("word"),
         expr("shiftleft(1L, CAST(pos % 64 AS INT))").as("mask"))
       .groupBy(col("__file"), col("word"))
@@ -79,11 +143,13 @@ object SkipIndex {
         array((0 until Words).map(w =>
           coalesce(element_at(col("m"), lit(w)), lit(0L))): _*).as("bloom"),
         array((Words until 2 * Words).map(w =>
-          coalesce(element_at(col("m"), lit(w)), lit(0L))): _*).as("bloom_name"))
+          coalesce(element_at(col("m"), lit(w)), lit(0L))): _*).as("bloom_name"),
+        array((2 * Words until 3 * Words).map(w =>
+          coalesce(element_at(col("m"), lit(w)), lit(0L))): _*).as("bloom_tags"))
     stats.join(blooms, "__file")
       .withColumnRenamed("__file", "file")
       .select("file", "min_time", "max_time", "min_value", "max_value",
-        "n_rows", "bloom", "bloom_name", "hour_bucket")
+        "n_rows", "bloom", "bloom_name", "bloom_tags", "hour_bucket")
   }
 
   /** Build (overwrite) the manifest for every data file in the store.
@@ -110,18 +176,27 @@ object SkipIndex {
     * protocol — a died-mid-swap manifest is restored by the recovery
     * pass the next read runs). Hours the store no longer has (retention
     * drops) simply contribute no recomputed rows.
+    *
+    * Schema upgrades stay incremental (r16 — a pre-r15/r16 manifest
+    * used to trigger a FULL rebuild here, O(store) hidden inside an
+    * O(touched hours) call): carried rows keep NULL for blooms their
+    * build predates (`unionByName` fills them), probes treat NULL as
+    * "cannot prune" ([[bloomMayContain]]) and read those files, and
+    * each hour gains its blooms when it next refreshes. Loud on stderr
+    * so the weaker pruning during the transition is attributable.
     */
   def refresh(store: SeriesStore, manifestDir: String, hours: Seq[Long]): Unit = {
     if (hours.isEmpty) return
     val spark = store.spark
-    // pre-r15 manifest without the name bloom: carried-forward rows
-    // would lack the column — upgrade by full rebuild, once
-    if (!read(spark, manifestDir).columns.contains("bloom_name")) {
-      build(store, manifestDir); return
-    }
-    val kept = read(spark, manifestDir).filter(!col("hour_bucket").isin(hours: _*))
+    val old = read(spark, manifestDir)
+    val missing = Seq("bloom_name", "bloom_tags").filterNot(old.columns.contains)
+    if (missing.nonEmpty)
+      System.err.println(s"[graft] SkipIndex: upgrading manifest at $manifestDir " +
+        s"in place — refreshed hours gain ${missing.mkString(", ")}; carried " +
+        "rows keep them NULL (no pruning on those files) until their hours refresh")
+    val kept = old.filter(!col("hour_bucket").isin(hours: _*))
     val fresh = manifestRows(store.scan().filter(col("hour_bucket").isin(hours: _*)))
-    val next = kept.unionByName(fresh).coalesce(1)
+    val next = kept.unionByName(fresh, allowMissingColumns = true).coalesce(1)
     Maintenance.swapRewrite(spark, manifestDir, "m") { tmp =>
       // `next` lazily READS the live manifest while writing to the
       // scratch path — the swap happens only after the write succeeds
@@ -168,20 +243,25 @@ object SkipIndex {
 
   /** Time-range-only pruned scan (no series predicate — the `by name` /
     * all-series engine route): files whose [min_time, max_time] overlaps
-    * the inclusive range. Same contract as [[probeScan]]: pruning is
-    * I/O-only, the exact residual filter runs on what is read.
+    * the inclusive range, further pruned by the tag bloom when `tags`
+    * equality pairs are passed (r16). Same contract as [[probeScan]]:
+    * pruning is I/O-only, the exact residual filter runs on what is read.
     */
   def rangeScan(store: SeriesStore, manifestDir: String,
-      startTs: Long, endTs: Long): SkipScan = {
+      startTs: Long, endTs: Long,
+      tags: Seq[(String, String)] = Nil): SkipScan = {
     val spark = store.spark
     val m = read(spark, manifestDir)
     val survivors = m
-      .filter(col("min_time") <= endTs && col("max_time") >= startTs)
+      .filter(col("min_time") <= endTs && col("max_time") >= startTs &&
+        tagPred(m, tags))
       .select("file").collect().map(_.getString(0))
     val total = filesTotal(spark, manifestDir)
     SkipScan(
       readFiles(store, survivors)
-        .filter(col("time") >= startTs && col("time") <= endTs),
+        .filter(col("time") >= startTs && col("time") <= endTs &&
+          tags.map { case (k, v) => try_element_at(col("tags"), lit(k)) === v }
+            .foldLeft(lit(true))(_ && _)),
       survivors.length, total)
   }
 
@@ -224,15 +304,11 @@ object SkipIndex {
       minValue: Double = Double.NegativeInfinity,
       maxValue: Double = Double.PositiveInfinity): SkipScan = {
     val spark = store.spark
-    // probe-side bit positions via the SAME Spark expressions that built
-    // the filter (one metadata-sized local projection — no reimplemented
-    // xxhash64 to drift out of sync)
-    val pos = spark.range(1)
-      .select(positions(lit(seriesId)): _*).head().toSeq.map(_.asInstanceOf[Long].toInt)
+    // probe-side bit positions on the driver (r16) — the shared XXH64
+    // kernel [[localPositions]], FunctionsSpec-pinned bit-identical to
+    // the build expressions; r15 paid a Spark job per probe for parity
     val m = read(spark, manifestDir)
-    val bloomHit = pos.map { p =>
-      (element_at(col("bloom"), lit(p / 64 + 1)).bitwiseAND(lit(1L << (p % 64)))) =!= 0L
-    }.reduce(_ && _)
+    val bloomHit = bloomMayContain("bloom", localPositions(seriesId))
     val hasV = !minValue.isNegInfinity || !maxValue.isPosInfinity
     val vStat =
       if (hasV) col("max_value") >= minValue && col("min_value") <= maxValue
@@ -267,33 +343,35 @@ object SkipIndex {
     * match. A name maps to every tag combination under it — the name
     * bloom is over file-distinct names, so pruning is exactly as sharp
     * as the by_id bloom on single-tagset fixtures and still correct
-    * (a superset) when one name spans many series_ids. Residual filters
-    * run on what is read, like every routed scan.
+    * (a superset) when one name spans many series_ids. `tags` (r16)
+    * composes `tag.k = 'v'` conjuncts via the tag bloom — `from cpu.load
+    * where tag.host = 'a'` prunes inside the name's files instead of at
+    * name granularity only. Residual filters run on what is read, like
+    * every routed scan.
     */
   def nameScan(store: SeriesStore, manifestDir: String,
       startTs: Long, endTs: Long, series: String,
       minValue: Double = Double.NegativeInfinity,
-      maxValue: Double = Double.PositiveInfinity): SkipScan = {
+      maxValue: Double = Double.PositiveInfinity,
+      tags: Seq[(String, String)] = Nil): SkipScan = {
     val spark = store.spark
-    val pos = spark.range(1)
-      .select(positions(lit(series)): _*).head().toSeq.map(_.asInstanceOf[Long].toInt)
     val m = read(spark, manifestDir)
-    val bloomHit = pos.map { p =>
-      (element_at(col("bloom_name"), lit(p / 64 + 1)).bitwiseAND(lit(1L << (p % 64)))) =!= 0L
-    }.reduce(_ && _)
+    val bloomHit = bloomMayContain("bloom_name", localPositions(series))
     val hasV = !minValue.isNegInfinity || !maxValue.isPosInfinity
     val vStat =
       if (hasV) col("max_value") >= minValue && col("min_value") <= maxValue
       else lit(true)
     val survivors = m
       .filter(col("min_time") <= endTs && col("max_time") >= startTs &&
-        bloomHit && vStat)
+        bloomHit && vStat && tagPred(m, tags))
       .select("file").collect().map(_.getString(0))
     val total = filesTotal(spark, manifestDir)
     val residual = col("series") === series &&
       col("time") >= startTs && col("time") <= endTs &&
       (if (hasV) col("value") >= minValue && col("value") <= maxValue
-      else lit(true))
+      else lit(true)) &&
+      tags.map { case (k, v) => try_element_at(col("tags"), lit(k)) === v }
+        .foldLeft(lit(true))(_ && _)
     SkipScan(readFiles(store, survivors).filter(residual),
       survivors.length, total)
   }
@@ -309,18 +387,22 @@ object SkipIndex {
     */
   def thresholdScan(store: SeriesStore, manifestDir: String,
       startTs: Long, endTs: Long, minValue: Double,
-      maxValue: Double = Double.PositiveInfinity): SkipScan = {
+      maxValue: Double = Double.PositiveInfinity,
+      tags: Seq[(String, String)] = Nil): SkipScan = {
     val spark = store.spark
     val m = read(spark, manifestDir)
     val survivors = m
       .filter(col("min_time") <= endTs && col("max_time") >= startTs &&
-        col("max_value") >= minValue && col("min_value") <= maxValue)
+        col("max_value") >= minValue && col("min_value") <= maxValue &&
+        tagPred(m, tags))
       .select("file").collect().map(_.getString(0))
     val total = filesTotal(spark, manifestDir)
     SkipScan(
       readFiles(store, survivors).filter(col("value") >= minValue &&
         col("value") <= maxValue &&
-        col("time") >= startTs && col("time") <= endTs),
+        col("time") >= startTs && col("time") <= endTs &&
+        tags.map { case (k, v) => try_element_at(col("tags"), lit(k)) === v }
+          .foldLeft(lit(true))(_ && _)),
       survivors.length, total)
   }
 }

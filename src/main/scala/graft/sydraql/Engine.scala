@@ -151,6 +151,29 @@ object Engine {
     (lo, hi)
   }
 
+  /** `tag.<k> = '<literal>'` equality pairs from the WHERE's TOP-LEVEL
+    * conjuncts (r16) — the [[timeBounds]] contract: anything under
+    * OR/NOT or non-literal is ignored, so the extracted pairs are always
+    * a predicate the true WHERE implies and pruning on them stays a
+    * superset. Keys keep their written case — the compiler's residual
+    * `try_element_at(tags, <key>)` is case-sensitive the same way, so
+    * probe and match semantics agree.
+    */
+  private def tagEquals(where: Option[Ast.Expr]): Seq[(String, String)] = {
+    def conj(e: Ast.Expr): Seq[Ast.Expr] = e match {
+      case Ast.Binary(Ast.And, l, r) => conj(l) ++ conj(r)
+      case x => Seq(x)
+    }
+    where.toSeq.flatMap(conj).collect {
+      case Ast.Binary(Ast.Eq, id: Ast.Ident, Ast.StringLit(v))
+        if id.parts.length == 2 && id.parts.head.equalsIgnoreCase("tag") =>
+        (id.parts(1), v)
+      case Ast.Binary(Ast.Eq, Ast.StringLit(v), id: Ast.Ident)
+        if id.parts.length == 2 && id.parts.head.equalsIgnoreCase("tag") =>
+        (id.parts(1), v)
+    }
+  }
+
   /** Route a SELECT's source through the store's data-skipping manifest
     * ([[graft.storage.SkipIndex.dirFor]]) when one exists: `by_id()`
     * probes prune on time overlap + the series bloom, name/all-series
@@ -169,6 +192,10 @@ object Engine {
     if (!SkipIndex.exists(spark, dir)) return store.source()
     val (lo, hi) = timeBounds(s.where)
     val (vlo, vhi) = valueBounds(s.where)
+    // tag-equality conjuncts (r16) compose with every non-by_id route
+    // below via the manifest's k=v tag bloom (by_id's series bloom
+    // already subsumes the series' tags — one series_id, one tagset)
+    val tagEqs = tagEquals(s.where)
     s.from match {
       case Some(Ast.ById(id)) =>
         // r14: value-threshold conjuncts COMPOSE with the by_id probe —
@@ -186,7 +213,7 @@ object Engine {
         SkipIndex.nameScan(store, dir,
             lo.getOrElse(Long.MinValue), hi.getOrElse(Long.MaxValue), n,
             vlo.getOrElse(Double.NegativeInfinity),
-            vhi.getOrElse(Double.PositiveInfinity))
+            vhi.getOrElse(Double.PositiveInfinity), tagEqs)
           .df.select(srcCols.map(org.apache.spark.sql.functions.col): _*)
       case _ if vlo.nonEmpty || vhi.nonEmpty =>
         // value-stat pruning (r13): `where value >= X` sweeps skip every
@@ -196,11 +223,14 @@ object Engine {
         SkipIndex.thresholdScan(store, dir,
             lo.getOrElse(Long.MinValue), hi.getOrElse(Long.MaxValue),
             vlo.getOrElse(Double.NegativeInfinity),
-            vhi.getOrElse(Double.PositiveInfinity))
+            vhi.getOrElse(Double.PositiveInfinity), tagEqs)
           .df.select(srcCols.map(org.apache.spark.sql.functions.col): _*)
-      case _ if lo.nonEmpty || hi.nonEmpty =>
+      case _ if lo.nonEmpty || hi.nonEmpty || tagEqs.nonEmpty =>
+        // time overlap ∧ (r16) tag bloom; a tag-only WHERE still routes —
+        // `where tag.host = 'a'` with no time bounds prunes to the
+        // host's files instead of reading the store
         SkipIndex.rangeScan(store, dir,
-            lo.getOrElse(Long.MinValue), hi.getOrElse(Long.MaxValue))
+            lo.getOrElse(Long.MinValue), hi.getOrElse(Long.MaxValue), tagEqs)
           .df.select(srcCols.map(org.apache.spark.sql.functions.col): _*)
       case _ => store.source()
     }
@@ -657,7 +687,19 @@ object Engine {
   def executeOnStore(
       store: graft.storage.SeriesStore,
       sydraql: String,
-      options: CompileOptions = CompileOptions()): QueryResult = {
+      options: CompileOptions = CompileOptions()): QueryResult =
+    // one MetaCache marker read per dir for this whole query's routing
+    // (r16): resolution touches several metadata memos per tier dir, and
+    // each was paying its own marker freshness read — at dashboard QPS
+    // against an object store that is the overhead the memo removes
+    graft.storage.MetaCache.scoped {
+      executeOnStoreImpl(store, sydraql, options)
+    }
+
+  private def executeOnStoreImpl(
+      store: graft.storage.SeriesStore,
+      sydraql: String,
+      options: CompileOptions): QueryResult = {
     import graft.storage.Maintenance
     import org.apache.spark.sql.functions._
     val spark = store.spark

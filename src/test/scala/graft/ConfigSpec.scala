@@ -136,6 +136,17 @@ class ConfigSpec extends AnyFunSuite {
       "q_sql_rollup_cells_ragged"))
     assert(byFam("cells1") === Seq("q_sql_sketch_cells_ragged",
       "q_sql_rollup_cells_limit", "q_sql_rollup_cells_origin",
-      "q_sql_rollup_cells_fill", "q_sql_rollup_cells_all"))
+      "q_sql_rollup_cells_fill", "q_sql_rollup_cells_all",
+      "q_sql_tag_skip"))
+  }
+
+  test("serve bench family frozen: shape names and order pinned (r16)") {
+    // the per-round serving-latency readings (`serve_qps` in
+    // BENCH_FULL.json) are bracketed per shape as `__serve_<name>` in
+    // BRACKETS.json — comparable only while the shape set, order, and
+    // their sydraQL stay fixed, so the composition is pinned like the
+    // extras families above
+    assert(graft.tools.ServeBench.shapeNames ===
+      Seq("aligned", "ragged", "tag", "fleet", "origin"))
   }
 }

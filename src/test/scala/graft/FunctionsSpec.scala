@@ -341,4 +341,31 @@ class FunctionsSpec extends AnyFunSuite {
       .select(graft.functions.TDigest.quantileOf($"td", 0.5)).head()
     assert(allNull.isNullAt(0))
   }
+
+  test("SkipIndex.localPositions are bit-identical to the Spark bloom-build expressions (r16)") {
+    // THE parity pin for the driver-local probe kernel: the manifest's
+    // blooms are built by `pmod(xxhash64(x, lit(k)), 1024)` inside the
+    // one build pass; probes since r16 compute positions on the driver
+    // (no per-probe Spark job — the Hash60 precedent). Any drift between
+    // the two silently turns bloom pruning into wrong-row loss, so this
+    // must hold bit-for-bit on longs (series ids) and strings (names,
+    // k=v tag pairs) including empty and non-ASCII.
+    def sparkPos(c: org.apache.spark.sql.Column): Seq[Int] =
+      spark.range(1)
+        .select((0 until 3).map(k => pmod(xxhash64(c, lit(k)), lit(1024L))): _*)
+        .head().toSeq.map(_.asInstanceOf[Long].toInt)
+    val rnd = new scala.util.Random(16)
+    val ids = Seq(0L, 1L, -1L, Long.MaxValue, Long.MinValue) ++
+      Seq.fill(16)(rnd.nextLong())
+    ids.foreach { id =>
+      assert(graft.storage.SkipIndex.localPositions(id) === sparkPos(lit(id)),
+        s"long probe drifted for $id")
+    }
+    val strs = Seq("", "cpu", "cpu.load", "host=a", "user=日本語", "a" * 100) ++
+      Seq.fill(16)(rnd.alphanumeric.take(rnd.nextInt(24) + 1).mkString)
+    strs.foreach { s =>
+      assert(graft.storage.SkipIndex.localPositions(s) === sparkPos(lit(s)),
+        s"string probe drifted for '$s'")
+    }
+  }
 }
