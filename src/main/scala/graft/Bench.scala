@@ -58,6 +58,13 @@ import org.apache.spark.sql.SparkSession
   * once in a fresh child JVM and lands both readings under
   * `headline_rerun` (reported total stays the first reading).
   *
+  * Round-16 addition — the SERVING surface gets a per-round number: a
+  * [[graft.tools.ServeBench]] child JVM runs the five pinned dashboard
+  * shapes (reps from SPARK_GRAFT_SERVE_REPS, default 5 here) and the
+  * line lands under `serve_qps`, with `__serve_<shape>` brackets and
+  * the same outlier-rerun discipline (`serve_rerun`).
+  * SPARK_GRAFT_BENCH_NOSERVE=1 skips the stage.
+  *
   * Artifact durability: the full result JSON is written to
   * `target/bench_result.json` AND `BENCH_FULL.json` (repo root, committed
   * by the end-of-round sweep) — the driver's 2000-char stdout tail
@@ -167,7 +174,7 @@ object Bench {
   /** Re-create this JVM's flags for a child (we are sbt-forked, so the
     * input args are exactly build.sbt's javaOptions: add-opens + -Xmx).
     */
-  private def childCommand(): Seq[String] = {
+  private def childCommand(mainClass: String = "graft.Bench"): Seq[String] = {
     import scala.jdk.CollectionConverters._
     val javaBin = java.nio.file.Paths.get(
       System.getProperty("java.home"), "bin", "java").toString
@@ -175,7 +182,36 @@ object Bench {
       .getInputArguments.asScala.toSeq.filterNot(a =>
         a.startsWith("-agentlib") || a.startsWith("-javaagent"))
     Seq(javaBin) ++ jvmArgs ++
-      Seq("-cp", System.getProperty("java.class.path"), "graft.Bench")
+      Seq("-cp", System.getProperty("java.class.path"), mainClass)
+  }
+
+  /** Run the serving-latency stage ([[graft.tools.ServeBench]]) in a
+    * fresh child JVM; returns its one-line JSON, or None if the child
+    * could not run (the artifact then carries `"serve_qps":{}` — absent,
+    * not silently zero).
+    */
+  private def runServeInChild(sfDir: String, reps: Int): Option[String] = {
+    val outFile = java.nio.file.Files.createTempFile("bench_serve", ".json")
+    val logDir = new java.io.File("target/bench_logs")
+    logDir.mkdirs()
+    val log = new java.io.File(logDir, "serve.log")
+    try {
+      val pb = new ProcessBuilder(childCommand("graft.tools.ServeBench"): _*)
+      pb.environment().put("SPARK_GRAFT_SERVE_REPS", reps.toString)
+      pb.environment().put("SPARK_GRAFT_SERVE_OUT", outFile.toString)
+      pb.environment().put("SPARK_GRAFT_SF_DIR", sfDir)
+      pb.redirectErrorStream(true)
+      pb.redirectOutput(ProcessBuilder.Redirect.to(log))
+      val p = pb.start()
+      val done = p.waitFor(20, java.util.concurrent.TimeUnit.MINUTES)
+      if (!done) { p.destroyForcibly(); System.err.println("[bench] serve child timed out"); return None }
+      if (p.exitValue() != 0) { System.err.println(s"[bench] serve child rc=${p.exitValue()} (see $log)"); return None }
+      val txt = new String(java.nio.file.Files.readAllBytes(outFile), "UTF-8")
+      if (txt.contains("\"metric\":\"serve_qps\"")) Some(txt)
+      else { System.err.println(s"[bench] serve child output incomplete (see $log)"); None }
+    } catch {
+      case e: Throwable => System.err.println(s"[bench] serve child spawn failed: $e"); None
+    } finally java.nio.file.Files.deleteIfExists(outFile)
   }
 
   /** Run one extras family in a fresh child JVM; returns the readings, or
@@ -442,10 +478,42 @@ object Bench {
     val rerunsJson = reruns.map { case (n, j) => "\"" + n + "\":" + j }
       .mkString("{", ",", "}")
 
+    // ---- serving-latency stage (r16): the cell tier's whole point is
+    // dashboard-QPS latency, and it previously regressed invisibly — the
+    // cells gate families time fixture BUILDS, not steady-state serves.
+    // One ServeBench child JVM per run (5 pinned shapes × reps, every
+    // arm route-asserted); each shape's served p50 brackets against the
+    // committed `__serve_<shape>` row in BRACKETS.json with the extras'
+    // rerun discipline: an outlier re-runs the whole stage once in a
+    // fresh child, both readings land, the FIRST stays the reported one.
+    val noServe = sys.env.get("SPARK_GRAFT_BENCH_NOSERVE").contains("1")
+    val serveReps = sys.env.getOrElse("SPARK_GRAFT_SERVE_REPS", "5").toInt
+    val serveJson0 = if (noServe) None else {
+      System.err.println("[bench] serve stage (child JVM)")
+      runServeInChild(sfDir, serveReps)
+    }
+    def servedP50s(j: String): Map[String, Double] =
+      "\"([a-z]+)\":\\{\"cells_p50_ms\":([0-9.]+)".r.findAllMatchIn(j)
+        .map(m => m.group(1) -> m.group(2).toDouble).toMap
+    val serveRerunJson = serveJson0.flatMap { j =>
+      val outliers = servedP50s(j).filter { case (n, v) =>
+        brackets.get(s"__serve_$n").exists(b => v > 2.0 * b.fam)
+      }
+      if (outliers.isEmpty) None
+      else {
+        System.err.println(s"[bench] serve p50 outliers vs brackets: " +
+          outliers.map { case (n, v) =>
+            f"$n $v%.0f ms vs ${brackets(s"__serve_$n").fam}%.0f"
+          }.mkString(", ") + " — rerunning serve stage in a fresh child")
+        runServeInChild(sfDir, serveReps)
+      }
+    }.getOrElse("{}")
+    val serveJson = serveJson0.getOrElse("{}")
+
     val peakJson = extrasPeak.map { case (k, v) => "\"" + k + s"""\":$v""" }
       .mkString("{", ",", "}")
     val fullJson =
-      f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":${json(results)},"queries_cpu":${json(resultsCpu)},"queries_gc":${json(resultsGc)},"headline_rerun":$headlineRerunJson,"extra_queries":${json(extras)},"extra_queries_cpu":${json(extrasCpu)},"extra_queries_gc":${json(extrasGc)},"extra_queries_peak_mb":$peakJson,"extras_isolation":"$isolation","extras_isolation_families":$famJson,"families":$famDiagJson,"reruns":$rerunsJson,"sf":"$sfDir"}"""
+      f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":${json(results)},"queries_cpu":${json(resultsCpu)},"queries_gc":${json(resultsGc)},"headline_rerun":$headlineRerunJson,"extra_queries":${json(extras)},"extra_queries_cpu":${json(extrasCpu)},"extra_queries_gc":${json(extrasGc)},"extra_queries_peak_mb":$peakJson,"extras_isolation":"$isolation","extras_isolation_families":$famJson,"families":$famDiagJson,"reruns":$rerunsJson,"serve_qps":$serveJson,"serve_rerun":$serveRerunJson,"sf":"$sfDir"}"""
     // File of record (the driver's stdout tail truncated the r9 headline).
     new java.io.File("target").mkdirs()
     java.nio.file.Files.write(java.nio.file.Paths.get("target/bench_result.json"),
