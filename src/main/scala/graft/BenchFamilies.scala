@@ -91,8 +91,9 @@ object BenchFamilies {
     "cells1" -> Seq("q_sql_sketch_cells_ragged", "q_sql_rollup_cells_limit",
       "q_sql_rollup_cells_origin", "q_sql_rollup_cells_fill",
       "q_sql_rollup_cells_all",
-      // r16 append (slot 6): tag-bloom skip routing
-      "q_sql_tag_skip"))
+      // r16 appends (slots 6-7): tag-bloom skip routing; tag-filtered
+      // cell serving
+      "q_sql_tag_skip", "q_sql_rollup_cells_tagfilter"))
 
   /** name → (family, 1-based slot) */
   lazy val slotOf: Map[String, (String, Int)] = {

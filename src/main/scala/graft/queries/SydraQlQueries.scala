@@ -480,6 +480,39 @@ object SydraQlQueries {
               |ORDER BY time, value""".stripMargin),
       benchExtra = true),
 
+    // Tag-filtered CELL serving (r16): `where tag.user = '3'` used to
+    // force any rollup to the raw route even though the tag tier's
+    // cells are keyed (series, day, tag value) — now the equality
+    // filters that tier's cells and the merge reads day-pruned KB blobs
+    // of ONE tag value ("avg for host X per 2 days", the dashboard
+    // drill-down shape). Exact basic aggregates, so the hash pins the
+    // values; StorageSpec pins the served:cells:tdtag route and
+    // served == raw equality.
+    Q("q_sql_rollup_cells_tagfilter",
+      (s, dir) => {
+        import org.apache.spark.sql.functions.{col, floor}
+        val hi = T0 + 4 * 86400
+        val store = eventsStore(s, dir, T0, hi)
+        graft.storage.SketchCells.build(store,
+          graft.storage.SketchCells.dirFor(store), groupTags = Seq("user"))
+        Engine.executeOnStore(store,
+          s"select time_bucket(172800, time) as b, avg(value) as avg_v, " +
+            s"count() as n, min(value) as min_val, max(value) as max_val " +
+            s"from error where time >= $T0 and time < $hi and tag.user = '3' " +
+            s"group by time_bucket(172800, time) order by b",
+          CompileOptions(now = NOW)).df
+          .select(col("b"), (floor(col("avg_v") * 1e4 + 0.5) / 1e4).as("avg_v"),
+            col("n"), col("min_val"), col("max_val"))
+      },
+      Some(s"""$svSql
+              |SELECT CAST(time // 172800 * 172800 AS BIGINT) AS b,
+              |       floor((avg(value)) * 1e4 + 0.5) / 1e4 AS avg_v,
+              |       count(*) AS n, min(value) AS min_val, max(value) AS max_val
+              |FROM sv WHERE series = 'error' AND time >= $T0 AND time < ${T0 + 4 * 86400}
+              |  AND tag_user = '3'
+              |GROUP BY 1 ORDER BY b""".stripMargin),
+      benchExtra = true),
+
     // Basic aggregates served from the cell tier (r14 — the reference's
     // own RollupHint breadcrumb, plan.zig:19-21/physical.zig:47-54,
     // finally serving avg/sum/count/min/max): the cells carry mergeable

@@ -98,6 +98,101 @@ object SkipIndex {
       bloomMayContain("bloom_tags", localPositions(s"$k=$v"))
     }.reduce(_ && _)
 
+  /** One manifest row, driver-resident (see [[cachedRows]]). Nullable
+    * blooms mirror an in-place-upgraded manifest's carried rows; null
+    * value stats mirror an all-null-value file.
+    */
+  private final case class ManifestRow(file: String, minTime: Long,
+      maxTime: Long, vNull: Boolean, minValue: Double, maxValue: Double,
+      bloom: Array[Long], bloomName: Array[Long], bloomTags: Array[Long])
+
+  /** A manifest small enough to mirror on the driver is cached as rows
+    * (~400 B each; the default 200k cap ≈ 80 MB) — beyond the cap the
+    * Spark-side filter path stays.
+    */
+  private val MaxCachedRows =
+    sys.env.getOrElse("SPARK_GRAFT_MANIFEST_CACHE_ROWS", "200000").toInt
+
+  /** Driver-cached manifest rows (r16), keyed on the dir's refresh
+    * generation via [[MetaCache]]. The manifest is metadata-sized BY
+    * DESIGN (one row per data file, one parquet object), yet every
+    * routed query was paying a Spark job — manifest scan + filter +
+    * collect — just to learn the surviving file list, a fixed ~100 ms of
+    * local job floor (and a scheduler round-trip per probe at cluster
+    * QPS). With the rows driver-resident, survivor selection is a local
+    * array filter: ZERO jobs on the probe path, the same driver-side
+    * snapshot-cache tradeoff Delta and Iceberg make. Bounded by
+    * [[MaxCachedRows]]: a beyond-cap manifest keeps the Spark path — the
+    * per-query job is amortized at that file count, and the driver heap
+    * is not the place for an unbounded metadata mirror.
+    */
+  private def cachedRows(spark: SparkSession,
+      manifestDir: String): Option[Array[ManifestRow]] =
+    MetaCache.cached(manifestDir, "rows") {
+      if (filesTotal(spark, manifestDir) > MaxCachedRows)
+        Option.empty[Array[ManifestRow]]
+      else {
+        val m = read(spark, manifestDir)
+        def arrOr(c: String) =
+          if (m.columns.contains(c)) col(c) else lit(null).cast("array<long>")
+        val rows = m.select(col("file"), col("min_time"), col("max_time"),
+          col("min_value"), col("max_value"), col("bloom"),
+          arrOr("bloom_name"), arrOr("bloom_tags"))
+          .collect().map { r =>
+            def words(i: Int): Array[Long] =
+              if (r.isNullAt(i)) null
+              else r.getSeq[Long](i).toArray
+            ManifestRow(r.getString(0), r.getLong(1), r.getLong(2),
+              vNull = r.isNullAt(3),
+              if (r.isNullAt(3)) 0d else r.getDouble(3),
+              if (r.isNullAt(4)) 0d else r.getDouble(4),
+              words(5), words(6), words(7))
+          }
+        Some(rows)
+      }
+    }
+
+  /** Surviving files + manifest total under time ∧ blooms ∧ value-stat
+    * pruning — driver-local when the rows are cached ([[cachedRows]]),
+    * else the Spark-side filter. Both paths implement the SAME
+    * semantics: NULL blooms cannot prune (upgrade carry-forward), NULL
+    * value stats fail a finite-bound value filter (an all-null file
+    * cannot match a value residual), and every filter is a superset of
+    * the exact residual run on what is read.
+    */
+  private def prune(store: SeriesStore, manifestDir: String,
+      startTs: Long, endTs: Long,
+      idPos: Option[Seq[Int]], namePos: Option[Seq[Int]],
+      minValue: Double, maxValue: Double,
+      tags: Seq[(String, String)]): (Array[String], Int) = {
+    val spark = store.spark
+    val hasV = !minValue.isNegInfinity || !maxValue.isPosInfinity
+    cachedRows(spark, manifestDir) match {
+      case Some(rows) =>
+        def bloomOk(arr: Array[Long], pos: Seq[Int]): Boolean =
+          arr == null || pos.forall(p => (arr(p / 64) & (1L << (p % 64))) != 0L)
+        val tagPos = tags.map { case (k, v) => localPositions(s"$k=$v") }
+        val files = rows.filter { r =>
+          r.minTime <= endTs && r.maxTime >= startTs &&
+            idPos.forall(bloomOk(r.bloom, _)) &&
+            namePos.forall(bloomOk(r.bloomName, _)) &&
+            (!hasV || (!r.vNull && r.maxValue >= minValue && r.minValue <= maxValue)) &&
+            tagPos.forall(bloomOk(r.bloomTags, _))
+        }.map(_.file)
+        (files, rows.length)
+      case None =>
+        val m = read(spark, manifestDir)
+        val cond = col("min_time") <= endTs && col("max_time") >= startTs &&
+          idPos.map(bloomMayContain("bloom", _)).getOrElse(lit(true)) &&
+          namePos.map(bloomMayContain("bloom_name", _)).getOrElse(lit(true)) &&
+          (if (hasV) col("max_value") >= minValue && col("min_value") <= maxValue
+          else lit(true)) &&
+          tagPred(m, tags)
+        (m.filter(cond).select("file").collect().map(_.getString(0)),
+          filesTotal(spark, manifestDir))
+    }
+  }
+
   /** One manifest row per data file of `scan` (which must carry the
     * store schema + hour_bucket): the stats aggregate and the
     * distinct-series bit-position OR share the one pass over the data.
@@ -250,13 +345,9 @@ object SkipIndex {
   def rangeScan(store: SeriesStore, manifestDir: String,
       startTs: Long, endTs: Long,
       tags: Seq[(String, String)] = Nil): SkipScan = {
-    val spark = store.spark
-    val m = read(spark, manifestDir)
-    val survivors = m
-      .filter(col("min_time") <= endTs && col("max_time") >= startTs &&
-        tagPred(m, tags))
-      .select("file").collect().map(_.getString(0))
-    val total = filesTotal(spark, manifestDir)
+    val (survivors, total) = prune(store, manifestDir, startTs, endTs,
+      idPos = None, namePos = None,
+      Double.NegativeInfinity, Double.PositiveInfinity, tags)
     SkipScan(
       readFiles(store, survivors)
         .filter(col("time") >= startTs && col("time") <= endTs &&
@@ -303,21 +394,13 @@ object SkipIndex {
       startTs: Long, endTs: Long, seriesId: Long,
       minValue: Double = Double.NegativeInfinity,
       maxValue: Double = Double.PositiveInfinity): SkipScan = {
-    val spark = store.spark
     // probe-side bit positions on the driver (r16) — the shared XXH64
     // kernel [[localPositions]], FunctionsSpec-pinned bit-identical to
     // the build expressions; r15 paid a Spark job per probe for parity
-    val m = read(spark, manifestDir)
-    val bloomHit = bloomMayContain("bloom", localPositions(seriesId))
     val hasV = !minValue.isNegInfinity || !maxValue.isPosInfinity
-    val vStat =
-      if (hasV) col("max_value") >= minValue && col("min_value") <= maxValue
-      else lit(true)
-    val survivors = m
-      .filter(col("min_time") <= endTs && col("max_time") >= startTs &&
-        bloomHit && vStat)
-      .select("file").collect().map(_.getString(0))
-    val total = filesTotal(spark, manifestDir)
+    val (survivors, total) = prune(store, manifestDir, startTs, endTs,
+      idPos = Some(localPositions(seriesId)), namePos = None,
+      minValue, maxValue, Nil)
     val residual = col("series_id") === seriesId &&
       col("time") >= startTs && col("time") <= endTs &&
       (if (hasV) col("value") >= minValue && col("value") <= maxValue
@@ -354,18 +437,10 @@ object SkipIndex {
       minValue: Double = Double.NegativeInfinity,
       maxValue: Double = Double.PositiveInfinity,
       tags: Seq[(String, String)] = Nil): SkipScan = {
-    val spark = store.spark
-    val m = read(spark, manifestDir)
-    val bloomHit = bloomMayContain("bloom_name", localPositions(series))
     val hasV = !minValue.isNegInfinity || !maxValue.isPosInfinity
-    val vStat =
-      if (hasV) col("max_value") >= minValue && col("min_value") <= maxValue
-      else lit(true)
-    val survivors = m
-      .filter(col("min_time") <= endTs && col("max_time") >= startTs &&
-        bloomHit && vStat && tagPred(m, tags))
-      .select("file").collect().map(_.getString(0))
-    val total = filesTotal(spark, manifestDir)
+    val (survivors, total) = prune(store, manifestDir, startTs, endTs,
+      idPos = None, namePos = Some(localPositions(series)),
+      minValue, maxValue, tags)
     val residual = col("series") === series &&
       col("time") >= startTs && col("time") <= endTs &&
       (if (hasV) col("value") >= minValue && col("value") <= maxValue
@@ -389,14 +464,8 @@ object SkipIndex {
       startTs: Long, endTs: Long, minValue: Double,
       maxValue: Double = Double.PositiveInfinity,
       tags: Seq[(String, String)] = Nil): SkipScan = {
-    val spark = store.spark
-    val m = read(spark, manifestDir)
-    val survivors = m
-      .filter(col("min_time") <= endTs && col("max_time") >= startTs &&
-        col("max_value") >= minValue && col("min_value") <= maxValue &&
-        tagPred(m, tags))
-      .select("file").collect().map(_.getString(0))
-    val total = filesTotal(spark, manifestDir)
+    val (survivors, total) = prune(store, manifestDir, startTs, endTs,
+      idPos = None, namePos = None, minValue, maxValue, tags)
     SkipScan(
       readFiles(store, survivors).filter(col("value") >= minValue &&
         col("value") <= maxValue &&

@@ -259,7 +259,13 @@ object Engine {
     *    FILL serves too (r14 — post-aggregation on the served buckets,
     *    the compiler's exact placement; a const fill whose expression
     *    isn't a plain literal falls through);
-    *  - WHERE is exactly `time >= LO and time < HI` with literal bounds.
+    *  - WHERE is exactly `time >= LO and time < HI` with literal bounds,
+    *    plus (r16) at most one `tag.<k> = '<literal>'` equality served by
+    *    filtering the tag tier's (series, day, tag value) cells to that
+    *    value ("p95 for host X last week" — the raw route's null→false
+    *    semantics for rows lacking the key hold, since those rows cell
+    *    under a NULL tagval); a filter key differing from a tag group
+    *    key, or a key without a tag tier, falls through.
     *    Day-aligned bounds read cells alone; RAGGED bounds (r14) serve
     *    HYBRID — interior whole days from cells, the sub-day edges from
     *    an hour-partition-pruned raw scan aggregated into the SAME
@@ -337,9 +343,15 @@ object Engine {
       ks
     }
     // WHERE must be exactly one `time >= LO` and one `time < HI` conjunct
-    // with literal bounds — in EITHER order (r14; dashboards emit both).
-    // Alignment is NOT required (ragged bounds serve hybrid below); any
+    // with literal bounds — in EITHER order (r14; dashboards emit both) —
+    // plus (r16) at most ONE `tag.<k> = '<literal>'` equality: the tag
+    // tier's cells are keyed (series, day, tag value), so "p95 for host X
+    // last week" serves by FILTERING that tier's cells to the one value
+    // (the most common dashboard selector after name + time; raw rows
+    // where the key is absent have NULL tagval cells and drop under the
+    // same equality, matching the raw route's null→false semantics). Any
     // other conjunct means the cells can't answer → raw route.
+    var tagEq: Option[(String, String)] = None
     val bounds: Option[(Long, Long)] = {
       def conj(e: Ast.Expr): Seq[Ast.Expr] = e match {
         case Ast.Binary(Ast.And, l, r) => conj(l) ++ conj(r)
@@ -353,6 +365,12 @@ object Engine {
           if t.full.equalsIgnoreCase("time") && lo.isEmpty => lo = Some(l)
         case Ast.Binary(Ast.Lt, t: Ast.Ident, Ast.IntLit(h))
           if t.full.equalsIgnoreCase("time") && hi.isEmpty => hi = Some(h)
+        case Ast.Binary(Ast.Eq, id: Ast.Ident, Ast.StringLit(v))
+          if id.parts.length == 2 && id.parts.head.equalsIgnoreCase("tag") &&
+            tagEq.isEmpty => tagEq = Some((id.parts(1), v))
+        case Ast.Binary(Ast.Eq, Ast.StringLit(v), id: Ast.Ident)
+          if id.parts.length == 2 && id.parts.head.equalsIgnoreCase("tag") &&
+            tagEq.isEmpty => tagEq = Some((id.parts(1), v))
         case _ => ok = false
       }
       (lo, hi) match {
@@ -421,7 +439,12 @@ object Engine {
     val grpAliases: Map[GK, String] = ps.collect { case Grp(a, k) => k -> a }.toMap
     if (groupKeys.exists(k => !grpAliases.contains(k))) return None
     val tagKeyOpt = groupKeys.collectFirst { case TagG(k, _) => k }
-    if (tagKeyOpt.exists(k => !SketchCells.groupTagsOf(spark, dir).contains(k)))
+    // the tier that can serve: a tag GROUP key and a tag FILTER key must
+    // be the SAME key (one tagval dimension per tier) — different keys →
+    // raw route; either alone picks the tag tier
+    if (tagEq.exists(te => tagKeyOpt.exists(_ != te._1))) return None
+    val tierTagKey = tagKeyOpt.orElse(tagEq.map(_._1))
+    if (tierTagKey.exists(k => !SketchCells.groupTagsOf(spark, dir).contains(k)))
       return None
     // ORDER BY: none, or keys (ascending OR descending — sorting the
     // SERVED frame either way is trivially the raw route's sort) each
@@ -472,12 +495,17 @@ object Engine {
       case Ast.ByName(n) => col("series") === n
     }
     def selFiltered(df: DataFrame): DataFrame = sel.fold(df)(df.filter)
-    // any tag grouping reads the tag tier (per-(series, day, value)
-    // digests); otherwise the td table (which also carries theta cells)
-    val base = selFiltered(tagKeyOpt match {
-      case Some(k) => SketchCells.readTag(spark, dir, k)
-      case None => SketchCells.read(spark, dir)
-    }).filter(col("day") >= dLo && col("day") < dHi)
+    // any tag grouping OR tag-equality filter reads the tag tier
+    // (per-(series, day, value) digests); otherwise the td table (which
+    // also carries theta cells). The equality filter applies on the
+    // tier's tagval key — day-pruned KB cells of ONE tag value.
+    val base = tagEq.foldLeft(
+      selFiltered(tierTagKey match {
+        case Some(k) => SketchCells.readTag(spark, dir, k)
+        case None => SketchCells.read(spark, dir)
+      }).filter(col("day") >= dLo && col("day") < dHi)) {
+      case (df, (_, v)) => df.filter(col("tagval") === v)
+    }
     // basic aggregates need the r14 mergeable-partial columns and NDV
     // projections need their theta cells IN THIS TABLE; a store predating
     // either lacks them — fall through to the raw route (correct, just
@@ -570,10 +598,15 @@ object Engine {
       val skipDir = graft.storage.SkipIndex.dirFor(store)
       val scan0 =
         if (graft.storage.SkipIndex.exists(spark, skipDir))
-          graft.storage.SkipIndex.rangeScan(store, skipDir, elo, ehi - 1).df
+          graft.storage.SkipIndex.rangeScan(store, skipDir, elo, ehi - 1,
+            tagEq.toSeq).df
         else store.scanRange(elo, ehi - 1)
-      val raw = selFiltered(scan0)
-        .filter(col("time") >= elo && col("time") < ehi)
+      val raw = tagEq.foldLeft(
+        selFiltered(scan0).filter(col("time") >= elo && col("time") < ehi)) {
+        case (df, (k, v)) => df.filter(
+          org.apache.spark.sql.functions.try_element_at(
+            col("tags"), lit(k)) === v)
+      }
       val eAggs: Seq[org.apache.spark.sql.Column] =
         (if (ps.exists(_.isInstanceOf[Quant]))
           Seq(graft.functions.TDigest.agg(col("value")).as("td"))
@@ -672,7 +705,7 @@ object Engine {
     // edges forced the hybrid union — surfaced in QueryStats so the
     // stats object (not just EXPLAIN) shows a raw-path fallthrough
     val route = "served:" + (if (edges.nonEmpty) "hybrid" else "cells") +
-      ":" + (if (tagKeyOpt.isDefined) "tdtag" else "td")
+      ":" + (if (tierTagKey.isDefined) "tdtag" else "td")
     Some((served, route))
   }
 

@@ -649,8 +649,10 @@ object ScaleSmoke {
       // over a 12-hour window prunes on the manifest's name bloom like
       // a by_id probe (time ∧ name bits), so the curve must track the
       // PRUNED file count + one manifest read, never the store size.
-      // Setup upgrades a pre-r15 manifest (no bloom_name) via refresh's
-      // rebuild path — the documented migration route.
+      // A bloom-less manifest is migrated with an explicit full build —
+      // since r16 `refresh` upgrades INCREMENTALLY (carried rows keep
+      // NULL blooms = unprunable), which is right for steady-state but
+      // would leave this curve measuring the unpruned fallback.
       timedStaged("name_skip_probe") {
         val root = s"target/smoke-tmp/skip-$mult"
         val store = new graft.storage.SeriesStore(spark, root)
@@ -659,10 +661,9 @@ object ScaleSmoke {
             map(lit("user"), col("tag_user")).as("tags"),
             col("time"), col("value")))
         val mdir = graft.storage.SkipIndex.dirFor(store)
-        if (!graft.storage.SkipIndex.exists(spark, mdir))
+        if (!graft.storage.SkipIndex.exists(spark, mdir) ||
+          !graft.storage.SkipIndex.hasNameBloom(spark, mdir))
           graft.storage.SkipIndex.build(store, mdir)
-        else if (!graft.storage.SkipIndex.hasNameBloom(spark, mdir))
-          graft.storage.SkipIndex.refresh(store, mdir, Seq(0L)) // upgrade-rebuilds
       } {
         val root = s"target/smoke-tmp/skip-$mult"
         val store = new graft.storage.SeriesStore(spark, root)
@@ -670,6 +671,36 @@ object ScaleSmoke {
         graft.sydraql.Engine.executeOnStore(store,
           s"select time, value from click where time >= ${t0 + 6 * 3600} " +
             s"and time < ${t0 + 18 * 3600} order by time, value",
+          graft.sydraql.CompileOptions(now = 0L)).df
+      },
+      // r16: TAG-equality probe — `from click where tag.user = '3'` over
+      // the same 12-hour window composes the k=v tag bloom with the name
+      // route. On this fixture every hour file carries all 8 user values
+      // (one append), so the bloom prunes no FURTHER files here; what
+      // the curve pins is the probe's added cost — 3 driver-local hash
+      // positions + 3 element_at per manifest row — staying flat as the
+      // manifest grows 10×/20×, plus the residual on the same pruned
+      // read as the name probe. StorageSpec owns the file-count pins on
+      // a per-tagset-file fixture.
+      timedStaged("tag_skip_probe") {
+        val root = s"target/smoke-tmp/skip-$mult"
+        val store = new graft.storage.SeriesStore(spark, root)
+        if (store.isEmpty)
+          store.append(ev.select(col("event_type").as("series"),
+            map(lit("user"), col("tag_user")).as("tags"),
+            col("time"), col("value")))
+        val mdir = graft.storage.SkipIndex.dirFor(store)
+        if (!graft.storage.SkipIndex.exists(spark, mdir) ||
+          !graft.storage.SkipIndex.hasNameBloom(spark, mdir))
+          graft.storage.SkipIndex.build(store, mdir)
+      } {
+        val root = s"target/smoke-tmp/skip-$mult"
+        val store = new graft.storage.SeriesStore(spark, root)
+        val t0 = graft.queries.TimeSeries.T0
+        graft.sydraql.Engine.executeOnStore(store,
+          s"select time, value from click where time >= ${t0 + 6 * 3600} " +
+            s"and time < ${t0 + 18 * 3600} and tag.user = '3' " +
+            s"order by time, value",
           graft.sydraql.CompileOptions(now = 0L)).df
       },
       // r15: the STREAMING cell-maintenance twin (#30) at mult× ingest —

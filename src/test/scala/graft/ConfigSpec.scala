@@ -137,7 +137,7 @@ class ConfigSpec extends AnyFunSuite {
     assert(byFam("cells1") === Seq("q_sql_sketch_cells_ragged",
       "q_sql_rollup_cells_limit", "q_sql_rollup_cells_origin",
       "q_sql_rollup_cells_fill", "q_sql_rollup_cells_all",
-      "q_sql_tag_skip"))
+      "q_sql_tag_skip", "q_sql_rollup_cells_tagfilter"))
   }
 
   test("serve bench family frozen: shape names and order pinned (r16)") {

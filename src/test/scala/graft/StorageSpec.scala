@@ -1287,6 +1287,64 @@ class StorageSpec extends AnyFunSuite {
     assert(orq.count() === 8)
   }
 
+  test("tag-equality WHERE serves from the tag tier's cells (r16)") {
+    import graft.storage.SketchCells
+    import graft.sydraql.{CompileOptions, Engine}
+    import spark.implicits._
+    val store = new SeriesStore(spark, tmp())
+    val d = 86400L
+    // 3 days × 4 hours × hosts a,b with distinct per-host values
+    val rows = for {
+      day <- 0 to 2; h <- 0 to 3; host <- Seq("a", "b")
+    } yield ("m", day * d + h * 3600L,
+      (if (host == "a") 10.0 else 100.0) + day * 4 + h, host)
+    store.append(rows.toDF("series", "time", "value", "host")
+      .withColumn("tags", map(lit("host"), col("host")))
+      .select("series", "tags", "time", "value"))
+    SketchCells.build(store, SketchCells.dirFor(store), groupTags = Seq("host"))
+    val opts = CompileOptions(now = 0L)
+    // host a: 10..13 / 14..17 / 18..21 per day → n 12, min 10, max 21,
+    // avg 15.5 (exact in double — small integer sums)
+    val ql = s"select avg(value) as av, count() as n, min(value) as mn, " +
+      s"max(value) as mx from m where time >= 0 and time < ${3 * d} " +
+      s"and tag.host = 'a'"
+    val res = Engine.executeOnStore(store, ql, opts)
+    assert(res.stats.route === "served:cells:tdtag",
+      s"tag-filtered rollup must serve from the tag tier, got ${res.stats.route}")
+    val served = res.df.head()
+    assert((served.getDouble(0), served.getLong(1), served.getDouble(2),
+      served.getDouble(3)) === ((15.5, 12L, 10.0, 21.0)))
+    assert(served === Engine.sql(spark, store.source(), ql, opts).head(),
+      "served result must equal the raw compile")
+    // group key == filter key composes: one group, that value's cells
+    val grouped = Engine.executeOnStore(store,
+      s"select tag.host as h, count() as n from m where time >= 0 and " +
+        s"time < ${3 * d} and tag.host = 'b' group by tag.host order by h", opts)
+    assert(grouped.stats.route === "served:cells:tdtag")
+    assert(grouped.df.collect().map(r => (r.getString(0), r.getLong(1))).toSeq
+      === Seq(("b", 12L)))
+    // a filter key DIFFERENT from the group key cannot serve (one tagval
+    // dimension per tier) → raw route, which still answers
+    val mixed = Engine.executeOnStore(store,
+      s"select tag.host as h, count() as n from m where time >= 0 and " +
+        s"time < ${3 * d} and tag.dc = 'x' group by tag.host order by h", opts)
+    assert(mixed.stats.route === "raw")
+    assert(mixed.df.count() === 0)
+    // a key without a tag tier falls through too
+    val untiered = Engine.executeOnStore(store,
+      s"select count() as n from m where time >= 0 and time < ${3 * d} " +
+        s"and tag.dc = 'x'", opts)
+    assert(untiered.stats.route === "raw")
+    // ragged bounds compose: interior day from the filtered cells, edges
+    // from the tag-filtered raw scan — hybrid route, raw-equal values
+    val ragged = s"select avg(value) as av, count() as n from m " +
+      s"where time >= 3600 and time < ${3 * d - 3600} and tag.host = 'a'"
+    val rres = Engine.executeOnStore(store, ragged, opts)
+    assert(rres.stats.route === "served:hybrid:tdtag")
+    assert(rres.df.head() === Engine.sql(spark, store.source(), ragged, opts).head())
+    assert(rres.df.head().getLong(1) === 11L)
+  }
+
   test("manifest schema upgrade is incremental: carried rows keep NULL blooms and stay readable (r16)") {
     import graft.storage.SkipIndex
     import spark.implicits._
