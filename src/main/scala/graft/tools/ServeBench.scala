@@ -28,6 +28,7 @@ import org.apache.spark.sql.functions.{col, lit, map}
   *  - tag:      p95/avg per tag.user over the aligned window → cells:tdtag
   *  - fleet:    selector-less avg/count over the window → cells:td
   *  - origin:   2-day buckets with a day-aligned origin → cells:td
+  *  - tagfilter: p95/avg/count for ONE tag value (r16) → cells:tdtag
   *
   * Latencies include Spark's local job-scheduling floor (~tens of ms);
   * on a cluster the same plans serve from executors and the cells/raw
@@ -48,7 +49,8 @@ import org.apache.spark.sql.functions.{col, lit, map}
 object ServeBench {
 
   /** Pinned shape names in run order (ConfigSpec; bracket row ids). */
-  val shapeNames: Seq[String] = Seq("aligned", "ragged", "tag", "fleet", "origin")
+  val shapeNames: Seq[String] =
+    Seq("aligned", "ragged", "tag", "fleet", "origin", "tagfilter")
 
   /** (name, sydraQL, expected served route) per shape over [lo, hi). */
   private def shapes(lo: Long, hi: Long): Seq[(String, String, String)] = Seq(
@@ -66,7 +68,13 @@ object ServeBench {
     ("origin", s"select time_bucket(172800, time, ${lo + 86400}) as b, " +
       s"avg(value) as av from click where time >= $lo and time < $hi " +
       s"group by time_bucket(172800, time, ${lo + 86400}) order by b",
-      "served:cells:td"))
+      "served:cells:td"),
+    // r16: the tag-filter drill-down ("p95 for user 3 last week") —
+    // served by filtering the tag tier's cells to one tagval
+    ("tagfilter", s"select percentile_approx(value, 0.95) as p95, " +
+      s"avg(value) as av, count() as n from click " +
+      s"where time >= $lo and time < $hi and tag.user = '3'",
+      "served:cells:tdtag"))
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

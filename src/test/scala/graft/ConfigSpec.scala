@@ -147,6 +147,6 @@ class ConfigSpec extends AnyFunSuite {
     // their sydraQL stay fixed, so the composition is pinned like the
     // extras families above
     assert(graft.tools.ServeBench.shapeNames ===
-      Seq("aligned", "ragged", "tag", "fleet", "origin"))
+      Seq("aligned", "ragged", "tag", "fleet", "origin", "tagfilter"))
   }
 }
