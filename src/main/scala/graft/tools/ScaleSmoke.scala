@@ -691,7 +691,8 @@ object ScaleSmoke {
             col("time"), col("value")))
         val mdir = graft.storage.SkipIndex.dirFor(store)
         if (!graft.storage.SkipIndex.exists(spark, mdir) ||
-          !graft.storage.SkipIndex.hasNameBloom(spark, mdir))
+          !graft.storage.SkipIndex.read(spark, mdir)
+            .columns.contains("bloom_tags"))
           graft.storage.SkipIndex.build(store, mdir)
       } {
         val root = s"target/smoke-tmp/skip-$mult"
