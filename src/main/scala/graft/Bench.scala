@@ -59,7 +59,7 @@ import org.apache.spark.sql.SparkSession
   * `headline_rerun` (reported total stays the first reading).
   *
   * Round-16 addition — the SERVING surface gets a per-round number: a
-  * [[graft.tools.ServeBench]] child JVM runs the five pinned dashboard
+  * [[graft.tools.ServeBench]] child JVM runs the six pinned dashboard
   * shapes (reps from SPARK_GRAFT_SERVE_REPS, default 5 here) and the
   * line lands under `serve_qps`, with `__serve_<shape>` brackets and
   * the same outlier-rerun discipline (`serve_rerun`).
@@ -481,7 +481,7 @@ object Bench {
     // ---- serving-latency stage (r16): the cell tier's whole point is
     // dashboard-QPS latency, and it previously regressed invisibly — the
     // cells gate families time fixture BUILDS, not steady-state serves.
-    // One ServeBench child JVM per run (5 pinned shapes × reps, every
+    // One ServeBench child JVM per run (6 pinned shapes × reps, every
     // arm route-asserted); each shape's served p50 brackets against the
     // committed `__serve_<shape>` row in BRACKETS.json with the extras'
     // rerun discipline: an outlier re-runs the whole stage once in a

@@ -104,9 +104,15 @@ private[graft] object MetaCache {
       val fs = p.getFileSystem(hadoopConf())
       val in = fs.open(p)
       try {
+        // read to EOF: a single read() may legally return short on
+        // remote streams, and a truncated key could alias a different
+        // generation — the exact staleness the content key prevents
+        val out = new java.io.ByteArrayOutputStream(128)
         val buf = new Array[Byte](128)
-        val n = in.read(buf)
-        if (n <= 0) "absent" else new String(buf, 0, n, "UTF-8")
+        var n = in.read(buf)
+        while (n > 0) { out.write(buf, 0, n); n = in.read(buf) }
+        val s = out.toString("UTF-8")
+        if (s.isEmpty) "absent" else s
       } finally in.close()
     } catch { case _: Throwable => "absent" }
 
@@ -141,6 +147,11 @@ private[graft] object MetaCache {
       // trap for dir-existence checks). Skip the write: the in-process
       // counter already bumped, and a first build writes data before
       // its own invalidate, so cross-JVM readers never miss a real tier.
+      // (The exists→create window is a TOCTOU against a concurrent
+      // FIRST build in another JVM, whose own post-build invalidate is
+      // what stamps the tier — concurrent build+invalidate of one tier
+      // from two JVMs is outside the maintenance contract's
+      // reader-quiescence stance, like all out-of-band surgery.)
       if (fs.exists(new org.apache.hadoop.fs.Path(dir))) {
         val out = fs.create(p, true)
         // a fresh UUID per stamp: the content — the generation key —

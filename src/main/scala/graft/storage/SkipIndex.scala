@@ -98,6 +98,14 @@ object SkipIndex {
       bloomMayContain("bloom_tags", localPositions(s"$k=$v"))
     }.reduce(_ && _)
 
+  /** The exact row-level residual for `tag.k = 'v'` pairs — one shared
+    * definition so every scan's residual semantics (null tag key →
+    * false, like the compiler's try_element_at equality) stay identical.
+    */
+  private def tagResidual(tags: Seq[(String, String)]) =
+    tags.map { case (k, v) => try_element_at(col("tags"), lit(k)) === v }
+      .foldLeft(lit(true))(_ && _)
+
   /** One manifest row, driver-resident (see [[cachedRows]]). Nullable
     * blooms mirror an in-place-upgraded manifest's carried rows; null
     * value stats mirror an all-null-value file.
@@ -127,9 +135,14 @@ object SkipIndex {
     * is not the place for an unbounded metadata mirror.
     */
   private def cachedRows(spark: SparkSession,
-      manifestDir: String): Option[Array[ManifestRow]] =
+      manifestDir: String): Option[Array[ManifestRow]] = {
+    // resolved BEFORE entering the memo's compute: a cached() load that
+    // itself calls cached() is a nested computeIfAbsent on one
+    // ConcurrentHashMap — the JDK throws "Recursive update" when the two
+    // keys share a bin. Sequential lookups are safe.
+    val total = filesTotal(spark, manifestDir)
     MetaCache.cached(manifestDir, "rows") {
-      if (filesTotal(spark, manifestDir) > MaxCachedRows)
+      if (total > MaxCachedRows)
         Option.empty[Array[ManifestRow]]
       else {
         val m = read(spark, manifestDir)
@@ -151,6 +164,7 @@ object SkipIndex {
         Some(rows)
       }
     }
+  }
 
   /** Surviving files + manifest total under time ∧ blooms ∧ value-stat
     * pruning — driver-local when the rows are cached ([[cachedRows]]),
@@ -351,8 +365,7 @@ object SkipIndex {
     SkipScan(
       readFiles(store, survivors)
         .filter(col("time") >= startTs && col("time") <= endTs &&
-          tags.map { case (k, v) => try_element_at(col("tags"), lit(k)) === v }
-            .foldLeft(lit(true))(_ && _)),
+          tagResidual(tags)),
       survivors.length, total)
   }
 
@@ -420,6 +433,18 @@ object SkipIndex {
         read(spark, manifestDir).columns.contains("bloom_name"))
     }.booleanValue()
 
+  /** Whether the manifest carries the r16 `k=v` tag bloom — memoized
+    * like [[hasNameBloom]]. Scans themselves tolerate its absence
+    * (tag pruning just contributes nothing); this is for callers that
+    * want to know whether tag probes will actually prune (ScaleSmoke's
+    * curve setup, operator tooling).
+    */
+  def hasTagBloom(spark: SparkSession, manifestDir: String): Boolean =
+    MetaCache.cached(manifestDir, "hasTagBloom") {
+      java.lang.Boolean.valueOf(
+        read(spark, manifestDir).columns.contains("bloom_tags"))
+    }.booleanValue()
+
   /** [[probeScan]] for a NAME selector (`from cpu.load`): files whose
     * [min_time, max_time] overlaps the range AND whose name bloom may
     * contain `series` AND (finite bounds only) whose value stats can
@@ -445,8 +470,7 @@ object SkipIndex {
       col("time") >= startTs && col("time") <= endTs &&
       (if (hasV) col("value") >= minValue && col("value") <= maxValue
       else lit(true)) &&
-      tags.map { case (k, v) => try_element_at(col("tags"), lit(k)) === v }
-        .foldLeft(lit(true))(_ && _)
+      tagResidual(tags)
     SkipScan(readFiles(store, survivors).filter(residual),
       survivors.length, total)
   }

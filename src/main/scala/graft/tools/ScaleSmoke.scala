@@ -691,8 +691,7 @@ object ScaleSmoke {
             col("time"), col("value")))
         val mdir = graft.storage.SkipIndex.dirFor(store)
         if (!graft.storage.SkipIndex.exists(spark, mdir) ||
-          !graft.storage.SkipIndex.read(spark, mdir)
-            .columns.contains("bloom_tags"))
+          !graft.storage.SkipIndex.hasTagBloom(spark, mdir))
           graft.storage.SkipIndex.build(store, mdir)
       } {
         val root = s"target/smoke-tmp/skip-$mult"

@@ -89,26 +89,41 @@ object ServeBench {
     spark.sparkContext.setLogLevel("ERROR")
 
     // the gate fixture store: events → (series=event_type, tag user=%8)
-    def buildStore(withCells: Boolean): SeriesStore = {
+    val tb = System.nanoTime()
+    val store = {
       val root = java.nio.file.Files.createTempDirectory("graft-servebench").toString
-      val store = new SeriesStore(spark, root)
-      store.append(graft.core.Tables.events(spark, sfDir).select(
+      val s = new SeriesStore(spark, root)
+      s.append(graft.core.Tables.events(spark, sfDir).select(
         col("event_type").as("series"),
         map(lit("user"), (col("user_id") % 8).cast("string")).as("tags"),
         (col("ts") / lit(1000000000L)).cast("long").as("time"),
         col("value")))
-      if (withCells)
-        SketchCells.build(store, SketchCells.dirFor(store),
-          groupTags = Seq("user"), ndvTags = Seq("user"))
-      SkipIndex.build(store, SkipIndex.dirFor(store))
-      store
+      SketchCells.build(s, SketchCells.dirFor(s),
+        groupTags = Seq("user"), ndvTags = Seq("user"))
+      SkipIndex.build(s, SkipIndex.dirFor(s))
+      s
     }
-    val tb = System.nanoTime()
-    val store = buildStore(withCells = true)
-    // the honest raw arm's store: identical data and skip manifest, NO
-    // cell tier — the engine's own fallthrough route, not a synthetic
-    // unrouted compile
-    val rawStore = buildStore(withCells = false)
+    // the honest raw arm's store: a bit-identical cells-less CLONE —
+    // filesystem copy of the built store's SEGMENTS (instead of a second
+    // full ingest pass) plus its own manifest build (the manifest's
+    // `file` column holds absolute paths, so it cannot be copied); still
+    // far cheaper than re-running the read-transform-append pipeline
+    val rawStore = {
+      val rawRoot = java.nio.file.Files.createTempDirectory("graft-servebench-raw")
+      val src = java.nio.file.Paths.get(store.root, "segments")
+      val walk = java.nio.file.Files.walk(src)
+      try walk.forEach { p =>
+        val t = rawRoot.resolve("segments")
+          .resolve(src.relativize(p).toString)
+        if (java.nio.file.Files.isDirectory(p))
+          java.nio.file.Files.createDirectories(t)
+        else java.nio.file.Files.copy(p, t,
+          java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+      } finally walk.close()
+      val s = new SeriesStore(spark, rawRoot.toString)
+      SkipIndex.build(s, SkipIndex.dirFor(s))
+      s
+    }
     val buildS = (System.nanoTime() - tb) / 1e9
 
     val lo = 1704067200L // 2024-01-01, day-aligned; events span Jan 1-30
