@@ -578,14 +578,19 @@ object Engine {
       (if (ps.exists(_.isInstanceOf[Quant])) Seq("td") else Seq.empty) ++
         ndvKeys.map(k => s"theta_$k") ++ needCols.toSeq.sorted
     val readCols = Seq("day") ++ tagKeyOpt.map(_ => "tagval").toSeq ++ aggInputCols
-    // ragged-edge partials (r14): aggregate each sub-day edge of the
-    // window from the hour-pruned raw scan into the SAME partial shapes
-    // the cells carry — built by the raw route's own aggregators
-    // (TDigest.agg / ThetaSketch.agg / sum / min / max / counts / struct
-    // extremes), so merging them with cell blobs never mixes estimator
-    // families. One partial row per (day [, tag value]) per edge — KB.
-    def edgePartials(elo: Long, ehi: Long): DataFrame = {
-      import org.apache.spark.sql.functions.{count, max, min, pmod, struct, sum, when}
+    // ragged-edge partials (r14, single-aggregate since r16): the raw
+    // rows of each sub-day edge union FIRST and aggregate in ONE
+    // partial-building groupBy into the SAME partial shapes the cells
+    // carry — built by the raw route's own aggregators (TDigest.agg /
+    // ThetaSketch.agg / sum / min / max / counts / struct extremes), so
+    // merging them with cell blobs never mixes estimator families. The
+    // leading edge lies wholly in day dLo−86400 and the trailing edge
+    // in day dHi, so one day-keyed groupBy yields exactly the per-edge
+    // rows the r14 two-subtree plan produced — minus one aggregation
+    // subtree + exchange per query (the serve-latency floor the hybrid
+    // pays over the cells-only path). One partial row per
+    // (day [, tag value]) per edge — KB.
+    def edgeRows(elo: Long, ehi: Long): DataFrame = {
       // time is integer seconds and bounds are inclusive, so [elo, ehi)
       // is the inclusive range [elo, ehi - 1]. Route through the skip
       // manifest when one exists: scanRange's spark.read.parquet(segDir)
@@ -601,12 +606,15 @@ object Engine {
           graft.storage.SkipIndex.rangeScan(store, skipDir, elo, ehi - 1,
             tagEq.toSeq).df
         else store.scanRange(elo, ehi - 1)
-      val raw = tagEq.foldLeft(
+      tagEq.foldLeft(
         selFiltered(scan0).filter(col("time") >= elo && col("time") < ehi)) {
         case (df, (k, v)) => df.filter(
           org.apache.spark.sql.functions.try_element_at(
             col("tags"), lit(k)) === v)
       }
+    }
+    def edgePartials(raw: DataFrame): DataFrame = {
+      import org.apache.spark.sql.functions.{count, max, min, pmod, struct, sum, when}
       val eAggs: Seq[org.apache.spark.sql.Column] =
         (if (ps.exists(_.isInstanceOf[Quant]))
           Seq(graft.functions.TDigest.agg(col("value")).as("td"))
@@ -636,8 +644,10 @@ object Engine {
         .select(readCols.map(col): _*)
     }
     val edges = Seq((l, dLo), (dHi, h)).filter { case (a, b) => a < b }
-    val unioned = edges.map { case (a, b) => edgePartials(a, b) }
-      .foldLeft(base.select(readCols.map(col): _*))(_.unionByName(_))
+    val unioned =
+      if (edges.isEmpty) base.select(readCols.map(col): _*)
+      else base.select(readCols.map(col): _*).unionByName(edgePartials(
+        edges.map { case (a, b) => edgeRows(a, b) }.reduce(_ unionByName _)))
     val merged =
       if (groupCols.isEmpty) unioned.agg(aggs.head, aggs.tail: _*)
       else unioned.groupBy(groupCols: _*).agg(aggs.head, aggs.tail: _*)
