@@ -93,7 +93,10 @@ object BenchFamilies {
       "q_sql_rollup_cells_all",
       // r16 appends (slots 6-7): tag-bloom skip routing; tag-filtered
       // cell serving
-      "q_sql_tag_skip", "q_sql_rollup_cells_tagfilter"))
+      "q_sql_tag_skip", "q_sql_rollup_cells_tagfilter",
+      // r17 appends (slots 8-9): OR'd tag-pair skip routing; the
+      // ragged-hybrid edge-dominated crossover (tier declines → raw)
+      "q_sql_tag_skip_or", "q_sql_rollup_edge_window"))
 
   /** name → (family, 1-based slot) */
   lazy val slotOf: Map[String, (String, Int)] = {

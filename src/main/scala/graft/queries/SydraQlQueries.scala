@@ -480,6 +480,63 @@ object SydraQlQueries {
               |ORDER BY time, value""".stripMargin),
       benchExtra = true),
 
+    // OR'd tag-equality skip routing (r17): a top-level disjunct that is
+    // PURELY tag equalities — `tag.user = '3' or tag.user = '5'`, the
+    // dashboard multi-select — prunes files with the UNION of the pair
+    // probes (superset-safe: the WHERE implies the disjunction). r16
+    // extraction was top-level-AND only, so the most common shape after
+    // single equality read every name-overlapping file. StorageSpec pins
+    // the file counts (union, ghost-value, mixed-disjunct declines);
+    // this gate pins that the routing never changes rows at 3 SFs.
+    Q("q_sql_tag_skip_or",
+      (s, dir) => {
+        val hi = T0 + 2 * 86400
+        val store = eventsStore(s, dir, T0, hi)
+        graft.storage.SkipIndex.build(store, graft.storage.SkipIndex.dirFor(store))
+        Engine.executeOnStore(store,
+          s"select time, value from error where time >= $T0 and time < $hi " +
+            s"and (tag.user = '3' or tag.user = '5') order by time, value",
+          CompileOptions(now = NOW)).df
+      },
+      Some(s"""$svSql
+              |SELECT time, value FROM sv
+              |WHERE series = 'error' AND time >= $T0 AND time < ${T0 + 2 * 86400}
+              |  AND tag_user IN ('3', '5')
+              |ORDER BY time, value""".stripMargin),
+      benchExtra = true),
+
+    // Ragged-hybrid crossover (r17): a mostly-edge window (45 edge hours
+    // around one 24 h interior day here) cannot beat the raw route it
+    // wraps — SCALE.md's honest serve table measured the hybrid at
+    // 1.02–1.2× raw for edge-heavy sf0.1 windows, so the tier now
+    // DECLINES when the edges are at least as wide as the interior and
+    // the raw route answers. This gate runs exactly that window with the
+    // cell tier BUILT (the decline path, not tier absence) and pins the
+    // values against the oracle; StorageSpec pins the route reads "raw".
+    Q("q_sql_rollup_edge_window",
+      (s, dir) => {
+        import org.apache.spark.sql.functions.{col, floor}
+        val lo = T0 + 3600
+        val hi = T0 + 3 * 86400 - 7200
+        val store = eventsStore(s, dir, T0, T0 + 3 * 86400)
+        graft.storage.SketchCells.build(store, graft.storage.SketchCells.dirFor(store))
+        Engine.executeOnStore(store,
+          s"select avg(value) as avg_v, sum(value) as sum_val, " +
+            s"count() as n, min(value) as min_val, max(value) as max_val " +
+            s"from error where time >= $lo and time < $hi",
+          CompileOptions(now = NOW)).df
+          .select((floor(col("avg_v") * 1e4 + 0.5) / 1e4).as("avg_v"),
+            (floor(col("sum_val") * 1e4 + 0.5) / 1e4).as("sum_val"),
+            col("n"), col("min_val"), col("max_val"))
+      },
+      Some(s"""$svSql
+              |SELECT floor((avg(value)) * 1e4 + 0.5) / 1e4 AS avg_v,
+              |       floor((sum(value)) * 1e4 + 0.5) / 1e4 AS sum_val,
+              |       count(*) AS n, min(value) AS min_val, max(value) AS max_val
+              |FROM sv WHERE series = 'error' AND time >= ${T0 + 3600}
+              |  AND time < ${T0 + 3 * 86400 - 7200}""".stripMargin),
+      benchExtra = true),
+
     // Tag-filtered CELL serving (r16): `where tag.user = '3'` used to
     // force any rollup to the raw route even though the tag tier's
     // cells are keyed (series, day, tag value) — now the equality

@@ -57,6 +57,12 @@ private[graft] object MetaCache {
   // (private[graft] so the negative spec can pin the warning happened)
   private[graft] val markerWriteFailures =
     java.util.concurrent.ConcurrentHashMap.newKeySet[String]()
+  // dirs whose marker READ failed for a reason other than absence
+  // (permissions, remote errors) — same once-per-dir loudness: a
+  // persistent read failure silently aliases to "absent" otherwise,
+  // serving stale cross-JVM metadata with no signal (r17, ADVICE)
+  private[graft] val markerReadFailures =
+    java.util.concurrent.ConcurrentHashMap.newKeySet[String]()
 
   // one Configuration per process: newHadoopConf() copies every session
   // property, far too heavy for a per-lookup stat; FS settings do not
@@ -114,7 +120,22 @@ private[graft] object MetaCache {
         val s = out.toString("UTF-8")
         if (s.isEmpty) "absent" else s
       } finally in.close()
-    } catch { case _: Throwable => "absent" }
+    } catch {
+      // A genuinely missing marker (no writer ever stamped this dir) is
+      // the normal "absent" case. Any OTHER read failure — permissions,
+      // remote-store errors — also degrades to "absent" (same-JVM
+      // correctness holds via the in-process counter), but silently
+      // treating it as absent could serve stale CROSS-JVM metadata for
+      // as long as the failure persists, so it warns once per dir,
+      // mirroring the marker-WRITE failure path below.
+      case _: java.io.FileNotFoundException => "absent"
+      case e: Throwable =>
+        if (markerReadFailures.add(dir))
+          System.err.println(s"[graft] MetaCache: failed to read generation " +
+            s"marker in $dir — this JVM may serve stale cross-JVM metadata " +
+            s"until the read succeeds: $e")
+        "absent"
+    }
 
   private def extGen(dir: String): String = {
     val sc = scopeSnap.get()

@@ -86,25 +86,35 @@ object SkipIndex {
       }.reduce(_ && _),
       lit(true))
 
-  /** Tag-equality pruning predicate (r16): each `tag.k = 'v'` conjunct
-    * probes the manifest's `k=v` tag bloom; files lacking every probed
-    * pair's bits are never opened. A manifest predating the tag bloom
+  /** Tag-equality pruning predicate over CNF groups (r16 conjuncts,
+    * r17 OR-groups): `tags` is an AND of groups, each group an OR of
+    * `k=v` pairs — a plain conjunct `tag.k = 'v'` is a singleton group,
+    * a top-level disjunct that is PURELY tag equalities (`tag.host='a'
+    * or tag.host='b'`, the dashboard multi-select) probes as the UNION
+    * of its pair probes, which is superset-safe because the true WHERE
+    * implies the disjunction. A file survives iff every group has at
+    * least one probe-positive pair. A manifest predating the tag bloom
     * (no column) or a carried row (NULL) prunes nothing — superset
     * contract, the exact residual runs on what is read.
     */
-  private def tagPred(m: DataFrame, tags: Seq[(String, String)]) =
+  private def tagPred(m: DataFrame, tags: Seq[Seq[(String, String)]]) =
     if (tags.isEmpty || !m.columns.contains("bloom_tags")) lit(true)
-    else tags.map { case (k, v) =>
-      bloomMayContain("bloom_tags", localPositions(s"$k=$v"))
+    else tags.map { group =>
+      group.map { case (k, v) =>
+        bloomMayContain("bloom_tags", localPositions(s"$k=$v"))
+      }.reduce(_ || _)
     }.reduce(_ && _)
 
-  /** The exact row-level residual for `tag.k = 'v'` pairs — one shared
+  /** The exact row-level residual for the CNF tag groups — one shared
     * definition so every scan's residual semantics (null tag key →
-    * false, like the compiler's try_element_at equality) stay identical.
+    * false, like the compiler's try_element_at equality; an OR-group
+    * keeps any row matching one of its pairs) stay identical.
     */
-  private def tagResidual(tags: Seq[(String, String)]) =
-    tags.map { case (k, v) => try_element_at(col("tags"), lit(k)) === v }
-      .foldLeft(lit(true))(_ && _)
+  private def tagResidual(tags: Seq[Seq[(String, String)]]) =
+    tags.map { group =>
+      group.map { case (k, v) => try_element_at(col("tags"), lit(k)) === v }
+        .reduce(_ || _)
+    }.foldLeft(lit(true))(_ && _)
 
   /** One manifest row, driver-resident (see [[cachedRows]]). Nullable
     * blooms mirror an in-place-upgraded manifest's carried rows; null
@@ -178,27 +188,34 @@ object SkipIndex {
       startTs: Long, endTs: Long,
       idPos: Option[Seq[Int]], namePos: Option[Seq[Int]],
       minValue: Double, maxValue: Double,
-      tags: Seq[(String, String)]): (Array[String], Int) = {
+      tags: Seq[Seq[(String, String)]]): (Array[String], Int) = {
     val spark = store.spark
     val hasV = !minValue.isNegInfinity || !maxValue.isPosInfinity
     cachedRows(spark, manifestDir) match {
       case Some(rows) =>
         def bloomOk(arr: Array[Long], pos: Seq[Int]): Boolean =
           arr == null || pos.forall(p => (arr(p / 64) & (1L << (p % 64))) != 0L)
-        val tagPos = tags.map { case (k, v) => localPositions(s"$k=$v") }
+        val tagPos = tags.map(_.map { case (k, v) => localPositions(s"$k=$v") })
         val files = rows.filter { r =>
           r.minTime <= endTs && r.maxTime >= startTs &&
             idPos.forall(bloomOk(r.bloom, _)) &&
             namePos.forall(bloomOk(r.bloomName, _)) &&
             (!hasV || (!r.vNull && r.maxValue >= minValue && r.minValue <= maxValue)) &&
-            tagPos.forall(bloomOk(r.bloomTags, _))
+            tagPos.forall(_.exists(bloomOk(r.bloomTags, _)))
         }.map(_.file)
         (files, rows.length)
       case None =>
         val m = read(spark, manifestDir)
+        // A pre-upgrade manifest may lack a bloom column entirely (vs a
+        // carried row's NULL, which bloomMayContain already tolerates) —
+        // a missing column prunes nothing, matching the driver path's
+        // arrOr(null) semantics instead of throwing AnalysisException.
+        def bloomGuard(c: String, pos: Option[Seq[Int]]) =
+          pos.filter(_ => m.columns.contains(c))
+            .map(bloomMayContain(c, _)).getOrElse(lit(true))
         val cond = col("min_time") <= endTs && col("max_time") >= startTs &&
-          idPos.map(bloomMayContain("bloom", _)).getOrElse(lit(true)) &&
-          namePos.map(bloomMayContain("bloom_name", _)).getOrElse(lit(true)) &&
+          bloomGuard("bloom", idPos) &&
+          bloomGuard("bloom_name", namePos) &&
           (if (hasV) col("max_value") >= minValue && col("min_value") <= maxValue
           else lit(true)) &&
           tagPred(m, tags)
@@ -358,7 +375,7 @@ object SkipIndex {
     */
   def rangeScan(store: SeriesStore, manifestDir: String,
       startTs: Long, endTs: Long,
-      tags: Seq[(String, String)] = Nil): SkipScan = {
+      tags: Seq[Seq[(String, String)]] = Nil): SkipScan = {
     val (survivors, total) = prune(store, manifestDir, startTs, endTs,
       idPos = None, namePos = None,
       Double.NegativeInfinity, Double.PositiveInfinity, tags)
@@ -461,7 +478,7 @@ object SkipIndex {
       startTs: Long, endTs: Long, series: String,
       minValue: Double = Double.NegativeInfinity,
       maxValue: Double = Double.PositiveInfinity,
-      tags: Seq[(String, String)] = Nil): SkipScan = {
+      tags: Seq[Seq[(String, String)]] = Nil): SkipScan = {
     val hasV = !minValue.isNegInfinity || !maxValue.isPosInfinity
     val (survivors, total) = prune(store, manifestDir, startTs, endTs,
       idPos = None, namePos = Some(localPositions(series)),
@@ -487,15 +504,14 @@ object SkipIndex {
   def thresholdScan(store: SeriesStore, manifestDir: String,
       startTs: Long, endTs: Long, minValue: Double,
       maxValue: Double = Double.PositiveInfinity,
-      tags: Seq[(String, String)] = Nil): SkipScan = {
+      tags: Seq[Seq[(String, String)]] = Nil): SkipScan = {
     val (survivors, total) = prune(store, manifestDir, startTs, endTs,
       idPos = None, namePos = None, minValue, maxValue, tags)
     SkipScan(
       readFiles(store, survivors).filter(col("value") >= minValue &&
         col("value") <= maxValue &&
         col("time") >= startTs && col("time") <= endTs &&
-        tags.map { case (k, v) => try_element_at(col("tags"), lit(k)) === v }
-          .foldLeft(lit(true))(_ && _)),
+        tagResidual(tags)),
       survivors.length, total)
   }
 }

@@ -419,20 +419,7 @@ final class Compiler(spark: SparkSession, source: DataFrame, options: CompileOpt
     * into its Aggregate node (`plan.zig:339-348`), and a final smoothed
     * value per group is the only bounded-state reading.
     */
-  /** Does the expression reference a source column (time/value/series,
-    * or a tag.* path)? Decides OneRow vs whole-source for selector-less
-    * selects — only IDENTIFIERS count (aggregate CALLS over literals,
-    * e.g. `count()` alone, stay scalar: nothing to read).
-    */
-  private def refsSourceCols(e: Expr): Boolean = e match {
-    case id: Ident =>
-      Seq("time", "value", "series", "series_id").contains(id.full.toLowerCase) ||
-        id.parts.headOption.exists(_.equalsIgnoreCase("tag"))
-    case Binary(_, l, r) => refsSourceCols(l) || refsSourceCols(r)
-    case Unary(_, o) => refsSourceCols(o)
-    case Call(_, args) => args.exists(refsSourceCols)
-    case _ => false
-  }
+  private def refsSourceCols(e: Expr): Boolean = Compiler.refsSourceCols(e)
 
   private def containsAggregate(e: Expr): Boolean = e match {
     case Call(n, args) =>
@@ -702,5 +689,27 @@ final class Compiler(spark: SparkSession, source: DataFrame, options: CompileOpt
       first(col(helper))
     case other =>
       throw QueryError(QueryError.UnknownFunction, s"unknown aggregate '$other'")
+  }
+}
+
+object Compiler {
+  /** Does the expression reference a source column (time/value/series,
+    * or a tag.* path)? Only IDENTIFIERS count (aggregate CALLS over
+    * literals, e.g. `count()` alone, stay scalar: nothing to read).
+    * One shared definition for the two decisions that must agree:
+    * the compiler's OneRow-vs-whole-source choice for selector-less
+    * selects, and the validator's r17 rule that a selector-less select
+    * over source columns requires a time predicate (without the shared
+    * test, a shape the validator exempts as scalar could still compile
+    * to an unbounded whole-store scan).
+    */
+  private[sydraql] def refsSourceCols(e: Expr): Boolean = e match {
+    case id: Ident =>
+      Seq("time", "value", "series", "series_id").contains(id.full.toLowerCase) ||
+        id.parts.headOption.exists(_.equalsIgnoreCase("tag"))
+    case Binary(_, l, r) => refsSourceCols(l) || refsSourceCols(r)
+    case Unary(_, o) => refsSourceCols(o)
+    case Call(_, args) => args.exists(refsSourceCols)
+    case _ => false
   }
 }

@@ -151,27 +151,39 @@ object Engine {
     (lo, hi)
   }
 
-  /** `tag.<k> = '<literal>'` equality pairs from the WHERE's TOP-LEVEL
-    * conjuncts (r16) — the [[timeBounds]] contract: anything under
-    * OR/NOT or non-literal is ignored, so the extracted pairs are always
-    * a predicate the true WHERE implies and pruning on them stays a
-    * superset. Keys keep their written case — the compiler's residual
-    * `try_element_at(tags, <key>)` is case-sensitive the same way, so
-    * probe and match semantics agree.
+  /** Tag-equality CNF groups from the WHERE's TOP-LEVEL conjuncts —
+    * the [[timeBounds]] contract: each extracted group is a predicate
+    * the true WHERE implies, so pruning on it stays a superset. A plain
+    * `tag.<k> = '<literal>'` conjunct (r16) is a singleton group; a
+    * conjunct that is an OR whose EVERY disjunct is a tag equality
+    * (r17 — `tag.host = 'a' or tag.host = 'b'`, the dashboard
+    * multi-select) is a group pruned as the UNION of its pair probes.
+    * A mixed disjunct (`tag.host = 'a' or value > 5`) is NOT implied by
+    * its tag terms alone and extracts nothing. Keys keep their written
+    * case — the compiler's residual `try_element_at(tags, <key>)` is
+    * case-sensitive the same way, so probe and match semantics agree.
     */
-  private def tagEquals(where: Option[Ast.Expr]): Seq[(String, String)] = {
+  private def tagEquals(where: Option[Ast.Expr]): Seq[Seq[(String, String)]] = {
     def conj(e: Ast.Expr): Seq[Ast.Expr] = e match {
       case Ast.Binary(Ast.And, l, r) => conj(l) ++ conj(r)
       case x => Seq(x)
     }
-    where.toSeq.flatMap(conj).collect {
+    def tagEq(e: Ast.Expr): Option[(String, String)] = e match {
       case Ast.Binary(Ast.Eq, id: Ast.Ident, Ast.StringLit(v))
         if id.parts.length == 2 && id.parts.head.equalsIgnoreCase("tag") =>
-        (id.parts(1), v)
+        Some((id.parts(1), v))
       case Ast.Binary(Ast.Eq, Ast.StringLit(v), id: Ast.Ident)
         if id.parts.length == 2 && id.parts.head.equalsIgnoreCase("tag") =>
-        (id.parts(1), v)
+        Some((id.parts(1), v))
+      case _ => None
     }
+    // a pure-OR-of-tag-equalities disjunct, or None if any leaf is not one
+    def orGroup(e: Ast.Expr): Option[Seq[(String, String)]] = e match {
+      case Ast.Binary(Ast.Or, l, r) =>
+        for (a <- orGroup(l); b <- orGroup(r)) yield a ++ b
+      case other => tagEq(other).map(Seq(_))
+    }
+    where.toSeq.flatMap(conj).flatMap(orGroup)
   }
 
   /** Route a SELECT's source through the store's data-skipping manifest
@@ -487,6 +499,17 @@ object Engine {
       else l - Math.floorMod(l, 86400L) + 86400L
     val dHi = h - Math.floorMod(h, 86400L)
     if (dLo >= dHi) return None
+    // r17 crossover: the hybrid replaces the interior's raw scan with a
+    // cells merge but still scans the edges raw AND pays the
+    // union-of-partials machinery (~one small-window scan of overhead —
+    // SCALE.md's honest serve table). When the edges are at least as
+    // wide as the interior, the hybrid scans more than half the window
+    // raw anyway and the tier cannot beat the raw route it wraps
+    // (measured 1.02–1.2× AT BEST for edge-heavy sf0.1 windows) — fall
+    // through. Only a 1-interior-day window can trip this (each edge is
+    // < 24 h, so edges < 48 h ≤ interior at 2+ days); every multi-day
+    // dashboard window keeps the hybrid.
+    if ((dLo - l) + (h - dHi) >= dHi - dLo) return None
     // selector: by_id / name filter cells AND edge rows identically; an
     // absent selector (r14) is the fleet-wide shape — cells merge across
     // series, so no filter at all
@@ -604,7 +627,7 @@ object Engine {
       val scan0 =
         if (graft.storage.SkipIndex.exists(spark, skipDir))
           graft.storage.SkipIndex.rangeScan(store, skipDir, elo, ehi - 1,
-            tagEq.toSeq).df
+            tagEq.toSeq.map(Seq(_))).df
         else store.scanRange(elo, ehi - 1)
       tagEq.foldLeft(
         selFiltered(scan0).filter(col("time") >= elo && col("time") < ehi)) {

@@ -19,6 +19,22 @@ object Validator {
       if (s.from.isDefined && !s.where.exists(hasTimePredicate))
         throw QueryError(QueryError.TimeRangeRequired,
           "queries over a series require a time predicate in WHERE")
+      // r17: a selector-less SELECT that references source columns
+      // (`select time, value`, `select avg(value)`) reads the WHOLE
+      // store when no time predicate bounds it — at fleet scale that is
+      // a full-table scan one forgotten FROM away, the exact hazard the
+      // reference's rule exists to prevent (validator.zig:57-66; it has
+      // no FROM-less form, so the bounded-read intent extends here).
+      // Scalar shapes (`select 1`, `select now()`) reference nothing
+      // and stay exempt — same test the compiler uses to choose OneRow
+      // vs whole-source, shared so the two can never diverge.
+      if (s.from.isEmpty && !s.where.exists(hasTimePredicate)) {
+        val exprs = s.projections.map(_.expr) ++ s.where ++ s.groupBy ++
+          s.orderBy.map(_.expr)
+        if (exprs.exists(Compiler.refsSourceCols))
+          throw QueryError(QueryError.TimeRangeRequired,
+            "selector-less queries over source columns require a time predicate in WHERE")
+      }
       s.fill.foreach {
         case FillConst(e) => checkFunctions(e)
         case _ => ()

@@ -48,9 +48,12 @@ import org.apache.spark.sql.functions.{col, lit, map}
   */
 object ServeBench {
 
-  /** Pinned shape names in run order (ConfigSpec; bracket row ids). */
-  val shapeNames: Seq[String] =
-    Seq("aligned", "ragged", "tag", "fleet", "origin", "tagfilter")
+  /** Pinned shape names in run order (ConfigSpec; bracket row ids).
+    * DERIVED from [[shapes]] so the `__serve_<name>` bracket rows can
+    * never desynchronize from the shapes that actually run (r17,
+    * ADVICE — the two lists were previously hand-maintained twins).
+    */
+  val shapeNames: Seq[String] = shapes(0L, 0L).map(_._1)
 
   /** (name, sydraQL, expected served route) per shape over [lo, hi). */
   private def shapes(lo: Long, hi: Long): Seq[(String, String, String)] = Seq(

@@ -137,7 +137,8 @@ class ConfigSpec extends AnyFunSuite {
     assert(byFam("cells1") === Seq("q_sql_sketch_cells_ragged",
       "q_sql_rollup_cells_limit", "q_sql_rollup_cells_origin",
       "q_sql_rollup_cells_fill", "q_sql_rollup_cells_all",
-      "q_sql_tag_skip", "q_sql_rollup_cells_tagfilter"))
+      "q_sql_tag_skip", "q_sql_rollup_cells_tagfilter",
+      "q_sql_tag_skip_or", "q_sql_rollup_edge_window"))
   }
 
   test("serve bench family frozen: shape names and order pinned (r16)") {
@@ -148,5 +149,54 @@ class ConfigSpec extends AnyFunSuite {
     // extras families above
     assert(graft.tools.ServeBench.shapeNames ===
       Seq("aligned", "ragged", "tag", "fleet", "origin", "tagfilter"))
+  }
+
+  test("rerun budget is severity-ordered and records its skipped tail (r17)") {
+    // the r16 driver artifact capped the outlier-rerun pass at 20 in
+    // REGISTRY order — the 35 worst-positioned outliers (including both
+    // centrality gates that round was supposed to settle) vanished from
+    // the discipline without a trace. The budget now sorts by
+    // wall/bracket DESCENDING before the cap and RETURNS the tail for
+    // the artifact's `reruns_skipped` list.
+    val outliers = Seq(
+      ("mild", 2.2, 1.0),     // 2.2x
+      ("worst", 45.6, 6.5),   // 7.0x
+      ("bad", 9.6, 1.0),      // 9.6x
+      ("edge", 2.05, 1.0))    // 2.05x
+    val (rerun, skipped) = Bench.rerunBudget(outliers, 2)
+    assert(rerun.map(_._1) === Seq("bad", "worst"))
+    assert(skipped.map(_._1) === Seq("mild", "edge"))
+    // cap >= size: everything reruns, nothing skipped
+    val (all, none) = Bench.rerunBudget(outliers, 10)
+    assert(all.size === 4 && none.isEmpty)
+  }
+
+  test("run_quality classifies the r16 contended signature and a clean run (r17)") {
+    // contended: 55/160 bracketed extras over 1.5x with flat GC, every
+    // headline query 1.4-2.3x its committed bracket — the exact r16
+    // driver-run signature a judge had to re-derive by hand
+    val extrasContended =
+      (1 to 55).map(_ => (2.0, 0.02, 1.0)) ++ (1 to 105).map(_ => (1.1, 0.02, 1.0))
+    val headlineContended = Seq(1.4, 1.5, 1.6, 1.7, 1.8, 2.0, 2.1, 2.3, 1.45, 1.55, 1.9)
+    val contended = Bench.runQuality(extrasContended, headlineContended)
+    assert(contended.contains("\"verdict\":\"contended\""))
+    assert(contended.contains("\"extras_over_1p5x\":55"))
+    assert(contended.contains("\"gc_flat\":true"))
+    // clean: the builder's same-HEAD signature — extras in-band, headline
+    // at/under its committed medians
+    val clean = Bench.runQuality(
+      (1 to 160).map(_ => (1.0, 0.02, 1.0)),
+      Seq(0.95, 1.0, 1.02, 0.9, 1.05, 0.98, 1.0, 0.97, 1.01, 0.93, 0.99))
+    assert(clean.contains("\"verdict\":\"clean\""))
+    // one signal only (extras hot, headline flat) must NOT claim a full
+    // contention verdict — it reads "mixed": look at the rows
+    val mixed = Bench.runQuality(extrasContended,
+      Seq(1.0, 1.0, 1.0, 1.0, 1.0, 1.0, 1.0, 1.0, 1.0, 1.0, 1.0))
+    assert(mixed.contains("\"verdict\":\"mixed\""))
+    // GC-heavy outliers (memory signature) are not "contended" either
+    val gcHeavy = Bench.runQuality(
+      (1 to 55).map(_ => (2.0, 0.8, 1.0)) ++ (1 to 105).map(_ => (1.1, 0.02, 1.0)),
+      headlineContended)
+    assert(!gcHeavy.contains("\"verdict\":\"contended\""))
   }
 }

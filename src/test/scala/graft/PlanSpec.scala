@@ -392,6 +392,14 @@ class PlanSpec extends AnyFunSuite {
       s"select percentile_approx(value, 0.5) as p50a from cpu where time >= 3600 and time < 90000")
     assert(nid.contains("segments") && !nid.contains("sketchcells"),
       "a window with no interior day must fall through to raw:\n" + nid.take(800))
+    // r17 crossover: an interior day exists, but the edges (23 h + 23 h)
+    // are wider than it — the hybrid would scan more than half the
+    // window raw and cannot beat the raw route it wraps → raw
+    val (_, edgy) = planOf(
+      s"select percentile_approx(value, 0.5) as p50a from cpu " +
+        s"where time >= ${86400 + 3600} and time < ${4 * 86400 - 3600}")
+    assert(edgy.contains("segments") && !edgy.contains("sketchcells"),
+      "an edge-dominated window must fall through to raw:\n" + edgy.take(800))
     // all-series (FROM-less) shape serves from cells alone (r14): the
     // fleet-wide dashboard merge across series — here one series, but the
     // plan must be cells-only and the bounds must prune

