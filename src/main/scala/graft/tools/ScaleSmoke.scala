@@ -703,6 +703,33 @@ object ScaleSmoke {
             s"order by time, value",
           graft.sydraql.CompileOptions(now = 0L)).df
       },
+      // r17: the OR'd multi-select twin — the union of two pair probes
+      // must cost the same driver-local array filter as the single
+      // equality (2× the hash positions, zero extra Spark work), so the
+      // curve should sit on tag_skip_probe's within noise at every mult
+      timedStaged("tag_skip_or_probe") {
+        // same staging as tag_skip_probe (idempotent — a shared-run
+        // store is reused, an `only=` solo run builds its own)
+        val root = s"target/smoke-tmp/skip-$mult"
+        val store = new graft.storage.SeriesStore(spark, root)
+        if (store.isEmpty)
+          store.append(ev.select(col("event_type").as("series"),
+            map(lit("user"), col("tag_user")).as("tags"),
+            col("time"), col("value")))
+        val mdir = graft.storage.SkipIndex.dirFor(store)
+        if (!graft.storage.SkipIndex.exists(spark, mdir) ||
+          !graft.storage.SkipIndex.hasTagBloom(spark, mdir))
+          graft.storage.SkipIndex.build(store, mdir)
+      } {
+        val root = s"target/smoke-tmp/skip-$mult"
+        val store = new graft.storage.SeriesStore(spark, root)
+        val t0 = graft.queries.TimeSeries.T0
+        graft.sydraql.Engine.executeOnStore(store,
+          s"select time, value from click where time >= ${t0 + 6 * 3600} " +
+            s"and time < ${t0 + 18 * 3600} and " +
+            s"(tag.user = '3' or tag.user = '5') order by time, value",
+          graft.sydraql.CompileOptions(now = 0L)).df
+      },
       // r15: the STREAMING cell-maintenance twin (#30) at mult× ingest —
       // the batch-side serve/refresh curves exist, this records the
       // per-batch maintenance cost (td + tag tier + theta NDV + basic
