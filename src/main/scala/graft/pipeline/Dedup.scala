@@ -189,8 +189,20 @@ object Dedup {
     // schedule lives in MinHashSignature.coefficients; the HOF equivalent
     // (numHashes × array_min(transform(...))) walks the array per hash
     // function through interpreted lambdas
-    val sig = sh.select(col("doc_id"), col("hs"),
+    val sig = sh.select(col("doc_id"),
       graft.functions.MinHashSignature(col("hs"), numHashes).as("sig"))
+    lshPairsFromSig(sh, sig, threshold, bands, rowsPerBand)
+  }
+
+  /** LSH band candidates + exact-Jaccard verification from PRE-BUILT
+    * shingle sets (`sh`: doc_id, hs) and signatures (`sig`: doc_id, sig) —
+    * shared by [[minhashLshPairs]] and [[minhashEstimate]] so a caller
+    * that also needs the signatures computes them ONCE (r17: the estimate
+    * gate re-ran the full shingle+signature pass three times — once inside
+    * the pair path, once per uncached estimate-side join).
+    */
+  private def lshPairsFromSig(sh: DataFrame, sig: DataFrame,
+      threshold: Double, bands: Int, rowsPerBand: Int): DataFrame = {
     val bandsDf = bandRows(sig, bands, rowsPerBand)
     val cand = bandsDf.as("a").join(bandsDf.as("b"),
         col("a.band") === col("b.band") && col("a.bkey") === col("b.bkey") &&
@@ -231,12 +243,19 @@ object Dedup {
       rowsPerBand: Int = 2,
       n: Int = 3): DataFrame = {
     val numHashes = bands * rowsPerBand
-    val sig = shingleHashes(docs, n).select(col("doc_id"),
-      graft.functions.MinHashSignature(col("hs"), numHashes).as("sig"))
+    // ONE shingle pass and ONE signature pass feed candidate generation,
+    // verification AND both estimate-side joins: sig is cached because it
+    // is referenced three times (bands + the a/b joins), and re-deriving
+    // it re-runs the full shingle+MinHash kernel over the corpus each
+    // time (r17 measurement: 3× recompute ≈ 40 CPU-s warm at sf0.1, the
+    // hottest extra by CPU after the graph family).
+    val sh = shingleHashes(docs, n).cache()
+    val sig = sh.select(col("doc_id"),
+      graft.functions.MinHashSignature(col("hs"), numHashes).as("sig")).cache()
     val est = aggregate(
       zip_with(col("sa"), col("sb"), (x, y) => (x === y).cast("long")),
       lit(0L), (acc, v) => acc + v) / numHashes.toDouble
-    minhashLshPairs(docs, threshold, bands, rowsPerBand, n)
+    lshPairsFromSig(sh, sig, threshold, bands, rowsPerBand)
       .join(sig.select(col("doc_id").as("doc_a"), col("sig").as("sa")), "doc_a")
       .join(sig.select(col("doc_id").as("doc_b"), col("sig").as("sb")), "doc_b")
       .select(col("doc_a"), col("doc_b"), col("jaccard"),

@@ -34,7 +34,13 @@ object Graph {
       checkpointEvery: Int = 0): DataFrame = {
     require(iters >= 1 && nNodes > 0, "pageRank needs iterations and nodes")
     val deg = edges.groupBy("src").agg(count(lit(1)).as("deg"))
-    val withDeg = edges.join(deg, "src")
+    // materialize (edges ⋈ deg) ONCE: every power iteration references it,
+    // and without the cut the edge subtree — often an expensive pair miner
+    // (blocked all-pairs cosine, banded kNN) — re-enters the plan per
+    // iteration: iters× the planning/codegen volume and, for an uncached
+    // caller frame, iters× the edge-generation work itself (r17; the same
+    // eager-cut stance as coreNumbers/kCore). Edge-sized, MEMORY_AND_DISK.
+    val withDeg = edges.join(deg, "src").localCheckpoint(true)
     var rank = nodes.select(col("id"), lit(1.0 / nNodes).as("rank"))
     for (it <- 1 to iters) {
       val contrib = withDeg.join(rank, col("src") === col("id"))
@@ -77,7 +83,8 @@ object Graph {
       damping: Double = 0.85, checkpointEvery: Int = 0): DataFrame = {
     require(iters >= 1 && nSeeds > 0, "needs iterations and a seed set")
     val deg = edges.groupBy("src").agg(count(lit(1)).as("deg"))
-    val withDeg = edges.join(deg, "src")
+    // same once-per-run materialization as [[pageRank]]'s withDeg (r17)
+    val withDeg = edges.join(deg, "src").localCheckpoint(true)
     val sv = nodes.join(seeds.select(col("id"), lit(1.0).as("__s")), Seq("id"), "left")
       .select(col("id"), (coalesce(col("__s"), lit(0.0)) / nSeeds).as("sv"))
     var rank = sv.select(col("id"), col("sv").as("rank"))
@@ -112,10 +119,19 @@ object Graph {
     * Shape per iteration: one edges⋈labels equi-join, one count
     * aggregate on (node, label), one per-node arg-max — all shuffles on
     * the node key, labels frame node-sized. Same `checkpointEvery`
-    * lineage knob as [[pageRank]] for deep iteration.
+    * lineage knob as [[pageRank]] for deep iteration — but here it
+    * defaults ON (every round): unlike pageRank's once-per-iteration rank
+    * reference, each LPA round references the previous labels frame TWICE
+    * (the neighbor-count join and the keep-own-label coalesce), so an
+    * uncut plan doubles per round — 2^iters copies of the join+window
+    * subtree to analyze and codegen even though exchange reuse dedups the
+    * runtime shuffles (r17: cutting each round took the communities gate's
+    * cold solo from ~13.5 s to ~10 s at sf0.1, values unchanged —
+    * PipelineSpec pins 12-round equality across checkpoint settings).
+    * The cut frame is node-sized; 0 restores the pure unrolled plan.
     */
   def labelPropagation(edges: DataFrame, nodes: DataFrame,
-      iters: Int = 3, checkpointEvery: Int = 0): DataFrame = {
+      iters: Int = 3, checkpointEvery: Int = 1): DataFrame = {
     require(iters >= 1, "labelPropagation needs iterations")
     import org.apache.spark.sql.expressions.Window
     var labels = nodes.select(col("id"), col("id").as("label"))

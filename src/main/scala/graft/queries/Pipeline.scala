@@ -2435,6 +2435,9 @@ object Pipeline {
     Q("q_pl_triangles",
       (s, dir) => {
         val emb = Tables.embeddings(s, dir)
+        // deliberately NOT cached (r17, measured): triangles is one action,
+        // and ReuseExchange already dedups the miner's shared exchange —
+        // a cache only added columnar-materialization overhead (5.6→6.2 s)
         val pairs = Similarity.cosinePairs(emb, 0.45)
           .select(col("vec_a").as("a"), col("vec_b").as("b"))
         graft.pipeline.Graph.triangles(pairs, emb.select(col("vec_id").as("id")))
@@ -2485,8 +2488,9 @@ object Pipeline {
     Q("q_pl_kcore",
       (s, dir) => {
         val emb = Tables.embeddings(s, dir)
+        // cache: round-1 degrees + the peel base re-reference the miner
         val pairs = Similarity.cosinePairs(emb, 0.3)
-          .select(col("vec_a").as("a"), col("vec_b").as("b"))
+          .select(col("vec_a").as("a"), col("vec_b").as("b")).cache()
         graft.pipeline.Graph.kCore(pairs, k = 3, maxIters = 16).orderBy("id")
       },
       Some {
@@ -2525,6 +2529,8 @@ object Pipeline {
     Q("q_pl_core_numbers",
       (s, dir) => {
         val emb = Tables.embeddings(s, dir)
+        // NOT cached: the bidirected build is one eager localCheckpoint
+        // action whose two union arms share one reused exchange (r17)
         val pairs = Similarity.cosinePairs(emb, 0.3)
           .select(col("vec_a").as("a"), col("vec_b").as("b"))
         graft.pipeline.Graph.coreNumbers(pairs, maxIters = 12).orderBy("id")
@@ -2598,6 +2604,9 @@ object Pipeline {
     Q("q_pl_modularity",
       (s, dir) => {
         val li = Tables.lineitem(s, dir).select(col("l_orderkey"), col("l_partkey"))
+        // deliberately NOT cached (r17, measured): one action, the three
+        // edge reads share the distinct's reused exchange — caching the
+        // multi-million-row pair frame DOUBLED cpu (38→69 s at sf0.1)
         val pairs = li.select(col("l_orderkey"), col("l_partkey").as("a"))
           .join(li.select(col("l_orderkey"), col("l_partkey").as("b")), "l_orderkey")
           .filter(col("a") < col("b"))
@@ -2636,8 +2645,10 @@ object Pipeline {
     Q("q_pl_ppr",
       (s, dir) => {
         val emb = Tables.embeddings(s, dir)
+        // cache: the blocked all-pairs cosine miner feeds deg + the power
+        // iterations — same one-materialization shape as q_pl_centrality_knn
         val edges = graft.pipeline.Graph.undirected(
-          Similarity.cosinePairs(emb, 0.45), "vec_a", "vec_b")
+          Similarity.cosinePairs(emb, 0.45), "vec_a", "vec_b").cache()
         graft.pipeline.Graph.pageRankPersonalized(edges,
             emb.select(col("vec_id").as("id")),
             emb.filter(col("vec_id") < 10).select(col("vec_id").as("id")),
@@ -2666,8 +2677,9 @@ object Pipeline {
     Q("q_pl_centrality",
       (s, dir) => {
         val emb = Tables.embeddings(s, dir)
+        // cache: same one-materialization shape as q_pl_centrality_knn
         val edges = graft.pipeline.Graph.undirected(
-          Similarity.cosinePairs(emb, 0.45), "vec_a", "vec_b")
+          Similarity.cosinePairs(emb, 0.45), "vec_a", "vec_b").cache()
         graft.pipeline.Graph.pageRank(edges,
             emb.select(col("vec_id").as("id")), emb.count(), iters = 3)
           .select(col("id"), (floor(col("rank") * 1e6 + 0.5) / 1e6).as("rank"))
