@@ -84,8 +84,13 @@ object Dedup {
     TextAnalysis.shingleSets(docs, n)
 
   private def jaccard(a: Column, b: Column): Column = {
-    val inter = size(array_intersect(a, b)).cast("double")
-    inter / (size(a) + size(b) - size(array_intersect(a, b))).cast("double")
+    // sorted-merge intersect count (graft.functions.SortedIntersectSize):
+    // the shingle sets are sorted distinct, so the count is
+    // size(array_intersect) without the per-eval hash set + output array —
+    // and the verify projection evaluates the intersection up to 4× per
+    // pair once the threshold filter is pushed through the alias (r17)
+    val inter = graft.functions.SortedIntersectSize(a, b).cast("double")
+    inter / (size(a) + size(b) - graft.functions.SortedIntersectSize(a, b)).cast("double")
   }
 
   /** Exact n-gram Jaccard near-dup pairs with PPJoin-style prefix +
@@ -157,7 +162,7 @@ object Dedup {
         size(col("hs")).as("sz_a")), "doc_inner")
       .join(sh.select(col("doc_id").as("doc_outer"), col("hs").as("hs_b")), "doc_outer")
       .select(col("doc_inner"), col("doc_outer"),
-        (floor(size(array_intersect(col("hs_a"), col("hs_b"))) /
+        (floor(graft.functions.SortedIntersectSize(col("hs_a"), col("hs_b")) /
           col("sz_a").cast("double") * 1e4 + 0.5) / 1e4).as("containment"))
       .filter(col("containment") >= threshold)
   }

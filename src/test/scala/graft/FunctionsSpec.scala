@@ -62,6 +62,36 @@ class FunctionsSpec extends AnyFunSuite {
     assert(empty === Seq.fill(4)(Long.MaxValue))
   }
 
+  test("codegen sorted_intersect_size equals size(array_intersect) on sorted inputs") {
+    import graft.functions.SortedIntersectSize
+    // real shingle frames — the exact shape the dedup verify stage feeds it
+    val sh = graft.pipeline.TextAnalysis.shingleSets(
+      graft.core.Tables.documents(spark, "/root/testdata/sf0.001"), 3)
+    val pairs = sh.as("a").join(sh.as("b"), col("a.doc_id") < col("b.doc_id")).limit(2000)
+      .select(col("a.hs").as("ha"), col("b.hs").as("hb"))
+    val mism = pairs.filter(
+      SortedIntersectSize(col("ha"), col("hb")) =!= size(array_intersect(col("ha"), col("hb"))))
+      .count()
+    assert(mism === 0L, "kernel must equal size(array_intersect) on shingle sets")
+    // edge shapes: empties, duplicates, trailing nulls (array_sort order),
+    // NULL arrays — semantics must match array_intersect exactly
+    val edge = Seq(
+      (Seq[java.lang.Long](), Seq[java.lang.Long]()),
+      (Seq[java.lang.Long](1L, 2L, 3L), Seq[java.lang.Long]()),
+      (Seq[java.lang.Long](1L, 1L, 2L, 5L), Seq[java.lang.Long](1L, 2L, 2L, 7L)),
+      (Seq[java.lang.Long](1L, 2L, null), Seq[java.lang.Long](2L, null)),
+      (Seq[java.lang.Long](1L, null), Seq[java.lang.Long](2L, 3L)),
+      (null, Seq[java.lang.Long](1L)))
+      .toDF("ha", "hb")
+    val got = edge.select(
+      SortedIntersectSize(col("ha"), col("hb")).as("k"),
+      size(array_intersect(col("ha"), col("hb"))).as("ref")).collect()
+    got.zipWithIndex.foreach { case (r, i) =>
+      assert(r.isNullAt(0) === r.isNullAt(1), s"row $i null disagreement")
+      if (!r.isNullAt(0)) assert(r.getInt(0) === r.getInt(1), s"row $i count disagreement")
+    }
+  }
+
   test("codegen simhash_sig is identical to the nested-HOF form") {
     import graft.functions.SimHashSignature
     def hofSimhash(hashes: org.apache.spark.sql.Column) = aggregate(
