@@ -92,14 +92,22 @@ object TextAnalysis {
   /** BPE-ish token pattern: letter runs, digit runs, single other glyphs. */
   val TokenPattern = "[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]"
 
-  /** doc_id, n_chars, n_words, n_tokens, avg_word_len. */
+  /** doc_id, n_chars, n_words, n_tokens, avg_word_len.
+    *
+    * All three counts come from the fused [[graft.functions.TokenCounts]]
+    * byte-walk kernel — one pass instead of `regexp_count(TokenPattern)`,
+    * the allocation-heavy `length(regexp_replace(\s+, ""))`, and the
+    * word-array split used only for its size, with pinned-identical
+    * counts (FunctionsSpec; the gate's 3-SF oracle hashes).
+    */
   def tokenStats(docs: DataFrame): DataFrame =
-    spread(docs).withColumn("__w", words(col("text"))).select(
+    spread(docs)
+      .withColumn("__tc", graft.functions.TokenCounts(col("text"))).select(
       col("doc_id"),
       length(col("text")).cast("long").as("n_chars"),
-      size(col("__w")).cast("long").as("n_words"),
-      regexp_count(col("text"), lit(TokenPattern)).cast("long").as("n_tokens"),
-      (floor((length(regexp_replace(col("text"), "\\s+", "")).cast("double") / size(col("__w"))) * 1e4 + 0.5) / 1e4).as("avg_word_len"))
+      col("__tc").getField("n_words").as("n_words"),
+      col("__tc").getField("n_tokens").as("n_tokens"),
+      (floor((col("__tc").getField("n_nonws").cast("double") / col("__tc").getField("n_words")) * 1e4 + 0.5) / 1e4).as("avg_word_len"))
 
   /** Per-document unigram Shannon entropy (nats) — the repetitiveness/
     * degeneracy signal quality filters threshold on (low entropy = boiler

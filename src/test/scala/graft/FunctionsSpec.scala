@@ -92,6 +92,43 @@ class FunctionsSpec extends AnyFunSuite {
     }
   }
 
+  test("token_counts kernel equals the regex composition") {
+    import graft.functions.TokenCounts
+    import graft.pipeline.TextAnalysis.TokenPattern
+    // real corpus: both counts must match the regex forms on every doc
+    val docs = graft.core.Tables.documents(spark, "/root/testdata/sf0.001")
+    val mism = docs.select(
+      TokenCounts(col("text")).as("tc"),
+      regexp_count(col("text"), lit(TokenPattern)).cast("long").as("rt"),
+      length(regexp_replace(col("text"), "\\s+", "")).cast("long").as("rn"),
+      size(split(lower(col("text")), "\\s+")).cast("long").as("rw"))
+      .filter(col("tc.n_tokens") =!= col("rt") || col("tc.n_nonws") =!= col("rn") ||
+        col("tc.n_words") =!= col("rw"))
+      .count()
+    assert(mism === 0L, "kernel counts must equal the regex composition on the corpus")
+    // adversarial shapes: Java \s is ASCII-only (U+00A0 NBSP is NOT ws and
+    // counts as one [^...] token), a supplementary code point is ONE token,
+    // vertical tab IS Java \s, runs/mixes/empties/all-ws
+    val edge = Seq("", "   ", "\t\n\f\r", "a", "abc123", "abc 123",
+      "a1b2", "..", "a..b", " ", "x y", "💡💡",
+      "Ж ЖЖ", "tab\there", "trailing ", " leading", "a-b_c", "9 lives!",
+      "a\u000Bb", "nb\u00A0sp", "mixedЖabc1 2").toDF("text")
+    val bad = edge.select(
+      col("text"),
+      TokenCounts(col("text")).as("tc"),
+      regexp_count(col("text"), lit(TokenPattern)).cast("long").as("rt"),
+      length(regexp_replace(col("text"), "\\s+", "")).cast("long").as("rn"),
+      size(split(lower(col("text")), "\\s+")).cast("long").as("rw"))
+      .filter(col("tc.n_tokens") =!= col("rt") || col("tc.n_nonws") =!= col("rn") ||
+        col("tc.n_words") =!= col("rw"))
+      .collect()
+    assert(bad.isEmpty, s"kernel disagrees on: ${bad.map(_.getString(0)).mkString("|")}")
+    // NULL text → NULL struct
+    val n = Seq[String](null).toDF("text")
+      .select(TokenCounts(col("text")).as("tc")).head()
+    assert(n.isNullAt(0))
+  }
+
   test("codegen simhash_sig is identical to the nested-HOF form") {
     import graft.functions.SimHashSignature
     def hofSimhash(hashes: org.apache.spark.sql.Column) = aggregate(
