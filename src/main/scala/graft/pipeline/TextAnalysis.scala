@@ -401,9 +401,13 @@ object TextAnalysis {
     * caller controls the one count() job.
     */
   def lmSurprisal(docs: DataFrame, nDocs: Long): DataFrame = {
+    // cached: the df dictionary and the score join shuffle the token
+    // frame on different keys (doc_id+word vs word), so the tokenize+
+    // explode would otherwise run twice (r17)
     val tok = spread(docs)
       .select(col("doc_id"), explode(words(col("text"))).as("word"))
       .filter(length(col("word")) > 0)
+      .cache()
     val dict = tok.select(col("doc_id"), col("word")).distinct()
       .groupBy("word").agg(count(lit(1)).as("df"))
     val scored = tok.join(dict, "word")
@@ -437,6 +441,11 @@ object TextAnalysis {
       lambdaU: Double = 0.3): DataFrame = {
     val wf = filter(words(col("text")), x => length(x) > 0)
     val base = spread(docs).select(col("doc_id"), wf.as("__wf"))
+    // cache the exploded bigram frame: three consumers (the two count
+    // tables and the per-occurrence score join) shuffle it on DIFFERENT
+    // keys, so exchange reuse cannot dedup them and the interpreted
+    // struct-building transform would re-run per consumer (r17: ~3×
+    // the tokenize+explode work, the hottest text extra by cpu)
     val bg = base.select(col("doc_id"), explode(
         when(size(col("__wf")) >= 2,
           transform(sequence(lit(0), size(col("__wf")) - 2), i =>
@@ -445,11 +454,14 @@ object TextAnalysis {
           .otherwise(array().cast("array<struct<w1:string,w2:string>>")))
         .as("__bg"))
       .select(col("doc_id"), col("__bg.w1").as("w1"), col("__bg.w2").as("w2"))
+      .cache()
     val tok = base.select(col("doc_id"), explode(col("__wf")).as("word"))
     val bgc = bg.groupBy("w1", "w2").agg(count(lit(1)).as("cbg"))
     val w1c = bg.groupBy("w1").agg(count(lit(1)).as("cw1"))
     val uc = tok.groupBy("word").agg(count(lit(1)).as("cu"))
-    val tot = tok.agg(count(lit(1)).as("t"))
+    // T = Σ unigram counts — integer-exact, and it saves the second
+    // explode pass over the token frame (r17)
+    val tot = uc.agg(sum(col("cu")).as("t"))
     val scored = bg
       .join(bgc, Seq("w1", "w2")).join(w1c, Seq("w1"))
       .join(uc, col("word") === col("w2")).crossJoin(broadcast(tot))
@@ -480,8 +492,12 @@ object TextAnalysis {
     * the score column) + a broadcast-1-row join; both fine at any corpus
     * size (exact percentile shuffles the scores once).
     */
-  def perplexityBuckets(scored: DataFrame,
+  def perplexityBuckets(scored0: DataFrame,
       scoreCol: String = "surprisal"): DataFrame = {
+    // doc-sized cache: the tercile aggregate and the bucket-assignment
+    // join both read the scored frame, whose producer (an LM scorer) is
+    // the expensive part — score once, not twice (r17)
+    val scored = scored0.cache()
     val s = col(scoreCol)
     // one array-fraction percentile: two separate aggs would each buffer
     // a full copy of the score column (the q_dq_histogram lesson)
