@@ -65,11 +65,22 @@ object Dedup {
       .select(col("doc_id"),
         TextAnalysis.hash60(concat_ws(" ", (0 until n).map(j =>
           element_at(w, col("__i") + j + 1)): _*)).as("dg"))
-    val dict = sp.groupBy("dg").agg(count_distinct(col("doc_id")).as("nd"))
-    val st = sp.join(dict, "dg")
+    // ONE evaluation of the span-hash explode (r17): the old
+    // dict-then-join shape shuffled sp on dg twice through two DIFFERENT
+    // exchanges (partial-aggregated dict rows vs raw span rows), so the
+    // per-position concat+md5 ran twice per document. Pre-aggregating to
+    // (dg, doc_id) instance counts first consumes sp once, the
+    // distinct-doc count per digest is a window over that (already
+    // dg-partitioned, deduped) frame — integer-identical to the
+    // count_distinct + join-back, with fewer shuffled bytes (deduped
+    // pairs instead of raw span instances on the dg exchange).
+    val spg = sp.groupBy("dg", "doc_id").agg(count(lit(1)).as("__c"))
+    val wDg = org.apache.spark.sql.expressions.Window.partitionBy(col("dg"))
+    val st = spg
+      .withColumn("__nd", count(lit(1)).over(wDg))
       .groupBy("doc_id")
-      .agg(count(lit(1)).as("n_spans"),
-        sum(when(col("nd") >= 2, 1L).otherwise(0L)).as("n_dup_spans"))
+      .agg(sum(col("__c")).as("n_spans"),
+        sum(when(col("__nd") >= 2, col("__c")).otherwise(0L)).as("n_dup_spans"))
     docs.select("doc_id").join(st, Seq("doc_id"), "left")
       .select(col("doc_id"),
         coalesce(col("n_spans"), lit(0L)).as("n_spans"),
