@@ -110,7 +110,6 @@ object Similarity {
       .groupBy(col("a_id"))
       .agg(max(struct(col("cos"), (-col("b_id")).as("nb"))).as("m"))
       .select(col("a_id"), (-col("m.nb")).as("b_id"), col("m.cos").as("cos"))
-      .cache() // same both-endpoints shape as mutualNnIdx (r17)
     nn.as("x").join(nn.as("y"),
         col("x.a_id") === col("y.b_id") && col("x.b_id") === col("y.a_id") &&
           col("x.a_id") < col("x.b_id"))
@@ -148,13 +147,15 @@ object Similarity {
     * Output: (vec_a, vec_b, cos round 6), vec_a < vec_b.
     */
   def mutualNnIdx(corpus: DataFrame, candMult: Int = 64, dim: Int = 64): DataFrame = {
-    // node-sized cache (one row per vector): the mutuality self-join reads
-    // the top-1 frame on BOTH endpoints (different join keys, so exchange
-    // reuse cannot fully dedup) — materialize the candidate scan + rerank
-    // once, not per side (r17)
+    // deliberately NOT cached (r17, measured): the mutuality self-join
+    // reads the top-1 frame on both endpoints, but both sides share the
+    // candidate stage's q_id exchange (ReuseExchange dedups the n²
+    // Hamming scan at runtime) and only the node-sized window+rerank tail
+    // re-runs — caching the frame forced an InMemoryRelation
+    // materialization that read SLOWER solo-cold (8.9 vs 7.1 s median of
+    // 3 at sf0.1)
     val nn = hammingTopK(corpus, corpus, 1, candMult, dim)
       .select(col("q_id").as("a_id"), col("vec_id").as("b_id"), col("cos"))
-      .cache()
     nn.as("x").join(nn.as("y"),
         col("x.a_id") === col("y.b_id") && col("x.b_id") === col("y.a_id") &&
           col("x.a_id") < col("x.b_id"))
