@@ -14,20 +14,34 @@ object SparkEntry {
   /** Session settings every entry point needs (the driver may build its own
     * session; Verify/Bench call this).
     */
-  def configure(b: SparkSession.Builder): SparkSession.Builder = b
-    .config("spark.sql.session.timeZone", "UTC")
-    .config("spark.sql.adaptive.enabled", "true")
-    // events.ts is parquet TIMESTAMP(NANOS): surface as LONG nanos (the
-    // engine's time axis is integer epoch seconds — SURVEY.md §1.2).
-    .config("spark.sql.legacy.parquet.nanosAsLong", "true")
-    .config("spark.sql.parquet.filterPushdown", "true")
-    // explode(expensive_hof(...)) infers a size(...)>0 filter whose pushdown
-    // below the binding projections re-inlines the HOF chain into every
-    // element_at — O(n²) re-evaluation per row (measured 12-50× on the
-    // shingle pipeline). The rule's only win (skipping empty arrays before
-    // a shuffle) is negligible here; drop it engine-wide.
-    .config("spark.sql.optimizer.excludedRules",
-      "org.apache.spark.sql.catalyst.optimizer.InferFiltersFromGenerate")
+  def configure(b: SparkSession.Builder): SparkSession.Builder = {
+    val base = b
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.adaptive.enabled", "true")
+      // events.ts is parquet TIMESTAMP(NANOS): surface as LONG nanos (the
+      // engine's time axis is integer epoch seconds — SURVEY.md §1.2).
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      .config("spark.sql.parquet.filterPushdown", "true")
+      // explode(expensive_hof(...)) infers a size(...)>0 filter whose pushdown
+      // below the binding projections re-inlines the HOF chain into every
+      // element_at — O(n²) re-evaluation per row (measured 12-50× on the
+      // shingle pipeline). The rule's only win (skipping empty arrays before
+      // a shuffle) is negligible here; drop it engine-wide.
+      .config("spark.sql.optimizer.excludedRules",
+        "org.apache.spark.sql.catalyst.optimizer.InferFiltersFromGenerate")
+    // r18 (§6/§3 parameterization): scale-dependent knobs stay OUT of the
+    // code — `SPARK_GRAFT_CONF="k=v;k=v"` overlays any session conf for a
+    // measurement or a deployment (e.g. spark.sql.files.maxPartitionBytes
+    // for TB scans, spark.sql.join.preferSortMergeJoin=false for the SHJ
+    // experiment, spark.graft.corpusCacheLevel for cache footprint). The
+    // driver's bench sets nothing, so recorded numbers stay comparable.
+    sys.env.get("SPARK_GRAFT_CONF").fold(base) { csv =>
+      csv.split(';').filter(_.contains('=')).foldLeft(base) { (bb, kv) =>
+        val i = kv.indexOf('=')
+        bb.config(kv.take(i).trim, kv.drop(i + 1).trim)
+      }
+    }
+  }
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =

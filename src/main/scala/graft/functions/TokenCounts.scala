@@ -50,12 +50,12 @@ case class TokenCounts(child: Expression) extends UnaryExpression {
   override def nullable: Boolean = true
   override def prettyName: String = "token_counts"
 
-  /** n_tokens << 42 | n_nonws << 21 | n_words, packed so generated code
-    * makes one call (21 bits each — documents are far below 2M counts;
-    * the loop guards the pack with a loud overflow error rather than
-    * silently wrapping).
+  /** `[n_tokens, n_nonws, n_words]` — full longs from one call (r18: the
+    * r17 form packed three 21-bit fields into one long and THREW on a
+    * ≥2M-count document; the regex composition it replaced handled any
+    * size, so the pack was a behavioral regression for one oversized doc).
     */
-  def pack(s: UTF8String): Long = {
+  def counts(s: UTF8String): Array[Long] = {
     val bytes = s.getBytes
     val n = bytes.length
     var i = 0
@@ -84,27 +84,22 @@ case class TokenCounts(child: Expression) extends UnaryExpression {
         while (i < n && (bytes(i) & 0xC0) == 0x80) i += 1
       }
     }
-    val words = wsRuns + 1
-    if (tokens >= (1L << 21) || nonws >= (1L << 21) || words >= (1L << 21))
-      throw new IllegalStateException(
-        s"token_counts overflow: counts ($tokens, $nonws, $words) exceed 2^21 per document")
-    (tokens << 42) | (nonws << 21) | words
+    Array(tokens, nonws, wsRuns + 1)
   }
 
   override def nullSafeEval(input: Any): Any = {
-    val p = pack(input.asInstanceOf[UTF8String])
-    new GenericInternalRow(
-      Array[Any](p >>> 42, (p >>> 21) & 0x1fffffL, p & 0x1fffffL)): InternalRow
+    val c = counts(input.asInstanceOf[UTF8String])
+    new GenericInternalRow(Array[Any](c(0), c(1), c(2))): InternalRow
   }
 
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
     val ref = ctx.addReferenceObj("tokenCounts", this, classOf[TokenCounts].getName)
     nullSafeCodeGen(ctx, ev, s => {
-      val p = ctx.freshName("packed")
+      val c = ctx.freshName("counts")
       s"""
-         |final long $p = $ref.pack($s);
+         |final long[] $c = $ref.counts($s);
          |${ev.value} = new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(
-         |  new Object[] { $p >>> 42, ($p >>> 21) & 0x1fffffL, $p & 0x1fffffL });
+         |  new Object[] { $c[0], $c[1], $c[2] });
        """.stripMargin
     })
   }

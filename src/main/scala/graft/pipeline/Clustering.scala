@@ -103,7 +103,14 @@ object Clustering {
     */
   def fitCentroids(emb: DataFrame, k: Int, iters: Int,
       plusPlusSeeding: Boolean = false): Array[Seq[Double]] = {
-    val e = parsed(emb).persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // skip the fit-scoped persist when the caller already holds the input
+    // cached (Pq.fit's block slices, IvfIndex.buildPq's shared parsed
+    // corpus — r18): re-persisting a cheap projection of a cached frame
+    // only duplicates the columnar copy.
+    val preCached = emb.storageLevel != org.apache.spark.storage.StorageLevel.NONE
+    val e =
+      if (preCached) parsed(emb)
+      else parsed(emb).persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     try {
       val dim = e.select(size(col("v"))).head().getInt(0)
 
@@ -125,7 +132,7 @@ object Clustering {
         centroids = centroids.indices.map(i => means.getOrElse(i, centroids(i)): Seq[Double]).toArray
       }
       centroids
-    } finally e.unpersist(blocking = false)
+    } finally if (!preCached) { e.unpersist(blocking = false); () }
   }
 
   /** Final assignments after `iters` Lloyd iterations:

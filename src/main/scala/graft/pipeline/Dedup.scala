@@ -120,7 +120,7 @@ object Dedup {
     *    set are pruned in the same join probe.
     */
   def ngramJaccardPairs(docs: DataFrame, threshold: Double, n: Int = 3): DataFrame = {
-    val sh = shingleHashes(docs, n).cache()
+    val sh = graft.core.Caches.corpus(shingleHashes(docs, n))
     val prefixLen = (size(col("hs")) - ceil(lit(threshold) * size(col("hs"))).cast("int") + 1)
     val ex = sh.select(col("doc_id"), size(col("hs")).as("sz"),
       posexplode(slice(col("hs"), lit(1), prefixLen)))
@@ -157,7 +157,7 @@ object Dedup {
     */
   def containmentPairs(docs: DataFrame, threshold: Double, n: Int = 3): DataFrame = {
     require(threshold > 0 && threshold <= 1, "threshold in (0, 1]")
-    val sh = shingleHashes(docs, n).cache()
+    val sh = graft.core.Caches.corpus(shingleHashes(docs, n))
     val prefixLen = (size(col("hs")) - ceil(lit(threshold) * size(col("hs"))).cast("int") + 1)
     val pre = sh.select(col("doc_id"), size(col("hs")).as("sz"),
       explode(slice(col("hs"), lit(1), prefixLen)).as("h"))
@@ -200,7 +200,7 @@ object Dedup {
       rowsPerBand: Int = 2,
       n: Int = 3): DataFrame = {
     val numHashes = bands * rowsPerBand
-    val sh = shingleHashes(docs, n).cache()
+    val sh = graft.core.Caches.corpus(shingleHashes(docs, n))
     // one codegen'd pass computes every (a_i*x+b_i) % P minimum — the
     // schedule lives in MinHashSignature.coefficients; the HOF equivalent
     // (numHashes × array_min(transform(...))) walks the array per hash
@@ -265,9 +265,9 @@ object Dedup {
     // it re-runs the full shingle+MinHash kernel over the corpus each
     // time (r17 measurement: 3× recompute ≈ 40 CPU-s warm at sf0.1, the
     // hottest extra by CPU after the graph family).
-    val sh = shingleHashes(docs, n).cache()
+    val sh = graft.core.Caches.corpus(shingleHashes(docs, n))
     val sig = sh.select(col("doc_id"),
-      graft.functions.MinHashSignature(col("hs"), numHashes).as("sig")).cache()
+      graft.functions.MinHashSignature(col("hs"), numHashes).as("sig")).transform(graft.core.Caches.corpus)
     val est = aggregate(
       zip_with(col("sa"), col("sb"), (x, y) => (x === y).cast("long")),
       lit(0L), (acc, v) => acc + v) / numHashes.toDouble
@@ -313,7 +313,7 @@ object Dedup {
   def minhashIndexProbe(spark: org.apache.spark.sql.SparkSession,
       batch: DataFrame, path: String, threshold: Double, bands: Int = 16,
       rowsPerBand: Int = 2, n: Int = 3): DataFrame = {
-    val sh = shingleHashes(batch, n).cache()
+    val sh = graft.core.Caches.corpus(shingleHashes(batch, n))
     val sig = sh.select(col("doc_id"), col("hs"),
       graft.functions.MinHashSignature(col("hs"), bands * rowsPerBand).as("sig"))
     val qb = bandRows(sig, bands, rowsPerBand)
@@ -496,10 +496,14 @@ object Dedup {
       val neighborMin = edges
         .join(labels.select(col("doc_id").as("dst"), col("label").as("nlabel")), "dst")
         .groupBy(col("src").as("doc_id")).agg(min("nlabel").as("nmin"))
+      // LAZY checkpoint + count = ONE job per round (r18): the eager form
+      // ran a materialization job AND a count job every round; the count
+      // action now materializes the checkpoint as a side effect (lineage
+      // still truncated before the next round references `labels` twice).
       val upd = labels.join(neighborMin, Seq("doc_id"), "left")
         .select(col("doc_id"), col("label").as("old"),
           least(col("label"), coalesce(col("nmin"), col("label"))).as("label"))
-        .localCheckpoint()
+        .localCheckpoint(false)
       changed = upd.filter(col("label") < col("old")).count()
       labels = upd.select("doc_id", "label")
       iter += 1
@@ -532,10 +536,11 @@ object Dedup {
     * (doc_id, cluster_id = component min, is_canonical).
     */
   def dupClustersStar(docs: DataFrame, pairs: DataFrame, maxIters: Int = 25): DataFrame = {
+    // lazy checkpoint: the count below materializes it in the same job
     var edges = pairs.filter(col("doc_a") =!= col("doc_b"))
       .select(greatest(col("doc_a"), col("doc_b")).as("u"),
         least(col("doc_a"), col("doc_b")).as("v"))
-      .distinct().localCheckpoint()
+      .distinct().localCheckpoint(false)
     var nEdges = edges.count()
     var stable = false
     var iter = 0
@@ -558,7 +563,7 @@ object Dedup {
         .union(mS.select(col("u").as("w"), col("m")))
         .filter(col("w") =!= col("m"))
         .select(col("w").as("u"), col("m").as("v")).distinct()
-        .localCheckpoint()
+        .localCheckpoint(false) // materialized by the count: one job/round
       // fixed-point test on two DISTINCT edge sets: equal cardinality +
       // empty one-sided difference ⇔ set equality — one except job per
       // round instead of two exceptAll materializations (the counts are

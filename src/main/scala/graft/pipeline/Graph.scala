@@ -40,7 +40,7 @@ object Graph {
     // iteration: iters× the planning/codegen volume and, for an uncached
     // caller frame, iters× the edge-generation work itself (r17; the same
     // eager-cut stance as coreNumbers/kCore). Edge-sized, MEMORY_AND_DISK.
-    val withDeg = edges.join(deg, "src").localCheckpoint(true)
+    val withDeg = cut(edges.join(deg, "src"))
     var rank = nodes.select(col("id"), lit(1.0 / nNodes).as("rank"))
     for (it <- 1 to iters) {
       val contrib = withDeg.join(rank, col("src") === col("id"))
@@ -62,8 +62,29 @@ object Graph {
     */
   private def maybeCheckpoint(df: DataFrame, it: Int, iters: Int,
       every: Int): DataFrame =
-    if (every > 0 && it % every == 0 && it < iters) df.localCheckpoint(true)
+    if (every > 0 && it % every == 0 && it < iters) cut(df)
     else df
+
+  /** The lineage cut used by every iterative builder here. Two caveats
+    * a 100 TB deployment must know (r17 ADVICE):
+    *
+    *  - EAGER EVALUATION: builders with a cut (pageRank/PPR's `withDeg`,
+    *    labelPropagation's default `checkpointEvery = 1`) run Spark jobs
+    *    at DataFrame-CONSTRUCTION time, not first action. Pass
+    *    `checkpointEvery = 0` for a pure unrolled plan (fine at few
+    *    iterations).
+    *  - FAULT TOLERANCE: `localCheckpoint` trades lineage for speed — on
+    *    a cluster, losing an executor that holds checkpointed blocks
+    *    FAILS the job instead of recomputing (acceptable on local[n];
+    *    not under decommissioning). Set the session conf
+    *    `spark.graft.graph.reliableCheckpoint = true` (and a
+    *    `sparkContext.setCheckpointDir`) to route every cut through a
+    *    reliable `checkpoint(true)` instead.
+    */
+  private def cut(df: DataFrame): DataFrame =
+    if (df.sparkSession.conf.get("spark.graft.graph.reliableCheckpoint",
+        "false").toBoolean) df.checkpoint(true)
+    else df.localCheckpoint(true)
 
   /** Personalized PageRank: teleport mass goes to the `seeds` node set
     * instead of uniformly — the similarity-expansion primitive ("find
@@ -84,7 +105,7 @@ object Graph {
     require(iters >= 1 && nSeeds > 0, "needs iterations and a seed set")
     val deg = edges.groupBy("src").agg(count(lit(1)).as("deg"))
     // same once-per-run materialization as [[pageRank]]'s withDeg (r17)
-    val withDeg = edges.join(deg, "src").localCheckpoint(true)
+    val withDeg = cut(edges.join(deg, "src"))
     val sv = nodes.join(seeds.select(col("id"), lit(1.0).as("__s")), Seq("id"), "left")
       .select(col("id"), (coalesce(col("__s"), lit(0.0)) / nSeeds).as("sv"))
     var rank = sv.select(col("id"), col("sv").as("rank"))
@@ -305,7 +326,9 @@ object Graph {
       val next = joined
         .withColumn("rn", row_number().over(w).cast("long"))
         .groupBy(col("id")).agg(max(least(col("nh"), col("rn"))).as("h"))
-        .localCheckpoint(true)
+        // lazy: the convergence probe below materializes it (one fewer
+        // job per round than the eager cut; lineage still truncated, r18)
+        .localCheckpoint(false)
       val converged = next
         .join(h.withColumnRenamed("h", "hp"), Seq("id"))
         .filter(col("h") =!= col("hp")).isEmpty
@@ -327,12 +350,16 @@ object Graph {
       val deg = edges.select(col("a").as("id"))
         .unionAll(edges.select(col("b").as("id")))
         .groupBy(col("id")).agg(count(lit(1)).as("deg"))
-      val bad = deg.filter(col("deg") < k).select("id").localCheckpoint(true)
+      // lazy cuts (r18): the isEmpty probe materializes `bad` (and the
+      // previous round's `edges` mark) in its own job — the eager form
+      // paid two extra materialization jobs per peel round for the same
+      // lineage truncation.
+      val bad = deg.filter(col("deg") < k).select("id").localCheckpoint(false)
       if (bad.isEmpty) return deg
       edges = edges
         .join(bad.withColumnRenamed("id", "a"), Seq("a"), "left_anti")
         .join(bad.withColumnRenamed("id", "b"), Seq("b"), "left_anti")
-        .localCheckpoint(true)
+        .localCheckpoint(false)
     }
     throw new IllegalStateException("unreachable")
   }

@@ -32,15 +32,30 @@ object IvfIndex {
     */
   def build(corpus: DataFrame, path: String, nCells: Int = 8, iters: Int = 3,
       filesPerCell: Int = 0): Array[Seq[Double]] = {
-    val cs = Clustering.fitCentroids(corpus, nCells, iters)
-    cellLayout(
-        Clustering.parsed(corpus)
-          .withColumn("bucket", Clustering.assignment(cs).getField("c")),
-        filesPerCell)
-      .write.mode("overwrite").partitionBy("bucket").parquet(path)
-    writeCentroidsSidecar(corpus.sparkSession, path, cs)
-    cs
+    // ONE materialization of the parsed corpus across the whole build
+    // (r18, §2.4): the quantizer fit's iterations AND the encode+write
+    // read this cache instead of re-scanning + re-casting the source per
+    // phase (fitCentroids skips its inner persist on a cached input).
+    val pc = parsedCached(corpus)
+    try {
+      val cs = Clustering.fitCentroids(pc, nCells, iters)
+      cellLayout(
+          Clustering.parsed(pc)
+            .withColumn("bucket", Clustering.assignment(cs).getField("c")),
+          filesPerCell)
+        .write.mode("overwrite").partitionBy("bucket").parquet(path)
+      writeCentroidsSidecar(corpus.sparkSession, path, cs)
+      cs
+    } finally { pc.unpersist(blocking = false); () }
   }
+
+  /** `(vec_id, embedding ARRAY<DOUBLE>)` persisted for a build's phases —
+    * keeps the `embedding` column name so every fit/encode entry point
+    * accepts it unchanged.
+    */
+  private def parsedCached(corpus: DataFrame): DataFrame =
+    corpus.select(col("vec_id"), col("embedding").cast("array<double>").as("embedding"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
 
   /** The documented small-file/parallelism knob for index builds: the
     * default narrow write has every task emit a file into each cell it
@@ -301,26 +316,31 @@ object IvfIndex {
       books: Option[Array[Array[Seq[Double]]]] = None,
       residual: Boolean = false,
       filesPerCell: Int = 0): (Array[Seq[Double]], Array[Array[Seq[Double]]]) = {
-    val cs = centroids.getOrElse(Clustering.fitCentroids(corpus, nCells, iters))
-    val bks = books.getOrElse {
-      if (residual) {
-        val r = Clustering.parsed(corpus)
-          .withColumn("bucket", Clustering.assignment(cs).getField("c"))
-          .select(col("vec_id"),
-            Pq.residualCol(col("v"), col("bucket"), cs).as("embedding"))
-        Pq.fit(r, m, ksub, pqIters)
-      } else Pq.fit(corpus, m, ksub, pqIters)
-    }
-    cellLayout(encodeForIndex(corpus, cs, bks, residual), filesPerCell)
-      .write.mode("overwrite").partitionBy("bucket").parquet(path)
-    val spark = corpus.sparkSession
-    import spark.implicits._
-    writeCentroidsSidecar(spark, path, cs)
-    bks.toSeq.zipWithIndex.flatMap { case (cb, j) =>
-      cb.zipWithIndex.map { case (c, i) => (j, i, c) }
-    }.toDF("block", "code", "centroid")
-      .coalesce(1).write.mode("overwrite").parquet(s"$path/_books")
-    (cs, bks)
+    // one parsed-corpus materialization for coarse fit, PQ fit and encode
+    // (r18, §2.4 — was three separate scan+cast passes)
+    val pc = parsedCached(corpus)
+    try {
+      val cs = centroids.getOrElse(Clustering.fitCentroids(pc, nCells, iters))
+      val bks = books.getOrElse {
+        if (residual) {
+          val r = Clustering.parsed(pc)
+            .withColumn("bucket", Clustering.assignment(cs).getField("c"))
+            .select(col("vec_id"),
+              Pq.residualCol(col("v"), col("bucket"), cs).as("embedding"))
+          Pq.fit(r, m, ksub, pqIters)
+        } else Pq.fit(pc, m, ksub, pqIters)
+      }
+      cellLayout(encodeForIndex(pc, cs, bks, residual), filesPerCell)
+        .write.mode("overwrite").partitionBy("bucket").parquet(path)
+      val spark = corpus.sparkSession
+      import spark.implicits._
+      writeCentroidsSidecar(spark, path, cs)
+      bks.toSeq.zipWithIndex.flatMap { case (cb, j) =>
+        cb.zipWithIndex.map { case (c, i) => (j, i, c) }
+      }.toDF("block", "code", "centroid")
+        .coalesce(1).write.mode("overwrite").parquet(s"$path/_books")
+      (cs, bks)
+    } finally { pc.unpersist(blocking = false); () }
   }
 
   /** The m×ksub codebooks back from the index directory. */

@@ -29,8 +29,13 @@ object Pq {
     * fits over slices of the persisted parsed frame.
     */
   def fit(emb: DataFrame, m: Int, ksub: Int, iters: Int): Array[Array[Seq[Double]]] = {
-    val e = Clustering.parsed(emb)
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // skip the fit-scoped persist when the caller already holds the input
+    // cached (IvfIndex.buildPq's shared parsed corpus, r18)
+    val preCached = emb.storageLevel != org.apache.spark.storage.StorageLevel.NONE
+    val e =
+      if (preCached) Clustering.parsed(emb)
+      else Clustering.parsed(emb)
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     try {
       val dims = e.select(size(col("v"))).head(1)
       require(dims.nonEmpty, "PQ fit needs a non-empty corpus")
@@ -41,7 +46,7 @@ object Pq {
         val block = e.select(col("vec_id"), slice(col("v"), j * sub + 1, sub).as("embedding"))
         Clustering.fitCentroids(block, ksub, iters)
       }
-    } finally e.unpersist(blocking = false)
+    } finally if (!preCached) { e.unpersist(blocking = false); () }
   }
 
   /** The m-code array expression for a (possibly residual) source vector

@@ -407,7 +407,7 @@ object TextAnalysis {
     val tok = spread(docs)
       .select(col("doc_id"), explode(words(col("text"))).as("word"))
       .filter(length(col("word")) > 0)
-      .cache()
+      .transform(graft.core.Caches.corpus)
     val dict = tok.select(col("doc_id"), col("word")).distinct()
       .groupBy("word").agg(count(lit(1)).as("df"))
     val scored = tok.join(dict, "word")
@@ -454,7 +454,7 @@ object TextAnalysis {
           .otherwise(array().cast("array<struct<w1:string,w2:string>>")))
         .as("__bg"))
       .select(col("doc_id"), col("__bg.w1").as("w1"), col("__bg.w2").as("w2"))
-      .cache()
+      .transform(graft.core.Caches.corpus)
     val tok = base.select(col("doc_id"), explode(col("__wf")).as("word"))
     val bgc = bg.groupBy("w1", "w2").agg(count(lit(1)).as("cbg"))
     val w1c = bg.groupBy("w1").agg(count(lit(1)).as("cw1"))
