@@ -68,6 +68,115 @@ object SydraQlQueries {
     store
   }
 
+  /** r18 (§1.2/§2.4): within-run sharing of READ-ONLY gate fixtures.
+    *
+    * ~24 storage gates each built a private temp store (one events scan +
+    * hour-partitioned write) plus a derived tier (cells/skip build) over
+    * the SAME deterministic input — at sf0.1 the family's cost is almost
+    * entirely this fixed per-gate job overhead, not the queries. Gates
+    * that only READ their fixture now share one store per distinct
+    * (data dir, window, flags, tier spec) within the process.
+    *
+    * Scope rules, so this can never change results or leak across runs:
+    *  - the memo is PROCESS-LIFETIME ONLY (per SparkSession, weak-keyed):
+    *    every bench/verify invocation starts a fresh JVM and rebuilds all
+    *    fixtures from the parquet inputs — nothing is persisted across
+    *    runs or keyed on the test data on disk;
+    *  - the tier spec is part of the key, so two gates share a root ONLY
+    *    when their derived tiers are byte-identical in shape — a store
+    *    never grows a second tier that could change another gate's
+    *    routing;
+    *  - gates that MUTATE their store (DELETE, retention, insert) keep
+    *    building private fixtures via [[eventsStore]].
+    */
+  private final case class FixtureKey(dir: String, t0: Long, t1: Long,
+      dedup: Boolean, buckets: Int, devTag: Boolean, tier: String)
+
+  private val fixtureCaches = new java.util.WeakHashMap[
+    org.apache.spark.sql.SparkSession,
+    java.util.concurrent.ConcurrentHashMap[FixtureKey, graft.storage.SeriesStore]]()
+
+  private def sharedStore(s: org.apache.spark.sql.SparkSession, dir: String,
+      t0: Long, t1: Long, dedup: Boolean = false, buckets: Int = 0,
+      devTag: Boolean = false, tier: String)
+      (buildTier: graft.storage.SeriesStore => Unit): graft.storage.SeriesStore = {
+    val cache = fixtureCaches.synchronized {
+      fixtureCaches.computeIfAbsent(s,
+        _ => new java.util.concurrent.ConcurrentHashMap[FixtureKey, graft.storage.SeriesStore]())
+    }
+    // NOT computeIfAbsent: a tier fixture's builder re-enters this map for
+    // its raw base (copiedStore), and CHM throws "Recursive update" when
+    // the two keys share a bin. Gates run sequentially; a theoretical race
+    // just builds twice and keeps the first.
+    val key = FixtureKey(dir, t0, t1, dedup, buckets, devTag, tier)
+    val existing = cache.get(key)
+    if (existing != null) existing
+    else {
+      val st =
+        if (tier == "raw") eventsStore(s, dir, t0, t1, dedup, buckets, devTag)
+        else copiedStore(s, dir, t0, t1, dedup, buckets, devTag)
+      buildTier(st)
+      val prev = cache.putIfAbsent(key, st)
+      if (prev != null) prev else st
+    }
+  }
+
+  /** A PRIVATE store whose segments are file-copied from the shared raw
+    * fixture of the same shape — tier variants (and mutators, via
+    * [[privateStore]]) pay a ~100-file local copy instead of re-running
+    * the events scan + hour-partitioned write per variant. The copy is a
+    * plain parquet dir with no root-path dependence (series_id/seq are
+    * content-derived); bucketed layouts re-register their catalog entry
+    * lazily on first scan of the new root.
+    */
+  private def copiedStore(s: org.apache.spark.sql.SparkSession, dir: String,
+      t0: Long, t1: Long, dedup: Boolean = false, buckets: Int = 0,
+      devTag: Boolean = false): graft.storage.SeriesStore = {
+    val base = sharedStore(s, dir, t0, t1, dedup, buckets, devTag, tier = "raw")(_ => ())
+    val tmp = java.nio.file.Files.createTempDirectory("graft-gate-store").toString
+    val src = java.nio.file.Paths.get(base.root, "segments")
+    val dst = java.nio.file.Paths.get(tmp, "segments")
+    val it = java.nio.file.Files.walk(src)
+    try it.forEach { p =>
+      val t = dst.resolve(src.relativize(p))
+      if (java.nio.file.Files.isDirectory(p)) java.nio.file.Files.createDirectories(t)
+      else java.nio.file.Files.copy(p, t,
+        java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+    } finally it.close()
+    new graft.storage.SeriesStore(s, tmp, seriesBuckets = buckets)
+  }
+
+  /** Private (mutable) store seeded by segment copy from the shared raw
+    * fixture — for gates that DELETE/retain/insert.
+    */
+  private def privateStore(s: org.apache.spark.sql.SparkSession, dir: String,
+      t0: Long, t1: Long, dedup: Boolean = false): graft.storage.SeriesStore =
+    copiedStore(s, dir, t0, t1, dedup)
+
+  /** Shared store + [[graft.storage.SketchCells]] tier (read-only gates). */
+  private def cellsFixture(s: org.apache.spark.sql.SparkSession, dir: String,
+      t0: Long, t1: Long, ndvTags: Seq[String] = Seq.empty,
+      groupTags: Seq[String] = Seq.empty,
+      devTag: Boolean = false): graft.storage.SeriesStore =
+    sharedStore(s, dir, t0, t1, devTag = devTag,
+      tier = s"cells:ndv=${ndvTags.mkString("+")}:group=${groupTags.mkString("+")}") { st =>
+      graft.storage.SketchCells.build(st, graft.storage.SketchCells.dirFor(st),
+        ndvTags = ndvTags, groupTags = groupTags)
+    }
+
+  /** Shared store + store-convention [[graft.storage.SkipIndex]] manifest. */
+  private def skipFixture(s: org.apache.spark.sql.SparkSession, dir: String,
+      t0: Long, t1: Long): graft.storage.SeriesStore =
+    sharedStore(s, dir, t0, t1, tier = "skip") { st =>
+      graft.storage.SkipIndex.build(st, graft.storage.SkipIndex.dirFor(st))
+    }
+
+  /** Shared tier-less store (read-only gates; external manifests OK). */
+  private def rawFixture(s: org.apache.spark.sql.SparkSession, dir: String,
+      t0: Long, t1: Long, dedup: Boolean = false,
+      buckets: Int = 0): graft.storage.SeriesStore =
+    sharedStore(s, dir, t0, t1, dedup = dedup, buckets = buckets, tier = "raw")(_ => ())
+
   /** first/last/irate need a total per-bucket order; both sides sort by
     * (time, value) — ties at second granularity exist in the data.
     */
@@ -165,8 +274,7 @@ object SydraQlQueries {
       (s, dir) => {
         import org.apache.spark.sql.functions.{col, lit}
         val hi = T0 + 2 * 86400
-        val store = eventsStore(s, dir, T0, hi)
-        graft.storage.SketchCells.build(store, graft.storage.SketchCells.dirFor(store))
+        val store = cellsFixture(s, dir, T0, hi)
         val df = Engine.executeOnStore(store,
           s"select percentile_approx(value, 0.5) as p50a, " +
             s"percentile_approx(value, 0.95) as p95a " +
@@ -204,9 +312,7 @@ object SydraQlQueries {
       (s, dir) => {
         import org.apache.spark.sql.functions.{col, lit}
         val hi = T0 + 2 * 86400
-        val store = eventsStore(s, dir, T0, hi)
-        graft.storage.SketchCells.build(store,
-          graft.storage.SketchCells.dirFor(store), ndvTags = Seq("user"))
+        val store = cellsFixture(s, dir, T0, hi, ndvTags = Seq("user"))
         val df = Engine.executeOnStore(store,
           s"select percentile_approx(value, 0.5) as p50a, ndv(tag.user) as ndva " +
             s"from error where time >= $T0 and time < $hi",
@@ -240,8 +346,7 @@ object SydraQlQueries {
       (s, dir) => {
         import org.apache.spark.sql.functions.{col, lit}
         val hi = T0 + 4 * 86400
-        val store = eventsStore(s, dir, T0, hi)
-        graft.storage.SketchCells.build(store, graft.storage.SketchCells.dirFor(store))
+        val store = cellsFixture(s, dir, T0, hi)
         val df = Engine.executeOnStore(store,
           s"select time_bucket(172800, time) as b, " +
             s"percentile_approx(value, 0.5) as p50a " +
@@ -279,9 +384,7 @@ object SydraQlQueries {
       (s, dir) => {
         import org.apache.spark.sql.functions.{col, lit}
         val hi = T0 + 2 * 86400
-        val store = eventsStore(s, dir, T0, hi)
-        graft.storage.SketchCells.build(store,
-          graft.storage.SketchCells.dirFor(store), groupTags = Seq("user"))
+        val store = cellsFixture(s, dir, T0, hi, groupTags = Seq("user"))
         val df = Engine.executeOnStore(store,
           s"select tag.user as usr, percentile_approx(value, 0.5) as p50a " +
             s"from error where time >= $T0 and time < $hi " +
@@ -318,9 +421,7 @@ object SydraQlQueries {
       (s, dir) => {
         import org.apache.spark.sql.functions.{col, lit}
         val hi = T0 + 4 * 86400
-        val store = eventsStore(s, dir, T0, hi)
-        graft.storage.SketchCells.build(store,
-          graft.storage.SketchCells.dirFor(store), groupTags = Seq("user"))
+        val store = cellsFixture(s, dir, T0, hi, groupTags = Seq("user"))
         val df = Engine.executeOnStore(store,
           s"select time_bucket(172800, time) as b, tag.user as usr, " +
             s"percentile_approx(value, 0.5) as p50a " +
@@ -359,9 +460,7 @@ object SydraQlQueries {
       (s, dir) => {
         import org.apache.spark.sql.functions.{col, lit}
         val hi = T0 + 4 * 86400
-        val store = eventsStore(s, dir, T0, hi)
-        graft.storage.SketchCells.build(store,
-          graft.storage.SketchCells.dirFor(store), ndvTags = Seq("user"))
+        val store = cellsFixture(s, dir, T0, hi, ndvTags = Seq("user"))
         val df = Engine.executeOnStore(store,
           s"select time_bucket(172800, time) as b, ndv(tag.user) as ndva " +
             s"from error where time >= $T0 and time < $hi " +
@@ -394,10 +493,8 @@ object SydraQlQueries {
       (s, dir) => {
         import org.apache.spark.sql.functions.{col, lit}
         val hi = T0 + 4 * 86400
-        val store = eventsStore(s, dir, T0, hi, devTag = true)
-        graft.storage.SketchCells.build(store,
-          graft.storage.SketchCells.dirFor(store),
-          ndvTags = Seq("user"), groupTags = Seq("dev"))
+        val store = cellsFixture(s, dir, T0, hi, ndvTags = Seq("user"),
+          groupTags = Seq("dev"), devTag = true)
         val df = Engine.executeOnStore(store,
           s"select time_bucket(172800, time) as b, tag.dev as dev, " +
             s"ndv(tag.user) as ndva, percentile_approx(value, 0.5) as p50a " +
@@ -443,8 +540,7 @@ object SydraQlQueries {
       (s, dir) => {
         import org.apache.spark.sql.functions.col
         val hi = T0 + 2 * 86400
-        val store = eventsStore(s, dir, T0, hi)
-        graft.storage.SkipIndex.build(store, graft.storage.SkipIndex.dirFor(store))
+        val store = skipFixture(s, dir, T0, hi)
         Engine.executeOnStore(store,
           s"select time, value from error where time >= $T0 and time < $hi " +
             s"and value >= 30 order by time, value",
@@ -466,8 +562,7 @@ object SydraQlQueries {
     Q("q_sql_tag_skip",
       (s, dir) => {
         val hi = T0 + 2 * 86400
-        val store = eventsStore(s, dir, T0, hi)
-        graft.storage.SkipIndex.build(store, graft.storage.SkipIndex.dirFor(store))
+        val store = skipFixture(s, dir, T0, hi)
         Engine.executeOnStore(store,
           s"select time, value from error where time >= $T0 and time < $hi " +
             s"and tag.user = '3' order by time, value",
@@ -491,8 +586,7 @@ object SydraQlQueries {
     Q("q_sql_tag_skip_or",
       (s, dir) => {
         val hi = T0 + 2 * 86400
-        val store = eventsStore(s, dir, T0, hi)
-        graft.storage.SkipIndex.build(store, graft.storage.SkipIndex.dirFor(store))
+        val store = skipFixture(s, dir, T0, hi)
         Engine.executeOnStore(store,
           s"select time, value from error where time >= $T0 and time < $hi " +
             s"and (tag.user = '3' or tag.user = '5') order by time, value",
@@ -518,8 +612,7 @@ object SydraQlQueries {
         import org.apache.spark.sql.functions.{col, floor}
         val lo = T0 + 3600
         val hi = T0 + 3 * 86400 - 7200
-        val store = eventsStore(s, dir, T0, T0 + 3 * 86400)
-        graft.storage.SketchCells.build(store, graft.storage.SketchCells.dirFor(store))
+        val store = cellsFixture(s, dir, T0, T0 + 3 * 86400)
         Engine.executeOnStore(store,
           s"select avg(value) as avg_v, sum(value) as sum_val, " +
             s"count() as n, min(value) as min_val, max(value) as max_val " +
@@ -549,9 +642,7 @@ object SydraQlQueries {
       (s, dir) => {
         import org.apache.spark.sql.functions.{col, floor}
         val hi = T0 + 4 * 86400
-        val store = eventsStore(s, dir, T0, hi)
-        graft.storage.SketchCells.build(store,
-          graft.storage.SketchCells.dirFor(store), groupTags = Seq("user"))
+        val store = cellsFixture(s, dir, T0, hi, groupTags = Seq("user"))
         Engine.executeOnStore(store,
           s"select time_bucket(172800, time) as b, avg(value) as avg_v, " +
             s"count() as n, min(value) as min_val, max(value) as max_val " +
@@ -584,8 +675,7 @@ object SydraQlQueries {
       (s, dir) => {
         import org.apache.spark.sql.functions.{col, floor}
         val hi = T0 + 2 * 86400
-        val store = eventsStore(s, dir, T0, hi)
-        graft.storage.SketchCells.build(store, graft.storage.SketchCells.dirFor(store))
+        val store = cellsFixture(s, dir, T0, hi)
         Engine.executeOnStore(store,
           s"select avg(value) as avg_v, sum(value) as sum_val, " +
             s"count() as n, count(value) as nv, " +
@@ -611,8 +701,7 @@ object SydraQlQueries {
       (s, dir) => {
         import org.apache.spark.sql.functions.{col, floor}
         val hi = T0 + 4 * 86400
-        val store = eventsStore(s, dir, T0, hi)
-        graft.storage.SketchCells.build(store, graft.storage.SketchCells.dirFor(store))
+        val store = cellsFixture(s, dir, T0, hi)
         Engine.executeOnStore(store,
           s"select time_bucket(172800, time) as b, avg(value) as avg_v, " +
             s"count() as n, min(value) as min_val, max(value) as max_val " +
@@ -637,9 +726,7 @@ object SydraQlQueries {
       (s, dir) => {
         import org.apache.spark.sql.functions.{col, floor}
         val hi = T0 + 4 * 86400
-        val store = eventsStore(s, dir, T0, hi)
-        graft.storage.SketchCells.build(store,
-          graft.storage.SketchCells.dirFor(store), groupTags = Seq("user"))
+        val store = cellsFixture(s, dir, T0, hi, groupTags = Seq("user"))
         Engine.executeOnStore(store,
           s"select time_bucket(172800, time) as b, tag.user as usr, " +
             s"avg(value) as avg_v, count() as n, max(value) as max_val " +
@@ -666,8 +753,7 @@ object SydraQlQueries {
     Q("q_sql_rollup_cells_fl",
       (s, dir) => {
         val hi = T0 + 4 * 86400
-        val store = eventsStore(s, dir, T0, hi)
-        graft.storage.SketchCells.build(store, graft.storage.SketchCells.dirFor(store))
+        val store = cellsFixture(s, dir, T0, hi)
         Engine.executeOnStore(store,
           s"select time_bucket(172800, time) as b, first(value) as fv, " +
             s"last(value) as lv, count() as n " +
@@ -691,8 +777,7 @@ object SydraQlQueries {
       (s, dir) => {
         import org.apache.spark.sql.functions.{col, floor}
         val hi = T0 + 4 * 86400
-        val store = eventsStore(s, dir, T0, hi)
-        graft.storage.SketchCells.build(store, graft.storage.SketchCells.dirFor(store))
+        val store = cellsFixture(s, dir, T0, hi)
         Engine.executeOnStore(store,
           s"select time_bucket(172800, time) as b, rate(value) as rate_v, " +
             s"delta(value) as delta_v " +
@@ -721,9 +806,7 @@ object SydraQlQueries {
       (s, dir) => {
         import org.apache.spark.sql.functions.{col, lit}
         val hi = T0 + 2 * 86400
-        val store = eventsStore(s, dir, T0, hi)
-        graft.storage.SketchCells.build(store,
-          graft.storage.SketchCells.dirFor(store), groupTags = Seq("user"))
+        val store = cellsFixture(s, dir, T0, hi, groupTags = Seq("user"))
         val df = Engine.executeOnStore(store,
           s"select tag.user as usr, percentile_approx(value, 0.5) as p50a " +
             s"from error where time >= $T0 and time < $hi " +
@@ -766,8 +849,7 @@ object SydraQlQueries {
         import org.apache.spark.sql.functions.{col, floor}
         val lo = T0 + 3600
         val hi = T0 + 4 * 86400 - 7200
-        val store = eventsStore(s, dir, T0, T0 + 4 * 86400)
-        graft.storage.SketchCells.build(store, graft.storage.SketchCells.dirFor(store))
+        val store = cellsFixture(s, dir, T0, T0 + 4 * 86400)
         Engine.executeOnStore(store,
           s"select avg(value) as avg_v, sum(value) as sum_val, " +
             s"count() as n, count(value) as nv, " +
@@ -797,8 +879,7 @@ object SydraQlQueries {
         import org.apache.spark.sql.functions.{col, lit}
         val lo = T0 + 3600
         val hi = T0 + 4 * 86400 - 3600
-        val store = eventsStore(s, dir, T0, T0 + 4 * 86400)
-        graft.storage.SketchCells.build(store, graft.storage.SketchCells.dirFor(store))
+        val store = cellsFixture(s, dir, T0, T0 + 4 * 86400)
         val df = Engine.executeOnStore(store,
           s"select time_bucket(86400, time) as b, " +
             s"percentile_approx(value, 0.5) as p50a, count() as n " +
@@ -839,8 +920,7 @@ object SydraQlQueries {
         // truncates (r15, ADVICE: the old 4-day store left one row after
         // the offset, making the limit vacuous against the oracle)
         val hi = T0 + 8 * 86400
-        val store = eventsStore(s, dir, T0, hi)
-        graft.storage.SketchCells.build(store, graft.storage.SketchCells.dirFor(store))
+        val store = cellsFixture(s, dir, T0, hi)
         Engine.executeOnStore(store,
           s"select time_bucket(172800, time) as b, avg(value) as avg_v " +
             s"from error where time >= $T0 and time < $hi " +
@@ -865,8 +945,7 @@ object SydraQlQueries {
         import org.apache.spark.sql.functions.{col, floor}
         val hi = T0 + 4 * 86400
         val og = T0 + 86400 // day-aligned, mid-window: buckets straddle it
-        val store = eventsStore(s, dir, T0, hi)
-        graft.storage.SketchCells.build(store, graft.storage.SketchCells.dirFor(store))
+        val store = cellsFixture(s, dir, T0, hi)
         Engine.executeOnStore(store,
           s"select time_bucket(172800, time, $og) as b, avg(value) as avg_v, " +
             s"count() as n from error where time >= $T0 and time < $hi " +
@@ -896,7 +975,7 @@ object SydraQlQueries {
       (s, dir) => {
         import org.apache.spark.sql.functions.{col, floor}
         val hi = T0 + 4 * 86400
-        val store = eventsStore(s, dir, T0, hi)
+        val store = privateStore(s, dir, T0, hi)
         Engine.executeOnStore(store,
           s"delete from error where time >= ${T0 + 2 * 86400} and time < ${T0 + 3 * 86400}",
           CompileOptions(now = NOW))
@@ -936,8 +1015,7 @@ object SydraQlQueries {
       (s, dir) => {
         import org.apache.spark.sql.functions.{col, floor}
         val hi = T0 + 2 * 86400
-        val store = eventsStore(s, dir, T0, hi)
-        graft.storage.SketchCells.build(store, graft.storage.SketchCells.dirFor(store))
+        val store = cellsFixture(s, dir, T0, hi)
         Engine.executeOnStore(store,
           s"select avg(value) as avg_v, count() as n, " +
             s"min(value) as min_val, max(value) as max_val " +
@@ -1160,7 +1238,7 @@ object SydraQlQueries {
     // boundary inside the 2-day range.
     Q("q_sql_window_fns",
       (s, dir) => {
-        val store = eventsStore(s, dir, T0, T0 + 2 * 86400, dedup = true)
+        val store = rawFixture(s, dir, T0, T0 + 2 * 86400, dedup = true)
         val df = Engine.executeOnStore(store,
           s"select tag.user as usr, time, value, lag(value) as pv, lead(value, 2) as nv, " +
             s"moving_avg(value, 600) as ma, fill_forward(value) as ff " +
@@ -1301,7 +1379,7 @@ object SydraQlQueries {
     // sydraQL over the store's scan → oracle on the raw parquet.
     Q("q_store_roundtrip",
       (s, dir) => {
-        val store = eventsStore(s, dir, T0, T0 + 2 * 86400)
+        val store = rawFixture(s, dir, T0, T0 + 2 * 86400)
         val df = Engine.executeOnStore(store,
           s"select time_bucket(3600, time) as bucket, avg(value) as avg_value, count() as n " +
             s"from click where time >= $T0 and time < ${T0 + 2 * 86400} " +
@@ -1322,7 +1400,7 @@ object SydraQlQueries {
     // series-keyed aggregates.
     Q("q_store_bucketed",
       (s, dir) => {
-        val store = eventsStore(s, dir, T0, T0 + 2 * 86400, buckets = 8)
+        val store = rawFixture(s, dir, T0, T0 + 2 * 86400, buckets = 8)
         val df = Engine.executeOnStore(store,
           s"select time_bucket(3600, time) as bucket, avg(value) as avg_value, count() as n " +
             s"from click where time >= $T0 and time < ${T0 + 2 * 86400} " +
@@ -1345,7 +1423,7 @@ object SydraQlQueries {
     // identity (series, tag) — result-equivalence across layouts.
     Q("q_store_bucketed_series_agg",
       (s, dir) => {
-        val store = eventsStore(s, dir, T0, T0 + 2 * 86400, buckets = 8)
+        val store = rawFixture(s, dir, T0, T0 + 2 * 86400, buckets = 8)
         store.scan()
           .groupBy(col("series_id"), col("series"), col("tags")("user").as("usr"))
           .agg(
@@ -1378,7 +1456,7 @@ object SydraQlQueries {
     // stance: pin engine-order-dependent stats before APPLYING them).
     Q("q_store_bucketed_join",
       (s, dir) => {
-        val store = eventsStore(s, dir, T0, T0 + 2 * 86400, buckets = 8)
+        val store = rawFixture(s, dir, T0, T0 + 2 * 86400, buckets = 8)
         val sc = store.scan()
         val stats = sc.groupBy(col("series_id"))
           .agg((floor(avg(col("value")) * 1e6 + 0.5) / 1e6).as("mean_v"))
@@ -1644,7 +1722,7 @@ object SydraQlQueries {
     Q("q_store_skip_probe",
       (s, dir) => {
         import org.apache.spark.sql.functions.{col, lit, map}
-        val store = eventsStore(s, dir, T0, T0 + 2 * 86400)
+        val store = rawFixture(s, dir, T0, T0 + 2 * 86400)
         val mdir = s"target/gate-tmp/skip-${dir.replace('/', '_')}/m"
         graft.storage.SkipIndex.build(store, mdir)
         val sid = s.range(1).select(graft.core.Functions.seriesId(
@@ -1666,7 +1744,7 @@ object SydraQlQueries {
     Q("q_store_skip_value",
       (s, dir) => {
         import org.apache.spark.sql.functions.col
-        val store = eventsStore(s, dir, T0, T0 + 2 * 86400)
+        val store = rawFixture(s, dir, T0, T0 + 2 * 86400)
         val mdir = s"target/gate-tmp/skipv-${dir.replace('/', '_')}/m"
         graft.storage.SkipIndex.build(store, mdir)
         val sweep = graft.storage.SkipIndex.thresholdScan(
@@ -1746,7 +1824,7 @@ object SydraQlQueries {
     // hash-checked against the oracle's reconstruction.
     Q("q_sql_insert_delete",
       (s, dir) => {
-        val store = eventsStore(s, dir, T0, T0 + 86400)
+        val store = privateStore(s, dir, T0, T0 + 86400)
         Engine.executeOnStore(store,
           s"insert into click (time, value) values (${T0 + 10000}, 500.5), (${T0 + 20001}, 600.25)",
           CompileOptions(now = NOW))
@@ -1774,7 +1852,7 @@ object SydraQlQueries {
     // Snapshot → restore → query on the restored store (snapshot.zig:3-47).
     Q("q_snapshot_restore",
       (s, dir) => {
-        val store = eventsStore(s, dir, T0, T0 + 86400)
+        val store = rawFixture(s, dir, T0, T0 + 86400)
         val dest = java.nio.file.Files.createTempDirectory("graft-gate-snap").toString + "/snap"
         graft.storage.Maintenance.snapshot(store, dest)
         val restored = new graft.storage.SeriesStore(s, dest)
@@ -1796,7 +1874,7 @@ object SydraQlQueries {
     // default — surviving rows per series hash-checked.
     Q("q_ns_retention",
       (s, dir) => {
-        val store = eventsStore(s, dir, T0, T0 + 2 * 86400)
+        val store = privateStore(s, dir, T0, T0 + 2 * 86400)
         graft.storage.Maintenance.applyRetention(store,
           defaultTtlDays = 30, nsTtlDays = Map("click" -> 1L), nowTs = T0 + 2 * 86400)
         store.scan()
@@ -1819,7 +1897,7 @@ object SydraQlQueries {
     Q("q_export_import_wal",
       (s, dir) => {
         import graft.storage.codec.WalCodec
-        val store = eventsStore(s, dir, T0, T0 + 86400, dedup = true)
+        val store = rawFixture(s, dir, T0, T0 + 86400, dedup = true)
         val sid = store.scan()
           .filter(col("series") === "click" && col("tags")("user") === "3")
           .select("series_id").head().getLong(0)
