@@ -497,6 +497,12 @@ object TextAnalysis {
     // doc-sized cache: the tercile aggregate and the bucket-assignment
     // join both read the scored frame, whose producer (an LM scorer) is
     // the expensive part — score once, not twice (r17)
+    // NOTE (r17 ADVICE, documented r18): this caches the CALLER-OWNED
+    // frame — a deliberate side effect, since the tercile aggregate and
+    // the assignment join would otherwise run the caller's (typically
+    // LM-scorer) producer twice; callers that manage their own
+    // persistence should pass an already-cached frame (the cache call is
+    // then a no-op) and unpersist on their own schedule.
     val scored = scored0.cache()
     val s = col(scoreCol)
     // one array-fraction percentile: two separate aggs would each buffer
